@@ -1,13 +1,324 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY §2 (and the LLM-pipeline extension surface,
+  * SURVEY §7.4) is exposed as a named query; every SQL-expressible one has
+  * a DuckDB oracle in [[oracleSql]] whose column names AND types match the
+  * Spark output exactly (doubles that must hash-match are computed through
+  * exact decimal arithmetic on both engines — see [[operators.Exact]]).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full star join + broadcast + exact aggregation path.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    Relational.broadcastStar(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ §7.4). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── relational battery (SURVEY §7.3 step 5) ──────────────────────
+    "q01_agg_pricing" -> (Relational.aggPricing(_, _)),
+    "q02_filter_project" -> (Relational.filterProject(_, _)),
+    "q03_join_topk" -> (Relational.joinTopK(_, _)),
+    "q04_broadcast_star" -> (Relational.broadcastStar(_, _)),
+    "q05_semi_join" -> (Relational.semiJoin(_, _)),
+    "q06_anti_join" -> (Relational.antiJoin(_, _)),
+    "q07_distinct" -> (Relational.distinctPairs(_, _)),
+    "q08_sort_limit" -> (Relational.sortLimit(_, _)),
+    "q09_window_rank" -> (Relational.windowRank(_, _)),
+    "q10_window_running" -> (Relational.windowRunning(_, _)),
+    "q11_union" -> (Relational.unionKeys(_, _)),
+    "q12_intersect" -> (Relational.intersectKeys(_, _)),
+    "q13_except" -> (Relational.exceptKeys(_, _)),
+    "q14_rollup" -> (Relational.rollupCounts(_, _)),
+    "q15_scalar_funcs" -> (Relational.scalarFuncs(_, _)),
+    "q16_having" -> (Relational.havingCount(_, _)),
+    "q17_in_subquery" -> (Relational.inSubquery(_, _)),
+    "q18_scalar_subquery" -> (Relational.scalarSubquery(_, _)),
+    "q19_conditional_agg" -> (Relational.conditionalAgg(_, _)),
+    "q20_pivot_events" -> (Relational.pivotEvents(_, _)),
+    "q21_json_extract" -> (Relational.jsonExtract(_, _)),
+    "q22_monthly_revenue" -> (Relational.monthlyRevenue(_, _)),
+    // ── reference pipeline semantics: upsert / evolution / streaming ─
+    "q23_upsert_latest" -> (UpsertOps.upsertLatest(_, _)),
+    "q24_upsert_merge" -> (UpsertOps.upsertMerge(_, _)),
+    "q25_schema_evolution" -> (UpsertOps.schemaEvolution(_, _)),
+    "q26_stream_upsert" -> (UpsertOps.streamUpsert(_, _)),
+    // ── LLM-data-pipeline surface (SURVEY §7.4) ──────────────────────
+    "q30_dedup_exact" -> (Dedup.exact(_, _)),
+    "q31_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q32_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "q33_dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "q34_embed_dedup" -> ((s, d) => Dedup.embeddingCosine(s, d)),
+    "q35_text_stats" -> (TextAnalysis.stats(_, _)),
+    "q36_text_quality" -> (TextAnalysis.quality(_, _)),
+    "q37_text_langid" -> (TextAnalysis.langId(_, _)),
+    "q38_text_fingerprint" -> (TextAnalysis.fingerprints(_, _)),
+    "q39_ann_brute" -> ((s, d) => Similarity.annBrute(s, d)),
+    "q40_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "q41_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
+    "q42_mm_meta" -> (Multimodal.metaQuery(_, _))
+  )
+
+  // Exact-decimal SQL fragments shared by several oracles (mirrors
+  // operators.Exact — the same rational arithmetic, DuckDB syntax).
+  private val discPrice =
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))"
+  private val charge =
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * ((CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(5,4))))"
+  private def dsum(c: String) =
+    s"CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
+  private def davg(c: String) =
+    s"CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / COUNT($c)"
+  private val stopwordsAll =
+    Seq("the", "of", "and", "to", "in", "le", "la", "les", "des", "et",
+      "el", "los", "las", "una", "y", "der", "die", "das", "und", "ist")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+  private def wordOcc(words: String) =
+    s"len(list_filter(string_split(text, ' '), x -> list_contains($words, x)))"
+  private val latestPerUserType =
+    """SELECT user_id, event_type, ts_us, event_id, value FROM (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events) t WHERE rn = 1""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for the ops whose semantics depend on
+    * engine-internal hashes/sketches (minhash, simhash, LSH buckets) —
+    * those get rows-only checks here and exactness checks in ScalaTest.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsum("l_quantity")} AS sum_qty,
+         |  ${dsum("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM($charge) AS DOUBLE) AS sum_charge,
+         |  ${davg("l_quantity")} AS avg_qty,
+         |  ${davg("l_extendedprice")} AS avg_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q03_join_topk" ->
+      s"""SELECT o_orderkey, CAST(SUM($discPrice) AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+         |  AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+         |GROUP BY o_orderkey
+         |ORDER BY revenue DESC, o_orderkey
+         |LIMIT 10""".stripMargin,
+    "q04_broadcast_star" ->
+      s"""SELECT r_name, n_name,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name""".stripMargin,
+    "q05_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)""".stripMargin,
+    "q06_anti_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_quantity > 49)""".stripMargin,
+    "q07_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q08_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q09_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |      FROM orders) t
+        |WHERE rnk <= 3""".stripMargin,
+    "q10_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+        |       OVER (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       AS DOUBLE) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 10""".stripMargin,
+    "q11_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q12_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q13_except" ->
+      """SELECT l_orderkey AS orderkey FROM lineitem WHERE l_quantity > 45
+        |EXCEPT
+        |SELECT l_orderkey AS orderkey FROM lineitem WHERE l_quantity > 48""".stripMargin,
+    "q14_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+         |       COALESCE(l_linestatus, 'ALL') AS ls,
+         |       COUNT(*) AS n,
+         |       ${dsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q15_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS od_year,
+        |  CAST(month(o_orderdate) AS INT) AS od_month,
+        |  CAST(day(o_orderdate) AS INT) AS od_day,
+        |  strftime(o_orderdate, '%Y-%m') AS od_ym,
+        |  upper(substr(o_orderpriority, 1, 1)) AS prio_code,
+        |  CAST(length(o_orderpriority) AS INT) AS prio_len,
+        |  o_orderstatus || '#' || o_orderpriority AS status_tag,
+        |  CASE WHEN o_totalprice > 300000.0 THEN 'big'
+        |       WHEN o_totalprice > 100000.0 THEN 'mid'
+        |       ELSE 'small' END AS size_class
+        |FROM orders""".stripMargin,
+    "q16_having" ->
+      s"""SELECT o_custkey, COUNT(*) AS n_orders,
+         |  ${dsum("o_totalprice")} AS total_spent
+         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12""".stripMargin,
+    "q17_in_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')""".stripMargin,
+    "q18_scalar_subquery" ->
+      s"""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         |WHERE l_extendedprice >
+         |  (SELECT ${davg("l_extendedprice")} FROM lineitem) * 1.5""".stripMargin,
+    "q19_conditional_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |                THEN CAST(o_totalprice AS DECIMAL(18,4))
+        |                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS open_value
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q20_pivot_events" ->
+      s"""SELECT user_id,
+         |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+         |  ${dsum("value")} AS total_value
+         |FROM events GROUP BY user_id""".stripMargin,
+    "q21_json_extract" ->
+      """SELECT event_id,
+        |  TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k_val
+        |FROM events""".stripMargin,
+    "q22_monthly_revenue" ->
+      s"""SELECT CAST(month(o_orderdate) AS INT) AS od_month,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS revenue,
+         |  COUNT(DISTINCT o_orderkey) AS n_orders
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE year(o_orderdate) = 1997
+         |GROUP BY CAST(month(o_orderdate) AS INT)""".stripMargin,
+    "q23_upsert_latest" -> latestPerUserType,
+    "q24_upsert_merge" -> latestPerUserType,
+    "q25_schema_evolution" ->
+      """SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT event_id, event_type, value
+        |FROM events WHERE event_id % 2 = 1""".stripMargin,
+    "q26_stream_upsert" -> latestPerUserType,
+    "q30_dedup_exact" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)""".stripMargin,
+    "q31_dedup_ngram" ->
+      """SELECT a_id, b_id, n_inter, n_union, jaccard FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS INT) AS n_inter,
+        |    CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS INT) AS n_union,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |      CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jaccard
+        |  FROM (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks,
+        |               len(list_distinct(string_split(text, ' '))) AS nt FROM documents) a
+        |  JOIN (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks,
+        |               len(list_distinct(string_split(text, ' '))) AS nt FROM documents) b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |   AND a.nt * 5 >= b.nt * 4 AND b.nt * 5 >= a.nt * 4) p
+        |WHERE jaccard >= 0.6""".stripMargin,
+    "q35_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(length(text) AS INT) AS n_chars_actual,
+        |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) /
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS INT) AS n_tokens_bpe
+        |FROM documents""".stripMargin,
+    "q36_text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(${wordOcc(stopwordsAll)} AS INT) AS n_stopwords,
+         |  CAST(${wordOcc(stopwordsAll)} AS DOUBLE) /
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+         |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INT) AS n_punct,
+         |  (CASE WHEN CAST(len(string_split(text, ' ')) AS DOUBLE) >= 20.0 THEN 1.0
+         |        ELSE CAST(len(string_split(text, ' ')) AS DOUBLE) / 20.0 END) * 0.5 +
+         |  (CASE WHEN CAST(${wordOcc(stopwordsAll)} AS DOUBLE) /
+         |             CAST(len(string_split(text, ' ')) AS DOUBLE) > 0.1 THEN 1.0
+         |        ELSE (CAST(${wordOcc(stopwordsAll)} AS DOUBLE) /
+         |              CAST(len(string_split(text, ' ')) AS DOUBLE)) * 10.0 END) * 0.5
+         |    AS quality
+         |FROM documents""".stripMargin,
+    "q37_text_langid" -> {
+      val en = wordOcc("['the', 'of', 'and', 'to', 'in']")
+      val fr = wordOcc("['le', 'la', 'les', 'des', 'et']")
+      val es = wordOcc("['el', 'los', 'las', 'una', 'y']")
+      val de = wordOcc("['der', 'die', 'das', 'und', 'ist']")
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN $en = 0 AND $fr = 0 AND $es = 0 AND $de = 0 THEN 'unknown'
+         |       WHEN $en >= $fr AND $en >= $es AND $en >= $de THEN 'en'
+         |       WHEN $fr >= $es AND $fr >= $de THEN 'fr'
+         |       WHEN $es >= $de THEN 'es'
+         |       ELSE 'de' END AS lang_guess
+         |FROM documents""".stripMargin
+    },
+    "q34_embed_dedup" ->
+      // ids only: DuckDB's cosine runs in float32 (≈2e-7 error), ours in
+      // float64 — the pair SET is stable (min threshold margin ≈1e-4 at
+      // sf0.01) but the similarity VALUES would not hash-match.
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
+    "q38_text_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+    "q39_ann_brute" ->
+      """SELECT vec_id, label FROM (
+        |  SELECT e.vec_id, e.label,
+        |         list_cosine_similarity(e.embedding, q.embedding) AS cos
+        |  FROM embeddings e,
+        |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id <> 0) t
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q42_mm_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS media_type,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CAST(doc_id % 640 + 64 AS INT) AS width,
+        |  CAST(doc_id % 480 + 48 AS INT) AS height
+        |FROM documents""".stripMargin
+  )
 }

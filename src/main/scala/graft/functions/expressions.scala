@@ -1,0 +1,270 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the hot paths the built-in function
+  * library can't express efficiently (SURVEY §7.5 "LLM ops v2"): vector
+  * similarity over `ArrayType(FloatType)` embeddings, MinHash signatures,
+  * SimHash, and rolling-hash fingerprints. All are deterministic, null-safe
+  * (`nullIntolerant`), and — where the loop is simple — implement
+  * `doGenCode` so they stay inside whole-stage codegen.
+  */
+
+/** Cosine similarity of two float-array embeddings, in one fused pass
+  * (dot, |x|², |y|² in a single loop over primitive floats — no boxing, no
+  * intermediate arrays, unlike a zip_with/aggregate composition).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_similarity"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val denom = ctx.freshName("denom")
+      s"""
+        |int $n = Math.min($x.numElements(), $y.numElements());
+        |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $xi = (double) $x.getFloat($i);
+        |  double $yi = (double) $y.getFloat($i);
+        |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        |}
+        |double $denom = Math.sqrt($nx) * Math.sqrt($ny);
+        |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dot product of two float-array embeddings (fused primitive loop). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+        |int $n = Math.min($x.numElements(), $y.numElements());
+        |double $dot = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $dot += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+        |}
+        |${ev.value} = $dot;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit FNV-1a over a UTF8 string — the stable token/shingle hash shared
+  * by MinHash, SimHash and the rolling fingerprint. Public algorithm;
+  * deterministic across JVMs and partitionings.
+  */
+object StableHash64 {
+  final val Offset = 0xcbf29ce484222325L
+  final val Prime = 0x100000001b3L
+
+  def hashBytes(bytes: Array[Byte], seed: Long): Long = {
+    var h = Offset ^ seed
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= Prime; i += 1 }
+    h
+  }
+}
+
+/** MinHash signature: for an array of token/shingle strings, returns
+  * `numHashes` minima of independent hash functions h_i(x) = a_i*H(x)+b_i
+  * (multiply-shift family over one stable base hash per shingle) — one pass
+  * over the shingles per row, versus `numHashes` array traversals for a
+  * transform/array_min composition. Backs LSH near-dup dedup (SURVEY §7.4).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  // Deterministic odd multipliers / offsets derived from a fixed seed via
+  // splitmix64 (public PRNG finalizer; Steele et al., "Fast Splittable
+  // Pseudorandom Number Generators", OOPSLA'14).
+  @transient private lazy val coeffs: Array[(Long, Long)] = {
+    var s = 0x9e3779b97f4a7c15L
+    def next(): Long = {
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.fill(numHashes)((next() | 1L, next()))
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val base = StableHash64.hashBytes(arr.getUTF8String(i).getBytes, 0L)
+        var j = 0
+        while (j < numHashes) {
+          val (a, b) = coeffs(j)
+          val h = a * base + b
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over an array of token strings: each token's stable hash
+  * votes ±1 per bit position; the sign of each bit's tally forms the
+  * fingerprint (Charikar, "Similarity Estimation Techniques from Rounding
+  * Algorithms", STOC'02). Near-duplicates differ in few bits.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = StableHash64.hashBytes(arr.getUTF8String(i).getBytes, 0L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Polynomial rolling hash over a string's UTF-8 bytes (h = h*31 + b),
+  * the classic Rabin–Karp document fingerprint. Codegen'd: the loop lives
+  * inside whole-stage codegen.
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rolling_hash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 31L + (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""
+        |byte[] $bytes = $c.getBytes();
+        |long $h = 0L;
+        |for (int $i = 0; $i < $bytes.length; $i++) {
+        |  $h = $h * 31L + ($bytes[$i] & 0xffL);
+        |}
+        |${ev.value} = $h;
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hamming distance between two 64-bit fingerprints (for SimHash dedup). */
+case class HammingDistance64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hamming64"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      (x, y) => s"${ev.value} = java.lang.Long.bitCount($x ^ $y);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

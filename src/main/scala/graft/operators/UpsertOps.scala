@@ -1,0 +1,108 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.schema.SchemaEvolution
+import graft.sources.{JsonStreamSource, Tables}
+import graft.streaming.MicroBatchPipeline
+import graft.table.{KeyedTable, KeyedTableSpec}
+
+/** The reference's core pipeline semantics (SURVEY §2 O1–O12) expressed as
+  * oracle-checkable batch queries over the events fixture: in-batch
+  * precombine dedup, multi-batch keyed upsert through the real
+  * [[KeyedTable]] write path, additive schema evolution, and the full
+  * streaming micro-batch loop (JSON source → foreachBatch → upsert →
+  * read-back). Timestamps are compared as microsecond longs
+  * (`unix_micros` ↔ DuckDB `epoch_us`) so both engines order and output
+  * the identical values regardless of parquet timestamp precision.
+  */
+object UpsertOps {
+
+  /** events + a µs-precision long timestamp for engine-neutral ordering.
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 reads as a
+    * nanosecond long (spark.sql.legacy.parquet.nanosAsLong — set by
+    * Verify/Bench/tests); `ts div 1000` = DuckDB's `epoch_us(ts)`.
+    */
+  private def eventsUs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+
+  private def spec(path: String): KeyedTableSpec =
+    KeyedTableSpec(
+      path = path,
+      keyCols = Seq("user_id"),
+      precombineCol = "ts_us",
+      tiebreakCols = Seq("event_id"),
+      partitionCols = Seq("event_type"))
+
+  private def outputCols(df: DataFrame): DataFrame =
+    df.select("user_id", "event_type", "ts_us", "event_id", "value")
+
+  /** O10's precombine step alone: latest event per (user, partition) in a
+    * single batch — `row_number() OVER (key ORDER BY precombine DESC)` = 1
+    * (≈ Hudi precombine, glue_job_script.py:55).
+    */
+  def upsertLatest(s: SparkSession, dir: String): DataFrame = {
+    val table = KeyedTable(spec("unused"))
+    outputCols(table.dedupLatest(eventsUs(s, dir)))
+  }
+
+  /** The full copy-on-write upsert path, twice: events split by odd/even
+    * id into two batches, upserted through the real partitioned-parquet
+    * write path (bootstrap, then merge with dynamic partition overwrite),
+    * then read back. Precombine-aware merging makes the result equal to
+    * "latest event per (user, event_type)" regardless of the split —
+    * exactly what the oracle computes in one window.
+    */
+  def upsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_upsert_").toString
+    val table = KeyedTable(spec(s"$tmp/events_keyed"))
+    val ev = eventsUs(s, dir)
+    table.upsert(s, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    table.upsert(s, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    outputCols(table.read(s))
+  }
+
+  /** Schema evolution (O5–O9): batch A lacks the `value` column, batch B
+    * carries it; aligning A against the evolved schema null-fills `value`
+    * (glue_job_script.py:81-90 intent) and the union widens nothing else.
+    */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val full = eventsUs(s, dir).select("event_id", "event_type", "value")
+    val a = full.filter(col("event_id") % 2 === 0).drop("value")
+    val b = full.filter(col("event_id") % 2 === 1)
+    SchemaEvolution.align(a, b.schema).unionByName(b)
+      .select("event_id", "event_type", "value")
+  }
+
+  /** The whole reference pipeline end-to-end (O1→O12): events dumped as
+    * JSON files, re-ingested as a bounded *streaming* source with inferred
+    * schema, driven through foreachBatch micro-batches into a keyed
+    * partitioned table, then read back. Same oracle as [[upsertMerge]]:
+    * stream-at-rest ≡ latest-per-key.
+    */
+  def streamUpsert(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_stream_").toString
+    val src = s"$tmp/json_in"
+    val tablePath = s"$tmp/events_keyed"
+    val checkpoint = s"$tmp/checkpoint"
+
+    // Stage the stream input: JSON records, several files so the bounded
+    // drain still exercises multiple micro-batches.
+    eventsUs(s, dir)
+      .select("event_id", "ts_us", "user_id", "event_type", "value")
+      .repartition(4)
+      .write.mode("overwrite").json(src)
+
+    val table = KeyedTable(spec(tablePath))
+    val stream = JsonStreamSource.stream(
+      s, src, maxFilesPerTrigger = Some(2))
+    val q = MicroBatchPipeline.start(
+      stream, table, checkpoint, trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    outputCols(table.read(s))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming source of self-describing JSON records — the engine's analogue
+  * of the reference's Kinesis+JSON catalog source
+  * (glue-streaming-job-script/glue_job_script.py:38-43; stream + serde at
+  * cloudformation-template/Glue_StreamingJob_Hudi_Template.yaml:56-104).
+  *
+  * In this environment the transport is a file directory (prod: Kafka /
+  * Kinesis — same `readStream` surface); the JSON-ness is preserved:
+  * schema is *inferred from the data itself* via a bounded batch probe,
+  * mirroring `"inferSchema": "true"` (py:42). Structured Streaming requires
+  * a fixed schema per query — per-batch re-inference is the job of the
+  * foreachBatch loop + SchemaEvolution, exactly as in the reference.
+  */
+object JsonStreamSource {
+
+  /** Bounded schema probe: read the existing files once, batch-mode, and
+    * take the inferred schema (py:42's `inferSchema` analogue).
+    */
+  def inferSchema(spark: SparkSession, path: String): StructType =
+    spark.read.json(path).schema
+
+  /** Open the unbounded JSON stream. `maxFilesPerTrigger` bounds batch size
+    * (the file-source analogue of the Kinesis per-shard read limit,
+    * Template.yaml:71).
+    */
+  def stream(
+      spark: SparkSession,
+      path: String,
+      schema: Option[StructType] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
+      .schema(schema.getOrElse(inferSchema(spark, path)))
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.json(path)
+  }
+
+  /** Starting-position policy, mirroring the reference's
+    * `startingPosition: latest | trim_horizon | earliest`
+    * (glue_job_script.py:32-33, Template.yaml:25-28). For the file source
+    * this maps to `latestFirst`; Kafka/Kinesis map it to startingOffsets.
+    */
+  def streamFrom(
+      spark: SparkSession,
+      path: String,
+      startingPosition: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val reader = spark.readStream
+      .schema(schema.getOrElse(inferSchema(spark, path)))
+    startingPosition.toLowerCase match {
+      case "latest"                      => reader.option("latestFirst", "true")
+      case "trim_horizon" | "earliest"   => reader.option("latestFirst", "false")
+      case other =>
+        throw new IllegalArgumentException(s"unknown startingPosition: $other")
+    }
+    reader.json(path)
+  }
+}

@@ -1,0 +1,252 @@
+package graft.table
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.schema.SchemaEvolution
+
+/** Specification of a keyed, partitioned, upsertable table — the engine's
+  * equivalent of the reference's Hudi copy-on-write table config
+  * (glue-streaming-job-script/glue_job_script.py:50-62):
+  *
+  *   - `keyCols`        ≈ `hoodie.datasource.write.recordkey.field` (py:56)
+  *   - `precombineCol`  ≈ `hoodie.datasource.write.precombine.field` (py:55)
+  *   - `partitionCols`  ≈ `hoodie.datasource.write.partitionpath.field`
+  *                        with hive-style encoding (py:57-58,70)
+  *   - `tiebreakCols`     pins a total order when precombine values tie, so
+  *                        results are deterministic (Hudi's tie-break is
+  *                        arrival order — nondeterministic; SURVEY §7.4).
+  *   - `globalKeys`       false ⇒ keys are scoped per partition path, like
+  *                        Hudi's default (non-global) index; true ⇒ a key is
+  *                        unique table-wide and an upsert relocates the row
+  *                        to its new partition (Hudi GLOBAL_BLOOM).
+  */
+final case class KeyedTableSpec(
+    path: String,
+    keyCols: Seq[String],
+    precombineCol: String,
+    tiebreakCols: Seq[String] = Nil,
+    partitionCols: Seq[String] = Nil,
+    globalKeys: Boolean = false)
+
+/** Keyed upsert table over hive-partitioned Parquet.
+  *
+  * Re-expresses the reference's Hudi COW upsert sink (glue_job_script.py:
+  * 105-109) as a composition of Spark builtins, per SURVEY §2 O10-O12:
+  *
+  *   1. in-batch precombine dedup — `row_number() OVER (PARTITION BY key
+  *      ORDER BY precombine DESC, tiebreak DESC) = 1` (Hudi "precombine",
+  *      py:55);
+  *   2. merge — read only the *affected* partitions of the existing table
+  *      (partition-pruned scan), `LEFT ANTI` join out the rows being
+  *      replaced, union with the batch;
+  *   3. copy-on-write — `INSERT OVERWRITE` with
+  *      `spark.sql.sources.partitionOverwriteMode=dynamic`, so only touched
+  *      partitions are rewritten (the Spark-native analogue of COW's
+  *      file-level rewrite; cheaper: partition-level, not table-level).
+  *
+  * Scale notes (100 TB): the anti-join shuffles only `affected partitions ∪
+  * batch`, not the whole table; partition pruning happens at the parquet
+  * scan via an `IN`-list predicate on partition columns, so a 1000-executor
+  * cluster reads just the touched directories. The driver-side collect is
+  * bounded by the number of *distinct partition tuples in the batch* (small
+  * by construction — a micro-batch touches few days/names), never by row
+  * count. With AQE on, the anti-join broadcasts whichever side is small.
+  *
+  * Atomicity caveat (SURVEY §7.4): dynamic partition overwrite is atomic per
+  * partition directory, not per job — a concurrent reader mid-write can see
+  * partial state. Hudi solves this with a timeline; acceptable locally and
+  * documented for cluster use (front with a manifest/table format).
+  */
+final class KeyedTable(val spec: KeyedTableSpec) {
+  import KeyedTable._
+
+  private def fs(spark: SparkSession) =
+    new Path(spec.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession): Boolean = {
+    val p = new Path(spec.path)
+    val f = fs(spark)
+    f.exists(p) && f.listStatus(p).nonEmpty
+  }
+
+  /** Raw on-disk frame incl. meta columns. `mergeSchema` because partitions
+    * written before a schema evolution carry the narrower schema.
+    */
+  def readRaw(spark: SparkSession): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(spec.path)
+
+  /** User-facing view: meta columns stripped, mirroring the reference's drop
+    * of the five `_hoodie_*` columns (glue_job_script.py:87-88).
+    */
+  def read(spark: SparkSession): DataFrame =
+    SchemaEvolution.dropSystemColumns(readRaw(spark))
+
+  def currentUserSchema(spark: SparkSession): Option[org.apache.spark.sql.types.StructType] =
+    if (exists(spark)) Some(read(spark).schema) else None
+
+  /** In-batch precombine dedup: latest row per key wins, ties broken by
+    * `tiebreakCols` (glue_job_script.py:55 — `max(date)` per `name`).
+    * Keys are per-partition-path unless `globalKeys`. `extraOrder` appends
+    * a final ordering column (used by the merge path to prefer incoming
+    * rows on exact precombine ties).
+    */
+  def dedupLatest(batch: DataFrame, extraOrder: Seq[Column] = Nil): DataFrame = {
+    val scope =
+      if (spec.globalKeys) spec.keyCols
+      else spec.keyCols ++ spec.partitionCols.filter(batch.columns.contains)
+    val order = (spec.precombineCol +: spec.tiebreakCols)
+      .map(c => col(c).desc_nulls_last) ++ extraOrder
+    val w = Window.partitionBy(scope.map(col): _*).orderBy(order: _*)
+    batch
+      .withColumn(RowNumCol, row_number().over(w))
+      .filter(col(RowNumCol) === 1)
+      .drop(RowNumCol)
+  }
+
+  private def keyExpr: Column =
+    concat_ws(":", spec.keyCols.map(c => col(c).cast("string")): _*)
+
+  private def partitionPathExpr: Column =
+    if (spec.partitionCols.isEmpty) lit("")
+    else
+      concat_ws(
+        "/",
+        spec.partitionCols.map(c => concat_ws("=", lit(c), col(c).cast("string"))): _*)
+
+  /** Adds engine meta columns — analogue of Hudi's `_hoodie_*` columns
+    * (glue_job_script.py:87-88). Dropped again by [[read]].
+    */
+  private def withMeta(df: DataFrame, commitTime: String): DataFrame =
+    df.withColumn(CommitTimeCol, lit(commitTime))
+      .withColumn(RecordKeyCol, keyExpr)
+      .withColumn(PartitionPathCol, partitionPathExpr)
+
+  private def writeOut(df: DataFrame, mode: SaveMode): Unit = {
+    val w = df.write.mode(mode)
+    (if (spec.partitionCols.nonEmpty) w.partitionBy(spec.partitionCols: _*) else w)
+      .parquet(spec.path)
+  }
+
+  /** Predicate selecting exactly the partitions present in `batch` —
+    * collected driver-side (bounded by touched-partition count, not rows)
+    * and pushed into the parquet scan for partition pruning.
+    */
+  private def affectedPartitionsFilter(batch: DataFrame): Option[Column] =
+    if (spec.partitionCols.isEmpty) None
+    else {
+      val tuples = batch.select(spec.partitionCols.map(col): _*).distinct().collect()
+      val preds = tuples.map { row =>
+        spec.partitionCols.zipWithIndex
+          .map { case (c, i) =>
+            if (row.isNullAt(i)) col(c).isNull else col(c) === lit(row.get(i))
+          }
+          .reduce(_ && _)
+      }
+      Some(if (preds.isEmpty) lit(false) else preds.reduce(_ || _))
+    }
+
+  /** Upsert `batch` (MERGE semantics): per record key, present → merge
+    * (the row with the greater precombine value wins — existing or
+    * incoming — matching Hudi's precombine-aware merge payload; on an
+    * exact precombine+tiebreak tie the incoming row wins, the reference's
+    * latest-write behavior), absent → insert. Bootstrap (first batch, no
+    * table — glue_job_script.py:92-94) writes the batch as-is. Schema
+    * evolves additively per [[SchemaEvolution]].
+    *
+    * Precombine-aware merging makes upserting batches in any split/order
+    * converge to "global latest row per key" — the property the DuckDB
+    * oracle checks, and what makes retries/replays idempotent at scale.
+    *
+    * One shuffle total: affected-partition rows ∪ batch are deduped in a
+    * single window pass (no separate in-batch dedup + anti-join — each of
+    * those is its own shuffle).
+    */
+  def upsert(spark: SparkSession, batch: DataFrame, commitTime: String = defaultCommitTime()): Unit = {
+    val incoming = SchemaEvolution.dropSystemColumns(batch)
+    currentUserSchema(spark) match {
+      case None =>
+        writeOut(withMeta(dedupLatest(incoming), commitTime), SaveMode.Overwrite)
+
+      case Some(current) =>
+        val aligned = SchemaEvolution.align(incoming, current)
+        val existing = SchemaEvolution.align(
+          SchemaEvolution.dropSystemColumns(readRaw(spark)),
+          aligned.schema)
+
+        // Non-global keys: only partitions present in the batch can change.
+        // Global keys: additionally rewrite partitions holding an old copy
+        // of a batch key (the row relocates), found via a key lookup
+        // (≈ Hudi's index probe).
+        val scanFilter = affectedPartitionsFilter(aligned)
+        val scoped = scanFilter.fold(existing)(existing.filter)
+        val toScan =
+          if (!spec.globalKeys || spec.partitionCols.isEmpty) scoped
+          else {
+            val batchParts =
+              aligned.select(spec.partitionCols.map(col): _*).distinct()
+            val movedParts = existing
+              .join(aligned.select(spec.keyCols.map(col): _*).distinct(), spec.keyCols, "left_semi")
+              .select(spec.partitionCols.map(col): _*)
+              .distinct()
+            existing.join(batchParts.union(movedParts).distinct(),
+              spec.partitionCols, "left_semi")
+          }
+
+        val combined = toScan.withColumn(SrcCol, lit(0))
+          .unionByName(aligned.withColumn(SrcCol, lit(1)), allowMissingColumns = true)
+        val merged = dedupLatest(combined, extraOrder = Seq(col(SrcCol).desc))
+          .drop(SrcCol)
+
+        // Global-key relocation can leave a scanned partition with ZERO
+        // surviving rows; dynamic overwrite only rewrites partitions it
+        // writes to, so such a partition must be deleted explicitly
+        // (Hudi's file-group cleaning does the same job).
+        val staleParts: Array[org.apache.spark.sql.Row] =
+          if (spec.globalKeys && spec.partitionCols.nonEmpty) {
+            merged.persist()
+            val scanned = toScan.select(spec.partitionCols.map(col): _*).distinct().collect()
+            val written = merged.select(spec.partitionCols.map(col): _*).distinct().collect().toSet
+            scanned.filterNot(written.contains)
+          } else Array.empty
+
+        val prev = spark.conf.getOption(OverwriteModeKey)
+        spark.conf.set(OverwriteModeKey, "dynamic")
+        try {
+          writeOut(withMeta(merged, commitTime), SaveMode.Overwrite)
+          val f = fs(spark)
+          staleParts.foreach { row =>
+            val rel = spec.partitionCols.zipWithIndex
+              .map { case (c, i) => s"$c=${if (row.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__" else row.get(i)}" }
+              .mkString("/")
+            f.delete(new Path(s"${spec.path}/$rel"), true)
+          }
+        } finally {
+          merged.unpersist()
+          prev match {
+            case Some(v) => spark.conf.set(OverwriteModeKey, v)
+            case None    => spark.conf.unset(OverwriteModeKey)
+          }
+        }
+    }
+  }
+}
+
+object KeyedTable {
+  val CommitTimeCol = "_graft_commit_time"
+  val RecordKeyCol = "_graft_record_key"
+  val PartitionPathCol = "_graft_partition_path"
+  private val RowNumCol = "_graft_rn"
+  private val SrcCol = "_graft_src"
+  private val OverwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
+
+  def apply(spec: KeyedTableSpec): KeyedTable = new KeyedTable(spec)
+
+  def defaultCommitTime(): String =
+    java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMddHHmmssSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{StableHash64, TextFunctions, VectorFunctions}
+
+/** Custom-expression correctness: fused vector ops vs the built-in HOF
+  * compositions, fingerprints vs reference implementations, sketch
+  * determinism.
+  */
+class FunctionsSpec extends SparkTestBase {
+
+  test("fused cosine == HOF cosine (codegen and eval agree with builtins)") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(50)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val pairs = a.crossJoin(b)
+    val diff = pairs.select(
+      abs(VectorFunctions.cosineSim(col("a_emb"), col("b_emb")) -
+        VectorFunctions.cosineSimHof(col("a_emb"), col("b_emb"))).as("d"))
+      .agg(max($"d")).as[Double].head()
+    assert(diff < 1e-12, s"cosine mismatch: $diff")
+  }
+
+  test("fused dot == HOF dot exactly") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(50)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val diff = a.crossJoin(b).select(
+      abs(VectorFunctions.dotProduct(col("a_emb"), col("b_emb")) -
+        VectorFunctions.dotProductHof(col("a_emb"), col("b_emb"))).as("d"))
+      .agg(max($"d")).as[Double].head()
+    assert(diff == 0.0)
+  }
+
+  test("rolling hash matches the reference loop, via codegen path") {
+    import spark.implicits._
+    val texts = Seq("hello world", "", "a", "graft engine")
+    def ref(s: String): Long = {
+      var h = 0L
+      for (b <- s.getBytes("UTF-8")) h = h * 31L + (b & 0xffL)
+      h
+    }
+    val got = texts.toDF("t")
+      .select(TextFunctions.fingerprintRolling($"t").as("h"))
+      .as[Long].collect().toSeq
+    assert(got == texts.map(ref))
+  }
+
+  test("stable hash is deterministic and seed-sensitive") {
+    val b = "shingle text".getBytes("UTF-8")
+    assert(StableHash64.hashBytes(b, 0L) == StableHash64.hashBytes(b.clone(), 0L))
+    assert(StableHash64.hashBytes(b, 0L) != StableHash64.hashBytes(b, 1L))
+  }
+
+  test("minhash signature: identical texts agree, sensitivity to change, length correct") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog again and again"),
+      ("b", "the quick brown fox jumps over the lazy dog again and again"),
+      ("c", "completely different words entirely unrelated content here now then")
+    ).toDF("id", "t")
+    val sigs = df.select($"id", TextFunctions.minhash($"t", 3, 64).as("sig"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(sigs("a") == sigs("b"))
+    assert(sigs("a").length == 64)
+    val agree = sigs("a").zip(sigs("c")).count { case (x, y) => x == y }
+    assert(agree < 8, s"unrelated texts agree on $agree/64 hashes")
+  }
+
+  test("simhash: identical → distance 0; unrelated → large distance") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "spark query engine with columnar storage and vectorized reads"),
+      ("b", "spark query engine with columnar storage and vectorized reads"),
+      ("c", "pineapple umbrella dances quietly beneath seventeen turquoise clouds")
+    ).toDF("id", "t")
+    val sigs = df.select($"id", TextFunctions.simhash($"t").as("s"))
+      .as[(String, Long)].collect().toMap
+    assert(java.lang.Long.bitCount(sigs("a") ^ sigs("b")) == 0)
+    assert(java.lang.Long.bitCount(sigs("a") ^ sigs("c")) > 10)
+  }
+
+  test("hamming expression matches Long.bitCount") {
+    import spark.implicits._
+    val got = Seq((0xffL, 0x0fL)).toDF("a", "b")
+      .select(VectorFunctions.hamming($"a", $"b")).as[Int].head()
+    assert(got == 4)
+  }
+
+  test("hyperplane sketch is deterministic across evaluations") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(20)
+    val s1 = e.select($"vec_id", VectorFunctions.hyperplaneSketch($"embedding", 16, 64).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val s2 = e.select($"vec_id", VectorFunctions.hyperplaneSketch($"embedding", 16, 64).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(s1 == s2)
+  }
+
+  test("shingles: k-grams for long docs, whole text for short ones") {
+    import spark.implicits._
+    val got = Seq("a b c d", "x y").toDF("t")
+      .select(TextFunctions.shingles($"t", 3).as("s"))
+      .as[Seq[String]].collect().toSeq
+    assert(got.head == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("x y"))
+  }
+
+  test("langid guess is one of the expected labels") {
+    import spark.implicits._
+    val got = Seq("the cat of the house", "le chat et la maison", "xyzzy qwerty")
+      .toDF("text")
+      .select(TextFunctions.langIdGuess($"text")).as[String].collect().toSeq
+    assert(got == Seq("en", "fr", "unknown"))
+  }
+}

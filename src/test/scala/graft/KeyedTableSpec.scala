@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.table.{KeyedTable, KeyedTableSpec}
+
+/** The reference's nine implicit acceptance tests (SURVEY §5) for the
+  * keyed upsert table: insert, upsert, precombine, schema add/miss,
+  * bootstrap, partition layout, plus idempotence.
+  */
+class KeyedTableSpec extends SparkTestBase {
+  import scala.jdk.CollectionConverters._
+
+  private val schema = StructType(Seq(
+    StructField("name", StringType),
+    StructField("date", StringType),
+    StructField("year", IntegerType),
+    StructField("payload", StringType)))
+
+  private def batch(rows: Row*): DataFrame =
+    spark.createDataFrame(rows.asJava, schema)
+
+  private def freshTable(partitioned: Boolean = true, global: Boolean = false) = {
+    val dir = Files.createTempDirectory("graft_kt_").toString
+    KeyedTable(KeyedTableSpec(
+      path = s"$dir/t",
+      keyCols = Seq("name"),
+      precombineCol = "date",
+      tiebreakCols = Seq("payload"),
+      partitionCols = if (partitioned) Seq("year") else Nil,
+      globalKeys = global))
+  }
+
+  test("1 insert + 6 bootstrap: first batch creates the table") {
+    val t = freshTable()
+    t.upsert(spark, batch(Row("a", "2024-03-07", 2024, "v1")))
+    val rows = t.read(spark).collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("payload") == "v1")
+  }
+
+  test("2 upsert: re-sent key with later precombine replaces the row") {
+    val t = freshTable()
+    t.upsert(spark, batch(Row("a", "2024-03-07", 2024, "v1")))
+    t.upsert(spark, batch(Row("a", "2024-03-08", 2024, "v2")))
+    val rows = t.read(spark).collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("payload") == "v2")
+  }
+
+  test("precombine-aware merge: an older incoming row does not clobber a newer stored row") {
+    val t = freshTable()
+    t.upsert(spark, batch(Row("a", "2024-03-08", 2024, "new")))
+    t.upsert(spark, batch(Row("a", "2024-03-07", 2024, "old")))
+    val rows = t.read(spark).collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("payload") == "new")
+  }
+
+  test("3 precombine: two same-key records in one batch keep max(date)") {
+    val t = freshTable()
+    t.upsert(spark, batch(
+      Row("a", "2024-03-07", 2024, "older"),
+      Row("a", "2024-03-09", 2024, "newer")))
+    val rows = t.read(spark).collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("payload") == "newer")
+  }
+
+  test("4+5 schema evolution through upsert: add widens, miss null-fills") {
+    val t = freshTable()
+    t.upsert(spark, batch(Row("a", "2024-03-07", 2024, "v1")))
+    val widened = batch(Row("b", "2024-03-07", 2024, "v1"))
+      .withColumn("extra", lit(42L))
+    t.upsert(spark, widened)
+    val out = t.read(spark)
+    assert(out.columns.contains("extra"))
+    val byName = out.collect().map(r => r.getAs[String]("name") -> r).toMap
+    assert(byName("a").isNullAt(byName("a").fieldIndex("extra")))
+    assert(byName("b").getAs[Long]("extra") == 42L)
+
+    val narrow = spark.createDataFrame(
+      Seq(Row("c", "2024-03-07", 2024)).asJava,
+      StructType(schema.fields.take(3)))
+    t.upsert(spark, narrow)
+    val c = t.read(spark).filter(col("name") === "c").collect().head
+    assert(c.isNullAt(c.fieldIndex("payload")))
+  }
+
+  test("7 partition layout: hive-style year=... directories") {
+    val t = freshTable()
+    t.upsert(spark, batch(
+      Row("a", "2024-03-07", 2024, "v1"),
+      Row("b", "2023-03-07", 2023, "v1")))
+    val dirs = new java.io.File(t.spec.path).listFiles().map(_.getName).filter(_.startsWith("year="))
+    assert(dirs.toSet == Set("year=2023", "year=2024"))
+  }
+
+  test("non-global keys are scoped per partition path (Hudi default index)") {
+    val t = freshTable()
+    t.upsert(spark, batch(Row("a", "2024-03-07", 2024, "v1")))
+    t.upsert(spark, batch(Row("a", "2024-03-08", 2025, "v2")))
+    assert(t.read(spark).count() == 2) // one row per partition
+  }
+
+  test("global keys relocate the row to the new partition") {
+    val t = freshTable(global = true)
+    t.upsert(spark, batch(Row("a", "2024-03-07", 2024, "v1")))
+    t.upsert(spark, batch(Row("a", "2024-03-08", 2025, "v2")))
+    val rows = t.read(spark).collect()
+    assert(rows.length == 1 && rows.head.getAs[Int]("year") == 2025)
+  }
+
+  test("upsert is idempotent: re-applying the same batch changes nothing") {
+    val t = freshTable()
+    val b = batch(Row("a", "2024-03-07", 2024, "v1"), Row("b", "2024-03-08", 2024, "v2"))
+    t.upsert(spark, b)
+    val first = t.read(spark).orderBy("name").collect().toSeq
+    t.upsert(spark, b)
+    val second = t.read(spark).orderBy("name").collect().toSeq
+    assert(first == second)
+  }
+
+  test("unpartitioned table upserts work") {
+    val t = freshTable(partitioned = false)
+    t.upsert(spark, batch(Row("a", "2024-03-07", 2024, "v1")))
+    t.upsert(spark, batch(Row("b", "2024-03-07", 2024, "v1")))
+    assert(t.read(spark).count() == 2)
+  }
+}
