@@ -100,6 +100,13 @@ object TextFunctions {
       .otherwise(array(concat_ws(" ", t)))
   }
 
+  /** Intersection count of two sorted+distinct string arrays (fused merge
+    * loop — see [[SortedIntersectCount]]).
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      SortedIntersectCount(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
   /** Exact content fingerprint (md5 hex) — cheap exact-dedup key. */
   def fingerprintMd5(text: Column): Column = md5(text)
 

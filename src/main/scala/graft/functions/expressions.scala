@@ -249,6 +249,64 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Intersection cardinality of two pre-sorted, pre-deduplicated string
+  * arrays via a linear merge — no per-row hash set, no boxing, codegen'd.
+  * The hot inner loop of set-similarity (Jaccard) joins: at 500k+
+  * candidate pairs per partition this replaces `size(array_intersect(..))`
+  * (which allocates an OpenHashSet per pair) with two pointers over
+  * binary-sorted UTF8 strings.
+  *
+  * Inputs MUST be sorted ascending (`sort_array`) and distinct
+  * (`array_distinct`) — the caller owns that invariant.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < nx && j < ny) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+        |int $nx = $x.numElements();
+        |int $ny = $y.numElements();
+        |int $i = 0; int $j = 0; int $n = 0;
+        |while ($i < $nx && $j < $ny) {
+        |  int $c = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
+        |  if ($c == 0) { $n++; $i++; $j++; }
+        |  else if ($c < 0) { $i++; } else { $j++; }
+        |}
+        |${ev.value} = $n;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Hamming distance between two 64-bit fingerprints (for SimHash dedup). */
 case class HammingDistance64(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -33,32 +33,42 @@ object Dedup {
     *
     * Blocking: candidates must share `lang` and have token counts within
     * ±20% (length filter is a standard Jaccard bound: |A∩B|/|A∪B| ≥ τ
-    * implies |A|/|B| ≥ τ). Within a block the pair join is a key-equality
-    * join on lang, so it distributes; the length predicate prunes before
-    * the set intersection.
+    * implies |A|/|B| ≥ τ). The blocking key has tiny cardinality (5
+    * langs), so a shuffle join would cap parallelism at 5 tasks; instead
+    * the right side is broadcast and the left side repartitioned to core
+    * count — every task streams its slice of docs against the in-memory
+    * block index. At 100 TB the broadcast side becomes a salted
+    * (lang, salt) shuffle join; the verify arithmetic is unchanged.
+    *
+    * Per-pair cost: token arrays are pre-sorted once per doc, so the
+    * intersection is a codegen'd two-pointer merge
+    * ([[graft.functions.SortedIntersectCount]]) and |A∪B| is
+    * |A|+|B|−|A∩B| — no per-pair hash sets or array materialization.
     */
   def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(
         col("doc_id"),
         col("lang"),
-        array_distinct(TextFunctions.tokens(col("text"))).as("toks"))
+        sort_array(array_distinct(TextFunctions.tokens(col("text")))).as("toks"))
       .withColumn("nt", size(col("toks")))
 
-    val a = docs.select(
-      col("doc_id").as("a_id"), col("lang"),
-      col("toks").as("a_toks"), col("nt").as("a_nt"))
+    val a = docs.repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id").as("a_id"), col("lang"),
+        col("toks").as("a_toks"), col("nt").as("a_nt"))
     val b = docs.select(
       col("doc_id").as("b_id"), col("lang").as("b_lang"),
       col("toks").as("b_toks"), col("nt").as("b_nt"))
 
-    a.join(b,
+    a.join(broadcast(b),
         col("lang") === col("b_lang") &&
         col("a_id") < col("b_id") &&
         col("a_nt") * 5 >= col("b_nt") * 4 &&
         col("b_nt") * 5 >= col("a_nt") * 4)
-      .withColumn("n_inter", size(array_intersect(col("a_toks"), col("b_toks"))))
-      .withColumn("n_union", size(array_union(col("a_toks"), col("b_toks"))))
+      .withColumn("n_inter",
+        TextFunctions.sortedIntersectCount(col("a_toks"), col("b_toks")))
+      .withColumn("n_union", col("a_nt") + col("b_nt") - col("n_inter"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / col("n_union").cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -83,36 +93,43 @@ object Dedup {
     val docs = Tables.documents(s, dir)
       .select(
         col("doc_id"),
-        array_distinct(TextFunctions.shingles(col("text"), shingleK)).as("shingles"))
+        sort_array(array_distinct(TextFunctions.shingles(col("text"), shingleK)))
+          .as("shingles"))
       .withColumn("sig", TextFunctions.minhashOfShingles(col("shingles"), numHashes))
 
-    // Explode signature into (band, bandHash) bucket keys.
+    // Explode signature into (band, bandHash) bucket keys — ids only, so
+    // the bucket join shuffles 16 small rows per doc, not 16 copies of
+    // the shingle array. Shingles are re-attached to the (far smaller)
+    // surviving candidate pairs for the verify step.
     val bandCols = (0 until bands).map(bi =>
       xxhash64(slice(col("sig"), bi * rows + 1, rows)))
     val banded = docs.select(
-      col("doc_id"), col("shingles"),
+      col("doc_id"),
       posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
 
-    val a = banded.select(
-      col("band"), col("band_hash"),
-      col("doc_id").as("a_id"), col("shingles").as("a_sh"))
-    val b = banded.select(
-      col("band").as("b_band"), col("band_hash").as("b_hash"),
-      col("doc_id").as("b_id"), col("shingles").as("b_sh"))
-
-    val candidates = a.join(b,
+    val candidates = banded
+      .join(
+        banded.select(
+          col("band").as("b_band"), col("band_hash").as("b_hash"),
+          col("doc_id").as("b_id")),
         col("band") === col("b_band") &&
         col("band_hash") === col("b_hash") &&
-        col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sh", "b_sh")
+        col("doc_id") < col("b_id"))
+      .select(col("doc_id").as("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
 
+    val shA = docs.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"))
+    val shB = docs.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"))
     candidates
+      .join(shA, "a_id")
+      .join(shB, "b_id")
+      .withColumn("n_inter",
+        TextFunctions.sortedIntersectCount(col("a_sh"), col("b_sh")))
       .withColumn("jaccard",
-        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh"))).cast("double"))
+        col("n_inter").cast("double") /
+          (size(col("a_sh")) + size(col("b_sh")) - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }

@@ -83,6 +83,21 @@ class FunctionsSpec extends SparkTestBase {
     assert(java.lang.Long.bitCount(sigs("a") ^ sigs("c")) > 10)
   }
 
+  test("sorted merge intersect == array_intersect size on real docs") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(100)
+      .select($"doc_id",
+        sort_array(array_distinct(TextFunctions.tokens($"text"))).as("toks"))
+    val a = docs.select($"doc_id".as("a_id"), $"toks".as("a_toks"))
+    val b = docs.select($"doc_id".as("b_id"), $"toks".as("b_toks"))
+    val mismatches = a.crossJoin(b)
+      .select(
+        TextFunctions.sortedIntersectCount($"a_toks", $"b_toks").as("fast"),
+        size(array_intersect($"a_toks", $"b_toks")).as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(mismatches == 0)
+  }
+
   test("hamming expression matches Long.bitCount") {
     import spark.implicits._
     val got = Seq((0xffL, 0x0fL)).toDF("a", "b")
