@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Dev tool: dump formatted physical plans for the registered queries —
+  * the per-operator audit loop (is the filter pushed, is the dim
+  * broadcast, how wide are the WholeStageCodegen spans?).
+  *
+  * Usage: runMain graft.Explain <sfDir> [queryName ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        println(s"\n===== $name =====")
+        try println(fn(spark, sfDir).queryExecution
+          .explainString(ExplainMode.fromString("formatted")))
+        catch { case e: Throwable => println(s"explain failed: $e") }
+      }
+    }
+    spark.stop()
+  }
+}

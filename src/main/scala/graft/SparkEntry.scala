@@ -45,6 +45,7 @@ object SparkEntry {
     "q20_pivot_events" -> (Relational.pivotEvents(_, _)),
     "q21_json_extract" -> (Relational.jsonExtract(_, _)),
     "q22_monthly_revenue" -> (Relational.monthlyRevenue(_, _)),
+    "q27_event_windows" -> (Relational.eventWindows(_, _)),
     // ── reference pipeline semantics: upsert / evolution / streaming ─
     "q23_upsert_latest" -> (UpsertOps.upsertLatest(_, _)),
     "q24_upsert_merge" -> (UpsertOps.upsertMerge(_, _)),
@@ -233,6 +234,12 @@ object SparkEntry {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE year(o_orderdate) = 1997
          |GROUP BY CAST(month(o_orderdate) AS INT)""".stripMargin,
+    "q27_event_windows" ->
+      s"""SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+         |  COUNT(*) AS n_events,
+         |  ${dsum("value")} AS sum_value,
+         |  COUNT(DISTINCT user_id) AS n_users
+         |FROM events GROUP BY 1, 2""".stripMargin,
     "q23_upsert_latest" -> latestPerUserType,
     "q24_upsert_merge" -> latestPerUserType,
     "q25_schema_evolution" ->

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.functions._
 
 /** Column-level vector ops over `ArrayType(FloatType)` embedding columns
@@ -67,18 +67,6 @@ object VectorFunctions {
     GraftSqlBridge.column(
       HammingDistance64(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
-  /** Register SQL names so `spark.sql` queries can call the custom
-    * expressions directly.
-    */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction(
-      "cosine_similarity", es => CosineSimilarity(es.head, es(1)), "graft")
-    registry.createOrReplaceTempFunction(
-      "dot_product", es => DotProduct(es.head, es(1)), "graft")
-    registry.createOrReplaceTempFunction(
-      "hamming64", es => HammingDistance64(es.head, es(1)), "graft")
-  }
 }
 
 /** Deterministic pseudo-random hyperplanes (splitmix64 stream, fixed seed)

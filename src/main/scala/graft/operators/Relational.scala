@@ -301,6 +301,23 @@ object Relational {
         col("event_id"),
         regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k_val"))
 
+  /** Event-time tumbling-window aggregation over the events stream table,
+    * batch form: hourly buckets per event type. The bucket is integer
+    * arithmetic on epoch-micros (`ts div 1000 div 3600e6`) so the oracle
+    * (`epoch_us(ts) // 3600000000`) lands on identical keys. The streaming
+    * form (window() + watermark) is in [[graft.streaming]] tests — batch
+    * and stream share this grouping.
+    */
+  def eventWindows(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        expr("(ts div 1000) div 3600000000").as("hour_bucket"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
   /** Join + date-dimension aggregation: monthly revenue for 1997 orders. */
   def monthlyRevenue(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)

@@ -83,6 +83,37 @@ class StreamingSpec extends SparkTestBase {
     assert(!t.exists(spark))
   }
 
+  test("event-time tumbling window + watermark: finalized windows emit, late data is dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{count => cnt, lit, timestamp_micros, window}
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val hourUs = 3600L * 1000 * 1000
+    val agg = ms.toDF().toDF("ts_us", "etype")
+      .withColumn("ts", timestamp_micros($"ts_us"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"etype")
+      .agg(cnt(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_out").start()
+    try {
+      // hour 0: two events; then an event far in hour 3 to advance the
+      // watermark past hour 0's end + 10 min → hour 0 finalizes.
+      ms.addData((1L * 60 * 1000 * 1000, "click"), (2L * 60 * 1000 * 1000, "click"))
+      q.processAllAvailable()
+      ms.addData((3 * hourUs + 1, "click"))
+      q.processAllAvailable()
+      val emitted = spark.table("win_out").select("n").as[Long].collect().toSeq
+      assert(emitted == Seq(2L), s"hour-0 window should emit with n=2, got $emitted")
+
+      // late event for hour 0, behind the watermark → dropped, no new row
+      ms.addData((5L * 60 * 1000 * 1000, "click"))
+      q.processAllAvailable()
+      val after = spark.table("win_out").select("n").as[Long].collect().toSeq
+      assert(after == Seq(2L), s"late data must not reopen the window, got $after")
+    } finally q.stop()
+  }
+
   test("starting position policy maps to file-source options") {
     val tmp = Files.createTempDirectory("graft_stream_spec_").toString
     writeJson(s"$tmp/in", Seq("""{"name":"a","date":"1","year":1,"payload":"p"}"""))
