@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.table.{KeyedTable, KeyedTableSpec}
+
+/** End-to-end usage demo of the library surface, runnable as a main:
+  * ingest events → keyed upsert (two commits) → catalog sync → plain
+  * `spark.sql` over the registered table → custom SQL functions.
+  *
+  * Usage: runMain graft.Demo [sfDir]
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val tmp = Files.createTempDirectory("graft_demo_").toString
+    val table = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/events_keyed",
+      keyCols = Seq("user_id"),
+      precombineCol = "ts_us",
+      tiebreakCols = Seq("event_id"),
+      partitionCols = Seq("event_type")))
+
+    val ev = Tables.events(spark, sfDir).withColumn("ts_us", expr("ts div 1000"))
+    table.upsert(spark, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    table.upsert(spark, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    table.syncCatalog(spark, "graft_events")
+
+    println("=== schema probe (SELECT * ... LIMIT 0) ===")
+    println(table.probeSchemaViaSql(spark, "graft_events").treeString)
+
+    println("=== SQL over the synced table ===")
+    spark.sql(
+      """SELECT event_type, COUNT(*) AS n_keys
+        |FROM graft_events GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .show(truncate = false)
+
+    println("=== custom SQL functions ===")
+    GraftExtensions.registerAll(spark)
+    spark.sql(
+      """SELECT e.vec_id,
+        |       cosine_similarity(e.embedding, q.embedding) AS cos
+        |FROM parquet.`%s/embeddings.parquet` e,
+        |     (SELECT embedding FROM parquet.`%s/embeddings.parquet`
+        |      WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos DESC, e.vec_id LIMIT 5""".stripMargin
+        .format(sfDir, sfDir))
+      .show(truncate = false)
+
+    spark.stop()
+  }
+}

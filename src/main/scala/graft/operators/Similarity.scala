@@ -64,11 +64,33 @@ object Similarity {
   }
 
   /** All-vectors k-NN join (each vector's top-k neighbors) — the batch
-    * form used by cluster-dedup: blocked self-join + per-key top-k via
-    * window. Fixture tier joins all pairs; at scale the join condition
+    * form used by cluster-dedup. Per-key top-k runs through the custom
+    * bounded-heap aggregate ([[graft.functions.TopKByScore]]): map-side
+    * partial aggregation shrinks the shuffle from all n² candidate pairs
+    * to k entries per (group, input partition) — the shape that survives
+    * scale. Fixture tier joins all pairs; at 100 TB the join condition
     * becomes sketch-bucket equality.
     */
   def knnJoin(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import graft.functions.TopKByScore.topKByScore
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, col("a_id") =!= col("b_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("a_emb"), col("b_emb")))
+      .groupBy(col("a_id"))
+      .agg(topKByScore(col("cos"), col("b_id"), k).as("nbrs"))
+      .select(col("a_id"), posexplode(col("nbrs")))
+      .select(
+        col("a_id"),
+        col("col").as("b_id"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** Window-based reference implementation of [[knnJoin]] (same result,
+    * O(n²)-row shuffle) — kept for the equivalence test.
+    */
+  private[graft] def knnJoinWindow(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))

@@ -87,6 +87,29 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   def currentUserSchema(spark: SparkSession): Option[org.apache.spark.sql.types.StructType] =
     if (exists(spark)) Some(read(spark).schema) else None
 
+  /** Catalog sync (SURVEY §2 O12): register/refresh this table in the
+    * session metastore so SQL engines see new data — the reference's
+    * Hive/Glue sync after each commit (glue_job_script.py:64-73);
+    * `recoverPartitions` plays `MultiPartKeysValueExtractor` + partition
+    * registration for the hive-style layout.
+    */
+  def syncCatalog(spark: SparkSession, tableName: String): Unit = {
+    if (spark.catalog.tableExists(tableName)) {
+      spark.catalog.refreshTable(tableName)
+    } else {
+      spark.sql(
+        s"CREATE TABLE $tableName USING parquet LOCATION '${spec.path}'")
+    }
+    if (spec.partitionCols.nonEmpty) spark.catalog.recoverPartitions(tableName)
+  }
+
+  /** The reference's catalog schema probe — `SELECT * FROM tbl LIMIT 0`
+    * (glue_job_script.py:85, SURVEY O5): parse→analyze against the
+    * metastore, `LIMIT 0` collapsed by Catalyst, no scan.
+    */
+  def probeSchemaViaSql(spark: SparkSession, tableName: String): org.apache.spark.sql.types.StructType =
+    spark.sql(s"SELECT * FROM $tableName LIMIT 0").schema
+
   /** In-batch precombine dedup: latest row per key wins, ties broken by
     * `tiebreakCols` (glue_job_script.py:55 — `max(date)` per `name`).
     * Keys are per-partition-path unless `globalKeys`. `extraOrder` appends

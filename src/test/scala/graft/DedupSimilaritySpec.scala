@@ -72,6 +72,14 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(counts == Set(5L))
   }
 
+  test("top-k aggregate knn == window row_number knn (identical triples)") {
+    val fast = Similarity.knnJoin(spark, sf0001, k = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    val ref = Similarity.knnJoinWindow(spark, sf0001, k = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(fast == ref)
+  }
+
   test("multimodal feature extraction: batch shape, determinism, schema") {
     val media = Multimodal.mediaTable(spark, sf0001)
     val feats = Multimodal.extractFeatures(media, dim = 8)

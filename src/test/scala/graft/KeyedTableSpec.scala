@@ -121,6 +121,27 @@ class KeyedTableSpec extends SparkTestBase {
     assert(first == second)
   }
 
+  test("catalog sync registers the table, recovers partitions, and refreshes after commits") {
+    val t = freshTable()
+    val name = s"graft_sync_${System.nanoTime()}"
+    t.upsert(spark, batch(
+      Row("a", "2024-03-07", 2024, "v1"),
+      Row("b", "2023-03-07", 2023, "v1")))
+    t.syncCatalog(spark, name)
+    assert(spark.table(name).count() == 2)
+    // O5: SQL schema probe over the registered table (LIMIT 0 path)
+    val probed = t.probeSchemaViaSql(spark, name)
+    assert(probed.fieldNames.toSet ==
+      Set("name", "date", "payload", "year",
+        table.KeyedTable.CommitTimeCol, table.KeyedTable.RecordKeyCol,
+        table.KeyedTable.PartitionPathCol))
+    // a later commit becomes visible after re-sync
+    t.upsert(spark, batch(Row("c", "2025-01-01", 2025, "v1")))
+    t.syncCatalog(spark, name)
+    assert(spark.table(name).count() == 3)
+    spark.sql(s"DROP TABLE $name")
+  }
+
   test("unpartitioned table upserts work") {
     val t = freshTable(partitioned = false)
     t.upsert(spark, batch(Row("a", "2024-03-07", 2024, "v1")))
