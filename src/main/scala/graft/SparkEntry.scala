@@ -46,6 +46,9 @@ object SparkEntry {
     "q21_json_extract" -> (Relational.jsonExtract(_, _)),
     "q22_monthly_revenue" -> (Relational.monthlyRevenue(_, _)),
     "q27_event_windows" -> (Relational.eventWindows(_, _)),
+    "q28_cube" -> (Relational.cubeCounts(_, _)),
+    "q29_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
+    "q43_typed_agg" -> (TypedOps.typedAgg(_, _)),
     // ── reference pipeline semantics: upsert / evolution / streaming ─
     "q23_upsert_latest" -> (UpsertOps.upsertLatest(_, _)),
     "q24_upsert_merge" -> (UpsertOps.upsertMerge(_, _)),
@@ -240,6 +243,33 @@ object SparkEntry {
          |  ${dsum("value")} AS sum_value,
          |  COUNT(DISTINCT user_id) AS n_users
          |FROM events GROUP BY 1, 2""".stripMargin,
+    "q28_cube" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+         |       COALESCE(l_linestatus, 'ALL') AS ls,
+         |       COUNT(*) AS n,
+         |       ${dsum("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q29_sessionize" ->
+      """SELECT user_id, session_id, COUNT(*) AS n_events,
+        |       MIN(ts_us) AS session_start, MAX(ts_us) AS session_end
+        |FROM (
+        |  SELECT user_id, ts_us,
+        |         CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |                             ORDER BY ts_us, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |           CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                             ORDER BY epoch_us(ts), event_id) IS NULL
+        |                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                             ORDER BY epoch_us(ts), event_id) > 3600000000
+        |                THEN 1 ELSE 0 END AS new_sess
+        |    FROM events) flagged) sessions
+        |GROUP BY user_id, session_id""".stripMargin,
+    "q43_typed_agg" ->
+      """SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+        |FROM events GROUP BY user_id""".stripMargin,
     "q23_upsert_latest" -> latestPerUserType,
     "q24_upsert_merge" -> latestPerUserType,
     "q25_schema_evolution" ->

@@ -219,6 +219,44 @@ object Relational {
         coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
         col("n"), col("sum_qty"))
 
+  /** CUBE on (returnflag, linestatus): all 2ⁿ grouping sets; subtotal
+    * labels as in [[rollupCounts]].
+    */
+  def cubeCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_price"))
+
+  /** Gap-based sessionization over the events table (batch form): a new
+    * session starts when a user's inter-event gap exceeds `gapUs`. One
+    * window pass computes the session index (lag + running sum of
+    * session-start flags — all integer arithmetic, oracle-exact), then a
+    * hash aggregate per (user, session). The streaming form is
+    * flatMapGroupsWithState (see StreamingSpec) — same session contract,
+    * incremental state. Scale: both shuffle once on user_id.
+    */
+  def sessionize(s: SparkSession, dir: String, gapUs: Long = 3600L * 1000 * 1000): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start"),
+        max(col("ts_us")).as("session_end"))
+  }
+
   /** Scalar date/string/math function surface (SURVEY §2.2's implied
     * vocabulary: to_date/year/month/when/…), row-level, no shuffle.
     */

@@ -114,6 +114,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateful sessionization: closed sessions emit incrementally, state carries across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Sessionization
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val hourUs = 3600L * 1000 * 1000
+    val ms = MemoryStream[(Long, Long)]
+    val out = Sessionization.sessionize(ms.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // batch 1: user 7 has two close events (one open session) — nothing emits
+      ms.addData((7L, 0L), (7L, 10L * 60 * 1000 * 1000))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0)
+
+      // batch 2: an event 2h later closes session 1 (2 events) and opens session 2
+      ms.addData((7L, 3 * hourUs))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .as[Sessionization.SessionOut].collect().toSeq
+      assert(rows == Seq(Sessionization.SessionOut(7L, 1L, 2L, 0L, 10L * 60 * 1000 * 1000)))
+
+      // a second user's state is independent
+      ms.addData((9L, 0L), (9L, 5 * hourUs))
+      q.processAllAvailable()
+      val users = spark.table("sess_out").select("user_id").as[Long].collect().toSet
+      assert(users == Set(7L, 9L))
+    } finally q.stop()
+  }
+
   test("starting position policy maps to file-source options") {
     val tmp = Files.createTempDirectory("graft_stream_spec_").toString
     writeJson(s"$tmp/in", Seq("""{"name":"a","date":"1","year":1,"payload":"p"}"""))
