@@ -90,12 +90,17 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
+    // Shingling + signing is the expensive per-doc step and the frame is
+    // consumed three times (banding, and both sides of the verify join) —
+    // persist it once. A few MB per 10k docs; lives until session end
+    // (each driver run uses a fresh session).
     val docs = Tables.documents(s, dir)
       .select(
         col("doc_id"),
         sort_array(array_distinct(TextFunctions.shingles(col("text"), shingleK)))
           .as("shingles"))
       .withColumn("sig", TextFunctions.minhashOfShingles(col("shingles"), numHashes))
+      .persist()
 
     // Explode signature into (band, bandHash) bucket keys — ids only, so
     // the bucket join shuffles 16 small rows per doc, not 16 copies of
