@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins (SURVEY §7 / builder brief: "salting for
+  * skew"). A hot key concentrates its rows in one shuffle partition; the
+  * salted join spreads the big side's rows over `saltBuckets` synthetic
+  * sub-keys and replicates the small side once per bucket, turning one
+  * straggler task into `saltBuckets` even ones. AQE's skew-join split
+  * handles moderate skew at runtime; explicit salting is the lever when a
+  * single key exceeds what one executor can hold at all.
+  */
+object Skew {
+
+  private val SaltCol = "_graft_salt"
+
+  /** Equi-join `big ⋈ small` on `keys`, salted: `big` rows get a
+    * round-robin salt in [0, saltBuckets); `small` is replicated once per
+    * salt value. Result is row-identical to the unsalted join.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      saltBuckets: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(saltBuckets > 0)
+    val saltedBig = big.withColumn(
+      SaltCol, pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+    val replicatedSmall = small.withColumn(
+      SaltCol,
+      explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
+    val cond: Column = (keys :+ SaltCol)
+      .map(k => saltedBig(k) === replicatedSmall(k))
+      .reduce(_ && _)
+    val joined = saltedBig.join(replicatedSmall, cond, joinType)
+      .drop(replicatedSmall(SaltCol))
+      .drop(saltedBig(SaltCol))
+    keys.foldLeft(joined)((d, k) => d.drop(replicatedSmall(k)))
+  }
+}

@@ -80,6 +80,20 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(fast == ref)
   }
 
+  test("salted join equals the unsalted join on a skewed key distribution") {
+    import graft.operators.Skew
+    // heavily skewed: 90% of fact rows hit one key
+    val big = spark.range(0, 5000)
+      .selectExpr("IF(id % 10 = 0, id % 7, 99L) AS k", "id AS v")
+    val small = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS w")
+    val plain = big.join(small, "k").select("k", "v", "w")
+      .as[(Long, Long, Long)].collect().toSet
+    val salted = Skew.saltedJoin(big, small, Seq("k"), saltBuckets = 8)
+      .select("k", "v", "w").as[(Long, Long, Long)].collect().toSet
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
   test("multimodal feature extraction: batch shape, determinism, schema") {
     val media = Multimodal.mediaTable(spark, sf0001)
     val feats = Multimodal.extractFeatures(media, dim = 8)
