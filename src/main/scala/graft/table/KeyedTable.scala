@@ -171,6 +171,33 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       Some(if (preds.isEmpty) lit(false) else preds.reduce(_ || _))
     }
 
+  /** INSERT write operation (the second value the reference's
+    * `hoodie.datasource.write.operation` key accepts, glue_job_script.py:53):
+    * append without the key-index lookup/merge — rows land even when the
+    * key already exists. Schema still evolves additively and meta columns
+    * are stamped. The fast path when the producer guarantees key
+    * uniqueness; a later upsert collapses any duplicates (latest wins).
+    */
+  def insert(spark: SparkSession, batch: DataFrame, commitTime: String = defaultCommitTime()): Unit = {
+    val incoming = SchemaEvolution.dropSystemColumns(batch)
+    currentUserSchema(spark) match {
+      case None =>
+        writeOut(withMeta(incoming, commitTime), SaveMode.Overwrite)
+      case Some(current) =>
+        val aligned = SchemaEvolution.align(incoming, current)
+        writeOut(withMeta(aligned, commitTime), SaveMode.Append)
+    }
+  }
+
+  /** BULK_INSERT write operation: raw first-load append — no schema
+    * alignment, no merge; cheapest possible path for initial loads where
+    * the input already matches the table contract.
+    */
+  def bulkInsert(spark: SparkSession, batch: DataFrame, commitTime: String = defaultCommitTime()): Unit =
+    writeOut(
+      withMeta(SchemaEvolution.dropSystemColumns(batch), commitTime),
+      if (exists(spark)) SaveMode.Append else SaveMode.Overwrite)
+
   /** Upsert `batch` (MERGE semantics): per record key, present → merge
     * (the row with the greater precombine value wins — existing or
     * incoming — matching Hudi's precombine-aware merge payload; on an

@@ -98,6 +98,16 @@ class FunctionsSpec extends SparkTestBase {
     assert(mismatches == 0)
   }
 
+  test("l2 norm matches sqrt of fused self-dot") {
+    import spark.implicits._
+    val diff = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(50)
+      .select(abs(
+        VectorFunctions.l2Norm($"embedding") -
+          sqrt(VectorFunctions.dotProduct($"embedding", $"embedding"))).as("d"))
+      .agg(max($"d")).as[Double].head()
+    assert(diff < 1e-12)
+  }
+
   test("hamming expression matches Long.bitCount") {
     import spark.implicits._
     val got = Seq((0xffL, 0x0fL)).toDF("a", "b")

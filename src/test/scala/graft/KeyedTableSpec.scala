@@ -142,6 +142,27 @@ class KeyedTableSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $name")
   }
 
+  test("insert appends without key lookup; a later upsert collapses duplicates") {
+    val t = freshTable()
+    t.insert(spark, batch(Row("a", "2024-03-07", 2024, "v1")))
+    t.insert(spark, batch(Row("a", "2024-03-08", 2024, "v2")))
+    assert(t.read(spark).count() == 2) // no merge on insert
+    t.upsert(spark, batch(Row("a", "2024-03-09", 2024, "v3")))
+    val rows = t.read(spark).collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("payload") == "v3")
+  }
+
+  test("bulk insert is a raw append honoring partition layout") {
+    val t = freshTable()
+    t.bulkInsert(spark, batch(
+      Row("a", "2024-03-07", 2024, "v1"),
+      Row("b", "2024-03-07", 2023, "v1")))
+    t.bulkInsert(spark, batch(Row("c", "2024-03-07", 2024, "v1")))
+    assert(t.read(spark).count() == 3)
+    val dirs = new java.io.File(t.spec.path).listFiles().map(_.getName).filter(_.startsWith("year="))
+    assert(dirs.toSet == Set("year=2023", "year=2024"))
+  }
+
   test("unpartitioned table upserts work") {
     val t = freshTable(partitioned = false)
     t.upsert(spark, batch(Row("a", "2024-03-07", 2024, "v1")))
