@@ -46,14 +46,18 @@ object Dedup {
     * |A|+|B|−|A∩B| — no per-pair hash sets or array materialization.
     */
   def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    // repartition BEFORE the tokenize/sort projection: the fixture files
+    // are single-row-group parquet (one scan task), so per-doc compute
+    // must be spread first or it runs on one core.
     val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(
         col("doc_id"),
         col("lang"),
         sort_array(array_distinct(TextFunctions.tokens(col("text")))).as("toks"))
       .withColumn("nt", size(col("toks")))
 
-    val a = docs.repartition(s.sparkContext.defaultParallelism)
+    val a = docs
       .select(
         col("doc_id").as("a_id"), col("lang"),
         col("toks").as("a_toks"), col("nt").as("a_nt"))
@@ -92,9 +96,11 @@ object Dedup {
     val rows = numHashes / bands
     // Shingling + signing is the expensive per-doc step and the frame is
     // consumed three times (banding, and both sides of the verify join) —
-    // persist it once. A few MB per 10k docs; lives until session end
+    // repartition first (single-row-group input = one scan task), compute
+    // once, persist. A few MB per 10k docs; lives until session end
     // (each driver run uses a fresh session).
     val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(
         col("doc_id"),
         sort_array(array_distinct(TextFunctions.shingles(col("text"), shingleK)))
