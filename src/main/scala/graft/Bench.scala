@@ -12,6 +12,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: exercise scan + broadcast join + aggregate + noop
+    // sink once so the first timed query doesn't absorb JVM classloading
+    // and whole-stage-codegen compiler cold start.
+    try SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() would let
