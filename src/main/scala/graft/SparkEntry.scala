@@ -66,6 +66,7 @@ object SparkEntry {
     "q38_text_fingerprint" -> (TextAnalysis.fingerprints(_, _)),
     "q39_ann_brute" -> ((s, d) => Similarity.annBrute(s, d)),
     "q40_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "q44_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "q41_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     "q42_mm_meta" -> (Multimodal.metaQuery(_, _))
   )

@@ -65,6 +65,22 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(recall >= 0.5, s"ANN-LSH recall too low: $recall")
   }
 
+  test("ANN-IVF recall vs brute force top-10") {
+    val brute = Similarity.annBrute(spark, sf0001).select("vec_id")
+      .as[Long].collect().toSet
+    val ivf = Similarity.annIvf(spark, sf0001).select("vec_id")
+      .as[Long].collect().toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.7, s"ANN-IVF recall too low: $recall")
+  }
+
+  test("IVF centroids: nlist rows of full dimension, stable across calls") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val c1 = Similarity.ivfCentroids(e, nlist = 8, iters = 1)
+    assert(c1.length == 8)
+    assert(c1.forall(_.length == 64))
+  }
+
   test("knn join returns exactly k neighbors per vector") {
     val out = Similarity.knnJoin(spark, sf0001, k = 5)
     val counts = out.groupBy("a_id").count().select("count").distinct()
