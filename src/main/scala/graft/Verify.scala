@@ -16,6 +16,8 @@ object Verify {
       // (DuckDB truncates the same column to µs; queries compare via
       // ts div 1000 ≡ epoch_us(ts))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Kryo, as the reference job configures (glue_job_script.py:19)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -68,7 +68,7 @@ object Similarity {
     * codegen'd expressions over literal centroid arrays, no UDF, no
     * broadcast variable (each task re-derives the literals from the plan).
     */
-  private def withCentroidId(df: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
+  private[graft] def withCentroidId(df: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
     val ranked = centroids.zipWithIndex.map { case (c, i) =>
       val centroidLit = array(c.map(lit(_)).toIndexedSeq: _*).cast("array<float>")
       struct(
@@ -79,20 +79,21 @@ object Similarity {
   }
 
   /** IVF coarse quantizer: `nlist` centroids, deterministic evenly-spaced
-    * init (every n/nlist-th vector in vec_id order) refined by `iters`
-    * Lloyd rounds. Each round is one distributed assignment pass + a
-    * per-dimension mean (posexplode → groupBy(cid, dim) → avg); only the
-    * nlist×dim centroid matrix ever reaches the driver.
+    * init (every n/nlist-th vec_id — the ids are dense, so this picks the
+    * same evenly-spaced seeds a rank-based pick would, with a plain pushed
+    * filter instead of a global sort: no `Window.orderBy` over the whole
+    * table, no single-partition funnel) refined by `iters` Lloyd rounds.
+    * Each round is one distributed assignment pass + a per-dimension mean
+    * (posexplode → groupBy(cid, dim) → avg); only the nlist×dim centroid
+    * matrix ever reaches the driver.
     */
   private[graft] def ivfCentroids(
       e: DataFrame, nlist: Int, iters: Int): Array[Array[Float]] = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
     val n = e.count()
     val step = math.max(1L, n / nlist)
     var centroids: Array[Array[Float]] = e
-      .withColumn("rn", row_number().over(w) - 1)
-      .filter(col("rn") % step === 0 && col("rn") < step * nlist)
-      .orderBy(col("rn"))
+      .filter(col("vec_id") % step === 0 && col("vec_id") < step * nlist)
+      .orderBy(col("vec_id"))
       .select("embedding")
       .collect()
       .map(_.getSeq[Float](0).toArray)
