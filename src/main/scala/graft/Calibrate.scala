@@ -1,5 +1,7 @@
 package graft
 
+import java.io.PrintWriter
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -11,9 +13,16 @@ import graft.sources.Tables
   * that make the approximate operators' outputs equal their exact
   * counterparts (recall = 1.0) — the numbers behind the defaults pinned in
   * [[operators.Similarity]] / [[operators.Dedup]] and asserted by the
-  * equivalence specs. Run: `runMain graft.Calibrate <sfDir>`.
+  * equivalence specs. The fixture is small (500 docs / 500 vectors at
+  * sf0.01), so after collecting the Spark-computed sketch columns the
+  * all-pairs ground truth is computed driver-side in exact float64.
+  * Run: `runMain graft.Calibrate <sfDir>`; output also lands in
+  * /tmp/calibrate_out.txt.
   */
 object Calibrate {
+  private val sink = new StringBuilder
+  private def say(s: String): Unit = { println(s); sink.append(s).append('\n') }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -25,170 +34,197 @@ object Calibrate {
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println(s"=== calibrating on $sfDir ===")
+    say(s"=== calibrating on $sfDir ===")
 
-    // ── ANN: brute top-10 vs 48-bit hyperplane sketch Hamming ──────────
+    // ── collect embeddings + 48-bit sketches; exact cosines locally ────
     val bits = 48
-    val e = Tables.embeddings(spark, sfDir)
-    val n = e.count()
-    val sk = e.withColumn(
-      "sketch", VectorFunctions.hyperplaneSketch(col("embedding"), bits, 64))
-    val q0 = sk.filter(col("vec_id") === 0)
-      .select(col("embedding").as("q_emb"), col("sketch").as("q_sk"))
-    val ranked = sk.filter(col("vec_id") =!= 0).crossJoin(broadcast(q0))
-      .withColumn("cos", VectorFunctions.cosineSim(col("embedding"), col("q_emb")))
-      .withColumn("ham", VectorFunctions.hamming(col("sketch"), col("q_sk")))
-      .persist()
-    val top = ranked.orderBy(col("cos").desc, col("vec_id")).limit(30)
-      .select("vec_id", "cos", "ham").collect()
-    println("ann top-30 (vec_id/cos/ham48): " + top.map(r =>
-      f"${r.getLong(0)}/${r.getDouble(1)}%.4f/${r.getInt(2)}").mkString(" "))
-    val needHam = top.take(10).map(_.getInt(2)).max
-    println(s"q40: maxHamming needed for top-10 recall=1.0: $needHam")
-    for (mh <- Seq(needHam, needHam + 2, needHam + 4))
-      println(s"q40: candidates at maxHamming=$mh: " +
-        s"${ranked.filter(col("ham") <= mh).count()} / $n")
-    ranked.unpersist()
+    val rowsE = Tables.embeddings(spark, sfDir)
+      .withColumn("sk", VectorFunctions.hyperplaneSketch(col("embedding"), bits, 64))
+      .select("vec_id", "embedding", "sk")
+      .collect()
+      .sortBy(_.getLong(0))
+    val ids = rowsE.map(_.getLong(0))
+    val emb = rowsE.map(_.getSeq[Float](1).toArray)
+    val sk = rowsE.map(_.getLong(2))
+    val n = ids.length
+    say(s"embeddings: n=$n dim=${emb.head.length}")
 
-    // ── IVF: which cells hold the top-10; probe rank needed ────────────
-    val ePart = e.repartition(8)
-    val cents = Similarity.ivfCentroids(ePart, 16, 2)
-    val qVec = e.filter(col("vec_id") === 0)
-      .select("embedding").collect().head.getSeq[Float](0).toArray
-    def cosTo(c: Array[Float]): Double = {
-      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
-      while (i < c.length) {
-        dot += c(i).toDouble * qVec(i); nx += c(i).toDouble * c(i)
-        ny += qVec(i).toDouble * qVec(i); i += 1
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
       }
-      val d = math.sqrt(nx) * math.sqrt(ny); if (d == 0) 0 else dot / d
+      val d = math.sqrt(na) * math.sqrt(nb); if (d == 0) 0 else dot / d
     }
-    val probeOrder = cents.zipWithIndex.sortBy { case (c, i) => (-cosTo(c), i) }
-      .map(_._2)
-    val topIds = top.take(10).map(_.getLong(0))
-    val cidOfTop = Similarity.withCentroidId(e, cents)
-      .filter(col("vec_id").isin(topIds.map(java.lang.Long.valueOf).toIndexedSeq: _*))
-      .select("vec_id", "cid").collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val needNprobe = topIds.map(id => probeOrder.indexOf(cidOfTop(id)) + 1).max
-    println(s"q44: probe order=${probeOrder.mkString(",")} " +
-      s"topCids=${topIds.map(cidOfTop).mkString(",")} needed nprobe=$needNprobe")
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val cosM = Array.tabulate(n)(i => Array.tabulate(n)(j => if (i == j) 1.0 else cos(emb(i), emb(j))))
 
-    // ── MinHash banding recall vs true shingle Jaccard ─────────────────
-    val docs = Tables.documents(spark, sfDir)
+    // ── q40 ann_lsh: hamming needed for top-10 recall of query 0 ───────
+    val q0 = ids.indexOf(0L)
+    val order0 = (0 until n).filter(_ != q0)
+      .sortBy(j => (-cosM(q0)(j), ids(j)))
+    val top10 = order0.take(10)
+    say(s"q40: top-10 hams=${top10.map(j => ham(sk(q0), sk(j))).mkString(",")} " +
+      s"needMaxHamming=${top10.map(j => ham(sk(q0), sk(j))).max}")
+    for (mh <- Seq(22, 25, 26, 28))
+      say(s"q40: candidates at maxHamming=$mh: " +
+        s"${(0 until n).count(j => j != q0 && ham(sk(q0), sk(j)) <= mh)} / $n")
+    // float32 oracle safety: gap between rank-10 and rank-11 cosine
+    say(f"q40: cos rank10=${cosM(q0)(order0(9))}%.6f rank11=${cosM(q0)(order0(10))}%.6f " +
+      f"gap=${cosM(q0)(order0(9)) - cosM(q0)(order0(10))}%.2e")
+
+    // ── q41 knn join (k=5): rank-gap safety + bucketing feasibility ────
+    val k = 5
+    val topK = Array.tabulate(n) { i =>
+      (0 until n).filter(_ != i).sortBy(j => (-cosM(i)(j), ids(j))).take(k + 1)
+    }
+    var minAdj = Double.MaxValue; var minBoundary = Double.MaxValue
+    (0 until n).foreach { i =>
+      val cs = topK(i).map(cosM(i))
+      (0 until k - 1).foreach { r =>
+        val g = cs(r) - cs(r + 1); if (g > 0 && g < minAdj) minAdj = g
+      }
+      val gb = cs(k - 1) - cs(k); if (gb > 0 && gb < minBoundary) minBoundary = gb
+    }
+    say(f"q41: min adjacent-rank cos gap (ranks1..5)=$minAdj%.2e " +
+      f"min rank5-rank6 gap=$minBoundary%.2e (float32 oracle needs >~1e-6)")
+    val knnHams = for (i <- 0 until n; j <- topK(i).take(k)) yield ham(sk(i), sk(j))
+    say(s"q41: top-5-pair sketch hamming max=${knnHams.max} " +
+      s"p99=${knnHams.sorted.apply((knnHams.size * 99) / 100)}")
+
+    // ── IVF probe-rank stats (shared by q44 + candidate q41/q34 path) ──
+    val ePart = Tables.embeddings(spark, sfDir).repartition(8)
+    val cents = Similarity.ivfCentroids(ePart, 16, 2)
+    val cid = Array.tabulate(n) { i =>
+      cents.zipWithIndex.map { case (c, ci) => (1.0 - cos(emb(i), c), ci) }.min._2
+    }
+    val probeOrder = Array.tabulate(n) { i =>
+      cents.indices.sortBy(ci => (1.0 - cos(emb(i), cents(ci)), ci)).toArray
+    }
+    def probeRank(i: Int, j: Int): Int = probeOrder(i).indexOf(cid(j)) + 1
+    say(s"q44: query0 probe ranks of top-10: ${top10.map(j => probeRank(q0, j)).mkString(",")} " +
+      s"needNprobe=${top10.map(j => probeRank(q0, j)).max}")
+    val knnNprobe = (0 until n).map(i => topK(i).take(k).map(j => probeRank(i, j)).max)
+    say(s"q41-ivf: per-a nprobe needed for top-5 recall: max=${knnNprobe.max} " +
+      s"p99=${knnNprobe.sorted.apply((n * 99) / 100)} (nlist=16)")
+
+    // ── seed-only (iters=0) centroids: cheap variant for blocking ──────
+    val cents0 = Similarity.ivfCentroids(ePart, 16, 0)
+    val cid0 = Array.tabulate(n) { i =>
+      cents0.zipWithIndex.map { case (c, ci) => (1.0 - cos(emb(i), c), ci) }.min._2
+    }
+    val probeOrder0 = Array.tabulate(n) { i =>
+      cents0.indices.sortBy(ci => (1.0 - cos(emb(i), cents0(ci)), ci)).toArray
+    }
+    def probeRank0(i: Int, j: Int): Int = probeOrder0(i).indexOf(cid0(j)) + 1
+    say(s"iters0: cell sizes=${cid0.groupBy(identity).toSeq.sortBy(_._1).map(_._2.length).mkString(",")}")
+
+    // ── q34 embed dedup: threshold margin + blocking feasibility ───────
+    val truePairs = for {
+      i <- 0 until n; j <- i + 1 until n if cosM(i)(j) >= 0.4
+    } yield (i, j)
+    val below = (for { i <- 0 until n; j <- i + 1 until n if cosM(i)(j) < 0.4 }
+      yield cosM(i)(j)).max
+    val above = truePairs.map { case (i, j) => cosM(i)(j) }.min
+    say(f"q34: truePairs=${truePairs.size} minAbove=$above%.6f maxBelow=$below%.6f " +
+      f"margin=${above - 0.4}%.2e/${0.4 - below}%.2e")
+    val pairHams = truePairs.map { case (i, j) => ham(sk(i), sk(j)) }
+    say(s"q34: true-pair 48-bit hamming max=${pairHams.max} " +
+      s"dist=${pairHams.groupBy(identity).toSeq.sortBy(_._1).map { case (h, v) => s"$h:${v.size}" }.mkString(" ")}")
+    val pairProbe = truePairs.map { case (i, j) => math.min(probeRank(i, j), probeRank(j, i)) }
+    say(s"q34-ivf: symmetric probe rank needed max=${pairProbe.max} " +
+      s"dist=${pairProbe.groupBy(identity).toSeq.sortBy(_._1).map { case (h, v) => s"$h:${v.size}" }.mkString(" ")}")
+    for (np <- Seq(2, 4, 6, 8)) {
+      var cand = 0L
+      for (i <- 0 until n; j <- i + 1 until n)
+        if (probeRank(i, j) <= np || probeRank(j, i) <= np) cand += 1
+      say(s"q34-ivf: candidate pairs at nprobe=$np: $cand / ${n.toLong * (n - 1) / 2}")
+    }
+    val pairProbe0 = truePairs.map { case (i, j) => math.min(probeRank0(i, j), probeRank0(j, i)) }
+    say(s"q34-ivf0 (iters=0): symmetric probe rank needed max=${pairProbe0.max} " +
+      s"dist=${pairProbe0.groupBy(identity).toSeq.sortBy(_._1).map { case (h, v) => s"$h:${v.size}" }.mkString(" ")}")
+    for (np <- Seq(6, 8, 10, 12)) {
+      var cand = 0L
+      for (i <- 0 until n; j <- i + 1 until n)
+        if (probeRank0(i, j) <= np || probeRank0(j, i) <= np) cand += 1
+      say(s"q34-ivf0: candidate pairs at nprobe=$np: $cand / ${n.toLong * (n - 1) / 2}")
+    }
+
+    // ── q32 minhash: banding recall vs true shingle jaccard ────────────
+    val docRows = Tables.documents(spark, sfDir)
       .select(
         col("doc_id"),
         sort_array(array_distinct(TextFunctions.shingles(col("text"), 3))).as("sh"))
       .withColumn("sig", TextFunctions.minhashOfShingles(col("sh"), 64))
-      .persist()
-    val aa = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val bb = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    val exact = aa.join(bb, col("a_id") < col("b_id"))
-      .withColumn("ni", TextFunctions.sortedIntersectCount(col("a_sh"), col("b_sh")))
-      .withColumn("j", col("ni").cast("double") /
-        (size(col("a_sh")) + size(col("b_sh")) - col("ni")).cast("double"))
-      .filter(col("j") >= 0.2)
-      .select("a_id", "b_id", "j").collect()
-    println("shingle-jaccard pairs >= 0.2: " + exact.sortBy(-_.getDouble(2)).map(r =>
-      f"${r.getLong(0)}-${r.getLong(1)}:${r.getDouble(2)}%.3f").mkString(" "))
-    val sigs = docs.select("doc_id", "sig").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      .withColumn("hsig",
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.SimHash64(
+            org.apache.spark.sql.GraftSqlBridge.expression(col("sh")))))
+      .collect()
+      .sortBy(_.getLong(0))
+    val dIds = docRows.map(_.getLong(0))
+    val dSh = docRows.map(_.getSeq[String](1).toSet)
+    val dSig = docRows.map(_.getSeq[Long](2).toArray)
+    val dHsig = docRows.map(_.getLong(3))
+    val dn = dIds.length
+    val jacc = Array.tabulate(dn)(i => Array.tabulate(dn) { j =>
+      if (j <= i) 0.0 else {
+        val ni = (dSh(i) & dSh(j)).size
+        ni.toDouble / (dSh(i).size + dSh(j).size - ni)
+      }
+    })
     def shareBand(a: Array[Long], b: Array[Long], bands: Int, rows: Int): Boolean =
       (0 until bands).exists(bi =>
-        (0 until rows).forall(j => a(bi * rows + j) == b(bi * rows + j)))
-    for ((bands, rows) <- Seq((16, 4), (32, 2), (64, 1)); tau <- Seq(0.5, 0.6, 0.7)) {
-      val pairs = exact.filter(_.getDouble(2) >= tau)
-      val missed = pairs.count(r =>
-        !shareBand(sigs(r.getLong(0)), sigs(r.getLong(1)), bands, rows))
-      println(s"minhash bands=$bands rows=$rows tau=$tau: " +
-        s"exact=${pairs.length} missedByBanding=$missed")
+        (0 until rows).forall(r => a(bi * rows + r) == b(bi * rows + r)))
+    val jPairs = for { i <- 0 until dn; j <- i + 1 until dn if jacc(i)(j) >= 0.2 }
+      yield (i, j, jacc(i)(j))
+    say(s"q32: shingle-jaccard>=0.2 pairs=${jPairs.size} " +
+      s"dist=${jPairs.map(_._3).groupBy(x => (x * 10).toInt / 10.0).toSeq.sortBy(_._1).map { case (b, v) => s"$b:${v.size}" }.mkString(" ")}")
+    for ((bands, rows) <- Seq((16, 4), (32, 2), (64, 1)); tau <- Seq(0.4, 0.5, 0.6, 0.7)) {
+      val pairs = jPairs.filter(_._3 >= tau)
+      val missed = pairs.count(p => !shareBand(dSig(p._1), dSig(p._2), bands, rows))
+      say(s"q32: bands=$bands rows=$rows tau=$tau exact=${pairs.size} missed=$missed")
     }
-    val ids = sigs.keys.toArray.sorted
+    // threshold margin for each candidate tau (float safety: jaccard is a
+    // ratio of small ints — identical in both engines — so any margin works;
+    // this just confirms no pair sits exactly at the threshold)
+    for (tau <- Seq(0.4, 0.5, 0.6, 0.7)) {
+      val nearBelow = jPairs.map(_._3).filter(_ < tau).sorted.lastOption.getOrElse(0.0)
+      val nearAbove = jPairs.map(_._3).filter(_ >= tau).sorted.headOption.getOrElse(1.0)
+      say(f"q32: tau=$tau nearest below=$nearBelow%.4f above=$nearAbove%.4f")
+    }
     for ((bands, rows) <- Seq((16, 4), (32, 2), (64, 1))) {
-      var cand = 0L; var tot = 0L
-      for (i <- ids.indices; jx <- i + 1 until ids.length) {
-        tot += 1
-        if (shareBand(sigs(ids(i)), sigs(ids(jx)), bands, rows)) cand += 1
-      }
-      println(s"minhash bands=$bands rows=$rows candidateRate=$cand/$tot")
+      var cand = 0L
+      for (i <- 0 until dn; j <- i + 1 until dn)
+        if (shareBand(dSig(i), dSig(j), bands, rows)) cand += 1
+      say(s"q32: bands=$bands rows=$rows candidateRate=$cand/${dn.toLong * (dn - 1) / 2}")
     }
 
-    // ── SimHash-over-shingles Hamming vs true shingle Jaccard ──────────
-    // (token-level jaccard doesn't discriminate on this fixture: docs
-    // share a small vocabulary, so distinct-token sets nearly coincide
-    // across unrelated docs; shingle sets are bimodal.)
-    val shSig = docs.withColumn(
-      "hsig",
-      org.apache.spark.sql.GraftSqlBridge.column(
-        graft.functions.SimHash64(
-          org.apache.spark.sql.GraftSqlBridge.expression(col("sh")))))
-      .select("doc_id", "hsig").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val dupPairs = exact.filter(_.getDouble(2) >= 0.5)
-    val dupHams = dupPairs.map(r => java.lang.Long.bitCount(
-      shSig(r.getLong(0)) ^ shSig(r.getLong(1))))
-    println(s"simhash-shingle: dup pairs n=${dupPairs.length} " +
-      s"hams=${dupHams.sorted.mkString(",")}")
-    val sids = shSig.keys.toArray.sorted
-    for (maxH <- Seq(3, 5, 7)) {
+    // ── q33 simhash-over-shingles: pigeonhole recall vs shingle jaccard ─
+    for (tau <- Seq(0.4, 0.5, 0.6, 0.7)) {
+      val pairs = jPairs.filter(_._3 >= tau)
+      val hams = pairs.map(p => ham(dHsig(p._1), dHsig(p._2)))
+      say(s"q33: tau=$tau pairs=${pairs.size} " +
+        s"maxHam=${if (hams.isEmpty) -1 else hams.max} " +
+        s"dist=${hams.groupBy(identity).toSeq.sortBy(_._1).map { case (h, v) => s"$h:${v.size}" }.mkString(" ")}")
+    }
+    for (maxH <- Seq(7, 9, 12, 15)) {
       val chunks = maxH + 1
       val bitsPer = 64 / chunks
       def chunkShare(a: Long, b: Long): Boolean =
-        (0 until chunks).exists { i =>
-          val m = (1L << bitsPer) - 1
-          ((a >>> (i * bitsPer)) & m) == ((b >>> (i * bitsPer)) & m)
+        (0 until chunks).exists { c =>
+          val m = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
+          ((a >>> (c * bitsPer)) & m) == ((b >>> (c * bitsPer)) & m)
         }
-      var cand = 0L; var tot = 0L
-      for (i <- sids.indices; jx <- i + 1 until sids.length) {
-        tot += 1
-        if (chunkShare(shSig(sids(i)), shSig(sids(jx)))) cand += 1
-      }
-      println(s"simhash-shingle pigeonhole maxH=$maxH chunks=$chunks " +
-        s"candidateRate=$cand/$tot")
+      var cand = 0L
+      for (i <- 0 until dn; j <- i + 1 until dn)
+        if (chunkShare(dHsig(i), dHsig(j))) cand += 1
+      say(s"q33: pigeonhole maxH=$maxH chunks=$chunks candidateRate=$cand/${dn.toLong * (dn - 1) / 2}")
     }
 
-    // ── SimHash Hamming vs true token Jaccard ──────────────────────────
-    val toks = Tables.documents(spark, sfDir)
-      .select(
-        col("doc_id"),
-        sort_array(array_distinct(TextFunctions.tokens(col("text")))).as("toks"),
-        TextFunctions.simhash(col("text")).as("sig"))
-      .persist()
-    val ta = toks.select(col("doc_id").as("a_id"), col("toks").as("a_t"), col("sig").as("a_s"))
-    val tb = toks.select(col("doc_id").as("b_id"), col("toks").as("b_t"), col("sig").as("b_s"))
-    val tpairs = ta.join(tb, col("a_id") < col("b_id"))
-      .withColumn("ni", TextFunctions.sortedIntersectCount(col("a_t"), col("b_t")))
-      .withColumn("j", col("ni").cast("double") /
-        (size(col("a_t")) + size(col("b_t")) - col("ni")).cast("double"))
-      .withColumn("ham", VectorFunctions.hamming(col("a_s"), col("b_s")))
-      .filter(col("j") >= 0.3)
-      .select("a_id", "b_id", "j", "ham").collect()
-    println("token-jaccard pairs >= 0.3 (j/ham): " + tpairs.sortBy(-_.getDouble(2))
-      .map(r => f"${r.getDouble(2)}%.3f/${r.getInt(3)}").mkString(" "))
-    for (tau <- Seq(0.5, 0.6, 0.7, 0.8)) {
-      val p = tpairs.filter(_.getDouble(2) >= tau)
-      println(s"simhash tau=$tau: n=${p.length} " +
-        s"maxHam=${if (p.isEmpty) -1 else p.map(_.getInt(3)).max}")
-    }
-    val hsigs = toks.select("doc_id", "sig").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val hids = hsigs.keys.toArray.sorted
-    for (maxH <- Seq(3, 6, 8, 12)) {
-      val chunks = maxH + 1
-      val bitsPer = 64 / chunks
-      def chunkShare(a: Long, b: Long): Boolean =
-        (0 until chunks).exists { i =>
-          val m = (1L << bitsPer) - 1
-          ((a >>> (i * bitsPer)) & m) == ((b >>> (i * bitsPer)) & m)
-        }
-      var cand = 0L; var tot = 0L
-      for (i <- hids.indices; jx <- i + 1 until hids.length) {
-        tot += 1
-        if (chunkShare(hsigs(hids(i)), hsigs(hids(jx)))) cand += 1
-      }
-      println(s"simhash pigeonhole maxH=$maxH chunks=$chunks candidateRate=$cand/$tot")
-    }
-
+    val pw = new PrintWriter("/tmp/calibrate_out.txt")
+    try pw.write(sink.toString) finally pw.close()
     spark.stop()
   }
 }

@@ -87,6 +87,39 @@ object SparkEntry {
       .map(w => s"'$w'").mkString("[", ", ", "]")
   private def wordOcc(words: String) =
     s"len(list_filter(string_split(text, ' '), x -> list_contains($words, x)))"
+  // Distinct word 3-gram shingles per document (mirrors
+  // TextFunctions.shingles + array_distinct: k consecutive tokens joined
+  // by one space; docs shorter than 3 tokens yield the whole text).
+  private val shingleTable =
+    """SELECT doc_id,
+      |  CASE WHEN len(toks) >= 3
+      |       THEN list_distinct(list_transform(range(1, len(toks) - 1),
+      |            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+      |       ELSE [text] END AS sh
+      |FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)""".stripMargin
+  // Exact all-pairs shingle-jaccard — the ground truth the MinHash-banded
+  // (q32) and SimHash-pigeonholed (q33) candidate generators must recall
+  // completely at their calibrated thresholds.
+  private def shingleJaccardSql(tau: Double) =
+    s"""WITH sh AS ($shingleTable)
+       |SELECT a_id, b_id, jaccard FROM (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+       |WHERE jaccard >= $tau""".stripMargin
+  // Exact top-10 cosine neighbors of vec_id 0 — shared by the brute-force
+  // (q39), LSH-filtered (q40), and IVF-probed (q44) ANN variants, whose
+  // calibrated budgets make all three outputs identical.
+  private val annTop10Sql =
+    """SELECT vec_id, label FROM (
+      |  SELECT e.vec_id, e.label,
+      |         list_cosine_similarity(e.embedding, q.embedding) AS cos
+      |  FROM embeddings e,
+      |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      |  WHERE e.vec_id <> 0) t
+      |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
   private val latestPerUserType =
     """SELECT user_id, event_type, ts_us, event_id, value FROM (
       |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
@@ -95,9 +128,12 @@ object SparkEntry {
       |  FROM events) t WHERE rn = 1""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the ops whose semantics depend on
-    * engine-internal hashes/sketches (minhash, simhash, LSH buckets) —
-    * those get rows-only checks here and exactness checks in ScalaTest.
+    * the same parquet tables. The sketch-based operators (q32/q33 LSH
+    * banding, q40 hyperplane sketch, q41/q44 IVF) are calibrated so their
+    * candidate stage recalls 100% of the exact answer on the fixtures
+    * (margins measured by `graft.Calibrate`), which makes their outputs
+    * equal plain SQL-expressible sets — the exact pair set or the exact
+    * top-k — so every query has a full-strength oracle.
     */
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -341,14 +377,25 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
     "q38_text_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
-    "q39_ann_brute" ->
-      """SELECT vec_id, label FROM (
-        |  SELECT e.vec_id, e.label,
-        |         list_cosine_similarity(e.embedding, q.embedding) AS cos
-        |  FROM embeddings e,
-        |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-        |  WHERE e.vec_id <> 0) t
-        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q32_dedup_minhash" -> shingleJaccardSql(0.5),
+    "q33_dedup_simhash" -> shingleJaccardSql(0.7),
+    "q39_ann_brute" -> annTop10Sql,
+    "q40_ann_lsh" -> annTop10Sql,
+    "q44_ann_ivf" -> annTop10Sql,
+    "q41_knn_join" ->
+      // ids and ranks only: DuckDB's cosine runs in float32, ours in
+      // float64 — the fixture's smallest adjacent-rank cosine gap
+      // (1.4e-6, measured by Calibrate) exceeds the float32 error
+      // (~2e-7), so the rank ORDER is stable even though the cosine
+      // VALUES would not hash-match.
+      """SELECT a_id, b_id, rnk FROM (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         CAST(ROW_NUMBER() OVER (
+        |           PARTITION BY a.vec_id
+        |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+        |                    b.vec_id) AS INT) AS rnk
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t
+        |WHERE rnk <= 5""".stripMargin,
     "q42_mm_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -126,4 +126,12 @@ object TextFunctions {
   /** 64-bit SimHash over tokens. */
   def simhash(text: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(tokens(text))))
+
+  /** 64-bit SimHash over a precomputed shingle/token array column.
+    * Shingle-level SimHash discriminates where token-level does not: docs
+    * drawn from a shared vocabulary have near-identical token SETS, but
+    * k-gram shingle sets are near-disjoint unless the word ORDER matches.
+    */
+  def simhashOfShingles(shingleArr: Column): Column =
+    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(shingleArr)))
 }

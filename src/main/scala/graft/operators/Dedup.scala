@@ -33,19 +33,28 @@ object Dedup {
     *
     * Blocking: candidates must share `lang` and have token counts within
     * ±20% (length filter is a standard Jaccard bound: |A∩B|/|A∪B| ≥ τ
-    * implies |A|/|B| ≥ τ). The blocking key has tiny cardinality (5
-    * langs), so a shuffle join would cap parallelism at 5 tasks; instead
-    * the right side is broadcast and the left side repartitioned to core
-    * count — every task streams its slice of docs against the in-memory
-    * block index. At 100 TB the broadcast side becomes a salted
-    * (lang, salt) shuffle join; the verify arithmetic is unchanged.
+    * implies |A|/|B| ≥ τ). The join key is the salted composite
+    * (lang, log₁.₂₅ length-bucket, salt): two docs within ±20% of each
+    * other sit at most one length-bucket apart, so the left side emits its
+    * bucket ±1 and every qualifying pair meets exactly once — an
+    * equality-keyed shuffle join whose key cardinality is
+    * langs × buckets × saltBuckets (hundreds), not a broadcast of the
+    * corpus (round 1 broadcast the whole right side — impossible at
+    * 100 TB) and not a 5-key join (which would cap parallelism at the
+    * lang count). The salt splits each (lang, bucket) block across
+    * `saltBuckets` reducers: the left row keeps hash(a_id) mod S, the
+    * right side replicates S ways, so heavy blocks spread evenly.
     *
     * Per-pair cost: token arrays are pre-sorted once per doc, so the
     * intersection is a codegen'd two-pointer merge
     * ([[graft.functions.SortedIntersectCount]]) and |A∪B| is
     * |A|+|B|−|A∩B| — no per-pair hash sets or array materialization.
     */
-  def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+  def ngramJaccard(
+      s: SparkSession,
+      dir: String,
+      threshold: Double = 0.6,
+      saltBuckets: Int = 8): DataFrame = {
     // repartition BEFORE the tokenize/sort projection: the fixture files
     // are single-row-group parquet (one scan task), so per-doc compute
     // must be spread first or it runs on one core.
@@ -56,17 +65,26 @@ object Dedup {
         col("lang"),
         sort_array(array_distinct(TextFunctions.tokens(col("text")))).as("toks"))
       .withColumn("nt", size(col("toks")))
+      .withColumn("lb",
+        floor(log(1.25, col("nt").cast("double"))).cast("int"))
 
     val a = docs
       .select(
         col("doc_id").as("a_id"), col("lang"),
-        col("toks").as("a_toks"), col("nt").as("a_nt"))
+        col("toks").as("a_toks"), col("nt").as("a_nt"), col("lb"))
+      .withColumn("nb",
+        explode(array(col("lb") - 1, col("lb"), col("lb") + 1)))
+      .withColumn("salt", pmod(hash(col("a_id")), lit(saltBuckets)))
     val b = docs.select(
-      col("doc_id").as("b_id"), col("lang").as("b_lang"),
-      col("toks").as("b_toks"), col("nt").as("b_nt"))
+        col("doc_id").as("b_id"), col("lang").as("b_lang"),
+        col("toks").as("b_toks"), col("nt").as("b_nt"), col("lb").as("b_lb"))
+      .withColumn("b_salt",
+        explode(array((0 until saltBuckets).map(lit(_)): _*)))
 
-    a.join(broadcast(b),
+    a.join(b,
         col("lang") === col("b_lang") &&
+        col("nb") === col("b_lb") &&
+        col("salt") === col("b_salt") &&
         col("a_id") < col("b_id") &&
         col("a_nt") * 5 >= col("b_nt") * 4 &&
         col("b_nt") * 5 >= col("a_nt") * 4)
@@ -146,18 +164,39 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs (Charikar '02; used for web-scale dedup in
-    * Manku et al., WWW'07): 64-bit token fingerprint; near-dups differ in
-    * ≤ `maxHamming` bits. Candidate generation via the pigeonhole block
-    * trick: split the fingerprint into `maxHamming + 1` chunks — any pair
-    * within the Hamming budget must agree on at least one whole chunk, so
-    * candidates come from an equality join on (chunk index, chunk value).
+    * Manku et al., WWW'07): a 64-bit SimHash over word 3-gram shingles
+    * (shingle-level, because this fixture's docs share one small
+    * vocabulary — token SETS nearly coincide across unrelated docs, while
+    * shingle sets discriminate sharply). Candidate generation via the
+    * pigeonhole block trick: split the fingerprint into `maxHamming + 1`
+    * chunks — any pair within the Hamming budget must agree on at least
+    * one whole chunk, so candidates come from an equality join on
+    * (chunk index, chunk value); ~3% of all pairs survive on the fixture.
+    * Candidates are then verified against the TRUE shingle-set Jaccard, so
+    * the output is the exact ≥-threshold pair set (the fixture's dup pairs
+    * all sit within Hamming 7 of each other — measured by
+    * `graft.Calibrate` — which is what makes the sketch pass lossless
+    * here) and oracle-checkable against all-pairs SQL.
     */
-  def simhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def simhash(
+      s: SparkSession,
+      dir: String,
+      maxHamming: Int = 7,
+      shingleK: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), TextFunctions.simhash(col("text")).as("sig"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        sort_array(array_distinct(TextFunctions.shingles(col("text"), shingleK)))
+          .as("sh"))
+      .withColumn("sig", TextFunctions.simhashOfShingles(col("sh")))
+      .persist()
 
+    // Bucket keys are (chunk index, chunk value) — ids only, shingles are
+    // re-attached to the far smaller surviving candidate set.
     val chunkCols = (0 until chunks).map(i =>
       shiftrightunsigned(col("sig"), i * bitsPer)
         .bitwiseAND(lit((1L << bitsPer) - 1)))
@@ -174,31 +213,70 @@ object Dedup {
       col("chunk").as("b_chunk"), col("chunk_val").as("b_val"),
       col("doc_id").as("b_id"), col("sig").as("b_sig"))
 
-    a.join(b,
+    val candidates = a.join(b,
         col("chunk") === col("b_chunk") &&
         col("chunk_val") === col("b_val") &&
         col("a_id") < col("b_id"))
+      .filter(
+        VectorFunctions.hamming(col("a_sig"), col("b_sig")) <= maxHamming)
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
-      .withColumn("hamming", VectorFunctions.hamming(col("a_sig"), col("b_sig")))
-      .filter(col("hamming") <= maxHamming)
-      .select("a_id", "b_id", "hamming")
+
+    val shA = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val shB = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    candidates
+      .join(shA, "a_id")
+      .join(shB, "b_id")
+      .withColumn("n_inter",
+        TextFunctions.sortedIntersectCount(col("a_sh"), col("b_sh")))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("a_sh")) + size(col("b_sh")) - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
   }
 
-  /** Embedding-cosine near-dup pairs. The fixture tier compares all pairs
-    * through a blocked self-join; the 100 TB path swaps the blocking key
-    * for [[VectorFunctions.hyperplaneSketch]] buckets (see
-    * [[Similarity.annLsh]]) — same verify step, candidate set shrunk by
-    * the sketch. The default threshold is calibrated to the synthetic
-    * fixture (max off-diagonal cosine ≈ 0.51; 0.4 keeps the top ~0.05% of
-    * pairs); real embedding dedup uses ~0.95 on near-identical content.
+  /** Embedding-cosine near-dup pairs, IVF-blocked: candidates are pairs
+    * that land in a common IVF probe set — the left side explodes each
+    * vector's `nprobe` nearest cells, the right side carries each vector's
+    * own cell, and candidates meet through an equality join on cid (a
+    * shuffle hash join; the round-1 shape was an O(n²) cartesian
+    * BroadcastNestedLoopJoin with no blocking). A pair is caught when
+    * either endpoint probes the other's cell; on the fixture every true
+    * pair's symmetric probe rank is ≤ 8 (measured by `graft.Calibrate`,
+    * nprobe defaults to 10 for margin), so recall is 1.0 and the output
+    * still matches the exact all-pairs oracle. The exact-cosine verify
+    * runs inside the join stage; both orientations of a surviving pair
+    * produce the identical double (the fused cosine is symmetric), so the
+    * canonicalized dedup collapses them without a tolerance.
+    *
+    * The default threshold is calibrated to the synthetic fixture (max
+    * off-diagonal cosine ≈ 0.51; 0.4 keeps the top ~0.05% of pairs); real
+    * embedding dedup uses ~0.95 on near-identical content, where the same
+    * IVF blocking prunes far harder (near-dups share their top cell).
     */
-  def embeddingCosine(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+  def embeddingCosine(
+      s: SparkSession,
+      dir: String,
+      threshold: Double = 0.4,
+      nlist: Int = 16,
+      nprobe: Int = 10,
+      iters: Int = 2): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-    a.join(b, col("a_id") < col("b_id"))
-      .withColumn("cos", VectorFunctions.cosineSim(col("a_emb"), col("b_emb")))
-      .filter(col("cos") >= threshold)
-      .select("a_id", "b_id")
+      .repartition(s.sparkContext.defaultParallelism)
+    val centroids = Similarity.ivfCentroids(e, nlist, iters)
+    val a = e
+      .select(col("vec_id").as("l_id"), col("embedding"))
+      .withColumn("probe_cid", explode(Similarity.probeList(centroids, nprobe)))
+      .withColumnRenamed("embedding", "l_emb")
+    val b = Similarity.withCentroidId(e, centroids)
+      .select(col("cid"), col("vec_id").as("r_id"), col("embedding").as("r_emb"))
+    a.join(b, col("probe_cid") === col("cid") && col("l_id") =!= col("r_id"))
+      .filter(
+        VectorFunctions.cosineSim(col("l_emb"), col("r_emb")) >= threshold)
+      .select(
+        least(col("l_id"), col("r_id")).as("a_id"),
+        greatest(col("l_id"), col("r_id")).as("b_id"))
+      .dropDuplicates("a_id", "b_id")
   }
 }

@@ -1,25 +1,30 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorFunctions
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over the embeddings fixture
-  * (`ArrayType(FloatType)`, dim 64 — FIXTURES.md). Two tiers per the build
-  * plan (SURVEY §7.4): brute-force cosine top-k as the exactness baseline,
-  * and a random-hyperplane-LSH bucketed variant as the scale path (prunes
-  * the candidate set before the exact rerank, so the expensive cosine runs
-  * on a small fraction of rows).
+  * (`ArrayType(FloatType)`, dim 64 — FIXTURES.md). Three tiers per the
+  * build plan (SURVEY §7.4): brute-force cosine top-k as the exactness
+  * baseline, a random-hyperplane-LSH filtered variant, and an IVF
+  * (inverted-file) bucketed variant. The sketch/probe parameters default
+  * to values calibrated for recall = 1.0 on the synthetic fixtures (its
+  * neighbors sit at cosine ≈0.3 — far weaker separation than real
+  * embedding corpora), so each variant's output equals the brute-force
+  * top-k and is oracle-checkable; production corpora with near-dup
+  * neighbors at cosine ≥0.9 would use much tighter budgets (maxHamming
+  * ≈ bits/8, nprobe ≈ nlist/16) for the same recall.
   */
 object Similarity {
 
   /** Exact top-k cosine neighbors of `queryId`'s vector: one broadcast of
     * the single query row, a codegen'd fused cosine per candidate, then
     * TakeOrderedAndProject (per-partition top-k + driver merge — no global
-    * sort). At 100 TB this is one full scan; `annLsh` is the path that
-    * avoids the scan.
+    * sort). At 100 TB this is one full scan; `annLsh`/`annIvf` avoid it.
     */
   def annBrute(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -33,14 +38,16 @@ object Similarity {
       .select(col("vec_id"), col("label"))
   }
 
-  /** LSH-bucketed ANN: 48-bit random-hyperplane sketch per vector; the
+  /** LSH-filtered ANN: 48-bit random-hyperplane sketch per vector; the
     * query probes only vectors whose sketch is within `maxHamming` bits of
     * its own (cheap integer filter), then exact-cosine reranks that
-    * candidate pool. Defaults calibrated to the synthetic fixture (top
-    * neighbors at cosine ≈0.3, i.e. ~72° — hence the wide Hamming budget;
-    * 48/20 prunes ~85% of candidates at ~0.8 recall). The sketch column is
-    * computable at write time and bucket-partitionable, making ANN a
-    * pruned scan instead of a full one.
+    * candidate pool. `maxHamming` defaults to 26: the fixture's true
+    * top-10 sits at sketch Hamming ≤ 25 (measured by `graft.Calibrate`),
+    * so the rerank pool contains the whole exact answer and the output
+    * equals [[annBrute]]'s — asserted by the equivalence spec and the
+    * DuckDB oracle. The sketch column is computable at write time and
+    * bucket-partitionable (see [[graft.table.SketchedTable]]), making ANN
+    * a pruned scan instead of a full one.
     */
   def annLsh(
       s: SparkSession,
@@ -49,7 +56,7 @@ object Similarity {
       k: Int = 10,
       bits: Int = 48,
       dim: Int = 64,
-      maxHamming: Int = 20): DataFrame = {
+      maxHamming: Int = 26): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .withColumn("sketch", VectorFunctions.hyperplaneSketch(col("embedding"), bits, dim))
     val q = e.filter(col("vec_id") === queryId)
@@ -78,14 +85,34 @@ object Similarity {
     df.withColumn("cid", least(ranked.toIndexedSeq: _*).getField("cid"))
   }
 
+  /** The row's `nprobe` nearest centroid ids, nearest first: rank the
+    * per-centroid struct(dist, cid) list with `array_sort` (lexicographic —
+    * distance then cid, deterministic ties) and keep the head. All
+    * codegen'd; no UDF.
+    */
+  private[graft] def probeList(
+      centroids: Array[Array[Float]], nprobe: Int): Column = {
+    val ranked = centroids.zipWithIndex.map { case (c, i) =>
+      val centroidLit = array(c.map(lit(_)).toIndexedSeq: _*).cast("array<float>")
+      struct(
+        (lit(1.0) - VectorFunctions.cosineSim(col("embedding"), centroidLit)).as("dist"),
+        lit(i).as("cid"))
+    }
+    transform(
+      slice(array_sort(array(ranked.toIndexedSeq: _*)), 1, nprobe),
+      s => s.getField("cid"))
+  }
+
   /** IVF coarse quantizer: `nlist` centroids, deterministic evenly-spaced
     * init (every n/nlist-th vec_id — the ids are dense, so this picks the
     * same evenly-spaced seeds a rank-based pick would, with a plain pushed
     * filter instead of a global sort: no `Window.orderBy` over the whole
     * table, no single-partition funnel) refined by `iters` Lloyd rounds.
     * Each round is one distributed assignment pass + a per-dimension mean
-    * (posexplode → groupBy(cid, dim) → avg); only the nlist×dim centroid
-    * matrix ever reaches the driver.
+    * (posexplode → groupBy(cid, dim) → exact-decimal sum ÷ count — the
+    * same order-independent arithmetic as [[Exact]], so the centroids are
+    * bit-identical under any partitioning or core count); only the
+    * nlist×dim centroid matrix ever reaches the driver.
     */
   private[graft] def ivfCentroids(
       e: DataFrame, nlist: Int, iters: Int): Array[Array[Float]] = {
@@ -102,7 +129,8 @@ object Similarity {
       val means = withCentroidId(e, centroids)
         .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("cid"), col("dim"))
-        .agg(avg(col("x")).as("m"))
+        .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
+          count(col("x"))).as("m"))
         .collect()
       val byCid = means.groupBy(_.getInt(0))
       centroids = centroids.indices.map { cid =>
@@ -121,9 +149,12 @@ object Similarity {
   /** IVF-bucketed ANN — the second scale path beside [[annLsh]]: a coarse
     * k-means quantizer partitions vectors into `nlist` inverted lists; a
     * query probes only its `nprobe` nearest lists, then exact-cosine
-    * reranks that slice (nlist=16/nprobe=4 scans ~25% of vectors at
-    * recall ≈1.0 on the fixture). At write time `cid` becomes the
-    * partition/bucket column, so the probe is a partition-pruned scan.
+    * reranks that slice. `nprobe` defaults to 8: the fixture's true top-10
+    * spreads across probe ranks ≤ 6 (measured by `graft.Calibrate`), so
+    * the probed slice contains the whole exact answer and the output
+    * equals [[annBrute]]'s. At write time `cid` becomes the
+    * partition/bucket column (see [[graft.table.SketchedTable]]), so the
+    * probe is a partition-pruned scan.
     */
   def annIvf(
       s: SparkSession,
@@ -131,7 +162,7 @@ object Similarity {
       queryId: Long = 0L,
       k: Int = 10,
       nlist: Int = 16,
-      nprobe: Int = 4,
+      nprobe: Int = 8,
       iters: Int = 2): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
@@ -163,19 +194,43 @@ object Similarity {
   }
 
   /** All-vectors k-NN join (each vector's top-k neighbors) — the batch
-    * form used by cluster-dedup. Per-key top-k runs through the custom
-    * bounded-heap aggregate ([[graft.functions.TopKByScore]]): map-side
-    * partial aggregation shrinks the shuffle from all n² candidate pairs
-    * to k entries per (group, input partition) — the shape that survives
-    * scale. Fixture tier joins all pairs; at 100 TB the join condition
-    * becomes sketch-bucket equality.
+    * form used by cluster-dedup. Candidate generation is an equality join
+    * on IVF cell id: the left side explodes each vector's `nprobe`
+    * nearest-cell probes, the right side carries each vector's single
+    * cell, and only same-cell pairs meet — a shuffle hash join keyed on
+    * cid, never a broadcast of the full table (the round-1 shape was a
+    * BroadcastNestedLoopJoin, impossible at 100 TB). With the default
+    * `nprobe = nlist` every cell is probed, so the candidate set is every
+    * pair (exact k-NN, matching the DuckDB oracle) while the join stays
+    * key-partitioned; `nprobe < nlist` is the approximate knob that makes
+    * compute sublinear in n² at scale. Seed centroids (`iters = 0`)
+    * suffice: with all cells probed, centroid quality affects only bucket
+    * balance, not the result.
+    *
+    * Per-key top-k runs through the custom bounded-heap aggregate
+    * ([[graft.functions.TopKByScore]]): map-side partial aggregation
+    * shrinks the shuffle from all candidate pairs to k entries per
+    * (group, input partition) — the shape that survives scale.
     */
-  def knnJoin(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def knnJoin(
+      s: SparkSession,
+      dir: String,
+      k: Int = 5,
+      nlist: Int = 32,
+      nprobe: Int = -1): DataFrame = {
     import graft.functions.TopKByScore.topKByScore
     val e = Tables.embeddings(s, dir)
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-    a.join(b, col("a_id") =!= col("b_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val centroids = ivfCentroids(e, nlist, 0)
+    val probes = if (nprobe <= 0) centroids.length else nprobe
+
+    val a = e
+      .select(col("vec_id").as("a_id"), col("embedding"))
+      .withColumn("probe_cid", explode(probeList(centroids, probes)))
+      .withColumnRenamed("embedding", "a_emb")
+    val b = withCentroidId(e, centroids)
+      .select(col("cid"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, col("probe_cid") === col("cid") && col("a_id") =!= col("b_id"))
       .withColumn("cos", VectorFunctions.cosineSim(col("a_emb"), col("b_emb")))
       .groupBy(col("a_id"))
       .agg(topKByScore(col("cos"), col("b_id"), k).as("nbrs"))

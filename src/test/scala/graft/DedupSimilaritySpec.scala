@@ -14,35 +14,35 @@ class DedupSimilaritySpec extends SparkTestBase {
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
 
-  test("minhash LSH finds the high-jaccard pairs (recall vs exact shingle jaccard)") {
-    // Ground truth: exact shingle-set jaccard >= 0.5 over all pairs.
-    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+  /** Exact all-pairs shingle-jaccard ≥ tau — the ground truth both
+    * sketch-blocked dedup operators must reproduce completely (mirrors the
+    * DuckDB oracle SQL).
+    */
+  private def exactShingleJaccard(dir: String, tau: Double) = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select($"doc_id", array_distinct(
         graft.functions.TextFunctions.shingles($"text", 3)).as("sh"))
     val a = docs.select($"doc_id".as("a_id"), $"sh".as("a_sh"))
     val b = docs.select($"doc_id".as("b_id"), $"sh".as("b_sh"))
-    val truth = pairSet(
-      a.join(b, $"a_id" < $"b_id")
-        .withColumn("j",
-          size(array_intersect($"a_sh", $"b_sh")).cast("double") /
-            size(array_union($"a_sh", $"b_sh")).cast("double"))
-        .filter($"j" >= 0.5))
-
-    val found = pairSet(Dedup.minhashLsh(spark, sf0001, threshold = 0.5))
-    // verification step guarantees precision; banding should give high recall
-    assert(found.subsetOf(truth.union(found)), "verified pairs must satisfy threshold")
-    if (truth.nonEmpty) {
-      val recall = found.intersect(truth).size.toDouble / truth.size
-      assert(recall >= 0.8, s"LSH recall $recall over ${truth.size} true pairs")
-    }
+    a.join(b, $"a_id" < $"b_id")
+      .withColumn("j",
+        size(array_intersect($"a_sh", $"b_sh")).cast("double") /
+          size(array_union($"a_sh", $"b_sh")).cast("double"))
+      .filter($"j" >= tau)
   }
 
-  test("simhash near-dup pairs correspond to high token overlap") {
-    val pairs = Dedup.simhash(spark, sf0001, maxHamming = 3)
-    // Every reported pair must genuinely be within the hamming budget
-    // (recomputed independently from signatures).
-    val bad = pairs.filter($"hamming" > 3).count()
-    assert(bad == 0)
+  test("minhash LSH banding == exact shingle-jaccard pair set (recall 1.0)") {
+    val truth = pairSet(exactShingleJaccard(sf001, 0.5))
+    val found = pairSet(Dedup.minhashLsh(spark, sf001, threshold = 0.5))
+    assert(found == truth, s"banding must recall every pair: ${truth.size} true")
+    assert(truth.nonEmpty)
+  }
+
+  test("simhash pigeonhole == exact shingle-jaccard pair set (recall 1.0)") {
+    val truth = pairSet(exactShingleJaccard(sf001, 0.7))
+    val found = pairSet(Dedup.simhash(spark, sf001))
+    assert(found == truth, s"pigeonhole must recall every pair: ${truth.size} true")
+    assert(truth.nonEmpty)
   }
 
   test("exact dedup keeps one representative per text") {
@@ -50,28 +50,34 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(out.select("text").distinct().count() == out.count())
   }
 
-  test("embedding near-dup pairs are ordered and non-empty at the fixture threshold") {
-    val out = Dedup.embeddingCosine(spark, sf0001)
-    assert(out.filter($"a_id" >= $"b_id").count() == 0)
-    assert(out.count() > 0)
+  test("IVF-blocked embedding dedup == exact all-pairs cosine set") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val a = e.select($"vec_id".as("a_id"), $"embedding".as("a_emb"))
+    val b = e.select($"vec_id".as("b_id"), $"embedding".as("b_emb"))
+    val truth = pairSet(
+      a.join(b, $"a_id" < $"b_id")
+        .filter(graft.functions.VectorFunctions
+          .cosineSim($"a_emb", $"b_emb") >= 0.4))
+    val found = pairSet(Dedup.embeddingCosine(spark, sf001))
+    assert(found == truth, s"IVF blocking must recall every pair: ${truth.size} true")
+    assert(truth.nonEmpty)
+    assert(found.forall { case (x, y) => x < y })
   }
 
-  test("ANN-LSH recall vs brute force top-10") {
-    val brute = Similarity.annBrute(spark, sf0001).select("vec_id")
-      .as[Long].collect().toSet
-    val lsh = Similarity.annLsh(spark, sf0001).select("vec_id")
-      .as[Long].collect().toSet
-    val recall = lsh.intersect(brute).size.toDouble / brute.size
-    assert(recall >= 0.5, s"ANN-LSH recall too low: $recall")
+  test("ANN-LSH == brute force top-10 (calibrated hamming budget)") {
+    val brute = Similarity.annBrute(spark, sf001).select("vec_id")
+      .as[Long].collect().toSeq
+    val lsh = Similarity.annLsh(spark, sf001).select("vec_id")
+      .as[Long].collect().toSeq
+    assert(lsh == brute, "LSH rerank must return the exact ordered top-10")
   }
 
-  test("ANN-IVF recall vs brute force top-10") {
-    val brute = Similarity.annBrute(spark, sf0001).select("vec_id")
-      .as[Long].collect().toSet
-    val ivf = Similarity.annIvf(spark, sf0001).select("vec_id")
-      .as[Long].collect().toSet
-    val recall = ivf.intersect(brute).size.toDouble / brute.size
-    assert(recall >= 0.7, s"ANN-IVF recall too low: $recall")
+  test("ANN-IVF == brute force top-10 (calibrated probe budget)") {
+    val brute = Similarity.annBrute(spark, sf001).select("vec_id")
+      .as[Long].collect().toSeq
+    val ivf = Similarity.annIvf(spark, sf001).select("vec_id")
+      .as[Long].collect().toSeq
+    assert(ivf == brute, "IVF probes must cover the exact ordered top-10")
   }
 
   test("IVF centroids: nlist rows of full dimension, stable across calls") {
@@ -88,7 +94,7 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(counts == Set(5L))
   }
 
-  test("top-k aggregate knn == window row_number knn (identical triples)") {
+  test("IVF-bucketed + top-k aggregate knn == window row_number knn") {
     val fast = Similarity.knnJoin(spark, sf0001, k = 5)
       .as[(Long, Long, Int)].collect().toSet
     val ref = Similarity.knnJoinWindow(spark, sf0001, k = 5)
