@@ -65,10 +65,11 @@ object SparkEntry {
     "q37_text_langid" -> (TextAnalysis.langId(_, _)),
     "q38_text_fingerprint" -> (TextAnalysis.fingerprints(_, _)),
     "q39_ann_brute" -> ((s, d) => Similarity.annBrute(s, d)),
-    "q40_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
-    "q44_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
+    "q40_ann_lsh" -> ((s, d) => graft.table.SketchedTable.annLshIndexed(s, d)),
+    "q44_ann_ivf" -> ((s, d) => graft.table.SketchedTable.annIvfIndexed(s, d)),
     "q41_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
-    "q42_mm_meta" -> (Multimodal.metaQuery(_, _))
+    "q42_mm_meta" -> (Multimodal.metaQuery(_, _)),
+    "q45_salted_join" -> (Skew.saltedRevenue(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -396,6 +397,13 @@ object SparkEntry {
         |                    b.vec_id) AS INT) AS rnk
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t
         |WHERE rnk <= 5""".stripMargin,
+    "q45_salted_join" ->
+      // the oracle is the UNSALTED join: salting must be row-identical
+      s"""SELECT l_suppkey AS suppkey, s_name,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY l_suppkey, s_name""".stripMargin,
     "q42_mm_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'

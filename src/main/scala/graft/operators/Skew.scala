@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
 
 /** Skew mitigation for joins (SURVEY §7 / builder brief: "salting for
   * skew"). A hot key concentrates its rows in one shuffle partition; the
@@ -38,5 +40,28 @@ object Skew {
       .drop(replicatedSmall(SaltCol))
       .drop(saltedBig(SaltCol))
     keys.foldLeft(joined)((d, k) => d.drop(replicatedSmall(k)))
+  }
+
+  /** Per-supplier revenue through [[saltedJoin]] — the fact side spread
+    * over 8 salt buckets before meeting the (replicated) supplier dim, then
+    * the exact-decimal aggregate. Row-identical to the plain join (the
+    * DuckDB oracle is the unsalted SQL); the salt only changes which
+    * reducer each fact row lands on, which is the point: a hot supplier
+    * key stops being a straggler task.
+    */
+  def saltedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .select(
+        col("l_suppkey").as("suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val small = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("suppkey"), col("s_name"))
+    saltedJoin(big, small, Seq("suppkey"), saltBuckets = 8)
+      .groupBy(col("suppkey"), col("s_name"))
+      .agg(
+        Exact.dsumRaw(
+          Exact.discounted(col("l_extendedprice"), col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
   }
 }

@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Streaming source of self-describing JSON records — the engine's analogue
   * of the reference's Kinesis+JSON catalog source
@@ -37,6 +38,37 @@ object JsonStreamSource {
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.json(path)
   }
+
+  /** Choice-type policy — the engine's analogue of DynamicFrame's
+    * per-record self-describing types (glue_job_script.py:100-101,106: the
+    * reference round-trips through DynamicFrame, which carries a choice
+    * type when records disagree on a field, e.g. `"5"` vs `5`). A fixed
+    * Spark schema would silently null the minority variant; instead the
+    * stream can read through [[widenToChoiceSchema]] — every atomic leaf
+    * widened to string, which the JSON parser fills with the literal token
+    * text, losslessly, whatever the record's own type was — and each
+    * consumer resolves fields to their target types with
+    * [[resolveChoice]] (`try_cast`: the `resolveChoice(choice="cast")`
+    * analogue; genuinely unparseable tokens become null rather than
+    * failing the batch).
+    */
+  def widenToChoiceSchema(schema: StructType): StructType = {
+    def widen(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f => f.copy(dataType = widen(f.dataType))))
+      case a: ArrayType => a.copy(elementType = widen(a.elementType))
+      case m: MapType => m.copy(valueType = widen(m.valueType))
+      case _ => org.apache.spark.sql.types.StringType
+    }
+    widen(schema).asInstanceOf[StructType]
+  }
+
+  /** Resolve a string-read choice field to `target` (DynamicFrame
+    * `resolveChoice(col, "cast:<type>")`): records whose token parses as
+    * `target` land typed, others become null — no batch failure, no silent
+    * loss of the majority variant.
+    */
+  def resolveChoice(df: DataFrame, field: String, target: DataType): DataFrame =
+    df.withColumn(field, col(field).try_cast(target))
 
   /** Starting-position policy, mirroring the reference's
     * `startingPosition: latest | trim_horizon | earliest`

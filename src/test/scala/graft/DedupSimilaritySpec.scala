@@ -80,6 +80,25 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(ivf == brute, "IVF probes must cover the exact ordered top-10")
   }
 
+  test("indexed ANN (write-time sketch + cid partitions) == brute force top-10") {
+    import graft.table.SketchedTable
+    val brute = Similarity.annBrute(spark, sf001).select("vec_id")
+      .as[Long].collect().toSeq
+    val lsh = SketchedTable.annLshIndexed(spark, sf001).select("vec_id")
+      .as[Long].collect().toSeq
+    assert(lsh == brute, "indexed LSH must return the exact ordered top-10")
+    val ivf = SketchedTable.annIvfIndexed(spark, sf001)
+    assert(ivf.select("vec_id").as[Long].collect().toSeq == brute,
+      "indexed IVF must return the exact ordered top-10")
+    // The probe must reach the scan as a partition filter (pruned files),
+    // not a post-scan row filter.
+    val expl = ivf.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(expl.contains("PartitionFilters") &&
+      expl.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("cid")),
+      "cid probe should prune partitions at the file scan")
+  }
+
   test("IVF centroids: nlist rows of full dimension, stable across calls") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val c1 = Similarity.ivfCentroids(e, nlist = 8, iters = 1)

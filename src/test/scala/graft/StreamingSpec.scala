@@ -144,6 +144,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("choice-type policy: a \"5\"/5 mixed batch lands typed without nulling data") {
+    import org.apache.spark.sql.types.LongType
+    val tmp = Files.createTempDirectory("graft_choice_spec_").toString
+    // Records disagree on k's type (int vs string) — DynamicFrame would
+    // carry a choice type; a fixed long schema would null the "5".
+    writeJson(s"$tmp/in", Seq(
+      """{"id":1,"k":5}""",
+      """{"id":2,"k":"6"}""",
+      """{"id":3,"k":"oops"}"""))
+    val inferred = JsonStreamSource.inferSchema(spark, s"$tmp/in")
+    val wide = JsonStreamSource.widenToChoiceSchema(inferred)
+    assert(wide.fields.forall(_.dataType == org.apache.spark.sql.types.StringType))
+    // Batch read through the widened schema: both numeric variants survive
+    // as their literal tokens, then resolve to long (cast semantics).
+    val raw = spark.read.schema(wide).json(s"$tmp/in")
+    val resolved = JsonStreamSource.resolveChoice(raw, "k", LongType)
+      .select($"id".cast("long"), $"k")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(resolved == Map(1L -> Some(5L), 2L -> Some(6L), 3L -> None))
+    // The streaming path accepts the widened schema too.
+    assert(JsonStreamSource.stream(spark, s"$tmp/in", Some(wide)).isStreaming)
+  }
+
   test("starting position policy maps to file-source options") {
     val tmp = Files.createTempDirectory("graft_stream_spec_").toString
     writeJson(s"$tmp/in", Seq("""{"name":"a","date":"1","year":1,"payload":"p"}"""))
