@@ -224,13 +224,24 @@ object Similarity {
     val centroids = ivfCentroids(e, nlist, 0)
     val probes = if (nprobe <= 0) centroids.length else nprobe
 
-    val a = e
+    // Candidate generation is ids-only: the exploded probe side carries
+    // (a_id, probe_cid) — two longs — so the cid join shuffles narrow rows,
+    // never `probes` copies of the embedding arrays. Embeddings are
+    // re-attached to the candidate stream afterwards by plain equi-joins
+    // (broadcast-sized here; key-partitioned at scale), keeping the
+    // expensive fused cosine in one codegen stage over narrow inputs.
+    val aProbe = e
       .select(col("vec_id").as("a_id"), col("embedding"))
       .withColumn("probe_cid", explode(probeList(centroids, probes)))
-      .withColumnRenamed("embedding", "a_emb")
-    val b = withCentroidId(e, centroids)
-      .select(col("cid"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-    a.join(b, col("probe_cid") === col("cid") && col("a_id") =!= col("b_id"))
+      .select("a_id", "probe_cid")
+    val bCid = withCentroidId(e, centroids)
+      .select(col("cid"), col("vec_id").as("b_id"))
+    val aEmb = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val bEmb = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    aProbe.join(bCid, col("probe_cid") === col("cid") && col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id")
+      .join(aEmb, "a_id")
+      .join(bEmb, "b_id")
       .withColumn("cos", VectorFunctions.cosineSim(col("a_emb"), col("b_emb")))
       .groupBy(col("a_id"))
       .agg(topKByScore(col("cos"), col("b_id"), k).as("nbrs"))
