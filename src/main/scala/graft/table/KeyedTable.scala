@@ -87,6 +87,43 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   def currentUserSchema(spark: SparkSession): Option[org.apache.spark.sql.types.StructType] =
     if (exists(spark)) Some(read(spark).schema) else None
 
+  /** The commit timeline: distinct commit times present in the table,
+    * ascending (the engine's analogue of Hudi's `.hoodie` timeline; commit
+    * ids are `yyyyMMddHHmmssSSS`, so lexicographic order is chronological).
+    * Driver-side size is the number of commits, never rows.
+    */
+  def commits(spark: SparkSession): Seq[String] =
+    readRaw(spark).select(col(KeyedTable.CommitTimeCol)).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  def latestCommit(spark: SparkSession): Option[String] =
+    if (exists(spark)) commits(spark).lastOption else None
+
+  /** Incremental query — Hudi's incremental read semantics
+    * (`hoodie.datasource.query.type=incremental` with
+    * `begin.instanttime`/`end.instanttime`): the user-view rows whose LAST
+    * change landed after `sinceCommit` (exclusive) and, if given, at most
+    * `endCommit` (inclusive). Because the merge path preserves each row's
+    * original commit time across partition rewrites, this returns exactly
+    * the rows inserted or updated in that window — the feed a downstream
+    * consumer tails instead of re-reading the table. Latest-state
+    * semantics, as on a COW table whose older file slices are cleaned: a
+    * row updated again after `endCommit` no longer appears in the bounded
+    * window (its last change moved past the bound). The commit-time
+    * predicate is an ordinary pushed filter; with commit time added to
+    * `partitionCols` it would prune files too.
+    */
+  def readIncremental(
+      spark: SparkSession,
+      sinceCommit: String,
+      endCommit: Option[String] = None): DataFrame = {
+    val begun = readRaw(spark)
+      .filter(col(KeyedTable.CommitTimeCol) > sinceCommit)
+    val bounded = endCommit.fold(begun)(e =>
+      begun.filter(col(KeyedTable.CommitTimeCol) <= e))
+    SchemaEvolution.dropSystemColumns(bounded)
+  }
+
   /** Catalog sync (SURVEY §2 O12): register/refresh this table in the
     * session metastore so SQL engines see new data — the reference's
     * Hive/Glue sync after each commit (glue_job_script.py:64-73);
@@ -140,12 +177,21 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         spec.partitionCols.map(c => concat_ws("=", lit(c), col(c).cast("string"))): _*)
 
   /** Adds engine meta columns — analogue of Hudi's `_hoodie_*` columns
-    * (glue_job_script.py:87-88). Dropped again by [[read]].
+    * (glue_job_script.py:87-88). Dropped again by [[read]]. A commit-time
+    * column already present is preserved: the merge path threads each
+    * existing row's ORIGINAL commit time through, so a row's commit time
+    * means "when this row last changed", not "when its partition was last
+    * rewritten" — the invariant [[readIncremental]] depends on (and what
+    * Hudi's `_hoodie_commit_time` records).
     */
-  private def withMeta(df: DataFrame, commitTime: String): DataFrame =
-    df.withColumn(CommitTimeCol, lit(commitTime))
+  private def withMeta(df: DataFrame, commitTime: String): DataFrame = {
+    val stamped =
+      if (df.columns.contains(CommitTimeCol)) df
+      else df.withColumn(CommitTimeCol, lit(commitTime))
+    stamped
       .withColumn(RecordKeyCol, keyExpr)
       .withColumn(PartitionPathCol, partitionPathExpr)
+  }
 
   private def writeOut(df: DataFrame, mode: SaveMode): Unit = {
     val w = df.write.mode(mode)
@@ -222,9 +268,13 @@ final class KeyedTable(val spec: KeyedTableSpec) {
 
       case Some(current) =>
         val aligned = SchemaEvolution.align(incoming, current)
+        // Both merge sides carry a commit-time column: incoming rows get
+        // THIS commit, existing rows keep the commit that last changed
+        // them — whichever row wins the precombine keeps its time.
+        val alignedC = aligned.withColumn(CommitTimeCol, lit(commitTime))
         val existing = SchemaEvolution.align(
-          SchemaEvolution.dropSystemColumns(readRaw(spark)),
-          aligned.schema)
+          readRaw(spark).drop(RecordKeyCol, PartitionPathCol),
+          alignedC.schema)
 
         // Non-global keys: only partitions present in the batch can change.
         // Global keys: additionally rewrite partitions holding an old copy
@@ -246,7 +296,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
           }
 
         val combined = toScan.withColumn(SrcCol, lit(0))
-          .unionByName(aligned.withColumn(SrcCol, lit(1)), allowMissingColumns = true)
+          .unionByName(alignedC.withColumn(SrcCol, lit(1)), allowMissingColumns = true)
         val merged = dedupLatest(combined, extraOrder = Seq(col(SrcCol).desc))
           .drop(SrcCol)
 

@@ -163,6 +163,36 @@ class KeyedTableSpec extends SparkTestBase {
     assert(dirs.toSet == Set("year=2023", "year=2024"))
   }
 
+  test("incremental read: returns exactly the rows changed after a commit") {
+    val t = freshTable()
+    t.upsert(spark, batch(
+      Row("a", "2024-03-07", 2024, "a1"),
+      Row("b", "2024-03-07", 2024, "b1")), commitTime = "c1")
+    // c2 updates a, inserts c; b is carried over unchanged (its partition
+    // IS rewritten — commit time must survive the rewrite).
+    t.upsert(spark, batch(
+      Row("a", "2024-03-08", 2024, "a2"),
+      Row("c", "2024-03-08", 2024, "c1")), commitTime = "c2")
+
+    assert(t.commits(spark) == Seq("c1", "c2"))
+    assert(t.latestCommit(spark).contains("c2"))
+
+    val inc = t.readIncremental(spark, sinceCommit = "c1")
+      .select("name", "payload").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(inc == Set(("a", "a2"), ("c", "c1")),
+      "only rows inserted/updated by c2; the untouched b keeps commit c1")
+
+    // a stale update (older precombine) must not refresh the commit time
+    t.upsert(spark, batch(Row("a", "2024-03-01", 2024, "stale")), commitTime = "c3")
+    assert(t.readIncremental(spark, "c2").collect().isEmpty)
+    // bounded window (since, end]: latest-state semantics — "a" changed
+    // again at c2, so only "b" still has its last change inside (c0, c1]
+    val win = t.readIncremental(spark, "c0", endCommit = Some("c1"))
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(win == Set("b"))
+  }
+
   test("unpartitioned table upserts work") {
     val t = freshTable(partitioned = false)
     t.upsert(spark, batch(Row("a", "2024-03-07", 2024, "v1")))

@@ -144,6 +144,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup: duplicate keys within the watermark are dropped, state stays bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)] // (doc_id, event micros)
+    val in = ms.toDF().toDF("doc_id", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+    val out = StreamingDedup.dedupWithinWatermark(in, Seq("doc_id"), "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val min = 60L * 1000 * 1000
+      ms.addData((1L, 0L), (1L, 1 * min), (2L, 2 * min)) // 1 duplicated in-batch
+      q.processAllAvailable()
+      ms.addData((1L, 3 * min), (3L, 4 * min)) // 1 duplicated across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L), s"one row per key: $ids")
+      // far beyond the horizon the key's state has been evicted: the same
+      // doc_id is accepted again (bounded state, by design). The watermark
+      // only advances after a batch with later events, so first push it
+      // past 0 + 10min with an unrelated key, then re-send doc 1.
+      ms.addData((4L, 120 * min))
+      q.processAllAvailable()
+      ms.addData((1L, 121 * min))
+      q.processAllAvailable()
+      val again = spark.table("dedup_out").filter($"doc_id" === 1L).count()
+      assert(again == 2, "state evicted past the watermark horizon")
+    } finally q.stop()
+  }
+
   test("choice-type policy: a \"5\"/5 mixed batch lands typed without nulling data") {
     import org.apache.spark.sql.types.LongType
     val tmp = Files.createTempDirectory("graft_choice_spec_").toString
