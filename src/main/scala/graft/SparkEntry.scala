@@ -69,7 +69,8 @@ object SparkEntry {
     "q44_ann_ivf" -> ((s, d) => graft.table.SketchedTable.annIvfIndexed(s, d)),
     "q41_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     "q42_mm_meta" -> (Multimodal.metaQuery(_, _)),
-    "q45_salted_join" -> (Skew.saltedRevenue(_, _))
+    "q45_salted_join" -> (Skew.saltedRevenue(_, _)),
+    "q46_bm25" -> ((s, d) => Search.bm25(s, d))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -120,6 +121,36 @@ object SparkEntry {
       |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
       |  WHERE e.vec_id <> 0) t
       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  // BM25-shaped relevance (rational idf — see operators.Search): every
+  // arithmetic step mirrors the Spark expression exactly (same constants,
+  // same association order, integer-derived corpus stats), so the score
+  // doubles are bit-identical. DuckDB decimal literals are DECIMAL by
+  // default — each constant is CAST to DOUBLE to match Scala's literals.
+  private val bm25Sql: String = {
+    val terms = Seq("the", "of", "and")
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(",\n              ")
+    val termExprs = terms.zipWithIndex.map { case (t, i) =>
+      val tf = s"CAST(len(list_filter(d.toks, x -> x = '$t')) AS DOUBLE)"
+      s"(st.n - st.df$i + CAST(0.5 AS DOUBLE)) / (st.df$i + CAST(0.5 AS DOUBLE))" +
+        s" * ($tf * (CAST(1.2 AS DOUBLE) + 1))" +
+        s" / ($tf + CAST(1.2 AS DOUBLE) * ((1 - CAST(0.75 AS DOUBLE))" +
+        s" + CAST(0.75 AS DOUBLE) * (CAST(d.dl AS DOUBLE) / st.avgdl)))"
+    }.mkString("\n        + ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+       |                  len(string_split(text, ' ')) AS dl FROM documents),
+       |st AS (SELECT COUNT(*) AS n,
+       |              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+       |              $dfCols
+       |       FROM d)
+       |SELECT doc_id, score FROM (
+       |  SELECT d.doc_id,
+       |        $termExprs AS score
+       |  FROM d, st) t
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
 
   private val latestPerUserType =
     """SELECT user_id, event_type, ts_us, event_id, value FROM (
@@ -397,6 +428,7 @@ object SparkEntry {
         |                    b.vec_id) AS INT) AS rnk
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t
         |WHERE rnk <= 5""".stripMargin,
+    "q46_bm25" -> bm25Sql,
     "q45_salted_join" ->
       // the oracle is the UNSALTED join: salting must be row-identical
       s"""SELECT l_suppkey AS suppkey, s_name,
