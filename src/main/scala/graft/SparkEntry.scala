@@ -70,7 +70,8 @@ object SparkEntry {
     "q41_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     "q42_mm_meta" -> (Multimodal.metaQuery(_, _)),
     "q45_salted_join" -> (Skew.saltedRevenue(_, _)),
-    "q46_bm25" -> ((s, d) => Search.bm25(s, d))
+    "q46_bm25" -> ((s, d) => Search.bm25(s, d)),
+    "q47_asof_join" -> (Temporal.clickAsofPurchase(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -429,6 +430,20 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t
         |WHERE rnk <= 5""".stripMargin,
     "q46_bm25" -> bm25Sql,
+    "q47_asof_join" ->
+      // oracle = DuckDB's NATIVE ASOF JOIN (inclusive, greatest
+      // p_ts_us <= ts_us per user) — our window-pass composition must
+      // reproduce it row for row
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'click'),
+        |p0 AS (SELECT user_id, epoch_us(ts) AS p_ts_us, value AS p_value,
+        |              ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+        |                                 ORDER BY event_id DESC) AS rn
+        |       FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT user_id, p_ts_us, p_value FROM p0 WHERE rn = 1)
+        |SELECT c.event_id, c.user_id, c.ts_us, p.p_ts_us, p.p_value
+        |FROM c ASOF JOIN p
+        |  ON c.user_id = p.user_id AND c.ts_us >= p.p_ts_us""".stripMargin,
     "q45_salted_join" ->
       // the oracle is the UNSALTED join: salting must be row-identical
       s"""SELECT l_suppkey AS suppkey, s_name,

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Temporal join operators Spark lacks as builtins, composed Spark-first.
+  *
+  * The as-of join ("for each left row, the latest right row at or before
+  * it, per key") is not expressed as a join at all: both sides are tagged
+  * and interleaved into ONE frame, sorted per key by (time, side), and a
+  * running `last(..., ignoreNulls)` window carries the most recent right
+  * row forward onto every left row. Cost: one shuffle on the key + one
+  * within-partition sort — the same partitioning a sort-merge join would
+  * need, but with no join state, no range probing, and no row
+  * amplification; a naive `l.ts >= r.ts` theta-join would plan as a
+  * BroadcastNestedLoopJoin and die at scale. DuckDB's native ASOF JOIN is
+  * the oracle.
+  */
+object Temporal {
+
+  private val SideCol = "_graft_side"
+  private val TsCol = "_graft_asof_ts"
+  private val PayloadCol = "_graft_asof_payload"
+
+  /** Generic inclusive as-of join: for each `left` row, attach
+    * `payloadCols` of the `right` row with the greatest `rightTs` ≤ the
+    * row's `leftTs` within the same `keys` group (a right row exactly at
+    * the left timestamp matches — standard as-of semantics). Left rows
+    * with no earlier right row are dropped (inner as-of).
+    *
+    * Contract: `payloadCols` must not collide with `left`'s columns, and
+    * `right` must be unique per (keys, rightTs) — pre-combine it like
+    * [[graft.table.KeyedTable.dedupLatest]] if it isn't.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val payloadType = right.select(payloadCols.map(col): _*).schema
+    val l = left
+      .withColumn(TsCol, col(leftTs))
+      .withColumn(SideCol, lit(1))
+      .withColumn(PayloadCol, lit(null).cast(payloadType))
+    val r = right
+      .withColumn(TsCol, col(rightTs))
+      .withColumn(SideCol, lit(0))
+      .withColumn(PayloadCol, struct(payloadCols.map(col): _*))
+      .select(keys.map(col) ++ Seq(col(TsCol), col(SideCol), col(PayloadCol)): _*)
+
+    // rows-unbounded-preceding running last(): each left row (side 1 sorts
+    // after side 0 at equal ts) sees the latest right payload so far.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(TsCol).asc, col(SideCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l
+      .unionByName(r, allowMissingColumns = true)
+      .withColumn(PayloadCol, last(col(PayloadCol), ignoreNulls = true).over(w))
+      .filter(col(SideCol) === 1 && col(PayloadCol).isNotNull)
+
+    payloadCols
+      .foldLeft(matched)((d, c) => d.withColumn(c, col(s"$PayloadCol.$c")))
+      .drop(PayloadCol, SideCol, TsCol)
+  }
+
+  /** q47: each click joined as-of to the user's most recent purchase at or
+    * before it (the "attribute an action to the latest preceding
+    * conversion" query). Purchases are pre-combined to one row per
+    * (user, microsecond) so the match is deterministic on both engines.
+    */
+  def clickAsofPurchase(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val purchases = {
+      val p = e.filter(col("event_type") === "purchase")
+        .select(
+          col("user_id"),
+          col("ts_us").as("p_ts_us"),
+          col("value").as("p_value"),
+          col("event_id").as("p_event_id"))
+      val w = Window.partitionBy(col("user_id"), col("p_ts_us"))
+        .orderBy(col("p_event_id").desc)
+      p.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "p_ts_us", "p_value")
+    }
+    asofJoin(clicks, purchases,
+        keys = Seq("user_id"), leftTs = "ts_us", rightTs = "p_ts_us",
+        payloadCols = Seq("p_ts_us", "p_value"))
+      .select("event_id", "user_id", "ts_us", "p_ts_us", "p_value")
+  }
+}
