@@ -71,7 +71,8 @@ object SparkEntry {
     "q42_mm_meta" -> (Multimodal.metaQuery(_, _)),
     "q45_salted_join" -> (Skew.saltedRevenue(_, _)),
     "q46_bm25" -> ((s, d) => Search.bm25(s, d)),
-    "q47_asof_join" -> (Temporal.clickAsofPurchase(_, _))
+    "q47_asof_join" -> (Temporal.clickAsofPurchase(_, _)),
+    "q48_range_join" -> ((s, d) => Temporal.errorNeighborhood(s, d))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -430,6 +431,16 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t
         |WHERE rnk <= 5""".stripMargin,
     "q46_bm25" -> bm25Sql,
+    "q48_range_join" ->
+      // the oracle is the plain interval theta-join the binned equality
+      // join must reproduce exactly
+      """SELECT e.event_id AS err_id, o.event_id AS near_id,
+        |       epoch_us(o.ts) - epoch_us(e.ts) AS dt_us
+        |FROM events e JOIN events o
+        |  ON e.user_id = o.user_id
+        | AND o.event_id <> e.event_id
+        | AND abs(epoch_us(o.ts) - epoch_us(e.ts)) <= 3600000000
+        |WHERE e.event_type = 'error'""".stripMargin,
     "q47_asof_join" ->
       // oracle = DuckDB's NATIVE ASOF JOIN (inclusive, greatest
       // p_ts_us <= ts_us per user) — our window-pass composition must

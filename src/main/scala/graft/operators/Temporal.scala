@@ -68,6 +68,43 @@ object Temporal {
       .drop(PayloadCol, SideCol, TsCol)
   }
 
+  /** Binned range join: pairs of events of the same user within
+    * `windowUs` microseconds of each other, anchored on 'error' events —
+    * the "what happened around each failure" query. The interval
+    * predicate alone is a theta-join (BroadcastNestedLoopJoin); binning
+    * both sides by `windowUs`-wide time buckets and exploding the anchor
+    * side to its bucket ±1 turns it into an equality join on
+    * (user, bucket): any pair within the window differs by at most one
+    * bucket, and a candidate's single bucket matches exactly one of the
+    * anchor's three probes, so each qualifying pair meets exactly once —
+    * no dedup needed. Join key cardinality is users × time-buckets, so
+    * parallelism scales with data, and the exact |Δt| ≤ window check runs
+    * inside the join stage.
+    */
+  def errorNeighborhood(
+      s: SparkSession, dir: String, windowUs: Long = 3600000000L): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("bin", expr(s"(ts div 1000) div $windowUs"))
+    val anchors = e.filter(col("event_type") === "error")
+      .select(
+        col("event_id").as("err_id"), col("user_id").as("a_user"),
+        col("ts_us").as("a_ts"), col("bin"))
+      .withColumn("probe_bin",
+        explode(array(col("bin") - 1, col("bin"), col("bin") + 1)))
+    val others = e.select(
+      col("event_id").as("near_id"), col("user_id"),
+      col("ts_us").as("n_ts"), col("bin").as("n_bin"))
+    anchors.join(others,
+        col("a_user") === col("user_id") &&
+        col("probe_bin") === col("n_bin") &&
+        col("err_id") =!= col("near_id") &&
+        abs(col("n_ts") - col("a_ts")) <= windowUs)
+      .select(
+        col("err_id"), col("near_id"),
+        (col("n_ts") - col("a_ts")).as("dt_us"))
+  }
+
   /** q47: each click joined as-of to the user's most recent purchase at or
     * before it (the "attribute an action to the latest preceding
     * conversion" query). Purchases are pre-combined to one row per
