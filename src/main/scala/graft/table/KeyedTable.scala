@@ -99,6 +99,33 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   def latestCommit(spark: SparkSession): Option[String] =
     if (exists(spark)) commits(spark).lastOption else None
 
+  /** Small-file maintenance — the engine's analogue of Hudi's clustering
+    * table service: every append-path commit ([[insert]]/[[bulkInsert]])
+    * adds files, and a streaming ingest accumulates thousands of tiny ones,
+    * which at scale turns every scan into a file-listing + task-overhead
+    * problem. Compaction rewrites the table clustered by its partition
+    * columns (one write task per hive partition), preserving rows, schema,
+    * AND per-row commit times exactly — only the physical file layout
+    * changes. The rewrite goes through a temp directory and a rename, so
+    * the live path is never read and overwritten in the same job.
+    */
+  def compact(spark: SparkSession): Unit = {
+    if (!exists(spark)) return
+    val f = fs(spark)
+    val tmp = new Path(spec.path + "_graft_compact_tmp")
+    f.delete(tmp, true)
+    val all = readRaw(spark)
+    val clustered =
+      if (spec.partitionCols.nonEmpty)
+        all.repartition(spec.partitionCols.map(col): _*)
+      else all.coalesce(1)
+    val w = clustered.write.mode(SaveMode.Overwrite)
+    (if (spec.partitionCols.nonEmpty) w.partitionBy(spec.partitionCols: _*) else w)
+      .parquet(tmp.toString)
+    f.delete(new Path(spec.path), true)
+    f.rename(tmp, new Path(spec.path))
+  }
+
   /** Incremental query — Hudi's incremental read semantics
     * (`hoodie.datasource.query.type=incremental` with
     * `begin.instanttime`/`end.instanttime`): the user-view rows whose LAST

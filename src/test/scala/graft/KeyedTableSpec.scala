@@ -193,6 +193,28 @@ class KeyedTableSpec extends SparkTestBase {
     assert(win == Set("b"))
   }
 
+  test("compaction shrinks the file count and changes nothing else") {
+    val t = freshTable()
+    // 4 append commits → ≥4 data files in the partition
+    (1 to 4).foreach(i =>
+      t.insert(spark, batch(Row(s"k$i", s"2024-03-0$i", 2024, s"v$i")), commitTime = f"c$i"))
+    def dataFiles(): Seq[java.io.File] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten
+          .flatMap(x => if (x.isDirectory) walk(x) else Seq(x))
+      walk(new java.io.File(t.spec.path)).filter(_.getName.endsWith(".parquet"))
+    }
+    val before = t.readRaw(spark).orderBy("name").collect().toSeq
+    val filesBefore = dataFiles().size
+    assert(filesBefore >= 4)
+
+    t.compact(spark)
+    assert(dataFiles().size < filesBefore, "compaction must merge files")
+    val after = t.readRaw(spark).orderBy("name").collect().toSeq
+    assert(after == before, "rows, schema, and commit times survive intact")
+    assert(t.commits(spark) == Seq("c1", "c2", "c3", "c4"))
+  }
+
   test("unpartitioned table upserts work") {
     val t = freshTable(partitioned = false)
     t.upsert(spark, batch(Row("a", "2024-03-07", 2024, "v1")))
