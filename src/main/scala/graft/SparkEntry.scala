@@ -72,7 +72,9 @@ object SparkEntry {
     "q45_salted_join" -> (Skew.saltedRevenue(_, _)),
     "q46_bm25" -> ((s, d) => Search.bm25(s, d)),
     "q47_asof_join" -> (Temporal.clickAsofPurchase(_, _)),
-    "q48_range_join" -> ((s, d) => Temporal.errorNeighborhood(s, d))
+    "q48_range_join" -> ((s, d) => Temporal.errorNeighborhood(s, d)),
+    "q49_profile" -> (Profile.eventsProfile(_, _)),
+    "q50_quantiles" -> (Profile.orderPriceQuartiles(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -431,6 +433,25 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t
         |WHERE rnk <= 5""".stripMargin,
     "q46_bm25" -> bm25Sql,
+    "q49_profile" -> {
+      val cols = Seq("event_id", "user_id", "event_type", "ts_us", "value", "props")
+      cols.map { c =>
+        val src = if (c == "ts_us") "epoch_us(ts)" else c
+        s"""SELECT '$c' AS column_name,
+           |  CAST(SUM(CASE WHEN $src IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  COUNT(DISTINCT $src) AS n_distinct
+           |FROM events""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
+    "q50_quantiles" ->
+      // percentile_disc returns actual elements — no interpolation
+      // arithmetic, so the doubles compare bit-for-bit
+      """SELECT o_orderpriority,
+        |  quantile_disc(o_totalprice, 0.25) AS p25,
+        |  quantile_disc(o_totalprice, 0.5) AS p50,
+        |  quantile_disc(o_totalprice, 0.75) AS p75,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q48_range_join" ->
       // the oracle is the plain interval theta-join the binned equality
       // join must reproduce exactly
