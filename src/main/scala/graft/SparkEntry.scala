@@ -74,7 +74,8 @@ object SparkEntry {
     "q47_asof_join" -> (Temporal.clickAsofPurchase(_, _)),
     "q48_range_join" -> ((s, d) => Temporal.errorNeighborhood(s, d)),
     "q49_profile" -> (Profile.eventsProfile(_, _)),
-    "q50_quantiles" -> (Profile.orderPriceQuartiles(_, _))
+    "q50_quantiles" -> (Profile.orderPriceQuartiles(_, _)),
+    "q51_dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -415,6 +416,26 @@ object SparkEntry {
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
     "q32_dedup_minhash" -> shingleJaccardSql(0.5),
     "q33_dedup_simhash" -> shingleJaccardSql(0.7),
+    "q51_dedup_clusters" ->
+      // connected components of the near-dup graph via a recursive CTE:
+      // every doc's label = min doc_id reachable over pair edges
+      s"""WITH RECURSIVE
+         |sh AS ($shingleTable),
+         |p AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS j
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) q
+         |  WHERE j >= 0.5),
+         |e AS (SELECT a_id AS src, b_id AS dst FROM p
+         |      UNION ALL SELECT b_id, a_id FROM p),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+         |SELECT id AS doc_id, MIN(r) AS cluster_rep
+         |FROM reach GROUP BY id""".stripMargin,
     "q39_ann_brute" -> annTop10Sql,
     "q40_ann_lsh" -> annTop10Sql,
     "q44_ann_ivf" -> annTop10Sql,

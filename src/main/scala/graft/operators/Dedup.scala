@@ -236,6 +236,55 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Near-dup CLUSTERS — the step that turns a pair list into the actual
+    * dedup decision: connected components over the near-dup graph, each
+    * doc labeled with its cluster representative (the minimum doc_id in
+    * its component; keep the representative, drop the rest). Components
+    * are computed by iterative min-label propagation — per round, every
+    * node takes the smallest label among itself and its neighbors, a
+    * groupBy + join per round, converging in O(component diameter) rounds
+    * (near-dup components are shallow: dup groups, not long chains).
+    * That is the standard large-scale connected-components shape on
+    * Spark — all shuffles are keyed on doc ids, nothing driver-side but
+    * the per-round convergence counter. The oracle is a DuckDB recursive
+    * CTE computing the same min-reachable-id labels.
+    */
+  def nearDupClusters(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLsh(s, dir, threshold = threshold)
+      .select(col("a_id"), col("b_id"))
+      .persist()
+    val edges = pairs
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst")
+
+    var labels = Tables.documents(s, dir)
+      .select(col("doc_id"), col("doc_id").as("cluster_rep"))
+      .persist()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(edges("src").as("nbr_of"))
+        .agg(min(col("cluster_rep")).as("nbr_rep"))
+      val next = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("nbr_of"), "left")
+        .select(
+          labels("doc_id"),
+          least(
+            labels("cluster_rep"),
+            coalesce(col("nbr_rep"), labels("cluster_rep"))).as("cluster_rep"))
+        .persist()
+      changed = next.as("n")
+        .join(labels.withColumnRenamed("cluster_rep", "old").as("o"), "doc_id")
+        .filter(col("cluster_rep") =!= col("old"))
+        .count()
+      labels.unpersist()
+      labels = next
+    }
+    pairs.unpersist()
+    labels
+  }
+
   /** Embedding-cosine near-dup pairs, IVF-blocked: candidates are pairs
     * that land in a common IVF probe set — the left side explodes each
     * vector's `nprobe` nearest cells, the right side carries each vector's
