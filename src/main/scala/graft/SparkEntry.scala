@@ -75,7 +75,9 @@ object SparkEntry {
     "q48_range_join" -> ((s, d) => Temporal.errorNeighborhood(s, d)),
     "q49_profile" -> (Profile.eventsProfile(_, _)),
     "q50_quantiles" -> (Profile.orderPriceQuartiles(_, _)),
-    "q51_dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d))
+    "q51_dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    "q52_dataset_split" -> (Curation.datasetSplit(_, _)),
+    "q53_contamination" -> ((s, d) => Curation.crossSplitContamination(s, d))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -416,6 +418,33 @@ object SparkEntry {
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
     "q32_dedup_minhash" -> shingleJaccardSql(0.5),
     "q33_dedup_simhash" -> shingleJaccardSql(0.7),
+    "q52_dataset_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |       WHEN doc_id % 10 = 8 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "q53_contamination" ->
+      s"""WITH sh AS ($shingleTable),
+         |p AS (
+         |  SELECT a_id, b_id, jaccard FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) q
+         |  WHERE jaccard >= 0.5),
+         |sp AS (
+         |  SELECT a_id, b_id, jaccard,
+         |    CASE WHEN a_id % 10 < 8 THEN 'train'
+         |         WHEN a_id % 10 = 8 THEN 'validation' ELSE 'test' END AS a_split,
+         |    CASE WHEN b_id % 10 < 8 THEN 'train'
+         |         WHEN b_id % 10 = 8 THEN 'validation' ELSE 'test' END AS b_split
+         |  FROM p)
+         |SELECT a_id AS train_id, b_id AS eval_id, b_split AS eval_split, jaccard
+         |FROM sp WHERE a_split = 'train' AND b_split <> 'train'
+         |UNION ALL
+         |SELECT b_id, a_id, a_split, jaccard
+         |FROM sp WHERE b_split = 'train' AND a_split <> 'train'""".stripMargin,
     "q51_dedup_clusters" ->
       // connected components of the near-dup graph via a recursive CTE:
       // every doc's label = min doc_id reachable over pair edges
