@@ -12,7 +12,7 @@ import graft.table.{KeyedTable, KeyedTableSpec}
   * keyed upsert table: insert, upsert, precombine, schema add/miss,
   * bootstrap, partition layout, plus idempotence.
   */
-class KeyedTableSpec extends SparkTestBase {
+class KeyedTableSuite extends SparkTestBase {
   import scala.jdk.CollectionConverters._
 
   private val schema = StructType(Seq(
