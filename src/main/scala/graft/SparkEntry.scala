@@ -77,7 +77,8 @@ object SparkEntry {
     "q50_quantiles" -> (Profile.orderPriceQuartiles(_, _)),
     "q51_dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q52_dataset_split" -> (Curation.datasetSplit(_, _)),
-    "q53_contamination" -> ((s, d) => Curation.crossSplitContamination(s, d))
+    "q53_contamination" -> ((s, d) => Curation.crossSplitContamination(s, d)),
+    "q54_range_window" -> (Relational.windowRangeHour(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -418,6 +419,15 @@ object SparkEntry {
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
     "q32_dedup_minhash" -> shingleJaccardSql(0.5),
     "q33_dedup_simhash" -> shingleJaccardSql(0.7),
+    "q54_range_window" ->
+      // RANGE frame: value-bounded, so ties are included by definition —
+      // deterministic with no secondary sort on either engine
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4)))
+        |       OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |       AS DOUBLE) AS rolling_value
+        |FROM events""".stripMargin,
     "q52_dataset_split" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 < 8 THEN 'train'

@@ -187,6 +187,25 @@ object Relational {
       .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
   }
 
+  /** RANGE-frame window (the VALUE-bounded frame class, distinct from the
+    * ROWS frame of [[windowRunning]]): per user, the rolling sum of event
+    * value over the trailing hour of EVENT TIME. A range frame includes
+    * every row whose ordering value falls inside the bound, so ties need
+    * no secondary sort to be deterministic — the frame content is defined
+    * by values, not positions — which is what makes it cross-engine
+    * exact. Exact-decimal sum per the [[Exact]] rules.
+    */
+  def windowRangeHour(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("rolling_value",
+        sum(dec(col("value"))).over(w).cast("double"))
+      .select("user_id", "event_id", "ts_us", "rolling_value")
+  }
+
   /** UNION (distinct) of two keysets. */
   def unionKeys(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
