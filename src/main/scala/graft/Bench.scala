@@ -20,21 +20,29 @@ object Bench {
     // and whole-stage-codegen compiler cold start.
     try SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
-    // Median of `reps` runs per query: the VM's throughput swings ~2×
-    // between runs, so a single sample can misattribute a throttle window
-    // to one query; the median is stable under one bad sample.
+    // Median of `reps` INTERLEAVED whole-suite passes: the VM's throughput
+    // swings ~2× in multi-second windows, so back-to-back reps of one query
+    // all land inside the same throttle window and the per-query median
+    // can't defend. Running the full suite per pass separates a query's
+    // samples by minutes; a throttle poisons at most one sample of each
+    // query, which the cross-pass median discards.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        // noop sink: materializes every output column (count() would let
-        // Catalyst prune projection work), measuring the real plan cost.
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.length / 2)
+    val names = SparkEntry.queries.keys.toSeq
+    val samples = scala.collection.mutable.Map
+      .empty[String, List[Double]].withDefaultValue(Nil)
+    for (_ <- 1 to reps; name <- names) {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      // noop sink: materializes every output column (count() would let
+      // Catalyst prune projection work), measuring the real plan cost.
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
     }
+    val results = names.map { name =>
+      val times = samples(name).sorted
+      name -> times(times.length / 2)
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -17,9 +17,17 @@ object Skew {
 
   private val SaltCol = "_graft_salt"
 
-  /** Equi-join `big ⋈ small` on `keys`, salted: `big` rows get a
-    * round-robin salt in [0, saltBuckets); `small` is replicated once per
-    * salt value. Result is row-identical to the unsalted join.
+  /** Equi-join `big ⋈ small` on `keys`, salted: `big` rows get a content-
+    * derived salt in [0, saltBuckets); `small` is replicated once per salt
+    * value. Result is row-identical to the unsalted join.
+    *
+    * The salt hashes the row's full column set, NOT a row-id: a
+    * `monotonically_increasing_id`-based salt depends on partition layout
+    * and task scheduling, so it re-salts differently on stage retry and its
+    * non-determinism fences off plan-cache reuse. A content hash is
+    * deterministic, survives retries, and spreads a hot key just as evenly
+    * whenever any non-key column varies across the key's rows (the case
+    * that makes a key hot in the first place).
     */
   def saltedJoin(
       big: DataFrame,
@@ -29,7 +37,9 @@ object Skew {
       joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0)
     val saltedBig = big.withColumn(
-      SaltCol, pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+      SaltCol,
+      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(saltBuckets))
+        .cast("long"))
     val replicatedSmall = small.withColumn(
       SaltCol,
       explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))

@@ -1,7 +1,8 @@
 package graft.schema
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
 
 /** Schema-evolution policy: the stored schema is the union over time of all
   * observed schemas; brand-new columns widen the table, and columns missing
@@ -47,17 +48,58 @@ object SchemaEvolution {
   def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[Row](), schema)
 
+  /** Type-drift policy for a column present on BOTH sides with different
+    * types — the batch-path analogue of DynamicFrame choice types
+    * (glue_job_script.py:100-106): JSON numeric inference drifts int→long→
+    * double between batches, and a plain `unionByName` would throw.
+    * Numerics widen within the safe lattice (wider integral; any
+    * fractional mix → double — long→float would silently lose precision);
+    * anything else falls back to string, the same lossless token
+    * representation `JsonStreamSource.widenToChoiceSchema` uses, to be
+    * resolved per-consumer via `resolveChoice`.
+    */
+  def widenType(a: DataType, b: DataType): DataType = {
+    val rank: Map[DataType, Int] = Map(
+      ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3,
+      FloatType -> 4, DoubleType -> 5)
+    if (a == b) a
+    else (rank.get(a), rank.get(b)) match {
+      case (Some(ra), Some(rb)) if ra <= 3 && rb <= 3 => if (ra > rb) a else b
+      case (Some(_), Some(_))                         => DoubleType
+      case _                                          => StringType
+    }
+  }
+
   /** Align `batch` to the union of its own schema and `current`:
     * columns present only in `current` are null-filled; columns present only
-    * in `batch` widen the output schema (glue_job_script.py:90).
-    * Row count is exactly `batch`'s (the other side contributes zero rows).
+    * in `batch` widen the output schema (glue_job_script.py:90); columns on
+    * both sides whose types drifted are cast to [[widenType]] so the union
+    * resolves instead of throwing. Row count is exactly `batch`'s (the
+    * other side contributes zero rows).
     */
   def align(batch: DataFrame, current: StructType): DataFrame =
     if (!differs(batch.schema, current)) batch
-    else
-      batch.unionByName(
-        emptyOf(batch.sparkSession, current),
+    else {
+      val currentTypes = current.fields.map(f => f.name -> f.dataType).toMap
+      val castBatch = batch.schema.fields.foldLeft(batch) { (df, f) =>
+        currentTypes.get(f.name) match {
+          case Some(t) if t != f.dataType =>
+            df.withColumn(f.name, col(f.name).cast(widenType(f.dataType, t)))
+          case _ => df
+        }
+      }
+      val batchTypes = batch.schema.fields.map(f => f.name -> f.dataType).toMap
+      val widenedCurrent = StructType(current.fields.map { f =>
+        batchTypes.get(f.name) match {
+          case Some(t) if t != f.dataType =>
+            f.copy(dataType = widenType(t, f.dataType))
+          case _ => f
+        }
+      })
+      castBatch.unionByName(
+        emptyOf(batch.sparkSession, widenedCurrent),
         allowMissingColumns = true)
+    }
 
   /** Bootstrap-aware alignment: when no current schema exists (first ever
     * batch — the reference's try/except at glue_job_script.py:92-94), the

@@ -72,11 +72,102 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     f.exists(p) && f.listStatus(p).nonEmpty
   }
 
-  /** Raw on-disk frame incl. meta columns. `mergeSchema` because partitions
-    * written before a schema evolution carry the narrower schema.
+  // ---- table schema sidecar -------------------------------------------
+  // The evolved schema is recorded in `_graft_schema.json` under the table
+  // path at every commit — the engine's analogue of Hudi persisting the
+  // writer schema in each commit's timeline metadata. Reading with this
+  // explicit schema (a) avoids parquet footer merging, which at 100 TB
+  // lists and reads every file's footer on the driver, and (b) survives
+  // numeric type drift: partitions written before a widening keep their
+  // narrow files, and Spark's parquet reader widen-reads int32→{int,long,
+  // double} and float→double into the recorded wider type. The leading
+  // underscore keeps the sidecar invisible to data-file listings.
+
+  private def sidecarPath = new Path(spec.path, "_graft_schema.json")
+
+  private[table] def sidecarSchema(spark: SparkSession): Option[org.apache.spark.sql.types.StructType] = {
+    val f = fs(spark)
+    if (!f.exists(sidecarPath)) None
+    else {
+      val in = f.open(sidecarPath)
+      try Some(org.apache.spark.sql.types.DataType
+        .fromJson(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      finally in.close()
+    }
+  }
+
+  /** Merge `written` into the recorded table schema (field union; drifted
+    * common fields take [[SchemaEvolution.widenType]]; everything nullable —
+    * evolution null-fills) and persist it via write-tmp + rename.
     */
-  def readRaw(spark: SparkSession): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(spec.path)
+  private def recordSchema(spark: SparkSession, written: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val merged = sidecarSchema(spark) match {
+      case None => StructType(written.fields.map(_.copy(nullable = true)))
+      case Some(old) =>
+        val byName = written.fields.map(f => f.name -> f).toMap
+        val kept = old.fields.map { f =>
+          byName.get(f.name) match {
+            case Some(nf) if nf.dataType != f.dataType =>
+              StructField(f.name, SchemaEvolution.widenType(f.dataType, nf.dataType))
+            case _ => f.copy(nullable = true)
+          }
+        }
+        val oldNames = old.fieldNames.toSet
+        StructType(kept ++ written.fields.filterNot(f => oldNames(f.name)).map(_.copy(nullable = true)))
+    }
+    val f = fs(spark)
+    val tmp = new Path(spec.path, "._graft_schema.json.tmp")
+    val out = f.create(tmp, true)
+    try out.write(merged.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    f.delete(sidecarPath, false)
+    f.rename(tmp, sidecarPath)
+  }
+
+  /** Can existing parquet files recorded as `from` be read under a schema
+    * widened to `to` without rewriting them? Matches Spark 4's vectorized
+    * reader promotions (int32-physical → int/long/double, float → double);
+    * notably NOT long→double and NOT anything→string.
+    */
+  private def parquetWidenReadable(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (a, b) if a == b                                     => true
+      case (ByteType | ShortType | IntegerType,
+            ShortType | IntegerType | LongType | DoubleType)    => true
+      case (FloatType, DoubleType)                              => true
+      case _                                                    => false
+    }
+  }
+
+  /** True when `batch`'s drift against the recorded schema would leave
+    * existing files unreadable under the widened schema — the commit must
+    * then rewrite the whole table (rare: a non-numeric type conflict).
+    */
+  private def driftNeedsRewrite(
+      current: org.apache.spark.sql.types.StructType,
+      batch: org.apache.spark.sql.types.StructType): Boolean = {
+    val cur = current.fields.map(f => f.name -> f.dataType).toMap
+    batch.fields.exists { f =>
+      cur.get(f.name).exists { t =>
+        t != f.dataType &&
+          !parquetWidenReadable(t, SchemaEvolution.widenType(t, f.dataType))
+      }
+    }
+  }
+
+  /** Raw on-disk frame incl. meta columns, read with the recorded sidecar
+    * schema when present (no footer merging); `mergeSchema` fallback for
+    * tables written before the sidecar existed.
+    */
+  def readRaw(spark: SparkSession): DataFrame = sidecarSchema(spark) match {
+    case Some(s) => spark.read.schema(s).parquet(spec.path)
+    case None    => spark.read.option("mergeSchema", "true").parquet(spec.path)
+  }
 
   /** User-facing view: meta columns stripped, mirroring the reference's drop
     * of the five `_hoodie_*` columns (glue_job_script.py:87-88).
@@ -124,6 +215,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       .parquet(tmp.toString)
     f.delete(new Path(spec.path), true)
     f.rename(tmp, new Path(spec.path))
+    recordSchema(spark, all.schema) // sidecar was deleted with the old dir
   }
 
   /** Incremental query — Hudi's incremental read semantics
@@ -224,6 +316,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     val w = df.write.mode(mode)
     (if (spec.partitionCols.nonEmpty) w.partitionBy(spec.partitionCols: _*) else w)
       .parquet(spec.path)
+    recordSchema(df.sparkSession, df.schema)
   }
 
   /** Predicate selecting exactly the partitions present in `batch` —
@@ -256,9 +349,20 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     currentUserSchema(spark) match {
       case None =>
         writeOut(withMeta(incoming, commitTime), SaveMode.Overwrite)
-      case Some(current) =>
+      case Some(current) if !driftNeedsRewrite(current, incoming.schema) =>
         val aligned = SchemaEvolution.align(incoming, current)
         writeOut(withMeta(aligned, commitTime), SaveMode.Append)
+      case Some(current) =>
+        // Non-widen-readable drift (e.g. a column falling back to the
+        // string choice type): existing files can't be read under the new
+        // schema, so this commit rewrites the whole table once — existing
+        // rows keep their original commit times.
+        val aligned = SchemaEvolution.align(incoming, current)
+        val alignedC = aligned.withColumn(CommitTimeCol, lit(commitTime))
+        val existing = SchemaEvolution.align(
+          readRaw(spark).drop(RecordKeyCol, PartitionPathCol), alignedC.schema)
+        val combined = existing.unionByName(alignedC, allowMissingColumns = true)
+        writeOut(withMeta(combined, commitTime), SaveMode.Overwrite)
     }
   }
 
@@ -306,11 +410,16 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         // Non-global keys: only partitions present in the batch can change.
         // Global keys: additionally rewrite partitions holding an old copy
         // of a batch key (the row relocates), found via a key lookup
-        // (≈ Hudi's index probe).
-        val scanFilter = affectedPartitionsFilter(aligned)
+        // (≈ Hudi's index probe). Non-widen-readable type drift forces a
+        // one-off full-table rewrite (all partitions scanned, cast, and
+        // rewritten) so old files never linger under a schema the parquet
+        // reader can't widen them into.
+        val fullRewrite = driftNeedsRewrite(current, incoming.schema)
+        val scanFilter =
+          if (fullRewrite) None else affectedPartitionsFilter(aligned)
         val scoped = scanFilter.fold(existing)(existing.filter)
         val toScan =
-          if (!spec.globalKeys || spec.partitionCols.isEmpty) scoped
+          if (fullRewrite || !spec.globalKeys || spec.partitionCols.isEmpty) scoped
           else {
             val batchParts =
               aligned.select(spec.partitionCols.map(col): _*).distinct()

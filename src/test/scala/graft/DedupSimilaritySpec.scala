@@ -133,6 +133,16 @@ class DedupSimilaritySpec extends SparkTestBase {
       .select("k", "v", "w").as[(Long, Long, Long)].collect().toSet
     assert(salted == plain)
     assert(plain.nonEmpty)
+    // The content-derived salt must actually SPREAD the hot key: the 99L
+    // key holds ~90% of fact rows; after salting its rows must occupy
+    // (nearly) all 8 buckets, and deterministically so across evaluations.
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    def hotSalts() = big.filter($"k" === 99L)
+      .select(pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(8)))
+      .distinct().as[Int].collect().toSet
+    val spread = hotSalts()
+    assert(spread.size >= 7, s"hot key only reached salt buckets $spread")
+    assert(hotSalts() == spread) // deterministic, unlike a row-id salt
   }
 
   test("multimodal feature extraction: batch shape, determinism, schema") {

@@ -221,4 +221,65 @@ class KeyedTableSuite extends SparkTestBase {
     t.upsert(spark, batch(Row("b", "2024-03-07", 2024, "v1")))
     assert(t.read(spark).count() == 2)
   }
+
+  private def driftTable(partitioned: Boolean) = {
+    val dir = Files.createTempDirectory("graft_kt_").toString
+    KeyedTable(KeyedTableSpec(
+      path = s"$dir/t",
+      keyCols = Seq("name"),
+      precombineCol = "date",
+      partitionCols = if (partitioned) Seq("year") else Nil))
+  }
+
+  private def driftSchema(n: DataType) = StructType(Seq(
+    StructField("name", StringType),
+    StructField("date", StringType),
+    StructField("year", IntegerType),
+    StructField("n", n)))
+
+  test("type drift: int batch then long batch upserts without exception or loss") {
+    val t = driftTable(partitioned = false)
+    t.upsert(spark, spark.createDataFrame(
+      Seq(Row("a", "2024-03-07", 2024, 7)).asJava, driftSchema(IntegerType)))
+    t.upsert(spark, spark.createDataFrame(
+      Seq(Row("b", "2024-03-08", 2024, 8L)).asJava, driftSchema(LongType)))
+    val out = t.read(spark)
+    assert(out.schema("n").dataType == LongType)
+    val byName = out.collect().map(r => r.getAs[String]("name") -> r).toMap
+    assert(byName("a").getAs[Long]("n") == 7L)
+    assert(byName("b").getAs[Long]("n") == 8L)
+  }
+
+  test("type drift with an untouched partition: table stays readable") {
+    val t = driftTable(partitioned = true) // partitioned by year
+    t.upsert(spark, spark.createDataFrame(Seq(
+      Row("a", "2024-03-07", 2023, 1),
+      Row("b", "2024-03-07", 2024, 2)).asJava, driftSchema(IntegerType)))
+    // drifted batch touches only year=2024; year=2023 keeps int files
+    t.upsert(spark, spark.createDataFrame(
+      Seq(Row("c", "2024-03-08", 2024, 3L)).asJava, driftSchema(LongType)))
+    val out = t.read(spark)
+    assert(out.schema("n").dataType == LongType)
+    assert(out.count() == 3)
+    val byName = out.collect().map(r => r.getAs[String]("name") -> r).toMap
+    assert(Seq("a", "b", "c").map(byName(_).getAs[Long]("n")) == Seq(1L, 2L, 3L))
+  }
+
+  test("non-widenable drift (int vs string) forces a full rewrite, stays readable") {
+    val t = driftTable(partitioned = true)
+    t.upsert(spark, spark.createDataFrame(Seq(
+      Row("a", "2024-03-07", 2023, 1),
+      Row("b", "2024-03-07", 2024, 2)).asJava, driftSchema(IntegerType)), commitTime = "c1")
+    // string drift can't be widen-read over int32 files → rewrite commit;
+    // untouched rows keep their original commit time through the rewrite
+    t.upsert(spark, spark.createDataFrame(
+      Seq(Row("c", "2024-03-08", 2024, "x")).asJava, driftSchema(StringType)), commitTime = "c2")
+    val out = t.read(spark)
+    assert(out.schema("n").dataType == StringType)
+    val byName = out.collect().map(r => r.getAs[String]("name") -> r).toMap
+    assert(Seq("a", "b", "c").map(byName(_).getAs[String]("n")) == Seq("1", "2", "x"))
+    val inc = t.readIncremental(spark, "c1").select("name").as[String](
+      org.apache.spark.sql.Encoders.STRING).collect().toSet
+    assert(inc == Set("c"), "rewrite must not refresh untouched rows' commit times")
+  }
 }

@@ -58,6 +58,48 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(SchemaEvolution.differs(a, c))
   }
 
+  test("type drift: numeric widening within the safe lattice") {
+    import graft.schema.SchemaEvolution.widenType
+    assert(widenType(IntegerType, LongType) == LongType)
+    assert(widenType(LongType, IntegerType) == LongType)
+    assert(widenType(ByteType, ShortType) == ShortType)
+    assert(widenType(IntegerType, DoubleType) == DoubleType)
+    // long↔float would lose precision in either integral direction → double
+    assert(widenType(LongType, FloatType) == DoubleType)
+    assert(widenType(FloatType, DoubleType) == DoubleType)
+    // non-numeric conflict falls back to the choice-type string path
+    assert(widenType(StringType, LongType) == StringType)
+    assert(widenType(BooleanType, DateType) == StringType)
+    assert(widenType(StringType, StringType) == StringType)
+  }
+
+  test("type drift: int batch aligns against a long table schema and back") {
+    val longSchema = StructType(Seq(
+      StructField("name", StringType), StructField("n", LongType)))
+    val intBatch = df(
+      StructType(Seq(StructField("name", StringType), StructField("n", IntegerType))),
+      Row("a", 1), Row("b", 2))
+    val out = SchemaEvolution.align(intBatch, longSchema)
+    assert(out.schema("n").dataType == LongType)
+    assert(out.count() == 2)
+    // reverse drift: long batch vs int table schema widens, not throws
+    val longBatch = df(longSchema.copy(), Row("c", 9L))
+    val out2 = SchemaEvolution.align(
+      longBatch,
+      StructType(Seq(StructField("name", StringType), StructField("n", IntegerType))))
+    assert(out2.schema("n").dataType == LongType)
+    assert(out2.collect().map(_.getLong(1)).toSeq == Seq(9L))
+  }
+
+  test("type drift: incompatible conflict resolves via the string choice path") {
+    val batch = df(
+      StructType(Seq(StructField("v", LongType))), Row(5L))
+    val out = SchemaEvolution.align(
+      batch, StructType(Seq(StructField("v", StringType))))
+    assert(out.schema("v").dataType == StringType)
+    assert(out.collect().head.getString(0) == "5")
+  }
+
   test("system columns are dropped from user views") {
     val batch = df(base, Row("a", "2024-03-07", "v1"))
       .withColumn("_graft_commit_time", org.apache.spark.sql.functions.lit("t0"))
