@@ -16,6 +16,16 @@ import graft.sources.Tables
   */
 object Dedup {
 
+  /** `persist()` that tolerates re-entry: a bench rep rebuilds the same
+    * logical plan, and a second `.persist()` on an already-registered plan
+    * logs a CacheManager warning per call; checking the storage level first
+    * (a CacheManager lookup by plan) reuses the existing entry silently.
+    */
+  private def cacheOnce(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    else df
+
   /** Exact dedup: keep the lowest-doc_id representative of each distinct
     * text. One shuffle on the text hash (Spark groups by the value; for
     * very long texts, group by `fingerprintMd5` instead to shrink shuffle
@@ -117,14 +127,13 @@ object Dedup {
     // repartition first (single-row-group input = one scan task), compute
     // once, persist. A few MB per 10k docs; lives until session end
     // (each driver run uses a fresh session).
-    val docs = Tables.documents(s, dir)
+    val docs = cacheOnce(Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .select(
         col("doc_id"),
         sort_array(array_distinct(TextFunctions.shingles(col("text"), shingleK)))
           .as("shingles"))
-      .withColumn("sig", TextFunctions.minhashOfShingles(col("shingles"), numHashes))
-      .persist()
+      .withColumn("sig", TextFunctions.minhashOfShingles(col("shingles"), numHashes)))
 
     // Explode signature into (band, bandHash) bucket keys — ids only, so
     // the bucket join shuffles 16 small rows per doc, not 16 copies of
@@ -186,14 +195,13 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    val docs = Tables.documents(s, dir)
+    val docs = cacheOnce(Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .select(
         col("doc_id"),
         sort_array(array_distinct(TextFunctions.shingles(col("text"), shingleK)))
           .as("sh"))
-      .withColumn("sig", TextFunctions.simhashOfShingles(col("sh")))
-      .persist()
+      .withColumn("sig", TextFunctions.simhashOfShingles(col("sh"))))
 
     // Bucket keys are (chunk index, chunk value) — ids only, shingles are
     // re-attached to the far smaller surviving candidate set.
@@ -250,36 +258,39 @@ object Dedup {
     * CTE computing the same min-reachable-id labels.
     */
   def nearDupClusters(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashLsh(s, dir, threshold = threshold)
-      .select(col("a_id"), col("b_id"))
-      .persist()
+    val pairs = cacheOnce(minhashLsh(s, dir, threshold = threshold)
+      .select(col("a_id"), col("b_id")))
     val edges = pairs
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst")
 
-    var labels = Tables.documents(s, dir)
-      .select(col("doc_id"), col("doc_id").as("cluster_rep"))
-      .persist()
+    var cached = cacheOnce(Tables.documents(s, dir)
+      .select(col("doc_id"), col("doc_id").as("cluster_rep")))
+    var labels = cached
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(edges("src").as("nbr_of"))
         .agg(min(col("cluster_rep")).as("nbr_rep"))
+      // The convergence signal rides INSIDE the propagation frame (`_upd`:
+      // did a neighbor offer a smaller label?), so each round is one job —
+      // materialize-next + count — with no second join against the old
+      // labels just to diff them.
       val next = labels
         .join(nbrMin, labels("doc_id") === nbrMin("nbr_of"), "left")
         .select(
           labels("doc_id"),
           least(
             labels("cluster_rep"),
-            coalesce(col("nbr_rep"), labels("cluster_rep"))).as("cluster_rep"))
-        .persist()
-      changed = next.as("n")
-        .join(labels.withColumnRenamed("cluster_rep", "old").as("o"), "doc_id")
-        .filter(col("cluster_rep") =!= col("old"))
-        .count()
-      labels.unpersist()
-      labels = next
+            coalesce(col("nbr_rep"), labels("cluster_rep"))).as("cluster_rep"),
+          (coalesce(col("nbr_rep"), labels("cluster_rep")) <
+            labels("cluster_rep")).as("_upd"))
+      val nextCached = cacheOnce(next)
+      changed = nextCached.filter(col("_upd")).count()
+      cached.unpersist()
+      cached = nextCached
+      labels = nextCached.drop("_upd")
     }
     pairs.unpersist()
     labels

@@ -12,18 +12,27 @@ import graft.sources.Tables
   */
 object Profile {
 
-  /** Per-column profile of the events table: nulls and exact distinct
-    * counts. The timestamp is profiled at microsecond resolution
-    * (`ts div 1000`) — the cross-engine comparable form of the parquet
-    * nanos column.
+  /** Per-column profile of the events table: nulls and distinct counts.
+    * The timestamp is profiled at microsecond resolution (`ts div 1000`) —
+    * the cross-engine comparable form of the parquet nanos column.
+    *
+    * `exact = true` (default; what the bit-exact DuckDB oracle needs) uses
+    * `count_distinct`, which expands the single scan ~6× — one partial
+    * per distinct-aggregate column. At 100 TB profile with
+    * `exact = false`: `approx_count_distinct` (HyperLogLog++) keeps the
+    * aggregate a true single fused pass with ~2% relative error, which is
+    * what a corpus profile needs.
     */
-  def eventsProfile(s: SparkSession, dir: String): DataFrame = {
+  def eventsProfile(s: SparkSession, dir: String, exact: Boolean = true): DataFrame = {
     val e = Tables.events(s, dir)
       .withColumn("ts_us", expr("ts div 1000"))
     val cols = Seq("event_id", "user_id", "event_type", "ts_us", "value", "props")
+    val distinctOf: String => org.apache.spark.sql.Column =
+      if (exact) c => count_distinct(col(c))
+      else c => approx_count_distinct(col(c))
     val aggs = cols.flatMap(c => Seq(
       sum(col(c).isNull.cast("long")).as(s"${c}_nulls"),
-      count_distinct(col(c)).as(s"${c}_distinct")))
+      distinctOf(c).as(s"${c}_distinct")))
     val row = e.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols
       .map(c => s"'$c', ${c}_nulls, ${c}_distinct")

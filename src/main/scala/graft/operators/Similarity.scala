@@ -125,8 +125,19 @@ object Similarity {
       .collect()
       .map(_.getSeq[Float](0).toArray)
 
+    // Lloyd trains on a bounded deterministic sample — min(256·nlist, n)
+    // rows via a pushed vec_id-stride filter (dense ids ⇒ an even, seedless
+    // sample; no shuffle). Quantizer quality needs O(rows-per-centroid)
+    // evidence, not the corpus: at 100 TB, `iters+1` full passes to train
+    // a nlist×dim codebook would dominate the index build for no recall
+    // gain (standard IVF practice, e.g. FAISS's train-on-sample default).
+    val stride = math.max(1L, n / math.max(1L, math.min(256L * nlist, n)))
+    val train =
+      if (stride <= 1L || iters == 0) e
+      else e.filter(col("vec_id") % stride === 0).persist()
+
     (0 until iters).foreach { _ =>
-      val means = withCentroidId(e, centroids)
+      val means = withCentroidId(train, centroids)
         .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("cid"), col("dim"))
         .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
@@ -143,6 +154,7 @@ object Similarity {
         }
       }.toArray
     }
+    if (!(train eq e)) train.unpersist()
     centroids
   }
 

@@ -23,4 +23,19 @@ class QueriesSpec extends SparkTestBase {
       assert(df.count() > 0, s"$name returned zero rows")
     }
   }
+
+  test("approx profile (scale knob): same shape, exact nulls, distincts within HLL error") {
+    import graft.operators.Profile
+    def byCol(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = byCol(Profile.eventsProfile(spark, sf0001).collect())
+    val approx = byCol(Profile.eventsProfile(spark, sf0001, exact = false).collect())
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (c, (nulls, nd)) =>
+      assert(approx(c)._1 == nulls, s"$c null count must stay exact")
+      // default HLL++ rsd is 5%; allow 3σ
+      assert(math.abs(approx(c)._2 - nd) <= math.max(1L, (nd * 0.15).toLong),
+        s"$c approx distinct ${approx(c)._2} vs exact $nd")
+    }
+  }
 }
