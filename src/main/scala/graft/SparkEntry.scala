@@ -78,7 +78,9 @@ object SparkEntry {
     "q51_dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q52_dataset_split" -> (Curation.datasetSplit(_, _)),
     "q53_contamination" -> ((s, d) => Curation.crossSplitContamination(s, d)),
-    "q54_range_window" -> (Relational.windowRangeHour(_, _))
+    "q54_range_window" -> (Relational.windowRangeHour(_, _)),
+    "q55_incremental_read" -> (UpsertOps.incrementalRead(_, _)),
+    "q56_pii_redact" -> (Curation.piiRedact(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -543,6 +545,43 @@ object SparkEntry {
          |  COUNT(*) AS n_items
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY l_suppkey, s_name""".stripMargin,
+    "q55_incremental_read" ->
+      // rows whose LAST change landed in commit c1 (odd-id batch): keys
+      // whose global latest event is odd; even winners carry commit c0
+      // through the rewrite and fall outside the (c0, c1] window
+      s"""SELECT user_id, event_type, ts_us, event_id, value
+         |FROM ($latestPerUserType) latest
+         |WHERE event_id % 2 = 1""".stripMargin,
+    "q56_pii_redact" -> {
+      val email = Curation.EmailRe
+      val phone = Curation.PhoneRe
+      val ip = Curation.Ipv4Re
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    text ||
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 4 = 0
+         |         THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0
+         |         THEN ' from 192.168.' || CAST(doc_id % 200 + 1 AS VARCHAR) || '.77'
+         |         ELSE '' END AS txt
+         |  FROM documents)
+         |SELECT doc_id, n_emails, n_phones, n_ips, redacted,
+         |       (n_emails + n_phones + n_ips) > 0 AS has_pii
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(txt, '$email', 0)) AS INT) AS n_emails,
+         |    CAST(len(regexp_extract_all(txt, '$phone', 0)) AS INT) AS n_phones,
+         |    CAST(len(regexp_extract_all(txt, '$ip', 0)) AS INT) AS n_ips,
+         |    regexp_replace(regexp_replace(regexp_replace(txt,
+         |        '$email', '<EMAIL>', 'g'),
+         |        '$phone', '<PHONE>', 'g'),
+         |        '$ip', '<IP>', 'g') AS redacted
+         |  FROM d) c""".stripMargin
+    },
     "q42_mm_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'

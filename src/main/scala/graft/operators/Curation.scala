@@ -49,4 +49,60 @@ object Curation {
         col("a_split").as("eval_split"), col("jaccard"))
     aTrain.unionByName(bTrain)
   }
+
+  // ── PII detection / redaction ─────────────────────────────────────────
+  // Regexes written in the common subset of java.util.regex (Spark) and
+  // RE2 (DuckDB oracle) — no backrefs, no lookarounds — so both engines
+  // match identical spans.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** The documents fixture with deterministic synthetic PII injected
+    * (fixture text itself is PII-free, which would make the detector
+    * vacuous): every 3rd doc gains an email, every 4th a phone number,
+    * every 5th an IPv4 — pure expressions both engines reproduce exactly.
+    */
+  private[graft] def syntheticPiiText: Column = {
+    val id = col("doc_id")
+    concat(
+      col("text"),
+      when(id % 3 === 0,
+        concat(lit(" contact user"), id.cast("string"), lit("@mail.example.com")))
+        .otherwise(lit("")),
+      when(id % 4 === 0,
+        concat(lit(" call 555-"), lpad((id % 1000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(id % 5 === 0,
+        concat(lit(" from 192.168."), (id % 200 + 1).cast("string"), lit(".77")))
+        .otherwise(lit("")))
+  }
+
+  /** PII scan + redaction over the documents table — the safety pass of a
+    * curation pipeline: per-document counts of email / phone / IPv4
+    * matches, a has_pii flag (the drop-or-route decision), and a redacted
+    * text with each span replaced by a typed placeholder. Row-level map
+    * over one scan — no shuffle, no state; the regex work is codegen'd
+    * string processing that scales embarrassingly.
+    *
+    * Redaction order (email → phone → IP) is fixed and mirrored in the
+    * oracle so overlapping matches resolve identically.
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("txt", syntheticPiiText)
+      .select(
+        col("doc_id"),
+        // group 0 = whole match, explicitly: Spark defaults the group
+        // index to 1 and Ipv4Re carries a (repetition) capture group
+        size(regexp_extract_all(col("txt"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("txt"), lit(PhoneRe), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("txt"), lit(Ipv4Re), lit(0))).as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("txt"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>").as("redacted"))
+      .withColumn("has_pii",
+        (col("n_emails") + col("n_phones") + col("n_ips")) > 0)
 }

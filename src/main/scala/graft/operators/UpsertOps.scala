@@ -78,6 +78,23 @@ object UpsertOps {
       .select("event_id", "event_type", "value")
   }
 
+  /** Hudi-style incremental query through the real write path: even-id
+    * events land at commit c0, odd-id events at c1, and the incremental
+    * window (c0, c1] returns exactly the rows c1 inserted or updated —
+    * per (user, event_type) key, those where the globally-latest event is
+    * odd (an even-keyed winner is carried through the c1 partition rewrite
+    * with its original c0 commit time, so it stays outside the window).
+    * The oracle is latest-per-key restricted to odd event ids.
+    */
+  def incrementalRead(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_incr_").toString
+    val table = KeyedTable(spec(s"$tmp/events_keyed"))
+    val ev = eventsUs(s, dir)
+    table.upsert(s, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    table.upsert(s, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    outputCols(table.readIncremental(s, sinceCommit = "c0", endCommit = Some("c1")))
+  }
+
   /** The whole reference pipeline end-to-end (O1→O12): events dumped as
     * JSON files, re-ingested as a bounded *streaming* source with inferred
     * schema, driven through foreachBatch micro-batches into a keyed
