@@ -80,7 +80,10 @@ object SparkEntry {
     "q53_contamination" -> ((s, d) => Curation.crossSplitContamination(s, d)),
     "q54_range_window" -> (Relational.windowRangeHour(_, _)),
     "q55_incremental_read" -> (UpsertOps.incrementalRead(_, _)),
-    "q56_pii_redact" -> (Curation.piiRedact(_, _))
+    "q56_pii_redact" -> (Curation.piiRedact(_, _)),
+    "q57_repetition" -> (TextAnalysis.repetition(_, _)),
+    "q58_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(s, d)),
+    "q59_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -582,6 +585,35 @@ object SparkEntry {
          |        '$ip', '<IP>', 'g') AS redacted
          |  FROM d) c""".stripMargin
     },
+    "q57_repetition" ->
+      // bigram table mirrors TextFunctions.shingles(k=2): <2-token docs
+      // fall back to [text] (one trivially-unique "bigram" → ratio 0)
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 2
+        |         THEN list_transform(range(1, len(toks)),
+        |              i -> concat_ws(' ', toks[i], toks[i+1]))
+        |         ELSE [text] END AS grams
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents))
+        |SELECT doc_id,
+        |  CAST(len(grams) AS INT) AS n_bigrams,
+        |  CAST(len(list_distinct(grams)) AS INT) AS n_unique,
+        |  CASE WHEN len(grams) > 0
+        |       THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) /
+        |            CAST(len(grams) AS DOUBLE)
+        |       ELSE 0.0 END AS rep_ratio
+        |FROM g""".stripMargin,
+    "q58_vocabulary" ->
+      """SELECT term, COUNT(*) AS n_occurrences,
+        |       COUNT(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents) t
+        |GROUP BY term
+        |ORDER BY n_occurrences DESC, term
+        |LIMIT 50""".stripMargin,
+    "q59_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 10 < (CASE WHEN lang = 'en' THEN 2 ELSE 5 END)""".stripMargin,
     "q42_mm_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -50,6 +50,27 @@ object Curation {
     aTrain.unionByName(bTrain)
   }
 
+  /** Deterministic stratified sampling: per-language keep rates applied
+    * via a stable id-mod predicate (en is downsampled to 20%, the
+    * lower-resource strata keep 50%) — the language-rebalancing step of a
+    * corpus mix. A pure pushed filter: no shuffle, no RNG state, identical
+    * output on re-ingest and across engines (at scale the mod key would be
+    * a content hash, same shape). Rates are per-stratum data, not code:
+    * pass any (lang → keep-out-of-10) map.
+    */
+  def stratifiedSample(
+      s: SparkSession,
+      dir: String,
+      keepOutOf10: Map[String, Int] = Map("en" -> 2),
+      defaultKeep: Int = 5): DataFrame = {
+    val rate = keepOutOf10.foldLeft(lit(defaultKeep)) { case (acc, (lang, k)) =>
+      when(col("lang") === lang, lit(k)).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(10)) < rate)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   // ── PII detection / redaction ─────────────────────────────────────────
   // Regexes written in the common subset of java.util.regex (Spark) and
   // RE2 (DuckDB oracle) — no backrefs, no lookarounds — so both engines

@@ -46,4 +46,37 @@ object TextAnalysis {
     Tables.documents(s, dir).select(
       col("doc_id"),
       TextFunctions.fingerprintMd5(col("text")).as("fp_md5"))
+
+  /** Intra-document repetition ratio — the Gopher/MassiveText-style
+    * boilerplate signal: the fraction of word bigrams that are repeats of
+    * an earlier bigram in the same document (0 = no repetition). Pure
+    * row-level map; docs with <2 tokens have no bigrams and report 0.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val grams = TextFunctions.shingles(col("text"), 2)
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(grams).as("n_bigrams"),
+      size(array_distinct(grams)).as("n_unique"))
+      .withColumn("rep_ratio",
+        when(col("n_bigrams") > 0,
+          (col("n_bigrams") - col("n_unique")).cast("double") /
+            col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Corpus vocabulary: the 50 most frequent terms with occurrence and
+    * document frequencies. One explode + one aggregation — the shuffle
+    * carries (term, partial counts) after map-side combine, and the top-k
+    * is TakeOrdered (per-partition heads + driver merge, no global sort).
+    */
+  def vocabulary(s: SparkSession, dir: String, topK: Int = 50): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("term"))
+      .limit(topK)
 }

@@ -17,6 +17,12 @@ import org.apache.spark.sql.types._
   * reference's accidental unbound-variable path (glue_job_script.py:89-91,
   * where equal schemas raise NameError and are rescued by the bootstrap
   * `except`).
+  *
+  * The reference's `forcecast` flag (`evolveSchema(..., forcecast=False)`,
+  * glue_job_script.py:82) is accepted but never used by its body — there
+  * is no behavior to reproduce, so it is intentionally unimplemented here;
+  * its plausible intent (coerce drifted column types instead of failing)
+  * is what [[widenType]]/[[align]] provide.
   */
 object SchemaEvolution {
 
