@@ -83,7 +83,10 @@ object SparkEntry {
     "q56_pii_redact" -> (Curation.piiRedact(_, _)),
     "q57_repetition" -> (TextAnalysis.repetition(_, _)),
     "q58_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(s, d)),
-    "q59_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d))
+    "q59_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
+    "q60_corpus_report" -> (Curation.corpusReport(_, _)),
+    "q61_compacted_merge" -> (UpsertOps.compactedMerge(_, _)),
+    "q62_catalog_sql" -> (UpsertOps.catalogSqlRead(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -614,6 +617,18 @@ object SparkEntry {
     "q59_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id % 10 < (CASE WHEN lang = 'en' THEN 2 ELSE 5 END)""".stripMargin,
+    "q60_corpus_report" ->
+      s"""SELECT lang, source, COUNT(*) AS n_docs,
+         |  ${davg("nt")} AS avg_tokens,
+         |  ${davg("n_chars")} AS avg_chars,
+         |  MAX(n_chars) AS max_chars,
+         |  MIN(n_chars) AS min_chars
+         |FROM (SELECT lang, source, n_chars,
+         |        CAST(len(string_split(text, ' ')) AS INT) AS nt
+         |      FROM documents) d
+         |GROUP BY lang, source""".stripMargin,
+    "q61_compacted_merge" -> latestPerUserType,
+    "q62_catalog_sql" -> latestPerUserType,
     "q42_mm_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -50,6 +50,23 @@ object Curation {
     aTrain.unionByName(bTrain)
   }
 
+  /** Per-stratum corpus report — the "what's in the mix" dashboard of a
+    * curation pipeline: per (lang, source) document counts and length
+    * statistics in one map-side-combined aggregate over one scan. Means go
+    * through exact decimal intermediates ([[Exact.davg]]) so the doubles
+    * are partition-order-stable (bit-identical on any executor layout).
+    */
+  def corpusReport(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("nt", size(split(col("text"), " ")))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        Exact.davg(col("nt")).as("avg_tokens"),
+        Exact.davg(col("n_chars")).as("avg_chars"),
+        max(col("n_chars")).as("max_chars"),
+        min(col("n_chars")).as("min_chars"))
+
   /** Deterministic stratified sampling: per-language keep rates applied
     * via a stable id-mod predicate (en is downsampled to 20%, the
     * lower-resource strata keep 50%) — the language-rebalancing step of a

@@ -95,6 +95,38 @@ object UpsertOps {
     outputCols(table.readIncremental(s, sinceCommit = "c0", endCommit = Some("c1")))
   }
 
+  /** The two-commit merge followed by a compaction pass: the table service
+    * must preserve rows, schema, and per-row commit times exactly while
+    * rewriting the physical layout — so the read-back result is identical
+    * to [[upsertMerge]]'s and shares its oracle.
+    */
+  def compactedMerge(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_compact_").toString
+    val table = KeyedTable(spec(s"$tmp/events_keyed"))
+    val ev = eventsUs(s, dir)
+    table.upsert(s, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    table.upsert(s, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    table.compact(s)
+    outputCols(table.read(s))
+  }
+
+  /** O12's catalog surface end-to-end with an oracle: the merged table is
+    * registered in the session metastore ([[KeyedTable.syncCatalog]] —
+    * the reference's Glue-catalog sync + partition registration,
+    * glue_job_script.py:64-73) and the result is produced by `spark.sql`
+    * over the registered name, not by a path read.
+    */
+  def catalogSqlRead(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_cat_").toString
+    val table = KeyedTable(spec(s"$tmp/events_keyed"))
+    val ev = eventsUs(s, dir)
+    table.upsert(s, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    table.upsert(s, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    val name = s"graft_catalog_${System.nanoTime()}"
+    table.syncCatalog(s, name)
+    s.sql(s"SELECT user_id, event_type, ts_us, event_id, value FROM $name")
+  }
+
   /** The whole reference pipeline end-to-end (O1→O12): events dumped as
     * JSON files, re-ingested as a bounded *streaming* source with inferred
     * schema, driven through foreachBatch micro-batches into a keyed
