@@ -100,4 +100,25 @@ object PropertySpec extends Properties("graft") {
       abThenC.columns.toSet == (fa ++ fb ++ fc).toSet &&
         bcFromA.columns.toSet == (fa ++ fb ++ fc).toSet
     }
+
+  private val genType: Gen[DataType] = Gen.oneOf(
+    ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType,
+    StringType, BooleanType, DateType, TimestampType)
+
+  property("widenType is symmetric, idempotent, and never narrows a numeric") =
+    Prop.forAll(genType, genType) { (a, b) =>
+      val w = SchemaEvolution.widenType(a, b)
+      val numericRank = Map[DataType, Int](
+        ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3,
+        FloatType -> 4, DoubleType -> 5)
+      val noNarrowing = (numericRank.get(a), numericRank.get(w)) match {
+        case (Some(ra), Some(rw)) => rw >= ra
+        case (Some(_), None)      => w == StringType // choice fallback
+        case _                    => true
+      }
+      SchemaEvolution.widenType(b, a) == w &&
+        SchemaEvolution.widenType(a, a) == a &&
+        SchemaEvolution.widenType(w, w) == w &&
+        noNarrowing
+    }
 }
