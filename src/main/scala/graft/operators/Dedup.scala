@@ -319,17 +319,20 @@ object Dedup {
       s: SparkSession,
       dir: String,
       threshold: Double = 0.4,
-      nlist: Int = 16,
-      nprobe: Int = 10,
-      iters: Int = 2): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
-    val centroids = Similarity.ivfCentroids(e, nlist, iters)
+      nprobe: Int = 10): DataFrame = {
+    // The quantizer and each vector's own cell come from the write-time
+    // index ([[graft.table.SketchedTable]], same nlist=16/iters=2
+    // parameters): the right side's `cid` is a stored column, not a
+    // per-query recomputation, and the Lloyd build is amortized across
+    // every ANN/dedup query over the same table — at 100 TB it is paid by
+    // the ingest pipeline, not the reader.
+    val (path, centroids) = graft.table.SketchedTable.ensure(s, dir)
+    val e = s.read.parquet(path)
     val a = e
       .select(col("vec_id").as("l_id"), col("embedding"))
       .withColumn("probe_cid", explode(Similarity.probeList(centroids, nprobe)))
       .withColumnRenamed("embedding", "l_emb")
-    val b = Similarity.withCentroidId(e, centroids)
+    val b = e
       .select(col("cid"), col("vec_id").as("r_id"), col("embedding").as("r_emb"))
     a.join(b, col("probe_cid") === col("cid") && col("l_id") =!= col("r_id"))
       .filter(
