@@ -128,6 +128,8 @@ object Curation {
     */
   def piiRedact(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      // single-row-group fixture: spread the per-doc regex work first
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("txt", syntheticPiiText)
       .select(
         col("doc_id"),

@@ -54,7 +54,11 @@ object TextAnalysis {
     */
   def repetition(s: SparkSession, dir: String): DataFrame = {
     val grams = TextFunctions.shingles(col("text"), 2)
-    Tables.documents(s, dir).select(
+    // repartition first: the fixture parquet is single-row-group (one scan
+    // task), so the per-doc shingling must be spread or it runs on 1 core
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
       col("doc_id"),
       size(grams).as("n_bigrams"),
       size(array_distinct(grams)).as("n_unique"))
@@ -72,6 +76,7 @@ object TextAnalysis {
     */
   def vocabulary(s: SparkSession, dir: String, topK: Int = 50): DataFrame =
     Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
       .groupBy(col("term"))
       .agg(
