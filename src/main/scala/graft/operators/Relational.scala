@@ -377,8 +377,12 @@ object Relational {
 
   /** Join + date-dimension aggregation: monthly revenue for 1997 orders. */
   def monthlyRevenue(s: SparkSession, dir: String): DataFrame = {
+    // year(col) === 1997 would evaluate per row and push nothing; the
+    // equivalent half-open date range is a plain comparison the parquet
+    // scan can prune row groups with (PushedFilters in the plan).
     val o = Tables.orders(s, dir)
-      .filter(year(col("o_orderdate")) === 1997)
+      .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1998-01-01 00:00:00"))
     Tables.lineitem(s, dir)
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(month(col("o_orderdate")).as("od_month"))

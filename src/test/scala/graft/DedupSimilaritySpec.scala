@@ -145,6 +145,45 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(hotSalts() == spread) // deterministic, unlike a row-id salt
   }
 
+  test("AQE skew join splits the hot partition at runtime, result unchanged") {
+    import graft.operators.Skew
+    val pairs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one key holds ~90% of a payload-heavy frame → its shuffle
+      // partition exceeds the (lowered) skew threshold
+      val big = spark.range(0, 20000)
+        .selectExpr(
+          "IF(id % 10 = 0, id % 7, 99L) AS k",
+          "repeat('x', 100) AS payload", "id AS v")
+      val small = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS w")
+      val j = big.join(small, "k").selectExpr("k", "v", "w")
+      // collect on THIS Dataset: the adaptive final plan (with the skew
+      // split) is only observable on the executed queryExecution
+      val aqeRows = j.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE should have split the hot partition:\n$finalPlan")
+      // AQE's split must not change the result — same rows as the
+      // explicitly salted join over the same frames
+      val salted = Skew.saltedJoin(
+        big.select("k", "v"), small, Seq("k"), saltBuckets = 8)
+        .select("k", "v", "w").as[(Long, Long, Long)].collect().toSet
+      assert(aqeRows == salted && aqeRows.nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("multimodal feature extraction: batch shape, determinism, schema") {
     val media = Multimodal.mediaTable(spark, sf0001)
     val feats = Multimodal.extractFeatures(media, dim = 8)
