@@ -144,6 +144,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchases attribute to in-window clicks only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.timestamp_micros
+    import graft.streaming.StreamJoin
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val minUs = 60L * 1000 * 1000
+    val base = 1000 * 60 * minUs // clear of epoch: time-0 rows would sit
+                                 // AT the initial watermark and be dropped
+    val msC = MemoryStream[(Long, Long)]
+    val msP = MemoryStream[(Long, Long, Double)]
+    val clicks = msC.toDF().toDF("user_id", "c_us")
+      .withColumn("c_ts", timestamp_micros($"c_us"))
+    val purchases = msP.toDF().toDF("p_user", "p_us", "amount")
+      .withColumn("p_ts", timestamp_micros($"p_us"))
+    val q = StreamJoin.clickAttribution(clicks, purchases)
+      .select("user_id", "c_us", "p_us", "amount")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_out").start()
+    try {
+      msC.addData((1L, base), (2L, base))
+      msP.addData((1L, base + 30 * minUs, 9.99)) // 30 min later → match
+      q.processAllAvailable()
+      val first = spark.table("attr_out")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(first == Set((1L, base, base + 30 * minUs, 9.99)))
+
+      // user 2 purchases 3 h after the click — outside the 1 h window
+      msP.addData((2L, base + 180 * minUs, 5.0))
+      q.processAllAvailable()
+      val after = spark.table("attr_out")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(after == first, "out-of-window purchase must not join")
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate keys within the watermark are dropped, state stays bounded") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingDedup
