@@ -86,7 +86,9 @@ object SparkEntry {
     "q59_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
     "q60_corpus_report" -> (Curation.corpusReport(_, _)),
     "q61_compacted_merge" -> (UpsertOps.compactedMerge(_, _)),
-    "q62_catalog_sql" -> (UpsertOps.catalogSqlRead(_, _))
+    "q62_catalog_sql" -> (UpsertOps.catalogSqlRead(_, _)),
+    "q63_curated_corpus" -> ((s, d) => Curation.curatedCorpus(s, d)),
+    "q64_funnel" -> (Relational.funnel(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -174,6 +176,52 @@ object SparkEntry {
       |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
       |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
       |  FROM events) t WHERE rn = 1""".stripMargin
+
+  private val textQualitySql =
+    s"""SELECT doc_id,
+       |  CAST(${wordOcc(stopwordsAll)} AS INT) AS n_stopwords,
+       |  CAST(${wordOcc(stopwordsAll)} AS DOUBLE) /
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+       |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INT) AS n_punct,
+       |  (CASE WHEN CAST(len(string_split(text, ' ')) AS DOUBLE) >= 20.0 THEN 1.0
+       |        ELSE CAST(len(string_split(text, ' ')) AS DOUBLE) / 20.0 END) * 0.5 +
+       |  (CASE WHEN CAST(${wordOcc(stopwordsAll)} AS DOUBLE) /
+       |             CAST(len(string_split(text, ' ')) AS DOUBLE) > 0.1 THEN 1.0
+       |        ELSE (CAST(${wordOcc(stopwordsAll)} AS DOUBLE) /
+       |              CAST(len(string_split(text, ' ')) AS DOUBLE)) * 10.0 END) * 0.5
+       |    AS quality
+       |FROM documents""".stripMargin
+
+  private val langIdSql = {
+    val en = wordOcc("['the', 'of', 'and', 'to', 'in']")
+    val fr = wordOcc("['le', 'la', 'les', 'des', 'et']")
+    val es = wordOcc("['el', 'los', 'las', 'una', 'y']")
+    val de = wordOcc("['der', 'die', 'das', 'und', 'ist']")
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN $en = 0 AND $fr = 0 AND $es = 0 AND $de = 0 THEN 'unknown'
+       |       WHEN $en >= $fr AND $en >= $es AND $en >= $de THEN 'en'
+       |       WHEN $fr >= $es AND $fr >= $de THEN 'fr'
+       |       WHEN $es >= $de THEN 'es'
+       |       ELSE 'de' END AS lang_guess
+       |FROM documents""".stripMargin
+  }
+
+  private val repetitionSql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 2
+      |         THEN list_transform(range(1, len(toks)),
+      |              i -> concat_ws(' ', toks[i], toks[i+1]))
+      |         ELSE [text] END AS grams
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents))
+      |SELECT doc_id,
+      |  CAST(len(grams) AS INT) AS n_bigrams,
+      |  CAST(len(list_distinct(grams)) AS INT) AS n_unique,
+      |  CASE WHEN len(grams) > 0
+      |       THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) /
+      |            CAST(len(grams) AS DOUBLE)
+      |       ELSE 0.0 END AS rep_ratio
+      |FROM g""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. The sketch-based operators (q32/q33 LSH
@@ -389,33 +437,8 @@ object SparkEntry {
         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS INT) AS n_tokens_bpe
         |FROM documents""".stripMargin,
-    "q36_text_quality" ->
-      s"""SELECT doc_id,
-         |  CAST(${wordOcc(stopwordsAll)} AS INT) AS n_stopwords,
-         |  CAST(${wordOcc(stopwordsAll)} AS DOUBLE) /
-         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
-         |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INT) AS n_punct,
-         |  (CASE WHEN CAST(len(string_split(text, ' ')) AS DOUBLE) >= 20.0 THEN 1.0
-         |        ELSE CAST(len(string_split(text, ' ')) AS DOUBLE) / 20.0 END) * 0.5 +
-         |  (CASE WHEN CAST(${wordOcc(stopwordsAll)} AS DOUBLE) /
-         |             CAST(len(string_split(text, ' ')) AS DOUBLE) > 0.1 THEN 1.0
-         |        ELSE (CAST(${wordOcc(stopwordsAll)} AS DOUBLE) /
-         |              CAST(len(string_split(text, ' ')) AS DOUBLE)) * 10.0 END) * 0.5
-         |    AS quality
-         |FROM documents""".stripMargin,
-    "q37_text_langid" -> {
-      val en = wordOcc("['the', 'of', 'and', 'to', 'in']")
-      val fr = wordOcc("['le', 'la', 'les', 'des', 'et']")
-      val es = wordOcc("['el', 'los', 'las', 'una', 'y']")
-      val de = wordOcc("['der', 'die', 'das', 'und', 'ist']")
-      s"""SELECT doc_id, lang,
-         |  CASE WHEN $en = 0 AND $fr = 0 AND $es = 0 AND $de = 0 THEN 'unknown'
-         |       WHEN $en >= $fr AND $en >= $es AND $en >= $de THEN 'en'
-         |       WHEN $fr >= $es AND $fr >= $de THEN 'fr'
-         |       WHEN $es >= $de THEN 'es'
-         |       ELSE 'de' END AS lang_guess
-         |FROM documents""".stripMargin
-    },
+    "q36_text_quality" -> textQualitySql,
+    "q37_text_langid" -> langIdSql,
     "q34_embed_dedup" ->
       // ids only: DuckDB's cosine runs in float32 (≈2e-7 error), ours in
       // float64 — the pair SET is stable (min threshold margin ≈1e-4 at
@@ -588,24 +611,9 @@ object SparkEntry {
          |        '$ip', '<IP>', 'g') AS redacted
          |  FROM d) c""".stripMargin
     },
-    "q57_repetition" ->
-      // bigram table mirrors TextFunctions.shingles(k=2): <2-token docs
-      // fall back to [text] (one trivially-unique "bigram" → ratio 0)
-      """WITH g AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 2
-        |         THEN list_transform(range(1, len(toks)),
-        |              i -> concat_ws(' ', toks[i], toks[i+1]))
-        |         ELSE [text] END AS grams
-        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents))
-        |SELECT doc_id,
-        |  CAST(len(grams) AS INT) AS n_bigrams,
-        |  CAST(len(list_distinct(grams)) AS INT) AS n_unique,
-        |  CASE WHEN len(grams) > 0
-        |       THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) /
-        |            CAST(len(grams) AS DOUBLE)
-        |       ELSE 0.0 END AS rep_ratio
-        |FROM g""".stripMargin,
+    // bigram table mirrors TextFunctions.shingles(k=2): <2-token docs
+    // fall back to [text] (one trivially-unique "bigram" → ratio 0)
+    "q57_repetition" -> repetitionSql,
     "q58_vocabulary" ->
       """SELECT term, COUNT(*) AS n_occurrences,
         |       COUNT(DISTINCT doc_id) AS n_docs
@@ -629,6 +637,39 @@ object SparkEntry {
          |GROUP BY lang, source""".stripMargin,
     "q61_compacted_merge" -> latestPerUserType,
     "q62_catalog_sql" -> latestPerUserType,
+    "q63_curated_corpus" -> {
+      val email = Curation.EmailRe
+      val phone = Curation.PhoneRe
+      val ip = Curation.Ipv4Re
+      s"""WITH q AS ($textQualitySql),
+         |r AS ($repetitionSql),
+         |l AS ($langIdSql),
+         |pii AS (SELECT doc_id,
+         |  len(regexp_extract_all(text, '$email', 0)) +
+         |  len(regexp_extract_all(text, '$phone', 0)) +
+         |  len(regexp_extract_all(text, '$ip', 0)) AS n_pii FROM documents)
+         |SELECT d.doc_id, d.lang, q.quality, r.rep_ratio
+         |FROM documents d
+         |JOIN q ON d.doc_id = q.doc_id
+         |JOIN r ON d.doc_id = r.doc_id
+         |JOIN l ON d.doc_id = l.doc_id
+         |JOIN pii ON d.doc_id = pii.doc_id
+         |WHERE q.quality >= 0.5 AND r.rep_ratio <= 0.5
+         |  AND l.lang_guess = d.lang AND pii.n_pii = 0""".stripMargin
+    },
+    "q64_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id, MIN(ts_us) AS view_ts FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts_us) AS click_ts
+        |      FROM ev e JOIN v ON e.user_id = v.user_id AND e.ts_us >= v.view_ts
+        |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts_us) AS purchase_ts
+        |      FROM ev e JOIN c ON e.user_id = c.user_id AND e.ts_us >= c.click_ts
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
     "q42_mm_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -67,6 +67,44 @@ object Curation {
         max(col("n_chars")).as("max_chars"),
         min(col("n_chars")).as("min_chars"))
 
+  /** The curation pipeline's terminal filter — quality gates composed into
+    * one pass: keep documents whose quality score clears the floor, whose
+    * bigram repetition stays under the boilerplate ceiling, whose
+    * heuristic language agrees with the labelled one, and which carry no
+    * detectable PII in the raw text. One scan, all row-level expressions;
+    * every component metric is independently oracle-validated
+    * (q36/q37/q56/q57), this operator pins their composition.
+    */
+  def curatedCorpus(
+      s: SparkSession,
+      dir: String,
+      minQuality: Double = 0.5,
+      maxRepetition: Double = 0.5): DataFrame = {
+    import graft.functions.TextFunctions
+    val grams = TextFunctions.shingles(col("text"), 2)
+    val piiCount =
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))) +
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))) +
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        (when(size(grams) > 0,
+          (size(grams) - size(array_distinct(grams))).cast("double") /
+            size(grams).cast("double"))
+          .otherwise(lit(0.0))).as("rep_ratio"),
+        TextFunctions.langIdGuess(col("text")).as("lang_guess"),
+        piiCount.as("n_pii"))
+      .filter(
+        col("quality") >= minQuality &&
+        col("rep_ratio") <= maxRepetition &&
+        col("lang_guess") === col("lang") &&
+        col("n_pii") === 0)
+      .select("doc_id", "lang", "quality", "rep_ratio")
+  }
+
   /** Deterministic stratified sampling: per-language keep rates applied
     * via a stable id-mod predicate (en is downsampled to 20%, the
     * lower-resource strata keep 50%) — the language-rebalancing step of a

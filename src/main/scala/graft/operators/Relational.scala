@@ -376,6 +376,32 @@ object Relational {
         countDistinct(col("user_id")).as("n_users"))
 
   /** Join + date-dimension aggregation: monthly revenue for 1997 orders. */
+  /** Conversion funnel over events at rest: per user, the first view, the
+    * first click at-or-after that view, and the first purchase at-or-after
+    * that click (nulls where a stage was never reached). Every stage is a
+    * keyed aggregate joined back on `user_id`: all shuffles share the one
+    * key, so the stages co-partition, and each successive join's right
+    * side shrinks as the funnel narrows (broadcast-sized in practice).
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("view_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .withColumnRenamed("user_id", "c_user")
+      .join(v, col("c_user") === col("user_id") && col("ts_us") >= col("view_ts"))
+      .groupBy(col("c_user")).agg(min("ts_us").as("click_ts"))
+      .withColumnRenamed("c_user", "user_id")
+    val p = e.filter(col("event_type") === "purchase")
+      .withColumnRenamed("user_id", "p_user")
+      .join(c, col("p_user") === col("user_id") && col("ts_us") >= col("click_ts"))
+      .groupBy(col("p_user")).agg(min("ts_us").as("purchase_ts"))
+      .withColumnRenamed("p_user", "user_id")
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+  }
+
   def monthlyRevenue(s: SparkSession, dir: String): DataFrame = {
     // year(col) === 1997 would evaluate per row and push nothing; the
     // equivalent half-open date range is a plain comparison the parquet
