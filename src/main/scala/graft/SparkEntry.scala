@@ -88,7 +88,8 @@ object SparkEntry {
     "q61_compacted_merge" -> (UpsertOps.compactedMerge(_, _)),
     "q62_catalog_sql" -> (UpsertOps.catalogSqlRead(_, _)),
     "q63_curated_corpus" -> ((s, d) => Curation.curatedCorpus(s, d)),
-    "q64_funnel" -> (Relational.funnel(_, _))
+    "q64_funnel" -> (Relational.funnel(_, _)),
+    "q65_bucketed_stats" -> (graft.table.BucketedTable.bucketedOrderStats(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -670,6 +671,13 @@ object SparkEntry {
         |SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "q65_bucketed_stats" ->
+      // the oracle is the plain join+aggregate: bucketing must only change
+      // the physical plan (no exchanges), never the result
+      s"""SELECT c_custkey, c_mktsegment, COUNT(*) AS n_orders,
+         |  ${dsum("o_totalprice")} AS total_spent
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_custkey, c_mktsegment""".stripMargin,
     "q42_mm_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
