@@ -89,7 +89,8 @@ object SparkEntry {
     "q62_catalog_sql" -> (UpsertOps.catalogSqlRead(_, _)),
     "q63_curated_corpus" -> ((s, d) => Curation.curatedCorpus(s, d)),
     "q64_funnel" -> (Relational.funnel(_, _)),
-    "q65_bucketed_stats" -> (graft.table.BucketedTable.bucketedOrderStats(_, _))
+    "q65_bucketed_stats" -> (graft.table.BucketedTable.bucketedOrderStats(_, _)),
+    "q66_top_quality" -> ((s, d) => TextAnalysis.topQualityDocs(s, d))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -678,6 +679,14 @@ object SparkEntry {
          |  ${dsum("o_totalprice")} AS total_spent
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_custkey, c_mktsegment""".stripMargin,
+    "q66_top_quality" ->
+      s"""WITH q AS ($textQualitySql)
+         |SELECT lang, doc_id, rnk FROM (
+         |  SELECT d.lang, d.doc_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY d.lang
+         |      ORDER BY q.quality DESC, d.doc_id) AS INT) AS rnk
+         |  FROM documents d JOIN q ON d.doc_id = q.doc_id) t
+         |WHERE rnk <= 3""".stripMargin,
     "q42_mm_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -69,6 +69,29 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** Group-wise top-k: the `k` highest-quality documents per language,
+    * through the bounded-heap aggregate ([[graft.functions.TopKByScore]]).
+    * Versus the window row_number form, map-side partial aggregation sends
+    * at most k entries per (lang, input partition) to the shuffle — the
+    * shape that matters when a group holds billions of rows. Ties rank
+    * (score desc, doc_id asc) on both engines.
+    */
+  def topQualityDocs(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import graft.functions.TopKByScore.topKByScore
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("lang"), col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .groupBy(col("lang"))
+      .agg(topKByScore(col("quality"), col("doc_id"), k).as("ids"))
+      .select(col("lang"), posexplode(col("ids")))
+      .select(
+        col("lang"),
+        col("col").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** Corpus vocabulary: the 50 most frequent terms with occurrence and
     * document frequencies. One explode + one aggregation — the shuffle
     * carries (term, partial counts) after map-side combine, and the top-k

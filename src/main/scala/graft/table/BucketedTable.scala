@@ -29,19 +29,25 @@ import graft.sources.Tables
   */
 object BucketedTable {
 
-  /** Write `df` as a bucketed, per-bucket-sorted managed parquet table. */
+  /** Write `df` as a bucketed, per-bucket-sorted parquet table. With
+    * `path` the table is external (a fresh session can re-register over a
+    * location left by a previous run — a managed CREATE would refuse the
+    * existing directory); without, managed in the session warehouse.
+    */
   def write(
       df: DataFrame,
       table: String,
       buckets: Int,
       key: String,
-      sortCols: Seq[String] = Nil): Unit = {
+      sortCols: Seq[String] = Nil,
+      path: Option[String] = None): Unit = {
     val sorts = if (sortCols.isEmpty) Seq(key) else sortCols
-    df.write.mode("overwrite")
+    val w = df.write.mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(sorts.head, sorts.tail: _*)
-      .saveAsTable(table)
+    path.foreach(w.option("path", _))
+    w.saveAsTable(table)
   }
 
   val Buckets = 8
@@ -60,12 +66,13 @@ object BucketedTable {
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val ot = s"graft_bkt_orders_$key"
       val ct = s"graft_bkt_customer_$key"
+      val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed/$key"
       write(
         Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_totalprice"),
-        ot, Buckets, "o_custkey")
+        ot, Buckets, "o_custkey", path = Some(s"$base/orders"))
       write(
         Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
-        ct, Buckets, "c_custkey")
+        ct, Buckets, "c_custkey", path = Some(s"$base/customer"))
       (ot, ct)
     })
 
