@@ -80,23 +80,30 @@ object Curation {
       dir: String,
       minQuality: Double = 0.5,
       maxRepetition: Double = 0.5): DataFrame = {
-    import graft.functions.TextFunctions
-    val grams = TextFunctions.shingles(col("text"), 2)
+    // Composed from the component operators (each metric column is
+    // exactly its independently-oracled operator), joined on doc_id, with
+    // a cache barrier between computing the metrics and filtering on
+    // them. The barrier is load-bearing: the text metrics are built from
+    // higher-order functions (transform/filter lambdas), which are
+    // CodegenFallback — without the barrier, predicate pushdown inlines
+    // each metric's whole expression tree into the filter condition and
+    // the interpreted evaluator re-runs the shingling per reference
+    // (measured ~18× slowdown). The cached frame is narrow (ids + a few
+    // numbers, no text), so the barrier costs little even at corpus
+    // scale, and the gate's survivors are typically re-read many times.
+    val q = TextAnalysis.quality(s, dir).select("doc_id", "quality")
+    val r = TextAnalysis.repetition(s, dir).select("doc_id", "rep_ratio")
+    val l = TextAnalysis.langId(s, dir) // doc_id, lang, lang_guess
     val piiCount =
       size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))) +
         size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))) +
         size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
-    Tables.documents(s, dir)
+    val pii = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
-      .select(
-        col("doc_id"), col("lang"),
-        TextFunctions.qualityScore(col("text")).as("quality"),
-        (when(size(grams) > 0,
-          (size(grams) - size(array_distinct(grams))).cast("double") /
-            size(grams).cast("double"))
-          .otherwise(lit(0.0))).as("rep_ratio"),
-        TextFunctions.langIdGuess(col("text")).as("lang_guess"),
-        piiCount.as("n_pii"))
+      .select(col("doc_id"), piiCount.as("n_pii"))
+    val metrics = Caching.cacheOnce(
+      l.join(q, "doc_id").join(r, "doc_id").join(pii, "doc_id"))
+    metrics
       .filter(
         col("quality") >= minQuality &&
         col("rep_ratio") <= maxRepetition &&

@@ -16,15 +16,7 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  /** `persist()` that tolerates re-entry: a bench rep rebuilds the same
-    * logical plan, and a second `.persist()` on an already-registered plan
-    * logs a CacheManager warning per call; checking the storage level first
-    * (a CacheManager lookup by plan) reuses the existing entry silently.
-    */
-  private def cacheOnce(df: DataFrame): DataFrame =
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist()
-    else df
+  private def cacheOnce(df: DataFrame): DataFrame = Caching.cacheOnce(df)
 
   /** Exact dedup: keep the lowest-doc_id representative of each distinct
     * text. One shuffle on the text hash (Spark groups by the value; for
