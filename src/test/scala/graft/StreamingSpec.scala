@@ -83,6 +83,31 @@ class StreamingSpec extends SparkTestBase {
     assert(!t.exists(spark))
   }
 
+  test("malformed JSON records do not fail the pipeline; valid rows land") {
+    // Spark's JSON source defaults to PERMISSIVE: a record that fails to
+    // parse yields an all-null row instead of failing the query — the
+    // DynamicFrame-style never-fail-the-batch posture. The pipeline
+    // carries the null row through the upsert (a single null-key group);
+    // valid rows are unaffected. This pins the policy: bad input degrades
+    // to an inspectable null row, never to a dead stream.
+    val tmp = Files.createTempDirectory("graft_stream_spec_").toString
+    writeJson(s"$tmp/in", Seq(
+      """{"name":"a","date":"2024-03-07","year":2024,"payload":"v1"}""",
+      """{this is not json at all""",
+      """{"name":"b","date":"2024-03-07","year":2024,"payload":"w1"}"""))
+    val t = table(tmp)
+    val q = MicroBatchPipeline.start(
+      JsonStreamSource.stream(spark, s"$tmp/in"),
+      t, s"$tmp/cp", Trigger.AvailableNow())
+    q.awaitTermination()
+    val rows = t.read(spark).collect()
+    val byName = rows.filter(_.getAs[String]("name") != null)
+      .map(r => r.getAs[String]("name") -> r.getAs[String]("payload")).toMap
+    assert(byName == Map("a" -> "v1", "b" -> "w1"))
+    // the malformed record degrades to exactly one all-null row
+    assert(rows.count(_.getAs[String]("name") == null) == 1)
+  }
+
   test("event-time tumbling window + watermark: finalized windows emit, late data is dropped") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.{count => cnt, lit, timestamp_micros, window}
