@@ -14,13 +14,17 @@ import graft.functions._
   * (glue-streaming-job-script/glue_job_script.py:19's `.config(...)` style).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
+    // Optimizer rules: year(col) <cmp> literal → sargable range
+    // ([[graft.plans.YearPredicateToRange]]).
+    e.injectOptimizerRule(_ => graft.plans.YearPredicateToRange)
+  }
 }
 
 object GraftExtensions {

@@ -10,6 +10,7 @@ object TimeOne {
     val name = args.headOption.getOrElse("q41_knn_join")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))

@@ -13,6 +13,7 @@ trait SparkTestBase extends AnyFunSuite {
 object SparkTestBase {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master("local[8]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "8")
