@@ -151,6 +151,29 @@ object Calibrate {
       say(s"q34-ivf0: candidate pairs at nprobe=$np: $cand / ${n.toLong * (n - 1) / 2}")
     }
 
+    // ── q67 PQ: ADC rank needed to recall the exact top-10 ─────────────
+    val books = Similarity.pqTrain(ePart, 8, 64, 64)
+    val qn = Similarity.normalized(emb(q0))
+    val adcTables = Similarity.pqAdcTables(qn, books)
+    def pqCode(v: Array[Float]): Array[Int] = {
+      val nv = Similarity.normalized(v)
+      books.zipWithIndex.map { case (cents, mi) =>
+        val d = cents.head.length
+        cents.zipWithIndex.map { case (c, code) =>
+          var s = 0.0; var j = 0
+          while (j < d) { val t = nv(mi * d + j) - c(j); s += t * t; j += 1 }
+          (s, code)
+        }.min._2
+      }
+    }
+    def adcOf(v: Array[Float]): Double =
+      pqCode(v).zipWithIndex.map { case (c, mi) => adcTables(mi)(c) }.sum
+    val adcOrder = (0 until n).filter(_ != q0)
+      .sortBy(i => (adcOf(emb(i)), ids(i)))
+    val adcRanks = top10.map(j => adcOrder.indexOf(j) + 1)
+    say(s"q67-pq (m=8,k=64): ADC ranks of true top-10: ${adcRanks.mkString(",")} " +
+      s"needRerank=${adcRanks.max} (budget 300)")
+
     // ── q32 minhash: banding recall vs true shingle jaccard ────────────
     val docRows = Tables.documents(spark, sfDir)
       .select(

@@ -90,7 +90,8 @@ object SparkEntry {
     "q63_curated_corpus" -> ((s, d) => Curation.curatedCorpus(s, d)),
     "q64_funnel" -> (Relational.funnel(_, _)),
     "q65_bucketed_stats" -> (graft.table.BucketedTable.bucketedOrderStats(_, _)),
-    "q66_top_quality" -> ((s, d) => TextAnalysis.topQualityDocs(s, d))
+    "q66_top_quality" -> ((s, d) => TextAnalysis.topQualityDocs(s, d)),
+    "q67_ann_pq" -> ((s, d) => graft.table.SketchedTable.annPqIndexed(s, d))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -511,6 +512,7 @@ object SparkEntry {
     "q39_ann_brute" -> annTop10Sql,
     "q40_ann_lsh" -> annTop10Sql,
     "q44_ann_ivf" -> annTop10Sql,
+    "q67_ann_pq" -> annTop10Sql,
     "q41_knn_join" ->
       // ids and ranks only: DuckDB's cosine runs in float32, ours in
       // float64 — the fixture's smallest adjacent-rank cosine gap

@@ -318,8 +318,9 @@ object Dedup {
     // per-query recomputation, and the Lloyd build is amortized across
     // every ANN/dedup query over the same table — at 100 TB it is paid by
     // the ingest pipeline, not the reader.
-    val (path, centroids) = graft.table.SketchedTable.ensure(s, dir)
-    val e = s.read.parquet(path)
+    val idx = graft.table.SketchedTable.ensure(s, dir)
+    val centroids = idx.centroids
+    val e = s.read.parquet(idx.path)
     val a = e
       .select(col("vec_id").as("l_id"), col("embedding"))
       .withColumn("probe_cid", explode(Similarity.probeList(centroids, nprobe)))

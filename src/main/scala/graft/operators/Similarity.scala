@@ -158,6 +158,140 @@ object Similarity {
     centroids
   }
 
+  // ── product quantization (Jégou/Douze/Schmid, TPAMI 2011) ───────────
+  // The third classical ANN sketch beside the hyperplane LSH and IVF: the
+  // L2-normalized vector is cut into `m` subvectors, each quantized to one
+  // of `ksub` per-subspace centroids, so a vector compresses to m small
+  // codes (packed into one long here). A query scores candidates with an
+  // asymmetric-distance table — m lookups + adds per candidate, no
+  // per-candidate float math — then the exact cosine reranks the best
+  // `rerank` survivors. Normalization makes ADC's L2 order the cosine
+  // order, so with a calibrated rerank budget the output equals the exact
+  // top-k (the fixture's near-random geometry needs rerank≈200/500; real
+  // embedding corpora with near-dup structure prune orders of magnitude
+  // harder).
+
+  private[graft] def normalized(v: Array[Float]): Array[Float] = {
+    var ss = 0.0; var i = 0
+    while (i < v.length) { ss += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(ss)
+    if (n == 0) v.clone() else v.map(x => (x / n).toFloat)
+  }
+
+  /** Deterministic in-memory k-means (evenly-spaced seeds over the sample,
+    * fixed iteration count, empty clusters keep their centroid) — the
+    * per-subspace codebook trainer. Driver-side by design: codebook
+    * training needs a bounded sample (min(256·ksub, n) rows collected via
+    * the same vec_id stride as [[ivfCentroids]]), never the corpus.
+    */
+  private[graft] def kmeansLocal(
+      xs: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    val n = xs.length
+    var cents = Array.tabulate(math.min(k, n)) { i =>
+      xs(((i.toLong * (n - 1)) / math.max(1, k - 1)).toInt).clone()
+    }
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(cents.length)(new Array[Double](xs.head.length))
+      val counts = new Array[Long](cents.length)
+      xs.foreach { x =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var j = 0
+          while (j < x.length) {
+            val t = x(j) - cents(c)(j); d += t * t; j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < x.length) { sums(best)(j) += x(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else sums(c).map(v => (v / counts(c)).toFloat)
+      }
+    }
+    cents
+  }
+
+  /** Train PQ codebooks: m × ksub × (dim/m), over the normalized stride
+    * sample.
+    */
+  private[graft] def pqTrain(
+      e: DataFrame, m: Int, ksub: Int, dim: Int,
+      iters: Int = 5): Array[Array[Array[Float]]] = {
+    val n = e.count()
+    val stride = math.max(1L, n / math.max(1L, math.min(256L * ksub, n)))
+    val sample = e.filter(col("vec_id") % stride === 0)
+      .select("embedding").collect()
+      .map(r => normalized(r.getSeq[Float](0).toArray))
+    val d = dim / m
+    Array.tabulate(m) { mi =>
+      kmeansLocal(
+        sample.map(v => java.util.Arrays.copyOfRange(v, mi * d, mi * d + d)),
+        ksub, iters)
+    }
+  }
+
+  /** The packed PQ code of `emb` (byte per subspace, low byte = subspace
+    * 0): per subspace, argmin over centroids of the L2 distance between
+    * the normalized subvector and the centroid — expressed through the
+    * identity ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖², so the per-centroid work is
+    * one fused [[VectorFunctions.dotProduct]] (codegen'd) plus constants,
+    * ranked by `least` over (dist, code) structs (deterministic ties).
+    * Write-time cost, amortized like the sketch/cid columns.
+    */
+  private[graft] def pqCodeExpr(
+      emb: Column, codebooks: Array[Array[Array[Float]]]): Column = {
+    val m = codebooks.length
+    val norm = sqrt(VectorFunctions.dotProduct(emb, emb))
+    val byteCols = codebooks.zipWithIndex.map { case (cents, mi) =>
+      val d = cents.head.length
+      val sub = slice(emb, mi * d + 1, d)
+      val ranked = cents.zipWithIndex.map { case (c, code) =>
+        val cLit = array(c.map(lit(_)).toIndexedSeq: _*).cast("array<float>")
+        val cNormSqHalf = c.map(x => x.toDouble * x).sum / 2.0
+        struct(
+          (lit(cNormSqHalf) -
+            VectorFunctions.dotProduct(sub, cLit) / norm).as("d"),
+          lit(code).as("c"))
+      }
+      shiftleft(
+        least(ranked.toIndexedSeq: _*).getField("c").cast("long"), 8 * mi)
+    }
+    byteCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Per-subspace ADC table for a (normalized) query: tbl(mi)(c) =
+    * ‖q_sub − c‖². Kilobytes; travels as plan literals.
+    */
+  private[graft] def pqAdcTables(
+      q: Array[Float], codebooks: Array[Array[Array[Float]]]): Array[Array[Double]] = {
+    val m = codebooks.length
+    val d = codebooks.head.head.length
+    Array.tabulate(m) { mi =>
+      codebooks(mi).map { c =>
+        var s = 0.0; var j = 0
+        while (j < d) {
+          val t = q(mi * d + j) - c(j); s += t * t; j += 1
+        }
+        s
+      }
+    }
+  }
+
+  /** ADC score of a packed `pq` code column: m table lookups + adds, all
+    * builtin codegen'd expressions (element_at over literal arrays).
+    */
+  private[graft] def pqAdcExpr(pq: Column, tables: Array[Array[Double]]): Column =
+    tables.zipWithIndex.map { case (tbl, mi) =>
+      val arr = array(tbl.map(lit(_)).toIndexedSeq: _*)
+      element_at(
+        arr,
+        (shiftrightunsigned(pq, 8 * mi).bitwiseAND(lit(255L)).cast("int") + 1))
+    }.reduce(_ + _)
+
   /** IVF-bucketed ANN — the second scale path beside [[annLsh]]: a coarse
     * k-means quantizer partitions vectors into `nlist` inverted lists; a
     * query probes only its `nprobe` nearest lists, then exact-cosine

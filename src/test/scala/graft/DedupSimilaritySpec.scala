@@ -121,6 +121,15 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(fast == ref)
   }
 
+  test("PQ-pruned ANN (ADC + exact rerank) equals brute-force top-k") {
+    import graft.table.SketchedTable
+    val pq = SketchedTable.annPqIndexed(spark, sf0001)
+      .as[(Long, Int)].collect().toSeq
+    val brute = Similarity.annBrute(spark, sf0001)
+      .as[(Long, Int)].collect().toSeq
+    assert(pq == brute && brute.nonEmpty)
+  }
+
   test("salted join equals the unsalted join on a skewed key distribution") {
     import graft.operators.Skew
     // heavily skewed: 90% of fact rows hit one key
