@@ -91,7 +91,9 @@ object SparkEntry {
     "q64_funnel" -> (Relational.funnel(_, _)),
     "q65_bucketed_stats" -> (graft.table.BucketedTable.bucketedOrderStats(_, _)),
     "q66_top_quality" -> ((s, d) => TextAnalysis.topQualityDocs(s, d)),
-    "q67_ann_pq" -> ((s, d) => graft.table.SketchedTable.annPqIndexed(s, d))
+    "q67_ann_pq" -> ((s, d) => graft.table.SketchedTable.annPqIndexed(s, d)),
+    "q68_shared_spans" -> ((s, d) => Dedup.sharedSpans(s, d)),
+    "q69_transitions" -> (Relational.eventTransitions(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -689,6 +691,33 @@ object SparkEntry {
          |      ORDER BY q.quality DESC, d.doc_id) AS INT) AS rnk
          |  FROM documents d JOIN q ON d.doc_id = q.doc_id) t
          |WHERE rnk <= 3""".stripMargin,
+    "q68_shared_spans" ->
+      // 8-token sliding windows, distinct per doc (mirrors shingles(k=8)
+      // incl. the <8-token [text] fallback); pair = docs sharing a window
+      """WITH w AS (
+        |  SELECT doc_id, unnest(sp) AS span FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN len(toks) >= 8
+        |           THEN list_distinct(list_transform(range(1, len(toks) - 6),
+        |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+        |                     toks[i+3], toks[i+4], toks[i+5], toks[i+6], toks[i+7])))
+        |           ELSE [text] END AS sp
+        |    FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |          FROM documents) b) t)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+        |FROM w a JOIN w b ON a.span = b.span AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id""".stripMargin,
+    "q69_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |         LEAD(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, COUNT(*) AS n,
+        |       CAST(COUNT(*) AS DOUBLE) /
+        |         CAST(SUM(COUNT(*)) OVER (PARTITION BY from_type) AS DOUBLE) AS share
+        |FROM seq WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type""".stripMargin,
     "q42_mm_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'

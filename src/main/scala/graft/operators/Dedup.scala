@@ -288,6 +288,32 @@ object Dedup {
     labels
   }
 
+  /** Substring-span contamination: document pairs sharing at least one
+    * verbatim `spanTokens`-token window, with the count of distinct shared
+    * windows — the sliding-window approximation of suffix-array substring
+    * dedup (the form of leakage shingle-set Jaccard under-weights when a
+    * long quote hides in an otherwise-different document). Exact-match
+    * candidate generation IS the verification: one equality join keyed on
+    * the span, no sketch step. At 100 TB the join key becomes
+    * `xxhash64(span)` with ids-only payloads (64-bit keys instead of
+    * strings; collisions then need a verify re-join) — same plan shape.
+    */
+  def sharedSpans(
+      s: SparkSession, dir: String, spanTokens: Int = 8): DataFrame = {
+    val spans = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        explode(array_distinct(
+          TextFunctions.shingles(col("text"), spanTokens))).as("span"))
+    spans
+      .join(
+        spans.select(col("doc_id").as("b_id"), col("span").as("b_span")),
+        col("span") === col("b_span") && col("doc_id") < col("b_id"))
+      .groupBy(col("doc_id").as("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Embedding-cosine near-dup pairs, IVF-blocked: candidates are pairs
     * that land in a common IVF probe set — the left side explodes each
     * vector's `nprobe` nearest cells, the right side carries each vector's

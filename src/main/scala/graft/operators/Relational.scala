@@ -402,6 +402,30 @@ object Relational {
       .join(p, Seq("user_id"), "left")
   }
 
+  /** Per-user event-type transition matrix: for each (from, to) pair of
+    * consecutive events in a user's timeline, the transition count and its
+    * share among transitions leaving `from`. One window pass keyed on
+    * user (lead), one aggregate, one broadcast-sized share window — the
+    * heavy shuffle is the user-keyed sort, shared shape with
+    * sessionization. The share divides two exact longs, so the double is
+    * bit-stable under any partitioning.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val seq = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val shareW = Window.partitionBy(col("from_type"))
+    seq
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n").cast("double") / sum(col("n")).over(shareW).cast("double"))
+  }
+
   def monthlyRevenue(s: SparkSession, dir: String): DataFrame = {
     // year(col) === 1997 would evaluate per row and push nothing; the
     // equivalent half-open date range is a plain comparison the parquet
