@@ -152,24 +152,21 @@ object Calibrate {
     }
 
     // ── q67 PQ: ADC rank needed to recall the exact top-10 ─────────────
-    val books = Similarity.pqTrain(ePart, 8, 64, 64)
-    val qn = Similarity.normalized(emb(q0))
-    val adcTables = Similarity.pqAdcTables(qn, books)
-    def pqCode(v: Array[Float]): Array[Int] = {
-      val nv = Similarity.normalized(v)
-      books.zipWithIndex.map { case (cents, mi) =>
-        val d = cents.head.length
-        cents.zipWithIndex.map { case (c, code) =>
-          var s = 0.0; var j = 0
-          while (j < d) { val t = nv(mi * d + j) - c(j); s += t * t; j += 1 }
-          (s, code)
-        }.min._2
-      }
+    // Codes and codebooks come from the PRODUCTION index (SketchedTable's
+    // stored `pq` column, written by pqCodeExpr) — not a driver-side
+    // re-derivation — so the measured margin ranks by exactly the ADC the
+    // annPqIndexed query evaluates.
+    val annIdx = graft.table.SketchedTable.ensure(spark, sfDir)
+    val pqById = spark.read.parquet(annIdx.path).select("vec_id", "pq")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adcTables = Similarity.pqAdcTables(
+      Similarity.normalized(emb(q0)), annIdx.codebooks)
+    def adcOf(i: Int): Double = {
+      val code = pqById(ids(i))
+      adcTables.indices.map(mi =>
+        adcTables(mi)(((code >>> (8 * mi)) & 255L).toInt)).sum
     }
-    def adcOf(v: Array[Float]): Double =
-      pqCode(v).zipWithIndex.map { case (c, mi) => adcTables(mi)(c) }.sum
-    val adcOrder = (0 until n).filter(_ != q0)
-      .sortBy(i => (adcOf(emb(i)), ids(i)))
+    val adcOrder = (0 until n).filter(_ != q0).sortBy(i => (adcOf(i), ids(i)))
     val adcRanks = top10.map(j => adcOrder.indexOf(j) + 1)
     say(s"q67-pq (m=8,k=64): ADC ranks of true top-10: ${adcRanks.mkString(",")} " +
       s"needRerank=${adcRanks.max} (budget 300)")

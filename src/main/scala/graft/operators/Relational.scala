@@ -427,12 +427,13 @@ object Relational {
   }
 
   def monthlyRevenue(s: SparkSession, dir: String): DataFrame = {
-    // year(col) === 1997 would evaluate per row and push nothing; the
-    // equivalent half-open date range is a plain comparison the parquet
-    // scan can prune row groups with (PushedFilters in the plan).
+    // Written as the natural year() predicate on purpose: the engine's
+    // optimizer rule ([[graft.plans.YearPredicateToRange]], injected via
+    // GraftExtensions in every session) rewrites it into the half-open
+    // date range that reaches the parquet scan's PushedFilters — the
+    // query exercises the rule instead of hand-duplicating the rewrite.
     val o = Tables.orders(s, dir)
-      .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
-        col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      .filter(year(col("o_orderdate")) === 1997)
     Tables.lineitem(s, dir)
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(month(col("o_orderdate")).as("od_month"))

@@ -21,13 +21,16 @@ object Skew {
     * derived salt in [0, saltBuckets); `small` is replicated once per salt
     * value. Result is row-identical to the unsalted join.
     *
-    * The salt hashes the row's full column set, NOT a row-id: a
+    * The salt hashes the row's hashable column set, NOT a row-id: a
     * `monotonically_increasing_id`-based salt depends on partition layout
     * and task scheduling, so it re-salts differently on stage retry and its
     * non-determinism fences off plan-cache reuse. A content hash is
     * deterministic, survives retries, and spreads a hot key just as evenly
     * whenever any non-key column varies across the key's rows (the case
-    * that makes a key hot in the first place).
+    * that makes a key hot in the first place). Map-typed columns are
+    * excluded (Spark's `hash` rejects MapType); rows that are
+    * byte-identical across every hashable column share a bucket — exact
+    * duplicate fact rows belong to the dedup pass, not the salt.
     */
   def saltedJoin(
       big: DataFrame,
@@ -36,10 +39,17 @@ object Skew {
       saltBuckets: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0)
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val saltSrc = big.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    require(saltSrc.nonEmpty, "no hashable columns to derive a salt from")
     val saltedBig = big.withColumn(
       SaltCol,
-      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(saltBuckets))
-        .cast("long"))
+      pmod(hash(saltSrc.toIndexedSeq: _*), lit(saltBuckets)).cast("long"))
     val replicatedSmall = small.withColumn(
       SaltCol,
       explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))

@@ -117,13 +117,18 @@ object UpsertOps {
     * over the registered name, not by a path read.
     */
   def catalogSqlRead(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_cat_").toString
-    val table = KeyedTable(spec(s"$tmp/events_keyed"))
-    val ev = eventsUs(s, dir)
-    table.upsert(s, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
-    table.upsert(s, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
-    val name = s"graft_catalog_${System.nanoTime()}"
-    table.syncCatalog(s, name)
+    // One registration per (session, source dir) — the catalog entry IS
+    // the memo (stable name; repeated invocations reuse it instead of
+    // piling a fresh table + temp upserts into the catalog per call).
+    val name = s"graft_catalog_${math.abs(dir.hashCode)}"
+    if (!s.catalog.tableExists(name)) {
+      val tmp = Files.createTempDirectory("graft_cat_").toString
+      val table = KeyedTable(spec(s"$tmp/events_keyed"))
+      val ev = eventsUs(s, dir)
+      table.upsert(s, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+      table.upsert(s, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+      table.syncCatalog(s, name)
+    }
     s.sql(s"SELECT user_id, event_type, ts_us, event_id, value FROM $name")
   }
 

@@ -52,10 +52,15 @@ object YearPredicateToRange extends Rule[LogicalPlan] {
   }
 
   /** Literal for Jan 1st 00:00 of `year` in the column's type, in the
-    * session zone for zoned timestamps; None if unrepresentable.
+    * session zone for zoned timestamps; None if unrepresentable. Years
+    * outside [1, 9999] are refused outright: near the extremes of the
+    * date/timestamp domains the epoch arithmetic below would overflow
+    * SILENTLY (toInt truncation, long multiply) into a wrong literal —
+    * leaving the original year() predicate in place is always correct.
     */
   private def jan1(dt: DataType, year: Int): Option[Literal] =
-    try dt match {
+    if (year < 1 || year > 9999) None
+    else try dt match {
       case DateType =>
         Some(Literal(LocalDate.of(year, 1, 1).toEpochDay.toInt, DateType))
       case TimestampNTZType =>

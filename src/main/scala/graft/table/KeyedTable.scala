@@ -103,7 +103,15 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     */
   private def recordSchema(spark: SparkSession, written: org.apache.spark.sql.types.StructType): Unit = {
     import org.apache.spark.sql.types.{StructField, StructType}
-    val merged = sidecarSchema(spark) match {
+    // Legacy table written before the sidecar existed: seed the merge from
+    // the on-disk footers (one-time cost), so recording a NARROW batch's
+    // schema can't shrink the table schema and silently hide columns.
+    val prior = sidecarSchema(spark).orElse(
+      if (exists(spark))
+        scala.util.Try(
+          spark.read.option("mergeSchema", "true").parquet(spec.path).schema).toOption
+      else None)
+    val merged = prior match {
       case None => StructType(written.fields.map(_.copy(nullable = true)))
       case Some(old) =>
         val byName = written.fields.map(f => f.name -> f).toMap
@@ -356,24 +364,47 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         // Non-widen-readable drift (e.g. a column falling back to the
         // string choice type): existing files can't be read under the new
         // schema, so this commit rewrites the whole table once — existing
-        // rows keep their original commit times.
+        // rows keep their original commit times. The rewrite goes through
+        // a temp directory + rename (like [[compact]]): a plain static
+        // overwrite would delete the very files the plan lazily reads.
         val aligned = SchemaEvolution.align(incoming, current)
         val alignedC = aligned.withColumn(CommitTimeCol, lit(commitTime))
         val existing = SchemaEvolution.align(
           readRaw(spark).drop(RecordKeyCol, PartitionPathCol), alignedC.schema)
-        val combined = existing.unionByName(alignedC, allowMissingColumns = true)
-        writeOut(withMeta(combined, commitTime), SaveMode.Overwrite)
+        val combined = withMeta(
+          existing.unionByName(alignedC, allowMissingColumns = true), commitTime)
+        val f = fs(spark)
+        val tmp = new Path(spec.path + "_graft_rewrite_tmp")
+        f.delete(tmp, true)
+        val w = combined.write.mode(SaveMode.Overwrite)
+        (if (spec.partitionCols.nonEmpty) w.partitionBy(spec.partitionCols: _*) else w)
+          .parquet(tmp.toString)
+        f.delete(new Path(spec.path), true)
+        f.rename(tmp, new Path(spec.path))
+        recordSchema(spark, combined.schema)
     }
   }
 
   /** BULK_INSERT write operation: raw first-load append — no schema
     * alignment, no merge; cheapest possible path for initial loads where
-    * the input already matches the table contract.
+    * the input already matches the table contract. That contract is
+    * enforced, not assumed: a batch whose drift would leave existing files
+    * unreadable under the widened sidecar schema (e.g. int→string) is
+    * rejected loudly — route it through [[insert]]/[[upsert]], which
+    * rewrite — rather than silently corrupting the table's readability.
     */
-  def bulkInsert(spark: SparkSession, batch: DataFrame, commitTime: String = defaultCommitTime()): Unit =
+  def bulkInsert(spark: SparkSession, batch: DataFrame, commitTime: String = defaultCommitTime()): Unit = {
+    val incoming = SchemaEvolution.dropSystemColumns(batch)
+    currentUserSchema(spark).foreach { current =>
+      require(
+        !driftNeedsRewrite(current, incoming.schema),
+        "bulk_insert batch type-drifts in a non-widen-readable way against " +
+          "the table schema; use insert/upsert (they rewrite) instead")
+    }
     writeOut(
-      withMeta(SchemaEvolution.dropSystemColumns(batch), commitTime),
+      withMeta(incoming, commitTime),
       if (exists(spark)) SaveMode.Append else SaveMode.Overwrite)
+  }
 
   /** Upsert `batch` (MERGE semantics): per record key, present → merge
     * (the row with the greater precombine value wins — existing or

@@ -282,4 +282,36 @@ class KeyedTableSuite extends SparkTestBase {
       org.apache.spark.sql.Encoders.STRING).collect().toSet
     assert(inc == Set("c"), "rewrite must not refresh untouched rows' commit times")
   }
+
+  test("insert with non-widenable drift rewrites through a temp dir, table intact") {
+    val t = driftTable(partitioned = true)
+    t.insert(spark, spark.createDataFrame(Seq(
+      Row("a", "2024-03-07", 2023, 1),
+      Row("b", "2024-03-07", 2024, 2)).asJava, driftSchema(IntegerType)))
+    // string drift through the APPEND path must not read-and-overwrite
+    // the live directory in one job
+    t.insert(spark, spark.createDataFrame(
+      Seq(Row("c", "2024-03-08", 2024, "x")).asJava, driftSchema(StringType)))
+    val out = t.read(spark)
+    assert(out.schema("n").dataType == StringType)
+    val byName = out.collect().map(r => r.getAs[String]("name") -> r).toMap
+    assert(Seq("a", "b", "c").map(byName(_).getAs[String]("n")) == Seq("1", "2", "x"))
+  }
+
+  test("bulk insert rejects non-widen-readable drift instead of corrupting reads") {
+    val t = driftTable(partitioned = false)
+    t.bulkInsert(spark, spark.createDataFrame(
+      Seq(Row("a", "2024-03-07", 2024, 1)).asJava, driftSchema(IntegerType)))
+    intercept[IllegalArgumentException] {
+      t.bulkInsert(spark, spark.createDataFrame(
+        Seq(Row("b", "2024-03-08", 2024, "x")).asJava, driftSchema(StringType)))
+    }
+    // the table stayed readable and unchanged
+    assert(t.read(spark).count() == 1)
+    // widen-readable drift (int batch over int schema, long batch) is fine
+    t.bulkInsert(spark, spark.createDataFrame(
+      Seq(Row("c", "2024-03-09", 2024, 3L)).asJava, driftSchema(LongType)))
+    assert(t.read(spark).schema("n").dataType == LongType)
+    assert(t.read(spark).count() == 2)
+  }
 }
