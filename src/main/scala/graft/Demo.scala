@@ -10,7 +10,9 @@ import graft.table.{KeyedTable, KeyedTableSpec}
 
 /** End-to-end usage demo of the library surface, runnable as a main:
   * ingest events → keyed upsert (two commits) → catalog sync → plain
-  * `spark.sql` over the registered table → custom SQL functions.
+  * `spark.sql` over the registered table → incremental read between
+  * commits → write-time ANN index probe → the curation pipeline's
+  * terminal gate → custom SQL functions via the extensions.
   *
   * Usage: runMain graft.Demo [sfDir]
   */
@@ -48,6 +50,19 @@ object Demo {
       """SELECT event_type, COUNT(*) AS n_keys
         |FROM graft_events GROUP BY event_type ORDER BY event_type""".stripMargin)
       .show(truncate = false)
+
+    println("=== incremental read: rows last changed by commit c1 ===")
+    table.readIncremental(spark, sinceCommit = "c0")
+      .select("user_id", "event_type", "event_id")
+      .orderBy("user_id", "event_type").show(5, truncate = false)
+
+    println("=== ANN over the write-time index (PQ prune + exact rerank) ===")
+    graft.table.SketchedTable.annPqIndexed(spark, sfDir, queryId = 0L, k = 5)
+      .show(truncate = false)
+
+    println("=== curation gate: quality x repetition x lang-ID x PII ===")
+    graft.operators.Curation.curatedCorpus(spark, sfDir)
+      .orderBy("doc_id").show(5, truncate = false)
 
     println("=== custom SQL functions ===")
     GraftExtensions.registerAll(spark)

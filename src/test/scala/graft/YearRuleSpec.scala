@@ -53,6 +53,34 @@ class YearRuleSpec extends SparkTestBase {
       years.collect { case (k, y) if y < 1997 => k }.toSet)
   }
 
+  test("null dates and out-of-range years keep year() semantics") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_year_").toString
+    spark.createDataFrame(
+      Seq(
+        Row(1L, java.sql.Date.valueOf("1997-06-15")),
+        Row(2L, null),
+        Row(3L, java.sql.Date.valueOf("1998-01-01"))).asJava,
+      StructType(Seq(
+        StructField("id", LongType), StructField("d", DateType))))
+      .write.parquet(s"$tmp/t")
+    // parquet-backed, so the optimizer can't constant-fold the relation
+    // away and the plan assertions observe the rule's real decisions
+    val df = spark.read.parquet(s"$tmp/t")
+    // null rows are filtered out by both forms
+    assert(df.filter(year(col("d")) === 1997).select("id").as[Long]
+      .collect().toSeq == Seq(1L))
+    assert(df.filter(!(year(col("d")) === 1997)).select("id").as[Long]
+      .collect().toSeq == Seq(3L), "negation must also drop the null row")
+    // out-of-range year: the rule must decline (overflow guard) and the
+    // original predicate still evaluates correctly
+    val far = df.filter(year(col("d")) === 5881600)
+    assert(far.queryExecution.optimizedPlan.toString.contains("year("))
+    assert(far.count() == 0)
+  }
+
   test("date columns rewrite too; non-filter uses of year() are untouched") {
     val d = orders.select(
       col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
