@@ -41,17 +41,26 @@ object Profile {
       s"stack(${cols.size}, $stackArgs) AS (column_name, n_nulls, n_distinct)")
   }
 
-  /** Exact discrete quartiles of order totalprice per priority:
-    * `percentile_disc` returns actual data elements (no interpolation
-    * arithmetic), which is what makes the doubles comparable bit-for-bit
-    * across engines.
+  /** Quartiles of order totalprice per priority.
+    *
+    * `exact = true` (default; the oracle path): `percentile_disc` returns
+    * actual data elements (no interpolation arithmetic), which is what
+    * makes the doubles comparable bit-for-bit across engines — but an
+    * exact percentile buffers each group's values. At 100 TB profile with
+    * `exact = false`: `approx_percentile` (Greenwald-Khanna sketch, here
+    * accuracy 1/10000) keeps per-group state bounded and mergeable —
+    * map-side partials instead of a full per-group sort.
     */
-  def orderPriceQuartiles(s: SparkSession, dir: String): DataFrame =
+  def orderPriceQuartiles(s: SparkSession, dir: String, exact: Boolean = true): DataFrame = {
+    val qs: String => org.apache.spark.sql.Column =
+      if (exact) p => expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY o_totalprice)")
+      else p => expr(s"approx_percentile(o_totalprice, $p, 10000)")
     Tables.orders(s, dir)
       .groupBy(col("o_orderpriority"))
       .agg(
-        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)").as("p25"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
-        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)").as("p75"),
+        qs("0.25").as("p25"),
+        qs("0.5").as("p50"),
+        qs("0.75").as("p75"),
         count(lit(1)).as("n"))
+  }
 }

@@ -24,6 +24,21 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("approx quantiles (scale knob): within 2% of exact per group") {
+    import graft.operators.Profile
+    def byPrio(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = byPrio(Profile.orderPriceQuartiles(spark, sf0001))
+    val approx = byPrio(Profile.orderPriceQuartiles(spark, sf0001, exact = false))
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (p, es) =>
+      es.zip(approx(p)).foreach { case (e, a) =>
+        assert(math.abs(a - e) <= e * 0.02, s"$p: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("approx profile (scale knob): same shape, exact nulls, distincts within HLL error") {
     import graft.operators.Profile
     def byCol(rows: Array[org.apache.spark.sql.Row]) =
