@@ -97,6 +97,12 @@ object YearPredicateToRange extends Rule[LogicalPlan] {
         case e @ GreaterThan(IntLit(y), YearOf(c))        => below(c, y).getOrElse(e)
         case e @ LessThan(IntLit(y), YearOf(c))           => atLeast(c, y + 1).getOrElse(e)
         case e @ LessThanOrEqual(IntLit(y), YearOf(c))    => atLeast(c, y).getOrElse(e)
+        // IN list of integer years → OR of ranges (null semantics match:
+        // null input yields null under both forms when no value matches)
+        case e @ In(YearOf(c), list)
+            if list.nonEmpty && list.forall(IntLit.unapply(_).isDefined) =>
+          val ranges = list.map { case IntLit(y) => between(c, y) }
+          if (ranges.forall(_.isDefined)) ranges.flatten.reduce(Or) else e
       })
   }
 }

@@ -53,6 +53,16 @@ class YearRuleSpec extends SparkTestBase {
       years.collect { case (k, y) if y < 1997 => k }.toSet)
   }
 
+  test("year(c) IN (years) becomes an OR of ranges with identical rows") {
+    val df = orders.filter(col("o_orderdate").isNotNull)
+      .filter(year(col("o_orderdate")).isin(1996, 1998))
+      .select("o_orderkey")
+    assert(!df.queryExecution.optimizedPlan.toString.contains("year("))
+    val expected = collectedYears
+      .collect { case (k, y) if y == 1996 || y == 1998 => k }.toSet
+    assert(df.as[Long].collect().toSet == expected && expected.nonEmpty)
+  }
+
   test("null dates and out-of-range years keep year() semantics") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
