@@ -93,7 +93,8 @@ object SparkEntry {
     "q66_top_quality" -> ((s, d) => TextAnalysis.topQualityDocs(s, d)),
     "q67_ann_pq" -> ((s, d) => graft.table.SketchedTable.annPqIndexed(s, d)),
     "q68_shared_spans" -> ((s, d) => Dedup.sharedSpans(s, d)),
-    "q69_transitions" -> (Relational.eventTransitions(_, _))
+    "q69_transitions" -> (Relational.eventTransitions(_, _)),
+    "q70_freq_terms" -> ((s, d) => TextAnalysis.vocabularySketched(s, d))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -718,6 +719,14 @@ object SparkEntry {
         |         CAST(SUM(COUNT(*)) OVER (PARTITION BY from_type) AS DOUBLE) AS share
         |FROM seq WHERE to_type IS NOT NULL
         |GROUP BY from_type, to_type""".stripMargin,
+    "q70_freq_terms" ->
+      // capacity (256) exceeds the true vocabulary (31 terms), so the
+      // Misra-Gries estimates are exact and equal plain counts
+      """SELECT term, COUNT(*) AS n_occurrences
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+        |GROUP BY term
+        |ORDER BY n_occurrences DESC, term
+        |LIMIT 20""".stripMargin,
     "q42_mm_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'

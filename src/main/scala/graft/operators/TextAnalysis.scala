@@ -92,6 +92,29 @@ object TextAnalysis {
         (col("pos") + 1).cast("int").as("rnk"))
   }
 
+  /** Top terms via the Misra–Gries mergeable summary
+    * ([[graft.functions.FrequentTerms]]) — the scale path beside the exact
+    * [[vocabulary]]: one global aggregate whose bounded-map partials merge
+    * map-side, so the shuffle carries ≤ capacity entries per partition
+    * regardless of vocabulary size (an exact `groupBy(term)` shuffles the
+    * whole term domain). With `capacity` ≥ the true distinct-term count
+    * (fixture: 31 « 256) the counts are exact, which is what the q70
+    * oracle checks.
+    */
+  def vocabularySketched(
+      s: SparkSession, dir: String,
+      capacity: Int = 256, topK: Int = 20): DataFrame = {
+    import graft.functions.FrequentTerms.frequentTerms
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+      .agg(frequentTerms(col("term"), capacity).as("sk"))
+      .select(explode(col("sk")))
+      .select(col("key").as("term"), col("value").as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("term"))
+      .limit(topK)
+  }
+
   /** Corpus vocabulary: the 50 most frequent terms with occurrence and
     * document frequencies. One explode + one aggregation — the shuffle
     * carries (term, partial counts) after map-side combine, and the top-k

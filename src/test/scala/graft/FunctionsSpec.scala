@@ -10,6 +10,26 @@ import graft.functions.{StableHash64, TextFunctions, VectorFunctions}
   */
 class FunctionsSpec extends SparkTestBase {
 
+  test("frequent-terms sketch: exact under capacity; heavy hitters survive over it") {
+    import spark.implicits._
+    import graft.functions.FrequentTerms.frequentTerms
+    val data = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ (1 to 40).map(i => s"t$i")
+    val terms = data.toDF("term").repartition(4)
+    def sketch(capacity: Int): Map[String, Long] =
+      terms.agg(frequentTerms(col("term"), capacity).as("sk"))
+        .select(explode(col("sk"))).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // capacity 8 « 42 distinct: N=120 → max undercount N/(8+1) ≈ 13.3;
+    // the two heavy hitters must survive with bounded-error estimates
+    val mg = sketch(8)
+    assert(mg.size <= 8)
+    assert(mg.contains("a") && mg("a") <= 50 && mg("a") >= 50 - 14)
+    assert(mg.contains("b") && mg("b") <= 30 && mg("b") >= 30 - 14)
+    // capacity ≥ distinct: never a decrement, counts exact
+    val exact = sketch(128)
+    assert(exact("a") == 50L && exact("b") == 30L && exact.size == 42)
+  }
+
   test("fused cosine == HOF cosine (codegen and eval agree with builtins)") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(50)
