@@ -94,7 +94,8 @@ object SparkEntry {
     "q67_ann_pq" -> ((s, d) => graft.table.SketchedTable.annPqIndexed(s, d)),
     "q68_shared_spans" -> ((s, d) => Dedup.sharedSpans(s, d)),
     "q69_transitions" -> (Relational.eventTransitions(_, _)),
-    "q70_freq_terms" -> ((s, d) => TextAnalysis.vocabularySketched(s, d))
+    "q70_freq_terms" -> ((s, d) => TextAnalysis.vocabularySketched(s, d)),
+    "q71_stream_rollup" -> (UpsertOps.streamRollup(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -719,6 +720,12 @@ object SparkEntry {
         |         CAST(SUM(COUNT(*)) OVER (PARTITION BY from_type) AS DOUBLE) AS share
         |FROM seq WHERE to_type IS NOT NULL
         |GROUP BY from_type, to_type""".stripMargin,
+    "q71_stream_rollup" ->
+      // stream-at-rest rollup ≡ the one-shot batch aggregate
+      s"""SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+         |  COUNT(*) AS n_events,
+         |  ${dsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
     "q70_freq_terms" ->
       // capacity (256) exceeds the true vocabulary (31 terms), so the
       // Misra-Gries estimates are exact and equal plain counts

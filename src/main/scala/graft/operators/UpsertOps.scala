@@ -132,6 +132,55 @@ object UpsertOps {
     s.sql(s"SELECT user_id, event_type, ts_us, event_id, value FROM $name")
   }
 
+  /** Streaming ROLLUP materialization — the classic streaming-ETL shape
+    * the reference's raw-upsert pipeline stops short of: a streaming
+    * aggregation (counts + exact-decimal sums per (hour, event_type) key,
+    * state maintained across micro-batches) emits update-mode rows whose
+    * values are the keys' CURRENT totals, and each batch's emissions are
+    * upserted into a [[KeyedTable]] keyed by the group columns with the
+    * batch id as the precombine sequence — latest emission per key wins,
+    * so the table at rest equals the one-shot batch aggregate (the
+    * oracle). The streaming sum accumulates in DECIMAL, so cross-batch
+    * accumulation order cannot perturb the double.
+    */
+  def streamRollup(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_rollup_").toString
+    val src = s"$tmp/json_in"
+    eventsUs(s, dir)
+      .select("event_id", "ts_us", "user_id", "event_type", "value")
+      .repartition(4)
+      .write.mode("overwrite").json(src)
+
+    val table = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/rollup",
+      keyCols = Seq("hour_bucket", "event_type"),
+      precombineCol = "seq",
+      partitionCols = Seq("event_type")))
+    val agg = JsonStreamSource.stream(s, src, maxFilesPerTrigger = Some(2))
+      .withColumn("hour_bucket", expr("ts_us div 3600000000"))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_value_dec"))
+    val q = agg.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          table.upsert(
+            batch.sparkSession,
+            batch.withColumn("seq", lit(id)),
+            commitTime = f"c$id%05d")
+      }
+      .option("checkpointLocation", s"$tmp/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    table.read(s)
+      .select(
+        col("hour_bucket"), col("event_type"), col("n_events"),
+        col("sum_value_dec").cast("double").as("sum_value"))
+  }
+
   /** The whole reference pipeline end-to-end (O1→O12): events dumped as
     * JSON files, re-ingested as a bounded *streaming* source with inferred
     * schema, driven through foreachBatch micro-batches into a keyed
