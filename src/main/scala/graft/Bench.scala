@@ -44,10 +44,18 @@ object Bench {
       val times = samples(name).sorted
       name -> times(times.length / 2)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal rounding halves the line, and emitting it both before and
+    // after shutdown guarantees the driver's bounded tail capture contains
+    // at least one complete copy (r03's single long line was truncated
+    // mid-JSON by the tail window).
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
     spark.stop()
+    println(line)
   }
 }

@@ -85,6 +85,12 @@ case class FrequentTerms(
   override def dataType: DataType =
     MapType(StringType, LongType, valueContainsNull = false)
   override def nullable: Boolean = false
+  // Once capacity < distinct terms, the decrement path makes the estimate
+  // depend on shuffle-fetch/merge order, so a task retry can legitimately
+  // produce different estimated counts. Declaring that keeps Spark from
+  // assuming re-execution reproduces the value. (Exact — and therefore
+  // stable — when capacity ≥ vocabulary, as in q70.)
+  override lazy val deterministic: Boolean = false
 
   override def createAggregationBuffer(): FreqBuffer = new FreqBuffer(capacity)
 

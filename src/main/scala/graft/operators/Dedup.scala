@@ -292,26 +292,55 @@ object Dedup {
     * verbatim `spanTokens`-token window, with the count of distinct shared
     * windows — the sliding-window approximation of suffix-array substring
     * dedup (the form of leakage shingle-set Jaccard under-weights when a
-    * long quote hides in an otherwise-different document). Exact-match
-    * candidate generation IS the verification: one equality join keyed on
-    * the span, no sketch step. At 100 TB the join key becomes
-    * `xxhash64(span)` with ids-only payloads (64-bit keys instead of
-    * strings; collisions then need a verify re-join) — same plan shape.
+    * long quote hides in an otherwise-different document).
+    *
+    * Candidate generation is an ids-only equality join keyed on
+    * `xxhash64(span)`: both shuffle sides carry 16-byte (doc_id, hash)
+    * rows instead of the raw span text — 10-50× fewer shuffle bytes at
+    * corpus scale, where the span domain is ~one string per token of the
+    * corpus. Hash equality is then made exact by a verify re-join: the
+    * span TEXT is re-attached only for (doc, hash) keys that appear in
+    * some candidate pair (a left-semi against the tiny candidate key set,
+    * so the full-width rows never shuffle), and a pair's span counts only
+    * if the two texts are bytewise equal. `n_shared` counts distinct
+    * verified span texts, so even a cross-doc xxhash64 collision cannot
+    * over- or under-count.
     */
   def sharedSpans(
       s: SparkSession, dir: String, spanTokens: Int = 8): DataFrame = {
+    // Distinct spans per doc, hashed once. Cached narrow (doc_id, h): the
+    // shingle explode is a CodegenFallback tree — without the barrier the
+    // self-join would re-run it per side (the q63 18× trap).
     val spans = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .select(
         col("doc_id"),
         explode(array_distinct(
           TextFunctions.shingles(col("text"), spanTokens))).as("span"))
-    spans
+      .withColumn("h", xxhash64(col("span")))
+    val ids = Caching.cacheOnce(spans.select(col("doc_id"), col("h")))
+    val cand = ids
       .join(
-        spans.select(col("doc_id").as("b_id"), col("span").as("b_span")),
-        col("span") === col("b_span") && col("doc_id") < col("b_id"))
-      .groupBy(col("doc_id").as("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("n_shared"))
+        ids.select(col("doc_id").as("b_id"), col("h").as("b_h")),
+        col("h") === col("b_h") && col("doc_id") < col("b_id"))
+      .select(col("doc_id").as("a_id"), col("b_id"), col("h"))
+    // Verify re-join: span text only for (doc, h) keys some candidate
+    // pair touches. Survivors are rare by construction, so `needed` is
+    // broadcast-sized and the semi-join keeps the text map-side.
+    val needed = cand.select(col("a_id").as("doc_id"), col("h"))
+      .union(cand.select(col("b_id").as("doc_id"), col("h")))
+      .distinct()
+    val texts = spans.join(broadcast(needed), Seq("doc_id", "h"), "left_semi")
+    cand
+      .join(
+        texts.select(col("doc_id").as("a_id"), col("h"), col("span").as("a_span")),
+        Seq("a_id", "h"))
+      .join(
+        texts.select(col("doc_id").as("b_id"), col("h"), col("span").as("b_span")),
+        Seq("b_id", "h"))
+      .filter(col("a_span") === col("b_span"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(countDistinct(col("a_span")).as("n_shared"))
   }
 
   /** Embedding-cosine near-dup pairs, IVF-blocked: candidates are pairs

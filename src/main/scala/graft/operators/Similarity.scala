@@ -245,7 +245,13 @@ object Similarity {
   private[graft] def pqCodeExpr(
       emb: Column, codebooks: Array[Array[Array[Float]]]): Column = {
     val m = codebooks.length
-    val norm = sqrt(VectorFunctions.dotProduct(emb, emb))
+    // A zero vector would make the divisor 0 → NULL division → NULL packed
+    // code, and NULL adc sorts first and silently eats the rerank budget.
+    // Mirror `normalized`'s n == 0 branch: treat the vector as-is (dot
+    // products are 0, so every centroid distance is just ‖c‖²/2 and the
+    // row gets a valid, deterministic code).
+    val rawNorm = sqrt(VectorFunctions.dotProduct(emb, emb))
+    val norm = when(rawNorm > 0d, rawNorm).otherwise(lit(1d))
     val byteCols = codebooks.zipWithIndex.map { case (cents, mi) =>
       val d = cents.head.length
       val sub = slice(emb, mi * d + 1, d)

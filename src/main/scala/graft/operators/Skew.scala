@@ -21,16 +21,25 @@ object Skew {
     * derived salt in [0, saltBuckets); `small` is replicated once per salt
     * value. Result is row-identical to the unsalted join.
     *
-    * The salt hashes the row's hashable column set, NOT a row-id: a
+    * The salt hashes the row's hashable NON-KEY columns, NOT a row-id: a
     * `monotonically_increasing_id`-based salt depends on partition layout
     * and task scheduling, so it re-salts differently on stage retry and its
     * non-determinism fences off plan-cache reuse. A content hash is
     * deterministic, survives retries, and spreads a hot key just as evenly
     * whenever any non-key column varies across the key's rows (the case
-    * that makes a key hot in the first place). Map-typed columns are
+    * that makes a key hot in the first place). Key columns are excluded
+    * from the salt source — a hot key's rows all share the key bytes, so a
+    * key-only hash would land every one of them in the SAME bucket while
+    * still paying `saltBuckets`× small-side replication (the degenerate
+    * case where salting silently does nothing). When `big` was projected
+    * down to just the join keys and no hashable non-key column exists, the
+    * salt falls back to a positional spread: join output is identical for
+    * ANY salt assignment (every small row is replicated under every salt
+    * value), so positional placement only costs retry-stable task layout —
+    * a fair trade against a no-op mitigation. Map-typed columns are
     * excluded (Spark's `hash` rejects MapType); rows that are
-    * byte-identical across every hashable column share a bucket — exact
-    * duplicate fact rows belong to the dedup pass, not the salt.
+    * byte-identical across every hashable non-key column share a bucket —
+    * exact duplicate fact rows belong to the dedup pass, not the salt.
     */
   def saltedJoin(
       big: DataFrame,
@@ -45,11 +54,16 @@ object Skew {
       case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
       case _ => true
     }
-    val saltSrc = big.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
-    require(saltSrc.nonEmpty, "no hashable columns to derive a salt from")
-    val saltedBig = big.withColumn(
-      SaltCol,
-      pmod(hash(saltSrc.toIndexedSeq: _*), lit(saltBuckets)).cast("long"))
+    val keySet = keys.toSet
+    val saltSrc = big.schema.fields
+      .filter(f => !keySet.contains(f.name) && hashable(f.dataType))
+      .map(f => col(f.name))
+    val saltExpr =
+      if (saltSrc.nonEmpty)
+        pmod(hash(saltSrc.toIndexedSeq: _*), lit(saltBuckets)).cast("long")
+      else // keys-only projection: content can't spread a hot key — use position
+        pmod(monotonically_increasing_id(), lit(saltBuckets.toLong))
+    val saltedBig = big.withColumn(SaltCol, saltExpr)
     val replicatedSmall = small.withColumn(
       SaltCol,
       explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))

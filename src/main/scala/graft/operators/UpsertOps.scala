@@ -142,14 +142,32 @@ object UpsertOps {
     * so the table at rest equals the one-shot batch aggregate (the
     * oracle). The streaming sum accumulates in DECIMAL, so cross-batch
     * accumulation order cannot perturb the double.
+    *
+    * The aggregate is WATERMARKED on event time and grouped by
+    * `window(ts, "1 hour")`, not a bare integer bucket: once the watermark
+    * passes a window's end the state store evicts it, so state is bounded
+    * by the watermark horizon (O(windows-in-flight)), not the stream's
+    * lifetime — an unwatermarked update-mode aggregate retains every key
+    * ever seen, the textbook unbounded-state failure on a real stream.
+    * Eviction changes no emitted value: an evicted window has already
+    * upserted its final total. The stream input is staged time-ordered
+    * across files (range-partitioned by ts, ascending mtimes — a real
+    * transport delivers roughly event-time order), which is what lets the
+    * watermark advance across micro-batches; the 30-minute delay absorbs
+    * the out-of-orderness WITHIN a slice.
     */
-  def streamRollup(s: SparkSession, dir: String): DataFrame = {
+  def streamRollup(s: SparkSession, dir: String): DataFrame =
+    streamRollupWithProgress(s, dir)._1
+
+  /** Per-micro-batch stateful-operator row counts (state size after each
+    * batch), alongside the result — the spec's hook for asserting the
+    * watermark actually evicts.
+    */
+  private[graft] def streamRollupWithProgress(
+      s: SparkSession, dir: String): (DataFrame, Seq[Long]) = {
     val tmp = Files.createTempDirectory("graft_rollup_").toString
     val src = s"$tmp/json_in"
-    eventsUs(s, dir)
-      .select("event_id", "ts_us", "user_id", "event_type", "value")
-      .repartition(4)
-      .write.mode("overwrite").json(src)
+    stageTimeOrderedJson(s, dir, src, slices = 4)
 
     val table = KeyedTable(KeyedTableSpec(
       path = s"$tmp/rollup",
@@ -157,11 +175,15 @@ object UpsertOps {
       precombineCol = "seq",
       partitionCols = Seq("event_type")))
     val agg = JsonStreamSource.stream(s, src, maxFilesPerTrigger = Some(2))
-      .withColumn("hour_bucket", expr("ts_us div 3600000000"))
-      .groupBy(col("hour_bucket"), col("event_type"))
+      .withColumn("ts_evt", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_evt", "30 minutes")
+      .groupBy(window(col("ts_evt"), "1 hour").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,4)")).as("sum_value_dec"))
+      .select(
+        expr("unix_micros(w.start) div 3600000000").as("hour_bucket"),
+        col("event_type"), col("n_events"), col("sum_value_dec"))
     val q = agg.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -175,10 +197,38 @@ object UpsertOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    table.read(s)
+    val stateRows = q.recentProgress.toSeq
+      .flatMap(p => p.stateOperators.map(_.numRowsTotal))
+    val out = table.read(s)
       .select(
         col("hour_bucket"), col("event_type"), col("n_events"),
         col("sum_value_dec").cast("double").as("sum_value"))
+    (out, stateRows)
+  }
+
+  /** Stage events as JSON files carrying disjoint ascending time slices
+    * with ascending modification times, so the file stream source replays
+    * them in event-time order — the transport contract (Kinesis shard /
+    * Kafka partition time-ordering) that watermark-driven state eviction
+    * assumes.
+    */
+  private def stageTimeOrderedJson(
+      s: SparkSession, dir: String, src: String, slices: Int): Unit = {
+    eventsUs(s, dir)
+      .select("event_id", "ts_us", "user_id", "event_type", "value")
+      .repartitionByRange(slices, col("ts_us"))
+      .write.mode("overwrite").json(src)
+    // part-0000N sorts in range (= time) order; stamp strictly increasing
+    // recent mtimes so the source's modification-time ordering agrees.
+    val files = new java.io.File(src).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+      .sortBy(_.getName)
+    val base = System.currentTimeMillis() - 600000L
+    files.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.setLastModifiedTime(
+        f.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L))
+    }
   }
 
   /** The whole reference pipeline end-to-end (O1→O12): events dumped as

@@ -69,9 +69,17 @@ object YearPredicateToRange extends Rule[LogicalPlan] {
           ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L, TimestampNTZType))
       case TimestampType =>
         val zone = ZoneId.of(SQLConf.get.sessionLocalTimeZone)
-        val inst = LocalDateTime.of(year, 1, 1, 0, 0).atZone(zone).toInstant
-        Some(Literal(
-          inst.getEpochSecond * 1000000L + inst.getNano / 1000L, TimestampType))
+        val ldt = LocalDateTime.of(year, 1, 1, 0, 0)
+        // A DST transition crossing New Year midnight makes the local
+        // boundary ambiguous (overlap) or nonexistent (gap); atZone would
+        // silently shift it and misclassify in-gap timestamps relative to
+        // per-row year(). Refuse the rewrite unless the offset is unique.
+        if (zone.getRules.getValidOffsets(ldt).size != 1) None
+        else {
+          val inst = ldt.atZone(zone).toInstant
+          Some(Literal(
+            inst.getEpochSecond * 1000000L + inst.getNano / 1000L, TimestampType))
+        }
       case _ => None
     } catch { case _: RuntimeException => None }
 

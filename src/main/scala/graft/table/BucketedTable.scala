@@ -60,8 +60,8 @@ object BucketedTable {
   /** Bucket the orders/customer pair on the customer key, once per
     * (JVM, source dir), registered in the session catalog.
     */
-  def ensureCustomerBucketed(s: SparkSession, dir: String): (String, String) =
-    prepared.getOrElseUpdate(dir, {
+  def ensureCustomerBucketed(s: SparkSession, dir: String): (String, String) = {
+    def register(): (String, String) = {
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val ot = s"graft_bkt_orders_$key"
@@ -74,7 +74,15 @@ object BucketedTable {
         Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
         ct, Buckets, "c_custkey", path = Some(s"$base/customer"))
       (ot, ct)
-    })
+    }
+    val (ot, ct) = prepared.getOrElseUpdate(dir, register())
+    // The memo is per-JVM but registration lives in the session catalog: an
+    // independently built SparkSession (own SharedState/metastore) in the
+    // same JVM hits the memo yet has no such tables. Re-register over the
+    // external location when the catalog disagrees.
+    if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(ct)) register()
+    (ot, ct)
+  }
 
   /** Per-customer order statistics over the bucketed pair: the join key
     * AND the grouping key are the bucket key, so with broadcast disabled
