@@ -95,7 +95,8 @@ object SparkEntry {
     "q68_shared_spans" -> ((s, d) => Dedup.sharedSpans(s, d)),
     "q69_transitions" -> (Relational.eventTransitions(_, _)),
     "q70_freq_terms" -> ((s, d) => TextAnalysis.vocabularySketched(s, d)),
-    "q71_stream_rollup" -> (UpsertOps.streamRollup(_, _))
+    "q71_stream_rollup" -> (UpsertOps.streamRollup(_, _)),
+    "q72_delete_users" -> (UpsertOps.deleteUsers(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -734,6 +735,14 @@ object SparkEntry {
         |GROUP BY term
         |ORDER BY n_occurrences DESC, term
         |LIMIT 20""".stripMargin,
+    "q72_delete_users" ->
+      // latest-per-key minus the erased (odd) user ids — deletion must not
+      // disturb any surviving row's values
+      """SELECT user_id, event_type, ts_us, event_id, value FROM (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1 AND user_id % 2 = 0""".stripMargin,
     "q42_mm_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -95,6 +95,24 @@ object UpsertOps {
     outputCols(table.readIncremental(s, sinceCommit = "c0", endCommit = Some("c1")))
   }
 
+  /** The DELETE write operation through the real table: the two-commit
+    * merge, then GDPR-style erasure of every odd-user-id record — key-only
+    * deletion, so the index-probe path finds and rewrites exactly the
+    * partitions holding a doomed key. Survivors keep their bytes and
+    * commit times, so the read-back equals latest-per-key restricted to
+    * even user ids (the oracle).
+    */
+  def deleteUsers(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_delete_").toString
+    val table = KeyedTable(spec(s"$tmp/events_keyed"))
+    val ev = eventsUs(s, dir)
+    table.upsert(s, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    table.upsert(s, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    table.delete(
+      s, ev.filter(col("user_id") % 2 === 1).select("user_id").distinct())
+    outputCols(table.read(s))
+  }
+
   /** The two-commit merge followed by a compaction pass: the table service
     * must preserve rows, schema, and per-row commit times exactly while
     * rewriting the physical layout — so the read-back result is identical

@@ -406,6 +406,96 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       if (exists(spark)) SaveMode.Append else SaveMode.Overwrite)
   }
 
+  /** DELETE write operation — the remaining value of Hudi's
+    * `hoodie.datasource.write.operation` key (the reference pins `upsert`,
+    * glue_job_script.py:53; `delete` is what a keyed table is asked for
+    * first in production — GDPR-style record erasure). Rows whose record
+    * key appears in `keys` are removed; every other row survives byte-for-
+    * byte, keeping its original commit time.
+    *
+    * Scoping mirrors Hudi's index modes: when `keys` carries the partition
+    * columns (and keys are not global), the delete is per-partition — only
+    * the named (key, partition) rows die and the scan prunes to exactly
+    * those partitions, like the non-global index. When `keys` is key-only
+    * (or `globalKeys`), the key dies table-wide: an index-probe semi-join
+    * finds the partitions holding a doomed key, and only those are scanned
+    * and rewritten (≈ GLOBAL_BLOOM's key lookup).
+    *
+    * Scale shape: the anti-join shuffles `affected partitions ∪ keys`, not
+    * the table; with AQE the (typically small) key side broadcasts. A
+    * partition whose rows ALL die is deleted explicitly — dynamic
+    * overwrite only rewrites partitions it writes rows into (same
+    * stale-partition cleaning as global-key relocation in [[upsert]]).
+    * Idempotent by construction: re-deleting absent keys rewrites the
+    * scanned partitions to identical content (key-only form scans nothing
+    * at all — the index probe finds no partitions).
+    */
+  def delete(spark: SparkSession, keys: DataFrame): Unit = {
+    if (!exists(spark)) return
+    val provided = SchemaEvolution.dropSystemColumns(keys)
+    val scoped = !spec.globalKeys && spec.partitionCols.nonEmpty &&
+      spec.partitionCols.forall(provided.columns.contains)
+    val joinCols = if (scoped) spec.keyCols ++ spec.partitionCols else spec.keyCols
+    require(
+      spec.keyCols.forall(provided.columns.contains),
+      s"delete keys frame must carry the key columns ${spec.keyCols.mkString(", ")}")
+    val delKeys = provided.select(joinCols.map(col): _*).distinct()
+    val existing = readRaw(spark)
+
+    val affected =
+      if (spec.partitionCols.isEmpty) existing
+      else if (scoped)
+        affectedPartitionsFilter(delKeys).fold(existing)(existing.filter)
+      else {
+        // Table-wide key delete: probe for partitions holding a doomed key.
+        val parts = existing
+          .join(delKeys, spec.keyCols, "left_semi")
+          .select(spec.partitionCols.map(col): _*)
+          .distinct()
+        existing.join(parts, spec.partitionCols, "left_semi")
+      }
+    val survivors = affected.join(delKeys, joinCols, "left_anti")
+
+    if (spec.partitionCols.isEmpty) {
+      // Unpartitioned: static overwrite would delete the files the lazy
+      // plan reads — rewrite through temp + rename, like [[compact]].
+      val f = fs(spark)
+      val tmp = new Path(spec.path + "_graft_delete_tmp")
+      f.delete(tmp, true)
+      survivors.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val schema = survivors.schema
+      f.delete(new Path(spec.path), true)
+      f.rename(tmp, new Path(spec.path))
+      recordSchema(spark, schema)
+    } else {
+      survivors.persist()
+      val scanned =
+        affected.select(spec.partitionCols.map(col): _*).distinct().collect()
+      val written =
+        survivors.select(spec.partitionCols.map(col): _*).distinct().collect().toSet
+      val stale = scanned.filterNot(written.contains)
+      val prev = spark.conf.getOption(OverwriteModeKey)
+      spark.conf.set(OverwriteModeKey, "dynamic")
+      try {
+        survivors.write.mode(SaveMode.Overwrite)
+          .partitionBy(spec.partitionCols: _*).parquet(spec.path)
+        val f = fs(spark)
+        stale.foreach { row =>
+          val rel = spec.partitionCols.zipWithIndex
+            .map { case (c, i) => s"$c=${if (row.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__" else row.get(i)}" }
+            .mkString("/")
+          f.delete(new Path(s"${spec.path}/$rel"), true)
+        }
+      } finally {
+        survivors.unpersist()
+        prev match {
+          case Some(v) => spark.conf.set(OverwriteModeKey, v)
+          case None    => spark.conf.unset(OverwriteModeKey)
+        }
+      }
+    }
+  }
+
   /** Upsert `batch` (MERGE semantics): per record key, present → merge
     * (the row with the greater precombine value wins — existing or
     * incoming — matching Hudi's precombine-aware merge payload; on an

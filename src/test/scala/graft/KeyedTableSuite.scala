@@ -222,6 +222,65 @@ class KeyedTableSuite extends SparkTestBase {
     assert(t.read(spark).count() == 2)
   }
 
+  test("delete: key-only form erases the key table-wide, survivors untouched") {
+    val t = freshTable()
+    t.upsert(spark, batch(
+      Row("a", "2024-03-07", 2023, "a23"),
+      Row("a", "2024-03-07", 2024, "a24"), // non-global: a exists in 2 partitions
+      Row("b", "2024-03-07", 2024, "b1")), commitTime = "c1")
+    val keys = spark.createDataFrame(
+      Seq(Row("a")).asJava,
+      StructType(Seq(StructField("name", StringType))))
+    t.delete(spark, keys)
+    val rows = t.readRaw(spark).collect()
+    assert(rows.map(_.getAs[String]("name")).toSeq == Seq("b"))
+    assert(rows.head.getAs[String](table.KeyedTable.CommitTimeCol) == "c1",
+      "survivors keep their original commit time")
+  }
+
+  test("delete: partition-scoped form kills only the named (key, partition) row") {
+    val t = freshTable()
+    t.upsert(spark, batch(
+      Row("a", "2024-03-07", 2023, "a23"),
+      Row("a", "2024-03-07", 2024, "a24")))
+    val keys = spark.createDataFrame(
+      Seq(Row("a", 2024)).asJava,
+      StructType(Seq(StructField("name", StringType), StructField("year", IntegerType))))
+    t.delete(spark, keys)
+    val rows = t.read(spark).collect()
+    assert(rows.length == 1 && rows.head.getAs[Int]("year") == 2023)
+  }
+
+  test("delete: an emptied partition's directory is removed; idempotent") {
+    val t = freshTable()
+    t.upsert(spark, batch(
+      Row("a", "2024-03-07", 2023, "v"),
+      Row("b", "2024-03-07", 2024, "v")))
+    val keys = spark.createDataFrame(
+      Seq(Row("b")).asJava,
+      StructType(Seq(StructField("name", StringType))))
+    t.delete(spark, keys)
+    val dirs = new java.io.File(t.spec.path).listFiles()
+      .map(_.getName).filter(_.startsWith("year="))
+    assert(dirs.toSet == Set("year=2023"), "year=2024 emptied and cleaned")
+    val before = t.read(spark).collect().toSeq
+    t.delete(spark, keys) // absent keys: no-op
+    assert(t.read(spark).collect().toSeq == before)
+  }
+
+  test("delete on an unpartitioned table rewrites through temp + rename") {
+    val t = freshTable(partitioned = false)
+    t.upsert(spark, batch(
+      Row("a", "2024-03-07", 2024, "v1"),
+      Row("b", "2024-03-07", 2024, "v2")))
+    val keys = spark.createDataFrame(
+      Seq(Row("a")).asJava,
+      StructType(Seq(StructField("name", StringType))))
+    t.delete(spark, keys)
+    val rows = t.read(spark).collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("name") == "b")
+  }
+
   private def driftTable(partitioned: Boolean) = {
     val dir = Files.createTempDirectory("graft_kt_").toString
     KeyedTable(KeyedTableSpec(
