@@ -59,20 +59,40 @@ object SchemaEvolution {
     * (glue_job_script.py:100-106): JSON numeric inference drifts int→long→
     * double between batches, and a plain `unionByName` would throw.
     * Numerics widen within the safe lattice (wider integral; any
-    * fractional mix → double — long→float would silently lose precision);
-    * anything else falls back to string, the same lossless token
-    * representation `JsonStreamSource.widenToChoiceSchema` uses, to be
-    * resolved per-consumer via `resolveChoice`.
+    * fractional mix → double — long→float would silently lose precision).
+    *
+    * Containers recurse instead of collapsing: a drifted LEAF inside a
+    * struct/array/map — exactly what JSON inference produces for nested
+    * records (glue_job_script.py:42) — widens that leaf and keeps the
+    * container shape, provided the shapes agree (structs: same field names
+    * in the same order, so the struct-to-struct cast in [[align]] stays
+    * positionally sound). Shape drift (a nested field added or removed)
+    * and every other conflict fall back to string, the same lossless
+    * token representation `JsonStreamSource.widenToChoiceSchema` uses, to
+    * be resolved per-consumer via `resolveChoice`.
     */
   def widenType(a: DataType, b: DataType): DataType = {
     val rank: Map[DataType, Int] = Map(
       ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3,
       FloatType -> 4, DoubleType -> 5)
-    if (a == b) a
-    else (rank.get(a), rank.get(b)) match {
-      case (Some(ra), Some(rb)) if ra <= 3 && rb <= 3 => if (ra > rb) a else b
-      case (Some(_), Some(_))                         => DoubleType
-      case _                                          => StringType
+    (a, b) match {
+      case (x, y) if x == y => x
+      case (StructType(af), StructType(bf))
+          if af.length == bf.length &&
+            af.map(_.name).sameElements(bf.map(_.name)) =>
+        StructType(af.zip(bf).map { case (fa, fb) =>
+          StructField(fa.name, widenType(fa.dataType, fb.dataType), nullable = true)
+        })
+      case (ArrayType(ae, an), ArrayType(be, bn)) =>
+        ArrayType(widenType(ae, be), an || bn)
+      case (MapType(ak, av, an), MapType(bk, bv, bn)) =>
+        MapType(widenType(ak, bk), widenType(av, bv), an || bn)
+      case _ =>
+        (rank.get(a), rank.get(b)) match {
+          case (Some(ra), Some(rb)) if ra <= 3 && rb <= 3 => if (ra > rb) a else b
+          case (Some(_), Some(_))                         => DoubleType
+          case _                                          => StringType
+        }
     }
   }
 

@@ -137,7 +137,10 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   /** Can existing parquet files recorded as `from` be read under a schema
     * widened to `to` without rewriting them? Matches Spark 4's vectorized
     * reader promotions (int32-physical → int/long/double, float → double);
-    * notably NOT long→double and NOT anything→string.
+    * notably NOT long→double and NOT anything→string. The promotion is
+    * per parquet LEAF, so containers recurse when the shape is unchanged
+    * (pinned by WidenProbeSpec): a drifted leaf inside a struct/array/map
+    * stays widen-readable and the commit needn't rewrite the table.
     */
   private def parquetWidenReadable(
       from: org.apache.spark.sql.types.DataType,
@@ -145,6 +148,16 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     import org.apache.spark.sql.types._
     (from, to) match {
       case (a, b) if a == b                                     => true
+      case (StructType(af), StructType(bf))
+          if af.length == bf.length &&
+            af.map(_.name).sameElements(bf.map(_.name)) =>
+        af.zip(bf).forall { case (fa, fb) =>
+          parquetWidenReadable(fa.dataType, fb.dataType)
+        }
+      case (ArrayType(ae, _), ArrayType(be, _))                 =>
+        parquetWidenReadable(ae, be)
+      case (MapType(ak, av, _), MapType(bk, bv, _))             =>
+        parquetWidenReadable(ak, bk) && parquetWidenReadable(av, bv)
       case (ByteType | ShortType | IntegerType,
             ShortType | IntegerType | LongType | DoubleType)    => true
       case (FloatType, DoubleType)                              => true

@@ -357,6 +357,56 @@ class KeyedTableSuite extends SparkTestBase {
     assert(Seq("a", "b", "c").map(byName(_).getAs[String]("n")) == Seq("1", "2", "x"))
   }
 
+  private def nestedSchema(leaf: DataType) = StructType(Seq(
+    StructField("name", StringType),
+    StructField("date", StringType),
+    StructField("year", IntegerType),
+    StructField("s", StructType(Seq(
+      StructField("a", leaf), StructField("b", StringType))))))
+
+  test("nested type drift: a struct's int leaf widens to long, container intact") {
+    val t = driftTable(partitioned = true)
+    t.upsert(spark, spark.createDataFrame(Seq(
+      Row("a", "2024-03-07", 2023, Row(1, "x")),
+      Row("b", "2024-03-07", 2024, Row(2, "y"))).asJava,
+      nestedSchema(IntegerType)), commitTime = "c1")
+    // drifted batch touches only year=2024; year=2023 keeps int-leaf files,
+    // which must stay widen-readable (no full rewrite, commit times intact)
+    t.upsert(spark, spark.createDataFrame(
+      Seq(Row("c", "2024-03-08", 2024, Row(3L, "z"))).asJava,
+      nestedSchema(LongType)), commitTime = "c2")
+    val out = t.read(spark)
+    assert(out.schema("s").dataType ==
+      StructType(Seq(StructField("a", LongType), StructField("b", StringType))),
+      "leaf widened in place — container must not collapse to string")
+    val byName = out.collect().map(r => r.getAs[String]("name") -> r).toMap
+    assert(Seq("a", "b", "c").map(byName(_).getAs[Row]("s").getLong(0)) ==
+      Seq(1L, 2L, 3L))
+    val inc = t.readIncremental(spark, "c1").select("name").collect()
+      .map(_.getString(0)).toSet
+    assert(inc == Set("c"), "nested widen-readable drift must not rewrite untouched rows")
+  }
+
+  test("nested shape drift (field added inside struct) falls back to string, stays readable") {
+    val t = driftTable(partitioned = false)
+    t.upsert(spark, spark.createDataFrame(
+      Seq(Row("a", "2024-03-07", 2024, Row(1, "x"))).asJava,
+      nestedSchema(IntegerType)))
+    val grown = StructType(Seq(
+      StructField("name", StringType),
+      StructField("date", StringType),
+      StructField("year", IntegerType),
+      StructField("s", StructType(Seq(
+        StructField("a", IntegerType), StructField("b", StringType),
+        StructField("c", IntegerType))))))
+    t.upsert(spark, spark.createDataFrame(
+      Seq(Row("b", "2024-03-08", 2024, Row(2, "y", 9))).asJava, grown))
+    val out = t.read(spark)
+    assert(out.schema("s").dataType == StringType,
+      "shape drift is a choice-type conflict — lossless string fallback")
+    assert(out.count() == 2)
+  }
+
   test("bulk insert rejects non-widen-readable drift instead of corrupting reads") {
     val t = driftTable(partitioned = false)
     t.bulkInsert(spark, spark.createDataFrame(

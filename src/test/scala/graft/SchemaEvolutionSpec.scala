@@ -73,6 +73,30 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(widenType(StringType, StringType) == StringType)
   }
 
+  test("type drift recurses into containers: leaves widen, shape survives") {
+    import graft.schema.SchemaEvolution.widenType
+    val a = StructType(Seq(StructField("a", IntegerType), StructField("b", StringType)))
+    val b = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
+    assert(widenType(a, b) ==
+      StructType(Seq(StructField("a", LongType), StructField("b", StringType))))
+    assert(widenType(ArrayType(IntegerType), ArrayType(DoubleType)) ==
+      ArrayType(DoubleType))
+    assert(widenType(
+      MapType(StringType, IntegerType), MapType(StringType, LongType)) ==
+      MapType(StringType, LongType))
+    // nested two levels down
+    assert(widenType(
+      StructType(Seq(StructField("xs", ArrayType(IntegerType)))),
+      StructType(Seq(StructField("xs", ArrayType(LongType))))) ==
+      StructType(Seq(StructField("xs", ArrayType(LongType)))))
+    // shape drift (field set / order mismatch) is a choice conflict → string
+    val grown = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType),
+      StructField("c", IntegerType)))
+    assert(widenType(a, grown) == StringType)
+    assert(widenType(a, ArrayType(IntegerType)) == StringType)
+  }
+
   test("type drift: int batch aligns against a long table schema and back") {
     val longSchema = StructType(Seq(
       StructField("name", StringType), StructField("n", LongType)))
