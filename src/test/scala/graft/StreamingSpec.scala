@@ -235,6 +235,46 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sharded transport: per-key ordering survives adversarial cross-shard interleaving") {
+    // Two shards with key→shard affinity (a → shard 0, b → shard 1), each
+    // shard's files appended in its own order, but GLOBAL arrival
+    // interleaved adversarially: a's second record arrives after BOTH of
+    // b's. A keyed sink precombining on transport_seq must still land the
+    // per-shard-latest record for every key.
+    val tmp = Files.createTempDirectory("graft_shard_spec_").toString
+    val in = s"$tmp/in"
+    def shardFile(shard: Int, name: String, rec: String, mtimeMs: Long): Unit = {
+      val d = new java.io.File(s"$in/shard=$shard"); d.mkdirs()
+      val f = new java.io.File(d, name)
+      Files.writeString(f.toPath, rec + "\n")
+      f.setLastModified(mtimeMs)
+    }
+    val t0 = System.currentTimeMillis() - 600000L
+    // shard 0 (key a): "a1" then "a2"; shard 1 (key b): "b1" then "b2"
+    shardFile(0, "f0.json", """{"name":"a","year":2024,"payload":"a1"}""", t0)
+    shardFile(1, "f0.json", """{"name":"b","year":2024,"payload":"b1"}""", t0 + 1000)
+    shardFile(1, "f1.json", """{"name":"b","year":2024,"payload":"b2"}""", t0 + 2000)
+    shardFile(0, "f1.json", """{"name":"a","year":2024,"payload":"a2"}""", t0 + 3000)
+
+    val stream = JsonStreamSource.streamSharded(
+      spark, in, maxFilesPerTrigger = Some(1)) // one file per micro-batch
+    assert(stream.columns.contains("shard") && stream.columns.contains("transport_seq"))
+
+    val t = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/t",
+      keyCols = Seq("name"),
+      precombineCol = "transport_seq", // the transport's own sequence
+      partitionCols = Seq("year")))
+    val q = MicroBatchPipeline.start(stream, t, s"$tmp/cp", Trigger.AvailableNow())
+    q.awaitTermination()
+
+    val out = t.read(spark).collect()
+      .map(r => r.getAs[String]("name") ->
+        (r.getAs[String]("payload"), r.getAs[Long]("shard"))).toMap
+    assert(out == Map("a" -> ("a2", 0L), "b" -> ("b2", 1L)),
+      "per-shard-latest record must win per key despite interleaved arrival")
+  }
+
   test("choice-type policy: a \"5\"/5 mixed batch lands typed without nulling data") {
     import org.apache.spark.sql.types.LongType
     val tmp = Files.createTempDirectory("graft_choice_spec_").toString
