@@ -14,6 +14,12 @@ object Bench {
       // Kryo, as the reference job configures (glue_job_script.py:19) —
       // matters for real shuffles of non-Tungsten payloads.
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // RocksDB state store: stateful streaming state lives off-heap and
+      // spills to local disk, bounding executor heap by the watermark
+      // horizon rather than total state size — the production choice once
+      // state outgrows the HDFS-backed in-memory default.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: exercise scan + broadcast join + aggregate + noop

@@ -23,6 +23,12 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // RocksDB state store: stateful streaming state lives off-heap and
+      // spills to local disk, bounding executor heap by the watermark
+      // horizon rather than total state size — the production choice once
+      // state outgrows the HDFS-backed in-memory default.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
