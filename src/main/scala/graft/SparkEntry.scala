@@ -96,7 +96,12 @@ object SparkEntry {
     "q69_transitions" -> (Relational.eventTransitions(_, _)),
     "q70_freq_terms" -> ((s, d) => TextAnalysis.vocabularySketched(s, d)),
     "q71_stream_rollup" -> (UpsertOps.streamRollup(_, _)),
-    "q72_delete_users" -> (UpsertOps.deleteUsers(_, _))
+    "q72_delete_users" -> (UpsertOps.deleteUsers(_, _)),
+    "q73_doc_chunks" -> ((s, d) => TextAnalysis.chunks(s, d)),
+    "q74_domain_mix" -> ((s, d) => Curation.domainMix(s, d)),
+    "q75_quality_gate" -> ((s, d) => Curation.qualityGate(s, d)),
+    "q76_inverted_index" -> ((s, d) => Search.invertedIndex(s, d)),
+    "q77_common_score" -> (TextAnalysis.commonness(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -751,6 +756,59 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  CAST(doc_id % 640 + 64 AS INT) AS width,
         |  CAST(doc_id % 480 + 48 AS INT) AS height
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q73_doc_chunks" ->
+      // chunk k covers tokens [k*24, k*24+32): stride 24, size 32, final
+      // chunk short; generate_series is inclusive like Spark's sequence
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |e AS (SELECT doc_id, toks,
+        |        unnest(range(0, (len(toks) - 1) // 24 + 1)) AS k
+        |      FROM t)
+        |SELECT doc_id,
+        |  CAST(k AS INT) AS chunk_id,
+        |  CAST(k * 24 AS INT) AS chunk_start,
+        |  CAST(len(list_slice(toks, k * 24 + 1, k * 24 + 32)) AS INT) AS n_chunk_tokens,
+        |  array_to_string(list_slice(toks, k * 24 + 1, k * 24 + 32), ' ') AS chunk_text
+        |FROM e""".stripMargin,
+    "q74_domain_mix" ->
+      // alpha=0.5 temperature mix, all integer/correctly-rounded steps:
+      // w = floor(sqrt(n)), target = floor(budget*w/sum(w)), pick order md5
+      """WITH n AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |w AS (SELECT source, CAST(floor(sqrt(n_docs)) AS BIGINT) AS w FROM n),
+        |t AS (SELECT source, (200 * w) // (SELECT SUM(w) FROM w) AS target FROM w),
+        |r AS (SELECT doc_id, source,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |      FROM documents)
+        |SELECT r.doc_id, r.source, CAST(r.rk AS INT) AS rk
+        |FROM r JOIN t USING (source) WHERE rk <= target""".stripMargin,
+    "q75_quality_gate" ->
+      s"""WITH q AS ($textQualitySql)
+         |SELECT doc_id, lang, quality, pr FROM (
+         |  SELECT d.doc_id, d.lang, q.quality,
+         |    percent_rank() OVER (PARTITION BY d.lang
+         |      ORDER BY q.quality, d.doc_id) AS pr
+         |  FROM documents d JOIN q ON d.doc_id = q.doc_id) t
+         |WHERE pr >= 0.5""".stripMargin,
+    "q76_inverted_index" ->
+      // postings = first 20 doc ids ascending; n_docs counts all of them
+      """WITH p AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        |  FROM documents),
+        |r AS (SELECT term, doc_id,
+        |        ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |      FROM p)
+        |SELECT term, COUNT(*) AS n_docs,
+        |  string_agg(CASE WHEN rn <= 20 THEN CAST(doc_id AS VARCHAR) END,
+        |             ',' ORDER BY doc_id) AS postings
+        |FROM r GROUP BY term""".stripMargin,
+    "q77_common_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |cnt AS (SELECT term, COUNT(*) AS term_freq FROM tok GROUP BY term)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+        |  CAST(SUM(CAST(term_freq AS DECIMAL(18,4))) AS DOUBLE) / COUNT(term_freq)
+        |    AS avg_term_freq
+        |FROM tok JOIN cnt USING (term) GROUP BY doc_id""".stripMargin
   )
 }

@@ -133,6 +133,63 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** Temperature-scaled domain mixing — the step that rebalances a corpus
+    * across sources before training (α < 1 flattens the source
+    * distribution, upweighting small domains, as in GPT-3/Pile-style
+    * mixture weighting). α is fixed at 0.5 and every step is chosen to be
+    * cross-engine exact: per-source weight = ⌊√n_s⌋ (IEEE sqrt is
+    * correctly rounded, floor makes it an integer), per-source target =
+    * ⌊budget · w_s / Σw⌋ in integer arithmetic, and the per-source pick
+    * order is md5(doc_id) — a deterministic pseudo-random permutation both
+    * engines reproduce byte-for-byte (no RNG state, re-ingest-stable).
+    *
+    * Scale shape: the weight/target table is O(#sources) and broadcast;
+    * the only data shuffle is the per-source window rank. At extreme
+    * per-source cardinalities the rank would become the bounded-heap
+    * top-k aggregate ([[graft.functions.TopKByScore]]) with k = target_s;
+    * the window form is kept because targets vary per source.
+    */
+  def domainMix(s: SparkSession, dir: String, budget: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val weights = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs"))).cast("long"))
+    val total = weights.agg(sum(col("w")).as("tw"))
+    val targets = weights.crossJoin(broadcast(total))
+      .select(col("source"), expr(s"($budget * w) div tw").as("target"))
+    docs
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+      .join(broadcast(targets), "source")
+      .filter(col("rk") <= col("target"))
+      .select(col("doc_id"), col("source"), col("rk").cast("int").as("rk"))
+  }
+
+  /** Per-language quality percentile gate: keep the top half of each
+    * language's quality distribution — the relative (distribution-aware)
+    * counterpart of [[curatedCorpus]]'s absolute quality floor, which is
+    * how real pipelines set thresholds when score scales differ per
+    * stratum. percent_rank = (rank−1)/(n−1) is an exact small-rational
+    * division, so the emitted double and the ≥ cut agree across engines
+    * and partitionings; ties are ordered by doc_id so the rank itself is
+    * deterministic. One scan + one per-language window shuffle.
+    */
+  def qualityGate(
+      s: SparkSession, dir: String, keepFrom: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .withColumn("pr", percent_rank().over(
+        Window.partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))))
+      .filter(col("pr") >= keepFrom)
+  }
+
   // ── PII detection / redaction ─────────────────────────────────────────
   // Regexes written in the common subset of java.util.regex (Spark) and
   // RE2 (DuckDB oracle) — no backrefs, no lookarounds — so both engines

@@ -62,4 +62,32 @@ object Search {
       .limit(k)
       .select("doc_id", "score")
   }
+
+  /** Inverted index (term → postings): per term, the document frequency
+    * and the first `maxPostings` doc ids ascending, serialized as a
+    * comma-joined string — the batch-built retrieval index beside [[bm25]]
+    * (which scores by scanning; this materializes the term→docs map a
+    * lookup service would serve). One explode + one groupBy(term): the
+    * shuffle carries (term, doc_id) pairs once, map-side combine bounds
+    * nothing here because postings genuinely need every id — which is why
+    * the OUTPUT is capped at `maxPostings` (at corpus scale, full postings
+    * of stop-word-frequency terms are multi-GB rows; a real index shards
+    * them — same plan keyed by (term, doc_id div shardSize)).
+    */
+  def invertedIndex(
+      s: SparkSession, dir: String, maxPostings: Int = 20): DataFrame =
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(
+        col("term"), col("n_docs"),
+        array_join(
+          transform(slice(col("ids"), 1, maxPostings), _.cast("string")),
+          ",").as("postings"))
 }

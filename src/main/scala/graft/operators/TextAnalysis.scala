@@ -115,6 +115,60 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Fixed-size token-window chunking with overlap — the step that turns
+    * curated documents into context-window-sized training samples: chunk
+    * `k` covers tokens [k·stride, k·stride + chunkTokens), so consecutive
+    * chunks overlap by `chunkTokens - stride` tokens (0 < stride ≤
+    * chunkTokens); the final chunk is short rather than padded. Pure
+    * row-level explode — no shuffle, output rows ≈ n_tokens/stride per
+    * doc, and the slice/join expressions are codegen'd, so the operator
+    * scales with input splits like any map.
+    */
+  def chunks(
+      s: SparkSession, dir: String,
+      chunkTokens: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride > 0 && stride <= chunkTokens, "need 0 < stride <= chunkTokens")
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"), col("toks"),
+        posexplode(expr(s"sequence(0, (size(toks) - 1) div $stride)")))
+      .select(
+        col("doc_id"),
+        col("pos").cast("int").as("chunk_id"),
+        (col("pos") * stride).cast("int").as("chunk_start"),
+        slice(col("toks"), col("pos") * stride + 1, lit(chunkTokens)).as("chunk"))
+      .select(
+        col("doc_id"), col("chunk_id"), col("chunk_start"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
+  /** Occurrence-weighted mean corpus frequency of a document's tokens — a
+    * "genericness" score (high = the document is made of very common
+    * tokens; the inverse signal of rare-token density used by
+    * CCNet-style corpus filters). Two aggregates: the term-frequency
+    * table (map-side-combined groupBy over the term domain), then a join
+    * back to token instances and a per-doc mean through exact decimal
+    * ([[Exact.davg]]) so the double is partition-order-stable. The
+    * frequency table is broadcast — even web-scale vocabularies are
+    * dwarfed by the corpus; were it not, the join key is the term on both
+    * sides, a plain co-partitioned shuffle join.
+    */
+  def commonness(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+    val counts = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("term_freq"))
+    toks.join(broadcast(counts), "term")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_tokens"),
+        Exact.davg(col("term_freq")).as("avg_term_freq"))
+  }
+
   /** Corpus vocabulary: the 50 most frequent terms with occurrence and
     * document frequencies. One explode + one aggregation — the shuffle
     * carries (term, partial counts) after map-side combine, and the top-k
