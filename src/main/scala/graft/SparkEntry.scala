@@ -101,7 +101,9 @@ object SparkEntry {
     "q74_domain_mix" -> ((s, d) => Curation.domainMix(s, d)),
     "q75_quality_gate" -> ((s, d) => Curation.qualityGate(s, d)),
     "q76_inverted_index" -> ((s, d) => Search.invertedIndex(s, d)),
-    "q77_common_score" -> (TextAnalysis.commonness(_, _))
+    "q77_common_score" -> (TextAnalysis.commonness(_, _)),
+    "q78_decontaminated" -> ((s, d) => Curation.decontaminatedTrain(s, d)),
+    "q79_seq_packing" -> ((s, d) => Curation.sequencePacking(s, d))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -802,6 +804,38 @@ object SparkEntry {
         |  string_agg(CASE WHEN rn <= 20 THEN CAST(doc_id AS VARCHAR) END,
         |             ',' ORDER BY doc_id) AS postings
         |FROM r GROUP BY term""".stripMargin,
+    "q78_decontaminated" ->
+      // train docs minus any train id that near-duplicates (jaccard >= 0.5)
+      // a doc in another split — q53's pair set drives the purge
+      s"""WITH sh AS ($shingleTable),
+         |p AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) q
+         |  WHERE jaccard >= 0.5),
+         |contam AS (
+         |  SELECT a_id AS train_id FROM p
+         |  WHERE a_id % 10 < 8 AND b_id % 10 >= 8
+         |  UNION ALL
+         |  SELECT b_id FROM p
+         |  WHERE b_id % 10 < 8 AND a_id % 10 >= 8)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id % 10 < 8
+         |  AND doc_id NOT IN (SELECT train_id FROM contam)""".stripMargin,
+    "q79_seq_packing" ->
+      // contiguous packing per source: doc opens a new pack when its first
+      // token would overflow the 256-token context budget
+      """SELECT doc_id, source, n_tokens,
+        |       (cum - n_tokens) // 256 AS pack_id
+        |FROM (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |           OVER (PARTITION BY source ORDER BY doc_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents) t""".stripMargin,
     "q77_common_score" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -133,6 +133,50 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** The decontamination PURGE — the action [[crossSplitContamination]]'s
+    * report feeds: the train split with every document that near-duplicates
+    * an eval/validation document removed. One anti-join of the (small)
+    * contaminated-train-id set against the split-filtered corpus; the
+    * expensive part is the candidate generation, which rides the same
+    * banded-LSH pair pipeline as q53 (ids-only shuffles, never all-pairs).
+    */
+  def decontaminatedTrain(s: SparkSession, dir: String): DataFrame = {
+    val contaminated = crossSplitContamination(s, dir)
+      .select(col("train_id").as("doc_id")).distinct()
+    Tables.documents(s, dir)
+      .filter(splitExpr(col("doc_id")) === "train")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** Contiguous sequence packing — the step that concatenates documents
+    * into fixed-token-budget training samples (pack = the set of docs
+    * whose concatenation fills one context window; the overflow doc opens
+    * the next pack). Deterministic contiguous form: docs are laid out in
+    * doc_id order and a running token total assigns
+    * `pack_id = ⌊(cumsum − n_tokens) / ctxTokens⌋` — a doc opens a new
+    * pack exactly when the budget its predecessors left cannot hold its
+    * first token. Packing is scoped PER SOURCE: each stratum packs
+    * independently (one window shuffle, parallel across strata), which is
+    * the scale form — a single global pack order is inherently a
+    * sequential scan on any engine, and real pipelines pack per shard.
+    * Integer token counts and integer division make it cross-engine exact.
+    */
+  def sequencePacking(
+      s: SparkSession, dir: String, ctxTokens: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $ctxTokens").as("pack_id"))
+  }
+
   /** Temperature-scaled domain mixing — the step that rebalances a corpus
     * across sources before training (α < 1 flattens the source
     * distribution, upweighting small domains, as in GPT-3/Pile-style

@@ -235,6 +235,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment: each event gets the latest dimension row at or before its time") {
+    val tmp = Files.createTempDirectory("graft_asof_stream_").toString
+    // events across two keys, including one BEFORE any snapshot
+    writeJson(s"$tmp/in", Seq(
+      """{"k":"x","ts":5,"event":"e1"}""",
+      """{"k":"x","ts":25,"event":"e2"}""",
+      """{"k":"x","ts":35,"event":"e3"}""",
+      """{"k":"y","ts":25,"event":"e4"}""",
+      """{"k":"z","ts":50,"event":"e5"}""")) // key with no dimension rows at all
+    val dim = Seq(
+      ("x", 10L, "x-v1"), ("x", 30L, "x-v2"), ("y", 20L, "y-v1"))
+      .toDF("k", "dts", "dval")
+
+    val enriched = graft.streaming.StreamingAsOf.enrich(
+      JsonStreamSource.stream(spark, s"$tmp/in"),
+      dim, keyCol = "k", tsCol = "ts", dimTsCol = "dts", dimValCol = "dval")
+    val got = scala.collection.mutable.Map.empty[String, (Any, Any)]
+    val q = enriched.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          got.synchronized {
+            got(r.getAs[String]("event")) =
+              (r.getAs[Any]("asof_ts"), r.getAs[Any]("asof_val"))
+          })
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(got("e1") == (null, null), "event before any snapshot → null enrichment")
+    assert(got("e2") == (10L, "x-v1"))
+    assert(got("e3") == (30L, "x-v2"), "snapshot AT the event time is eligible")
+    assert(got("e4") == (20L, "y-v1"))
+    assert(got("e5") == (null, null), "key absent from the dimension → null enrichment")
+  }
+
   test("stateful queries run on the RocksDB state store (off-heap, disk-backed)") {
     assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
       .endsWith("RocksDBStateStoreProvider"))
