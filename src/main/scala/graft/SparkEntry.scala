@@ -103,7 +103,8 @@ object SparkEntry {
     "q76_inverted_index" -> ((s, d) => Search.invertedIndex(s, d)),
     "q77_common_score" -> (TextAnalysis.commonness(_, _)),
     "q78_decontaminated" -> ((s, d) => Curation.decontaminatedTrain(s, d)),
-    "q79_seq_packing" -> ((s, d) => Curation.sequencePacking(s, d))
+    "q79_seq_packing" -> ((s, d) => Curation.sequencePacking(s, d)),
+    "q80_token_ids" -> ((s, d) => TextAnalysis.tokenIds(s, d))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -836,6 +837,23 @@ object SparkEntry {
         |           OVER (PARTITION BY source ORDER BY doc_id
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM documents) t""".stripMargin,
+    "q80_token_ids" ->
+      // top-20 frequency-ranked vocabulary (1-based; rank by count desc,
+      // term asc), documents as comma-joined id sequences, OOV -> 0
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (
+        |  SELECT doc_id, i, toks[i] AS term
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t) e),
+        |cnt AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
+        |voc AS (SELECT term,
+        |          ROW_NUMBER() OVER (ORDER BY n DESC, term) AS token_id
+        |        FROM cnt)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+        |  string_agg(
+        |    CAST(COALESCE(CASE WHEN token_id <= 20 THEN token_id END, 0) AS VARCHAR),
+        |    ',' ORDER BY i) AS token_ids
+        |FROM tok LEFT JOIN voc USING (term)
+        |GROUP BY doc_id""".stripMargin,
     "q77_common_score" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -169,6 +169,43 @@ object TextAnalysis {
         Exact.davg(col("term_freq")).as("avg_term_freq"))
   }
 
+  /** Tokenization to vocabulary ids — the conversion step between curated
+    * text and training tensors: a frequency-ranked vocabulary of the top
+    * `vocabSize` terms (id = rank by count desc, term asc; 1-based), every
+    * document re-expressed as its comma-joined id sequence with
+    * out-of-vocabulary terms mapped to 0. Two phases with the right scale
+    * shapes: the vocabulary BUILD aggregates the term domain map-side and
+    * globally ranks only the aggregated counts (V rows, the bounded
+    * artifact of the build — not the corpus); the APPLY is a broadcast
+    * lookup join on exploded (doc, pos, term) followed by one per-doc
+    * regroup, order restored by sorting the (pos, id) pairs — no global
+    * ordering anywhere in the apply path.
+    */
+  def tokenIds(
+      s: SparkSession, dir: String, vocabSize: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), posexplode(TextFunctions.tokens(col("text"))))
+      .withColumnRenamed("col", "term")
+    val vocab = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("n").desc, col("term"))).cast("long"))
+      .filter(col("token_id") <= vocabSize)
+      .select(col("term"), col("token_id"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .withColumn("tid", coalesce(col("token_id"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("tid")))),
+            x => x.getField("tid").cast("string")),
+          ",").as("token_ids"))
+  }
+
   /** Corpus vocabulary: the 50 most frequent terms with occurrence and
     * document frequencies. One explode + one aggregation — the shuffle
     * carries (term, partial counts) after map-side combine, and the top-k
