@@ -66,9 +66,26 @@ object Demo {
     graft.table.SketchedTable.annPqIndexed(spark, sfDir, queryId = 0L, k = 5)
       .show(truncate = false)
 
+    println("=== delete (GDPR erasure): odd user ids removed table-wide ===")
+    table.delete(
+      spark, ev.filter(col("user_id") % 2 === 1).select("user_id").distinct())
+    spark.sql(
+      s"""SELECT COUNT(*) AS surviving_keys,
+         |       SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS odd_keys_left
+         |FROM parquet.`$tmp/events_keyed`""".stripMargin)
+      .show(truncate = false)
+
     println("=== curation gate: quality x repetition x lang-ID x PII ===")
     graft.operators.Curation.curatedCorpus(spark, sfDir)
       .orderBy("doc_id").show(5, truncate = false)
+
+    println("=== training prep: chunk -> pack -> tokenize ===")
+    graft.operators.TextAnalysis.chunks(spark, sfDir)
+      .orderBy("doc_id", "chunk_id").show(3, truncate = false)
+    graft.operators.Curation.sequencePacking(spark, sfDir)
+      .orderBy("source", "doc_id").show(3, truncate = false)
+    graft.operators.TextAnalysis.tokenIds(spark, sfDir)
+      .orderBy("doc_id").show(3, truncate = false)
 
     println("=== custom SQL functions ===")
     GraftExtensions.registerAll(spark)
