@@ -4,23 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .withExtensions(new GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Kryo, as the reference job configures (glue_job_script.py:19) —
-      // matters for real shuffles of non-Tungsten payloads.
-      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-      // RocksDB state store: stateful streaming state lives off-heap and
-      // spills to local disk, bounding executor heap by the watermark
-      // horizon rather than total state size — the production choice once
-      // state outgrows the HDFS-backed in-memory default.
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      .getOrCreate()
+    val spark = Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: exercise scan + broadcast join + aggregate + noop
     // sink once so the first timed query doesn't absorb JVM classloading

@@ -25,20 +25,7 @@ object Calibrate {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-      // RocksDB state store: stateful streaming state lives off-heap and
-      // spills to local disk, bounding executor heap by the watermark
-      // horizon rather than total state size — the production choice once
-      // state outgrows the HDFS-backed in-memory default.
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      .getOrCreate()
+    val spark = Sessions.builder("local[8]", "8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     say(s"=== calibrating on $sfDir ===")
 

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The library's one session recipe — every runner main and the test base
+  * build from here so the common settings cannot drift between entry
+  * points:
+  *
+  *   - `GraftExtensions`: custom SQL functions + the YearPredicateToRange
+  *     optimizer rule;
+  *   - nanosAsLong: `events.ts` is parquet TIMESTAMP(NANOS), read as a
+  *     nanosecond long (DuckDB truncates the same column to µs; queries
+  *     compare via `ts div 1000` ≡ `epoch_us(ts)`);
+  *   - Kryo, as the reference job configures (glue_job_script.py:19);
+  *   - RocksDB state store: stateful streaming state lives off-heap and
+  *     spills to local disk, bounding executor heap by the watermark
+  *     horizon rather than total state size — the production choice once
+  *     state outgrows the HDFS-backed in-memory default;
+  *   - UTC + no UI for reproducible, headless runs.
+  */
+object Sessions {
+  def builder(master: String, shufflePartitions: String): SparkSession.Builder =
+    SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+}

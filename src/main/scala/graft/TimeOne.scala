@@ -9,22 +9,9 @@ object TimeOne {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("q41_knn_join")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val spark = SparkSession.builder()
-      .withExtensions(new GraftExtensions)
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-      // RocksDB state store: stateful streaming state lives off-heap and
-      // spills to local disk, bounding executor heap by the watermark
-      // horizon rather than total state size — the production choice once
-      // state outgrows the HDFS-backed in-memory default.
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      .getOrCreate()
+    val spark = Sessions.builder(
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     (1 to 2).foreach { i =>

@@ -7,25 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .withExtensions(new GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS): read as nanos long
-      // (DuckDB truncates the same column to µs; queries compare via
-      // ts div 1000 ≡ epoch_us(ts))
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Kryo, as the reference job configures (glue_job_script.py:19)
-      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-      // RocksDB state store: stateful streaming state lives off-heap and
-      // spills to local disk, bounding executor heap by the watermark
-      // horizon rather than total state size — the production choice once
-      // state outgrows the HDFS-backed in-memory default.
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      .getOrCreate()
+    val spark = Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

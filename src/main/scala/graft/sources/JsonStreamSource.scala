@@ -76,10 +76,15 @@ object JsonStreamSource {
     * (cloudformation-template/Glue_StreamingJob_Hudi_Template.yaml:56-104;
     * Kafka topic-partitions have the identical contract). Records arrive
     * as files under `path/shard=<id>/`; the hive-style directory becomes
-    * the `shard` column, and each record is tagged with `transport_seq` —
-    * its file's arrival (modification) time, the analogue of a Kinesis
-    * sequence number / Kafka offset, monotone WITHIN a shard because a
-    * shard's files are appended in arrival order.
+    * the `shard` column (the batch probe's partition discovery puts it in
+    * the inferred schema), and each record is tagged with `transport_seq`
+    * — an OPAQUE, lexicographically ordered sequence token (zero-padded
+    * file arrival time + file name), the analogue of a Kinesis sequence
+    * number (itself an opaque ordered string) / Kafka offset. The token
+    * is a TOTAL order within a shard: arrival time orders distinct
+    * appends, and the file-name tiebreak keeps same-timestamp appends
+    * (mtime granularity) deterministic rather than letting the precombine
+    * tie fall to batch order.
     *
     * The ordering contract this source honors, and all it honors:
     * micro-batches drain files in global modification-time order, so
@@ -97,16 +102,15 @@ object JsonStreamSource {
       path: String,
       schema: Option[StructType] = None,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    // Batch probe with partition discovery: `shard` arrives from the
-    // directory layout, data fields from the JSON itself.
-    val full = schema.getOrElse(spark.read.json(path).schema)
-    val reader = spark.readStream.schema(full)
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.json(path)
+    import org.apache.spark.sql.functions.{concat_ws, lpad, unix_millis}
+    stream(spark, path, schema, maxFilesPerTrigger)
       .withColumn(
         "transport_seq",
-        org.apache.spark.sql.functions.unix_millis(
-          col("_metadata.file_modification_time")))
+        concat_ws(
+          "/",
+          lpad(unix_millis(col("_metadata.file_modification_time"))
+            .cast("string"), 20, "0"),
+          col("_metadata.file_name")))
   }
 
   /** Starting-position policy, mirroring the reference's

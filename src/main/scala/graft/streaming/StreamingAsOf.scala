@@ -45,14 +45,18 @@ object StreamingAsOf {
       .groupBy(col(keyCol))
       .agg(sort_array(collect_list(
         struct(col(dimTsCol).as("ts"), col(dimValCol).as("v")))).as("snaps"))
+    // Materialized once: the lambda-bearing filter is excluded from
+    // subexpression elimination, so referencing it in both size() and
+    // element_at() directly would scan the snapshot array twice per event.
     val eligible: Column =
       filter(col("snaps"), x => x.getField("ts") <= col(tsCol))
     stream
       .join(broadcast(packed), Seq(keyCol), "left")
+      .withColumn("_elig", eligible)
       .withColumn("_asof",
-        when(size(eligible) > 0, element_at(eligible, -1)))
+        when(size(col("_elig")) > 0, element_at(col("_elig"), -1)))
       .withColumn("asof_ts", col("_asof.ts"))
       .withColumn("asof_val", col("_asof.v"))
-      .drop("snaps", "_asof")
+      .drop("snaps", "_elig", "_asof")
   }
 }

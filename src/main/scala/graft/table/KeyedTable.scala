@@ -223,20 +223,12 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     */
   def compact(spark: SparkSession): Unit = {
     if (!exists(spark)) return
-    val f = fs(spark)
-    val tmp = new Path(spec.path + "_graft_compact_tmp")
-    f.delete(tmp, true)
     val all = readRaw(spark)
     val clustered =
       if (spec.partitionCols.nonEmpty)
         all.repartition(spec.partitionCols.map(col): _*)
       else all.coalesce(1)
-    val w = clustered.write.mode(SaveMode.Overwrite)
-    (if (spec.partitionCols.nonEmpty) w.partitionBy(spec.partitionCols: _*) else w)
-      .parquet(tmp.toString)
-    f.delete(new Path(spec.path), true)
-    f.rename(tmp, new Path(spec.path))
-    recordSchema(spark, all.schema) // sidecar was deleted with the old dir
+    rewriteViaTmp(spark, clustered, "_graft_compact_tmp")
   }
 
   /** Incremental query — Hudi's incremental read semantics
@@ -358,6 +350,57 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       Some(if (preds.isEmpty) lit(false) else preds.reduce(_ || _))
     }
 
+  /** Hive-escaped relative partition directory for a partition-values row —
+    * EXACTLY the path the parquet writer produced (`ExternalCatalogUtils`
+    * is the writer's own escaping), so explicit directory cleanup can
+    * never miss a partition whose value needs escaping (e.g. `"2024/03"`).
+    */
+  private def partitionDirOf(row: org.apache.spark.sql.Row): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    spec.partitionCols.zipWithIndex.map { case (c, i) =>
+      val v =
+        if (row.isNullAt(i)) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        else ExternalCatalogUtils.escapePathName(row.get(i).toString)
+      s"${ExternalCatalogUtils.escapePathName(c)}=$v"
+    }.mkString("/")
+  }
+
+  private def deletePartitionDirs(
+      spark: SparkSession, rows: Iterable[org.apache.spark.sql.Row]): Unit = {
+    val f = fs(spark)
+    rows.foreach(r => f.delete(new Path(s"${spec.path}/${partitionDirOf(r)}"), true))
+  }
+
+  /** Run `body` under dynamic partition overwrite, restoring the prior
+    * session value afterwards.
+    */
+  private def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.getOption(OverwriteModeKey)
+    spark.conf.set(OverwriteModeKey, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(OverwriteModeKey, v)
+      case None    => spark.conf.unset(OverwriteModeKey)
+    }
+  }
+
+  /** Full-table rewrite through a temp directory + rename — a static
+    * overwrite would delete the very files the lazy plan is reading —
+    * then re-record the schema (the sidecar died with the old directory).
+    */
+  private def rewriteViaTmp(spark: SparkSession, df: DataFrame, tmpSuffix: String): Unit = {
+    val f = fs(spark)
+    val tmp = new Path(spec.path + tmpSuffix)
+    f.delete(tmp, true)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (spec.partitionCols.nonEmpty) w.partitionBy(spec.partitionCols: _*) else w)
+      .parquet(tmp.toString)
+    val schema = df.schema
+    f.delete(new Path(spec.path), true)
+    f.rename(tmp, new Path(spec.path))
+    recordSchema(spark, schema)
+  }
+
   /** INSERT write operation (the second value the reference's
     * `hoodie.datasource.write.operation` key accepts, glue_job_script.py:53):
     * append without the key-index lookup/merge — rows land even when the
@@ -386,15 +429,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
           readRaw(spark).drop(RecordKeyCol, PartitionPathCol), alignedC.schema)
         val combined = withMeta(
           existing.unionByName(alignedC, allowMissingColumns = true), commitTime)
-        val f = fs(spark)
-        val tmp = new Path(spec.path + "_graft_rewrite_tmp")
-        f.delete(tmp, true)
-        val w = combined.write.mode(SaveMode.Overwrite)
-        (if (spec.partitionCols.nonEmpty) w.partitionBy(spec.partitionCols: _*) else w)
-          .parquet(tmp.toString)
-        f.delete(new Path(spec.path), true)
-        f.rename(tmp, new Path(spec.path))
-        recordSchema(spark, combined.schema)
+        rewriteViaTmp(spark, combined, "_graft_rewrite_tmp")
     }
   }
 
@@ -470,16 +505,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     val survivors = affected.join(delKeys, joinCols, "left_anti")
 
     if (spec.partitionCols.isEmpty) {
-      // Unpartitioned: static overwrite would delete the files the lazy
-      // plan reads — rewrite through temp + rename, like [[compact]].
-      val f = fs(spark)
-      val tmp = new Path(spec.path + "_graft_delete_tmp")
-      f.delete(tmp, true)
-      survivors.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val schema = survivors.schema
-      f.delete(new Path(spec.path), true)
-      f.rename(tmp, new Path(spec.path))
-      recordSchema(spark, schema)
+      rewriteViaTmp(spark, survivors, "_graft_delete_tmp")
     } else {
       survivors.persist()
       val scanned =
@@ -487,25 +513,11 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       val written =
         survivors.select(spec.partitionCols.map(col): _*).distinct().collect().toSet
       val stale = scanned.filterNot(written.contains)
-      val prev = spark.conf.getOption(OverwriteModeKey)
-      spark.conf.set(OverwriteModeKey, "dynamic")
-      try {
+      try withDynamicOverwrite(spark) {
         survivors.write.mode(SaveMode.Overwrite)
           .partitionBy(spec.partitionCols: _*).parquet(spec.path)
-        val f = fs(spark)
-        stale.foreach { row =>
-          val rel = spec.partitionCols.zipWithIndex
-            .map { case (c, i) => s"$c=${if (row.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__" else row.get(i)}" }
-            .mkString("/")
-          f.delete(new Path(s"${spec.path}/$rel"), true)
-        }
-      } finally {
-        survivors.unpersist()
-        prev match {
-          case Some(v) => spark.conf.set(OverwriteModeKey, v)
-          case None    => spark.conf.unset(OverwriteModeKey)
-        }
-      }
+        deletePartitionDirs(spark, stale)
+      } finally survivors.unpersist()
     }
   }
 
@@ -582,24 +594,10 @@ final class KeyedTable(val spec: KeyedTableSpec) {
             scanned.filterNot(written.contains)
           } else Array.empty
 
-        val prev = spark.conf.getOption(OverwriteModeKey)
-        spark.conf.set(OverwriteModeKey, "dynamic")
-        try {
+        try withDynamicOverwrite(spark) {
           writeOut(withMeta(merged, commitTime), SaveMode.Overwrite)
-          val f = fs(spark)
-          staleParts.foreach { row =>
-            val rel = spec.partitionCols.zipWithIndex
-              .map { case (c, i) => s"$c=${if (row.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__" else row.get(i)}" }
-              .mkString("/")
-            f.delete(new Path(s"${spec.path}/$rel"), true)
-          }
-        } finally {
-          merged.unpersist()
-          prev match {
-            case Some(v) => spark.conf.set(OverwriteModeKey, v)
-            case None    => spark.conf.unset(OverwriteModeKey)
-          }
-        }
+          deletePartitionDirs(spark, staleParts)
+        } finally merged.unpersist()
     }
   }
 }

@@ -268,6 +268,33 @@ class KeyedTableSuite extends SparkTestBase {
     assert(t.read(spark).collect().toSeq == before)
   }
 
+  test("delete cleans an emptied partition whose value needs hive path escaping") {
+    // partition value "2024/03" is written as month=2024%2F03 — the cleanup
+    // must delete the ESCAPED directory, or the erased rows reappear on read
+    val dir = Files.createTempDirectory("graft_kt_").toString
+    val t = KeyedTable(KeyedTableSpec(
+      path = s"$dir/t",
+      keyCols = Seq("name"),
+      precombineCol = "date",
+      partitionCols = Seq("month")))
+    val sch = StructType(Seq(
+      StructField("name", StringType),
+      StructField("date", StringType),
+      StructField("month", StringType)))
+    t.upsert(spark, spark.createDataFrame(Seq(
+      Row("a", "2024-03-07", "2024/03"),
+      Row("b", "2024-04-07", "2024-04")).asJava, sch))
+    val keys = spark.createDataFrame(
+      Seq(Row("a")).asJava, StructType(Seq(StructField("name", StringType))))
+    t.delete(spark, keys)
+    val dirs = new java.io.File(t.spec.path).listFiles()
+      .map(_.getName).filter(_.startsWith("month="))
+    assert(dirs.toSet == Set("month=2024-04"),
+      s"escaped month=2024%2F03 dir must be gone, saw: ${dirs.mkString(", ")}")
+    val rows = t.read(spark).collect()
+    assert(rows.map(_.getAs[String]("name")).toSeq == Seq("b"))
+  }
+
   test("delete on an unpartitioned table rewrites through temp + rename") {
     val t = freshTable(partitioned = false)
     t.upsert(spark, batch(

@@ -33,4 +33,14 @@ class WidenProbeSpec extends SparkTestBase {
     val r = spark.read.schema(wide).parquet(s"$dir/p").collect()
     assert(r.head.getSeq[Long](0) == Seq(1L, 2L, 3L))
   }
+
+  test("map value int32 widen-reads as long") {
+    val dir = java.nio.file.Files.createTempDirectory("wp_").toString
+    val sch = StructType(Seq(StructField("m", MapType(StringType, IntegerType))))
+    spark.createDataFrame(Seq(Row(Map("a" -> 1, "b" -> 2))).asJava, sch)
+      .write.mode("overwrite").parquet(s"$dir/p")
+    val wide = StructType(Seq(StructField("m", MapType(StringType, LongType))))
+    val r = spark.read.schema(wide).parquet(s"$dir/p").collect()
+    assert(r.head.getMap[String, Long](0) == Map("a" -> 1L, "b" -> 2L))
+  }
 }
