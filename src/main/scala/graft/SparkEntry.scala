@@ -104,7 +104,8 @@ object SparkEntry {
     "q77_common_score" -> (TextAnalysis.commonness(_, _)),
     "q78_decontaminated" -> ((s, d) => Curation.decontaminatedTrain(s, d)),
     "q79_seq_packing" -> ((s, d) => Curation.sequencePacking(s, d)),
-    "q80_token_ids" -> ((s, d) => TextAnalysis.tokenIds(s, d))
+    "q80_token_ids" -> ((s, d) => TextAnalysis.tokenIds(s, d)),
+    "q81_label_centroids" -> (Similarity.labelCentroids(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -837,6 +838,18 @@ object SparkEntry {
         |           OVER (PARTITION BY source ORDER BY doc_id
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM documents) t""".stripMargin,
+    "q81_label_centroids" ->
+      // per-(label, dimension) mean through exact decimal(28,6): a float's
+      // promoted double never sits on a decimal rounding boundary
+      // (boundaries are non-dyadic), so both engines round identically
+      """WITH e AS (
+        |  SELECT label, embedding,
+        |         unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings)
+        |SELECT label, CAST(i - 1 AS INT) AS dim,
+        |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+        |    / COUNT(*) AS centroid
+        |FROM e GROUP BY label, i""".stripMargin,
     "q80_token_ids" ->
       // top-20 frequency-ranked vocabulary (1-based; rank by count desc,
       // term asc), documents as comma-joined id sequences, OOV -> 0

@@ -404,6 +404,26 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rnk"))
   }
 
+  /** Per-label embedding centroids (class means), one output row per
+    * (label, dimension): the prototype vectors of classification /
+    * nearest-class-mean curation and the quality report over a labelled
+    * embedding column. Shape: one posexplode (rows × dims) into one
+    * map-side-combined aggregate keyed by (label, dim) — the standard
+    * dimension-transpose aggregation; the shuffle after partial
+    * aggregation carries at most labels × dims rows per partition
+    * regardless of corpus size. Means run through exact decimal
+    * ([[Exact]]'s rule, scale 6) so the doubles are partition-order-
+    * stable and engine-exact — a float's promoted double can never sit
+    * exactly on a decimal rounding boundary (boundaries are non-dyadic),
+    * so both engines round each value identically.
+    */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos").cast("int").as("dim"))
+      .agg((sum(col("col").cast("double").cast("decimal(28,6)")).cast("double") /
+        count(lit(1))).as("centroid"))
+
   /** Window-based reference implementation of [[knnJoin]] (same result,
     * O(n²)-row shuffle) — kept for the equivalence test.
     */
