@@ -766,7 +766,7 @@ object SparkEntry {
       // chunk short; generate_series is inclusive like Spark's sequence
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |e AS (SELECT doc_id, toks,
-        |        unnest(range(0, (len(toks) - 1) // 24 + 1)) AS k
+        |        unnest(range(0, greatest(0, (len(toks) - 32 + 23) // 24) + 1)) AS k
         |      FROM t)
         |SELECT doc_id,
         |  CAST(k AS INT) AS chunk_id,

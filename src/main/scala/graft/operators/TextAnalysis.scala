@@ -119,21 +119,28 @@ object TextAnalysis {
     * curated documents into context-window-sized training samples: chunk
     * `k` covers tokens [k·stride, k·stride + chunkTokens), so consecutive
     * chunks overlap by `chunkTokens - stride` tokens (0 < stride ≤
-    * chunkTokens); the final chunk is short rather than padded. Pure
-    * row-level explode — no shuffle, output rows ≈ n_tokens/stride per
-    * doc, and the slice/join expressions are codegen'd, so the operator
-    * scales with input splits like any map.
+    * chunkTokens). The last chunk is the one that first reaches the
+    * document's end — it may be short (never padded), and no chunk after
+    * it is emitted (a further start would only re-cover tokens the
+    * previous chunk already holds): chunk count = 1 + ⌈max(0, n −
+    * chunkTokens) / stride⌉. Pure row-level explode — no shuffle, output
+    * rows ≈ n_tokens/stride per doc, and the slice/join expressions are
+    * codegen'd, so the operator scales with input splits like any map.
     */
   def chunks(
       s: SparkSession, dir: String,
       chunkTokens: Int = 32, stride: Int = 24): DataFrame = {
     require(stride > 0 && stride <= chunkTokens, "need 0 < stride <= chunkTokens")
+    // last chunk index: ceil((n - chunkTokens)/stride) via integer
+    // arithmetic, clamped at 0 for docs shorter than one chunk
+    val lastIdx =
+      s"greatest(0, (size(toks) - $chunkTokens + ${stride - 1}) div $stride)"
     Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(
         col("doc_id"), col("toks"),
-        posexplode(expr(s"sequence(0, (size(toks) - 1) div $stride)")))
+        posexplode(expr(s"sequence(0, $lastIdx)")))
       .select(
         col("doc_id"),
         col("pos").cast("int").as("chunk_id"),

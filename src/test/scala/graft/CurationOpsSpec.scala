@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{Curation, TextAnalysis}
+
+/** Structural invariants of the training-prep operators — properties the
+  * value-level DuckDB oracles can't express directly (coverage, overlap,
+  * budget discipline).
+  */
+class CurationOpsSpec extends SparkTestBase {
+
+  test("chunking invariants: full coverage, exact stride, short final chunk") {
+    val rows = TextAnalysis.chunks(spark, sf0001, chunkTokens = 32, stride = 24)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.keySet == docs.keySet, "every document chunks")
+    rows.foreach { case (id, cs) =>
+      val n = docs(id)
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_id"))
+      // starts advance by exactly the stride from zero
+      assert(sorted.map(_.getAs[Int]("chunk_start")).toSeq ==
+        sorted.indices.map(_ * 24))
+      // every token position is covered: the last chunk reaches the end
+      val last = sorted.last
+      assert(last.getAs[Int]("chunk_start") + last.getAs[Int]("n_chunk_tokens") == n)
+      // every chunk except the last is full-size
+      sorted.dropRight(1).foreach(c => assert(c.getAs[Int]("n_chunk_tokens") == 32))
+      assert(last.getAs[Int]("n_chunk_tokens") <= 32)
+    }
+  }
+
+  test("packing invariants: pack ids contiguous from 0, placement = prior tokens div budget") {
+    val ctx = 256
+    Curation.sequencePacking(spark, sf0001, ctxTokens = ctx).collect()
+      .groupBy(_.getAs[String]("source"))
+      .foreach { case (_, rs) =>
+        val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+        val packs = sorted.map(_.getAs[Long]("pack_id")).toSeq
+        assert(packs.head == 0L &&
+          packs.zip(packs.tail).forall { case (a, b) => a <= b })
+        var cum = 0L
+        sorted.foreach { r =>
+          assert(r.getAs[Long]("pack_id") == cum / ctx)
+          cum += r.getAs[Long]("n_tokens")
+        }
+      }
+  }
+
+  test("domain mix: per-source selections honor the integer targets exactly") {
+    val out = Curation.domainMix(spark, sf0001, budget = 60).collect()
+    val perSource = out.groupBy(_.getAs[String]("source")).view.mapValues(_.length)
+    // sf0.001: equal-sized sources -> equal integer targets; total <= budget
+    assert(perSource.values.toSet.size == 1, s"unequal picks: ${perSource.toMap}")
+    assert(out.length <= 60)
+    // ranks are 1..target within each source
+    out.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to rs.length))
+    }
+  }
+}
