@@ -235,6 +235,49 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: bounded sharded state, exact when capacity covers bucket vocab") {
+    import graft.streaming.StreamingFrequentTerms
+    import graft.streaming.StreamingFrequentTerms.BucketSummary
+    val tmp = Files.createTempDirectory("graft_hh_").toString
+    // stage the corpus tokens as a multi-file stream
+    graft.sources.Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .repartition(3)
+      .write.mode("overwrite").json(s"$tmp/in")
+    val buckets = 4
+    val stream = StreamingFrequentTerms.summaries(
+      JsonStreamSource.stream(spark, s"$tmp/in", maxFilesPerTrigger = Some(1)),
+      termCol = "term", buckets = buckets, capacity = 64)
+    val emissions = scala.collection.mutable.ArrayBuffer.empty[BucketSummary]
+    val q = stream.toDF().writeStream
+      .outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect().map { r =>
+          BucketSummary(
+            r.getAs[Int]("bucket"),
+            r.getAs[Map[String, Long]]("terms"))
+        }
+        emissions.synchronized { emissions ++= rows }
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // state is bounded by the bucket count, not the token count
+    val stateRows = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal)
+    assert(stateRows.nonEmpty && stateRows.forall(_ <= buckets))
+
+    // capacity (64) >= any bucket's vocabulary (31 total) -> exact counts
+    val expected = graft.sources.Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(10)
+    assert(StreamingFrequentTerms.mergedTopK(emissions.toSeq, 10) == expected)
+  }
+
   test("streaming as-of enrichment: each event gets the latest dimension row at or before its time") {
     val tmp = Files.createTempDirectory("graft_asof_stream_").toString
     // events across two keys, including one BEFORE any snapshot
