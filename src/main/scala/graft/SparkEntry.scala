@@ -105,7 +105,9 @@ object SparkEntry {
     "q78_decontaminated" -> ((s, d) => Curation.decontaminatedTrain(s, d)),
     "q79_seq_packing" -> ((s, d) => Curation.sequencePacking(s, d)),
     "q80_token_ids" -> ((s, d) => TextAnalysis.tokenIds(s, d)),
-    "q81_label_centroids" -> (Similarity.labelCentroids(_, _))
+    "q81_label_centroids" -> (Similarity.labelCentroids(_, _)),
+    "q82_mor_latest" -> (UpsertOps.morLatest(_, _)),
+    "q83_time_travel" -> (UpsertOps.timeTravel(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -838,6 +840,14 @@ object SparkEntry {
         |           OVER (PARTITION BY source ORDER BY doc_id
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM documents) t""".stripMargin,
+    "q82_mor_latest" -> latestPerUserType,
+    "q83_time_travel" ->
+      // the table as of c0: latest per key over the even-id half alone
+      """SELECT user_id, event_type, ts_us, event_id, value FROM (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_id % 2 = 0) t WHERE rn = 1""".stripMargin,
     "q81_label_centroids" ->
       // per-(label, dimension) mean through exact decimal(28,6): a float's
       // promoted double never sits on a decimal rounding boundary

@@ -113,6 +113,39 @@ object UpsertOps {
     outputCols(table.read(s))
   }
 
+  private def morSpec(path: String): KeyedTableSpec =
+    spec(path).copy(retainHistory = true)
+
+  /** Merge-on-read mode end-to-end: the same two commits as
+    * [[upsertMerge]], but through a `retainHistory` table where each
+    * upsert is a pure append and the latest-per-key merge happens at READ
+    * time — so the result (and oracle) are identical to the
+    * copy-on-write path's. The cheapest write path with the same
+    * semantics at rest.
+    */
+  def morLatest(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_mor_").toString
+    val table = KeyedTable(morSpec(s"$tmp/events_keyed"))
+    val ev = eventsUs(s, dir)
+    table.upsert(s, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    table.upsert(s, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    outputCols(table.read(s))
+  }
+
+  /** Time travel on the merge-on-read table: after both commits,
+    * `readAsOf("c0")` must reproduce the table as it stood after c0 —
+    * latest-per-key over the even-id events alone, as if c1 never
+    * happened (the oracle computes exactly that).
+    */
+  def timeTravel(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_tt_").toString
+    val table = KeyedTable(morSpec(s"$tmp/events_keyed"))
+    val ev = eventsUs(s, dir)
+    table.upsert(s, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    table.upsert(s, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    outputCols(table.readAsOf(s, "c0"))
+  }
+
   /** The two-commit merge followed by a compaction pass: the table service
     * must preserve rows, schema, and per-row commit times exactly while
     * rewriting the physical layout — so the read-back result is identical

@@ -22,6 +22,18 @@ import graft.schema.SchemaEvolution
   *                        Hudi's default (non-global) index; true ⇒ a key is
   *                        unique table-wide and an upsert relocates the row
   *                        to its new partition (Hudi GLOBAL_BLOOM).
+  *   - `retainHistory`    false ⇒ copy-on-write: an upsert rewrites touched
+  *                        partitions and superseded versions are gone (the
+  *                        reference's COW config, py:54). true ⇒ merge-on-
+  *                        read: an upsert is a pure APPEND of new row
+  *                        versions (cheapest possible write — no index
+  *                        probe, no partition rewrite, Hudi MOR's deltalog
+  *                        idea), the merge to latest-per-key happens at
+  *                        READ time, every version is retained so
+  *                        [[KeyedTable.readAsOf]] can time-travel to any
+  *                        commit, and [[KeyedTable.vacuum]] reclaims
+  *                        superseded versions when history is no longer
+  *                        needed (Hudi cleaning / Delta VACUUM).
   */
 final case class KeyedTableSpec(
     path: String,
@@ -29,7 +41,8 @@ final case class KeyedTableSpec(
     precombineCol: String,
     tiebreakCols: Seq[String] = Nil,
     partitionCols: Seq[String] = Nil,
-    globalKeys: Boolean = false)
+    globalKeys: Boolean = false,
+    retainHistory: Boolean = false)
 
 /** Keyed upsert table over hive-partitioned Parquet.
   *
@@ -190,11 +203,50 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     case None    => spark.read.option("mergeSchema", "true").parquet(spec.path)
   }
 
-  /** User-facing view: meta columns stripped, mirroring the reference's drop
-    * of the five `_hoodie_*` columns (glue_job_script.py:87-88).
+  /** Merge-on-read resolve: latest version per key; an exact
+    * precombine+tiebreak tie goes to the later commit (matching the COW
+    * merge's incoming-wins rule, where the later write prevails).
     */
-  def read(spark: SparkSession): DataFrame =
-    SchemaEvolution.dropSystemColumns(readRaw(spark))
+  private def resolveLatest(df: DataFrame): DataFrame =
+    dedupLatest(df, extraOrder = Seq(col(CommitTimeCol).desc))
+
+  /** User-facing view: meta columns stripped, mirroring the reference's drop
+    * of the five `_hoodie_*` columns (glue_job_script.py:87-88). On a
+    * `retainHistory` table this is the merge-on-read point: the stored
+    * versions resolve to latest-per-key in one window pass (the read-side
+    * cost MOR trades for its append-only writes).
+    */
+  def read(spark: SparkSession): DataFrame = {
+    val raw = readRaw(spark)
+    SchemaEvolution.dropSystemColumns(
+      if (spec.retainHistory) resolveLatest(raw) else raw)
+  }
+
+  /** Time travel — the table as it stood after `commit`: latest version
+    * per key among versions committed at or before it. Requires
+    * `retainHistory` (copy-on-write drops superseded versions, so there
+    * is no history to travel to — asking is an error, not a wrong
+    * answer). The commit-time filter is an ordinary pushed predicate;
+    * with commit time in `partitionCols` it would prune files too.
+    */
+  def readAsOf(spark: SparkSession, commit: String): DataFrame = {
+    require(
+      spec.retainHistory,
+      "time travel requires retainHistory=true; a copy-on-write table has no superseded versions")
+    SchemaEvolution.dropSystemColumns(
+      resolveLatest(readRaw(spark).filter(col(CommitTimeCol) <= commit)))
+  }
+
+  /** Reclaim superseded versions (Hudi cleaning / Delta VACUUM): rewrite
+    * the table keeping only each key's latest version — per-row commit
+    * times survive, so [[readIncremental]] stays correct, but time travel
+    * before the vacuum point is gone by definition.
+    */
+  def vacuum(spark: SparkSession): Unit = {
+    require(spec.retainHistory, "vacuum applies to retainHistory tables")
+    if (!exists(spark)) return
+    rewriteViaTmp(spark, resolveLatest(readRaw(spark)), "_graft_vacuum_tmp")
+  }
 
   def currentUserSchema(spark: SparkSession): Option[org.apache.spark.sql.types.StructType] =
     if (exists(spark)) Some(read(spark).schema) else None
@@ -243,7 +295,10 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * row updated again after `endCommit` no longer appears in the bounded
     * window (its last change moved past the bound). The commit-time
     * predicate is an ordinary pushed filter; with commit time added to
-    * `partitionCols` it would prune files too.
+    * `partitionCols` it would prune files too. On a `retainHistory`
+    * table every stored row is a VERSION, so this is a true CDC feed:
+    * each change committed in the window is returned, including versions
+    * later superseded.
     */
   def readIncremental(
       spark: SparkSession,
@@ -539,6 +594,15 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     */
   def upsert(spark: SparkSession, batch: DataFrame, commitTime: String = defaultCommitTime()): Unit = {
     val incoming = SchemaEvolution.dropSystemColumns(batch)
+    if (spec.retainHistory) {
+      // Merge-on-read: precombine within the batch, then a pure append of
+      // the new versions — no index probe, no partition rewrite; the merge
+      // happens at read time ([[read]]/[[readAsOf]]). insert() supplies
+      // bootstrap, schema evolution, and the drift-rewrite path (which
+      // preserves every version and its commit time).
+      insert(spark, dedupLatest(incoming), commitTime)
+      return
+    }
     currentUserSchema(spark) match {
       case None =>
         writeOut(withMeta(dedupLatest(incoming), commitTime), SaveMode.Overwrite)

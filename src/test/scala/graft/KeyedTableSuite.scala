@@ -308,6 +308,69 @@ class KeyedTableSuite extends SparkTestBase {
     assert(rows.length == 1 && rows.head.getAs[String]("name") == "b")
   }
 
+  private def historyTable() = {
+    val dir = Files.createTempDirectory("graft_kt_").toString
+    KeyedTable(KeyedTableSpec(
+      path = s"$dir/t",
+      keyCols = Seq("name"),
+      precombineCol = "date",
+      tiebreakCols = Seq("payload"),
+      partitionCols = Seq("year"),
+      retainHistory = true))
+  }
+
+  test("merge-on-read: upserts append versions, read resolves latest, history survives") {
+    val t = historyTable()
+    t.upsert(spark, batch(Row("a", "2024-03-07", 2024, "v1")), commitTime = "c0")
+    t.upsert(spark, batch(Row("a", "2024-03-08", 2024, "v2")), commitTime = "c1")
+    // an older incoming version appends but must not win the read
+    t.upsert(spark, batch(Row("a", "2024-03-01", 2024, "stale")), commitTime = "c2")
+    assert(t.readRaw(spark).count() == 3, "every version retained")
+    val rows = t.read(spark).collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("payload") == "v2")
+  }
+
+  test("time travel: readAsOf reproduces each commit's state; COW refuses") {
+    val t = historyTable()
+    t.upsert(spark, batch(
+      Row("a", "2024-03-07", 2024, "a1"),
+      Row("b", "2024-03-07", 2024, "b1")), commitTime = "c0")
+    t.upsert(spark, batch(Row("a", "2024-03-08", 2024, "a2")), commitTime = "c1")
+    def payloads(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("name") -> r.getAs[String]("payload")).toMap
+    assert(payloads(t.readAsOf(spark, "c0")) == Map("a" -> "a1", "b" -> "b1"))
+    assert(payloads(t.readAsOf(spark, "c1")) == Map("a" -> "a2", "b" -> "b1"))
+    assert(payloads(t.read(spark)) == Map("a" -> "a2", "b" -> "b1"))
+    intercept[IllegalArgumentException] {
+      freshTable().readAsOf(spark, "c0") // COW has no history to travel to
+    }
+  }
+
+  test("vacuum reclaims superseded versions and keeps the latest state + commit times") {
+    val t = historyTable()
+    t.upsert(spark, batch(Row("a", "2024-03-07", 2024, "v1")), commitTime = "c0")
+    t.upsert(spark, batch(Row("a", "2024-03-08", 2024, "v2")), commitTime = "c1")
+    val before = t.read(spark).collect().toSeq
+    t.vacuum(spark)
+    assert(t.readRaw(spark).count() == 1, "superseded version reclaimed")
+    assert(t.read(spark).collect().toSeq == before)
+    assert(t.commits(spark) == Seq("c1"), "survivor keeps its own commit time")
+  }
+
+  test("merge-on-read delete erases every version of the key (GDPR over history)") {
+    val t = historyTable()
+    t.upsert(spark, batch(Row("a", "2024-03-07", 2024, "v1")), commitTime = "c0")
+    t.upsert(spark, batch(
+      Row("a", "2024-03-08", 2024, "v2"),
+      Row("b", "2024-03-08", 2024, "w1")), commitTime = "c1")
+    val keys = spark.createDataFrame(
+      Seq(Row("a")).asJava, StructType(Seq(StructField("name", StringType))))
+    t.delete(spark, keys)
+    val raw = t.readRaw(spark).collect()
+    assert(raw.length == 1 && raw.head.getAs[String]("name") == "b",
+      "no version of the erased key may survive")
+  }
+
   private def driftTable(partitioned: Boolean) = {
     val dir = Files.createTempDirectory("graft_kt_").toString
     KeyedTable(KeyedTableSpec(
