@@ -220,11 +220,17 @@ object UpsertOps {
     val src = s"$tmp/json_in"
     stageTimeOrderedJson(s, dir, src, slices = 4)
 
+    // Merge-on-read sink: a streaming aggregate re-emits its touched keys
+    // every batch, so a COW sink pays a full partition merge-rewrite per
+    // micro-batch; retainHistory appends each batch's emissions and the
+    // read-back resolves latest-per-key (precombine = batch id) once.
+    // Write work per batch drops from merge-everything to append-emissions.
     val table = KeyedTable(KeyedTableSpec(
       path = s"$tmp/rollup",
       keyCols = Seq("hour_bucket", "event_type"),
       precombineCol = "seq",
-      partitionCols = Seq("event_type")))
+      partitionCols = Seq("event_type"),
+      retainHistory = true))
     val agg = JsonStreamSource.stream(s, src, maxFilesPerTrigger = Some(2))
       .withColumn("ts_evt", timestamp_micros(col("ts_us")))
       .withWatermark("ts_evt", "30 minutes")
