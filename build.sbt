@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Route forked-run output straight to stdout: sbt's default LoggedOutput
+// prefixes every line with "[info] ", which breaks machine parsing of the
+// one-line bench/verify JSON (BENCH_r01..r04 all captured `parsed: null`).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
