@@ -266,17 +266,35 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "sorted_intersect_count"
 
+  // Merge over sorted long arrays (hashed tokens) compares two primitives;
+  // over sorted string arrays it's a byte-wise UTF8String comparison. The
+  // long path is what the dedup hot loops use — token arrays are hashed
+  // before the candidate join precisely so this compare is cheap.
+  private lazy val isLongElems: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val nx = x.numElements()
     val ny = y.numElements()
     var i = 0; var j = 0; var n = 0
-    while (i < nx && j < ny) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (c == 0) { n += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+    if (isLongElems) {
+      while (i < nx && j < ny) {
+        val c = java.lang.Long.compare(x.getLong(i), y.getLong(j))
+        if (c == 0) { n += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < nx && j < ny) {
+        val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (c == 0) { n += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
     n
   }
@@ -289,12 +307,15 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val j = ctx.freshName("j")
       val n = ctx.freshName("n")
       val c = ctx.freshName("c")
+      val cmp =
+        if (isLongElems) s"java.lang.Long.compare($x.getLong($i), $y.getLong($j))"
+        else s"$x.getUTF8String($i).compareTo($y.getUTF8String($j))"
       s"""
         |int $nx = $x.numElements();
         |int $ny = $y.numElements();
         |int $i = 0; int $j = 0; int $n = 0;
         |while ($i < $nx && $j < $ny) {
-        |  int $c = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
+        |  int $c = $cmp;
         |  if ($c == 0) { $n++; $i++; $j++; }
         |  else if ($c < 0) { $i++; } else { $j++; }
         |}

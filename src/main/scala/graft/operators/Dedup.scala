@@ -60,12 +60,21 @@ object Dedup {
     // repartition BEFORE the tokenize/sort projection: the fixture files
     // are single-row-group parquet (one scan task), so per-doc compute
     // must be spread first or it runs on one core.
+    // Tokens are hashed to 64-bit longs BEFORE distinct/sort: the per-pair
+    // two-pointer merge then compares primitives instead of UTF8 bytes
+    // (and the shuffled payload is 8 bytes/token instead of the string).
+    // Jaccard over hashes equals Jaccard over tokens unless two distinct
+    // tokens of the same pair collide in 64 bits — P ≈ u²/2⁶⁵ per pair for
+    // union size u (≈10⁻¹³ at u=4096), negligible at any corpus scale
+    // since the exposure is per-pair vocabulary, not corpus vocabulary.
     val docs = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .select(
         col("doc_id"),
         col("lang"),
-        sort_array(array_distinct(TextFunctions.tokens(col("text")))).as("toks"))
+        sort_array(array_distinct(
+          transform(TextFunctions.tokens(col("text")), t => xxhash64(t))))
+          .as("toks"))
       .withColumn("nt", size(col("toks")))
       .withColumn("lb",
         floor(log(1.25, col("nt").cast("double"))).cast("int"))
@@ -319,28 +328,48 @@ object Dedup {
           TextFunctions.shingles(col("text"), spanTokens))).as("span"))
       .withColumn("h", xxhash64(col("span")))
     val ids = Caching.cacheOnce(spans.select(col("doc_id"), col("h")))
-    val cand = ids
+    // Candidates are consumed three times (needed-keys derivation + both
+    // verify joins); cache the narrow (a_id, b_id, h) triple — survivors
+    // are rare, so this is kilobytes, while recomputing it would re-run
+    // the ids self-join per consumer.
+    val cand = Caching.cacheOnce(ids
       .join(
         ids.select(col("doc_id").as("b_id"), col("h").as("b_h")),
         col("h") === col("b_h") && col("doc_id") < col("b_id"))
-      .select(col("doc_id").as("a_id"), col("b_id"), col("h"))
+      .select(col("doc_id").as("a_id"), col("b_id"), col("h")))
     // Verify re-join: span text only for (doc, h) keys some candidate
     // pair touches. Survivors are rare by construction, so `needed` is
-    // broadcast-sized and the semi-join keeps the text map-side.
+    // broadcast-sized and the semi-join keeps the text map-side. The text
+    // comes from RE-SHINGLING just the touched docs (doc-id semi-join
+    // pushed to the scan) — `spans` with its full-corpus explode was only
+    // cached as narrow ids, so reusing it here would run the whole
+    // CodegenFallback shingle pass a second time for rows that are ~all
+    // discarded.
     val needed = cand.select(col("a_id").as("doc_id"), col("h"))
       .union(cand.select(col("b_id").as("doc_id"), col("h")))
       .distinct()
-    val texts = spans.join(broadcast(needed), Seq("doc_id", "h"), "left_semi")
-    cand
+    val texts = Caching.cacheOnce(Tables.documents(s, dir)
+      .join(broadcast(needed.select("doc_id").distinct()), Seq("doc_id"), "left_semi")
+      .select(
+        col("doc_id"),
+        explode(array_distinct(
+          TextFunctions.shingles(col("text"), spanTokens))).as("span"))
+      .withColumn("h", xxhash64(col("span")))
+      .join(broadcast(needed), Seq("doc_id", "h"), "left_semi"))
+    // One survivor-sized self-join on (h, span) replaces re-attaching text
+    // to each candidate side: `texts` holds exactly the candidate-touched
+    // (doc, h) spans, and every doc pair sharing an h is in `cand` by
+    // construction, so the pair sets coincide — but the string equality is
+    // verified in the join key itself, once.
+    texts.as("ta")
       .join(
-        texts.select(col("doc_id").as("a_id"), col("h"), col("span").as("a_span")),
-        Seq("a_id", "h"))
-      .join(
-        texts.select(col("doc_id").as("b_id"), col("h"), col("span").as("b_span")),
-        Seq("b_id", "h"))
-      .filter(col("a_span") === col("b_span"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(countDistinct(col("a_span")).as("n_shared"))
+        texts.select(
+          col("doc_id").as("b_id"), col("h").as("b_h"),
+          col("span").as("b_span")),
+        col("h") === col("b_h") && col("doc_id") < col("b_id") &&
+          col("span") === col("b_span"))
+      .groupBy(col("doc_id").as("a_id"), col("b_id"))
+      .agg(countDistinct(col("span")).as("n_shared"))
   }
 
   /** Embedding-cosine near-dup pairs, IVF-blocked: candidates are pairs
