@@ -107,7 +107,12 @@ object SparkEntry {
     "q80_token_ids" -> ((s, d) => TextAnalysis.tokenIds(s, d)),
     "q81_label_centroids" -> (Similarity.labelCentroids(_, _)),
     "q82_mor_latest" -> (UpsertOps.morLatest(_, _)),
-    "q83_time_travel" -> (UpsertOps.timeTravel(_, _))
+    "q83_time_travel" -> (UpsertOps.timeTravel(_, _)),
+    "q84_cooccurrence" -> ((s, d) => TextAnalysis.cooccurrence(s, d)),
+    "q85_quality_deciles" -> ((s, d) => TextAnalysis.qualityDeciles(s, d)),
+    "q86_group_sample" -> ((s, d) => Curation.groupSample(s, d)),
+    "q87_oov_stats" -> ((s, d) => TextAnalysis.oovStats(s, d)),
+    "q88_clustered_merge" -> (UpsertOps.clusteredMerge(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -884,6 +889,63 @@ object SparkEntry {
         |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
         |  CAST(SUM(CAST(term_freq AS DECIMAL(18,4))) AS DOUBLE) / COUNT(term_freq)
         |    AS avg_term_freq
-        |FROM tok JOIN cnt USING (term) GROUP BY doc_id""".stripMargin
+        |FROM tok JOIN cnt USING (term) GROUP BY doc_id""".stripMargin,
+    "q84_cooccurrence" ->
+      // document-level co-occurrence over the top-30 doc-frequency vocab;
+      // PMI's sufficient statistics as exact integer counts
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |df AS (SELECT term, COUNT(*) AS n_docs FROM tok GROUP BY term),
+        |voc AS (SELECT term, n_docs FROM (
+        |    SELECT term, n_docs,
+        |           ROW_NUMBER() OVER (ORDER BY n_docs DESC, term) AS r
+        |    FROM df) t WHERE r <= 30),
+        |dv AS (SELECT t.doc_id, t.term, v.n_docs
+        |       FROM tok t JOIN voc v ON t.term = v.term)
+        |SELECT a.term AS term_a, b.term AS term_b,
+        |       a.n_docs AS n_a, b.n_docs AS n_b, COUNT(*) AS n_both
+        |FROM dv a JOIN dv b
+        |  ON a.doc_id = b.doc_id AND a.term < b.term
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+    "q85_quality_deciles" ->
+      // per-lang ntile(10) on the exact quality score (doc_id tiebreak)
+      s"""WITH q AS ($textQualitySql),
+         |r AS (
+         |  SELECT d.lang, q.quality, d.n_chars,
+         |         CAST(ntile(10) OVER (
+         |           PARTITION BY d.lang
+         |           ORDER BY q.quality, d.doc_id) AS INT) AS decile
+         |  FROM q JOIN documents d ON q.doc_id = d.doc_id)
+         |SELECT lang, decile, COUNT(*) AS n_docs,
+         |       MIN(quality) AS min_quality, MAX(quality) AS max_quality,
+         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM r GROUP BY lang, decile""".stripMargin,
+    "q86_group_sample" ->
+      // hash-order sample: zero-padded lowercase hex makes lexicographic
+      // DESC on the md5 prefix identical to Spark's 52-bit numeric DESC
+      """SELECT lang, doc_id, rnk FROM (
+        |  SELECT lang, doc_id, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) DESC,
+        |             doc_id) AS INT) AS rnk
+        |  FROM documents) t WHERE rnk <= 20""".stripMargin,
+    "q87_oov_stats" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |cnt AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
+        |voc AS (SELECT term FROM (
+        |    SELECT term, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS r
+        |    FROM cnt) t WHERE r <= 20)
+        |SELECT t.doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS INT)
+        |    AS n_oov,
+        |  CAST(COUNT(DISTINCT CASE WHEN v.term IS NULL THEN t.term END) AS INT)
+        |    AS n_oov_distinct
+        |FROM tok t LEFT JOIN voc v ON t.term = v.term
+        |GROUP BY t.doc_id""".stripMargin,
+    // clustering rewrites layout only: read-back ≡ the two-commit merge
+    "q88_clustered_merge" -> latestPerUserType
   )
 }

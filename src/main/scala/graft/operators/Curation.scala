@@ -133,6 +133,34 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** Deterministic fixed-size per-group sample: the `k` docs per language
+    * ranked first by a salted content-derived order — md5 of the doc id,
+    * ranked via its first 13 hex digits read as a 52-bit integer (exact in
+    * a double). A hash order is a uniform-but-reproducible permutation:
+    * re-runs, re-ingests, and other engines pick the IDENTICAL sample
+    * (`ORDER BY substr(md5(id),1,13) DESC` in any SQL engine — zero-padded
+    * lowercase hex makes lexicographic = numeric), unlike rand()-based
+    * sampling. Versus [[stratifiedSample]]'s mod-filter (a fixed RATE),
+    * this takes a fixed COUNT per group through the bounded-heap top-k
+    * aggregate — map-side partials keep the shuffle at k entries per
+    * (group, partition) regardless of corpus size, never a global window
+    * sort over the corpus.
+    */
+  def groupSample(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import graft.functions.TopKByScore.topKByScore
+    val scored = Tables.documents(s, dir)
+      .select(
+        col("lang"), col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 13),
+          16, 10).cast("double").as("h"))
+    scored.groupBy(col("lang"))
+      .agg(topKByScore(col("h"), col("doc_id"), k).as("ids"))
+      .select(col("lang"), posexplode(col("ids")))
+      .select(
+        col("lang"), col("col").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** The decontamination PURGE — the action [[crossSplitContamination]]'s
     * report feeds: the train split with every document that near-duplicates
     * an eval/validation document removed. One anti-join of the (small)

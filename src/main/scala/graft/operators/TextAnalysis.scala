@@ -213,6 +213,107 @@ object TextAnalysis {
           ",").as("token_ids"))
   }
 
+  /** Term co-occurrence counts over a bounded top vocabulary — the
+    * integer sufficient statistics of PMI/npmi collocation mining
+    * (PMI(a,b) = log(n_both·N / (n_a·n_b)); the log is left to the
+    * consumer so every emitted value is an exact count, engine-portable
+    * bit-for-bit). Document-level co-occurrence: a pair counts once per
+    * document containing both terms.
+    *
+    * Scale shape: the vocabulary bound is what makes co-occurrence
+    * join-able at corpus scale — the pair space is C(vocabSize, 2), not
+    * C(corpus vocabulary, 2), and the per-document self-join is keyed on
+    * doc_id (equality join; ≤ vocabSize rows per doc on either side), so
+    * the shuffle carries (doc, vocab-term) pairs, never the token stream
+    * and never an all-pairs product. The global vocabulary rank windows
+    * only the aggregated term domain (V rows, single partition — the same
+    * bounded-artifact shape as [[tokenIds]]'s vocabulary build).
+    */
+  def cooccurrence(
+      s: SparkSession, dir: String, vocabSize: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
+    val docFreq = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("n_docs"))
+    val vocab = docFreq
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("n_docs").desc, col("term"))))
+      .filter(col("r") <= vocabSize)
+      .select(col("term"), col("n_docs"))
+    val dv = toks.join(broadcast(vocab), "term")
+    dv.select(col("doc_id"), col("term").as("term_a"), col("n_docs").as("n_a"))
+      .join(
+        dv.select(
+          col("doc_id").as("b_doc"), col("term").as("term_b"),
+          col("n_docs").as("n_b")),
+        col("doc_id") === col("b_doc") && col("term_a") < col("term_b"))
+      .groupBy(col("term_a"), col("term_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .select("term_a", "term_b", "n_a", "n_b", "n_both")
+  }
+
+  /** Per-language quality deciles (`ntile`): every doc ranked by its
+    * quality score within its language, cut into `buckets` equal-height
+    * bands, then per-band corpus statistics — the curation view that
+    * answers "what does the bottom decile look like, and how much of the
+    * corpus is it". The ntile order carries a doc_id tiebreak so band
+    * boundaries are deterministic under equal scores. One window shuffle
+    * keyed by lang + one aggregation; band min/max are order-statistics
+    * of bit-identical doubles, and the char mass is an integer sum, so
+    * the whole row is engine-exact.
+    */
+  def qualityDeciles(
+      s: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .withColumn("decile",
+        ntile(buckets).over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("quality"), col("doc_id"))))
+      .groupBy(col("lang"), col("decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
+  /** Per-document out-of-vocabulary statistics against the corpus top-`
+    * vocabSize` vocabulary — the coverage signal that decides whether a
+    * tokenizer vocabulary (or a frozen model's) fits a corpus: docs with
+    * high OOV mass are the ones a vocab-bounded pipeline degrades on.
+    * Same two-phase shape as [[tokenIds]]: bounded vocabulary build, then
+    * a broadcast membership join on the exploded token stream folded
+    * straight back into one per-doc aggregate — all counts, engine-exact.
+    */
+  def oovStats(
+      s: SparkSession, dir: String, vocabSize: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+    val vocab = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("n").desc, col("term"))))
+      .filter(col("r") <= vocabSize)
+      .select(col("term"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1).otherwise(0)).cast("int").as("n_oov"),
+        count_distinct(when(col("in_vocab").isNull, col("term")))
+          .cast("int").as("n_oov_distinct"))
+  }
+
   /** Corpus vocabulary: the 50 most frequent terms with occurrence and
     * document frequencies. One explode + one aggregation — the shuffle
     * carries (term, partial counts) after map-side combine, and the top-k

@@ -178,6 +178,24 @@ object UpsertOps {
     outputCols(table.read(s))
   }
 
+  /** The two-commit merge followed by sort-order clustering on the event
+    * timestamp ([[KeyedTable.cluster]]): the layout rewrite must preserve
+    * rows, schema, and per-row commit times exactly — so the read-back is
+    * identical to [[upsertMerge]]'s and shares its oracle — while
+    * `ClusteringSpec` asserts the physical property the service exists
+    * for: within each hive partition, files hold non-overlapping ts
+    * ranges (tight min–max stats → file skipping on time predicates).
+    */
+  def clusteredMerge(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_cluster_").toString
+    val table = KeyedTable(spec(s"$tmp/events_keyed"))
+    val ev = eventsUs(s, dir)
+    table.upsert(s, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    table.upsert(s, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    table.cluster(s, Seq("ts_us"))
+    outputCols(table.read(s))
+  }
+
   /** O12's catalog surface end-to-end with an oracle: the merged table is
     * registered in the session metastore ([[KeyedTable.syncCatalog]] —
     * the reference's Glue-catalog sync + partition registration,

@@ -263,8 +263,9 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   def latestCommit(spark: SparkSession): Option[String] =
     if (exists(spark)) commits(spark).lastOption else None
 
-  /** Small-file maintenance — the engine's analogue of Hudi's clustering
-    * table service: every append-path commit ([[insert]]/[[bulkInsert]])
+  /** Small-file maintenance — the size-driven half of Hudi's table-service
+    * family (see [[cluster]] for the sort-order half): every append-path
+    * commit ([[insert]]/[[bulkInsert]])
     * adds files, and a streaming ingest accumulates thousands of tiny ones,
     * which at scale turns every scan into a file-listing + task-overhead
     * problem. Compaction rewrites the table clustered by its partition
@@ -281,6 +282,48 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         all.repartition(spec.partitionCols.map(col): _*)
       else all.coalesce(1)
     rewriteViaTmp(spark, clustered, "_graft_compact_tmp")
+  }
+
+  /** Sort-order clustering — Hudi's clustering service with a sort
+    * strategy (`hoodie.clustering.plan.strategy.sort.columns`): rewrite
+    * the table range-partitioned + sorted on `sortCols` so each file
+    * holds a disjoint slice of the sort key's domain. Rows, schema, and
+    * per-row commit times are untouched; what changes is that parquet
+    * row-group/file min–max statistics on the sort columns become tight
+    * and non-overlapping, so a range predicate on them prunes to the few
+    * files that can match instead of scanning every file (the payoff
+    * grows with file count — at 100 TB it is the difference between a
+    * point-range query touching 2 files or 20 000). Hive partition
+    * columns lead the range so the write still lands one task's rows in
+    * few partition directories.
+    */
+  def cluster(
+      spark: SparkSession,
+      sortCols: Seq[String],
+      targetFileBytes: Long = 128L << 20): Unit = {
+    if (!exists(spark)) return
+    require(sortCols.nonEmpty, "cluster needs at least one sort column")
+    // Output file count = current data volume / target file size (the
+    // clustering plan's small-file sizing): range partitioning alone
+    // would default to spark.sql.shuffle.partitions regardless of data,
+    // yielding tiny files at small volumes and oversized ones at large.
+    val f = fs(spark)
+    val bytes = {
+      val it = f.listFiles(new Path(spec.path), true)
+      var n = 0L
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet")) n += s.getLen
+      }
+      n
+    }
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val all = readRaw(spark)
+    val order = (spec.partitionCols ++ sortCols).map(col)
+    rewriteViaTmp(
+      spark,
+      all.repartitionByRange(parts, order: _*).sortWithinPartitions(order: _*),
+      "_graft_cluster_tmp")
   }
 
   /** Incremental query — Hudi's incremental read semantics

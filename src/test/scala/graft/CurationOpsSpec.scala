@@ -59,4 +59,42 @@ class CurationOpsSpec extends SparkTestBase {
       assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to rs.length))
     }
   }
+
+  test("group sample: exactly k per language, deterministic across runs") {
+    val k = 7
+    val a = Curation.groupSample(spark, sf0001, k = k).collect()
+    val langs = graft.sources.Tables.documents(spark, sf0001)
+      .select("lang").distinct().count()
+    assert(a.length == langs * k)
+    a.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to k))
+      assert(rs.map(_.getAs[Long]("doc_id")).distinct.length == k)
+    }
+    val b = Curation.groupSample(spark, sf0001, k = k).collect()
+    assert(a.map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet ==
+      b.map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet)
+  }
+
+  test("co-occurrence: pair counts bounded by endpoint doc frequencies, vocab bounded") {
+    val rows = TextAnalysis.cooccurrence(spark, sf0001, vocabSize = 10).collect()
+    val terms = rows.flatMap(r =>
+      Seq(r.getAs[String]("term_a"), r.getAs[String]("term_b"))).distinct
+    assert(terms.length <= 10, "pairs drawn from outside the bounded vocabulary")
+    rows.foreach { r =>
+      val (na, nb, both) =
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_both"))
+      assert(both >= 1 && both <= math.min(na, nb))
+      assert(r.getAs[String]("term_a") < r.getAs[String]("term_b"))
+    }
+  }
+
+  test("oov stats: counts are consistent and bounded per doc") {
+    val rows = TextAnalysis.oovStats(spark, sf0001, vocabSize = 5).collect()
+    rows.foreach { r =>
+      val (n, oov, oovD) = (r.getAs[Int]("n_tokens"),
+        r.getAs[Int]("n_oov"), r.getAs[Int]("n_oov_distinct"))
+      assert(oov >= 0 && oov <= n)
+      assert(oovD <= oov)
+    }
+  }
 }
