@@ -112,7 +112,8 @@ object SparkEntry {
     "q85_quality_deciles" -> ((s, d) => TextAnalysis.qualityDeciles(s, d)),
     "q86_group_sample" -> ((s, d) => Curation.groupSample(s, d)),
     "q87_oov_stats" -> ((s, d) => TextAnalysis.oovStats(s, d)),
-    "q88_clustered_merge" -> (UpsertOps.clusteredMerge(_, _))
+    "q88_clustered_merge" -> (UpsertOps.clusteredMerge(_, _)),
+    "q89_restored_merge" -> (UpsertOps.restoredMerge(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -946,6 +947,13 @@ object SparkEntry {
         |FROM tok t LEFT JOIN voc v ON t.term = v.term
         |GROUP BY t.doc_id""".stripMargin,
     // clustering rewrites layout only: read-back ≡ the two-commit merge
-    "q88_clustered_merge" -> latestPerUserType
+    "q88_clustered_merge" -> latestPerUserType,
+    "q89_restored_merge" ->
+      // restore to c0 drops c1's versions: read ≡ time travel to c0
+      """SELECT user_id, event_type, ts_us, event_id, value FROM (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_id % 2 = 0) t WHERE rn = 1""".stripMargin
   )
 }

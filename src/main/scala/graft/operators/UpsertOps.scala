@@ -163,6 +163,22 @@ object UpsertOps {
     outputCols(table.readAsOf(s, "c0"))
   }
 
+  /** Savepoint/restore end-to-end: two commits land, then the table is
+    * RESTORED to the first — the second commit's versions are physically
+    * dropped ([[KeyedTable.restore]]), so the plain read afterwards
+    * equals time travel to c0 (q83's oracle): rolling back a poisoned
+    * ingest is the recovery path every keyed table needs in production.
+    */
+  def restoredMerge(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_restore_").toString
+    val table = KeyedTable(morSpec(s"$tmp/events_keyed"))
+    val ev = eventsUs(s, dir)
+    table.upsert(s, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    table.upsert(s, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    table.restore(s, "c0")
+    outputCols(table.read(s))
+  }
+
   /** The two-commit merge followed by a compaction pass: the table service
     * must preserve rows, schema, and per-row commit times exactly while
     * rewriting the physical layout — so the read-back result is identical

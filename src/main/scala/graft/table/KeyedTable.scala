@@ -237,6 +237,28 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       resolveLatest(readRaw(spark).filter(col(CommitTimeCol) <= commit)))
   }
 
+  /** Restore the table to its state as of `commit` (Hudi
+    * savepoint+restore / rollback of every later commit): versions
+    * committed after `commit` are physically dropped, so a failed or
+    * poisoned ingest is erased — [[read]] afterwards equals
+    * [[readAsOf]]`(commit)` beforehand, and the timeline ends at
+    * `commit`. Requires `retainHistory` (the rolled-back versions must
+    * still exist as rows); the rewrite is the standard temp-dir + rename,
+    * and rows at or before the restore point keep their commit times, so
+    * incremental reads and later time travel stay exact.
+    */
+  def restore(spark: SparkSession, commit: String): Unit = {
+    require(
+      spec.retainHistory,
+      "restore requires retainHistory=true; a copy-on-write table has " +
+        "already folded later commits into its files")
+    if (!exists(spark)) return
+    rewriteViaTmp(
+      spark,
+      readRaw(spark).filter(col(CommitTimeCol) <= commit),
+      "_graft_restore_tmp")
+  }
+
   /** Reclaim superseded versions (Hudi cleaning / Delta VACUUM): rewrite
     * the table keeping only each key's latest version — per-row commit
     * times survive, so [[readIncremental]] stays correct, but time travel

@@ -357,6 +357,23 @@ class KeyedTableSuite extends SparkTestBase {
     assert(t.commits(spark) == Seq("c1"), "survivor keeps its own commit time")
   }
 
+  test("restore rolls back later commits: read ≡ prior readAsOf, timeline truncates, idempotent; COW refuses") {
+    val t = historyTable()
+    t.upsert(spark, batch(Row("a", "2024-03-07", 2024, "v1")), commitTime = "c0")
+    t.upsert(spark, batch(
+      Row("a", "2024-03-08", 2024, "v2"),
+      Row("b", "2024-03-08", 2024, "w1")), commitTime = "c1")
+    val asOfC0 = t.readAsOf(spark, "c0").collect().toSet
+    t.restore(spark, "c0")
+    assert(t.read(spark).collect().toSet == asOfC0)
+    assert(t.commits(spark) == Seq("c0"), "timeline ends at the restore point")
+    t.restore(spark, "c0") // restoring to the current head changes nothing
+    assert(t.read(spark).collect().toSet == asOfC0)
+    intercept[IllegalArgumentException] {
+      freshTable().restore(spark, "c0") // COW already folded later commits
+    }
+  }
+
   test("merge-on-read delete erases every version of the key (GDPR over history)") {
     val t = historyTable()
     t.upsert(spark, batch(Row("a", "2024-03-07", 2024, "v1")), commitTime = "c0")
