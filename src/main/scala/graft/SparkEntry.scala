@@ -113,7 +113,8 @@ object SparkEntry {
     "q86_group_sample" -> ((s, d) => Curation.groupSample(s, d)),
     "q87_oov_stats" -> ((s, d) => TextAnalysis.oovStats(s, d)),
     "q88_clustered_merge" -> (UpsertOps.clusteredMerge(_, _)),
-    "q89_restored_merge" -> (UpsertOps.restoredMerge(_, _))
+    "q89_restored_merge" -> (UpsertOps.restoredMerge(_, _)),
+    "q90_pruned_range" -> (UpsertOps.prunedRangeRead(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -954,6 +955,20 @@ object SparkEntry {
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
         |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
         |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-        |  FROM events WHERE event_id % 2 = 0) t WHERE rn = 1""".stripMargin
+        |  FROM events WHERE event_id % 2 = 0) t WHERE rn = 1""".stripMargin,
+    "q90_pruned_range" ->
+      // stats pruning is pure I/O elision: ≡ full merge + range filter;
+      // bounds are integer arithmetic over the events' own min/max
+      """WITH b AS (
+        |  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+        |  FROM events)
+        |SELECT user_id, event_type, ts_us, event_id, value FROM (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t, b
+        |WHERE rn = 1
+        |  AND ts_us >= mn + 2 * ((mx - mn) // 3)
+        |  AND ts_us <= mx""".stripMargin
   )
 }

@@ -163,6 +163,33 @@ object UpsertOps {
     outputCols(table.readAsOf(s, "c0"))
   }
 
+  /** File-skipping range read end-to-end: merge two commits, CLUSTER on
+    * the event timestamp, build the column-stats index, then read the
+    * middle third of the time domain through [[KeyedTable.readPruned]] —
+    * which opens only the files whose recorded min–max intersects the
+    * range (StatsPruningSpec counts them). The result must equal a full
+    * scan + filter (the oracle): stats pruning is pure I/O elision. The
+    * range bounds are integer arithmetic over the events' own min/max, so
+    * both engines derive identical bounds. The probed range is the TOP
+    * third of the time domain: after the latest-per-key merge the
+    * surviving rows skew heavily toward recent timestamps (each key keeps
+    * only its newest event), which is also the realistic shape — time-
+    * range queries on an upsert table overwhelmingly target recent data.
+    */
+  def prunedRangeRead(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_pruned_").toString
+    val table = KeyedTable(spec(s"$tmp/events_keyed"))
+    val ev = eventsUs(s, dir)
+    table.upsert(s, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    table.upsert(s, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    table.cluster(s, Seq("ts_us"), targetFileBytes = 64L << 10)
+    table.recordColumnStats(s, Seq("ts_us"))
+    val Array(b) = ev.agg(min("ts_us").as("mn"), max("ts_us").as("mx")).collect()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val third = (mx - mn) / 3
+    outputCols(table.readPruned(s, "ts_us", mn + 2 * third, mx))
+  }
+
   /** Savepoint/restore end-to-end: two commits land, then the table is
     * RESTORED to the first — the second commit's versions are physically
     * dropped ([[KeyedTable.restore]]), so the plain read afterwards

@@ -237,6 +237,79 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       resolveLatest(readRaw(spark).filter(col(CommitTimeCol) <= commit)))
   }
 
+  // Column-stats index sidecar (Hudi metadata-table `column_stats`): one
+  // row per data file with min/max of the indexed columns. The leading
+  // underscore keeps data scans from listing it as table data.
+  private def colStatsDir = s"${spec.path}/_graft_colstats"
+
+  /** Build/refresh the file-skipping index for integral `cols`: per data
+    * file, min–max of each column, computed in ONE scan (groupBy on
+    * `input_file_name`) and stored as a parquet sidecar whose row count is
+    * the file count — metadata-sized, never row-sized. Pairs with
+    * [[cluster]]: after a sort-order rewrite the per-file ranges are tight
+    * and disjoint, so a range predicate selects few files; without
+    * clustering the index still answers, it just prunes less.
+    */
+  def recordColumnStats(spark: SparkSession, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "column stats need at least one column")
+    if (!exists(spark)) return
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("long").as(s"min_$c"),
+      max(col(c)).cast("long").as(s"max_$c")))
+    readRaw(spark)
+      .withColumn("file", input_file_name())
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(colStatsDir)
+  }
+
+  /** The index's file selection for `column ∈ [lo, hi]`: (selected files,
+    * total indexed files). Driver-side size is the file count.
+    */
+  private[graft] def statsSelectedFiles(
+      spark: SparkSession, column: String, lo: Long, hi: Long): (Seq[String], Int) = {
+    val st = spark.read.parquet(colStatsDir)
+    val all = st.count().toInt
+    val sel = st
+      .filter(col(s"max_$column") >= lo && col(s"min_$column") <= hi)
+      .select("file").collect().map(_.getString(0)).toSeq
+    (sel, all)
+  }
+
+  /** Range read through the column-stats index: only files whose recorded
+    * [min, max] intersects [lo, hi] are opened — file skipping on a
+    * non-partition column, the scan shape that makes a time-range query
+    * on a clustered 100 TB table touch a handful of files instead of all
+    * of them. Falls back to a full scan when the index is absent. The
+    * residual `BETWEEN` filter still applies (stats admit false
+    * positives, never false negatives). COW tables only: on a
+    * `retainHistory` table, resolving latest-per-key over a pruned file
+    * subset could resurrect versions superseded by rows outside the
+    * range, so the prune is unsound there by construction.
+    */
+  def readPruned(
+      spark: SparkSession, column: String, lo: Long, hi: Long): DataFrame = {
+    require(
+      !spec.retainHistory,
+      "readPruned requires a copy-on-write table: latest-per-key resolution " +
+        "over a pruned file subset is unsound on history tables")
+    val f = fs(spark)
+    val raw =
+      if (!f.exists(new Path(colStatsDir))) readRaw(spark)
+      else statsSelectedFiles(spark, column, lo, hi) match {
+        case (sel, _) if sel.isEmpty => readRaw(spark).filter(lit(false))
+        case (sel, _) =>
+          val rd = spark.read.option("basePath", spec.path)
+          (sidecarSchema(spark) match {
+            case Some(s) => rd.schema(s)
+            case None    => rd.option("mergeSchema", "true")
+          }).parquet(sel: _*)
+      }
+    SchemaEvolution.dropSystemColumns(raw)
+      .filter(col(column).between(lo, hi))
+  }
+
   /** Restore the table to its state as of `commit` (Hudi
     * savepoint+restore / rollback of every later commit): versions
     * committed after `commit` are physically dropped, so a failed or

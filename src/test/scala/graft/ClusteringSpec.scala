@@ -75,4 +75,42 @@ class ClusteringSpec extends SparkTestBase {
     val b = UpsertOps.upsertMerge(spark, sf0001).collect().toSet
     assert(a == b)
   }
+
+  test("column-stats index skips files outside the range and loses no rows") {
+    val t = freshTable()
+    t.upsert(spark, events(), commitTime = "c0")
+    t.cluster(spark, Seq("ts_us"), targetFileBytes = 4L << 10)
+    t.recordColumnStats(spark, Seq("ts_us"))
+    val Array(b) = events().agg(min("ts_us"), max("ts_us")).collect()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val third = (mx - mn) / 3
+    val (lo, hi) = (mn + third, mn + 2 * third)
+    val (sel, total) = t.statsSelectedFiles(spark, "ts_us", lo, hi)
+    assert(total > 2, s"fixture produced only $total files; pruning unobservable")
+    assert(sel.nonEmpty && sel.length < total,
+      s"no pruning: selected ${sel.length} of $total files")
+    val pruned = t.readPruned(spark, "ts_us", lo, hi)
+      .select("user_id", "event_type", "ts_us", "event_id", "value")
+      .collect().toSet
+    val full = t.read(spark)
+      .filter(col("ts_us").between(lo, hi))
+      .select("user_id", "event_type", "ts_us", "event_id", "value")
+      .collect().toSet
+    assert(pruned == full, "stats pruning must be pure I/O elision")
+  }
+
+  test("readPruned without an index falls back to a full scan; history tables refuse") {
+    val t = freshTable()
+    t.upsert(spark, events(), commitTime = "c0")
+    val all = t.read(spark).count()
+    assert(t.readPruned(spark, "ts_us", Long.MinValue, Long.MaxValue).count() == all)
+    val h = KeyedTable(KeyedTableSpec(
+      path = Files.createTempDirectory("graft_stats_mor_").toString + "/t",
+      keyCols = Seq("user_id"), precombineCol = "ts_us",
+      partitionCols = Seq("event_type"), retainHistory = true))
+    h.upsert(spark, events(), commitTime = "c0")
+    intercept[IllegalArgumentException] {
+      h.readPruned(spark, "ts_us", 0L, 1L)
+    }
+  }
 }
