@@ -62,6 +62,33 @@ object Demo {
          |FROM parquet.`$tmp/events_keyed`""".stripMargin)
       .show(truncate = false)
 
+    println("=== table services: cluster by time + column-stats file skipping ===")
+    table.cluster(spark, Seq("ts_us"), targetFileBytes = 2L << 10)
+    table.recordColumnStats(spark, Seq("ts_us"))
+    val Array(bounds) = ev.agg(min("ts_us"), max("ts_us")).collect()
+    val (mnTs, mxTs) = (bounds.getLong(0), bounds.getLong(1))
+    val lo = mxTs - (mxTs - mnTs) / 20
+    val (sel, total) = table.statsSelectedFiles(spark, "ts_us", lo, mxTs)
+    println(s"recent-slice time range touches ${sel.length} of $total files")
+    table.readPruned(spark, "ts_us", lo, mxTs)
+      .groupBy("event_type").count().orderBy("event_type")
+      .show(truncate = false)
+
+    println("=== history table: CDC feed with op markers, then restore ===")
+    val hist = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/events_hist",
+      keyCols = Seq("user_id"),
+      precombineCol = "ts_us",
+      tiebreakCols = Seq("event_id"),
+      partitionCols = Seq("event_type"),
+      retainHistory = true))
+    hist.upsert(spark, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    hist.upsert(spark, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    hist.readChangeFeed(spark, sinceCommit = "c0")
+      .groupBy("op").count().orderBy("op").show(truncate = false)
+    hist.restore(spark, "c0")
+    println(s"after restore to c0, timeline = ${hist.commits(spark).mkString(",")}")
+
     println("=== curation gate: quality x repetition x lang-ID x PII ===")
     graft.operators.Curation.curatedCorpus(spark, sfDir)
       .orderBy("doc_id").show(5, truncate = false)

@@ -114,7 +114,8 @@ object SparkEntry {
     "q87_oov_stats" -> ((s, d) => TextAnalysis.oovStats(s, d)),
     "q88_clustered_merge" -> (UpsertOps.clusteredMerge(_, _)),
     "q89_restored_merge" -> (UpsertOps.restoredMerge(_, _)),
-    "q90_pruned_range" -> (UpsertOps.prunedRangeRead(_, _))
+    "q90_pruned_range" -> (UpsertOps.prunedRangeRead(_, _)),
+    "q91_change_feed" -> (UpsertOps.changeFeed(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -968,7 +969,23 @@ object SparkEntry {
         |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events) t, b
         |WHERE rn = 1
-        |  AND ts_us >= mn + 2 * ((mx - mn) // 3)
-        |  AND ts_us <= mx""".stripMargin
+        |  AND ts_us >= mx - (mx - mn) // 20
+        |  AND ts_us <= mx""".stripMargin,
+    "q91_change_feed" ->
+      // c1's versions (latest odd event per key — in-batch precombine)
+      // tagged insert/update by whether c0 saw the (user, partition) key
+      """WITH c0 AS (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |  WHERE event_id % 2 = 0),
+        |c1 AS (
+        |  SELECT user_id, event_type, ts_us, event_id, value FROM (
+        |    SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+        |           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_id % 2 = 1) t WHERE rn = 1)
+        |SELECT c1.user_id, c1.event_type, c1.ts_us, c1.event_id, c1.value,
+        |       CASE WHEN c0.user_id IS NOT NULL THEN 'update' ELSE 'insert' END AS op
+        |FROM c1 LEFT JOIN c0
+        |  ON c1.user_id = c0.user_id AND c1.event_type = c0.event_type""".stripMargin
   )
 }

@@ -163,6 +163,23 @@ object UpsertOps {
     outputCols(table.readAsOf(s, "c0"))
   }
 
+  /** The CDC feed end-to-end: two commits into a history table, then the
+    * change feed for the second commit's window — every version committed
+    * in c1 with its operation marker: `insert` for keys c0 never saw,
+    * `update` for keys it did. The oracle reconstructs the same feed
+    * relationally: c1's latest-per-key rows left-joined against c0's key
+    * set.
+    */
+  def changeFeed(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_cdc_").toString
+    val table = KeyedTable(morSpec(s"$tmp/events_keyed"))
+    val ev = eventsUs(s, dir)
+    table.upsert(s, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    table.upsert(s, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    table.readChangeFeed(s, sinceCommit = "c0")
+      .select("user_id", "event_type", "ts_us", "event_id", "value", "op")
+  }
+
   /** File-skipping range read end-to-end: merge two commits, CLUSTER on
     * the event timestamp, build the column-stats index, then read the
     * middle third of the time domain through [[KeyedTable.readPruned]] —
@@ -170,11 +187,12 @@ object UpsertOps {
     * range (StatsPruningSpec counts them). The result must equal a full
     * scan + filter (the oracle): stats pruning is pure I/O elision. The
     * range bounds are integer arithmetic over the events' own min/max, so
-    * both engines derive identical bounds. The probed range is the TOP
-    * third of the time domain: after the latest-per-key merge the
-    * surviving rows skew heavily toward recent timestamps (each key keeps
-    * only its newest event), which is also the realistic shape — time-
-    * range queries on an upsert table overwhelmingly target recent data.
+    * both engines derive identical bounds. The probed range is the LAST
+    * 5% of the time domain — the realistic shape (time-range queries on
+    * an upsert table overwhelmingly target recent data) and one where the
+    * prune bites: the latest-per-key survivors concentrate toward recent
+    * timestamps, so a top-third probe would match nearly every file while
+    * the recent-slice probe skips most of them.
     */
   def prunedRangeRead(s: SparkSession, dir: String): DataFrame = {
     val tmp = Files.createTempDirectory("graft_pruned_").toString
@@ -186,8 +204,7 @@ object UpsertOps {
     table.recordColumnStats(s, Seq("ts_us"))
     val Array(b) = ev.agg(min("ts_us").as("mn"), max("ts_us").as("mx")).collect()
     val (mn, mx) = (b.getLong(0), b.getLong(1))
-    val third = (mx - mn) / 3
-    outputCols(table.readPruned(s, "ts_us", mn + 2 * third, mx))
+    outputCols(table.readPruned(s, "ts_us", mx - (mx - mn) / 20, mx))
   }
 
   /** Savepoint/restore end-to-end: two commits land, then the table is

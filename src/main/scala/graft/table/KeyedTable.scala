@@ -449,6 +449,43 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     SchemaEvolution.dropSystemColumns(bounded)
   }
 
+  /** Change-data-capture feed with operation markers (Hudi's `cdc` query
+    * type / Delta CDF): every version committed in `(sinceCommit,
+    * endCommit]` tagged `op = insert` (first version of its key ever) or
+    * `op = update` (supersedes an earlier version). Requires
+    * `retainHistory` — the op distinction needs the key's earlier
+    * versions to still exist. One window pass keyed like the merge (key
+    * cols + partition scope): the first-commit-per-key min rides the same
+    * shuffle as the feed itself, no self-join. Downstream consumers
+    * replay the feed to maintain derived tables without re-reading the
+    * source; deletes appear through [[delete]]'s physical erasure and are
+    * by definition absent from a version feed.
+    */
+  def readChangeFeed(
+      spark: SparkSession,
+      sinceCommit: String,
+      endCommit: Option[String] = None): DataFrame = {
+    require(
+      spec.retainHistory,
+      "the change feed requires retainHistory=true: op markers need the " +
+        "key's earlier versions to still exist")
+    val raw = readRaw(spark)
+    val scope =
+      if (spec.globalKeys) spec.keyCols
+      else spec.keyCols ++ spec.partitionCols.filter(raw.columns.contains)
+    val w = Window.partitionBy(scope.map(col): _*)
+    val begun = raw
+      .withColumn("_graft_first_commit", min(col(CommitTimeCol)).over(w))
+      .filter(col(CommitTimeCol) > sinceCommit)
+    val bounded = endCommit.fold(begun)(e =>
+      begun.filter(col(CommitTimeCol) <= e))
+    SchemaEvolution.dropSystemColumns(
+      bounded.withColumn("op",
+        when(col(CommitTimeCol) === col("_graft_first_commit"), "insert")
+          .otherwise("update"))
+        .drop("_graft_first_commit"))
+  }
+
   /** Catalog sync (SURVEY §2 O12): register/refresh this table in the
     * session metastore so SQL engines see new data — the reference's
     * Hive/Glue sync after each commit (glue_job_script.py:64-73);

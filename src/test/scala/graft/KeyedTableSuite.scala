@@ -357,6 +357,24 @@ class KeyedTableSuite extends SparkTestBase {
     assert(t.commits(spark) == Seq("c1"), "survivor keeps its own commit time")
   }
 
+  test("change feed: op markers distinguish first-ever versions from updates; COW refuses") {
+    val t = historyTable()
+    t.upsert(spark, batch(Row("a", "2024-03-07", 2024, "v1")), commitTime = "c0")
+    t.upsert(spark, batch(
+      Row("a", "2024-03-08", 2024, "v2"),
+      Row("b", "2024-03-08", 2024, "w1")), commitTime = "c1")
+    val feed = t.readChangeFeed(spark, "c0").collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[String]("op")).toMap
+    assert(feed == Map("a" -> "update", "b" -> "insert"))
+    // bounded window: (-, c0] via since="" returns only c0's insert
+    val first = t.readChangeFeed(spark, "", endCommit = Some("c0")).collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[String]("op")))
+    assert(first.toSeq == Seq(("a", "insert")))
+    intercept[IllegalArgumentException] {
+      freshTable().readChangeFeed(spark, "c0")
+    }
+  }
+
   test("restore rolls back later commits: read ≡ prior readAsOf, timeline truncates, idempotent; COW refuses") {
     val t = historyTable()
     t.upsert(spark, batch(Row("a", "2024-03-07", 2024, "v1")), commitTime = "c0")
