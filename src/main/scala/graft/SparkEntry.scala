@@ -115,7 +115,8 @@ object SparkEntry {
     "q88_clustered_merge" -> (UpsertOps.clusteredMerge(_, _)),
     "q89_restored_merge" -> (UpsertOps.restoredMerge(_, _)),
     "q90_pruned_range" -> (UpsertOps.prunedRangeRead(_, _)),
-    "q91_change_feed" -> (UpsertOps.changeFeed(_, _))
+    "q91_change_feed" -> (UpsertOps.changeFeed(_, _)),
+    "q92_zorder_merge" -> (UpsertOps.zorderedMerge(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -950,6 +951,8 @@ object SparkEntry {
         |GROUP BY t.doc_id""".stripMargin,
     // clustering rewrites layout only: read-back ≡ the two-commit merge
     "q88_clustered_merge" -> latestPerUserType,
+    // z-order rewrites layout only: read-back ≡ the two-commit merge
+    "q92_zorder_merge" -> latestPerUserType,
     "q89_restored_merge" ->
       // restore to c0 drops c1's versions: read ≡ time travel to c0
       """SELECT user_id, event_type, ts_us, event_id, value FROM (

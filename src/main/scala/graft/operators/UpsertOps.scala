@@ -163,6 +163,22 @@ object UpsertOps {
     outputCols(table.readAsOf(s, "c0"))
   }
 
+  /** Z-order clustering end-to-end: the two-commit merge laid out on the
+    * Morton curve over (ts_us, user_id) — files become rectangles in
+    * (time, user) space, so range predicates on EITHER column skip files
+    * (ZOrderSpec measures both probes against the lexicographic layout).
+    * Layout-only rewrite: read-back shares [[upsertMerge]]'s oracle.
+    */
+  def zorderedMerge(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_zorder_").toString
+    val table = KeyedTable(spec(s"$tmp/events_keyed"))
+    val ev = eventsUs(s, dir)
+    table.upsert(s, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    table.upsert(s, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    table.clusterZOrder(s, Seq("ts_us", "user_id"), targetFileBytes = 64L << 10)
+    outputCols(table.read(s))
+  }
+
   /** The CDC feed end-to-end: two commits into a history table, then the
     * change feed for the second commit's window — every version committed
     * in c1 with its operation marker: `insert` for keys c0 never saw,

@@ -237,6 +237,71 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       resolveLatest(readRaw(spark).filter(col(CommitTimeCol) <= commit)))
   }
 
+  /** Z-order clustering — the multi-column layout [[cluster]] can't give:
+    * lexicographic sort on (a, b) yields tight file ranges for `a` but
+    * every file spans all of `b`, so only `a`-predicates skip files.
+    * Interleaving the bits of both columns' 16-bit quantized ranks (the
+    * Morton curve; Delta's ZORDER BY does the same rank-then-interleave)
+    * makes each file a small rectangle in (a, b) space: range predicates
+    * on EITHER column prune files (ZOrderSpec measures both, against the
+    * lexicographic baseline). Quantization bounds come from two bounded
+    * driver-side aggregates; the spread/interleave is plain shift/mask
+    * arithmetic on built-in expressions — whole-stage codegen, no UDF.
+    * Hive partition columns still lead the range so directories stay
+    * contiguous. Rows/schema/commit times unchanged, like [[cluster]].
+    */
+  def clusterZOrder(
+      spark: SparkSession,
+      cols: Seq[String],
+      targetFileBytes: Long = 128L << 20): Unit = {
+    require(cols.length == 2, "z-order clustering interleaves exactly two columns")
+    if (!exists(spark)) return
+    val all = readRaw(spark)
+    val Array(b) = all.agg(
+      min(col(cols(0))).cast("long"), max(col(cols(0))).cast("long"),
+      min(col(cols(1))).cast("long"), max(col(cols(1))).cast("long")).collect()
+    // 16-bit rank per column (min–max scaled; 16 bits of resolution is
+    // plenty for file-level skipping), then the classic bit-spread:
+    // x -> 32 bits with a zero between every bit, OR'd at offset 0/1.
+    def bucket(c: Column, lo: Long, hi: Long): Column =
+      if (hi == lo) lit(0L)
+      else floor((c.cast("double") - lit(lo.toDouble)) * 65535.0 /
+        (hi.toDouble - lo.toDouble)).cast("long")
+    def spread16(c: Column): Column = {
+      val s1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+      s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    val z = spread16(bucket(col(cols(0)), b.getLong(0), b.getLong(1)))
+      .bitwiseOR(shiftleft(
+        spread16(bucket(col(cols(1)), b.getLong(2), b.getLong(3))), 1))
+    val parts = filePartsFor(spark, targetFileBytes)
+    val zc = "_graft_zkey"
+    val order = spec.partitionCols.map(col) :+ col(zc)
+    rewriteViaTmp(
+      spark,
+      all.withColumn(zc, z)
+        .repartitionByRange(parts, order: _*)
+        .sortWithinPartitions(order: _*)
+        .drop(zc),
+      "_graft_zorder_tmp")
+  }
+
+  /** Output file count for a layout rewrite: current data volume over the
+    * target file size (the clustering plan's small-file sizing).
+    */
+  private def filePartsFor(spark: SparkSession, targetFileBytes: Long): Int = {
+    val f = fs(spark)
+    val it = f.listFiles(new Path(spec.path), true)
+    var n = 0L
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.endsWith(".parquet")) n += s.getLen
+    }
+    math.max(1, math.ceil(n.toDouble / targetFileBytes).toInt)
+  }
+
   // Column-stats index sidecar (Hudi metadata-table `column_stats`): one
   // row per data file with min/max of the indexed columns. The leading
   // underscore keeps data scans from listing it as table data.
@@ -402,17 +467,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     // clustering plan's small-file sizing): range partitioning alone
     // would default to spark.sql.shuffle.partitions regardless of data,
     // yielding tiny files at small volumes and oversized ones at large.
-    val f = fs(spark)
-    val bytes = {
-      val it = f.listFiles(new Path(spec.path), true)
-      var n = 0L
-      while (it.hasNext) {
-        val s = it.next()
-        if (s.getPath.getName.endsWith(".parquet")) n += s.getLen
-      }
-      n
-    }
-    val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val parts = filePartsFor(spark, targetFileBytes)
     val all = readRaw(spark)
     val order = (spec.partitionCols ++ sortCols).map(col)
     rewriteViaTmp(
