@@ -116,7 +116,8 @@ object SparkEntry {
     "q89_restored_merge" -> (UpsertOps.restoredMerge(_, _)),
     "q90_pruned_range" -> (UpsertOps.prunedRangeRead(_, _)),
     "q91_change_feed" -> (UpsertOps.changeFeed(_, _)),
-    "q92_zorder_merge" -> (UpsertOps.zorderedMerge(_, _))
+    "q92_zorder_merge" -> (UpsertOps.zorderedMerge(_, _)),
+    "q93_stream_attribution" -> (UpsertOps.streamIntervalJoin(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -953,6 +954,18 @@ object SparkEntry {
     "q88_clustered_merge" -> latestPerUserType,
     // z-order rewrites layout only: read-back ≡ the two-commit merge
     "q92_zorder_merge" -> latestPerUserType,
+    "q93_stream_attribution" ->
+      // streamed interval join ≡ the batch join: time-ordered replay keeps
+      // every needed click inside the state-eviction horizon
+      """SELECT c.user_id, c.c_ts_us, c.c_id, p.p_ts_us, p.p_id
+        |FROM (SELECT user_id, epoch_us(ts) AS c_ts_us, event_id AS c_id
+        |      FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id AS p_user, epoch_us(ts) AS p_ts_us,
+        |             event_id AS p_id
+        |      FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.p_user
+        | AND p.p_ts_us >= c.c_ts_us
+        | AND p.p_ts_us <= c.c_ts_us + 86400000000""".stripMargin,
     "q89_restored_merge" ->
       // restore to c0 drops c1's versions: read ≡ time travel to c0
       """SELECT user_id, event_type, ts_us, event_id, value FROM (

@@ -163,6 +163,54 @@ object UpsertOps {
     outputCols(table.readAsOf(s, "c0"))
   }
 
+  /** Stream-stream interval join, MATERIALIZED with a full oracle: clicks
+    * and purchases replay as two watermarked streams off the same
+    * time-ordered staged files ([[stageTimeOrderedJson]] via the shared
+    * memo), joined on user with a 24-hour attribution range and appended
+    * to a parquet sink per micro-batch. Cross-batch exactness is the
+    * ordering contract doing its job: a purchase in batch k+1 can only
+    * need clicks with `c_ts ≥ p_ts − 24h`, and with time-ordered slices
+    * `p_ts ≥ watermark_k`, so the needed click state satisfies
+    * `c_ts + 24h ≥ watermark_k + lateness` — strictly inside the
+    * eviction horizon. Hence the streamed result equals the batch
+    * interval join (the DuckDB oracle), while join state stays
+    * O(rows-in-window), never O(stream).
+    */
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_sjoin_").toString
+    val src = stageOnce(dir, "ordered")(stageTimeOrderedJson(s, dir, _, slices = 4))
+    val stagedSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts_us BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE")
+    def side(tag: String) = JsonStreamSource
+      .stream(s, src, schema = Some(stagedSchema), maxFilesPerTrigger = Some(2))
+      .filter(col("event_type") === tag)
+    val clicks = side("click").select(
+      col("user_id"),
+      timestamp_micros(col("ts_us")).as("c_ts"),
+      col("event_id").as("c_id"))
+    val purchases = side("purchase").select(
+      col("user_id").as("p_user"),
+      timestamp_micros(col("ts_us")).as("p_ts"),
+      col("event_id").as("p_id"))
+    val joined = graft.streaming.StreamJoin.clickAttribution(
+      clicks, purchases, window = "24 hours", lateness = "30 minutes")
+    val out = s"$tmp/attribution"
+    val q = joined.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", s"$tmp/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out).select(
+      col("user_id"),
+      unix_micros(col("c_ts")).as("c_ts_us"), col("c_id"),
+      unix_micros(col("p_ts")).as("p_ts_us"), col("p_id"))
+  }
+
   /** Z-order clustering end-to-end: the two-commit merge laid out on the
     * Morton curve over (ts_us, user_id) — files become rectangles in
     * (time, user) space, so range predicates on EITHER column skip files
