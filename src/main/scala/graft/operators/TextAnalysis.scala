@@ -244,7 +244,9 @@ object TextAnalysis {
         row_number().over(Window.orderBy(col("n_docs").desc, col("term"))))
       .filter(col("r") <= vocabSize)
       .select(col("term"), col("n_docs"))
-    val dv = toks.join(broadcast(vocab), "term")
+    // Both self-join sides consume dv; cache the narrow (doc, vocab-term)
+    // projection so the tokenize+explode+vocab-join runs once, not twice.
+    val dv = Caching.cacheOnce(toks.join(broadcast(vocab), "term"))
     dv.select(col("doc_id"), col("term").as("term_a"), col("n_docs").as("n_a"))
       .join(
         dv.select(

@@ -118,6 +118,22 @@ class FunctionsSpec extends SparkTestBase {
     assert(mismatches == 0)
   }
 
+  test("sorted merge intersect, long-element path == array_intersect size (hashed tokens)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(100)
+      .select($"doc_id",
+        sort_array(array_distinct(
+          transform(TextFunctions.tokens($"text"), t => xxhash64(t)))).as("toks"))
+    val a = docs.select($"doc_id".as("a_id"), $"toks".as("a_toks"))
+    val b = docs.select($"doc_id".as("b_id"), $"toks".as("b_toks"))
+    val mismatches = a.crossJoin(b)
+      .select(
+        TextFunctions.sortedIntersectCount($"a_toks", $"b_toks").as("fast"),
+        size(array_intersect($"a_toks", $"b_toks")).as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(mismatches == 0)
+  }
+
   test("l2 norm matches sqrt of fused self-dot") {
     import spark.implicits._
     val diff = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(50)
