@@ -196,15 +196,23 @@ object UpsertOps {
     val joined = graft.streaming.StreamJoin.clickAttribution(
       clicks, purchases, window = "24 hours", lateness = "30 minutes")
     val out = s"$tmp/attribution"
-    val q = joined.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(out)
-      }
-      .option("checkpointLocation", s"$tmp/checkpoint")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Stream-stream joins open FOUR state stores per shuffle partition per
+    // micro-batch (left/right × keyToNumValues/keyWithIndexToValue); size
+    // the state partitioning to the join's key cardinality (~users), not
+    // the session's scan-side width — same sizing rule as the rollup.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = joined.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", s"$tmp/checkpoint")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.read.parquet(out).select(
       col("user_id"),
       unix_micros(col("c_ts")).as("c_ts_us"), col("c_id"),
