@@ -117,7 +117,8 @@ object SparkEntry {
     "q90_pruned_range" -> (UpsertOps.prunedRangeRead(_, _)),
     "q91_change_feed" -> (UpsertOps.changeFeed(_, _)),
     "q92_zorder_merge" -> (UpsertOps.zorderedMerge(_, _)),
-    "q93_stream_attribution" -> (UpsertOps.streamIntervalJoin(_, _))
+    "q93_stream_attribution" -> (UpsertOps.streamIntervalJoin(_, _)),
+    "q94_media_decode" -> (Multimodal.decodedFeatures(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -966,6 +967,28 @@ object SparkEntry {
         |  ON c.user_id = p.p_user
         | AND p.p_ts_us >= c.c_ts_us
         | AND p.p_ts_us <= c.c_ts_us + 86400000000""".stripMargin,
+    "q94_media_decode" ->
+      // REAL PNG/WAV decode on the Spark side; pixel/sample content is a
+      // deterministic function of doc_id, so the decoded features are
+      // closed-form: PNG and PCM round-trip losslessly and each mean is
+      // an integer sum divided by 256 (exact in a double)
+      """WITH i AS (SELECT unnest(range(0, 256)) AS i),
+        |ia AS (SELECT d.doc_id,
+        |         AVG(CAST((d.doc_id*7 + i.i) % 256 AS DOUBLE)) AS mean_r,
+        |         AVG(CAST((d.doc_id*13 + i.i*3) % 256 AS DOUBLE)) AS mean_g,
+        |         AVG(CAST((d.doc_id*5 + i.i*11) % 256 AS DOUBLE)) AS mean_b
+        |       FROM documents d, i WHERE d.doc_id % 3 = 0 GROUP BY d.doc_id),
+        |aa AS (SELECT d.doc_id,
+        |         AVG(ABS(CAST((d.doc_id*31 + i.i*17) % 65536 - 32768 AS DOUBLE)))
+        |           AS mean_abs
+        |       FROM documents d, i WHERE d.doc_id % 3 = 1 GROUP BY d.doc_id)
+        |SELECT doc_id, 'image/png' AS media_type, 'width' AS feature, 16.0 AS value FROM ia
+        |UNION ALL SELECT doc_id, 'image/png', 'height', 16.0 FROM ia
+        |UNION ALL SELECT doc_id, 'image/png', 'mean_r', mean_r FROM ia
+        |UNION ALL SELECT doc_id, 'image/png', 'mean_g', mean_g FROM ia
+        |UNION ALL SELECT doc_id, 'image/png', 'mean_b', mean_b FROM ia
+        |UNION ALL SELECT doc_id, 'audio/wav', 'n_samples', 256.0 FROM aa
+        |UNION ALL SELECT doc_id, 'audio/wav', 'mean_abs', mean_abs FROM aa""".stripMargin,
     "q89_restored_merge" ->
       // restore to c0 drops c1's versions: read ≡ time travel to c0
       """SELECT user_id, event_type, ts_us, event_id, value FROM (

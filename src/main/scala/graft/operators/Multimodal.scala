@@ -7,10 +7,14 @@ import graft.sources.Tables
 
 /** Multimodal-column plumbing (SURVEY §7.4): media payloads ride through
   * the engine as opaque `binary` columns with a typed metadata struct; the
-  * decode/feature-extract step is a per-partition batch transform whose
-  * Spark-side shape (schema, partitioning, batch iteration) is real and
-  * tested, while the actual codec call is STUBBED with a deterministic
-  * fake — the container ships no image/audio libraries (builder brief).
+  * decode/feature-extract step is a per-partition batch transform. Image
+  * and audio decode are REAL — the JDK ships lossless codecs
+  * (javax.imageio PNG, javax.sound.sampled WAV/PCM), so
+  * [[realMediaTable]]/[[decodedFeatures]] encode and parse genuine
+  * containers (q94's oracle checks the decoded features bit-for-bit).
+  * Only video keeps a deterministic stub ([[decodeStub]] — no mp4 codec
+  * in the JDK), with the batch/schema plumbing identical to the real
+  * paths.
   *
   * At scale: payload bytes stay columnar (parquet binary), metadata columns
   * support predicate pushdown (e.g. filter media_type/width without
@@ -101,4 +105,137 @@ object Multimodal {
       octet_length(col("payload")).as("n_bytes"),
       col("width"),
       col("height"))
+
+  // ---------------------------------------------------------------------
+  // REAL codecs — image and audio decode are genuine, not stubbed: the
+  // JDK ships lossless codecs (javax.imageio PNG, javax.sound.sampled
+  // WAV/PCM), so payloads are real encoded media and the decode step
+  // parses real containers. Pixel/sample CONTENT is a deterministic
+  // function of doc_id, which is what makes decoded features
+  // closed-form — the DuckDB oracle recomputes them arithmetically and
+  // the values match bit-for-bit because PNG and PCM round-trip
+  // losslessly and the means divide by a power of two. Video stays a
+  // documented stub (the JDK has no mp4 codec).
+
+  private final val ImgW = 16
+  private final val ImgH = 16
+  private final val NSamples = 256
+
+  /** Deterministic 16×16 RGB image for `docId`, PNG-encoded: pixel i
+    * (row-major) has r=(id·7+i)%256, g=(id·13+i·3)%256, b=(id·5+i·11)%256.
+    */
+  private[graft] def pngPayload(docId: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      ImgW, ImgH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < ImgW * ImgH) {
+      val r = ((docId * 7 + i) % 256).toInt
+      val g = ((docId * 13 + i * 3) % 256).toInt
+      val b = ((docId * 5 + i * 11) % 256).toInt
+      img.setRGB(i % ImgW, i / ImgW, (r << 16) | (g << 8) | b)
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic 16-bit mono PCM WAV for `docId`: 256 samples at 8 kHz,
+    * s(i) = ((id·31 + i·17) % 65536) − 32768, RIFF/WAVE container.
+    */
+  private[graft] def wavPayload(docId: Long): Array[Byte] = {
+    val dataLen = NSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(16000) // sample rate, byte rate
+      .putShort(2).putShort(16) // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < NSamples) {
+      buf.putShort((((docId * 31 + i * 17) % 65536) - 32768).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Media table with REAL payloads: PNG images and WAV audio (video keeps
+    * the text-bytes stand-in). Encoded per partition in a tight loop —
+    * write-side of the decode below.
+    */
+  def realMediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          (id % 3) match {
+            case 0 => (id, "image/png", pngPayload(id))
+            case 1 => (id, "audio/wav", wavPayload(id))
+            case _ => (id, "video/mp4", s"video-$id".getBytes("UTF-8"))
+          }
+        }
+      }
+      .toDF("doc_id", "media_type", "payload")
+  }
+
+  /** REAL decode over real containers: ImageIO parses the PNG (dimensions
+    * from the actual header, channel means from the actual pixels);
+    * javax.sound.sampled parses the WAV (sample count from the actual
+    * data chunk, mean |amplitude| from the actual PCM words). Long-format
+    * output (doc_id, media_type, feature, value) keeps one schema across
+    * modalities; every value is exact (integer sums divided by a power of
+    * two). Video rows are excluded — no JDK mp4 codec; the stub path
+    * ([[extractFeatures]]) covers their plumbing.
+    */
+  def decodedFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    realMediaTable(s, dir)
+      .filter(col("media_type") =!= "video/mp4")
+      .select("doc_id", "media_type", "payload").as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, mt, payload) =>
+          if (mt == "image/png") {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            val n = (img.getWidth * img.getHeight).toDouble
+            Seq(
+              (id, mt, "width", img.getWidth.toDouble),
+              (id, mt, "height", img.getHeight.toDouble),
+              (id, mt, "mean_r", sr / n),
+              (id, mt, "mean_g", sg / n),
+              (id, mt, "mean_b", sb / n))
+          } else {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            val bytes = in.readAllBytes()
+            in.close()
+            val bb = java.nio.ByteBuffer.wrap(bytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            var sum = 0L
+            var n = 0
+            while (bb.remaining() >= 2) {
+              sum += math.abs(bb.getShort.toLong); n += 1
+            }
+            Seq(
+              (id, mt, "n_samples", n.toDouble),
+              (id, mt, "mean_abs", sum.toDouble / n))
+          }
+        }
+      }
+      .toDF("doc_id", "media_type", "feature", "value")
+  }
 }

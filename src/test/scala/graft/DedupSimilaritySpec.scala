@@ -209,4 +209,30 @@ class DedupSimilaritySpec extends SparkTestBase {
     val frames = Multimodal.sampleFrames(media, n = 4)
     assert(frames.count() == media.filter($"media_type" === "video/mp4").count())
   }
+
+  test("real media codecs round-trip: ImageIO decodes the PNG pixels, AudioSystem the PCM words") {
+    // image: encode then decode through the real codec, pixel formulas hold
+    val png = Multimodal.pngPayload(42L)
+    assert(png.take(8).map(_ & 0xFF).toSeq ==
+      Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A), "real PNG magic")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 16 && img.getHeight == 16)
+    for (i <- Seq(0, 17, 255)) {
+      val p = img.getRGB(i % 16, i / 16)
+      assert(((p >> 16) & 0xFF) == ((42 * 7 + i) % 256).toInt)
+      assert(((p >> 8) & 0xFF) == ((42 * 13 + i * 3) % 256).toInt)
+      assert((p & 0xFF) == ((42 * 5 + i * 11) % 256).toInt)
+    }
+    // audio: the real WAV parser reads back the exact samples
+    val wav = Multimodal.wavPayload(42L)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(in.getFormat.getSampleRate == 8000f &&
+      in.getFormat.getSampleSizeInBits == 16)
+    val bytes = in.readAllBytes()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until 256)
+      assert(bb.getShort == (((42L * 31 + i * 17) % 65536) - 32768).toShort)
+  }
 }
