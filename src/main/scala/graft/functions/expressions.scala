@@ -266,6 +266,23 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "sorted_intersect_count"
 
+  // The element compare dispatches on the LEFT child's type, so mismatched
+  // sides (e.g. array<bigint> vs array<string> through the SQL surface)
+  // must be rejected at analysis — the primitive getter would otherwise
+  // read a string-backed array's offset words as values, silently.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(l, _), ArrayType(r, _))
+          if l == r && (l == StringType || l == LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two arrays of the same element type " +
+            s"(string or bigint), got ${left.dataType.catalogString} and " +
+            s"${right.dataType.catalogString}")
+    }
+
   // Merge over sorted long arrays (hashed tokens) compares two primitives;
   // over sorted string arrays it's a byte-wise UTF8String comparison. The
   // long path is what the dedup hot loops use — token arrays are hashed

@@ -67,15 +67,19 @@ object Search {
     * and the first `maxPostings` doc ids ascending, serialized as a
     * comma-joined string — the batch-built retrieval index beside [[bm25]]
     * (which scores by scanning; this materializes the term→docs map a
-    * lookup service would serve). One explode + one groupBy(term): the
-    * shuffle carries (term, doc_id) pairs once, map-side combine bounds
-    * nothing here because postings genuinely need every id — which is why
-    * the OUTPUT is capped at `maxPostings` (at corpus scale, full postings
-    * of stop-word-frequency terms are multi-GB rows; a real index shards
-    * them — same plan keyed by (term, doc_id div shardSize)).
+    * lookup service would serve). One explode + one groupBy(term); the
+    * capped postings run through the bounded-heap aggregate (score =
+    * −doc_id ⇒ the `maxPostings` SMALLEST ids, in ascending rank order),
+    * so map-side partials carry at most `maxPostings` entries per (term,
+    * partition) — a stop-word term never materializes its full id list
+    * anywhere, which at corpus scale would be a multi-GB aggregation
+    * buffer. `n_docs` is the separate count aggregate; a real index
+    * serving FULL postings shards them — same plan keyed by
+    * (term, doc_id div shardSize).
     */
   def invertedIndex(
-      s: SparkSession, dir: String, maxPostings: Int = 20): DataFrame =
+      s: SparkSession, dir: String, maxPostings: Int = 20): DataFrame = {
+    import graft.functions.TopKByScore.topKByScore
     Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .select(
@@ -84,10 +88,10 @@ object Search {
       .groupBy(col("term"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sort_array(collect_list(col("doc_id"))).as("ids"))
+        topKByScore((-col("doc_id")).cast("double"), col("doc_id"), maxPostings)
+          .as("ids"))
       .select(
         col("term"), col("n_docs"),
-        array_join(
-          transform(slice(col("ids"), 1, maxPostings), _.cast("string")),
-          ",").as("postings"))
+        array_join(transform(col("ids"), _.cast("string")), ",").as("postings"))
+  }
 }

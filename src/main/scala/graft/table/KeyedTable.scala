@@ -260,6 +260,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     val Array(b) = all.agg(
       min(col(cols(0))).cast("long"), max(col(cols(0))).cast("long"),
       min(col(cols(1))).cast("long"), max(col(cols(1))).cast("long")).collect()
+    if (b.isNullAt(0)) return // existing-but-empty table: nothing to lay out
     // 16-bit rank per column (min–max scaled; 16 bits of resolution is
     // plenty for file-level skipping), then the classic bit-spread:
     // x -> 32 bits with a zero between every bit, OR'd at offset 0/1.
@@ -360,8 +361,13 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       "readPruned requires a copy-on-write table: latest-per-key resolution " +
         "over a pruned file subset is unsound on history tables")
     val f = fs(spark)
+    // "Index absent" is per COLUMN, not just per directory: stats recorded
+    // for other columns can't answer this predicate — fall back to the
+    // full scan the contract promises instead of failing analysis.
+    def indexCovers: Boolean =
+      spark.read.parquet(colStatsDir).columns.contains(s"min_$column")
     val raw =
-      if (!f.exists(new Path(colStatsDir))) readRaw(spark)
+      if (!f.exists(new Path(colStatsDir)) || !indexCovers) readRaw(spark)
       else statsSelectedFiles(spark, column, lo, hi) match {
         case (sel, _) if sel.isEmpty => readRaw(spark).filter(lit(false))
         case (sel, _) =>
@@ -391,6 +397,13 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       "restore requires retainHistory=true; a copy-on-write table has " +
         "already folded later commits into its files")
     if (!exists(spark)) return
+    // Restoring to a commit the timeline never saw (a typo, a commit from
+    // another table) would filter to an arbitrary subset — for a value
+    // sorting before the first commit, to ZERO rows, physically erasing
+    // the table. Hudi likewise refuses restore to an unknown savepoint.
+    require(
+      commits(spark).contains(commit),
+      s"restore target '$commit' is not in this table's commit timeline")
     rewriteViaTmp(
       spark,
       readRaw(spark).filter(col(CommitTimeCol) <= commit),
@@ -615,6 +628,13 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     (if (spec.partitionCols.nonEmpty) w.partitionBy(spec.partitionCols: _*) else w)
       .parquet(spec.path)
     recordSchema(df.sparkSession, df.schema)
+    // Every data write invalidates the column-stats index: appended files
+    // would be invisible to the prune (silent false negatives) and
+    // overwritten files would 404 it. Readers fall back to a full scan
+    // until recordColumnStats runs again — stale-but-used is the one
+    // wrong state. (Full rewrites via rewriteViaTmp drop the sidecar with
+    // the directory.)
+    fs(df.sparkSession).delete(new Path(colStatsDir), true)
   }
 
   /** Predicate selecting exactly the partitions present in `batch` —
@@ -787,12 +807,16 @@ final class KeyedTable(val spec: KeyedTableSpec) {
           .distinct()
         existing.join(parts, spec.partitionCols, "left_semi")
       }
-    val survivors = affected.join(delKeys, joinCols, "left_anti")
-
     if (spec.partitionCols.isEmpty) {
-      rewriteViaTmp(spark, survivors, "_graft_delete_tmp")
+      rewriteViaTmp(spark, affected.join(delKeys, joinCols, "left_anti"),
+        "_graft_delete_tmp")
     } else {
-      survivors.persist()
+      // `affected` is the expensive frame (table scan + doomed-key probe
+      // join); persist IT so the survivor anti-join, the scanned-partition
+      // collect, and the written-partition collect all reuse one pass
+      // instead of re-running the probe per consumer.
+      affected.persist()
+      val survivors = affected.join(delKeys, joinCols, "left_anti")
       val scanned =
         affected.select(spec.partitionCols.map(col): _*).distinct().collect()
       val written =
@@ -802,7 +826,8 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         survivors.write.mode(SaveMode.Overwrite)
           .partitionBy(spec.partitionCols: _*).parquet(spec.path)
         deletePartitionDirs(spark, stale)
-      } finally survivors.unpersist()
+        fs(spark).delete(new Path(colStatsDir), true) // see writeOut
+      } finally affected.unpersist()
     }
   }
 

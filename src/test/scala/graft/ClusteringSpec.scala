@@ -99,6 +99,23 @@ class ClusteringSpec extends SparkTestBase {
     assert(pruned == full, "stats pruning must be pure I/O elision")
   }
 
+  test("writes invalidate the column-stats index; un-indexed columns fall back to full scan") {
+    val t = freshTable()
+    t.upsert(spark, events(), commitTime = "c0")
+    t.recordColumnStats(spark, Seq("ts_us"))
+    val all = t.read(spark).count()
+    // a column the index never recorded: full scan, not an analysis error
+    assert(t.readPruned(spark, "user_id", Long.MinValue, Long.MaxValue).count() == all)
+    // a later write drops the index (its file list is stale); the pruned
+    // read then sees every row again via the fallback
+    t.insert(spark,
+      events().withColumn("event_id", col("event_id") + 1000000L),
+      commitTime = "c1")
+    val after = t.read(spark).count()
+    assert(t.readPruned(spark, "ts_us", Long.MinValue, Long.MaxValue).count() == after,
+      "stale stats must not hide freshly written rows")
+  }
+
   test("readPruned without an index falls back to a full scan; history tables refuse") {
     val t = freshTable()
     t.upsert(spark, events(), commitTime = "c0")

@@ -388,6 +388,10 @@ class KeyedTableSuite extends SparkTestBase {
     t.restore(spark, "c0") // restoring to the current head changes nothing
     assert(t.read(spark).collect().toSet == asOfC0)
     intercept[IllegalArgumentException] {
+      t.restore(spark, "b0") // unknown commit: refuse, don't erase the table
+    }
+    assert(t.read(spark).collect().toSet == asOfC0, "refused restore must not touch data")
+    intercept[IllegalArgumentException] {
       freshTable().restore(spark, "c0") // COW already folded later commits
     }
   }
