@@ -506,11 +506,19 @@ object UpsertOps {
     }
 
     val table = KeyedTable(spec(tablePath))
+    // Schema inference stays the semantic (O1's inferSchema) but runs once
+    // per staged source: the files are immutable, so re-probing them every
+    // invocation re-parses the corpus for an answer that cannot change.
+    val inferred = inferredSchema.getOrElseUpdate(
+      src, JsonStreamSource.inferSchema(s, src))
     val stream = JsonStreamSource.stream(
-      s, src, maxFilesPerTrigger = Some(2))
+      s, src, schema = Some(inferred), maxFilesPerTrigger = Some(2))
     val q = MicroBatchPipeline.start(
       stream, table, checkpoint, trigger = Trigger.AvailableNow())
     q.awaitTermination()
     outputCols(table.read(s))
   }
+
+  private val inferredSchema = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.types.StructType]
 }
