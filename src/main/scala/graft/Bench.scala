@@ -44,8 +44,16 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Short total-only line LAST: the driver's bounded tail capture truncated
+    // the single long per-query line (94 queries) before reaching the
+    // "metric" field in r05, recording parsed:null. A compact final line is
+    // always inside any tail window; the long per-query line stays above it
+    // for humans and logs.
+    val totalLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size}}"""
     println(line)
     spark.stop()
     println(line)
+    println(totalLine)
   }
 }

@@ -843,7 +843,7 @@ object SparkEntry {
       // contiguous packing per source: doc opens a new pack when its first
       // token would overflow the 256-token context budget
       """SELECT doc_id, source, n_tokens,
-        |       (cum - n_tokens) // 256 AS pack_id
+        |       CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id
         |FROM (
         |  SELECT doc_id, source,
         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -56,14 +56,19 @@ object UpsertOps {
   private def copyTree(from: String, to: String): Unit = {
     val src = java.nio.file.Paths.get(from)
     val dst = java.nio.file.Paths.get(to)
-    val it = java.nio.file.Files.walk(src).iterator()
-    while (it.hasNext) {
-      val p = it.next()
-      val q = dst.resolve(src.relativize(p))
-      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(q)
-      else java.nio.file.Files.copy(p, q,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    // Files.walk holds directory handles until closed; one leak per
+    // template deep-copy × bench reps adds up.
+    val walk = java.nio.file.Files.walk(src)
+    try {
+      val it = walk.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val q = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(q)
+        else java.nio.file.Files.copy(p, q,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally walk.close()
   }
 
   private def freshTwoCommitTable(
@@ -233,18 +238,29 @@ object UpsertOps {
     // the session's scan-side width — same sizing rule as the rollup.
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // Per-batch-id subdirectories make the sink idempotent under
+    // micro-batch retry (a replayed batch OVERWRITES its own dir instead
+    // of appending duplicates), and the pre-created empty `batch-init`
+    // dir pins the sink schema so a run where no batch matches still
+    // reads back as an empty frame instead of throwing on a missing path.
+    s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      joined.schema).write.mode("overwrite").parquet(s"$out/batch-init")
     try {
       val q = joined.writeStream
         .outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(out)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/batch-$id")
         }
         .option("checkpointLocation", s"$tmp/checkpoint")
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    s.read.parquet(out).select(
+    // Explicit dir list, not a glob: glob resolution raced the analyzer's
+    // dual-run in Spark 4.1 and logged a spurious FileNotFoundException.
+    val batchDirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getPath).sorted
+    s.read.parquet(batchDirs.toIndexedSeq: _*).select(
       col("user_id"),
       unix_micros(col("c_ts")).as("c_ts_us"), col("c_id"),
       unix_micros(col("p_ts")).as("p_ts_us"), col("p_id"))

@@ -294,11 +294,18 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     */
   private def filePartsFor(spark: SparkSession, targetFileBytes: Long): Int = {
     val f = fs(spark)
-    val it = f.listFiles(new Path(spec.path), true)
+    val root = new Path(spec.path)
+    val it = f.listFiles(root, true)
     var n = 0L
     while (it.hasNext) {
       val s = it.next()
-      if (s.getPath.getName.endsWith(".parquet")) n += s.getLen
+      val p = s.getPath
+      // Sum only data files: any path component under the table root that
+      // starts with '_' is metadata (Spark's own data-file listing rule) —
+      // e.g. the _graft_colstats sidecar keeps parquet of its own.
+      val rel = p.toUri.getPath.stripPrefix(root.toUri.getPath).split('/')
+      val isMeta = rel.exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (!isMeta && p.getName.endsWith(".parquet")) n += s.getLen
     }
     math.max(1, math.ceil(n.toDouble / targetFileBytes).toInt)
   }
@@ -624,17 +631,19 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   }
 
   private def writeOut(df: DataFrame, mode: SaveMode): Unit = {
+    // Every data write invalidates the column-stats index: appended files
+    // would be invisible to the prune (silent false negatives) and
+    // overwritten files would 404 it. Deleted BEFORE the data lands — a
+    // crash between the two steps then leaves stale-absent (readers full
+    // scan, correct) rather than stale-present (readers silently skip the
+    // new files — the one wrong state). Readers fall back to a full scan
+    // until recordColumnStats runs again. (Full rewrites via rewriteViaTmp
+    // drop the sidecar with the directory.)
+    fs(df.sparkSession).delete(new Path(colStatsDir), true)
     val w = df.write.mode(mode)
     (if (spec.partitionCols.nonEmpty) w.partitionBy(spec.partitionCols: _*) else w)
       .parquet(spec.path)
     recordSchema(df.sparkSession, df.schema)
-    // Every data write invalidates the column-stats index: appended files
-    // would be invisible to the prune (silent false negatives) and
-    // overwritten files would 404 it. Readers fall back to a full scan
-    // until recordColumnStats runs again — stale-but-used is the one
-    // wrong state. (Full rewrites via rewriteViaTmp drop the sidecar with
-    // the directory.)
-    fs(df.sparkSession).delete(new Path(colStatsDir), true)
   }
 
   /** Predicate selecting exactly the partitions present in `batch` —
