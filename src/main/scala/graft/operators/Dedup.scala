@@ -121,14 +121,29 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    minhashLshOver(Tables.documents(s, dir), shingleK, numHashes, bands, threshold)
+
+  /** [[minhashLsh]] over an arbitrary (doc_id, text) frame; `hotBucket`
+    * is the band-bucket size above which pair generation switches to the
+    * salted join (exposed so a spec can drive the guard with a small
+    * pathological corpus).
+    */
+  def minhashLshOver(
+      input: DataFrame,
+      shingleK: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      hotBucket: Int = 1000): DataFrame = {
+    val s = input.sparkSession
     val rows = numHashes / bands
     // Shingling + signing is the expensive per-doc step and the frame is
     // consumed three times (banding, and both sides of the verify join) —
     // repartition first (single-row-group input = one scan task), compute
     // once, persist. A few MB per 10k docs; lives until session end
     // (each driver run uses a fresh session).
-    val docs = cacheOnce(Tables.documents(s, dir)
+    val docs = cacheOnce(input
       .repartition(s.sparkContext.defaultParallelism)
       .select(
         col("doc_id"),
@@ -148,15 +163,45 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
 
-    val candidates = banded
+    // Hot-band guard: a degenerate bucket (B near-identical docs landing
+    // in one (band, band_hash)) makes the self-join emit B² pairs INSIDE
+    // ONE TASK — the key is the bucket, so no partitioning spreads it and
+    // one straggler executor does quadratic work. The pair set itself is
+    // legitimately quadratic for such a corpus (every pair IS a dup), so
+    // the guard distributes rather than drops: buckets above `hotBucket`
+    // members join salted — the right side keyed by its hash-group
+    // g ∈ [0, salts), the left replicated once per group — spreading a
+    // B² bucket across `salts` tasks at the cost of replicating only the
+    // oversized buckets' ids-only rows. Small buckets keep the plain
+    // single-key join; membership is a property of the whole bucket, so
+    // the two tiers partition the pair space exactly.
+    val bw = Window.partitionBy("band", "band_hash")
+    val sized = banded.withColumn("bsz", count(lit(1)).over(bw))
+    val salts = 32
+    val small = sized.filter(col("bsz") <= hotBucket)
+    val smallPairs = small
       .join(
-        banded.select(
+        small.select(
           col("band").as("b_band"), col("band_hash").as("b_hash"),
           col("doc_id").as("b_id")),
         col("band") === col("b_band") &&
         col("band_hash") === col("b_hash") &&
         col("doc_id") < col("b_id"))
       .select(col("doc_id").as("a_id"), col("b_id"))
+    val hot = sized.filter(col("bsz") > hotBucket)
+      .withColumn("g", pmod(xxhash64(col("doc_id")), lit(salts)))
+    val hotPairs = hot
+      .withColumn("pg", explode(array((0 until salts).map(lit(_)): _*)))
+      .join(
+        hot.select(
+          col("band").as("b_band"), col("band_hash").as("b_hash"),
+          col("g").as("b_g"), col("doc_id").as("b_id")),
+        col("band") === col("b_band") &&
+        col("band_hash") === col("b_hash") &&
+        col("pg") === col("b_g") &&
+        col("doc_id") < col("b_id"))
+      .select(col("doc_id").as("a_id"), col("b_id"))
+    val candidates = smallPairs.union(hotPairs)
       .dropDuplicates("a_id", "b_id")
 
     val shA = docs.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"))

@@ -575,7 +575,54 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         s"CREATE TABLE $tableName USING parquet LOCATION '${spec.path}'")
     }
     if (spec.partitionCols.nonEmpty) spark.catalog.recoverPartitions(tableName)
+    recordSyncedName(spark, tableName)
   }
+
+  // ---- catalog sidecar ------------------------------------------------
+  // The reference's hive_sync lands the registration in a PERSISTENT
+  // catalog (Glue Data Catalog) so other engines and later jobs see the
+  // table (glue_job_script.py:64-73, `hoodie.datasource.hive_sync.*`).
+  // A Spark in-memory session catalog dies with the SparkContext, so the
+  // synced names are also recorded in a `_graft_catalog` sidecar that
+  // travels with the data; [[registerSynced]] replays it into a fresh
+  // session's metastore on open. Newline-separated names, written via
+  // tmp + rename like the schema sidecar.
+
+  private def catalogSidecarPath = new Path(spec.path, "_graft_catalog")
+
+  /** Table names previously registered for this path, from the sidecar. */
+  def syncedNames(spark: SparkSession): Seq[String] = {
+    val f = fs(spark)
+    if (!f.exists(catalogSidecarPath)) Nil
+    else {
+      val in = f.open(catalogSidecarPath)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+      finally in.close()
+    }
+  }
+
+  private def recordSyncedName(spark: SparkSession, name: String): Unit =
+    writeSyncedNames(spark, (syncedNames(spark) :+ name).distinct)
+
+  private def writeSyncedNames(spark: SparkSession, names: Seq[String]): Unit = {
+    if (names.isEmpty) return
+    val f = fs(spark)
+    val tmp = new Path(spec.path, "._graft_catalog.tmp")
+    val out = f.create(tmp, true)
+    try out.write(names.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    f.delete(catalogSidecarPath, false)
+    f.rename(tmp, catalogSidecarPath)
+  }
+
+  /** Replay the sidecar's registrations into this (possibly fresh)
+    * session's catalog — the "open" half of persistent hive_sync: a new
+    * SparkSession that knows only the table path calls this once and
+    * `spark.table(name)` works for every previously synced name.
+    */
+  def registerSynced(spark: SparkSession): Unit =
+    syncedNames(spark).foreach(syncCatalog(spark, _))
 
   /** The reference's catalog schema probe — `SELECT * FROM tbl LIMIT 0`
     * (glue_job_script.py:85, SURVEY O5): parse→analyze against the
@@ -650,10 +697,34 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * collected driver-side (bounded by touched-partition count, not rows)
     * and pushed into the parquet scan for partition pruning.
     */
+  /** Distinct partition tuples of `df`, collected driver-side under a hard
+    * ceiling. Partition-count-bounded collects are the same assumption
+    * Hive/Hudi make, but at 100 TB a mis-declared high-cardinality
+    * partition spec (e.g. partitioning by user_id) would silently OOM the
+    * driver; the `limit(cap+1)` bounds what ever leaves the executors and
+    * the error says what to fix. Cap via spark.graft.partition.collect.max
+    * (default 100k tuples ≈ a few MB of driver memory).
+    */
+  private def collectPartitionTuples(df: DataFrame): Array[org.apache.spark.sql.Row] = {
+    val cap = df.sparkSession.conf
+      .get("spark.graft.partition.collect.max", "100000").toInt
+    val tuples = df.select(spec.partitionCols.map(col): _*)
+      .distinct().limit(cap + 1).collect()
+    if (tuples.length > cap)
+      throw new IllegalStateException(
+        s"table ${spec.path}: batch touches more than $cap distinct " +
+          s"partition tuples of (${spec.partitionCols.mkString(", ")}); " +
+          "driver-side partition bookkeeping would not be safe at this " +
+          "cardinality. Coarsen the partition spec (partition columns " +
+          "should be low-cardinality, e.g. dates not ids) or raise " +
+          "spark.graft.partition.collect.max if the driver has the memory.")
+    tuples
+  }
+
   private def affectedPartitionsFilter(batch: DataFrame): Option[Column] =
     if (spec.partitionCols.isEmpty) None
     else {
-      val tuples = batch.select(spec.partitionCols.map(col): _*).distinct().collect()
+      val tuples = collectPartitionTuples(batch)
       val preds = tuples.map { row =>
         spec.partitionCols.zipWithIndex
           .map { case (c, i) =>
@@ -710,9 +781,13 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     (if (spec.partitionCols.nonEmpty) w.partitionBy(spec.partitionCols: _*) else w)
       .parquet(tmp.toString)
     val schema = df.schema
+    // The catalog sidecar must outlive the rewrite (registration is a
+    // property of the table, not of one directory generation).
+    val synced = syncedNames(spark)
     f.delete(new Path(spec.path), true)
     f.rename(tmp, new Path(spec.path))
     recordSchema(spark, schema)
+    writeSyncedNames(spark, synced)
   }
 
   /** INSERT write operation (the second value the reference's
@@ -826,10 +901,8 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       // instead of re-running the probe per consumer.
       affected.persist()
       val survivors = affected.join(delKeys, joinCols, "left_anti")
-      val scanned =
-        affected.select(spec.partitionCols.map(col): _*).distinct().collect()
-      val written =
-        survivors.select(spec.partitionCols.map(col): _*).distinct().collect().toSet
+      val scanned = collectPartitionTuples(affected)
+      val written = collectPartitionTuples(survivors).toSet
       val stale = scanned.filterNot(written.contains)
       try withDynamicOverwrite(spark) {
         survivors.write.mode(SaveMode.Overwrite)
@@ -917,8 +990,8 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         val staleParts: Array[org.apache.spark.sql.Row] =
           if (spec.globalKeys && spec.partitionCols.nonEmpty) {
             merged.persist()
-            val scanned = toScan.select(spec.partitionCols.map(col): _*).distinct().collect()
-            val written = merged.select(spec.partitionCols.map(col): _*).distinct().collect().toSet
+            val scanned = collectPartitionTuples(toScan)
+            val written = collectPartitionTuples(merged).toSet
             scanned.filterNot(written.contains)
           } else Array.empty
 

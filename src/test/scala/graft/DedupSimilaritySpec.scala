@@ -38,6 +38,23 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(truth.nonEmpty)
   }
 
+  test("minhash LSH hot-band guard: an all-identical corpus completes and stays exact") {
+    // Every doc identical → every band bucket holds the WHOLE corpus: the
+    // worst case for bucket-keyed pair generation (one task doing n² work
+    // without the salted tier). 200 docs with hotBucket=50 forces the
+    // salted path; 30 distinct tail docs keep the small-bucket tier live
+    // in the same run. Exactness: all C(200,2) identical pairs at j=1.0,
+    // nothing else, each exactly once.
+    val dupes = (0L until 200L).map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val uniques = (200L until 230L).map(i => (i, s"unique document number $i with its own content entirely"))
+    val corpus = (dupes ++ uniques).toDF("doc_id", "text")
+    val out = Dedup.minhashLshOver(corpus, hotBucket = 50)
+    val pairs = pairSet(out)
+    assert(pairs.size == 200 * 199 / 2)
+    assert(pairs.forall { case (a, b) => a < 200 && b < 200 && a < b })
+    assert(out.agg(min($"jaccard")).as[Double].head() == 1.0)
+  }
+
   test("simhash pigeonhole == exact shingle-jaccard pair set (recall 1.0)") {
     val truth = pairSet(exactShingleJaccard(sf001, 0.7))
     val found = pairSet(Dedup.simhash(spark, sf001))

@@ -142,6 +142,56 @@ class KeyedTableSuite extends SparkTestBase {
     spark.sql(s"DROP TABLE $name")
   }
 
+  test("catalog sidecar: registration persists with the data and replays into a fresh catalog") {
+    val t = freshTable()
+    val name = s"graft_persist_${System.nanoTime()}"
+    t.upsert(spark, batch(
+      Row("a", "2024-03-07", 2024, "v1"),
+      Row("b", "2023-03-07", 2023, "v1")))
+    t.syncCatalog(spark, name)
+    assert(t.syncedNames(spark) == Seq(name))
+    // A fresh SparkSession starts with an empty in-memory metastore; a
+    // second SparkContext per JVM isn't possible here, so model it by
+    // dropping the registration and replaying from the sidecar — the
+    // exact code path a fresh session's open runs.
+    spark.sql(s"DROP TABLE $name")
+    assert(!spark.catalog.tableExists(name))
+    t.registerSynced(spark)
+    assert(spark.table(name).count() == 2)
+    // the sidecar survives a full-table rewrite (compaction)
+    t.upsert(spark, batch(Row("c", "2025-01-01", 2025, "v1")))
+    t.compact(spark)
+    assert(t.syncedNames(spark) == Seq(name))
+    spark.sql(s"DROP TABLE $name")
+    t.registerSynced(spark)
+    assert(spark.table(name).count() == 3)
+    spark.sql(s"DROP TABLE $name")
+  }
+
+  test("partition-tuple ceiling: over-cap batches fail fast with an actionable error") {
+    val t = freshTable()
+    // bootstrap first: the ceiling guards the merge path's partition
+    // bookkeeping; the first write is a plain partitioned write
+    t.upsert(spark, batch(Row("z", "2020-01-01", 2020, "v")))
+    val key = "spark.graft.partition.collect.max"
+    spark.conf.set(key, "2")
+    try {
+      val e = intercept[IllegalStateException] {
+        t.upsert(spark, batch(
+          Row("a", "2024-01-01", 2024, "v"),
+          Row("b", "2023-01-01", 2023, "v"),
+          Row("c", "2022-01-01", 2022, "v")))
+      }
+      assert(e.getMessage.contains("partition.collect.max"))
+      spark.conf.set(key, "100000")
+      t.upsert(spark, batch(
+        Row("a", "2024-01-01", 2024, "v"),
+        Row("b", "2023-01-01", 2023, "v"),
+        Row("c", "2022-01-01", 2022, "v")))
+      assert(t.read(spark).count() == 4)
+    } finally spark.conf.unset(key)
+  }
+
   test("insert appends without key lookup; a later upsert collapses duplicates") {
     val t = freshTable()
     t.insert(spark, batch(Row("a", "2024-03-07", 2024, "v1")))
