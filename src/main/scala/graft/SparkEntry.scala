@@ -118,7 +118,8 @@ object SparkEntry {
     "q91_change_feed" -> (UpsertOps.changeFeed(_, _)),
     "q92_zorder_merge" -> (UpsertOps.zorderedMerge(_, _)),
     "q93_stream_attribution" -> (UpsertOps.streamIntervalJoin(_, _)),
-    "q94_media_decode" -> (Multimodal.decodedFeatures(_, _))
+    "q94_media_decode" -> (Multimodal.decodedFeatures(_, _)),
+    "q95_gif_frames" -> (Multimodal.gifFrameFeatures(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -989,6 +990,19 @@ object SparkEntry {
         |UNION ALL SELECT doc_id, 'image/png', 'mean_b', mean_b FROM ia
         |UNION ALL SELECT doc_id, 'audio/wav', 'n_samples', 256.0 FROM aa
         |UNION ALL SELECT doc_id, 'audio/wav', 'mean_abs', mean_abs FROM aa""".stripMargin,
+    "q95_gif_frames" ->
+      // REAL multi-frame decode: every doc carries an animated GIF of
+      // (doc_id % 3 + 2) 8×8 grayscale frames; frame f pixel i holds
+      // (id·7 + f·11 + i·3) % 256 over an explicit 256-gray palette, so
+      // the container round-trips losslessly and each frame mean is an
+      // integer sum over 64 pixels (exact in a double)
+      """SELECT d.doc_id, f.range AS frame,
+        |       AVG(CAST((d.doc_id*7 + f.range*11 + i.range*3) % 256 AS DOUBLE))
+        |         AS mean_gray
+        |FROM documents d
+        |JOIN range(0, 4) f ON f.range < d.doc_id % 3 + 2
+        |CROSS JOIN range(0, 64) i
+        |GROUP BY d.doc_id, f.range""".stripMargin,
     "q89_restored_merge" ->
       // restore to c0 drops c1's versions: read ≡ time travel to c0
       """SELECT user_id, event_type, ts_us, event_id, value FROM (

@@ -12,9 +12,11 @@ import graft.sources.Tables
   * (javax.imageio PNG, javax.sound.sampled WAV/PCM), so
   * [[realMediaTable]]/[[decodedFeatures]] encode and parse genuine
   * containers (q94's oracle checks the decoded features bit-for-bit).
-  * Only video keeps a deterministic stub ([[decodeStub]] — no mp4 codec
-  * in the JDK), with the batch/schema plumbing identical to the real
-  * paths.
+  * Multi-frame decode is REAL too: [[gifFrameFeatures]] parses animated
+  * GIFs (the JDK's one multi-frame codec) frame by frame with a
+  * closed-form oracle (q95). Only mp4 video proper keeps a deterministic
+  * stub ([[decodeStub]] — no mp4 codec in the JDK), with the batch/schema
+  * plumbing identical to the real paths.
   *
   * At scale: payload bytes stay columnar (parquet binary), metadata columns
   * support predicate pushdown (e.g. filter media_type/width without
@@ -237,5 +239,101 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "media_type", "feature", "value")
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL multi-frame decode — animated GIF via javax.imageio (the JDK's
+  // only multi-frame container codec; mp4 has none, so video proper stays
+  // the documented stub above). Frames are 8×8 indexed-grayscale over an
+  // explicit 256-gray palette, so the palette round-trips losslessly and
+  // every decoded pixel is the closed-form value the oracle recomputes.
+
+  private final val GifW = 8
+  private final val GifH = 8
+
+  /** Frames in doc `docId`'s GIF: 2–4, varying so the decode must read the
+    * real frame count out of the container.
+    */
+  private[graft] def gifFrameCount(docId: Long): Int = (docId % 3 + 2).toInt
+
+  /** Deterministic animated GIF for `docId`: [[gifFrameCount]] 8×8 frames,
+    * pixel i (row-major) of frame f holding gray (id·7 + f·11 + i·3) % 256.
+    */
+  private[graft] def gifPayload(docId: Long): Array[Byte] = {
+    val grays = Array.tabulate[Byte](256)(i => i.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < gifFrameCount(docId)) {
+        val img = new java.awt.image.BufferedImage(
+          GifW, GifH, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        var i = 0
+        while (i < GifW * GifH) {
+          img.getRaster.setSample(i % GifW, i / GifW, 0,
+            ((docId * 7 + f * 11 + i * 3) % 256).toInt)
+          i += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
+  /** Every document as an animated-GIF payload (multi-frame modality). */
+  def gifMediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select("doc_id").as[Long]
+      .mapPartitions(ids => ids.map(id => (id, "image/gif", gifPayload(id))))
+      .toDF("doc_id", "media_type", "payload")
+  }
+
+  /** REAL per-frame decode: ImageIO's GIF reader reports the frame count
+    * from the container and decodes each frame's pixels; output is one row
+    * per (doc, frame) with the frame's mean gray. Exact: integer pixel sum
+    * over 64 pixels divided by a power of two.
+    */
+  def gifFrameFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    gifMediaTable(s, dir)
+      .select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            (0 until n).map { f =>
+              val img = reader.read(f)
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  sum += img.getRGB(x, y) & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              (id, f.toLong, sum.toDouble / (img.getWidth * img.getHeight))
+            }
+          } finally {
+            reader.dispose()
+            iis.close()
+          }
+        }
+      }
+      .toDF("doc_id", "frame", "mean_gray")
   }
 }

@@ -252,4 +252,26 @@ class DedupSimilaritySpec extends SparkTestBase {
     for (i <- 0 until 256)
       assert(bb.getShort == (((42L * 31 + i * 17) % 65536) - 32768).toShort)
   }
+
+  test("animated GIF round-trips: real container, real frame count, exact pixels") {
+    for (id <- Seq(0L, 7L, 41L)) {
+      val gif = Multimodal.gifPayload(id)
+      assert(new String(gif.take(6), "US-ASCII") == "GIF89a" ||
+        new String(gif.take(6), "US-ASCII") == "GIF87a", "real GIF magic")
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(gif))
+      reader.setInput(iis)
+      assert(reader.getNumImages(true) == (id % 3 + 2).toInt, "frame count from container")
+      for (f <- 0 until reader.getNumImages(true)) {
+        val img = reader.read(f)
+        assert(img.getWidth == 8 && img.getHeight == 8)
+        for (i <- Seq(0, 13, 63))
+          assert((img.getRGB(i % 8, i / 8) & 0xFF) ==
+            ((id * 7 + f * 11 + i * 3) % 256).toInt, s"doc $id frame $f pixel $i")
+      }
+      reader.dispose()
+      iis.close()
+    }
+  }
 }
