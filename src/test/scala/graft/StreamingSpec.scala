@@ -381,6 +381,61 @@ class StreamingSpec extends SparkTestBase {
       "per-shard-latest record must win per key despite interleaved arrival")
   }
 
+  test("resharding: a shard split mid-stream preserves per-key ordering and new shard dirs are discovered") {
+    // Kinesis resharding contract: shard 0 splits into children 2 and 3;
+    // key a's affinity moves to child shard 2, records for a in the child
+    // arrive strictly AFTER its parent-shard records (Kinesis guarantees
+    // parents drain before children serve). In file-source terms the
+    // child dirs appear only after the first drain — the restarted stream
+    // (same checkpoint) must discover them and transport_seq must still
+    // give key a a total order spanning the split.
+    val tmp = Files.createTempDirectory("graft_reshard_spec_").toString
+    val in = s"$tmp/in"
+    def shardFile(shard: Int, name: String, rec: String, mtimeMs: Long): Unit = {
+      val d = new java.io.File(s"$in/shard=$shard"); d.mkdirs()
+      val f = new java.io.File(d, name)
+      Files.writeString(f.toPath, rec + "\n")
+      f.setLastModified(mtimeMs)
+    }
+    val t0 = System.currentTimeMillis() - 600000L
+    // pre-split: key a on shard 0, key b on shard 1
+    shardFile(0, "f0.json", """{"name":"a","year":2024,"payload":"a1"}""", t0)
+    shardFile(0, "f1.json", """{"name":"a","year":2024,"payload":"a2"}""", t0 + 1000)
+    shardFile(1, "f0.json", """{"name":"b","year":2024,"payload":"b1"}""", t0 + 500)
+
+    val t = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/t",
+      keyCols = Seq("name"),
+      precombineCol = "transport_seq",
+      partitionCols = Seq("year")))
+    def drain(): Unit = {
+      val stream = JsonStreamSource.streamSharded(
+        spark, in, maxFilesPerTrigger = Some(1))
+      val q = MicroBatchPipeline.start(stream, t, s"$tmp/cp", Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    drain()
+    assert(t.read(spark).collect().map(r =>
+      r.getAs[String]("name") -> r.getAs[String]("payload")).toMap ==
+      Map("a" -> "a2", "b" -> "b1"))
+
+    // split: shard 0 goes quiet; children 2 (inherits key a) and 3 (new
+    // key c) appear; sibling shard 1 keeps flowing
+    shardFile(2, "f0.json", """{"name":"a","year":2024,"payload":"a3"}""", t0 + 2000)
+    shardFile(3, "f0.json", """{"name":"c","year":2024,"payload":"c1"}""", t0 + 2500)
+    shardFile(1, "f1.json", """{"name":"b","year":2024,"payload":"b2"}""", t0 + 3000)
+    drain()
+
+    val out = t.read(spark).collect()
+      .map(r => r.getAs[String]("name") ->
+        (r.getAs[String]("payload"), r.getAs[Long]("shard"))).toMap
+    assert(out == Map(
+      "a" -> ("a3", 2L), // child-shard record supersedes the parent's
+      "b" -> ("b2", 1L),
+      "c" -> ("c1", 3L)),
+      "post-split child shards must be discovered and per-key order must span the split")
+  }
+
   test("choice-type policy: a \"5\"/5 mixed batch lands typed without nulling data") {
     import org.apache.spark.sql.types.LongType
     val tmp = Files.createTempDirectory("graft_choice_spec_").toString
