@@ -175,34 +175,70 @@ object Dedup {
     // oversized buckets' ids-only rows. Small buckets keep the plain
     // single-key join; membership is a property of the whole bucket, so
     // the two tiers partition the pair space exactly.
-    val bw = Window.partitionBy("band", "band_hash")
-    val sized = banded.withColumn("bsz", count(lit(1)).over(bw))
+    //
+    // The hot buckets are DETECTED on a seeded 10% sample and the plan is
+    // picked data-dependently, like an AQE re-plan: a no-hot-bucket
+    // corpus (the common case) keeps the plain single-join plan and pays
+    // only the sampled probe; the two-tier plan is built only when a hot
+    // bucket shows up. Sampling is safe here because it chooses between
+    // two EXACT plans, never the output: a missed borderline bucket
+    // (B ≈ hotBucket, detection needs B ≫ hotBucket only) just runs a
+    // ~hotBucket²-comparison task, and a false positive merely routes a
+    // small bucket through the salted tier. A full count would shuffle
+    // one row per bucket — and buckets are mostly singletons, so that is
+    // nearly the whole banded frame (measured +0.4 s per LSH consumer).
     val salts = 32
-    val small = sized.filter(col("bsz") <= hotBucket)
-    val smallPairs = small
-      .join(
-        small.select(
+    val sampleFrac = 0.1
+    val hotKeyRows = banded.sample(withReplacement = false, sampleFrac, seed = 42)
+      .groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > hotBucket * sampleFrac / 2)
+      .select("band", "band_hash").collect()
+    val candidates = (if (hotKeyRows.isEmpty) {
+      banded.join(
+        banded.select(
           col("band").as("b_band"), col("band_hash").as("b_hash"),
           col("doc_id").as("b_id")),
         col("band") === col("b_band") &&
         col("band_hash") === col("b_hash") &&
         col("doc_id") < col("b_id"))
-      .select(col("doc_id").as("a_id"), col("b_id"))
-    val hot = sized.filter(col("bsz") > hotBucket)
-      .withColumn("g", pmod(xxhash64(col("doc_id")), lit(salts)))
-    val hotPairs = hot
-      .withColumn("pg", explode(array((0 until salts).map(lit(_)): _*)))
-      .join(
-        hot.select(
-          col("band").as("b_band"), col("band_hash").as("b_hash"),
-          col("g").as("b_g"), col("doc_id").as("b_id")),
-        col("band") === col("b_band") &&
-        col("band_hash") === col("b_hash") &&
-        col("pg") === col("b_g") &&
-        col("doc_id") < col("b_id"))
-      .select(col("doc_id").as("a_id"), col("b_id"))
-    val candidates = smallPairs.union(hotPairs)
-      .dropDuplicates("a_id", "b_id")
+        .select(col("doc_id").as("a_id"), col("b_id"))
+    } else {
+      import scala.jdk.CollectionConverters._
+      val hotKeys = s.createDataFrame(
+        hotKeyRows.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("band",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("band_hash",
+            org.apache.spark.sql.types.LongType))))
+      val small = banded.join(
+        broadcast(hotKeys), Seq("band", "band_hash"), "left_anti")
+      val smallPairs = small
+        .join(
+          small.select(
+            col("band").as("b_band"), col("band_hash").as("b_hash"),
+            col("doc_id").as("b_id")),
+          col("band") === col("b_band") &&
+          col("band_hash") === col("b_hash") &&
+          col("doc_id") < col("b_id"))
+        .select(col("doc_id").as("a_id"), col("b_id"))
+      val hot = banded.join(
+        broadcast(hotKeys), Seq("band", "band_hash"), "left_semi")
+        .withColumn("g", pmod(xxhash64(col("doc_id")), lit(salts)))
+      val hotPairs = hot
+        .withColumn("pg", explode(array((0 until salts).map(lit(_)): _*)))
+        .join(
+          hot.select(
+            col("band").as("b_band"), col("band_hash").as("b_hash"),
+            col("g").as("b_g"), col("doc_id").as("b_id")),
+          col("band") === col("b_band") &&
+          col("band_hash") === col("b_hash") &&
+          col("pg") === col("b_g") &&
+          col("doc_id") < col("b_id"))
+        .select(col("doc_id").as("a_id"), col("b_id"))
+      smallPairs.union(hotPairs)
+    }).dropDuplicates("a_id", "b_id")
 
     val shA = docs.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"))
     val shB = docs.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"))
