@@ -307,8 +307,13 @@ object Multimodal {
     gifMediaTable(s, dir)
       .select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        // One reader per PARTITION, not per row: the registry lookup +
+        // reader construction would otherwise run once per document.
+        // setInput resets the reader between payloads; no explicit
+        // dispose — the GIF reader holds only heap state and the
+        // partition iterator has no end-of-stream hook to hang one on.
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
         rows.flatMap { case (id, payload) =>
-          val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(payload))
           try {
@@ -328,10 +333,7 @@ object Multimodal {
               }
               (id, f.toLong, sum.toDouble / (img.getWidth * img.getHeight))
             }
-          } finally {
-            reader.dispose()
-            iis.close()
-          }
+          } finally iis.close()
         }
       }
       .toDF("doc_id", "frame", "mean_gray")

@@ -520,8 +520,9 @@ object UpsertOps {
     val tablePath = s"$tmp/events_keyed"
     val checkpoint = s"$tmp/checkpoint"
 
-    // Stage the stream input: JSON records, several files so the bounded
-    // drain still exercises multiple micro-batches.
+    // Stage the stream input as several JSON files — the multi-file
+    // layout a sharded transport produces (the drain itself takes them
+    // in one AvailableNow batch; see below).
     val src = stageOnce(dir, "shuffled") { p =>
       eventsUs(s, dir)
         .select("event_id", "ts_us", "user_id", "event_type", "value")

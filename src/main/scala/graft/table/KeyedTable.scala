@@ -294,7 +294,12 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     */
   private def filePartsFor(spark: SparkSession, targetFileBytes: Long): Int = {
     val f = fs(spark)
-    val root = new Path(spec.path)
+    // Qualify the root so the prefix strip below always matches the fully
+    // qualified paths listFiles returns (a relative spec.path would
+    // otherwise no-op the strip and ancestor segments like ".work" would
+    // misclassify every data file as metadata).
+    val root = f.makeQualified(new Path(spec.path))
+    val rootPrefix = root.toUri.getPath
     val it = f.listFiles(root, true)
     var n = 0L
     while (it.hasNext) {
@@ -303,7 +308,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       // Sum only data files: any path component under the table root that
       // starts with '_' is metadata (Spark's own data-file listing rule) —
       // e.g. the _graft_colstats sidecar keeps parquet of its own.
-      val rel = p.toUri.getPath.stripPrefix(root.toUri.getPath).split('/')
+      val rel = p.toUri.getPath.stripPrefix(rootPrefix).split('/')
       val isMeta = rel.exists(seg => seg.startsWith("_") || seg.startsWith("."))
       if (!isMeta && p.getName.endsWith(".parquet")) n += s.getLen
     }
@@ -568,6 +573,14 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * registration for the hive-style layout.
     */
   def syncCatalog(spark: SparkSession, tableName: String): Unit = {
+    registerInSession(spark, tableName)
+    // Record only when new: replaying N names must not do N redundant
+    // sidecar rewrites, and the open path stays read-only on storage.
+    if (!syncedNames(spark).contains(tableName))
+      recordSyncedName(spark, tableName)
+  }
+
+  private def registerInSession(spark: SparkSession, tableName: String): Unit = {
     if (spark.catalog.tableExists(tableName)) {
       spark.catalog.refreshTable(tableName)
     } else {
@@ -575,7 +588,6 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         s"CREATE TABLE $tableName USING parquet LOCATION '${spec.path}'")
     }
     if (spec.partitionCols.nonEmpty) spark.catalog.recoverPartitions(tableName)
-    recordSyncedName(spark, tableName)
   }
 
   // ---- catalog sidecar ------------------------------------------------
@@ -622,7 +634,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * `spark.table(name)` works for every previously synced name.
     */
   def registerSynced(spark: SparkSession): Unit =
-    syncedNames(spark).foreach(syncCatalog(spark, _))
+    syncedNames(spark).foreach(registerInSession(spark, _))
 
   /** The reference's catalog schema probe — `SELECT * FROM tbl LIMIT 0`
     * (glue_job_script.py:85, SURVEY O5): parse→analyze against the
@@ -687,10 +699,18 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     // until recordColumnStats runs again. (Full rewrites via rewriteViaTmp
     // drop the sidecar with the directory.)
     fs(df.sparkSession).delete(new Path(colStatsDir), true)
+    // The catalog sidecar must survive every write: on an unpartitioned
+    // table SaveMode.Overwrite is a STATIC overwrite that deletes the
+    // whole directory (dynamic overwrite only replaces touched
+    // partitions), so capture the synced names first and restore after —
+    // registration is a property of the table, not of one directory
+    // generation. No-ops when nothing was ever synced.
+    val synced = syncedNames(df.sparkSession)
     val w = df.write.mode(mode)
     (if (spec.partitionCols.nonEmpty) w.partitionBy(spec.partitionCols: _*) else w)
       .parquet(spec.path)
     recordSchema(df.sparkSession, df.schema)
+    writeSyncedNames(df.sparkSession, synced)
   }
 
   /** Predicate selecting exactly the partitions present in `batch` —

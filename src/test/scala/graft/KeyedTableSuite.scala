@@ -166,6 +166,20 @@ class KeyedTableSuite extends SparkTestBase {
     t.registerSynced(spark)
     assert(spark.table(name).count() == 3)
     spark.sql(s"DROP TABLE $name")
+
+    // UNPARTITIONED table: the merge path is a STATIC overwrite that
+    // deletes the whole directory — the sidecar must survive that too
+    val u = freshTable(partitioned = false)
+    val uname = s"graft_persist_u_${System.nanoTime()}"
+    u.upsert(spark, batch(Row("a", "2024-03-07", 2024, "v1")))
+    u.syncCatalog(spark, uname)
+    u.upsert(spark, batch(Row("a", "2024-03-08", 2024, "v2"))) // merge: static overwrite
+    assert(u.syncedNames(spark) == Seq(uname),
+      "catalog sidecar must survive the unpartitioned merge rewrite")
+    spark.sql(s"DROP TABLE $uname")
+    u.registerSynced(spark)
+    assert(spark.table(uname).count() == 1)
+    spark.sql(s"DROP TABLE $uname")
   }
 
   test("partition-tuple ceiling: over-cap batches fail fast with an actionable error") {
