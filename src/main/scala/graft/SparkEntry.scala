@@ -119,7 +119,9 @@ object SparkEntry {
     "q92_zorder_merge" -> (UpsertOps.zorderedMerge(_, _)),
     "q93_stream_attribution" -> (UpsertOps.streamIntervalJoin(_, _)),
     "q94_media_decode" -> (Multimodal.decodedFeatures(_, _)),
-    "q95_gif_frames" -> (Multimodal.gifFrameFeatures(_, _))
+    "q95_gif_frames" -> (Multimodal.gifFrameFeatures(_, _)),
+    "q96_para_dedup" -> (Dedup.paragraphDedup(_, _)),
+    "q97_edit_dedup" -> (Dedup.editDistanceDedup(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1003,6 +1005,30 @@ object SparkEntry {
         |JOIN range(0, 4) f ON f.range < d.doc_id % 3 + 2
         |CROSS JOIN range(0, 64) i
         |GROUP BY d.doc_id, f.range""".stripMargin,
+    "q96_para_dedup" ->
+      // C4-style segment dedup: non-overlapping 10-word windows; a
+      // segment occurrence is a dup if the same text first appeared in a
+      // lower-id doc. Both engines key segments by md5
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |p AS (SELECT d.doc_id,
+        |        md5(array_to_string(
+        |          list_slice(d.words, f.range*10+1, f.range*10+10), ' ')) AS pk
+        |      FROM d JOIN range(0, 1000) f ON f.range*10 < len(d.words)),
+        |m AS (SELECT pk, min(doc_id) AS first_doc FROM p GROUP BY pk)
+        |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+        |       CAST(sum(CASE WHEN m.first_doc < p.doc_id THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_dup_segs
+        |FROM p JOIN m USING (pk) GROUP BY p.doc_id""".stripMargin,
+    "q97_edit_dedup" ->
+      // character-Levenshtein fuzzy dedup within language; length
+      // blocking is invisible in the output (edit distance >= length
+      // difference, so pairs beyond 20 chars apart cannot qualify)
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        | AND abs(a.n_chars - b.n_chars) <= 20
+        |WHERE levenshtein(a.text, b.text) <= 20""".stripMargin,
     "q89_restored_merge" ->
       // restore to c0 drops c1's versions: read ≡ time travel to c0
       """SELECT user_id, event_type, ts_us, event_id, value FROM (

@@ -254,6 +254,84 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Paragraph-level exact dedup (the C4 pipeline's line-level dedup,
+    * Raffel et al. 2020 §2.2, at fixed-window granularity): each document
+    * splits into non-overlapping 10-word segments; a segment occurrence
+    * is a DUPLICATE if the same segment text first appeared in a
+    * lower-id document. Output is per-doc (n_segs, n_dup_segs) — the
+    * signal a curation pass thresholds on to drop boilerplate-heavy docs.
+    *
+    * Scale shape: segments are keyed by md5 BEFORE the shuffle (32-byte
+    * keys instead of arbitrary-length text), ownership is one groupBy
+    * (min doc_id per segment), and the dup flags come from joining the
+    * per-occurrence frame back on the hash — two key-equality shuffles
+    * over segment-count rows, never doc×doc.
+    */
+  def paragraphDedup(s: SparkSession, dir: String, window: Int = 10): DataFrame = {
+    val words = split(col("text"), " ")
+    // non-overlapping word windows: segment k = words[k*window, k*window+window)
+    val segs = transform(
+      sequence(lit(0), ((size(words) + (window - 1)) / window).cast("int") - 1),
+      k => array_join(slice(words, k * window + 1, lit(window)), " "))
+    val occ = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(segs).as("para"))
+      .select(col("doc_id"), md5(col("para")).as("pk"))
+    val first = occ.groupBy("pk").agg(min("doc_id").as("first_doc"))
+    occ.join(first, "pk")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_dup_segs"))
+  }
+
+  /** Edit-distance fuzzy dedup: near-identical doc pairs by character
+    * Levenshtein distance — the right tool when near-dups differ by
+    * small in-place edits (OCR noise, template fills) that token-set
+    * Jaccard under-weighs. Candidates are length-blocked (edit distance
+    * ≥ |len(a) − len(b)|, so pairs within `maxDist` must sit within
+    * `maxDist` chars of each other; blocking on ⌈len/maxDist⌉ buckets
+    * with the ±1-bucket explode makes that an equality-keyed shuffle
+    * join, the same salted shape as [[ngramJaccard]]); the verify step
+    * uses Spark's THRESHOLDED levenshtein, which computes only the
+    * 2·maxDist-wide DP band (O(len·maxDist) per pair, not len²) and
+    * still returns the exact distance for every surviving pair. At
+    * larger scale the blocking would add a q-gram count prefilter; the
+    * join stays key-equality-shaped either way.
+    */
+  def editDistanceDedup(
+      s: SparkSession,
+      dir: String,
+      maxDist: Int = 20,
+      saltBuckets: Int = 8): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      .withColumn("lb", (col("n_chars") / maxDist).cast("int"))
+    val a = docs.select(
+        col("doc_id").as("a_id"), col("lang"),
+        col("text").as("a_text"), col("n_chars").as("a_len"), col("lb"))
+      .withColumn("nb", explode(array(col("lb") - 1, col("lb"), col("lb") + 1)))
+      .withColumn("salt", pmod(hash(col("a_id")), lit(saltBuckets)))
+    val b = docs.select(
+        col("doc_id").as("b_id"), col("lang").as("b_lang"),
+        col("text").as("b_text"), col("n_chars").as("b_len"),
+        col("lb").as("b_lb"))
+      .withColumn("b_salt",
+        explode(array((0 until saltBuckets).map(lit(_)): _*)))
+    a.join(b,
+        col("lang") === col("b_lang") &&
+        col("nb") === col("b_lb") &&
+        col("salt") === col("b_salt") &&
+        col("a_id") < col("b_id") &&
+        abs(col("a_len") - col("b_len")) <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col("a_text"), col("b_text"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
+      .select("a_id", "b_id", "edit_dist")
+  }
+
   /** SimHash near-dup pairs (Charikar '02; used for web-scale dedup in
     * Manku et al., WWW'07): a 64-bit SimHash over word 3-gram shingles
     * (shingle-level, because this fixture's docs share one small
