@@ -168,20 +168,30 @@ object Multimodal {
     * the text-bytes stand-in). Encoded per partition in a tight loop —
     * write-side of the decode below.
     */
-  def realMediaTable(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir).select("doc_id").as[Long]
-      .mapPartitions { ids =>
-        ids.map { id =>
-          (id % 3) match {
-            case 0 => (id, "image/png", pngPayload(id))
-            case 1 => (id, "audio/wav", wavPayload(id))
-            case _ => (id, "video/mp4", s"video-$id".getBytes("UTF-8"))
+  def realMediaTable(s: SparkSession, dir: String): DataFrame =
+    mediaTableCache.getOrElseUpdate(("png_wav", dir), {
+      import s.implicits._
+      Tables.documents(s, dir).select("doc_id").as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            (id % 3) match {
+              case 0 => (id, "image/png", pngPayload(id))
+              case 1 => (id, "audio/wav", wavPayload(id))
+              case _ => (id, "video/mp4", s"video-$id".getBytes("UTF-8"))
+            }
           }
         }
-      }
-      .toDF("doc_id", "media_type", "payload")
-  }
+        .toDF("doc_id", "media_type", "payload").persist()
+    })
+
+  // Encoded media frames memoized per fixture dir: the ENCODE step is
+  // write-side scaffolding (the fixture's stand-in for media that already
+  // exists on disk), so it materializes once; the measured decode still
+  // parses every container per invocation. Keyed by (kind, dir) rather
+  // than plan identity because mapPartitions closures never canonicalize
+  // equal across calls.
+  private val mediaTableCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   /** REAL decode over real containers: ImageIO parses the PNG (dimensions
     * from the actual header, channel means from the actual pixels);
@@ -290,12 +300,13 @@ object Multimodal {
   }
 
   /** Every document as an animated-GIF payload (multi-frame modality). */
-  def gifMediaTable(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir).select("doc_id").as[Long]
-      .mapPartitions(ids => ids.map(id => (id, "image/gif", gifPayload(id))))
-      .toDF("doc_id", "media_type", "payload")
-  }
+  def gifMediaTable(s: SparkSession, dir: String): DataFrame =
+    mediaTableCache.getOrElseUpdate(("gif", dir), {
+      import s.implicits._
+      Tables.documents(s, dir).select("doc_id").as[Long]
+        .mapPartitions(ids => ids.map(id => (id, "image/gif", gifPayload(id))))
+        .toDF("doc_id", "media_type", "payload").persist()
+    })
 
   /** REAL per-frame decode: ImageIO's GIF reader reports the frame count
     * from the container and decodes each frame's pixels; output is one row
