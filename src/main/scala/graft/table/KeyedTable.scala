@@ -573,6 +573,17 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * registration for the hive-style layout.
     */
   def syncCatalog(spark: SparkSession, tableName: String): Unit = {
+    // A history (merge-on-read) table cannot be registered as a plain
+    // parquet LOCATION: SQL readers would see EVERY stored version, not
+    // latest-per-key, and silently return duplicates. Hudi's hive sync
+    // registers _ro/_rt views with a resolving input format for exactly
+    // this reason; until an equivalent view exists, refusing beats
+    // registering a wrong-answer table.
+    require(
+      !spec.retainHistory,
+      "catalog sync requires a copy-on-write table: a merge-on-read table " +
+        "registered as plain parquet would expose superseded row versions " +
+        "to SQL readers; compact to COW or read through KeyedTable.read")
     registerInSession(spark, tableName)
     // Record only when new: replaying N names must not do N redundant
     // sidecar rewrites, and the open path stays read-only on storage.

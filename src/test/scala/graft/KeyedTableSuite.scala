@@ -182,6 +182,18 @@ class KeyedTableSuite extends SparkTestBase {
     spark.sql(s"DROP TABLE $uname")
   }
 
+  test("catalog sync refuses merge-on-read tables (plain-parquet registration would expose versions)") {
+    val dir = Files.createTempDirectory("graft_kt_").toString
+    val t = KeyedTable(KeyedTableSpec(
+      path = s"$dir/t", keyCols = Seq("name"), precombineCol = "date",
+      partitionCols = Seq("year"), retainHistory = true))
+    t.upsert(spark, batch(Row("a", "2024-03-07", 2024, "v1")))
+    val e = intercept[IllegalArgumentException] {
+      t.syncCatalog(spark, s"graft_mor_sync_${System.nanoTime()}")
+    }
+    assert(e.getMessage.contains("copy-on-write"))
+  }
+
   test("partition-tuple ceiling: over-cap batches fail fast with an actionable error") {
     val t = freshTable()
     // bootstrap first: the ceiling guards the merge path's partition
