@@ -230,9 +230,17 @@ object Relational {
     * (the fixture columns are never null, so the label is unambiguous).
     */
   def rollupCounts(s: SparkSession, dir: String): DataFrame =
+    // Two-phase like [[cubeCounts]]: pre-aggregate to the full grain,
+    // roll up the decimal partials (associative → bit-identical).
     Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n0"),
+        sum(dec(col("l_quantity"))).as("q0"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .agg(
+        sum(col("n0")).as("n"),
+        sum(col("q0")).cast("double").as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
         coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
@@ -242,9 +250,22 @@ object Relational {
     * labels as in [[rollupCounts]].
     */
   def cubeCounts(s: SparkSession, dir: String): DataFrame =
+    // Two-phase cube: pre-aggregate to the (rf, ls) grain FIRST — a
+    // direct cube Expands every scan row once per grouping set (4x the
+    // input before any aggregation), while the base grain is ~|rf|x|ls|
+    // rows. The cube then re-sums the DECIMAL partials, which is
+    // associative, so the final doubles are bit-identical to the
+    // single-phase plan. At 100 TB this is the difference between
+    // shuffling 4x the table and shuffling a dozen rows.
     Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n0"),
+        sum(dec(col("l_extendedprice"))).as("p0"))
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .agg(
+        sum(col("n0")).as("n"),
+        sum(col("p0")).cast("double").as("sum_price"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
         coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
