@@ -18,6 +18,20 @@ object Dedup {
 
   private def cacheOnce(df: DataFrame): DataFrame = Caching.cacheOnce(df)
 
+  /** Memo for the LSH hot-band probe (one sampled Spark job per distinct
+    * (input plan, banding params) per session). q32/q51/q53 all band the
+    * same `documents` frame with the same defaults, so without the memo
+    * each consumer re-pays the probe job (~0.2 s at sf0.1; measured in
+    * round 6). Keyed on the session identity so a probe from a stopped
+    * session is never reused, and on the CANONICALIZED input plan so two
+    * consumers reading the same dir share the entry while a spec feeding
+    * a different frame gets its own. Values are plain collected rows
+    * (band, band_hash) — tiny and session-independent data.
+    */
+  private val hotProbeCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(Int, Int, Int, Int, Int, Int), Array[org.apache.spark.sql.Row]]
+
   /** Exact dedup: keep the lowest-doc_id representative of each distinct
     * text. One shuffle on the text hash (Spark groups by the value; for
     * very long texts, group by `fingerprintMd5` instead to shrink shuffle
@@ -187,13 +201,25 @@ object Dedup {
     // small bucket through the salted tier. A full count would shuffle
     // one row per bucket — and buckets are mostly singletons, so that is
     // nearly the whole banded frame (measured +0.4 s per LSH consumer).
+    //
+    // NOTE: the probe is an EAGER Spark job at DataFrame-construction
+    // time — building the returned plan runs the sampled job (and
+    // materializes the cached docs frame) even if the result is never
+    // consumed. Deliberate: the plan SHAPE depends on the data, like an
+    // AQE re-plan. The memo above bounds the cost to one job per
+    // (session, input plan, params).
     val salts = 32
     val sampleFrac = 0.1
-    val hotKeyRows = banded.sample(withReplacement = false, sampleFrac, seed = 42)
-      .groupBy("band", "band_hash")
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > hotBucket * sampleFrac / 2)
-      .select("band", "band_hash").collect()
+    val probeKey = (
+      System.identityHashCode(s),
+      input.queryExecution.analyzed.canonicalized.hashCode,
+      shingleK, numHashes, bands, hotBucket)
+    val hotKeyRows = hotProbeCache.getOrElseUpdate(probeKey,
+      banded.sample(withReplacement = false, sampleFrac, seed = 42)
+        .groupBy("band", "band_hash")
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > hotBucket * sampleFrac / 2)
+        .select("band", "band_hash").collect())
     val candidates = (if (hotKeyRows.isEmpty) {
       banded.join(
         banded.select(
