@@ -24,6 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer rules: year(col) <cmp> literal → sargable range
     // ([[graft.plans.YearPredicateToRange]]).
     e.injectOptimizerRule(_ => graft.plans.YearPredicateToRange)
+    // Resolution hook: when a query references a table the session
+    // catalog doesn't know, consult the persistent registry
+    // ([[graft.table.GraftCatalog]]) before resolution fails — discovery
+    // at name-resolution time, exactly when a Hive metastore would be
+    // consulted. No-op unless spark.graft.catalog.registry is set.
+    e.injectResolutionRule(s => new graft.plans.RegistryDiscovery(s))
   }
 }
 

@@ -589,6 +589,10 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     // sidecar rewrites, and the open path stays read-only on storage.
     if (!syncedNames(spark).contains(tableName))
       recordSyncedName(spark, tableName)
+    // And publish the location to the central registry (if one is
+    // configured) so a LATER session that never saw this path discovers
+    // the table by name — the discovery half of hive_sync.
+    GraftCatalog.record(spark, spec.path, spec.partitionCols)
   }
 
   private def registerInSession(spark: SparkSession, tableName: String): Unit = {
@@ -636,7 +640,12 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     try out.write(names.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     f.delete(catalogSidecarPath, false)
-    f.rename(tmp, catalogSidecarPath)
+    // A failed rename here would silently lose every recorded
+    // registration (refusal-safe — tables just stop replaying — but the
+    // caller deserves to know the sync did not persist).
+    if (!f.rename(tmp, catalogSidecarPath))
+      throw new java.io.IOException(
+        s"failed to publish catalog sidecar $catalogSidecarPath (rename returned false)")
   }
 
   /** Replay the sidecar's registrations into this (possibly fresh)

@@ -182,6 +182,38 @@ class KeyedTableSuite extends SparkTestBase {
     spark.sql(s"DROP TABLE $uname")
   }
 
+  test("registry discovery: a session resolves a synced table by name with no explicit replay") {
+    val t = freshTable()
+    val name = s"graft_disc_${System.nanoTime()}"
+    val reg = Files.createTempDirectory("graft_reg_").resolve("registry").toString
+    // The one piece of config a fresh session carries — the engine's
+    // "metastore URI". Everything else is discovered.
+    spark.conf.set(table.GraftCatalog.RegistryConf, reg)
+    try {
+      t.upsert(spark, batch(
+        Row("a", "2024-03-07", 2024, "v1"),
+        Row("b", "2023-03-07", 2023, "v1")))
+      t.syncCatalog(spark, name)
+      // Model a fresh session: the in-memory registration is gone; only
+      // the registry conf remains. No registerSynced call follows.
+      spark.sql(s"DROP TABLE $name")
+      assert(!spark.catalog.tableExists(name))
+      assert(spark.table(name).count() == 2,
+        "name resolution should consult the registry and replay the table")
+      // A table synced AFTER the first replay bumps the registry
+      // generation; a later unresolved name picks it up.
+      val u = freshTable(partitioned = false)
+      val uname = s"graft_disc_u_${System.nanoTime()}"
+      u.upsert(spark, batch(Row("a", "2024-03-08", 2024, "v2")))
+      u.syncCatalog(spark, uname)
+      spark.sql(s"DROP TABLE $uname")
+      assert(spark.table(uname).count() == 1,
+        "a new registry generation should replay newly synced tables")
+      spark.sql(s"DROP TABLE $name")
+      spark.sql(s"DROP TABLE $uname")
+    } finally spark.conf.unset(table.GraftCatalog.RegistryConf)
+  }
+
   test("catalog sync refuses merge-on-read tables (plain-parquet registration would expose versions)") {
     val dir = Files.createTempDirectory("graft_kt_").toString
     val t = KeyedTable(KeyedTableSpec(
