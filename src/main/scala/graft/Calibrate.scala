@@ -144,6 +144,44 @@ object Calibrate {
       say(s"q34-ivf0: candidate pairs at nprobe=$np: $cand / ${n.toLong * (n - 1) / 2}")
     }
 
+    // ── q98 thresholded knn join: nlist sweep for the sublinear knob ───
+    // Global exact top-5 recall saturates nprobe at nlist (measured above:
+    // max=16 of 16 — the fixture's unplanted neighbors are noise, and
+    // noise doesn't cluster). The THRESHOLDED join (neighbors with
+    // cos >= 0.4 — the planted near-dup structure) is the recoverable
+    // target: true pairs are near-identical vectors that quantize to
+    // nearby cells, so the symmetric probe rank needed stays far below
+    // nlist while candidate pairs shrink with nlist.
+    for (nl <- Seq(16, 32, 64)) {
+      val cN = Similarity.ivfCentroids(ePart, nl, 2)
+      val cidN = Array.tabulate(n) { i =>
+        cN.zipWithIndex.map { case (c, ci) => (1.0 - cos(emb(i), c), ci) }.min._2
+      }
+      val poN = Array.tabulate(n) { i =>
+        cN.indices.sortBy(ci => (1.0 - cos(emb(i), cN(ci)), ci)).toArray
+      }
+      def prN(i: Int, j: Int): Int = poN(i).indexOf(cidN(j)) + 1
+      for (tau <- Seq(0.4, 0.42, 0.44, 0.45, 0.46, 0.48, 0.5, 0.6)) {
+        val pairsTau = for {
+          i <- 0 until n; j <- i + 1 until n if cosM(i)(j) >= tau
+        } yield (i, j)
+        val need = pairsTau.map { case (i, j) => math.min(prN(i, j), prN(j, i)) }
+        val needMax = if (need.isEmpty) 0 else need.max
+        var cand = 0L
+        for (i <- 0 until n; j <- i + 1 until n)
+          if (prN(i, j) <= needMax + 2 || prN(j, i) <= needMax + 2) cand += 1
+        say(s"q98: nlist=$nl tau=$tau pairs=${pairsTau.size} " +
+          s"needMax=$needMax candidates@needMax+2=$cand/${n.toLong * (n - 1) / 2}")
+        if (tau == 0.46 || tau == 0.6) {
+          val nb = (for { i <- 0 until n; j <- i + 1 until n
+            if cosM(i)(j) < tau } yield cosM(i)(j)).max
+          val na = if (pairsTau.isEmpty) 1.0
+            else pairsTau.map { case (i, j) => cosM(i)(j) }.min
+          say(f"q98: tau=$tau nearest below=$nb%.6f above=$na%.6f")
+        }
+      }
+    }
+
     // ── q67 PQ: ADC rank needed to recall the exact top-10 ─────────────
     // Codes and codebooks come from the PRODUCTION index (SketchedTable's
     // stored `pq` column, written by pqCodeExpr) — not a driver-side

@@ -121,7 +121,8 @@ object SparkEntry {
     "q94_media_decode" -> (Multimodal.decodedFeatures(_, _)),
     "q95_gif_frames" -> (Multimodal.gifFrameFeatures(_, _)),
     "q96_para_dedup" -> (Dedup.paragraphDedup(_, _)),
-    "q97_edit_dedup" -> (Dedup.editDistanceDedup(_, _))
+    "q97_edit_dedup" -> (Dedup.editDistanceDedup(_, _)),
+    "q98_similar_neighbors" -> ((s, d) => Similarity.similarNeighbors(s, d))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1029,6 +1030,21 @@ object SparkEntry {
         |  ON a.lang = b.lang AND a.doc_id < b.doc_id
         | AND abs(a.n_chars - b.n_chars) <= 20
         |WHERE levenshtein(a.text, b.text) <= 20""".stripMargin,
+    "q98_similar_neighbors" ->
+      // thresholded knn join (nprobe=8 < nlist=64 — the sublinear IVF
+      // knob, calibrated exact: max symmetric probe rank of a >=0.46
+      // pair is 6, margins in graft.Calibrate). Threshold float safety:
+      // nearest cosines are 0.459667 / 0.466641, far beyond DuckDB's
+      // float32 error; ids and ranks only, like q41.
+      """SELECT a_id, b_id, rnk FROM (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         CAST(ROW_NUMBER() OVER (
+        |           PARTITION BY a.vec_id
+        |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+        |                    b.vec_id) AS INT) AS rnk
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.46) t
+        |WHERE rnk <= 5""".stripMargin,
     "q89_restored_merge" ->
       // restore to c0 drops c1's versions: read ≡ time travel to c0
       """SELECT user_id, event_type, ts_us, event_id, value FROM (

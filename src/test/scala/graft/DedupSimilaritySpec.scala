@@ -138,6 +138,17 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(fast == ref)
   }
 
+  test("thresholded knn (sublinear nprobe<nlist) == window reference, both fixtures") {
+    for (dir <- Seq(sf0001, sf001)) {
+      val fast = Similarity.similarNeighbors(spark, dir)
+        .as[(Long, Long, Int)].collect().toSet
+      val ref = Similarity.similarNeighborsWindow(spark, dir)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(fast == ref, s"mismatch on $dir")
+      assert(fast.nonEmpty, s"fixture $dir should plant at least one pair >= 0.46")
+    }
+  }
+
   test("PQ-pruned ANN (ADC + exact rerank) equals brute-force top-k") {
     import graft.table.SketchedTable
     val pq = SketchedTable.annPqIndexed(spark, sf0001)
