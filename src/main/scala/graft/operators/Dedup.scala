@@ -557,6 +557,71 @@ object Dedup {
       .agg(countDistinct(col("span")).as("n_shared"))
   }
 
+  /** Maximal shared verbatim runs between doc pairs (q100) — the
+    * window-merge upgrade of [[sharedSpans]] toward true substring dedup
+    * (the merge step of exact-substring training-data dedup, Lee et al.
+    * 2022's ExactSubstr at window granularity): [[sharedSpans]] counts
+    * shared fixed windows, which under-weighs long verbatim runs — a
+    * 100-token copied passage is 93 overlapping windows, indistinguishable
+    * from 93 scattered 8-grams. Here each window keeps its POSITION in
+    * the source doc, and consecutive shared positions merge into maximal
+    * runs (gaps-and-islands: pos − row_number is constant within a run),
+    * so the output per directed pair (a, b) is `n_runs` maximal runs and
+    * `max_run_tokens` — the longest verbatim-covered stretch of `a` whose
+    * every `spanTokens`-window also appears in `b`.
+    *
+    * Scale shape, same discipline as [[sharedSpans]]: candidate
+    * generation is an ids-only join — (doc, pos, 8-byte xxhash64) against
+    * a distinct (doc, hash) set, never window text; text is re-attached
+    * only for the docs candidates touch (survivor-bounded, broadcast) and
+    * a candidate survives only on bytewise window equality, so a hash
+    * collision cannot create a run. The run merge is one window function
+    * over the verified positions — rows bounded by shared-window
+    * occurrences, not corpus size.
+    */
+  def sharedRuns(
+      s: SparkSession, dir: String, spanTokens: Int = 8): DataFrame = {
+    def winsOf(docs: DataFrame): DataFrame = docs
+      .select(
+        col("doc_id"),
+        posexplode(TextFunctions.shingles(col("text"), spanTokens))
+          .as(Seq("pos", "span")))
+      .withColumn("h", xxhash64(col("span")))
+    val ids = cacheOnce(
+      winsOf(Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism))
+        .select("doc_id", "pos", "h"))
+    val bSet = ids.select(col("doc_id").as("b_id"), col("h").as("b_h"))
+      .dropDuplicates("b_id", "b_h")
+    val cand = cacheOnce(ids
+      .join(bSet, col("h") === col("b_h") && col("doc_id") =!= col("b_id"))
+      .select(col("doc_id").as("a_id"), col("pos"), col("b_id"), col("h")))
+    val neededDocs = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val texts = cacheOnce(
+      winsOf(Tables.documents(s, dir)
+        .join(broadcast(neededDocs), Seq("doc_id"), "left_semi")))
+    val aTxt = texts.select(
+      col("doc_id").as("a_id"), col("pos"), col("span").as("a_span"))
+    val bTxt = texts.select(
+      col("doc_id").as("b_id"), col("h"), col("span").as("b_span"))
+      .dropDuplicates("b_id", "h", "b_span")
+    val verified = cand
+      .join(broadcast(aTxt), Seq("a_id", "pos"))
+      .join(broadcast(bTxt), Seq("b_id", "h"))
+      .filter(col("a_span") === col("b_span"))
+      .select("a_id", "b_id", "pos").distinct()
+    val w = Window.partitionBy(col("a_id"), col("b_id")).orderBy(col("pos"))
+    verified
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("a_id", "b_id", "grp")
+      .agg(count(lit(1)).as("r_len"))
+      .groupBy("a_id", "b_id")
+      .agg(
+        count(lit(1)).as("n_runs"),
+        (max(col("r_len")) + lit(spanTokens - 1)).as("max_run_tokens"))
+  }
+
   /** Embedding-cosine near-dup pairs, IVF-blocked: candidates are pairs
     * that land in a common IVF probe set — the left side explodes each
     * vector's `nprobe` nearest cells, the right side carries each vector's
