@@ -122,7 +122,10 @@ object SparkEntry {
     "q95_gif_frames" -> (Multimodal.gifFrameFeatures(_, _)),
     "q96_para_dedup" -> (Dedup.paragraphDedup(_, _)),
     "q97_edit_dedup" -> (Dedup.editDistanceDedup(_, _)),
-    "q98_similar_neighbors" -> ((s, d) => Similarity.similarNeighbors(s, d))
+    "q98_similar_neighbors" -> ((s, d) => Similarity.similarNeighbors(s, d)),
+    "q99_mp4_meta" -> (Multimodal.mp4Metadata(_, _)),
+    "q100_shared_runs" -> ((s, d) => Dedup.sharedRuns(s, d)),
+    "q101_stream_restart" -> (UpsertOps.streamRestart(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1011,10 +1014,12 @@ object SparkEntry {
       // segment occurrence is a dup if the same text first appeared in a
       // lower-id doc. Both engines key segments by md5
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-        |p AS (SELECT d.doc_id,
+        |p AS (SELECT doc_id,
         |        md5(array_to_string(
-        |          list_slice(d.words, f.range*10+1, f.range*10+10), ' ')) AS pk
-        |      FROM d JOIN range(0, 1000) f ON f.range*10 < len(d.words)),
+        |          list_slice(words, pos*10+1, pos*10+10), ' ')) AS pk
+        |      FROM (SELECT doc_id, words,
+        |                   unnest(range(0, (len(words)+9)//10)) AS pos
+        |            FROM d)),
         |m AS (SELECT pk, min(doc_id) AS first_doc FROM p GROUP BY pk)
         |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_segs,
         |       CAST(sum(CASE WHEN m.first_doc < p.doc_id THEN 1 ELSE 0 END)
@@ -1045,6 +1050,55 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
         |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.46) t
         |WHERE rnk <= 5""".stripMargin,
+    "q99_mp4_meta" ->
+      // the Spark side PARSES real ISO-BMFF boxes (brand from ftyp,
+      // duration/timescale from mvhd, trak count from moov, total bytes
+      // from the walk); the oracle recomputes the same values from the
+      // fixture's closed forms (timescale 1000 => ticks = ms; fixed v0
+      // box layouts => 148 + 100*tracks + doc_id%50 bytes)
+      """SELECT doc_id, 'isom' AS brand,
+        |  CAST((doc_id * 37) % 60000 + 1000 AS BIGINT) AS duration_ms,
+        |  CAST(doc_id % 3 + 1 AS INT) AS n_tracks,
+        |  CAST(148 + (doc_id % 3 + 1) * 100 + doc_id % 50 AS INT) AS n_bytes
+        |FROM documents""".stripMargin,
+    "q100_shared_runs" ->
+      // maximal shared verbatim runs per directed doc pair: windows of 8
+      // consecutive words keyed by position; positions of a's windows
+      // that appear anywhere in b merge into runs via gaps-and-islands
+      // (pos - row_number constant within a run). Docs shorter than 8
+      // words contribute their whole text as the single window at pos 0
+      // (the Spark shingle contract); the window bound derives from the
+      // corpus's own max length, not a fixed cap
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS words
+        |           FROM documents),
+        |w AS (
+        |  SELECT doc_id, pos,
+        |         array_to_string(list_slice(words, pos + 1, pos + 8), ' ') AS win
+        |  FROM (SELECT doc_id, words,
+        |               unnest(range(0, greatest(len(words) - 7, 0))) AS pos
+        |        FROM d)
+        |  UNION ALL
+        |  SELECT doc_id, 0 AS pos, text AS win FROM d WHERE len(words) < 8),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.b_id, a.pos
+        |  FROM w a JOIN (SELECT DISTINCT doc_id AS b_id, win FROM w) b
+        |    ON a.win = b.win AND a.doc_id <> b.b_id),
+        |r AS (
+        |  SELECT a_id, b_id, pos,
+        |         pos - ROW_NUMBER() OVER (PARTITION BY a_id, b_id ORDER BY pos) AS grp
+        |  FROM sh),
+        |runs AS (SELECT a_id, b_id, grp, count(*) AS r_len
+        |         FROM r GROUP BY a_id, b_id, grp)
+        |SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS n_runs,
+        |       CAST(max(r_len) + 7 AS BIGINT) AS max_run_tokens
+        |FROM runs GROUP BY a_id, b_id""".stripMargin,
+    "q101_stream_restart" ->
+      // append-sink restart ingest: the table holds every event exactly
+      // once only if the restarted query resumed from the checkpoint
+      // instead of replaying phase-1 files (a replay would duplicate
+      // rows and fail this exact-set comparison)
+      """SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
+        |FROM events""".stripMargin,
     "q89_restored_merge" ->
       // restore to c0 drops c1's versions: read ≡ time travel to c0
       """SELECT user_id, event_type, ts_us, event_id, value FROM (

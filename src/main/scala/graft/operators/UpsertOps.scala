@@ -549,4 +549,63 @@ object UpsertOps {
 
   private val inferredSchema = scala.collection.concurrent.TrieMap
     .empty[String, org.apache.spark.sql.types.StructType]
+
+  /** Checkpoint-restart ingest end-to-end (q101, O13): the stream stops
+    * after ingesting half its files, then a NEW query instance opens the
+    * SAME checkpoint and drains the rest — the recovery path a production
+    * job takes after a crash or redeploy (the reference relies on
+    * py:116's checkpointLocation plus the Glue bookmark for this;
+    * SURVEY O13). The sink is a raw APPEND ([[KeyedTable.insert]], no
+    * key merge), which makes exactly-once OBSERVABLE in the oracle: if
+    * the restarted query ignored the checkpoint and replayed phase-1
+    * files, every replayed row would appear twice and the exact-set
+    * comparison would fail — an upsert sink would have silently masked
+    * the replay behind key idempotence. Per-invocation state (source
+    * dir, checkpoint, table) is fresh; only the serialized master files
+    * are memoized scaffolding.
+    */
+  def streamRestart(s: SparkSession, dir: String): DataFrame = {
+    val master = stageOnce(dir, "restart") { p =>
+      eventsUs(s, dir)
+        .select("event_id", "ts_us", "user_id", "event_type", "value")
+        .repartition(4)
+        .write.mode("overwrite").json(p)
+    }
+    val parts = new java.io.File(master).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+      .sortBy(_.getName)
+    val tmp = Files.createTempDirectory("graft_restart_").toString
+    val src = s"$tmp/json_in"
+    val checkpoint = s"$tmp/checkpoint"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    val table = KeyedTable(spec(s"$tmp/events_append"))
+    val inferred = inferredSchema.getOrElseUpdate(
+      master, JsonStreamSource.inferSchema(s, master))
+
+    def drain(): Unit = {
+      val q = JsonStreamSource.stream(s, src, schema = Some(inferred))
+        .writeStream
+        .queryName("graft-restart-ingest")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!batch.isEmpty) {
+            val sp = batch.sparkSession
+            table.insert(sp,
+              SchemaEvolution.align(batch.toDF(), table.currentUserSchema(sp)))
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint)
+        .start()
+      q.awaitTermination()
+    }
+
+    val (first, rest) = parts.splitAt(parts.length / 2)
+    first.foreach(f =>
+      Files.copy(f.toPath, java.nio.file.Paths.get(src, f.getName)))
+    drain() // phase 1: half the stream, then stop (offsets committed)
+    rest.foreach(f =>
+      Files.copy(f.toPath, java.nio.file.Paths.get(src, f.getName)))
+    drain() // phase 2: fresh query, same checkpoint — resumes, not replays
+    outputCols(table.read(s))
+  }
 }

@@ -285,4 +285,68 @@ class DedupSimilaritySpec extends SparkTestBase {
       iis.close()
     }
   }
+
+  test("shared runs == driver brute force (window-merge substring dedup)") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def wins(text: String): Seq[(Int, String)] = {
+      val toks = text.split(" ", -1)
+      if (toks.length >= 8)
+        (0 to toks.length - 8).map(p => (p, toks.slice(p, p + 8).mkString(" ")))
+      else Seq((0, text))
+    }
+    val winsByDoc = docs.map { case (id, t) => id -> wins(t) }.toMap
+    val setByDoc = winsByDoc.map { case (id, ws) => id -> ws.map(_._2).toSet }
+    val expect = (for {
+      (a, aw) <- winsByDoc.toSeq
+      (b, bs) <- setByDoc.toSeq if a != b
+      shared = aw.collect { case (p, w) if bs(w) => p }.distinct.sorted
+      if shared.nonEmpty
+    } yield {
+      val runs = shared.foldLeft(List.empty[List[Int]]) {
+        case (acc @ (run :: rest), p) if p == run.head + 1 => (p :: run) :: rest
+        case (acc, p) => List(p) :: acc
+      }
+      ((a, b), (runs.length.toLong, runs.map(_.length).max.toLong + 7))
+    }).toMap
+    val got = Dedup.sharedRuns(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (a, b, n, m) => ((a, b), (n, m)) }.toMap
+    assert(got == expect)
+    assert(got.nonEmpty, "fixture should contain shared spans")
+  }
+
+  test("mp4 box walk: real ISO-BMFF boxes, closed-form sizes, v1 containers handled") {
+    for (id <- Seq(0L, 7L, 42L, 149L)) {
+      val mp4 = Multimodal.mp4Payload(id)
+      // real container shape: ftyp box leads with its fourcc at offset 4
+      assert(new String(mp4, 4, 4, "US-ASCII") == "ftyp", "ftyp first")
+      assert(new String(mp4, 8, 4, "US-ASCII") == "isom", "major brand")
+      val (brand, durMs, tracks, topBoxes) = Multimodal.mp4Meta(mp4)
+      assert(brand == "isom")
+      assert(durMs == (id * 37) % 60000 + 1000, s"duration for doc $id")
+      assert(tracks == (id % 3 + 1).toInt, s"track count for doc $id")
+      assert(topBoxes == 3, "ftyp + moov + mdat")
+      assert(mp4.length == 148 + 100 * tracks + (id % 50).toInt, "fixed v0 layouts")
+    }
+    // the walker is version-aware: an mvhd v1 container (64-bit times,
+    // which the writer never emits) parses too
+    def box(tp: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length)
+      b.putInt(8 + body.length).put(tp.getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    val mvhdV1 = box("mvhd", {
+      val b = java.nio.ByteBuffer.allocate(112)
+      b.putInt(0x01000000) // version 1
+        .putLong(0L).putLong(0L) // 64-bit creation, modification
+        .putInt(600) // timescale
+        .putLong(1800L) // 64-bit duration: 3000 ms at ts=600
+      b.array()
+    })
+    val v1 = box("ftyp", "isomx...".getBytes("US-ASCII").take(8)) ++
+      box("moov", mvhdV1 ++ box("trak", Array.emptyByteArray))
+    val (b1, d1, t1, n1) = Multimodal.mp4Meta(v1)
+    assert(b1 == "isom" && d1 == 3000L && t1 == 1 && n1 == 2)
+  }
 }
