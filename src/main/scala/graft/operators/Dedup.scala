@@ -315,45 +315,100 @@ object Dedup {
   /** Edit-distance fuzzy dedup: near-identical doc pairs by character
     * Levenshtein distance — the right tool when near-dups differ by
     * small in-place edits (OCR noise, template fills) that token-set
-    * Jaccard under-weighs. Candidates are length-blocked (edit distance
-    * ≥ |len(a) − len(b)|, so pairs within `maxDist` must sit within
-    * `maxDist` chars of each other; blocking on ⌈len/maxDist⌉ buckets
-    * with the ±1-bucket explode makes that an equality-keyed shuffle
-    * join, the same salted shape as [[ngramJaccard]]); the verify step
-    * uses Spark's THRESHOLDED levenshtein, which computes only the
-    * 2·maxDist-wide DP band (O(len·maxDist) per pair, not len²) and
-    * still returns the exact distance for every surviving pair. At
-    * larger scale the blocking would add a q-gram count prefilter; the
-    * join stays key-equality-shaped either way.
+    * Jaccard under-weighs. Candidate generation is PassJoin-style
+    * positional segment blocking (Li/Deng/Feng, "PASS-JOIN", VLDB'11):
+    * each doc is partitioned into `maxDist + 1` canonical segments, and
+    * by pigeonhole any pair within `maxDist` edits must contain at least
+    * one of the other's segments VERBATIM, at a start position shifted by
+    * at most `maxDist` — so candidates come from an equality join on
+    * (segment index, segment text), with the probe side enumerating the
+    * substrings a matching segment could occupy (position window ±τ
+    * around the canonical start, segment-length variants spanning the
+    * ±τ length range). That keeps candidates proportional to TRUE
+    * near-dups: the round-7 sf1 scale smoke measured the previous
+    * length-bucket blocking at 46× for 10× rows (same length range →
+    * 10× bucket occupancy → 100× pairs — quadratic), while segment
+    * blocking probes O(maxDist²·len/k) substrings per doc, linear in
+    * corpus size. Probe rows are ids+xxhash64(segment) only (~16 bytes;
+    * a hash collision can only ADD a candidate, which the verify
+    * removes); texts re-attach to the deduped surviving pairs, and the
+    * verify uses Spark's THRESHOLDED levenshtein — only the 2·maxDist
+    * DP band, O(len·maxDist) per pair — which returns the exact distance
+    * for every emitted pair. `maxDist` is the noise budget: probe cost
+    * grows ~τ², so big-edit near-dups belong to [[ngramJaccard]] /
+    * [[minhashLsh]]; 8 covers the small-absolute-diff regime this
+    * operator exists for.
     */
   def editDistanceDedup(
       s: SparkSession,
       dir: String,
-      maxDist: Int = 20,
-      saltBuckets: Int = 8): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
-      .withColumn("lb", (col("n_chars") / maxDist).cast("int"))
-    val a = docs.select(
-        col("doc_id").as("a_id"), col("lang"),
-        col("text").as("a_text"), col("n_chars").as("a_len"), col("lb"))
-      .withColumn("nb", explode(array(col("lb") - 1, col("lb"), col("lb") + 1)))
-      .withColumn("salt", pmod(hash(col("a_id")), lit(saltBuckets)))
-    val b = docs.select(
-        col("doc_id").as("b_id"), col("lang").as("b_lang"),
-        col("text").as("b_text"), col("n_chars").as("b_len"),
-        col("lb").as("b_lb"))
-      .withColumn("b_salt",
-        explode(array((0 until saltBuckets).map(lit(_)): _*)))
-    a.join(b,
-        col("lang") === col("b_lang") &&
-        col("nb") === col("b_lb") &&
-        col("salt") === col("b_salt") &&
+      maxDist: Int = 8): DataFrame =
+    editDistancePairs(
+      Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars")),
+      maxDist)
+
+  /** [[editDistanceDedup]] over an arbitrary (doc_id, lang, text, n_chars)
+    * frame — the testable core (specs feed adversarial corpora: edits at
+    * segment boundaries, lengths straddling the ±τ window).
+    */
+  private[graft] def editDistancePairs(
+      input: DataFrame,
+      maxDist: Int): DataFrame = {
+    val tau = maxDist
+    val k = maxDist + 1
+    val docs = input
+
+    // Index side: one key per canonical segment; probe side: one key per
+    // (segment slot, length variant, position) the PassJoin theorem could
+    // match — both from [[graft.functions.PassJoinKeys]], a single
+    // compiled call per row (segment index + lang are folded into the
+    // hash seed, so the join key is ONE long).
+    val segRows = docs.select(
+      col("doc_id").as("b_id"), col("n_chars").as("b_len"),
+      explode(TextFunctions.passJoinKeys(
+        col("lang"), col("text"), tau, probe = false)).as("b_key"))
+    val probeRows = docs.select(
+      col("doc_id").as("a_id"), col("n_chars").as("a_len"),
+      explode(TextFunctions.passJoinKeys(
+        col("lang"), col("text"), tau, probe = true)).as("a_key"))
+
+    // Ids-only candidate join → dedup (a pair can agree on several
+    // segments) → re-attach texts → exact banded verify. Docs shorter
+    // than k chars have empty canonical segments the probe (lens ≥ 1)
+    // can never hit; a mixed pair is still found through the LONGER
+    // side's segments, but a short–short pair needs its own tier — and
+    // since ed(a,b) ≤ max(len) ≤ k−1 = τ there, every within-lang
+    // short–short pair qualifies: the tier is the forced all-pairs of a
+    // class whose quadratic output is inherent to the semantics, not a
+    // blocking artifact (and empty on the shipped fixtures, min 44
+    // chars).
+    val shorts = docs.filter(col("n_chars") < k)
+    val shortPairs = shorts
+      .select(col("doc_id").as("a_id"), col("lang"))
+      .join(
+        shorts.select(col("doc_id").as("b_id"), col("lang").as("b_lang")),
+        col("lang") === col("b_lang") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    val candidates = probeRows
+      .join(segRows,
+        col("a_key") === col("b_key") &&
         col("a_id") < col("b_id") &&
-        abs(col("a_len") - col("b_len")) <= maxDist)
+        abs(col("a_len") - col("b_len")) <= tau)
+      .select("a_id", "b_id")
+      .union(shortPairs)
+      .distinct()
+    val aText = docs.select(col("doc_id").as("a_id"), col("text").as("a_text"))
+    val bText = docs.select(
+      col("doc_id").as("b_id"), col("lang").as("b_lang"),
+      col("text").as("b_text"))
+    candidates
+      .join(aText, "a_id")
+      .join(bText, "b_id")
       .withColumn("edit_dist",
-        levenshtein(col("a_text"), col("b_text"), maxDist).cast("long"))
+        TextFunctions.levenshteinWithin(
+          col("a_text"), col("b_text"), maxDist).cast("long"))
       .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .select("a_id", "b_id", "edit_dist")
   }

@@ -62,6 +62,51 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(truth.nonEmpty)
   }
 
+  test("PassJoin segment blocking == exact all-pairs levenshtein pair set") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val a = docs.select($"doc_id".as("a_id"), $"lang".as("a_lang"), $"text".as("a_text"))
+    val b = docs.select($"doc_id".as("b_id"), $"lang".as("b_lang"), $"text".as("b_text"))
+    val truth = a.join(b, $"a_id" < $"b_id" && $"a_lang" === $"b_lang")
+      .withColumn("ed", levenshtein($"a_text", $"b_text"))
+      .filter($"ed" <= 8)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val found = pairSet(Dedup.editDistanceDedup(spark, sf001))
+    assert(found == truth, s"segment blocking must recall every pair: ${truth.size} true")
+    assert(truth.nonEmpty)
+  }
+
+  test("PassJoin adversarial corpus: boundary edits, ±τ lengths, short docs") {
+    // Stress the pigeonhole where it is tightest: τ edits spread one per
+    // segment (leaving exactly one untouched), pure-prefix deletes that
+    // shift every canonical start by the maximum, a pair at distance τ+1
+    // that must NOT appear, and sub-k docs that ride the short tier.
+    val base = "the quick brown fox jumps over the lazy dog while seven wizards brew strong black coffee at midnight exactly"
+    val corpus = Seq(
+      (0L, base), // 109 chars
+      (1L, base.drop(8)), // delete 8-char prefix: ed=8, max position shift
+      (2L, "XX" + base.substring(2)), // 2 substitutions at the very front
+      (3L, { // one substitution inside 8 of the 9 segments (ed=8)
+        val sb = base.toCharArray
+        (0 until 8).foreach(i => sb(i * (base.length / 9) + 2) = 'Q')
+        new String(sb)
+      }),
+      (4L, base + " plus nine!!"), // 12-char append: ed=12 > τ, excluded
+      (5L, "tiny"), (6L, "tiny doc"), // short tier: both < k=9 chars
+      (7L, "unrelated content that matches nothing else in this corpus at all"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text"))
+      .select("doc_id", "lang", "text", "n_chars")
+    val truth = Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (5L, 6L))
+    val naive = corpus.select($"doc_id".as("a_id"), $"text".as("a_text"))
+      .join(corpus.select($"doc_id".as("b_id"), $"text".as("b_text")), $"a_id" < $"b_id")
+      .filter(levenshtein($"a_text", $"b_text") <= 8)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val found = pairSet(Dedup.editDistancePairs(corpus, maxDist = 8))
+    assert(found == naive, s"expected $naive")
+    assert(naive.intersect(truth) == truth) // the designed pairs are all within τ
+  }
+
   test("exact dedup keeps one representative per text") {
     val out = Dedup.exact(spark, sf0001)
     assert(out.select("text").distinct().count() == out.count())

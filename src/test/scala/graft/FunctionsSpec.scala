@@ -134,6 +134,29 @@ class FunctionsSpec extends SparkTestBase {
     assert(mismatches == 0)
   }
 
+  test("banded levenshtein == built-in levenshtein wherever within τ, else −1") {
+    import spark.implicits._
+    // Random-ish pairs spanning: equal, within-band, exactly τ, τ+1,
+    // hugely different lengths (short-circuit), multibyte code points.
+    val pairs = Seq(
+      ("kitten", "sitting"), ("abc", "abc"), ("", ""), ("", "abcd"),
+      ("abcdefghij", "abcdefghij".reverse), ("résumé naïve", "resume naive"),
+      ("aaaaaaaaaa", "aaaabaaaaa"), ("x" * 40, "x" * 40 + "y" * 9),
+      ("the quick brown fox", "the quick brown cat"),
+      ("αβγδε ζηθικ", "αβγδε ζηθικλ")) ++
+      (1 to 30).map(i => (s"document number $i with words", s"document number ${i * 7} with wordz"))
+    val tau = 8
+    val df = pairs.toDF("a", "b")
+    val rows = df.select(
+      levenshtein($"a", $"b").as("full"),
+      TextFunctions.levenshteinWithin($"a", $"b", tau).as("banded"))
+      .as[(Int, Int)].collect()
+    rows.foreach { case (full, banded) =>
+      if (full <= tau) assert(banded == full, s"within τ: $full vs $banded")
+      else assert(banded == -1, s"beyond τ must be -1, got $banded (full $full)")
+    }
+  }
+
   test("l2 norm matches sqrt of fused self-dot") {
     import spark.implicits._
     val diff = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(50)
