@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: the sf0.1 → sf1 blocking-curve smoke. Times the dedup/ANN
+  * family once per tier (after a JIT warmup pass at sf0.001, so the
+  * measured run is code-warm but cache-cold for its tier — it includes
+  * the full per-doc shingle/sign/index work) and prints the ratio table
+  * recorded in BASELINE.md. Near-linear ratios (≤ ~15× for 10× rows)
+  * prove the blocking joins stay join-shaped; a quadratic surprise here
+  * is exactly what the sf0.1 bench cannot catch.
+  *
+  * Usage: runMain graft.ScaleSmoke [smallDir] [bigDir] [warmDir]
+  */
+object ScaleSmoke {
+  val family: Seq[String] = Seq(
+    "q31_dedup_ngram",
+    "q32_dedup_minhash",
+    "q33_dedup_simhash",
+    "q34_embed_dedup",
+    "q96_para_dedup",
+    "q97_edit_dedup",
+    "q51_dedup_clusters",
+    "q98_similar_neighbors",
+    "q41_knn_join")
+
+  def main(args: Array[String]): Unit = {
+    val small = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val big = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val warm = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
+    val spark = Sessions.builder(
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    family.foreach(time(_, warm)) // JIT + codegen warmup only
+    val rows = family.map { name =>
+      val ts = time(name, small)
+      val tb = time(name, big)
+      println(f"[scalesmoke] $name%-22s sf0.1=$ts%7.2f s  sf1=$tb%7.2f s  ratio=${tb / ts}%5.1f x")
+      (name, ts, tb)
+    }
+    println("| query | sf0.1 (s) | sf1 (s) | ratio |")
+    println("|---|---|---|---|")
+    rows.foreach { case (n, ts, tb) =>
+      println(f"| $n | $ts%.2f | $tb%.2f | ${tb / ts}%.1f x |")
+    }
+    spark.stop()
+  }
+}
