@@ -125,7 +125,10 @@ object SparkEntry {
     "q98_similar_neighbors" -> ((s, d) => Similarity.similarNeighbors(s, d)),
     "q99_mp4_meta" -> (Multimodal.mp4Metadata(_, _)),
     "q100_shared_runs" -> ((s, d) => Dedup.sharedRuns(s, d)),
-    "q101_stream_restart" -> (UpsertOps.streamRestart(_, _))
+    "q101_stream_restart" -> (UpsertOps.streamRestart(_, _)),
+    "q102_image_resize" -> ((s, d) => Multimodal.resizedImages(s, d)),
+    "q103_embed_gram" -> ((s, d) => Similarity.embeddingGram(s, d)),
+    "q104_dpp_revenue" -> ((s, d) => Relational.partitionPrunedRevenue(s, d))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1102,6 +1105,48 @@ object SparkEntry {
       // rows and fail this exact-set comparison)
       """SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
         |FROM events""".stripMargin,
+    "q102_image_resize" ->
+      // REAL box-filter resize of the REAL PNG fixture (16×16 → 4×4):
+      // output pixel (bx,by) = mean of its 4×4 block; source pixel i
+      // (row-major) has r=(id·7+i)%256, g=(id·13+i·3)%256,
+      // b=(id·5+i·11)%256, so each mean is an exact integer sum / 16
+      """SELECT d.doc_id, CAST(bx.range AS INT) AS bx, CAST(by.range AS INT) AS by,
+        |  AVG(CAST((d.doc_id*7 + ((by.range*4+rr.range)*16 + bx.range*4+cc.range)) % 256 AS DOUBLE)) AS mean_r,
+        |  AVG(CAST((d.doc_id*13 + ((by.range*4+rr.range)*16 + bx.range*4+cc.range)*3) % 256 AS DOUBLE)) AS mean_g,
+        |  AVG(CAST((d.doc_id*5 + ((by.range*4+rr.range)*16 + bx.range*4+cc.range)*11) % 256 AS DOUBLE)) AS mean_b
+        |FROM documents d
+        |CROSS JOIN range(0, 4) bx CROSS JOIN range(0, 4) by
+        |CROSS JOIN range(0, 4) rr CROSS JOIN range(0, 4) cc
+        |WHERE d.doc_id % 3 = 0
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q103_embed_gram" ->
+      // fixed-point gram matrix: q = ⌊100·x⌋ per dimension (float→double
+      // widening exact, one IEEE multiply + floor bit-identical across
+      // engines), integer pair-product sums — exactly associative, so
+      // any partitioning matches this serial SQL bit-for-bit
+      """WITH q AS (
+        |  SELECT list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |pr AS (
+        |  SELECT i.range AS i, j.range AS j, qe[i.range + 1] * qe[j.range + 1] AS p
+        |  FROM q CROSS JOIN range(0, 64) i CROSS JOIN range(0, 64) j
+        |  WHERE j.range >= i.range)
+        |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+        |       CAST(sum(p) AS BIGINT) AS gram
+        |FROM pr GROUP BY i, j""".stripMargin,
+    "q104_dpp_revenue" ->
+      // dynamic partition pruning is pure I/O elision: the pruned
+      // partitioned-fact join ≡ this unpartitioned semi-join; revenue
+      // through the shared exact-decimal sum
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE year(o_orderdate) IN (
+        |  SELECT DISTINCT year(o_orderdate) FROM orders
+        |  WHERE o_totalprice > 499000.0)
+        |GROUP BY 1""".stripMargin,
     "q89_restored_merge" ->
       // restore to c0 drops c1's versions: read ≡ time travel to c0
       """SELECT user_id, event_type, ts_us, event_id, value FROM (

@@ -254,6 +254,50 @@ object Multimodal {
       .toDF("doc_id", "media_type", "feature", "value")
   }
 
+  /** REAL image resize — the remaining verb of the multimodal surface
+    * (decode / feature-extract / frame-sample / RESIZE): decode the PNG
+    * (ImageIO), box-filter 16×16 → 4×4 — output pixel (bx, by) is the
+    * mean of its 4×4 source block, an integer sum over the actual decoded
+    * pixels divided by 16, so every value is exact in a double and the
+    * DuckDB oracle recomputes it arithmetically (q102). The per-partition
+    * batch shape is the production plumbing: payload bytes stay columnar
+    * until the partition iterator, one decoded `BufferedImage` lives at a
+    * time, output re-enters Catalyst as rows of (doc_id, bx, by, means).
+    */
+  def resizedImages(s: SparkSession, dir: String, factor: Int = 4): DataFrame = {
+    import s.implicits._
+    realMediaTable(s, dir)
+      .filter(col("media_type") === "image/png")
+      .select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          val ow = img.getWidth / factor
+          val oh = img.getHeight / factor
+          val n = (factor * factor).toDouble
+          for {
+            by <- 0 until oh
+            bx <- 0 until ow
+          } yield {
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var r = 0
+            while (r < factor) {
+              var c = 0
+              while (c < factor) {
+                val p = img.getRGB(bx * factor + c, by * factor + r)
+                sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                c += 1
+              }
+              r += 1
+            }
+            (id, bx, by, sr / n, sg / n, sb / n)
+          }
+        }
+      }
+      .toDF("doc_id", "bx", "by", "mean_r", "mean_g", "mean_b")
+  }
+
   // ---------------------------------------------------------------------
   // REAL multi-frame decode — animated GIF via javax.imageio (the JDK's
   // only multi-frame container codec; mp4 has none, so video proper stays

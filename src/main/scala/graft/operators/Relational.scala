@@ -462,4 +462,49 @@ object Relational {
         dsumRaw(discounted(col("l_extendedprice"), col("l_discount"))).as("revenue"),
         countDistinct(col("o_orderkey")).as("n_orders"))
   }
+
+  // Hive-partitioned copy of `orders` (by o_year), one write per
+  // (session, dir) — scaffolding for the dynamic-partition-pruning query:
+  // a production fact table IS stored partitioned; the fixture isn't, so
+  // the layout is materialized once and the MEASURED query is the pruned
+  // join. Keyed by session identity like the media fixtures (a dir-keyed
+  // path could outlive its creating session's temp space).
+  private val partitionedOrdersCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  /** Revenue by year over a date-partitioned fact, where the year set
+    * comes from a runtime subquery — the dynamic-partition-pruning shape
+    * (star-schema "scan only the partitions the dim filter selects"). The
+    * fact is `orders` hive-partitioned by `o_year`; the dim is the years
+    * that contain an over-threshold order, unknowable at plan time.
+    * Catalyst inserts a `DynamicPruningSubquery` on the partition column
+    * (asserted by `DppSpec`), so the fact scan lists and reads ONLY the
+    * matching year directories — at 100 TB the difference between
+    * scanning 7 years of files and 2. The dim is broadcast: DPP reuses
+    * the broadcast exchange, so pruning costs one tiny subquery, not a
+    * second fact pass. Revenue goes through the exact-decimal sum
+    * ([[Exact.dsum]]) so the double is partition-order-independent.
+    */
+  def partitionPrunedRevenue(
+      s: SparkSession, dir: String, threshold: Double = 499000.0): DataFrame = {
+    val path = partitionedOrdersCache.getOrElseUpdate(
+      (System.identityHashCode(s), dir), {
+        val p = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+        Tables.orders(s, dir)
+          .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+          .write.mode("overwrite").partitionBy("o_year").parquet(p)
+        p
+      })
+    val fact = s.read.parquet(path)
+    val dim = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > threshold)
+      .select(year(col("o_orderdate")).cast("int").as("dim_year"))
+      .distinct()
+    fact.join(broadcast(dim), col("o_year") === col("dim_year"))
+      .groupBy(col("o_year"))
+      .agg(
+        Exact.dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_year"), col("revenue"), col("n_orders"))
+  }
 }

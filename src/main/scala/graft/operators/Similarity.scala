@@ -533,6 +533,39 @@ object Similarity {
       .agg((sum(col("col").cast("double").cast("decimal(28,6)")).cast("double") /
         count(lit(1))).as("centroid"))
 
+  /** Fixed-point gram matrix of the embedding corpus — the d×d second
+    * moment Σ_v q(v)·q(v)ᵀ that PCA / whitening / covariance pipelines
+    * compute before training (upper triangle; d = 64). Two deliberate
+    * choices:
+    *
+    *   - FIXED-POINT: dimensions are quantized q = ⌊100·x⌋ (float→double
+    *     widening is exact, one IEEE multiply and floor are bit-identical
+    *     across engines), so the sum is INTEGER — exactly associative,
+    *     independent of partitioning, and cross-engine reproducible. A
+    *     double sum of n·d² float products is none of those things.
+    *   - NO JOIN: the d(d+1)/2 pair products are generated INSIDE each
+    *     row (nested array transform over the row's own vector), and
+    *     hash aggregation's map-side partial agg collapses every
+    *     partition to ≤ 2080 rows before the shuffle — shuffle volume is
+    *     O(partitions·d²), independent of corpus size. The naive shapes
+    *     (self-join on vec_id, or exploding to (vec_id, dim, value) and
+    *     joining) shuffle O(n·d) or worse.
+    */
+  def embeddingGram(s: SparkSession, dir: String, dim: Int = 64): DataFrame = {
+    val q = transform(col("embedding"), x => floor(x.cast("double") * 100))
+    val pairs = flatten(transform(q, (vi, i) =>
+      transform(slice(q, i + 1, lit(dim) - i), (vj, jr) =>
+        struct(
+          i.cast("int").as("i"),
+          (i + jr).cast("int").as("j"),
+          (vi * vj).as("p")))))
+    Tables.embeddings(s, dir)
+      .select(explode(pairs).as("pp"))
+      .select(col("pp.i").as("i"), col("pp.j").as("j"), col("pp.p").as("p"))
+      .groupBy("i", "j")
+      .agg(sum("p").as("gram"))
+  }
+
   /** Window-based reference implementation of [[knnJoin]] (same result,
     * O(n²)-row shuffle) — kept for the equivalence test.
     */
