@@ -128,7 +128,8 @@ object SparkEntry {
     "q101_stream_restart" -> (UpsertOps.streamRestart(_, _)),
     "q102_image_resize" -> ((s, d) => Multimodal.resizedImages(s, d)),
     "q103_embed_gram" -> ((s, d) => Similarity.embeddingGram(s, d)),
-    "q104_dpp_revenue" -> ((s, d) => Relational.partitionPrunedRevenue(s, d))
+    "q104_dpp_revenue" -> ((s, d) => Relational.partitionPrunedRevenue(s, d)),
+    "q105_upsert_bloom" -> (UpsertOps.upsertBloomMerge(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -445,6 +446,8 @@ object SparkEntry {
         |FROM events GROUP BY user_id""".stripMargin,
     "q23_upsert_latest" -> latestPerUserType,
     "q24_upsert_merge" -> latestPerUserType,
+    // file-level bloom-index COW path: same merge contract as q24
+    "q105_upsert_bloom" -> latestPerUserType,
     "q25_schema_evolution" ->
       """SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value
         |FROM events WHERE event_id % 2 = 0

@@ -130,6 +130,24 @@ object UpsertOps {
     outputCols(table.read(s))
   }
 
+  /** [[upsertMerge]] driven through the FILE-level bloom-index write path
+    * ([[KeyedTable.upsertBloomIndexed]] — Hudi's BLOOM index + file-group
+    * copy-on-write): same two batches, same precombine merge, same oracle
+    * — but the second commit probes the per-file record-key blooms and
+    * reads/replaces only may-contain files instead of overwriting whole
+    * partitions. `BloomIndexSpec` proves the physical claim (untouched
+    * files keep their exact paths+bytes); this query proves the result
+    * is bit-identical to the partition-level path's.
+    */
+  def upsertBloomMerge(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_bloom_up_").toString
+    val table = KeyedTable(spec(s"$tmp/events_keyed"))
+    val ev = eventsUs(s, dir)
+    table.upsertBloomIndexed(s, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    table.upsertBloomIndexed(s, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    outputCols(table.read(s))
+  }
+
   /** Schema evolution (O5–O9): batch A lacks the `value` column, batch B
     * carries it; aligning A against the evolved schema null-fills `value`
     * (glue_job_script.py:81-90 intent) and the union widens nothing else.

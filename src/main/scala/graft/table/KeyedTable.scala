@@ -320,6 +320,203 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   // underscore keeps data scans from listing it as table data.
   private def colStatsDir = s"${spec.path}/_graft_colstats"
 
+  // ---- bloom record-key index (Hudi BLOOM index) -----------------------
+  // One row per data file: the SET BIT POSITIONS of a bloom filter over the
+  // file's record keys, stored as a sorted int array — a bloom filter
+  // expressed relationally, so both build (groupBy file + collect_set) and
+  // probe (exploded-positions join) are plain codegen'd operators, no UDF
+  // and no custom binary format. Hudi keeps the same structure in parquet
+  // footers / its metadata table `bloom_filters` partition; the point is
+  // identical: an upsert's index lookup touches metadata (file count ×
+  // ~k·keys ints), never table data.
+  private def bloomDir = s"${spec.path}/_graft_bloom"
+
+  /** (bits m, hashes k). Defaults suit ~10⁴ keys/file (fpp ≈ 1e-4 at
+    * 5·10⁴ set bits of 2¹⁸); size m ≈ 1.44·k·keys-per-file upward for
+    * bigger file groups — an undersized bloom only costs false-positive
+    * file reads, never correctness.
+    */
+  private def bloomConf(spark: SparkSession): (Int, Int) = (
+    spark.conf.get("spark.graft.bloom.bits", (1 << 18).toString).toInt,
+    spark.conf.get("spark.graft.bloom.hashes", "5").toInt)
+
+  /** The k bloom positions of a record key: k seeded xxhash64 draws mod m.
+    * Duplicate positions within a draw are harmless (the probe counts
+    * matched probe rows, so duplicates can only ADD false positives,
+    * never false negatives).
+    */
+  private def bloomPositions(key: Column, m: Int, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => pmod(xxhash64(i, key), lit(m.toLong)).cast("int"))
+
+  private def bloomRowsFor(df: DataFrame, m: Int, k: Int): DataFrame =
+    df.withColumn("file", input_file_name())
+      .select(col("file"), explode(bloomPositions(col(RecordKeyCol), m, k)).as("pos"))
+      .groupBy(col("file"))
+      .agg(array_sort(collect_set(col("pos"))).as("bits"))
+      .withColumn("m", lit(m)).withColumn("k", lit(k))
+
+  /** Build/refresh the record-key bloom index: per data file, the bloom of
+    * its `_graft_record_key`s, in ONE scan (groupBy `input_file_name`,
+    * map-side partial collect_set). Row count = file count — metadata-
+    * sized. [[upsertBloomIndexed]] maintains it incrementally afterwards.
+    */
+  def recordBloomIndex(spark: SparkSession): Unit = {
+    if (!exists(spark)) return
+    val (m, k) = bloomConf(spark)
+    bloomRowsFor(readRaw(spark), m, k)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(bloomDir)
+  }
+
+  /** The index's candidate files for `batch`'s record keys: (files whose
+    * bloom may contain ≥1 batch key, total indexed files). The probe is
+    * an exploded-positions equality join against the BROADCAST index —
+    * each (key, position) probe row hash-matches at most one (file,
+    * position) index row per file, a file qualifies when all k of a key's
+    * probe rows hit — so the lookup is map-side over the batch and never
+    * opens a data file. (A per-row `array_contains` over the bit arrays
+    * would scan O(set bits) per key×file — the join is the scale shape.)
+    * False positives cost a redundant file read; false negatives cannot
+    * occur (every stored key set every one of its positions).
+    */
+  private[graft] def bloomCandidateFiles(
+      spark: SparkSession, batch: DataFrame): (Seq[String], Int) = {
+    val idx = spark.read.parquet(bloomDir)
+    val head = idx.select(col("m"), col("k")).limit(1).collect()
+    if (head.isEmpty) return (Nil, 0)
+    val (m, k) = (head(0).getInt(0), head(0).getInt(1))
+    val total = idx.count().toInt
+    val probes = batch.select(keyExpr.as("_graft_pk")).distinct()
+      .select(col("_graft_pk"),
+        explode(bloomPositions(col("_graft_pk"), m, k)).as("pos"))
+    val idxBits = idx.select(col("file"), explode(col("bits")).as("pos"))
+    val sel = probes.join(broadcast(idxBits), Seq("pos"))
+      .groupBy(col("_graft_pk"), col("file")).count()
+      .filter(col("count") === k)
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    (sel, total)
+  }
+
+  /** All current data-file paths (FS-qualified), metadata excluded. */
+  private def dataFiles(spark: SparkSession): Set[String] = {
+    val f = fs(spark)
+    val root = f.makeQualified(new Path(spec.path))
+    val rootPrefix = root.toUri.getPath
+    val it = f.listFiles(root, true)
+    val b = Set.newBuilder[String]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      val rel = p.toUri.getPath.stripPrefix(rootPrefix).split('/')
+      val isMeta = rel.exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (!isMeta && p.getName.endsWith(".parquet")) b += p.toString
+    }
+    b.result()
+  }
+
+  /** Upsert through the bloom index at FILE granularity — Hudi's actual
+    * copy-on-write write path (index probe → file groups → rewrite only
+    * touched groups), one level finer than [[upsert]]'s partition-level
+    * dynamic overwrite. Semantically identical to [[upsert]] (same
+    * precombine merge, same read-back); physically, only files whose
+    * bloom may contain an incoming key are read, merged, and replaced —
+    * every other file keeps its bytes. At 100 TB that is the difference
+    * between rewriting the handful of file groups a micro-batch touches
+    * and rewriting every touched PARTITION (a hot day-partition can hold
+    * thousands of file groups of which a batch updates three).
+    *
+    * Write sequence (crash-safe, stale-absent like the colstats rule):
+    * surviving index rows are staged, the index goes ABSENT, merged rows
+    * are APPENDED as new files (readers of the lazy plan still see the
+    * old files), replaced files are deleted, then the staged rows union
+    * the new files' blooms back into the index. A crash anywhere leaves
+    * either a duplicate-free table with no index (next call rebuilds via
+    * one scan) or — between append and delete — transient duplicate
+    * versions that the NEXT merge's precombine collapses; never a
+    * present-but-wrong index. Merged output is range-laid on record key
+    * so file groups keep tight key ranges and the next probe stays
+    * selective. Non-global keys only (rows never relocate partitions —
+    * Hudi's plain BLOOM scope; GLOBAL_BLOOM's relocation stays on
+    * [[upsert]]'s partition path).
+    */
+  def upsertBloomIndexed(
+      spark: SparkSession, batch: DataFrame,
+      commitTime: String = defaultCommitTime()): Unit = {
+    require(!spec.retainHistory,
+      "bloom-indexed upsert is a copy-on-write path; retainHistory tables append")
+    require(!spec.globalKeys,
+      "bloom-indexed upsert is partition-scoped (Hudi BLOOM); global keys " +
+        "relocate rows across partitions — use upsert (GLOBAL_BLOOM scope)")
+    val incoming = SchemaEvolution.dropSystemColumns(batch)
+    currentUserSchema(spark) match {
+      case None =>
+        writeOut(withMeta(dedupLatest(incoming), commitTime), SaveMode.Overwrite)
+        recordBloomIndex(spark)
+      case Some(current) if driftNeedsRewrite(current, incoming.schema) =>
+        // Non-widen-readable drift forces the one-off full rewrite anyway;
+        // take the partition path and rebuild the index after.
+        upsert(spark, batch, commitTime)
+        recordBloomIndex(spark)
+      case Some(current) =>
+        val f = fs(spark)
+        if (!f.exists(new Path(bloomDir))) recordBloomIndex(spark)
+        val aligned = SchemaEvolution.align(incoming, current)
+        val alignedC = aligned.withColumn(CommitTimeCol, lit(commitTime))
+        val (cands, _) = bloomCandidateFiles(spark, aligned)
+        val rd = spark.read.option("basePath", spec.path)
+        val candRows =
+          if (cands.isEmpty) readRaw(spark).filter(lit(false))
+          else (sidecarSchema(spark) match {
+            case Some(sch) => rd.schema(sch)
+            case None      => rd.option("mergeSchema", "true")
+          }).parquet(cands: _*)
+        val existing = SchemaEvolution.align(
+          candRows.drop(RecordKeyCol, PartitionPathCol), alignedC.schema)
+        val combined = existing.withColumn(SrcCol, lit(0))
+          .unionByName(alignedC.withColumn(SrcCol, lit(1)), allowMissingColumns = true)
+        val merged = withMeta(
+          dedupLatest(combined, extraOrder = Seq(col(SrcCol).desc)).drop(SrcCol),
+          commitTime)
+
+        // Stage the surviving files' index rows, then go stale-absent:
+        // from here to the final index write, a crash leaves NO index
+        // (full-scan rebuild on next use) rather than one that is
+        // blind to the appended files.
+        val (m, k) = bloomConf(spark)
+        val tmpIdx = new Path(spec.path, "._graft_bloom_tmp")
+        f.delete(tmpIdx, true)
+        spark.read.parquet(bloomDir)
+          .filter(!col("file").isInCollection(cands))
+          .write.mode(SaveMode.Overwrite).parquet(tmpIdx.toString)
+        f.delete(new Path(bloomDir), true)
+        f.delete(new Path(colStatsDir), true) // appended files: see writeOut
+
+        val before = dataFiles(spark)
+        val order = (spec.partitionCols :+ RecordKeyCol).map(col)
+        val w = merged
+          .repartitionByRange(math.max(1, cands.size), order: _*)
+          .write.mode(SaveMode.Append)
+        (if (spec.partitionCols.nonEmpty) w.partitionBy(spec.partitionCols: _*) else w)
+          .parquet(spec.path)
+        recordSchema(spark, merged.schema)
+        cands.foreach(c => f.delete(new Path(new java.net.URI(c)), false))
+
+        val newFiles = (dataFiles(spark) -- before).toSeq
+        val newRows =
+          if (newFiles.isEmpty) spark.read.parquet(tmpIdx.toString).limit(0)
+          else {
+            val rd2 = spark.read.option("basePath", spec.path)
+            bloomRowsFor((sidecarSchema(spark) match {
+              case Some(sch) => rd2.schema(sch)
+              case None      => rd2.option("mergeSchema", "true")
+            }).parquet(newFiles: _*), m, k)
+          }
+        newRows.unionByName(spark.read.parquet(tmpIdx.toString))
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(bloomDir)
+        f.delete(tmpIdx, true)
+    }
+  }
+
   /** Build/refresh the file-skipping index for integral `cols`: per data
     * file, min–max of each column, computed in ONE scan (groupBy on
     * `input_file_name`) and stored as a parquet sidecar whose row count is
