@@ -129,7 +129,9 @@ object SparkEntry {
     "q102_image_resize" -> ((s, d) => Multimodal.resizedImages(s, d)),
     "q103_embed_gram" -> ((s, d) => Similarity.embeddingGram(s, d)),
     "q104_dpp_revenue" -> ((s, d) => Relational.partitionPrunedRevenue(s, d)),
-    "q105_upsert_bloom" -> (UpsertOps.upsertBloomMerge(_, _))
+    "q105_upsert_bloom" -> (UpsertOps.upsertBloomMerge(_, _)),
+    "q106_kmv_distinct" -> ((s, d) => Profile.distinctUsersSketch(s, d)),
+    "q107_incr_view" -> (UpsertOps.incrementalViewMaintain(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -448,6 +450,12 @@ object SparkEntry {
     "q24_upsert_merge" -> latestPerUserType,
     // file-level bloom-index COW path: same merge contract as q24
     "q105_upsert_bloom" -> latestPerUserType,
+    "q107_incr_view" ->
+      // the incrementally maintained view must equal this from-scratch
+      // recompute over the FINAL latest state, decimal-exact
+      s"""SELECT event_type, COUNT(*) AS n_rows,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         |FROM ($latestPerUserType) GROUP BY event_type""".stripMargin,
     "q25_schema_evolution" ->
       """SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value
         |FROM events WHERE event_id % 2 = 0
@@ -578,6 +586,13 @@ object SparkEntry {
            |FROM events""".stripMargin
       }.mkString("\nUNION ALL\n")
     },
+    "q106_kmv_distinct" ->
+      // KMV exact mode: per-type cardinality < k, so the sketch's answer
+      // IS the exact distinct count
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
     "q50_quantiles" ->
       // percentile_disc returns actual elements — no interpolation
       // arithmetic, so the doubles compare bit-for-bit

@@ -148,6 +148,24 @@ object UpsertOps {
     outputCols(table.read(s))
   }
 
+  /** Incremental materialized-view maintenance end-to-end: the view (per
+    * event_type row count + exact-decimal value sum over latest state) is
+    * built ONCE from the table as of c0, then refreshed from the (c0, c1]
+    * STATE-delta feed ([[KeyedTable.readStateDelta]] — preimages retract,
+    * postimages add). The oracle recomputes the view from the final state
+    * from scratch; decimal arithmetic makes incremental == full
+    * bit-for-bit. The refresh costs O(view + delta); the recompute it
+    * stands in for costs O(source) — the point at 100 TB.
+    */
+  def incrementalViewMaintain(s: SparkSession, dir: String): DataFrame = {
+    val table = freshTwoCommitTable(s, dir, history = true)
+    val v0 = IncrementalView.computeFull(table.readAsOf(s, "c0"))
+    val feed = table.readStateDelta(s, sinceCommit = "c0", endCommit = Some("c1"))
+    IncrementalView.applyDelta(v0, feed)
+      .select(col("event_type"), col("n_rows"),
+        col("sum_value").cast("double").as("sum_value"))
+  }
+
   /** Schema evolution (O5–O9): batch A lacks the `value` column, batch B
     * carries it; aligning A against the evolved schema null-fills `value`
     * (glue_job_script.py:81-90 intent) and the union widens nothing else.

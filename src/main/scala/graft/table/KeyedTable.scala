@@ -763,6 +763,64 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         .drop("_graft_first_commit"))
   }
 
+  /** STATE-delta change feed (Delta CDF's row set: `insert` /
+    * `update_preimage` / `update_postimage` / `delete`): per key, the
+    * latest-resolved state BEFORE `sinceCommit` versus AFTER `endCommit`,
+    * emitted only when they differ. This is the feed incremental VIEW
+    * maintenance needs and [[readChangeFeed]]'s version feed cannot
+    * provide: a version feed has no preimages (nothing to retract from a
+    * downstream aggregate), and a late-arriving version (older precombine
+    * than the standing winner) appears in the version feed while leaving
+    * the STATE unchanged — replaying it would corrupt the view, while
+    * here before == after drops it. Two window passes (the before and
+    * after resolves) plus one key-equality join, all shuffles on the
+    * merge key scope; cost is O(history ≤ end), never O(downstream
+    * recompute). No `delete` rows: [[delete]] is physical erasure, which
+    * removes the very versions a retrospective feed would need (same
+    * limitation [[readChangeFeed]] documents — tombstones would be the
+    * extension). Requires `retainHistory` (the before state needs
+    * superseded versions).
+    */
+  def readStateDelta(
+      spark: SparkSession,
+      sinceCommit: String,
+      endCommit: Option[String] = None): DataFrame = {
+    require(
+      spec.retainHistory,
+      "the state-delta feed requires retainHistory=true: the before state " +
+        "needs the key's superseded versions to still exist")
+    val raw = readRaw(spark)
+    val upTo = endCommit.fold(raw)(e => raw.filter(col(CommitTimeCol) <= e))
+    val after = SchemaEvolution.dropSystemColumns(resolveLatest(upTo))
+    val before = SchemaEvolution.dropSystemColumns(
+      resolveLatest(raw.filter(col(CommitTimeCol) <= sinceCommit)))
+    val scope =
+      if (spec.globalKeys) spec.keyCols
+      else spec.keyCols ++ spec.partitionCols.filter(after.columns.contains)
+    val af = after.select(
+      scope.map(col) :+ struct(after.columns.map(col): _*).as("_graft_after"): _*)
+    val bf = before.select(
+      scope.map(col) :+ struct(before.columns.map(col): _*).as("_graft_before"): _*)
+    val j = af.join(bf, scope, "full_outer")
+    // Each changed key explodes to its CDF rows; `when` without
+    // `otherwise` yields null array slots, filtered after the explode.
+    // Keys never leave the state (versions only accrete; physical
+    // erasure takes history with it), so after is never null for a key
+    // present in before — the row set is the three non-delete CDF ops.
+    val ops = array(
+      when(col("_graft_before").isNotNull,
+        struct(col("_graft_before").as("row"), lit("update_preimage").as("op"))),
+      struct(col("_graft_after").as("row"),
+        when(col("_graft_before").isNull, "insert")
+          .otherwise("update_postimage").as("op")))
+    j.filter(
+        col("_graft_before").isNull ||
+          col("_graft_before") =!= col("_graft_after"))
+      .select(explode(ops).as("_graft_cdf"))
+      .filter(col("_graft_cdf").isNotNull)
+      .select(col("_graft_cdf.row.*"), col("_graft_cdf.op").as("op"))
+  }
+
   /** Catalog sync (SURVEY §2 O12): register/refresh this table in the
     * session metastore so SQL engines see new data — the reference's
     * Hive/Glue sync after each commit (glue_job_script.py:64-73);
