@@ -131,7 +131,9 @@ object SparkEntry {
     "q104_dpp_revenue" -> ((s, d) => Relational.partitionPrunedRevenue(s, d)),
     "q105_upsert_bloom" -> (UpsertOps.upsertBloomMerge(_, _)),
     "q106_kmv_distinct" -> ((s, d) => Profile.distinctUsersSketch(s, d)),
-    "q107_incr_view" -> (UpsertOps.incrementalViewMaintain(_, _))
+    "q107_incr_view" -> (UpsertOps.incrementalViewMaintain(_, _)),
+    "q108_audio_frames" -> ((s, d) => Multimodal.audioFrames(s, d)),
+    "q109_negative_pairs" -> ((s, d) => Curation.negativePairs(s, d))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1123,6 +1125,33 @@ object SparkEntry {
       // rows and fail this exact-set comparison)
       """SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
         |FROM events""".stripMargin,
+    "q108_audio_frames" ->
+      // REAL WAV decode framed at 64 samples: source sample i of doc id
+      // is ((id*31 + i*17) % 65536) - 32768 (16-bit signed), so per-frame
+      // mean |amplitude| and peak are exact integer arithmetic
+      """SELECT d.doc_id, CAST(f.range AS INT) AS frame,
+        |  AVG(CAST(abs(((d.doc_id*31 + (f.range*64 + i.range)*17) % 65536) - 32768) AS DOUBLE)) AS mean_abs,
+        |  CAST(MAX(abs(((d.doc_id*31 + (f.range*64 + i.range)*17) % 65536) - 32768)) AS INT) AS peak
+        |FROM documents d
+        |CROSS JOIN range(0, 4) f CROSS JOIN range(0, 64) i
+        |WHERE d.doc_id % 3 = 1
+        |GROUP BY 1, 2""".stripMargin,
+    "q109_negative_pairs" ->
+      // the fixed-hash draw is closed-form; the partner fetch is the
+      // same inner join on the drawn id
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |d AS (
+        |  SELECT doc_id, CAST(j.range AS INT) AS draw,
+        |         (doc_id*2654435761 + j.range*40503) % (SELECT n FROM n) AS raw
+        |  FROM documents CROSS JOIN range(1, 5) j),
+        |p AS (
+        |  SELECT doc_id, draw,
+        |         CASE WHEN raw = doc_id THEN (raw + 1) % (SELECT n FROM n)
+        |              ELSE raw END AS neg_id
+        |  FROM d)
+        |SELECT p.doc_id, p.draw, p.neg_id,
+        |       CAST(len(t.text) AS INT) AS neg_len
+        |FROM p JOIN documents t ON t.doc_id = p.neg_id""".stripMargin,
     "q102_image_resize" ->
       // REAL box-filter resize of the REAL PNG fixture (16×16 → 4×4):
       // output pixel (bx,by) = mean of its 4×4 block; source pixel i

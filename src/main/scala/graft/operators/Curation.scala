@@ -300,6 +300,34 @@ object Curation {
     * Redaction order (email → phone → IP) is fixed and mirrored in the
     * oracle so overlapping matches resolve identically.
     */
+  /** Deterministic negative-pair mining for contrastive training: each
+    * document draws `perDoc` pseudo-random partners via a fixed integer
+    * hash (Knuth multiplicative constant) over (doc_id, draw index), mod
+    * the corpus size — self-draws rotate to the next id. The partner
+    * fetch is an ordinary key-equality join (shuffle on id, broadcast-
+    * able dim at scale), NEVER a cartesian: at 100 TB this produces
+    * n·perDoc pairs with an O(n) shuffle where naive "sample from the
+    * cross product" shapes are O(n²). The fixed hash makes epochs
+    * reproducible and the oracle (q109) closed-form.
+    */
+  def negativePairs(s: SparkSession, dir: String, perDoc: Int = 4): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val drawn = docs.select(col("doc_id"),
+        explode(sequence(lit(1), lit(perDoc))).as("draw"))
+      .withColumn("raw",
+        pmod(col("doc_id") * lit(2654435761L) + col("draw") * lit(40503L), lit(n)))
+      .withColumn("neg_id",
+        when(col("raw") === col("doc_id"), pmod(col("raw") + 1, lit(n)))
+          .otherwise(col("raw")))
+      .select(col("doc_id"), col("draw").cast("int").as("draw"), col("neg_id"))
+    drawn.join(
+        docs.select(col("doc_id").as("neg_id"),
+          length(col("text")).as("neg_len")),
+        Seq("neg_id"))
+      .select(col("doc_id"), col("draw"), col("neg_id"), col("neg_len"))
+  }
+
   def piiRedact(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       // single-row-group fixture: spread the per-doc regex work first

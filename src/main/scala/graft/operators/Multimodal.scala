@@ -298,6 +298,50 @@ object Multimodal {
       .toDF("doc_id", "bx", "by", "mean_r", "mean_g", "mean_b")
   }
 
+  /** REAL audio frame-sampling — the frame-sample verb for the audio
+    * modality (the GIF path covers it for video-like media): decode the
+    * WAV container (javax.sound.sampled — actual RIFF parse, actual PCM
+    * words), split the sample stream into fixed `frameLen` windows, and
+    * emit per-frame mean |amplitude| and peak — the framing step of any
+    * audio feature pipeline (VAD, energy gating, fingerprinting). Every
+    * value is an integer sum divided by a power of two, so the DuckDB
+    * oracle (q108) recomputes the synthesized samples arithmetically and
+    * matches bit-for-bit. Same production plumbing as the other decode
+    * paths: payload bytes stay columnar to the partition iterator, one
+    * decoded stream at a time, rows re-enter Catalyst.
+    */
+  def audioFrames(s: SparkSession, dir: String, frameLen: Int = 64): DataFrame = {
+    import s.implicits._
+    realMediaTable(s, dir)
+      .filter(col("media_type") === "audio/wav")
+      .select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val data =
+            try in.readAllBytes()
+            finally in.close()
+          val bb = java.nio.ByteBuffer.wrap(data)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nFrames = (data.length / 2) / frameLen
+          (0 until nFrames).map { f =>
+            var sumAbs = 0L
+            var peak = 0
+            var i = 0
+            while (i < frameLen) {
+              val v = math.abs(bb.getShort((f * frameLen + i) * 2).toInt)
+              sumAbs += v
+              if (v > peak) peak = v
+              i += 1
+            }
+            (id, f, sumAbs.toDouble / frameLen, peak)
+          }
+        }
+      }
+      .toDF("doc_id", "frame", "mean_abs", "peak")
+  }
+
   // ---------------------------------------------------------------------
   // REAL multi-frame decode — animated GIF via javax.imageio (the JDK's
   // only multi-frame container codec; mp4 has none, so video proper stays
