@@ -133,7 +133,8 @@ object SparkEntry {
     "q106_kmv_distinct" -> ((s, d) => Profile.distinctUsersSketch(s, d)),
     "q107_incr_view" -> (UpsertOps.incrementalViewMaintain(_, _)),
     "q108_audio_frames" -> ((s, d) => Multimodal.audioFrames(s, d)),
-    "q109_negative_pairs" -> ((s, d) => Curation.negativePairs(s, d))
+    "q109_negative_pairs" -> ((s, d) => Curation.negativePairs(s, d)),
+    "q110_manifest_snapshot" -> (UpsertOps.manifestSnapshotRead(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -452,6 +453,9 @@ object SparkEntry {
     "q24_upsert_merge" -> latestPerUserType,
     // file-level bloom-index COW path: same merge contract as q24
     "q105_upsert_bloom" -> latestPerUserType,
+    // pinned snapshot: the post-manifest decoy commit must be invisible,
+    // so the read equals the plain two-commit latest state
+    "q110_manifest_snapshot" -> latestPerUserType,
     "q107_incr_view" ->
       // the incrementally maintained view must equal this from-scratch
       // recompute over the FINAL latest state, decimal-exact

@@ -166,6 +166,25 @@ object UpsertOps {
         col("sum_value").cast("double").as("sum_value"))
   }
 
+  /** Snapshot-manifest read isolation end-to-end: the two-commit table is
+    * pinned by a manifest, a LATER insert appends decoy rows (same keys,
+    * bumped precombine — they would win any later merge and shift every
+    * value), and the measured read goes through the pinned snapshot:
+    * exactly the c0/c1 state, decoys invisible, zero directory listing of
+    * the data path. Oracle = latest state over the original events (the
+    * same SQL as q24 — the decoys must have no effect).
+    */
+  def manifestSnapshotRead(s: SparkSession, dir: String): DataFrame = {
+    val table = freshTwoCommitTable(s, dir, history = false)
+    val snap = table.writeManifest(s)
+    table.insert(
+      s, eventsUs(s, dir)
+        .withColumn("ts_us", col("ts_us") + 10000000L)
+        .withColumn("value", col("value") + 1000.0),
+      commitTime = "c2")
+    outputCols(table.readSnapshot(s, snap))
+  }
+
   /** Schema evolution (O5–O9): batch A lacks the `value` column, batch B
     * carries it; aligning A against the evolved schema null-fills `value`
     * (glue_job_script.py:81-90 intent) and the union widens nothing else.

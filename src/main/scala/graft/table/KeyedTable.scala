@@ -763,6 +763,62 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         .drop("_graft_first_commit"))
   }
 
+  // ---- snapshot manifests (Iceberg-style pinned file lists) ------------
+  private def manifestDir = s"${spec.path}/_graft_manifest"
+
+  /** Pin the CURRENT set of data files as a named snapshot manifest
+    * (Iceberg's core move: a table is a file LIST, not a directory).
+    * Readers of the returned snapshot id get (a) read isolation — later
+    * appends are invisible however long the reader runs — and (b) no
+    * directory listing: at 100 TB an object-store LIST over millions of
+    * keys per query is its own bottleneck; a manifest is one metadata
+    * read. Valid under append-only evolution ([[insert]] /
+    * [[bulkInsert]] / merge-on-read [[upsert]]); rewriting services
+    * (copy-on-write upsert, [[delete]], [[compact]], clustering) delete
+    * superseded files eagerly — Hudi cleaning without a retention
+    * window — so they invalidate older manifests, documented rather than
+    * hidden (Iceberg keeps old files until `expire_snapshots`; a
+    * retention-aware cleaner would be the extension).
+    */
+  def writeManifest(spark: SparkSession): String = {
+    import spark.implicits._
+    val snapshotId = s"s${latestCommit(spark).getOrElse("0")}-${
+      fs(spark).listStatus(new Path(manifestDirSafe(spark))).length}"
+    dataFiles(spark).toSeq.sorted.toDF("file")
+      .coalesce(1)
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$manifestDir/$snapshotId")
+    snapshotId
+  }
+
+  private def manifestDirSafe(spark: SparkSession): String = {
+    val f = fs(spark)
+    val p = new Path(manifestDir)
+    if (!f.exists(p)) f.mkdirs(p)
+    manifestDir
+  }
+
+  /** The table as pinned by `snapshotId`: exactly the manifest's files,
+    * no directory listing of the data path. History tables still resolve
+    * latest-per-key — over the pinned file set, which is precisely what
+    * makes the snapshot a consistent point-in-time view under concurrent
+    * appends.
+    */
+  def readSnapshot(spark: SparkSession, snapshotId: String): DataFrame = {
+    val files = spark.read.parquet(s"$manifestDir/$snapshotId")
+      .collect().map(_.getString(0)).toSeq
+    val raw =
+      if (files.isEmpty) readRaw(spark).filter(lit(false))
+      else {
+        val rd = spark.read.option("basePath", spec.path)
+        (sidecarSchema(spark) match {
+          case Some(sch) => rd.schema(sch)
+          case None      => rd.option("mergeSchema", "true")
+        }).parquet(files: _*)
+      }
+    SchemaEvolution.dropSystemColumns(
+      if (spec.retainHistory) resolveLatest(raw) else raw)
+  }
+
   /** STATE-delta change feed (Delta CDF's row set: `insert` /
     * `update_preimage` / `update_postimage` / `delete`): per key, the
     * latest-resolved state BEFORE `sinceCommit` versus AFTER `endCommit`,
