@@ -543,27 +543,23 @@ object Similarity {
     *     across engines), so the sum is INTEGER — exactly associative,
     *     independent of partitioning, and cross-engine reproducible. A
     *     double sum of n·d² float products is none of those things.
-    *   - NO JOIN: the d(d+1)/2 pair products are generated INSIDE each
-    *     row (nested array transform over the row's own vector), and
-    *     hash aggregation's map-side partial agg collapses every
-    *     partition to ≤ 2080 rows before the shuffle — shuffle volume is
-    *     O(partitions·d²), independent of corpus size. The naive shapes
-    *     (self-join on vec_id, or exploding to (vec_id, dim, value) and
-    *     joining) shuffle O(n·d) or worse.
+    *   - NO JOIN, NO EXPLODE: the d(d+1)/2 pair products accumulate into
+    *     a single per-partition buffer ([[graft.functions.GramMatrix]], a
+    *     tight-loop `TypedImperativeAggregate`) — each input row is d²/2
+    *     multiply-adds into an array, not d²/2 GENERATED ROWS each paying
+    *     a hash-aggregate probe (the explode shape this replaced was ~4×
+    *     slower at sf0.1). Partial buffers merge element-wise, so the
+    *     shuffle is O(partitions·d²) longs, independent of corpus size.
+    *     The naive shapes (self-join on vec_id, or exploding to (vec_id,
+    *     dim, value) and joining) shuffle O(n·d) or worse.
     */
   def embeddingGram(s: SparkSession, dir: String, dim: Int = 64): DataFrame = {
-    val q = transform(col("embedding"), x => floor(x.cast("double") * 100))
-    val pairs = flatten(transform(q, (vi, i) =>
-      transform(slice(q, i + 1, lit(dim) - i), (vj, jr) =>
-        struct(
-          i.cast("int").as("i"),
-          (i + jr).cast("int").as("j"),
-          (vi * vj).as("p")))))
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * 100).cast("long"))
     Tables.embeddings(s, dir)
-      .select(explode(pairs).as("pp"))
-      .select(col("pp.i").as("i"), col("pp.j").as("j"), col("pp.p").as("p"))
-      .groupBy("i", "j")
-      .agg(sum("p").as("gram"))
+      .agg(graft.functions.GramMatrix.gramMatrix(q, dim).as("g"))
+      .select(explode(col("g")).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("gram"))
   }
 
   /** Window-based reference implementation of [[knnJoin]] (same result,

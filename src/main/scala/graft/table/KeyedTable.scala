@@ -828,9 +828,12 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * downstream aggregate), and a late-arriving version (older precombine
     * than the standing winner) appears in the version feed while leaving
     * the STATE unchanged — replaying it would corrupt the view, while
-    * here before == after drops it. Two window passes (the before and
-    * after resolves) plus one key-equality join, all shuffles on the
-    * merge key scope; cost is O(history ≤ end), never O(downstream
+    * here before == after drops it. ONE shuffle on the merge key scope:
+    * both resolved states come out of a single aggregation (`max_by` over
+    * the merge order for the after state; the same `max_by` masked to
+    * commits ≤ since for the before state — masked rows carry a null
+    * ordering, which `max_by` ignores), instead of two window passes plus
+    * a key-equality join. Cost is O(history ≤ end), never O(downstream
     * recompute). No `delete` rows: [[delete]] is physical erasure, which
     * removes the very versions a retrospective feed would need (same
     * limitation [[readChangeFeed]] documents — tombstones would be the
@@ -847,17 +850,20 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         "needs the key's superseded versions to still exist")
     val raw = readRaw(spark)
     val upTo = endCommit.fold(raw)(e => raw.filter(col(CommitTimeCol) <= e))
-    val after = SchemaEvolution.dropSystemColumns(resolveLatest(upTo))
-    val before = SchemaEvolution.dropSystemColumns(
-      resolveLatest(raw.filter(col(CommitTimeCol) <= sinceCommit)))
+    val userCols = SchemaEvolution.dropSystemColumns(upTo).columns.toSeq
     val scope =
       if (spec.globalKeys) spec.keyCols
-      else spec.keyCols ++ spec.partitionCols.filter(after.columns.contains)
-    val af = after.select(
-      scope.map(col) :+ struct(after.columns.map(col): _*).as("_graft_after"): _*)
-    val bf = before.select(
-      scope.map(col) :+ struct(before.columns.map(col): _*).as("_graft_before"): _*)
-    val j = af.join(bf, scope, "full_outer")
+      else spec.keyCols ++ spec.partitionCols.filter(userCols.contains)
+    // Merge order = [[resolveLatest]]'s: precombine, tiebreaks, then
+    // commit time (an exact tie goes to the later commit); struct
+    // comparison ranks null fields lowest, matching desc_nulls_last.
+    val ord = struct(
+      ((spec.precombineCol +: spec.tiebreakCols) :+ CommitTimeCol).map(col): _*)
+    val payload = struct(userCols.map(col): _*)
+    val inBefore = col(CommitTimeCol) <= lit(sinceCommit)
+    val j = upTo.groupBy(scope.map(col): _*).agg(
+      max_by(payload, ord).as("_graft_after"),
+      max_by(when(inBefore, payload), when(inBefore, ord)).as("_graft_before"))
     // Each changed key explodes to its CDF rows; `when` without
     // `otherwise` yields null array slots, filtered after the explode.
     // Keys never leave the state (versions only accrete; physical
