@@ -290,16 +290,6 @@ object Curation {
         .otherwise(lit("")))
   }
 
-  /** PII scan + redaction over the documents table — the safety pass of a
-    * curation pipeline: per-document counts of email / phone / IPv4
-    * matches, a has_pii flag (the drop-or-route decision), and a redacted
-    * text with each span replaced by a typed placeholder. Row-level map
-    * over one scan — no shuffle, no state; the regex work is codegen'd
-    * string processing that scales embarrassingly.
-    *
-    * Redaction order (email → phone → IP) is fixed and mirrored in the
-    * oracle so overlapping matches resolve identically.
-    */
   /** Deterministic negative-pair mining for contrastive training: each
     * document draws `perDoc` pseudo-random partners via a fixed integer
     * hash (Knuth multiplicative constant) over (doc_id, draw index), mod
@@ -328,6 +318,16 @@ object Curation {
       .select(col("doc_id"), col("draw"), col("neg_id"), col("neg_len"))
   }
 
+  /** PII scan + redaction over the documents table — the safety pass of a
+    * curation pipeline: per-document counts of email / phone / IPv4
+    * matches, a has_pii flag (the drop-or-route decision), and a redacted
+    * text with each span replaced by a typed placeholder. Row-level map
+    * over one scan — no shuffle, no state; the regex work is codegen'd
+    * string processing that scales embarrassingly.
+    *
+    * Redaction order (email → phone → IP) is fixed and mirrored in the
+    * oracle so overlapping matches resolve identically.
+    */
   def piiRedact(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       // single-row-group fixture: spread the per-doc regex work first

@@ -68,8 +68,11 @@ object Profile {
     Tables.events(s, dir)
       .groupBy(col("event_type"))
       .agg(
+        // COUNT(DISTINCT) semantics exclude NULLs, but xxhash64(NULL) is
+        // the (valid) seed hash — mask to null so the aggregate skips it.
         graft.functions.KmvDistinct
-          .kmvDistinct(xxhash64(col("user_id")), k).as("n_users"),
+          .kmvDistinct(when(col("user_id").isNotNull,
+            xxhash64(col("user_id"))), k).as("n_users"),
         count(lit(1)).as("n_events"))
 
   def orderPriceQuartiles(s: SparkSession, dir: String, exact: Boolean = true): DataFrame = {

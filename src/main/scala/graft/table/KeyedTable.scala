@@ -293,26 +293,35 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * target file size (the clustering plan's small-file sizing).
     */
   private def filePartsFor(spark: SparkSession, targetFileBytes: Long): Int = {
+    val n = listDataFiles(spark).map(_._2).sum
+    math.max(1, math.ceil(n.toDouble / targetFileBytes).toInt)
+  }
+
+  /** Recursive (qualified path, length) listing of the table's DATA
+    * files. The root is qualified so the prefix strip always matches the
+    * fully qualified paths listFiles returns (a relative spec.path would
+    * otherwise no-op the strip and ancestor segments like ".work" would
+    * misclassify every data file as metadata); any path component under
+    * the root starting with '_' or '.' is metadata (Spark's own
+    * data-file listing rule) — e.g. the _graft_colstats / _graft_bloom /
+    * _graft_manifest sidecars keep parquet of their own. ONE shared
+    * helper for file sizing, the bloom index, and manifests, so the
+    * classification can never diverge between consumers.
+    */
+  private def listDataFiles(spark: SparkSession): Seq[(String, Long)] = {
     val f = fs(spark)
-    // Qualify the root so the prefix strip below always matches the fully
-    // qualified paths listFiles returns (a relative spec.path would
-    // otherwise no-op the strip and ancestor segments like ".work" would
-    // misclassify every data file as metadata).
     val root = f.makeQualified(new Path(spec.path))
     val rootPrefix = root.toUri.getPath
     val it = f.listFiles(root, true)
-    var n = 0L
+    val b = Seq.newBuilder[(String, Long)]
     while (it.hasNext) {
       val s = it.next()
       val p = s.getPath
-      // Sum only data files: any path component under the table root that
-      // starts with '_' is metadata (Spark's own data-file listing rule) —
-      // e.g. the _graft_colstats sidecar keeps parquet of its own.
       val rel = p.toUri.getPath.stripPrefix(rootPrefix).split('/')
       val isMeta = rel.exists(seg => seg.startsWith("_") || seg.startsWith("."))
-      if (!isMeta && p.getName.endsWith(".parquet")) n += s.getLen
+      if (!isMeta && p.getName.endsWith(".parquet")) b += (p.toString -> s.getLen)
     }
-    math.max(1, math.ceil(n.toDouble / targetFileBytes).toInt)
+    b.result()
   }
 
   // Column-stats index sidecar (Hudi metadata-table `column_stats`): one
@@ -399,20 +408,8 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   }
 
   /** All current data-file paths (FS-qualified), metadata excluded. */
-  private def dataFiles(spark: SparkSession): Set[String] = {
-    val f = fs(spark)
-    val root = f.makeQualified(new Path(spec.path))
-    val rootPrefix = root.toUri.getPath
-    val it = f.listFiles(root, true)
-    val b = Set.newBuilder[String]
-    while (it.hasNext) {
-      val p = it.next().getPath
-      val rel = p.toUri.getPath.stripPrefix(rootPrefix).split('/')
-      val isMeta = rel.exists(seg => seg.startsWith("_") || seg.startsWith("."))
-      if (!isMeta && p.getName.endsWith(".parquet")) b += p.toString
-    }
-    b.result()
-  }
+  private def dataFiles(spark: SparkSession): Set[String] =
+    listDataFiles(spark).map(_._1).toSet
 
   /** Upsert through the bloom index at FILE granularity — Hudi's actual
     * copy-on-write write path (index probe → file groups → rewrite only
@@ -481,8 +478,15 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         // Stage the surviving files' index rows, then go stale-absent:
         // from here to the final index write, a crash leaves NO index
         // (full-scan rebuild on next use) rather than one that is
-        // blind to the appended files.
-        val (m, k) = bloomConf(spark)
+        // blind to the appended files. New-file rows are built with the
+        // INDEX's own (m, k), not the session conf — a mixed-parameter
+        // index would turn probe mismatches into bloom false negatives;
+        // to change parameters, rebuild via recordBloomIndex.
+        val head = spark.read.parquet(bloomDir)
+          .select(col("m"), col("k")).limit(1).collect()
+        val (m, k) =
+          if (head.isEmpty) bloomConf(spark)
+          else (head(0).getInt(0), head(0).getInt(1))
         val tmpIdx = new Path(spec.path, "._graft_bloom_tmp")
         f.delete(tmpIdx, true)
         spark.read.parquet(bloomDir)
@@ -782,7 +786,11 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     */
   def writeManifest(spark: SparkSession): String = {
     import spark.implicits._
-    val snapshotId = s"s${latestCommit(spark).getOrElse("0")}-${
+    // Snapshot id from metadata only (wall clock + manifest count — the
+    // count disambiguates same-millisecond writes): minting an id must
+    // not scan table CONTENT, or pinning a 100 TB snapshot costs a
+    // column scan of the table it is trying not to read.
+    val snapshotId = s"s${defaultCommitTime()}-${
       fs(spark).listStatus(new Path(manifestDirSafe(spark))).length}"
     dataFiles(spark).toSeq.sorted.toDF("file")
       .coalesce(1)
@@ -1036,6 +1044,12 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     // until recordColumnStats runs again. (Full rewrites via rewriteViaTmp
     // drop the sidecar with the directory.)
     fs(df.sparkSession).delete(new Path(colStatsDir), true)
+    // The bloom record-key index has the same stale-absent rule: files
+    // appended or rewritten outside the bloom path would be invisible to
+    // the probe (silent missed merges — the one wrong state) or dangle
+    // as deleted candidate paths. Absent just means the next indexed
+    // upsert rebuilds with one scan.
+    fs(df.sparkSession).delete(new Path(bloomDir), true)
     // The catalog sidecar must survive every write: on an unpartitioned
     // table SaveMode.Overwrite is a STATIC overwrite that deletes the
     // whole directory (dynamic overwrite only replaces touched
@@ -1266,6 +1280,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
           .partitionBy(spec.partitionCols: _*).parquet(spec.path)
         deletePartitionDirs(spark, stale)
         fs(spark).delete(new Path(colStatsDir), true) // see writeOut
+        fs(spark).delete(new Path(bloomDir), true)    // see writeOut
       } finally affected.unpersist()
     }
   }

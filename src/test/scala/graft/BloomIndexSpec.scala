@@ -107,6 +107,37 @@ class BloomIndexSpec extends SparkTestBase {
     assert(outputSet(table.read(spark)) == want2)
   }
 
+  test("a non-indexed write invalidates the index; the next indexed upsert rebuilds correctly") {
+    val ev = eventsUs
+    val path = Files.createTempDirectory("graft_bloom_inval_").toString + "/t"
+    val table = KeyedTable(flatSpec(path))
+    val evA = ev.filter(col("event_id") % 2 === 0)
+    val evB = ev.filter(col("event_id") % 2 === 1)
+    table.upsertBloomIndexed(spark, evA, commitTime = "c0")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bloomPath = new org.apache.hadoop.fs.Path(path, "_graft_bloom")
+    assert(fs.exists(bloomPath))
+    // A plain insert appends files OUTSIDE the bloom path — the index
+    // must go stale-ABSENT, never stale-present (a present index blind
+    // to evB's files would silently skip merging their keys).
+    table.insert(spark, evB, commitTime = "c1")
+    assert(!fs.exists(bloomPath), "non-indexed write must drop the bloom index")
+    // Update keys that live only in the non-indexed files: the rebuild
+    // must find them and the merge must still be exact.
+    // deterministic slice (limit() could re-evaluate differently below)
+    val batch = evB.filter(col("event_id") % 7 === 1)
+      .withColumn("ts_us", col("ts_us") + 1000000L)
+      .withColumn("value", col("value") + 1.0)
+    table.upsertBloomIndexed(spark, batch, commitTime = "c2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_id").orderBy(col("ts_us").desc)
+    val want = outputSet(
+      ev.unionByName(batch)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn"))
+    assert(outputSet(table.read(spark)) == want)
+  }
+
   test("index probe has no false negatives: every stored key's file is a candidate") {
     val ev = eventsUs
     val path = Files.createTempDirectory("graft_bloom_fn_").toString + "/t"
