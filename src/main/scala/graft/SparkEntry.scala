@@ -134,7 +134,9 @@ object SparkEntry {
     "q107_incr_view" -> (UpsertOps.incrementalViewMaintain(_, _)),
     "q108_audio_frames" -> ((s, d) => Multimodal.audioFrames(s, d)),
     "q109_negative_pairs" -> ((s, d) => Curation.negativePairs(s, d)),
-    "q110_manifest_snapshot" -> (UpsertOps.manifestSnapshotRead(_, _))
+    "q110_manifest_snapshot" -> (UpsertOps.manifestSnapshotRead(_, _)),
+    "q111_daily_resample" -> ((s, d) => TimeSeries.dailyResample(s, d)),
+    "q112_sessionize" -> ((s, d) => TimeSeries.sessionStats(s, d))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -456,6 +458,50 @@ object SparkEntry {
     // pinned snapshot: the post-manifest decoy commit must be invisible,
     // so the read equals the plain two-commit latest state
     "q110_manifest_snapshot" -> latestPerUserType,
+    "q111_daily_resample" ->
+      // integer-µs day buckets; carried values are byte-copies of stored
+      // doubles, so the forward fill hashes bit-for-bit
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |         epoch_us(ts) AS ts_us, event_id, value
+        |  FROM events),
+        |obs AS (
+        |  SELECT user_id, day,
+        |         (array_agg(value ORDER BY ts_us DESC, event_id DESC))[1] AS day_value
+        |  FROM e GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM e GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS day FROM b),
+        |j AS (
+        |  SELECT g.user_id, g.day, o.day_value
+        |  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day)
+        |SELECT user_id, day,
+        |  last_value(day_value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS value,
+        |  CAST(day_value IS NOT NULL AS INT) AS observed
+        |FROM j""".stripMargin,
+    "q112_sessionize" ->
+      // gap rule and bounds are pure integer µs arithmetic
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+        |f AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    CASE WHEN ts_us - lag(ts_us) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s0,
+        |    CASE WHEN lag(ts_us) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+        |      THEN 1 ELSE 0 END AS first_s
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    CAST(SUM(CASE WHEN first_s = 1 THEN 1 ELSE new_s0 END) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |       MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+        |       MAX(ts_us) - MIN(ts_us) AS duration_us
+        |FROM g GROUP BY 1, 2""".stripMargin,
     "q107_incr_view" ->
       // the incrementally maintained view must equal this from-scratch
       // recompute over the FINAL latest state, decimal-exact
