@@ -62,7 +62,26 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$to/embeddings.parquet")
 
-    println(s"[scalegen] wrote $to: documents=${nDocs * reps} embeddings=${nVecs * reps}")
+    // Events scale on BOTH axes that matter to the keyed/time-series
+    // family: 10× rows via replication and 10× key cardinality via
+    // per-replica user/event id offsets (a 10× corpus with the SAME 1.5k
+    // users would measure hot-key pileup, not scaling). Timestamps stay —
+    // per-user densities and session/gap structure match the source tier.
+    val ev = spark.read.parquet(s"$from/events.parquet")
+    val nEvents = ev.agg(max("event_id")).head.getLong(0) + 1
+    val nUsers = ev.agg(max("user_id")).head.getLong(0) + 1
+    val passthrough = ev.columns
+      .filterNot(Set("event_id", "user_id").contains).map(col).toSeq
+    ev.crossJoin(repl)
+      .select(
+        (col("event_id") + col("rep").cast("long") * nEvents).as("event_id") +:
+        (col("user_id") + col("rep").cast("long") * nUsers).as("user_id") +:
+        passthrough: _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$to/events.parquet")
+
+    println(s"[scalegen] wrote $to: documents=${nDocs * reps} " +
+      s"embeddings=${nVecs * reps} events=${nEvents * reps}")
     spark.stop()
   }
 }

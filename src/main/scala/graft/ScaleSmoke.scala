@@ -22,7 +22,13 @@ object ScaleSmoke {
     "q97_edit_dedup",
     "q51_dedup_clusters",
     "q98_similar_neighbors",
-    "q41_knn_join")
+    "q41_knn_join",
+    // round-7 additions with their own scale curves to prove
+    "q103_embed_gram",
+    "q105_upsert_bloom",
+    "q106_kmv_distinct",
+    "q111_daily_resample",
+    "q112_sessionize")
 
   def main(args: Array[String]): Unit = {
     val small = args.headOption.getOrElse("/root/testdata/sf0.1")
