@@ -136,7 +136,8 @@ object SparkEntry {
     "q109_negative_pairs" -> ((s, d) => Curation.negativePairs(s, d)),
     "q110_manifest_snapshot" -> (UpsertOps.manifestSnapshotRead(_, _)),
     "q111_daily_resample" -> ((s, d) => TimeSeries.dailyResample(s, d)),
-    "q112_sessionize" -> ((s, d) => TimeSeries.sessionStats(s, d))
+    "q112_sessionize" -> ((s, d) => TimeSeries.sessionStats(s, d)),
+    "q113_epoch_shards" -> ((s, d) => Curation.trainingShards(s, d))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -479,6 +480,19 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS value,
         |  CAST(day_value IS NOT NULL AS INT) AS observed
         |FROM j""".stripMargin,
+    "q113_epoch_shards" ->
+      // seeded multiplicative hash replayed closed-form; positions by
+      // (hash, doc_id) order within each shard
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |         (doc_id*2654435761 + 7*40503) % 1000000007 AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(h % 64 AS INT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY h % 64 ORDER BY h, doc_id) AS INT) AS pos,
+        |  n_chars
+        |FROM h""".stripMargin,
     "q112_sessionize" ->
       // gap rule and bounds are pure integer µs arithmetic
       """WITH e AS (

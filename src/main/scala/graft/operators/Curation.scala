@@ -290,6 +290,31 @@ object Curation {
         .otherwise(lit("")))
   }
 
+  /** Deterministic epoch sharding — the "global shuffle" a trainer needs
+    * without a total-order sort: each document hashes to one of `shards`
+    * buckets (seeded multiplicative hash, so epochs differ by seed yet
+    * replay bit-identically), and gets a position within its shard by
+    * hash order. ONE hash shuffle + per-shard window; a full ORDER BY
+    * over 100 TB would range-partition and sort everything through one
+    * global ordering instead. Shards are balanced by hash uniformity;
+    * workers read disjoint shard files. The hash is plain integer
+    * arithmetic (not xxhash64) so the oracle (q113) replays it
+    * closed-form.
+    */
+  def trainingShards(
+      s: SparkSession, dir: String, seed: Int = 7, shards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = pmod(
+      col("doc_id") * lit(2654435761L) + lit(seed.toLong) * lit(40503L),
+      lit(1000000007L))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_chars"))
+  }
+
   /** Deterministic negative-pair mining for contrastive training: each
     * document draws `perDoc` pseudo-random partners via a fixed integer
     * hash (Knuth multiplicative constant) over (doc_id, draw index), mod

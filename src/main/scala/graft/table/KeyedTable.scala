@@ -767,6 +767,71 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         .drop("_graft_first_commit"))
   }
 
+  // ---- filesystem lock provider (Hudi FileSystemBasedLockProvider) -----
+
+  /** Run `body` holding the table's writer lock — multi-writer safety for
+    * the write paths, whose read-merge-overwrite sequences assume a
+    * single writer (SURVEY §7.4's documented caveat). The lock is an
+    * ATOMIC create of `_graft_lock` (atomic on local FS and HDFS;
+    * object stores without atomic create need an external lock service,
+    * same constraint Hudi documents for its FS lock provider). Blocked
+    * writers poll until `timeoutMs`, so contending commits SERIALIZE
+    * rather than interleave — two upserts racing the same partition
+    * otherwise both read pre-state and the loser's rows vanish (lost
+    * update). Reentrancy is not provided; timeout surfaces a stuck or
+    * crashed holder (a crash leaks the file — `breakTableLock` is the
+    * operator override, mirroring Hudi's forced unlock). The lock file
+    * lives BESIDE the table directory, not inside it: a bootstrap's
+    * static overwrite deletes the table dir wholesale and would delete
+    * the holder's own lock mid-commit (Hudi keeps its FS lock path
+    * outside the base path for the same reason).
+    */
+  def withTableLock[T](
+      spark: SparkSession,
+      timeoutMs: Long = 60000L,
+      pollMs: Long = 25L)(body: => T): T = {
+    val f = fs(spark)
+    val lock = lockPath
+    f.mkdirs(lock.getParent) // first-ever commit: parent may not exist
+    val deadline = System.currentTimeMillis() + timeoutMs
+    // The acquire must be an atomic create-if-absent. HDFS's
+    // create(overwrite=false) IS that (NameNode-enforced); Hadoop's
+    // LOCAL filesystem implements it as exists-then-create — a TOCTOU
+    // hole two contending threads fall straight through — so the file
+    // scheme goes via NIO's O_EXCL createFile instead.
+    def tryAcquire(): Boolean =
+      if (f.getScheme == "file") {
+        try {
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(lock.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try { f.create(lock, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      }
+    while (!tryAcquire()) {
+      if (System.currentTimeMillis() > deadline)
+        throw new java.util.concurrent.TimeoutException(
+          s"could not acquire table lock $lock within ${timeoutMs} ms; " +
+            "holder stuck or crashed? breakTableLock() is the operator override")
+      Thread.sleep(pollMs)
+    }
+    try body
+    finally f.delete(lock, false)
+  }
+
+  /** Forcibly remove a leaked lock (crashed holder). Operator judgment
+    * call by design — the provider cannot distinguish stuck from slow.
+    */
+  def breakTableLock(spark: SparkSession): Unit =
+    fs(spark).delete(lockPath, false)
+
+  private def lockPath: Path = {
+    val base = new Path(spec.path)
+    new Path(base.getParent, s"_graft_lock.${base.getName}")
+  }
+
   // ---- snapshot manifests (Iceberg-style pinned file lists) ------------
   private def manifestDir = s"${spec.path}/_graft_manifest"
 
