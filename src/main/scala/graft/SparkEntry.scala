@@ -137,7 +137,9 @@ object SparkEntry {
     "q110_manifest_snapshot" -> (UpsertOps.manifestSnapshotRead(_, _)),
     "q111_daily_resample" -> ((s, d) => TimeSeries.dailyResample(s, d)),
     "q112_sessionize" -> ((s, d) => TimeSeries.sessionStats(s, d)),
-    "q113_epoch_shards" -> ((s, d) => Curation.trainingShards(s, d))
+    "q113_epoch_shards" -> ((s, d) => Curation.trainingShards(s, d)),
+    "q114_write_audit_publish" -> (UpsertOps.writeAuditPublish(_, _)),
+    "q115_stream_bloom" -> (UpsertOps.streamBloomUpsert(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -459,6 +461,12 @@ object SparkEntry {
     // pinned snapshot: the post-manifest decoy commit must be invisible,
     // so the read equals the plain two-commit latest state
     "q110_manifest_snapshot" -> latestPerUserType,
+    // WAP: the audited-out poison commit must leave no trace, so the
+    // published state equals the plain two-batch merge
+    "q114_write_audit_publish" -> latestPerUserType,
+    // micro-batch loop through the file-level bloom write path: the
+    // write path must not change the merge result
+    "q115_stream_bloom" -> latestPerUserType,
     "q111_daily_resample" ->
       // integer-µs day buckets; carried values are byte-copies of stored
       // doubles, so the forward fill hashes bit-for-bit

@@ -166,6 +166,35 @@ object UpsertOps {
         col("sum_value").cast("double").as("sum_value"))
   }
 
+  /** Write-audit-publish (the Netflix/Iceberg WAP pattern) on the commit
+    * timeline: a batch lands as a STAGED commit on the history table, an
+    * AUDIT query inspects exactly that commit's delta
+    * ([[KeyedTable.readIncremental]] — O(delta), not O(table)), and a
+    * failing audit ROLLS BACK by [[KeyedTable.restore]] (physical drop of
+    * the staged versions) before the corrected batch publishes. Here the
+    * staged batch violates the value ≥ 0 contract, is rolled back, and
+    * the fixed batch lands — so the final state equals the plain
+    * two-batch merge (the oracle): the poison must leave no trace. At
+    * scale this is how bad data is kept out of a 100 TB table without
+    * ever copying it: stage, audit the delta, publish or drop.
+    */
+  def writeAuditPublish(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_wap_").toString
+    val table = KeyedTable(morSpec(s"$tmp/events_keyed"))
+    val ev = eventsUs(s, dir)
+    table.upsert(s, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    // STAGE: a poisoned batch (negative values) as commit c1
+    table.upsert(s, ev.filter(col("event_id") % 2 === 1)
+      .withColumn("value", -col("value") - lit(1.0)), commitTime = "c1")
+    // AUDIT the staged delta only
+    val clean = table.readIncremental(s, "c0", Some("c1"))
+      .filter(col("value") < 0).isEmpty
+    if (!clean) table.restore(s, "c0") // ROLLBACK: staged versions dropped
+    // corrected batch publishes
+    table.upsert(s, ev.filter(col("event_id") % 2 === 1), commitTime = "c2")
+    outputCols(table.read(s))
+  }
+
   /** Snapshot-manifest read isolation end-to-end: the two-commit table is
     * pinned by a manifest, a LATER insert appends decoy rows (same keys,
     * bumped precombine — they would win any later merge and shift every
@@ -598,6 +627,34 @@ object UpsertOps {
     val stream = JsonStreamSource.stream(s, src, schema = Some(inferred))
     val q = MicroBatchPipeline.start(
       stream, table, checkpoint, trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    outputCols(table.read(s))
+  }
+
+  /** [[streamUpsert]]'s loop with the FILE-level bloom write
+    * ([[KeyedTable.upsertBloomIndexed]]) as the per-batch sink: the
+    * production shape for a micro-batch stream feeding a huge table —
+    * each batch's index probe and rewrite scale with the BATCH (2.0× at
+    * 10× rows in the sf1 smoke), where the partition-level path rewrites
+    * every touched partition however small the batch. Same oracle as
+    * q24/q26: the write path must not change the merge result.
+    */
+  def streamBloomUpsert(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_stream_bloom_").toString
+    val tablePath = s"$tmp/events_keyed"
+    val src = stageOnce(dir, "shuffled") { p =>
+      eventsUs(s, dir)
+        .select("event_id", "ts_us", "user_id", "event_type", "value")
+        .repartition(4)
+        .write.mode("overwrite").json(p)
+    }
+    val table = KeyedTable(spec(tablePath))
+    val inferred = inferredSchema.getOrElseUpdate(
+      src, JsonStreamSource.inferSchema(s, src))
+    val stream = JsonStreamSource.stream(s, src, schema = Some(inferred))
+    val q = MicroBatchPipeline.start(
+      stream, table, s"$tmp/checkpoint", trigger = Trigger.AvailableNow(),
+      write = (t, sp, b) => t.upsertBloomIndexed(sp, b))
     q.awaitTermination()
     outputCols(table.read(s))
   }

@@ -29,20 +29,27 @@ object MicroBatchPipeline {
     *                   default is "10 seconds" (Template.yaml:30-33); tests
     *                   use `Trigger.AvailableNow` for a bounded drain.
     * @param checkpoint offsets + commit log dir (py:116).
+    * @param write      the per-batch write operation — defaults to the
+    *                   partition-level [[KeyedTable.upsert]]; pass
+    *                   `(t, sp, b) => t.upsertBloomIndexed(sp, b)` to run
+    *                   the same loop through the file-level bloom path
+    *                   (q115), or any other write op the table supports.
     */
   def start(
       source: DataFrame,
       table: KeyedTable,
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-      queryName: String = "graft-upsert-pipeline"): StreamingQuery = {
+      queryName: String = "graft-upsert-pipeline",
+      write: (KeyedTable, org.apache.spark.sql.SparkSession, DataFrame) => Unit =
+        (t, sp, b) => t.upsert(sp, b)): StreamingQuery = {
 
     val processBatch: (Dataset[Row], Long) => Unit = (batch, _) => {
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
         val aligned =
           SchemaEvolution.align(batch.toDF(), table.currentUserSchema(spark))
-        table.upsert(spark, aligned)
+        write(table, spark, aligned)
       }
     }
 
