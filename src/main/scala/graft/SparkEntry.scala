@@ -139,7 +139,8 @@ object SparkEntry {
     "q112_sessionize" -> ((s, d) => TimeSeries.sessionStats(s, d)),
     "q113_epoch_shards" -> ((s, d) => Curation.trainingShards(s, d)),
     "q114_write_audit_publish" -> (UpsertOps.writeAuditPublish(_, _)),
-    "q115_stream_bloom" -> (UpsertOps.streamBloomUpsert(_, _))
+    "q115_stream_bloom" -> (UpsertOps.streamBloomUpsert(_, _)),
+    "q116_partition_evolution" -> (UpsertOps.partitionEvolutionMerge(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -467,6 +468,9 @@ object SparkEntry {
     // micro-batch loop through the file-level bloom write path: the
     // write path must not change the merge result
     "q115_stream_bloom" -> latestPerUserType,
+    // layout is physical, never semantic: the evolved table's
+    // cross-generation read equals the plain merge
+    "q116_partition_evolution" -> latestPerUserType,
     "q111_daily_resample" ->
       // integer-µs day buckets; carried values are byte-copies of stored
       // doubles, so the forward fill hashes bit-for-bit

@@ -166,6 +166,30 @@ object UpsertOps {
         col("sum_value").cast("double").as("sum_value"))
   }
 
+  /** Partition evolution end-to-end (Iceberg partition-spec evolution):
+    * commit c0 lands UNPARTITIONED at the table root, the layout evolves
+    * to hive-partitioning by event_type, and commit c1 lands in the new
+    * layout under the generation dir — no rewrite of c0. The read unions
+    * the generations and resolves latest-per-key, so the result equals
+    * the plain two-batch merge (the oracle): layout is physical, never
+    * semantic. Global keys by construction — key identity must not
+    * depend on the layout being changed.
+    */
+  def partitionEvolutionMerge(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_evolve_").toString
+    val table = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/events_keyed",
+      keyCols = Seq("user_id", "event_type"),
+      precombineCol = "ts_us",
+      tiebreakCols = Seq("event_id"),
+      globalKeys = true))
+    val ev = eventsUs(s, dir)
+    table.upsert(s, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    table.evolvePartitioning(s, Seq("event_type"))
+    table.upsert(s, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    outputCols(table.read(s))
+  }
+
   /** Write-audit-publish (the Netflix/Iceberg WAP pattern) on the commit
     * timeline: a batch lands as a STAGED commit on the history table, an
     * AUDIT query inspects exactly that commit's delta

@@ -198,9 +198,21 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * schema when present (no footer merging); `mergeSchema` fallback for
     * tables written before the sidecar existed.
     */
-  def readRaw(spark: SparkSession): DataFrame = sidecarSchema(spark) match {
-    case Some(s) => spark.read.schema(s).parquet(spec.path)
-    case None    => spark.read.option("mergeSchema", "true").parquet(spec.path)
+  def readRaw(spark: SparkSession): DataFrame = {
+    def rd(path: String) = (sidecarSchema(spark) match {
+      case Some(s) => spark.read.schema(s)
+      case None    => spark.read.option("mergeSchema", "true")
+    }).option("basePath", path).parquet(path)
+    val base = rd(spec.path)
+    // Evolved layouts: union the generation dirs (each recovers its own
+    // hive partition values against its own basePath; the shared sidecar
+    // schema aligns columns). Root scans never see them — '_'-prefixed.
+    val f = fs(spark)
+    val gens = layoutGens(spark)
+      .map { case (n, _) => genDirStr(n) }
+      .filter(d => f.exists(new Path(d)) && f.listStatus(new Path(d)).nonEmpty)
+    gens.map(rd).foldLeft(base)(
+      _.unionByName(_, allowMissingColumns = true))
   }
 
   /** Merge-on-read resolve: latest version per key; an exact
@@ -218,8 +230,10 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     */
   def read(spark: SparkSession): DataFrame = {
     val raw = readRaw(spark)
+    // Evolved tables resolve like merge-on-read even in COW mode: their
+    // writes are generation APPENDS, superseded rows die at read time.
     SchemaEvolution.dropSystemColumns(
-      if (spec.retainHistory) resolveLatest(raw) else raw)
+      if (spec.retainHistory || isEvolved(spark)) resolveLatest(raw) else raw)
   }
 
   /** Time travel — the table as it stood after `commit`: latest version
@@ -254,6 +268,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       spark: SparkSession,
       cols: Seq[String],
       targetFileBytes: Long = 128L << 20): Unit = {
+    notEvolvedGuard(spark, "z-order clustering")
     require(cols.length == 2, "z-order clustering interleaves exactly two columns")
     if (!exists(spark)) return
     val all = readRaw(spark)
@@ -573,6 +588,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       !spec.retainHistory,
       "readPruned requires a copy-on-write table: latest-per-key resolution " +
         "over a pruned file subset is unsound on history tables")
+    notEvolvedGuard(spark, "stats-pruned read") // evolved reads resolve too
     val f = fs(spark)
     // "Index absent" is per COLUMN, not just per directory: stats recorded
     // for other columns can't answer this predicate — fall back to the
@@ -605,6 +621,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * incremental reads and later time travel stay exact.
     */
   def restore(spark: SparkSession, commit: String): Unit = {
+    notEvolvedGuard(spark, "restore")
     require(
       spec.retainHistory,
       "restore requires retainHistory=true; a copy-on-write table has " +
@@ -629,6 +646,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * before the vacuum point is gone by definition.
     */
   def vacuum(spark: SparkSession): Unit = {
+    notEvolvedGuard(spark, "vacuum")
     require(spec.retainHistory, "vacuum applies to retainHistory tables")
     if (!exists(spark)) return
     rewriteViaTmp(spark, resolveLatest(readRaw(spark)), "_graft_vacuum_tmp")
@@ -661,6 +679,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * the live path is never read and overwritten in the same job.
     */
   def compact(spark: SparkSession): Unit = {
+    notEvolvedGuard(spark, "compaction")
     if (!exists(spark)) return
     val all = readRaw(spark)
     val clustered =
@@ -687,6 +706,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       spark: SparkSession,
       sortCols: Seq[String],
       targetFileBytes: Long = 128L << 20): Unit = {
+    notEvolvedGuard(spark, "sort clustering")
     if (!exists(spark)) return
     require(sortCols.nonEmpty, "cluster needs at least one sort column")
     // Output file count = current data volume / target file size (the
@@ -766,6 +786,114 @@ final class KeyedTable(val spec: KeyedTableSpec) {
           .otherwise("update"))
         .drop("_graft_first_commit"))
   }
+
+  // ---- partition evolution (Iceberg partition-spec evolution) ----------
+  // A table's partition layout can change WITHOUT rewriting history: each
+  // layout change opens a new GENERATION. Generation 0 is the table root
+  // in `spec.partitionCols` layout; generation N ≥ 1 lives under
+  // `_graft_gen_N/` (underscore and no '=' ⇒ invisible to plain root
+  // scans) in its own hive layout. Writes land in the CURRENT generation; reads union
+  // the generations and resolve latest-per-key (the read-side cost
+  // evolution trades for its rewrite-free layout change — Iceberg
+  // instead rewrites manifests because its scans are manifest-driven;
+  // over a directory-layout table the generation union is the honest
+  // equivalent). Requires `globalKeys`: a non-global key is SCOPED by
+  // the partition columns, so changing them would change key identity
+  // mid-history.
+
+  private def layoutSidecarPath = new Path(spec.path, "_graft_layout")
+
+  /** Recorded layout generations beyond gen 0: (gen, partitionCols). */
+  private[graft] def layoutGens(spark: SparkSession): Seq[(Int, Seq[String])] = {
+    val f = fs(spark)
+    if (!f.exists(layoutSidecarPath)) return Nil
+    val in = f.open(layoutSidecarPath)
+    val raw =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    raw.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+      // limit 2: an unpartitioned generation serializes as "N:" and a
+      // plain split(':') would drop the empty field
+      val Array(g, cols) = line.split(":", 2)
+      (g.toInt, cols.split(',').toSeq.filter(_.nonEmpty))
+    }
+  }
+
+  private def isEvolved(spark: SparkSession): Boolean =
+    fs(spark).exists(layoutSidecarPath)
+
+  // No '=' in the name: Spark hides '_'-prefixed dirs EXCEPT when they
+  // look like a `key=value` partition dir — `_graft_gen=1` would be
+  // DISCOVERED as a partition column by root scans and break them.
+  private def genDirStr(n: Int) = s"${spec.path}/_graft_gen_$n"
+
+  private def currentLayout(spark: SparkSession): Seq[String] =
+    layoutGens(spark).lastOption.map(_._2).getOrElse(spec.partitionCols)
+
+  /** Open a new layout generation: future writes partition by `newCols`;
+    * nothing already written moves. See the section comment for read
+    * semantics and the `globalKeys` requirement. The table services that
+    * assume one physical layout (compact / cluster / z-order / delete /
+    * restore / vacuum / manifests / catalog sync / stats-pruned reads)
+    * refuse on an evolved table until generations are folded — an
+    * explicit rewrite the operator schedules, not one evolution smuggles
+    * in.
+    */
+  def evolvePartitioning(spark: SparkSession, newCols: Seq[String]): Unit = {
+    require(spec.globalKeys,
+      "partition evolution requires globalKeys=true: a non-global key is " +
+        "scoped by the partition columns, so changing them would change " +
+        "key identity mid-history")
+    require(exists(spark),
+      "evolving an absent table: construct the spec with the new layout instead")
+    val gens = layoutGens(spark)
+    val cur = gens.lastOption.map(_._2).getOrElse(spec.partitionCols)
+    require(newCols != cur, s"table is already partitioned by $cur")
+    val next = gens.lastOption.map(_._1 + 1).getOrElse(1)
+    val f = fs(spark)
+    val tmp = new Path(spec.path, "._graft_layout.tmp")
+    val out = f.create(tmp, true)
+    try out.write((gens :+ (next, newCols))
+      .map { case (g, cs) => s"$g:${cs.mkString(",")}" }
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    f.delete(layoutSidecarPath, false)
+    if (!f.rename(tmp, layoutSidecarPath))
+      throw new java.io.IOException(
+        s"failed to publish layout sidecar $layoutSidecarPath")
+  }
+
+  /** Evolved-mode write: precombine-dedup (for upsert semantics), stamp
+    * meta with the CURRENT generation's partition path, append into the
+    * generation dir in its layout. Supersession is by commit time at
+    * read — the write itself is O(batch), the whole point.
+    */
+  private def evolvedAppend(
+      spark: SparkSession, batch: DataFrame, commitTime: String,
+      dedup: Boolean): Unit = {
+    val incoming = SchemaEvolution.dropSystemColumns(batch)
+    val current = currentUserSchema(spark).getOrElse(incoming.schema)
+    require(!driftNeedsRewrite(current, incoming.schema),
+      "non-widen-readable type drift on an evolved table: fold generations " +
+        "first (the rewrite must visit every generation)")
+    val aligned = SchemaEvolution.align(incoming, current)
+    val deduped = if (dedup) dedupLatest(aligned) else aligned
+    val gens = layoutGens(spark)
+    val (gen, cols) = gens.last
+    // file-set change: same stale-absent rule as writeOut
+    val f = fs(spark)
+    f.delete(new Path(colStatsDir), true)
+    f.delete(new Path(bloomDir), true)
+    val stamped = withMetaLayout(deduped, commitTime, cols)
+    val w = stamped.write.mode(SaveMode.Append)
+    (if (cols.nonEmpty) w.partitionBy(cols: _*) else w).parquet(genDirStr(gen))
+    recordSchema(spark, stamped.schema)
+  }
+
+  private def notEvolvedGuard(spark: SparkSession, what: String): Unit =
+    require(!isEvolved(spark),
+      s"$what assumes a single physical layout; this table has evolved " +
+        "partitioning (_graft_layout present) — fold generations first")
 
   // ---- filesystem lock provider (Hudi FileSystemBasedLockProvider) -----
 
@@ -850,6 +978,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * retention-aware cleaner would be the extension).
     */
   def writeManifest(spark: SparkSession): String = {
+    notEvolvedGuard(spark, "snapshot manifests") // dataFiles skips _gen dirs
     import spark.implicits._
     // Snapshot id from metadata only (wall clock + manifest count — the
     // count disambiguates same-millisecond writes): minting an id must
@@ -974,6 +1103,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       "catalog sync requires a copy-on-write table: a merge-on-read table " +
         "registered as plain parquet would expose superseded row versions " +
         "to SQL readers; compact to COW or read through KeyedTable.read")
+    notEvolvedGuard(spark, "catalog sync") // plain readers can't union gens
     registerInSession(spark, tableName)
     // Record only when new: replaying N names must not do N redundant
     // sidecar rewrites, and the open path stays read-only on storage.
@@ -1075,12 +1205,12 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   private def keyExpr: Column =
     concat_ws(":", spec.keyCols.map(c => col(c).cast("string")): _*)
 
-  private def partitionPathExpr: Column =
-    if (spec.partitionCols.isEmpty) lit("")
+  private def partitionPathExpr(layoutCols: Seq[String]): Column =
+    if (layoutCols.isEmpty) lit("")
     else
       concat_ws(
         "/",
-        spec.partitionCols.map(c => concat_ws("=", lit(c), col(c).cast("string"))): _*)
+        layoutCols.map(c => concat_ws("=", lit(c), col(c).cast("string"))): _*)
 
   /** Adds engine meta columns — analogue of Hudi's `_hoodie_*` columns
     * (glue_job_script.py:87-88). Dropped again by [[read]]. A commit-time
@@ -1090,13 +1220,17 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * rewritten" — the invariant [[readIncremental]] depends on (and what
     * Hudi's `_hoodie_commit_time` records).
     */
-  private def withMeta(df: DataFrame, commitTime: String): DataFrame = {
+  private def withMeta(df: DataFrame, commitTime: String): DataFrame =
+    withMetaLayout(df, commitTime, spec.partitionCols)
+
+  private def withMetaLayout(
+      df: DataFrame, commitTime: String, layoutCols: Seq[String]): DataFrame = {
     val stamped =
       if (df.columns.contains(CommitTimeCol)) df
       else df.withColumn(CommitTimeCol, lit(commitTime))
     stamped
       .withColumn(RecordKeyCol, keyExpr)
-      .withColumn(PartitionPathCol, partitionPathExpr)
+      .withColumn(PartitionPathCol, partitionPathExpr(layoutCols))
   }
 
   private def writeOut(df: DataFrame, mode: SaveMode): Unit = {
@@ -1234,6 +1368,10 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * uniqueness; a later upsert collapses any duplicates (latest wins).
     */
   def insert(spark: SparkSession, batch: DataFrame, commitTime: String = defaultCommitTime()): Unit = {
+    if (isEvolved(spark)) {
+      evolvedAppend(spark, batch, commitTime, dedup = false)
+      return
+    }
     val incoming = SchemaEvolution.dropSystemColumns(batch)
     currentUserSchema(spark) match {
       case None =>
@@ -1267,6 +1405,10 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * rewrite — rather than silently corrupting the table's readability.
     */
   def bulkInsert(spark: SparkSession, batch: DataFrame, commitTime: String = defaultCommitTime()): Unit = {
+    if (isEvolved(spark)) {
+      evolvedAppend(spark, batch, commitTime, dedup = false)
+      return
+    }
     val incoming = SchemaEvolution.dropSystemColumns(batch)
     currentUserSchema(spark).foreach { current =>
       require(
@@ -1304,6 +1446,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * at all — the index probe finds no partitions).
     */
   def delete(spark: SparkSession, keys: DataFrame): Unit = {
+    notEvolvedGuard(spark, "delete") // the rewrite must visit every generation
     if (!exists(spark)) return
     val provided = SchemaEvolution.dropSystemColumns(keys)
     val scoped = !spec.globalKeys && spec.partitionCols.nonEmpty &&
@@ -1367,6 +1510,10 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * those is its own shuffle).
     */
   def upsert(spark: SparkSession, batch: DataFrame, commitTime: String = defaultCommitTime()): Unit = {
+    if (isEvolved(spark)) {
+      evolvedAppend(spark, batch, commitTime, dedup = true)
+      return
+    }
     val incoming = SchemaEvolution.dropSystemColumns(batch)
     if (spec.retainHistory) {
       // Merge-on-read: precombine within the batch, then a pure append of
