@@ -890,6 +890,23 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     recordSchema(spark, stamped.schema)
   }
 
+  /** Fold every generation back into the SPEC's layout: one rewrite of
+    * the resolved latest state (per-row commit times survive, as in
+    * [[compact]]), generation dirs and the layout sidecar die with the
+    * old directory, and the single-layout services work again. This is
+    * the explicit rewrite the guards point at — scheduled by the
+    * operator when read-side union cost has outgrown the write-side
+    * savings. (To make an EVOLVED layout permanent instead, open the
+    * path under a spec whose `partitionCols` match it and fold there.)
+    */
+  def foldGenerations(spark: SparkSession): Unit = {
+    if (layoutGens(spark).isEmpty) return
+    val resolved = resolveLatest(readRaw(spark))
+      .drop(PartitionPathCol)
+      .withColumn(PartitionPathCol, partitionPathExpr(spec.partitionCols))
+    rewriteViaTmp(spark, resolved, "_graft_fold_tmp")
+  }
+
   private def notEvolvedGuard(spark: SparkSession, what: String): Unit =
     require(!isEvolved(spark),
       s"$what assumes a single physical layout; this table has evolved " +

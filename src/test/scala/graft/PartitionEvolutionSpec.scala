@@ -92,4 +92,30 @@ class PartitionEvolutionSpec extends SparkTestBase {
       t.evolvePartitioning(spark, Seq("event_type")) // no-op layout
     }
   }
+
+  test("folding generations restores the spec layout and re-enables services") {
+    val (t, fs, path) = mk()
+    t.upsert(spark, rows((1L, "click", 100L, 1L, 1.0)), "c0")
+    t.evolvePartitioning(spark, Seq("event_type"))
+    t.upsert(spark, rows(
+      (1L, "click", 200L, 2L, 5.0),
+      (2L, "view", 100L, 3L, 2.0)), "c1")
+    val before = t.read(spark)
+      .select("user_id", "event_type", "ts_us", "value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    t.foldGenerations(spark)
+    assert(t.layoutGens(spark).isEmpty)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_graft_gen_1")))
+    val after = t.read(spark)
+      .select("user_id", "event_type", "ts_us", "value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(after == before)
+    t.compact(spark) // guarded before the fold; must work now
+    assert(t.read(spark)
+      .select("user_id", "event_type", "ts_us", "value")
+      .as[(Long, String, Long, Double)].collect().toSet == before)
+    // commit times survived the fold: the c1 delta is still addressable
+    assert(t.readIncremental(spark, "c0")
+      .select("user_id").as[Long].collect().toSet == Set(1L, 2L))
+  }
 }
