@@ -67,6 +67,10 @@ object ScaleGen {
     // per-replica user/event id offsets (a 10× corpus with the SAME 1.5k
     // users would measure hot-key pileup, not scaling). Timestamps stay —
     // per-user densities and session/gap structure match the source tier.
+    // NOTE: `ts` is read as a plain long (nanosAsLong) and written back
+    // as INT64 — the TIMESTAMP(NANOS) annotation of the shipped tiers is
+    // NOT preserved. The generated tier is for ScaleSmoke TIMING only;
+    // DuckDB oracles (epoch_us(ts)) would not bind against it.
     val ev = spark.read.parquet(s"$from/events.parquet")
     val nEvents = ev.agg(max("event_id")).head.getLong(0) + 1
     val nUsers = ev.agg(max("user_id")).head.getLong(0) + 1

@@ -18,7 +18,7 @@ object TimeSeries {
   private val MicrosPerDay = 86400000000L
 
   private def eventsUs(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+    Tables.eventsUs(s, dir)
 
   /** Daily resample with forward fill: per user, one row per calendar day
     * from their first to their last event; days with activity carry the

@@ -86,13 +86,8 @@ object UpsertOps {
     KeyedTable(if (history) morSpec(dst) else spec(dst))
   }
 
-  /** events + a µs-precision long timestamp for engine-neutral ordering.
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 reads as a
-    * nanosecond long (spark.sql.legacy.parquet.nanosAsLong — set by
-    * Verify/Bench/tests); `ts div 1000` = DuckDB's `epoch_us(ts)`.
-    */
   private def eventsUs(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+    Tables.eventsUs(s, dir)
 
   private def spec(path: String): KeyedTableSpec =
     KeyedTableSpec(
@@ -623,34 +618,39 @@ object UpsertOps {
     * partitioned table, then read back. Same oracle as [[upsertMerge]]:
     * stream-at-rest ≡ latest-per-key.
     */
-  def streamUpsert(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_stream_").toString
-    val tablePath = s"$tmp/events_keyed"
-    val checkpoint = s"$tmp/checkpoint"
+  def streamUpsert(s: SparkSession, dir: String): DataFrame =
+    streamVia(s, dir, "graft_stream_", (t, sp, b) => t.upsert(sp, b))
 
-    // Stage the stream input as several JSON files — the multi-file
-    // layout a sharded transport produces (the drain itself takes them
-    // in one AvailableNow batch; see below).
+  /** Shared staged-JSON → foreachBatch → read-back drive for the
+    * streaming ingest queries; `write` is the per-batch sink op. One
+    * body on purpose: both queries share the `stageOnce(dir,
+    * "shuffled")` memo key, so a forked copy that drifted in its staging
+    * select/partitioning would silently reuse the OTHER query's files.
+    *
+    * Staging is the multi-file layout a sharded transport produces;
+    * schema inference (O1's semantic) runs once per staged source (the
+    * files are immutable); the drain is one production-default
+    * AvailableNow batch — multi-batch ingest (checkpoint restart,
+    * empty-batch guard, cross-batch merge) is StreamingSpec's territory,
+    * here the measured cost is the pipeline itself.
+    */
+  private def streamVia(
+      s: SparkSession, dir: String, tag: String,
+      write: (KeyedTable, SparkSession, DataFrame) => Unit): DataFrame = {
+    val tmp = Files.createTempDirectory(tag).toString
     val src = stageOnce(dir, "shuffled") { p =>
       eventsUs(s, dir)
         .select("event_id", "ts_us", "user_id", "event_type", "value")
         .repartition(4)
         .write.mode("overwrite").json(p)
     }
-
-    val table = KeyedTable(spec(tablePath))
-    // Schema inference stays the semantic (O1's inferSchema) but runs once
-    // per staged source: the files are immutable, so re-probing them every
-    // invocation re-parses the corpus for an answer that cannot change.
+    val table = KeyedTable(spec(s"$tmp/events_keyed"))
     val inferred = inferredSchema.getOrElseUpdate(
       src, JsonStreamSource.inferSchema(s, src))
-    // Production-default drain: one AvailableNow batch over the staged
-    // files. Multi-batch ingest (checkpoint restart, empty-batch guard,
-    // cross-batch merge) is StreamingSpec's territory; here the measured
-    // cost is the pipeline itself, not an artificial batch count.
     val stream = JsonStreamSource.stream(s, src, schema = Some(inferred))
     val q = MicroBatchPipeline.start(
-      stream, table, checkpoint, trigger = Trigger.AvailableNow())
+      stream, table, s"$tmp/checkpoint", trigger = Trigger.AvailableNow(),
+      write = write)
     q.awaitTermination()
     outputCols(table.read(s))
   }
@@ -663,25 +663,9 @@ object UpsertOps {
     * every touched partition however small the batch. Same oracle as
     * q24/q26: the write path must not change the merge result.
     */
-  def streamBloomUpsert(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_stream_bloom_").toString
-    val tablePath = s"$tmp/events_keyed"
-    val src = stageOnce(dir, "shuffled") { p =>
-      eventsUs(s, dir)
-        .select("event_id", "ts_us", "user_id", "event_type", "value")
-        .repartition(4)
-        .write.mode("overwrite").json(p)
-    }
-    val table = KeyedTable(spec(tablePath))
-    val inferred = inferredSchema.getOrElseUpdate(
-      src, JsonStreamSource.inferSchema(s, src))
-    val stream = JsonStreamSource.stream(s, src, schema = Some(inferred))
-    val q = MicroBatchPipeline.start(
-      stream, table, s"$tmp/checkpoint", trigger = Trigger.AvailableNow(),
-      write = (t, sp, b) => t.upsertBloomIndexed(sp, b))
-    q.awaitTermination()
-    outputCols(table.read(s))
-  }
+  def streamBloomUpsert(s: SparkSession, dir: String): DataFrame =
+    streamVia(s, dir, "graft_stream_bloom_",
+      (t, sp, b) => t.upsertBloomIndexed(sp, b))
 
   private val inferredSchema = scala.collection.concurrent.TrieMap
     .empty[String, org.apache.spark.sql.types.StructType]

@@ -22,6 +22,17 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+
+  /** events + `ts_us`, the µs-precision long timestamp every consumer
+    * compares on: `ts` is parquet TIMESTAMP(NANOS), read as a nanosecond
+    * long under spark.sql.legacy.parquet.nanosAsLong (set by
+    * Verify/Bench/tests), and `ts div 1000` ≡ DuckDB `epoch_us(ts)`.
+    * ONE definition — the unit convention must not fork per consumer.
+    */
+  def eventsUs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    events(s, d).withColumn("ts_us", expr("ts div 1000"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -199,7 +199,8 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * tables written before the sidecar existed.
     */
   def readRaw(spark: SparkSession): DataFrame = {
-    def rd(path: String) = (sidecarSchema(spark) match {
+    val schemaOpt = sidecarSchema(spark) // one sidecar read, however many gens
+    def rd(path: String) = (schemaOpt match {
       case Some(s) => spark.read.schema(s)
       case None    => spark.read.option("mergeSchema", "true")
     }).option("basePath", path).parquet(path)
@@ -743,7 +744,14 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       spark: SparkSession,
       sinceCommit: String,
       endCommit: Option[String] = None): DataFrame = {
-    val begun = readRaw(spark)
+    // An evolved COW table stores generation APPENDS, so the raw frame
+    // holds superseded versions the plain-COW contract ("latest-state
+    // rows whose last change landed in the window") never exposes —
+    // resolve first, then window. History tables stay a version feed.
+    val raw = readRaw(spark)
+    val base =
+      if (!spec.retainHistory && isEvolved(spark)) resolveLatest(raw) else raw
+    val begun = base
       .filter(col(KeyedTable.CommitTimeCol) > sinceCommit)
     val bounded = endCommit.fold(begun)(e =>
       begun.filter(col(KeyedTable.CommitTimeCol) <= e))
@@ -801,26 +809,51 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   // the partition columns, so changing them would change key identity
   // mid-history.
 
-  private def layoutSidecarPath = new Path(spec.path, "_graft_layout")
+  // Layout sidecars are VERSIONED (`_graft_layout_<v>`), written fresh
+  // and renamed in (atomic: the destination never pre-exists), older
+  // versions best-effort-deleted after. A crash at any point leaves the
+  // PREVIOUS version readable — for this sidecar "stale-absent" would be
+  // data loss (generation rows silently invisible), the opposite of the
+  // colstats/bloom rule, so absence is never a window here. Stale-old is
+  // safe: the newest generation a stale sidecar misses has no data yet
+  // (evolution precedes the first write into it).
+  private def layoutVersionFiles(spark: SparkSession) =
+    fs(spark).globStatus(new Path(spec.path, "_graft_layout_*"))
+      .toSeq.map(_.getPath)
+      .sortBy(p => p.getName.stripPrefix("_graft_layout_").toInt)
 
-  /** Recorded layout generations beyond gen 0: (gen, partitionCols). */
-  private[graft] def layoutGens(spark: SparkSession): Seq[(Int, Seq[String])] = {
-    val f = fs(spark)
-    if (!f.exists(layoutSidecarPath)) return Nil
-    val in = f.open(layoutSidecarPath)
-    val raw =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    raw.split('\n').toSeq.filter(_.nonEmpty).map { line =>
-      // limit 2: an unpartitioned generation serializes as "N:" and a
-      // plain split(':') would drop the empty field
-      val Array(g, cols) = line.split(":", 2)
-      (g.toInt, cols.split(',').toSeq.filter(_.nonEmpty))
-    }
-  }
+  /** Recorded layout generations beyond gen 0: (gen, partitionCols).
+    * Cached per (session, path) — this sits on every read path, and an
+    * exists() per read is real money on an object store. Mutators
+    * ([[evolvePartitioning]], [[foldGenerations]]) invalidate; external
+    * writers are outside the single-writer assumption the write paths
+    * already make (see [[withTableLock]]).
+    */
+  private[graft] def layoutGens(spark: SparkSession): Seq[(Int, Seq[String])] =
+    KeyedTable.layoutCache.getOrElseUpdate(
+      (System.identityHashCode(spark), spec.path), {
+        layoutVersionFiles(spark).lastOption match {
+          case None => Nil
+          case Some(p) =>
+            val in = fs(spark).open(p)
+            val raw =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            raw.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+              // limit 2: an unpartitioned generation serializes as "N:"
+              // and a plain split(':') would drop the empty field
+              val Array(g, cols) = line.split(":", 2)
+              (g.toInt, cols.split(',').toSeq.filter(_.nonEmpty))
+            }
+        }
+      })
+
+  private def invalidateLayoutCache(spark: SparkSession): Unit =
+    KeyedTable.layoutCache.remove(
+      (System.identityHashCode(spark), spec.path))
 
   private def isEvolved(spark: SparkSession): Boolean =
-    fs(spark).exists(layoutSidecarPath)
+    layoutGens(spark).nonEmpty
 
   // No '=' in the name: Spark hides '_'-prefixed dirs EXCEPT when they
   // look like a `key=value` partition dir — `_graft_gen=1` would be
@@ -846,21 +879,35 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         "key identity mid-history")
     require(exists(spark),
       "evolving an absent table: construct the spec with the new layout instead")
+    // Partition columns must exist in the table schema NOW: a typo'd
+    // column otherwise commits to the sidecar and every later write
+    // fails inside partitionBy, far from the bad call.
+    val known = currentUserSchema(spark)
+      .map(_.fieldNames.toSet).getOrElse(Set.empty[String])
+    newCols.foreach(c => require(known.contains(c),
+      s"unknown partition column '$c' (table columns: ${known.mkString(", ")})"))
     val gens = layoutGens(spark)
     val cur = gens.lastOption.map(_._2).getOrElse(spec.partitionCols)
     require(newCols != cur, s"table is already partitioned by $cur")
     val next = gens.lastOption.map(_._1 + 1).getOrElse(1)
     val f = fs(spark)
+    val prior = layoutVersionFiles(spark)
+    val version = prior.lastOption
+      .map(_.getName.stripPrefix("_graft_layout_").toInt + 1).getOrElse(1)
     val tmp = new Path(spec.path, "._graft_layout.tmp")
     val out = f.create(tmp, true)
     try out.write((gens :+ (next, newCols))
       .map { case (g, cs) => s"$g:${cs.mkString(",")}" }
       .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    f.delete(layoutSidecarPath, false)
-    if (!f.rename(tmp, layoutSidecarPath))
-      throw new java.io.IOException(
-        s"failed to publish layout sidecar $layoutSidecarPath")
+    // Rename to a NEW versioned name (atomic — destination never
+    // pre-exists), THEN retire older versions: a crash anywhere leaves
+    // the previous sidecar readable, never an absence window.
+    val dest = new Path(spec.path, s"_graft_layout_$version")
+    if (!f.rename(tmp, dest))
+      throw new java.io.IOException(s"failed to publish layout sidecar $dest")
+    prior.foreach(p => f.delete(p, false))
+    invalidateLayoutCache(spark)
   }
 
   /** Evolved-mode write: precombine-dedup (for upsert semantics), stamp
@@ -901,10 +948,17 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     */
   def foldGenerations(spark: SparkSession): Unit = {
     if (layoutGens(spark).isEmpty) return
-    val resolved = resolveLatest(readRaw(spark))
+    val all = readRaw(spark)
+    // History tables keep EVERY version through the fold (like compact's
+    // rewrite) — resolving here would be a silent vacuum: readAsOf and
+    // the feeds would lose every pre-fold version. Only copy-on-write
+    // tables collapse to latest state (their evolved appends were
+    // pending supersessions the fold finally applies).
+    val folded = (if (spec.retainHistory) all else resolveLatest(all))
       .drop(PartitionPathCol)
       .withColumn(PartitionPathCol, partitionPathExpr(spec.partitionCols))
-    rewriteViaTmp(spark, resolved, "_graft_fold_tmp")
+    rewriteViaTmp(spark, folded, "_graft_fold_tmp")
+    invalidateLayoutCache(spark)
   }
 
   private def notEvolvedGuard(spark: SparkSession, what: String): Unit =
@@ -1605,6 +1659,12 @@ final class KeyedTable(val spec: KeyedTableSpec) {
 }
 
 object KeyedTable {
+  // Layout generations per (session identity, table path) — see
+  // KeyedTable.layoutGens for the caching contract.
+  private[table] val layoutCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(Int, String), Seq[(Int, Seq[String])]]
+
   val CommitTimeCol = "_graft_commit_time"
   val RecordKeyCol = "_graft_record_key"
   val PartitionPathCol = "_graft_partition_path"

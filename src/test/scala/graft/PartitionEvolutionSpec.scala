@@ -93,6 +93,26 @@ class PartitionEvolutionSpec extends SparkTestBase {
     }
   }
 
+  test("folding a history table keeps every version (no implicit vacuum)") {
+    val path = Files.createTempDirectory("graft_evo_mor_").toString + "/t"
+    val t = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("user_id", "event_type"),
+      precombineCol = "ts_us", tiebreakCols = Seq("event_id"),
+      globalKeys = true, retainHistory = true))
+    t.upsert(spark, rows((1L, "click", 100L, 1L, 1.0)), "c0")
+    t.evolvePartitioning(spark, Seq("event_type"))
+    t.upsert(spark, rows((1L, "click", 200L, 2L, 5.0)), "c1")
+    t.foldGenerations(spark)
+    assert(t.layoutGens(spark).isEmpty)
+    // time travel to c0 must still see the superseded version
+    assert(t.readAsOf(spark, "c0")
+      .select("ts_us", "value").as[(Long, Double)].collect().toSeq ==
+      Seq((100L, 1.0)))
+    assert(t.read(spark)
+      .select("ts_us", "value").as[(Long, Double)].collect().toSeq ==
+      Seq((200L, 5.0)))
+  }
+
   test("folding generations restores the spec layout and re-enables services") {
     val (t, fs, path) = mk()
     t.upsert(spark, rows((1L, "click", 100L, 1L, 1.0)), "c0")
