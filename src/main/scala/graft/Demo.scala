@@ -89,6 +89,54 @@ object Demo {
     hist.restore(spark, "c0")
     println(s"after restore to c0, timeline = ${hist.commits(spark).mkString(",")}")
 
+    println("=== bloom-index upsert: file-level copy-on-write ===")
+    val bloomT = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/events_bloom",
+      keyCols = Seq("event_id"),
+      precombineCol = "ts_us"))
+    bloomT.bulkInsert(
+      spark, ev.repartitionByRange(8, col("event_id")), commitTime = "b0")
+    bloomT.recordBloomIndex(spark)
+    val touch = ev.filter(col("event_id") % 251 === 0)
+      .withColumn("ts_us", col("ts_us") + 1L)
+    val (cand, totalFiles) = bloomT.bloomCandidateFiles(spark, touch)
+    println(s"index probe: batch touches ${cand.length} of $totalFiles file groups")
+    bloomT.upsertBloomIndexed(spark, touch, commitTime = "b1")
+
+    println("=== snapshot manifest: pinned read under a concurrent append ===")
+    val snap = bloomT.writeManifest(spark)
+    bloomT.insert(spark, touch.withColumn("event_id", col("event_id") + 1000000L), "b2")
+    println(s"snapshot $snap rows = ${bloomT.readSnapshot(spark, snap).count()}" +
+      s", live rows = ${bloomT.read(spark).count()}")
+
+    println("=== state-delta feed -> incremental view refresh ===")
+    val mor = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/events_view_src", keyCols = Seq("user_id"),
+      precombineCol = "ts_us", tiebreakCols = Seq("event_id"),
+      partitionCols = Seq("event_type"), retainHistory = true))
+    mor.upsert(spark, ev.filter(col("event_id") % 2 === 0), "v0")
+    val view0 = graft.operators.IncrementalView.computeFull(mor.read(spark))
+    mor.upsert(spark, ev.filter(col("event_id") % 2 === 1), "v1")
+    graft.operators.IncrementalView.applyDelta(
+      view0, mor.readStateDelta(spark, "v0", Some("v1")))
+      .orderBy("event_type").show(truncate = false)
+
+    println("=== partition evolution: new layout, no rewrite; then fold ===")
+    val evo = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/events_evo", keyCols = Seq("user_id", "event_type"),
+      precombineCol = "ts_us", tiebreakCols = Seq("event_id"),
+      globalKeys = true))
+    evo.withTableLock(spark) { // multi-writer safety around the commits
+      evo.upsert(spark, ev.filter(col("event_id") % 2 === 0), "e0")
+      evo.evolvePartitioning(spark, Seq("event_type"))
+      evo.upsert(spark, ev.filter(col("event_id") % 2 === 1), "e1")
+    }
+    println(s"generations = ${evo.layoutGens(spark)}; " +
+      s"rows across layouts = ${evo.read(spark).count()}")
+    evo.foldGenerations(spark)
+    println(s"after fold: generations = ${evo.layoutGens(spark)}, " +
+      s"rows = ${evo.read(spark).count()}")
+
     println("=== curation gate: quality x repetition x lang-ID x PII ===")
     graft.operators.Curation.curatedCorpus(spark, sfDir)
       .orderBy("doc_id").show(5, truncate = false)
