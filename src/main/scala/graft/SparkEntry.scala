@@ -140,7 +140,8 @@ object SparkEntry {
     "q113_epoch_shards" -> ((s, d) => Curation.trainingShards(s, d)),
     "q114_write_audit_publish" -> (UpsertOps.writeAuditPublish(_, _)),
     "q115_stream_bloom" -> (UpsertOps.streamBloomUpsert(_, _)),
-    "q116_partition_evolution" -> (UpsertOps.partitionEvolutionMerge(_, _))
+    "q116_partition_evolution" -> (UpsertOps.partitionEvolutionMerge(_, _)),
+    "q117_stream_kmv" -> (UpsertOps.streamDistinctSketch(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -471,6 +472,14 @@ object SparkEntry {
     // layout is physical, never semantic: the evolved table's
     // cross-generation read equals the plain merge
     "q116_partition_evolution" -> latestPerUserType,
+    "q117_stream_kmv" ->
+      // KMV exact mode: streamed hourly user cardinalities equal the
+      // exact windowed COUNT(DISTINCT)
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+        |  event_type,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q111_daily_resample" ->
       // integer-µs day buckets; carried values are byte-copies of stored
       // doubles, so the forward fill hashes bit-for-bit

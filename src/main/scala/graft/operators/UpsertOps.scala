@@ -670,6 +670,56 @@ object UpsertOps {
   private val inferredSchema = scala.collection.concurrent.TrieMap
     .empty[String, org.apache.spark.sql.types.StructType]
 
+  /** Streaming windowed distinct-count through the engine's KMV sketch
+    * (q117): hourly (window, event_type) user cardinalities over the
+    * event stream, with [[graft.functions.KmvDistinct]] as the streaming
+    * aggregate — its ≤ k-longs buffer is exactly what rides the state
+    * store between micro-batches, so per-group state is BOUNDED however
+    * many users stream past (the unbounded alternative is an exact
+    * distinct whose state grows with cardinality — the thing that OOMs a
+    * 100 TB stream). In the sketch's exact mode (cardinalities < k) the
+    * result equals `COUNT(DISTINCT)`, which is what the DuckDB oracle
+    * checks; the multi-batch state-merge contract is pinned by
+    * `StreamKmvSpec` at 1-file micro-batches. Complete output over an
+    * AvailableNow drain = the production backfill shape.
+    */
+  def streamDistinctSketch(s: SparkSession, dir: String): DataFrame =
+    streamDistinctSketchVia(s, dir, maxFilesPerTrigger = None)
+
+  private[graft] def streamDistinctSketchVia(
+      s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_stream_kmv_").toString
+    val src = stageOnce(dir, "ordered")(stageTimeOrderedJson(s, dir, _, slices = 4))
+    val inferred = inferredSchema.getOrElseUpdate(
+      src, JsonStreamSource.inferSchema(s, src))
+    val stream = JsonStreamSource.stream(
+      s, src, schema = Some(inferred), maxFilesPerTrigger = maxFilesPerTrigger)
+    val out = s"$tmp/out"
+    val agg = stream
+      .withColumn("event_time", expr("timestamp_micros(ts_us)"))
+      .groupBy(
+        window(col("event_time"), "1 hour").as("w"),
+        col("event_type"))
+      .agg(
+        graft.functions.KmvDistinct
+          .kmvDistinct(xxhash64(col("user_id")), 1 << 16).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(
+        expr("unix_micros(w.start)").as("window_start_us"),
+        col("event_type"), col("n_users"), col("n_events"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .option("checkpointLocation", s"$tmp/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+  }
+
   /** Checkpoint-restart ingest end-to-end (q101, O13): the stream stops
     * after ingesting half its files, then a NEW query instance opens the
     * SAME checkpoint and drains the rest — the recovery path a production
