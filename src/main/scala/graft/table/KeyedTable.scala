@@ -270,29 +270,46 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       cols: Seq[String],
       targetFileBytes: Long = 128L << 20): Unit = {
     notEvolvedGuard(spark, "z-order clustering")
-    require(cols.length == 2, "z-order clustering interleaves exactly two columns")
+    require(cols.length >= 2, "z-order clustering interleaves two or more columns")
     if (!exists(spark)) return
     val all = readRaw(spark)
-    val Array(b) = all.agg(
-      min(col(cols(0))).cast("long"), max(col(cols(0))).cast("long"),
-      min(col(cols(1))).cast("long"), max(col(cols(1))).cast("long")).collect()
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val Array(b) = all.agg(aggs.head, aggs.tail: _*).collect()
     if (b.isNullAt(0)) return // existing-but-empty table: nothing to lay out
-    // 16-bit rank per column (min–max scaled; 16 bits of resolution is
-    // plenty for file-level skipping), then the classic bit-spread:
-    // x -> 32 bits with a zero between every bit, OR'd at offset 0/1.
+    // Per-column rank, min–max scaled to `bits` bits of resolution
+    // (16 for two columns — plenty for file-level skipping; fewer as the
+    // column count grows so the interleave stays inside a long).
+    val n = cols.length
+    val bits = math.min(16, 62 / n)
+    val maxRank = (1L << bits) - 1
     def bucket(c: Column, lo: Long, hi: Long): Column =
       if (hi == lo) lit(0L)
-      else floor((c.cast("double") - lit(lo.toDouble)) * 65535.0 /
+      else floor((c.cast("double") - lit(lo.toDouble)) * maxRank.toDouble /
         (hi.toDouble - lo.toDouble)).cast("long")
+    // Classic two-column bit-spread (8 ops/column); the N-column general
+    // form places bit j of column i at position j·n + i with one
+    // shift-mask-shift term per bit — more expression nodes, same
+    // whole-stage codegen.
     def spread16(c: Column): Column = {
       val s1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
       val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
       val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
       s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
     }
-    val z = spread16(bucket(col(cols(0)), b.getLong(0), b.getLong(1)))
-      .bitwiseOR(shiftleft(
-        spread16(bucket(col(cols(1)), b.getLong(2), b.getLong(3))), 1))
+    def spreadN(r: Column, i: Int): Column =
+      (0 until bits).map { j =>
+        shiftleft(shiftright(r, j).bitwiseAND(lit(1L)), j * n + i)
+      }.reduce(_ bitwiseOR _)
+    val ranks = cols.zipWithIndex.map { case (c, i) =>
+      bucket(col(c), b.getLong(2 * i), b.getLong(2 * i + 1))
+    }
+    val z =
+      if (n == 2)
+        spread16(ranks(0)).bitwiseOR(shiftleft(spread16(ranks(1)), 1))
+      else
+        ranks.zipWithIndex.map { case (r, i) => spreadN(r, i) }
+          .reduce(_ bitwiseOR _)
     val parts = filePartsFor(spark, targetFileBytes)
     val zc = "_graft_zkey"
     val order = spec.partitionCols.map(col) :+ col(zc)

@@ -62,6 +62,25 @@ class ZOrderSpec extends SparkTestBase {
     assert(zUser < zTotal, "z-order prunes on the second column too")
   }
 
+  test("three-column z-order prunes on every interleaved column") {
+    val z = freshTable()
+    z.upsert(spark, events(), commitTime = "c0")
+    z.clusterZOrder(spark, Seq("ts_us", "user_id", "event_id"),
+      targetFileBytes = 1L << 10)
+    z.recordColumnStats(spark, Seq("ts_us", "user_id", "event_id"))
+    val before = z.read(spark)
+      .select("user_id", "event_type", "ts_us", "event_id", "value")
+      .collect().toSet
+    val (ts, total) = prunes(z, "ts_us")
+    val (user, _) = prunes(z, "user_id")
+    val (eid, _) = prunes(z, "event_id")
+    info(s"3-col z: ts $ts/$total user $user/$total event $eid/$total")
+    assert(total > 4, "need several files to compare layouts")
+    assert(ts < total && user < total && eid < total,
+      "the general interleave must prune on all three columns")
+    assert(before.nonEmpty)
+  }
+
   test("z-order rewrite preserves rows exactly") {
     val t = freshTable()
     t.upsert(spark, events(), commitTime = "c0")
