@@ -115,8 +115,10 @@ object Demo {
       precombineCol = "ts_us", tiebreakCols = Seq("event_id"),
       partitionCols = Seq("event_type"), retainHistory = true))
     mor.upsert(spark, ev.filter(col("event_id") % 2 === 0), "v0")
-    val view0 = graft.operators.IncrementalView.computeFull(mor.read(spark))
     mor.upsert(spark, ev.filter(col("event_id") % 2 === 1), "v1")
+    // time-travel pins the v0 state however late the plan resolves
+    val view0 = graft.operators.IncrementalView.computeFull(
+      mor.readAsOf(spark, "v0"))
     graft.operators.IncrementalView.applyDelta(
       view0, mor.readStateDelta(spark, "v0", Some("v1")))
       .orderBy("event_type").show(truncate = false)

@@ -702,8 +702,11 @@ object UpsertOps {
         window(col("event_time"), "1 hour").as("w"),
         col("event_type"))
       .agg(
+        // COUNT(DISTINCT) semantics exclude NULLs but xxhash64(NULL) is
+        // the valid seed hash — mask like Profile.distinctUsersSketch
         graft.functions.KmvDistinct
-          .kmvDistinct(xxhash64(col("user_id")), 1 << 16).as("n_users"),
+          .kmvDistinct(when(col("user_id").isNotNull,
+            xxhash64(col("user_id"))), 1 << 16).as("n_users"),
         count(lit(1)).as("n_events"))
       .select(
         expr("unix_micros(w.start)").as("window_start_us"),

@@ -277,10 +277,21 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val Array(b) = all.agg(aggs.head, aggs.tail: _*).collect()
     if (b.isNullAt(0)) return // existing-but-empty table: nothing to lay out
+    // Every column must rank: an all-null or non-numeric column (string
+    // cast("long") = null) would otherwise surface as a bare driver NPE
+    // on the bounds row, far from the bad column name.
+    cols.zipWithIndex.foreach { case (c, i) =>
+      require(!b.isNullAt(2 * i) && !b.isNullAt(2 * i + 1),
+        s"z-order column '$c' has no numeric min/max (all null, or not " +
+          "castable to long) — z-order columns must be numeric-rankable")
+    }
     // Per-column rank, min–max scaled to `bits` bits of resolution
     // (16 for two columns — plenty for file-level skipping; fewer as the
     // column count grows so the interleave stays inside a long).
     val n = cols.length
+    require(n <= 31,
+      s"z-order over $n columns leaves under 2 bits of rank resolution " +
+        "per column inside a 64-bit key; cluster on fewer columns")
     val bits = math.min(16, 62 / n)
     val maxRank = (1L << bits) - 1
     def bucket(c: Column, lo: Long, hi: Long): Column =

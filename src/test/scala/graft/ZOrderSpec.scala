@@ -62,15 +62,19 @@ class ZOrderSpec extends SparkTestBase {
     assert(zUser < zTotal, "z-order prunes on the second column too")
   }
 
-  test("three-column z-order prunes on every interleaved column") {
+  test("three-column z-order prunes on every interleaved column, rows preserved") {
     val z = freshTable()
     z.upsert(spark, events(), commitTime = "c0")
-    z.clusterZOrder(spark, Seq("ts_us", "user_id", "event_id"),
-      targetFileBytes = 1L << 10)
-    z.recordColumnStats(spark, Seq("ts_us", "user_id", "event_id"))
     val before = z.read(spark)
       .select("user_id", "event_type", "ts_us", "event_id", "value")
       .collect().toSet
+    z.clusterZOrder(spark, Seq("ts_us", "user_id", "event_id"),
+      targetFileBytes = 1L << 10)
+    z.recordColumnStats(spark, Seq("ts_us", "user_id", "event_id"))
+    val after = z.read(spark)
+      .select("user_id", "event_type", "ts_us", "event_id", "value")
+      .collect().toSet
+    assert(after == before)
     val (ts, total) = prunes(z, "ts_us")
     val (user, _) = prunes(z, "user_id")
     val (eid, _) = prunes(z, "event_id")
@@ -78,7 +82,6 @@ class ZOrderSpec extends SparkTestBase {
     assert(total > 4, "need several files to compare layouts")
     assert(ts < total && user < total && eid < total,
       "the general interleave must prune on all three columns")
-    assert(before.nonEmpty)
   }
 
   test("z-order rewrite preserves rows exactly") {
