@@ -8,8 +8,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded top-k buffer: payloads ranked by (score desc, payload asc),
   * capacity k. Kept as two primitive arrays with ordered insertion — k is
@@ -122,5 +124,143 @@ object TopKByScore {
       TopKByScore(
         GraftSqlBridge.expression(score),
         GraftSqlBridge.expression(payload),
+        k).toAggregateExpression())
+}
+
+/** Bounded top-k buffer over (count: Long, term: String) entries, ranked by
+  * (count desc, term asc) — the vocabulary-rank order. Same ordered-insert
+  * shape as [[TopKBuffer]]; terms are stored as owned [[UTF8String]] copies
+  * (eval-input backing buffers are reused by Spark).
+  */
+final class TopTermsBuffer(val k: Int) {
+  val counts = new Array[Long](k)
+  val terms = new Array[UTF8String](k)
+  var size = 0
+
+  private def ranksHigher(c1: Long, t1: UTF8String, c2: Long, t2: UTF8String): Boolean =
+    c1 > c2 || (c1 == c2 && t1.compareTo(t2) < 0)
+
+  def add(c: Long, t: UTF8String): Unit = {
+    if (size == k && !ranksHigher(c, t, counts(k - 1), terms(k - 1))) return
+    var i = math.min(size, k - 1)
+    while (i > 0 && ranksHigher(c, t, counts(i - 1), terms(i - 1))) {
+      counts(i) = counts(i - 1); terms(i) = terms(i - 1); i -= 1
+    }
+    counts(i) = c; terms(i) = t
+    if (size < k) size += 1
+  }
+
+  def merge(other: TopTermsBuffer): Unit = {
+    var i = 0
+    while (i < other.size) { add(other.counts(i), other.terms(i)); i += 1 }
+  }
+}
+
+/** Top-k (term, count) pairs by (count desc, term asc) as a
+  * `TypedImperativeAggregate` — the bounded vocabulary selector. Replaces
+  * `row_number().over(Window.orderBy(n.desc, term))` over the aggregated
+  * term domain: that window has no partition key, so Spark funnels the
+  * ENTIRE distinct-term domain (Heaps'-law-growing — 10⁸–10⁹ terms at
+  * corpus scale) through one task. Here each partition of the term-count
+  * table contributes at most k entries to the final merge, so the global
+  * step sees ≤ partitions·k rows regardless of vocabulary size.
+  *
+  * Output: `array<struct<term:string, n:bigint>>` in rank order — position
+  * + 1 is the 1-based vocabulary id the window form produced.
+  */
+case class TopTermsByCount(
+    count: Expression,
+    term: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopTermsBuffer] with BinaryLike[Expression] {
+
+  require(k > 0, "k must be positive")
+
+  override def left: Expression = count
+  override def right: Expression = term
+  override def prettyName: String = "top_terms_by_count"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("n", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): TopTermsBuffer = new TopTermsBuffer(k)
+
+  override def update(buffer: TopTermsBuffer, input: InternalRow): TopTermsBuffer = {
+    val c = count.eval(input)
+    val t = term.eval(input)
+    if (c != null && t != null)
+      buffer.add(c.asInstanceOf[Long], t.asInstanceOf[UTF8String].clone())
+    buffer
+  }
+
+  override def merge(buffer: TopTermsBuffer, other: TopTermsBuffer): TopTermsBuffer = {
+    buffer.merge(other); buffer
+  }
+
+  override def eval(buffer: TopTermsBuffer): Any = {
+    val rows = new Array[Any](buffer.size)
+    var i = 0
+    while (i < buffer.size) {
+      rows(i) = new GenericInternalRow(Array[Any](buffer.terms(i), buffer.counts(i)))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buffer: TopTermsBuffer): Array[Byte] = {
+    var bytes = 8
+    var i = 0
+    while (i < buffer.size) { bytes += 12 + buffer.terms(i).numBytes(); i += 1 }
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(buffer.k).putInt(buffer.size)
+    i = 0
+    while (i < buffer.size) {
+      bb.putLong(buffer.counts(i))
+      val tb = buffer.terms(i).getBytes
+      bb.putInt(tb.length).put(tb)
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopTermsBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new TopTermsBuffer(bb.getInt())
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) {
+      buf.counts(i) = bb.getLong()
+      val tb = new Array[Byte](bb.getInt())
+      bb.get(tb)
+      buf.terms(i) = UTF8String.fromBytes(tb)
+      i += 1
+    }
+    buf.size = n
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopTermsByCount =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopTermsByCount =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopTermsByCount =
+    copy(count = newLeft, term = newRight)
+}
+
+object TopTermsByCount {
+  /** Column wrapper: `.agg(topTermsByCount(n, term, k))` →
+    * `array<struct<term,n>>` ranked (n desc, term asc).
+    */
+  def topTermsByCount(count: Column, term: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      TopTermsByCount(
+        GraftSqlBridge.expression(count),
+        GraftSqlBridge.expression(term),
         k).toAggregateExpression())
 }

@@ -181,26 +181,30 @@ object TextAnalysis {
     * `vocabSize` terms (id = rank by count desc, term asc; 1-based), every
     * document re-expressed as its comma-joined id sequence with
     * out-of-vocabulary terms mapped to 0. Two phases with the right scale
-    * shapes: the vocabulary BUILD aggregates the term domain map-side and
-    * globally ranks only the aggregated counts (V rows, the bounded
-    * artifact of the build — not the corpus); the APPLY is a broadcast
-    * lookup join on exploded (doc, pos, term) followed by one per-doc
-    * regroup, order restored by sorting the (pos, id) pairs — no global
-    * ordering anywhere in the apply path.
+    * shapes: the vocabulary BUILD aggregates the term domain map-side, then
+    * selects the top `vocabSize` through the bounded-heap aggregate
+    * ([[graft.functions.TopTermsByCount]]) — each partition of the
+    * term-count table forwards ≤ vocabSize entries, so no stage ever holds
+    * the whole (Heaps'-law-growing) term domain in one task, and rank is
+    * the array position of the ≤ vocabSize survivors (no window anywhere);
+    * the APPLY is a broadcast lookup join on exploded (doc, pos, term)
+    * followed by one per-doc regroup, order restored by sorting the
+    * (pos, id) pairs — no global ordering in the apply path either.
     */
   def tokenIds(
       s: SparkSession, dir: String, vocabSize: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TopTermsByCount.topTermsByCount
     val toks = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), posexplode(TextFunctions.tokens(col("text"))))
       .withColumnRenamed("col", "term")
     val vocab = toks.groupBy(col("term"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("token_id",
-        row_number().over(Window.orderBy(col("n").desc, col("term"))).cast("long"))
-      .filter(col("token_id") <= vocabSize)
-      .select(col("term"), col("token_id"))
+      .agg(topTermsByCount(col("n"), col("term"), vocabSize).as("v"))
+      .select(posexplode(col("v")))
+      .select(
+        col("col.term").as("term"),
+        (col("pos") + 1).cast("long").as("token_id"))
     toks.join(broadcast(vocab), Seq("term"), "left")
       .withColumn("tid", coalesce(col("token_id"), lit(0L)))
       .groupBy(col("doc_id"))
@@ -225,13 +229,14 @@ object TextAnalysis {
     * C(corpus vocabulary, 2), and the per-document self-join is keyed on
     * doc_id (equality join; ≤ vocabSize rows per doc on either side), so
     * the shuffle carries (doc, vocab-term) pairs, never the token stream
-    * and never an all-pairs product. The global vocabulary rank windows
-    * only the aggregated term domain (V rows, single partition — the same
-    * bounded-artifact shape as [[tokenIds]]'s vocabulary build).
+    * and never an all-pairs product. The vocabulary selection is the
+    * bounded-heap aggregate ([[graft.functions.TopTermsByCount]]) — top
+    * `vocabSize` by (doc-frequency desc, term asc) with ≤ vocabSize entries
+    * per partition at the merge, never the whole term domain in one task.
     */
   def cooccurrence(
       s: SparkSession, dir: String, vocabSize: Int = 30): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TopTermsByCount.topTermsByCount
     val toks = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .select(
@@ -240,10 +245,9 @@ object TextAnalysis {
     val docFreq = toks.groupBy(col("term"))
       .agg(count(lit(1)).as("n_docs"))
     val vocab = docFreq
-      .withColumn("r",
-        row_number().over(Window.orderBy(col("n_docs").desc, col("term"))))
-      .filter(col("r") <= vocabSize)
-      .select(col("term"), col("n_docs"))
+      .agg(topTermsByCount(col("n_docs"), col("term"), vocabSize).as("v"))
+      .select(explode(col("v")).as("e"))
+      .select(col("e.term").as("term"), col("e.n").as("n_docs"))
     // Both self-join sides consume dv; cache the narrow (doc, vocab-term)
     // projection so the tokenize+explode+vocab-join runs once, not twice.
     val dv = Caching.cacheOnce(toks.join(broadcast(vocab), "term"))
@@ -297,16 +301,15 @@ object TextAnalysis {
     */
   def oovStats(
       s: SparkSession, dir: String, vocabSize: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TopTermsByCount.topTermsByCount
     val toks = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
     val vocab = toks.groupBy(col("term"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("r",
-        row_number().over(Window.orderBy(col("n").desc, col("term"))))
-      .filter(col("r") <= vocabSize)
-      .select(col("term"), lit(1).as("in_vocab"))
+      .agg(topTermsByCount(col("n"), col("term"), vocabSize).as("v"))
+      .select(explode(col("v")).as("e"))
+      .select(col("e.term").as("term"), lit(1).as("in_vocab"))
     toks.join(broadcast(vocab), Seq("term"), "left")
       .groupBy(col("doc_id"))
       .agg(
