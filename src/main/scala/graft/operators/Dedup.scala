@@ -26,11 +26,15 @@ object Dedup {
     * session is never reused, and on the CANONICALIZED input plan so two
     * consumers reading the same dir share the entry while a spec feeding
     * a different frame gets its own. Values are plain collected rows
-    * (band, band_hash) — tiny and session-independent data.
+    * (band, band_hash) — tiny and session-independent data. The key holds
+    * the canonicalized plan ITSELF, not its hashCode: structural equality
+    * makes an Int-hash collision between two different inputs (which
+    * would silently serve the wrong hot-band set) impossible.
     */
   private val hotProbeCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(Int, Int, Int, Int, Int, Int), Array[org.apache.spark.sql.Row]]
+    scala.collection.concurrent.TrieMap.empty[
+      (Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int, Int, Int),
+      Array[org.apache.spark.sql.Row]]
 
   /** Exact dedup: keep the lowest-doc_id representative of each distinct
     * text. One shuffle on the text hash (Spark groups by the value; for
@@ -212,7 +216,7 @@ object Dedup {
     val sampleFrac = 0.1
     val probeKey = (
       System.identityHashCode(s),
-      input.queryExecution.analyzed.canonicalized.hashCode,
+      input.queryExecution.analyzed.canonicalized,
       shingleK, numHashes, bands, hotBucket)
     val hotKeyRows = hotProbeCache.getOrElseUpdate(probeKey,
       banded.sample(withReplacement = false, sampleFrac, seed = 42)
@@ -377,13 +381,21 @@ object Dedup {
     // Ids-only candidate join → dedup (a pair can agree on several
     // segments) → re-attach texts → exact banded verify. Docs shorter
     // than k chars have empty canonical segments the probe (lens ≥ 1)
-    // can never hit; a mixed pair is still found through the LONGER
-    // side's segments, but a short–short pair needs its own tier — and
-    // since ed(a,b) ≤ max(len) ≤ k−1 = τ there, every within-lang
-    // short–short pair qualifies: the tier is the forced all-pairs of a
-    // class whose quadratic output is inherent to the semantics, not a
-    // blocking artifact (and empty on the shipped fixtures, min 44
-    // chars).
+    // can never hit, so they need two extra tiers beside the main
+    // a_id < b_id probe×index join (which covers every pair where BOTH
+    // docs have canonical segments — the PassJoin theorem matches either
+    // direction there, so one id order suffices):
+    //  - short–short: since ed(a,b) ≤ max(len) ≤ k−1 = τ, every
+    //    within-lang pair qualifies — the forced all-pairs of a class
+    //    whose quadratic output is inherent to the semantics, not a
+    //    blocking artifact (and empty on the shipped fixtures, min 44
+    //    chars);
+    //  - short–long with the SHORT doc's id greater: only discoverable
+    //    as probe(short)×index(long), which the main join's a_id < b_id
+    //    order rejects — so short probes re-join with the order
+    //    reversed and the emitted pair canonicalized. Restricting the
+    //    reversed tier to a_len < k keeps it from re-finding (and
+    //    re-paying shuffle for) every long–long pair twice.
     val shorts = docs.filter(col("n_chars") < k)
     val shortPairs = shorts
       .select(col("doc_id").as("a_id"), col("lang"))
@@ -391,6 +403,13 @@ object Dedup {
         shorts.select(col("doc_id").as("b_id"), col("lang").as("b_lang")),
         col("lang") === col("b_lang") && col("a_id") < col("b_id"))
       .select("a_id", "b_id")
+    val mixedPairs = probeRows
+      .filter(col("a_len") < k)
+      .join(segRows,
+        col("a_key") === col("b_key") &&
+        col("a_id") > col("b_id") &&
+        abs(col("a_len") - col("b_len")) <= tau)
+      .select(col("b_id").as("a_id"), col("a_id").as("b_id"))
     val candidates = probeRows
       .join(segRows,
         col("a_key") === col("b_key") &&
@@ -398,6 +417,7 @@ object Dedup {
         abs(col("a_len") - col("b_len")) <= tau)
       .select("a_id", "b_id")
       .union(shortPairs)
+      .union(mixedPairs)
       .distinct()
     val aText = docs.select(col("doc_id").as("a_id"), col("text").as("a_text"))
     val bText = docs.select(

@@ -30,22 +30,30 @@ import org.apache.spark.sql.SparkSession
   * once per (session, registry generation) — the mtime guard below makes
   * the steady-state cost of the analyzer hook a single `getFileStatus`
   * per query that mentions a table, and zero when the conf is unset.
-  * Concurrent writers in one JVM serialize on this object's lock; the
-  * publish itself is tmp + atomic rename, so readers never observe a
-  * partial file (cross-JVM last-writer-wins, same contract as the
-  * sidecars — acceptable for a single-cluster registry; a real multi-writer
-  * deployment would front this with a lock service, as Hudi does).
+  * Concurrent registrations — including from DIFFERENT sessions/JVMs —
+  * serialize on an atomic-create lock file beside the registry (the
+  * [[KeyedTable.withTableLock]] pattern: NIO O_EXCL for `file://`,
+  * NameNode-atomic `create(overwrite=false)` elsewhere), so a
+  * read-append-publish never loses a concurrent writer's line; the
+  * publish itself stays tmp + atomic rename, so readers never observe a
+  * partial file.
   */
 object GraftCatalog {
 
   /** Conf key naming the registry file — the session's "metastore URI". */
   val RegistryConf = "spark.graft.catalog.registry"
 
-  // (session identity) -> registry mtime already replayed into it. The
-  // guard is set BEFORE the replay DDL runs: the nested analysis of the
-  // CREATE TABLE commands re-enters the analyzer rule, and the pre-set
-  // guard turns that re-entry into a no-op instead of a recursion.
+  // (session identity) -> registry (mtime, length) whose replay COMPLETED
+  // into it. Recorded only after a fully-successful replay: a partial
+  // failure (one unreadable sidecar) must leave the generation unrecorded
+  // so the next resolution retries the remainder.
   private val replayedMtime = TrieMap.empty[Int, (Long, Long)]
+
+  // Re-entrancy guard, separate from the completion record: the nested
+  // analysis of the replay's own createTable calls re-enters the analyzer
+  // rule, and this flag turns that re-entry into a no-op instead of a
+  // recursion (or a premature "done" mark).
+  private val replayInProgress = TrieMap.empty[Int, Unit]
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -72,11 +80,14 @@ object GraftCatalog {
 
   /** Record a synced table's location (idempotent). Called by
     * [[KeyedTable.syncCatalog]]; a no-op when no registry is configured,
-    * so the conf-less single-session workflow is unchanged.
+    * so the conf-less single-session workflow is unchanged. The
+    * read-append-publish runs under the registry lock so two sessions
+    * registering concurrently cannot each read the pre-state and publish
+    * a file missing the other's line (lost update).
     */
   def record(spark: SparkSession, tablePath: String, partitionCols: Seq[String]): Unit =
-    synchronized {
-      registryPath(spark).foreach { reg =>
+    registryPath(spark).foreach { reg =>
+      withRegistryLock(spark, reg) {
         val f = fs(spark, reg)
         val line = (tablePath +: partitionCols).mkString("\t")
         val existing = readLines(spark, reg)
@@ -95,6 +106,45 @@ object GraftCatalog {
       }
     }
 
+  /** Serialize registry mutations across sessions AND processes: an
+    * atomic create-if-absent of `.<registry>.lock` beside the registry
+    * file. Same acquire discipline as [[KeyedTable.withTableLock]] —
+    * Hadoop's LocalFileSystem implements create(overwrite=false) as
+    * exists-then-create (a TOCTOU hole), so `file://` goes through NIO's
+    * O_EXCL createFile; HDFS create is NameNode-atomic. Registry writes
+    * are small-file metadata ops, so the hold time is milliseconds and a
+    * short poll/timeout suffices.
+    */
+  private def withRegistryLock[T](
+      spark: SparkSession, reg: Path,
+      timeoutMs: Long = 30000L, pollMs: Long = 10L)(body: => T): T = {
+    val f = fs(spark, reg)
+    val lock = new Path(
+      Option(reg.getParent).getOrElse(new Path(".")),
+      "." + reg.getName + ".lock")
+    f.mkdirs(lock.getParent)
+    def tryAcquire(): Boolean =
+      if (f.getScheme == "file") {
+        try {
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(lock.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try { f.create(lock, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      }
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!tryAcquire()) {
+      if (System.currentTimeMillis() > deadline)
+        throw new java.util.concurrent.TimeoutException(
+          s"could not acquire catalog registry lock $lock within ${timeoutMs} ms")
+      Thread.sleep(pollMs)
+    }
+    try body
+    finally f.delete(lock, false)
+  }
+
   /** Replay the registry into this session's catalog unless its current
     * generation (mtime) was already replayed. Called from the analyzer
     * hook; safe to call directly (e.g. at session setup).
@@ -108,23 +158,48 @@ object GraftCatalog {
         // granularity and two syncs can land within one tick.
         val gen = (st.getModificationTime, st.getLen)
         val key = System.identityHashCode(spark)
-        if (!replayedMtime.get(key).contains(gen)) {
-          replayedMtime.put(key, gen)
-          replay(spark, reg)
+        if (!replayedMtime.get(key).contains(gen) &&
+            replayInProgress.putIfAbsent(key, ()).isEmpty) {
+          try {
+            if (replay(spark, reg)) replayedMtime.put(key, gen)
+          } finally replayInProgress.remove(key)
         }
       }
     }
 
-  private def replay(spark: SparkSession, reg: Path): Unit =
-    readLines(spark, reg).foreach { line =>
-      val parts = line.split('\t')
-      val tablePath = parts.head
-      val partCols = parts.drop(1).toSeq
-      val sidecar = new Path(tablePath, "_graft_catalog")
-      val names = readLines(spark, sidecar)
-      names.filterNot(spark.catalog.tableExists).foreach { name =>
-        spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$tablePath'")
-        if (partCols.nonEmpty) spark.catalog.recoverPartitions(name)
+  // A table name is registered only if it is a plain identifier: the
+  // sidecar/registry files are plain text anyone with FS access can edit,
+  // so their content must never reach the SQL parser as anything but a
+  // bare name (and the path goes through the catalog API, not a SQL
+  // string literal).
+  private val IdentifierRx = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  /** Replay every registered table; returns true only if EVERY line
+    * registered cleanly, so the caller records the generation as done
+    * exactly when nothing remains to retry — one unreadable sidecar must
+    * not silently unregister the rest of the registry for the session's
+    * lifetime.
+    */
+  private def replay(spark: SparkSession, reg: Path): Boolean =
+    readLines(spark, reg).map { line =>
+      try {
+        val parts = line.split('\t')
+        val tablePath = parts.head
+        val partCols = parts.drop(1).toSeq
+        val sidecar = new Path(tablePath, "_graft_catalog")
+        val names = readLines(spark, sidecar)
+        names.filterNot(spark.catalog.tableExists).foreach { name =>
+          if (!IdentifierRx.matches(name))
+            throw new IllegalArgumentException(
+              s"refusing to register non-identifier table name '$name' from $sidecar")
+          spark.catalog.createTable(name, tablePath, "parquet")
+          if (partCols.nonEmpty) spark.catalog.recoverPartitions(name)
+        }
+        true
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[graft-catalog] replay of '$line' failed: ${e.getMessage}")
+          false
       }
-    }
+    }.forall(identity)
 }

@@ -107,6 +107,22 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(naive.intersect(truth) == truth) // the designed pairs are all within τ
   }
 
+  test("PassJoin mixed short-long pair where the short doc has the higher id") {
+    // A doc shorter than k = τ+1 chars emits no index-side segments, so a
+    // short-long pair exists only as probe(short)×index(long); with the
+    // short doc's id GREATER, the main join's a_id < b_id order rejects
+    // that direction — the reversed mixed tier must recover it.
+    val corpus = Seq(
+      (0L, "abcdefghi"), // 9 chars = k: has canonical segments, lower id
+      (1L, "abcdefgh")) //  8 chars < k: ed=1 to doc 0, HIGHER id
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text"))
+      .select("doc_id", "lang", "text", "n_chars")
+    val found = pairSet(Dedup.editDistancePairs(corpus, maxDist = 8))
+    assert(found == Set((0L, 1L)))
+  }
+
   test("exact dedup keeps one representative per text") {
     val out = Dedup.exact(spark, sf0001)
     assert(out.select("text").distinct().count() == out.count())

@@ -214,6 +214,51 @@ class KeyedTableSuite extends SparkTestBase {
     } finally spark.conf.unset(table.GraftCatalog.RegistryConf)
   }
 
+  test("registry record is lost-update-safe under concurrent writers") {
+    val reg = Files.createTempDirectory("graft_reg_").resolve("registry").toString
+    spark.conf.set(table.GraftCatalog.RegistryConf, reg)
+    try {
+      // 4 contending writers × 8 registrations: without the registry
+      // lock each read-append-publish can overwrite a concurrent
+      // writer's line (lost update); with it, every line survives.
+      val paths = (0 until 32).map(i => s"/tmp/graft_reg_tbl_$i")
+      val threads = paths.grouped(8).toSeq.map { group =>
+        new Thread(() => group.foreach(p =>
+          table.GraftCatalog.record(spark, p, Seq("year"))))
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val lines = scala.io.Source.fromFile(reg).getLines().filter(_.nonEmpty).toSeq
+      assert(lines.toSet == paths.map(p => s"$p\tyear").toSet,
+        s"registry lost ${paths.size - lines.size} of ${paths.size} entries")
+      assert(!new java.io.File(reg).getParentFile.listFiles()
+        .exists(_.getName.endsWith(".lock")), "lock file must be released")
+    } finally spark.conf.unset(table.GraftCatalog.RegistryConf)
+  }
+
+  test("registry replay survives a poisoned line and refuses non-identifier names") {
+    val t = freshTable()
+    val name = s"graft_poison_ok_${System.nanoTime()}"
+    val regDir = Files.createTempDirectory("graft_reg_")
+    val reg = regDir.resolve("registry").toString
+    spark.conf.set(table.GraftCatalog.RegistryConf, reg)
+    try {
+      // A poisoned table dir: its sidecar holds a non-identifier "name"
+      // (the injection shape) — replay must refuse it without SQL-parsing
+      // it and without abandoning the rest of the registry.
+      val bad = Files.createTempDirectory("graft_bad_tbl_")
+      Files.writeString(bad.resolve("_graft_catalog"),
+        "evil; DROP TABLE users --")
+      table.GraftCatalog.record(spark, bad.toString, Nil)
+      // The good table registers after the poisoned line.
+      t.upsert(spark, batch(Row("a", "2024-03-07", 2024, "v1")))
+      t.syncCatalog(spark, name)
+      spark.sql(s"DROP TABLE $name")
+      assert(spark.table(name).count() == 1,
+        "a poisoned registry line must not block later entries")
+      spark.sql(s"DROP TABLE $name")
+    } finally spark.conf.unset(table.GraftCatalog.RegistryConf)
+  }
+
   test("catalog sync refuses merge-on-read tables (plain-parquet registration would expose versions)") {
     val dir = Files.createTempDirectory("graft_kt_").toString
     val t = KeyedTable(KeyedTableSpec(
