@@ -141,7 +141,9 @@ object SparkEntry {
     "q114_write_audit_publish" -> (UpsertOps.writeAuditPublish(_, _)),
     "q115_stream_bloom" -> (UpsertOps.streamBloomUpsert(_, _)),
     "q116_partition_evolution" -> (UpsertOps.partitionEvolutionMerge(_, _)),
-    "q117_stream_kmv" -> (UpsertOps.streamDistinctSketch(_, _))
+    "q117_stream_kmv" -> (UpsertOps.streamDistinctSketch(_, _)),
+    "q118_stream_schema_drift" -> (UpsertOps.streamSchemaDrift(_, _)),
+    "q119_concurrent_upsert" -> (UpsertOps.concurrentUpsert(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -469,6 +471,9 @@ object SparkEntry {
     // micro-batch loop through the file-level bloom write path: the
     // write path must not change the merge result
     "q115_stream_bloom" -> latestPerUserType,
+    // lock-serialized racing writers ≡ any serial two-batch merge:
+    // precombine-aware upsert is commutative over disjoint batches
+    "q119_concurrent_upsert" -> latestPerUserType,
     // layout is physical, never semantic: the evolved table's
     // cross-generation read equals the plain merge
     "q116_partition_evolution" -> latestPerUserType,
@@ -480,6 +485,18 @@ object SparkEntry {
         |  COUNT(DISTINCT user_id) AS n_users,
         |  COUNT(*) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q118_stream_schema_drift" ->
+      // mid-stream drift: `value` exists only from the wide (odd-id)
+      // slice on, so the latest-per-key state carries it only where the
+      // winning row is odd — even winners were ingested before the
+      // column existed and were null-filled by the widening upsert
+      """SELECT user_id, event_type, ts_us, event_id,
+        |  CASE WHEN event_id % 2 = 1 THEN value END AS value
+        |FROM (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
     "q111_daily_resample" ->
       // integer-µs day buckets; carried values are byte-copies of stored
       // doubles, so the forward fill hashes bit-for-bit

@@ -655,6 +655,95 @@ object UpsertOps {
     outputCols(table.read(s))
   }
 
+  /** Concurrent-writer upsert (q119): two contending writers race the
+    * odd/even halves of the events into ONE partitioned table through the
+    * real copy-on-write path, serialized by the filesystem lock provider
+    * ([[KeyedTable.withTableLock]] — the TOCTOU-free O_EXCL create, the
+    * engine's Hudi-FS-lock analogue). Unguarded, the two
+    * read-merge-overwrite sequences interleave: both read pre-state and
+    * the loser's dynamic partition overwrite erases the winner's rows in
+    * every shared partition (lost update). Under the lock the commits
+    * SERIALIZE in whichever order the race lands — and because upsert is
+    * a precombine-aware merge, both orders produce the identical
+    * latest-per-key state, which is exactly what the oracle checks (the
+    * same latest-per-key SQL as the serial two-batch q24). Two driver
+    * threads model two jobs; the lock file lives beside the table dir,
+    * so the same serialization holds across JVMs.
+    */
+  def concurrentUpsert(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_concurrent_").toString
+    val table = KeyedTable(spec(s"$tmp/events_keyed"))
+    val ev = eventsUs(s, dir)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = (0 until 2).map { i =>
+      new Thread(() =>
+        try table.withTableLock(s) {
+          table.upsert(s, ev.filter(col("event_id") % 2 === i))
+        } catch { case t: Throwable => failures.add(t) })
+    }
+    writers.foreach(_.start())
+    writers.foreach(_.join())
+    if (!failures.isEmpty) throw failures.peek()
+    outputCols(table.read(s))
+  }
+
+  /** Mid-stream schema drift end-to-end (q118) — the reference's defining
+    * move: `evolveSchema` runs INSIDE the micro-batch loop
+    * (glue_job_script.py:81-94, called per batch at :103), so a column
+    * that first appears on the wire mid-stream widens the table at that
+    * batch. Staged as two time-ordered JSON slices — the early slice's
+    * records predate the `value` field entirely (even event_ids, field
+    * absent from the JSON), the later slice carries it (odd event_ids) —
+    * drained at one file per trigger so the slices arrive as separate
+    * micro-batches of ONE streaming query. The
+    * [[SchemaEvolution.dropAbsentColumns]] prep recovers each batch's own
+    * schema from the fixed-schema decode (DynamicFrame semantics), so the
+    * bootstrap batch creates the table WITHOUT `value` and the later
+    * batch's align → upsert widens it, null-filling rows whose latest
+    * version predates the column — which is exactly what the oracle
+    * checks: latest-per-key where `value` survives only if the winning
+    * row came from the wide slice.
+    */
+  def streamSchemaDrift(s: SparkSession, dir: String): DataFrame = {
+    val master = stageOnce(dir, "drift") { p =>
+      val ev = eventsUs(s, dir)
+        .select("event_id", "ts_us", "user_id", "event_type", "value")
+      // one file per slice: slice boundary == micro-batch boundary
+      ev.filter(col("event_id") % 2 === 0).drop("value")
+        .coalesce(1).write.mode("overwrite").json(s"$p/narrow")
+      ev.filter(col("event_id") % 2 === 1)
+        .coalesce(1).write.mode("overwrite").json(s"$p/wide")
+    }
+    def sliceFile(sub: String): java.io.File =
+      new java.io.File(s"$master/$sub").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+        .head
+    val tmp = Files.createTempDirectory("graft_stream_drift_").toString
+    val src = s"$tmp/json_in"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    // narrow before wide in modification-time order = arrival order
+    val base = System.currentTimeMillis() - 600000L
+    Seq("narrow" -> 0, "wide" -> 1).foreach { case (sub, i) =>
+      val dst = java.nio.file.Paths.get(src, s"slice$i.json")
+      Files.copy(sliceFile(sub).toPath, dst)
+      Files.setLastModifiedTime(
+        dst, java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L))
+    }
+    val table = KeyedTable(spec(s"$tmp/events_keyed"))
+    // stream-start schema is the WIDE union (what inference over the
+    // whole source yields); the per-batch prep narrows it back to what
+    // each batch's records actually carry
+    val inferred = inferredSchema.getOrElseUpdate(
+      master, JsonStreamSource.inferSchema(s, src))
+    val stream = JsonStreamSource.stream(
+      s, src, schema = Some(inferred), maxFilesPerTrigger = Some(1))
+    val q = MicroBatchPipeline.start(
+      stream, table, s"$tmp/checkpoint", trigger = Trigger.AvailableNow(),
+      prep = SchemaEvolution.dropAbsentColumns)
+    q.awaitTermination()
+    outputCols(table.read(s))
+  }
+
   /** [[streamUpsert]]'s loop with the FILE-level bloom write
     * ([[KeyedTable.upsertBloomIndexed]]) as the per-batch sink: the
     * production shape for a micro-batch stream feeding a huge table —

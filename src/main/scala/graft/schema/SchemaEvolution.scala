@@ -133,4 +133,29 @@ object SchemaEvolution {
     */
   def align(batch: DataFrame, current: Option[StructType]): DataFrame =
     current.fold(batch)(align(batch, _))
+
+  /** Reconstruct a batch's OWN schema under a fixed-schema decode: a
+    * schema-on-read transport (the reference's per-batch DynamicFrame,
+    * glue_job_script.py:99-103) hands each micro-batch only the fields its
+    * records actually carry, but Structured Streaming fixes the source
+    * schema at stream start and null-fills fields absent from every record
+    * of a batch. Dropping columns with zero non-null values recovers the
+    * per-batch schema, so the evolution union sees each batch the way the
+    * reference's loop does — a table bootstrapped before a column existed
+    * is created WITHOUT it and widens when the column first appears.
+    *
+    * Cost: one bounded aggregate pass per micro-batch — O(batch), never
+    * O(table). A field explicitly `null` in every record of a batch is
+    * indistinguishable from an absent one after decode; either way the
+    * rows read back null, so the merge result is unaffected.
+    */
+  def dropAbsentColumns(batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.count
+    val counts = batch
+      .select(batch.columns.map(c => count(col(c)).as(c)).toIndexedSeq: _*)
+      .head()
+    val absent = batch.columns.zipWithIndex
+      .collect { case (c, i) if counts.getLong(i) == 0L => c }
+    if (absent.isEmpty) batch else batch.drop(absent.toIndexedSeq: _*)
+  }
 }

@@ -34,6 +34,15 @@ object MicroBatchPipeline {
     *                   `(t, sp, b) => t.upsertBloomIndexed(sp, b)` to run
     *                   the same loop through the file-level bloom path
     *                   (q115), or any other write op the table supports.
+    * @param prep       per-batch transform applied BEFORE schema alignment
+    *                   — the DynamicFrame-conversion point of the
+    *                   reference loop (py:99-103, `fromDF` → evolve).
+    *                   Pass [[SchemaEvolution.dropAbsentColumns]] to model
+    *                   a schema-on-read transport whose batches carry only
+    *                   the fields their records have, so a column that
+    *                   first appears MID-STREAM widens the table at that
+    *                   batch rather than existing null-filled from
+    *                   bootstrap.
     */
   def start(
       source: DataFrame,
@@ -42,13 +51,14 @@ object MicroBatchPipeline {
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
       queryName: String = "graft-upsert-pipeline",
       write: (KeyedTable, org.apache.spark.sql.SparkSession, DataFrame) => Unit =
-        (t, sp, b) => t.upsert(sp, b)): StreamingQuery = {
+        (t, sp, b) => t.upsert(sp, b),
+      prep: DataFrame => DataFrame = identity): StreamingQuery = {
 
     val processBatch: (Dataset[Row], Long) => Unit = (batch, _) => {
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
         val aligned =
-          SchemaEvolution.align(batch.toDF(), table.currentUserSchema(spark))
+          SchemaEvolution.align(prep(batch.toDF()), table.currentUserSchema(spark))
         write(table, spark, aligned)
       }
     }

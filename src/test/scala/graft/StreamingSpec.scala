@@ -47,6 +47,40 @@ class StreamingSpec extends SparkTestBase {
     assert(byName == Map("a" -> "v2", "b" -> "w1"))
   }
 
+  test("mid-stream schema drift: bootstrap narrow, widen at the batch that adds the column") {
+    // The reference's evolveSchema-inside-the-loop semantic: a column
+    // first seen mid-stream must not exist (even null-filled) before its
+    // first batch. Two drains against ONE checkpoint make the mid-stream
+    // table state observable between micro-batches.
+    val tmp = Files.createTempDirectory("graft_stream_drift_spec_").toString
+    val t = table(tmp)
+    val wideSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "name STRING, date STRING, year BIGINT, payload STRING, score BIGINT")
+    def drain(): Unit = {
+      val q = MicroBatchPipeline.start(
+        JsonStreamSource.stream(spark, s"$tmp/in", schema = Some(wideSchema)),
+        t, s"$tmp/cp", Trigger.AvailableNow(),
+        prep = graft.schema.SchemaEvolution.dropAbsentColumns)
+      q.awaitTermination()
+    }
+    new java.io.File(s"$tmp/in").mkdirs()
+    Files.writeString(new java.io.File(s"$tmp/in", "a.json").toPath,
+      """{"name":"a","date":"2024-03-07","year":2024,"payload":"v1"}""" + "\n")
+    drain()
+    assert(!t.currentUserSchema(spark).get.fieldNames.contains("score"),
+      "a column no record has carried yet must not exist after bootstrap")
+    Files.writeString(new java.io.File(s"$tmp/in", "b.json").toPath,
+      """{"name":"b","date":"2024-03-08","year":2024,"payload":"w1","score":7}""" + "\n")
+    drain()
+    val out = t.read(spark).collect()
+      .map(r => r.getAs[String]("name") ->
+        Option(r.getAs[Any]("score")).map(_.toString)).toMap
+    assert(t.currentUserSchema(spark).get.fieldNames.contains("score"),
+      "the first batch carrying the column must widen the table")
+    assert(out == Map("a" -> None, "b" -> Some("7")),
+      "pre-drift rows null-fill, the widening batch's rows carry the value")
+  }
+
   test("restart from checkpoint does not reprocess or duplicate") {
     val tmp = Files.createTempDirectory("graft_stream_spec_").toString
     writeJson(s"$tmp/in", Seq(
