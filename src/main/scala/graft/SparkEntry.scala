@@ -143,7 +143,8 @@ object SparkEntry {
     "q116_partition_evolution" -> (UpsertOps.partitionEvolutionMerge(_, _)),
     "q117_stream_kmv" -> (UpsertOps.streamDistinctSketch(_, _)),
     "q118_stream_schema_drift" -> (UpsertOps.streamSchemaDrift(_, _)),
-    "q119_concurrent_upsert" -> (UpsertOps.concurrentUpsert(_, _))
+    "q119_concurrent_upsert" -> (UpsertOps.concurrentUpsert(_, _)),
+    "q120_zorder_pruned" -> (UpsertOps.zorderPrunedRead(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -474,6 +475,24 @@ object SparkEntry {
     // lock-serialized racing writers ≡ any serial two-batch merge:
     // precombine-aware upsert is commutative over disjoint batches
     "q119_concurrent_upsert" -> latestPerUserType,
+    "q120_zorder_pruned" ->
+      // z-order + stats pruning is pure I/O elision: the 2-D range read
+      // equals the full-scan filter with identical integer bounds
+      """WITH m AS (
+        |  SELECT min(epoch_us(ts)) AS tmn, max(epoch_us(ts)) AS tmx,
+        |         min(user_id) AS umn, max(user_id) AS umx
+        |  FROM events),
+        |latest AS (
+        |  SELECT user_id, event_type, ts_us, event_id, value FROM (
+        |    SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+        |           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |    FROM events) t WHERE rn = 1)
+        |SELECT l.user_id, l.event_type, l.ts_us, l.event_id, l.value
+        |FROM latest l, m
+        |WHERE l.ts_us BETWEEN m.tmx - (m.tmx - m.tmn) // 4 AND m.tmx
+        |  AND l.user_id BETWEEN m.umn + (m.umx - m.umn) // 3
+        |                    AND m.umn + 2 * ((m.umx - m.umn) // 3)""".stripMargin,
     // layout is physical, never semantic: the evolved table's
     // cross-generation read equals the plain merge
     "q116_partition_evolution" -> latestPerUserType,

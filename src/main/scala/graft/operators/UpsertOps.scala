@@ -424,6 +424,36 @@ object UpsertOps {
     outputCols(table.readPruned(s, "ts_us", mx - (mx - mn) / 20, mx))
   }
 
+  /** Z-order × column-stats composition (q120): the two proofs q90
+    * (stats skipping over a 1-D sort layout) and q92 (Morton layout)
+    * carry separately — this query makes them MULTIPLY. The merge is
+    * Z-ordered on (ts_us, user_id), stats are recorded for both columns,
+    * and the read probes a genuine 2-D range (recent quarter of the time
+    * domain × middle third of the user domain) through the conjunctive
+    * [[KeyedTable.readPruned]]: each Morton file is a rectangle in
+    * (time, user) space, so BOTH dimensions' min–max are tight and the
+    * file selection is the intersection of the two skips — the layout a
+    * lexicographic sort cannot give (its trailing column's per-file
+    * ranges span the whole domain). ZOrderSpec asserts the composed
+    * pruning ratio; the oracle is the full-scan filter (pruning is pure
+    * I/O elision). Bounds are integer arithmetic over the events' own
+    * min/max so both engines derive identical ranges.
+    */
+  def zorderPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    val table = freshTwoCommitTable(s, dir, history = false)
+    val ev = eventsUs(s, dir)
+    table.clusterZOrder(s, Seq("ts_us", "user_id"), targetFileBytes = 64L << 10)
+    table.recordColumnStats(s, Seq("ts_us", "user_id"))
+    val Array(b) = ev.agg(
+      min("ts_us").as("tmn"), max("ts_us").as("tmx"),
+      min("user_id").as("umn"), max("user_id").as("umx")).collect()
+    val (tmn, tmx, umn, umx) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    outputCols(table.readPruned(s, Seq(
+      ("ts_us", tmx - (tmx - tmn) / 4, tmx),
+      ("user_id", umn + (umx - umn) / 3, umn + 2 * ((umx - umn) / 3)))))
+  }
+
   /** Savepoint/restore end-to-end: two commits land, then the table is
     * RESTORED to the first — the second commit's versions are physically
     * dropped ([[KeyedTable.restore]]), so the plain read afterwards

@@ -591,12 +591,23 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * total indexed files). Driver-side size is the file count.
     */
   private[graft] def statsSelectedFiles(
-      spark: SparkSession, column: String, lo: Long, hi: Long): (Seq[String], Int) = {
+      spark: SparkSession, column: String, lo: Long, hi: Long): (Seq[String], Int) =
+    statsSelectedFiles(spark, Seq((column, lo, hi)))
+
+  /** Multi-predicate file selection: files whose recorded [min, max]
+    * intersects EVERY range — the conjunctive prune a 2-D probe over a
+    * Z-ordered layout needs (each Morton file is a rectangle in key
+    * space, so both dimensions' stats are tight and the intersection
+    * multiplies the skip rates).
+    */
+  private[graft] def statsSelectedFiles(
+      spark: SparkSession, ranges: Seq[(String, Long, Long)]): (Seq[String], Int) = {
     val st = spark.read.parquet(colStatsDir)
     val all = st.count().toInt
-    val sel = st
-      .filter(col(s"max_$column") >= lo && col(s"min_$column") <= hi)
-      .select("file").collect().map(_.getString(0)).toSeq
+    val pred = ranges
+      .map { case (c, lo, hi) => col(s"max_$c") >= lo && col(s"min_$c") <= hi }
+      .reduce(_ && _)
+    val sel = st.filter(pred).select("file").collect().map(_.getString(0)).toSeq
     (sel, all)
   }
 
@@ -612,7 +623,19 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * range, so the prune is unsound there by construction.
     */
   def readPruned(
-      spark: SparkSession, column: String, lo: Long, hi: Long): DataFrame = {
+      spark: SparkSession, column: String, lo: Long, hi: Long): DataFrame =
+    readPruned(spark, Seq((column, lo, hi)))
+
+  /** Conjunctive multi-range form of [[readPruned]]: only files whose
+    * recorded [min, max] intersects EVERY `(column, lo, hi)` range are
+    * opened. Over a Z-ordered layout this is the payoff shape — Morton
+    * files are rectangles in the clustered key space, so a 2-D probe
+    * multiplies the per-dimension skip rates instead of pruning on one
+    * axis and scanning the other.
+    */
+  def readPruned(
+      spark: SparkSession, ranges: Seq[(String, Long, Long)]): DataFrame = {
+    require(ranges.nonEmpty, "readPruned needs at least one range")
     require(
       !spec.retainHistory,
       "readPruned requires a copy-on-write table: latest-per-key resolution " +
@@ -622,11 +645,13 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     // "Index absent" is per COLUMN, not just per directory: stats recorded
     // for other columns can't answer this predicate — fall back to the
     // full scan the contract promises instead of failing analysis.
-    def indexCovers: Boolean =
-      spark.read.parquet(colStatsDir).columns.contains(s"min_$column")
+    def indexCovers: Boolean = {
+      val cols = spark.read.parquet(colStatsDir).columns.toSet
+      ranges.forall { case (c, _, _) => cols.contains(s"min_$c") }
+    }
     val raw =
       if (!f.exists(new Path(colStatsDir)) || !indexCovers) readRaw(spark)
-      else statsSelectedFiles(spark, column, lo, hi) match {
+      else statsSelectedFiles(spark, ranges) match {
         case (sel, _) if sel.isEmpty => readRaw(spark).filter(lit(false))
         case (sel, _) =>
           val rd = spark.read.option("basePath", spec.path)
@@ -635,8 +660,10 @@ final class KeyedTable(val spec: KeyedTableSpec) {
             case None    => rd.option("mergeSchema", "true")
           }).parquet(sel: _*)
       }
-    SchemaEvolution.dropSystemColumns(raw)
-      .filter(col(column).between(lo, hi))
+    val residual = ranges
+      .map { case (c, lo, hi) => col(c).between(lo, hi) }
+      .reduce(_ && _)
+    SchemaEvolution.dropSystemColumns(raw).filter(residual)
   }
 
   /** Restore the table to its state as of `commit` (Hudi

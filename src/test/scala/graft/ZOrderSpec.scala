@@ -84,6 +84,42 @@ class ZOrderSpec extends SparkTestBase {
       "the general interleave must prune on all three columns")
   }
 
+  test("composed 2-D prune: conjunctive selection multiplies the per-axis skips, result = full-scan filter") {
+    val z = freshTable()
+    z.upsert(spark, events(), commitTime = "c0")
+    z.clusterZOrder(spark, Seq("ts_us", "user_id"), targetFileBytes = 1L << 10)
+    z.recordColumnStats(spark, Seq("ts_us", "user_id"))
+    def bounds(column: String): (Long, Long) = {
+      val Array(b) = z.read(spark)
+        .agg(min(col(column)).cast("long"), max(col(column)).cast("long"))
+        .collect()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      (mn + (mx - mn) * 45 / 100, mn + (mx - mn) * 55 / 100)
+    }
+    val (tLo, tHi) = bounds("ts_us")
+    val (uLo, uHi) = bounds("user_id")
+    val ranges = Seq(("ts_us", tLo, tHi), ("user_id", uLo, uHi))
+    val (sel2d, total) = z.statsSelectedFiles(spark, ranges)
+    val (selTs, _) = z.statsSelectedFiles(spark, "ts_us", tLo, tHi)
+    val (selUser, _) = z.statsSelectedFiles(spark, "user_id", uLo, uHi)
+    info(s"2-D: ${sel2d.length}/$total vs ts ${selTs.length}, user ${selUser.length}")
+    assert(total > 4, "need several files to measure")
+    // conjunction can only shrink either axis's selection — and on a
+    // Morton layout with ~10% slices per axis it must shrink STRICTLY:
+    // the 2-D cell is ~1% of the space, a fraction of either 1-D band
+    assert(sel2d.length < math.min(selTs.length, selUser.length),
+      "the composed prune must beat both single-axis prunes")
+    // pruning is pure I/O elision: pruned read == full scan + filter
+    val pruned = z.readPruned(spark, ranges)
+      .select("user_id", "event_type", "ts_us", "event_id", "value")
+      .collect().toSet
+    val full = z.read(spark)
+      .filter(col("ts_us").between(tLo, tHi) && col("user_id").between(uLo, uHi))
+      .select("user_id", "event_type", "ts_us", "event_id", "value")
+      .collect().toSet
+    assert(pruned == full)
+  }
+
   test("z-order rewrite preserves rows exactly") {
     val t = freshTable()
     t.upsert(spark, events(), commitTime = "c0")
