@@ -28,7 +28,14 @@ object ScaleSmoke {
     "q105_upsert_bloom",
     "q106_kmv_distinct",
     "q111_daily_resample",
-    "q112_sessionize")
+    "q112_sessionize",
+    // round-8 write/table-family curves: positioned-windows candidate
+    // generation (q100), WAP three-commit lifecycle (q114), cross-
+    // generation layout read (q116), z-order + 2-D stats prune (q120)
+    "q100_shared_runs",
+    "q114_write_audit_publish",
+    "q116_partition_evolution",
+    "q120_zorder_pruned")
 
   def main(args: Array[String]): Unit = {
     val small = args.headOption.getOrElse("/root/testdata/sf0.1")
