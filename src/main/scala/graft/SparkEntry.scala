@@ -144,7 +144,9 @@ object SparkEntry {
     "q117_stream_kmv" -> (UpsertOps.streamDistinctSketch(_, _)),
     "q118_stream_schema_drift" -> (UpsertOps.streamSchemaDrift(_, _)),
     "q119_concurrent_upsert" -> (UpsertOps.concurrentUpsert(_, _)),
-    "q120_zorder_pruned" -> (UpsertOps.zorderPrunedRead(_, _))
+    "q120_zorder_pruned" -> (UpsertOps.zorderPrunedRead(_, _)),
+    "q121_incremental_dedup" -> ((s, d) => Dedup.incrementalMinhash(s, d)),
+    "q122_quant_error" -> (Similarity.int8QuantStats(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -624,6 +626,29 @@ object SparkEntry {
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
     "q32_dedup_minhash" -> shingleJaccardSql(0.5),
     "q33_dedup_simhash" -> shingleJaccardSql(0.7),
+    // incremental dedup: the all-pairs truth restricted to pairs that
+    // involve an arriving (odd-id) doc — corpus×corpus pairs are the
+    // standing index's history, not this probe's output
+    "q121_incremental_dedup" ->
+      (shingleJaccardSql(0.5) + "\n  AND (a_id % 2 = 1 OR b_id % 2 = 1)"),
+    "q122_quant_error" ->
+      // identical IEEE expression tree on both engines: (x/scale)*127
+      // rounded half-away-from-zero, (q*scale)/127 back — bit-for-bit
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, embedding,
+        |               unnest(range(1, len(embedding) + 1)) AS i
+        |        FROM embeddings)),
+        |sc AS (SELECT vec_id, max(abs(x)) AS scale FROM ex GROUP BY vec_id),
+        |q AS (
+        |  SELECT ex.vec_id, x, scale,
+        |         CASE WHEN scale = 0 THEN 0.0
+        |              ELSE round(x / scale * 127) * scale / 127 END AS deq
+        |  FROM ex JOIN sc USING (vec_id))
+        |SELECT vec_id, scale,
+        |  max(abs(x - deq)) AS max_abs_err,
+        |  CAST(SUM(CASE WHEN x = deq THEN 1 ELSE 0 END) AS INT) AS n_exact
+        |FROM q GROUP BY vec_id, scale""".stripMargin,
     "q54_range_window" ->
       // RANGE frame: value-bounded, so ties are included by definition —
       // deterministic with no secondary sort on either engine

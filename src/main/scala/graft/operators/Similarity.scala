@@ -562,6 +562,37 @@ object Similarity {
       .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("gram"))
   }
 
+  /** Int8 symmetric quantization audit (q122) — the storage-compression
+    * decision every embedding corpus faces (4× smaller than float32,
+    * 8× smaller than float64): per vector, the per-tensor scale
+    * (max |x|), the worst-dimension reconstruction error after
+    * round(x/scale·127) dequantization, and how many dimensions survive
+    * bit-exact. Pure per-row map through codegen'd higher-order
+    * functions — transform/array_max/filter over the embedding array,
+    * NO shuffle, no explode: the 100 TB shape is "scan, score, write",
+    * scaling with input splits alone. Both engines evaluate the same
+    * IEEE expression tree ((x/scale)·127 rounded half-away-from-zero,
+    * (q·scale)/127 back), so errors compare bit-for-bit. All-zero
+    * vectors (scale = 0) dequantize to zero exactly rather than
+    * dividing by zero.
+    */
+  def int8QuantStats(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("scale", array_max(transform(col("e"), x => abs(x))))
+    def dequant(x: Column): Column =
+      when(col("scale") === 0d, lit(0d))
+        .otherwise(round(x / col("scale") * 127) * col("scale") / 127)
+    base.select(
+      col("vec_id"),
+      col("scale"),
+      array_max(transform(col("e"), x => abs(x - dequant(x)))).as("max_abs_err"),
+      size(filter(col("e"), x => x === dequant(x))).cast("int").as("n_exact"))
+  }
+
   /** Window-based reference implementation of [[knnJoin]] (same result,
     * O(n²)-row shuffle) — kept for the equivalence test.
     */

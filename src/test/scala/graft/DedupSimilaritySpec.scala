@@ -107,6 +107,17 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(naive.intersect(truth) == truth) // the designed pairs are all within τ
   }
 
+  test("incremental index probe == full LSH dedup restricted to arriving-doc pairs") {
+    val full = pairSet(Dedup.minhashLsh(spark, sf001))
+      .filter { case (a, b) => a % 2 == 1 || b % 2 == 1 }
+    val incr = pairSet(Dedup.incrementalMinhash(spark, sf001))
+    assert(incr == full,
+      "the persisted-index probe must find exactly the pairs the full dedup " +
+        s"finds for the batch: ${full.size} true")
+    assert(full.nonEmpty)
+    assert(incr.forall { case (a, b) => a < b })
+  }
+
   test("PassJoin mixed short-long pair where the short doc has the higher id") {
     // A doc shorter than k = τ+1 chars emits no index-side segments, so a
     // short-long pair exists only as probe(short)×index(long); with the
