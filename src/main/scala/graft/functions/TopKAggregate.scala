@@ -130,7 +130,10 @@ object TopKByScore {
 /** Bounded top-k buffer over (count: Long, term: String) entries, ranked by
   * (count desc, term asc) — the vocabulary-rank order. Same ordered-insert
   * shape as [[TopKBuffer]]; terms are stored as owned [[UTF8String]] copies
-  * (eval-input backing buffers are reused by Spark).
+  * (eval-input backing buffers are reused by Spark), cloned at the point of
+  * ACTUAL insertion — comparing against a transient string is safe, so the
+  * Heaps'-law-sized majority of inputs that never enter the top-k cost no
+  * allocation.
   */
 final class TopTermsBuffer(val k: Int) {
   val counts = new Array[Long](k)
@@ -146,7 +149,7 @@ final class TopTermsBuffer(val k: Int) {
     while (i > 0 && ranksHigher(c, t, counts(i - 1), terms(i - 1))) {
       counts(i) = counts(i - 1); terms(i) = terms(i - 1); i -= 1
     }
-    counts(i) = c; terms(i) = t
+    counts(i) = c; terms(i) = t.clone()
     if (size < k) size += 1
   }
 
@@ -194,7 +197,7 @@ case class TopTermsByCount(
     val c = count.eval(input)
     val t = term.eval(input)
     if (c != null && t != null)
-      buffer.add(c.asInstanceOf[Long], t.asInstanceOf[UTF8String].clone())
+      buffer.add(c.asInstanceOf[Long], t.asInstanceOf[UTF8String])
     buffer
   }
 

@@ -27,14 +27,18 @@ object Dedup {
     * consumers reading the same dir share the entry while a spec feeding
     * a different frame gets its own. Values are plain collected rows
     * (band, band_hash) — tiny and session-independent data. The key holds
-    * the canonicalized plan ITSELF, not its hashCode: structural equality
-    * makes an Int-hash collision between two different inputs (which
-    * would silently serve the wrong hot-band set) impossible.
+    * the canonicalized plan's full STRING rendering, not its Int hashCode
+    * (a hash collision between two different inputs would silently serve
+    * the wrong hot-band set) and not the plan object (a LogicalRelation
+    * key would pin its FileIndex listing and SparkSession in this
+    * never-evicted map for the JVM lifetime): string equality is
+    * structural, and the canonical rendering normalizes expression ids,
+    * so equal-semantics plans share the entry while the key stays a few
+    * hundred owned bytes.
     */
   private val hotProbeCache =
-    scala.collection.concurrent.TrieMap.empty[
-      (Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int, Int, Int),
-      Array[org.apache.spark.sql.Row]]
+    scala.collection.concurrent.TrieMap
+      .empty[(Int, String, Int, Int, Int, Int), Array[org.apache.spark.sql.Row]]
 
   /** Exact dedup: keep the lowest-doc_id representative of each distinct
     * text. One shuffle on the text hash (Spark groups by the value; for
@@ -216,7 +220,7 @@ object Dedup {
     val sampleFrac = 0.1
     val probeKey = (
       System.identityHashCode(s),
-      input.queryExecution.analyzed.canonicalized,
+      input.queryExecution.analyzed.canonicalized.toString,
       shingleK, numHashes, bands, hotBucket)
     val hotKeyRows = hotProbeCache.getOrElseUpdate(probeKey,
       banded.sample(withReplacement = false, sampleFrac, seed = 42)

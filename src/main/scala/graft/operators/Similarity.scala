@@ -574,11 +574,14 @@ object Similarity {
     * IEEE expression tree ((x/scale)·127 rounded half-away-from-zero,
     * (q·scale)/127 back), so errors compare bit-for-bit. All-zero
     * vectors (scale = 0) dequantize to zero exactly rather than
-    * dividing by zero.
+    * dividing by zero; zero-LENGTH vectors are excluded on both engines
+    * (there is nothing to quantize — and the SQL side's unnest drops
+    * them implicitly, so the explicit filter keeps the row sets equal).
     */
   def int8QuantStats(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
+      .filter(size(col("embedding")) > 0)
       .select(
         col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("e"))

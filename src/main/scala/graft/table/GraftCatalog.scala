@@ -87,7 +87,9 @@ object GraftCatalog {
     */
   def record(spark: SparkSession, tablePath: String, partitionCols: Seq[String]): Unit =
     registryPath(spark).foreach { reg =>
-      withRegistryLock(spark, reg) {
+      FsLock.withLock(fs(spark, reg), registryLock(reg),
+        timeoutMs = 30000L, pollMs = 10L,
+        breakHint = "GraftCatalog.breakRegistryLock(spark)") {
         val f = fs(spark, reg)
         val line = (tablePath +: partitionCols).mkString("\t")
         val existing = readLines(spark, reg)
@@ -98,52 +100,40 @@ object GraftCatalog {
           val out = f.create(tmp, true)
           try out.write((existing :+ line).mkString("\n").getBytes(UTF_8))
           finally out.close()
-          f.delete(reg, false)
-          if (!f.rename(tmp, reg))
-            throw new java.io.IOException(
-              s"failed to publish catalog registry $reg (rename returned false)")
+          // The publish must never leave a window where the registry is
+          // ABSENT: a concurrent replayIfStale (readers take no lock) that
+          // lands in a delete→rename gap would skip replay and fail the
+          // query. On the local scheme NIO's ATOMIC_MOVE replaces in one
+          // step; elsewhere (HDFS rename won't overwrite) fall back to
+          // delete+rename — HDFS readers of the brief gap retry on the
+          // next resolution since no generation was recorded for it.
+          if (f.getScheme == "file") {
+            java.nio.file.Files.move(
+              java.nio.file.Paths.get(tmp.toUri.getPath),
+              java.nio.file.Paths.get(reg.toUri.getPath),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          } else {
+            f.delete(reg, false)
+            if (!f.rename(tmp, reg))
+              throw new java.io.IOException(
+                s"failed to publish catalog registry $reg (rename returned false)")
+          }
         }
       }
     }
 
-  /** Serialize registry mutations across sessions AND processes: an
-    * atomic create-if-absent of `.<registry>.lock` beside the registry
-    * file. Same acquire discipline as [[KeyedTable.withTableLock]] —
-    * Hadoop's LocalFileSystem implements create(overwrite=false) as
-    * exists-then-create (a TOCTOU hole), so `file://` goes through NIO's
-    * O_EXCL createFile; HDFS create is NameNode-atomic. Registry writes
-    * are small-file metadata ops, so the hold time is milliseconds and a
-    * short poll/timeout suffices.
-    */
-  private def withRegistryLock[T](
-      spark: SparkSession, reg: Path,
-      timeoutMs: Long = 30000L, pollMs: Long = 10L)(body: => T): T = {
-    val f = fs(spark, reg)
-    val lock = new Path(
+  private def registryLock(reg: Path): Path =
+    new Path(
       Option(reg.getParent).getOrElse(new Path(".")),
       "." + reg.getName + ".lock")
-    f.mkdirs(lock.getParent)
-    def tryAcquire(): Boolean =
-      if (f.getScheme == "file") {
-        try {
-          java.nio.file.Files.createFile(
-            java.nio.file.Paths.get(lock.toUri.getPath))
-          true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else {
-        try { f.create(lock, false).close(); true }
-        catch { case _: java.io.IOException => false }
-      }
-    val deadline = System.currentTimeMillis() + timeoutMs
-    while (!tryAcquire()) {
-      if (System.currentTimeMillis() > deadline)
-        throw new java.util.concurrent.TimeoutException(
-          s"could not acquire catalog registry lock $lock within ${timeoutMs} ms")
-      Thread.sleep(pollMs)
-    }
-    try body
-    finally f.delete(lock, false)
-  }
+
+  /** Forcibly clear a leaked registry lock (crashed holder) — the
+    * operator override named in the acquire-timeout message.
+    */
+  def breakRegistryLock(spark: SparkSession): Unit =
+    registryPath(spark).foreach(reg =>
+      FsLock.breakLock(fs(spark, reg), registryLock(reg)))
 
   /** Replay the registry into this session's catalog unless its current
     * generation (mtime) was already replayed. Called from the analyzer
@@ -174,11 +164,15 @@ object GraftCatalog {
   // string literal).
   private val IdentifierRx = "[A-Za-z_][A-Za-z0-9_]*".r
 
-  /** Replay every registered table; returns true only if EVERY line
-    * registered cleanly, so the caller records the generation as done
-    * exactly when nothing remains to retry — one unreadable sidecar must
-    * not silently unregister the rest of the registry for the session's
-    * lifetime.
+  /** Replay every registered table; returns true when nothing remains to
+    * RETRY, so the caller records the generation as done. Failures split
+    * by permanence: a validation refusal (non-identifier sidecar name —
+    * content that can never become registrable) is logged and counted as
+    * handled, otherwise a poisoned line would force a full registry +
+    * sidecar re-read on EVERY later name resolution for the session's
+    * lifetime; a transient failure (unreadable sidecar, IO error) leaves
+    * the generation unrecorded so the next resolution retries it — and
+    * never aborts the remaining lines either way.
     */
   private def replay(spark: SparkSession, reg: Path): Boolean =
     readLines(spark, reg).map { line =>
@@ -188,18 +182,28 @@ object GraftCatalog {
         val partCols = parts.drop(1).toSeq
         val sidecar = new Path(tablePath, "_graft_catalog")
         val names = readLines(spark, sidecar)
-        names.filterNot(spark.catalog.tableExists).foreach { name =>
+        // Validate BEFORE tableExists: the raw sidecar string must not
+        // reach even the identifier parser (tableExists swallows its
+        // ParseException into `false`, which would mask the refusal).
+        names.foreach { name =>
           if (!IdentifierRx.matches(name))
-            throw new IllegalArgumentException(
+            throw new InvalidRegistration(
               s"refusing to register non-identifier table name '$name' from $sidecar")
+        }
+        names.filterNot(spark.catalog.tableExists).foreach { name =>
           spark.catalog.createTable(name, tablePath, "parquet")
           if (partCols.nonEmpty) spark.catalog.recoverPartitions(name)
         }
         true
       } catch {
+        case e: InvalidRegistration =>
+          System.err.println(s"[graft-catalog] skipping '$line' permanently: ${e.getMessage}")
+          true // permanent: retrying cannot make this line valid
         case e: Exception =>
           System.err.println(s"[graft-catalog] replay of '$line' failed: ${e.getMessage}")
-          false
+          false // transient: keep the generation unrecorded → retried
       }
     }.forall(identity)
+
+  private final class InvalidRegistration(msg: String) extends Exception(msg)
 }

@@ -1043,37 +1043,9 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   def withTableLock[T](
       spark: SparkSession,
       timeoutMs: Long = 60000L,
-      pollMs: Long = 25L)(body: => T): T = {
-    val f = fs(spark)
-    val lock = lockPath
-    f.mkdirs(lock.getParent) // first-ever commit: parent may not exist
-    val deadline = System.currentTimeMillis() + timeoutMs
-    // The acquire must be an atomic create-if-absent. HDFS's
-    // create(overwrite=false) IS that (NameNode-enforced); Hadoop's
-    // LOCAL filesystem implements it as exists-then-create — a TOCTOU
-    // hole two contending threads fall straight through — so the file
-    // scheme goes via NIO's O_EXCL createFile instead.
-    def tryAcquire(): Boolean =
-      if (f.getScheme == "file") {
-        try {
-          java.nio.file.Files.createFile(
-            java.nio.file.Paths.get(lock.toUri.getPath))
-          true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else {
-        try { f.create(lock, false).close(); true }
-        catch { case _: java.io.IOException => false }
-      }
-    while (!tryAcquire()) {
-      if (System.currentTimeMillis() > deadline)
-        throw new java.util.concurrent.TimeoutException(
-          s"could not acquire table lock $lock within ${timeoutMs} ms; " +
-            "holder stuck or crashed? breakTableLock() is the operator override")
-      Thread.sleep(pollMs)
-    }
-    try body
-    finally f.delete(lock, false)
-  }
+      pollMs: Long = 25L)(body: => T): T =
+    FsLock.withLock(fs(spark), lockPath, timeoutMs, pollMs,
+      "breakTableLock()")(body)
 
   /** Forcibly remove a leaked lock (crashed holder). Operator judgment
     * call by design — the provider cannot distinguish stuck from slow.
