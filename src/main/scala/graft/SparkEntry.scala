@@ -146,7 +146,11 @@ object SparkEntry {
     "q119_concurrent_upsert" -> (UpsertOps.concurrentUpsert(_, _)),
     "q120_zorder_pruned" -> (UpsertOps.zorderPrunedRead(_, _)),
     "q121_incremental_dedup" -> ((s, d) => Dedup.incrementalMinhash(s, d)),
-    "q122_quant_error" -> (Similarity.int8QuantStats(_, _))
+    "q122_quant_error" -> (Similarity.int8QuantStats(_, _)),
+    "q123_stream_enrich" -> (UpsertOps.streamEnrich(_, _)),
+    "q124_stream_dedup" -> (UpsertOps.streamDedup(_, _)),
+    "q125_cdc_replica" -> (UpsertOps.cdcReplica(_, _)),
+    "q126_rollback_debris" -> (UpsertOps.rollbackDebris(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -649,6 +653,24 @@ object SparkEntry {
         |  max(abs(x - deq)) AS max_abs_err,
         |  CAST(SUM(CASE WHEN x = deq THEN 1 ELSE 0 END) AS INT) AS n_exact
         |FROM q GROUP BY vec_id, scale""".stripMargin,
+    // stream-static broadcast enrichment ≡ the one-shot batch join + agg
+    "q123_stream_enrich" ->
+      s"""SELECT n_name, event_type, COUNT(*) AS n_events,
+         |  ${dsum("value")} AS sum_value
+         |FROM events
+         |JOIN customer ON user_id = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1, 2""".stripMargin,
+    // at-least-once transport (every third event re-delivered) collapsed
+    // to exactly-once: the output is the original event set, each once
+    "q124_stream_dedup" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events""".stripMargin,
+    // the replica maintained from the CDC feed must equal the source's
+    // latest-per-key state
+    "q125_cdc_replica" -> latestPerUserType,
+    // debris removal is observability-free: read-back ≡ the plain merge
+    "q126_rollback_debris" -> latestPerUserType,
     "q54_range_window" ->
       // RANGE frame: value-bounded, so ties are included by definition —
       // deterministic with no secondary sort on either engine

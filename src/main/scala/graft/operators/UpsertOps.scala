@@ -668,12 +668,7 @@ object UpsertOps {
       s: SparkSession, dir: String, tag: String,
       write: (KeyedTable, SparkSession, DataFrame) => Unit): DataFrame = {
     val tmp = Files.createTempDirectory(tag).toString
-    val src = stageOnce(dir, "shuffled") { p =>
-      eventsUs(s, dir)
-        .select("event_id", "ts_us", "user_id", "event_type", "value")
-        .repartition(4)
-        .write.mode("overwrite").json(p)
-    }
+    val src = stageOnce(dir, "shuffled")(stageShuffledJson(s, dir))
     val table = KeyedTable(spec(s"$tmp/events_keyed"))
     val inferred = inferredSchema.getOrElseUpdate(
       src, JsonStreamSource.inferSchema(s, src))
@@ -684,6 +679,16 @@ object UpsertOps {
     q.awaitTermination()
     outputCols(table.read(s))
   }
+
+  /** The multi-file sharded-transport layout shared by the plain
+    * streaming-ingest queries — one staging body on purpose (see
+    * [[streamVia]]'s memo-key note).
+    */
+  private def stageShuffledJson(s: SparkSession, dir: String)(p: String): Unit =
+    eventsUs(s, dir)
+      .select("event_id", "ts_us", "user_id", "event_type", "value")
+      .repartition(4)
+      .write.mode("overwrite").json(p)
 
   /** Concurrent-writer upsert (q119): two contending writers race the
     * odd/even halves of the events into ONE partitioned table through the
@@ -898,6 +903,193 @@ object UpsertOps {
     rest.foreach(f =>
       Files.copy(f.toPath, java.nio.file.Paths.get(src, f.getName)))
     drain() // phase 2: fresh query, same checkpoint — resumes, not replays
+    outputCols(table.read(s))
+  }
+
+  /** Stream-static enrichment (q123): the event stream joined against a
+    * BROADCAST dimension (customer → nation name) inside the streaming
+    * plan — Spark's stream-static join re-plans the static side per
+    * micro-batch, so the dimension never enters the state store (state
+    * holds only the downstream aggregate; a stream-stream join here
+    * would buffer the dimension's rows per key watermark-bounded, pure
+    * waste for a slowly-changing dim). At 100 TB of stream this is THE
+    * enrichment shape: the 25-nation dim broadcasts to every executor
+    * once per batch while the stream side stays partition-local — no
+    * shuffle of the stream at all before the aggregate. The decimal-sum
+    * discipline matches [[streamRollup]] (exact DECIMAL(18,4)
+    * intermediates, cast to double at the edge), so the complete-mode
+    * drain equals the one-shot batch join + aggregate the oracle runs.
+    */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame =
+    streamEnrichVia(s, dir, maxFilesPerTrigger = None)._1
+
+  private[graft] def streamEnrichVia(
+      s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int])
+      : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
+    val tmp = Files.createTempDirectory("graft_stream_enrich_").toString
+    val src = stageOnce(dir, "shuffled")(stageShuffledJson(s, dir))
+    val stagedSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts_us BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE")
+    val dim = Tables.customer(s, dir)
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val agg = JsonStreamSource
+      .stream(s, src, schema = Some(stagedSchema),
+        maxFilesPerTrigger = maxFilesPerTrigger)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("n_name"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_value_dec"))
+      .select(
+        col("n_name"), col("event_type"), col("n_events"),
+        col("sum_value_dec").cast("double").as("sum_value"))
+    val out = s"$tmp/out"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .option("checkpointLocation", s"$tmp/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (s.read.parquet(out), q)
+  }
+
+  /** Stage the sharded time-ordered transport PLUS an at-least-once
+    * re-delivery: every third event appears a second time in a file whose
+    * modification time postdates every original slice — the duplicate
+    * delivery a Kinesis consumer restart or producer retry produces.
+    */
+  private def stageDupJson(s: SparkSession, dir: String)(src: String): Unit = {
+    stageTimeOrderedJson(s, dir, src, slices = 4)
+    val redeliveryDir = src + "_redelivery"
+    eventsUs(s, dir)
+      .select("event_id", "ts_us", "user_id", "event_type", "value")
+      .filter(col("event_id") % 3 === 0)
+      .coalesce(1).write.mode("overwrite").json(redeliveryDir)
+    val dupFile = new java.io.File(redeliveryDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+      .head
+    val dst = java.nio.file.Paths.get(src, "redelivered.json")
+    Files.copy(dupFile.toPath, dst)
+    // originals are stamped ending 420 s ago (stageTimeOrderedJson's
+    // base + 3·60 s); the re-delivery lands after ALL of them
+    java.nio.file.Files.setLastModifiedTime(
+      dst,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000L))
+  }
+
+  /** Watermarked streaming dedup (q124): an at-least-once transport
+    * (every third event re-delivered in a later file — see
+    * [[stageDupJson]]) collapsed to exactly-once output by
+    * `dropDuplicatesWithinWatermark` on the event id. The operator's
+    * state is the seen-key set WITHIN the watermark horizon only — the
+    * production contract is "dedup state is bounded by the transport's
+    * re-delivery window", which is what makes this viable on an
+    * unbounded 100 TB stream where an exact seen-set grows forever. The
+    * fixture's horizon is the whole staged span (the re-delivery file
+    * replays events from every slice), so the delay covers the fixture's
+    * full event-time range and the output is the exact original event
+    * set — the oracle. State EVICTION under a tight horizon is
+    * StreamingSpec's claim (asserted on the state-store row counts),
+    * not this query's.
+    */
+  def streamDedup(s: SparkSession, dir: String): DataFrame =
+    streamDedupVia(s, dir, maxFilesPerTrigger = None)._1
+
+  private[graft] def streamDedupVia(
+      s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int],
+      delay: String = "3650 days"): (DataFrame, Seq[Long]) = {
+    val tmp = Files.createTempDirectory("graft_stream_dedup_").toString
+    val src = stageOnce(dir, "dup")(stageDupJson(s, dir))
+    val stagedSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts_us BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE")
+    val out = s"$tmp/out"
+    val deduped = JsonStreamSource
+      .stream(s, src, schema = Some(stagedSchema),
+        maxFilesPerTrigger = maxFilesPerTrigger)
+      .withColumn("ts_evt", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_evt", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id", "ts_us", "user_id", "event_type", "value")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", s"$tmp/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stateRows = q.recentProgress.toSeq
+      .flatMap(p => p.stateOperators.map(_.numRowsTotal))
+    (s.read.parquet(out), stateRows)
+  }
+
+  /** CDC replica maintenance (q125): a downstream replica kept current by
+    * CONSUMING the state-delta feed instead of re-reading the source —
+    * the other half of the CDC story q91/q107 started (producing the
+    * feed; here a second table applies it). Initial sync applies the
+    * feed up to c1, the incremental pass applies `(c1, latest]`; each
+    * application keeps postimage/insert rows only (preimages are the
+    * retraction half an AGGREGATE consumer needs — a keyed replica's
+    * upsert replaces by key, so the postimage alone is the whole
+    * instruction) and upserts them through the replica's own
+    * precombine-aware merge, which makes application idempotent and
+    * insensitive to apply order. Cost per sync is O(changed keys), never
+    * O(table) — at 100 TB the replica applies a few thousand changed
+    * rows per cycle instead of re-merging the world. The oracle checks
+    * replica ≡ source latest-per-key state.
+    */
+  def cdcReplica(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_cdc_replica_").toString
+    val srcTable = KeyedTable(morSpec(s"$tmp/src"))
+    val ev = eventsUs(s, dir)
+    srcTable.upsert(s, ev.filter(col("event_id") % 3 === 0), commitTime = "c0")
+    srcTable.upsert(s, ev.filter(col("event_id") % 3 === 1), commitTime = "c1")
+    srcTable.upsert(s, ev.filter(col("event_id") % 3 === 2), commitTime = "c2")
+    val replica = KeyedTable(spec(s"$tmp/replica"))
+    def applyFeed(feed: DataFrame): Unit =
+      replica.upsert(
+        s, feed.filter(col("op") =!= "update_preimage").drop("op"))
+    applyFeed(srcTable.readStateDelta(s, sinceCommit = "", endCommit = Some("c1")))
+    applyFeed(srcTable.readStateDelta(s, sinceCommit = "c1"))
+    outputCols(replica.read(s))
+  }
+
+  /** Failed-action rollback (q126, Hudi's rollback + cleaner for crashed
+    * table services): a crashed compaction/clustering leaves its sibling
+    * `<table>_graft_*_tmp` rewrite scratch, and a crashed committer
+    * leaves `_temporary`/`.spark-staging-*` inside the table dir —
+    * debris no read path consults (tmp dirs are outside the table path;
+    * committer scratch is `_`/`.`-hidden from scans) but which
+    * accumulates real bytes and file-listing load at production scale.
+    * [[KeyedTable.rollbackDebris]] removes exactly that set and must
+    * change NOTHING observable: the oracle checks the read-back equals
+    * the plain two-commit merge, and RollbackDebrisSpec asserts the
+    * debris is gone while data files and sidecars keep their bytes.
+    */
+  def rollbackDebris(s: SparkSession, dir: String): DataFrame = {
+    val table = freshTwoCommitTable(s, dir, history = false)
+    val root = java.nio.file.Paths.get(table.spec.path)
+    // plant the three debris shapes a crash produces
+    val crashedRewrite = java.nio.file.Paths.get(table.spec.path + "_graft_compact_tmp")
+    Files.createDirectories(crashedRewrite)
+    Files.write(crashedRewrite.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+    val committerTmp = root.resolve("_temporary").resolve("0")
+    Files.createDirectories(committerTmp)
+    Files.write(committerTmp.resolve("task-attempt.parquet"), Array[Byte](4, 5))
+    val staging = root.resolve(".spark-staging-deadbeef")
+    Files.createDirectories(staging)
+    Files.write(staging.resolve("part-00000.parquet"), Array[Byte](6))
+    table.rollbackDebris(s)
     outputCols(table.read(s))
   }
 }

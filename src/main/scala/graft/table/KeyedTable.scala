@@ -745,6 +745,40 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     rewriteViaTmp(spark, clustered, "_graft_compact_tmp")
   }
 
+  /** Rollback of failed table-service actions — Hudi's rollback/cleaner
+    * for crashed compactions and clusterings. Every rewrite goes through
+    * a SIBLING scratch dir (`<table>_graft_<service>_tmp`,
+    * [[rewriteViaTmp]]) so a crash never corrupts the live path — but it
+    * leaves the scratch behind, and a crashed Spark committer leaves
+    * `_temporary` / `.spark-staging-*` inside the table dir. None of it
+    * is consulted by any read path (scratch is outside the table path;
+    * committer dirs are `_`/`.`-hidden from scans), yet at production
+    * scale the debris holds real bytes and inflates every file listing,
+    * so the cleaner removes exactly that set and nothing else: data
+    * files, sidecar indexes, and the lock file are never touched —
+    * observable table state is IDENTICAL before and after.
+    */
+  def rollbackDebris(spark: SparkSession): Unit = {
+    val f = fs(spark)
+    val root = new Path(spec.path)
+    Option(root.getParent).filter(f.exists).foreach { parent =>
+      f.listStatus(parent)
+        .filter { st =>
+          val n = st.getPath.getName
+          n != root.getName &&
+            n.startsWith(root.getName + "_graft_") && n.endsWith("_tmp")
+        }
+        .foreach(st => f.delete(st.getPath, true))
+    }
+    if (f.exists(root))
+      f.listStatus(root)
+        .filter { st =>
+          val n = st.getPath.getName
+          n == "_temporary" || n.startsWith(".spark-staging")
+        }
+        .foreach(st => f.delete(st.getPath, true))
+  }
+
   /** Sort-order clustering — Hudi's clustering service with a sort
     * strategy (`hoodie.clustering.plan.strategy.sort.columns`): rewrite
     * the table range-partitioned + sorted on `sortCols` so each file
