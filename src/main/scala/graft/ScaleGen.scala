@@ -84,6 +84,14 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$to/events.parquet")
 
+    // Dimension tables ride along unscaled (the realistic shape: dims
+    // grow orders slower than facts) so the stream-enrichment smoke can
+    // join them at the big tier.
+    Seq("customer", "nation").foreach { t =>
+      spark.read.parquet(s"$from/$t.parquet")
+        .write.mode("overwrite").parquet(s"$to/$t.parquet")
+    }
+
     println(s"[scalegen] wrote $to: documents=${nDocs * reps} " +
       s"embeddings=${nVecs * reps} events=${nEvents * reps}")
     spark.stop()

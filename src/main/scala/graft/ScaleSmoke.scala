@@ -35,7 +35,14 @@ object ScaleSmoke {
     "q100_shared_runs",
     "q114_write_audit_publish",
     "q116_partition_evolution",
-    "q120_zorder_pruned")
+    "q120_zorder_pruned",
+    // round-8 batch-2: streaming enrichment/dedup state curves, CDC
+    // replica application, debris cleaner (metadata-only — its curve is
+    // the file-listing cost)
+    "q123_stream_enrich",
+    "q124_stream_dedup",
+    "q125_cdc_replica",
+    "q126_rollback_debris")
 
   def main(args: Array[String]): Unit = {
     val small = args.headOption.getOrElse("/root/testdata/sf0.1")
