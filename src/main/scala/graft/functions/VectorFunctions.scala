@@ -56,8 +56,10 @@ object VectorFunctions {
   def hyperplaneSketch(v: Column, bits: Int, dim: Int): Column = {
     val planes = RandomPlanes.planes(bits, dim)
     val bitCols = (0 until bits).map { b =>
-      val plane = array(planes(b).map(lit(_)).toIndexedSeq: _*)
-      when(dotProduct(v, plane.cast("array<float>")) > 0.0,
+      // One array literal per plane (a single codegen constant reference);
+      // the element-wise array(lit, …) form emits `dim` inline literals and
+      // at bits × dim scale pushes the stage past Janino's 64 KB limit.
+      when(dotProduct(v, typedlit(planes(b).toSeq)) > 0.0,
         shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     bitCols.reduce((a, b) => a.bitwiseOR(b))

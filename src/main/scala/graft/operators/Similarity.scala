@@ -70,19 +70,31 @@ object Similarity {
       .select(col("vec_id"), col("label"))
   }
 
+  /** One struct(dist, cid) column per centroid, with the centroid vector
+    * carried as a SINGLE array literal (`typedlit`) rather than
+    * `array(lit, lit, …)`: a non-primitive Literal codegens to one
+    * constant reference, where the element-wise form emits `dim` inline
+    * literals — at nlist=64 × dim≈64 that unrolled shape crossed Janino's
+    * 64 KB method limit and dropped the whole stage to interpreted mode.
+    * This keeps the per-centroid cosine fully codegen'd at 1/dim the
+    * generated-code size.
+    */
+  private def rankedCentroids(
+      centroids: Array[Array[Float]], emb: Column): Seq[Column] =
+    centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      struct(
+        (lit(1.0) - VectorFunctions.cosineSim(emb, typedlit(c.toSeq))).as("dist"),
+        lit(i).as("cid"))
+    }
+
   /** Assign each row the id of its nearest centroid (cosine), via a
     * struct-least over one fused-cosine distance per centroid — all
     * codegen'd expressions over literal centroid arrays, no UDF, no
     * broadcast variable (each task re-derives the literals from the plan).
     */
   private[graft] def withCentroidId(df: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
-    val ranked = centroids.zipWithIndex.map { case (c, i) =>
-      val centroidLit = array(c.map(lit(_)).toIndexedSeq: _*).cast("array<float>")
-      struct(
-        (lit(1.0) - VectorFunctions.cosineSim(col("embedding"), centroidLit)).as("dist"),
-        lit(i).as("cid"))
-    }
-    df.withColumn("cid", least(ranked.toIndexedSeq: _*).getField("cid"))
+    val ranked = rankedCentroids(centroids, col("embedding"))
+    df.withColumn("cid", least(ranked: _*).getField("cid"))
   }
 
   /** The row's `nprobe` nearest centroid ids, nearest first: rank the
@@ -93,12 +105,7 @@ object Similarity {
   private[graft] def probeList(
       centroids: Array[Array[Float]], nprobe: Int,
       emb: Column = col("embedding")): Column = {
-    val ranked = centroids.zipWithIndex.map { case (c, i) =>
-      val centroidLit = array(c.map(lit(_)).toIndexedSeq: _*).cast("array<float>")
-      struct(
-        (lit(1.0) - VectorFunctions.cosineSim(emb, centroidLit)).as("dist"),
-        lit(i).as("cid"))
-    }
+    val ranked = rankedCentroids(centroids, emb)
     transform(
       slice(array_sort(array(ranked.toIndexedSeq: _*)), 1, nprobe),
       s => s.getField("cid"))
@@ -257,7 +264,10 @@ object Similarity {
       val d = cents.head.length
       val sub = slice(emb, mi * d + 1, d)
       val ranked = cents.zipWithIndex.map { case (c, code) =>
-        val cLit = array(c.map(lit(_)).toIndexedSeq: _*).cast("array<float>")
+        // Single array literal per centroid (not array(lit, lit, …)) — see
+        // rankedCentroids: one codegen reference instead of d inline
+        // literals keeps m × ksub centroids inside Janino's method limit.
+        val cLit = typedlit(c.toSeq)
         val cNormSqHalf = c.map(x => x.toDouble * x).sum / 2.0
         struct(
           (lit(cNormSqHalf) -
@@ -293,7 +303,7 @@ object Similarity {
     */
   private[graft] def pqAdcExpr(pq: Column, tables: Array[Array[Double]]): Column =
     tables.zipWithIndex.map { case (tbl, mi) =>
-      val arr = array(tbl.map(lit(_)).toIndexedSeq: _*)
+      val arr = typedlit(tbl.toSeq) // single constant ref, not ksub inline literals
       element_at(
         arr,
         (shiftrightunsigned(pq, 8 * mi).bitwiseAND(lit(255L)).cast("int") + 1))
