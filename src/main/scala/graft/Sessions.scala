@@ -8,9 +8,11 @@ import org.apache.spark.sql.SparkSession
   *
   *   - `GraftExtensions`: custom SQL functions + the YearPredicateToRange
   *     optimizer rule;
-  *   - nanosAsLong: `events.ts` is parquet TIMESTAMP(NANOS), read as a
-  *     nanosecond long (DuckDB truncates the same column to µs; queries
-  *     compare via `ts div 1000` ≡ `epoch_us(ts)`);
+  *   - nanosAsLong: kept for fixture tiers whose `events.ts` is parquet
+  *     TIMESTAMP(NANOS) (read as a nanos long); tiers that ship
+  *     TIMESTAMP(MICROS) arrive as TIMESTAMP_NTZ and Tables.events
+  *     normalizes either shape to the one nanos-long convention
+  *     (`ts div 1000` ≡ DuckDB `epoch_us(ts)`);
   *   - Kryo, as the reference job configures (glue_job_script.py:19);
   *   - RocksDB state store: stateful streaming state lives off-heap and
   *     spills to local disk, bounding executor heap by the watermark
