@@ -28,6 +28,21 @@ object VectorFunctions {
     GraftSqlBridge.column(
       DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** The k nearest centroid ids of `v` by (cosine distance asc, cid asc)
+    * — the IVF assign/probe kernel ([[NearestCentroids]]: constant-size
+    * generated code for any nlist, where the unrolled per-centroid
+    * composition blew Janino's 64 KB method limit at nlist=64).
+    */
+  def nearestCentroids(v: Column, cents: Array[Array[Float]], k: Int): Column =
+    GraftSqlBridge.column(
+      NearestCentroids(GraftSqlBridge.expression(v), cents, k))
+
+  /** Packed PQ code of `v` against per-subspace codebooks ([[PqCode]] —
+    * constant-size generated code for any m × ksub).
+    */
+  def pqCode(v: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    GraftSqlBridge.column(PqCode(GraftSqlBridge.expression(v), codebooks))
+
   /** Built-in-only dot product: left-to-right fold in index order (so the
     * accumulation order — hence the exact double — is deterministic).
     */
@@ -53,17 +68,10 @@ object VectorFunctions {
     * ANN join-shaped instead of all-pairs (SURVEY §7.4 scale path).
     * Hyperplane components are deterministic pseudo-randoms from splitmix64.
     */
-  def hyperplaneSketch(v: Column, bits: Int, dim: Int): Column = {
-    val planes = RandomPlanes.planes(bits, dim)
-    val bitCols = (0 until bits).map { b =>
-      // One array literal per plane (a single codegen constant reference);
-      // the element-wise array(lit, …) form emits `dim` inline literals and
-      // at bits × dim scale pushes the stage past Janino's 64 KB limit.
-      when(dotProduct(v, typedlit(planes(b).toSeq)) > 0.0,
-        shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def hyperplaneSketch(v: Column, bits: Int, dim: Int): Column =
+    GraftSqlBridge.column(
+      HyperplaneSketch(
+        GraftSqlBridge.expression(v), RandomPlanes.planes(bits, dim)))
 
   def hamming(a: Column, b: Column): Column =
     GraftSqlBridge.column(

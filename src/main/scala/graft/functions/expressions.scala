@@ -530,3 +530,218 @@ case class HammingDistance64(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** The `k` nearest centroid ids of an embedding, ranked by
+  * (cosine distance asc, centroid id asc) — the IVF assign/probe kernel.
+  *
+  * Why an expression and not a composition: the declarative shape —
+  * `least(struct(dist_0, 0), …, struct(dist_63, 63))` for assignment,
+  * `array_sort(array(struct…))` for probe lists — unrolls one fused
+  * cosine PER CENTROID into a single generated method. At nlist = 64 ×
+  * dim = 64 that Project crossed Janino's 64 KB method limit even with
+  * each centroid as one constant reference (`typedlit`, round 8), so the
+  * whole stage fell back to interpreted mode (observed: 3 fires per sf1
+  * smoke, `references[511]`). Here the centroid matrix is ONE reference
+  * object and the generated code is a single constant-size call into
+  * [[select]] — a JIT-compiled double loop over primitive floats, inside
+  * whole-stage codegen regardless of nlist.
+  *
+  * Semantics EXACTLY match the composed form it replaces: distance =
+  * `1.0 - cosine` with [[CosineSimilarity]]'s accumulation order (index
+  * ascending, doubles, `sqrt(nx)*sqrt(ny)` denominator, 0-denominator →
+  * similarity 0.0 → distance 1.0), ties broken by smaller centroid id
+  * (struct ordering's second field). Null embedding → null (the composed
+  * form's null-field struct ordering was never exercised — embeddings are
+  * non-null by fixture contract; `nullIntolerant` makes the edge explicit).
+  */
+case class NearestCentroids(
+    child: Expression,
+    centroids: Array[Array[Float]],
+    k: Int)
+  extends UnaryExpression {
+
+  require(k > 0, "k must be positive")
+  require(centroids.nonEmpty, "centroids must be non-empty")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroids"
+
+  /** Bounded insertion-select of the k smallest (dist, cid) pairs; public
+    * because generated code calls it through a reference object.
+    */
+  def select(a: Any): ArrayData = {
+    val x = a.asInstanceOf[ArrayData]
+    val kk = math.min(k, centroids.length)
+    val bestD = new Array[Double](kk)
+    val bestC = new Array[Int](kk)
+    var size = 0
+    var ci = 0
+    while (ci < centroids.length) {
+      val c = centroids(ci)
+      val n = math.min(x.numElements(), c.length)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < n) {
+        val xi = x.getFloat(i).toDouble
+        val yi = c(i).toDouble
+        dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+      }
+      val denom = math.sqrt(nx) * math.sqrt(ny)
+      val dist = 1.0 - (if (denom == 0.0) 0.0 else dot / denom)
+      // Insert position: strictly-smaller distances rank first; equal
+      // distances keep the earlier (smaller) centroid id — ci ascends, so
+      // "first index with bestD > dist" reproduces (dist asc, cid asc).
+      if (size < kk || dist < bestD(kk - 1)) {
+        var pos = if (size < kk) size else kk - 1
+        while (pos > 0 && bestD(pos - 1) > dist) {
+          if (pos < kk) { bestD(pos) = bestD(pos - 1); bestC(pos) = bestC(pos - 1) }
+          pos -= 1
+        }
+        bestD(pos) = dist; bestC(pos) = ci
+        if (size < kk) size += 1
+      }
+      ci += 1
+    }
+    val out = new Array[Any](size)
+    var j = 0
+    while (j < size) { out(j) = bestC(j); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any = select(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val ref = ctx.addReferenceObj(
+        "nearestCentroids", this, classOf[NearestCentroids].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.select($x);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit-max sign sketch for random-hyperplane LSH: bit b = 1 iff
+  * `v · plane_b > 0.0` (Charikar STOC'02), all planes in one loop.
+  *
+  * Same Janino story as [[NearestCentroids]]: the composed form — one
+  * `CASE WHEN dot_product(v, plane_b) > 0 THEN 1<<b` per bit, OR-reduced —
+  * unrolls bits × dim work into a single generated method and crossed the
+  * 64 KB limit at 64 × 64 even with `typedlit` plane constants (the write-
+  * time index Project that kept falling back to interpreted mode in the
+  * sf1 smoke). The plane matrix rides as one reference object; generated
+  * code is a constant-size call. Dot accumulation is index-ascending
+  * doubles — [[DotProduct]]'s exact arithmetic — so sketches are
+  * bit-identical to the composed form. Null embedding → null (composed
+  * form gave 0L — a degenerate all-bits-zero sketch; embeddings are
+  * non-null by fixture contract, and an explicit null beats a sketch that
+  * silently buckets all null rows together).
+  */
+case class HyperplaneSketch(child: Expression, planes: Array[Array[Float]])
+  extends UnaryExpression {
+
+  require(planes.nonEmpty && planes.length <= 64, "need 1..64 planes")
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_sketch"
+
+  /** Public because generated code calls it through a reference object. */
+  def sketch(a: Any): Long = {
+    val x = a.asInstanceOf[ArrayData]
+    var sig = 0L
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      val n = math.min(x.numElements(), p.length)
+      var dot = 0.0; var i = 0
+      while (i < n) { dot += x.getFloat(i).toDouble * p(i).toDouble; i += 1 }
+      if (dot > 0.0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  override protected def nullSafeEval(a: Any): Any = sketch(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val ref = ctx.addReferenceObj(
+        "hyperplaneSketch", this, classOf[HyperplaneSketch].getName)
+      s"${ev.value} = $ref.sketch($x);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Packed product-quantization code of an embedding: per subspace mi the
+  * argmin-centroid byte (L2 via the ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖² identity
+  * on the normalized subvector), OR-shifted into one long — the PQ
+  * write-time kernel.
+  *
+  * Third member of the Janino family ([[NearestCentroids]],
+  * [[HyperplaneSketch]]): the composed form unrolled m × ksub fused dot
+  * products into the write-time Project and pushed it past the 64 KB
+  * method limit. Arithmetic is replicated operation-for-operation:
+  * rawNorm = sqrt(dot(x,x)) (index-ascending doubles), norm = rawNorm if
+  * > 0 else 1 (the zero-vector branch), dist = cNormSqHalf − dot/norm
+  * with cNormSqHalf precomputed as `c.map(x => x²).sum / 2` exactly as
+  * the plan-time literal was, ties → smaller code. Null embedding → null.
+  */
+case class PqCode(child: Expression, codebooks: Array[Array[Array[Float]]])
+  extends UnaryExpression {
+
+  require(codebooks.nonEmpty && codebooks.length <= 8, "need 1..8 subspaces")
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_code"
+
+  // Same Scala expression the composed form evaluated at plan time — the
+  // summation order (left fold over the mapped array) must not change.
+  @transient private lazy val cNormSqHalf: Array[Array[Double]] =
+    codebooks.map(_.map(c => c.map(x => x.toDouble * x).sum / 2.0))
+
+  /** Public because generated code calls it through a reference object. */
+  def code(a: Any): Long = {
+    val x = a.asInstanceOf[ArrayData]
+    val xn = x.numElements()
+    var dotXX = 0.0; var i = 0
+    while (i < xn) { val v = x.getFloat(i).toDouble; dotXX += v * v; i += 1 }
+    val rawNorm = math.sqrt(dotXX)
+    val norm = if (rawNorm > 0.0) rawNorm else 1.0
+    var sig = 0L
+    var mi = 0
+    while (mi < codebooks.length) {
+      val cents = codebooks(mi)
+      val d = cents(0).length
+      val off = mi * d
+      val subLen = math.max(0, math.min(d, xn - off))
+      var bestD = Double.MaxValue; var bestC = 0; var first = true
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var dot = 0.0; var j = 0
+        while (j < subLen) { dot += x.getFloat(off + j).toDouble * cent(j).toDouble; j += 1 }
+        val dist = cNormSqHalf(mi)(c) - dot / norm
+        if (first || dist < bestD) { bestD = dist; bestC = c; first = false }
+        c += 1
+      }
+      sig |= bestC.toLong << (8 * mi)
+      mi += 1
+    }
+    sig
+  }
+
+  override protected def nullSafeEval(a: Any): Any = code(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val ref = ctx.addReferenceObj("pqCode", this, classOf[PqCode].getName)
+      s"${ev.value} = $ref.code($x);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -70,46 +70,30 @@ object Similarity {
       .select(col("vec_id"), col("label"))
   }
 
-  /** One struct(dist, cid) column per centroid, with the centroid vector
-    * carried as a SINGLE array literal (`typedlit`) rather than
-    * `array(lit, lit, …)`: a non-primitive Literal codegens to one
-    * constant reference, where the element-wise form emits `dim` inline
-    * literals — at nlist=64 × dim≈64 that unrolled shape crossed Janino's
-    * 64 KB method limit and dropped the whole stage to interpreted mode.
-    * This keeps the per-centroid cosine fully codegen'd at 1/dim the
-    * generated-code size.
+  /** Assign each row the id of its nearest centroid (cosine) through the
+    * [[graft.functions.NearestCentroids]] kernel. History of this shape:
+    * round 1–7 unrolled one fused cosine per centroid
+    * (`least(struct(dist_i, i), …)`), round 8 shrank each centroid to a
+    * single `typedlit` constant reference — and the Project STILL crossed
+    * Janino's 64 KB method limit at nlist=64 × dim=64 (3 interpreted-mode
+    * fallbacks per sf1 smoke, `references[511]`). The kernel generates one
+    * constant-size call whatever nlist is, so the stage stays inside
+    * whole-stage codegen; tie semantics (dist asc, cid asc) and the exact
+    * double arithmetic are unchanged.
     */
-  private def rankedCentroids(
-      centroids: Array[Array[Float]], emb: Column): Seq[Column] =
-    centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      struct(
-        (lit(1.0) - VectorFunctions.cosineSim(emb, typedlit(c.toSeq))).as("dist"),
-        lit(i).as("cid"))
-    }
+  private[graft] def withCentroidId(df: DataFrame, centroids: Array[Array[Float]]): DataFrame =
+    df.withColumn("cid",
+      element_at(VectorFunctions.nearestCentroids(col("embedding"), centroids, 1), 1))
 
-  /** Assign each row the id of its nearest centroid (cosine), via a
-    * struct-least over one fused-cosine distance per centroid — all
-    * codegen'd expressions over literal centroid arrays, no UDF, no
-    * broadcast variable (each task re-derives the literals from the plan).
-    */
-  private[graft] def withCentroidId(df: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
-    val ranked = rankedCentroids(centroids, col("embedding"))
-    df.withColumn("cid", least(ranked: _*).getField("cid"))
-  }
-
-  /** The row's `nprobe` nearest centroid ids, nearest first: rank the
-    * per-centroid struct(dist, cid) list with `array_sort` (lexicographic —
-    * distance then cid, deterministic ties) and keep the head. All
-    * codegen'd; no UDF.
+  /** The row's `nprobe` nearest centroid ids, nearest first — the same
+    * [[graft.functions.NearestCentroids]] kernel with k = nprobe (ranked
+    * by distance then cid, deterministic ties; see [[withCentroidId]] for
+    * why this is a kernel and not an `array_sort(array(struct…))`).
     */
   private[graft] def probeList(
       centroids: Array[Array[Float]], nprobe: Int,
-      emb: Column = col("embedding")): Column = {
-    val ranked = rankedCentroids(centroids, emb)
-    transform(
-      slice(array_sort(array(ranked.toIndexedSeq: _*)), 1, nprobe),
-      s => s.getField("cid"))
-  }
+      emb: Column = col("embedding")): Column =
+    VectorFunctions.nearestCentroids(emb, centroids, nprobe)
 
   /** IVF coarse quantizer: `nlist` centroids, deterministic evenly-spaced
     * init (every n/nlist-th vec_id — the ids are dense, so this picks the
@@ -251,34 +235,15 @@ object Similarity {
     * Write-time cost, amortized like the sketch/cid columns.
     */
   private[graft] def pqCodeExpr(
-      emb: Column, codebooks: Array[Array[Array[Float]]]): Column = {
-    val m = codebooks.length
-    // A zero vector would make the divisor 0 → NULL division → NULL packed
-    // code, and NULL adc sorts first and silently eats the rerank budget.
-    // Mirror `normalized`'s n == 0 branch: treat the vector as-is (dot
-    // products are 0, so every centroid distance is just ‖c‖²/2 and the
-    // row gets a valid, deterministic code).
-    val rawNorm = sqrt(VectorFunctions.dotProduct(emb, emb))
-    val norm = when(rawNorm > 0d, rawNorm).otherwise(lit(1d))
-    val byteCols = codebooks.zipWithIndex.map { case (cents, mi) =>
-      val d = cents.head.length
-      val sub = slice(emb, mi * d + 1, d)
-      val ranked = cents.zipWithIndex.map { case (c, code) =>
-        // Single array literal per centroid (not array(lit, lit, …)) — see
-        // rankedCentroids: one codegen reference instead of d inline
-        // literals keeps m × ksub centroids inside Janino's method limit.
-        val cLit = typedlit(c.toSeq)
-        val cNormSqHalf = c.map(x => x.toDouble * x).sum / 2.0
-        struct(
-          (lit(cNormSqHalf) -
-            VectorFunctions.dotProduct(sub, cLit) / norm).as("d"),
-          lit(code).as("c"))
-      }
-      shiftleft(
-        least(ranked.toIndexedSeq: _*).getField("c").cast("long"), 8 * mi)
-    }
-    byteCols.reduce((a, b) => a.bitwiseOR(b))
-  }
+      emb: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    // [[graft.functions.PqCode]] kernel: the per-(mi, code) composed form
+    // — one fused dot per codebook entry, `least` over (dist, code)
+    // structs — unrolled m × ksub work into the write-time Project and
+    // crossed Janino's 64 KB method limit (the last of the three sf1-smoke
+    // interpreted-mode fallbacks). The kernel keeps the identity-based
+    // L2 argmin (zero-vector norm branch included) in one constant-size
+    // generated call; ties still resolve to the smaller code.
+    VectorFunctions.pqCode(emb, codebooks)
 
   /** Per-subspace ADC table for a (normalized) query: tbl(mi)(c) =
     * ‖q_sub − c‖². Kilobytes; travels as plan literals.
