@@ -150,7 +150,8 @@ object SparkEntry {
     "q123_stream_enrich" -> (UpsertOps.streamEnrich(_, _)),
     "q124_stream_dedup" -> (UpsertOps.streamDedup(_, _)),
     "q125_cdc_replica" -> (UpsertOps.cdcReplica(_, _)),
-    "q126_rollback_debris" -> (UpsertOps.rollbackDebris(_, _))
+    "q126_rollback_debris" -> (UpsertOps.rollbackDebris(_, _)),
+    "q127_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -671,6 +672,17 @@ object SparkEntry {
     "q125_cdc_replica" -> latestPerUserType,
     // debris removal is observability-free: read-back ≡ the plain merge
     "q126_rollback_debris" -> latestPerUserType,
+    // BPE pair counting: adjacency by position (toks[i], toks[i+1]);
+    // rank ties broken by pair text asc, matching TopTermsByCount
+    "q127_bpe_pairs" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT toks[i] || ' ' || toks[i + 1] AS pair
+        |      FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t) e),
+        |cnt AS (SELECT pair, COUNT(*) AS n FROM p GROUP BY pair)
+        |SELECT pair,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS INT) AS rnk,
+        |       n AS n_occurrences
+        |FROM cnt ORDER BY n DESC, pair LIMIT 30""".stripMargin,
     "q54_range_window" ->
       // RANGE frame: value-bounded, so ties are included by definition —
       // deterministic with no secondary sort on either engine

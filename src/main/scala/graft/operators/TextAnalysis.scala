@@ -334,4 +334,37 @@ object TextAnalysis {
         count_distinct(col("doc_id")).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("term"))
       .limit(topK)
+
+  /** Adjacent-pair frequencies — the counting step of a BPE tokenizer
+    * training round (Sennrich ACL'16: the first merge is the corpus-wide
+    * most frequent symbol pair; every round is this same count over the
+    * re-segmented corpus). Emitted: the top `k` pairs with rank and count.
+    *
+    * Scale shape: pairs are born inside the per-row `zip_with` (no
+    * self-join of the token stream against itself — adjacency is array
+    * structure, free at map time), counted with map-side partial
+    * aggregation on the (Heaps'-law) pair domain, and the global top-k is
+    * the bounded-heap [[graft.functions.TopTermsByCount]] aggregate — ≤ k
+    * entries per partition at the merge, never the whole pair domain in
+    * one task (the same no-global-window discipline as [[tokenIds]]).
+    */
+  def bpePairs(s: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    import graft.functions.TopTermsByCount.topTermsByCount
+    val w = TextFunctions.tokens(col("text"))
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(explode(
+        zip_with(
+          slice(w, lit(1), size(w) - 1),
+          slice(w, lit(2), size(w) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .agg(topTermsByCount(col("n"), col("pair"), k).as("v"))
+      .select(posexplode(col("v")))
+      .select(
+        col("col.term").as("pair"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("col.n").as("n_occurrences"))
+  }
 }

@@ -34,11 +34,12 @@ class VocabRankSpec extends SparkTestBase {
     found.toSeq
   }
 
-  test("q80/q84/q87 plans contain no partition-less WindowExec") {
+  test("q80/q84/q87/q127 plans contain no partition-less WindowExec") {
     val plans = Seq(
       "tokenIds" -> TextAnalysis.tokenIds(spark, sf0001),
       "cooccurrence" -> TextAnalysis.cooccurrence(spark, sf0001),
-      "oovStats" -> TextAnalysis.oovStats(spark, sf0001))
+      "oovStats" -> TextAnalysis.oovStats(spark, sf0001),
+      "bpePairs" -> TextAnalysis.bpePairs(spark, sf0001))
     plans.foreach { case (name, df) =>
       val bad = partitionlessWindows(df)
       assert(bad.isEmpty, s"$name has partition-less windows: ${bad.mkString("; ")}")
