@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer rules: year(col) <cmp> literal → sargable range
     // ([[graft.plans.YearPredicateToRange]]).
     e.injectOptimizerRule(_ => graft.plans.YearPredicateToRange)
+    // Aggregate-over-base → registered materialized rollup
+    // ([[graft.plans.MvAggregateRewrite]]); no-op while no MV is
+    // registered.
+    e.injectOptimizerRule(s => new graft.plans.MvAggregateRewrite(s))
     // Resolution hook: when a query references a table the session
     // catalog doesn't know, consult the persistent registry
     // ([[graft.table.GraftCatalog]]) before resolution fails — discovery

@@ -151,7 +151,9 @@ object SparkEntry {
     "q124_stream_dedup" -> (UpsertOps.streamDedup(_, _)),
     "q125_cdc_replica" -> (UpsertOps.cdcReplica(_, _)),
     "q126_rollback_debris" -> (UpsertOps.rollbackDebris(_, _)),
-    "q127_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d))
+    "q127_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
+    "q128_mv_rewrite" -> (table.MaterializedView.mvRewriteRevenue(_, _)),
+    "q129_image_phash" -> (Multimodal.imagePhash(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -683,6 +685,38 @@ object SparkEntry {
         |       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS INT) AS rnk,
         |       n AS n_occurrences
         |FROM cnt ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+    // the MV-served aggregate must equal the straight base-table rollup
+    // (the plan-shape assertion — rollup scanned, base not — lives in
+    // MvRewriteSpec; the oracle checks the answer, not the path)
+    "q128_mv_rewrite" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n_orders
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority""".stripMargin,
+    // dHash from the closed-form pixels: 2x2 red-channel sums -> 8x8
+    // cells, bit (r,c) = cell < right-neighbor; CASTs keep DuckDB's
+    // HUGEINT sums out of the schema compare
+    "q129_image_phash" ->
+      """WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        |cell AS (
+        |  SELECT i.doc_id, r.range AS r, c.range AS c,
+        |    SUM((i.doc_id*7 + ((r.range*2 + dr.range)*16 + c.range*2 + dc.range)) % 256) AS s
+        |  FROM img i
+        |  CROSS JOIN range(0, 8) r CROSS JOIN range(0, 8) c
+        |  CROSS JOIN range(0, 2) dr CROSS JOIN range(0, 2) dc
+        |  GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id,
+        |    CAST(SUM(CASE WHEN a.s < b.s
+        |                  THEN (CAST(1 AS BIGINT) << (a.r*7 + a.c))
+        |                  ELSE 0 END) AS BIGINT) AS phash
+        |  FROM cell a JOIN cell b
+        |    ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+        |  WHERE a.c < 7 GROUP BY 1)
+        |SELECT doc_id, phash,
+        |       COUNT(*) OVER (PARTITION BY phash) AS n_same
+        |FROM bits""".stripMargin,
     "q54_range_window" ->
       // RANGE frame: value-bounded, so ties are included by definition —
       // deterministic with no secondary sort on either engine

@@ -587,4 +587,70 @@ object Multimodal {
       }
       .toDF("doc_id", "frame", "mean_gray")
   }
+
+  /** Perceptual-hash (dHash) image near-dup detection — the
+    * embedding-free member of the multimodal dedup family: decode the
+    * REAL PNG, box-reduce 16×16 → 8×8 on the red channel (2×2 integer
+    * SUMS — comparisons on sums ≡ comparisons on means, and integers
+    * keep both engines bit-identical), then the classic
+    * difference hash: bit (r,c) = 1 iff cell(r,c) < cell(r,c+1) — 8 rows
+    * × 7 horizontal comparisons = a 56-bit signature that survives
+    * resize/re-encode/brightness shifts (Krawetz '13). Output is each
+    * image's hash plus its hash-bucket size (`n_same` > 1 ⇒ perceptual
+    * duplicates) — group-size shape, never materializing pairs, so a
+    * pathological all-dups corpus costs O(n), not O(n²).
+    *
+    * Scale shape: decode is partition-local map work (payloads stay
+    * columnar to the iterator, one BufferedImage live at a time); the
+    * bucket size is a partitioned window over the 56-bit hash — a single
+    * key-hash exchange. The DuckDB oracle (q129) recomputes the decoded
+    * pixels arithmetically from the fixture's closed form.
+    */
+  def imagePhash(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val hashes = realMediaTable(s, dir)
+      .filter(col("media_type") === "image/png")
+      .select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          val cells = Array.ofDim[Long](8, 8)
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              var sum = 0L
+              var dr = 0
+              while (dr < 2) {
+                var dc = 0
+                while (dc < 2) {
+                  sum += (img.getRGB(c * 2 + dc, r * 2 + dr) >> 16) & 0xFF
+                  dc += 1
+                }
+                dr += 1
+              }
+              cells(r)(c) = sum
+              c += 1
+            }
+            r += 1
+          }
+          var phash = 0L
+          r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 7) {
+              if (cells(r)(c) < cells(r)(c + 1)) phash |= 1L << (r * 7 + c)
+              c += 1
+            }
+            r += 1
+          }
+          (id, phash)
+        }
+      }
+      .toDF("doc_id", "phash")
+    hashes.withColumn(
+      "n_same", count(lit(1)).over(Window.partitionBy(col("phash"))))
+  }
 }

@@ -1,0 +1,165 @@
+package graft.table
+
+import java.nio.file.Files
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.functions._
+
+/** Aggregate materialized views with automatic query rewrite — the
+  * "summary table" half of a lakehouse serving layer. `create` computes
+  * and persists a grouped rollup of a parquet base table; the optimizer
+  * rule [[graft.plans.MvAggregateRewrite]] (installed by
+  * `GraftExtensions`) then rewrites any matching aggregate over the BASE
+  * table onto the rollup. At 100 TB the rewrite is the difference between
+  * scanning the fact table and scanning a few thousand summary rows —
+  * the same contract as Hive/BigQuery/Materialize MV rewrite, expressed
+  * as a Catalyst `Rule[LogicalPlan]`.
+  *
+  * Rewrite safety model:
+  *   - DERIVABILITY — a query aggregate is rewritten only when its exact
+  *     input expression is registered: `sum(e)` → `sum(sum_e)` (re-sum of
+  *     partial sums), `count(*)`/`count(1)` → `coalesce(sum(cnt), 0)`,
+  *     `min(e)`/`max(e)` → `min(min_e)`/`max(max_e)`. Matching is by the
+  *     NORMALIZED SQL rendering of the resolved input expression, so
+  *     `sum(CAST(l_quantity AS DECIMAL(18,4)))` matches only an MV that
+  *     stored that very cast. Grouping and filter columns must be a
+  *     subset of the MV's dimension columns (group-subset rollup is what
+  *     partial re-aggregation makes legal). Anything else declines.
+  *   - STALENESS — the registry remembers the base directory's
+  *     modification time at build; the rule re-reads it (ONE file-status
+  *     call, the same guard discipline as `GraftCatalog.replayIfStale`)
+  *     and declines when the base has changed since. A stale MV is never
+  *     consulted silently.
+  *   - Registration is process-scoped (a `TrieMap` keyed by the base
+  *     path), mirroring a session catalog's MV metadata; `drop` removes.
+  */
+object MaterializedView {
+
+  /** One derivable measure: how a query-side aggregate over `inputSql`
+    * (normalized rendering of the resolved input) maps to the MV column.
+    */
+  sealed trait Measure { def mvCol: String }
+  final case class MvSum(mvCol: String, inputSql: String) extends Measure
+  final case class MvMin(mvCol: String, inputSql: String) extends Measure
+  final case class MvMax(mvCol: String, inputSql: String) extends Measure
+  final case class MvCount(mvCol: String) extends Measure
+
+  final case class MvDef(
+      name: String,
+      basePath: String,
+      mvPath: String,
+      groupCols: Seq[String],
+      sums: Map[String, String],   // normalized input sql → mv column
+      mins: Map[String, String],
+      maxs: Map[String, String],
+      countCol: Option[String],
+      baseMtime: Long)
+
+  private val registry = TrieMap.empty[String, MvDef]
+
+  def isEmpty: Boolean = registry.isEmpty
+  def all: Iterable[MvDef] = registry.values
+  def lookup(basePath: String): Option[MvDef] = registry.get(basePath)
+  def drop(basePath: String): Unit = registry.remove(basePath)
+
+  /** Normalized rendering of a resolved expression: attribute references
+    * collapse to their bare lowercase name, so plan-side and
+    * registration-side renderings compare equal regardless of exprIds or
+    * qualifiers.
+    */
+  def normalize(e: Expression): String = e.transform {
+    case a: Attribute =>
+      AttributeReference(a.name.toLowerCase(java.util.Locale.ROOT), a.dataType,
+        a.nullable)()
+  }.sql
+
+  /** Directory modification time of the base — bumped by any file
+    * create/delete on local and HDFS schemes; one status call.
+    */
+  def baseMtime(spark: SparkSession, path: String): Long = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(p).getModificationTime
+  }
+
+  /** Compute, persist, and register the rollup. `sums`/`mins`/`maxs` map
+    * MV column name → input Column over the base; `countCol` stores
+    * `count(1)`.
+    */
+  def create(
+      spark: SparkSession,
+      name: String,
+      basePath: String,
+      mvPath: String,
+      groupCols: Seq[String],
+      sums: Seq[(String, Column)] = Nil,
+      mins: Seq[(String, Column)] = Nil,
+      maxs: Seq[(String, Column)] = Nil,
+      countCol: Option[String] = None): MvDef = {
+    val base = spark.read.parquet(basePath)
+    // Resolve each measure input against the base ONCE — the analyzed
+    // select supplies the normalized key the rewrite rule will look up.
+    def key(c: Column): String = {
+      val analyzed = base.select(c).queryExecution.analyzed
+      normalize(analyzed.expressions.head match {
+        case a: Alias => a.child
+        case e => e
+      })
+    }
+    val aggCols =
+      sums.map { case (n, c) => sum(c).as(n) } ++
+      mins.map { case (n, c) => min(c).as(n) } ++
+      maxs.map { case (n, c) => max(c).as(n) } ++
+      countCol.map(n => count(lit(1)).as(n)).toSeq
+    require(aggCols.nonEmpty, "an MV needs at least one measure")
+    base.groupBy(groupCols.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .write.mode("overwrite").parquet(mvPath)
+    val d = MvDef(
+      name, basePath, mvPath, groupCols,
+      sums.map { case (n, c) => key(c) -> n }.toMap,
+      mins.map { case (n, c) => key(c) -> n }.toMap,
+      maxs.map { case (n, c) => key(c) -> n }.toMap,
+      countCol,
+      baseMtime(spark, basePath))
+    registry.put(basePath, d)
+    d
+  }
+
+  // ---------------------------------------------------------------------
+  // q128: build a rollup over lineitem, then run a plain aggregate on the
+  // BASE table — the rewrite rule must serve it from the rollup (the plan
+  // assertion lives in MvRewriteSpec; the oracle computes the same
+  // aggregate straight from lineitem, so correctness holds whichever
+  // path planned).
+  // ---------------------------------------------------------------------
+
+  /** Open-order revenue by priority, served through a
+    * (o_orderstatus, o_orderpriority) rollup of orders. The query groups
+    * by a strict SUBSET of the dimensions with a dimension-only filter —
+    * the rollup-then-re-aggregate shape MV rewrite exists for. No other
+    * registered query's FULL aggregate list is derivable from this MV
+    * (q19's CASE sums and q50's quantiles decline), so the process-wide
+    * registry cannot accidentally capture an unrelated plan.
+    */
+  def mvRewriteRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"$dir/orders.parquet"
+    val work = Files.createTempDirectory("graft_mv_").toString
+    create(
+      spark, "orders_by_status_priority", base, s"$work/mv",
+      groupCols = Seq("o_orderstatus", "o_orderpriority"),
+      sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+      countCol = Some("cnt"))
+    spark.read.parquet(base)
+      .filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double")
+          .as("sum_price"),
+        count(lit(1)).as("n_orders"))
+  }
+}

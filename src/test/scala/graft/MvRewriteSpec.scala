@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.table.MaterializedView
+
+/** [[graft.plans.MvAggregateRewrite]]: a derivable aggregate over a
+  * registered base must plan as a scan of the ROLLUP (not the base), give
+  * the identical result, and decline on staleness or underivable shapes.
+  */
+class MvRewriteSpec extends SparkTestBase {
+
+  private def scannedPaths(df: DataFrame): Seq[String] = {
+    val found = scala.collection.mutable.Buffer[String]()
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case f: FileSourceScanExec =>
+          found ++= f.relation.location.rootPaths.map(_.toString)
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case _ =>
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    found.toSeq
+  }
+
+  private def userQuery(base: String): DataFrame =
+    spark.read.parquet(base)
+      .filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double")
+          .as("sum_price"),
+        count(lit(1)).as("n_orders"))
+
+  private def rows(df: DataFrame): Set[(String, Double, Long)] =
+    df.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+
+  // A private DIRECTORY-shaped copy of the single-file base (a dir of
+  // part files is the at-scale layout anyway) so tests can mutate it.
+  private def copyBase(): String = {
+    val work = Files.createTempDirectory("graft_mvspec_")
+    val dst = work.resolve("orders.parquet")
+    Files.createDirectories(dst)
+    Files.copy(Paths.get(sf0001, "orders.parquet"),
+      dst.resolve("part-00000.snappy.parquet"),
+      StandardCopyOption.COPY_ATTRIBUTES)
+    dst.toString
+  }
+
+  test("derivable aggregate is served from the rollup, same result") {
+    val base = copyBase()
+    val expected = rows(userQuery(base)) // planned BEFORE registration
+    val mvPath = Files.createTempDirectory("graft_mv_out_").toString + "/mv"
+    try {
+      MaterializedView.create(
+        spark, "spec_mv", base, mvPath,
+        groupCols = Seq("o_orderstatus", "o_orderpriority"),
+        sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+        countCol = Some("cnt"))
+      val served = userQuery(base)
+      val paths = scannedPaths(served)
+      assert(paths.exists(_.contains("/mv")),
+        s"expected a rollup scan, got: $paths")
+      assert(!paths.exists(_.contains("orders.parquet")),
+        s"base must not be scanned: $paths")
+      assert(rows(served) == expected)
+    } finally MaterializedView.drop(base)
+  }
+
+  test("a changed base declines the rewrite (staleness guard)") {
+    val base = copyBase()
+    val mvPath = Files.createTempDirectory("graft_mv_out_").toString + "/mv"
+    try {
+      MaterializedView.create(
+        spark, "spec_mv_stale", base, mvPath,
+        groupCols = Seq("o_orderstatus", "o_orderpriority"),
+        sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+        countCol = Some("cnt"))
+      val beforeAppend = rows(userQuery(base)) // MV-served
+      Thread.sleep(1100) // local-fs mtime can be second-granular
+      // Append a new data file: the stored rollup no longer matches.
+      val existing = Files.list(Paths.get(base))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(existing, Paths.get(base, "part-extra.snappy.parquet"))
+      val after = userQuery(base)
+      val paths = scannedPaths(after)
+      assert(paths.exists(_.contains("orders.parquet")),
+        s"stale MV must decline; scanned: $paths")
+      // The fresh base answer (doubled counts) differs from the stale MV's.
+      assert(rows(after) != beforeAppend,
+        "post-append result should differ from the stale rollup's answer")
+    } finally MaterializedView.drop(base)
+  }
+
+  test("underivable shapes decline: unknown measure, non-dim grouping") {
+    val base = copyBase()
+    val mvPath = Files.createTempDirectory("graft_mv_out_").toString + "/mv"
+    try {
+      MaterializedView.create(
+        spark, "spec_mv_decline", base, mvPath,
+        groupCols = Seq("o_orderstatus", "o_orderpriority"),
+        sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+        countCol = Some("cnt"))
+      // Different sum expression → decline.
+      val otherMeasure = spark.read.parquet(base)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(expr("CAST(o_custkey AS DECIMAL(18,4))")).as("s"))
+      assert(scannedPaths(otherMeasure).exists(_.contains("orders.parquet")))
+      // Grouping outside the dimension set → decline.
+      val otherDims = spark.read.parquet(base)
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).as("s"))
+      assert(scannedPaths(otherDims).exists(_.contains("orders.parquet")))
+      // Filter on a non-dimension column → decline.
+      val otherFilter = spark.read.parquet(base)
+        .filter(col("o_custkey") > 100)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).as("s"))
+      assert(scannedPaths(otherFilter).exists(_.contains("orders.parquet")))
+    } finally MaterializedView.drop(base)
+  }
+
+  test("q128 query shape: result equals direct aggregation at sf0.001") {
+    val direct = rows(userQuery(s"$sf0001/orders.parquet"))
+    val viaMv = rows(MaterializedView.mvRewriteRevenue(spark, sf0001))
+    assert(viaMv == direct)
+    MaterializedView.drop(s"$sf0001/orders.parquet")
+  }
+}
