@@ -151,6 +151,29 @@ object Demo {
     graft.operators.TextAnalysis.tokenIds(spark, sfDir)
       .orderBy("doc_id").show(3, truncate = false)
 
+    println("=== materialized view: rollup registered, aggregate re-served ===")
+    val mvOut = graft.table.MaterializedView.mvRewriteRevenue(spark, sfDir)
+    mvOut.orderBy("o_orderpriority").show(truncate = false)
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }) ++ p.children.flatMap(scansOf)
+    val scans = scansOf(mvOut.queryExecution.executedPlan)
+    println(s"scanned: ${scans.mkString("; ")} (rollup, not orders.parquet)")
+    graft.table.MaterializedView.drop(s"$sfDir/orders.parquet")
+
+    println("=== tokenizer prep: top BPE merge candidates ===")
+    graft.operators.TextAnalysis.bpePairs(spark, sfDir).show(5, truncate = false)
+
+    println("=== multimodal near-dup: dHash buckets over decoded PNGs ===")
+    graft.operators.Multimodal.imagePhash(spark, sfDir)
+      .filter(col("n_same") > 1).orderBy("phash", "doc_id")
+      .show(5, truncate = false)
+
     println("=== custom SQL functions ===")
     GraftExtensions.registerAll(spark)
     spark.sql(

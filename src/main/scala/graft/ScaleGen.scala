@@ -84,6 +84,20 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$to/events.parquet")
 
+    // orders scales 10× on rows with per-replica key offsets (the q128
+    // MV-rewrite smoke measures rollup-BUILD cost against base size;
+    // an unscaled copy would flat-line the curve by construction).
+    val ord = spark.read.parquet(s"$from/orders.parquet")
+    val nOrders = ord.agg(max("o_orderkey")).head.getLong(0) + 1
+    val ordPass = ord.columns
+      .filterNot(_ == "o_orderkey").map(col).toSeq
+    ord.crossJoin(repl)
+      .select(
+        (col("o_orderkey") + col("rep").cast("long") * nOrders).as("o_orderkey") +:
+        ordPass: _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$to/orders.parquet")
+
     // Dimension tables ride along unscaled (the realistic shape: dims
     // grow orders slower than facts) so the stream-enrichment smoke can
     // join them at the big tier.

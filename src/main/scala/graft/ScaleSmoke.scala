@@ -42,7 +42,13 @@ object ScaleSmoke {
     "q123_stream_enrich",
     "q124_stream_dedup",
     "q125_cdc_replica",
-    "q126_rollback_debris")
+    "q126_rollback_debris",
+    // round-9: pair counting over the token stream (q127), MV build +
+    // re-served aggregate (q128 — the build scan dominates and scales
+    // with the base), per-image decode + hash + one key exchange (q129)
+    "q127_bpe_pairs",
+    "q128_mv_rewrite",
+    "q129_image_phash")
 
   def main(args: Array[String]): Unit = {
     val small = args.headOption.getOrElse("/root/testdata/sf0.1")
