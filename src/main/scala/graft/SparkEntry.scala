@@ -153,7 +153,8 @@ object SparkEntry {
     "q126_rollback_debris" -> (UpsertOps.rollbackDebris(_, _)),
     "q127_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "q128_mv_rewrite" -> (table.MaterializedView.mvRewriteRevenue(_, _)),
-    "q129_image_phash" -> (Multimodal.imagePhash(_, _))
+    "q129_image_phash" -> (Multimodal.imagePhash(_, _)),
+    "q130_phash_near" -> (Multimodal.phashNearDup(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -717,6 +718,31 @@ object SparkEntry {
         |SELECT doc_id, phash,
         |       COUNT(*) OVER (PARTITION BY phash) AS n_same
         |FROM bits""".stripMargin,
+    // brute-force verify of the pigeonhole plan: all pairs within
+    // hamming<=1 of the closed-form 56-bit hashes (tau=1 keeps the truth
+    // set selective on the gradient fixture; the chunk machinery is exact
+    // to tau=3)
+    "q130_phash_near" ->
+      """WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        |cell AS (
+        |  SELECT i.doc_id, r.range AS r, c.range AS c,
+        |    SUM((i.doc_id*7 + ((r.range*2 + dr.range)*16 + c.range*2 + dc.range)) % 256) AS s
+        |  FROM img i
+        |  CROSS JOIN range(0, 8) r CROSS JOIN range(0, 8) c
+        |  CROSS JOIN range(0, 2) dr CROSS JOIN range(0, 2) dc
+        |  GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id,
+        |    CAST(SUM(CASE WHEN a.s < b.s
+        |                  THEN (CAST(1 AS BIGINT) << (a.r*7 + a.c))
+        |                  ELSE 0 END) AS BIGINT) AS phash
+        |  FROM cell a JOIN cell b
+        |    ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+        |  WHERE a.c < 7 GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 1""".stripMargin,
     "q54_range_window" ->
       // RANGE frame: value-bounded, so ties are included by definition —
       // deterministic with no secondary sort on either engine

@@ -608,8 +608,17 @@ object Multimodal {
     */
   def imagePhash(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    imageHashes(s, dir).withColumn(
+      "n_same", count(lit(1)).over(Window.partitionBy(col("phash"))))
+  }
+
+  /** (doc_id, phash) for every PNG — the shared signature stage of
+    * [[imagePhash]] (bucket sizes) and [[phashNearDup]] (thresholded
+    * pairs).
+    */
+  private def imageHashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hashes = realMediaTable(s, dir)
+    realMediaTable(s, dir)
       .filter(col("media_type") === "image/png")
       .select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
@@ -650,7 +659,50 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "phash")
-    hashes.withColumn(
-      "n_same", count(lit(1)).over(Window.partitionBy(col("phash"))))
+  }
+
+  /** Thresholded perceptual near-dup pairs: images whose dHash signatures
+    * differ in ≤ `maxHamming` of 56 bits — the "near" half of image dedup
+    * (equal-hash bucketing catches exact perceptual dups; brightness or
+    * single-region edits land 1–3 bits away).
+    *
+    * Scale shape: SimHash's pigeonhole discipline on a new modality — the
+    * signature splits into 4 chunks of 14 bits, and ≤ 3 differing bits
+    * cannot touch all 4 chunks, so candidates = 4 equality self-joins on
+    * (chunk index, chunk value), an EXACT superset at τ=3. Narrow
+    * (id, hash) rows through keyed joins — never an all-pairs product —
+    * then one [[graft.functions.HammingDistance64]] verify per distinct
+    * candidate. The DuckDB oracle brute-forces the closed-form hashes
+    * (oracle-side n² is fine at fixture scale; the Spark plan is the
+    * one that has to survive 100 TB).
+    */
+  def phashNearDup(
+      s: SparkSession, dir: String, maxHamming: Int = 1): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole is exact only to tau=3")
+    val hashes = imageHashes(s, dir)
+    val chunks = hashes.select(
+      col("doc_id"), col("phash"),
+      explode(array((0 until 4).map(i =>
+        struct(
+          lit(i).as("ci"),
+          shiftrightunsigned(col("phash"), 14 * i)
+            .bitwiseAND(lit(0x3FFFL)).as("cv"))): _*)).as("ch"))
+      .select(col("doc_id"), col("phash"),
+        col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+    val a = chunks.select(
+      col("ci"), col("cv"),
+      col("doc_id").as("doc_a"), col("phash").as("pa"))
+    val b = chunks.select(
+      col("ci"), col("cv"),
+      col("doc_id").as("doc_b"), col("phash").as("pb"))
+    a.join(b, Seq("ci", "cv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "pa", "pb")
+      .distinct()
+      .withColumn(
+        "hamming",
+        graft.functions.VectorFunctions.hamming(col("pa"), col("pb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 }
