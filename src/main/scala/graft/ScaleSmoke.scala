@@ -48,7 +48,8 @@ object ScaleSmoke {
     // with the base), per-image decode + hash + one key exchange (q129)
     "q127_bpe_pairs",
     "q128_mv_rewrite",
-    "q129_image_phash")
+    "q129_image_phash",
+    "q130_phash_near")
 
   def main(args: Array[String]): Unit = {
     val small = args.headOption.getOrElse("/root/testdata/sf0.1")
