@@ -666,27 +666,40 @@ object Multimodal {
     * (equal-hash bucketing catches exact perceptual dups; brightness or
     * single-region edits land 1–3 bits away).
     *
-    * Scale shape: SimHash's pigeonhole discipline on a new modality — the
-    * signature splits into 4 chunks of 14 bits, and ≤ 3 differing bits
-    * cannot touch all 4 chunks, so candidates = 4 equality self-joins on
-    * (chunk index, chunk value), an EXACT superset at τ=3. Narrow
-    * (id, hash) rows through keyed joins — never an all-pairs product —
-    * then one [[graft.functions.HammingDistance64]] verify per distinct
-    * candidate. The DuckDB oracle brute-forces the closed-form hashes
-    * (oracle-side n² is fine at fixture scale; the Spark plan is the
-    * one that has to survive 100 TB).
+    * Scale shape: SimHash's pigeonhole discipline on a new modality,
+    * with the chunk count MATCHED TO THE THRESHOLD: ≤ τ differing bits
+    * cannot touch all τ+1 chunks, so τ+1 chunks of 56/(τ+1) bits are the
+    * exact-superset minimum — and the WIDEST chunks the guarantee
+    * allows. Width is what keeps candidates subquadratic on structured
+    * signatures: dHashes of real images cluster (gradients repeat), so a
+    * 14-bit chunk space saturates and bucket occupancy grows linearly
+    * with the corpus → quadratic candidates (measured: 39.6× at 10×
+    * rows on the first sf1 smoke). At τ=1 the two 28-bit chunks make a
+    * chunk collision a 28-bit agreement — the smoke ratio drops to the
+    * blocking-family band. Candidates stay narrow (id, hash) rows
+    * through keyed joins — never an all-pairs product — with one
+    * [[graft.functions.HammingDistance64]] verify per distinct pair.
+    * The DuckDB oracle brute-forces the closed-form hashes (oracle-side
+    * n² is fine at fixture scale; the Spark plan is the one that has to
+    * survive 100 TB).
     */
   def phashNearDup(
       s: SparkSession, dir: String, maxHamming: Int = 1): DataFrame = {
-    require(maxHamming <= 3, "4-chunk pigeonhole is exact only to tau=3")
+    require(maxHamming >= 0 && maxHamming < 56, "need 0 <= tau < 56")
+    val nChunks = maxHamming + 1
+    // 56 bits over tau+1 chunks, remainder spread to the low chunks so
+    // every bit lands in exactly one chunk.
+    val base = 56 / nChunks
+    val widths = Array.tabulate(nChunks)(i => base + (if (i < 56 % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val hashes = imageHashes(s, dir)
     val chunks = hashes.select(
       col("doc_id"), col("phash"),
-      explode(array((0 until 4).map(i =>
+      explode(array((0 until nChunks).map(i =>
         struct(
           lit(i).as("ci"),
-          shiftrightunsigned(col("phash"), 14 * i)
-            .bitwiseAND(lit(0x3FFFL)).as("cv"))): _*)).as("ch"))
+          shiftrightunsigned(col("phash"), offsets(i))
+            .bitwiseAND(lit((1L << widths(i)) - 1)).as("cv"))): _*)).as("ch"))
       .select(col("doc_id"), col("phash"),
         col("ch.ci").as("ci"), col("ch.cv").as("cv"))
     val a = chunks.select(
