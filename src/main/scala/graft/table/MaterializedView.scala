@@ -126,7 +126,78 @@ object MaterializedView {
       maxs.map { case (n, c) => key(c) -> n }.toMap,
       countCol,
       baseMtime(spark, basePath))
+    writeSidecar(spark, d)
     registry.put(basePath, d)
+    d
+  }
+
+  // -------------------------------------------------------------------
+  // Persistence: the definition travels WITH the rollup as a `_graft_mv`
+  // sidecar (underscore-prefixed → invisible to parquet listing), the
+  // same travels-with-the-data discipline as KeyedTable's `_graft_*`
+  // sidecars and GraftCatalog's registry. A fresh session `attach`es the
+  // rollup path and gets rewrites without re-running create — the
+  // metadata half a metastore would hold.
+  // -------------------------------------------------------------------
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def sidecarPath(mvPath: String) = new Path(mvPath, "_graft_mv")
+
+  private def writeSidecar(spark: SparkSession, d: MvDef): Unit = {
+    val lines = Seq(
+      s"name\t${enc(d.name)}",
+      s"base\t${enc(d.basePath)}",
+      s"mtime\t${d.baseMtime}",
+      s"dims\t${d.groupCols.map(enc).mkString(",")}") ++
+      d.sums.map { case (sql, c) => s"sum\t${enc(c)}\t${enc(sql)}" } ++
+      d.mins.map { case (sql, c) => s"min\t${enc(c)}\t${enc(sql)}" } ++
+      d.maxs.map { case (sql, c) => s"max\t${enc(c)}\t${enc(sql)}" } ++
+      d.countCol.map(c => s"count\t${enc(c)}").toSeq
+    val p = sidecarPath(d.mvPath)
+    val out = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .create(p, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Register the rollup at `mvPath` from its sidecar (fresh-session
+    * discovery). The recorded base mtime rides along, so a base modified
+    * since the build still declines rewrites.
+    */
+  def attach(spark: SparkSession, mvPath: String): MvDef = {
+    val p = sidecarPath(mvPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    var name = ""; var base = ""; var mtime = 0L
+    var dims = Seq.empty[String]; var countCol: Option[String] = None
+    val sums = Map.newBuilder[String, String]
+    val mins = Map.newBuilder[String, String]
+    val maxs = Map.newBuilder[String, String]
+    text.split('\n').filter(_.nonEmpty).foreach { line =>
+      line.split('\t') match {
+        case Array("name", v) => name = dec(v)
+        case Array("base", v) => base = dec(v)
+        case Array("mtime", v) => mtime = v.toLong
+        case Array("dims", v) => dims = v.split(',').toSeq.map(dec)
+        case Array("sum", c, sql) => sums += dec(sql) -> dec(c)
+        case Array("min", c, sql) => mins += dec(sql) -> dec(c)
+        case Array("max", c, sql) => maxs += dec(sql) -> dec(c)
+        case Array("count", c) => countCol = Some(dec(c))
+        case other => throw new IllegalArgumentException(
+          s"malformed _graft_mv line: ${other.mkString("\\t")}")
+      }
+    }
+    require(base.nonEmpty && dims.nonEmpty, s"incomplete _graft_mv at $p")
+    val d = MvDef(name, base, mvPath, dims,
+      sums.result(), mins.result(), maxs.result(), countCol, mtime)
+    registry.put(base, d)
     d
   }
 

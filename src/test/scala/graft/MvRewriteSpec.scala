@@ -128,6 +128,28 @@ class MvRewriteSpec extends SparkTestBase {
     } finally MaterializedView.drop(base)
   }
 
+  test("sidecar attach restores rewrite in a fresh session (registry cleared)") {
+    val base = copyBase()
+    val mvPath = Files.createTempDirectory("graft_mv_out_").toString + "/mv"
+    try {
+      MaterializedView.create(
+        spark, "spec_mv_attach", base, mvPath,
+        groupCols = Seq("o_orderstatus", "o_orderpriority"),
+        sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+        countCol = Some("cnt"))
+      val expected = rows(userQuery(base))
+      MaterializedView.drop(base) // simulate a fresh session's empty registry
+      assert(scannedPaths(userQuery(base)).exists(_.contains("orders.parquet")),
+        "dropped registration must stop serving")
+      val d = MaterializedView.attach(spark, mvPath)
+      assert(d.basePath == base && d.sums.nonEmpty && d.countCol.contains("cnt"))
+      val served = userQuery(base)
+      assert(scannedPaths(served).exists(_.contains("/mv")),
+        "attach must restore the rollup serve")
+      assert(rows(served) == expected)
+    } finally MaterializedView.drop(base)
+  }
+
   test("q128 query shape: result equals direct aggregation at sf0.001") {
     val direct = rows(userQuery(s"$sf0001/orders.parquet"))
     val viaMv = rows(MaterializedView.mvRewriteRevenue(spark, sf0001))
