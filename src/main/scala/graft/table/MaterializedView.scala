@@ -57,7 +57,13 @@ object MaterializedView {
       mins: Map[String, String],
       maxs: Map[String, String],
       countCol: Option[String],
-      baseMtime: Long)
+      baseMtime: Long,
+      // Data-file inventory (name → size) of the base at build/refresh —
+      // what [[refresh]] diffs to find appended files. Sums/counts/mins/
+      // maxs are all append-mergeable, so "recorded ⊆ current, sizes
+      // equal" is exactly the condition under which an incremental merge
+      // is sound; anything else (delete, rewrite) falls back to rebuild.
+      files: Map[String, Long] = Map.empty)
 
   private val registry = TrieMap.empty[String, MvDef]
 
@@ -84,6 +90,22 @@ object MaterializedView {
     val p = new Path(path)
     p.getFileSystem(spark.sessionState.newHadoopConf())
       .getFileStatus(p).getModificationTime
+  }
+
+  /** Data-file inventory of the base (name → length); `_`/`.`-prefixed
+    * entries (sidecars, _SUCCESS, staging) excluded. A single-file base
+    * (the fixture layout) inventories itself.
+    */
+  private def listDataFiles(
+      spark: SparkSession, path: String): Map[String, Long] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val st = fs.getFileStatus(p)
+    if (st.isFile) Map(p.getName -> st.getLen)
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(s => s.getPath.getName -> s.getLen).toMap
   }
 
   /** Compute, persist, and register the rollup. `sums`/`mins`/`maxs` map
@@ -125,10 +147,76 @@ object MaterializedView {
       mins.map { case (n, c) => key(c) -> n }.toMap,
       maxs.map { case (n, c) => key(c) -> n }.toMap,
       countCol,
-      baseMtime(spark, basePath))
+      baseMtime(spark, basePath),
+      listDataFiles(spark, basePath))
     writeSidecar(spark, d)
     registry.put(basePath, d)
     d
+  }
+
+  /** Bring a stale rollup current. Append-only change (every recorded
+    * file still present with its recorded size) → aggregate ONLY the
+    * appended files and merge: sums/counts add, mins/maxs take
+    * least/greatest — per-group cost scales with the DELTA, not the
+    * base. Any other change (delete, rewrite-in-place) → full rebuild,
+    * announced via the returned `incremental` flag. Either way the
+    * sidecar and registry re-arm with the new mtime + inventory, so
+    * [[graft.plans.MvAggregateRewrite]] serves again.
+    */
+  def refresh(spark: SparkSession, mvPath: String): (MvDef, Boolean) = {
+    val d = attach(spark, mvPath) // sidecar is the source of truth
+    val current = listDataFiles(spark, d.basePath)
+    val appendOnly = d.files.nonEmpty &&
+      d.files.forall { case (n, len) => current.get(n).contains(len) }
+    val delta = current.keySet -- d.files.keySet
+    val dims = d.groupCols
+    def aggOf(df: DataFrame): DataFrame = {
+      val aggCols =
+        d.sums.map { case (sql, c) => sum(expr(sql)).as(c) }.toSeq ++
+        d.mins.map { case (sql, c) => min(expr(sql)).as(c) }.toSeq ++
+        d.maxs.map { case (sql, c) => max(expr(sql)).as(c) }.toSeq ++
+        d.countCol.map(c => count(lit(1)).as(c)).toSeq
+      df.groupBy(dims.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    }
+    val merged =
+      if (appendOnly && delta.isEmpty) None // mtime-only change: re-arm
+      else if (appendOnly) {
+        val deltaAgg = aggOf(spark.read.parquet(
+          delta.toSeq.map(n => s"${d.basePath}/$n"): _*))
+        val old = spark.read.parquet(mvPath)
+        // Full-outer on dims: groups new to the delta appear, untouched
+        // groups pass through, shared groups merge measure-wise.
+        val on = dims.map(c => old(c) <=> deltaAgg(c)).reduce(_ && _)
+        val dimCols = dims.map(c => coalesce(old(c), deltaAgg(c)).as(c))
+        val measureCols =
+          d.sums.values.toSeq.map(c =>
+            (coalesce(old(c), lit(0)) + coalesce(deltaAgg(c), lit(0))).as(c)) ++
+          d.mins.values.toSeq.map(c =>
+            coalesce(least(old(c), deltaAgg(c)), old(c), deltaAgg(c)).as(c)) ++
+          d.maxs.values.toSeq.map(c =>
+            coalesce(greatest(old(c), deltaAgg(c)), old(c), deltaAgg(c)).as(c)) ++
+          d.countCol.toSeq.map(c =>
+            (coalesce(old(c), lit(0L)) + coalesce(deltaAgg(c), lit(0L))).as(c))
+        Some(old.join(deltaAgg, on, "full_outer")
+          .select(dimCols ++ measureCols: _*))
+      } else Some(aggOf(spark.read.parquet(d.basePath)))
+    merged.foreach { m =>
+      // Swap atomically enough for a single-writer dev flow: stage, drop,
+      // rename (the production multi-writer discipline would ride
+      // KeyedTable's FS lock).
+      val staged = mvPath + "_refresh_tmp"
+      m.write.mode("overwrite").parquet(staged)
+      val p = new Path(mvPath)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(p, true)
+      fs.rename(new Path(staged), p)
+    }
+    val d2 = d.copy(
+      baseMtime = baseMtime(spark, d.basePath),
+      files = current)
+    writeSidecar(spark, d2)
+    registry.put(d2.basePath, d2)
+    (d2, appendOnly)
   }
 
   // -------------------------------------------------------------------
@@ -156,7 +244,9 @@ object MaterializedView {
       d.sums.map { case (sql, c) => s"sum\t${enc(c)}\t${enc(sql)}" } ++
       d.mins.map { case (sql, c) => s"min\t${enc(c)}\t${enc(sql)}" } ++
       d.maxs.map { case (sql, c) => s"max\t${enc(c)}\t${enc(sql)}" } ++
-      d.countCol.map(c => s"count\t${enc(c)}").toSeq
+      d.countCol.map(c => s"count\t${enc(c)}").toSeq ++
+      d.files.toSeq.sortBy(_._1)
+        .map { case (n, len) => s"file\t${enc(n)}\t$len" }
     val p = sidecarPath(d.mvPath)
     val out = p.getFileSystem(spark.sessionState.newHadoopConf())
       .create(p, true)
@@ -180,6 +270,7 @@ object MaterializedView {
     val sums = Map.newBuilder[String, String]
     val mins = Map.newBuilder[String, String]
     val maxs = Map.newBuilder[String, String]
+    val files = Map.newBuilder[String, Long]
     text.split('\n').filter(_.nonEmpty).foreach { line =>
       line.split('\t') match {
         case Array("name", v) => name = dec(v)
@@ -190,13 +281,15 @@ object MaterializedView {
         case Array("min", c, sql) => mins += dec(sql) -> dec(c)
         case Array("max", c, sql) => maxs += dec(sql) -> dec(c)
         case Array("count", c) => countCol = Some(dec(c))
+        case Array("file", n, len) => files += dec(n) -> len.toLong
         case other => throw new IllegalArgumentException(
           s"malformed _graft_mv line: ${other.mkString("\\t")}")
       }
     }
     require(base.nonEmpty && dims.nonEmpty, s"incomplete _graft_mv at $p")
     val d = MvDef(name, base, mvPath, dims,
-      sums.result(), mins.result(), maxs.result(), countCol, mtime)
+      sums.result(), mins.result(), maxs.result(), countCol, mtime,
+      files.result())
     registry.put(base, d)
     d
   }

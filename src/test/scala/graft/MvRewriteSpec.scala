@@ -150,6 +150,67 @@ class MvRewriteSpec extends SparkTestBase {
     } finally MaterializedView.drop(base)
   }
 
+  test("append-only refresh merges the delta and re-arms the rewrite") {
+    val base = copyBase()
+    val mvPath = Files.createTempDirectory("graft_mv_out_").toString + "/mv"
+    try {
+      MaterializedView.create(
+        spark, "spec_mv_refresh", base, mvPath,
+        groupCols = Seq("o_orderstatus", "o_orderpriority"),
+        sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+        countCol = Some("cnt"))
+      Thread.sleep(1100)
+      val existing = Files.list(Paths.get(base))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(existing, Paths.get(base, "part-appended.snappy.parquet"))
+      assert(scannedPaths(userQuery(base)).exists(_.contains("orders.parquet")),
+        "stale rollup must decline before refresh")
+      val (_, incremental) = MaterializedView.refresh(spark, mvPath)
+      assert(incremental, "pure append must take the incremental path")
+      val served = userQuery(base)
+      assert(scannedPaths(served).exists(_.contains("/mv")),
+        "refresh must re-arm the rollup serve")
+      assert(rows(served) == directRows(base),
+        "incrementally refreshed rollup must equal the direct aggregate")
+    } finally MaterializedView.drop(base)
+  }
+
+  test("non-append change falls back to full rebuild") {
+    val base = copyBase()
+    val mvPath = Files.createTempDirectory("graft_mv_out_").toString + "/mv"
+    try {
+      MaterializedView.create(
+        spark, "spec_mv_rebuild", base, mvPath,
+        groupCols = Seq("o_orderstatus", "o_orderpriority"),
+        sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+        countCol = Some("cnt"))
+      Thread.sleep(1100)
+      // Rewrite-in-place: shrink an existing part file (size change).
+      val victim = Paths.get(base).resolve("part-00000.snappy.parquet")
+      val half = spark.read.parquet(base)
+        .filter(col("o_orderkey") % 2 === 0)
+      val stage = Files.createTempDirectory("graft_mv_half_").toString
+      half.coalesce(1).write.mode("overwrite").parquet(stage)
+      val newFile = Files.list(Paths.get(stage))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(newFile, victim,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val (_, incremental) = MaterializedView.refresh(spark, mvPath)
+      assert(!incremental, "a modified file must force the rebuild path")
+      val served = userQuery(base)
+      assert(scannedPaths(served).exists(_.contains("/mv")))
+      assert(rows(served) == directRows(base))
+    } finally MaterializedView.drop(base)
+  }
+
+  // Direct (un-served) answer: compute on a session with the MV dropped.
+  private def directRows(base: String): Set[(String, Double, Long)] = {
+    val saved = MaterializedView.lookup(base)
+    MaterializedView.drop(base)
+    try rows(userQuery(base))
+    finally saved.foreach(d => MaterializedView.attach(spark, d.mvPath))
+  }
+
   test("q128 query shape: result equals direct aggregation at sf0.001") {
     val direct = rows(userQuery(s"$sf0001/orders.parquet"))
     val viaMv = rows(MaterializedView.mvRewriteRevenue(spark, sf0001))
