@@ -49,6 +49,44 @@ class FixtureDriftSpec extends SparkTestBase {
     assert(av(1L) == 1700000000123456L * 1000L)
   }
 
+  test("all 10 fixture tables still load with the schemas the engine assumes") {
+    // Spark-visible schema (post-Tables normalization for events) as of
+    // the round-8 regeneration. A future regeneration that changes any
+    // physical type fails HERE with a named diff — not as 40 opaque
+    // plan-time errors spread over the query suite. Timestamp-typed
+    // columns are asserted by NAME ONLY (NTZ vs LTZ and ms/us/ns all
+    // loaded fine historically; it is LONG-vs-timestamp flips and
+    // renamed/retyped value columns that break query code).
+    val expected = Map(
+      "region" -> "r_regionkey:int,r_name:string",
+      "nation" -> "n_nationkey:int,n_name:string,n_regionkey:int",
+      "customer" -> "c_custkey:bigint,c_name:string,c_nationkey:int,c_acctbal:double,c_mktsegment:string",
+      "supplier" -> "s_suppkey:bigint,s_name:string,s_nationkey:int,s_acctbal:double",
+      "part" -> "p_partkey:bigint,p_name:string,p_brand:string,p_type:string,p_size:int,p_retailprice:double",
+      "orders" -> "o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double,o_orderdate:ts,o_orderpriority:string",
+      "lineitem" -> ("l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_linenumber:int," +
+        "l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double," +
+        "l_returnflag:string,l_linestatus:string,l_shipdate:ts"),
+      "events" -> "event_id:bigint,ts:bigint,user_id:bigint,event_type:string,value:double,props:string",
+      "documents" -> "doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint",
+      "embeddings" -> "vec_id:bigint,embedding:array<float>,label:int")
+    val drifted = expected.flatMap { case (t, want) =>
+      val df =
+        if (t == "events") Tables.events(spark, sf0001)
+        else Tables.load(spark, sf0001, t)
+      val got = df.schema.fields.map { f =>
+        val tn = f.dataType.catalogString match {
+          case s if s.startsWith("timestamp") => "ts"
+          case s => s
+        }
+        s"${f.name}:$tn"
+      }.mkString(",")
+      if (got == want) None else Some(s"$t:\n  want $want\n  got  $got")
+    }
+    assert(drifted.isEmpty,
+      s"fixture schema drift detected — update Tables/queries knowingly:\n${drifted.mkString("\n")}")
+  }
+
   test("the shipped fixture still loads under the nanos-long convention") {
     val ev = Tables.events(spark, sf0001)
     assert(ev.schema("ts").dataType == LongType,
