@@ -154,15 +154,7 @@ object Demo {
     println("=== materialized view: rollup registered, aggregate re-served ===")
     val mvOut = graft.table.MaterializedView.mvRewriteRevenue(spark, sfDir)
     mvOut.orderBy("o_orderpriority").show(truncate = false)
-    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
-      (p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          scansOf(a.executedPlan)
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.relation.location.rootPaths.map(_.toString)
-        case _ => Nil
-      }) ++ p.children.flatMap(scansOf)
-    val scans = scansOf(mvOut.queryExecution.executedPlan)
+    val scans = graft.plans.PlanWalk.scannedFiles(mvOut)
     println(s"scanned: ${scans.mkString("; ")} (rollup, not orders.parquet)")
     graft.table.MaterializedView.drop(s"$sfDir/orders.parquet")
 

@@ -58,12 +58,12 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def findMv(root: Path): Option[MvDef] =
-    MaterializedView.all.find { mv =>
-      val p = new Path(mv.basePath)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      fs.makeQualified(p) == root
-    }
+  private def findMv(root: Path): Option[MvDef] = {
+    // String compare against the path qualified ONCE at registration —
+    // no Hadoop conf/FileSystem work per Aggregate node.
+    val r = root.toString
+    MaterializedView.all.find(_.qualifiedBase == r)
+  }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     val conds = mutable.Buffer.empty[Expression]
@@ -97,10 +97,12 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       agg: Aggregate,
       conds: Seq[Expression],
       mv: MvDef): Option[LogicalPlan] = {
-    // Fresh analyzed scan of the rollup; column pruning still runs (we are
-    // inside the operator-optimization fixed point).
-    val mvPlan = spark.read.parquet(mv.mvPath).queryExecution.analyzed
-    val mvAttr: Map[String, Attribute] =
+    // Fresh analyzed scan of the rollup; column pruning still runs (we
+    // are inside the operator-optimization fixed point). LAZY so a
+    // decline on the measure lookups (the common near-miss) pays no
+    // rollup analysis / file listing.
+    lazy val mvPlan = spark.read.parquet(mv.mvPath).queryExecution.analyzed
+    lazy val mvAttr: Map[String, Attribute] =
       mvPlan.output.map(a => lower(a.name) -> a).toMap
 
     def deriveAgg(ae: AggregateExpression): Option[Expression] = {
@@ -117,10 +119,12 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           resum(mv.mins.get(MaterializedView.normalize(inner)), Min(_))
         case Max(inner) =>
           resum(mv.maxs.get(MaterializedView.normalize(inner)), Max(_))
-        case c: Count if c.children.forall(_.foldable) =>
+        case c: Count if c.children.forall(e => e.foldable && e.eval() != null) =>
           // count(*) / count(1): the per-group row count is the SUM of the
           // stored partial counts; coalesce keeps the empty-input global
-          // aggregate at 0 (and restores count's non-null contract).
+          // aggregate at 0 (and restores count's non-null contract). The
+          // non-null fold guard matters: COUNT(NULL) is 0 by definition,
+          // not the row count.
           mv.countCol.flatMap(mvAttr.get).map { a =>
             Coalesce(Seq(
               Cast(Sum(a).toAggregateExpression(), LongType), Literal(0L)))

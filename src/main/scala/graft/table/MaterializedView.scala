@@ -63,7 +63,12 @@ object MaterializedView {
       // maxs are all append-mergeable, so "recorded ⊆ current, sizes
       // equal" is exactly the condition under which an incremental merge
       // is sound; anything else (delete, rewrite) falls back to rebuild.
-      files: Map[String, Long] = Map.empty)
+      files: Map[String, Long] = Map.empty,
+      // Filesystem-qualified rendering of basePath, computed ONCE at
+      // registration so the rewrite rule's per-Aggregate path match is a
+      // string compare — no Hadoop conf/FileSystem allocation per plan
+      // node.
+      qualifiedBase: String = "")
 
   private val registry = TrieMap.empty[String, MvDef]
 
@@ -82,6 +87,13 @@ object MaterializedView {
       AttributeReference(a.name.toLowerCase(java.util.Locale.ROOT), a.dataType,
         a.nullable)()
   }.sql
+
+  /** Filesystem-qualified rendering of a path (scheme + authority). */
+  def qualify(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(p).toString
+  }
 
   /** Directory modification time of the base — bumped by any file
     * create/delete on local and HDFS schemes; one status call.
@@ -102,10 +114,23 @@ object MaterializedView {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val st = fs.getFileStatus(p)
     if (st.isFile) Map(p.getName -> st.getLen)
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isFile &&
-        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-      .map(s => s.getPath.getName -> s.getLen).toMap
+    else {
+      val entries = fs.listStatus(p).toSeq
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+      // FLAT bases only (what the fixtures ship and what create() itself
+      // writes): a hive-partitioned base hides subdirectory changes from
+      // both the root-mtime staleness guard and this inventory, which
+      // would make the rewrite serve stale answers SILENTLY. Refusing at
+      // registration turns the blind spot into an explicit unsupported
+      // case (partitioned bases want KeyedTable's commit timeline as the
+      // change signal, not directory stats).
+      val dirs = entries.filter(_.isDirectory)
+      require(dirs.isEmpty,
+        s"MaterializedView supports flat parquet bases only; $path has " +
+          s"subdirectories ${dirs.map(_.getPath.getName).take(3).mkString(",")}")
+      entries.filter(_.isFile).map(s => s.getPath.getName -> s.getLen).toMap
+    }
   }
 
   /** Compute, persist, and register the rollup. `sums`/`mins`/`maxs` map
@@ -138,6 +163,9 @@ object MaterializedView {
       maxs.map { case (n, c) => max(c).as(n) } ++
       countCol.map(n => count(lit(1)).as(n)).toSeq
     require(aggCols.nonEmpty, "an MV needs at least one measure")
+    require(name.nonEmpty && groupCols.nonEmpty,
+      "an MV needs a name and at least one dimension column " +
+        "(the sidecar format has no empty-field encoding)")
     base.groupBy(groupCols.map(col): _*)
       .agg(aggCols.head, aggCols.tail: _*)
       .write.mode("overwrite").parquet(mvPath)
@@ -148,7 +176,8 @@ object MaterializedView {
       maxs.map { case (n, c) => key(c) -> n }.toMap,
       countCol,
       baseMtime(spark, basePath),
-      listDataFiles(spark, basePath))
+      listDataFiles(spark, basePath),
+      qualify(spark, basePath))
     writeSidecar(spark, d)
     registry.put(basePath, d)
     d
@@ -188,33 +217,47 @@ object MaterializedView {
         // groups pass through, shared groups merge measure-wise.
         val on = dims.map(c => old(c) <=> deltaAgg(c)).reduce(_ && _)
         val dimCols = dims.map(c => coalesce(old(c), deltaAgg(c)).as(c))
+        val oldTypes = old.schema.fields.map(f => f.name -> f.dataType).toMap
+        // coalesce(a+b, a, b): a group absent on one side passes through,
+        // present-on-both adds — and an all-NULL-input sum STAYS NULL
+        // (coalescing to 0 here would diverge from what a direct
+        // aggregate or a fresh rebuild returns). The cast pins the sum
+        // column's decimal precision across refreshes (addition widens
+        // by one digit per merge otherwise).
         val measureCols =
           d.sums.values.toSeq.map(c =>
-            (coalesce(old(c), lit(0)) + coalesce(deltaAgg(c), lit(0))).as(c)) ++
+            coalesce(old(c) + deltaAgg(c), old(c), deltaAgg(c))
+              .cast(oldTypes(c)).as(c)) ++
           d.mins.values.toSeq.map(c =>
             coalesce(least(old(c), deltaAgg(c)), old(c), deltaAgg(c)).as(c)) ++
           d.maxs.values.toSeq.map(c =>
             coalesce(greatest(old(c), deltaAgg(c)), old(c), deltaAgg(c)).as(c)) ++
           d.countCol.toSeq.map(c =>
-            (coalesce(old(c), lit(0L)) + coalesce(deltaAgg(c), lit(0L))).as(c))
+            coalesce(old(c) + deltaAgg(c), old(c), deltaAgg(c)).as(c))
         Some(old.join(deltaAgg, on, "full_outer")
           .select(dimCols ++ measureCols: _*))
       } else Some(aggOf(spark.read.parquet(d.basePath)))
-    merged.foreach { m =>
-      // Swap atomically enough for a single-writer dev flow: stage, drop,
-      // rename (the production multi-writer discipline would ride
-      // KeyedTable's FS lock).
-      val staged = mvPath + "_refresh_tmp"
-      m.write.mode("overwrite").parquet(staged)
-      val p = new Path(mvPath)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      fs.delete(p, true)
-      fs.rename(new Path(staged), p)
-    }
     val d2 = d.copy(
       baseMtime = baseMtime(spark, d.basePath),
       files = current)
-    writeSidecar(spark, d2)
+    merged match {
+      case Some(m) =>
+        // Stage the new rollup WITH its sidecar, then swap. A crash after
+        // the delete leaves a complete staged copy one rename away; a
+        // crash after the rename leaves a complete rollup + sidecar (no
+        // window where the data exists but attach() cannot read it).
+        // Single-writer dev flow; multi-writer would ride KeyedTable's
+        // FS lock.
+        val staged = mvPath + "_refresh_tmp"
+        m.write.mode("overwrite").parquet(staged)
+        writeSidecar(spark, d2.copy(mvPath = staged))
+        val p = new Path(mvPath)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(p, true)
+        fs.rename(new Path(staged), p)
+      case None =>
+        writeSidecar(spark, d2) // mtime-only re-arm
+    }
     registry.put(d2.basePath, d2)
     (d2, appendOnly)
   }
@@ -289,7 +332,7 @@ object MaterializedView {
     require(base.nonEmpty && dims.nonEmpty, s"incomplete _graft_mv at $p")
     val d = MvDef(name, base, mvPath, dims,
       sums.result(), mins.result(), maxs.result(), countCol, mtime,
-      files.result())
+      files.result(), qualify(spark, base))
     registry.put(base, d)
     d
   }

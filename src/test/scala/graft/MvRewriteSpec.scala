@@ -3,8 +3,6 @@ package graft
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 
 import graft.table.MaterializedView
@@ -15,21 +13,8 @@ import graft.table.MaterializedView
   */
 class MvRewriteSpec extends SparkTestBase {
 
-  private def scannedPaths(df: DataFrame): Seq[String] = {
-    val found = scala.collection.mutable.Buffer[String]()
-    def walk(p: SparkPlan): Unit = {
-      p match {
-        case f: FileSourceScanExec =>
-          found ++= f.relation.location.rootPaths.map(_.toString)
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case _ =>
-      }
-      p.children.foreach(walk)
-      p.subqueries.foreach(walk)
-    }
-    walk(df.queryExecution.executedPlan)
-    found.toSeq
-  }
+  private def scannedPaths(df: DataFrame): Seq[String] =
+    graft.plans.PlanWalk.scannedFiles(df)
 
   private def userQuery(base: String): DataFrame =
     spark.read.parquet(base)
