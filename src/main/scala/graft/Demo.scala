@@ -156,6 +156,15 @@ object Demo {
     mvOut.orderBy("o_orderpriority").show(truncate = false)
     val scans = graft.plans.PlanWalk.scannedFiles(mvOut)
     println(s"scanned: ${scans.mkString("; ")} (rollup, not orders.parquet)")
+    // Lifecycle: attach in a "fresh session" (registry cleared) and
+    // refresh against the unchanged base (mtime-only re-arm).
+    val mvDef = graft.table.MaterializedView
+      .lookup(s"$sfDir/orders.parquet").get
+    graft.table.MaterializedView.drop(s"$sfDir/orders.parquet")
+    graft.table.MaterializedView.attach(spark, mvDef.mvPath)
+    val (_, incremental) =
+      graft.table.MaterializedView.refresh(spark, mvDef.mvPath)
+    println(s"attach + refresh: incremental=$incremental (no base change)")
     graft.table.MaterializedView.drop(s"$sfDir/orders.parquet")
 
     println("=== tokenizer prep: top BPE merge candidates ===")
