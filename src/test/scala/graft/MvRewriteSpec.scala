@@ -196,6 +196,33 @@ class MvRewriteSpec extends SparkTestBase {
     finally saved.foreach(d => MaterializedView.attach(spark, d.mvPath))
   }
 
+  test("rewrite under parent operators: join + sort above the aggregate still resolve") {
+    // The rule re-issues output attributes under their ORIGINAL exprIds;
+    // this is the invariant that lets parents (joins, sorts, projects
+    // built against the pre-rewrite plan) resolve untouched. Pin it with
+    // consumers above the Aggregate.
+    val base = copyBase()
+    val mvPath = Files.createTempDirectory("graft_mv_out_").toString + "/mv"
+    try {
+      val prios = spark.createDataFrame(
+        Seq(Tuple1("1-URGENT"), Tuple1("3-MEDIUM"))).toDF("o_orderpriority")
+      def composed = userQuery(base)
+        .join(prios, "o_orderpriority")
+        .orderBy(col("sum_price").desc)
+        .select(col("o_orderpriority"), col("n_orders"))
+      val direct = composed.collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+      MaterializedView.create(
+        spark, "spec_mv_parent", base, mvPath,
+        groupCols = Seq("o_orderstatus", "o_orderpriority"),
+        sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+        countCol = Some("cnt"))
+      val served = composed
+      assert(scannedPaths(served).exists(_.contains("/mv")),
+        "aggregate under a join/sort must still serve from the rollup")
+      assert(served.collect().toSeq.map(r => (r.getString(0), r.getLong(1))) == direct)
+    } finally MaterializedView.drop(base)
+  }
+
   test("q128 query shape: result equals direct aggregation at sf0.001") {
     val direct = rows(userQuery(s"$sf0001/orders.parquet"))
     val viaMv = rows(MaterializedView.mvRewriteRevenue(spark, sf0001))
