@@ -39,14 +39,13 @@ import org.apache.spark.sql.functions._
   */
 object MaterializedView {
 
-  /** One derivable measure: how a query-side aggregate over `inputSql`
-    * (normalized rendering of the resolved input) maps to the MV column.
+  /** Identity signature of one base data file: length + modification
+    * time. Both must match for a file to count as "unchanged" — size
+    * alone is blind to an in-place rewrite that happens to land on the
+    * same byte count (same blind spot a dir mtime has for child-content
+    * changes).
     */
-  sealed trait Measure { def mvCol: String }
-  final case class MvSum(mvCol: String, inputSql: String) extends Measure
-  final case class MvMin(mvCol: String, inputSql: String) extends Measure
-  final case class MvMax(mvCol: String, inputSql: String) extends Measure
-  final case class MvCount(mvCol: String) extends Measure
+  final case class FileSig(len: Long, mtime: Long)
 
   final case class MvDef(
       name: String,
@@ -58,12 +57,14 @@ object MaterializedView {
       maxs: Map[String, String],
       countCol: Option[String],
       baseMtime: Long,
-      // Data-file inventory (name → size) of the base at build/refresh —
-      // what [[refresh]] diffs to find appended files. Sums/counts/mins/
-      // maxs are all append-mergeable, so "recorded ⊆ current, sizes
-      // equal" is exactly the condition under which an incremental merge
-      // is sound; anything else (delete, rewrite) falls back to rebuild.
-      files: Map[String, Long] = Map.empty,
+      // Data-file inventory (name → length+mtime) of the base at build/
+      // refresh — what [[refresh]] diffs to find appended files. Sums/
+      // counts/mins/maxs are all append-mergeable, so "recorded ⊆
+      // current, signatures equal" is exactly the condition under which
+      // an incremental merge is sound; anything else (delete, rewrite —
+      // including a same-size in-place rewrite, which the mtime half
+      // catches) falls back to rebuild.
+      files: Map[String, FileSig] = Map.empty,
       // Filesystem-qualified rendering of basePath, computed ONCE at
       // registration so the rewrite rule's per-Aggregate path match is a
       // string compare — no Hadoop conf/FileSystem allocation per plan
@@ -95,6 +96,39 @@ object MaterializedView {
       .makeQualified(p).toString
   }
 
+  /** Resolve a measure input Column against the base and return its
+    * normalized-SQL registry key — validating at CREATE time that the
+    * rendering survives the round trip the lifecycle depends on:
+    * [[refresh]] reconstructs the measure via `expr(normalizedSql)` from
+    * the sidecar, so an expression whose `.sql` does not parse back (or
+    * resolves to something else) must fail HERE with a clear message, not
+    * at first refresh.
+    */
+  private def measureKey(base: DataFrame, c: Column): String = {
+    def resolvedSql(col: Column): String = {
+      val analyzed = base.select(col).queryExecution.analyzed
+      normalize(analyzed.expressions.head match {
+        case a: Alias => a.child
+        case e => e
+      })
+    }
+    val sql = resolvedSql(c)
+    val back =
+      try resolvedSql(expr(sql))
+      catch {
+        case e: Exception =>
+          throw new IllegalArgumentException(
+            s"MV measure input renders as `$sql`, which does not parse/" +
+              "resolve back against the base — refresh could never " +
+              "reconstruct it. Use an expression with a stable SQL " +
+              s"rendering. (${e.getMessage})", e)
+      }
+    require(back == sql,
+      s"MV measure input is not round-trip stable: `$sql` re-resolves as " +
+        s"`$back`; refresh would compute a different measure than create")
+    sql
+  }
+
   /** Directory modification time of the base — bumped by any file
     * create/delete on local and HDFS schemes; one status call.
     */
@@ -109,11 +143,11 @@ object MaterializedView {
     * (the fixture layout) inventories itself.
     */
   private def listDataFiles(
-      spark: SparkSession, path: String): Map[String, Long] = {
+      spark: SparkSession, path: String): Map[String, FileSig] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val st = fs.getFileStatus(p)
-    if (st.isFile) Map(p.getName -> st.getLen)
+    if (st.isFile) Map(p.getName -> FileSig(st.getLen, st.getModificationTime))
     else {
       val entries = fs.listStatus(p).toSeq
         .filterNot(s => s.getPath.getName.startsWith("_") ||
@@ -129,7 +163,9 @@ object MaterializedView {
       require(dirs.isEmpty,
         s"MaterializedView supports flat parquet bases only; $path has " +
           s"subdirectories ${dirs.map(_.getPath.getName).take(3).mkString(",")}")
-      entries.filter(_.isFile).map(s => s.getPath.getName -> s.getLen).toMap
+      entries.filter(_.isFile)
+        .map(s => s.getPath.getName -> FileSig(s.getLen, s.getModificationTime))
+        .toMap
     }
   }
 
@@ -148,15 +184,12 @@ object MaterializedView {
       maxs: Seq[(String, Column)] = Nil,
       countCol: Option[String] = None): MvDef = {
     val base = spark.read.parquet(basePath)
-    // Resolve each measure input against the base ONCE — the analyzed
-    // select supplies the normalized key the rewrite rule will look up.
-    def key(c: Column): String = {
-      val analyzed = base.select(c).queryExecution.analyzed
-      normalize(analyzed.expressions.head match {
-        case a: Alias => a.child
-        case e => e
-      })
-    }
+    // Resolve + round-trip-validate every measure key BEFORE any write,
+    // so an unsupported measure expression fails eagerly and leaves
+    // nothing behind.
+    val sumKeys = sums.map { case (n, c) => measureKey(base, c) -> n }.toMap
+    val minKeys = mins.map { case (n, c) => measureKey(base, c) -> n }.toMap
+    val maxKeys = maxs.map { case (n, c) => measureKey(base, c) -> n }.toMap
     val aggCols =
       sums.map { case (n, c) => sum(c).as(n) } ++
       mins.map { case (n, c) => min(c).as(n) } ++
@@ -171,9 +204,7 @@ object MaterializedView {
       .write.mode("overwrite").parquet(mvPath)
     val d = MvDef(
       name, basePath, mvPath, groupCols,
-      sums.map { case (n, c) => key(c) -> n }.toMap,
-      mins.map { case (n, c) => key(c) -> n }.toMap,
-      maxs.map { case (n, c) => key(c) -> n }.toMap,
+      sumKeys, minKeys, maxKeys,
       countCol,
       baseMtime(spark, basePath),
       listDataFiles(spark, basePath),
@@ -196,7 +227,7 @@ object MaterializedView {
     val d = attach(spark, mvPath) // sidecar is the source of truth
     val current = listDataFiles(spark, d.basePath)
     val appendOnly = d.files.nonEmpty &&
-      d.files.forall { case (n, len) => current.get(n).contains(len) }
+      d.files.forall { case (n, sig) => current.get(n).contains(sig) }
     val delta = current.keySet -- d.files.keySet
     val dims = d.groupCols
     def aggOf(df: DataFrame): DataFrame = {
@@ -289,7 +320,7 @@ object MaterializedView {
       d.maxs.map { case (sql, c) => s"max\t${enc(c)}\t${enc(sql)}" } ++
       d.countCol.map(c => s"count\t${enc(c)}").toSeq ++
       d.files.toSeq.sortBy(_._1)
-        .map { case (n, len) => s"file\t${enc(n)}\t$len" }
+        .map { case (n, sig) => s"file\t${enc(n)}\t${sig.len}\t${sig.mtime}" }
     val p = sidecarPath(d.mvPath)
     val out = p.getFileSystem(spark.sessionState.newHadoopConf())
       .create(p, true)
@@ -313,7 +344,7 @@ object MaterializedView {
     val sums = Map.newBuilder[String, String]
     val mins = Map.newBuilder[String, String]
     val maxs = Map.newBuilder[String, String]
-    val files = Map.newBuilder[String, Long]
+    val files = Map.newBuilder[String, FileSig]
     text.split('\n').filter(_.nonEmpty).foreach { line =>
       line.split('\t') match {
         case Array("name", v) => name = dec(v)
@@ -324,7 +355,13 @@ object MaterializedView {
         case Array("min", c, sql) => mins += dec(sql) -> dec(c)
         case Array("max", c, sql) => maxs += dec(sql) -> dec(c)
         case Array("count", c) => countCol = Some(dec(c))
-        case Array("file", n, len) => files += dec(n) -> len.toLong
+        case Array("file", n, len, mt) =>
+          files += dec(n) -> FileSig(len.toLong, mt.toLong)
+        case Array("file", n, len) =>
+          // Pre-mtime sidecar: an impossible signature, so the first
+          // refresh classifies the change as non-append and rebuilds —
+          // the safe direction for a format upgrade.
+          files += dec(n) -> FileSig(len.toLong, -1L)
         case other => throw new IllegalArgumentException(
           s"malformed _graft_mv line: ${other.mkString("\\t")}")
       }
@@ -345,28 +382,48 @@ object MaterializedView {
   // path planned).
   // ---------------------------------------------------------------------
 
+  // Previous invocation's scratch rollup — deleted at the next call, so a
+  // bench loop holds at most one live temp dir instead of one per rep.
+  @volatile private var lastRevenueWork: Option[java.nio.file.Path] = None
+
   /** Open-order revenue by priority, served through a
     * (o_orderstatus, o_orderpriority) rollup of orders. The query groups
     * by a strict SUBSET of the dimensions with a dimension-only filter —
-    * the rollup-then-re-aggregate shape MV rewrite exists for. No other
-    * registered query's FULL aggregate list is derivable from this MV
-    * (q19's CASE sums and q50's quantiles decline), so the process-wide
-    * registry cannot accidentally capture an unrelated plan.
+    * the rollup-then-re-aggregate shape MV rewrite exists for.
+    *
+    * Registry hygiene: the rewrite is PINNED — the plan is optimized once
+    * while the MV is registered, the registration is dropped, and the
+    * already-rewritten plan is re-wrapped. A process running many queries
+    * (the bench main, the verify main) never has this MV capture a LATER
+    * derivable aggregate over the same orders base, so other queries'
+    * measured plans stay exactly what they'd be standalone.
     */
   def mvRewriteRevenue(spark: SparkSession, dir: String): DataFrame = {
+    lastRevenueWork.foreach { p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile); ()
+    }
     val base = s"$dir/orders.parquet"
-    val work = Files.createTempDirectory("graft_mv_").toString
+    val work = Files.createTempDirectory("graft_mv_")
+    lastRevenueWork = Some(work)
     create(
       spark, "orders_by_status_priority", base, s"$work/mv",
       groupCols = Seq("o_orderstatus", "o_orderpriority"),
       sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
       countCol = Some("cnt"))
-    spark.read.parquet(base)
-      .filter(col("o_orderstatus") === "O")
-      .groupBy(col("o_orderpriority"))
-      .agg(
-        sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double")
-          .as("sum_price"),
-        count(lit(1)).as("n_orders"))
+    try {
+      val q = spark.read.parquet(base)
+        .filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double")
+            .as("sum_price"),
+          count(lit(1)).as("n_orders"))
+      // Optimize WITH the registry armed (the rewrite fires here), then
+      // pin the rewritten plan; re-optimization at action time no-ops on
+      // it (the aggregate now reads the rollup path, not a registered
+      // base).
+      org.apache.spark.sql.GraftSqlBridge.ofRows(
+        spark, q.queryExecution.optimizedPlan)
+    } finally drop(base)
   }
 }

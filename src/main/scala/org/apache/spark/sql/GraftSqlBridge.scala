@@ -12,4 +12,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap an already-built logical plan as a DataFrame (the `private[sql]`
+    * `Dataset.ofRows`). Used to PIN a plan: re-wrapping a fully optimized
+    * plan lets a caller freeze the outcome of a state-dependent optimizer
+    * rule (e.g. an MV rewrite) and then release the state, so later
+    * queries in the same process plan independently.
+    */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

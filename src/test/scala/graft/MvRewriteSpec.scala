@@ -188,6 +188,48 @@ class MvRewriteSpec extends SparkTestBase {
     } finally MaterializedView.drop(base)
   }
 
+  test("same-size in-place rewrite is classified non-append (mtime signal)") {
+    // A rewrite that keeps a file's name AND byte count is invisible to a
+    // name→size inventory; the per-file mtime in the signature catches it
+    // and forces the safe rebuild path instead of an unsound delta merge.
+    val base = copyBase()
+    val mvPath = Files.createTempDirectory("graft_mv_out_").toString + "/mv"
+    try {
+      MaterializedView.create(
+        spark, "spec_mv_mtime", base, mvPath,
+        groupCols = Seq("o_orderstatus", "o_orderpriority"),
+        sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+        countCol = Some("cnt"))
+      Thread.sleep(1100) // local-fs mtime can be second-granular
+      val victim = Paths.get(base).resolve("part-00000.snappy.parquet")
+      java.nio.file.Files.setLastModifiedTime(victim,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      val (_, incremental) = MaterializedView.refresh(spark, mvPath)
+      assert(!incremental,
+        "an unchanged-size touched file must force the rebuild path")
+      assert(rows(userQuery(base)) == directRows(base))
+    } finally MaterializedView.drop(base)
+  }
+
+  test("measure inputs that don't round-trip through SQL fail at create") {
+    val base = copyBase()
+    val mvPath = Files.createTempDirectory("graft_mv_out_").toString + "/mv"
+    try {
+      // A Scala-side UDF has no SQL rendering refresh could reparse.
+      val opaque = udf((d: Double) => d * 2).apply(col("o_totalprice"))
+      val e = intercept[Exception] {
+        MaterializedView.create(
+          spark, "spec_mv_roundtrip", base, mvPath,
+          groupCols = Seq("o_orderstatus"),
+          sums = Seq("s" -> opaque))
+      }
+      assert(!new java.io.File(mvPath).exists(),
+        "a failed create must not leave a rollup behind")
+      assert(MaterializedView.lookup(base).isEmpty,
+        "a failed create must not register")
+    } finally MaterializedView.drop(base)
+  }
+
   // Direct (un-served) answer: compute on a session with the MV dropped.
   private def directRows(base: String): Set[(String, Double, Long)] = {
     val saved = MaterializedView.lookup(base)
