@@ -79,6 +79,16 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   private def fs(spark: SparkSession) =
     new Path(spec.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Drop this commit's timeline marker (see the companion's timeline
+    * section) — called by every mutator AFTER its write succeeds, so a
+    * marker always denotes a durable commit (a crashed write leaves no
+    * marker; derived state then sees no change, which is the correct
+    * reading of a write that never happened).
+    */
+  private def recordCommit(
+      spark: SparkSession, commitTime: String, action: String): Unit =
+    KeyedTable.recordTimeline(spark, spec.path, commitTime, action)
+
   def exists(spark: SparkSession): Boolean = {
     val p = new Path(spec.path)
     val f = fs(spark)
@@ -331,6 +341,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         .sortWithinPartitions(order: _*)
         .drop(zc),
       "_graft_zorder_tmp")
+    recordCommit(spark, defaultCommitTime(), "zorder")
   }
 
   /** Output file count for a layout rewrite: current data volume over the
@@ -563,6 +574,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(bloomDir)
         f.delete(tmpIdx, true)
     }
+    recordCommit(spark, commitTime, "upsert")
   }
 
   /** Build/refresh the file-skipping index for integral `cols`: per data
@@ -694,6 +706,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       spark,
       readRaw(spark).filter(col(CommitTimeCol) <= commit),
       "_graft_restore_tmp")
+    recordCommit(spark, defaultCommitTime(), "restore")
   }
 
   /** Reclaim superseded versions (Hudi cleaning / Delta VACUUM): rewrite
@@ -706,6 +719,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     require(spec.retainHistory, "vacuum applies to retainHistory tables")
     if (!exists(spark)) return
     rewriteViaTmp(spark, resolveLatest(readRaw(spark)), "_graft_vacuum_tmp")
+    recordCommit(spark, defaultCommitTime(), "vacuum")
   }
 
   def currentUserSchema(spark: SparkSession): Option[org.apache.spark.sql.types.StructType] =
@@ -743,6 +757,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         all.repartition(spec.partitionCols.map(col): _*)
       else all.coalesce(1)
     rewriteViaTmp(spark, clustered, "_graft_compact_tmp")
+    recordCommit(spark, defaultCommitTime(), "compact")
   }
 
   /** Rollback of failed table-service actions — Hudi's rollback/cleaner
@@ -810,6 +825,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       spark,
       all.repartitionByRange(parts, order: _*).sortWithinPartitions(order: _*),
       "_graft_cluster_tmp")
+    recordCommit(spark, defaultCommitTime(), "cluster")
   }
 
   /** Incremental query — Hudi's incremental read semantics
@@ -997,6 +1013,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       throw new java.io.IOException(s"failed to publish layout sidecar $dest")
     prior.foreach(p => f.delete(p, false))
     invalidateLayoutCache(spark)
+    recordCommit(spark, defaultCommitTime(), "evolve")
   }
 
   /** Evolved-mode write: precombine-dedup (for upsert semantics), stamp
@@ -1048,6 +1065,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       .withColumn(PartitionPathCol, partitionPathExpr(spec.partitionCols))
     rewriteViaTmp(spark, folded, "_graft_fold_tmp")
     invalidateLayoutCache(spark)
+    recordCommit(spark, defaultCommitTime(), "fold")
   }
 
   private def notEvolvedGuard(spark: SparkSession, what: String): Unit =
@@ -1502,6 +1520,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   def insert(spark: SparkSession, batch: DataFrame, commitTime: String = defaultCommitTime()): Unit = {
     if (isEvolved(spark)) {
       evolvedAppend(spark, batch, commitTime, dedup = false)
+      recordCommit(spark, commitTime, "insert")
       return
     }
     val incoming = SchemaEvolution.dropSystemColumns(batch)
@@ -1526,6 +1545,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
           existing.unionByName(alignedC, allowMissingColumns = true), commitTime)
         rewriteViaTmp(spark, combined, "_graft_rewrite_tmp")
     }
+    recordCommit(spark, commitTime, "insert")
   }
 
   /** BULK_INSERT write operation: raw first-load append — no schema
@@ -1539,6 +1559,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   def bulkInsert(spark: SparkSession, batch: DataFrame, commitTime: String = defaultCommitTime()): Unit = {
     if (isEvolved(spark)) {
       evolvedAppend(spark, batch, commitTime, dedup = false)
+      recordCommit(spark, commitTime, "bulkinsert")
       return
     }
     val incoming = SchemaEvolution.dropSystemColumns(batch)
@@ -1551,6 +1572,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     writeOut(
       withMeta(incoming, commitTime),
       if (exists(spark)) SaveMode.Append else SaveMode.Overwrite)
+    recordCommit(spark, commitTime, "bulkinsert")
   }
 
   /** DELETE write operation — the remaining value of Hudi's
@@ -1605,6 +1627,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     if (spec.partitionCols.isEmpty) {
       rewriteViaTmp(spark, affected.join(delKeys, joinCols, "left_anti"),
         "_graft_delete_tmp")
+      recordCommit(spark, defaultCommitTime(), "delete")
     } else {
       // `affected` is the expensive frame (table scan + doomed-key probe
       // join); persist IT so the survivor anti-join, the scanned-partition
@@ -1622,6 +1645,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         fs(spark).delete(new Path(colStatsDir), true) // see writeOut
         fs(spark).delete(new Path(bloomDir), true)    // see writeOut
       } finally affected.unpersist()
+      recordCommit(spark, defaultCommitTime(), "delete")
     }
   }
 
@@ -1644,6 +1668,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   def upsert(spark: SparkSession, batch: DataFrame, commitTime: String = defaultCommitTime()): Unit = {
     if (isEvolved(spark)) {
       evolvedAppend(spark, batch, commitTime, dedup = true)
+      recordCommit(spark, commitTime, "upsert")
       return
     }
     val incoming = SchemaEvolution.dropSystemColumns(batch)
@@ -1716,6 +1741,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
           deletePartitionDirs(spark, staleParts)
         } finally merged.unpersist()
     }
+    recordCommit(spark, commitTime, "upsert")
   }
 }
 
@@ -1740,4 +1766,75 @@ object KeyedTable {
       .ofPattern("yyyyMMddHHmmssSSS")
       .withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.now())
+
+  // ---- commit timeline (Hudi's `.hoodie` timeline, reduced to what the
+  // engine's consumers need) ---------------------------------------------
+  //
+  // Every mutator drops one empty marker file `<commitTime>.<action>` in a
+  // SIBLING directory `_graft_timeline.<table>` — sibling like the FS
+  // lock, so it survives both static-overwrite writes (which delete the
+  // table directory) and via-tmp rewrites (delete + rename). The marker
+  // NAME is the whole record: commit ids are `yyyyMMddHHmmssSSS`, so a
+  // lexicographic sort of file names is the chronological timeline, and
+  // "what changed since X" is a single listStatus — the O(1)-ish change
+  // signal [[MaterializedView]] staleness checks and commit-class-aware
+  // refresh consult (directory mtimes can't see inside hive partitions).
+  //
+  // The ACTION word classifies the commit for downstream maintenance:
+  //   - data     (insert/bulkinsert/upsert): logical rows changed; a MoR
+  //     table can hand the exact change set to [[readStateDelta]].
+  //   - layout   (compact/cluster/zorder/evolve/fold): bytes moved, the
+  //     logical row set is unchanged — derived state needs no refresh.
+  //   - rebuild  (delete/vacuum/restore, and anything unrecognized):
+  //     history or preimages were destroyed; derived state must rebuild.
+
+  /** Sibling timeline directory for a table path. */
+  def timelineDir(path: String): Path = {
+    val p = new Path(path)
+    val parent = Option(p.getParent).getOrElse(
+      throw new IllegalArgumentException(
+        s"table path $path has no parent directory for a timeline sibling"))
+    new Path(parent, s"_graft_timeline.${p.getName}")
+  }
+
+  /** Record one commit marker; idempotent per (commitTime, action), and a
+    * concurrent-create race resolves to the same single marker.
+    */
+  def recordTimeline(
+      spark: SparkSession, path: String,
+      commitTime: String, action: String): Unit = {
+    require(!action.contains('.') && action.nonEmpty,
+      s"timeline action must be a bare word, got '$action'")
+    val dir = timelineDir(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val marker = new Path(dir, s"$commitTime.$action")
+    try { if (!fs.exists(marker)) fs.create(marker, false).close() }
+    catch { case _: java.io.IOException => () /* lost a create race: done */ }
+  }
+
+  /** The timeline as (commitTime, action) pairs, chronological. */
+  def timelineEntries(spark: SparkSession, path: String): Seq[(String, String)] =
+    timelineMarkers(spark, path).map { n =>
+      val i = n.lastIndexOf('.')
+      (n.substring(0, i), n.substring(i + 1))
+    }
+
+  /** Raw marker names, sorted (chronological). */
+  def timelineMarkers(spark: SparkSession, path: String): Seq[String] = {
+    val dir = timelineDir(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).map(_.getPath.getName).toSeq.sorted
+  }
+
+  /** Latest marker name, or "" for a table with no recorded commits —
+    * the value derived-state staleness guards compare.
+    */
+  def latestTimelineMarker(spark: SparkSession, path: String): String =
+    timelineMarkers(spark, path).lastOption.getOrElse("")
+
+  /** Commit-class sets for maintenance decisions (see the header above). */
+  val DataActions: Set[String] = Set("insert", "bulkinsert", "upsert")
+  val LayoutActions: Set[String] = Set("compact", "cluster", "zorder", "evolve", "fold")
 }
