@@ -154,7 +154,8 @@ object SparkEntry {
     "q127_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "q128_mv_rewrite" -> (table.MaterializedView.mvRewriteRevenue(_, _)),
     "q129_image_phash" -> (Multimodal.imagePhash(_, _)),
-    "q130_phash_near" -> (Multimodal.phashNearDup(_, _))
+    "q130_phash_near" -> (Multimodal.phashNearDup(_, _)),
+    "q131_mv_keyed" -> (table.MaterializedView.mvKeyedRefresh(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -695,6 +696,14 @@ object SparkEntry {
         |  COUNT(*) AS n_orders
         |FROM orders WHERE o_orderstatus = 'O'
         |GROUP BY o_orderpriority""".stripMargin,
+    // the MV over the KEYED table, refreshed from the state-delta feed
+    // after the second commit, must equal a from-scratch aggregate over
+    // the final latest-per-key state — the signed delta merge is exact
+    // decimal, so incremental == full bit-for-bit
+    "q131_mv_keyed" ->
+      s"""SELECT event_type, COUNT(*) AS n_rows,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         |FROM ($latestPerUserType) GROUP BY event_type""".stripMargin,
     // dHash from the closed-form pixels: 2x2 red-channel sums -> 8x8
     // cells, bit (r,c) = cell < right-neighbor; CASTs keep DuckDB's
     // HUGEINT sums out of the schema compare

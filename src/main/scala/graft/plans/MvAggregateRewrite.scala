@@ -8,12 +8,12 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, DecimalType, LongType, NumericType}
 
-import graft.table.MaterializedView
+import graft.table.{KeyedTable, KeyedTableSpec, MaterializedView}
 import graft.table.MaterializedView.MvDef
 
 /** Rewrites aggregates over a base table onto a registered materialized
@@ -25,9 +25,21 @@ import graft.table.MaterializedView.MvDef
   * filter columns ⊆ the MV's dimensions and every aggregate call
   * derivable from stored measures (see [[MaterializedView]]'s safety
   * model: exact-expression matching, re-sum/re-min/re-max/count-as-sum,
-  * staleness guard). The rewritten plan keeps the ORIGINAL output
-  * attribute ids (grouping outputs and aliases are re-issued under their
-  * old exprIds), so parent operators resolve untouched.
+  * sum÷count for avg, staleness guard). The rewritten plan keeps the
+  * ORIGINAL output attribute ids (grouping outputs and aliases are
+  * re-issued under their old exprIds), so parent operators resolve
+  * untouched.
+  *
+  * Keyed bases: a history (merge-on-read) table's resolved read carries a
+  * latest-per-key `row_number` window; the rule admits EXACTLY that shape
+  * — one window whose partition spec equals the table's merge-key scope
+  * and whose order equals (precombine, tiebreaks, commit time) descending
+  * nulls-last, filtered to rank 1 — because the rollup stores aggregates
+  * of the RESOLVED state. An aggregate over the raw file scan (superseded
+  * versions visible) has no such window and declines. Staleness for keyed
+  * bases compares the commit-timeline marker (one listStatus of the
+  * sibling timeline dir), not directory mtime, which cannot see inside
+  * hive partitions.
   *
   * Runs inside the operator-optimization fixed point: after one rewrite
   * the aggregate reads the MV path, which is not a registered base, so
@@ -44,16 +56,24 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def lower(s: String): String = s.toLowerCase(Locale.ROOT)
 
-  /** Peel Project(attrs-only)/Filter links down to the single parquet
-    * relation, accumulating filter conditions; None on any other node.
+  /** Peel Project(attrs-only)/Filter/Window links down to the single
+    * parquet relation, accumulating filter conditions and windows; None
+    * on any other node. (`WindowGroupLimit` is the optimizer's rank-limit
+    * pushdown under a `rn = 1` filter — semantics live in the filter, so
+    * it peels silently.)
     */
   private def strip(
       p: LogicalPlan,
-      conds: mutable.Buffer[Expression]): Option[LogicalRelation] = p match {
+      conds: mutable.Buffer[Expression],
+      windows: mutable.Buffer[Window]): Option[LogicalRelation] = p match {
     case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      strip(c, conds)
+      strip(c, conds, windows)
     case Filter(cond, c) =>
-      conds += cond; strip(c, conds)
+      conds += cond; strip(c, conds, windows)
+    case w: Window =>
+      windows += w; strip(w.child, conds, windows)
+    case wgl: WindowGroupLimit =>
+      strip(wgl.child, conds, windows)
     case lr: LogicalRelation => Some(lr)
     case _ => None
   }
@@ -65,10 +85,87 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     MaterializedView.all.find(_.qualifiedBase == r)
   }
 
+  /** The `_graft_rn` output attribute of `w` IF `w` is exactly the
+    * table's latest-per-key resolve window: a single `row_number()` over
+    * (merge-key scope) ordered by (precombine, tiebreaks..., commit
+    * time) descending nulls-last.
+    */
+  private def resolveRnOf(w: Window, spec: KeyedTableSpec): Option[Attribute] =
+    w.windowExpressions match {
+      case Seq(a @ Alias(
+          WindowExpression(RowNumber(), WindowSpecDefinition(ps, os, _)), _)) =>
+        val expectedScope = (if (spec.globalKeys) spec.keyCols
+          else spec.keyCols ++ spec.partitionCols).map(lower)
+        val gotScope = ps.flatMap {
+          case at: Attribute => Some(lower(at.name))
+          case _ => None
+        }
+        val expectedOrder =
+          (spec.precombineCol +: spec.tiebreakCols)
+            .map(c => (lower(c), Descending, NullsLast)) :+
+          ((lower(KeyedTable.CommitTimeCol), Descending, NullsLast))
+        val gotOrder = os.flatMap {
+          case SortOrder(at: Attribute, dir, no, _) => Some((lower(at.name), dir, no))
+          case _ => None
+        }
+        if (gotScope.length == ps.length && gotOrder.length == os.length &&
+          gotScope == expectedScope && gotOrder == expectedOrder)
+          Some(a.toAttribute)
+        else None
+      case _ => None
+    }
+
+  private def isRnEqOne(cond: Expression, rn: Attribute): Boolean = cond match {
+    case EqualTo(a: Attribute, Literal(v, _)) => a.exprId == rn.exprId && v == 1
+    case EqualTo(Literal(v, _), a: Attribute) => a.exprId == rn.exprId && v == 1
+    case _ => false
+  }
+
+  /** Checks the stripped plan shape is admissible for this MV's base kind
+    * and returns the USER filter conditions (the resolve's `rn = 1`
+    * removed for a history base). None declines.
+    *
+    *   - flat or copy-on-write keyed base: no window — the file scan IS
+    *     the logical state;
+    *   - history (MoR) keyed base: exactly the resolve window + its rank
+    *     filter — anything else (raw scan with versions visible, a
+    *     different window) is not the resolved state the rollup stores.
+    */
+  private def admissibleConds(
+      mv: MvDef,
+      windows: Seq[Window],
+      conds: Seq[Expression]): Option[Seq[Expression]] = mv.keyedSpec match {
+    case None =>
+      if (windows.isEmpty) Some(conds) else None
+    case Some(spec) if !spec.retainHistory =>
+      if (windows.isEmpty) Some(conds) else None
+    case Some(spec) =>
+      windows match {
+        case Seq(w) =>
+          resolveRnOf(w, spec).flatMap { rn =>
+            val (rnConds, rest) = conds.partition(isRnEqOne(_, rn))
+            if (rnConds.length == 1) Some(rest) else None
+          }
+        case _ => None
+      }
+  }
+
+  /** Staleness: ONE filesystem status/list call, same guard discipline
+    * as the catalog registry's mtime check. Base changed since the MV's
+    * build/refresh → decline.
+    */
+  private def isFresh(mv: MvDef): Boolean = mv.keyedSpec match {
+    case None =>
+      MaterializedView.baseMtime(spark, mv.basePath) == mv.baseMtime
+    case Some(_) =>
+      KeyedTable.latestTimelineMarker(spark, mv.basePath) == mv.baseCommit
+  }
+
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     val conds = mutable.Buffer.empty[Expression]
+    val windows = mutable.Buffer.empty[Window]
     for {
-      lr <- strip(agg.child, conds)
+      lr <- strip(agg.child, conds, windows)
       fsRel <- lr.relation match {
         case f: HadoopFsRelation => Some(f)
         case _ => None
@@ -78,18 +175,17 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }
       mv <- findMv(root)
+      userConds <- admissibleConds(mv, windows.toSeq, conds.toSeq)
       dims = mv.groupCols.map(lower).toSet
       if agg.groupingExpressions.forall {
         case a: Attribute => dims.contains(lower(a.name))
         case _ => false
       }
-      if conds.forall(c =>
+      if userConds.forall(c =>
         c.deterministic && c.references.forall(r => dims.contains(lower(r.name))))
       if agg.aggregateExpressions.forall(_.deterministic)
-      // Staleness: one directory-status call, same discipline as the
-      // catalog registry's mtime guard. Base changed since build → decline.
-      if MaterializedView.baseMtime(spark, mv.basePath) == mv.baseMtime
-      rewritten <- rewriteOnto(agg, conds.toSeq, mv)
+      if isFresh(mv)
+      rewritten <- rewriteOnto(agg, userConds, mv)
     } yield rewritten
   }
 
@@ -105,12 +201,44 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     lazy val mvAttr: Map[String, Attribute] =
       mvPlan.output.map(a => lower(a.name) -> a).toMap
 
+    // avg(e) = re-sum(sum_e) / re-sum(cnt_e), replicating Average's own
+    // evaluate shape per input type so the derived value is bit-identical
+    // to the direct aggregate: decimal divides through the same
+    // (p+10, s) sum and decimal(20,0) count Average uses internally
+    // before casting to its (p+4, s+4) result; everything else divides
+    // the exact re-sums as the double result type.
+    def deriveAvg(
+        inner: Expression, ae: AggregateExpression,
+        sumA: Attribute, cntA: Attribute): Expression = {
+      val reSum = Sum(sumA).toAggregateExpression()
+      val reCnt = Cast(Sum(cntA).toAggregateExpression(), LongType)
+      inner.dataType match {
+        case dt: DecimalType =>
+          // Average's internal sum type: precision + 10, bounded at 38
+          // (DecimalType.bounded is private[sql]; the cap is the rule).
+          val sumType = DecimalType(
+            math.min(dt.precision + 10, DecimalType.MAX_PRECISION), dt.scale)
+          Cast(
+            Divide(Cast(reSum, sumType), Cast(reCnt, DecimalType(20, 0))),
+            ae.dataType)
+        case _ =>
+          Divide(Cast(reSum, ae.dataType), Cast(reCnt, ae.dataType))
+      }
+    }
+
     def deriveAgg(ae: AggregateExpression): Option[Expression] = {
       if (ae.isDistinct || ae.filter.isDefined) return None
       def resum(measureCol: Option[String], mk: Attribute => AggregateFunction) =
         measureCol.flatMap(mvAttr.get).map { a =>
           val re = mk(a).toAggregateExpression()
           if (re.dataType == ae.dataType) re else Cast(re, ae.dataType)
+        }
+      // count(...) over stored partial counts: re-SUM, zero-coalesced to
+      // keep count's non-null contract on empty input.
+      def recount(measureCol: Option[String]) =
+        measureCol.flatMap(mvAttr.get).map { a =>
+          Coalesce(Seq(
+            Cast(Sum(a).toAggregateExpression(), LongType), Literal(0L)))
         }
       ae.aggregateFunction match {
         case Sum(inner, _) =>
@@ -121,14 +249,18 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           resum(mv.maxs.get(MaterializedView.normalize(inner)), Max(_))
         case c: Count if c.children.forall(e => e.foldable && e.eval() != null) =>
           // count(*) / count(1): the per-group row count is the SUM of the
-          // stored partial counts; coalesce keeps the empty-input global
-          // aggregate at 0 (and restores count's non-null contract). The
-          // non-null fold guard matters: COUNT(NULL) is 0 by definition,
-          // not the row count.
-          mv.countCol.flatMap(mvAttr.get).map { a =>
-            Coalesce(Seq(
-              Cast(Sum(a).toAggregateExpression(), LongType), Literal(0L)))
-          }
+          // stored partial counts. The non-null fold guard matters:
+          // COUNT(NULL) is 0 by definition, not the row count.
+          recount(mv.countCol)
+        case Count(Seq(inner)) if !inner.foldable =>
+          // count(e): non-null count — served by a stored count(e).
+          recount(mv.counts.get(MaterializedView.normalize(inner)))
+        case Average(inner, _) if inner.dataType.isInstanceOf[NumericType] =>
+          val key = MaterializedView.normalize(inner)
+          for {
+            sc <- mv.sums.get(key); cc <- mv.counts.get(key)
+            sa <- mvAttr.get(sc); ca <- mvAttr.get(cc)
+          } yield deriveAvg(inner, ae, sa, ca)
         case _ => None
       }
     }

@@ -957,7 +957,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     KeyedTable.layoutCache.remove(
       (System.identityHashCode(spark), spec.path))
 
-  private def isEvolved(spark: SparkSession): Boolean =
+  private[table] def isEvolved(spark: SparkSession): Boolean =
     layoutGens(spark).nonEmpty
 
   // No '=' in the name: Spark hides '_'-prefixed dirs EXCEPT when they
@@ -1770,15 +1770,18 @@ object KeyedTable {
   // ---- commit timeline (Hudi's `.hoodie` timeline, reduced to what the
   // engine's consumers need) ---------------------------------------------
   //
-  // Every mutator drops one empty marker file `<commitTime>.<action>` in a
-  // SIBLING directory `_graft_timeline.<table>` — sibling like the FS
+  // Every mutator drops one empty marker file `<seq>.<commitTime>.<action>`
+  // in a SIBLING directory `_graft_timeline.<table>` — sibling like the FS
   // lock, so it survives both static-overwrite writes (which delete the
   // table directory) and via-tmp rewrites (delete + rename). The marker
-  // NAME is the whole record: commit ids are `yyyyMMddHHmmssSSS`, so a
-  // lexicographic sort of file names is the chronological timeline, and
-  // "what changed since X" is a single listStatus — the O(1)-ish change
-  // signal [[MaterializedView]] staleness checks and commit-class-aware
-  // refresh consult (directory mtimes can't see inside hive partitions).
+  // NAME is the whole record; the zero-padded sequence prefix makes the
+  // lexicographic sort of file names the commit ORDER regardless of what
+  // commit-id format callers use (callers mix `yyyyMMddHHmmssSSS`
+  // defaults with explicit ids like "c0" — names alone would interleave
+  // those wrongly). "What changed since X" is a single listStatus — the
+  // O(1)-ish change signal [[MaterializedView]] staleness checks and
+  // commit-class-aware refresh consult (directory mtimes can't see inside
+  // hive partitions).
   //
   // The ACTION word classifies the commit for downstream maintenance:
   //   - data     (insert/bulkinsert/upsert): logical rows changed; a MoR
@@ -1797,8 +1800,10 @@ object KeyedTable {
     new Path(parent, s"_graft_timeline.${p.getName}")
   }
 
-  /** Record one commit marker; idempotent per (commitTime, action), and a
-    * concurrent-create race resolves to the same single marker.
+  /** Record one commit marker. Consecutive duplicate (commitTime, action)
+    * pairs collapse (a delegating write path records once); an exclusive
+    * create settles a concurrent sequence-number race — the loser retries
+    * with the next number.
     */
   def recordTimeline(
       spark: SparkSession, path: String,
@@ -1808,17 +1813,40 @@ object KeyedTable {
     val dir = timelineDir(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
-    val marker = new Path(dir, s"$commitTime.$action")
-    try { if (!fs.exists(marker)) fs.create(marker, false).close() }
-    catch { case _: java.io.IOException => () /* lost a create race: done */ }
+    var attempts = 0
+    var done = false
+    while (!done && attempts < 32) {
+      attempts += 1
+      val existing = fs.listStatus(dir).map(_.getPath.getName).sorted
+      if (existing.lastOption.exists(n => parseMarker(n) == (commitTime, action))) {
+        done = true // delegated path already recorded this commit
+      } else {
+        val seq = existing.lastOption
+          .map(_.takeWhile(_.isDigit).toLong + 1).getOrElse(1L)
+        val marker = new Path(dir, f"$seq%09d.$commitTime.$action")
+        try { fs.create(marker, false).close(); done = true }
+        catch { case _: java.io.IOException => () /* seq taken: retry */ }
+      }
+    }
+    if (!done) throw new java.io.IOException(
+      s"could not record timeline marker for $commitTime.$action under $dir")
   }
+
+  private def parseMarker(n: String): (String, String) = {
+    val body = n.substring(n.indexOf('.') + 1)
+    val i = body.lastIndexOf('.')
+    (body.substring(0, i), body.substring(i + 1))
+  }
+
+  /** The action word of a marker name. */
+  def markerAction(n: String): String = parseMarker(n)._2
+
+  /** The commit id of a marker name. */
+  def markerCommit(n: String): String = parseMarker(n)._1
 
   /** The timeline as (commitTime, action) pairs, chronological. */
   def timelineEntries(spark: SparkSession, path: String): Seq[(String, String)] =
-    timelineMarkers(spark, path).map { n =>
-      val i = n.lastIndexOf('.')
-      (n.substring(0, i), n.substring(i + 1))
-    }
+    timelineMarkers(spark, path).map(parseMarker)
 
   /** Raw marker names, sorted (chronological). */
   def timelineMarkers(spark: SparkSession, path: String): Seq[String] = {

@@ -9,6 +9,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression}
 import org.apache.spark.sql.functions._
 
+import graft.schema.SchemaEvolution
+
 /** Aggregate materialized views with automatic query rewrite — the
   * "summary table" half of a lakehouse serving layer. `create` computes
   * and persists a grouped rollup of a parquet base table; the optimizer
@@ -69,7 +71,19 @@ object MaterializedView {
       // registration so the rewrite rule's per-Aggregate path match is a
       // string compare — no Hadoop conf/FileSystem allocation per plan
       // node.
-      qualifiedBase: String = "")
+      qualifiedBase: String = "",
+      // COUNT(expr) measures (non-null counts): normalized input sql →
+      // mv column. Derives `count(col)` and — paired with the matching
+      // sum — `avg(col)`. Keyed MVs auto-register one per sum measure:
+      // the signed-delta refresh needs the non-null count to tell "sum
+      // cancelled to 0" from "no non-null inputs left" (NULL).
+      counts: Map[String, String] = Map.empty,
+      // Keyed-base MVs: the base table's spec (refresh reconstructs the
+      // KeyedTable from it) and the timeline marker current at build/
+      // refresh — the staleness signal replacing directory mtime, which
+      // cannot see inside hive partition directories.
+      keyedSpec: Option[KeyedTableSpec] = None,
+      baseCommit: String = "")
 
   private val registry = TrieMap.empty[String, MvDef]
 
@@ -169,8 +183,9 @@ object MaterializedView {
     }
   }
 
-  /** Compute, persist, and register the rollup. `sums`/`mins`/`maxs` map
-    * MV column name → input Column over the base; `countCol` stores
+  /** Compute, persist, and register the rollup over a FLAT parquet base.
+    * `sums`/`mins`/`maxs`/`counts` map MV column name → input Column over
+    * the base (`counts` stores non-null `count(expr)`); `countCol` stores
     * `count(1)`.
     */
   def create(
@@ -182,103 +197,320 @@ object MaterializedView {
       sums: Seq[(String, Column)] = Nil,
       mins: Seq[(String, Column)] = Nil,
       maxs: Seq[(String, Column)] = Nil,
-      countCol: Option[String] = None): MvDef = {
+      countCol: Option[String] = None,
+      counts: Seq[(String, Column)] = Nil): MvDef = {
     val base = spark.read.parquet(basePath)
-    // Resolve + round-trip-validate every measure key BEFORE any write,
-    // so an unsupported measure expression fails eagerly and leaves
-    // nothing behind.
-    val sumKeys = sums.map { case (n, c) => measureKey(base, c) -> n }.toMap
-    val minKeys = mins.map { case (n, c) => measureKey(base, c) -> n }.toMap
-    val maxKeys = maxs.map { case (n, c) => measureKey(base, c) -> n }.toMap
-    val aggCols =
-      sums.map { case (n, c) => sum(c).as(n) } ++
-      mins.map { case (n, c) => min(c).as(n) } ++
-      maxs.map { case (n, c) => max(c).as(n) } ++
-      countCol.map(n => count(lit(1)).as(n)).toSeq
-    require(aggCols.nonEmpty, "an MV needs at least one measure")
-    require(name.nonEmpty && groupCols.nonEmpty,
-      "an MV needs a name and at least one dimension column " +
-        "(the sidecar format has no empty-field encoding)")
-    base.groupBy(groupCols.map(col): _*)
-      .agg(aggCols.head, aggCols.tail: _*)
-      .write.mode("overwrite").parquet(mvPath)
-    val d = MvDef(
-      name, basePath, mvPath, groupCols,
-      sumKeys, minKeys, maxKeys,
-      countCol,
-      baseMtime(spark, basePath),
-      listDataFiles(spark, basePath),
-      qualify(spark, basePath))
+    val d0 = defOf(spark, base, name, basePath, mvPath, groupCols,
+      sums, mins, maxs, countCol, counts)
+    val d = d0.copy(
+      baseMtime = baseMtime(spark, basePath),
+      files = listDataFiles(spark, basePath))
+    buildRollup(base, d).write.mode("overwrite").parquet(mvPath)
     writeSidecar(spark, d)
     registry.put(basePath, d)
     d
   }
 
-  /** Bring a stale rollup current. Append-only change (every recorded
-    * file still present with its recorded size) → aggregate ONLY the
-    * appended files and merge: sums/counts add, mins/maxs take
-    * least/greatest — per-group cost scales with the DELTA, not the
-    * base. Any other change (delete, rewrite-in-place) → full rebuild,
-    * announced via the returned `incremental` flag. Either way the
-    * sidecar and registry re-arm with the new mtime + inventory, so
+  /** Compute, persist, and register a rollup over a [[KeyedTable]] base —
+    * the production shape: the base is hive-partitioned and mutated
+    * through commits, so staleness rides the COMMIT TIMELINE
+    * ([[KeyedTable.latestTimelineMarker]], one listStatus) instead of
+    * directory mtimes, and [[refresh]] is commit-class aware: layout
+    * commits (compact/cluster/zorder) re-arm without touching data, data
+    * commits on a history table merge the exact [[KeyedTable.readStateDelta]]
+    * change set (cost O(view + delta), never O(base)), insert-only
+    * commits on a COW table merge the appended rows, and anything
+    * destructive (delete/vacuum/restore) rebuilds.
+    *
+    * The rollup aggregates the RESOLVED state (`table.read`), and the
+    * rewrite rule serves aggregates whose plan IS a resolved read — for a
+    * history table that means the latest-per-key window must be present
+    * and match the table's resolve spec exactly.
+    *
+    * Requirements: `countCol` (the signed-delta refresh detects group
+    * death by the merged row count reaching zero) and a non-evolved base
+    * (partition evolution changes the read shape under the MV; fold
+    * generations first). A non-null count measure is auto-registered per
+    * sum (`_nn_<sumCol>`) — the piece that keeps "sum cancelled to 0"
+    * distinct from "no non-null inputs" (NULL) under retractions, and
+    * what makes `count(col)`/`avg(col)` derivable.
+    */
+  def createKeyed(
+      spark: SparkSession,
+      name: String,
+      table: KeyedTable,
+      mvPath: String,
+      groupCols: Seq[String],
+      sums: Seq[(String, Column)] = Nil,
+      mins: Seq[(String, Column)] = Nil,
+      maxs: Seq[(String, Column)] = Nil,
+      countCol: Option[String] = None,
+      counts: Seq[(String, Column)] = Nil): MvDef = {
+    require(countCol.isDefined,
+      "a keyed MV must store a row count (countCol): incremental refresh " +
+        "detects group death by the merged count reaching zero")
+    require(!table.isEvolved(spark),
+      "a keyed MV requires a non-evolved base: partition evolution " +
+        "changes the table's read shape — fold generations first")
+    val basePath = table.spec.path
+    // Capture the timeline marker BEFORE scanning: a commit landing
+    // mid-build then reads as "newer than the MV" — the safe direction.
+    val commit = KeyedTable.latestTimelineMarker(spark, basePath)
+    require(commit.nonEmpty,
+      s"no commit timeline at ${KeyedTable.timelineDir(basePath)}: keyed " +
+        "MVs need the timeline as their change signal (write through the " +
+        "KeyedTable mutators)")
+    val base = table.read(spark)
+    val autoNn = sums
+      .map { case (n, c) => s"_nn_$n" -> c }
+      .filterNot { case (n, _) => counts.exists(_._1 == n) }
+    val d = defOf(spark, base, name, basePath, mvPath, groupCols,
+      sums, mins, maxs, countCol, counts ++ autoNn)
+      .copy(keyedSpec = Some(table.spec), baseCommit = commit)
+    buildRollup(base, d).write.mode("overwrite").parquet(mvPath)
+    writeSidecar(spark, d)
+    registry.put(basePath, d)
+    d
+  }
+
+  /** Resolve + round-trip-validate every measure key (BEFORE any write,
+    * so an unsupported measure expression fails eagerly and leaves
+    * nothing behind) and assemble the definition.
+    */
+  private def defOf(
+      spark: SparkSession,
+      base: DataFrame,
+      name: String,
+      basePath: String,
+      mvPath: String,
+      groupCols: Seq[String],
+      sums: Seq[(String, Column)],
+      mins: Seq[(String, Column)],
+      maxs: Seq[(String, Column)],
+      countCol: Option[String],
+      counts: Seq[(String, Column)]): MvDef = {
+    require(
+      sums.nonEmpty || mins.nonEmpty || maxs.nonEmpty ||
+        countCol.nonEmpty || counts.nonEmpty,
+      "an MV needs at least one measure")
+    require(name.nonEmpty && groupCols.nonEmpty,
+      "an MV needs a name and at least one dimension column " +
+        "(the sidecar format has no empty-field encoding)")
+    MvDef(
+      name, basePath, mvPath, groupCols,
+      sums.map { case (n, c) => measureKey(base, c) -> n }.toMap,
+      mins.map { case (n, c) => measureKey(base, c) -> n }.toMap,
+      maxs.map { case (n, c) => measureKey(base, c) -> n }.toMap,
+      countCol,
+      0L, Map.empty,
+      qualify(spark, basePath),
+      counts.map { case (n, c) => measureKey(base, c) -> n }.toMap)
+  }
+
+  /** The rollup aggregate for a definition, built from the STORED
+    * normalized measure SQL — create and every refresh path compute the
+    * measures from the same strings, so they cannot drift.
+    */
+  private def buildRollup(base: DataFrame, d: MvDef): DataFrame = {
+    val aggCols =
+      d.sums.map { case (sql, c) => sum(expr(sql)).as(c) }.toSeq ++
+      d.mins.map { case (sql, c) => min(expr(sql)).as(c) }.toSeq ++
+      d.maxs.map { case (sql, c) => max(expr(sql)).as(c) }.toSeq ++
+      d.counts.map { case (sql, c) => count(expr(sql)).as(c) }.toSeq ++
+      d.countCol.map(c => count(lit(1)).as(c)).toSeq
+    base.groupBy(d.groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Bring a stale rollup current; returns (new def, incremental?) where
+    * `incremental = false` means a full rebuild was needed.
+    *
+    * Flat base: append-only change (every recorded file still present
+    * with its recorded length+mtime) → aggregate ONLY the appended files
+    * and merge — per-group cost scales with the DELTA, not the base. Any
+    * other change → rebuild.
+    *
+    * Keyed base: decided by the COMMIT CLASSES on the timeline since the
+    * recorded marker — layout commits re-arm with no data work; data
+    * commits on a history table merge the [[KeyedTable.readStateDelta]]
+    * change set (signed: preimages retract, postimages/inserts add, a
+    * group whose count reaches zero is dropped — with min/max measures a
+    * retraction can remove a group extreme, so updates force rebuild);
+    * insert-only commits on a COW table merge the appended rows;
+    * delete/vacuum/restore (preimages or history destroyed) rebuild;
+    * partition evolution refuses (drop and recreate over the folded
+    * table). Either way the sidecar and registry re-arm, so
     * [[graft.plans.MvAggregateRewrite]] serves again.
     */
   def refresh(spark: SparkSession, mvPath: String): (MvDef, Boolean) = {
     val d = attach(spark, mvPath) // sidecar is the source of truth
+    if (d.keyedSpec.isDefined) refreshKeyed(spark, d)
+    else refreshFlat(spark, d)
+  }
+
+  private def refreshFlat(
+      spark: SparkSession, d: MvDef): (MvDef, Boolean) = {
+    val mvPath = d.mvPath
     val current = listDataFiles(spark, d.basePath)
     val appendOnly = d.files.nonEmpty &&
       d.files.forall { case (n, sig) => current.get(n).contains(sig) }
     val delta = current.keySet -- d.files.keySet
-    val dims = d.groupCols
-    def aggOf(df: DataFrame): DataFrame = {
-      val aggCols =
-        d.sums.map { case (sql, c) => sum(expr(sql)).as(c) }.toSeq ++
-        d.mins.map { case (sql, c) => min(expr(sql)).as(c) }.toSeq ++
-        d.maxs.map { case (sql, c) => max(expr(sql)).as(c) }.toSeq ++
-        d.countCol.map(c => count(lit(1)).as(c)).toSeq
-      df.groupBy(dims.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-    }
     val merged =
       if (appendOnly && delta.isEmpty) None // mtime-only change: re-arm
       else if (appendOnly) {
-        val deltaAgg = aggOf(spark.read.parquet(
-          delta.toSeq.map(n => s"${d.basePath}/$n"): _*))
-        val old = spark.read.parquet(mvPath)
-        // Full-outer on dims: groups new to the delta appear, untouched
-        // groups pass through, shared groups merge measure-wise.
-        val on = dims.map(c => old(c) <=> deltaAgg(c)).reduce(_ && _)
-        val dimCols = dims.map(c => coalesce(old(c), deltaAgg(c)).as(c))
-        val oldTypes = old.schema.fields.map(f => f.name -> f.dataType).toMap
-        // coalesce(a+b, a, b): a group absent on one side passes through,
-        // present-on-both adds — and an all-NULL-input sum STAYS NULL
-        // (coalescing to 0 here would diverge from what a direct
-        // aggregate or a fresh rebuild returns). The cast pins the sum
-        // column's decimal precision across refreshes (addition widens
-        // by one digit per merge otherwise).
-        val measureCols =
-          d.sums.values.toSeq.map(c =>
-            coalesce(old(c) + deltaAgg(c), old(c), deltaAgg(c))
-              .cast(oldTypes(c)).as(c)) ++
-          d.mins.values.toSeq.map(c =>
-            coalesce(least(old(c), deltaAgg(c)), old(c), deltaAgg(c)).as(c)) ++
-          d.maxs.values.toSeq.map(c =>
-            coalesce(greatest(old(c), deltaAgg(c)), old(c), deltaAgg(c)).as(c)) ++
-          d.countCol.toSeq.map(c =>
-            coalesce(old(c) + deltaAgg(c), old(c), deltaAgg(c)).as(c))
-        Some(old.join(deltaAgg, on, "full_outer")
-          .select(dimCols ++ measureCols: _*))
-      } else Some(aggOf(spark.read.parquet(d.basePath)))
+        val deltaAgg = buildRollup(spark.read.parquet(
+          delta.toSeq.map(n => s"${d.basePath}/$n"): _*), d)
+        Some(mergeRollup(spark.read.parquet(mvPath), deltaAgg, d))
+      } else Some(buildRollup(spark.read.parquet(d.basePath), d))
     val d2 = d.copy(
       baseMtime = baseMtime(spark, d.basePath),
       files = current)
+    publish(spark, d2, merged)
+    (d2, appendOnly)
+  }
+
+  private def refreshKeyed(
+      spark: SparkSession, d: MvDef): (MvDef, Boolean) = {
+    val spec = d.keyedSpec.get
+    val table = KeyedTable(spec)
+    // Capture BEFORE any scan: a commit landing mid-refresh reads as
+    // newer than the refreshed MV — the safe direction (declines until
+    // the next refresh).
+    val markers = KeyedTable.timelineMarkers(spark, d.basePath)
+    val newLatest = markers.lastOption.getOrElse("")
+    val since = markers.filter(_ > d.baseCommit)
+    val actions = since.map(KeyedTable.markerAction).toSet
+    require(!actions.contains("evolve"),
+      s"base ${d.basePath} evolved its partitioning since the MV was " +
+        "built; partition evolution changes the read shape — drop the MV " +
+        "and recreate it over the folded table")
+    val sinceCommit =
+      if (d.baseCommit.isEmpty) ""
+      else KeyedTable.markerCommit(d.baseCommit)
+    val d2 = d.copy(baseCommit = newLatest)
+
+    def rebuild(): (MvDef, Boolean) = {
+      publish(spark, d2, Some(buildRollup(table.read(spark), d)))
+      (d2, false)
+    }
+
+    if (since.isEmpty) { registry.put(d.basePath, d); (d, true) }
+    else if (actions.subsetOf(KeyedTable.LayoutActions)) {
+      // Bytes moved, logical rows unchanged: re-arm with zero data work.
+      publish(spark, d2, None)
+      (d2, true)
+    } else if (!actions.subsetOf(KeyedTable.DataActions ++ KeyedTable.LayoutActions)
+      || sinceCommit.isEmpty) {
+      rebuild() // delete/vacuum/restore/unknown: preimages or history gone
+    } else if (spec.retainHistory) {
+      // MoR: the state-delta feed is the exact change set.
+      val delta = table.readStateDelta(spark, sinceCommit).persist()
+      try {
+        val insertsOnly = delta.filter(col("op") === "update_preimage").isEmpty
+        if (insertsOnly) {
+          publish(spark, d2,
+            Some(mergeRollup(spark.read.parquet(d.mvPath),
+              buildRollup(delta, d), d)))
+          (d2, true)
+        } else if (d.mins.nonEmpty || d.maxs.nonEmpty) {
+          // An update can retract a group's stored extreme; min/max are
+          // not retraction-derivable from the rollup alone.
+          rebuild()
+        } else {
+          val merged = mergeRollup(
+            spark.read.parquet(d.mvPath), signedDeltaAgg(delta, d), d)
+            // Group death: every row retracted ⇒ the direct aggregate
+            // has no row for the group.
+            .filter(col(d.countCol.get) > 0)
+          publish(spark, d2, Some(merged))
+          (d2, true)
+        }
+      } finally { delta.unpersist(); () }
+    } else if ((actions -- KeyedTable.LayoutActions)
+      .subsetOf(Set("insert", "bulkinsert"))) {
+      // COW inserts are pure row appends; rows keep their commit times,
+      // so the delta is a commit-time filter on the raw frame.
+      val delta = SchemaEvolution.dropSystemColumns(
+        table.readRaw(spark)
+          .filter(col(KeyedTable.CommitTimeCol) > sinceCommit))
+      publish(spark, d2,
+        Some(mergeRollup(spark.read.parquet(d.mvPath),
+          buildRollup(delta, d), d)))
+      (d2, true)
+    } else rebuild() // COW upsert folded old versions into files: no delta
+
+  }
+
+  /** Merge a per-group delta aggregate into the old rollup: full-outer
+    * on dims — groups new to the delta appear, untouched groups pass
+    * through, shared groups merge measure-wise (sums/counts add,
+    * mins/maxs take least/greatest). `coalesce(a+b, a, b)` keeps a
+    * one-sided group intact and an all-NULL-input sum NULL; when the
+    * sum has a registered non-null count, the merged count decides
+    * NULL-vs-0 exactly even under retractions. Casts pin decimal
+    * precision across refreshes.
+    */
+  private def mergeRollup(
+      old: DataFrame, deltaAgg: DataFrame, d: MvDef): DataFrame = {
+    val dims = d.groupCols
+    val on = dims.map(c => old(c) <=> deltaAgg(c)).reduce(_ && _)
+    val dimCols = dims.map(c => coalesce(old(c), deltaAgg(c)).as(c))
+    val oldTypes = old.schema.fields.map(f => f.name -> f.dataType).toMap
+    // sum column → its non-null-count column (same input sql).
+    val nnOf: Map[String, String] = d.sums.flatMap { case (sql, sc) =>
+      d.counts.get(sql).map(sc -> _)
+    }
+    def add(c: String): Column =
+      coalesce(old(c) + deltaAgg(c), old(c), deltaAgg(c))
+    val measureCols =
+      d.sums.values.toSeq.map { c =>
+        val raw = add(c).cast(oldTypes(c))
+        nnOf.get(c) match {
+          case Some(nc) =>
+            val nn = coalesce(old(nc), lit(0L)) + coalesce(deltaAgg(nc), lit(0L))
+            when(nn === 0L, lit(null).cast(oldTypes(c)))
+              .otherwise(coalesce(raw, lit(0).cast(oldTypes(c)))).as(c)
+          case None => raw.as(c)
+        }
+      } ++
+      d.mins.values.toSeq.map(c =>
+        coalesce(least(old(c), deltaAgg(c)), old(c), deltaAgg(c)).as(c)) ++
+      d.maxs.values.toSeq.map(c =>
+        coalesce(greatest(old(c), deltaAgg(c)), old(c), deltaAgg(c)).as(c)) ++
+      d.counts.values.toSeq.map(c => add(c).as(c)) ++
+      d.countCol.toSeq.map(c => add(c).as(c))
+    old.join(deltaAgg, on, "full_outer")
+      .select(dimCols ++ measureCols: _*)
+  }
+
+  /** Per-group SIGNED aggregate of a state-delta feed: preimages retract
+    * (−), postimages/inserts add (+). Sums go through `value × sign`;
+    * non-null counts and the row count sum the sign directly. min/max
+    * deliberately absent — the caller rebuilds instead.
+    */
+  private def signedDeltaAgg(delta: DataFrame, d: MvDef): DataFrame = {
+    val sign = when(col("op") === "update_preimage", lit(-1)).otherwise(lit(1))
+    val aggCols =
+      d.sums.map { case (sql, c) => sum(expr(sql) * sign).as(c) }.toSeq ++
+      d.counts.map { case (sql, c) =>
+        sum(when(expr(sql).isNotNull, sign).otherwise(lit(0)))
+          .cast("long").as(c)
+      }.toSeq ++
+      d.countCol.map(c => sum(sign).cast("long").as(c)).toSeq
+    delta.groupBy(d.groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Land a refreshed rollup (or just the re-armed sidecar): stage the
+    * new rollup WITH its sidecar, then swap. A crash after the delete
+    * leaves a complete staged copy one rename away; a crash after the
+    * rename leaves a complete rollup + sidecar (no window where the data
+    * exists but attach() cannot read it). Single-writer dev flow;
+    * multi-writer would ride KeyedTable's FS lock.
+    */
+  private def publish(
+      spark: SparkSession, d2: MvDef, merged: Option[DataFrame]): Unit = {
+    val mvPath = d2.mvPath
     merged match {
       case Some(m) =>
-        // Stage the new rollup WITH its sidecar, then swap. A crash after
-        // the delete leaves a complete staged copy one rename away; a
-        // crash after the rename leaves a complete rollup + sidecar (no
-        // window where the data exists but attach() cannot read it).
-        // Single-writer dev flow; multi-writer would ride KeyedTable's
-        // FS lock.
         val staged = mvPath + "_refresh_tmp"
         m.write.mode("overwrite").parquet(staged)
         writeSidecar(spark, d2.copy(mvPath = staged))
@@ -287,10 +519,9 @@ object MaterializedView {
         fs.delete(p, true)
         fs.rename(new Path(staged), p)
       case None =>
-        writeSidecar(spark, d2) // mtime-only re-arm
+        writeSidecar(spark, d2) // metadata-only re-arm
     }
     registry.put(d2.basePath, d2)
-    (d2, appendOnly)
   }
 
   // -------------------------------------------------------------------
@@ -318,7 +549,18 @@ object MaterializedView {
       d.sums.map { case (sql, c) => s"sum\t${enc(c)}\t${enc(sql)}" } ++
       d.mins.map { case (sql, c) => s"min\t${enc(c)}\t${enc(sql)}" } ++
       d.maxs.map { case (sql, c) => s"max\t${enc(c)}\t${enc(sql)}" } ++
+      d.counts.map { case (sql, c) => s"cnt\t${enc(c)}\t${enc(sql)}" } ++
       d.countCol.map(c => s"count\t${enc(c)}").toSeq ++
+      d.keyedSpec.toSeq.map { sp =>
+        Seq("keyedspec",
+          sp.keyCols.map(enc).mkString(","),
+          enc(sp.precombineCol),
+          sp.tiebreakCols.map(enc).mkString(","),
+          sp.partitionCols.map(enc).mkString(","),
+          sp.globalKeys.toString,
+          sp.retainHistory.toString).mkString("\t")
+      } ++
+      (if (d.baseCommit.nonEmpty) Seq(s"commit\t${enc(d.baseCommit)}") else Nil) ++
       d.files.toSeq.sortBy(_._1)
         .map { case (n, sig) => s"file\t${enc(n)}\t${sig.len}\t${sig.mtime}" }
     val p = sidecarPath(d.mvPath)
@@ -339,22 +581,37 @@ object MaterializedView {
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    var name = ""; var base = ""; var mtime = 0L
+    var name = ""; var base = ""; var mtime = 0L; var commit = ""
     var dims = Seq.empty[String]; var countCol: Option[String] = None
+    var keyedSpec: Option[KeyedTableSpec] = None
     val sums = Map.newBuilder[String, String]
     val mins = Map.newBuilder[String, String]
     val maxs = Map.newBuilder[String, String]
+    val cnts = Map.newBuilder[String, String]
     val files = Map.newBuilder[String, FileSig]
+    def list(v: String): Seq[String] =
+      v.split(',').toSeq.filter(_.nonEmpty).map(dec)
     text.split('\n').filter(_.nonEmpty).foreach { line =>
       line.split('\t') match {
         case Array("name", v) => name = dec(v)
         case Array("base", v) => base = dec(v)
         case Array("mtime", v) => mtime = v.toLong
+        case Array("commit", v) => commit = dec(v)
         case Array("dims", v) => dims = v.split(',').toSeq.map(dec)
         case Array("sum", c, sql) => sums += dec(sql) -> dec(c)
         case Array("min", c, sql) => mins += dec(sql) -> dec(c)
         case Array("max", c, sql) => maxs += dec(sql) -> dec(c)
+        case Array("cnt", c, sql) => cnts += dec(sql) -> dec(c)
         case Array("count", c) => countCol = Some(dec(c))
+        case Array("keyedspec", keys, pre, ties, parts, global, history) =>
+          keyedSpec = Some(KeyedTableSpec(
+            path = "", // basePath fills in below
+            keyCols = list(keys),
+            precombineCol = dec(pre),
+            tiebreakCols = list(ties),
+            partitionCols = list(parts),
+            globalKeys = global.toBoolean,
+            retainHistory = history.toBoolean))
         case Array("file", n, len, mt) =>
           files += dec(n) -> FileSig(len.toLong, mt.toLong)
         case Array("file", n, len) =>
@@ -369,7 +626,8 @@ object MaterializedView {
     require(base.nonEmpty && dims.nonEmpty, s"incomplete _graft_mv at $p")
     val d = MvDef(name, base, mvPath, dims,
       sums.result(), mins.result(), maxs.result(), countCol, mtime,
-      files.result(), qualify(spark, base))
+      files.result(), qualify(spark, base),
+      cnts.result(), keyedSpec.map(_.copy(path = base)), commit)
     registry.put(base, d)
     d
   }
@@ -425,5 +683,44 @@ object MaterializedView {
       org.apache.spark.sql.GraftSqlBridge.ofRows(
         spark, q.queryExecution.optimizedPlan)
     } finally drop(base)
+  }
+
+  // ---------------------------------------------------------------------
+  // q131: MV over a KEYED (merge-on-read) table, refreshed incrementally
+  // from the commit timeline + state-delta feed. Build the rollup as of
+  // commit c0, upsert a second batch (updates AND inserts against c0's
+  // keys), refresh — the signed delta merge must reproduce, bit-exactly,
+  // what a from-scratch aggregate over the post-upsert table computes
+  // (the oracle). Cost shape at 100 TB: refresh reads O(view + changed
+  // keys), never the base.
+  // ---------------------------------------------------------------------
+
+  /** Per-event-type row count + exact-decimal value sum over the LATEST
+    * state of a two-commit MoR events table, maintained incrementally.
+    */
+  def mvKeyedRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_mv_keyed_").toString
+    val table = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/events_keyed",
+      keyCols = Seq("user_id"),
+      precombineCol = "ts_us",
+      tiebreakCols = Seq("event_id"),
+      partitionCols = Seq("event_type"),
+      retainHistory = true))
+    val ev = graft.sources.Tables.eventsUs(spark, dir)
+    table.upsert(spark, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    val mvPath = s"$tmp/mv"
+    createKeyed(spark, "events_by_type", table, mvPath,
+      groupCols = Seq("event_type"),
+      sums = Seq("sum_value" -> expr("CAST(value AS DECIMAL(18,4))")),
+      countCol = Some("n_rows"))
+    try {
+      table.upsert(spark, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+      val (_, incremental) = refresh(spark, mvPath)
+      require(incremental, "a MoR upsert delta must refresh incrementally")
+      spark.read.parquet(mvPath)
+        .select(col("event_type"), col("n_rows"),
+          col("sum_value").cast("double").as("sum_value"))
+    } finally drop(table.spec.path)
   }
 }
