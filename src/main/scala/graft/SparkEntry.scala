@@ -155,7 +155,9 @@ object SparkEntry {
     "q128_mv_rewrite" -> (table.MaterializedView.mvRewriteRevenue(_, _)),
     "q129_image_phash" -> (Multimodal.imagePhash(_, _)),
     "q130_phash_near" -> (Multimodal.phashNearDup(_, _)),
-    "q131_mv_keyed" -> (table.MaterializedView.mvKeyedRefresh(_, _))
+    "q131_mv_keyed" -> (table.MaterializedView.mvKeyedRefresh(_, _)),
+    "q132_mv_avg" -> (table.MaterializedView.mvAvgDocLen(_, _)),
+    "q133_mv_stream" -> (UpsertOps.mvStreamMaintain(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -701,6 +703,23 @@ object SparkEntry {
     // the final latest-per-key state — the signed delta merge is exact
     // decimal, so incremental == full bit-for-bit
     "q131_mv_keyed" ->
+      s"""SELECT event_type, COUNT(*) AS n_rows,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         |FROM ($latestPerUserType) GROUP BY event_type""".stripMargin,
+    // avg over BIGINT is exact-integer sums divided in double on both
+    // engines — bit-stable; the Spark side is SERVED from the
+    // (lang, source) rollup (avg = re-sum ÷ re-count across source
+    // groups; MvRewriteSpec asserts the plan)
+    "q132_mv_avg" ->
+      """SELECT lang, AVG(n_chars) AS avg_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  COUNT(n_chars) AS n_with_len,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY lang""".stripMargin,
+    // the stream-maintained rollup at rest ≡ a from-scratch aggregate
+    // over the final latest-per-key state (the q131 oracle — the
+    // maintenance path differs, the answer must not)
+    "q133_mv_stream" ->
       s"""SELECT event_type, COUNT(*) AS n_rows,
          |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          |FROM ($latestPerUserType) GROUP BY event_type""".stripMargin,

@@ -276,6 +276,52 @@ object UpsertOps {
   private def morSpec(path: String): KeyedTableSpec =
     spec(path).copy(retainHistory = true)
 
+  /** Streaming MV maintenance (q133): the reference's foreachBatch loop
+    * composed with incremental rollup refresh — each micro-batch upserts
+    * into the merge-on-read table AND brings the registered MV current
+    * from the state-delta feed ([[graft.table.MaterializedView.refresh]]),
+    * so the rollup is continuously queryable between batches at O(view +
+    * batch delta) maintenance cost, never O(table). The MV is built over
+    * the seed commit; the stream then replays EVERY event (the seed rows
+    * arrive again as no-op versions — state-delta drops them, proving the
+    * feed's late/duplicate discipline inside the loop). At rest the
+    * rollup must equal a from-scratch aggregate over the final
+    * latest-per-key state — the oracle.
+    */
+  def mvStreamMaintain(s: SparkSession, dir: String): DataFrame = {
+    import graft.table.MaterializedView
+    val tmp = Files.createTempDirectory("graft_mv_stream_").toString
+    val table = KeyedTable(morSpec(s"$tmp/events_keyed"))
+    val ev = eventsUs(s, dir)
+    // Seed with a DEFAULT-format commit id: the stream's batches commit
+    // under default ids too, and a table must keep ONE id format — the
+    // state-delta feed orders by the commit-time column, where "c0" would
+    // sort after "2026…" and corrupt the before/after split.
+    table.upsert(s, ev.filter(col("event_id") % 2 === 0))
+    val mvPath = s"$tmp/mv"
+    MaterializedView.createKeyed(
+      s, "stream_mv", table, mvPath,
+      groupCols = Seq("event_type"),
+      sums = Seq("sum_value" -> expr("CAST(value AS DECIMAL(18,4))")),
+      countCol = Some("n_rows"))
+    try {
+      val src = stageOnce(dir, "shuffled")(stageShuffledJson(s, dir))
+      val inferred = inferredSchema.getOrElseUpdate(
+        src, JsonStreamSource.inferSchema(s, src))
+      val stream = JsonStreamSource.stream(s, src, schema = Some(inferred))
+      val q = MicroBatchPipeline.start(
+        stream, table, s"$tmp/checkpoint", trigger = Trigger.AvailableNow(),
+        write = (t, sp, b) => {
+          t.upsert(sp, b)
+          MaterializedView.refresh(sp, mvPath); ()
+        })
+      q.awaitTermination()
+      s.read.parquet(mvPath).select(
+        col("event_type"), col("n_rows"),
+        col("sum_value").cast("double").as("sum_value"))
+    } finally MaterializedView.drop(table.spec.path)
+  }
+
   /** Merge-on-read mode end-to-end: the same two commits as
     * [[upsertMerge]], but through a `retainHistory` table where each
     * upsert is a pure append and the latest-per-key merge happens at READ

@@ -56,24 +56,37 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def lower(s: String): String = s.toLowerCase(Locale.ROOT)
 
-  /** Peel Project(attrs-only)/Filter/Window links down to the single
-    * parquet relation, accumulating filter conditions and windows; None
-    * on any other node. (`WindowGroupLimit` is the optimizer's rank-limit
-    * pushdown under a `rn = 1` filter — semantics live in the filter, so
-    * it peels silently.)
+  /** Peel Project/Filter/Window links down to the single parquet
+    * relation, accumulating filter conditions, windows, and RENAMES —
+    * Projects whose items are attributes or aliases of attributes peel
+    * with `output exprId → aliased attribute` recorded, so
+    * `SELECT dim AS d … GROUP BY d` (the first shape a BI tool emits)
+    * still resolves to the base column. None on any other node.
+    * (`WindowGroupLimit` is the optimizer's rank-limit pushdown under a
+    * `rn = 1` filter — semantics live in the filter, so it peels
+    * silently.)
     */
   private def strip(
       p: LogicalPlan,
       conds: mutable.Buffer[Expression],
-      windows: mutable.Buffer[Window]): Option[LogicalRelation] = p match {
-    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      strip(c, conds, windows)
+      windows: mutable.Buffer[Window],
+      renames: mutable.Map[ExprId, Attribute]): Option[LogicalRelation] = p match {
+    case Project(pl, c) if pl.forall {
+      case _: AttributeReference => true
+      case Alias(_: AttributeReference, _) => true
+      case _ => false
+    } =>
+      pl.foreach {
+        case a @ Alias(ar: AttributeReference, _) => renames(a.exprId) = ar
+        case _ => ()
+      }
+      strip(c, conds, windows, renames)
     case Filter(cond, c) =>
-      conds += cond; strip(c, conds, windows)
+      conds += cond; strip(c, conds, windows, renames)
     case w: Window =>
-      windows += w; strip(w.child, conds, windows)
+      windows += w; strip(w.child, conds, windows, renames)
     case wgl: WindowGroupLimit =>
-      strip(wgl.child, conds, windows)
+      strip(wgl.child, conds, windows, renames)
     case lr: LogicalRelation => Some(lr)
     case _ => None
   }
@@ -164,8 +177,15 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     val conds = mutable.Buffer.empty[Expression]
     val windows = mutable.Buffer.empty[Window]
+    val renames = mutable.Map.empty[ExprId, Attribute]
+    // Follow rename chains (alias-of-alias across stacked projects) to
+    // the underlying base attribute.
+    def resolve(a: Attribute): Attribute = renames.get(a.exprId) match {
+      case Some(next) => resolve(next)
+      case None => a
+    }
     for {
-      lr <- strip(agg.child, conds, windows)
+      lr <- strip(agg.child, conds, windows, renames)
       fsRel <- lr.relation match {
         case f: HadoopFsRelation => Some(f)
         case _ => None
@@ -178,21 +198,23 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       userConds <- admissibleConds(mv, windows.toSeq, conds.toSeq)
       dims = mv.groupCols.map(lower).toSet
       if agg.groupingExpressions.forall {
-        case a: Attribute => dims.contains(lower(a.name))
+        case a: Attribute => dims.contains(lower(resolve(a).name))
         case _ => false
       }
       if userConds.forall(c =>
-        c.deterministic && c.references.forall(r => dims.contains(lower(r.name))))
+        c.deterministic &&
+          c.references.forall(r => dims.contains(lower(resolve(r).name))))
       if agg.aggregateExpressions.forall(_.deterministic)
       if isFresh(mv)
-      rewritten <- rewriteOnto(agg, userConds, mv)
+      rewritten <- rewriteOnto(agg, userConds, mv, resolve)
     } yield rewritten
   }
 
   private def rewriteOnto(
       agg: Aggregate,
       conds: Seq[Expression],
-      mv: MvDef): Option[LogicalPlan] = {
+      mv: MvDef,
+      resolve: Attribute => Attribute): Option[LogicalPlan] = {
     // Fresh analyzed scan of the rollup; column pruning still runs (we
     // are inside the operator-optimization fixed point). LAZY so a
     // decline on the measure lookups (the common near-miss) pays no
@@ -240,13 +262,17 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           Coalesce(Seq(
             Cast(Sum(a).toAggregateExpression(), LongType), Literal(0L)))
         }
+      def norm(e: Expression): String =
+        MaterializedView.normalize(e.transformUp {
+          case a: Attribute => resolve(a)
+        })
       ae.aggregateFunction match {
         case Sum(inner, _) =>
-          resum(mv.sums.get(MaterializedView.normalize(inner)), Sum(_))
+          resum(mv.sums.get(norm(inner)), Sum(_))
         case Min(inner) =>
-          resum(mv.mins.get(MaterializedView.normalize(inner)), Min(_))
+          resum(mv.mins.get(norm(inner)), Min(_))
         case Max(inner) =>
-          resum(mv.maxs.get(MaterializedView.normalize(inner)), Max(_))
+          resum(mv.maxs.get(norm(inner)), Max(_))
         case c: Count if c.children.forall(e => e.foldable && e.eval() != null) =>
           // count(*) / count(1): the per-group row count is the SUM of the
           // stored partial counts. The non-null fold guard matters:
@@ -254,9 +280,9 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           recount(mv.countCol)
         case Count(Seq(inner)) if !inner.foldable =>
           // count(e): non-null count — served by a stored count(e).
-          recount(mv.counts.get(MaterializedView.normalize(inner)))
+          recount(mv.counts.get(norm(inner)))
         case Average(inner, _) if inner.dataType.isInstanceOf[NumericType] =>
-          val key = MaterializedView.normalize(inner)
+          val key = norm(inner)
           for {
             sc <- mv.sums.get(key); cc <- mv.counts.get(key)
             sa <- mvAttr.get(sc); ca <- mvAttr.get(cc)
@@ -267,7 +293,7 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
     def rewriteExpr(e: Expression): Option[Expression] = e match {
       case ae: AggregateExpression => deriveAgg(ae)
-      case a: AttributeReference => mvAttr.get(lower(a.name))
+      case a: AttributeReference => mvAttr.get(lower(resolve(a).name))
       case leaf if leaf.children.isEmpty => Some(leaf)
       case other =>
         val kids = other.children.map(rewriteExpr)
@@ -279,7 +305,8 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // re-issued under their existing exprIds over the MV-side expressions.
     val newAeOpt = agg.aggregateExpressions.map {
       case a: AttributeReference =>
-        mvAttr.get(lower(a.name)).map(m => Alias(m, a.name)(exprId = a.exprId))
+        mvAttr.get(lower(resolve(a).name))
+          .map(m => Alias(m, a.name)(exprId = a.exprId))
       case al: Alias =>
         rewriteExpr(al.child).map(c =>
           Alias(c, al.name)(
@@ -290,11 +317,13 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (newAeOpt.exists(_.isEmpty)) return None
 
     val newGe = agg.groupingExpressions.map {
-      case a: Attribute => mvAttr(lower(a.name))
+      case a: Attribute => mvAttr(lower(resolve(a).name))
       case e => e // unreachable: guarded attributes-only above
     }
     val newChild = conds
-      .map(_.transform { case a: AttributeReference => mvAttr(lower(a.name)) })
+      .map(_.transform {
+        case a: AttributeReference => mvAttr(lower(resolve(a).name))
+      })
       .reduceOption(And)
       .map(Filter(_, mvPlan)).getOrElse(mvPlan)
     logInfo(s"MV rewrite: aggregate over ${mv.basePath} served from " +

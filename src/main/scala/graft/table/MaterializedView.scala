@@ -640,9 +640,30 @@ object MaterializedView {
   // path planned).
   // ---------------------------------------------------------------------
 
-  // Previous invocation's scratch rollup — deleted at the next call, so a
-  // bench loop holds at most one live temp dir instead of one per rep.
-  @volatile private var lastRevenueWork: Option[java.nio.file.Path] = None
+  // Previous invocation's scratch rollup per runner — deleted at the next
+  // call, so a bench loop holds at most one live temp dir per query
+  // instead of one per rep.
+  private val benchWork =
+    TrieMap.empty[String, java.nio.file.Path]
+
+  private def freshBenchWork(key: String): java.nio.file.Path = {
+    benchWork.remove(key).foreach { p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile); ()
+    }
+    val work = Files.createTempDirectory(s"graft_mv_${key}_")
+    benchWork.put(key, work)
+    work
+  }
+
+  /** Optimize `q` with the registry armed (the rewrite fires), PIN the
+    * rewritten plan, and drop the registration — so a process running
+    * many queries never has this MV capture a later plan.
+    */
+  private def pinAndDrop(
+      spark: SparkSession, basePath: String, q: DataFrame): DataFrame =
+    try org.apache.spark.sql.GraftSqlBridge.ofRows(
+      spark, q.queryExecution.optimizedPlan)
+    finally drop(basePath)
 
   /** Open-order revenue by priority, served through a
     * (o_orderstatus, o_orderpriority) rollup of orders. The query groups
@@ -657,32 +678,53 @@ object MaterializedView {
     * measured plans stay exactly what they'd be standalone.
     */
   def mvRewriteRevenue(spark: SparkSession, dir: String): DataFrame = {
-    lastRevenueWork.foreach { p =>
-      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile); ()
-    }
     val base = s"$dir/orders.parquet"
-    val work = Files.createTempDirectory("graft_mv_")
-    lastRevenueWork = Some(work)
+    val work = freshBenchWork("revenue")
     create(
       spark, "orders_by_status_priority", base, s"$work/mv",
       groupCols = Seq("o_orderstatus", "o_orderpriority"),
       sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
       countCol = Some("cnt"))
-    try {
-      val q = spark.read.parquet(base)
+    pinAndDrop(spark, base,
+      spark.read.parquet(base)
         .filter(col("o_orderstatus") === "O")
         .groupBy(col("o_orderpriority"))
         .agg(
           sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double")
             .as("sum_price"),
-          count(lit(1)).as("n_orders"))
-      // Optimize WITH the registry armed (the rewrite fires here), then
-      // pin the rewritten plan; re-optimization at action time no-ops on
-      // it (the aggregate now reads the rollup path, not a registered
-      // base).
-      org.apache.spark.sql.GraftSqlBridge.ofRows(
-        spark, q.queryExecution.optimizedPlan)
-    } finally drop(base)
+          count(lit(1)).as("n_orders")))
+  }
+
+  // ---------------------------------------------------------------------
+  // q132: AVG derivability — the rollup stores (sum, non-null count) per
+  // measure; a query's avg(col) is served as re-sum ÷ re-count, the only
+  // correct way to re-aggregate averages across rollup groups (averaging
+  // averages is wrong whenever group sizes differ). The query groups by a
+  // strict SUBSET of the rollup dims, so the re-aggregation actually
+  // exercises that. count(col) (non-null) derives from the same stored
+  // count.
+  // ---------------------------------------------------------------------
+
+  /** Average/total/count of document lengths by language, served through
+    * a (lang, source) rollup of documents.
+    */
+  def mvAvgDocLen(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"$dir/documents.parquet"
+    val work = freshBenchWork("avgdoclen")
+    create(
+      spark, "docs_by_lang_source", base, s"$work/mv",
+      groupCols = Seq("lang", "source"),
+      sums = Seq("sum_chars" -> col("n_chars")),
+      counts = Seq("cnt_chars" -> col("n_chars")),
+      countCol = Some("cnt"))
+    pinAndDrop(spark, base,
+      spark.read.parquet(base)
+        .groupBy(col("lang"))
+        .agg(
+          avg(col("n_chars")).as("avg_chars"),
+          sum(col("n_chars")).as("sum_chars"),
+          count(col("n_chars")).as("n_with_len"),
+          count(lit(1)).as("n_docs")))
   }
 
   // ---------------------------------------------------------------------

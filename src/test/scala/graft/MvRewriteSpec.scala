@@ -265,6 +265,121 @@ class MvRewriteSpec extends SparkTestBase {
     } finally MaterializedView.drop(base)
   }
 
+  test("aliased dims rewrite: SELECT dim AS d ... GROUP BY d serves from the rollup") {
+    val base = copyBase()
+    val mvPath = Files.createTempDirectory("graft_mv_out_").toString + "/mv"
+    def aliased = spark.read.parquet(base)
+      .select(col("o_orderpriority").as("prio"), col("o_orderstatus").as("st"),
+        col("o_totalprice"))
+      .filter(col("st") === "O")
+      .groupBy(col("prio"))
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double")
+        .as("sum_price"),
+        count(lit(1)).as("n_orders"))
+    val direct = aliased.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    try {
+      MaterializedView.create(
+        spark, "spec_mv_alias", base, mvPath,
+        groupCols = Seq("o_orderstatus", "o_orderpriority"),
+        sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+        countCol = Some("cnt"))
+      val served = aliased
+      assert(scannedPaths(served).exists(_.contains("/mv")),
+        "an alias-of-attribute project must not block the rewrite")
+      assert(served.collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet == direct)
+      assert(served.columns.toSeq == Seq("prio", "sum_price", "n_orders"),
+        "output names must be the query's aliases, not the base columns")
+      // A COMPUTED alias (not a bare column) must still decline.
+      def computed = spark.read.parquet(base)
+        .select(concat(col("o_orderpriority"), lit("!")).as("prio"),
+          col("o_totalprice"))
+        .groupBy(col("prio"))
+        .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).as("s"))
+      assert(scannedPaths(computed).exists(_.contains("orders.parquet")))
+    } finally MaterializedView.drop(base)
+  }
+
+  test("avg/count(col) derive from stored (sum, count); subset dims re-aggregate") {
+    val direct = spark.read.parquet(s"$sf0001/documents.parquet")
+      .groupBy(col("lang"))
+      .agg(avg(col("n_chars")).as("avg_chars"),
+        sum(col("n_chars")).as("sum_chars"),
+        count(col("n_chars")).as("n_with_len"),
+        count(lit(1)).as("n_docs"))
+      .collect().map(r =>
+        (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val served = MaterializedView.mvAvgDocLen(spark, sf0001)
+    assert(scannedPaths(served).exists(_.contains("/mv")),
+      "avg query must be served from the rollup")
+    val got = served.collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == direct, "derived avg must be bit-identical to the direct avg")
+  }
+
+  test("decimal avg derives bit-exactly (Average's own sum/count types)") {
+    val base = copyBase()
+    val mvPath = Files.createTempDirectory("graft_mv_out_").toString + "/mv"
+    def q = spark.read.parquet(base)
+      .groupBy(col("o_orderpriority"))
+      .agg(avg(expr("CAST(o_totalprice AS DECIMAL(18,4))")).as("avg_price"))
+    val direct = q.collect()
+      .map(r => (r.getString(0), r.getDecimal(1))).toSet
+    try {
+      MaterializedView.create(
+        spark, "spec_mv_avg_dec", base, mvPath,
+        groupCols = Seq("o_orderstatus", "o_orderpriority"),
+        sums = Seq("sum_p" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+        counts = Seq("cnt_p" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+        countCol = Some("cnt"))
+      val served = q
+      assert(scannedPaths(served).exists(_.contains("/mv")))
+      assert(served.collect().map(r => (r.getString(0), r.getDecimal(1))).toSet
+        == direct)
+    } finally MaterializedView.drop(base)
+  }
+
+  test("avg over NULLs divides by the NON-NULL count; avg declines without it") {
+    val work = Files.createTempDirectory("graft_mv_nulls_")
+    val base = work.toString + "/vals.parquet"
+    spark.createDataFrame(Seq(
+      ("a", java.lang.Long.valueOf(10L)), ("a", null.asInstanceOf[java.lang.Long]),
+      ("a", java.lang.Long.valueOf(20L)), ("b", null.asInstanceOf[java.lang.Long])))
+      .toDF("g", "v").coalesce(1).write.parquet(base)
+    def q = spark.read.parquet(base).groupBy(col("g"))
+      .agg(avg(col("v")).as("avg_v"), count(col("v")).as("n_v"))
+    val direct = q.collect().map(r =>
+      (r.getString(0), if (r.isNullAt(1)) null else r.getDouble(1), r.getLong(2))).toSet
+    val mvPath = work.toString + "/mv"
+    try {
+      MaterializedView.create(
+        spark, "spec_mv_nulls", base, mvPath,
+        groupCols = Seq("g"),
+        sums = Seq("sum_v" -> col("v")),
+        counts = Seq("cnt_v" -> col("v")),
+        countCol = Some("cnt"))
+      val served = q
+      assert(scannedPaths(served).exists(_.contains("/mv")))
+      assert(served.collect().map(r =>
+        (r.getString(0), if (r.isNullAt(1)) null else r.getDouble(1), r.getLong(2))).toSet
+        == direct) // group b: avg NULL, count 0 — NOT divided by row count
+      // Without a stored count(v), avg(v) must decline (count(*) is NOT a
+      // legal divisor under NULLs).
+      MaterializedView.drop(base)
+      val mv2 = work.toString + "/mv2"
+      MaterializedView.create(
+        spark, "spec_mv_nulls2", base, mv2,
+        groupCols = Seq("g"),
+        sums = Seq("sum_v" -> col("v")),
+        countCol = Some("cnt"))
+      assert(scannedPaths(q).exists(_.contains("vals.parquet")),
+        "avg without a non-null count measure must stay on the base")
+    } finally MaterializedView.drop(base)
+  }
+
   test("q128 query shape: result equals direct aggregation at sf0.001") {
     val direct = rows(userQuery(s"$sf0001/orders.parquet"))
     val viaMv = rows(MaterializedView.mvRewriteRevenue(spark, sf0001))
