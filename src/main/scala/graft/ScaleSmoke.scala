@@ -49,12 +49,28 @@ object ScaleSmoke {
     "q127_bpe_pairs",
     "q128_mv_rewrite",
     "q129_image_phash",
-    "q130_phash_near")
+    "q130_phash_near",
+    // round-10: candidate-bound phash curve (hash diversity grows with
+    // the corpus — smoke-only variant, no SparkEntry/oracle entry),
+    // star-join MV build + re-served join aggregate
+    "q130_phash_diverse",
+    "q136_mv_join")
+
+  /** Smoke-only variants that deliberately have no SparkEntry/oracle
+    * entry (their oracles would have to model a corpus the driver does
+    * not ship).
+    */
+  val extras: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("q130_phash_diverse" ->
+      ((s, d) => graft.operators.Multimodal.phashNearDupDiverse(s, d)))
 
   def main(args: Array[String]): Unit = {
     val small = args.headOption.getOrElse("/root/testdata/sf0.1")
     val big = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val warm = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
+    // Trailing names restrict the run — one query in a fresh JVM is the
+    // interference-free measurement mode (BASELINE §6's q41 question).
+    val chosen = if (args.length > 3) args.drop(3).toSeq else family
     val spark = Sessions.builder(
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
@@ -62,13 +78,13 @@ object ScaleSmoke {
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
+      SparkEntry.queries.getOrElse(name, extras(name))(spark, dir)
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
 
-    family.foreach(time(_, warm)) // JIT + codegen warmup only
-    val rows = family.map { name =>
+    chosen.foreach(time(_, warm)) // JIT + codegen warmup only
+    val rows = chosen.map { name =>
       val ts = time(name, small)
       val tb = time(name, big)
       println(f"[scalesmoke] $name%-22s sf0.1=$ts%7.2f s  sf1=$tb%7.2f s  ratio=${tb / ts}%5.1f x")

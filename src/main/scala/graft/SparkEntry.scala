@@ -157,7 +157,10 @@ object SparkEntry {
     "q130_phash_near" -> (Multimodal.phashNearDup(_, _)),
     "q131_mv_keyed" -> (table.MaterializedView.mvKeyedRefresh(_, _)),
     "q132_mv_avg" -> (table.MaterializedView.mvAvgDocLen(_, _)),
-    "q133_mv_stream" -> (UpsertOps.mvStreamMaintain(_, _))
+    "q133_mv_stream" -> (UpsertOps.mvStreamMaintain(_, _)),
+    "q134_mv_select" -> (table.MaterializedView.mvSelectCheapest(_, _)),
+    "q135_mv_minmax" -> (table.MaterializedView.mvKeyedMinMax(_, _)),
+    "q136_mv_join" -> (table.MaterializedView.mvJoinRevenue(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -723,6 +726,32 @@ object SparkEntry {
       s"""SELECT event_type, COUNT(*) AS n_rows,
          |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          |FROM ($latestPerUserType) GROUP BY event_type""".stripMargin,
+    // served from the SMALLER of two registered lineitem rollups (the
+    // cost-ordered selection assertion lives in MvRewriteSpec; the
+    // oracle checks the answer, not the path)
+    "q134_mv_select" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // min/max maintained through an UPDATING upsert via group-scoped
+    // recompute (touched partitions only) must equal the straight
+    // extremes over the final latest-per-key state
+    "q135_mv_minmax" ->
+      s"""SELECT event_type, COUNT(*) AS n_rows,
+         |  CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS min_value,
+         |  CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_value
+         |FROM ($latestPerUserType) GROUP BY event_type""".stripMargin,
+    // the star-join rollup (orders ⋈ customer) must serve the same join
+    // + aggregate written directly (the join-elision plan assertion
+    // lives in JoinedMvSpec; the oracle checks the answer)
+    "q136_mv_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY c_mktsegment""".stripMargin,
     // dHash from the closed-form pixels: 2x2 red-channel sums -> 8x8
     // cells, bit (r,c) = cell < right-neighbor; CASTs keep DuckDB's
     // HUGEINT sums out of the schema compare

@@ -142,6 +142,33 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** [[pngPayload]] with a per-doc red-channel STRIDE (slope), not just
+    * an offset: `pngPayload`'s red ramp is `(docId*7 + i) % 256`, so the
+    * whole corpus collapses into 256 pixel classes (measured: 105
+    * distinct dHashes at every tier). Varying the slope with
+    * `docId / 256` multiplies the class space (~256 offsets × 4096 odd
+    * strides), so distinct-hash cardinality keeps growing through the
+    * sf1 smoke tier — the hash-diversity regime real image corpora live
+    * in. Smoke-only: the shipped oracles model `pngPayload`'s closed
+    * form.
+    */
+  private[graft] def pngPayloadDiverse(docId: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      ImgW, ImgH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val stride = 1 + 2 * ((docId / 256) % 4096)
+    var i = 0
+    while (i < ImgW * ImgH) {
+      val r = ((docId * 7 + i * stride) % 256).toInt
+      val g = ((docId * 13 + i * 3) % 256).toInt
+      val b = ((docId * 5 + i * 11) % 256).toInt
+      img.setRGB(i % ImgW, i / ImgW, (r << 16) | (g << 8) | b)
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Deterministic 16-bit mono PCM WAV for `docId`: 256 samples at 8 kHz,
     * s(i) = ((id·31 + i·17) % 65536) − 32768, RIFF/WAVE container.
     */
@@ -616,11 +643,17 @@ object Multimodal {
     * [[imagePhash]] (bucket sizes) and [[phashNearDup]] (thresholded
     * pairs).
     */
-  private def imageHashes(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    realMediaTable(s, dir)
+  private def imageHashes(s: SparkSession, dir: String): DataFrame =
+    hashPngs(s, realMediaTable(s, dir)
       .filter(col("media_type") === "image/png")
-      .select("doc_id", "payload").as[(Long, Array[Byte])]
+      .select("doc_id", "payload"))
+
+  /** dHash every (doc_id, png payload) row — the decode+hash kernel
+    * shared by the fixture corpus and the diverse smoke corpus.
+    */
+  private def hashPngs(s: SparkSession, pngs: DataFrame): DataFrame = {
+    import s.implicits._
+    pngs.as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
           val img = javax.imageio.ImageIO.read(
@@ -686,13 +719,40 @@ object Multimodal {
   def phashNearDup(
       s: SparkSession, dir: String, maxHamming: Int = 1): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 56, "need 0 <= tau < 56")
-    val nChunks = maxHamming + 1
     // Lazy local checkpoint: both sides of the chunk self-join share one
     // materialization of the (id, hash) frame, so the PNG decode+hash
     // stage runs ONCE per invocation instead of once per side. (A
     // checkpoint, not a persist: the blocks release with the RDD when
     // the returned frame is dropped — nothing leaks across bench reps.)
     val hashed = imageHashes(s, dir).localCheckpoint(false)
+    nearDupFromHashes(hashed, maxHamming)
+  }
+
+  /** [[phashNearDup]] over the DIVERSE synthetic corpus: the red ramp's
+    * per-doc STRIDE (not just its offset) varies with `doc_id / 256`, so
+    * distinct-hash cardinality grows with the corpus instead of
+    * saturating at [[pngPayload]]'s 256 offset classes (105 distinct
+    * hashes at any tier — which makes the q130 scale curve output-bound:
+    * every bucket is hot and pair EMISSION dominates). This variant is
+    * the candidate-bound measurement for BASELINE §3; it is smoke-only —
+    * the q130 oracle brute-forces [[pngPayload]]'s closed form and stays
+    * as is.
+    */
+  def phashNearDupDiverse(
+      s: SparkSession, dir: String, maxHamming: Int = 1): DataFrame = {
+    import s.implicits._
+    val hashed = Tables.documents(s, dir).select("doc_id").as[Long]
+      .filter(_ % 3 == 0)
+      .mapPartitions(_.map(id => (id, pngPayloadDiverse(id))))
+      .toDF("doc_id", "payload")
+      .transform(hashPngs(s, _))
+      .localCheckpoint(false)
+    nearDupFromHashes(hashed, maxHamming)
+  }
+
+  private def nearDupFromHashes(
+      hashed: org.apache.spark.sql.DataFrame, maxHamming: Int): DataFrame = {
+    val nChunks = maxHamming + 1
     // 56 bits over tau+1 chunks, remainder spread to the low chunks so
     // every bit lands in exactly one chunk.
     val base = 56 / nChunks

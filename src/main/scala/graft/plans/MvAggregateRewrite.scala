@@ -8,7 +8,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DataType, DecimalType, LongType, NumericType}
@@ -56,21 +57,26 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def lower(s: String): String = s.toLowerCase(Locale.ROOT)
 
-  /** Peel Project/Filter/Window links down to the single parquet
-    * relation, accumulating filter conditions, windows, and RENAMES —
-    * Projects whose items are attributes or aliases of attributes peel
-    * with `output exprId → aliased attribute` recorded, so
-    * `SELECT dim AS d … GROUP BY d` (the first shape a BI tool emits)
-    * still resolves to the base column. None on any other node.
-    * (`WindowGroupLimit` is the optimizer's rank-limit pushdown under a
-    * `rn = 1` filter — semantics live in the filter, so it peels
+  /** Peel Project/Filter/Window/Join links down to the parquet
+    * relations, accumulating filter conditions, windows, inner-equi-join
+    * pairs, and RENAMES — Projects whose items are attributes or aliases
+    * of attributes peel with `output exprId → aliased attribute`
+    * recorded, so `SELECT dim AS d … GROUP BY d` (the first shape a BI
+    * tool emits) still resolves to the base column. Inner joins whose
+    * condition is a conjunction of attribute equalities peel with the
+    * pairs recorded (for inner joins, a filter below the join ≡ the same
+    * filter above it, so conds accumulate uniformly). False on any other
+    * node. (`WindowGroupLimit` is the optimizer's rank-limit pushdown
+    * under a `rn = 1` filter — semantics live in the filter, so it peels
     * silently.)
     */
-  private def strip(
+  private def stripSources(
       p: LogicalPlan,
       conds: mutable.Buffer[Expression],
       windows: mutable.Buffer[Window],
-      renames: mutable.Map[ExprId, Attribute]): Option[LogicalRelation] = p match {
+      renames: mutable.Map[ExprId, Attribute],
+      rels: mutable.Buffer[LogicalRelation],
+      pairs: mutable.Buffer[(Attribute, Attribute)]): Boolean = p match {
     case Project(pl, c) if pl.forall {
       case _: AttributeReference => true
       case Alias(_: AttributeReference, _) => true
@@ -80,22 +86,47 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case a @ Alias(ar: AttributeReference, _) => renames(a.exprId) = ar
         case _ => ()
       }
-      strip(c, conds, windows, renames)
+      stripSources(c, conds, windows, renames, rels, pairs)
     case Filter(cond, c) =>
-      conds += cond; strip(c, conds, windows, renames)
+      conds += cond; stripSources(c, conds, windows, renames, rels, pairs)
     case w: Window =>
-      windows += w; strip(w.child, conds, windows, renames)
+      windows += w; stripSources(w.child, conds, windows, renames, rels, pairs)
     case wgl: WindowGroupLimit =>
-      strip(wgl.child, conds, windows, renames)
-    case lr: LogicalRelation => Some(lr)
-    case _ => None
+      stripSources(wgl.child, conds, windows, renames, rels, pairs)
+    case Join(l, r, Inner, Some(cond), _) =>
+      val conjuncts = splitConjunction(cond)
+      val eqs = conjuncts.map {
+        case EqualTo(a: Attribute, b: Attribute) => Some((a, b))
+        case _ => None
+      }
+      eqs.forall(_.isDefined) && {
+        pairs ++= eqs.flatten
+        stripSources(l, conds, windows, renames, rels, pairs) &&
+          stripSources(r, conds, windows, renames, rels, pairs)
+      }
+    case lr: LogicalRelation => rels += lr; true
+    case _ => false
   }
 
-  private def findMv(root: Path): Option[MvDef] = {
-    // String compare against the path qualified ONCE at registration —
-    // no Hadoop conf/FileSystem work per Aggregate node.
+  private def splitConjunction(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjunction(l) ++ splitConjunction(r)
+    case other => Seq(other)
+  }
+
+  /** All MVs registered over this base, in ascending serving cost
+    * (rollup data bytes, recorded at build/refresh; unknown sorts last,
+    * ties break on dimension count) — the first candidate that derives
+    * every piece of the aggregate wins. Classic cost-ordered MV
+    * selection, on a statistic one registration-time listStatus paid
+    * for. String compare against the path qualified ONCE at
+    * registration — no Hadoop conf/FileSystem work per Aggregate node.
+    */
+  private def findMvs(root: Path): Seq[MvDef] = {
     val r = root.toString
-    MaterializedView.all.find(_.qualifiedBase == r)
+    MaterializedView.all.filter(_.qualifiedBase == r).toSeq
+      .sortBy(d =>
+        (if (d.rollupBytes >= 0) d.rollupBytes else Long.MaxValue,
+          d.groupCols.length))
   }
 
   /** The `_graft_rn` output attribute of `w` IF `w` is exactly the
@@ -163,16 +194,17 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
   }
 
-  /** Staleness: ONE filesystem status/list call, same guard discipline
-    * as the catalog registry's mtime check. Base changed since the MV's
-    * build/refresh → decline.
+  /** Staleness: ONE filesystem status/list call per source, same guard
+    * discipline as the catalog registry's mtime check. Base (or any
+    * join dimension) changed since the MV's build/refresh → decline.
     */
-  private def isFresh(mv: MvDef): Boolean = mv.keyedSpec match {
+  private def isFresh(mv: MvDef): Boolean = (mv.keyedSpec match {
     case None =>
       MaterializedView.baseMtime(spark, mv.basePath) == mv.baseMtime
     case Some(_) =>
       KeyedTable.latestTimelineMarker(spark, mv.basePath) == mv.baseCommit
-  }
+  }) && mv.links.forall(l =>
+    MaterializedView.baseMtime(spark, l.dimPath) == l.dimMtime)
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     val conds = mutable.Buffer.empty[Expression]
@@ -184,31 +216,90 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case Some(next) => resolve(next)
       case None => a
     }
-    for {
-      lr <- strip(agg.child, conds, windows, renames)
-      fsRel <- lr.relation match {
-        case f: HadoopFsRelation => Some(f)
-        case _ => None
+    val rels = mutable.Buffer.empty[LogicalRelation]
+    val pairs = mutable.Buffer.empty[(Attribute, Attribute)]
+    if (!stripSources(agg.child, conds, windows, renames, rels, pairs))
+      return None
+    // Root path of each stripped relation (all must be single-root
+    // parquet scans).
+    val rootsOpt: Option[Seq[String]] = {
+      val each = rels.toSeq.map { lr =>
+        lr.relation match {
+          case f: HadoopFsRelation => f.location.rootPaths match {
+            case Seq(one) => Some(one.toString)
+            case _ => None
+          }
+          case _ => None
+        }
       }
-      root <- fsRel.location.rootPaths match {
-        case Seq(one) => Some(one)
-        case _ => None
-      }
-      mv <- findMv(root)
-      userConds <- admissibleConds(mv, windows.toSeq, conds.toSeq)
-      dims = mv.groupCols.map(lower).toSet
-      if agg.groupingExpressions.forall {
-        case a: Attribute => dims.contains(lower(resolve(a).name))
-        case _ => false
-      }
-      if userConds.forall(c =>
-        c.deterministic &&
-          c.references.forall(r => dims.contains(lower(resolve(r).name))))
-      if agg.aggregateExpressions.forall(_.deterministic)
-      if isFresh(mv)
-      rewritten <- rewriteOnto(agg, userConds, mv, resolve)
-    } yield rewritten
+      if (each.forall(_.isDefined)) Some(each.map(_.get)) else None
+    }
+
+    def derivesAgg(mv: MvDef, userConds: Seq[Expression]): Option[LogicalPlan] = {
+      val dims = mv.groupCols.map(lower).toSet
+      val ok =
+        agg.groupingExpressions.forall {
+          case a: Attribute => dims.contains(lower(resolve(a).name))
+          case _ => false
+        } &&
+        userConds.forall(c =>
+          c.deterministic &&
+            c.references.forall(r => dims.contains(lower(resolve(r).name)))) &&
+        agg.aggregateExpressions.forall(_.deterministic) &&
+        isFresh(mv)
+      if (ok) rewriteOnto(agg, userConds, mv, resolve) else None
+    }
+
+    rootsOpt.flatMap {
+      case Seq(root) if pairs.isEmpty =>
+        // Single-relation shape: flat or keyed candidates.
+        findMvs(new Path(root)).iterator
+          .filter(_.links.isEmpty)
+          .map { mv =>
+            admissibleConds(mv, windows.toSeq, conds.toSeq)
+              .flatMap(derivesAgg(mv, _))
+          }.collectFirst { case Some(p) => p }
+      case roots if roots.length >= 2 && pairs.nonEmpty && windows.isEmpty =>
+        // Star shape: match registered joined MVs whose source multiset
+        // {fact} ∪ {dims} and join-pair multiset equal the query's
+        // (pair sides unordered; names resolved through renames).
+        val rootSet = roots.groupBy(identity).view.mapValues(_.length).toMap
+        val pairSet = pairs.toSeq
+          .map { case (a, b) =>
+            val x = lower(resolve(a).name); val y = lower(resolve(b).name)
+            if (x <= y) (x, y) else (y, x)
+          }
+          .groupBy(identity).view.mapValues(_.length).toMap
+        candidateJoined(rootSet, pairSet).iterator
+          .map(mv => derivesAgg(mv, conds.toSeq))
+          .collectFirst { case Some(p) => p }
+      case _ => None
+    }
   }
+
+  /** Joined MVs whose {fact, dims} source multiset and join-column pair
+    * multiset equal the query's, in ascending serving cost.
+    */
+  private def candidateJoined(
+      rootSet: Map[String, Int],
+      pairSet: Map[(String, String), Int]): Seq[MvDef] =
+    MaterializedView.all.toSeq
+      .filter { mv =>
+        mv.links.nonEmpty && {
+          val mvRoots = (mv.qualifiedBase +: mv.links.map(_.qualifiedDim))
+            .groupBy(identity).view.mapValues(_.length).toMap
+          val mvPairs = mv.links
+            .map { l =>
+              val x = lower(l.factCol); val y = lower(l.dimCol)
+              if (x <= y) (x, y) else (y, x)
+            }
+            .groupBy(identity).view.mapValues(_.length).toMap
+          mvRoots == rootSet && mvPairs == pairSet
+        }
+      }
+      .sortBy(d =>
+        (if (d.rollupBytes >= 0) d.rollupBytes else Long.MaxValue,
+          d.groupCols.length))
 
   private def rewriteOnto(
       agg: Aggregate,

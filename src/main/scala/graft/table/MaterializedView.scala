@@ -49,6 +49,18 @@ object MaterializedView {
     */
   final case class FileSig(len: Long, mtime: Long)
 
+  /** One dimension side of a star-join MV: `fact.factCol = dim.dimCol`
+    * (inner). `qualifiedDim` is precomputed like MvDef.qualifiedBase so
+    * the rewrite rule's source matching is string compares.
+    */
+  final case class JoinLink(
+      dimPath: String,
+      factCol: String,
+      dimCol: String,
+      qualifiedDim: String = "",
+      dimMtime: Long = 0L,
+      dimFiles: Map[String, FileSig] = Map.empty)
+
   final case class MvDef(
       name: String,
       basePath: String,
@@ -83,14 +95,47 @@ object MaterializedView {
       // refresh — the staleness signal replacing directory mtime, which
       // cannot see inside hive partition directories.
       keyedSpec: Option[KeyedTableSpec] = None,
-      baseCommit: String = "")
+      baseCommit: String = "",
+      // Star-join MVs: the rollup aggregates `fact ⋈ dim1 ⋈ … ⋈ dimN`
+      // (inner equi-joins); basePath is the FACT side, each link one
+      // dimension table with its join columns and its own change
+      // signature (mtime + file inventory — a dim edit invalidates the
+      // whole rollup, a pure fact append refreshes incrementally).
+      links: Seq[JoinLink] = Nil,
+      // Total bytes of the rollup's data files at build/refresh — the
+      // COST of serving a query from this MV. When several MVs over the
+      // same base can serve an aggregate, the rewrite rule scans the
+      // smallest one (classic MV selection, on a statistic one listStatus
+      // pays for). −1 = unknown (pre-upgrade sidecar); sorts last.
+      rollupBytes: Long = -1L)
 
-  private val registry = TrieMap.empty[String, MvDef]
+  // A base table can carry SEVERAL rollups at once (a per-day MV and a
+  // per-month MV over the same fact table is the normal serving-layer
+  // shape), so the registry keys on (base path, MV name).
+  /** Most distinct touched-group tuples the min/max group-scoped refresh
+    * will collect for its literal pruning predicate; beyond this a full
+    * rebuild is cheaper than a kilobyte-scale filter expression.
+    */
+  private val GroupRebuildCap = 1000
+
+  private val registry = TrieMap.empty[(String, String), MvDef]
 
   def isEmpty: Boolean = registry.isEmpty
   def all: Iterable[MvDef] = registry.values
-  def lookup(basePath: String): Option[MvDef] = registry.get(basePath)
-  def drop(basePath: String): Unit = registry.remove(basePath)
+  def lookup(basePath: String): Option[MvDef] =
+    registry.collectFirst { case ((b, _), d) if b == basePath => d }
+  def lookupAll(basePath: String): Seq[MvDef] =
+    registry.collect { case ((b, _), d) if b == basePath => d }.toSeq
+  /** Unregister every MV over `basePath` (rollup files stay on disk —
+    * re-`attach`able; this drops the serving registration only).
+    */
+  def drop(basePath: String): Unit =
+    registry.keys.filter(_._1 == basePath).foreach(registry.remove)
+  def drop(basePath: String, name: String): Unit = {
+    registry.remove((basePath, name)); ()
+  }
+  private def register(d: MvDef): Unit =
+    registry.put((d.basePath, d.name), d)
 
   /** Normalized rendering of a resolved expression: attribute references
     * collapse to their bare lowercase name, so plan-side and
@@ -206,9 +251,67 @@ object MaterializedView {
       baseMtime = baseMtime(spark, basePath),
       files = listDataFiles(spark, basePath))
     buildRollup(base, d).write.mode("overwrite").parquet(mvPath)
-    writeSidecar(spark, d)
-    registry.put(basePath, d)
-    d
+    val d1 = d.copy(rollupBytes = dataBytes(spark, mvPath))
+    writeSidecar(spark, d1)
+    register(d1)
+    d1
+  }
+
+  /** The star shape a joined MV aggregates: fact inner-equi-joined with
+    * each dimension. Shared by create, refresh, and rebuild so the
+    * measured relation cannot drift between them.
+    */
+  private def joinedBase(
+      spark: SparkSession,
+      factPath: String,
+      links: Seq[JoinLink]): DataFrame =
+    links.foldLeft(spark.read.parquet(factPath)) { (acc, l) =>
+      acc.join(spark.read.parquet(l.dimPath),
+        col(l.factCol) === col(l.dimCol), "inner")
+    }
+
+  /** Compute, persist, and register a rollup over `fact ⋈ dim1 ⋈ … ⋈
+    * dimN` (inner equi-joins) — the star-schema serving shape: the
+    * query-side join + aggregate collapses to a scan of a few thousand
+    * summary rows. `joins` lists `(dimPath, factCol, dimCol)` per
+    * dimension; dims (groupCols) and filter columns may come from ANY
+    * side. Measures live on the joined relation, so a fact row that
+    * joins K dim rows counts K times — exactly what the equivalent
+    * query computes. Refresh is fact-append incremental: appended fact
+    * files join the UNCHANGED dims and merge; any dim change rebuilds
+    * (a dim edit can rewrite history for every group).
+    */
+  def createJoined(
+      spark: SparkSession,
+      name: String,
+      factPath: String,
+      mvPath: String,
+      joins: Seq[(String, String, String)],
+      groupCols: Seq[String],
+      sums: Seq[(String, Column)] = Nil,
+      mins: Seq[(String, Column)] = Nil,
+      maxs: Seq[(String, Column)] = Nil,
+      countCol: Option[String] = None,
+      counts: Seq[(String, Column)] = Nil): MvDef = {
+    require(joins.nonEmpty, "a joined MV needs at least one dimension link")
+    val links = joins.map { case (dimPath, fc, dc) =>
+      JoinLink(dimPath, fc, dc,
+        qualifiedDim = qualify(spark, dimPath),
+        dimMtime = baseMtime(spark, dimPath),
+        dimFiles = listDataFiles(spark, dimPath))
+    }
+    val base = joinedBase(spark, factPath, links)
+    val d0 = defOf(spark, base, name, factPath, mvPath, groupCols,
+      sums, mins, maxs, countCol, counts)
+    val d = d0.copy(
+      baseMtime = baseMtime(spark, factPath),
+      files = listDataFiles(spark, factPath),
+      links = links)
+    buildRollup(base, d).write.mode("overwrite").parquet(mvPath)
+    val d1 = d.copy(rollupBytes = dataBytes(spark, mvPath))
+    writeSidecar(spark, d1)
+    register(d1)
+    d1
   }
 
   /** Compute, persist, and register a rollup over a [[KeyedTable]] base —
@@ -268,9 +371,10 @@ object MaterializedView {
       sums, mins, maxs, countCol, counts ++ autoNn)
       .copy(keyedSpec = Some(table.spec), baseCommit = commit)
     buildRollup(base, d).write.mode("overwrite").parquet(mvPath)
-    writeSidecar(spark, d)
-    registry.put(basePath, d)
-    d
+    val d1 = d.copy(rollupBytes = dataBytes(spark, mvPath))
+    writeSidecar(spark, d1)
+    register(d1)
+    d1
   }
 
   /** Resolve + round-trip-validate every measure key (BEFORE any write,
@@ -334,7 +438,9 @@ object MaterializedView {
     * commits on a history table merge the [[KeyedTable.readStateDelta]]
     * change set (signed: preimages retract, postimages/inserts add, a
     * group whose count reaches zero is dropped — with min/max measures a
-    * retraction can remove a group extreme, so updates force rebuild);
+    * retraction can remove a group extreme, so touched GROUPS are
+    * recomputed from the base, partition-pruned when the dims are
+    * partition columns);
     * insert-only commits on a COW table merge the appended rows;
     * delete/vacuum/restore (preimages or history destroyed) rebuild;
     * partition evolution refuses (drop and recreate over the folded
@@ -344,7 +450,46 @@ object MaterializedView {
   def refresh(spark: SparkSession, mvPath: String): (MvDef, Boolean) = {
     val d = attach(spark, mvPath) // sidecar is the source of truth
     if (d.keyedSpec.isDefined) refreshKeyed(spark, d)
+    else if (d.links.nonEmpty) refreshJoined(spark, d)
     else refreshFlat(spark, d)
+  }
+
+  /** Star-join refresh: dims unchanged + fact append-only → aggregate
+    * ONLY the appended fact files joined with the dims and merge (per-
+    * refresh cost scales with the fact DELTA — the nightly-load shape);
+    * any dim change, fact rewrite, or delete → rebuild (a dim edit can
+    * retroactively change every group).
+    */
+  private def refreshJoined(
+      spark: SparkSession, d: MvDef): (MvDef, Boolean) = {
+    val curFact = listDataFiles(spark, d.basePath)
+    val curLinks = d.links.map(l => l.copy(
+      dimMtime = baseMtime(spark, l.dimPath),
+      dimFiles = listDataFiles(spark, l.dimPath)))
+    val dimsUnchanged = d.links.zip(curLinks).forall { case (old, cur) =>
+      old.dimFiles == cur.dimFiles
+    }
+    val factAppendOnly = d.files.nonEmpty &&
+      d.files.forall { case (n, sig) => curFact.get(n).contains(sig) }
+    val delta = curFact.keySet -- d.files.keySet
+    val merged =
+      if (dimsUnchanged && factAppendOnly && delta.isEmpty) None // re-arm
+      else if (dimsUnchanged && factAppendOnly) {
+        val factDelta = spark.read.parquet(
+          delta.toSeq.map(n => s"${d.basePath}/$n"): _*)
+        val joined = d.links.foldLeft(factDelta) { (acc, l) =>
+          acc.join(spark.read.parquet(l.dimPath),
+            col(l.factCol) === col(l.dimCol), "inner")
+        }
+        Some(mergeRollup(spark.read.parquet(d.mvPath),
+          buildRollup(joined, d), d))
+      } else Some(buildRollup(joinedBase(spark, d.basePath, d.links), d))
+    val d2 = d.copy(
+      baseMtime = baseMtime(spark, d.basePath),
+      files = curFact,
+      links = curLinks)
+    publish(spark, d2, merged)
+    (d2, dimsUnchanged && factAppendOnly)
   }
 
   private def refreshFlat(
@@ -393,7 +538,7 @@ object MaterializedView {
       (d2, false)
     }
 
-    if (since.isEmpty) { registry.put(d.basePath, d); (d, true) }
+    if (since.isEmpty) { register(d); (d, true) }
     else if (actions.subsetOf(KeyedTable.LayoutActions)) {
       // Bytes moved, logical rows unchanged: re-arm with zero data work.
       publish(spark, d2, None)
@@ -413,8 +558,38 @@ object MaterializedView {
           (d2, true)
         } else if (d.mins.nonEmpty || d.maxs.nonEmpty) {
           // An update can retract a group's stored extreme; min/max are
-          // not retraction-derivable from the rollup alone.
-          rebuild()
+          // not retraction-derivable from the rollup alone. But the
+          // damage is confined to the groups the delta TOUCHED, so
+          // recompute only those: collect their dimension tuples
+          // (bounded — over the cap falls back to full rebuild, the
+          // same collect discipline as KeyedTable's partition tuples),
+          // scan the resolved base filtered by a LITERAL predicate over
+          // those tuples (when the MV dims are table partition columns —
+          // the natural rollup shape — the filter pushes through the
+          // resolve window and partition-prunes the scan), and stitch
+          // recomputed groups over untouched rollup rows. Cost
+          // O(view + touched groups' rows), not O(base).
+          val dims = d.groupCols
+          val dimTypes = delta.select(dims.map(col): _*).schema
+          val touched = delta.select(dims.map(col): _*).distinct()
+            .limit(GroupRebuildCap + 1).collect()
+          if (touched.length > GroupRebuildCap) rebuild()
+          else {
+            val pred = touched.map { row =>
+              dims.zipWithIndex.map { case (c, i) =>
+                col(c) <=> lit(row.get(i)).cast(dimTypes(i).dataType)
+              }.reduce(_ && _)
+            }.reduce(_ || _)
+            val old = spark.read.parquet(d.mvPath)
+            val oldTypes =
+              old.schema.fields.map(f => f.name -> f.dataType).toMap
+            val recomputed = buildRollup(table.read(spark).filter(pred), d)
+              .select(old.columns.toSeq
+                .map(c => col(c).cast(oldTypes(c)).as(c)): _*)
+            publish(spark, d2,
+              Some(old.filter(!pred).unionByName(recomputed)))
+            (d2, true)
+          }
         } else {
           val merged = mergeRollup(
             spark.read.parquet(d.mvPath), signedDeltaAgg(delta, d), d)
@@ -509,19 +684,34 @@ object MaterializedView {
   private def publish(
       spark: SparkSession, d2: MvDef, merged: Option[DataFrame]): Unit = {
     val mvPath = d2.mvPath
-    merged match {
+    val d3 = merged match {
       case Some(m) =>
         val staged = mvPath + "_refresh_tmp"
         m.write.mode("overwrite").parquet(staged)
-        writeSidecar(spark, d2.copy(mvPath = staged))
+        val dOut = d2.copy(rollupBytes = dataBytes(spark, staged))
+        writeSidecar(spark, dOut.copy(mvPath = staged))
         val p = new Path(mvPath)
         val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
         fs.delete(p, true)
         fs.rename(new Path(staged), p)
+        dOut
       case None =>
         writeSidecar(spark, d2) // metadata-only re-arm
+        d2
     }
-    registry.put(d2.basePath, d2)
+    register(d3)
+  }
+
+  /** Total data-file bytes under a flat parquet dir (sidecars excluded) —
+    * one listStatus; the serving-cost statistic MV selection sorts on.
+    */
+  private def dataBytes(spark: SparkSession, path: String): Long = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).iterator
+      .filterNot(s => s.getPath.getName.startsWith("_") ||
+        s.getPath.getName.startsWith("."))
+      .filter(_.isFile).map(_.getLen).sum
   }
 
   // -------------------------------------------------------------------
@@ -561,8 +751,15 @@ object MaterializedView {
           sp.retainHistory.toString).mkString("\t")
       } ++
       (if (d.baseCommit.nonEmpty) Seq(s"commit\t${enc(d.baseCommit)}") else Nil) ++
+      (if (d.rollupBytes >= 0) Seq(s"bytes\t${d.rollupBytes}") else Nil) ++
       d.files.toSeq.sortBy(_._1)
-        .map { case (n, sig) => s"file\t${enc(n)}\t${sig.len}\t${sig.mtime}" }
+        .map { case (n, sig) => s"file\t${enc(n)}\t${sig.len}\t${sig.mtime}" } ++
+      d.links.zipWithIndex.flatMap { case (l, i) =>
+        s"join\t${enc(l.dimPath)}\t${enc(l.factCol)}\t${enc(l.dimCol)}\t${l.dimMtime}" +:
+          l.dimFiles.toSeq.sortBy(_._1).map { case (n, sig) =>
+            s"jfile\t$i\t${enc(n)}\t${sig.len}\t${sig.mtime}"
+          }
+      }
     val p = sidecarPath(d.mvPath)
     val out = p.getFileSystem(spark.sessionState.newHadoopConf())
       .create(p, true)
@@ -582,6 +779,10 @@ object MaterializedView {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     var name = ""; var base = ""; var mtime = 0L; var commit = ""
+    var bytes = -1L
+    val links = scala.collection.mutable.Buffer.empty[JoinLink]
+    val jfiles = scala.collection.mutable.Map
+      .empty[Int, scala.collection.mutable.Map[String, FileSig]]
     var dims = Seq.empty[String]; var countCol: Option[String] = None
     var keyedSpec: Option[KeyedTableSpec] = None
     val sums = Map.newBuilder[String, String]
@@ -597,6 +798,7 @@ object MaterializedView {
         case Array("base", v) => base = dec(v)
         case Array("mtime", v) => mtime = v.toLong
         case Array("commit", v) => commit = dec(v)
+        case Array("bytes", v) => bytes = v.toLong
         case Array("dims", v) => dims = v.split(',').toSeq.map(dec)
         case Array("sum", c, sql) => sums += dec(sql) -> dec(c)
         case Array("min", c, sql) => mins += dec(sql) -> dec(c)
@@ -614,6 +816,13 @@ object MaterializedView {
             retainHistory = history.toBoolean))
         case Array("file", n, len, mt) =>
           files += dec(n) -> FileSig(len.toLong, mt.toLong)
+        case Array("join", p2, fc, dc, mt) =>
+          links += JoinLink(dec(p2), dec(fc), dec(dc),
+            qualifiedDim = qualify(spark, dec(p2)), dimMtime = mt.toLong)
+        case Array("jfile", i, n, len, mt) =>
+          jfiles.getOrElseUpdate(i.toInt,
+            scala.collection.mutable.Map.empty) +=
+            dec(n) -> FileSig(len.toLong, mt.toLong)
         case Array("file", n, len) =>
           // Pre-mtime sidecar: an impossible signature, so the first
           // refresh classifies the change as non-append and rebuilds —
@@ -627,8 +836,11 @@ object MaterializedView {
     val d = MvDef(name, base, mvPath, dims,
       sums.result(), mins.result(), maxs.result(), countCol, mtime,
       files.result(), qualify(spark, base),
-      cnts.result(), keyedSpec.map(_.copy(path = base)), commit)
-    registry.put(base, d)
+      cnts.result(), keyedSpec.map(_.copy(path = base)), commit,
+      links.zipWithIndex.map { case (l, i) =>
+        l.copy(dimFiles = jfiles.get(i).map(_.toMap).getOrElse(Map.empty))
+      }.toSeq, bytes)
+    register(d)
     d
   }
 
@@ -764,5 +976,115 @@ object MaterializedView {
         .select(col("event_type"), col("n_rows"),
           col("sum_value").cast("double").as("sum_value"))
     } finally drop(table.spec.path)
+  }
+
+  // ---------------------------------------------------------------------
+  // q134: MULTI-MV SELECTION — a base table carries several rollups at
+  // once (per-day and per-month summaries over one fact table is the
+  // normal serving-layer shape); the rewrite rule must pick the CHEAPEST
+  // rollup that can serve. Register a fine (3-dim) and a coarse (2-dim)
+  // rollup over lineitem; a 1-dim aggregate is derivable from both, and
+  // the plan must land on the coarse one (fewer rollup bytes — the
+  // assertion lives in MvRewriteSpec; the oracle checks the answer).
+  // ---------------------------------------------------------------------
+
+  /** Quantity totals by return flag, served from the smaller of two
+    * registered lineitem rollups.
+    */
+  def mvSelectCheapest(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"$dir/lineitem.parquet"
+    val work = freshBenchWork("select")
+    create(spark, "li_fine", base, s"$work/mv_fine",
+      groupCols = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+      sums = Seq("sum_qty" -> expr("CAST(l_quantity AS DECIMAL(18,4))")),
+      countCol = Some("cnt"))
+    create(spark, "li_coarse", base, s"$work/mv_coarse",
+      groupCols = Seq("l_returnflag", "l_linestatus"),
+      sums = Seq("sum_qty" -> expr("CAST(l_quantity AS DECIMAL(18,4))")),
+      countCol = Some("cnt"))
+    pinAndDrop(spark, base,
+      spark.read.parquet(base)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(expr("CAST(l_quantity AS DECIMAL(18,4))")).cast("double")
+            .as("sum_qty"),
+          count(lit(1)).as("n_rows")))
+  }
+
+  // ---------------------------------------------------------------------
+  // q135: min/max measures maintained through a MoR upsert that UPDATES
+  // existing keys — the retraction case sums cannot cover. The refresh
+  // recomputes only the delta-touched groups from the resolved base
+  // (partition-pruned: the MV dim is the table's partition column) and
+  // stitches them over untouched rollup rows. Oracle: min/max/count over
+  // the final latest-per-key state, bit-exact.
+  // ---------------------------------------------------------------------
+
+  /** Per-event-type count + exact-decimal min/max over the LATEST state
+    * of a two-commit MoR events table, maintained by group-scoped
+    * incremental refresh.
+    */
+  def mvKeyedMinMax(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_mv_minmax_").toString
+    val table = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/events_keyed",
+      keyCols = Seq("user_id"),
+      precombineCol = "ts_us",
+      tiebreakCols = Seq("event_id"),
+      partitionCols = Seq("event_type"),
+      retainHistory = true))
+    val ev = graft.sources.Tables.eventsUs(spark, dir)
+    table.upsert(spark, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    val mvPath = s"$tmp/mv"
+    createKeyed(spark, "events_minmax", table, mvPath,
+      groupCols = Seq("event_type"),
+      mins = Seq("min_value" -> expr("CAST(value AS DECIMAL(18,4))")),
+      maxs = Seq("max_value" -> expr("CAST(value AS DECIMAL(18,4))")),
+      countCol = Some("n_rows"))
+    try {
+      table.upsert(spark, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+      val (_, incremental) = refresh(spark, mvPath)
+      require(incremental,
+        "a MoR update delta against min/max must refresh group-scoped")
+      spark.read.parquet(mvPath)
+        .select(col("event_type"), col("n_rows"),
+          col("min_value").cast("double").as("min_value"),
+          col("max_value").cast("double").as("max_value"))
+    } finally drop(table.spec.path)
+  }
+
+  // ---------------------------------------------------------------------
+  // q136: MV OVER A STAR JOIN — the rollup aggregates orders ⋈ customer
+  // (the denormalized serving shape); a query that writes the same join +
+  // aggregate collapses to a scan of the rollup, skipping both the fact
+  // scan AND the join shuffle. At 100 TB that shuffle is the expensive
+  // part — the rewrite deletes it entirely. The oracle computes the same
+  // join + aggregate straight, so correctness holds whichever path
+  // planned (the plan assertion lives in JoinedMvSpec).
+  // ---------------------------------------------------------------------
+
+  /** Open-order revenue by market segment, served through a
+    * (c_mktsegment, o_orderstatus) rollup of orders ⋈ customer.
+    */
+  def mvJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val fact = s"$dir/orders.parquet"
+    val dim = s"$dir/customer.parquet"
+    val work = freshBenchWork("joinrev")
+    createJoined(
+      spark, "orders_by_segment", fact, s"$work/mv",
+      joins = Seq((dim, "o_custkey", "c_custkey")),
+      groupCols = Seq("c_mktsegment", "o_orderstatus"),
+      sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+      countCol = Some("cnt"))
+    pinAndDrop(spark, fact,
+      spark.read.parquet(fact)
+        .join(spark.read.parquet(dim),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .filter(col("o_orderstatus") === "O")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double")
+            .as("sum_price"),
+          count(lit(1)).as("n_orders")))
   }
 }

@@ -169,20 +169,112 @@ class KeyedMvSpec extends SparkTestBase {
     } finally MaterializedView.drop(t.spec.path)
   }
 
-  test("min/max measures force rebuild under updates, stay exact") {
+  test("min/max updates recompute only the touched groups (partition-pruned)") {
     val t = morTable()
     t.upsert(spark, c0, commitTime = "c0")
     val mvPath = mvOver(t, mins = Seq("min_v" -> expr("CAST(value AS DECIMAL(18,4))")))
     try {
       // Key 1's value 10 (the click minimum) is RAISED to 15: the stored
-      // min is retracted — only a rebuild is sound.
+      // min is retracted — not derivable from the rollup alone, so the
+      // refresh recomputes the TOUCHED group ('click') from the base,
+      // leaving 'view' rows stitched through untouched. The recompute
+      // scan must partition-prune to the touched partition (the MV dim
+      // IS the table partition column).
       t.upsert(spark, batch((1, "click", 200L, 5, 15.0)), commitTime = "c1")
-      val (_, incremental) = MaterializedView.refresh(spark, mvPath)
-      assert(!incremental, "an update against min/max measures must rebuild")
+      val allScans = scala.collection.mutable.Buffer.empty[
+        (String, org.apache.spark.sql.execution.FileSourceScanExec)]
+      val events = scala.collection.mutable.Buffer.empty[String]
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          events.synchronized {
+            events += s"$funcName:${qe.executedPlan.getClass.getSimpleName}"; ()
+          }
+          def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+            p match {
+              case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+                allScans.synchronized { allScans += ((funcName, f)); () }
+              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                walk(a.executedPlan)
+              case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                // Post-execution AQE wraps materialized stages; their
+                // plans are NOT in `children`.
+                walk(s.plan)
+              case c: org.apache.spark.sql.execution.CommandResultExec =>
+                // The refresh's base scan runs inside the parquet WRITE
+                // command, whose executed plan hangs off this wrapper.
+                walk(c.commandPhysicalPlan)
+              case _ =>
+            }
+            p.children.foreach(walk); p.subqueries.foreach(walk)
+          }
+          walk(qe.executedPlan)
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      def baseScans = allScans.synchronized {
+        allScans.collect {
+          case (_, f) if f.relation.location.rootPaths
+            .exists(_.toString.contains("events_keyed")) => f
+        }.toList
+      }
+      spark.listenerManager.register(listener)
+      val incremental =
+        try {
+          val (_, inc) = MaterializedView.refresh(spark, mvPath)
+          // Listener delivery is async; poll until the refresh's base
+          // scan shows up (bounded — fails the assertion below if not).
+          val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+          while (baseScans.isEmpty && System.nanoTime() < deadline)
+            Thread.sleep(50)
+          inc
+        } finally spark.listenerManager.unregister(listener)
+      assert(incremental,
+        "a min/max update refreshes via group-scoped recompute, not rebuild")
+      val pruned = baseScans
+      assert(pruned.nonEmpty,
+        "the group recompute must scan the base; saw only: " +
+          allScans.synchronized(allScans.map { case (fn, f) =>
+            fn -> f.relation.location.rootPaths.mkString(",")
+          }.toList).mkString("; ") +
+          " events: " + events.synchronized(events.toList).mkString(", "))
+      assert(pruned.forall(_.partitionFilters.nonEmpty),
+        s"the recompute's base scan must carry partition filters: " +
+          pruned.map(_.partitionFilters).mkString("; "))
       val mv = spark.read.parquet(mvPath)
-        .filter(col("event_type") === "click")
+      assert(mv.filter(col("event_type") === "click")
         .select(col("min_v").cast("double")).collect()
-      assert(mv.map(_.getDouble(0)).toSeq == Seq(15.0))
+        .map(_.getDouble(0)).toSeq == Seq(15.0))
+      // The untouched group's stored extreme survives the stitch.
+      assert(mv.filter(col("event_type") === "view")
+        .select(col("min_v").cast("double")).collect()
+        .map(_.getDouble(0)).toSeq == Seq(30.0))
+      assert(rows(q(t)) == direct(t))
+    } finally MaterializedView.drop(t.spec.path)
+  }
+
+  test("min/max group death under global relocation (group-scoped path)") {
+    val t = morTable(global = true)
+    t.upsert(spark, batch((1, "x", 100L, 1, 5.0), (2, "y", 100L, 2, 6.0)),
+      commitTime = "c0")
+    val mvPath = mvOver(t, mins = Seq("min_v" -> expr("CAST(value AS DECIMAL(18,4))")))
+    try {
+      // Key 1 relocates x → y: both groups are touched; x empties (no
+      // row from the recompute, anti-side drops its old row) and y's min
+      // re-derives from the base.
+      t.upsert(spark, batch((1, "y", 200L, 3, 5.5)), commitTime = "c1")
+      val (_, incremental) = MaterializedView.refresh(spark, mvPath)
+      assert(incremental)
+      val got = rows(q(t))
+      assert(got == direct(t))
+      assert(!got.exists(_._1 == "x"), s"emptied group must be dropped: $got")
+      val minY = spark.read.parquet(mvPath)
+        .filter(col("event_type") === "y")
+        .select(col("min_v").cast("double")).collect()
+      assert(minY.map(_.getDouble(0)).toSeq == Seq(5.5))
     } finally MaterializedView.drop(t.spec.path)
   }
 

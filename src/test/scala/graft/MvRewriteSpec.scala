@@ -380,6 +380,68 @@ class MvRewriteSpec extends SparkTestBase {
     } finally MaterializedView.drop(base)
   }
 
+  test("multi-MV selection: cheapest serving rollup wins; fallback when it can't serve") {
+    val base = copyBase()
+    val work = Files.createTempDirectory("graft_mv_multi_").toString
+    try {
+      MaterializedView.create(
+        spark, "fine", base, s"$work/mv_fine",
+        groupCols = Seq("o_orderstatus", "o_orderpriority"),
+        sums = Seq("sum_p" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+        countCol = Some("cnt"))
+      MaterializedView.create(
+        spark, "coarse", base, s"$work/mv_coarse",
+        groupCols = Seq("o_orderstatus"),
+        sums = Seq("sum_p" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+        countCol = Some("cnt"))
+      assert(MaterializedView.lookupAll(base).length == 2,
+        "both rollups must register side by side")
+      // Servable by BOTH → the smaller (coarse) rollup must be scanned.
+      def byStatus = spark.read.parquet(base)
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double")
+          .as("s"), count(lit(1)).as("n"))
+      val p1 = scannedPaths(byStatus)
+      assert(p1.exists(_.contains("mv_coarse")),
+        s"cost-ordered selection must pick the smaller rollup: $p1")
+      assert(!p1.exists(_.contains("mv_fine")) &&
+        !p1.exists(_.contains("orders.parquet")), s"$p1")
+      // Servable only by the FINE rollup → selection falls through to it.
+      def byPrio = spark.read.parquet(base)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double")
+          .as("s"))
+      val p2 = scannedPaths(byPrio)
+      assert(p2.exists(_.contains("mv_fine")),
+        s"only the fine rollup can serve o_orderpriority: $p2")
+      assert(!p2.exists(_.contains("orders.parquet")), s"$p2")
+      // Answers match the direct aggregates.
+      val direct = {
+        val saved = MaterializedView.lookupAll(base)
+        MaterializedView.drop(base)
+        try (byStatus.collect().toSet, byPrio.collect().toSet)
+        finally saved.foreach(d => MaterializedView.attach(spark, d.mvPath))
+      }
+      assert(byStatus.collect().toSet == direct._1)
+      assert(byPrio.collect().toSet == direct._2)
+      // drop(base) clears BOTH registrations.
+      MaterializedView.drop(base)
+      assert(MaterializedView.lookupAll(base).isEmpty)
+    } finally MaterializedView.drop(base)
+  }
+
+  test("q134 query shape: result equals direct aggregation at sf0.001") {
+    val direct = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(expr("CAST(l_quantity AS DECIMAL(18,4))")).cast("double")
+        .as("sum_qty"), count(lit(1)).as("n_rows"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val served = MaterializedView.mvSelectCheapest(spark, sf0001)
+    val got = served.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == direct)
+  }
+
   test("q128 query shape: result equals direct aggregation at sf0.001") {
     val direct = rows(userQuery(s"$sf0001/orders.parquet"))
     val viaMv = rows(MaterializedView.mvRewriteRevenue(spark, sf0001))
