@@ -57,6 +57,12 @@ object MvSmoke {
       .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double")
         .as("sum_price"), count(lit(1)).as("n_orders"))
 
+    // Untimed warmup: JVM classloading + codegen cold start otherwise
+    // lands entirely inside the first timed row.
+    query().write.mode("overwrite").format("noop").save()
+    spark.range(10).write.mode("overwrite")
+      .parquet(work.resolve("warm").toString)
+
     timed("direct_agg") { query().write.mode("overwrite").format("noop").save() }
     timed("create") {
       MaterializedView.create(

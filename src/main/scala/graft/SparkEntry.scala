@@ -160,7 +160,8 @@ object SparkEntry {
     "q133_mv_stream" -> (UpsertOps.mvStreamMaintain(_, _)),
     "q134_mv_select" -> (table.MaterializedView.mvSelectCheapest(_, _)),
     "q135_mv_minmax" -> (table.MaterializedView.mvKeyedMinMax(_, _)),
-    "q136_mv_join" -> (table.MaterializedView.mvJoinRevenue(_, _))
+    "q136_mv_join" -> (table.MaterializedView.mvJoinRevenue(_, _)),
+    "q137_mv_time" -> (table.MaterializedView.mvMonthlyRevenue(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -752,6 +753,15 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderstatus = 'O'
         |GROUP BY c_mktsegment""".stripMargin,
+    // served from the (year, month) expression-dim rollup — grouping by
+    // the month SUBSET re-aggregates across stored years (plan assertion
+    // in MvRewriteSpec; the oracle checks the answer)
+    "q137_mv_time" ->
+      """SELECT CAST(month(o_orderdate) AS INT) AS od_month,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n_orders
+        |FROM orders WHERE month(o_orderdate) <= 6
+        |GROUP BY 1""".stripMargin,
     // dHash from the closed-form pixels: 2x2 red-channel sums -> 8x8
     // cells, bit (r,c) = cell < right-neighbor; CASTs keep DuckDB's
     // HUGEINT sums out of the schema compare

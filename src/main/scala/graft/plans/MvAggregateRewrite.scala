@@ -22,14 +22,18 @@ import graft.table.MaterializedView.MvDef
   * query-rewrite half of MV support, as a logical optimizer rule.
   *
   * Matches `Aggregate` whose child is Project/Filter links over a single
-  * parquet `LogicalRelation` of a registered base path, with grouping and
-  * filter columns ⊆ the MV's dimensions and every aggregate call
-  * derivable from stored measures (see [[MaterializedView]]'s safety
-  * model: exact-expression matching, re-sum/re-min/re-max/count-as-sum,
-  * sum÷count for avg, staleness guard). The rewritten plan keeps the
-  * ORIGINAL output attribute ids (grouping outputs and aliases are
-  * re-issued under their old exprIds), so parent operators resolve
-  * untouched.
+  * parquet `LogicalRelation` of a registered base path — or over the
+  * registered star join (inner equi-joins of a fact with dimension
+  * relations, either equality order) — with every grouping and filter
+  * expression COMPUTABLE from the MV's stored dimensions (bare dim
+  * attributes; whole subtrees matching a registered derived dim like
+  * `month(o_orderdate)` by normalized SQL; any deterministic expression
+  * over those) and every aggregate call derivable from stored measures
+  * (see [[MaterializedView]]'s safety model: exact-expression matching,
+  * re-sum/re-min/re-max/count-as-sum, sum÷count for avg, staleness
+  * guard). The rewritten plan keeps the ORIGINAL output attribute ids
+  * (grouping outputs and aliases are re-issued under their old exprIds),
+  * so parent operators resolve untouched.
   *
   * Keyed bases: a history (merge-on-read) table's resolved read carries a
   * latest-per-key `row_number` window; the rule admits EXACTLY that shape
@@ -74,16 +78,20 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       p: LogicalPlan,
       conds: mutable.Buffer[Expression],
       windows: mutable.Buffer[Window],
-      renames: mutable.Map[ExprId, Attribute],
+      renames: mutable.Map[ExprId, Expression],
       rels: mutable.Buffer[LogicalRelation],
       pairs: mutable.Buffer[(Attribute, Attribute)]): Boolean = p match {
     case Project(pl, c) if pl.forall {
       case _: AttributeReference => true
-      case Alias(_: AttributeReference, _) => true
+      case Alias(e, _) => e.deterministic
       case _ => false
     } =>
+      // Aliases record their DEFINITION (`d AS x` and the optimizer's
+      // `month(col) AS _groupingexpression`): consumers substitute
+      // through the map, so both user renames and pulled-out grouping
+      // expressions resolve back to base-side expressions.
       pl.foreach {
-        case a @ Alias(ar: AttributeReference, _) => renames(a.exprId) = ar
+        case a @ Alias(e, _) => renames(a.exprId) = e
         case _ => ()
       }
       stripSources(c, conds, windows, renames, rels, pairs)
@@ -113,6 +121,35 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /** Datetime-extract family: single-argument, NULL iff the argument is
+    * NULL. The whitelist the null mirror trusts — conservative by
+    * construction (anything else declines).
+    */
+  private val NullPreservingFns = Set(
+    "year", "month", "day", "dayofmonth", "dayofweek", "dayofyear",
+    "hour", "minute", "second", "quarter", "weekofyear", "to_date",
+    "date_trunc" // (fmt literal, ts) handled below
+  )
+
+  /** The single underlying attribute of a PARSED derived-dim expression
+    * when every step is null-preserving (casts + the datetime extract
+    * family) — None for anything more complex.
+    */
+  private def nullChainAttr(e: Expression): Option[String] = e match {
+    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+      Some(lower(a.nameParts.last))
+    case c: Cast => nullChainAttr(c.child)
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+      if NullPreservingFns.contains(lower(f.nameParts.last)) =>
+      f.arguments match {
+        case Seq(one) => nullChainAttr(one)
+        case Seq(Literal(_, _), ts)
+          if lower(f.nameParts.last) == "date_trunc" => nullChainAttr(ts)
+        case _ => None
+      }
+    case _ => None
+  }
+
   /** All MVs registered over this base, in ascending serving cost
     * (rollup data bytes, recorded at build/refresh; unknown sorts last,
     * ties break on dimension count) — the first candidate that derives
@@ -126,7 +163,7 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     MaterializedView.all.filter(_.qualifiedBase == r).toSeq
       .sortBy(d =>
         (if (d.rollupBytes >= 0) d.rollupBytes else Long.MaxValue,
-          d.groupCols.length))
+          d.dimCols.length))
   }
 
   /** The `_graft_rn` output attribute of `w` IF `w` is exactly the
@@ -209,12 +246,16 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     val conds = mutable.Buffer.empty[Expression]
     val windows = mutable.Buffer.empty[Window]
-    val renames = mutable.Map.empty[ExprId, Attribute]
-    // Follow rename chains (alias-of-alias across stacked projects) to
-    // the underlying base attribute.
-    def resolve(a: Attribute): Attribute = renames.get(a.exprId) match {
-      case Some(next) => resolve(next)
-      case None => a
+    val renames = mutable.Map.empty[ExprId, Expression]
+    // Inline every recorded alias definition (chains terminate — a
+    // definition can only reference attributes from BELOW its project),
+    // so downstream matching sees base-side expressions.
+    def subst(e: Expression): Expression = e.transformUp {
+      case a: Attribute if renames.contains(a.exprId) => subst(renames(a.exprId))
+    }
+    def substAttr(a: Attribute): Option[Attribute] = subst(a) match {
+      case ar: Attribute => Some(ar)
+      case _ => None
     }
     val rels = mutable.Buffer.empty[LogicalRelation]
     val pairs = mutable.Buffer.empty[(Attribute, Attribute)]
@@ -236,18 +277,15 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
     def derivesAgg(mv: MvDef, userConds: Seq[Expression]): Option[LogicalPlan] = {
-      val dims = mv.groupCols.map(lower).toSet
+      // Shape admissibility (which groupings/filters are computable from
+      // the rollup's stored dims) is decided structurally inside
+      // rewriteOnto's expression rewrite; here only the global guards.
       val ok =
-        agg.groupingExpressions.forall {
-          case a: Attribute => dims.contains(lower(resolve(a).name))
-          case _ => false
-        } &&
-        userConds.forall(c =>
-          c.deterministic &&
-            c.references.forall(r => dims.contains(lower(resolve(r).name)))) &&
+        agg.groupingExpressions.forall(_.deterministic) &&
+        userConds.forall(_.deterministic) &&
         agg.aggregateExpressions.forall(_.deterministic) &&
         isFresh(mv)
-      if (ok) rewriteOnto(agg, userConds, mv, resolve) else None
+      if (ok) rewriteOnto(agg, userConds, mv, subst) else None
     }
 
     rootsOpt.flatMap {
@@ -264,15 +302,20 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // {fact} ∪ {dims} and join-pair multiset equal the query's
         // (pair sides unordered; names resolved through renames).
         val rootSet = roots.groupBy(identity).view.mapValues(_.length).toMap
-        val pairSet = pairs.toSeq
-          .map { case (a, b) =>
-            val x = lower(resolve(a).name); val y = lower(resolve(b).name)
-            if (x <= y) (x, y) else (y, x)
+        val pairNames = pairs.toSeq.map { case (a, b) =>
+          for (x <- substAttr(a); y <- substAttr(b)) yield {
+            val (xn, yn) = (lower(x.name), lower(y.name))
+            if (xn <= yn) (xn, yn) else (yn, xn)
           }
-          .groupBy(identity).view.mapValues(_.length).toMap
-        candidateJoined(rootSet, pairSet).iterator
-          .map(mv => derivesAgg(mv, conds.toSeq))
-          .collectFirst { case Some(p) => p }
+        }
+        if (pairNames.exists(_.isEmpty)) None
+        else {
+          val pairSet = pairNames.flatten
+            .groupBy(identity).view.mapValues(_.length).toMap
+          candidateJoined(rootSet, pairSet).iterator
+            .map(mv => derivesAgg(mv, conds.toSeq))
+            .collectFirst { case Some(p) => p }
+        }
       case _ => None
     }
   }
@@ -299,13 +342,13 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       .sortBy(d =>
         (if (d.rollupBytes >= 0) d.rollupBytes else Long.MaxValue,
-          d.groupCols.length))
+          d.dimCols.length))
 
   private def rewriteOnto(
       agg: Aggregate,
       conds: Seq[Expression],
       mv: MvDef,
-      resolve: Attribute => Attribute): Option[LogicalPlan] = {
+      subst: Expression => Expression): Option[LogicalPlan] = {
     // Fresh analyzed scan of the rollup; column pruning still runs (we
     // are inside the operator-optimization fixed point). LAZY so a
     // decline on the measure lookups (the common near-miss) pays no
@@ -313,6 +356,32 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     lazy val mvPlan = spark.read.parquet(mv.mvPath).queryExecution.analyzed
     lazy val mvAttr: Map[String, Attribute] =
       mvPlan.output.map(a => lower(a.name) -> a).toMap
+
+    def norm(e: Expression): String = MaterializedView.normalize(subst(e))
+
+    // Plain dims: base attribute name → rollup attribute. Derived dims:
+    // normalized base-side SQL → rollup attribute (whole-subtree match,
+    // the same discipline as measures).
+    lazy val dimAttr: Map[String, Attribute] =
+      mv.groupCols.map(lower).flatMap(c => mvAttr.get(c).map(c -> _)).toMap
+    lazy val exprDimAttr: Map[String, Attribute] =
+      mv.exprDims.flatMap { case (sql, c) => mvAttr.get(lower(c)).map(sql -> _) }
+
+    // base attribute name → a rollup derived-dim column that is NULL iff
+    // the base attribute is (a chain of null-preserving unary steps over
+    // exactly that attribute). Serves the `IsNotNull(col)` conjuncts the
+    // optimizer infers from derived-dim filters: `isnotnull(o_orderdate)`
+    // becomes `isnotnull(od_month)` — same rows, computable from the
+    // rollup.
+    lazy val nullMirror: Map[String, Attribute] =
+      mv.exprDims.toSeq.flatMap { case (sql, c) =>
+        for {
+          parsed <- scala.util.Try(
+            spark.sessionState.sqlParser.parseExpression(sql)).toOption
+          an <- nullChainAttr(parsed)
+          at <- mvAttr.get(lower(c))
+        } yield an -> at
+      }.toMap
 
     // avg(e) = re-sum(sum_e) / re-sum(cnt_e), replicating Average's own
     // evaluate shape per input type so the derived value is bit-identical
@@ -353,10 +422,6 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           Coalesce(Seq(
             Cast(Sum(a).toAggregateExpression(), LongType), Literal(0L)))
         }
-      def norm(e: Expression): String =
-        MaterializedView.normalize(e.transformUp {
-          case a: Attribute => resolve(a)
-        })
       ae.aggregateFunction match {
         case Sum(inner, _) =>
           resum(mv.sums.get(norm(inner)), Sum(_))
@@ -384,20 +449,38 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
     def rewriteExpr(e: Expression): Option[Expression] = e match {
       case ae: AggregateExpression => deriveAgg(ae)
-      case a: AttributeReference => mvAttr.get(lower(resolve(a).name))
+      case a: AttributeReference =>
+        subst(a) match {
+          case ar: Attribute => dimAttr.get(lower(ar.name))
+          case defn => rewriteExpr(defn) // pulled-out grouping expression
+        }
       case leaf if leaf.children.isEmpty => Some(leaf)
+      case IsNotNull(a: Attribute) =>
+        // Dim attributes rewrite directly; a non-dim column can still be
+        // null-tested through the null mirror (a derived dim that is
+        // NULL iff the column is).
+        (subst(a) match {
+          case ar: Attribute =>
+            dimAttr.get(lower(ar.name)).orElse(nullMirror.get(lower(ar.name)))
+              .map(x => x: Expression)
+          case defn => rewriteExpr(defn)
+        }).map(IsNotNull(_))
       case other =>
-        val kids = other.children.map(rewriteExpr)
-        if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
-        else None
+        // Whole-subtree derived-dim match first (`month(o_orderdate)` →
+        // the stored column), then structural recursion.
+        exprDimAttr.get(norm(other)).orElse {
+          val kids = other.children.map(rewriteExpr)
+          if (kids.forall(_.isDefined))
+            Some(other.withNewChildren(kids.map(_.get)))
+          else None
+        }
     }
 
     // Keep original output attribute ids: grouping outputs and aliases are
     // re-issued under their existing exprIds over the MV-side expressions.
     val newAeOpt = agg.aggregateExpressions.map {
       case a: AttributeReference =>
-        mvAttr.get(lower(resolve(a).name))
-          .map(m => Alias(m, a.name)(exprId = a.exprId))
+        rewriteExpr(a).map(m => Alias(m, a.name)(exprId = a.exprId))
       case al: Alias =>
         rewriteExpr(al.child).map(c =>
           Alias(c, al.name)(
@@ -407,18 +490,16 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (newAeOpt.exists(_.isEmpty)) return None
 
-    val newGe = agg.groupingExpressions.map {
-      case a: Attribute => mvAttr(lower(resolve(a).name))
-      case e => e // unreachable: guarded attributes-only above
-    }
-    val newChild = conds
-      .map(_.transform {
-        case a: AttributeReference => mvAttr(lower(resolve(a).name))
-      })
+    val newGeOpt = agg.groupingExpressions.map(rewriteExpr)
+    if (newGeOpt.exists(_.isEmpty)) return None
+    val newCondsOpt = conds.map(rewriteExpr)
+    if (newCondsOpt.exists(_.isEmpty)) return None
+
+    val newChild = newCondsOpt.map(_.get)
       .reduceOption(And)
       .map(Filter(_, mvPlan)).getOrElse(mvPlan)
     logInfo(s"MV rewrite: aggregate over ${mv.basePath} served from " +
       s"rollup '${mv.name}' (${mv.mvPath})")
-    Some(Aggregate(newGe, newAeOpt.map(_.get), newChild))
+    Some(Aggregate(newGeOpt.map(_.get), newAeOpt.map(_.get), newChild))
   }
 }

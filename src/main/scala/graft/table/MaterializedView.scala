@@ -107,7 +107,16 @@ object MaterializedView {
       // same base can serve an aggregate, the rewrite rule scans the
       // smallest one (classic MV selection, on a statistic one listStatus
       // pays for). −1 = unknown (pre-upgrade sidecar); sorts last.
-      rollupBytes: Long = -1L)
+      rollupBytes: Long = -1L,
+      // EXPRESSION dimensions (normalized input sql → mv column): derived
+      // grouping columns like `month(o_orderdate)` — the BI time-
+      // hierarchy shape. Stored computed in the rollup; the rewrite
+      // matches a query's grouping/filter SUBTREES against these by the
+      // same normalized-SQL discipline as measures.
+      exprDims: Map[String, String] = Map.empty) {
+    /** All rollup dimension column names, plain then derived. */
+    def dimCols: Seq[String] = groupCols ++ exprDims.values.toSeq
+  }
 
   // A base table can carry SEVERAL rollups at once (a per-day MV and a
   // per-month MV over the same fact table is the normal serving-layer
@@ -243,10 +252,11 @@ object MaterializedView {
       mins: Seq[(String, Column)] = Nil,
       maxs: Seq[(String, Column)] = Nil,
       countCol: Option[String] = None,
-      counts: Seq[(String, Column)] = Nil): MvDef = {
+      counts: Seq[(String, Column)] = Nil,
+      exprDims: Seq[(String, Column)] = Nil): MvDef = {
     val base = spark.read.parquet(basePath)
     val d0 = defOf(spark, base, name, basePath, mvPath, groupCols,
-      sums, mins, maxs, countCol, counts)
+      sums, mins, maxs, countCol, counts, exprDims)
     val d = d0.copy(
       baseMtime = baseMtime(spark, basePath),
       files = listDataFiles(spark, basePath))
@@ -292,7 +302,8 @@ object MaterializedView {
       mins: Seq[(String, Column)] = Nil,
       maxs: Seq[(String, Column)] = Nil,
       countCol: Option[String] = None,
-      counts: Seq[(String, Column)] = Nil): MvDef = {
+      counts: Seq[(String, Column)] = Nil,
+      exprDims: Seq[(String, Column)] = Nil): MvDef = {
     require(joins.nonEmpty, "a joined MV needs at least one dimension link")
     val links = joins.map { case (dimPath, fc, dc) =>
       JoinLink(dimPath, fc, dc,
@@ -302,7 +313,7 @@ object MaterializedView {
     }
     val base = joinedBase(spark, factPath, links)
     val d0 = defOf(spark, base, name, factPath, mvPath, groupCols,
-      sums, mins, maxs, countCol, counts)
+      sums, mins, maxs, countCol, counts, exprDims)
     val d = d0.copy(
       baseMtime = baseMtime(spark, factPath),
       files = listDataFiles(spark, factPath),
@@ -348,7 +359,8 @@ object MaterializedView {
       mins: Seq[(String, Column)] = Nil,
       maxs: Seq[(String, Column)] = Nil,
       countCol: Option[String] = None,
-      counts: Seq[(String, Column)] = Nil): MvDef = {
+      counts: Seq[(String, Column)] = Nil,
+      exprDims: Seq[(String, Column)] = Nil): MvDef = {
     require(countCol.isDefined,
       "a keyed MV must store a row count (countCol): incremental refresh " +
         "detects group death by the merged count reaching zero")
@@ -368,7 +380,7 @@ object MaterializedView {
       .map { case (n, c) => s"_nn_$n" -> c }
       .filterNot { case (n, _) => counts.exists(_._1 == n) }
     val d = defOf(spark, base, name, basePath, mvPath, groupCols,
-      sums, mins, maxs, countCol, counts ++ autoNn)
+      sums, mins, maxs, countCol, counts ++ autoNn, exprDims)
       .copy(keyedSpec = Some(table.spec), baseCommit = commit)
     buildRollup(base, d).write.mode("overwrite").parquet(mvPath)
     val d1 = d.copy(rollupBytes = dataBytes(spark, mvPath))
@@ -392,12 +404,13 @@ object MaterializedView {
       mins: Seq[(String, Column)],
       maxs: Seq[(String, Column)],
       countCol: Option[String],
-      counts: Seq[(String, Column)]): MvDef = {
+      counts: Seq[(String, Column)],
+      exprDims: Seq[(String, Column)]): MvDef = {
     require(
       sums.nonEmpty || mins.nonEmpty || maxs.nonEmpty ||
         countCol.nonEmpty || counts.nonEmpty,
       "an MV needs at least one measure")
-    require(name.nonEmpty && groupCols.nonEmpty,
+    require(name.nonEmpty && (groupCols.nonEmpty || exprDims.nonEmpty),
       "an MV needs a name and at least one dimension column " +
         "(the sidecar format has no empty-field encoding)")
     MvDef(
@@ -408,12 +421,14 @@ object MaterializedView {
       countCol,
       0L, Map.empty,
       qualify(spark, basePath),
-      counts.map { case (n, c) => measureKey(base, c) -> n }.toMap)
+      counts.map { case (n, c) => measureKey(base, c) -> n }.toMap,
+      exprDims = exprDims
+        .map { case (n, c) => measureKey(base, c) -> n }.toMap)
   }
 
   /** The rollup aggregate for a definition, built from the STORED
-    * normalized measure SQL — create and every refresh path compute the
-    * measures from the same strings, so they cannot drift.
+    * normalized measure/dimension SQL — create and every refresh path
+    * compute the measures from the same strings, so they cannot drift.
     */
   private def buildRollup(base: DataFrame, d: MvDef): DataFrame = {
     val aggCols =
@@ -422,8 +437,15 @@ object MaterializedView {
       d.maxs.map { case (sql, c) => max(expr(sql)).as(c) }.toSeq ++
       d.counts.map { case (sql, c) => count(expr(sql)).as(c) }.toSeq ++
       d.countCol.map(c => count(lit(1)).as(c)).toSeq
-    base.groupBy(d.groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    base.groupBy(groupingCols(d): _*).agg(aggCols.head, aggCols.tail: _*)
   }
+
+  /** Grouping columns computed from the BASE side: plain dims by name,
+    * derived dims from their stored SQL, aliased to the rollup column.
+    */
+  private def groupingCols(d: MvDef): Seq[Column] =
+    d.groupCols.map(col) ++
+      d.exprDims.map { case (sql, c) => expr(sql).as(c) }.toSeq
 
   /** Bring a stale rollup current; returns (new def, incremental?) where
     * `incremental = false` means a full rebuild was needed.
@@ -569,25 +591,33 @@ object MaterializedView {
           // resolve window and partition-prunes the scan), and stitch
           // recomputed groups over untouched rollup rows. Cost
           // O(view + touched groups' rows), not O(base).
-          val dims = d.groupCols
-          val dimTypes = delta.select(dims.map(col): _*).schema
-          val touched = delta.select(dims.map(col): _*).distinct()
-            .limit(GroupRebuildCap + 1).collect()
+          val dims = d.dimCols
+          // Base-side rendering of each dim (derived dims recompute from
+          // their stored SQL) vs rollup-side rendering (stored columns).
+          val baseDim: Map[String, Column] =
+            d.groupCols.map(c => c -> col(c)).toMap ++
+              d.exprDims.map { case (sql, c) => c -> expr(sql) }
+          val dimTypes = delta.select(
+            dims.map(c => baseDim(c).as(c)): _*).schema
+          val touched = delta.select(dims.map(c => baseDim(c).as(c)): _*)
+            .distinct().limit(GroupRebuildCap + 1).collect()
           if (touched.length > GroupRebuildCap) rebuild()
           else {
-            val pred = touched.map { row =>
-              dims.zipWithIndex.map { case (c, i) =>
-                col(c) <=> lit(row.get(i)).cast(dimTypes(i).dataType)
-              }.reduce(_ && _)
-            }.reduce(_ || _)
+            def predOver(dimOf: String => Column): Column =
+              touched.map { row =>
+                dims.zipWithIndex.map { case (c, i) =>
+                  dimOf(c) <=> lit(row.get(i)).cast(dimTypes(i).dataType)
+                }.reduce(_ && _)
+              }.reduce(_ || _)
             val old = spark.read.parquet(d.mvPath)
             val oldTypes =
               old.schema.fields.map(f => f.name -> f.dataType).toMap
-            val recomputed = buildRollup(table.read(spark).filter(pred), d)
+            val recomputed = buildRollup(
+              table.read(spark).filter(predOver(baseDim)), d)
               .select(old.columns.toSeq
                 .map(c => col(c).cast(oldTypes(c)).as(c)): _*)
             publish(spark, d2,
-              Some(old.filter(!pred).unionByName(recomputed)))
+              Some(old.filter(!predOver(col)).unionByName(recomputed)))
             (d2, true)
           }
         } else {
@@ -626,7 +656,7 @@ object MaterializedView {
     */
   private def mergeRollup(
       old: DataFrame, deltaAgg: DataFrame, d: MvDef): DataFrame = {
-    val dims = d.groupCols
+    val dims = d.dimCols // both sides carry derived dims as plain columns
     val on = dims.map(c => old(c) <=> deltaAgg(c)).reduce(_ && _)
     val dimCols = dims.map(c => coalesce(old(c), deltaAgg(c)).as(c))
     val oldTypes = old.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -671,7 +701,7 @@ object MaterializedView {
           .cast("long").as(c)
       }.toSeq ++
       d.countCol.map(c => sum(sign).cast("long").as(c)).toSeq
-    delta.groupBy(d.groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    delta.groupBy(groupingCols(d): _*).agg(aggCols.head, aggCols.tail: _*)
   }
 
   /** Land a refreshed rollup (or just the re-armed sidecar): stage the
@@ -736,6 +766,7 @@ object MaterializedView {
       s"base\t${enc(d.basePath)}",
       s"mtime\t${d.baseMtime}",
       s"dims\t${d.groupCols.map(enc).mkString(",")}") ++
+      d.exprDims.map { case (sql, c) => s"edim\t${enc(c)}\t${enc(sql)}" } ++
       d.sums.map { case (sql, c) => s"sum\t${enc(c)}\t${enc(sql)}" } ++
       d.mins.map { case (sql, c) => s"min\t${enc(c)}\t${enc(sql)}" } ++
       d.maxs.map { case (sql, c) => s"max\t${enc(c)}\t${enc(sql)}" } ++
@@ -789,6 +820,7 @@ object MaterializedView {
     val mins = Map.newBuilder[String, String]
     val maxs = Map.newBuilder[String, String]
     val cnts = Map.newBuilder[String, String]
+    val edims = Map.newBuilder[String, String]
     val files = Map.newBuilder[String, FileSig]
     def list(v: String): Seq[String] =
       v.split(',').toSeq.filter(_.nonEmpty).map(dec)
@@ -799,7 +831,9 @@ object MaterializedView {
         case Array("mtime", v) => mtime = v.toLong
         case Array("commit", v) => commit = dec(v)
         case Array("bytes", v) => bytes = v.toLong
-        case Array("dims", v) => dims = v.split(',').toSeq.map(dec)
+        case Array("dims", v) => dims = v.split(',').toSeq.filter(_.nonEmpty).map(dec)
+        case Array("dims") => dims = Seq.empty // expression-dims-only MV
+        case Array("edim", c, sql) => edims += dec(sql) -> dec(c)
         case Array("sum", c, sql) => sums += dec(sql) -> dec(c)
         case Array("min", c, sql) => mins += dec(sql) -> dec(c)
         case Array("max", c, sql) => maxs += dec(sql) -> dec(c)
@@ -832,14 +866,16 @@ object MaterializedView {
           s"malformed _graft_mv line: ${other.mkString("\\t")}")
       }
     }
-    require(base.nonEmpty && dims.nonEmpty, s"incomplete _graft_mv at $p")
+    val edimsMap = edims.result()
+    require(base.nonEmpty && (dims.nonEmpty || edimsMap.nonEmpty),
+      s"incomplete _graft_mv at $p")
     val d = MvDef(name, base, mvPath, dims,
       sums.result(), mins.result(), maxs.result(), countCol, mtime,
       files.result(), qualify(spark, base),
       cnts.result(), keyedSpec.map(_.copy(path = base)), commit,
       links.zipWithIndex.map { case (l, i) =>
         l.copy(dimFiles = jfiles.get(i).map(_.toMap).getOrElse(Map.empty))
-      }.toSeq, bytes)
+      }.toSeq, bytes, edimsMap)
     register(d)
     d
   }
@@ -1062,6 +1098,39 @@ object MaterializedView {
   // join + aggregate straight, so correctness holds whichever path
   // planned (the plan assertion lives in JoinedMvSpec).
   // ---------------------------------------------------------------------
+
+  // ---------------------------------------------------------------------
+  // q137: EXPRESSION DIMENSIONS — the rollup's grouping columns are
+  // derived (`year(o_orderdate)`, `month(o_orderdate)`), the BI time-
+  // hierarchy shape. A query grouping/filtering by the same derived
+  // expressions (matched as whole subtrees by normalized SQL) collapses
+  // to the rollup; grouping by the month SUBSET re-aggregates across the
+  // stored years.
+  // ---------------------------------------------------------------------
+
+  /** First-half-year revenue by order month, served through a
+    * (year, month) rollup of orders.
+    */
+  def mvMonthlyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"$dir/orders.parquet"
+    val work = freshBenchWork("monthly")
+    create(
+      spark, "orders_by_year_month", base, s"$work/mv",
+      groupCols = Nil,
+      sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+      countCol = Some("cnt"),
+      exprDims = Seq(
+        "od_year" -> year(col("o_orderdate")),
+        "od_month" -> month(col("o_orderdate"))))
+    pinAndDrop(spark, base,
+      spark.read.parquet(base)
+        .filter(month(col("o_orderdate")) <= 6)
+        .groupBy(month(col("o_orderdate")).as("od_month"))
+        .agg(
+          sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double")
+            .as("sum_price"),
+          count(lit(1)).as("n_orders")))
+  }
 
   /** Open-order revenue by market segment, served through a
     * (c_mktsegment, o_orderstatus) rollup of orders ⋈ customer.

@@ -291,13 +291,21 @@ class MvRewriteSpec extends SparkTestBase {
         .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet == direct)
       assert(served.columns.toSeq == Seq("prio", "sum_price", "n_orders"),
         "output names must be the query's aliases, not the base columns")
-      // A COMPUTED alias (not a bare column) must still decline.
+      // A COMPUTED alias over a stored dim now serves too (generalized
+      // grouping rewrite — the expression recomputes from the rollup's
+      // dim column); one over a NON-dim column still declines.
       def computed = spark.read.parquet(base)
         .select(concat(col("o_orderpriority"), lit("!")).as("prio"),
           col("o_totalprice"))
         .groupBy(col("prio"))
         .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).as("s"))
-      assert(scannedPaths(computed).exists(_.contains("orders.parquet")))
+      assert(scannedPaths(computed).exists(_.contains("/mv")))
+      def nonDim = spark.read.parquet(base)
+        .select(concat(col("o_custkey"), lit("!")).as("ck"),
+          col("o_totalprice"))
+        .groupBy(col("ck"))
+        .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).as("s"))
+      assert(scannedPaths(nonDim).exists(_.contains("orders.parquet")))
     } finally MaterializedView.drop(base)
   }
 
@@ -440,6 +448,113 @@ class MvRewriteSpec extends SparkTestBase {
     val got = served.collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
     assert(got == direct)
+  }
+
+  test("expression dims: derived groupings/filters match as subtrees; subset re-aggregates") {
+    val base = copyBase()
+    val mvPath = Files.createTempDirectory("graft_mv_out_").toString + "/mv"
+    def byMonth = spark.read.parquet(base)
+      .filter(month(col("o_orderdate")) <= 6)
+      .groupBy(month(col("o_orderdate")).as("od_month"))
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double")
+        .as("sum_price"), count(lit(1)).as("n_orders"))
+    val direct = byMonth.collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
+    try {
+      MaterializedView.create(
+        spark, "spec_mv_time", base, mvPath,
+        groupCols = Nil,
+        sums = Seq("sum_p" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+        countCol = Some("cnt"),
+        exprDims = Seq(
+          "od_year" -> year(col("o_orderdate")),
+          "od_month" -> month(col("o_orderdate"))))
+      val served = byMonth
+      assert(scannedPaths(served).exists(_.contains("/mv")),
+        "derived-dim grouping + filter must serve from the rollup")
+      assert(served.collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet == direct)
+      // Grouping by a DIFFERENT derived expression still declines.
+      val byDay = spark.read.parquet(base)
+        .groupBy(dayofmonth(col("o_orderdate")).as("od_day"))
+        .agg(count(lit(1)).as("n"))
+      assert(scannedPaths(byDay).exists(_.contains("orders.parquet")),
+        "an unregistered derived dim must stay on the base")
+    } finally MaterializedView.drop(base)
+  }
+
+  test("expression-dim sidecar round-trips; refresh recomputes derived dims") {
+    val base = copyBase()
+    val mvPath = Files.createTempDirectory("graft_mv_out_").toString + "/mv"
+    def q = spark.read.parquet(base)
+      .groupBy(year(col("o_orderdate")).as("od_year"))
+      .agg(count(lit(1)).as("n_orders"))
+    try {
+      MaterializedView.create(
+        spark, "spec_mv_time_rt", base, mvPath,
+        groupCols = Nil,
+        sums = Seq("sum_p" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+        countCol = Some("cnt"),
+        exprDims = Seq("od_year" -> year(col("o_orderdate"))))
+      MaterializedView.drop(base)
+      val d = MaterializedView.attach(spark, mvPath)
+      assert(d.exprDims.values.toSet == Set("od_year"))
+      assert(scannedPaths(q).exists(_.contains("/mv")),
+        "attach must restore derived-dim serving")
+      // Append-only refresh recomputes the derived dims from the sidecar
+      // SQL and merges on them.
+      Thread.sleep(1100)
+      val existing = Files.list(Paths.get(base))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(existing, Paths.get(base, "part-appended.snappy.parquet"))
+      val (_, incremental) = MaterializedView.refresh(spark, mvPath)
+      assert(incremental)
+      val served = q
+      assert(scannedPaths(served).exists(_.contains("/mv")))
+      val got = served.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      val directRows = {
+        MaterializedView.drop(base)
+        try q.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+        finally { MaterializedView.attach(spark, mvPath); () }
+      }
+      assert(got == directRows)
+    } finally MaterializedView.drop(base)
+  }
+
+  test("computed groupings over plain dims serve (generalized grouping rewrite)") {
+    val base = copyBase()
+    val mvPath = Files.createTempDirectory("graft_mv_out_").toString + "/mv"
+    // Group by an EXPRESSION over a stored dim: computable from the
+    // rollup, so it must serve (re-aggregated by the derived value).
+    def q = spark.read.parquet(base)
+      .groupBy(concat(col("o_orderstatus"), lit("!")).as("s"))
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double")
+        .as("sum_price"))
+    val direct = q.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    try {
+      MaterializedView.create(
+        spark, "spec_mv_computed", base, mvPath,
+        groupCols = Seq("o_orderstatus"),
+        sums = Seq("sum_p" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+        countCol = Some("cnt"))
+      val served = q
+      assert(scannedPaths(served).exists(_.contains("/mv")),
+        "an expression over stored dims must serve from the rollup")
+      assert(served.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+        == direct)
+    } finally MaterializedView.drop(base)
+  }
+
+  test("q137 query shape: result equals direct aggregation at sf0.001") {
+    val direct = spark.read.parquet(s"$sf0001/orders.parquet")
+      .filter(month(col("o_orderdate")) <= 6)
+      .groupBy(month(col("o_orderdate")).as("od_month"))
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double")
+        .as("sum_price"), count(lit(1)).as("n_orders"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
+    val viaMv = MaterializedView.mvMonthlyRevenue(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(viaMv == direct)
   }
 
   test("q128 query shape: result equals direct aggregation at sf0.001") {
