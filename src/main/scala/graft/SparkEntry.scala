@@ -161,7 +161,8 @@ object SparkEntry {
     "q134_mv_select" -> (table.MaterializedView.mvSelectCheapest(_, _)),
     "q135_mv_minmax" -> (table.MaterializedView.mvKeyedMinMax(_, _)),
     "q136_mv_join" -> (table.MaterializedView.mvJoinRevenue(_, _)),
-    "q137_mv_time" -> (table.MaterializedView.mvMonthlyRevenue(_, _))
+    "q137_mv_time" -> (table.MaterializedView.mvMonthlyRevenue(_, _)),
+    "q138_mv_advisor" -> (table.MaterializedView.mvAdvisorRevenue(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -762,6 +763,14 @@ object SparkEntry {
         |  COUNT(*) AS n_orders
         |FROM orders WHERE month(o_orderdate) <= 6
         |GROUP BY 1""".stripMargin,
+    // served from the ADVISOR-recommended rollup (built to cover a
+    // three-query workload; the workload-wide serving assertions live in
+    // MvAdvisorSpec — the oracle checks this query's answer)
+    "q138_mv_advisor" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     // dHash from the closed-form pixels: 2x2 red-channel sums -> 8x8
     // cells, bit (r,c) = cell < right-neighbor; CASTs keep DuckDB's
     // HUGEINT sums out of the schema compare

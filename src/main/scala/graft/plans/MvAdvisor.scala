@@ -1,0 +1,203 @@
+package graft.plans
+
+import java.util.Locale
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.expr
+
+import graft.table.MaterializedView
+import graft.table.MaterializedView.MvDef
+
+/** Workload-driven MV recommendation — the serving-layer design loop
+  * automated: given the queries a user actually runs, propose the ONE
+  * rollup per base table that serves all of them (union of their
+  * dimension and measure needs), sized so the rewrite rule
+  * ([[MvAggregateRewrite]]) fires on every analyzed query.
+  *
+  * Analysis walks each query's ANALYZED plan with the same shape matcher
+  * the rule uses ([[MvPlanShape]]) — an advisor that matched more than
+  * the rule serves would recommend rollups that never fire. v1 scope:
+  * single-relation flat parquet bases (no joins/windows), measures the
+  * rule derives (sum/min/max/count/avg), groupings and filter sides that
+  * are plain columns or deterministic derived expressions (recorded as
+  * expression dims). Queries outside that scope are reported in
+  * `skipped`, not silently dropped — they keep running against the base.
+  */
+object MvAdvisor {
+
+  /** One recommended rollup: every field feeds
+    * [[MaterializedView.create]] directly (measure/dim SQL is the same
+    * normalized rendering the registry stores).
+    */
+  final case class Recommendation(
+      basePath: String,
+      groupCols: Seq[String],
+      exprDims: Seq[(String, String)], // mv col -> normalized base sql
+      sums: Seq[(String, String)],
+      mins: Seq[(String, String)],
+      maxs: Seq[(String, String)],
+      counts: Seq[(String, String)],
+      queriesCovered: Int)
+
+  final case class Advice(
+      recommendations: Seq[Recommendation],
+      skipped: Seq[String]) // human-readable reasons, one per skipped query
+
+  private def lower(s: String): String = s.toLowerCase(Locale.ROOT)
+
+  /** Per-query shape; merged per base in [[analyze]]. */
+  private final case class Shape(
+      basePath: String,
+      dims: Set[String],
+      exprDims: Set[String],
+      sums: Set[String],
+      mins: Set[String],
+      maxs: Set[String],
+      counts: Set[String])
+
+  private def shapeOf(df: DataFrame): Either[String, Shape] = {
+    val aggs = df.queryExecution.analyzed.collect { case a: Aggregate => a }
+    val agg = aggs match {
+      case Seq(one) => one
+      case Seq() => return scala.Left("no aggregate in plan")
+      case _ => return scala.Left("multiple aggregates in plan (subqueries)")
+    }
+    val conds = mutable.Buffer.empty[Expression]
+    val windows = mutable.Buffer.empty[
+      org.apache.spark.sql.catalyst.plans.logical.Window]
+    val renames = mutable.Map.empty[ExprId, Expression]
+    val rels = mutable.Buffer.empty[LogicalRelation]
+    val pairs = mutable.Buffer.empty[(Attribute, Attribute)]
+    if (!MvPlanShape.strip(agg.child, conds, windows, renames, rels, pairs))
+      return scala.Left("plan shape outside the rewrite's matcher")
+    if (rels.length != 1 || pairs.nonEmpty || windows.nonEmpty)
+      return scala.Left("joins/windows not in advisor v1 scope")
+    val root = rels.head.relation match {
+      case f: HadoopFsRelation => f.location.rootPaths match {
+        case Seq(one) => one.toString
+        case _ => return scala.Left("multi-root scan")
+      }
+      case _ => return scala.Left("non-filesystem relation")
+    }
+    val subst = MvPlanShape.substFn(renames)
+    def norm(e: Expression): String = MaterializedView.normalize(subst(e))
+
+    val dims = mutable.Set.empty[String]
+    val edims = mutable.Set.empty[String]
+    def addDimExpr(e: Expression): Either[String, Unit] = subst(e) match {
+      case a: Attribute => dims += lower(a.name); scala.Right(())
+      case d if d.deterministic && d.references.nonEmpty =>
+        edims += MaterializedView.normalize(d); scala.Right(())
+      case _ => scala.Left(s"non-deterministic dimension expression: ${e.sql}")
+    }
+    agg.groupingExpressions.foreach { g =>
+      addDimExpr(g) match { case scala.Left(r) => return scala.Left(r); case _ => () }
+    }
+    // Filter sides: a comparison against literals dimensionalizes its
+    // non-literal side; anything else dimensionalizes its referenced
+    // columns (conservative — a wider rollup, never a non-serving one).
+    conds.flatMap(MvPlanShape.splitConjunction).foreach { c =>
+      if (!c.deterministic) return scala.Left(s"non-deterministic filter: ${c.sql}")
+      val sides: Seq[Expression] = c match {
+        case b: BinaryComparison if b.right.foldable => Seq(b.left)
+        case b: BinaryComparison if b.left.foldable => Seq(b.right)
+        case In(v, list) if list.forall(_.foldable) => Seq(v)
+        case IsNotNull(e) => Seq(e)
+        case IsNull(e) => Seq(e)
+        case other => other.references.toSeq
+      }
+      sides.foreach { s =>
+        addDimExpr(s) match { case scala.Left(r) => return scala.Left(r); case _ => () }
+      }
+    }
+
+    val sums = mutable.Set.empty[String]
+    val mins = mutable.Set.empty[String]
+    val maxs = mutable.Set.empty[String]
+    val counts = mutable.Set.empty[String]
+    val aggCalls = agg.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression => ae
+    })
+    aggCalls.foreach { ae =>
+      if (ae.isDistinct || ae.filter.isDefined)
+        return scala.Left(s"underivable aggregate: ${ae.sql}")
+      ae.aggregateFunction match {
+        case Sum(inner, _) => sums += norm(inner)
+        case Min(inner) => mins += norm(inner)
+        case Max(inner) => maxs += norm(inner)
+        case c: Count if c.children.forall(e => e.foldable && e.eval() != null) =>
+          () // served by the always-included row count
+        case Count(Seq(inner)) if !inner.foldable => counts += norm(inner)
+        case Average(inner, _) =>
+          sums += norm(inner); counts += norm(inner)
+        case other => return scala.Left(s"underivable aggregate: ${other.sql}")
+      }
+    }
+    scala.Right(Shape(root, dims.toSet, edims.toSet,
+      sums.toSet, mins.toSet, maxs.toSet, counts.toSet))
+  }
+
+  /** Short deterministic column name for a measure/dim SQL rendering. */
+  private def colName(prefix: String, sql: String, taken: mutable.Set[String]): String = {
+    val stem = lower(sql).filter(_.isLetterOrDigit).take(16)
+    var name = s"${prefix}_$stem"
+    var i = 1
+    while (taken.contains(name)) { name = s"${prefix}_${stem}_$i"; i += 1 }
+    taken += name
+    name
+  }
+
+  def analyze(queries: Seq[DataFrame]): Advice = {
+    val shapes = mutable.Buffer.empty[Shape]
+    val skipped = mutable.Buffer.empty[String]
+    queries.zipWithIndex.foreach { case (q, i) =>
+      shapeOf(q) match {
+        case scala.Right(s) => shapes += s
+        case scala.Left(reason) => skipped += s"query $i: $reason"
+      }
+    }
+    val recs = shapes.groupBy(_.basePath).toSeq.sortBy(_._1).map {
+      case (base, ss) =>
+        val taken = mutable.Set.empty[String]
+        def named(prefix: String, sqls: Set[String]): Seq[(String, String)] =
+          sqls.toSeq.sorted.map(s => colName(prefix, s, taken) -> s)
+        Recommendation(
+          base,
+          ss.flatMap(_.dims).distinct.sorted.toSeq,
+          named("d", ss.flatMap(_.exprDims).toSet),
+          named("sum", ss.flatMap(_.sums).toSet),
+          named("min", ss.flatMap(_.mins).toSet),
+          named("max", ss.flatMap(_.maxs).toSet),
+          named("cnt", ss.flatMap(_.counts).toSet),
+          ss.length)
+    }
+    Advice(recs, skipped.toSeq)
+  }
+
+  /** Materialize one recommendation (flat base; the row count is always
+    * stored — count(*) queries and future incremental paths need it).
+    */
+  def createRecommended(
+      spark: SparkSession,
+      rec: Recommendation,
+      name: String,
+      mvPath: String): MvDef = {
+    def cols(xs: Seq[(String, String)]): Seq[(String, Column)] =
+      xs.map { case (c, sql) => c -> expr(sql) }
+    MaterializedView.create(
+      spark, name, rec.basePath, mvPath,
+      groupCols = rec.groupCols,
+      sums = cols(rec.sums),
+      mins = cols(rec.mins),
+      maxs = cols(rec.maxs),
+      countCol = Some("cnt"),
+      counts = cols(rec.counts),
+      exprDims = cols(rec.exprDims))
+  }
+}

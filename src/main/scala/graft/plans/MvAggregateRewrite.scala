@@ -61,18 +61,8 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def lower(s: String): String = s.toLowerCase(Locale.ROOT)
 
-  /** Peel Project/Filter/Window/Join links down to the parquet
-    * relations, accumulating filter conditions, windows, inner-equi-join
-    * pairs, and RENAMES — Projects whose items are attributes or aliases
-    * of attributes peel with `output exprId → aliased attribute`
-    * recorded, so `SELECT dim AS d … GROUP BY d` (the first shape a BI
-    * tool emits) still resolves to the base column. Inner joins whose
-    * condition is a conjunction of attribute equalities peel with the
-    * pairs recorded (for inner joins, a filter below the join ≡ the same
-    * filter above it, so conds accumulate uniformly). False on any other
-    * node. (`WindowGroupLimit` is the optimizer's rank-limit pushdown
-    * under a `rn = 1` filter — semantics live in the filter, so it peels
-    * silently.)
+  /** Plan-shape stripping delegated to [[MvPlanShape]] (shared with
+    * the advisor so analysis and serving match identically).
     */
   private def stripSources(
       p: LogicalPlan,
@@ -80,46 +70,8 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       windows: mutable.Buffer[Window],
       renames: mutable.Map[ExprId, Expression],
       rels: mutable.Buffer[LogicalRelation],
-      pairs: mutable.Buffer[(Attribute, Attribute)]): Boolean = p match {
-    case Project(pl, c) if pl.forall {
-      case _: AttributeReference => true
-      case Alias(e, _) => e.deterministic
-      case _ => false
-    } =>
-      // Aliases record their DEFINITION (`d AS x` and the optimizer's
-      // `month(col) AS _groupingexpression`): consumers substitute
-      // through the map, so both user renames and pulled-out grouping
-      // expressions resolve back to base-side expressions.
-      pl.foreach {
-        case a @ Alias(e, _) => renames(a.exprId) = e
-        case _ => ()
-      }
-      stripSources(c, conds, windows, renames, rels, pairs)
-    case Filter(cond, c) =>
-      conds += cond; stripSources(c, conds, windows, renames, rels, pairs)
-    case w: Window =>
-      windows += w; stripSources(w.child, conds, windows, renames, rels, pairs)
-    case wgl: WindowGroupLimit =>
-      stripSources(wgl.child, conds, windows, renames, rels, pairs)
-    case Join(l, r, Inner, Some(cond), _) =>
-      val conjuncts = splitConjunction(cond)
-      val eqs = conjuncts.map {
-        case EqualTo(a: Attribute, b: Attribute) => Some((a, b))
-        case _ => None
-      }
-      eqs.forall(_.isDefined) && {
-        pairs ++= eqs.flatten
-        stripSources(l, conds, windows, renames, rels, pairs) &&
-          stripSources(r, conds, windows, renames, rels, pairs)
-      }
-    case lr: LogicalRelation => rels += lr; true
-    case _ => false
-  }
-
-  private def splitConjunction(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => splitConjunction(l) ++ splitConjunction(r)
-    case other => Seq(other)
-  }
+      pairs: mutable.Buffer[(Attribute, Attribute)]): Boolean =
+    MvPlanShape.strip(p, conds, windows, renames, rels, pairs)
 
   /** Datetime-extract family: single-argument, NULL iff the argument is
     * NULL. The whitelist the null mirror trusts — conservative by

@@ -1132,6 +1132,43 @@ object MaterializedView {
           count(lit(1)).as("n_orders")))
   }
 
+  // ---------------------------------------------------------------------
+  // q138: MV ADVISOR — given the three aggregate queries a user actually
+  // runs over orders (revenue by status, average price by priority,
+  // order counts by month ≤ 6), [[graft.plans.MvAdvisor]] recommends the
+  // ONE rollup covering all of them (dims ∪ derived dims ∪ measures);
+  // materializing it makes every workload query serve from the rollup.
+  // The returned frame is the first workload query; the oracle computes
+  // it straight (the three-way serving assertion lives in MvAdvisorSpec).
+  // ---------------------------------------------------------------------
+
+  /** Revenue by order status, served from the advisor-recommended rollup
+    * that also covers the avg-by-priority and monthly-count queries.
+    */
+  def mvAdvisorRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"$dir/orders.parquet"
+    val work = freshBenchWork("advisor")
+    def qStatus = spark.read.parquet(base)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double")
+          .as("sum_price"),
+        count(lit(1)).as("n_orders"))
+    def qAvg = spark.read.parquet(base)
+      .groupBy(col("o_orderpriority"))
+      .agg(avg(expr("CAST(o_totalprice AS DECIMAL(18,4))")).as("avg_price"))
+    def qMonth = spark.read.parquet(base)
+      .filter(month(col("o_orderdate")) <= 6)
+      .groupBy(month(col("o_orderdate")).as("od_month"))
+      .agg(count(lit(1)).as("n_orders"))
+    val advice = graft.plans.MvAdvisor.analyze(Seq(qStatus, qAvg, qMonth))
+    require(advice.skipped.isEmpty && advice.recommendations.length == 1,
+      s"expected one full-coverage recommendation, got $advice")
+    graft.plans.MvAdvisor.createRecommended(
+      spark, advice.recommendations.head, "advised_orders", s"$work/mv")
+    pinAndDrop(spark, advice.recommendations.head.basePath, qStatus)
+  }
+
   /** Open-order revenue by market segment, served through a
     * (c_mktsegment, o_orderstatus) rollup of orders ⋈ customer.
     */
