@@ -162,7 +162,9 @@ object SparkEntry {
     "q135_mv_minmax" -> (table.MaterializedView.mvKeyedMinMax(_, _)),
     "q136_mv_join" -> (table.MaterializedView.mvJoinRevenue(_, _)),
     "q137_mv_time" -> (table.MaterializedView.mvMonthlyRevenue(_, _)),
-    "q138_mv_advisor" -> (table.MaterializedView.mvAdvisorRevenue(_, _))
+    "q138_mv_advisor" -> (table.MaterializedView.mvAdvisorRevenue(_, _)),
+    "q139_mv_hybrid" -> (table.MaterializedView.mvHybridServe(_, _)),
+    "q140_mv_rollup" -> (table.MaterializedView.mvRollupServe(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -771,6 +773,26 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // the append-stale rollup serves rollup ∪ delta-partials WITHOUT a
+    // refresh; the private base is orders + an appended copy of itself,
+    // so every measure is exactly doubled (the plan-shape assertions —
+    // rollup + ONLY the appended file scanned — live in MvRewriteSpec)
+    "q139_mv_hybrid" ->
+      """SELECT o_orderpriority,
+        |  CAST(2 * SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  2 * COUNT(*) AS n_orders
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority""".stripMargin,
+    // the two-phase ROLLUP whose base-grain pre-aggregation is SERVED
+    // from the lineitem MV (plan assertion in MvRewriteSpec); answers ≡
+    // the straight grouping-sets aggregate
+    "q140_mv_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+         |       COALESCE(l_linestatus, 'ALL') AS ls,
+         |       COUNT(*) AS n,
+         |       ${dsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
     // dHash from the closed-form pixels: 2x2 red-channel sums -> 8x8
     // cells, bit (r,c) = cell < right-neighbor; CASTs keep DuckDB's
     // HUGEINT sums out of the schema compare

@@ -183,17 +183,58 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
   }
 
-  /** Staleness: ONE filesystem status/list call per source, same guard
-    * discipline as the catalog registry's mtime check. Base (or any
-    * join dimension) changed since the MV's build/refresh → decline.
+  /** Serving state under staleness — `None` declines; `Some(None)` means
+    * the rollup is current; `Some(Some(deltaAgg))` is the HYBRID serve:
+    * the base has only APPENDED data files since the rollup was built,
+    * so the query is served from `rollup ∪ partial-rollup(appended
+    * files)` — sound because every derivation the rule emits re-
+    * aggregates PARTIALS (re-sum/re-min/re-max/count-as-sum), and a
+    * union of stored partials with freshly-computed delta partials is
+    * just more partials. This is the lambda-architecture move with the
+    * merge at plan time: correct answers between refreshes at
+    * O(rollup + delta) cost instead of declining to an O(base) scan.
+    *
+    * Cost discipline: the fresh path stays ONE status call per source;
+    * the file LISTING only happens after an mtime mismatch. A
+    * non-append change (rewrite/delete, caught by the per-file
+    * length+mtime signatures), any dim change on a star MV, and keyed
+    * timeline drift all decline — those deltas are not append-shaped.
     */
-  private def isFresh(mv: MvDef): Boolean = (mv.keyedSpec match {
-    case None =>
-      MaterializedView.baseMtime(spark, mv.basePath) == mv.baseMtime
-    case Some(_) =>
-      KeyedTable.latestTimelineMarker(spark, mv.basePath) == mv.baseCommit
-  }) && mv.links.forall(l =>
-    MaterializedView.baseMtime(spark, l.dimPath) == l.dimMtime)
+  private def servableDelta(
+      mv: MvDef): Option[Option[org.apache.spark.sql.DataFrame]] =
+    mv.keyedSpec match {
+      case Some(_) =>
+        if (KeyedTable.latestTimelineMarker(spark, mv.basePath) == mv.baseCommit)
+          Some(None)
+        else None
+      case None =>
+        val dimsFresh = mv.links.forall(l =>
+          MaterializedView.baseMtime(spark, l.dimPath) == l.dimMtime)
+        val factFresh =
+          MaterializedView.baseMtime(spark, mv.basePath) == mv.baseMtime
+        if (factFresh && dimsFresh) Some(None)
+        else if (!dimsFresh) None // a dim edit can rewrite every group
+        else {
+          val current = MaterializedView.listDataFiles(spark, mv.basePath)
+          val appendOnly = mv.files.nonEmpty &&
+            mv.files.forall { case (n, sig) => current.get(n).contains(sig) }
+          if (!appendOnly) None
+          else {
+            val delta = (current.keySet -- mv.files.keySet).toSeq.sorted
+            if (delta.isEmpty) Some(None) // mtime-only change
+            else {
+              import org.apache.spark.sql.functions.col
+              val deltaDf = spark.read.parquet(
+                delta.map(n => s"${mv.basePath}/$n"): _*)
+              val joined = mv.links.foldLeft(deltaDf) { (acc, l) =>
+                acc.join(spark.read.parquet(l.dimPath),
+                  col(l.factCol) === col(l.dimCol), "inner")
+              }
+              Some(Some(MaterializedView.buildRollup(joined, mv)))
+            }
+          }
+        }
+    }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     val conds = mutable.Buffer.empty[Expression]
@@ -235,9 +276,10 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val ok =
         agg.groupingExpressions.forall(_.deterministic) &&
         userConds.forall(_.deterministic) &&
-        agg.aggregateExpressions.forall(_.deterministic) &&
-        isFresh(mv)
-      if (ok) rewriteOnto(agg, userConds, mv, subst) else None
+        agg.aggregateExpressions.forall(_.deterministic)
+      if (!ok) None
+      else servableDelta(mv).flatMap(delta =>
+        rewriteOnto(agg, userConds, mv, subst, delta))
     }
 
     rootsOpt.flatMap {
@@ -300,12 +342,27 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       agg: Aggregate,
       conds: Seq[Expression],
       mv: MvDef,
-      subst: Expression => Expression): Option[LogicalPlan] = {
-    // Fresh analyzed scan of the rollup; column pruning still runs (we
-    // are inside the operator-optimization fixed point). LAZY so a
-    // decline on the measure lookups (the common near-miss) pays no
-    // rollup analysis / file listing.
-    lazy val mvPlan = spark.read.parquet(mv.mvPath).queryExecution.analyzed
+      subst: Expression => Expression,
+      delta: Option[org.apache.spark.sql.DataFrame]): Option[LogicalPlan] = {
+    // Fresh analyzed scan of the rollup — unioned with the delta's
+    // partial rollup under the hybrid serve (columns aligned by name,
+    // delta measures cast to the stored types so the union resolves).
+    // Column pruning still runs (we are inside the operator-
+    // optimization fixed point). LAZY so a decline on the measure
+    // lookups (the common near-miss) pays no rollup analysis / file
+    // listing.
+    lazy val mvPlan = {
+      import org.apache.spark.sql.functions.col
+      val mvDf = spark.read.parquet(mv.mvPath)
+      val served = delta match {
+        case None => mvDf
+        case Some(dr) =>
+          val types = mvDf.schema.fields.map(f => f.name -> f.dataType).toMap
+          mvDf.unionByName(dr.select(
+            mvDf.columns.toSeq.map(c => col(c).cast(types(c)).as(c)): _*))
+      }
+      served.queryExecution.analyzed
+    }
     lazy val mvAttr: Map[String, Attribute] =
       mvPlan.output.map(a => lower(a.name) -> a).toMap
 

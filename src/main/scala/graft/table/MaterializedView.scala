@@ -210,7 +210,7 @@ object MaterializedView {
     * entries (sidecars, _SUCCESS, staging) excluded. A single-file base
     * (the fixture layout) inventories itself.
     */
-  private def listDataFiles(
+  private[graft] def listDataFiles(
       spark: SparkSession, path: String): Map[String, FileSig] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -430,7 +430,7 @@ object MaterializedView {
     * normalized measure/dimension SQL — create and every refresh path
     * compute the measures from the same strings, so they cannot drift.
     */
-  private def buildRollup(base: DataFrame, d: MvDef): DataFrame = {
+  private[graft] def buildRollup(base: DataFrame, d: MvDef): DataFrame = {
     val aggCols =
       d.sums.map { case (sql, c) => sum(expr(sql)).as(c) }.toSeq ++
       d.mins.map { case (sql, c) => min(expr(sql)).as(c) }.toSeq ++
@@ -1167,6 +1167,83 @@ object MaterializedView {
     graft.plans.MvAdvisor.createRecommended(
       spark, advice.recommendations.head, "advised_orders", s"$work/mv")
     pinAndDrop(spark, advice.recommendations.head.basePath, qStatus)
+  }
+
+  // ---------------------------------------------------------------------
+  // q139: HYBRID SERVING — between refreshes, an append-stale MV serves
+  // `rollup ∪ partial-rollup(appended files)` at plan time: correct
+  // answers at O(rollup + delta) cost with NO refresh run. The private
+  // base is the fixture orders file plus an appended copy of itself, so
+  // the oracle is the straight aggregate with every measure doubled.
+  // ---------------------------------------------------------------------
+
+  /** Open-order revenue by priority over a base that gained an appended
+    * file AFTER the rollup was built — served hybrid, never refreshed.
+    */
+  def mvHybridServe(spark: SparkSession, dir: String): DataFrame = {
+    val work = freshBenchWork("hybrid")
+    val base = Files.createDirectories(work.resolve("orders.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "orders.parquet"),
+      base.resolve("part-00000.snappy.parquet"))
+    create(
+      spark, "orders_hybrid", base.toString, s"$work/mv",
+      groupCols = Seq("o_orderstatus", "o_orderpriority"),
+      sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+      countCol = Some("cnt"))
+    java.nio.file.Files.copy(
+      base.resolve("part-00000.snappy.parquet"),
+      base.resolve("part-00001.snappy.parquet"))
+    // Local filesystems can have coarse mtimes; pin the staleness signal
+    // deterministically rather than sleeping for it.
+    java.nio.file.Files.setLastModifiedTime(base,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 2000))
+    pinAndDrop(spark, base.toString,
+      spark.read.parquet(base.toString)
+        .filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double")
+            .as("sum_price"),
+          count(lit(1)).as("n_orders")))
+  }
+
+  // ---------------------------------------------------------------------
+  // q140: GROUPING SETS over an MV — the two-phase rollup shape
+  // (pre-aggregate to the finest grain, ROLLUP over the partials; the
+  // scale-correct plan, see q14's notes) composes with MV serving for
+  // free: the INNER aggregate is a plain groupBy the rule rewrites onto
+  // the rollup, and the grouping-sets phase re-sums the served partials.
+  // No Expand-node rewrite machinery needed — the shape users should
+  // write at 100 TB is exactly the shape the rule already serves.
+  // ---------------------------------------------------------------------
+
+  /** ROLLUP(returnflag, linestatus) quantity totals whose base-grain
+    * pre-aggregation is served from a lineitem rollup MV.
+    */
+  def mvRollupServe(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"$dir/lineitem.parquet"
+    val work = freshBenchWork("gsets")
+    create(
+      spark, "li_rf_ls", base, s"$work/mv",
+      groupCols = Seq("l_returnflag", "l_linestatus"),
+      sums = Seq("sum_qty_d" -> expr("CAST(l_quantity AS DECIMAL(18,4))")),
+      countCol = Some("cnt"))
+    pinAndDrop(spark, base,
+      spark.read.parquet(base)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n0"),
+          sum(expr("CAST(l_quantity AS DECIMAL(18,4))")).as("q0"))
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("n0")).as("n"),
+          sum(col("q0")).cast("double").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty")))
   }
 
   /** Open-order revenue by market segment, served through a

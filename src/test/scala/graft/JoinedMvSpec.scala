@@ -146,6 +146,26 @@ class JoinedMvSpec extends SparkTestBase {
     } finally MaterializedView.drop(fact)
   }
 
+  test("append-stale star MV hybrid-serves: rollup + (delta fact ⋈ dim)") {
+    val (fact, dim) = copyTables()
+    try {
+      mkMv(fact, dim)
+      Thread.sleep(1100)
+      val factFile = Files.list(Paths.get(fact))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(factFile, Paths.get(fact, "part-extra.snappy.parquet"))
+      val served = joinAgg(fact, dim)
+      val paths = scannedPaths(served)
+      assert(paths.exists(_.contains("/mv")), s"$paths")
+      assert(paths.exists(_.contains("part-extra")),
+        s"hybrid must read the appended fact file: $paths")
+      assert(!paths.exists(_.contains("part-00000")),
+        s"hybrid must not rescan pre-rollup fact files: $paths")
+      assert(rows(served) == direct(fact, dim),
+        "hybrid answer must equal the post-append direct join aggregate")
+    } finally MaterializedView.drop(fact)
+  }
+
   test("fact-append refresh is incremental; a dim change rebuilds") {
     val (fact, dim) = copyTables()
     val mvPath = mkMv(fact, dim)

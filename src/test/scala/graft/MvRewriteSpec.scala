@@ -60,7 +60,7 @@ class MvRewriteSpec extends SparkTestBase {
     } finally MaterializedView.drop(base)
   }
 
-  test("a changed base declines the rewrite (staleness guard)") {
+  test("append-stale MV serves HYBRID: rollup + delta files only, fresh answer") {
     val base = copyBase()
     val mvPath = Files.createTempDirectory("graft_mv_out_").toString + "/mv"
     try {
@@ -71,17 +71,41 @@ class MvRewriteSpec extends SparkTestBase {
         countCol = Some("cnt"))
       val beforeAppend = rows(userQuery(base)) // MV-served
       Thread.sleep(1100) // local-fs mtime can be second-granular
-      // Append a new data file: the stored rollup no longer matches.
+      // Append a new data file: the stored rollup alone no longer
+      // matches — the rule serves rollup ∪ partial-rollup(delta) at
+      // plan time (no refresh), reading ONLY the appended file from
+      // the base.
       val existing = Files.list(Paths.get(base))
         .filter(_.toString.endsWith(".parquet")).findFirst().get()
       Files.copy(existing, Paths.get(base, "part-extra.snappy.parquet"))
       val after = userQuery(base)
       val paths = scannedPaths(after)
-      assert(paths.exists(_.contains("orders.parquet")),
-        s"stale MV must decline; scanned: $paths")
-      // The fresh base answer (doubled counts) differs from the stale MV's.
-      assert(rows(after) != beforeAppend,
-        "post-append result should differ from the stale rollup's answer")
+      assert(paths.exists(_.contains("/mv")),
+        s"hybrid serve must scan the rollup: $paths")
+      assert(paths.exists(_.contains("part-extra")),
+        s"hybrid serve must scan the appended delta file: $paths")
+      assert(!paths.exists(p =>
+        p.contains("part-00000") || p.endsWith("orders.parquet")),
+        s"hybrid serve must NOT rescan the pre-rollup base files: $paths")
+      // The answer is the FRESH one (doubled vs the stale rollup's).
+      assert(rows(after) != beforeAppend)
+      assert(rows(after) == directRows(base))
+      // min/max and avg also hybrid-serve (append-only ⇒ sound).
+      val mm = spark.read.parquet(base)
+        .groupBy(col("o_orderstatus"))
+        .agg(max(expr("CAST(o_totalprice AS DECIMAL(18,4))")).as("mx"))
+      // (max not stored on this MV → declines to base; the point is it
+      // stays CORRECT, not that every aggregate is served)
+      assert(mm.collect().nonEmpty)
+      // A NON-append change (in-place modify) still declines.
+      Thread.sleep(1100)
+      java.nio.file.Files.setLastModifiedTime(
+        Paths.get(base).resolve("part-00000.snappy.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      val declined = userQuery(base)
+      assert(scannedPaths(declined).exists(_.endsWith("orders.parquet")),
+        "a modified base file is not append-shaped: decline to the base")
+      assert(rows(declined) == directRows(base))
     } finally MaterializedView.drop(base)
   }
 
@@ -148,13 +172,14 @@ class MvRewriteSpec extends SparkTestBase {
       val existing = Files.list(Paths.get(base))
         .filter(_.toString.endsWith(".parquet")).findFirst().get()
       Files.copy(existing, Paths.get(base, "part-appended.snappy.parquet"))
-      assert(scannedPaths(userQuery(base)).exists(_.contains("orders.parquet")),
-        "stale rollup must decline before refresh")
+      assert(scannedPaths(userQuery(base)).exists(_.contains("part-appended")),
+        "pre-refresh the append-stale rollup hybrid-serves over the delta")
       val (_, incremental) = MaterializedView.refresh(spark, mvPath)
       assert(incremental, "pure append must take the incremental path")
       val served = userQuery(base)
-      assert(scannedPaths(served).exists(_.contains("/mv")),
-        "refresh must re-arm the rollup serve")
+      assert(scannedPaths(served).exists(_.contains("/mv")) &&
+        !scannedPaths(served).exists(_.contains("part-appended")),
+        "refresh must fold the delta back into a rollup-only serve")
       assert(rows(served) == directRows(base),
         "incrementally refreshed rollup must equal the direct aggregate")
     } finally MaterializedView.drop(base)
@@ -554,6 +579,48 @@ class MvRewriteSpec extends SparkTestBase {
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
     val viaMv = MaterializedView.mvMonthlyRevenue(spark, sf0001)
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(viaMv == direct)
+  }
+
+  test("grouping sets compose: two-phase ROLLUP's inner aggregate serves from the MV") {
+    val base = s"$sf0001/lineitem.parquet"
+    def twoPhase = spark.read.parquet(base)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n0"),
+        sum(expr("CAST(l_quantity AS DECIMAL(18,4))")).as("q0"))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("n0")).as("n"), sum(col("q0")).cast("double").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+    val direct = twoPhase.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val work = Files.createTempDirectory("graft_mv_gsets_").toString
+    try {
+      MaterializedView.create(
+        spark, "spec_gsets", base, s"$work/mv",
+        groupCols = Seq("l_returnflag", "l_linestatus"),
+        sums = Seq("sum_q" -> expr("CAST(l_quantity AS DECIMAL(18,4))")),
+        countCol = Some("cnt"))
+      val served = twoPhase
+      val paths = scannedPaths(served)
+      assert(paths.exists(_.contains("/mv")),
+        s"the rollup phase must consume the SERVED base grain: $paths")
+      assert(!paths.exists(_.contains("lineitem.parquet")),
+        s"the base must not be scanned: $paths")
+      assert(served.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet == direct)
+    } finally MaterializedView.drop(base)
+  }
+
+  test("q140 query shape: result equals direct grouping-sets aggregate at sf0.001") {
+    val direct = graft.operators.Relational.rollupCounts(spark, sf0001)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaMv = MaterializedView.mvRollupServe(spark, sf0001)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(viaMv == direct)
   }
 
