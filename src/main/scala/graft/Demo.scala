@@ -156,16 +156,42 @@ object Demo {
     mvOut.orderBy("o_orderpriority").show(truncate = false)
     val scans = graft.plans.PlanWalk.scannedFiles(mvOut)
     println(s"scanned: ${scans.mkString("; ")} (rollup, not orders.parquet)")
-    // Lifecycle: attach in a "fresh session" (registry cleared) and
-    // refresh against the unchanged base (mtime-only re-arm).
-    val mvDef = graft.table.MaterializedView
-      .lookup(s"$sfDir/orders.parquet").get
+    // Lifecycle: create, attach in a "fresh session" (registry cleared),
+    // and refresh against the unchanged base (mtime-only re-arm). The
+    // bench query above PINS its plan and drops its registration, so the
+    // walk builds its own.
+    val demoMvPath = s"$tmp/orders_mv"
+    graft.table.MaterializedView.create(
+      spark, "demo_orders", s"$sfDir/orders.parquet", demoMvPath,
+      groupCols = Seq("o_orderstatus", "o_orderpriority"),
+      sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+      countCol = Some("cnt"))
     graft.table.MaterializedView.drop(s"$sfDir/orders.parquet")
-    graft.table.MaterializedView.attach(spark, mvDef.mvPath)
+    graft.table.MaterializedView.attach(spark, demoMvPath)
     val (_, incremental) =
-      graft.table.MaterializedView.refresh(spark, mvDef.mvPath)
+      graft.table.MaterializedView.refresh(spark, demoMvPath)
     println(s"attach + refresh: incremental=$incremental (no base change)")
     graft.table.MaterializedView.drop(s"$sfDir/orders.parquet")
+
+    println("=== serving layer, round 10 ===")
+    // Multi-MV selection: the smaller of two lineitem rollups serves.
+    val cheapest = graft.table.MaterializedView.mvSelectCheapest(spark, sfDir)
+    println(s"cheapest-rollup serve scans: " +
+      graft.plans.PlanWalk.scannedFiles(cheapest).mkString("; "))
+    // Star-join MV: the orders ⋈ customer aggregate with the join ELIDED.
+    val joined = graft.table.MaterializedView.mvJoinRevenue(spark, sfDir)
+    println(s"star-join serve scans (no orders, no customer, no join): " +
+      graft.plans.PlanWalk.scannedFiles(joined).mkString("; "))
+    // Time hierarchy: month-grouping served from a (year, month) rollup.
+    graft.table.MaterializedView.mvMonthlyRevenue(spark, sfDir)
+      .orderBy("od_month").show(3, truncate = false)
+    // Advisor: one recommended rollup covers a three-query workload.
+    graft.table.MaterializedView.mvAdvisorRevenue(spark, sfDir)
+      .orderBy("o_orderstatus").show(truncate = false)
+    // Hybrid serve: an appended base answers correctly with NO refresh.
+    val hybrid = graft.table.MaterializedView.mvHybridServe(spark, sfDir)
+    println(s"hybrid serve (rollup + delta file only): " +
+      graft.plans.PlanWalk.scannedFiles(hybrid).mkString("; "))
 
     println("=== tokenizer prep: top BPE merge candidates ===")
     graft.operators.TextAnalysis.bpePairs(spark, sfDir).show(5, truncate = false)
