@@ -22,12 +22,15 @@ import graft.table.MaterializedView.MvDef
   *
   * Analysis walks each query's ANALYZED plan with the same shape matcher
   * the rule uses ([[MvPlanShape]]) — an advisor that matched more than
-  * the rule serves would recommend rollups that never fire. v1 scope:
-  * single-relation flat parquet bases (no joins/windows), measures the
-  * rule derives (sum/min/max/count/avg), groupings and filter sides that
-  * are plain columns or deterministic derived expressions (recorded as
-  * expression dims). Queries outside that scope are reported in
-  * `skipped`, not silently dropped — they keep running against the base.
+  * the rule serves would recommend rollups that never fire. Scope: flat
+  * parquet bases and STAR JOINS (one fact inner-equi-joined with
+  * dimension relations — queries merge into one recommendation only
+  * when their join structure is identical), measures the rule derives
+  * (sum/min/max/count/avg), groupings and filter sides that are plain
+  * columns or deterministic derived expressions (recorded as expression
+  * dims). Queries outside that scope (windows, snowflakes, distinct
+  * aggregates) are reported in `skipped`, not silently dropped — they
+  * keep running against the base.
   */
 object MvAdvisor {
 
@@ -43,7 +46,11 @@ object MvAdvisor {
       mins: Seq[(String, String)],
       maxs: Seq[(String, String)],
       counts: Seq[(String, String)],
-      queriesCovered: Int)
+      queriesCovered: Int,
+      // Star workloads: the dimension links (dimPath, factCol, dimCol);
+      // empty = flat base. Queries merge into one recommendation only
+      // when their join structure is identical.
+      joins: Seq[(String, String, String)] = Nil)
 
   final case class Advice(
       recommendations: Seq[Recommendation],
@@ -51,7 +58,7 @@ object MvAdvisor {
 
   private def lower(s: String): String = s.toLowerCase(Locale.ROOT)
 
-  /** Per-query shape; merged per base in [[analyze]]. */
+  /** Per-query shape; merged per (base, join structure) in [[analyze]]. */
   private final case class Shape(
       basePath: String,
       dims: Set[String],
@@ -59,7 +66,8 @@ object MvAdvisor {
       sums: Set[String],
       mins: Set[String],
       maxs: Set[String],
-      counts: Set[String])
+      counts: Set[String],
+      joins: Seq[(String, String, String)])
 
   private def shapeOf(df: DataFrame): Either[String, Shape] = {
     val aggs = df.queryExecution.analyzed.collect { case a: Aggregate => a }
@@ -76,16 +84,67 @@ object MvAdvisor {
     val pairs = mutable.Buffer.empty[(Attribute, Attribute)]
     if (!MvPlanShape.strip(agg.child, conds, windows, renames, rels, pairs))
       return scala.Left("plan shape outside the rewrite's matcher")
-    if (rels.length != 1 || pairs.nonEmpty || windows.nonEmpty)
-      return scala.Left("joins/windows not in advisor v1 scope")
-    val root = rels.head.relation match {
-      case f: HadoopFsRelation => f.location.rootPaths match {
-        case Seq(one) => one.toString
-        case _ => return scala.Left("multi-root scan")
+    if (windows.nonEmpty)
+      return scala.Left("windows not in advisor scope")
+    if (rels.isEmpty || (rels.length == 1) != pairs.isEmpty)
+      return scala.Left("unmatched join/relation structure")
+    def rootOf(lr: LogicalRelation): Either[String, String] =
+      lr.relation match {
+        case f: HadoopFsRelation => f.location.rootPaths match {
+          case Seq(one) => scala.Right(one.toString)
+          case _ => scala.Left("multi-root scan")
+        }
+        case _ => scala.Left("non-filesystem relation")
       }
-      case _ => return scala.Left("non-filesystem relation")
-    }
     val subst = MvPlanShape.substFn(renames)
+    def substAttr(a: Attribute): Option[Attribute] = subst(a) match {
+      case ar: Attribute => Some(ar)
+      case _ => None
+    }
+
+    // Star detection: one fact participating in EVERY pair, each other
+    // relation a dimension in exactly one pair — the shape createJoined
+    // builds and the rewrite's candidateJoined matches.
+    val (root, joins) =
+      if (rels.length == 1) {
+        rootOf(rels.head) match {
+          case scala.Right(r) => (r, Nil)
+          case scala.Left(e) => return scala.Left(e)
+        }
+      } else {
+        val owner: Map[ExprId, LogicalRelation] =
+          rels.flatMap(lr => lr.output.map(_.exprId -> lr)).toMap
+        val sides = pairs.toSeq.map { case (a, b) =>
+          (for {
+            x <- substAttr(a); y <- substAttr(b)
+            rx <- owner.get(x.exprId); ry <- owner.get(y.exprId)
+          } yield ((x, rx), (y, ry))) match {
+            case Some(s) => s
+            case None => return scala.Left("join key is not a plain column")
+          }
+        }
+        val byRel = sides.flatMap(s => Seq(s._1._2, s._2._2))
+          .groupBy(identity).view.mapValues(_.length).toMap
+        val fact = rels.find(r => byRel.getOrElse(r, 0) == pairs.length)
+          .getOrElse(return scala.Left("not a star join (no common fact)"))
+        val dimRels = rels.filterNot(_ eq fact)
+        if (dimRels.exists(r => byRel.getOrElse(r, 0) != 1))
+          return scala.Left("not a star join (dim in several conditions)")
+        val links = sides.map { case ((x, rx), (y, ry)) =>
+          val (fa, da, dr) =
+            if (rx eq fact) (x, y, ry)
+            else if (ry eq fact) (y, x, rx)
+            else return scala.Left("not a star join (dim-dim condition)")
+          rootOf(dr) match {
+            case scala.Right(dp) => (dp, lower(fa.name), lower(da.name))
+            case scala.Left(e) => return scala.Left(e)
+          }
+        }.sortBy(identity)
+        rootOf(fact) match {
+          case scala.Right(r) => (r, links)
+          case scala.Left(e) => return scala.Left(e)
+        }
+      }
     def norm(e: Expression): String = MaterializedView.normalize(subst(e))
 
     val dims = mutable.Set.empty[String]
@@ -140,7 +199,7 @@ object MvAdvisor {
       }
     }
     scala.Right(Shape(root, dims.toSet, edims.toSet,
-      sums.toSet, mins.toSet, maxs.toSet, counts.toSet))
+      sums.toSet, mins.toSet, maxs.toSet, counts.toSet, joins))
   }
 
   /** Short deterministic column name for a measure/dim SQL rendering. */
@@ -162,26 +221,30 @@ object MvAdvisor {
         case scala.Left(reason) => skipped += s"query $i: $reason"
       }
     }
-    val recs = shapes.groupBy(_.basePath).toSeq.sortBy(_._1).map {
-      case (base, ss) =>
-        val taken = mutable.Set.empty[String]
-        def named(prefix: String, sqls: Set[String]): Seq[(String, String)] =
-          sqls.toSeq.sorted.map(s => colName(prefix, s, taken) -> s)
-        Recommendation(
-          base,
-          ss.flatMap(_.dims).distinct.sorted.toSeq,
-          named("d", ss.flatMap(_.exprDims).toSet),
-          named("sum", ss.flatMap(_.sums).toSet),
-          named("min", ss.flatMap(_.mins).toSet),
-          named("max", ss.flatMap(_.maxs).toSet),
-          named("cnt", ss.flatMap(_.counts).toSet),
-          ss.length)
-    }
+    val recs = shapes.groupBy(s => (s.basePath, s.joins)).toSeq
+      .sortBy { case ((base, joins), _) => (base, joins.mkString("|")) }
+      .map {
+        case ((base, joins), ss) =>
+          val taken = mutable.Set.empty[String]
+          def named(prefix: String, sqls: Set[String]): Seq[(String, String)] =
+            sqls.toSeq.sorted.map(s => colName(prefix, s, taken) -> s)
+          Recommendation(
+            base,
+            ss.flatMap(_.dims).distinct.sorted.toSeq,
+            named("d", ss.flatMap(_.exprDims).toSet),
+            named("sum", ss.flatMap(_.sums).toSet),
+            named("min", ss.flatMap(_.mins).toSet),
+            named("max", ss.flatMap(_.maxs).toSet),
+            named("cnt", ss.flatMap(_.counts).toSet),
+            ss.length,
+            joins)
+      }
     Advice(recs, skipped.toSeq)
   }
 
-  /** Materialize one recommendation (flat base; the row count is always
-    * stored — count(*) queries and future incremental paths need it).
+  /** Materialize one recommendation (flat or star base; the row count is
+    * always stored — count(*) queries and future incremental paths need
+    * it).
     */
   def createRecommended(
       spark: SparkSession,
@@ -190,14 +253,26 @@ object MvAdvisor {
       mvPath: String): MvDef = {
     def cols(xs: Seq[(String, String)]): Seq[(String, Column)] =
       xs.map { case (c, sql) => c -> expr(sql) }
-    MaterializedView.create(
-      spark, name, rec.basePath, mvPath,
-      groupCols = rec.groupCols,
-      sums = cols(rec.sums),
-      mins = cols(rec.mins),
-      maxs = cols(rec.maxs),
-      countCol = Some("cnt"),
-      counts = cols(rec.counts),
-      exprDims = cols(rec.exprDims))
+    if (rec.joins.isEmpty)
+      MaterializedView.create(
+        spark, name, rec.basePath, mvPath,
+        groupCols = rec.groupCols,
+        sums = cols(rec.sums),
+        mins = cols(rec.mins),
+        maxs = cols(rec.maxs),
+        countCol = Some("cnt"),
+        counts = cols(rec.counts),
+        exprDims = cols(rec.exprDims))
+    else
+      MaterializedView.createJoined(
+        spark, name, rec.basePath, mvPath,
+        joins = rec.joins,
+        groupCols = rec.groupCols,
+        sums = cols(rec.sums),
+        mins = cols(rec.mins),
+        maxs = cols(rec.maxs),
+        countCol = Some("cnt"),
+        counts = cols(rec.counts),
+        exprDims = cols(rec.exprDims))
   }
 }

@@ -417,8 +417,50 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
 
+    // The rollup-side rendering of a DIM input expression, when the
+    // input is computable from stored dims: a bare dim attribute, a
+    // registered derived-dim subtree, or an expression over those. The
+    // set of DISTINCT VALUES of such an expression over the rollup rows
+    // equals its distinct set over the base (each base dim combination
+    // appears exactly once), so distinct-insensitive aggregates over it
+    // — min, max, count(distinct) — derive with NO stored measure.
+    def dimExpr(inner: Expression): Option[Expression] = {
+      def over(e: Expression): Option[Expression] = e match {
+        case a: Attribute =>
+          subst(a) match {
+            case ar: Attribute => dimAttr.get(lower(ar.name))
+            case defn => over(defn)
+          }
+        case leaf if leaf.children.isEmpty => Some(leaf)
+        case other =>
+          exprDimAttr.get(norm(other)).orElse {
+            val kids = other.children.map(over)
+            if (kids.forall(_.isDefined))
+              Some(other.withNewChildren(kids.map(_.get)))
+            else None
+          }
+      }
+      over(inner)
+    }
+
     def deriveAgg(ae: AggregateExpression): Option[Expression] = {
-      if (ae.isDistinct || ae.filter.isDefined) return None
+      if (ae.filter.isDefined) return None
+      if (ae.isDistinct) {
+        // DISTINCT aggregates over DIM expressions see the same distinct
+        // set on the rollup as on the base; anything else declines.
+        return ae.aggregateFunction match {
+          case Count(Seq(inner)) if !inner.foldable =>
+            dimExpr(inner).map(e =>
+              AggregateExpression(Count(Seq(e)), ae.mode, isDistinct = true))
+          case Sum(inner, mode) =>
+            dimExpr(inner).map { e =>
+              val re = AggregateExpression(
+                Sum(e, mode), ae.mode, isDistinct = true)
+              if (re.dataType == ae.dataType) re else Cast(re, ae.dataType)
+            }
+          case _ => None
+        }
+      }
       def resum(measureCol: Option[String], mk: Attribute => AggregateFunction) =
         measureCol.flatMap(mvAttr.get).map { a =>
           val re = mk(a).toAggregateExpression()
@@ -435,9 +477,13 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case Sum(inner, _) =>
           resum(mv.sums.get(norm(inner)), Sum(_))
         case Min(inner) =>
-          resum(mv.mins.get(norm(inner)), Min(_))
+          // Stored measure, or — min is distinct-insensitive — any dim
+          // expression directly over the rollup rows.
+          resum(mv.mins.get(norm(inner)), Min(_)).orElse(
+            dimExpr(inner).map(e => Min(e).toAggregateExpression()))
         case Max(inner) =>
-          resum(mv.maxs.get(norm(inner)), Max(_))
+          resum(mv.maxs.get(norm(inner)), Max(_)).orElse(
+            dimExpr(inner).map(e => Max(e).toAggregateExpression()))
         case c: Count if c.children.forall(e => e.foldable && e.eval() != null) =>
           // count(*) / count(1): the per-group row count is the SUM of the
           // stored partial counts. The non-null fold guard matters:

@@ -71,6 +71,46 @@ class MvAdvisorSpec extends SparkTestBase {
     assert(advice.recommendations.head.queriesCovered == 1)
   }
 
+  test("star workload: one joined recommendation; materializing serves both join queries") {
+    val dim = s"$sf0001/customer.parquet"
+    def jSeg = spark.read.parquet(base)
+      .join(spark.read.parquet(dim),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double")
+        .as("sum_price"))
+    def jStatus = spark.read.parquet(base)
+      .join(spark.read.parquet(dim),
+        col("c_custkey") === col("o_custkey"), "inner") // reversed sides
+      .filter(col("o_orderstatus") === "O")
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    val advice = MvAdvisor.analyze(Seq(jSeg, jStatus, qStatus))
+    assert(advice.skipped.isEmpty, advice.skipped.mkString("; "))
+    // Two recommendations: the star (2 queries) and the flat (1 query).
+    assert(advice.recommendations.length == 2)
+    val star = advice.recommendations.find(_.joins.nonEmpty).get
+    val flat = advice.recommendations.find(_.joins.isEmpty).get
+    assert(star.joins.map { case (p, f, d) => (f, d) } ==
+      Seq(("o_custkey", "c_custkey")))
+    assert(star.groupCols == Seq("c_mktsegment", "o_orderstatus"))
+    assert(star.queriesCovered == 2 && flat.queriesCovered == 1)
+    val direct = (jSeg.collect().toSet, jStatus.collect().toSet)
+    val work = Files.createTempDirectory("graft_advisor_star_").toString
+    MvAdvisor.createRecommended(spark, star, "advised_star", s"$work/mv")
+    try {
+      for ((q, label) <- Seq((jSeg, "seg"), (jStatus, "status"))) {
+        val paths = scannedPaths(q)
+        assert(paths.exists(_.contains("/mv")),
+          s"star query '$label' must serve from the joined rollup: $paths")
+        assert(!paths.exists(_.contains("orders.parquet")) &&
+          !paths.exists(_.contains("customer.parquet")), s"$label: $paths")
+      }
+      assert(jSeg.collect().toSet == direct._1)
+      assert(jStatus.collect().toSet == direct._2)
+    } finally MaterializedView.drop(star.basePath)
+  }
+
   test("q138 query shape: result equals direct aggregation at sf0.001") {
     val direct = qStatus.collect().toSet
     val viaMv = MaterializedView.mvAdvisorRevenue(spark, sf0001).collect().toSet

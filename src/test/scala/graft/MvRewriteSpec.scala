@@ -624,6 +624,47 @@ class MvRewriteSpec extends SparkTestBase {
     assert(viaMv == direct)
   }
 
+  test("distinct-insensitive aggregates over dims serve without stored measures") {
+    val base = copyBase()
+    val mvPath = Files.createTempDirectory("graft_mv_out_").toString + "/mv"
+    // count(distinct dim), min/max(dim) — the distinct set / extremes of
+    // a dim over the rollup rows equal those over the base.
+    def q = spark.read.parquet(base)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        min(col("o_orderpriority")).as("min_prio"),
+        max(col("o_orderpriority")).as("max_prio"),
+        sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double")
+          .as("sum_price"))
+    val direct = q.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getDouble(4))).toSet
+    try {
+      MaterializedView.create(
+        spark, "spec_mv_distinct", base, mvPath,
+        groupCols = Seq("o_orderstatus", "o_orderpriority"),
+        sums = Seq("sum_p" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+        countCol = Some("cnt"))
+      val served = q
+      assert(scannedPaths(served).exists(_.contains("/mv")),
+        "distinct/min/max over dims must serve from the rollup")
+      assert(served.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3),
+          r.getDouble(4))).toSet == direct)
+      // count(distinct NON-dim) must still decline.
+      val nonDim = spark.read.parquet(base)
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n"))
+      assert(scannedPaths(nonDim).exists(_.contains("orders.parquet")))
+      // avg(dim) is row-count-weighted — must decline too.
+      val avgDim = spark.read.parquet(base)
+        .groupBy(col("o_orderstatus"))
+        .agg(avg(col("o_custkey")).as("a"))
+      assert(scannedPaths(avgDim).exists(_.contains("orders.parquet")))
+    } finally MaterializedView.drop(base)
+  }
+
   test("q128 query shape: result equals direct aggregation at sf0.001") {
     val direct = rows(userQuery(s"$sf0001/orders.parquet"))
     val viaMv = rows(MaterializedView.mvRewriteRevenue(spark, sf0001))
