@@ -290,7 +290,7 @@ object UpsertOps {
     */
   def mvStreamMaintain(s: SparkSession, dir: String): DataFrame = {
     import graft.table.MaterializedView
-    val tmp = Files.createTempDirectory("graft_mv_stream_").toString
+    val tmp = MaterializedView.freshBenchWork("stream").toString
     val table = KeyedTable(morSpec(s"$tmp/events_keyed"))
     val ev = eventsUs(s, dir)
     // Seed with a DEFAULT-format commit id: the stream's batches commit

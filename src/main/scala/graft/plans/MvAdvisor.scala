@@ -76,7 +76,7 @@ object MvAdvisor {
       case Seq() => return scala.Left("no aggregate in plan")
       case _ => return scala.Left("multiple aggregates in plan (subqueries)")
     }
-    val conds = mutable.Buffer.empty[Expression]
+    val conds = mutable.Buffer.empty[(Expression, Int)]
     val windows = mutable.Buffer.empty[
       org.apache.spark.sql.catalyst.plans.logical.Window]
     val renames = mutable.Map.empty[ExprId, Expression]
@@ -161,7 +161,7 @@ object MvAdvisor {
     // Filter sides: a comparison against literals dimensionalizes its
     // non-literal side; anything else dimensionalizes its referenced
     // columns (conservative — a wider rollup, never a non-serving one).
-    conds.flatMap(MvPlanShape.splitConjunction).foreach { c =>
+    conds.map(_._1).flatMap(MvPlanShape.splitConjunction).foreach { c =>
       if (!c.deterministic) return scala.Left(s"non-deterministic filter: ${c.sql}")
       val sides: Seq[Expression] = c match {
         case b: BinaryComparison if b.right.foldable => Seq(b.left)

@@ -66,41 +66,12 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def stripSources(
       p: LogicalPlan,
-      conds: mutable.Buffer[Expression],
+      conds: mutable.Buffer[(Expression, Int)],
       windows: mutable.Buffer[Window],
       renames: mutable.Map[ExprId, Expression],
       rels: mutable.Buffer[LogicalRelation],
       pairs: mutable.Buffer[(Attribute, Attribute)]): Boolean =
     MvPlanShape.strip(p, conds, windows, renames, rels, pairs)
-
-  /** Datetime-extract family: single-argument, NULL iff the argument is
-    * NULL. The whitelist the null mirror trusts — conservative by
-    * construction (anything else declines).
-    */
-  private val NullPreservingFns = Set(
-    "year", "month", "day", "dayofmonth", "dayofweek", "dayofyear",
-    "hour", "minute", "second", "quarter", "weekofyear", "to_date",
-    "date_trunc" // (fmt literal, ts) handled below
-  )
-
-  /** The single underlying attribute of a PARSED derived-dim expression
-    * when every step is null-preserving (casts + the datetime extract
-    * family) — None for anything more complex.
-    */
-  private def nullChainAttr(e: Expression): Option[String] = e match {
-    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-      Some(lower(a.nameParts.last))
-    case c: Cast => nullChainAttr(c.child)
-    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-      if NullPreservingFns.contains(lower(f.nameParts.last)) =>
-      f.arguments match {
-        case Seq(one) => nullChainAttr(one)
-        case Seq(Literal(_, _), ts)
-          if lower(f.nameParts.last) == "date_trunc" => nullChainAttr(ts)
-        case _ => None
-      }
-    case _ => None
-  }
 
   /** All MVs registered over this base, in ascending serving cost
     * (rollup data bytes, recorded at build/refresh; unknown sorts last,
@@ -167,20 +138,28 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def admissibleConds(
       mv: MvDef,
       windows: Seq[Window],
-      conds: Seq[Expression]): Option[Seq[Expression]] = mv.keyedSpec match {
-    case None =>
-      if (windows.isEmpty) Some(conds) else None
-    case Some(spec) if !spec.retainHistory =>
-      if (windows.isEmpty) Some(conds) else None
-    case Some(spec) =>
-      windows match {
-        case Seq(w) =>
-          resolveRnOf(w, spec).flatMap { rn =>
-            val (rnConds, rest) = conds.partition(isRnEqOne(_, rn))
-            if (rnConds.length == 1) Some(rest) else None
-          }
-        case _ => None
-      }
+      conds: Seq[(Expression, Int)]): Option[Seq[Expression]] = {
+    // A filter BELOW the resolve window changes which row is latest per
+    // key — only above-window filters (depth 0) are the user predicates
+    // the rollup's resolved state can answer. (Flat/star paths require
+    // no windows at all, where every filter is depth 0 by construction.)
+    if (conds.exists(_._2 != 0)) return None
+    val exprs = conds.map(_._1)
+    mv.keyedSpec match {
+      case None =>
+        if (windows.isEmpty) Some(exprs) else None
+      case Some(spec) if !spec.retainHistory =>
+        if (windows.isEmpty) Some(exprs) else None
+      case Some(spec) =>
+        windows match {
+          case Seq(w) =>
+            resolveRnOf(w, spec).flatMap { rn =>
+              val (rnConds, rest) = exprs.partition(isRnEqOne(_, rn))
+              if (rnConds.length == 1) Some(rest) else None
+            }
+          case _ => None
+        }
+    }
   }
 
   /** Serving state under staleness — `None` declines; `Some(None)` means
@@ -200,44 +179,48 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * length+mtime signatures), any dim change on a star MV, and keyed
     * timeline drift all decline — those deltas are not append-shaped.
     */
-  private def servableDelta(
-      mv: MvDef): Option[Option[org.apache.spark.sql.DataFrame]] =
-    mv.keyedSpec match {
-      case Some(_) =>
-        if (KeyedTable.latestTimelineMarker(spark, mv.basePath) == mv.baseCommit)
-          Some(None)
-        else None
-      case None =>
-        val dimsFresh = mv.links.forall(l =>
-          MaterializedView.baseMtime(spark, l.dimPath) == l.dimMtime)
-        val factFresh =
-          MaterializedView.baseMtime(spark, mv.basePath) == mv.baseMtime
-        if (factFresh && dimsFresh) Some(None)
-        else if (!dimsFresh) None // a dim edit can rewrite every group
-        else {
-          val current = MaterializedView.listDataFiles(spark, mv.basePath)
-          val appendOnly = mv.files.nonEmpty &&
-            mv.files.forall { case (n, sig) => current.get(n).contains(sig) }
-          if (!appendOnly) None
+  private def servableDelta(mv: MvDef): Option[Option[Seq[String]]] =
+    try {
+      mv.keyedSpec match {
+        case Some(_) =>
+          if (KeyedTable.latestTimelineMarker(spark, mv.basePath) == mv.baseCommit)
+            Some(None)
+          else None
+        case None =>
+          // Dim freshness compares per-file SIGNATURES, not directory
+          // mtime — an in-place dim-file rewrite keeps the dir mtime but
+          // changes every group; dims are small by definition, so the
+          // listStatus is cheap. The FACT keeps the one-status-call fast
+          // path (its listing is deferred to an mtime mismatch; a true
+          // in-place fact rewrite between refreshes is the documented
+          // residual blind spot of the flat fast path — refresh's
+          // signature diff catches it).
+          val dimsFresh = mv.links.forall(l =>
+            MaterializedView.listDataFiles(spark, l.dimPath) == l.dimFiles)
+          if (!dimsFresh) None // a dim edit can rewrite every group
+          else if (MaterializedView.baseMtime(spark, mv.basePath) == mv.baseMtime)
+            Some(None)
           else {
-            val delta = (current.keySet -- mv.files.keySet).toSeq.sorted
-            if (delta.isEmpty) Some(None) // mtime-only change
+            val current = MaterializedView.listDataFiles(spark, mv.basePath)
+            val appendOnly = mv.files.nonEmpty &&
+              mv.files.forall { case (n, sig) => current.get(n).contains(sig) }
+            if (!appendOnly) None
             else {
-              import org.apache.spark.sql.functions.col
-              val deltaDf = spark.read.parquet(
-                delta.map(n => s"${mv.basePath}/$n"): _*)
-              val joined = mv.links.foldLeft(deltaDf) { (acc, l) =>
-                acc.join(spark.read.parquet(l.dimPath),
-                  col(l.factCol) === col(l.dimCol), "inner")
-              }
-              Some(Some(MaterializedView.buildRollup(joined, mv)))
+              val delta = (current.keySet -- mv.files.keySet).toSeq.sorted
+              if (delta.isEmpty) Some(None) // mtime-only change
+              else Some(Some(delta))
             }
           }
-        }
+      }
+    } catch {
+      // A concurrent refresh/writer racing the listing, a permission
+      // hiccup — never fail the user's query over a serving shortcut:
+      // decline and let it run against the base.
+      case scala.util.control.NonFatal(_) => None
     }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val conds = mutable.Buffer.empty[Expression]
+    val conds = mutable.Buffer.empty[(Expression, Int)]
     val windows = mutable.Buffer.empty[Window]
     val renames = mutable.Map.empty[ExprId, Expression]
     // Inline every recorded alias definition (chains terminate — a
@@ -278,8 +261,13 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         userConds.forall(_.deterministic) &&
         agg.aggregateExpressions.forall(_.deterministic)
       if (!ok) None
-      else servableDelta(mv).flatMap(delta =>
-        rewriteOnto(agg, userConds, mv, subst, delta))
+      else servableDelta(mv).flatMap { delta =>
+        // Never fail the query over a serving shortcut: a delta file
+        // vanishing under a concurrent refresh or an appended file with
+        // a drifted schema declines to the base scan.
+        try rewriteOnto(agg, userConds, mv, subst, delta)
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
     }
 
     rootsOpt.flatMap {
@@ -293,33 +281,44 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           }.collectFirst { case Some(p) => p }
       case roots if roots.length >= 2 && pairs.nonEmpty && windows.isEmpty =>
         // Star shape: match registered joined MVs whose source multiset
-        // {fact} ∪ {dims} and join-pair multiset equal the query's
-        // (pair sides unordered; names resolved through renames).
+        // {fact} ∪ {dims} and join-pair multiset equal the query's —
+        // with each pair side BOUND to the path of the relation that
+        // owns the attribute (names alone would let `fact.cust_id =
+        // products.id AND fact.prod_id = customers.id` match the MV of
+        // the opposite wiring when every dim keys its id column the
+        // same way). Sides stay unordered within a pair.
         val rootSet = roots.groupBy(identity).view.mapValues(_.length).toMap
-        val pairNames = pairs.toSeq.map { case (a, b) =>
-          for (x <- substAttr(a); y <- substAttr(b)) yield {
-            val (xn, yn) = (lower(x.name), lower(y.name))
-            if (xn <= yn) (xn, yn) else (yn, xn)
+        val ownerRoot: Map[ExprId, String] =
+          rels.toSeq.zip(roots).flatMap { case (lr, r) =>
+            lr.output.map(_.exprId -> r)
+          }.toMap
+        val pairKeys = pairs.toSeq.map { case (a, b) =>
+          for {
+            x <- substAttr(a); y <- substAttr(b)
+            rx <- ownerRoot.get(x.exprId); ry <- ownerRoot.get(y.exprId)
+          } yield {
+            val sx = (rx, lower(x.name)); val sy = (ry, lower(y.name))
+            if (sx.toString <= sy.toString) (sx, sy) else (sy, sx)
           }
         }
-        if (pairNames.exists(_.isEmpty)) None
+        if (pairKeys.exists(_.isEmpty)) None
         else {
-          val pairSet = pairNames.flatten
+          val pairSet = pairKeys.flatten
             .groupBy(identity).view.mapValues(_.length).toMap
           candidateJoined(rootSet, pairSet).iterator
-            .map(mv => derivesAgg(mv, conds.toSeq))
+            .map(mv => derivesAgg(mv, conds.toSeq.map(_._1)))
             .collectFirst { case Some(p) => p }
         }
       case _ => None
     }
   }
 
-  /** Joined MVs whose {fact, dims} source multiset and join-column pair
-    * multiset equal the query's, in ascending serving cost.
+  /** Joined MVs whose {fact, dims} source multiset and (path, column)
+    * join-pair multiset equal the query's, in ascending serving cost.
     */
   private def candidateJoined(
       rootSet: Map[String, Int],
-      pairSet: Map[(String, String), Int]): Seq[MvDef] =
+      pairSet: Map[((String, String), (String, String)), Int]): Seq[MvDef] =
     MaterializedView.all.toSeq
       .filter { mv =>
         mv.links.nonEmpty && {
@@ -327,8 +326,9 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             .groupBy(identity).view.mapValues(_.length).toMap
           val mvPairs = mv.links
             .map { l =>
-              val x = lower(l.factCol); val y = lower(l.dimCol)
-              if (x <= y) (x, y) else (y, x)
+              val sx = (mv.qualifiedBase, lower(l.factCol))
+              val sy = (l.qualifiedDim, lower(l.dimCol))
+              if (sx.toString <= sy.toString) (sx, sy) else (sy, sx)
             }
             .groupBy(identity).view.mapValues(_.length).toMap
           mvRoots == rootSet && mvPairs == pairSet
@@ -343,20 +343,27 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       conds: Seq[Expression],
       mv: MvDef,
       subst: Expression => Expression,
-      delta: Option[org.apache.spark.sql.DataFrame]): Option[LogicalPlan] = {
-    // Fresh analyzed scan of the rollup — unioned with the delta's
+      delta: Option[Seq[String]]): Option[LogicalPlan] = {
+    // Fresh analyzed scan of the rollup — unioned with the delta files'
     // partial rollup under the hybrid serve (columns aligned by name,
     // delta measures cast to the stored types so the union resolves).
     // Column pruning still runs (we are inside the operator-
     // optimization fixed point). LAZY so a decline on the measure
-    // lookups (the common near-miss) pays no rollup analysis / file
-    // listing.
+    // lookups (the common near-miss) pays no rollup analysis and no
+    // delta parquet footer reads.
     lazy val mvPlan = {
       import org.apache.spark.sql.functions.col
       val mvDf = spark.read.parquet(mv.mvPath)
       val served = delta match {
         case None => mvDf
-        case Some(dr) =>
+        case Some(files) =>
+          val deltaDf = spark.read.parquet(
+            files.map(n => s"${mv.basePath}/$n"): _*)
+          val joined = mv.links.foldLeft(deltaDf) { (acc, l) =>
+            acc.join(spark.read.parquet(l.dimPath),
+              col(l.factCol) === col(l.dimCol), "inner")
+          }
+          val dr = MaterializedView.buildRollup(joined, mv)
           val types = mvDf.schema.fields.map(f => f.name -> f.dataType).toMap
           mvDf.unionByName(dr.select(
             mvDf.columns.toSeq.map(c => col(c).cast(types(c)).as(c)): _*))
@@ -377,20 +384,15 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       mv.exprDims.flatMap { case (sql, c) => mvAttr.get(lower(c)).map(sql -> _) }
 
     // base attribute name → a rollup derived-dim column that is NULL iff
-    // the base attribute is (a chain of null-preserving unary steps over
-    // exactly that attribute). Serves the `IsNotNull(col)` conjuncts the
-    // optimizer infers from derived-dim filters: `isnotnull(o_orderdate)`
-    // becomes `isnotnull(od_month)` — same rows, computable from the
-    // rollup.
+    // the base attribute is. Eligibility was decided at CREATE time from
+    // the RESOLVED tree (typed datetime casts + the extract family —
+    // string→date casts excluded, they NULL unparseable non-null input)
+    // and travels in the definition. Serves the `IsNotNull(col)`
+    // conjuncts the optimizer infers from derived-dim filters.
     lazy val nullMirror: Map[String, Attribute] =
-      mv.exprDims.toSeq.flatMap { case (sql, c) =>
-        for {
-          parsed <- scala.util.Try(
-            spark.sessionState.sqlParser.parseExpression(sql)).toOption
-          an <- nullChainAttr(parsed)
-          at <- mvAttr.get(lower(c))
-        } yield an -> at
-      }.toMap
+      mv.nullMirrors.flatMap { case (an, c) =>
+        mvAttr.get(lower(c)).map(an -> _)
+      }
 
     // avg(e) = re-sum(sum_e) / re-sum(cnt_e), replicating Average's own
     // evaluate shape per input type so the derived value is bit-identical

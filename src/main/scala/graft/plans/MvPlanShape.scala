@@ -29,7 +29,7 @@ object MvPlanShape {
 
   private[plans] def strip(
       p: LogicalPlan,
-      conds: mutable.Buffer[Expression],
+      conds: mutable.Buffer[(Expression, Int)],
       windows: mutable.Buffer[Window],
       renames: mutable.Map[ExprId, Expression],
       rels: mutable.Buffer[LogicalRelation],
@@ -45,7 +45,12 @@ object MvPlanShape {
       }
       strip(c, conds, windows, renames, rels, pairs)
     case Filter(cond, c) =>
-      conds += cond; strip(c, conds, windows, renames, rels, pairs)
+      // Filters tag the number of windows already seen ABOVE them: a
+      // filter BELOW a window is not interchangeable with one above it
+      // (the window computes over the filtered subset), and consumers
+      // must be able to tell them apart.
+      conds += ((cond, windows.size))
+      strip(c, conds, windows, renames, rels, pairs)
     case w: Window =>
       windows += w; strip(w.child, conds, windows, renames, rels, pairs)
     case wgl: WindowGroupLimit =>

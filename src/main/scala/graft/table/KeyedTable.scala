@@ -89,6 +89,16 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       spark: SparkSession, commitTime: String, action: String): Unit =
     KeyedTable.recordTimeline(spark, spec.path, commitTime, action)
 
+  /** Refuse a commit id already on the timeline BEFORE any data is
+    * written — recordTimeline re-checks post-write, but failing there
+    * would leave data without a marker.
+    */
+  private def requireFreshCommitId(spark: SparkSession, commitTime: String): Unit =
+    require(!KeyedTable.timelineMarkers(spark, spec.path)
+      .exists(m => KeyedTable.markerCommit(m) == commitTime),
+      s"commit id '$commitTime' is already on the timeline of " +
+        s"${spec.path}; every commit needs a distinct id")
+
   def exists(spark: SparkSession): Boolean = {
     val p = new Path(spec.path)
     val f = fs(spark)
@@ -494,6 +504,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   def upsertBloomIndexed(
       spark: SparkSession, batch: DataFrame,
       commitTime: String = defaultCommitTime()): Unit = {
+    requireFreshCommitId(spark, commitTime)
     require(!spec.retainHistory,
       "bloom-indexed upsert is a copy-on-write path; retainHistory tables append")
     require(!spec.globalKeys,
@@ -1201,7 +1212,25 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       "the state-delta feed requires retainHistory=true: the before state " +
         "needs the key's superseded versions to still exist")
     val raw = readRaw(spark)
-    val upTo = endCommit.fold(raw)(e => raw.filter(col(CommitTimeCol) <= e))
+    // Commit boundaries follow TIMELINE order (the sequence prefix), not
+    // raw id-string order: tables legitimately mix id formats (explicit
+    // "c0"-style data commits, generated "2026…" service commits), and
+    // "20260814…" <= "c0" is true as a string — a `CommitTimeCol <= c`
+    // filter would then put NEWER versions in the before-image and emit
+    // an empty/wrong delta. When the ids on the timeline happen to sort
+    // identically as strings (the uniform-format case), the cheap range
+    // predicate is exact and is kept; otherwise membership in the
+    // timeline-ordered prefix replaces it. A boundary id not on the
+    // timeline falls back to the range predicate (pre-timeline callers).
+    val timelineIds = KeyedTable.timelineMarkers(spark, spec.path)
+      .map(KeyedTable.markerCommit)
+    val orderConsistent = timelineIds == timelineIds.sorted
+    def atOrBefore(c: String): Column = {
+      val i = timelineIds.lastIndexOf(c)
+      if (orderConsistent || i < 0) col(CommitTimeCol) <= c
+      else col(CommitTimeCol).isin(timelineIds.take(i + 1).distinct: _*)
+    }
+    val upTo = endCommit.fold(raw)(e => raw.filter(atOrBefore(e)))
     val userCols = SchemaEvolution.dropSystemColumns(upTo).columns.toSeq
     val scope =
       if (spec.globalKeys) spec.keyCols
@@ -1212,7 +1241,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     val ord = struct(
       ((spec.precombineCol +: spec.tiebreakCols) :+ CommitTimeCol).map(col): _*)
     val payload = struct(userCols.map(col): _*)
-    val inBefore = col(CommitTimeCol) <= lit(sinceCommit)
+    val inBefore = atOrBefore(sinceCommit)
     val j = upTo.groupBy(scope.map(col): _*).agg(
       max_by(payload, ord).as("_graft_after"),
       max_by(when(inBefore, payload), when(inBefore, ord)).as("_graft_before"))
@@ -1518,6 +1547,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * uniqueness; a later upsert collapses any duplicates (latest wins).
     */
   def insert(spark: SparkSession, batch: DataFrame, commitTime: String = defaultCommitTime()): Unit = {
+    requireFreshCommitId(spark, commitTime)
     if (isEvolved(spark)) {
       evolvedAppend(spark, batch, commitTime, dedup = false)
       recordCommit(spark, commitTime, "insert")
@@ -1557,6 +1587,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * rewrite — rather than silently corrupting the table's readability.
     */
   def bulkInsert(spark: SparkSession, batch: DataFrame, commitTime: String = defaultCommitTime()): Unit = {
+    requireFreshCommitId(spark, commitTime)
     if (isEvolved(spark)) {
       evolvedAppend(spark, batch, commitTime, dedup = false)
       recordCommit(spark, commitTime, "bulkinsert")
@@ -1666,6 +1697,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * those is its own shuffle).
     */
   def upsert(spark: SparkSession, batch: DataFrame, commitTime: String = defaultCommitTime()): Unit = {
+    requireFreshCommitId(spark, commitTime)
     if (isEvolved(spark)) {
       evolvedAppend(spark, batch, commitTime, dedup = true)
       recordCommit(spark, commitTime, "upsert")
@@ -1761,11 +1793,29 @@ object KeyedTable {
 
   def apply(spec: KeyedTableSpec): KeyedTable = new KeyedTable(spec)
 
-  def defaultCommitTime(): String =
-    java.time.format.DateTimeFormatter
+  private val commitTimeLock = new Object
+  private var lastIssuedCommitTime = ""
+
+  /** Millisecond timestamp id, STRICTLY MONOTONIC per JVM: two mutators
+    * landing in the same millisecond would otherwise mint the same id,
+    * and a duplicated commit id conflates two commits everywhere a
+    * consumer groups or bounds by `CommitTimeCol`. Spins to the next
+    * millisecond (bounded sub-ms wait) rather than suffixing — every
+    * consumer treats the id as an opaque sortable string, and a suffix
+    * would break the fixed-width format's sort.
+    */
+  def defaultCommitTime(): String = commitTimeLock.synchronized {
+    val fmt = java.time.format.DateTimeFormatter
       .ofPattern("yyyyMMddHHmmssSSS")
       .withZone(java.time.ZoneOffset.UTC)
-      .format(java.time.Instant.now())
+    var c = fmt.format(java.time.Instant.now())
+    while (c <= lastIssuedCommitTime) {
+      Thread.sleep(0, 200000) // 0.2 ms — at most ~5 spins
+      c = fmt.format(java.time.Instant.now())
+    }
+    lastIssuedCommitTime = c
+    c
+  }
 
   // ---- commit timeline (Hudi's `.hoodie` timeline, reduced to what the
   // engine's consumers need) ---------------------------------------------
@@ -1818,8 +1868,18 @@ object KeyedTable {
     while (!done && attempts < 32) {
       attempts += 1
       val existing = fs.listStatus(dir).map(_.getPath.getName).sorted
-      if (existing.lastOption.exists(n => parseMarker(n) == (commitTime, action))) {
+      if (existing.exists(n => parseMarker(n) == (commitTime, action))) {
         done = true // delegated path already recorded this commit
+      } else if (existing.exists(n => parseMarker(n)._1 == commitTime)) {
+        // The id is already on the timeline under a different commit:
+        // consumers group and bound by the commit-time COLUMN, so a
+        // duplicated id would conflate two commits in every incremental
+        // read. Default ids are monotonic per JVM; explicit ids must be
+        // fresh per commit.
+        throw new IllegalArgumentException(
+          s"commit id '$commitTime' is already on the timeline at " +
+            s"$dir under a different action; every commit needs a " +
+            "distinct id")
       } else {
         val seq = existing.lastOption
           .map(_.takeWhile(_.isDigit).toLong + 1).getOrElse(1L)

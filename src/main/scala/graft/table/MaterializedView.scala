@@ -113,7 +113,14 @@ object MaterializedView {
       // hierarchy shape. Stored computed in the rollup; the rewrite
       // matches a query's grouping/filter SUBTREES against these by the
       // same normalized-SQL discipline as measures.
-      exprDims: Map[String, String] = Map.empty) {
+      exprDims: Map[String, String] = Map.empty,
+      // base column (lowercase) → derived-dim rollup column that is NULL
+      // iff that column is. Decided at CREATE time from the RESOLVED
+      // expression tree (typed datetime casts + the extract family —
+      // a string→date cast NULLs unparseable non-null input and is
+      // excluded), so the rewrite can serve optimizer-inferred
+      // `isnotnull(col)` conjuncts soundly.
+      nullMirrors: Map[String, String] = Map.empty) {
     /** All rollup dimension column names, plain then derived. */
     def dimCols: Seq[String] = groupCols ++ exprDims.values.toSeq
   }
@@ -311,6 +318,30 @@ object MaterializedView {
         dimMtime = baseMtime(spark, dimPath),
         dimFiles = listDataFiles(spark, dimPath))
     }
+    // Global name uniqueness FIRST (schema-only check): dims and
+    // measures resolve by bare column name across the whole star; a
+    // fact/dim name collision would let a query's fact-side column
+    // silently match a dim-side rollup column.
+    val factCols = spark.read.parquet(factPath).columns.toSeq
+    val dimCols = links.map(l => spark.read.parquet(l.dimPath).columns.toSeq)
+    val allCols = (factCols ++ dimCols.flatten)
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+    val dup = allCols.groupBy(identity).collect { case (c, xs) if xs.length > 1 => c }
+    require(dup.isEmpty,
+      s"star MV requires globally unique column names; duplicated: " +
+        dup.toSeq.sorted.mkString(", "))
+    // Side ownership: factCol must live on the accumulated left side and
+    // dimCol on its dimension — the rewrite matches pairs BY owning
+    // path, so a reversed registration would never fire (and could
+    // never be told apart from the opposite wiring).
+    links.zip(dimCols).foldLeft(factCols) { case (accCols, (l, dc)) =>
+      def has(cs: Seq[String], c: String) = cs.exists(_.equalsIgnoreCase(c))
+      require(has(accCols, l.factCol) && has(dc, l.dimCol),
+        s"join link (${l.dimPath}, ${l.factCol}, ${l.dimCol}): factCol " +
+          "must be a fact-side column and dimCol a column of that " +
+          "dimension (swap them if reversed)")
+      accCols ++ dc
+    }
     val base = joinedBase(spark, factPath, links)
     val d0 = defOf(spark, base, name, factPath, mvPath, groupCols,
       sums, mins, maxs, countCol, counts, exprDims)
@@ -423,7 +454,48 @@ object MaterializedView {
       qualify(spark, basePath),
       counts.map { case (n, c) => measureKey(base, c) -> n }.toMap,
       exprDims = exprDims
-        .map { case (n, c) => measureKey(base, c) -> n }.toMap)
+        .map { case (n, c) => measureKey(base, c) -> n }.toMap,
+      nullMirrors = exprDims.flatMap { case (n, c) =>
+        nullChainAttr(resolvedExpr(base, c)).map(_ -> n)
+      }.toMap)
+  }
+
+  /** The resolved expression of a Column over the base (Alias peeled). */
+  private def resolvedExpr(base: DataFrame, c: Column): Expression =
+    base.select(c).queryExecution.analyzed.expressions.head match {
+      case a: Alias => a.child
+      case e => e
+    }
+
+  /** The single underlying attribute (lowercase) of a RESOLVED derived-
+    * dim tree when every step is NULL-iff-argument-NULL: the datetime
+    * extract family, date truncation, and casts whose INPUT is already a
+    * datetime type (total). A string→date/timestamp cast is excluded —
+    * it NULLs unparseable non-null input.
+    */
+  private def nullChainAttr(e: Expression): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast => CCast}
+    import org.apache.spark.sql.catalyst.expressions.{DayOfMonth, DayOfWeek, DayOfYear, Hour, Minute, Month, Quarter, Second, TruncDate, TruncTimestamp, WeekOfYear, Year}
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    e match {
+      case a: AttributeReference =>
+        Some(a.name.toLowerCase(java.util.Locale.ROOT))
+      case c: CCast if Seq(DateType, TimestampType, TimestampNTZType)
+        .contains(c.child.dataType) => nullChainAttr(c.child)
+      case Year(x) => nullChainAttr(x)
+      case Month(x) => nullChainAttr(x)
+      case DayOfMonth(x) => nullChainAttr(x)
+      case DayOfWeek(x) => nullChainAttr(x)
+      case DayOfYear(x) => nullChainAttr(x)
+      case Hour(x, _) => nullChainAttr(x)
+      case Minute(x, _) => nullChainAttr(x)
+      case Second(x, _) => nullChainAttr(x)
+      case Quarter(x) => nullChainAttr(x)
+      case WeekOfYear(x) => nullChainAttr(x)
+      case TruncDate(x, _) => nullChainAttr(x)
+      case TruncTimestamp(_, x, _) => nullChainAttr(x)
+      case _ => None
+    }
   }
 
   /** The rollup aggregate for a definition, built from the STORED
@@ -633,10 +705,15 @@ object MaterializedView {
     } else if ((actions -- KeyedTable.LayoutActions)
       .subsetOf(Set("insert", "bulkinsert"))) {
       // COW inserts are pure row appends; rows keep their commit times,
-      // so the delta is a commit-time filter on the raw frame.
+      // so the delta is exactly the rows of the NEW insert commits —
+      // selected by id MEMBERSHIP (the timeline names them), never by
+      // string range, which mixed id formats would corrupt.
+      val newDataIds = since
+        .filter(m => !KeyedTable.LayoutActions.contains(KeyedTable.markerAction(m)))
+        .map(KeyedTable.markerCommit).distinct
       val delta = SchemaEvolution.dropSystemColumns(
         table.readRaw(spark)
-          .filter(col(KeyedTable.CommitTimeCol) > sinceCommit))
+          .filter(col(KeyedTable.CommitTimeCol).isin(newDataIds: _*)))
       publish(spark, d2,
         Some(mergeRollup(spark.read.parquet(d.mvPath),
           buildRollup(delta, d), d)))
@@ -767,6 +844,7 @@ object MaterializedView {
       s"mtime\t${d.baseMtime}",
       s"dims\t${d.groupCols.map(enc).mkString(",")}") ++
       d.exprDims.map { case (sql, c) => s"edim\t${enc(c)}\t${enc(sql)}" } ++
+      d.nullMirrors.map { case (a, c) => s"nmir\t${enc(a)}\t${enc(c)}" } ++
       d.sums.map { case (sql, c) => s"sum\t${enc(c)}\t${enc(sql)}" } ++
       d.mins.map { case (sql, c) => s"min\t${enc(c)}\t${enc(sql)}" } ++
       d.maxs.map { case (sql, c) => s"max\t${enc(c)}\t${enc(sql)}" } ++
@@ -821,6 +899,7 @@ object MaterializedView {
     val maxs = Map.newBuilder[String, String]
     val cnts = Map.newBuilder[String, String]
     val edims = Map.newBuilder[String, String]
+    val nmirs = Map.newBuilder[String, String]
     val files = Map.newBuilder[String, FileSig]
     def list(v: String): Seq[String] =
       v.split(',').toSeq.filter(_.nonEmpty).map(dec)
@@ -834,6 +913,7 @@ object MaterializedView {
         case Array("dims", v) => dims = v.split(',').toSeq.filter(_.nonEmpty).map(dec)
         case Array("dims") => dims = Seq.empty // expression-dims-only MV
         case Array("edim", c, sql) => edims += dec(sql) -> dec(c)
+        case Array("nmir", a, c) => nmirs += dec(a) -> dec(c)
         case Array("sum", c, sql) => sums += dec(sql) -> dec(c)
         case Array("min", c, sql) => mins += dec(sql) -> dec(c)
         case Array("max", c, sql) => maxs += dec(sql) -> dec(c)
@@ -875,7 +955,7 @@ object MaterializedView {
       cnts.result(), keyedSpec.map(_.copy(path = base)), commit,
       links.zipWithIndex.map { case (l, i) =>
         l.copy(dimFiles = jfiles.get(i).map(_.toMap).getOrElse(Map.empty))
-      }.toSeq, bytes, edimsMap)
+      }.toSeq, bytes, edimsMap, nmirs.result())
     register(d)
     d
   }
@@ -894,7 +974,7 @@ object MaterializedView {
   private val benchWork =
     TrieMap.empty[String, java.nio.file.Path]
 
-  private def freshBenchWork(key: String): java.nio.file.Path = {
+  private[graft] def freshBenchWork(key: String): java.nio.file.Path = {
     benchWork.remove(key).foreach { p =>
       org.apache.commons.io.FileUtils.deleteQuietly(p.toFile); ()
     }
@@ -989,7 +1069,7 @@ object MaterializedView {
     * state of a two-commit MoR events table, maintained incrementally.
     */
   def mvKeyedRefresh(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_mv_keyed_").toString
+    val tmp = freshBenchWork("keyed").toString
     val table = KeyedTable(KeyedTableSpec(
       path = s"$tmp/events_keyed",
       keyCols = Seq("user_id"),
@@ -1061,7 +1141,7 @@ object MaterializedView {
     * incremental refresh.
     */
   def mvKeyedMinMax(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_mv_minmax_").toString
+    val tmp = freshBenchWork("minmax").toString
     val table = KeyedTable(KeyedTableSpec(
       path = s"$tmp/events_keyed",
       keyCols = Seq("user_id"),

@@ -211,6 +211,87 @@ class JoinedMvSpec extends SparkTestBase {
     } finally MaterializedView.drop(fact)
   }
 
+  test("cross-wired star joins decline; colliding column names refuse at create") {
+    val work = Files.createTempDirectory("graft_jmv_wire_")
+    import spark.implicits._
+    val fact = work.resolve("fact.parquet").toString
+    Seq((1L, 10L, 5.0), (2L, 20L, 7.0))
+      .toDF("cust_id", "prod_id", "v").write.parquet(fact)
+    val customers = work.resolve("customers.parquet").toString
+    Seq((1L, "gold"), (2L, "basic"))
+      .toDF("c_id", "c_tier").write.parquet(customers)
+    val products = work.resolve("products.parquet").toString
+    Seq((10L, "toy"), (20L, "tool"))
+      .toDF("p_id", "p_kind").write.parquet(products)
+    val mvPath = work.resolve("mv").toString
+    try {
+      MaterializedView.createJoined(
+        spark, "wired", fact, mvPath,
+        joins = Seq((customers, "cust_id", "c_id"), (products, "prod_id", "p_id")),
+        groupCols = Seq("c_tier", "p_kind"),
+        sums = Seq("sum_v" -> col("v")),
+        countCol = Some("cnt"))
+      // The REGISTERED wiring serves.
+      val good = spark.read.parquet(fact)
+        .join(spark.read.parquet(customers), col("cust_id") === col("c_id"))
+        .join(spark.read.parquet(products), col("prod_id") === col("p_id"))
+        .groupBy(col("c_tier")).agg(sum(col("v")).as("s"))
+      assert(scannedPaths(good).exists(_.contains("/mv")))
+      // The OPPOSITE wiring (cust_id ⋈ products, prod_id ⋈ customers) is
+      // a different relation with the same name multiset — must decline.
+      val crossed = spark.read.parquet(fact)
+        .join(spark.read.parquet(customers), col("prod_id") === col("c_id"))
+        .join(spark.read.parquet(products), col("cust_id") === col("p_id"))
+        .groupBy(col("c_tier")).agg(sum(col("v")).as("s"))
+      assert(scannedPaths(crossed).exists(_.contains("fact.parquet")),
+        "a cross-wired join must not be served from the rollup")
+      // Reversed side registration fails fast.
+      val e1 = intercept[IllegalArgumentException] {
+        MaterializedView.createJoined(
+          spark, "reversed", fact, work.resolve("mv2").toString,
+          joins = Seq((customers, "c_id", "cust_id")),
+          groupCols = Seq("c_tier"), sums = Seq("s" -> col("v")))
+      }
+      assert(e1.getMessage.contains("factCol"))
+      // A fact/dim column-name collision fails fast (dims and measures
+      // resolve by bare name across the star).
+      val dup = work.resolve("dup.parquet").toString
+      Seq((1L, "x")).toDF("cust_id", "d").write.parquet(dup)
+      val e2 = intercept[IllegalArgumentException] {
+        MaterializedView.createJoined(
+          spark, "collide", fact, work.resolve("mv3").toString,
+          joins = Seq((dup, "cust_id", "cust_id")),
+          groupCols = Seq("d"), sums = Seq("s" -> col("v")))
+      }
+      assert(e2.getMessage.contains("unique column names"))
+    } finally MaterializedView.drop(fact)
+  }
+
+  test("an in-place dim-file rewrite declines the serve (signatures, not dir mtime)") {
+    val (fact, dim) = copyTables()
+    try {
+      mkMv(fact, dim)
+      assert(scannedPaths(joinAgg(fact, dim)).exists(_.contains("/mv")))
+      Thread.sleep(1100)
+      // Overwrite the dim part file IN PLACE: same name, dir mtime
+      // unchanged (no create/delete) — only the per-file signature sees
+      // it.
+      val victim = Files.list(Paths.get(dim))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val halved = spark.read.parquet(dim).limit(50)
+      val stage = Files.createTempDirectory("graft_jmv_half_").toString
+      halved.coalesce(1).write.mode("overwrite").parquet(stage)
+      val newFile = Files.list(Paths.get(stage))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(newFile, victim,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val after = joinAgg(fact, dim)
+      assert(scannedPaths(after).exists(_.contains("orders.parquet")),
+        "a rewritten dim file must decline the rollup serve")
+      assert(rows(after) == direct(fact, dim))
+    } finally MaterializedView.drop(fact)
+  }
+
   test("q136 query shape: result equals direct join aggregation at sf0.001") {
     val directRows = rows(joinAgg(
       s"$sf0001/orders.parquet", s"$sf0001/customer.parquet"))

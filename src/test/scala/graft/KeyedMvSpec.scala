@@ -373,6 +373,39 @@ class KeyedMvSpec extends SparkTestBase {
     } finally MaterializedView.drop(t.spec.path)
   }
 
+  test("mixed commit-id formats refresh correctly (timeline order, not string order)") {
+    // Seed with an explicit "c0"-style id, then commit the update batch
+    // under a GENERATED id ("2026…"), which sorts BEFORE "c0" as a
+    // string. The state-delta boundary must follow timeline order, or
+    // the newer versions land in the before-image and the refresh
+    // silently writes nothing while re-arming as fresh.
+    val t = morTable()
+    t.upsert(spark, c0, commitTime = "c0")
+    val mvPath = mvOver(t)
+    try {
+      t.upsert(spark, c1) // default-format commit id
+      val (_, incremental) = MaterializedView.refresh(spark, mvPath)
+      assert(incremental)
+      val served = q(t)
+      assert(scannedPaths(served).exists(_.contains("rollup_mv")))
+      assert(rows(served) == direct(t),
+        "mixed-format ids must not corrupt the incremental delta")
+      assert(rows(served).contains(("view", Some(50.0), 3L)))
+    } finally MaterializedView.drop(t.spec.path)
+  }
+
+  test("duplicate commit ids are refused; default ids are monotonic") {
+    val t = morTable()
+    t.upsert(spark, c0, commitTime = "c0")
+    val e = intercept[IllegalArgumentException] {
+      t.upsert(spark, c1, commitTime = "c0")
+    }
+    assert(e.getMessage.contains("distinct id"))
+    val ids = (1 to 5).map(_ => KeyedTable.defaultCommitTime())
+    assert(ids == ids.sorted && ids.distinct == ids,
+      s"default ids must be strictly monotonic: $ids")
+  }
+
   test("q131 query shape: refreshed keyed MV equals the direct aggregate") {
     val viaMv = MaterializedView.mvKeyedRefresh(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet

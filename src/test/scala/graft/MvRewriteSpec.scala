@@ -570,6 +570,52 @@ class MvRewriteSpec extends SparkTestBase {
     } finally MaterializedView.drop(base)
   }
 
+  test("string-date derived dims get no null mirror: isnotnull over garbage declines") {
+    // month(cast(string AS date)) NULLs unparseable NON-null input, so
+    // `isnotnull(raw)` is NOT answerable from the derived dim — rows
+    // holding garbage must survive an isnotnull filter.
+    val work = Files.createTempDirectory("graft_mv_strdate_")
+    val base = work.toString + "/ev.parquet"
+    spark.createDataFrame(Seq(
+      ("2024-01-03", 1L), ("2024-02-07", 2L), ("n/a", 3L),
+      (null.asInstanceOf[String], 4L)))
+      .toDF("d_str", "v").coalesce(1).write.parquet(base)
+    // try_cast: ANSI's plain string→date cast THROWS on garbage; the
+    // null-ing variant is where the mirror hazard lives.
+    def q = spark.read.parquet(base)
+      .filter(col("d_str").isNotNull)
+      .groupBy(month(expr("TRY_CAST(d_str AS DATE)")).as("m"))
+      .agg(count(lit(1)).as("n"))
+    val direct = q.collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)), r.getLong(1)))
+      .toSet
+    val mvPath = work.toString + "/mv"
+    try {
+      val d = MaterializedView.create(
+        spark, "spec_mv_strdate", base, mvPath,
+        groupCols = Nil,
+        sums = Seq("sum_v" -> col("v")),
+        countCol = Some("cnt"),
+        exprDims = Seq("m" -> month(expr("TRY_CAST(d_str AS DATE)"))))
+      assert(d.nullMirrors.isEmpty,
+        "a string→date cast must not qualify as a null mirror")
+      val served = q
+      assert(scannedPaths(served).exists(_.contains("ev.parquet")),
+        "isnotnull over the raw string column must decline to the base")
+      assert(q.collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)), r.getLong(1)))
+        .toSet == direct)
+      assert(direct.contains((None, 1L)),
+        "sanity: the garbage row groups under month NULL and must survive")
+      // WITHOUT the isnotnull filter the derived-dim grouping still
+      // serves from the rollup.
+      val plain = spark.read.parquet(base)
+        .groupBy(month(expr("TRY_CAST(d_str AS DATE)")).as("m"))
+        .agg(count(lit(1)).as("n"))
+      assert(scannedPaths(plain).exists(_.contains("/mv")))
+    } finally MaterializedView.drop(base)
+  }
+
   test("q137 query shape: result equals direct aggregation at sf0.001") {
     val direct = spark.read.parquet(s"$sf0001/orders.parquet")
       .filter(month(col("o_orderdate")) <= 6)
