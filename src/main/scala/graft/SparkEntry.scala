@@ -164,7 +164,8 @@ object SparkEntry {
     "q137_mv_time" -> (table.MaterializedView.mvMonthlyRevenue(_, _)),
     "q138_mv_advisor" -> (table.MaterializedView.mvAdvisorRevenue(_, _)),
     "q139_mv_hybrid" -> (table.MaterializedView.mvHybridServe(_, _)),
-    "q140_mv_rollup" -> (table.MaterializedView.mvRollupServe(_, _))
+    "q140_mv_rollup" -> (table.MaterializedView.mvRollupServe(_, _)),
+    "q141_mv_advisor_star" -> (table.MaterializedView.mvAdvisorStar(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -793,6 +794,15 @@ object SparkEntry {
          |       ${dsum("l_quantity")} AS sum_qty
          |FROM lineitem
          |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    // served from the advisor-recommended STAR rollup (one joined
+    // recommendation covers the two-query workload; serving assertions
+    // in MvAdvisorSpec — the oracle checks this query's answer)
+    "q141_mv_advisor_star" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     // dHash from the closed-form pixels: 2x2 red-channel sums -> 8x8
     // cells, bit (r,c) = cell < right-neighbor; CASTs keep DuckDB's
     // HUGEINT sums out of the schema compare

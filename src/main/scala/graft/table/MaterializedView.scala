@@ -154,11 +154,24 @@ object MaterializedView {
     registry.put((d.basePath, d.name), d)
 
   /** Normalized rendering of a resolved expression: attribute references
-    * collapse to their bare lowercase name, so plan-side and
-    * registration-side renderings compare equal regardless of exprIds or
-    * qualifiers.
+    * collapse to their bare lowercase name, and IDENTITY casts (target
+    * type = input type) are elided — the optimizer's SimplifyCasts
+    * removes them on the plan side, so a registration rendered with the
+    * redundant cast would never match. Plan-side and registration-side
+    * renderings then compare equal regardless of exprIds, qualifiers,
+    * or redundant casts.
     */
   def normalize(e: Expression): String = e.transform {
+    // The optimizer constant-folds and cast-simplifies plan-side
+    // expressions; registration-side (analyzed, unoptimized) renderings
+    // must canonicalize the same way or `CAST(100 AS BIGINT)` never
+    // matches the plan's `100L`.
+    case f if f.foldable && !f.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.Literal] =>
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        f.eval(), f.dataType)
+    case c: org.apache.spark.sql.catalyst.expressions.Cast
+      if c.child.dataType == c.dataType => c.child
     case a: Attribute =>
       AttributeReference(a.name.toLowerCase(java.util.Locale.ROOT), a.dataType,
         a.nullable)()
@@ -1324,6 +1337,42 @@ object MaterializedView {
           coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("n"), col("sum_qty")))
+  }
+
+  // ---------------------------------------------------------------------
+  // q141: ADVISOR OVER A STAR WORKLOAD — two orders ⋈ customer join
+  // aggregates analyze into ONE joined-rollup recommendation (same join
+  // structure → same recommendation); materializing it serves both with
+  // the join elided. The returned frame is the first workload query;
+  // the oracle computes it straight.
+  // ---------------------------------------------------------------------
+
+  /** Revenue by market segment, served from the advisor-recommended
+    * star rollup that also covers the per-(segment, status) count query.
+    */
+  def mvAdvisorStar(spark: SparkSession, dir: String): DataFrame = {
+    val fact = s"$dir/orders.parquet"
+    val dim = s"$dir/customer.parquet"
+    val work = freshBenchWork("advstar")
+    def joined = spark.read.parquet(fact)
+      .join(spark.read.parquet(dim),
+        col("o_custkey") === col("c_custkey"), "inner")
+    def qSeg = joined
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double")
+          .as("sum_price"),
+        count(lit(1)).as("n_orders"))
+    def qSegStatus = joined
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    val advice = graft.plans.MvAdvisor.analyze(Seq(qSeg, qSegStatus))
+    require(advice.skipped.isEmpty && advice.recommendations.length == 1 &&
+      advice.recommendations.head.joins.nonEmpty,
+      s"expected one star recommendation, got $advice")
+    graft.plans.MvAdvisor.createRecommended(
+      spark, advice.recommendations.head, "advised_star", s"$work/mv")
+    pinAndDrop(spark, advice.recommendations.head.basePath, qSeg)
   }
 
   /** Open-order revenue by market segment, served through a

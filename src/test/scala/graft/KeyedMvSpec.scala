@@ -406,6 +406,47 @@ class KeyedMvSpec extends SparkTestBase {
       s"default ids must be strictly monotonic: $ids")
   }
 
+  test("expression dims on a keyed base survive the signed-delta refresh") {
+    val t = morTable()
+    t.upsert(spark, c0, commitTime = "c0")
+    val mvPath = new java.io.File(t.spec.path).getParent + "/rollup_mv"
+    // Derived dim: a coarse time bucket of the precombine column.
+    MaterializedView.createKeyed(
+      spark, "by_bucket", t, mvPath,
+      groupCols = Seq("event_type"),
+      sums = Seq("sum_v" -> expr("CAST(value AS DECIMAL(18,4))")),
+      countCol = Some("n_rows"),
+      exprDims = Seq("ts_bucket" -> expr("CAST(ts_us DIV 100 AS BIGINT)")))
+    def q2 = t.read(spark)
+      .groupBy(col("event_type"),
+        expr("CAST(ts_us DIV 100 AS BIGINT)").as("ts_bucket"))
+      .agg(sum(expr("CAST(value AS DECIMAL(18,4))")).cast("double").as("sum_v"),
+        count(lit(1)).as("n_rows"))
+    def rows2 = q2.collect().map(r =>
+      (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3))).toSet
+    try {
+      assert(scannedPaths(q2).exists(_.contains("rollup_mv")),
+        "derived-dim grouping over the resolved read must serve")
+      // c1 updates move keys across ts buckets (ts 100 → 200): the
+      // signed-delta merge must retract from the old bucket and add to
+      // the new one, recomputing the derived dim on both images.
+      t.upsert(spark, c1, commitTime = "c1")
+      val (_, incremental) = MaterializedView.refresh(spark, mvPath)
+      assert(incremental)
+      val got = rows2
+      val directRows = {
+        val saved = MaterializedView.lookupAll(t.spec.path)
+        MaterializedView.drop(t.spec.path)
+        try rows2
+        finally saved.foreach(d => MaterializedView.attach(spark, d.mvPath))
+      }
+      assert(got == directRows,
+        "signed-delta refresh must be exact across derived-dim buckets")
+      assert(scannedPaths(q2).exists(_.contains("rollup_mv")))
+    } finally MaterializedView.drop(t.spec.path)
+  }
+
   test("q131 query shape: refreshed keyed MV equals the direct aggregate") {
     val viaMv = MaterializedView.mvKeyedRefresh(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet

@@ -111,6 +111,18 @@ class MvAdvisorSpec extends SparkTestBase {
     } finally MaterializedView.drop(star.basePath)
   }
 
+  test("q141 query shape: result equals direct join aggregation at sf0.001") {
+    val direct = spark.read.parquet(base)
+      .join(spark.read.parquet(s"$sf0001/customer.parquet"),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double")
+        .as("sum_price"), count(lit(1)).as("n_orders"))
+      .collect().toSet
+    val viaMv = MaterializedView.mvAdvisorStar(spark, sf0001).collect().toSet
+    assert(viaMv == direct)
+  }
+
   test("q138 query shape: result equals direct aggregation at sf0.001") {
     val direct = qStatus.collect().toSet
     val viaMv = MaterializedView.mvAdvisorRevenue(spark, sf0001).collect().toSet
