@@ -241,7 +241,53 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * merge's incoming-wins rule, where the later write prevails).
     */
   private def resolveLatest(df: DataFrame): DataFrame =
-    dedupLatest(df, extraOrder = Seq(col(CommitTimeCol).desc))
+    dedupLatest(df, extraOrder = Seq(commitOrderCol(df.sparkSession).desc))
+
+  /** The column an exact (precombine, tiebreaks) tie breaks on: "the
+    * later COMMIT wins". The commit-time string orders commits only
+    * while the timeline's ids sort consistently as strings; under mixed
+    * id formats the tie-break maps each id to its timeline SEQUENCE
+    * instead (small broadcast map; ids absent from the timeline rank
+    * lowest, matching desc-nulls-last). Consistent tables — every
+    * default-id table — keep the plain column, so the resolve window's
+    * shape (and the MV rule matching it) is unchanged there.
+    */
+  private def commitOrderCol(spark: SparkSession): Column = {
+    // Only DATA-action ids ever appear in the commit-time column, so
+    // only their mutual order matters — a service commit's generated id
+    // between "c0"-style data ids must not force the mapped path (which
+    // would also change the resolve window's shape and decline MV
+    // serving).
+    val ids = KeyedTable.timelineMarkers(spark, spec.path)
+      .filter(m => KeyedTable.DataActions.contains(KeyedTable.markerAction(m)))
+      .map(KeyedTable.markerCommit)
+    if (ids.isEmpty || ids == ids.sorted) col(CommitTimeCol)
+    else element_at(
+      typedLit(ids.zipWithIndex.toMap), col(CommitTimeCol))
+  }
+
+  /** Timeline-order-aware boundary predicates on the commit-time column
+    * (same rationale as [[readStateDelta]]'s): the cheap range compare
+    * when the timeline's ids sort consistently as strings; membership
+    * in the timeline-ordered prefix otherwise. One listing, shared by
+    * both directions; a boundary id not on the timeline falls back to
+    * the range predicate (pre-timeline callers).
+    */
+  private def commitBoundary(spark: SparkSession): String => (Column, Column) = {
+    val ids = KeyedTable.timelineMarkers(spark, spec.path)
+      .map(KeyedTable.markerCommit)
+    val consistent = ids == ids.sorted
+    (c: String) => {
+      val i = ids.lastIndexOf(c)
+      if (consistent || i < 0)
+        (col(CommitTimeCol) <= c, col(CommitTimeCol) > c)
+      else {
+        val prefix = ids.take(i + 1).distinct
+        (col(CommitTimeCol).isin(prefix: _*),
+          !col(CommitTimeCol).isin(prefix: _*))
+      }
+    }
+  }
 
   /** User-facing view: meta columns stripped, mirroring the reference's drop
     * of the five `_hoodie_*` columns (glue_job_script.py:87-88). On a
@@ -269,7 +315,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       spec.retainHistory,
       "time travel requires retainHistory=true; a copy-on-write table has no superseded versions")
     SchemaEvolution.dropSystemColumns(
-      resolveLatest(readRaw(spark).filter(col(CommitTimeCol) <= commit)))
+      resolveLatest(readRaw(spark).filter(commitBoundary(spark)(commit)._1)))
   }
 
   /** Z-order clustering — the multi-column layout [[cluster]] can't give:
@@ -867,10 +913,9 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     val raw = readRaw(spark)
     val base =
       if (!spec.retainHistory && isEvolved(spark)) resolveLatest(raw) else raw
-    val begun = base
-      .filter(col(KeyedTable.CommitTimeCol) > sinceCommit)
-    val bounded = endCommit.fold(begun)(e =>
-      begun.filter(col(KeyedTable.CommitTimeCol) <= e))
+    val bound = commitBoundary(spark)
+    val begun = base.filter(bound(sinceCommit)._2)
+    val bounded = endCommit.fold(begun)(e => begun.filter(bound(e)._1))
     SchemaEvolution.dropSystemColumns(bounded)
   }
 
@@ -899,16 +944,21 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       if (spec.globalKeys) spec.keyCols
       else spec.keyCols ++ spec.partitionCols.filter(raw.columns.contains)
     val w = Window.partitionBy(scope.map(col): _*)
+    val bound = commitBoundary(spark)
+    // "First version of its key" means first in COMMIT ORDER — under
+    // mixed id formats the minimum commit STRING can be a later commit.
+    val ordC = commitOrderCol(spark)
     val begun = raw
-      .withColumn("_graft_first_commit", min(col(CommitTimeCol)).over(w))
-      .filter(col(CommitTimeCol) > sinceCommit)
-    val bounded = endCommit.fold(begun)(e =>
-      begun.filter(col(CommitTimeCol) <= e))
+      .withColumn("_graft_commit_ord", ordC)
+      .withColumn("_graft_first_ord",
+        min(col("_graft_commit_ord")).over(w))
+      .filter(bound(sinceCommit)._2)
+    val bounded = endCommit.fold(begun)(e => begun.filter(bound(e)._1))
     SchemaEvolution.dropSystemColumns(
       bounded.withColumn("op",
-        when(col(CommitTimeCol) === col("_graft_first_commit"), "insert")
+        when(col("_graft_commit_ord") === col("_graft_first_ord"), "insert")
           .otherwise("update"))
-        .drop("_graft_first_commit"))
+        .drop("_graft_first_ord", "_graft_commit_ord"))
   }
 
   // ---- partition evolution (Iceberg partition-spec evolution) ----------
@@ -1217,31 +1267,22 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     // "c0"-style data commits, generated "2026…" service commits), and
     // "20260814…" <= "c0" is true as a string — a `CommitTimeCol <= c`
     // filter would then put NEWER versions in the before-image and emit
-    // an empty/wrong delta. When the ids on the timeline happen to sort
-    // identically as strings (the uniform-format case), the cheap range
-    // predicate is exact and is kept; otherwise membership in the
-    // timeline-ordered prefix replaces it. A boundary id not on the
-    // timeline falls back to the range predicate (pre-timeline callers).
-    val timelineIds = KeyedTable.timelineMarkers(spark, spec.path)
-      .map(KeyedTable.markerCommit)
-    val orderConsistent = timelineIds == timelineIds.sorted
-    def atOrBefore(c: String): Column = {
-      val i = timelineIds.lastIndexOf(c)
-      if (orderConsistent || i < 0) col(CommitTimeCol) <= c
-      else col(CommitTimeCol).isin(timelineIds.take(i + 1).distinct: _*)
-    }
-    val upTo = endCommit.fold(raw)(e => raw.filter(atOrBefore(e)))
+    // an empty/wrong delta ([[commitBoundary]]; the same discipline
+    // orders the tie-break via [[commitOrderCol]]).
+    val bound = commitBoundary(spark)
+    val upTo = endCommit.fold(raw)(e => raw.filter(bound(e)._1))
     val userCols = SchemaEvolution.dropSystemColumns(upTo).columns.toSeq
     val scope =
       if (spec.globalKeys) spec.keyCols
       else spec.keyCols ++ spec.partitionCols.filter(userCols.contains)
     // Merge order = [[resolveLatest]]'s: precombine, tiebreaks, then
-    // commit time (an exact tie goes to the later commit); struct
+    // commit ORDER (an exact tie goes to the later commit); struct
     // comparison ranks null fields lowest, matching desc_nulls_last.
     val ord = struct(
-      ((spec.precombineCol +: spec.tiebreakCols) :+ CommitTimeCol).map(col): _*)
+      (spec.precombineCol +: spec.tiebreakCols).map(col) :+
+        commitOrderCol(spark): _*)
     val payload = struct(userCols.map(col): _*)
-    val inBefore = atOrBefore(sinceCommit)
+    val inBefore = bound(sinceCommit)._1
     val j = upTo.groupBy(scope.map(col): _*).agg(
       max_by(payload, ord).as("_graft_after"),
       max_by(when(inBefore, payload), when(inBefore, ord)).as("_graft_before"))
