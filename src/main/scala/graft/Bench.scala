@@ -51,9 +51,18 @@ object Bench {
     // for humans and logs.
     val totalLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size}}"""
+    // Full per-query map ALSO lands in a file: the driver's bounded tail
+    // capture recovers only part of the long stdout line (75/141 in r10),
+    // so round-over-round per-query regression tracking reads this file
+    // instead of a truncated tail.
+    val fullPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
+      .toAbsolutePath
+    java.nio.file.Files.writeString(fullPath, line + "\n")
     println(line)
     spark.stop()
     println(line)
+    println(s"""{"bench_full":"$fullPath"}""")
     println(totalLine)
   }
 }

@@ -216,7 +216,14 @@ object MvAdvisor {
     val shapes = mutable.Buffer.empty[Shape]
     val skipped = mutable.Buffer.empty[String]
     queries.zipWithIndex.foreach { case (q, i) =>
-      shapeOf(q) match {
+      // shapeOf normalizes (which eval()s foldable subtrees) — a workload
+      // query whose foldable expression throws at evaluation must land in
+      // `skipped`, not abort the analysis of every other query.
+      (try shapeOf(q)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          scala.Left(s"analysis failed: ${e.getMessage}")
+      }) match {
         case scala.Right(s) => shapes += s
         case scala.Left(reason) => skipped += s"query $i: $reason"
       }

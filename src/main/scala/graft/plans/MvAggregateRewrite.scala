@@ -187,19 +187,17 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             Some(None)
           else None
         case None =>
-          // Dim freshness compares per-file SIGNATURES, not directory
-          // mtime — an in-place dim-file rewrite keeps the dir mtime but
-          // changes every group; dims are small by definition, so the
-          // listStatus is cheap. The FACT keeps the one-status-call fast
-          // path (its listing is deferred to an mtime mismatch; a true
-          // in-place fact rewrite between refreshes is the documented
-          // residual blind spot of the flat fast path — refresh's
-          // signature diff catches it).
+          // Freshness compares per-file SIGNATURES (length + mtime) on
+          // EVERY source — an in-place file rewrite keeps the parent dir
+          // mtime while changing every group, so a dir-mtime fast path
+          // would serve stale rollup answers silently. An MV base is a
+          // FLAT directory by contract, so this is one listStatus per
+          // source per candidate Aggregate — the same cost class as the
+          // status call it replaces (an object-store deployment would put
+          // a short-TTL cache in front, not bring the blind spot back).
           val dimsFresh = mv.links.forall(l =>
             MaterializedView.listDataFiles(spark, l.dimPath) == l.dimFiles)
           if (!dimsFresh) None // a dim edit can rewrite every group
-          else if (MaterializedView.baseMtime(spark, mv.basePath) == mv.baseMtime)
-            Some(None)
           else {
             val current = MaterializedView.listDataFiles(spark, mv.basePath)
             val appendOnly = mv.files.nonEmpty &&
@@ -207,7 +205,7 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             if (!appendOnly) None
             else {
               val delta = (current.keySet -- mv.files.keySet).toSeq.sorted
-              if (delta.isEmpty) Some(None) // mtime-only change
+              if (delta.isEmpty) Some(None) // unchanged (or mtime-only)
               else Some(Some(delta))
             }
           }

@@ -282,9 +282,14 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       if (consistent || i < 0)
         (col(CommitTimeCol) <= c, col(CommitTimeCol) > c)
       else {
-        val prefix = ids.take(i + 1).distinct
-        (col(CommitTimeCol).isin(prefix: _*),
-          !col(CommitTimeCol).isin(prefix: _*))
+        // Membership on the SUFFIX (commits after the boundary): a row id
+        // absent from the timeline can only be pre-timeline (every mutator
+        // records a marker), so it ranks BEFORE every boundary — a prefix
+        // test would instead classify it as after, dropping it from
+        // timeTravel and double-counting it in every incremental window.
+        val suffix = ids.drop(i + 1).distinct
+        (!col(CommitTimeCol).isin(suffix: _*),
+          col(CommitTimeCol).isin(suffix: _*))
       }
     }
   }

@@ -487,9 +487,24 @@ object MaterializedView {
     * it NULLs unparseable non-null input.
     */
   private def nullChainAttr(e: Expression): Option[String] = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast => CCast}
+    import org.apache.spark.sql.catalyst.expressions.{Cast => CCast, Literal}
     import org.apache.spark.sql.catalyst.expressions.{DayOfMonth, DayOfWeek, DayOfYear, Hour, Minute, Month, Quarter, Second, TruncDate, TruncTimestamp, WeekOfYear, Year}
-    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.types.{DateType, StringType, TimestampNTZType, TimestampType}
+    // Trunc* is NULL-iff-argument-NULL only for a RECOGNIZED level: an
+    // invalid/unsupported format returns NULL for non-null input, so
+    // admitting it would register an unsound null mirror. Only foldable
+    // string literals can be checked at create time; anything else
+    // declines (no mirror — a wider decline, never a wrong serve).
+    def truncLevelOk(fmt: Expression, dateOnly: Boolean): Boolean = fmt match {
+      case Literal(v, StringType) if v != null =>
+        val lvl = v.toString.toLowerCase(java.util.Locale.ROOT)
+        val dateLevels = Set("year", "yyyy", "yy", "quarter", "month",
+          "mon", "mm", "week")
+        val tsLevels = dateLevels ++ Set("day", "dd", "hour", "minute",
+          "second", "millisecond", "microsecond")
+        (if (dateOnly) dateLevels else tsLevels).contains(lvl)
+      case _ => false
+    }
     e match {
       case a: AttributeReference =>
         Some(a.name.toLowerCase(java.util.Locale.ROOT))
@@ -505,8 +520,10 @@ object MaterializedView {
       case Second(x, _) => nullChainAttr(x)
       case Quarter(x) => nullChainAttr(x)
       case WeekOfYear(x) => nullChainAttr(x)
-      case TruncDate(x, _) => nullChainAttr(x)
-      case TruncTimestamp(_, x, _) => nullChainAttr(x)
+      case TruncDate(x, fmt) if truncLevelOk(fmt, dateOnly = true) =>
+        nullChainAttr(x)
+      case TruncTimestamp(fmt, x, _) if truncLevelOk(fmt, dateOnly = false) =>
+        nullChainAttr(x)
       case _ => None
     }
   }
