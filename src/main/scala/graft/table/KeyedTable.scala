@@ -86,8 +86,17 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * reading of a write that never happened).
     */
   private def recordCommit(
-      spark: SparkSession, commitTime: String, action: String): Unit =
-    KeyedTable.recordTimeline(spark, spec.path, commitTime, action)
+      spark: SparkSession, commitTime: String, action: String,
+      before: Option[Set[String]]): Unit = {
+    // Diff the entry snapshot against the post-write listing into the
+    // marker's (added, removed) file record; a None snapshot (evolved
+    // layout) records a legacy marker and consumers full-scan.
+    val rec = before.map { b =>
+      val after = relDataFiles(spark)
+      ((after -- b).toSeq.sorted, (b -- after).toSeq.sorted)
+    }
+    KeyedTable.recordTimeline(spark, spec.path, commitTime, action, rec)
+  }
 
   /** Refuse a commit id already on the timeline BEFORE any data is
     * written — recordTimeline re-checks post-write, but failing there
@@ -235,6 +244,38 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     gens.map(rd).foldLeft(base)(
       _.unionByName(_, allowMissingColumns = true))
   }
+
+  /** Raw frame over an explicit table-relative file list (the commit→
+    * files index's candidate set): sidecar schema + basePath partition
+    * recovery — [[readRaw]] semantics without the directory listing.
+    */
+  private[graft] def readFilesRaw(
+      spark: SparkSession, rel: Seq[String]): DataFrame = {
+    val rd = spark.read.option("basePath", spec.path)
+    (sidecarSchema(spark) match {
+      case Some(s) => rd.schema(s)
+      case None    => rd.option("mergeSchema", "true")
+    }).parquet(rel.map(r => s"${spec.path}/$r"): _*)
+  }
+
+  /** The raw frame restricted to the files that can hold rows committed
+    * after `sinceCommit`, driven by timeline-marker CONTENT alone — the
+    * scan plans over O(delta files) with no table listing at all (what
+    * Hudi's metadata table buys its incremental reader). None → the
+    * caller full-scans; an empty candidate set short-circuits to an
+    * empty frame (the optimizer collapses the false filter to a local
+    * relation, so not even the pruned scan runs).
+    */
+  private def prunedRawSince(
+      spark: SparkSession, sinceCommit: String): Option[DataFrame] =
+    try KeyedTable.addedFilesSince(spark, spec.path, sinceCommit).map { files =>
+      if (files.isEmpty) readRaw(spark).filter(lit(false))
+      else readFilesRaw(spark, files)
+    } catch {
+      // A marker vanishing under a concurrent writer, a permission
+      // hiccup — the index is an optimization, never a gate.
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Merge-on-read resolve: latest version per key; an exact
     * precombine+tiebreak tie goes to the later commit (matching the COW
@@ -395,6 +436,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     val parts = filePartsFor(spark, targetFileBytes)
     val zc = "_graft_zkey"
     val order = spec.partitionCols.map(col) :+ col(zc)
+    val pre = preCommitFiles(spark)
     rewriteViaTmp(
       spark,
       all.withColumn(zc, z)
@@ -402,7 +444,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         .sortWithinPartitions(order: _*)
         .drop(zc),
       "_graft_zorder_tmp")
-    recordCommit(spark, defaultCommitTime(), "zorder")
+    recordCommit(spark, defaultCommitTime(), "zorder", pre)
   }
 
   /** Output file count for a layout rewrite: current data volume over the
@@ -527,6 +569,32 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   private def dataFiles(spark: SparkSession): Set[String] =
     listDataFiles(spark).map(_._1).toSet
 
+  /** Current data files, TABLE-RELATIVE — the rendering commit markers
+    * record (portable across schemes and across a table move).
+    */
+  private def relDataFiles(spark: SparkSession): Set[String] = {
+    if (!fs(spark).exists(new Path(spec.path))) return Set.empty // bootstrap
+    val rootPrefix =
+      fs(spark).makeQualified(new Path(spec.path)).toUri.getPath + "/"
+    listDataFiles(spark).map { case (p, _) =>
+      new Path(p).toUri.getPath.stripPrefix(rootPrefix)
+    }.toSet
+  }
+
+  /** Pre-write file snapshot, captured at mutator ENTRY so
+    * [[recordCommit]] can diff it against the post-write listing and
+    * store the commit's file record in its timeline marker. One extra
+    * recursive listing per COMMIT (write-time, where Hudi/Delta pay the
+    * same inventory cost through their commit protocols) buys every
+    * incremental READER an O(delta-files) scan with no listing at all.
+    * Evolved tables snapshot None: generation dirs are metadata-prefixed
+    * (invisible to the data listing), so a diff would silently
+    * under-record — the legacy marker makes consumers fall back to the
+    * full scan, the safe reading.
+    */
+  private def preCommitFiles(spark: SparkSession): Option[Set[String]] =
+    if (isEvolved(spark)) None else Some(relDataFiles(spark))
+
   /** Upsert through the bloom index at FILE granularity — Hudi's actual
     * copy-on-write write path (index probe → file groups → rewrite only
     * touched groups), one level finer than [[upsert]]'s partition-level
@@ -561,6 +629,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     require(!spec.globalKeys,
       "bloom-indexed upsert is partition-scoped (Hudi BLOOM); global keys " +
         "relocate rows across partitions — use upsert (GLOBAL_BLOOM scope)")
+    val pre = preCommitFiles(spark)
     val incoming = SchemaEvolution.dropSystemColumns(batch)
     currentUserSchema(spark) match {
       case None =>
@@ -636,7 +705,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(bloomDir)
         f.delete(tmpIdx, true)
     }
-    recordCommit(spark, commitTime, "upsert")
+    recordCommit(spark, commitTime, "upsert", pre)
   }
 
   /** Build/refresh the file-skipping index for integral `cols`: per data
@@ -764,11 +833,12 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     require(
       commits(spark).contains(commit),
       s"restore target '$commit' is not in this table's commit timeline")
+    val pre = preCommitFiles(spark)
     rewriteViaTmp(
       spark,
       readRaw(spark).filter(col(CommitTimeCol) <= commit),
       "_graft_restore_tmp")
-    recordCommit(spark, defaultCommitTime(), "restore")
+    recordCommit(spark, defaultCommitTime(), "restore", pre)
   }
 
   /** Reclaim superseded versions (Hudi cleaning / Delta VACUUM): rewrite
@@ -780,8 +850,9 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     notEvolvedGuard(spark, "vacuum")
     require(spec.retainHistory, "vacuum applies to retainHistory tables")
     if (!exists(spark)) return
+    val pre = preCommitFiles(spark)
     rewriteViaTmp(spark, resolveLatest(readRaw(spark)), "_graft_vacuum_tmp")
-    recordCommit(spark, defaultCommitTime(), "vacuum")
+    recordCommit(spark, defaultCommitTime(), "vacuum", pre)
   }
 
   def currentUserSchema(spark: SparkSession): Option[org.apache.spark.sql.types.StructType] =
@@ -818,8 +889,9 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       if (spec.partitionCols.nonEmpty)
         all.repartition(spec.partitionCols.map(col): _*)
       else all.coalesce(1)
+    val pre = preCommitFiles(spark)
     rewriteViaTmp(spark, clustered, "_graft_compact_tmp")
-    recordCommit(spark, defaultCommitTime(), "compact")
+    recordCommit(spark, defaultCommitTime(), "compact", pre)
   }
 
   /** Rollback of failed table-service actions — Hudi's rollback/cleaner
@@ -883,11 +955,12 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     val parts = filePartsFor(spark, targetFileBytes)
     val all = readRaw(spark)
     val order = (spec.partitionCols ++ sortCols).map(col)
+    val pre = preCommitFiles(spark)
     rewriteViaTmp(
       spark,
       all.repartitionByRange(parts, order: _*).sortWithinPartitions(order: _*),
       "_graft_cluster_tmp")
-    recordCommit(spark, defaultCommitTime(), "cluster")
+    recordCommit(spark, defaultCommitTime(), "cluster", pre)
   }
 
   /** Incremental query — Hudi's incremental read semantics
@@ -915,7 +988,16 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     // holds superseded versions the plain-COW contract ("latest-state
     // rows whose last change landed in the window") never exposes —
     // resolve first, then window. History tables stay a version feed.
-    val raw = readRaw(spark)
+    //
+    // Scan pruned to the commit→files index when every post-boundary
+    // marker carries a file record: each row whose commit ranks after
+    // the boundary lives in a file some post-boundary commit added (its
+    // own, or the later rewrite that moved it), so the candidate set is
+    // a superset of the window's rows and the commit-time filters below
+    // settle exact membership. At 100 TB this is the difference between
+    // re-reading the table per incremental poll and reading the files
+    // the new commits actually wrote.
+    val raw = prunedRawSince(spark, sinceCommit).getOrElse(readRaw(spark))
     val base =
       if (!spec.retainHistory && isEvolved(spark)) resolveLatest(raw) else raw
     val bound = commitBoundary(spark)
@@ -1079,7 +1161,9 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       throw new java.io.IOException(s"failed to publish layout sidecar $dest")
     prior.foreach(p => f.delete(p, false))
     invalidateLayoutCache(spark)
-    recordCommit(spark, defaultCommitTime(), "evolve")
+    // Evolution moves no data files — the diff against the current
+    // listing records an accurately EMPTY file set for this commit.
+    recordCommit(spark, defaultCommitTime(), "evolve", Some(relDataFiles(spark)))
   }
 
   /** Evolved-mode write: precombine-dedup (for upsert semantics), stamp
@@ -1129,9 +1213,17 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     val folded = (if (spec.retainHistory) all else resolveLatest(all))
       .drop(PartitionPathCol)
       .withColumn(PartitionPathCol, partitionPathExpr(spec.partitionCols))
+    // Deliberately NOT preCommitFiles (which snapshots None while
+    // evolved): the root-listing diff is sound here — generation files
+    // are invisible to the data listing on both sides, and they never
+    // appeared in any earlier marker's `added` record (evolved commits
+    // record legacy markers), so omitting their removal can never leave
+    // a dangling candidate. Recording the fold's own file set re-enables
+    // O(delta-files) reads for every boundary at or after the fold.
+    val pre = Some(relDataFiles(spark))
     rewriteViaTmp(spark, folded, "_graft_fold_tmp")
     invalidateLayoutCache(spark)
-    recordCommit(spark, defaultCommitTime(), "fold")
+    recordCommit(spark, defaultCommitTime(), "fold", pre)
   }
 
   private def notEvolvedGuard(spark: SparkSession, what: String): Unit =
@@ -1275,11 +1367,26 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     // an empty/wrong delta ([[commitBoundary]]; the same discipline
     // orders the tie-break via [[commitOrderCol]]).
     val bound = commitBoundary(spark)
-    val upTo = endCommit.fold(raw)(e => raw.filter(bound(e)._1))
-    val userCols = SchemaEvolution.dropSystemColumns(upTo).columns.toSeq
+    val upTo0 = endCommit.fold(raw)(e => raw.filter(bound(e)._1))
+    val userCols = SchemaEvolution.dropSystemColumns(upTo0).columns.toSeq
     val scope =
       if (spec.globalKeys) spec.keyCols
       else spec.keyCols ++ spec.partitionCols.filter(userCols.contains)
+    // Key-scope prune from the commit→files index: only a key with a
+    // version in a post-boundary file can produce a delta row, so the
+    // aggregation below shuffles just those keys' histories instead of
+    // every key's. A SUPERSET of candidate keys is safe (an untouched
+    // key resolves before == after and is filtered out); the candidate
+    // frame reads O(delta files). The before-image scan still reads the
+    // full history files — file-level key pruning would need the bloom
+    // index; the shuffle is the win here.
+    val candidateKeys: Option[DataFrame] =
+      try KeyedTable.addedFilesSince(spark, spec.path, sinceCommit).map { fls =>
+        val src =
+          if (fls.isEmpty) raw.filter(lit(false)) else readFilesRaw(spark, fls)
+        src.select(scope.map(col): _*).distinct()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val upTo = candidateKeys.fold(upTo0)(k => upTo0.join(k, scope, "left_semi"))
     // Merge order = [[resolveLatest]]'s: precombine, tiebreaks, then
     // commit ORDER (an exact tie goes to the later commit); struct
     // comparison ranks null fields lowest, matching desc_nulls_last.
@@ -1596,9 +1703,10 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     requireFreshCommitId(spark, commitTime)
     if (isEvolved(spark)) {
       evolvedAppend(spark, batch, commitTime, dedup = false)
-      recordCommit(spark, commitTime, "insert")
+      recordCommit(spark, commitTime, "insert", None)
       return
     }
+    val pre = preCommitFiles(spark)
     val incoming = SchemaEvolution.dropSystemColumns(batch)
     currentUserSchema(spark) match {
       case None =>
@@ -1621,7 +1729,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
           existing.unionByName(alignedC, allowMissingColumns = true), commitTime)
         rewriteViaTmp(spark, combined, "_graft_rewrite_tmp")
     }
-    recordCommit(spark, commitTime, "insert")
+    recordCommit(spark, commitTime, "insert", pre)
   }
 
   /** BULK_INSERT write operation: raw first-load append — no schema
@@ -1636,9 +1744,10 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     requireFreshCommitId(spark, commitTime)
     if (isEvolved(spark)) {
       evolvedAppend(spark, batch, commitTime, dedup = false)
-      recordCommit(spark, commitTime, "bulkinsert")
+      recordCommit(spark, commitTime, "bulkinsert", None)
       return
     }
+    val pre = preCommitFiles(spark)
     val incoming = SchemaEvolution.dropSystemColumns(batch)
     currentUserSchema(spark).foreach { current =>
       require(
@@ -1649,7 +1758,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     writeOut(
       withMeta(incoming, commitTime),
       if (exists(spark)) SaveMode.Append else SaveMode.Overwrite)
-    recordCommit(spark, commitTime, "bulkinsert")
+    recordCommit(spark, commitTime, "bulkinsert", pre)
   }
 
   /** DELETE write operation — the remaining value of Hudi's
@@ -1687,6 +1796,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       spec.keyCols.forall(provided.columns.contains),
       s"delete keys frame must carry the key columns ${spec.keyCols.mkString(", ")}")
     val delKeys = provided.select(joinCols.map(col): _*).distinct()
+    val pre = preCommitFiles(spark)
     val existing = readRaw(spark)
 
     val affected =
@@ -1704,7 +1814,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     if (spec.partitionCols.isEmpty) {
       rewriteViaTmp(spark, affected.join(delKeys, joinCols, "left_anti"),
         "_graft_delete_tmp")
-      recordCommit(spark, defaultCommitTime(), "delete")
+      recordCommit(spark, defaultCommitTime(), "delete", pre)
     } else {
       // `affected` is the expensive frame (table scan + doomed-key probe
       // join); persist IT so the survivor anti-join, the scanned-partition
@@ -1722,7 +1832,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         fs(spark).delete(new Path(colStatsDir), true) // see writeOut
         fs(spark).delete(new Path(bloomDir), true)    // see writeOut
       } finally affected.unpersist()
-      recordCommit(spark, defaultCommitTime(), "delete")
+      recordCommit(spark, defaultCommitTime(), "delete", pre)
     }
   }
 
@@ -1746,9 +1856,10 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     requireFreshCommitId(spark, commitTime)
     if (isEvolved(spark)) {
       evolvedAppend(spark, batch, commitTime, dedup = true)
-      recordCommit(spark, commitTime, "upsert")
+      recordCommit(spark, commitTime, "upsert", None)
       return
     }
+    val pre = preCommitFiles(spark)
     val incoming = SchemaEvolution.dropSystemColumns(batch)
     if (spec.retainHistory) {
       // Merge-on-read: precombine within the batch, then a pure append of
@@ -1819,7 +1930,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
           deletePartitionDirs(spark, staleParts)
         } finally merged.unpersist()
     }
-    recordCommit(spark, commitTime, "upsert")
+    recordCommit(spark, commitTime, "upsert", pre)
   }
 }
 
@@ -1900,10 +2011,21 @@ object KeyedTable {
     * pairs collapse (a delegating write path records once); an exclusive
     * create settles a concurrent sequence-number race — the loser retries
     * with the next number.
+    *
+    * `files` is the commit's FILE RECORD — the table-relative data files
+    * this commit added and removed (Hudi keeps the same inventory in each
+    * instant's commit metadata). With every marker after a boundary
+    * carrying a record, "which files hold rows committed after X" is
+    * answered from marker CONTENT alone: incremental readers scan
+    * O(delta files) with no table listing, and the MV rewrite's hybrid
+    * serve extends to keyed bases. `None` (a legacy or evolved-layout
+    * commit) simply makes consumers fall back to the full scan — a file
+    * record is an optimization contract, never a correctness gate.
     */
   def recordTimeline(
       spark: SparkSession, path: String,
-      commitTime: String, action: String): Unit = {
+      commitTime: String, action: String,
+      files: Option[(Seq[String], Seq[String])] = None): Unit = {
     require(!action.contains('.') && action.nonEmpty,
       s"timeline action must be a bare word, got '$action'")
     val dir = timelineDir(path)
@@ -1930,12 +2052,78 @@ object KeyedTable {
         val seq = existing.lastOption
           .map(_.takeWhile(_.isDigit).toLong + 1).getOrElse(1L)
         val marker = new Path(dir, f"$seq%09d.$commitTime.$action")
-        try { fs.create(marker, false).close(); done = true }
+        try {
+          val out = fs.create(marker, false)
+          try files.foreach { case (added, removed) =>
+            val body = (FilesHeader +: added.sorted) ++
+              (if (removed.nonEmpty) RemovedHeader +: removed.sorted else Nil)
+            out.write(body.mkString("\n").getBytes("UTF-8"))
+          } finally out.close()
+          done = true
+        }
         catch { case _: java.io.IOException => () /* seq taken: retry */ }
       }
     }
     if (!done) throw new java.io.IOException(
       s"could not record timeline marker for $commitTime.$action under $dir")
+  }
+
+  private val FilesHeader = "#files"
+  private val RemovedHeader = "#removed"
+
+  /** The (added, removed) file record of one marker, or None for a
+    * legacy/evolved marker without one. Empty marker bytes = no record;
+    * a record with zero files still carries the header line.
+    */
+  def commitFileRecord(
+      spark: SparkSession, path: String,
+      markerName: String): Option[(Seq[String], Seq[String])] = {
+    val p = new Path(timelineDir(path), markerName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val raw =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = raw.split('\n').toSeq.filter(_.nonEmpty)
+    if (!lines.headOption.contains(FilesHeader)) None
+    else {
+      val (added, rest) = lines.tail.span(_ != RemovedHeader)
+      Some((added, rest.drop(1)))
+    }
+  }
+
+  /** Table-relative data files holding every row whose commit ranks
+    * STRICTLY AFTER `sinceCommit` on the timeline — from marker content
+    * alone, no table listing. `None` when the boundary is not on the
+    * timeline or any later marker lacks a file record (callers fall back
+    * to the full scan).
+    *
+    * Soundness: every mutator records the files its commit added; a row
+    * committed at c physically lives in a file added at c or by a later
+    * rewrite (compaction, drift rewrite, delete survivor rewrite) — in
+    * either case a commit ranking ≥ c, so the union of post-boundary
+    * additions covers every post-boundary row. Files a later recorded
+    * commit removed are subtracted (their surviving rows were re-added
+    * under that commit), so the candidate set references only live files.
+    */
+  def addedFilesSince(
+      spark: SparkSession, path: String,
+      sinceCommit: String): Option[Seq[String]] = {
+    val markers = timelineMarkers(spark, path)
+    val i = markers.lastIndexWhere(m => markerCommit(m) == sinceCommit)
+    if (i < 0) None
+    else {
+      val after = markers.drop(i + 1)
+      val records = after.map(commitFileRecord(spark, path, _))
+      if (records.exists(_.isEmpty)) None
+      else {
+        val added = scala.collection.mutable.LinkedHashSet.empty[String]
+        records.flatten.foreach { case (a, r) =>
+          added ++= a; added --= r
+        }
+        Some(added.toSeq)
+      }
+    }
   }
 
   private def parseMarker(n: String): (String, String) = {

@@ -73,6 +73,94 @@ class TimelineSpec extends SparkTestBase {
       KeyedTable.timelineEntries(spark, path).last._2))
   }
 
+  test("commit markers carry a file record; addedFilesSince replays it") {
+    val path = freshPath()
+    val t = KeyedTable(KeyedTableSpec(
+      path, keyCols = Seq("id"), precombineCol = "v",
+      partitionCols = Seq("day"), retainHistory = true))
+    t.upsert(spark, rows(1 -> 10, 2 -> 20), commitTime = "c0")
+    t.upsert(spark, rows(1 -> 11), commitTime = "c1")
+    t.upsert(spark, rows(3 -> 30), commitTime = "c2")
+    val markers = KeyedTable.timelineMarkers(spark, path)
+    val records = markers.map(KeyedTable.commitFileRecord(spark, path, _))
+    assert(records.forall(_.isDefined), "every mutator records its files")
+    // MoR commits are pure appends: no removals, at least one added file,
+    // and records are disjoint (each file belongs to exactly one commit).
+    val added = records.flatten.map(_._1)
+    assert(records.flatten.forall(_._2.isEmpty))
+    assert(added.forall(_.nonEmpty))
+    assert(added.flatten.distinct.length == added.flatten.length)
+    // The index replays to exactly the post-boundary additions.
+    assert(KeyedTable.addedFilesSince(spark, path, "c0").get.toSet ==
+      (added(1) ++ added(2)).toSet)
+    assert(KeyedTable.addedFilesSince(spark, path, "c2").get.isEmpty)
+    assert(KeyedTable.addedFilesSince(spark, path, "nope").isEmpty,
+      "an off-timeline boundary has no file answer")
+  }
+
+  test("a rewrite commit records removals; the replay never dangles") {
+    val path = freshPath()
+    val t = KeyedTable(KeyedTableSpec(
+      path, keyCols = Seq("id"), precombineCol = "v",
+      partitionCols = Seq("day"), retainHistory = true))
+    t.upsert(spark, rows(1 -> 10, 2 -> 20), commitTime = "c0")
+    t.upsert(spark, rows(3 -> 30), commitTime = "c1")
+    t.compact(spark) // rewrites every file: adds the compacted set, removes the old
+    val markers = KeyedTable.timelineMarkers(spark, path)
+    val (added, removed) =
+      KeyedTable.commitFileRecord(spark, path, markers.last).get
+    assert(added.nonEmpty && removed.nonEmpty)
+    // Candidates since c0 = compact's output only (c1's file was removed);
+    // every candidate exists on disk.
+    val cands = KeyedTable.addedFilesSince(spark, path, "c0").get
+    assert(cands.toSet == added.toSet)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cands.foreach(f => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$f")), s"dangling $f"))
+  }
+
+  test("readIncremental plans over the delta files only, same answer") {
+    val path = freshPath()
+    val t = KeyedTable(KeyedTableSpec(
+      path, keyCols = Seq("id"), precombineCol = "v",
+      partitionCols = Seq("day"), retainHistory = true))
+    t.upsert(spark, rows(1 -> 10, 2 -> 20), commitTime = "c0")
+    t.upsert(spark, rows(1 -> 11, 3 -> 30), commitTime = "c1")
+    val inc = t.readIncremental(spark, "c0")
+    // Answer: the versions committed after c0.
+    assert(inc.orderBy("id").collect().map(r =>
+      (r.getAs[Int]("id"), r.getAs[Int]("v"))).toSeq == Seq(1 -> 11, 3 -> 30))
+    // Plan: the scan's roots are exactly c1's files — never the table dir.
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val roots = inc.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten
+    val c1Files = KeyedTable.addedFilesSince(spark, path, "c0").get
+      .map(f => s"$path/$f").toSet
+    assert(roots.nonEmpty)
+    roots.foreach(r => assert(
+      c1Files.exists(r.endsWith), s"scan root $r outside the delta set"))
+  }
+
+  test("a pruned COW incremental window matches the full-scan answer") {
+    // COW upserts REWRITE touched partitions: the delta files then hold
+    // old rows too, and the commit-time filter must settle membership.
+    val path = freshPath()
+    val t = KeyedTable(KeyedTableSpec(
+      path, keyCols = Seq("id"), precombineCol = "v",
+      partitionCols = Seq("day")))
+    t.upsert(spark, rows(1 -> 10, 2 -> 20), commitTime = "c0")
+    t.upsert(spark, rows(2 -> 21, 3 -> 30), commitTime = "c1") // rewrites d1
+    val got = t.readIncremental(spark, "c0").orderBy("id").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[Int]("v"))).toSeq
+    assert(got == Seq(2 -> 21, 3 -> 30),
+      "rewritten-but-unchanged rows must not leak into the window")
+  }
+
   test("action classes partition the vocabulary the mutators emit") {
     val emitted = Set("insert", "bulkinsert", "upsert", "compact",
       "cluster", "zorder", "evolve", "fold", "delete", "vacuum", "restore")
