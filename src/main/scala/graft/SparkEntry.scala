@@ -165,7 +165,8 @@ object SparkEntry {
     "q138_mv_advisor" -> (table.MaterializedView.mvAdvisorRevenue(_, _)),
     "q139_mv_hybrid" -> (table.MaterializedView.mvHybridServe(_, _)),
     "q140_mv_rollup" -> (table.MaterializedView.mvRollupServe(_, _)),
-    "q141_mv_advisor_star" -> (table.MaterializedView.mvAdvisorStar(_, _))
+    "q141_mv_advisor_star" -> (table.MaterializedView.mvAdvisorStar(_, _)),
+    "q142_mv_keyed_hybrid" -> (table.MaterializedView.mvKeyedHybridServe(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -803,6 +804,15 @@ object SparkEntry {
         |  COUNT(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    // the keyed COW rollup plus the commit→files-index'd insert delta,
+    // served WITHOUT a refresh, must equal the straight aggregate over
+    // the post-insert state (event_id is unique ⇒ that is all events;
+    // the plan-shape assertions — rollup + only the delta files scanned,
+    // base dir never — live in KeyedMvSpec)
+    "q142_mv_keyed_hybrid" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
     // dHash from the closed-form pixels: 2x2 red-channel sums -> 8x8
     // cells, bit (r,c) = cell < right-neighbor; CASTs keep DuckDB's
     // HUGEINT sums out of the schema compare

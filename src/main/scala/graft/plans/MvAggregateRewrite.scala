@@ -162,11 +162,18 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** The hybrid serve's delta: the base files holding the appended rows,
+    * plus — for a keyed base — the commit ids of the new insert-class
+    * commits, so the delta read can row-filter out older rows a drift
+    * rewrite folded into the same files.
+    */
+  private case class DeltaServe(files: Seq[String], insertIds: Seq[String])
+
   /** Serving state under staleness — `None` declines; `Some(None)` means
-    * the rollup is current; `Some(Some(deltaAgg))` is the HYBRID serve:
-    * the base has only APPENDED data files since the rollup was built,
+    * the rollup is current; `Some(Some(delta))` is the HYBRID serve:
+    * the base has only APPENDED rows since the rollup was built,
     * so the query is served from `rollup ∪ partial-rollup(appended
-    * files)` — sound because every derivation the rule emits re-
+    * rows)` — sound because every derivation the rule emits re-
     * aggregates PARTIALS (re-sum/re-min/re-max/count-as-sum), and a
     * union of stored partials with freshly-computed delta partials is
     * just more partials. This is the lambda-architecture move with the
@@ -177,15 +184,43 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * the file LISTING only happens after an mtime mismatch. A
     * non-append change (rewrite/delete, caught by the per-file
     * length+mtime signatures), any dim change on a star MV, and keyed
-    * timeline drift all decline — those deltas are not append-shaped.
+    * commits that are not insert-class all decline — those deltas are
+    * not append-shaped.
+    *
+    * Keyed bases serve from the COMMIT→FILES INDEX, no listing at all:
+    * when every commit since the MV's marker is insert-class on a
+    * copy-on-write base (pure row appends — rows keep their commit
+    * times, nothing is superseded), the delta is the files those
+    * commits recorded, row-filtered to their commit ids. A history
+    * (MoR) base declines — an appended version can supersede a row the
+    * rollup already counted, which is a retraction, not an append.
     */
-  private def servableDelta(mv: MvDef): Option[Option[Seq[String]]] =
+  private def servableDelta(mv: MvDef): Option[Option[DeltaServe]] =
     try {
       mv.keyedSpec match {
-        case Some(_) =>
-          if (KeyedTable.latestTimelineMarker(spark, mv.basePath) == mv.baseCommit)
-            Some(None)
-          else None
+        case Some(ks) =>
+          val markers = KeyedTable.timelineMarkers(spark, mv.basePath)
+          if (markers.lastOption.getOrElse("") == mv.baseCommit) Some(None)
+          else if (ks.retainHistory) None
+          else {
+            val i = markers.lastIndexWhere(_ == mv.baseCommit)
+            val since = markers.drop(i + 1)
+            val insertClass = i >= 0 && since.forall(m =>
+              Set("insert", "bulkinsert").contains(KeyedTable.markerAction(m)))
+            if (!insertClass) None
+            else {
+              val recs =
+                since.map(KeyedTable.commitFileRecord(spark, mv.basePath, _))
+              if (recs.exists(_.isEmpty)) None // legacy marker: no file index
+              else {
+                val files = scala.collection.mutable.LinkedHashSet.empty[String]
+                recs.flatten.foreach { case (a, r) => files ++= a; files --= r }
+                if (files.isEmpty) Some(None)
+                else Some(Some(DeltaServe(
+                  files.toSeq, since.map(KeyedTable.markerCommit))))
+              }
+            }
+          }
         case None =>
           // Freshness compares per-file SIGNATURES (length + mtime) on
           // EVERY source — an in-place file rewrite keeps the parent dir
@@ -206,7 +241,7 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             else {
               val delta = (current.keySet -- mv.files.keySet).toSeq.sorted
               if (delta.isEmpty) Some(None) // unchanged (or mtime-only)
-              else Some(Some(delta))
+              else Some(Some(DeltaServe(delta, Nil)))
             }
           }
       }
@@ -341,7 +376,7 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       conds: Seq[Expression],
       mv: MvDef,
       subst: Expression => Expression,
-      delta: Option[Seq[String]]): Option[LogicalPlan] = {
+      delta: Option[DeltaServe]): Option[LogicalPlan] = {
     // Fresh analyzed scan of the rollup — unioned with the delta files'
     // partial rollup under the hybrid serve (columns aligned by name,
     // delta measures cast to the stored types so the union resolves).
@@ -354,9 +389,20 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val mvDf = spark.read.parquet(mv.mvPath)
       val served = delta match {
         case None => mvDf
-        case Some(files) =>
-          val deltaDf = spark.read.parquet(
-            files.map(n => s"${mv.basePath}/$n"): _*)
+        case Some(ds) =>
+          val deltaDf = mv.keyedSpec match {
+            case Some(ks) =>
+              // Keyed delta: the index's files read table-style (sidecar
+              // schema, hive partition recovery), row-filtered to the new
+              // commits' ids — a drift-rewrite insert folds OLD rows into
+              // its files, and those are already in the rollup.
+              graft.schema.SchemaEvolution.dropSystemColumns(
+                KeyedTable(ks).readFilesRaw(spark, ds.files)
+                  .filter(col(KeyedTable.CommitTimeCol)
+                    .isin(ds.insertIds: _*)))
+            case None =>
+              spark.read.parquet(ds.files.map(n => s"${mv.basePath}/$n"): _*)
+          }
           val joined = mv.links.foldLeft(deltaDf) { (acc, l) =>
             acc.join(spark.read.parquet(l.dimPath),
               col(l.factCol) === col(l.dimCol), "inner")

@@ -737,13 +737,20 @@ object MaterializedView {
       // COW inserts are pure row appends; rows keep their commit times,
       // so the delta is exactly the rows of the NEW insert commits —
       // selected by id MEMBERSHIP (the timeline names them), never by
-      // string range, which mixed id formats would corrupt.
+      // string range, which mixed id formats would corrupt. The scan
+      // prunes to the commit→files index's candidate set when every
+      // window marker carries a file record — refresh cost then reads
+      // O(delta files), not the base.
       val newDataIds = since
         .filter(m => !KeyedTable.LayoutActions.contains(KeyedTable.markerAction(m)))
         .map(KeyedTable.markerCommit).distinct
+      val rawDelta = KeyedTable.addedFilesSince(spark, d.basePath, sinceCommit) match {
+        case Some(files) if files.nonEmpty => table.readFilesRaw(spark, files)
+        case Some(_) => table.readRaw(spark).filter(lit(false))
+        case None => table.readRaw(spark)
+      }
       val delta = SchemaEvolution.dropSystemColumns(
-        table.readRaw(spark)
-          .filter(col(KeyedTable.CommitTimeCol).isin(newDataIds: _*)))
+        rawDelta.filter(col(KeyedTable.CommitTimeCol).isin(newDataIds: _*)))
       publish(spark, d2,
         Some(mergeRollup(spark.read.parquet(d.mvPath),
           buildRollup(delta, d), d)))
@@ -1354,6 +1361,47 @@ object MaterializedView {
           coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("n"), col("sum_qty")))
+  }
+
+  // ---------------------------------------------------------------------
+  // q142: KEYED HYBRID SERVING — a copy-on-write keyed table gains
+  // insert-class commits AFTER the rollup is built; between refreshes the
+  // rewrite serves `rollup ∪ partial-rollup(delta)` where the delta scan
+  // is driven by the COMMIT→FILES INDEX: exactly the files the new
+  // insert commits recorded in their timeline markers, row-filtered to
+  // their commit ids — no table listing, no refresh run, O(new files)
+  // cost. Oracle: the straight aggregate over the post-insert state
+  // (event_id is unique, so the final state is simply all events).
+  // ---------------------------------------------------------------------
+
+  /** Per-event-type count + value sum over a keyed COW events table whose
+    * second half arrived as an UNREFRESHED insert commit — served hybrid
+    * from the rollup plus the index'd delta files.
+    */
+  def mvKeyedHybridServe(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshBenchWork("keyedhybrid").toString
+    val table = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/events_cow",
+      keyCols = Seq("event_id"),
+      precombineCol = "ts_us",
+      partitionCols = Seq("event_type")))
+    val ev = graft.sources.Tables.eventsUs(spark, dir)
+    table.upsert(spark, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    val mvPath = s"$tmp/mv"
+    createKeyed(spark, "events_hybrid", table, mvPath,
+      groupCols = Seq("event_type"),
+      sums = Seq("sum_value" -> expr("CAST(value AS DECIMAL(18,4))")),
+      countCol = Some("n_rows"))
+    // The second half lands as an insert-class commit; NO refresh runs —
+    // freshness comes from the hybrid serve alone.
+    table.insert(spark, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    pinAndDrop(spark, table.spec.path,
+      table.read(spark)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(expr("CAST(value AS DECIMAL(18,4))")).cast("double")
+            .as("sum_value")))
   }
 
   // ---------------------------------------------------------------------

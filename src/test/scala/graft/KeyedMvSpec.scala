@@ -312,6 +312,51 @@ class KeyedMvSpec extends SparkTestBase {
     } finally MaterializedView.drop(t.spec.path)
   }
 
+  test("keyed hybrid serve: unrefreshed inserts serve rollup + delta files only") {
+    val t = cowTable()
+    t.upsert(spark, c0, commitTime = "c0")
+    val mvPath = mvOver(t)
+    try {
+      t.insert(spark, batch((7, "click", 150L, 9, 2.0)), commitTime = "c1")
+      // NO refresh: freshness must come from the hybrid serve, its delta
+      // scan driven by the commit→files index.
+      val served = q(t)
+      val paths = scannedPaths(served)
+      assert(paths.exists(_.contains("rollup_mv")),
+        s"hybrid serve must scan the rollup: $paths")
+      val deltaFiles = KeyedTable.addedFilesSince(spark, t.spec.path, "c0").get
+        .map(f => s"${t.spec.path}/$f")
+      val basePaths = paths.filter(_.contains("events_keyed"))
+      assert(basePaths.nonEmpty, "the delta partial-rollup must scan files")
+      basePaths.foreach(p => assert(deltaFiles.exists(p.endsWith),
+        s"base scan outside the index'd delta set: $p"))
+      assert(rows(served) == direct(t),
+        "hybrid answers must equal the direct post-insert aggregate")
+      // An UPSERT commit folds old versions into rewritten files — not
+      // append-shaped, so hybrid declines and the query runs on the base.
+      t.upsert(spark, batch((2, "click", 300L, 10, 25.0)), commitTime = "c2")
+      val declined = q(t)
+      assert(scannedPaths(declined).exists(_.contains("events_keyed")))
+      assert(rows(declined) == direct(t))
+    } finally MaterializedView.drop(t.spec.path)
+  }
+
+  test("keyed hybrid serve declines on a MoR base (appends can supersede)") {
+    val t = morTable()
+    t.upsert(spark, c0, commitTime = "c0")
+    val mvPath = mvOver(t)
+    try {
+      // A MoR "insert" appends VERSIONS: key 1 is superseded, which is a
+      // retraction the additive hybrid union cannot express — must
+      // decline to the base, stay correct.
+      t.insert(spark, batch((1, "click", 300L, 11, 99.0)), commitTime = "c1")
+      val served = q(t)
+      assert(scannedPaths(served).exists(_.contains("events_keyed")),
+        "a stale MoR MV must decline, never serve a wrong hybrid")
+      assert(rows(served) == direct(t))
+    } finally MaterializedView.drop(t.spec.path)
+  }
+
   test("layout commits re-arm with zero data work") {
     val t = morTable()
     t.upsert(spark, c0, commitTime = "c0")
