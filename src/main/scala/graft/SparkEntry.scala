@@ -166,7 +166,8 @@ object SparkEntry {
     "q139_mv_hybrid" -> (table.MaterializedView.mvHybridServe(_, _)),
     "q140_mv_rollup" -> (table.MaterializedView.mvRollupServe(_, _)),
     "q141_mv_advisor_star" -> (table.MaterializedView.mvAdvisorStar(_, _)),
-    "q142_mv_keyed_hybrid" -> (table.MaterializedView.mvKeyedHybridServe(_, _))
+    "q142_mv_keyed_hybrid" -> (table.MaterializedView.mvKeyedHybridServe(_, _)),
+    "q143_mv_rollup_1phase" -> (table.MaterializedView.mvRollupSinglePhase(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -813,6 +814,16 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    // the ONE-PHASE `GROUP BY ROLLUP` (Aggregate over Expand, the shape
+    // BI tools emit) served by the Expand rewrite from the lineitem MV —
+    // same oracle as the two-phase q140 (plan assertion in MvRewriteSpec)
+    "q143_mv_rollup_1phase" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+         |       COALESCE(l_linestatus, 'ALL') AS ls,
+         |       COUNT(*) AS n,
+         |       ${dsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
     // dHash from the closed-form pixels: 2x2 red-channel sums -> 8x8
     // cells, bit (r,c) = cell < right-neighbor; CASTs keep DuckDB's
     // HUGEINT sums out of the schema compare

@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DataType, DecimalType, LongType, NumericType}
@@ -252,7 +252,15 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case scala.util.control.NonFatal(_) => None
     }
 
-  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = agg.child match {
+    // Single-phase grouping sets (BI-emitted `GROUP BY ROLLUP/CUBE`):
+    // one Aggregate over Expand — served by swapping the Expand's child
+    // (and its projections' dim slots) onto the rollup.
+    case ex: Expand => tryRewriteExpand(agg, ex)
+    case _ => tryRewritePlain(agg)
+  }
+
+  private def tryRewritePlain(agg: Aggregate): Option[LogicalPlan] = {
     val conds = mutable.Buffer.empty[(Expression, Int)]
     val windows = mutable.Buffer.empty[Window]
     val renames = mutable.Map.empty[ExprId, Expression]
@@ -371,19 +379,22 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         (if (d.rollupBytes >= 0) d.rollupBytes else Long.MaxValue,
           d.dimCols.length))
 
-  private def rewriteOnto(
-      agg: Aggregate,
-      conds: Seq[Expression],
+  /** Measure/dimension derivation layer over one MV candidate — shared
+    * by the plain-aggregate rewrite and the grouping-sets (Expand)
+    * rewrite so the two serving shapes can never diverge on what
+    * derives. Everything is LAZY: a decline on the measure lookups (the
+    * common near-miss) pays no rollup analysis and no delta parquet
+    * footer reads.
+    */
+  private final class Deriver(
       mv: MvDef,
       subst: Expression => Expression,
-      delta: Option[DeltaServe]): Option[LogicalPlan] = {
+      delta: Option[DeltaServe]) {
     // Fresh analyzed scan of the rollup — unioned with the delta files'
     // partial rollup under the hybrid serve (columns aligned by name,
     // delta measures cast to the stored types so the union resolves).
     // Column pruning still runs (we are inside the operator-
-    // optimization fixed point). LAZY so a decline on the measure
-    // lookups (the common near-miss) pays no rollup analysis and no
-    // delta parquet footer reads.
+    // optimization fixed point).
     lazy val mvPlan = {
       import org.apache.spark.sql.functions.col
       val mvDf = spark.read.parquet(mv.mvPath)
@@ -417,7 +428,8 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     lazy val mvAttr: Map[String, Attribute] =
       mvPlan.output.map(a => lower(a.name) -> a).toMap
 
-    def norm(e: Expression): String = MaterializedView.normalize(subst(e))
+    private def norm(e: Expression): String =
+      MaterializedView.normalize(subst(e))
 
     // Plain dims: base attribute name → rollup attribute. Derived dims:
     // normalized base-side SQL → rollup attribute (whole-subtree match,
@@ -577,13 +589,22 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
     }
 
+  }
+
+  private def rewriteOnto(
+      agg: Aggregate,
+      conds: Seq[Expression],
+      mv: MvDef,
+      subst: Expression => Expression,
+      delta: Option[DeltaServe]): Option[LogicalPlan] = {
+    val dv = new Deriver(mv, subst, delta)
     // Keep original output attribute ids: grouping outputs and aliases are
     // re-issued under their existing exprIds over the MV-side expressions.
     val newAeOpt = agg.aggregateExpressions.map {
       case a: AttributeReference =>
-        rewriteExpr(a).map(m => Alias(m, a.name)(exprId = a.exprId))
+        dv.rewriteExpr(a).map(m => Alias(m, a.name)(exprId = a.exprId))
       case al: Alias =>
-        rewriteExpr(al.child).map(c =>
+        dv.rewriteExpr(al.child).map(c =>
           Alias(c, al.name)(
             exprId = al.exprId, qualifier = al.qualifier,
             explicitMetadata = al.explicitMetadata))
@@ -591,16 +612,183 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (newAeOpt.exists(_.isEmpty)) return None
 
-    val newGeOpt = agg.groupingExpressions.map(rewriteExpr)
+    val newGeOpt = agg.groupingExpressions.map(dv.rewriteExpr)
     if (newGeOpt.exists(_.isEmpty)) return None
-    val newCondsOpt = conds.map(rewriteExpr)
+    val newCondsOpt = conds.map(dv.rewriteExpr)
     if (newCondsOpt.exists(_.isEmpty)) return None
 
     val newChild = newCondsOpt.map(_.get)
       .reduceOption(And)
-      .map(Filter(_, mvPlan)).getOrElse(mvPlan)
+      .map(Filter(_, dv.mvPlan)).getOrElse(dv.mvPlan)
     logInfo(s"MV rewrite: aggregate over ${mv.basePath} served from " +
       s"rollup '${mv.name}' (${mv.mvPath})")
     Some(Aggregate(newGeOpt.map(_.get), newAeOpt.map(_.get), newChild))
+  }
+
+  /** Single-phase grouping sets: `Aggregate` over `Expand` — the shape
+    * the analyzer emits for `GROUP BY ROLLUP/CUBE/GROUPING SETS` — over
+    * a registered base. Served by swapping the Expand's CHILD onto the
+    * rollup and its projections' dim slots onto the rollup's dimension
+    * attributes, keeping every Expand-output exprId, so the top
+    * Aggregate (grouping attrs, `grouping_id()` arithmetic over the gid
+    * slot) resolves untouched and only its aggregate CALLS are re-
+    * derived (re-sum of partials, exactly like the plain rewrite). Each
+    * expanded group then aggregates the matching rollup rows instead of
+    * the matching base rows — partials of partials, the identity the
+    * whole MV design rests on. At 100 TB a BI tool's one-shot ROLLUP
+    * stops scanning the fact table.
+    */
+  private def tryRewriteExpand(
+      agg: Aggregate, ex: Expand): Option[LogicalPlan] = {
+    val conds = mutable.Buffer.empty[(Expression, Int)]
+    val windows = mutable.Buffer.empty[Window]
+    val renames = mutable.Map.empty[ExprId, Expression]
+    def subst(e: Expression): Expression = e.transformUp {
+      case a: Attribute if renames.contains(a.exprId) => subst(renames(a.exprId))
+    }
+    val rels = mutable.Buffer.empty[LogicalRelation]
+    val pairs = mutable.Buffer.empty[(Attribute, Attribute)]
+    if (!stripSources(ex.child, conds, windows, renames, rels, pairs))
+      return None
+    if (pairs.nonEmpty || rels.length != 1) return None // single-source only
+    val root = rels.head.relation match {
+      case f: HadoopFsRelation => f.location.rootPaths match {
+        case Seq(one) => one
+        case _ => return None
+      }
+      case _ => return None
+    }
+    val detOk =
+      agg.groupingExpressions.forall(_.deterministic) &&
+      agg.aggregateExpressions.forall(_.deterministic)
+    if (!detOk) return None
+    findMvs(root).iterator
+      .filter(_.links.isEmpty)
+      .map { mv =>
+        admissibleConds(mv, windows.toSeq, conds.toSeq).flatMap { userConds =>
+          if (!userConds.forall(_.deterministic)) None
+          else servableDelta(mv).flatMap { delta =>
+            try rewriteExpandOnto(agg, ex, userConds, mv, subst, delta)
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
+        }
+      }.collectFirst { case Some(p) => p }
+  }
+
+  private def rewriteExpandOnto(
+      agg: Aggregate,
+      ex: Expand,
+      conds: Seq[Expression],
+      mv: MvDef,
+      subst: Expression => Expression,
+      delta: Option[DeltaServe]): Option[LogicalPlan] = {
+    val dv = new Deriver(mv, subst, delta)
+    val nProj = ex.projections.length
+    if (nProj == 0) return None
+
+    // Classify each Expand output slot by its per-projection values:
+    //   - PASSTHROUGH: the same attribute in every projection (a measure
+    //     input flowing through) — dropped from the new Expand; the
+    //     aggregate calls re-derive against the rollup's measure attrs,
+    //     which flow through instead.
+    //   - LITERAL: a literal in every projection (the grouping-id slot) —
+    //     kept verbatim under the same output attribute.
+    //   - DIM: one base-side expression, nulled out in the subtotal
+    //     projections — remapped to the rollup's dimension attribute
+    //     (typed null where the original was null), same output attr.
+    sealed trait Slot
+    case object Passthrough extends Slot
+    final case class Keep(entries: Seq[Expression]) extends Slot
+    val slots: Seq[(Attribute, Slot)] =
+      ex.output.zipWithIndex.map { case (out, i) =>
+        val vals = ex.projections.map(_(i))
+        val slot: Slot =
+          // Literal slot (the grouping-id; also an always-null dim):
+          // kept verbatim — the values were valid here in the original.
+          if (vals.forall(_.isInstanceOf[Literal])) Keep(vals)
+          else vals.head match {
+            case h: Attribute if vals.forall {
+              case a: Attribute => a.exprId == h.exprId
+              case _ => false
+            } => Passthrough
+            case _ =>
+              // Dim slot: every entry is either a null literal or the
+              // SAME expression, and that expression must compute from
+              // rollup dims at the SAME type (the grouping output's
+              // value identity).
+              val nonNull = vals.filter {
+                case Literal(null, _) => false
+                case _ => true
+              }.distinct
+              val mapped: Option[Expression] = nonNull match {
+                case Seq(one) => dv.dimExpr(one).filter(_.dataType == out.dataType)
+                case _ => None
+              }
+              mapped match {
+                case Some(mvE) => Keep(vals.map {
+                  case Literal(null, _) => Literal.create(null, out.dataType)
+                  case _ => mvE
+                })
+                case None => return None
+              }
+          }
+        out -> slot
+      }
+
+    // New Expand: every rollup attribute passes through unchanged (so
+    // re-derived aggregate calls and dim-expression fallbacks resolve;
+    // column pruning trims the unused ones), plus the kept dim/literal
+    // slots under their ORIGINAL output attributes.
+    val kept = slots.collect { case (out, Keep(entries)) => (out, entries) }
+    val newOutput = dv.mvPlan.output ++ kept.map(_._1)
+    val newProjections = (0 until nProj).map { j =>
+      dv.mvPlan.output.map(a => a: Expression) ++ kept.map(_._2(j))
+    }
+
+    // The top aggregate: grouping/gid references resolve against the
+    // kept slots; aggregate calls re-derive against the rollup measure
+    // attrs now flowing through. Any reference to a dropped passthrough
+    // slot outside an aggregate call declines.
+    val keptIds = newOutput.map(_.exprId).toSet
+    def rewriteTop(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => dv.deriveAgg(ae)
+      case a: Attribute =>
+        if (keptIds.contains(a.exprId)) Some(a) else None
+      case leaf if leaf.children.isEmpty => Some(leaf)
+      case other =>
+        val kids = other.children.map(rewriteTop)
+        if (kids.forall(_.isDefined))
+          Some(other.withNewChildren(kids.map(_.get)))
+        else None
+    }
+    val newAeOpt = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        rewriteTop(a).map {
+          case same: Attribute if same.exprId == a.exprId => a: NamedExpression
+          case m => Alias(m, a.name)(exprId = a.exprId)
+        }
+      case al: Alias =>
+        rewriteTop(al.child).map(c =>
+          Alias(c, al.name)(
+            exprId = al.exprId, qualifier = al.qualifier,
+            explicitMetadata = al.explicitMetadata))
+      case _ => None
+    }
+    if (newAeOpt.exists(_.isEmpty)) return None
+    val newGeOpt = agg.groupingExpressions.map(rewriteTop)
+    if (newGeOpt.exists(_.isEmpty)) return None
+    // Base-side filters below the Expand rewrite onto rollup dims and
+    // sit below the new Expand (filtering rollup rows ≡ filtering base
+    // rows before expansion).
+    val newCondsOpt = conds.map(dv.rewriteExpr)
+    if (newCondsOpt.exists(_.isEmpty)) return None
+    val mvChild = newCondsOpt.map(_.get)
+      .reduceOption(And)
+      .map(Filter(_, dv.mvPlan)).getOrElse(dv.mvPlan)
+    logInfo(s"MV rewrite: grouping-sets aggregate over ${mv.basePath} " +
+      s"served from rollup '${mv.name}' (${mv.mvPath})")
+    Some(Aggregate(
+      newGeOpt.map(_.get), newAeOpt.map(_.get),
+      Expand(newProjections, newOutput, mvChild)))
   }
 }

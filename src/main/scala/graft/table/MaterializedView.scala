@@ -1405,6 +1405,40 @@ object MaterializedView {
   }
 
   // ---------------------------------------------------------------------
+  // q143: SINGLE-PHASE GROUPING SETS over an MV — the shape a BI tool
+  // actually emits (`GROUP BY ROLLUP(a, b)` = one Aggregate over Expand,
+  // no user-side pre-aggregation). The rewrite swaps the Expand onto the
+  // rollup: each expanded group re-aggregates the matching rollup rows'
+  // PARTIALS instead of the base rows — q140's two-phase discipline,
+  // applied automatically to the one-phase plan. Oracle: the straight
+  // ROLLUP aggregate.
+  // ---------------------------------------------------------------------
+
+  /** ROLLUP(returnflag, linestatus) totals written as a plain one-phase
+    * `.rollup(...)` — served by the Expand rewrite from a lineitem MV.
+    */
+  def mvRollupSinglePhase(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"$dir/lineitem.parquet"
+    val work = freshBenchWork("gs1p")
+    create(
+      spark, "li_rf_ls_1p", base, s"$work/mv",
+      groupCols = Seq("l_returnflag", "l_linestatus"),
+      sums = Seq("sum_qty_d" -> expr("CAST(l_quantity AS DECIMAL(18,4))")),
+      countCol = Some("cnt"))
+    pinAndDrop(spark, base,
+      spark.read.parquet(base)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("CAST(l_quantity AS DECIMAL(18,4))")).cast("double")
+            .as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty")))
+  }
+
+  // ---------------------------------------------------------------------
   // q141: ADVISOR OVER A STAR WORKLOAD — two orders ⋈ customer join
   // aggregates analyze into ONE joined-rollup recommendation (same join
   // structure → same recommendation); materializing it serves both with

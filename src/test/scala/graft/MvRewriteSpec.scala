@@ -109,6 +109,53 @@ class MvRewriteSpec extends SparkTestBase {
     } finally MaterializedView.drop(base)
   }
 
+  test("single-phase GROUP BY ROLLUP/CUBE serves from the rollup (Expand rewrite)") {
+    val base = copyBase()
+    def qRollup = spark.read.parquet(base)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double").as("p"))
+    def qCube = spark.read.parquet(base)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    def qGid = spark.read.parquet(base)
+      .rollup(col("o_orderstatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+    def qFiltered = spark.read.parquet(base)
+      .filter(col("o_orderstatus") === "O")
+      .rollup(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    def rset(df: DataFrame) = df.collect().map { r =>
+      (0 until r.length).map(i => if (r.isNullAt(i)) None else Some(r.get(i)))
+    }.toSet
+    val (expR, expC, expG, expF) =
+      (rset(qRollup), rset(qCube), rset(qGid), rset(qFiltered))
+    val mvPath = Files.createTempDirectory("graft_mv_gs_").toString + "/mv"
+    try {
+      MaterializedView.create(
+        spark, "spec_mv_gs", base, mvPath,
+        groupCols = Seq("o_orderstatus", "o_orderpriority"),
+        sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+        countCol = Some("cnt"))
+      for ((q, exp, what) <- Seq(
+        (qRollup, expR, "rollup"), (qCube, expC, "cube"),
+        (qGid, expG, "grouping_id"), (qFiltered, expF, "filtered"))) {
+        val paths = scannedPaths(q)
+        assert(paths.exists(_.contains("/mv")),
+          s"$what: expected a rollup scan, got: $paths")
+        assert(!paths.exists(_.contains("orders.parquet")),
+          s"$what: base must not be scanned under the SINGLE-PHASE shape: $paths")
+        assert(rset(q) == exp, s"$what: served answer drifted")
+      }
+      // Decline: a measure the rollup does not store stays on the base.
+      val qBad = spark.read.parquet(base)
+        .rollup(col("o_orderstatus"))
+        .agg(sum(col("o_orderkey")).as("s"))
+      assert(scannedPaths(qBad).exists(_.contains("orders.parquet")),
+        "an underivable grouping-sets measure must decline to the base")
+    } finally MaterializedView.drop(base)
+  }
+
   test("underivable shapes decline: unknown measure, non-dim grouping") {
     val base = copyBase()
     val mvPath = Files.createTempDirectory("graft_mv_out_").toString + "/mv"
