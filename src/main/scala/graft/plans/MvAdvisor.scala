@@ -9,8 +9,9 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.Aggregate
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, count, expr, lit, xxhash64}
 
+import graft.functions.KmvDistinct.kmvDistinct
 import graft.table.MaterializedView
 import graft.table.MaterializedView.MvDef
 
@@ -212,7 +213,8 @@ object MvAdvisor {
     name
   }
 
-  def analyze(queries: Seq[DataFrame]): Advice = {
+  private def collectShapes(
+      queries: Seq[DataFrame]): (Seq[Shape], Seq[String]) = {
     val shapes = mutable.Buffer.empty[Shape]
     val skipped = mutable.Buffer.empty[String]
     queries.zipWithIndex.foreach { case (q, i) =>
@@ -228,25 +230,142 @@ object MvAdvisor {
         case scala.Left(reason) => skipped += s"query $i: $reason"
       }
     }
+    (shapes.toSeq, skipped.toSeq)
+  }
+
+  /** Merge one group of shapes (same base + join structure) into a
+    * single recommendation.
+    */
+  private def recommend(
+      base: String, joins: Seq[(String, String, String)],
+      ss: Seq[Shape]): Recommendation = {
+    val taken = mutable.Set.empty[String]
+    def named(prefix: String, sqls: Set[String]): Seq[(String, String)] =
+      sqls.toSeq.sorted.map(s => colName(prefix, s, taken) -> s)
+    Recommendation(
+      base,
+      ss.flatMap(_.dims).distinct.sorted.toSeq,
+      named("d", ss.flatMap(_.exprDims).toSet),
+      named("sum", ss.flatMap(_.sums).toSet),
+      named("min", ss.flatMap(_.mins).toSet),
+      named("max", ss.flatMap(_.maxs).toSet),
+      named("cnt", ss.flatMap(_.counts).toSet),
+      ss.length,
+      joins)
+  }
+
+  def analyze(queries: Seq[DataFrame]): Advice = {
+    val (shapes, skipped) = collectShapes(queries)
     val recs = shapes.groupBy(s => (s.basePath, s.joins)).toSeq
       .sortBy { case ((base, joins), _) => (base, joins.mkString("|")) }
-      .map {
-        case ((base, joins), ss) =>
-          val taken = mutable.Set.empty[String]
-          def named(prefix: String, sqls: Set[String]): Seq[(String, String)] =
-            sqls.toSeq.sorted.map(s => colName(prefix, s, taken) -> s)
-          Recommendation(
-            base,
-            ss.flatMap(_.dims).distinct.sorted.toSeq,
-            named("d", ss.flatMap(_.exprDims).toSet),
-            named("sum", ss.flatMap(_.sums).toSet),
-            named("min", ss.flatMap(_.mins).toSet),
-            named("max", ss.flatMap(_.maxs).toSet),
-            named("cnt", ss.flatMap(_.counts).toSet),
-            ss.length,
-            joins)
+      .map { case ((base, joins), ss) => recommend(base, joins, ss.toSeq) }
+    Advice(recs, skipped)
+  }
+
+  // ---- cost model ------------------------------------------------------
+
+  /** One recommendation with its MEASURED serving cost: the estimated
+    * distinct dim-tuple count of its rollup (KMV sketch over the base)
+    * against the base row count. `estRollupRows = -1` means the group
+    * could not be costed (the recommendation still serves).
+    */
+  final case class Costed(
+      rec: Recommendation, baseRows: Long, estRollupRows: Long) {
+    /** Rollup/base size ratio — near 1 means the dim union nearly keys
+      * the table and the rollup would hardly compress.
+      */
+    def ratio: Double =
+      if (baseRows <= 0 || estRollupRows < 0) 0.0
+      else estRollupRows.toDouble / baseRows
+  }
+
+  final case class CostedAdvice(
+      recommendations: Seq[Costed], skipped: Seq[String])
+
+  private val KmvK = 1024 // exact below 1024 groups, ~3% beyond — a size gate
+
+  /** The frame a group's rollup would aggregate: flat scan or star join. */
+  private def baseFrame(
+      spark: SparkSession, base: String,
+      joins: Seq[(String, String, String)]): DataFrame =
+    joins.foldLeft(spark.read.parquet(base)) { case (acc, (dp, fc, dc)) =>
+      acc.join(spark.read.parquet(dp), col(fc) === col(dc), "inner")
+    }
+
+  private def dimTuple(ss: Seq[Shape]): Column =
+    xxhash64(
+      (ss.flatMap(_.dims).distinct.sorted.map(col) ++
+        ss.flatMap(_.exprDims).distinct.sorted.map(expr)): _*)
+
+  /** [[analyze]], plus a measured cost gate: one aggregate pass over each
+    * group's base estimates the base row count, the merged dim-union's
+    * distinct tuple count, and each member query's own — all as KMV
+    * sketches riding one scan (k longs per partition per sketch, never a
+    * distinct shuffle). A group whose union rollup would exceed
+    * `maxRatio · baseRows` is SPLIT: shapes are greedily binned largest-
+    * first, a bin accepting a shape while the sum of member estimates (a
+    * valid upper bound on the union) stays inside the budget; each bin
+    * becomes its own recommendation and its ACTUAL union is re-measured
+    * in a second pass, so the reported ratio is a measurement, not the
+    * greedy bound. A single query whose own dims nearly key the table
+    * still gets a (flagged-by-ratio) bin — its queries need those dims;
+    * the operator decides. At 100 TB this is the difference between a
+    * serving layer that compresses and one that silently re-materializes
+    * the fact table because two unrelated dashboards shared an advisor
+    * run.
+    */
+  def analyzeCosted(
+      spark: SparkSession,
+      queries: Seq[DataFrame],
+      maxRatio: Double = 0.5): CostedAdvice = {
+    require(maxRatio > 0, "maxRatio must be positive")
+    val (shapes, skipped) = collectShapes(queries)
+    val costed = shapes.groupBy(s => (s.basePath, s.joins)).toSeq
+      .sortBy { case ((base, joins), _) => (base, joins.mkString("|")) }
+      .flatMap { case ((base, joins), ssB) =>
+        val ss = ssB.toSeq
+        try {
+          val frame = baseFrame(spark, base, joins)
+          val aggCols =
+            count(lit(1)).as("n") +:
+            kmvDistinct(dimTuple(ss), KmvK).as("u") +:
+            ss.indices.map(i =>
+              kmvDistinct(dimTuple(Seq(ss(i))), KmvK).as(s"s$i"))
+          val row = frame.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+          val n = row.getLong(0)
+          val u = row.getLong(1)
+          if (n == 0 || u.toDouble / n <= maxRatio)
+            Seq(Costed(recommend(base, joins, ss), n, u))
+          else {
+            val est = ss.indices.map(i => row.getLong(2 + i))
+            val budget = (maxRatio * n).toLong
+            val bins = mutable.Buffer.empty[(mutable.Buffer[Int], Long)]
+            ss.indices.sortBy(i => -est(i)).foreach { i =>
+              bins.indexWhere(_._2 + est(i) <= budget) match {
+                case -1 => bins += ((mutable.Buffer(i), est(i)))
+                case j =>
+                  val (members, tot) = bins(j)
+                  members += i
+                  bins(j) = (members, tot + est(i))
+              }
+            }
+            val binCols = bins.toSeq.zipWithIndex.map { case ((m, _), j) =>
+              kmvDistinct(dimTuple(m.toSeq.map(ss)), KmvK).as(s"b$j")
+            }
+            val row2 = frame.agg(binCols.head, binCols.tail: _*).collect()(0)
+            bins.toSeq.zipWithIndex.map { case ((m, _), j) =>
+              Costed(
+                recommend(base, joins, m.toSeq.map(ss)), n, row2.getLong(j))
+            }
+          }
+        } catch {
+          // A dim rendering that does not parse back, a vanished file —
+          // the cost gate is an optimization; the recommendation stands.
+          case scala.util.control.NonFatal(_) =>
+            Seq(Costed(recommend(base, joins, ss), -1L, -1L))
+        }
       }
-    Advice(recs, skipped.toSeq)
+    CostedAdvice(costed, skipped)
   }
 
   /** Materialize one recommendation (flat or star base; the row count is

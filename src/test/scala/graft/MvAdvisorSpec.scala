@@ -71,6 +71,62 @@ class MvAdvisorSpec extends SparkTestBase {
     assert(advice.recommendations.head.queriesCovered == 1)
   }
 
+  test("cost gate splits an exploding dim union; both rollups serve their halves") {
+    // o_orderkey is unique: the union rollup (status, orderkey) would be
+    // base-sized (ratio ≈ 1), so the gate must split — the near-key query
+    // gets its own (ratio-flagged) rollup, the cheap one stays cheap.
+    def qLow = spark.read.parquet(base)
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).as("s"))
+    def qHigh = spark.read.parquet(base)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n"))
+    val costed = MvAdvisor.analyzeCosted(spark, Seq(qLow, qHigh), maxRatio = 0.5)
+    assert(costed.skipped.isEmpty, costed.skipped.mkString("; "))
+    assert(costed.recommendations.length == 2,
+      s"expected a split, got ${costed.recommendations}")
+    val Seq(cHigh, cLow) = costed.recommendations.sortBy(-_.ratio)
+    assert(cHigh.rec.groupCols == Seq("o_orderkey") && cHigh.ratio > 0.9,
+      s"near-key rollup must be flagged by its measured ratio: $cHigh")
+    assert(cLow.rec.groupCols == Seq("o_orderstatus") && cLow.ratio < 0.05,
+      s"the cheap rollup must stay cheap: $cLow")
+    assert(costed.recommendations.map(_.rec.queriesCovered).sum == 2)
+    assert(costed.recommendations.forall(_.baseRows == 1500L))
+
+    // Materialize both; each workload query serves from ITS rollup.
+    val work = Files.createTempDirectory("graft_advsplit_").toString
+    MvAdvisor.createRecommended(spark, cLow.rec, "adv_low", s"$work/mv_low")
+    MvAdvisor.createRecommended(spark, cHigh.rec, "adv_high", s"$work/mv_high")
+    try {
+      val expLow = {
+        val p = scannedPaths(qLow)
+        assert(p.exists(_.contains("mv_low")) && !p.exists(_.contains("orders.parquet")), s"$p")
+        qLow.collect().toSet
+      }
+      val pHigh = scannedPaths(qHigh)
+      assert(pHigh.exists(_.contains("mv_high")) &&
+        !pHigh.exists(_.contains("orders.parquet")), s"$pHigh")
+      // Answers equal the direct plans (computed after drop).
+      MaterializedView.drop(base)
+      assert(qLow.collect().toSet == expLow)
+    } finally MaterializedView.drop(base)
+  }
+
+  test("a compressing union passes the gate un-split, ratio measured") {
+    def qStatusC = spark.read.parquet(base)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    def qPrio = spark.read.parquet(base)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val costed = MvAdvisor.analyzeCosted(spark, Seq(qStatusC, qPrio), maxRatio = 0.5)
+    assert(costed.recommendations.length == 1)
+    val c = costed.recommendations.head
+    assert(c.rec.groupCols == Seq("o_orderpriority", "o_orderstatus"))
+    assert(c.baseRows == 1500L && c.estRollupRows <= 15L && c.ratio < 0.05,
+      s"15 (status × priority) tuples over 1500 rows: $c")
+  }
+
   test("star workload: one joined recommendation; materializing serves both join queries") {
     val dim = s"$sf0001/customer.parquet"
     def jSeg = spark.read.parquet(base)
