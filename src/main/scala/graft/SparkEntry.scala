@@ -167,7 +167,8 @@ object SparkEntry {
     "q140_mv_rollup" -> (table.MaterializedView.mvRollupServe(_, _)),
     "q141_mv_advisor_star" -> (table.MaterializedView.mvAdvisorStar(_, _)),
     "q142_mv_keyed_hybrid" -> (table.MaterializedView.mvKeyedHybridServe(_, _)),
-    "q143_mv_rollup_1phase" -> (table.MaterializedView.mvRollupSinglePhase(_, _))
+    "q143_mv_rollup_1phase" -> (table.MaterializedView.mvRollupSinglePhase(_, _)),
+    "q144_mv_coarse_from_finer" -> (table.MaterializedView.mvCoarseFromFiner(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -824,6 +825,14 @@ object SparkEntry {
          |       ${dsum("l_quantity")} AS sum_qty
          |FROM lineitem
          |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    // the coarse rollup refreshed FROM the finer rollup (never the base)
+    // after the base doubled — measures exactly 2× the fixture aggregate
+    // (the refresh-scans-only-the-finer assertion lives in MvRewriteSpec)
+    "q144_mv_coarse_from_finer" ->
+      """SELECT o_orderpriority,
+        |  CAST(2 * SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  2 * COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     // dHash from the closed-form pixels: 2x2 red-channel sums -> 8x8
     // cells, bit (r,c) = cell < right-neighbor; CASTs keep DuckDB's
     // HUGEINT sums out of the schema compare

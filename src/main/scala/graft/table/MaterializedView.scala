@@ -120,7 +120,13 @@ object MaterializedView {
       // a string→date cast NULLs unparseable non-null input and is
       // excluded), so the rewrite can serve optimizer-inferred
       // `isnotnull(col)` conjuncts soundly.
-      nullMirrors: Map[String, String] = Map.empty) {
+      nullMirrors: Map[String, String] = Map.empty,
+      // Hive partition columns of the ROLLUP's own storage (leading
+      // dims): a served scan with a filter on them partition-prunes —
+      // at 100 TB a rollup can itself hold billions of groups, and the
+      // dashboard slice (one region, one day) should read one directory
+      // of it, not all of them. Empty = flat (the default).
+      partCols: Seq[String] = Nil) {
     /** All rollup dimension column names, plain then derived. */
     def dimCols: Seq[String] = groupCols ++ exprDims.values.toSeq
   }
@@ -273,18 +279,48 @@ object MaterializedView {
       maxs: Seq[(String, Column)] = Nil,
       countCol: Option[String] = None,
       counts: Seq[(String, Column)] = Nil,
-      exprDims: Seq[(String, Column)] = Nil): MvDef = {
+      exprDims: Seq[(String, Column)] = Nil,
+      partitionBy: Seq[String] = Nil): MvDef = {
+    require(partitionBy.forall(groupCols.contains),
+      s"rollup partition columns must be leading plain dims; got " +
+        s"$partitionBy over $groupCols")
     val base = spark.read.parquet(basePath)
     val d0 = defOf(spark, base, name, basePath, mvPath, groupCols,
       sums, mins, maxs, countCol, counts, exprDims)
     val d = d0.copy(
       baseMtime = baseMtime(spark, basePath),
-      files = listDataFiles(spark, basePath))
-    buildRollup(base, d).write.mode("overwrite").parquet(mvPath)
+      files = listDataFiles(spark, basePath),
+      partCols = partitionBy)
+    val rollup = buildRollup(base, d)
+    writeRollup(rollup, d, mvPath)
+    // Hive partition-value round-trip check: partition DIRECTORY NAMES
+    // re-infer their types on read ("01" comes back as int 1), and a
+    // drifted dim type would silently corrupt every merge and serve.
+    // Refuse loudly at create; the operator partitions on a stable dim.
+    if (partitionBy.nonEmpty) {
+      val want = rollup.schema.fields.map(f => f.name -> f.dataType).toMap
+      val got = spark.read.parquet(mvPath).schema
+      val drift = got.fields.filter(f => want.get(f.name).exists(_ != f.dataType))
+      if (drift.nonEmpty) {
+        new Path(mvPath).getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(new Path(mvPath), true)
+        throw new IllegalArgumentException(
+          "rollup partitioning does not round-trip: " +
+            drift.map(f => s"${f.name} reads back as ${f.dataType}")
+              .mkString(", ") + " — partition on a type-stable dim")
+      }
+    }
     val d1 = d.copy(rollupBytes = dataBytes(spark, mvPath))
     writeSidecar(spark, d1)
     register(d1)
     d1
+  }
+
+  /** Write a rollup frame under the definition's storage layout. */
+  private def writeRollup(df: DataFrame, d: MvDef, path: String): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (d.partCols.nonEmpty) w.partitionBy(d.partCols: _*) else w)
+      .parquet(path)
   }
 
   /** The star shape a joined MV aggregates: fact inner-equi-joined with
@@ -578,6 +614,108 @@ object MaterializedView {
     else refreshFlat(spark, d)
   }
 
+  /** Bring a COARSE rollup current by re-aggregating a FINER one over the
+    * same base instead of the base itself — the rollup-hierarchy refresh
+    * (a per-month MV refreshing from the per-day MV): cost O(finer
+    * rollup), never O(base). Sound when
+    *   - the finer MV is CURRENT against the base (same freshness check
+    *     its own serving uses: file signatures for a flat base, the
+    *     timeline marker for a keyed one),
+    *   - every coarse dim is stored by the finer MV (plain dims by name;
+    *     derived dims by stored SQL, or recomputable from finer plain
+    *     dims — `month(o_orderdate)` over a finer that stores
+    *     `o_orderdate`), and
+    *   - every coarse measure derives from a finer measure of the SAME
+    *     input SQL (sum of partial sums, min of partial mins, …).
+    * Re-aggregated measures are cast to the coarse rollup's existing
+    * column types, so the stored schema never drifts across refresh
+    * paths. The coarse definition INHERITS the finer's recorded base
+    * signature — it is now exactly as current as the finer was.
+    * Anything underivable throws with the reason; the plain
+    * [[refresh]] against the base always remains available.
+    */
+  def refreshFromFiner(
+      spark: SparkSession,
+      coarseMvPath: String,
+      finerMvPath: String): (MvDef, Boolean) = {
+    val c = attach(spark, coarseMvPath)
+    val f = attach(spark, finerMvPath)
+    require(c.basePath == f.basePath,
+      s"coarse (${c.basePath}) and finer (${f.basePath}) bases differ")
+    require(c.links.isEmpty && f.links.isEmpty,
+      "rollup-hierarchy refresh covers flat and keyed bases (no star links)")
+    require(c.keyedSpec == f.keyedSpec,
+      "coarse and finer must read the base the same way (keyed spec)")
+    // Finer freshness — exactly the check its own serving would make.
+    val fresh = f.keyedSpec match {
+      case Some(_) =>
+        KeyedTable.latestTimelineMarker(spark, f.basePath) == f.baseCommit
+      case None =>
+        val current = listDataFiles(spark, f.basePath)
+        f.files.nonEmpty && current == f.files
+    }
+    require(fresh,
+      s"finer MV '${f.name}' is itself stale against ${f.basePath}; " +
+        "refresh it first (the coarse rollup must not inherit staleness)")
+    def lc(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+    val finer = spark.read.parquet(finerMvPath)
+    val finerDims = f.groupCols.map(lc).toSet
+    c.groupCols.foreach(g => require(finerDims.contains(lc(g)),
+      s"coarse dim '$g' is not a finer dim (${f.groupCols.mkString(", ")})"))
+    // Derived dims: the finer's stored column for the same SQL, else
+    // recompute from finer plain dims (the SQL references only them).
+    val dimCols: Seq[Column] =
+      c.groupCols.map(col) ++
+        c.exprDims.map { case (sql, cName) =>
+          f.exprDims.get(sql) match {
+            case Some(fc) => col(fc).as(cName)
+            case None =>
+              val e = expr(sql)
+              val refs = finer.select(e).queryExecution.analyzed
+                .expressions.head.references.map(a => lc(a.name)).toSet
+              require(refs.subsetOf(finerDims),
+                s"coarse derived dim `$sql` needs non-dim finer columns")
+              e.as(cName)
+          }
+        }.toSeq
+    def need(
+        kind: String, coarse: Map[String, String],
+        finerM: Map[String, String]): Seq[(String, String)] =
+      coarse.toSeq.map { case (sql, cName) =>
+        finerM.get(sql) match {
+          case Some(fc) => cName -> fc
+          case None => throw new IllegalArgumentException(
+            s"coarse $kind measure `$sql` has no finer counterpart")
+        }
+      }
+    val sumPairs = need("sum", c.sums, f.sums)
+    val cntPairs = need("count", c.counts, f.counts)
+    val minPairs = need("min", c.mins, f.mins)
+    val maxPairs = need("max", c.maxs, f.maxs)
+    val ccPair = c.countCol.map { cc =>
+      cc -> f.countCol.getOrElse(throw new IllegalArgumentException(
+        "coarse stores a row count but the finer MV does not"))
+    }
+    val aggCols =
+      sumPairs.map { case (cName, fc) => sum(col(fc)).as(cName) } ++
+      minPairs.map { case (cName, fc) => min(col(fc)).as(cName) } ++
+      maxPairs.map { case (cName, fc) => max(col(fc)).as(cName) } ++
+      cntPairs.map { case (cName, fc) => sum(col(fc)).as(cName) } ++
+      ccPair.map { case (cName, fc) => sum(col(fc)).as(cName) }.toSeq
+    val oldTypes = spark.read.parquet(coarseMvPath).schema.fields
+      .map(fd => fd.name -> fd.dataType).toMap
+    val rebuilt = finer
+      .groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      .select(oldTypes.keys.toSeq.sorted
+        .map(cn => col(cn).cast(oldTypes(cn)).as(cn)): _*)
+    // Inherit the finer's base signature: the coarse rollup is now
+    // exactly as current as the finer was at its last refresh.
+    val c2 = c.copy(
+      baseMtime = f.baseMtime, files = f.files, baseCommit = f.baseCommit)
+    publish(spark, c2, Some(rebuilt))
+    (c2, true)
+  }
+
   /** Star-join refresh: dims unchanged + fact append-only → aggregate
     * ONLY the appended fact files joined with the dims and merge (per-
     * refresh cost scales with the fact DELTA — the nightly-load shape);
@@ -831,7 +969,7 @@ object MaterializedView {
     val d3 = merged match {
       case Some(m) =>
         val staged = mvPath + "_refresh_tmp"
-        m.write.mode("overwrite").parquet(staged)
+        writeRollup(m, d2, staged)
         val dOut = d2.copy(rollupBytes = dataBytes(spark, staged))
         writeSidecar(spark, dOut.copy(mvPath = staged))
         val p = new Path(mvPath)
@@ -846,16 +984,23 @@ object MaterializedView {
     register(d3)
   }
 
-  /** Total data-file bytes under a flat parquet dir (sidecars excluded) —
-    * one listStatus; the serving-cost statistic MV selection sorts on.
+  /** Total data-file bytes under a rollup dir (sidecars excluded;
+    * recursive, so hive-partitioned rollups count too) — the
+    * serving-cost statistic MV selection sorts on.
     */
   private def dataBytes(spark: SparkSession, path: String): Long = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(p).iterator
-      .filterNot(s => s.getPath.getName.startsWith("_") ||
-        s.getPath.getName.startsWith("."))
-      .filter(_.isFile).map(_.getLen).sum
+    val rootPrefix = fs.makeQualified(p).toUri.getPath
+    val it = fs.listFiles(p, true)
+    var sum = 0L
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = s.getPath.toUri.getPath.stripPrefix(rootPrefix).split('/')
+      if (!rel.exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+        sum += s.getLen
+    }
+    sum
   }
 
   // -------------------------------------------------------------------
@@ -898,6 +1043,8 @@ object MaterializedView {
       } ++
       (if (d.baseCommit.nonEmpty) Seq(s"commit\t${enc(d.baseCommit)}") else Nil) ++
       (if (d.rollupBytes >= 0) Seq(s"bytes\t${d.rollupBytes}") else Nil) ++
+      (if (d.partCols.nonEmpty)
+        Seq(s"pcols\t${d.partCols.map(enc).mkString(",")}") else Nil) ++
       d.files.toSeq.sortBy(_._1)
         .map { case (n, sig) => s"file\t${enc(n)}\t${sig.len}\t${sig.mtime}" } ++
       d.links.zipWithIndex.flatMap { case (l, i) =>
@@ -926,6 +1073,7 @@ object MaterializedView {
       finally in.close()
     var name = ""; var base = ""; var mtime = 0L; var commit = ""
     var bytes = -1L
+    var pcols = Seq.empty[String]
     val links = scala.collection.mutable.Buffer.empty[JoinLink]
     val jfiles = scala.collection.mutable.Map
       .empty[Int, scala.collection.mutable.Map[String, FileSig]]
@@ -947,6 +1095,7 @@ object MaterializedView {
         case Array("mtime", v) => mtime = v.toLong
         case Array("commit", v) => commit = dec(v)
         case Array("bytes", v) => bytes = v.toLong
+        case Array("pcols", v) => pcols = list(v)
         case Array("dims", v) => dims = v.split(',').toSeq.filter(_.nonEmpty).map(dec)
         case Array("dims") => dims = Seq.empty // expression-dims-only MV
         case Array("edim", c, sql) => edims += dec(sql) -> dec(c)
@@ -992,7 +1141,7 @@ object MaterializedView {
       cnts.result(), keyedSpec.map(_.copy(path = base)), commit,
       links.zipWithIndex.map { case (l, i) =>
         l.copy(dimFiles = jfiles.get(i).map(_.toMap).getOrElse(Map.empty))
-      }.toSeq, bytes, edimsMap, nmirs.result())
+      }.toSeq, bytes, edimsMap, nmirs.result(), pcols)
     register(d)
     d
   }
@@ -1402,6 +1551,53 @@ object MaterializedView {
           count(lit(1)).as("n_rows"),
           sum(expr("CAST(value AS DECIMAL(18,4))")).cast("double")
             .as("sum_value")))
+  }
+
+  // ---------------------------------------------------------------------
+  // q144: ROLLUP HIERARCHY — the coarse (priority) MV refreshes FROM the
+  // finer (status, priority) MV instead of the base: after an append the
+  // finer merges its delta, then the coarse re-aggregates the finer's
+  // partials at O(finer rollup) cost — the base is scanned once per
+  // refresh cycle no matter how many coarser summaries hang off it. The
+  // finer rollup is stored hive-partitioned by its leading dim, so
+  // dim-sliced serves partition-prune even inside the serving layer.
+  // Oracle: the straight aggregate, measures doubled (the base is orders
+  // plus an appended copy of itself).
+  // ---------------------------------------------------------------------
+
+  /** Revenue by priority served from a coarse rollup that was refreshed
+    * from the finer (status, priority) rollup — never from the base —
+    * after the base gained an appended copy of itself.
+    */
+  def mvCoarseFromFiner(spark: SparkSession, dir: String): DataFrame = {
+    val work = freshBenchWork("coarse")
+    val base = Files.createDirectories(work.resolve("orders.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "orders.parquet"),
+      base.resolve("part-00000.snappy.parquet"))
+    create(
+      spark, "orders_fine", base.toString, s"$work/mv_fine",
+      groupCols = Seq("o_orderstatus", "o_orderpriority"),
+      sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+      countCol = Some("cnt"),
+      partitionBy = Seq("o_orderstatus"))
+    create(
+      spark, "orders_coarse", base.toString, s"$work/mv_coarse",
+      groupCols = Seq("o_orderpriority"),
+      sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+      countCol = Some("cnt"))
+    java.nio.file.Files.copy(
+      base.resolve("part-00000.snappy.parquet"),
+      base.resolve("part-00001.snappy.parquet"))
+    refresh(spark, s"$work/mv_fine") // append-merge against the base
+    refreshFromFiner(spark, s"$work/mv_coarse", s"$work/mv_fine")
+    pinAndDrop(spark, base.toString,
+      spark.read.parquet(base.toString)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double")
+            .as("sum_price"),
+          count(lit(1)).as("n_orders")))
   }
 
   // ---------------------------------------------------------------------

@@ -156,6 +156,148 @@ class MvRewriteSpec extends SparkTestBase {
     } finally MaterializedView.drop(base)
   }
 
+  test("partitioned rollup: dim-filtered serves partition-prune the MV scan") {
+    val base = copyBase()
+    val expected = rows(userQuery(base))
+    val mvPath = Files.createTempDirectory("graft_mv_part_").toString + "/mv"
+    try {
+      MaterializedView.create(
+        spark, "spec_mv_part", base, mvPath,
+        groupCols = Seq("o_orderstatus", "o_orderpriority"),
+        sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+        countCol = Some("cnt"),
+        partitionBy = Seq("o_orderstatus"))
+      val served = userQuery(base) // filter o_orderstatus = 'O'
+      val found = scala.collection.mutable.Buffer
+        .empty[org.apache.spark.sql.execution.FileSourceScanExec]
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        p match {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            found += f; ()
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case _ =>
+        }
+        p.children.foreach(walk)
+      }
+      walk(served.queryExecution.executedPlan)
+      val scans = found.filter(
+        _.relation.location.rootPaths.exists(_.toString.contains("/mv")))
+      assert(scans.nonEmpty, "expected the rollup scan")
+      assert(scans.forall(_.partitionFilters.nonEmpty),
+        s"the dim filter must partition-prune the rollup scan: " +
+          scans.map(_.partitionFilters).mkString("; "))
+      assert(rows(served) == expected)
+      // Round-trip survives a refresh (the merged rollup re-partitions).
+      val (d, inc) = MaterializedView.refresh(spark, mvPath)
+      assert(d.partCols == Seq("o_orderstatus") && inc)
+      assert(rows(userQuery(base)) == expected)
+    } finally MaterializedView.drop(base)
+  }
+
+  test("partitioning on a type-drifting dim is refused at create") {
+    val work = Files.createTempDirectory("graft_mv_drift_")
+    val basePath = work.resolve("t.parquet").toString
+    spark.createDataFrame(Seq(("01", 1.0), ("02", 2.0), ("01", 3.0)))
+      .toDF("code", "v").write.parquet(basePath)
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.create(
+        spark, "spec_mv_drift", basePath, work.resolve("mv").toString,
+        groupCols = Seq("code"),
+        sums = Seq("sum_v" -> col("v")),
+        countCol = Some("cnt"),
+        partitionBy = Seq("code")) // "01" reads back as int 1
+    }
+    assert(e.getMessage.contains("round-trip"), e.getMessage)
+    MaterializedView.drop(basePath)
+  }
+
+  test("coarse rollup refreshes FROM the finer one; the base is never scanned") {
+    val base = copyBase()
+    val finePath = Files.createTempDirectory("graft_mv_h_").toString + "/fine"
+    val coarsePath = new java.io.File(finePath).getParent + "/coarse"
+    try {
+      MaterializedView.create(
+        spark, "h_fine", base, finePath,
+        groupCols = Seq("o_orderstatus", "o_orderpriority"),
+        sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+        countCol = Some("cnt"))
+      MaterializedView.create(
+        spark, "h_coarse", base, coarsePath,
+        groupCols = Seq("o_orderpriority"),
+        sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+        countCol = Some("cnt"))
+      // Append a copy of the base file; a stale finer must be refused.
+      Files.copy(Paths.get(base, "part-00000.snappy.parquet"),
+        Paths.get(base, "part-00001.snappy.parquet"))
+      val eStale = intercept[IllegalArgumentException] {
+        MaterializedView.refreshFromFiner(spark, coarsePath, finePath)
+      }
+      assert(eStale.getMessage.contains("stale"), eStale.getMessage)
+      MaterializedView.refresh(spark, finePath)
+
+      // The hierarchy refresh: every file scan it runs must be the finer
+      // rollup (or the coarse being rewritten) — never the base.
+      val scans = scala.collection.mutable.Buffer.empty[String]
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = {
+          def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+            p match {
+              case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+                scans.synchronized {
+                  scans ++= f.relation.location.rootPaths.map(_.toString); ()
+                }
+              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                walk(a.executedPlan)
+              case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                walk(s.plan)
+              case c: org.apache.spark.sql.execution.CommandResultExec =>
+                walk(c.commandPhysicalPlan)
+              case _ =>
+            }
+            p.children.foreach(walk); p.subqueries.foreach(walk)
+          }
+          walk(qe.executedPlan)
+        }
+        override def onFailure(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        val (d2, inc) = MaterializedView.refreshFromFiner(spark, coarsePath, finePath)
+        assert(inc)
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (scans.synchronized(scans.isEmpty) && System.nanoTime() < deadline)
+          Thread.sleep(50)
+      } finally spark.listenerManager.unregister(listener)
+      val got = scans.synchronized(scans.toList)
+      assert(got.exists(_.contains("/fine")),
+        s"the hierarchy refresh must scan the finer rollup: $got")
+      assert(!got.exists(_.contains("orders.parquet")),
+        s"the hierarchy refresh must NEVER scan the base: $got")
+
+      // The refreshed coarse rollup serves the doubled base exactly.
+      val q = spark.read.parquet(base)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double")
+          .as("sum_price"), count(lit(1)).as("n_orders"))
+      val paths = scannedPaths(q)
+      assert(paths.exists(_.contains("/coarse")),
+        s"the coarse rollup must serve: $paths")
+      assert(!paths.exists(_.contains("orders.parquet")), s"$paths")
+      val direct = {
+        MaterializedView.drop(base)
+        val r = rows(q)
+        MaterializedView.attach(spark, finePath)
+        MaterializedView.attach(spark, coarsePath)
+        r
+      }
+      assert(rows(q) == direct)
+    } finally MaterializedView.drop(base)
+  }
+
   test("underivable shapes decline: unknown measure, non-dim grouping") {
     val base = copyBase()
     val mvPath = Files.createTempDirectory("graft_mv_out_").toString + "/mv"
