@@ -19,6 +19,21 @@ object Bench {
     // query, which the cross-pass median discards.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val names = SparkEntry.queries.keys.toSeq
+    // The streaming-state family pays a first-run state-store/provider
+    // class-init cost that is a JVM artifact, not plan cost (q117 read
+    // 7.8 s in r10 from exactly this: a cold 9.4 s sample plus one VM
+    // throttle defeats the cross-pass median). ONE untimed warmup per
+    // such query removes the systematic cold sample, so the median only
+    // has to defend against genuine throttles. Override the family with
+    // SPARK_GRAFT_BENCH_WARM=name,name (empty string disables).
+    val warmNames = sys.env.get("SPARK_GRAFT_BENCH_WARM")
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
+      .getOrElse(names.filter(n => n.contains("stream") || n.contains("cdc")))
+    warmNames.filter(names.contains).foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+    }
     val samples = scala.collection.mutable.Map
       .empty[String, List[Double]].withDefaultValue(Nil)
     for (_ <- 1 to reps; name <- names) {

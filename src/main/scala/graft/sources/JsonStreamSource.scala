@@ -113,6 +113,73 @@ object JsonStreamSource {
           col("_metadata.file_name")))
   }
 
+  // ---- production transport binding (Kafka) ---------------------------
+  // The claim "file dir in dev, Kafka/Kinesis in prod — same readStream
+  // surface" is typed HERE against the real `format("kafka")` option
+  // names instead of living in prose. Building the reader needs no
+  // connector jar (format/options are lazy); only `load()` does, so the
+  // wiring is unit-testable in a no-network sandbox (KafkaSurfaceSpec).
+
+  /** The exact option map a Kafka deployment of this source uses —
+    * `startingPosition` follows the reference's enum
+    * (`latest | trim_horizon | earliest`, glue_job_script.py:32-33),
+    * mapped onto the Kafka source's `startingOffsets`; the per-trigger
+    * bound maps onto `maxOffsetsPerTrigger` (the Kinesis per-shard read
+    * limit's Kafka analogue, as `maxFilesPerTrigger` is the file one).
+    */
+  def kafkaOptions(
+      bootstrapServers: String,
+      topic: String,
+      startingPosition: String,
+      maxRecordsPerTrigger: Option[Long] = None): Map[String, String] = {
+    val startingOffsets = startingPosition.toLowerCase match {
+      case "latest"                    => "latest"
+      case "trim_horizon" | "earliest" => "earliest"
+      case other =>
+        throw new IllegalArgumentException(s"unknown startingPosition: $other")
+    }
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets) ++
+      maxRecordsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString)
+  }
+
+  /** The production `readStream` for a Kafka transport: call `.load()`
+    * where the connector is on the classpath, then decode with
+    * [[decodeKafkaJson]].
+    */
+  def kafkaReader(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topic: String,
+      startingPosition: String,
+      maxRecordsPerTrigger: Option[Long] = None)
+      : org.apache.spark.sql.streaming.DataStreamReader =
+    kafkaOptions(bootstrapServers, topic, startingPosition,
+      maxRecordsPerTrigger)
+      .foldLeft(spark.readStream.format("kafka")) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+
+  /** Decode a Kafka-shaped frame (`key`,`value` binary; `topic`,
+    * `partition`, `offset`) into this source's record contract: the JSON
+    * `value` parsed under `schema`, `shard` = the Kafka partition (the
+    * key→shard affinity carrier, as the hive `shard=` dir is for files),
+    * and `transport_seq` = the zero-padded offset — lexicographically
+    * ordered and total per shard, exactly [[streamSharded]]'s token
+    * contract, so every downstream precombine works unchanged on either
+    * transport.
+    */
+  def decodeKafkaJson(kafka: DataFrame, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{from_json, lpad}
+    kafka.select(
+      from_json(col("value").cast("string"), schema).as("_graft_json"),
+      col("partition").cast("string").as("shard"),
+      lpad(col("offset").cast("string"), 20, "0").as("transport_seq"))
+      .select(col("_graft_json.*"), col("shard"), col("transport_seq"))
+  }
+
   /** Starting-position policy, mirroring the reference's
     * `startingPosition: latest | trim_horizon | earliest`
     * (glue_job_script.py:32-33, Template.yaml:25-28). For the file source
