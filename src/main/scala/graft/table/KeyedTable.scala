@@ -708,6 +708,159 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     recordCommit(spark, commitTime, "upsert", pre)
   }
 
+  // ---- record-level index (point lookups) ------------------------------
+  // The exact-contains member of the index family (bloom = may-contain,
+  // column stats = range): one row per LIVE key version mapping its
+  // record key to the data file holding it — Hudi 0.14's record-level
+  // index idea, stored relationally as a parquet sidecar. A point lookup
+  // opens O(probe keys + post-build delta) files instead of probing every
+  // file's bloom or scanning the table; at 100 TB that is the difference
+  // between a key fetch and a table scan. Staleness is handled at
+  // LOOKUP time through the commit→files index: files the index cannot
+  // know about (added after its build boundary) are unioned into the
+  // candidate set, files removed since are subtracted — a stale index is
+  // never wrong, only less selective, and an unprovable delta falls back
+  // to the full read.
+
+  private def rliDir = s"${spec.path}/_graft_rli"
+
+  /** The table-relative rendering of `input_file_name()` — the same
+    * normalization the commit markers record, so index entries and
+    * marker file records compare as equals.
+    */
+  private def relFileExpr(spark: SparkSession): Column = {
+    val root = fs(spark).makeQualified(new Path(spec.path)).toUri.getPath
+    substring_index(input_file_name(), s"$root/", -1)
+  }
+
+  /** Build the record-level index from one table scan: latest version
+    * per key (the precombine resolve, so a history table indexes only
+    * the version a lookup would return), keyed by `_graft_record_key`,
+    * valued by the table-relative file holding it. `built_at` records
+    * the timeline boundary the index is current as of; lookups prove
+    * freshness against it via the commit→files index. Row count is the
+    * live key count — hash-distributed on key like Hudi's RLI metadata
+    * partition, and never collected to the driver.
+    */
+  def recordKeyIndex(spark: SparkSession): Unit = {
+    if (!exists(spark)) return
+    val builtAt = KeyedTable.timelineMarkers(spark, spec.path)
+      .lastOption.map(KeyedTable.markerCommit).getOrElse("")
+    lookupResolve(spark, readRaw(spark).withColumn("_graft_rel", relFileExpr(spark)))
+      .select(
+        col(KeyedTable.RecordKeyCol).as("key"),
+        col("_graft_rel").as("file"))
+      .withColumn("built_at", lit(builtAt))
+      .repartition(4, col("key"))
+      .write.mode(SaveMode.Overwrite).parquet(rliDir)
+  }
+
+  /** Incremental index maintenance at O(delta), never O(table): entries
+    * pointing at files a post-build commit removed are dropped (their
+    * keys' surviving versions were re-added under that commit), the
+    * post-build files' latest versions append as new entries (an MoR
+    * key may then hold several entries — older file plus log file — and
+    * the lookup's resolve settles them), and the boundary advances. The
+    * rewrite goes through a sibling tmp dir: a crash leaves either the
+    * old index or none at all (lookups fall back), never a wrong one.
+    * An unprovable delta (pre-index markers, evolved layout) rebuilds.
+    */
+  def refreshRecordKeyIndex(spark: SparkSession): Unit = {
+    val f = fs(spark)
+    if (!f.exists(new Path(rliDir))) { recordKeyIndex(spark); return }
+    val idx = spark.read.parquet(rliDir)
+    val head = idx.select(col("built_at")).limit(1).collect()
+    val builtAt = if (head.isEmpty) "" else head(0).getString(0)
+    val newBoundary = KeyedTable.timelineMarkers(spark, spec.path)
+      .lastOption.map(KeyedTable.markerCommit).getOrElse("")
+    KeyedTable.fileDeltaSince(spark, spec.path, builtAt) match {
+      case None => recordKeyIndex(spark)
+      case Some((added, removed)) =>
+        if (added.isEmpty && removed.isEmpty) return
+        val surviving =
+          if (removed.isEmpty) idx.select("key", "file")
+          else idx.filter(!col("file").isin(removed: _*)).select("key", "file")
+        val deltaRows =
+          if (added.isEmpty) surviving.limit(0)
+          else lookupResolve(spark,
+            readFilesRaw(spark, added)
+              .withColumn("_graft_rel", relFileExpr(spark)))
+            .select(
+              col(KeyedTable.RecordKeyCol).as("key"),
+              col("_graft_rel").as("file"))
+        val tmp = new Path(s"${spec.path}_graft_rli_tmp")
+        surviving.unionByName(deltaRows)
+          .withColumn("built_at", lit(newBoundary))
+          .repartition(4, col("key"))
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        f.delete(new Path(rliDir), true)
+        if (!f.rename(tmp, new Path(rliDir)))
+          throw new java.io.IOException(s"rename $tmp -> $rliDir failed")
+    }
+  }
+
+  /** The lookup's candidate file set for `probe` keys, or `None` when
+    * the index is absent/unreadable or freshness cannot be proven (the
+    * caller full-scans): (index files for the probe keys minus files
+    * removed since the build) ∪ (files added since the build). The
+    * collect is O(probe keys + delta files) — the point-lookup
+    * contract; this is never the path for a large key set.
+    */
+  private[graft] def rliCandidateFiles(
+      spark: SparkSession, probe: DataFrame): Option[Seq[String]] = {
+    val f = fs(spark)
+    if (!f.exists(new Path(rliDir))) return None
+    try {
+      val idx = spark.read.parquet(rliDir)
+      val head = idx.select(col("built_at")).limit(1).collect()
+      if (head.isEmpty) return None
+      KeyedTable.fileDeltaSince(spark, spec.path, head(0).getString(0)).map {
+        case (added, removed) =>
+          val probePk = probe.select(keyExpr.as("key")).distinct()
+          val selected = idx.join(broadcast(probePk), Seq("key"))
+            .select(col("file")).distinct()
+            .collect().map(_.getString(0)).toSeq
+          val dead = removed.toSet
+          (selected.filterNot(dead) ++ added).distinct
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Point lookup through the record-level index: the latest state of
+    * every row whose key appears in `keys` (a small frame holding the
+    * key columns), reading only the candidate files — the key's indexed
+    * file plus whatever post-build commits added. Falls back to the
+    * full merge ∘ semi-join when the index is absent or staleness is
+    * unprovable; either path returns identical rows, the index only
+    * changes which files open. Non-probe rows sharing a candidate file
+    * are discarded by the semi-join, so a partially-covered foreign
+    * key's resolve never leaks a wrong version: the probe key's OWN
+    * latest version is always in the candidate set (its indexed file if
+    * untouched since build, a delta file otherwise).
+    */
+  def lookupKeys(spark: SparkSession, keys: DataFrame): DataFrame = {
+    val probe = keys.select(spec.keyCols.map(col): _*).distinct()
+    rliCandidateFiles(spark, probe) match {
+      case None =>
+        read(spark).join(broadcast(probe), spec.keyCols, "left_semi")
+      case Some(candidates) =>
+        val rows =
+          if (candidates.isEmpty) readRaw(spark).filter(lit(false))
+          else readFilesRaw(spark, candidates)
+        SchemaEvolution.dropSystemColumns(lookupResolve(spark, rows))
+          .join(broadcast(probe), spec.keyCols, "left_semi")
+    }
+  }
+
+  /** [[read]]'s resolve decision applied to an arbitrary raw frame: a
+    * history/evolved table resolves latest-per-key; a plain COW table
+    * does not (its [[insert]] path can legitimately append duplicate
+    * keys, and [[read]] returns them all — the index and lookup must
+    * return the same rows the full read would).
+    */
+  private def lookupResolve(spark: SparkSession, raw: DataFrame): DataFrame =
+    if (spec.retainHistory || isEvolved(spark)) resolveLatest(raw) else raw
+
   /** Build/refresh the file-skipping index for integral `cols`: per data
     * file, min–max of each column, computed in ONE scan (groupBy on
     * `input_file_name`) and stored as a parquet sidecar whose row count is
@@ -2108,7 +2261,20 @@ object KeyedTable {
     */
   def addedFilesSince(
       spark: SparkSession, path: String,
-      sinceCommit: String): Option[Seq[String]] = {
+      sinceCommit: String): Option[Seq[String]] =
+    fileDeltaSince(spark, path, sinceCommit).map(_._1)
+
+  /** Both directions of the file delta after `sinceCommit`: (live files
+    * added by post-boundary commits — additions a later recorded commit
+    * removed are subtracted; every file ANY post-boundary commit
+    * removed). The removed side lets an index built at the boundary
+    * discard entries pointing at files that no longer exist (their
+    * surviving rows were re-added under a later commit, so the added
+    * side covers them). Same `None` contract as [[addedFilesSince]].
+    */
+  def fileDeltaSince(
+      spark: SparkSession, path: String,
+      sinceCommit: String): Option[(Seq[String], Seq[String])] = {
     val markers = timelineMarkers(spark, path)
     val i = markers.lastIndexWhere(m => markerCommit(m) == sinceCommit)
     if (i < 0) None
@@ -2118,10 +2284,11 @@ object KeyedTable {
       if (records.exists(_.isEmpty)) None
       else {
         val added = scala.collection.mutable.LinkedHashSet.empty[String]
+        val removed = scala.collection.mutable.LinkedHashSet.empty[String]
         records.flatten.foreach { case (a, r) =>
-          added ++= a; added --= r
+          added ++= a; added --= r; removed ++= r
         }
-        Some(added.toSeq)
+        Some((added.toSeq, removed.toSeq))
       }
     }
   }

@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.table.{KeyedTable, KeyedTableSpec}
+
+/** The record-level index (exact key→file point lookups): result
+  * equivalence with the full merge ∘ semi-join on every path (fresh
+  * index, stale index over MoR appends, stale index over COW partition
+  * rewrites, deletes), candidate-set pruning (a point lookup opens few
+  * files, not the table), incremental refresh ≡ rebuild, and the
+  * absent-index fallback.
+  */
+class RliSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def eventsUs =
+    Tables.events(spark, sf0001).withColumn("ts_us", expr("ts div 1000"))
+
+  private def outputSet(df: DataFrame): Set[(Long, String, Long, Long, Double)] =
+    df.select("user_id", "event_type", "ts_us", "event_id", "value")
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+
+  private def cowSpec(path: String) = KeyedTableSpec(
+    path = path, keyCols = Seq("user_id"), precombineCol = "ts_us",
+    tiebreakCols = Seq("event_id"), partitionCols = Seq("event_type"))
+
+  private def morSpec(path: String) = cowSpec(path).copy(retainHistory = true)
+
+  private def probeFrame = eventsUs
+    .select("user_id").distinct().filter(col("user_id") % 7 === 3)
+
+  private def oracle(table: KeyedTable, probe: DataFrame): Set[(Long, String, Long, Long, Double)] =
+    outputSet(table.read(spark).join(probe, Seq("user_id"), "left_semi"))
+
+  private def dataFileCount(path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(fs.makeQualified(p), true)
+    var n = 0
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = s.getPath.toUri.getPath
+      if (s.getPath.getName.endsWith(".parquet") &&
+        !rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+        n += 1
+    }
+    n
+  }
+
+  test("fresh index: lookup == full read, candidate set prunes") {
+    val path = Files.createTempDirectory("graft_rli_fresh_").toString + "/t"
+    val table = KeyedTable(morSpec(path))
+    val ev = eventsUs
+    table.upsert(spark, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    table.upsert(spark, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    table.recordKeyIndex(spark)
+    val probe = probeFrame
+    assert(outputSet(table.lookupKeys(spark, probe)) == oracle(table, probe))
+    val cands = table.rliCandidateFiles(spark, probe)
+    assert(cands.isDefined, "freshness provable on a marker-complete table")
+    val total = dataFileCount(path)
+    assert(cands.get.nonEmpty && cands.get.size < total,
+      s"point lookup must open a strict subset: ${cands.get.size} of $total")
+  }
+
+  test("stale index over MoR appends: exact via the delta union") {
+    val path = Files.createTempDirectory("graft_rli_mor_").toString + "/t"
+    val table = KeyedTable(morSpec(path))
+    val ev = eventsUs
+    table.upsert(spark, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    table.recordKeyIndex(spark) // built at c0
+    table.upsert(spark, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    val probe = probeFrame
+    assert(outputSet(table.lookupKeys(spark, probe)) == oracle(table, probe))
+    // Candidates = probe keys' indexed files + ONLY the c1 files.
+    val cands = table.rliCandidateFiles(spark, probe).get
+    assert(cands.size < dataFileCount(path))
+  }
+
+  test("stale index over COW partition rewrites: removed files subtracted") {
+    val path = Files.createTempDirectory("graft_rli_cow_").toString + "/t"
+    val table = KeyedTable(cowSpec(path))
+    val ev = eventsUs
+    table.upsert(spark, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    table.recordKeyIndex(spark)
+    // c1 rewrites every touched partition: most indexed files are gone.
+    table.upsert(spark, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    val probe = probeFrame
+    assert(outputSet(table.lookupKeys(spark, probe)) == oracle(table, probe))
+    // Every candidate file must still exist (dead entries subtracted).
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    table.rliCandidateFiles(spark, probe).get.foreach { rel =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/$rel")), rel)
+    }
+  }
+
+  test("deletes after build: deleted keys vanish, others stay exact") {
+    val path = Files.createTempDirectory("graft_rli_del_").toString + "/t"
+    val table = KeyedTable(cowSpec(path))
+    val ev = eventsUs
+    table.upsert(spark, ev, commitTime = "c0")
+    table.recordKeyIndex(spark)
+    val doomed = eventsUs.select("user_id", "event_type")
+      .distinct().filter(col("user_id") % 7 === 3).limit(5)
+    table.delete(spark, doomed)
+    val probe = probeFrame
+    assert(outputSet(table.lookupKeys(spark, probe)) == oracle(table, probe))
+  }
+
+  test("incremental refresh == rebuild; post-refresh lookups stay exact") {
+    val a = Files.createTempDirectory("graft_rli_ra_").toString + "/t"
+    val b = Files.createTempDirectory("graft_rli_rb_").toString + "/t"
+    val inc = KeyedTable(morSpec(a))
+    val reb = KeyedTable(morSpec(b))
+    val ev = eventsUs
+    for (t <- Seq(inc, reb)) {
+      t.upsert(spark, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    }
+    inc.recordKeyIndex(spark)
+    for (t <- Seq(inc, reb)) {
+      t.upsert(spark, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    }
+    inc.refreshRecordKeyIndex(spark)
+    reb.recordKeyIndex(spark)
+    val idxInc = spark.read.parquet(s"$a/_graft_rli")
+      .select("key", "file").as[(String, String)].collect().toSet
+    val idxReb = spark.read.parquet(s"$b/_graft_rli")
+      .select("key", "file").as[(String, String)].collect().toSet
+    // MoR refresh appends log-file entries for updated keys, so the
+    // incremental index may hold MORE entries (old + new file per key);
+    // it must cover every rebuilt entry's key and the lookups agree.
+    assert(idxReb.map(_._1).subsetOf(idxInc.map(_._1)))
+    val probe = probeFrame
+    assert(outputSet(inc.lookupKeys(spark, probe)) == oracle(inc, probe))
+    assert(outputSet(inc.lookupKeys(spark, probe))
+      == outputSet(reb.lookupKeys(spark, probe)))
+    // The refreshed boundary makes the delta empty again.
+    val cands = inc.rliCandidateFiles(spark, probe).get
+    assert(cands.size < dataFileCount(a))
+  }
+
+  test("absent index falls back to the full read") {
+    val path = Files.createTempDirectory("graft_rli_none_").toString + "/t"
+    val table = KeyedTable(cowSpec(path))
+    table.upsert(spark, eventsUs, commitTime = "c0")
+    val probe = probeFrame
+    assert(table.rliCandidateFiles(spark, probe).isEmpty)
+    assert(outputSet(table.lookupKeys(spark, probe)) == oracle(table, probe))
+  }
+}
