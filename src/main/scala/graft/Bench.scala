@@ -10,7 +10,7 @@ object Bench {
     // sink once so the first timed query doesn't absorb JVM classloading
     // and whole-stage-codegen compiler cold start.
     try SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () } // fatal VM errors must abort, not skew
     // Median of `reps` INTERLEAVED whole-suite passes: the VM's throughput
     // swings ~2× in multi-second windows, so back-to-back reps of one query
     // all land inside the same throttle window and the per-query median
@@ -32,7 +32,7 @@ object Bench {
     warmNames.filter(names.contains).foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () } // fatal VM errors must abort, not skew
     }
     val samples = scala.collection.mutable.Map
       .empty[String, List[Double]].withDefaultValue(Nil)
@@ -42,13 +42,22 @@ object Bench {
       // noop sink: materializes every output column (count() would let
       // Catalyst prune projection work), measuring the real plan cost.
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name: $e")
+      }
       samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
     }
     val results = names.map { name =>
       val times = samples(name).sorted
       name -> times(times.length / 2)
     }.toMap
+    // Per-query MIN across passes, alongside the median: min is the
+    // noise-robust statistic for wall-clock (every slowdown source —
+    // VM throttle, GC, cold state — only ever ADDS time), so
+    // round-over-round regression diffs read the min; the median stays
+    // the headline (the driver's total sums it).
+    val mins = names.map(name => name -> samples(name).min).toMap
     // 3-decimal rounding halves the line, and emitting it both before and
     // after shutdown guarantees the driver's bounded tail capture contains
     // at least one complete copy (r03's single long line was truncated
@@ -73,7 +82,14 @@ object Bench {
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
       .toAbsolutePath
-    java.nio.file.Files.writeString(fullPath, line + "\n")
+    // The file carries BOTH statistics per query ({"median":…,"min":…});
+    // the stdout line keeps the flat median map the driver parses.
+    val qsFull = names.map { name =>
+      s"\"" + name + "\":{\"median\":" + r3(results(name)) +
+        ",\"min\":" + r3(mins(name)) + "}"
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(fullPath,
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""" + "\n")
     println(line)
     spark.stop()
     println(line)

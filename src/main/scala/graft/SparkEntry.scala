@@ -168,7 +168,8 @@ object SparkEntry {
     "q141_mv_advisor_star" -> (table.MaterializedView.mvAdvisorStar(_, _)),
     "q142_mv_keyed_hybrid" -> (table.MaterializedView.mvKeyedHybridServe(_, _)),
     "q143_mv_rollup_1phase" -> (table.MaterializedView.mvRollupSinglePhase(_, _)),
-    "q144_mv_coarse_from_finer" -> (table.MaterializedView.mvCoarseFromFiner(_, _))
+    "q144_mv_coarse_from_finer" -> (table.MaterializedView.mvCoarseFromFiner(_, _)),
+    "q145_rli_lookup" -> (UpsertOps.rliPointLookup(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -833,6 +834,15 @@ object SparkEntry {
         |  CAST(2 * SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
         |  2 * COUNT(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // record-level-index point lookup over a stale index: the index only
+    // changes which files open — ≡ full merge ∘ key semi-join
+    "q145_rli_lookup" ->
+      """SELECT user_id, event_type, ts_us, event_id, value FROM (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 AND user_id % 7 = 3""".stripMargin,
     // dHash from the closed-form pixels: 2x2 red-channel sums -> 8x8
     // cells, bit (r,c) = cell < right-neighbor; CASTs keep DuckDB's
     // HUGEINT sums out of the schema compare

@@ -470,6 +470,29 @@ object UpsertOps {
     outputCols(table.readPruned(s, "ts_us", mx - (mx - mn) / 20, mx))
   }
 
+  /** Record-level-index point lookup (q145): a keyed MoR table lands c0,
+    * the RLI is built, then c1 lands — so the index is STALE — and a
+    * small key set is looked up THROUGH it. Candidates are the indexed
+    * winner files settled relationally against c1's delta rows (the
+    * stored precombine/tiebreak/commit ordering decides without opening
+    * either file), never a table scan: at 100 TB a point lookup opens
+    * O(probe keys + delta) files where a bloom probe touches every
+    * file's footer and a plain read scans the table. RliSpec pins the
+    * pruning and the refresh/compaction paths; this query pins the
+    * result: ≡ full merge ∘ key semi-join — the index only changes
+    * which files open.
+    */
+  def rliPointLookup(s: SparkSession, dir: String): DataFrame = {
+    val path = Files.createTempDirectory("graft_rli_q_").toString + "/events_keyed"
+    val table = KeyedTable(morSpec(path))
+    val ev = eventsUs(s, dir)
+    table.upsert(s, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    table.recordKeyIndex(s)
+    table.upsert(s, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    val probe = ev.select("user_id").distinct().filter(col("user_id") % 7 === 3)
+    outputCols(table.lookupKeys(s, probe))
+  }
+
   /** Z-order × column-stats composition (q120): the two proofs q90
     * (stats skipping over a 1-D sort layout) and q92 (Morton layout)
     * carry separately — this query makes them MULTIPLY. The merge is

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.Aggregate
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, count, expr, lit, xxhash64}
+import org.apache.spark.sql.functions.{approx_count_distinct, col, count, expr, lit, xxhash64}
 
 import graft.functions.KmvDistinct.kmvDistinct
 import graft.table.MaterializedView
@@ -272,10 +272,14 @@ object MvAdvisor {
   final case class Costed(
       rec: Recommendation, baseRows: Long, estRollupRows: Long) {
     /** Rollup/base size ratio — near 1 means the dim union nearly keys
-      * the table and the rollup would hardly compress.
+      * the table and the rollup would hardly compress. NaN when the
+      * group could not be costed: "unknown" must never read as "free"
+      * to a caller sorting or thresholding on the ratio (NaN compares
+      * false against every threshold, and sorts last under
+      * Ordering.Double.TotalOrdering's descending sort).
       */
     def ratio: Double =
-      if (baseRows <= 0 || estRollupRows < 0) 0.0
+      if (baseRows <= 0 || estRollupRows < 0) Double.NaN
       else estRollupRows.toDouble / baseRows
   }
 
@@ -283,6 +287,12 @@ object MvAdvisor {
       recommendations: Seq[Costed], skipped: Seq[String])
 
   private val KmvK = 1024 // exact below 1024 groups, ~3% beyond — a size gate
+
+  /** Partition-count ceiling for advised-rollup hive layout (see
+    * [[createRecommended]]): above it, a partitioned rollup costs more
+    * in directory listings and tiny files than it saves in pruning.
+    */
+  private val MaxLeadPartitions = 256L
 
   /** The frame a group's rollup would aggregate: flat scan or star join. */
   private def baseFrame(
@@ -379,8 +389,15 @@ object MvAdvisor {
       mvPath: String): MvDef = {
     def cols(xs: Seq[(String, String)]): Seq[(String, Column)] =
       xs.map { case (c, sql) => c -> expr(sql) }
-    if (rec.joins.isEmpty)
-      MaterializedView.create(
+    if (rec.joins.isEmpty) {
+      // Advised rollups partition-prune out of the box: persist
+      // hive-partitioned by the leading plain dim (the q144 machinery),
+      // so a dim-filtered serve opens only its partition dirs. A dim
+      // whose values don't round-trip through a directory name
+      // (type-inferring "01", value-normalizing "") is refused by
+      // create's round-trip check — fall back to flat storage rather
+      // than fail the recommendation.
+      def flatCreate(partCols: Seq[String]) = MaterializedView.create(
         spark, name, rec.basePath, mvPath,
         groupCols = rec.groupCols,
         sums = cols(rec.sums),
@@ -388,8 +405,25 @@ object MvAdvisor {
         maxs = cols(rec.maxs),
         countCol = Some("cnt"),
         counts = cols(rec.counts),
-        exprDims = cols(rec.exprDims))
-    else
+        exprDims = cols(rec.exprDims),
+        partitionBy = partCols)
+      rec.groupCols.headOption match {
+        case Some(lead) =>
+          // Partitioning is a prune win only while the dim stays
+          // dir-countable: a near-key dim (the split-bin case) would
+          // explode into thousands of tiny hive dirs — at scale that
+          // trades one scan for a listing problem. One column-pruned
+          // sketch pass gates it (create scans the base anyway).
+          val nLead = spark.read.parquet(rec.basePath)
+            .agg(approx_count_distinct(col(lead)).as("n"))
+            .collect()(0).getLong(0)
+          if (nLead > MaxLeadPartitions) flatCreate(Nil)
+          else
+            try flatCreate(Seq(lead))
+            catch { case _: IllegalArgumentException => flatCreate(Nil) }
+        case None => flatCreate(Nil)
+      }
+    } else
       MaterializedView.createJoined(
         spark, name, rec.basePath, mvPath,
         joins = rec.joins,

@@ -98,6 +98,34 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     KeyedTable.recordTimeline(spark, spec.path, commitTime, action, rec)
   }
 
+  /** [[recordCommit]] for a PARTITION-SCOPED write: both snapshot sides
+    * are listings of only the touched partition dirs, so the diff costs
+    * O(touched dirs' files) instead of two O(table-files) recursive
+    * listings per commit — at 100 TB file counts, the difference between
+    * commit bookkeeping that scales with the batch and bookkeeping that
+    * scales with the table. Sound because the caller guarantees the
+    * write created/removed data files ONLY under `dirs`: untouched dirs
+    * contribute nothing to either side, so the scoped diff equals the
+    * full one.
+    */
+  private def recordCommitScoped(
+      spark: SparkSession, commitTime: String, action: String,
+      preScoped: Set[String], dirs: Set[String]): Unit = {
+    val after = relDataFilesUnder(spark, dirs)
+    KeyedTable.recordTimeline(spark, spec.path, commitTime, action,
+      Some(((after -- preScoped).toSeq.sorted, (preScoped -- after).toSeq.sorted)))
+  }
+
+  /** [[recordCommit]] with the file record supplied by the WRITER (the
+    * file-granular bloom path knows exactly which files it appended and
+    * which it replaced) — no listing at all.
+    */
+  private def recordCommitRecord(
+      spark: SparkSession, commitTime: String, action: String,
+      added: Seq[String], removed: Seq[String]): Unit =
+    KeyedTable.recordTimeline(spark, spec.path, commitTime, action,
+      Some((added.sorted, removed.sorted)))
+
   /** Refuse a commit id already on the timeline BEFORE any data is
     * written — recordTimeline re-checks post-write, but failing there
     * would leave data without a marker.
@@ -293,7 +321,14 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * default-id table — keep the plain column, so the resolve window's
     * shape (and the MV rule matching it) is unchanged there.
     */
-  private def commitOrderCol(spark: SparkSession): Column = {
+  private def commitOrderCol(spark: SparkSession): Column =
+    commitOrderColFor(spark, col(CommitTimeCol))
+
+  /** [[commitOrderCol]] over an arbitrary commit-time column — the
+    * record-level index stores each entry's commit id under its own name
+    * and resolves entries with the same ordering the data resolve uses.
+    */
+  private def commitOrderColFor(spark: SparkSession, ct: Column): Column = {
     // Only DATA-action ids ever appear in the commit-time column, so
     // only their mutual order matters — a service commit's generated id
     // between "c0"-style data ids must not force the mapped path (which
@@ -302,9 +337,8 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     val ids = KeyedTable.timelineMarkers(spark, spec.path)
       .filter(m => KeyedTable.DataActions.contains(KeyedTable.markerAction(m)))
       .map(KeyedTable.markerCommit)
-    if (ids.isEmpty || ids == ids.sorted) col(CommitTimeCol)
-    else element_at(
-      typedLit(ids.zipWithIndex.toMap), col(CommitTimeCol))
+    if (ids.isEmpty || ids == ids.sorted) ct
+    else element_at(typedLit(ids.zipWithIndex.toMap), ct)
   }
 
   /** Timeline-order-aware boundary predicates on the commit-time column
@@ -467,6 +501,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * classification can never diverge between consumers.
     */
   private def listDataFiles(spark: SparkSession): Seq[(String, Long)] = {
+    KeyedTable.fullListings.incrementAndGet() // test-pinned: hot write paths must not call this
     val f = fs(spark)
     val root = f.makeQualified(new Path(spec.path))
     val rootPrefix = root.toUri.getPath
@@ -581,12 +616,43 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     }.toSet
   }
 
+  /** [[relDataFiles]] restricted to the given table-relative partition
+    * dirs — the commit-record listing for a partition-scoped write:
+    * cost O(touched dirs' files), never O(table files). A dir that does
+    * not exist yet (a new partition about to be written) contributes
+    * nothing.
+    */
+  private def relDataFilesUnder(
+      spark: SparkSession, dirs: Set[String]): Set[String] = {
+    val f = fs(spark)
+    if (!f.exists(new Path(spec.path))) return Set.empty
+    val rootPrefix =
+      f.makeQualified(new Path(spec.path)).toUri.getPath + "/"
+    dirs.flatMap { d =>
+      val p = new Path(s"${spec.path}/$d")
+      if (!f.exists(p)) Set.empty[String]
+      else {
+        val it = f.listFiles(f.makeQualified(p), true)
+        val b = Set.newBuilder[String]
+        while (it.hasNext) {
+          val s = it.next()
+          val rel = s.getPath.toUri.getPath.stripPrefix(rootPrefix)
+          if (!rel.split('/').exists(seg =>
+              seg.startsWith("_") || seg.startsWith(".")) &&
+            s.getPath.getName.endsWith(".parquet")) b += rel
+        }
+        b.result()
+      }
+    }
+  }
+
   /** Pre-write file snapshot, captured at mutator ENTRY so
     * [[recordCommit]] can diff it against the post-write listing and
-    * store the commit's file record in its timeline marker. One extra
-    * recursive listing per COMMIT (write-time, where Hudi/Delta pay the
-    * same inventory cost through their commit protocols) buys every
-    * incremental READER an O(delta-files) scan with no listing at all.
+    * store the commit's file record in its timeline marker. Used by the
+    * table-shaped mutators (bootstrap, full rewrites, layout services,
+    * global-key paths), where a full listing is honest — the write
+    * itself is O(table). The partition-scoped write paths use
+    * [[recordCommitScoped]] instead and never pay it.
     * Evolved tables snapshot None: generation dirs are metadata-prefixed
     * (invisible to the data listing), so a diff would silently
     * under-record — the legacy marker makes consumers fall back to the
@@ -629,15 +695,17 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     require(!spec.globalKeys,
       "bloom-indexed upsert is partition-scoped (Hudi BLOOM); global keys " +
         "relocate rows across partitions — use upsert (GLOBAL_BLOOM scope)")
-    val pre = preCommitFiles(spark)
     val incoming = SchemaEvolution.dropSystemColumns(batch)
     currentUserSchema(spark) match {
       case None =>
+        val pre = preCommitFiles(spark) // bootstrap: the table is empty
         writeOut(withMeta(dedupLatest(incoming), commitTime), SaveMode.Overwrite)
         recordBloomIndex(spark)
+        recordCommit(spark, commitTime, "upsert", pre)
       case Some(current) if driftNeedsRewrite(current, incoming.schema) =>
         // Non-widen-readable drift forces the one-off full rewrite anyway;
-        // take the partition path and rebuild the index after.
+        // take the partition path (which records its own commit) and
+        // rebuild the index after.
         upsert(spark, batch, commitTime)
         recordBloomIndex(spark)
       case Some(current) =>
@@ -681,7 +749,27 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         f.delete(new Path(bloomDir), true)
         f.delete(new Path(colStatsDir), true) // appended files: see writeOut
 
-        val before = dataFiles(spark)
+        // The file-granular path KNOWS its file delta: the append can
+        // only create files under the batch's partition dirs plus the
+        // candidate files' dirs (non-global — rows never relocate), so
+        // the appended files are discovered by a listing scoped to those
+        // dirs and the commit record is written as (appended, replaced)
+        // directly. No full-table listing anywhere on this path — at
+        // production file counts that is what keeps the per-commit cost
+        // proportional to the batch, not the table.
+        val rootPrefix =
+          f.makeQualified(new Path(spec.path)).toUri.getPath + "/"
+        def relOf(abs: String): String =
+          new Path(new java.net.URI(abs)).toUri.getPath.stripPrefix(rootPrefix)
+        val candRel = cands.map(relOf)
+        val candDirs = candRel.map { r =>
+          val i = r.lastIndexOf('/'); if (i < 0) "" else r.substring(0, i)
+        }.toSet
+        val batchDirs: Set[String] =
+          if (spec.partitionCols.isEmpty) Set("")
+          else collectPartitionTuples(aligned).map(partitionDirOf).toSet
+        val scopeDirs = candDirs ++ batchDirs
+        val before = relDataFilesUnder(spark, scopeDirs)
         val order = (spec.partitionCols :+ RecordKeyCol).map(col)
         val w = merged
           .repartitionByRange(math.max(1, cands.size), order: _*)
@@ -691,7 +779,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         recordSchema(spark, merged.schema)
         cands.foreach(c => f.delete(new Path(new java.net.URI(c)), false))
 
-        val newFiles = (dataFiles(spark) -- before).toSeq
+        val newFiles = (relDataFilesUnder(spark, scopeDirs) -- before).toSeq
         val newRows =
           if (newFiles.isEmpty) spark.read.parquet(tmpIdx.toString).limit(0)
           else {
@@ -699,13 +787,13 @@ final class KeyedTable(val spec: KeyedTableSpec) {
             bloomRowsFor((sidecarSchema(spark) match {
               case Some(sch) => rd2.schema(sch)
               case None      => rd2.option("mergeSchema", "true")
-            }).parquet(newFiles: _*), m, k)
+            }).parquet(newFiles.map(r => s"${spec.path}/$r"): _*), m, k)
           }
         newRows.unionByName(spark.read.parquet(tmpIdx.toString))
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(bloomDir)
         f.delete(tmpIdx, true)
+        recordCommitRecord(spark, commitTime, "upsert", newFiles, candRel)
     }
-    recordCommit(spark, commitTime, "upsert", pre)
   }
 
   // ---- record-level index (point lookups) ------------------------------
@@ -733,42 +821,117 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     substring_index(input_file_name(), s"$root/", -1)
   }
 
+  /** One index entry per LIVE row version for resolving tables (one per
+    * stored row for plain COW): the record key, its resolve scope
+    * (partition path — [[dedupLatest]]'s per-partition key scope), the
+    * table-relative file holding it, and the full resolve ordering
+    * (precombine, tiebreaks, commit id). Storing the ORDERING alongside
+    * the location is what lets a stale index stay selective: a lookup
+    * can settle "indexed version vs post-build version" relationally,
+    * without opening either file.
+    */
+  private def rliEntryCols: Seq[Column] =
+    Seq(
+      col(KeyedTable.RecordKeyCol).as("key"),
+      col(KeyedTable.PartitionPathCol).as("pp"),
+      col("_graft_rel").as("file"),
+      col(spec.precombineCol).as("pre"),
+      col(KeyedTable.CommitTimeCol).as("ct")) ++
+      spec.tiebreakCols.zipWithIndex.map { case (c, i) => col(c).as(s"tb_$i") }
+
+  private def rliRequiredCols: Set[String] =
+    Set("key", "pp", "file", "pre", "ct", "built_at") ++
+      spec.tiebreakCols.indices.map(i => s"tb_$i")
+
+  /** Does this table's read resolve latest-per-key? (Mirrors
+    * [[lookupResolve]] — the index must return the same rows a full
+    * read would.)
+    */
+  private def rliResolves(spark: SparkSession): Boolean =
+    spec.retainHistory || isEvolved(spark)
+
+  /** [[dedupLatest]]'s winner selection re-expressed over index ENTRIES:
+    * one surviving entry per resolve scope, ordered exactly as the data
+    * resolve orders rows — so resolving entries and resolving the rows
+    * they point at always agree on the winner.
+    */
+  private def rliResolveEntries(spark: SparkSession, entries: DataFrame): DataFrame = {
+    val scope =
+      if (spec.globalKeys) Seq(col("key")) else Seq(col("key"), col("pp"))
+    val order = (col("pre") +: spec.tiebreakCols.indices.map(i => col(s"tb_$i")))
+      .map(_.desc_nulls_last) :+ commitOrderColFor(spark, col("ct")).desc
+    val w = Window.partitionBy(scope: _*).orderBy(order: _*)
+    entries
+      .withColumn("_graft_rli_rn", row_number().over(w))
+      .filter(col("_graft_rli_rn") === 1)
+      .drop("_graft_rli_rn")
+  }
+
+  /** Sibling tmp dir for atomic index publishes, built from Path parts
+    * (never string concat — a trailing slash in the table path must not
+    * turn the sibling into a child of the table).
+    */
+  private def rliTmpDir: Path = {
+    val p = new Path(spec.path)
+    new Path(p.getParent, p.getName + "_graft_rli_tmp")
+  }
+
+  /** Every index publish — build and refresh — goes through the sibling
+    * tmp dir and renames into place: a crash leaves either the old index
+    * or none at all (lookups fall back to the full read), never a
+    * partially-committed one whose surviving rows would claim the new
+    * `built_at` and silently drop keys.
+    */
+  private def publishRli(spark: SparkSession, entries: DataFrame): Unit = {
+    val f = fs(spark)
+    val tmp = rliTmpDir
+    f.delete(tmp, true)
+    entries
+      .repartition(4, col("key"))
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    f.delete(new Path(rliDir), true)
+    if (!f.rename(tmp, new Path(rliDir)))
+      throw new java.io.IOException(s"rename $tmp -> $rliDir failed")
+  }
+
   /** Build the record-level index from one table scan: latest version
     * per key (the precombine resolve, so a history table indexes only
     * the version a lookup would return), keyed by `_graft_record_key`,
-    * valued by the table-relative file holding it. `built_at` records
-    * the timeline boundary the index is current as of; lookups prove
-    * freshness against it via the commit→files index. Row count is the
-    * live key count — hash-distributed on key like Hudi's RLI metadata
-    * partition, and never collected to the driver.
+    * valued by the table-relative file holding it plus the entry's
+    * resolve ordering. `built_at` records the timeline boundary the
+    * index is current as of; lookups prove freshness against it via the
+    * commit→files index. Row count is the live key count —
+    * hash-distributed on key like Hudi's RLI metadata partition, and
+    * never collected to the driver.
     */
   def recordKeyIndex(spark: SparkSession): Unit = {
     if (!exists(spark)) return
     val builtAt = KeyedTable.timelineMarkers(spark, spec.path)
       .lastOption.map(KeyedTable.markerCommit).getOrElse("")
-    lookupResolve(spark, readRaw(spark).withColumn("_graft_rel", relFileExpr(spark)))
-      .select(
-        col(KeyedTable.RecordKeyCol).as("key"),
-        col("_graft_rel").as("file"))
-      .withColumn("built_at", lit(builtAt))
-      .repartition(4, col("key"))
-      .write.mode(SaveMode.Overwrite).parquet(rliDir)
+    val entries = lookupResolve(
+      spark, readRaw(spark).withColumn("_graft_rel", relFileExpr(spark)))
+      .select(rliEntryCols: _*)
+    publishRli(spark, entries.withColumn("built_at", lit(builtAt)))
   }
 
   /** Incremental index maintenance at O(delta), never O(table): entries
     * pointing at files a post-build commit removed are dropped (their
     * keys' surviving versions were re-added under that commit), the
-    * post-build files' latest versions append as new entries (an MoR
-    * key may then hold several entries — older file plus log file — and
-    * the lookup's resolve settles them), and the boundary advances. The
-    * rewrite goes through a sibling tmp dir: a crash leaves either the
-    * old index or none at all (lookups fall back), never a wrong one.
-    * An unprovable delta (pre-index markers, evolved layout) rebuilds.
+    * post-build files' latest versions join as new entries, and — on a
+    * resolving table — the union settles to ONE winner per resolve
+    * scope via the stored ordering, so a refreshed index is entry-wise
+    * equivalent to a rebuilt one and prunes identically. The boundary
+    * advances to the last marker, making the next lookup's delta empty.
+    * An unprovable delta (pre-index markers, evolved layout, an index
+    * written under an older schema) rebuilds.
     */
   def refreshRecordKeyIndex(spark: SparkSession): Unit = {
     val f = fs(spark)
     if (!f.exists(new Path(rliDir))) { recordKeyIndex(spark); return }
     val idx = spark.read.parquet(rliDir)
+    if (!rliRequiredCols.subsetOf(idx.columns.toSet)) {
+      recordKeyIndex(spark); return
+    }
     val head = idx.select(col("built_at")).limit(1).collect()
     val builtAt = if (head.isEmpty) "" else head(0).getString(0)
     val newBoundary = KeyedTable.timelineMarkers(spark, spec.path)
@@ -777,33 +940,32 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       case None => recordKeyIndex(spark)
       case Some((added, removed)) =>
         if (added.isEmpty && removed.isEmpty) return
+        val live = idx.drop("built_at")
         val surviving =
-          if (removed.isEmpty) idx.select("key", "file")
-          else idx.filter(!col("file").isin(removed: _*)).select("key", "file")
+          if (removed.isEmpty) live
+          else live.filter(!col("file").isin(removed: _*))
         val deltaRows =
           if (added.isEmpty) surviving.limit(0)
           else lookupResolve(spark,
             readFilesRaw(spark, added)
               .withColumn("_graft_rel", relFileExpr(spark)))
-            .select(
-              col(KeyedTable.RecordKeyCol).as("key"),
-              col("_graft_rel").as("file"))
-        val tmp = new Path(s"${spec.path}_graft_rli_tmp")
-        surviving.unionByName(deltaRows)
-          .withColumn("built_at", lit(newBoundary))
-          .repartition(4, col("key"))
-          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        f.delete(new Path(rliDir), true)
-        if (!f.rename(tmp, new Path(rliDir)))
-          throw new java.io.IOException(s"rename $tmp -> $rliDir failed")
+            .select(rliEntryCols: _*)
+        val merged = surviving.unionByName(deltaRows)
+        val settled =
+          if (rliResolves(spark)) rliResolveEntries(spark, merged) else merged
+        publishRli(spark, settled.withColumn("built_at", lit(newBoundary)))
     }
   }
 
   /** The lookup's candidate file set for `probe` keys, or `None` when
     * the index is absent/unreadable or freshness cannot be proven (the
-    * caller full-scans): (index files for the probe keys minus files
-    * removed since the build) ∪ (files added since the build). The
-    * collect is O(probe keys + delta files) — the point-lookup
+    * caller full-scans). The stale path stays SELECTIVE, not just
+    * correct: post-build files are never unioned in wholesale — their
+    * probe-key rows are read (key/ordering columns only, O(delta files)
+    * with column pruning) and, on a resolving table, settled against
+    * the indexed entries relationally, so the candidates are exactly
+    * the files holding the rows the lookup will return. The collect is
+    * O(probe keys + delta rows for those keys) — the point-lookup
     * contract; this is never the path for a large key set.
     */
   private[graft] def rliCandidateFiles(
@@ -812,16 +974,27 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     if (!f.exists(new Path(rliDir))) return None
     try {
       val idx = spark.read.parquet(rliDir)
+      if (!rliRequiredCols.subsetOf(idx.columns.toSet)) return None
       val head = idx.select(col("built_at")).limit(1).collect()
       if (head.isEmpty) return None
       KeyedTable.fileDeltaSince(spark, spec.path, head(0).getString(0)).map {
         case (added, removed) =>
           val probePk = probe.select(keyExpr.as("key")).distinct()
-          val selected = idx.join(broadcast(probePk), Seq("key"))
-            .select(col("file")).distinct()
+          val idxSel0 = idx.drop("built_at").join(broadcast(probePk), Seq("key"))
+          val idxSel =
+            if (removed.isEmpty) idxSel0
+            else idxSel0.filter(!col("file").isin(removed: _*))
+          val deltaSel =
+            if (added.isEmpty) idxSel.limit(0)
+            else readFilesRaw(spark, added)
+              .withColumn("_graft_rel", relFileExpr(spark))
+              .select(rliEntryCols: _*)
+              .join(broadcast(probePk), Seq("key"))
+          val cands = idxSel.unionByName(deltaSel)
+          val settled =
+            if (rliResolves(spark)) rliResolveEntries(spark, cands) else cands
+          settled.select(col("file")).distinct()
             .collect().map(_.getString(0)).toSeq
-          val dead = removed.toSet
-          (selected.filterNot(dead) ++ added).distinct
       }
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -1778,17 +1951,23 @@ final class KeyedTable(val spec: KeyedTableSpec) {
 
   private def affectedPartitionsFilter(batch: DataFrame): Option[Column] =
     if (spec.partitionCols.isEmpty) None
-    else {
-      val tuples = collectPartitionTuples(batch)
-      val preds = tuples.map { row =>
-        spec.partitionCols.zipWithIndex
-          .map { case (c, i) =>
-            if (row.isNullAt(i)) col(c).isNull else col(c) === lit(row.get(i))
-          }
-          .reduce(_ && _)
-      }
-      Some(if (preds.isEmpty) lit(false) else preds.reduce(_ || _))
+    else Some(tuplesFilter(collectPartitionTuples(batch)))
+
+  /** Partition-pruning predicate for pre-collected partition tuples —
+    * shared by [[affectedPartitionsFilter]] and the scoped-commit paths
+    * that reuse ONE tuple collect for both the scan filter and the
+    * commit record's scoped listing.
+    */
+  private def tuplesFilter(tuples: Array[org.apache.spark.sql.Row]): Column = {
+    val preds = tuples.map { row =>
+      spec.partitionCols.zipWithIndex
+        .map { case (c, i) =>
+          if (row.isNullAt(i)) col(c).isNull else col(c) === lit(row.get(i))
+        }
+        .reduce(_ && _)
     }
+    if (preds.isEmpty) lit(false) else preds.reduce(_ || _)
+  }
 
   /** Hive-escaped relative partition directory for a partition-values row —
     * EXACTLY the path the parquet writer produced (`ExternalCatalogUtils`
@@ -1839,6 +2018,15 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     // The catalog sidecar must outlive the rewrite (registration is a
     // property of the table, not of one directory generation).
     val synced = syncedNames(spark)
+    // So must the record-level index: unlike the per-file sidecars
+    // (colstats/bloom, whose entries die with the files and follow the
+    // stale-absent rule), the RLI reconciles staleness through the
+    // commit→files delta — every file this rewrite replaces lands on the
+    // marker's removed side, so the carried-over entries are subtracted
+    // and the rewritten files settle in via the delta. Dropping it here
+    // would instead force a full-table rebuild after every compaction.
+    val rli = new Path(rliDir)
+    if (f.exists(rli)) f.rename(rli, new Path(tmp, rli.getName))
     f.delete(new Path(spec.path), true)
     f.rename(tmp, new Path(spec.path))
     recordSchema(spark, schema)
@@ -1859,14 +2047,28 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       recordCommit(spark, commitTime, "insert", None)
       return
     }
-    val pre = preCommitFiles(spark)
     val incoming = SchemaEvolution.dropSystemColumns(batch)
     currentUserSchema(spark) match {
       case None =>
+        val pre = preCommitFiles(spark) // bootstrap: the table is empty
         writeOut(withMeta(incoming, commitTime), SaveMode.Overwrite)
+        recordCommit(spark, commitTime, "insert", pre)
       case Some(current) if !driftNeedsRewrite(current, incoming.schema) =>
         val aligned = SchemaEvolution.align(incoming, current)
-        writeOut(withMeta(aligned, commitTime), SaveMode.Append)
+        // A pure append only creates files under the batch's partition
+        // dirs — the commit record needs a scoped listing, never a
+        // table listing (this is the streaming-ingest hot path: one
+        // commit per micro-batch).
+        if (spec.partitionCols.isEmpty) {
+          val pre = preCommitFiles(spark) // unpartitioned: root IS the scope
+          writeOut(withMeta(aligned, commitTime), SaveMode.Append)
+          recordCommit(spark, commitTime, "insert", pre)
+        } else {
+          val dirs = collectPartitionTuples(aligned).map(partitionDirOf).toSet
+          val preScoped = relDataFilesUnder(spark, dirs)
+          writeOut(withMeta(aligned, commitTime), SaveMode.Append)
+          recordCommitScoped(spark, commitTime, "insert", preScoped, dirs)
+        }
       case Some(current) =>
         // Non-widen-readable drift (e.g. a column falling back to the
         // string choice type): existing files can't be read under the new
@@ -1874,6 +2076,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         // rows keep their original commit times. The rewrite goes through
         // a temp directory + rename (like [[compact]]): a plain static
         // overwrite would delete the very files the plan lazily reads.
+        val pre = preCommitFiles(spark)
         val aligned = SchemaEvolution.align(incoming, current)
         val alignedC = aligned.withColumn(CommitTimeCol, lit(commitTime))
         val existing = SchemaEvolution.align(
@@ -1881,8 +2084,8 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         val combined = withMeta(
           existing.unionByName(alignedC, allowMissingColumns = true), commitTime)
         rewriteViaTmp(spark, combined, "_graft_rewrite_tmp")
+        recordCommit(spark, commitTime, "insert", pre)
     }
-    recordCommit(spark, commitTime, "insert", pre)
   }
 
   /** BULK_INSERT write operation: raw first-load append — no schema
@@ -1900,7 +2103,6 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       recordCommit(spark, commitTime, "bulkinsert", None)
       return
     }
-    val pre = preCommitFiles(spark)
     val incoming = SchemaEvolution.dropSystemColumns(batch)
     currentUserSchema(spark).foreach { current =>
       require(
@@ -1908,10 +2110,21 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         "bulk_insert batch type-drifts in a non-widen-readable way against " +
           "the table schema; use insert/upsert (they rewrite) instead")
     }
-    writeOut(
-      withMeta(incoming, commitTime),
-      if (exists(spark)) SaveMode.Append else SaveMode.Overwrite)
-    recordCommit(spark, commitTime, "bulkinsert", pre)
+    val append = exists(spark)
+    if (append && spec.partitionCols.nonEmpty) {
+      // Appends create files only under the batch's partition dirs —
+      // scoped commit record, no table listing (see insert).
+      val dirs = collectPartitionTuples(incoming).map(partitionDirOf).toSet
+      val preScoped = relDataFilesUnder(spark, dirs)
+      writeOut(withMeta(incoming, commitTime), SaveMode.Append)
+      recordCommitScoped(spark, commitTime, "bulkinsert", preScoped, dirs)
+    } else {
+      val pre = preCommitFiles(spark)
+      writeOut(
+        withMeta(incoming, commitTime),
+        if (append) SaveMode.Append else SaveMode.Overwrite)
+      recordCommit(spark, commitTime, "bulkinsert", pre)
+    }
   }
 
   /** DELETE write operation — the remaining value of Hudi's
@@ -1949,7 +2162,6 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       spec.keyCols.forall(provided.columns.contains),
       s"delete keys frame must carry the key columns ${spec.keyCols.mkString(", ")}")
     val delKeys = provided.select(joinCols.map(col): _*).distinct()
-    val pre = preCommitFiles(spark)
     val existing = readRaw(spark)
 
     val affected =
@@ -1965,6 +2177,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         existing.join(parts, spec.partitionCols, "left_semi")
       }
     if (spec.partitionCols.isEmpty) {
+      val pre = preCommitFiles(spark) // unpartitioned: root IS the scope
       rewriteViaTmp(spark, affected.join(delKeys, joinCols, "left_anti"),
         "_graft_delete_tmp")
       recordCommit(spark, defaultCommitTime(), "delete", pre)
@@ -1978,6 +2191,10 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       val scanned = collectPartitionTuples(affected)
       val written = collectPartitionTuples(survivors).toSet
       val stale = scanned.filterNot(written.contains)
+      // Only the scanned partitions can change — scoped commit record,
+      // no table listing (the snapshot happens before any write).
+      val dirs = scanned.map(partitionDirOf).toSet
+      val preScoped = relDataFilesUnder(spark, dirs)
       try withDynamicOverwrite(spark) {
         survivors.write.mode(SaveMode.Overwrite)
           .partitionBy(spec.partitionCols: _*).parquet(spec.path)
@@ -1985,7 +2202,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         fs(spark).delete(new Path(colStatsDir), true) // see writeOut
         fs(spark).delete(new Path(bloomDir), true)    // see writeOut
       } finally affected.unpersist()
-      recordCommit(spark, defaultCommitTime(), "delete", pre)
+      recordCommitScoped(spark, defaultCommitTime(), "delete", preScoped, dirs)
     }
   }
 
@@ -2012,7 +2229,6 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       recordCommit(spark, commitTime, "upsert", None)
       return
     }
-    val pre = preCommitFiles(spark)
     val incoming = SchemaEvolution.dropSystemColumns(batch)
     if (spec.retainHistory) {
       // Merge-on-read: precombine within the batch, then a pure append of
@@ -2025,7 +2241,9 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     }
     currentUserSchema(spark) match {
       case None =>
+        val pre = preCommitFiles(spark) // bootstrap: the table is empty
         writeOut(withMeta(dedupLatest(incoming), commitTime), SaveMode.Overwrite)
+        recordCommit(spark, commitTime, "upsert", pre)
 
       case Some(current) =>
         val aligned = SchemaEvolution.align(incoming, current)
@@ -2045,8 +2263,20 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         // rewritten) so old files never linger under a schema the parquet
         // reader can't widen them into.
         val fullRewrite = driftNeedsRewrite(current, incoming.schema)
-        val scanFilter =
-          if (fullRewrite) None else affectedPartitionsFilter(aligned)
+        // One tuple collect serves the scan's partition pruning AND —
+        // on the non-global path, where only batch partitions can change
+        // — the commit record's scoped listing: the common write path
+        // never lists the table.
+        val batchTuples =
+          if (fullRewrite || spec.partitionCols.isEmpty) None
+          else Some(collectPartitionTuples(aligned))
+        val scopeDirs: Option[Set[String]] =
+          if (!spec.globalKeys) batchTuples.map(_.map(partitionDirOf).toSet)
+          else None
+        val pre =
+          if (scopeDirs.isEmpty) preCommitFiles(spark) else None
+        val preScoped = scopeDirs.map(relDataFilesUnder(spark, _))
+        val scanFilter = batchTuples.map(tuplesFilter)
         val scoped = scanFilter.fold(existing)(existing.filter)
         val toScan =
           if (fullRewrite || !spec.globalKeys || spec.partitionCols.isEmpty) scoped
@@ -2082,8 +2312,13 @@ final class KeyedTable(val spec: KeyedTableSpec) {
           writeOut(withMeta(merged, commitTime), SaveMode.Overwrite)
           deletePartitionDirs(spark, staleParts)
         } finally merged.unpersist()
+        scopeDirs match {
+          case Some(dirs) =>
+            recordCommitScoped(spark, commitTime, "upsert", preScoped.get, dirs)
+          case None =>
+            recordCommit(spark, commitTime, "upsert", pre)
+        }
     }
-    recordCommit(spark, commitTime, "upsert", pre)
   }
 }
 
@@ -2097,6 +2332,15 @@ object KeyedTable {
   val CommitTimeCol = "_graft_commit_time"
   val RecordKeyCol = "_graft_record_key"
   val PartitionPathCol = "_graft_partition_path"
+
+  /** Count of FULL-table recursive listings — observable so a spec can
+    * pin that the partition-scoped write paths (upsert/insert/delete on
+    * a partitioned non-global table, the bloom file path) never perform
+    * one: at production file counts an O(table-files) driver listing
+    * per commit is the write-side scaling hazard Hudi's metadata table
+    * exists to avoid.
+    */
+  private[graft] val fullListings = new java.util.concurrent.atomic.AtomicLong
   private val RowNumCol = "_graft_rn"
   private val SrcCol = "_graft_src"
   private val OverwriteModeKey = "spark.sql.sources.partitionOverwriteMode"

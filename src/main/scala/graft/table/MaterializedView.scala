@@ -298,17 +298,36 @@ object MaterializedView {
     // drifted dim type would silently corrupt every merge and serve.
     // Refuse loudly at create; the operator partitions on a stable dim.
     if (partitionBy.nonEmpty) {
+      def refuse(msg: String): Nothing = {
+        new Path(mvPath).getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(new Path(mvPath), true)
+        throw new IllegalArgumentException(msg)
+      }
       val want = rollup.schema.fields.map(f => f.name -> f.dataType).toMap
       val got = spark.read.parquet(mvPath).schema
       val drift = got.fields.filter(f => want.get(f.name).exists(_ != f.dataType))
-      if (drift.nonEmpty) {
-        new Path(mvPath).getFileSystem(spark.sessionState.newHadoopConf())
-          .delete(new Path(mvPath), true)
-        throw new IllegalArgumentException(
-          "rollup partitioning does not round-trip: " +
-            drift.map(f => s"${f.name} reads back as ${f.dataType}")
-              .mkString(", ") + " — partition on a type-stable dim")
-      }
+      if (drift.nonEmpty)
+        refuse("rollup partitioning does not round-trip: " +
+          drift.map(f => s"${f.name} reads back as ${f.dataType}")
+            .mkString(", ") + " — partition on a type-stable dim")
+      // Directory names also normalize VALUES, which the type check
+      // cannot see: an empty-string dim is written as
+      // __HIVE_DEFAULT_PARTITION__ and reads back NULL, silently merging
+      // the empty-string group into the null group on every later merge
+      // and serve. Compare the distinct partition tuples themselves —
+      // both sides are partition-count-bounded (one tuple per hive dir).
+      def tupleSet(df: DataFrame): Set[Seq[String]] =
+        df.select(partitionBy.map(col): _*).distinct().collect()
+          .map(r => partitionBy.indices.map(i =>
+            if (r.isNullAt(i)) null else r.get(i).toString): Seq[String])
+          .toSet
+      val wrote = tupleSet(rollup)
+      val read = tupleSet(spark.read.parquet(mvPath))
+      if (wrote != read)
+        refuse("rollup partition VALUES do not round-trip (e.g. an " +
+          "empty-string dim reads back as null) — partition on a " +
+          s"value-stable dim; lost ${(wrote -- read).take(3)}, " +
+          s"gained ${(read -- wrote).take(3)}")
     }
     val d1 = d.copy(rollupBytes = dataBytes(spark, mvPath))
     writeSidecar(spark, d1)

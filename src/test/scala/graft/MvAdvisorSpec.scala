@@ -56,6 +56,37 @@ class MvAdvisorSpec extends SparkTestBase {
       assert(qStatus.collect().toSet == direct._1)
       assert(qAvg.collect().toSet == direct._2)
       assert(qMonth.collect().toSet == direct._3)
+      // The materialized recommendation is hive-partitioned by the
+      // leading dim out of the box, and a dim-filtered serve
+      // partition-prunes the rollup scan.
+      val mvDirs = new java.io.File(s"$work/mv").listFiles().toSeq
+        .map(_.getName).filter(n => !n.startsWith("_") && !n.startsWith("."))
+      assert(mvDirs.nonEmpty && mvDirs.forall(_.startsWith("o_orderpriority=")),
+        s"advised rollup must be hive-partitioned by the leading dim: $mvDirs")
+      val filtered = spark.read.parquet(rec.basePath)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double")
+          .as("sum_price"))
+      val found = scala.collection.mutable.Buffer
+        .empty[org.apache.spark.sql.execution.FileSourceScanExec]
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        p match {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            found += f; ()
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case _ =>
+        }
+        p.children.foreach(walk)
+      }
+      walk(filtered.queryExecution.executedPlan)
+      val scans = found.filter(
+        _.relation.location.rootPaths.exists(_.toString.contains("/mv")))
+      assert(scans.nonEmpty, "the filtered query must serve from the rollup")
+      assert(scans.forall(_.partitionFilters.nonEmpty),
+        s"the dim filter must partition-prune the advised rollup scan: " +
+          scans.map(_.partitionFilters).mkString("; "))
     } finally MaterializedView.drop(rec.basePath)
   }
 

@@ -132,10 +132,11 @@ class RliSpec extends SparkTestBase {
       .select("key", "file").as[(String, String)].collect().toSet
     val idxReb = spark.read.parquet(s"$b/_graft_rli")
       .select("key", "file").as[(String, String)].collect().toSet
-    // MoR refresh appends log-file entries for updated keys, so the
-    // incremental index may hold MORE entries (old + new file per key);
-    // it must cover every rebuilt entry's key and the lookups agree.
-    assert(idxReb.map(_._1).subsetOf(idxInc.map(_._1)))
+    // Refresh settles the union of surviving and delta entries to ONE
+    // winner per resolve scope — entry keys match a rebuild exactly.
+    // (Files differ only because a and b are distinct tables whose data
+    // file names differ.)
+    assert(idxReb.map(_._1) == idxInc.map(_._1))
     val probe = probeFrame
     assert(outputSet(inc.lookupKeys(spark, probe)) == oracle(inc, probe))
     assert(outputSet(inc.lookupKeys(spark, probe))
@@ -143,6 +144,36 @@ class RliSpec extends SparkTestBase {
     // The refreshed boundary makes the delta empty again.
     val cands = inc.rliCandidateFiles(spark, probe).get
     assert(cands.size < dataFileCount(a))
+  }
+
+  test("layout commits: stale lookup survives compaction, candidates stay live and pruned") {
+    val path = Files.createTempDirectory("graft_rli_cmp_").toString + "/t"
+    val table = KeyedTable(morSpec(path))
+    val ev = eventsUs
+    table.upsert(spark, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    table.upsert(spark, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    table.recordKeyIndex(spark)
+    table.compact(spark) // every indexed file is rewritten
+    table.upsert(spark, ev.filter(col("event_id") % 3 === 0), commitTime = "c2")
+    val probe = probeFrame
+    // Freshness stays provable across the layout commit (compact records
+    // its file delta), the lookup stays exact, every candidate is a live
+    // file, and the candidate set still prunes — the stale index's dead
+    // entries are all subtracted and the delta settles to winner files.
+    val cands = table.rliCandidateFiles(spark, probe)
+    assert(cands.isDefined, "layout commits must not break freshness proofs")
+    assert(outputSet(table.lookupKeys(spark, probe)) == oracle(table, probe))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cands.get.foreach { rel =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/$rel")), rel)
+    }
+    assert(cands.get.size < dataFileCount(path))
+    // A refresh across the compaction rebuilds winner entries from the
+    // delta alone and keeps the lookup exact and pruned.
+    table.refreshRecordKeyIndex(spark)
+    assert(outputSet(table.lookupKeys(spark, probe)) == oracle(table, probe))
+    assert(table.rliCandidateFiles(spark, probe).get.size < dataFileCount(path))
   }
 
   test("absent index falls back to the full read") {

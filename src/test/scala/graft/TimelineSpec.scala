@@ -98,6 +98,92 @@ class TimelineSpec extends SparkTestBase {
       "an off-timeline boundary has no file answer")
   }
 
+  /** Recursive data-file listing computed by the TEST (the reference
+    * diff the scoped commit records must reproduce).
+    */
+  private def relFiles(path: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Set.empty
+    val prefix = fs.makeQualified(p).toUri.getPath + "/"
+    val it = fs.listFiles(fs.makeQualified(p), true)
+    val b = Set.newBuilder[String]
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = s.getPath.toUri.getPath.stripPrefix(prefix)
+      if (!rel.split('/').exists(g => g.startsWith("_") || g.startsWith(".")) &&
+        rel.endsWith(".parquet")) b += rel
+    }
+    b.result()
+  }
+
+  private def lastRecord(path: String): (Seq[String], Seq[String]) =
+    KeyedTable.commitFileRecord(
+      spark, path, KeyedTable.timelineMarkers(spark, path).last).get
+
+  test("scoped write paths never full-list the table; records equal a full diff") {
+    // The per-commit bookkeeping on the partitioned write paths must
+    // scale with the BATCH (touched partition dirs), never the table: a
+    // full recursive listing per commit is the write-side hazard Hudi's
+    // metadata table exists to avoid. The counter pins the absence of
+    // the listing; the diff-equality pins that scoping lost nothing.
+    def day(d: String, ids: (Int, Int)*) =
+      kv(ids: _*).withColumn("day", lit(d))
+    val path = freshPath()
+    val t = KeyedTable(KeyedTableSpec(
+      path, keyCols = Seq("id"), precombineCol = "v",
+      partitionCols = Seq("day")))
+    t.upsert(spark, day("d1", 1 -> 10).union(day("d2", 2 -> 20))
+      .union(day("d3", 3 -> 30)), commitTime = "c0") // bootstrap may list
+    def check(label: String)(mutate: => Unit): Unit = {
+      val pre = relFiles(path)
+      val n0 = KeyedTable.fullListings.get()
+      mutate
+      assert(KeyedTable.fullListings.get() == n0,
+        s"$label performed a full-table listing")
+      val post = relFiles(path)
+      val (a, r) = lastRecord(path)
+      assert(a.toSet == (post -- pre) && r.toSet == (pre -- post),
+        s"$label: scoped record != full diff")
+    }
+    check("COW merge upsert") {
+      t.upsert(spark, day("d2", 2 -> 21, 4 -> 40), commitTime = "c1")
+    }
+    check("insert append") {
+      t.insert(spark, day("d3", 5 -> 50), commitTime = "c2")
+    }
+    check("bulk-insert append") {
+      t.bulkInsert(spark, day("d1", 6 -> 60), commitTime = "c3")
+    }
+    check("partition-scoped delete") {
+      t.delete(spark, day("d3", 5 -> 0).select("id", "day"))
+    }
+    check("key-only delete (probe-scoped)") {
+      t.delete(spark, kv(6 -> 0).select("id"))
+    }
+  }
+
+  test("bloom file-path commit is writer-recorded: no listing, exact record") {
+    def day(d: String, ids: (Int, Int)*) =
+      kv(ids: _*).withColumn("day", lit(d))
+    val path = freshPath()
+    val t = KeyedTable(KeyedTableSpec(
+      path, keyCols = Seq("id"), precombineCol = "v",
+      partitionCols = Seq("day")))
+    t.upsertBloomIndexed(spark,
+      day("d1", 1 -> 10).union(day("d2", 2 -> 20)), commitTime = "c0")
+    val pre = relFiles(path)
+    val n0 = KeyedTable.fullListings.get()
+    t.upsertBloomIndexed(spark, day("d2", 2 -> 21, 3 -> 30), commitTime = "c1")
+    assert(KeyedTable.fullListings.get() == n0,
+      "bloom upsert performed a full-table listing")
+    val post = relFiles(path)
+    val (a, r) = lastRecord(path)
+    assert(a.toSet == (post -- pre) && r.toSet == (pre -- post),
+      "bloom writer-supplied record != full diff")
+    assert(KeyedTable.addedFilesSince(spark, path, "c0").get.toSet == a.toSet)
+  }
+
   test("a rewrite commit records removals; the replay never dangles") {
     val path = freshPath()
     val t = KeyedTable(KeyedTableSpec(
