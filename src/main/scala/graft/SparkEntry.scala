@@ -169,7 +169,8 @@ object SparkEntry {
     "q142_mv_keyed_hybrid" -> (table.MaterializedView.mvKeyedHybridServe(_, _)),
     "q143_mv_rollup_1phase" -> (table.MaterializedView.mvRollupSinglePhase(_, _)),
     "q144_mv_coarse_from_finer" -> (table.MaterializedView.mvCoarseFromFiner(_, _)),
-    "q145_rli_lookup" -> (UpsertOps.rliPointLookup(_, _))
+    "q145_rli_lookup" -> (UpsertOps.rliPointLookup(_, _)),
+    "q146_secondary_lookup" -> (UpsertOps.secondaryLookup(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -843,6 +844,16 @@ object SparkEntry {
         |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1 AND user_id % 7 = 3""".stripMargin,
+    // secondary-index point lookup on a non-key column over a stale
+    // index: value→keys→files through the two sidecars, residual value
+    // filter — ≡ resolve-latest ∘ value filter
+    "q146_secondary_lookup" ->
+      """SELECT user_id, event_type, ts_us, event_id, value FROM (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 AND event_id % 997 = 0""".stripMargin,
     // dHash from the closed-form pixels: 2x2 red-channel sums -> 8x8
     // cells, bit (r,c) = cell < right-neighbor; CASTs keep DuckDB's
     // HUGEINT sums out of the schema compare

@@ -493,6 +493,31 @@ object UpsertOps {
     outputCols(table.lookupKeys(s, probe))
   }
 
+  /** Secondary-index point lookup on a NON-key column (q146; Hudi 1.0's
+    * secondary index): same stale-index discipline as q145, but the
+    * probe is a set of `event_id` VALUES — value→keys through the
+    * `_graft_si_event_id` sidecar plus a column-pruned scan of the
+    * post-build delta files, keys→files through the RLI, then the
+    * residual value filter (a probed key's latest version may have
+    * dropped the value; the filter makes the stale composition return
+    * exactly the fresh answer). At 100 TB this is "find these records
+    * by a business id" without a table scan, a partition hint, or the
+    * id being the key. ≡ resolve-latest ∘ value filter — the oracle.
+    */
+  def secondaryLookup(s: SparkSession, dir: String): DataFrame = {
+    val path = Files.createTempDirectory("graft_si_q_").toString + "/events_keyed"
+    val table = KeyedTable(morSpec(path))
+    val ev = eventsUs(s, dir)
+    table.upsert(s, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    table.recordKeyIndex(s)
+    table.secondaryIndex(s, "event_id")
+    table.upsert(s, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    val vals: Seq[Any] = ev.filter(col("event_id") % 997 === 0)
+      .select("event_id").distinct()
+      .collect().map(_.getLong(0)).toSeq // point-lookup contract: small
+    outputCols(table.lookupByColumn(s, "event_id", vals))
+  }
+
   /** Z-order × column-stats composition (q120): the two proofs q90
     * (stats skipping over a 1-D sort layout) and q92 (Morton layout)
     * carry separately — this query makes them MULTIPLY. The merge is

@@ -810,7 +810,8 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   // never wrong, only less selective, and an unprovable delta falls back
   // to the full read.
 
-  private def rliDir = s"${spec.path}/_graft_rli"
+  private val RliDirName = "_graft_rli"
+  private def rliDir = s"${spec.path}/$RliDirName"
 
   /** The table-relative rendering of `input_file_name()` — the same
     * normalization the commit markers record, so index entries and
@@ -867,32 +868,33 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       .drop("_graft_rli_rn")
   }
 
-  /** Sibling tmp dir for atomic index publishes, built from Path parts
-    * (never string concat — a trailing slash in the table path must not
-    * turn the sibling into a child of the table).
+  /** Every index-sidecar publish — build and refresh, RLI and secondary —
+    * goes through a sibling tmp dir (built from Path parts, never string
+    * concat: a trailing slash in the table path must not turn the
+    * sibling into a child of the table) and renames into place: a crash
+    * leaves either the old index or none at all (lookups fall back to
+    * the full read), never a partially-committed one whose surviving
+    * rows would claim the new `built_at` and silently drop keys.
+    * `dist` is the probe column the entries hash-distribute on.
     */
-  private def rliTmpDir: Path = {
-    val p = new Path(spec.path)
-    new Path(p.getParent, p.getName + "_graft_rli_tmp")
-  }
-
-  /** Every index publish — build and refresh — goes through the sibling
-    * tmp dir and renames into place: a crash leaves either the old index
-    * or none at all (lookups fall back to the full read), never a
-    * partially-committed one whose surviving rows would claim the new
-    * `built_at` and silently drop keys.
-    */
-  private def publishRli(spark: SparkSession, entries: DataFrame): Unit = {
+  private def publishSidecar(
+      spark: SparkSession, dirName: String, entries: DataFrame,
+      dist: Column): Unit = {
     val f = fs(spark)
-    val tmp = rliTmpDir
+    val p = new Path(spec.path)
+    val tmp = new Path(p.getParent, p.getName + dirName + "_tmp")
+    val dst = new Path(p, dirName)
     f.delete(tmp, true)
     entries
-      .repartition(4, col("key"))
+      .repartition(4, dist)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    f.delete(new Path(rliDir), true)
-    if (!f.rename(tmp, new Path(rliDir)))
-      throw new java.io.IOException(s"rename $tmp -> $rliDir failed")
+    f.delete(dst, true)
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(s"rename $tmp -> $dst failed")
   }
+
+  private def publishRli(spark: SparkSession, entries: DataFrame): Unit =
+    publishSidecar(spark, RliDirName, entries, col("key"))
 
   /** Build the record-level index from one table scan: latest version
     * per key (the precombine resolve, so a history table indexes only
@@ -925,19 +927,33 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * An unprovable delta (pre-index markers, evolved layout, an index
     * written under an older schema) rebuilds.
     */
-  def refreshRecordKeyIndex(spark: SparkSession): Unit = {
+  def refreshRecordKeyIndex(spark: SparkSession): Unit =
+    refreshIndexSidecar(
+      spark, RliDirName, rliEntryCols, rliRequiredCols, col("key"))(
+      recordKeyIndex(spark))
+
+  /** The incremental-maintenance skeleton shared by the record-level and
+    * secondary indexes (their entries differ only in the extra columns
+    * carried; staleness, survival, settling, and atomic publish are
+    * identical): drop entries in removed files, re-derive entries from
+    * added files, settle winners on a resolving table, advance the
+    * boundary. `rebuild` runs when the sidecar is absent/foreign-schema
+    * or the delta is unprovable.
+    */
+  private def refreshIndexSidecar(
+      spark: SparkSession, dirName: String, entryCols: Seq[Column],
+      required: Set[String], dist: Column)(rebuild: => Unit): Unit = {
     val f = fs(spark)
-    if (!f.exists(new Path(rliDir))) { recordKeyIndex(spark); return }
-    val idx = spark.read.parquet(rliDir)
-    if (!rliRequiredCols.subsetOf(idx.columns.toSet)) {
-      recordKeyIndex(spark); return
-    }
+    val dir = new Path(new Path(spec.path), dirName)
+    if (!f.exists(dir)) { rebuild; return }
+    val idx = spark.read.parquet(dir.toString)
+    if (!required.subsetOf(idx.columns.toSet)) { rebuild; return }
     val head = idx.select(col("built_at")).limit(1).collect()
     val builtAt = if (head.isEmpty) "" else head(0).getString(0)
     val newBoundary = KeyedTable.timelineMarkers(spark, spec.path)
       .lastOption.map(KeyedTable.markerCommit).getOrElse("")
     KeyedTable.fileDeltaSince(spark, spec.path, builtAt) match {
-      case None => recordKeyIndex(spark)
+      case None => rebuild
       case Some((added, removed)) =>
         if (added.isEmpty && removed.isEmpty) return
         val live = idx.drop("built_at")
@@ -949,11 +965,12 @@ final class KeyedTable(val spec: KeyedTableSpec) {
           else lookupResolve(spark,
             readFilesRaw(spark, added)
               .withColumn("_graft_rel", relFileExpr(spark)))
-            .select(rliEntryCols: _*)
+            .select(entryCols: _*)
         val merged = surviving.unionByName(deltaRows)
         val settled =
           if (rliResolves(spark)) rliResolveEntries(spark, merged) else merged
-        publishRli(spark, settled.withColumn("built_at", lit(newBoundary)))
+        publishSidecar(spark, dirName,
+          settled.withColumn("built_at", lit(newBoundary)), dist)
     }
   }
 
@@ -1033,6 +1050,132 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     */
   private def lookupResolve(spark: SparkSession, raw: DataFrame): DataFrame =
     if (spec.retainHistory || isEvolved(spark)) resolveLatest(raw) else raw
+
+  // ---- secondary index (point lookups on a non-key column) -------------
+  // Hudi 1.0's secondary-index idea: a sidecar mapping a non-key
+  // column's VALUE to the record keys whose live version carries it,
+  // composing with the record-level index (key → file) — a lookup on the
+  // column resolves value→keys here, keys→files through the RLI, and
+  // opens only the candidate files. Entries reuse the RLI entry shape
+  // (file + resolve ordering) plus the indexed value and the TYPED key
+  // columns, so refresh shares the RLI's incremental skeleton verbatim
+  // and the probe-key frame feeds lookupKeys without re-deriving keys.
+  // Staleness mirrors the RLI: entries in removed files are subtracted
+  // (their rows were rewritten into delta files), delta files are
+  // scanned for probe values (column-pruned, O(delta)), and an
+  // unprovable delta falls back to the full filtered read — a stale
+  // index is never wrong, only less selective.
+
+  private def siDirName(column: String) = s"_graft_si_$column"
+
+  private def requireSiColumn(column: String): Unit =
+    require(
+      column.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"secondary-index column name '$column' must be a plain identifier " +
+        "(it names the sidecar directory)")
+
+  private def siEntryCols(column: String): Seq[Column] =
+    rliEntryCols ++ (col(column).as("sval") +:
+      spec.keyCols.zipWithIndex.map { case (c, i) => col(c).as(s"k_$i") })
+
+  private def siRequiredCols: Set[String] =
+    rliRequiredCols + "sval" ++ spec.keyCols.indices.map(i => s"k_$i")
+
+  /** Build the secondary index on `column` from one table scan (the
+    * version a lookup would return per key — the same resolve the RLI
+    * build uses, so both sidecars describe the same row set). Entries
+    * hash-distribute on the indexed value: the probe side of every
+    * lookup.
+    */
+  def secondaryIndex(spark: SparkSession, column: String): Unit = {
+    requireSiColumn(column)
+    if (!exists(spark)) return
+    require(readRaw(spark).columns.contains(column),
+      s"secondary-index column '$column' is not in the table schema")
+    val builtAt = KeyedTable.timelineMarkers(spark, spec.path)
+      .lastOption.map(KeyedTable.markerCommit).getOrElse("")
+    val entries = lookupResolve(
+      spark, readRaw(spark).withColumn("_graft_rel", relFileExpr(spark)))
+      .select(siEntryCols(column): _*)
+    publishSidecar(spark, siDirName(column),
+      entries.withColumn("built_at", lit(builtAt)), col("sval"))
+  }
+
+  /** Incremental maintenance at O(delta) — the RLI skeleton over this
+    * sidecar's entries: refresh ≡ rebuild (winner-settled on resolving
+    * tables), boundary advances, unprovable deltas rebuild.
+    */
+  def refreshSecondaryIndex(spark: SparkSession, column: String): Unit = {
+    requireSiColumn(column)
+    refreshIndexSidecar(
+      spark, siDirName(column), siEntryCols(column), siRequiredCols,
+      col("sval"))(secondaryIndex(spark, column))
+  }
+
+  /** The probe-KEY frame for `column ∈ values`, or `None` when the
+    * sidecar is absent/unreadable or freshness cannot be proven (the
+    * caller full-scans). Keys come from two column-pruned sources:
+    * surviving index entries whose value matches (parquet pushdown on
+    * `sval`, the distribution column), and post-build delta files'
+    * matching rows (key + probe columns only, O(delta files)). A key
+    * whose post-build version dropped the value may slip in — the
+    * lookup's residual filter discards it; a key whose live version
+    * CARRIES the value can never be missed (its version is either in a
+    * surviving indexed file, or in a delta file — removed files' rows
+    * were rewritten into delta files).
+    */
+  private[graft] def siProbeKeys(
+      spark: SparkSession, column: String, values: Seq[Any]): Option[DataFrame] = {
+    val f = fs(spark)
+    val dir = new Path(new Path(spec.path), siDirName(column))
+    if (!f.exists(dir)) return None
+    try {
+      val idx = spark.read.parquet(dir.toString)
+      if (!siRequiredCols.subsetOf(idx.columns.toSet)) return None
+      val head = idx.select(col("built_at")).limit(1).collect()
+      if (head.isEmpty) return None
+      KeyedTable.fileDeltaSince(spark, spec.path, head(0).getString(0)).map {
+        case (added, removed) =>
+          val idxSel0 = idx.filter(col("sval").isin(values: _*))
+          val idxSel =
+            if (removed.isEmpty) idxSel0
+            else idxSel0.filter(!col("file").isin(removed: _*))
+          val idxKeys = spec.keyCols.zipWithIndex.foldLeft(
+            idxSel.select(spec.keyCols.indices.map(i => col(s"k_$i")): _*)) {
+            case (df, (c, i)) => df.withColumnRenamed(s"k_$i", c)
+          }
+          val deltaKeys =
+            if (added.isEmpty) idxKeys.limit(0)
+            else readFilesRaw(spark, added)
+              .filter(col(column).isin(values: _*))
+              .select(spec.keyCols.map(col): _*)
+          idxKeys.unionByName(deltaKeys).distinct()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Point lookup on a NON-KEY column: the latest state of every row
+    * whose `column` value is in `values` (a small literal set — the
+    * point-lookup contract; null probe values are not expressible,
+    * matching `IN`-list semantics on both paths). Value→keys through
+    * the secondary index, keys→rows through [[lookupKeys]] (which
+    * prunes files through the record-level index when present), then
+    * the residual value filter — needed because a probed key's LATEST
+    * version may carry a different value than the indexed one; the
+    * filter is what makes a stale index return exactly the fresh
+    * answer. Falls back to the full filtered read when the index is
+    * absent or staleness unprovable; either path returns identical
+    * rows, the indexes only change which files open.
+    */
+  def lookupByColumn(
+      spark: SparkSession, column: String, values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "secondary lookup needs at least one probe value")
+    siProbeKeys(spark, column, values) match {
+      case None => read(spark).filter(col(column).isin(values: _*))
+      case Some(keys) =>
+        lookupKeys(spark, keys).filter(col(column).isin(values: _*))
+    }
+  }
 
   /** Build/refresh the file-skipping index for integral `cols`: per data
     * file, min–max of each column, computed in ONE scan (groupBy on
@@ -2018,15 +2161,21 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     // The catalog sidecar must outlive the rewrite (registration is a
     // property of the table, not of one directory generation).
     val synced = syncedNames(spark)
-    // So must the record-level index: unlike the per-file sidecars
-    // (colstats/bloom, whose entries die with the files and follow the
-    // stale-absent rule), the RLI reconciles staleness through the
-    // commit→files delta — every file this rewrite replaces lands on the
-    // marker's removed side, so the carried-over entries are subtracted
-    // and the rewritten files settle in via the delta. Dropping it here
-    // would instead force a full-table rebuild after every compaction.
-    val rli = new Path(rliDir)
-    if (f.exists(rli)) f.rename(rli, new Path(tmp, rli.getName))
+    // So must the key-mapping indexes (record-level + secondary): unlike
+    // the per-file sidecars (colstats/bloom, whose entries die with the
+    // files and follow the stale-absent rule), these reconcile staleness
+    // through the commit→files delta — every file this rewrite replaces
+    // lands on the marker's removed side, so the carried-over entries
+    // are subtracted and the rewritten files settle in via the delta.
+    // Dropping them here would instead force full-table rebuilds after
+    // every compaction.
+    val carried = (new Path(rliDir) +: {
+      val root = new Path(spec.path)
+      if (!f.exists(root)) Seq.empty
+      else f.listStatus(root).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("_graft_si_"))
+    }).filter(f.exists)
+    carried.foreach(p => f.rename(p, new Path(tmp, p.getName)))
     f.delete(new Path(spec.path), true)
     f.rename(tmp, new Path(spec.path))
     recordSchema(spark, schema)

@@ -514,4 +514,39 @@ class KeyedMvSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(viaMv == expect)
   }
+
+  test("single-phase ROLLUP/CUBE over a keyed MoR base serves from the rollup") {
+    val t = morTable()
+    t.upsert(spark, c0, commitTime = "c0")
+    t.upsert(spark, c1, commitTime = "c1")
+    def qR = t.read(spark)
+      .rollup(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(expr("CAST(value AS DECIMAL(18,4))")).cast("double").as("sum_v"))
+    def qGid = t.read(spark)
+      .cube(col("event_type"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_rows"))
+    def rset(df: DataFrame) = df.collect().map { r =>
+      (0 until r.length).map(i => if (r.isNullAt(i)) None else Some(r.get(i)))
+    }.toSet
+    val (expR, expG) = (rset(qR), rset(qGid))
+    mvOver(t)
+    try {
+      for ((q, exp, what) <- Seq((qR, expR, "rollup"), (qGid, expG, "cube+gid"))) {
+        val paths = scannedPaths(q)
+        assert(paths.exists(_.contains("rollup_mv")),
+          s"$what: expected the keyed rollup to serve the grouping sets: $paths")
+        assert(!paths.exists(_.contains("events_keyed")),
+          s"$what: base must not be scanned under the single-phase shape: $paths")
+        assert(rset(q) == exp, s"$what: served answer drifted")
+      }
+      // A RAW scan (no resolve window) must keep declining.
+      val raw = spark.read.parquet(t.spec.path)
+        .rollup(col("event_type"))
+        .agg(sum(expr("CAST(value AS DECIMAL(18,4))")).as("s"))
+      assert(scannedPaths(raw).exists(_.contains("events_keyed")),
+        "raw-scan grouping sets must stay on the base")
+    } finally MaterializedView.drop(t.spec.path)
+  }
 }
