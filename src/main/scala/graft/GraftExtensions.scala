@@ -28,6 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ([[graft.plans.MvAggregateRewrite]]); no-op while no MV is
     // registered.
     e.injectOptimizerRule(s => new graft.plans.MvAggregateRewrite(s))
+    // Point-lookup filter over a keyed table's read → candidate-file
+    // scan through the record-level index
+    // ([[graft.plans.PointLookupRewrite]]); no-op while no keyed table
+    // has been read in the session.
+    e.injectOptimizerRule(s => new graft.plans.PointLookupRewrite(s))
     // Resolution hook: when a query references a table the session
     // catalog doesn't know, consult the persistent registry
     // ([[graft.table.GraftCatalog]]) before resolution fails — discovery

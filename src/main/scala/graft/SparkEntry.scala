@@ -170,7 +170,8 @@ object SparkEntry {
     "q143_mv_rollup_1phase" -> (table.MaterializedView.mvRollupSinglePhase(_, _)),
     "q144_mv_coarse_from_finer" -> (table.MaterializedView.mvCoarseFromFiner(_, _)),
     "q145_rli_lookup" -> (UpsertOps.rliPointLookup(_, _)),
-    "q146_secondary_lookup" -> (UpsertOps.secondaryLookup(_, _))
+    "q146_secondary_lookup" -> (UpsertOps.secondaryLookup(_, _)),
+    "q147_plan_lookup" -> (UpsertOps.planLookupPushdown(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -854,6 +855,13 @@ object SparkEntry {
         |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1 AND event_id % 997 = 0""".stripMargin,
+    // point-lookup pushdown: the optimizer swaps the scan onto the
+    // record-level index's candidate files; the declarative filter is
+    // the whole semantics (COW event_id keys — disjoint commits, no
+    // supersede), so the oracle is a plain value filter
+    "q147_plan_lookup" ->
+      """SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
+        |FROM events WHERE event_id % 9973 = 0""".stripMargin,
     // dHash from the closed-form pixels: 2x2 red-channel sums -> 8x8
     // cells, bit (r,c) = cell < right-neighbor; CASTs keep DuckDB's
     // HUGEINT sums out of the schema compare

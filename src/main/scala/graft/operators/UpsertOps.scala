@@ -518,6 +518,30 @@ object UpsertOps {
     outputCols(table.lookupByColumn(s, "event_id", vals))
   }
 
+  /** Point-lookup PUSHDOWN (q147; [[graft.plans.PointLookupRewrite]]):
+    * the same index-pruned scan as q145/q146, but with NO lookup API —
+    * the user writes the declarative plan (`read().filter(id IN …)`)
+    * and the optimizer rule swaps the scan's file index for the
+    * record-level index's candidates, exactly where Spark does
+    * partition pruning. The table keys by event_id (unique), c1 lands
+    * after the index builds (stale path), and the probe mixes indexed
+    * and delta-only ids. ≡ a plain value filter — the oracle; the rule
+    * only changes which files open.
+    */
+  def planLookupPushdown(s: SparkSession, dir: String): DataFrame = {
+    val path = Files.createTempDirectory("graft_plr_q_").toString + "/events_keyed"
+    val table = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("event_id"), precombineCol = "ts_us",
+      partitionCols = Seq("event_type")))
+    val ev = eventsUs(s, dir)
+    table.upsert(s, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    table.recordKeyIndex(s)
+    table.insert(s, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    val vals = ev.filter(col("event_id") % 9973 === 0)
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    outputCols(table.read(s).filter(col("event_id").isin(vals: _*)))
+  }
+
   /** Z-order × column-stats composition (q120): the two proofs q90
     * (stats skipping over a 1-D sort layout) and q92 (Morton layout)
     * carry separately — this query makes them MULTIPLY. The merge is

@@ -89,41 +89,13 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           d.dimCols.length))
   }
 
-  /** The `_graft_rn` output attribute of `w` IF `w` is exactly the
-    * table's latest-per-key resolve window: a single `row_number()` over
-    * (merge-key scope) ordered by (precombine, tiebreaks..., commit
-    * time) descending nulls-last.
-    */
+  // Resolve-window recognition lives in MvPlanShape (shared with the
+  // point-lookup rewrite).
   private def resolveRnOf(w: Window, spec: KeyedTableSpec): Option[Attribute] =
-    w.windowExpressions match {
-      case Seq(a @ Alias(
-          WindowExpression(RowNumber(), WindowSpecDefinition(ps, os, _)), _)) =>
-        val expectedScope = (if (spec.globalKeys) spec.keyCols
-          else spec.keyCols ++ spec.partitionCols).map(lower)
-        val gotScope = ps.flatMap {
-          case at: Attribute => Some(lower(at.name))
-          case _ => None
-        }
-        val expectedOrder =
-          (spec.precombineCol +: spec.tiebreakCols)
-            .map(c => (lower(c), Descending, NullsLast)) :+
-          ((lower(KeyedTable.CommitTimeCol), Descending, NullsLast))
-        val gotOrder = os.flatMap {
-          case SortOrder(at: Attribute, dir, no, _) => Some((lower(at.name), dir, no))
-          case _ => None
-        }
-        if (gotScope.length == ps.length && gotOrder.length == os.length &&
-          gotScope == expectedScope && gotOrder == expectedOrder)
-          Some(a.toAttribute)
-        else None
-      case _ => None
-    }
+    MvPlanShape.resolveRnOf(w, spec)
 
-  private def isRnEqOne(cond: Expression, rn: Attribute): Boolean = cond match {
-    case EqualTo(a: Attribute, Literal(v, _)) => a.exprId == rn.exprId && v == 1
-    case EqualTo(Literal(v, _), a: Attribute) => a.exprId == rn.exprId && v == 1
-    case _ => false
-  }
+  private def isRnEqOne(cond: Expression, rn: Attribute): Boolean =
+    MvPlanShape.isRnEqOne(cond, rn)
 
   /** Checks the stripped plan shape is admissible for this MV's base kind
     * and returns the USER filter conditions (the resolve's `rn = 1`

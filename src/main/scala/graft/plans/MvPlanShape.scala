@@ -85,4 +85,46 @@ object MvPlanShape {
     }
     subst
   }
+
+  private def lower(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+
+  /** The `_graft_rn` output attribute of `w` IF `w` is exactly the
+    * table's latest-per-key resolve window: a single `row_number()` over
+    * (merge-key scope) ordered by (precombine, tiebreaks..., commit
+    * time) descending nulls-last. Shared by the MV rewrite and the
+    * point-lookup rewrite — both must recognize the resolve shape the
+    * same way, or a plan one serves the other could misread.
+    */
+  private[plans] def resolveRnOf(
+      w: Window, spec: graft.table.KeyedTableSpec): Option[Attribute] =
+    w.windowExpressions match {
+      case Seq(a @ Alias(
+          WindowExpression(RowNumber(), WindowSpecDefinition(ps, os, _)), _)) =>
+        val expectedScope = (if (spec.globalKeys) spec.keyCols
+          else spec.keyCols ++ spec.partitionCols).map(lower)
+        val gotScope = ps.flatMap {
+          case at: Attribute => Some(lower(at.name))
+          case _ => None
+        }
+        val expectedOrder =
+          (spec.precombineCol +: spec.tiebreakCols)
+            .map(c => (lower(c), Descending, NullsLast)) :+
+          ((lower(graft.table.KeyedTable.CommitTimeCol), Descending, NullsLast))
+        val gotOrder = os.flatMap {
+          case SortOrder(at: Attribute, dir, no, _) => Some((lower(at.name), dir, no))
+          case _ => None
+        }
+        if (gotScope.length == ps.length && gotOrder.length == os.length &&
+          gotScope == expectedScope && gotOrder == expectedOrder)
+          Some(a.toAttribute)
+        else None
+      case _ => None
+    }
+
+  private[plans] def isRnEqOne(cond: Expression, rn: Attribute): Boolean =
+    cond match {
+      case EqualTo(a: Attribute, Literal(v, _)) => a.exprId == rn.exprId && v == 1
+      case EqualTo(Literal(v, _), a: Attribute) => a.exprId == rn.exprId && v == 1
+      case _ => false
+    }
 }

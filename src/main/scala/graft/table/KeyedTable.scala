@@ -376,6 +376,12 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * cost MOR trades for its append-only writes).
     */
   def read(spark: SparkSession): DataFrame = {
+    // Register the spec for the point-lookup rewrite: every plan the
+    // rule could serve flows through this read, so the registry is warm
+    // by construction. Evolved tables are excluded naturally — their
+    // scans root at generation dirs, never at this path.
+    KeyedTable.specRegistry.put(
+      MaterializedView.qualify(spark, spec.path), spec)
     val raw = readRaw(spark)
     // Evolved tables resolve like merge-on-read even in COW mode: their
     // writes are generation APPENDS, superseded rows die at read time.
@@ -2490,6 +2496,16 @@ object KeyedTable {
     * exists to avoid.
     */
   private[graft] val fullListings = new java.util.concurrent.atomic.AtomicLong
+
+  /** Qualified table path → spec, registered by [[KeyedTable.read]] — the
+    * point-lookup rewrite rule consults ONLY this in-memory map (zero
+    * filesystem work per plan node; an empty registry short-circuits the
+    * rule), and any plan the rule could serve was necessarily built
+    * through `read`, which warms the entry first. Last registration
+    * wins, like the MV registry.
+    */
+  private[graft] val specRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, KeyedTableSpec]()
   private val RowNumCol = "_graft_rn"
   private val SrcCol = "_graft_src"
   private val OverwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
