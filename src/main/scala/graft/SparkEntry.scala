@@ -171,7 +171,8 @@ object SparkEntry {
     "q144_mv_coarse_from_finer" -> (table.MaterializedView.mvCoarseFromFiner(_, _)),
     "q145_rli_lookup" -> (UpsertOps.rliPointLookup(_, _)),
     "q146_secondary_lookup" -> (UpsertOps.secondaryLookup(_, _)),
-    "q147_plan_lookup" -> (UpsertOps.planLookupPushdown(_, _))
+    "q147_plan_lookup" -> (UpsertOps.planLookupPushdown(_, _)),
+    "q148_mv_star_1phase" -> (table.MaterializedView.mvStarSinglePhase(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -855,6 +856,16 @@ object SparkEntry {
         |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1 AND event_id % 997 = 0""".stripMargin,
+    // the one-phase GROUP BY ROLLUP over the WHOLE STAR served from the
+    // joined rollup (fact scan and join both elided — plan assertion in
+    // JoinedMvSpec)
+    "q148_mv_star_1phase" ->
+      s"""SELECT COALESCE(c_mktsegment, 'ALL') AS seg,
+         |       COALESCE(o_orderstatus, 'ALL') AS st,
+         |       COUNT(*) AS n,
+         |       ${dsum("o_totalprice")} AS sum_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY ROLLUP(c_mktsegment, o_orderstatus)""".stripMargin,
     // point-lookup pushdown: the optimizer swaps the scan onto the
     // record-level index's candidate files; the declarative filter is
     // the whole semantics (COW event_id keys — disjoint commits, no

@@ -293,37 +293,44 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               .flatMap(derivesAgg(mv, _))
           }.collectFirst { case Some(p) => p }
       case roots if roots.length >= 2 && pairs.nonEmpty && windows.isEmpty =>
-        // Star shape: match registered joined MVs whose source multiset
-        // {fact} ∪ {dims} and join-pair multiset equal the query's —
-        // with each pair side BOUND to the path of the relation that
-        // owns the attribute (names alone would let `fact.cust_id =
-        // products.id AND fact.prod_id = customers.id` match the MV of
-        // the opposite wiring when every dim keys its id column the
-        // same way). Sides stay unordered within a pair.
-        val rootSet = roots.groupBy(identity).view.mapValues(_.length).toMap
-        val ownerRoot: Map[ExprId, String] =
-          rels.toSeq.zip(roots).flatMap { case (lr, r) =>
-            lr.output.map(_.exprId -> r)
-          }.toMap
-        val pairKeys = pairs.toSeq.map { case (a, b) =>
-          for {
-            x <- substAttr(a); y <- substAttr(b)
-            rx <- ownerRoot.get(x.exprId); ry <- ownerRoot.get(y.exprId)
-          } yield {
-            val sx = (rx, lower(x.name)); val sy = (ry, lower(y.name))
-            if (sx.toString <= sy.toString) (sx, sy) else (sy, sx)
-          }
-        }
-        if (pairKeys.exists(_.isEmpty)) None
-        else {
-          val pairSet = pairKeys.flatten
-            .groupBy(identity).view.mapValues(_.length).toMap
-          candidateJoined(rootSet, pairSet).iterator
-            .map(mv => derivesAgg(mv, conds.toSeq.map(_._1)))
-            .collectFirst { case Some(p) => p }
-        }
+        starCandidatesFor(rels.toSeq, roots, pairs.toSeq, substAttr).iterator
+          .map(mv => derivesAgg(mv, conds.toSeq.map(_._1)))
+          .collectFirst { case Some(p) => p }
       case _ => None
     }
+  }
+
+  /** Star-shape candidate discovery, shared by the plain and Expand
+    * arms: registered joined MVs whose source multiset {fact} ∪ {dims}
+    * and join-pair multiset equal the query's — with each pair side
+    * BOUND to the path of the relation that owns the attribute (names
+    * alone would let `fact.cust_id = products.id AND fact.prod_id =
+    * customers.id` match the MV of the opposite wiring when every dim
+    * keys its id column the same way). Sides stay unordered within a
+    * pair.
+    */
+  private def starCandidatesFor(
+      rels: Seq[LogicalRelation],
+      roots: Seq[String],
+      pairs: Seq[(Attribute, Attribute)],
+      substAttr: Attribute => Option[Attribute]): Seq[MvDef] = {
+    val rootSet = roots.groupBy(identity).view.mapValues(_.length).toMap
+    val ownerRoot: Map[ExprId, String] =
+      rels.zip(roots).flatMap { case (lr, r) =>
+        lr.output.map(_.exprId -> r)
+      }.toMap
+    val pairKeys = pairs.map { case (a, b) =>
+      for {
+        x <- substAttr(a); y <- substAttr(b)
+        rx <- ownerRoot.get(x.exprId); ry <- ownerRoot.get(y.exprId)
+      } yield {
+        val sx = (rx, lower(x.name)); val sy = (ry, lower(y.name))
+        if (sx.toString <= sy.toString) (sx, sy) else (sy, sx)
+      }
+    }
+    if (pairKeys.exists(_.isEmpty)) Nil
+    else candidateJoined(rootSet,
+      pairKeys.flatten.groupBy(identity).view.mapValues(_.length).toMap)
   }
 
   /** Joined MVs whose {fact, dims} source multiset and (path, column)
@@ -622,29 +629,50 @@ class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val pairs = mutable.Buffer.empty[(Attribute, Attribute)]
     if (!stripSources(ex.child, conds, windows, renames, rels, pairs))
       return None
-    if (pairs.nonEmpty || rels.length != 1) return None // single-source only
-    val root = rels.head.relation match {
-      case f: HadoopFsRelation => f.location.rootPaths match {
-        case Seq(one) => one
-        case _ => return None
-      }
-      case _ => return None
-    }
     val detOk =
       agg.groupingExpressions.forall(_.deterministic) &&
       agg.aggregateExpressions.forall(_.deterministic)
     if (!detOk) return None
-    findMvs(root).iterator
-      .filter(_.links.isEmpty)
-      .map { mv =>
-        admissibleConds(mv, windows.toSeq, conds.toSeq).flatMap { userConds =>
-          if (!userConds.forall(_.deterministic)) None
-          else servableDelta(mv).flatMap { delta =>
-            try rewriteExpandOnto(agg, ex, userConds, mv, subst, delta)
-            catch { case scala.util.control.NonFatal(_) => None }
+    def serveOn(mv: MvDef, userConds: Seq[Expression]): Option[LogicalPlan] =
+      if (!userConds.forall(_.deterministic)) None
+      else servableDelta(mv).flatMap { delta =>
+        try rewriteExpandOnto(agg, ex, userConds, mv, subst, delta)
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+    val rootsOpt: Option[Seq[String]] = {
+      val each = rels.toSeq.map { lr =>
+        lr.relation match {
+          case f: HadoopFsRelation => f.location.rootPaths match {
+            case Seq(one) => Some(one.toString)
+            case _ => None
           }
+          case _ => None
         }
-      }.collectFirst { case Some(p) => p }
+      }
+      if (each.forall(_.isDefined)) Some(each.map(_.get)) else None
+    }
+    rootsOpt.flatMap {
+      case Seq(root) if pairs.isEmpty =>
+        // Single-relation shape: flat or keyed candidates.
+        findMvs(new Path(root)).iterator
+          .filter(_.links.isEmpty)
+          .map(mv => admissibleConds(mv, windows.toSeq, conds.toSeq)
+            .flatMap(serveOn(mv, _)))
+          .collectFirst { case Some(p) => p }
+      case roots if roots.length >= 2 && pairs.nonEmpty && windows.isEmpty =>
+        // Star shape: the BI tool's one-shot ROLLUP/CUBE over the whole
+        // star collapses to grouping sets over the joined rollup — the
+        // same candidate matching as the plain star arm, the same
+        // Expand-swap as the flat arm.
+        def substAttr(a: Attribute): Option[Attribute] = subst(a) match {
+          case ar: Attribute => Some(ar)
+          case _ => None
+        }
+        starCandidatesFor(rels.toSeq, roots, pairs.toSeq, substAttr).iterator
+          .map(mv => serveOn(mv, conds.toSeq.map(_._1)))
+          .collectFirst { case Some(p) => p }
+      case _ => None
+    }
   }
 
   private def rewriteExpandOnto(

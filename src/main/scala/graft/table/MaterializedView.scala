@@ -1653,6 +1653,38 @@ object MaterializedView {
           col("n"), col("sum_qty")))
   }
 
+  /** Single-phase `GROUP BY ROLLUP` over the WHOLE STAR (q148): the BI
+    * tool's one-shot rollup across orders ⋈ customer collapses to
+    * grouping sets over the joined rollup — fact scan AND join both
+    * elided in one rewrite (the Expand swap of q143 composed with the
+    * star matching of q136). At 100 TB this is the standing BI
+    * dashboard query shape served at rollup cost.
+    */
+  def mvStarSinglePhase(spark: SparkSession, dir: String): DataFrame = {
+    val fact = s"$dir/orders.parquet"
+    val dim = s"$dir/customer.parquet"
+    val work = freshBenchWork("gs1pstar")
+    createJoined(
+      spark, "ord_cust_1p", fact, s"$work/mv",
+      joins = Seq((dim, "o_custkey", "c_custkey")),
+      groupCols = Seq("c_mktsegment", "o_orderstatus"),
+      sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+      countCol = Some("cnt"))
+    pinAndDrop(spark, fact,
+      spark.read.parquet(fact)
+        .join(spark.read.parquet(dim),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .rollup(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double")
+            .as("sum_price"))
+        .select(
+          coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          col("n"), col("sum_price")))
+  }
+
   // ---------------------------------------------------------------------
   // q141: ADVISOR OVER A STAR WORKLOAD — two orders ⋈ customer join
   // aggregates analyze into ONE joined-rollup recommendation (same join

@@ -298,4 +298,39 @@ class JoinedMvSpec extends SparkTestBase {
     val viaMv = rows(MaterializedView.mvJoinRevenue(spark, sf0001))
     assert(viaMv == directRows)
   }
+
+  test("single-phase ROLLUP/CUBE over the star serves from the joined rollup") {
+    val (fact, dim) = copyTables()
+    def joined = spark.read.parquet(fact)
+      .join(spark.read.parquet(dim),
+        col("o_custkey") === col("c_custkey"), "inner")
+    def qR = joined
+      .rollup(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double").as("p"))
+    def qGid = joined
+      .cube(col("c_mktsegment"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+    def rset(df: DataFrame) = df.collect().map { r =>
+      (0 until r.length).map(i => if (r.isNullAt(i)) None else Some(r.get(i)))
+    }.toSet
+    val (expR, expG) = (rset(qR), rset(qGid))
+    try {
+      mkMv(fact, dim)
+      for ((q, exp, what) <- Seq((qR, expR, "rollup"), (qGid, expG, "cube+gid"))) {
+        val paths = scannedPaths(q)
+        assert(paths.exists(_.contains("/mv")),
+          s"$what: the star grouping sets must serve from the joined rollup: $paths")
+        assert(!paths.exists(p =>
+          p.contains("orders.parquet") || p.contains("customer.parquet")),
+          s"$what: neither join side may be scanned: $paths")
+        assert(rset(q) == exp, s"$what: served answer drifted")
+      }
+      // Decline: a measure the joined rollup does not store.
+      val qBad = joined.rollup(col("c_mktsegment"))
+        .agg(sum(col("o_orderkey")).as("s"))
+      assert(scannedPaths(qBad).exists(_.contains("orders.parquet")),
+        "an underivable star grouping-sets measure must decline")
+    } finally MaterializedView.drop(fact)
+  }
 }
