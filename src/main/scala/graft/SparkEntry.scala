@@ -172,7 +172,9 @@ object SparkEntry {
     "q145_rli_lookup" -> (UpsertOps.rliPointLookup(_, _)),
     "q146_secondary_lookup" -> (UpsertOps.secondaryLookup(_, _)),
     "q147_plan_lookup" -> (UpsertOps.planLookupPushdown(_, _)),
-    "q148_mv_star_1phase" -> (table.MaterializedView.mvStarSinglePhase(_, _))
+    "q148_mv_star_1phase" -> (table.MaterializedView.mvStarSinglePhase(_, _)),
+    "q149_stream_lookup_join" -> (UpsertOps.streamLookupJoin(_, _)),
+    "q150_index_advisor" -> (UpsertOps.indexAdvisedLookup(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -866,6 +868,20 @@ object SparkEntry {
          |       ${dsum("o_totalprice")} AS sum_price
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY ROLLUP(c_mktsegment, o_orderstatus)""".stripMargin,
+    // index-backed streaming lookup join: each micro-batch point-joins
+    // the keyed dim through the RLI (stale-index path, content-
+    // idempotent re-upsert) — ≡ the plain events ⋈ customer aggregate
+    "q149_stream_lookup_join" ->
+      s"""SELECT c_mktsegment, event_type,
+         |       COUNT(*) AS n_events, ${dsum("value")} AS sum_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY c_mktsegment, event_type""".stripMargin,
+    // the index advisor's DBA loop closed end-to-end: analyze the probe
+    // workload, build the recommended record-level index, and the same
+    // declarative query runs index-pruned — same semantics as q147
+    "q150_index_advisor" ->
+      """SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
+        |FROM events WHERE event_id % 9973 = 0""".stripMargin,
     // point-lookup pushdown: the optimizer swaps the scan onto the
     // record-level index's candidate files; the declarative filter is
     // the whole semantics (COW event_id keys — disjoint commits, no

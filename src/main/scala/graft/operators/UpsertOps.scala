@@ -1077,6 +1077,95 @@ object UpsertOps {
     (s.read.parquet(out), q)
   }
 
+  /** Index-backed streaming LOOKUP join (q149): each micro-batch
+    * point-joins a keyed merge-on-read dimension through the
+    * record-level index — [[graft.table.KeyedTable.lookupKeys]] on the
+    * batch's key set inside `foreachBatch`, then a broadcast join of the
+    * returned rows. This is the enrichment shape when the dimension is a
+    * mutable 100 TB keyed TABLE, where q123's broadcast re-plan (whole
+    * small dim per batch) and a stream-static scan (whole table per
+    * batch) both stop working: per batch the lookup opens O(batch keys +
+    * commit delta) dimension files, and the looked-up rows — sized by
+    * the batch, not the dimension — broadcast. The dimension is made
+    * deliberately STALE-indexed (a same-content re-upsert lands after
+    * the index build) so every batch exercises the delta-settling path;
+    * content-idempotence keeps the oracle the plain events ⋈ customer
+    * aggregate.
+    */
+  def streamLookupJoin(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_stream_lkj_").toString
+    val src = stageOnce(dir, "shuffled")(stageShuffledJson(s, dir))
+    val stagedSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts_us BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE")
+    val dimTable = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/customer_keyed",
+      keyCols = Seq("c_custkey"),
+      precombineCol = "c_acctbal",
+      partitionCols = Seq("c_mktsegment"),
+      retainHistory = true))
+    val cust = Tables.customer(s, dir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    dimTable.upsert(s, cust, commitTime = "c0")
+    dimTable.recordKeyIndex(s)
+    // Same rows re-land AFTER the build: the index is stale from the
+    // first batch on, but the resolved state is unchanged.
+    dimTable.upsert(s, cust.filter(col("c_custkey") % 3 === 0), commitTime = "c1")
+    val out = s"$tmp/out"
+    val q = JsonStreamSource.stream(s, src, schema = Some(stagedSchema))
+      .writeStream
+      .queryName("graft-stream-lookup-join")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val sp = batch.sparkSession
+          val b = batch.persist()
+          try {
+            val keys = b.select(col("user_id").as("c_custkey")).distinct()
+            val dimRows = dimTable.lookupKeys(sp, keys)
+              .select("c_custkey", "c_mktsegment")
+            b.join(broadcast(dimRows), b("user_id") === dimRows("c_custkey"))
+              .drop("c_custkey")
+              .write.mode("append").parquet(out)
+          } finally { b.unpersist(); () }
+        }
+      }
+      .option("checkpointLocation", s"$tmp/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+  }
+
+  /** Workload-driven index advisor end-to-end (q150;
+    * [[graft.plans.IndexAdvisor]]): a point-probe workload over an
+    * UN-indexed keyed table analyzes into exactly the missing sidecar
+    * builds (shared matcher with the pushdown rule, so advice ≡
+    * serveability), `createRecommended` builds them, and the same
+    * declarative query then runs index-pruned — the DBA loop (observe
+    * workload → build index → plans accelerate) closed inside the
+    * engine. ≡ a plain value filter — the oracle; the advisor only
+    * changes which files open.
+    */
+  def indexAdvisedLookup(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.IndexAdvisor
+    val path = Files.createTempDirectory("graft_idxadv_q_").toString + "/events_keyed"
+    val table = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("event_id"), precombineCol = "ts_us",
+      partitionCols = Seq("event_type")))
+    val ev = eventsUs(s, dir)
+    table.upsert(s, ev, commitTime = "c0")
+    val vals = ev.filter(col("event_id") % 9973 === 0)
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    def q = table.read(s).filter(col("event_id").isin(vals: _*))
+    val advice = IndexAdvisor.analyze(s, Seq(q))
+    IndexAdvisor.createRecommended(s, advice)
+    outputCols(q)
+  }
+
   /** Stage the sharded time-ordered transport PLUS an at-least-once
     * re-delivery: every third event appears a second time in a file whose
     * modification time postdates every original slice — the duplicate

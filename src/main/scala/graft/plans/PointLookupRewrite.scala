@@ -72,7 +72,31 @@ class PointLookupRewrite(spark: SparkSession)
     }
   }
 
-  private def tryRewrite(f: Filter): Option[LogicalPlan] = {
+  /** The shape half of the match, index-IO-free — shared with
+    * [[IndexAdvisor]], so the advisor recommends exactly the probes this
+    * rule can later serve (one matcher, like MvPlanShape for the MV
+    * pair).
+    */
+  private[plans] final case class ProbeMatch(
+      f: Filter, lr: LogicalRelation, fsRel: HadoopFsRelation, root: String,
+      spec: graft.table.KeyedTableSpec, probeAttr: Attribute,
+      values: Seq[Any], viaKey: Boolean)
+
+  /** Every point-probe shape in `plan` this rule would serve if the
+    * needed indexes existed (no index IO, no filesystem work beyond the
+    * registry). On an already-index-served plan the Filter no longer
+    * roots at the registered path, so served probes naturally drop out.
+    */
+  private[plans] def probeShapes(plan: LogicalPlan): Seq[ProbeMatch] =
+    if (KeyedTable.specRegistry.isEmpty) Nil
+    else plan.collect { case f: Filter =>
+      try matchProbe(f) catch { case scala.util.control.NonFatal(_) => None }
+    }.flatten
+
+  private def tryRewrite(f: Filter): Option[LogicalPlan] =
+    matchProbe(f).flatMap(serveProbe)
+
+  private def matchProbe(f: Filter): Option[ProbeMatch] = {
     val conds = mutable.Buffer.empty[(Expression, Int)]
     val windows = mutable.Buffer.empty[Window]
     val renames = mutable.Map.empty[ExprId, Expression]
@@ -159,7 +183,14 @@ class PointLookupRewrite(spark: SparkSession)
     } else if (windows.nonEmpty) return None
     // (An evolved table's scan roots at generation dirs, never at the
     // registered path, so the non-resolving arm can't misfire there.)
+    Some(ProbeMatch(f, lr, fsRel, root, spec, probeAttr, values, viaKey))
+  }
 
+  /** The serving half: index IO + the scan swap. */
+  private def serveProbe(m: ProbeMatch): Option[LogicalPlan] = {
+    val ProbeMatch(f, lr, fsRel, root, spec, probeAttr, values, viaKey) = m
+    val keyCol = spec.keyCols.head.toLowerCase(java.util.Locale.ROOT)
+    val resolving = spec.retainHistory
     val toScala = CatalystTypeConverters.createToScalaConverter(probeAttr.dataType)
     val table = KeyedTable(spec)
 
@@ -201,7 +232,9 @@ class PointLookupRewrite(spark: SparkSession)
       }
 
     keysAndGuard.flatMap { case (keys, guard) =>
-      table.rliCandidateFiles(spark, keys).flatMap { rel0 =>
+      // The index-family chain: exact RLI first, bloom may-contain
+      // second (all-version files, so MoR resolution stays sound).
+      table.lookupCandidateFiles(spark, keys).flatMap { rel0 =>
         val total = fsRel.location.inputFiles.length
         if (rel0.length >= total) None
         else {

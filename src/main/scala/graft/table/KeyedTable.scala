@@ -1022,21 +1022,58 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Point lookup through the record-level index: the latest state of
-    * every row whose key appears in `keys` (a small frame holding the
-    * key columns), reading only the candidate files — the key's indexed
-    * file plus whatever post-build commits added. Falls back to the
-    * full merge ∘ semi-join when the index is absent or staleness is
-    * unprovable; either path returns identical rows, the index only
-    * changes which files open. Non-probe rows sharing a candidate file
-    * are discarded by the semi-join, so a partially-covered foreign
-    * key's resolve never leaks a wrong version: the probe key's OWN
-    * latest version is always in the candidate set (its indexed file if
-    * untouched since build, a delta file otherwise).
+  /** The bloom index's candidate files for `probe` keys, TABLE-RELATIVE,
+    * or `None` when the sidecar is absent/unreadable — the PROBABILISTIC
+    * member of the lookup-candidate family. No freshness proof is
+    * needed: the bloom sidecar follows the exists ⇒ current invariant
+    * (every non-maintaining write path deletes it; only
+    * [[upsertBloomIndexed]] carries it forward), so its answer covers
+    * EVERY stored version of a probe key — false positives cost
+    * redundant file reads, false negatives cannot occur. Evolved
+    * layouts decline (their appends delete the sidecar anyway).
+    */
+  private[graft] def bloomRelCandidateFiles(
+      spark: SparkSession, probe: DataFrame): Option[Seq[String]] = {
+    val f = fs(spark)
+    if (!f.exists(new Path(bloomDir)) || isEvolved(spark)) return None
+    try {
+      val (cands, total) = bloomCandidateFiles(spark, probe)
+      if (total == 0) return None
+      val rootPrefix =
+        f.makeQualified(new Path(spec.path)).toUri.getPath + "/"
+      Some(cands.map(abs =>
+        new Path(new java.net.URI(abs)).toUri.getPath.stripPrefix(rootPrefix)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The lookup-candidate chain — the index FAMILY serving one probe:
+    * exact record-level index first (winner files, O(probe + delta)),
+    * the bloom sidecar second (all-version files, may-contain), `None`
+    * last (the caller full-scans). Every member returns a file set whose
+    * rows resolve to exactly the probe keys' latest state.
+    */
+  private[graft] def lookupCandidateFiles(
+      spark: SparkSession, probe: DataFrame): Option[Seq[String]] =
+    rliCandidateFiles(spark, probe)
+      .orElse(bloomRelCandidateFiles(spark, probe))
+
+  /** Point lookup through the index family: the latest state of every
+    * row whose key appears in `keys` (a small frame holding the key
+    * columns), reading only the candidate files — the record-level
+    * index's winner files plus post-build delta when it serves, the
+    * bloom index's may-contain files otherwise. Falls back to the full
+    * merge ∘ semi-join when no index serves; every path returns
+    * identical rows, the indexes only change which files open.
+    * Non-probe rows sharing a candidate file are discarded by the
+    * semi-join, so a partially-covered foreign key's resolve never
+    * leaks a wrong version: the probe key's OWN latest version is
+    * always in the candidate set (its indexed file if untouched since
+    * build, a delta file otherwise; every one of its files under the
+    * bloom).
     */
   def lookupKeys(spark: SparkSession, keys: DataFrame): DataFrame = {
     val probe = keys.select(spec.keyCols.map(col): _*).distinct()
-    rliCandidateFiles(spark, probe) match {
+    lookupCandidateFiles(spark, probe) match {
       case None =>
         read(spark).join(broadcast(probe), spec.keyCols, "left_semi")
       case Some(candidates) =>

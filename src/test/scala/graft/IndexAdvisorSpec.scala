@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.IndexAdvisor
+import graft.sources.Tables
+import graft.table.{KeyedTable, KeyedTableSpec}
+
+/** [[IndexAdvisor]]: workload probes over un-indexed keyed tables must
+  * recommend exactly the missing sidecars (shared matcher with the
+  * serving rule), building them must make the same workload index-serve,
+  * and covered/non-point workloads must recommend nothing.
+  */
+class IndexAdvisorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def eventsUs =
+    Tables.events(spark, sf0001).withColumn("ts_us", expr("ts div 1000"))
+
+  private def mkTable(): KeyedTable = {
+    val path = Files.createTempDirectory("graft_idxadv_").toString + "/t"
+    val t = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("event_id"), precombineCol = "ts_us",
+      partitionCols = Seq("event_type")))
+    t.upsert(spark, eventsUs, commitTime = "c0")
+    t
+  }
+
+  private def scannedDataFiles(df: DataFrame): Option[Seq[String]] = {
+    val paths = graft.plans.PlanWalk.scannedFiles(df)
+    if (paths.nonEmpty && paths.forall(_.endsWith(".parquet"))) Some(paths)
+    else None
+  }
+
+  test("missing indexes are recommended, built, and then serve the workload") {
+    val t = mkTable()
+    def qKey = t.read(spark).filter(col("event_id").isin(0L, 7L))
+    val v = eventsUs.orderBy("event_id").select("value").as[Double].first()
+    def qVal = t.read(spark).filter(col("value") === v)
+    val expKey = qKey.collect().toSet
+    val workload = Seq(qKey, qVal)
+    val advice = IndexAdvisor.analyze(spark, workload)
+    assert(advice.skipped.isEmpty)
+    val kinds = advice.recommendations.map(r => (r.kind, r.column)).toSet
+    assert(kinds == Set(("record_key", "event_id"), ("secondary", "value")),
+      s"expected the two missing sidecars, got $kinds")
+    // The key probe needs the RLI on both paths → 2 hits; value 1.
+    assert(advice.recommendations
+      .find(_.kind == "record_key").get.hits == 2)
+    val built = IndexAdvisor.createRecommended(spark, advice)
+    assert(built.length == 2, s"both builds must run: $built")
+    // The same workload now index-serves (pruned file scans), unchanged.
+    assert(scannedDataFiles(qKey).isDefined, "key probe must now prune")
+    assert(scannedDataFiles(qVal).isDefined, "value probe must now prune")
+    assert(qKey.collect().toSet == expKey)
+    // Re-analysis over the NOW-SERVED workload recommends nothing.
+    assert(IndexAdvisor.analyze(spark, workload).recommendations.isEmpty)
+  }
+
+  test("covered tables and non-point workloads recommend nothing") {
+    val t = mkTable()
+    t.recordKeyIndex(spark)
+    val qKey = t.read(spark).filter(col("event_id") === 3L)
+    val agg = t.read(spark).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val range = t.read(spark).filter(col("event_id") > 100L)
+    val advice = IndexAdvisor.analyze(spark, Seq(qKey, agg, range))
+    assert(advice.recommendations.isEmpty,
+      s"nothing to build: ${advice.recommendations}")
+  }
+}

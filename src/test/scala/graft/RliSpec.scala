@@ -176,6 +176,44 @@ class RliSpec extends SparkTestBase {
     assert(table.rliCandidateFiles(spark, probe).get.size < dataFileCount(path))
   }
 
+  test("bloom fallback: no RLI, the bloom sidecar serves a pruned exact lookup") {
+    val path = Files.createTempDirectory("graft_rli_blm_").toString + "/t"
+    // event_id keys: a 2-key probe genuinely lives in few files.
+    val table = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("event_id"), precombineCol = "ts_us",
+      partitionCols = Seq("event_type")))
+    val ev = eventsUs
+    table.upsert(spark, ev, commitTime = "c0")
+    table.recordBloomIndex(spark)
+    import spark.implicits._
+    val probe = Seq(0L, 7L).toDF("event_id")
+    def oracleIds = outputSet(
+      table.read(spark).join(probe, Seq("event_id"), "left_semi"))
+    assert(table.rliCandidateFiles(spark, probe).isEmpty, "no RLI here")
+    val cands = table.bloomRelCandidateFiles(spark, probe)
+    assert(cands.isDefined && cands.get.nonEmpty
+      && cands.get.size < dataFileCount(path),
+      s"bloom candidates must prune: $cands of ${dataFileCount(path)}")
+    assert(outputSet(table.lookupKeys(spark, probe)) == oracleIds)
+    // A plain write KILLS the sidecar (exists ⇒ current): the lookup
+    // falls back to the full read and stays exact.
+    table.upsert(spark, ev.filter(col("event_id") < 5), commitTime = "c1")
+    assert(table.bloomRelCandidateFiles(spark, probe).isEmpty,
+      "a non-maintaining write must retire the bloom sidecar")
+    assert(outputSet(table.lookupKeys(spark, probe)) == oracleIds)
+  }
+
+  test("bloom fallback on MoR: all versions covered, resolve stays exact") {
+    val path = Files.createTempDirectory("graft_rli_blmm_").toString + "/t"
+    val table = KeyedTable(morSpec(path))
+    val ev = eventsUs
+    table.upsert(spark, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    table.upsert(spark, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    table.recordBloomIndex(spark) // built over BOTH commits' versions
+    val probe = probeFrame
+    assert(outputSet(table.lookupKeys(spark, probe)) == oracle(table, probe))
+  }
+
   test("absent index falls back to the full read") {
     val path = Files.createTempDirectory("graft_rli_none_").toString + "/t"
     val table = KeyedTable(cowSpec(path))
