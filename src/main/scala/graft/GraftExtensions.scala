@@ -33,6 +33,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ([[graft.plans.PointLookupRewrite]]); no-op while no keyed table
     // has been read in the session.
     e.injectOptimizerRule(s => new graft.plans.PointLookupRewrite(s))
+    // Range filter over a keyed table's read → file-skipping scan
+    // through the column-stats sidecar ([[graft.plans.RangePruneRewrite]]);
+    // same registry gate as the point rule.
+    e.injectOptimizerRule(s => new graft.plans.RangePruneRewrite(s))
+    // Whole-table min/max/count over a keyed table's read → answered
+    // from the column-stats sidecar, no scan
+    // ([[graft.plans.StatsAggregateRewrite]]).
+    e.injectOptimizerRule(s => new graft.plans.StatsAggregateRewrite(s))
     // Resolution hook: when a query references a table the session
     // catalog doesn't know, consult the persistent registry
     // ([[graft.table.GraftCatalog]]) before resolution fails — discovery

@@ -174,7 +174,10 @@ object SparkEntry {
     "q147_plan_lookup" -> (UpsertOps.planLookupPushdown(_, _)),
     "q148_mv_star_1phase" -> (table.MaterializedView.mvStarSinglePhase(_, _)),
     "q149_stream_lookup_join" -> (UpsertOps.streamLookupJoin(_, _)),
-    "q150_index_advisor" -> (UpsertOps.indexAdvisedLookup(_, _))
+    "q150_index_advisor" -> (UpsertOps.indexAdvisedLookup(_, _)),
+    "q151_range_prune" -> (UpsertOps.rangePrunedQuery(_, _)),
+    "q152_stats_agg" -> (UpsertOps.statsAggQuery(_, _)),
+    "q153_stream_table_feed" -> (UpsertOps.streamTableFeed(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -882,6 +885,27 @@ object SparkEntry {
     "q150_index_advisor" ->
       """SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
         |FROM events WHERE event_id % 9973 = 0""".stripMargin,
+    // declarative range pruning: the optimizer serves a literal BETWEEN
+    // through the column-stats sidecar on a sort-clustered COW table;
+    // the declarative filter is the whole semantics
+    "q151_range_prune" ->
+      """SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
+        |FROM events WHERE event_id BETWEEN 100 AND 499""".stripMargin,
+    // metadata-only aggregates: whole-table min/max/count folded from
+    // the column-stats sidecar (zero data files opened)
+    "q152_stats_agg" ->
+      """SELECT min(event_id) AS min_id, max(event_id) AS max_id,
+        |       min(user_id) AS min_uid, max(user_id) AS max_uid,
+        |       count(*) AS n_rows
+        |FROM events""".stripMargin,
+    // the table as a live stream source: every version rides the feed
+    // tagged with its commit; the slice predicate that produced the two
+    // commits reconstructs the tags
+    "q153_stream_table_feed" ->
+      s"""SELECT event_type,
+         |       CASE WHEN event_id % 2 = 0 THEN 'c0' ELSE 'c1' END AS commit_time,
+         |       COUNT(*) AS n_events, ${dsum("value")} AS sum_value
+         |FROM events GROUP BY event_type, commit_time""".stripMargin,
     // point-lookup pushdown: the optimizer swaps the scan onto the
     // record-level index's candidate files; the declarative filter is
     // the whole semantics (COW event_id keys — disjoint commits, no

@@ -1166,6 +1166,92 @@ object UpsertOps {
     outputCols(q)
   }
 
+  /** Declarative range pruning (q151; [[graft.plans.RangePruneRewrite]]):
+    * a literal BETWEEN over a sort-clustered copy-on-write table's plain
+    * `read().filter(...)` is served through the column-stats sidecar —
+    * the optimizer swaps the scan onto the files whose recorded
+    * [min, max] intersects the range, the declarative twin of
+    * [[graft.table.KeyedTable.readPruned]] (q90 is the API form). After
+    * [[graft.table.KeyedTable.cluster]] the per-file ranges are tight
+    * and disjoint, so at 100 TB this is a time/id-slice query opening a
+    * handful of files with NO special API. ≡ a plain range filter — the
+    * oracle; the index only changes which files open.
+    */
+  def rangePrunedQuery(s: SparkSession, dir: String): DataFrame = {
+    val path =
+      Files.createTempDirectory("graft_rngq_").toString + "/events_keyed"
+    val table = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("event_id"), precombineCol = "ts_us",
+      partitionCols = Seq("event_type")))
+    table.upsert(s, eventsUs(s, dir), commitTime = "c0")
+    table.cluster(s, Seq("event_id"), targetFileBytes = 256L << 10)
+    table.recordColumnStats(s, Seq("event_id"))
+    outputCols(table.read(s).filter(col("event_id").between(100L, 499L)))
+  }
+
+  /** Metadata-only aggregates (q152;
+    * [[graft.plans.StatsAggregateRewrite]]): whole-table min/max/count
+    * over a keyed copy-on-write table answered from the column-stats
+    * sidecar — the optimizer replaces the Aggregate with a single-row
+    * LocalRelation folded from per-file stats, scanning ZERO data files
+    * (the spec asserts the empty scan; the oracle pins the values). On
+    * a 100 TB table this turns `SELECT min(ts), max(ts), count(*)` into
+    * a metadata read, the same move Iceberg/Hudi make from their
+    * column-stats manifests.
+    */
+  def statsAggQuery(s: SparkSession, dir: String): DataFrame = {
+    val path =
+      Files.createTempDirectory("graft_saggq_").toString + "/events_keyed"
+    val table = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("event_id"), precombineCol = "ts_us",
+      partitionCols = Seq("event_type")))
+    table.upsert(s, eventsUs(s, dir), commitTime = "c0")
+    table.recordColumnStats(s, Seq("event_id", "user_id"))
+    table.read(s).agg(
+      min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+      min(col("user_id")).as("min_uid"), max(col("user_id")).as("max_uid"),
+      count(lit(1)).as("n_rows"))
+  }
+
+  /** The table as a live stream source (q153;
+    * [[graft.table.KeyedTable.streamFeed]]): a Structured-Streaming
+    * tailer over a history table's version files — Hudi's incremental
+    * streaming read / Delta's table `readStream`. Two commits land, the
+    * tailer drains them through a checkpointed file-stream source, and
+    * the fed rows aggregate per (partition, commit): the commit-time
+    * tags prove each version rode the feed with its own commit, which
+    * the oracle reconstructs from the slice predicate that produced the
+    * commits. At scale the feed is append-driven — per trigger the
+    * source delivers only files not yet seen, so a replica tails a
+    * 100 TB table at the cost of its deltas.
+    */
+  def streamTableFeed(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_feed_q_").toString
+    // event_id keys (unique per row): batch precombine keeps every row,
+    // so the feed's content is exactly the two input slices.
+    val table = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/t", keyCols = Seq("event_id"), precombineCol = "ts_us",
+      partitionCols = Seq("event_type"), retainHistory = true))
+    val ev = eventsUs(s, dir)
+    table.upsert(s, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    table.upsert(s, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    val out = s"$tmp/out"
+    val q = table.streamFeed(s)
+      .writeStream
+      .queryName("graft-stream-table-feed")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$tmp/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .groupBy(col("event_type"), col("commit_time"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+  }
+
   /** Stage the sharded time-ordered transport PLUS an at-least-once
     * re-delivery: every third event appears a second time in a file whose
     * modification time postdates every original slice — the duplicate

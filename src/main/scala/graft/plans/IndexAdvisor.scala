@@ -21,9 +21,10 @@ import graft.table.KeyedTable
   */
 object IndexAdvisor {
 
-  /** One index build: `kind` ∈ {"record_key", "secondary"}; `column` is
-    * the probed column for a secondary recommendation, the key column
-    * otherwise. `hits` counts workload probes this build serves.
+  /** One index build: `kind` ∈ {"record_key", "secondary",
+    * "column_stats"}; `column` is the probed column for a secondary or
+    * column-stats recommendation, the key column otherwise. `hits`
+    * counts workload probes this build serves.
     */
   final case class IndexRec(
       tablePath: String, kind: String, column: String, hits: Int)
@@ -33,32 +34,49 @@ object IndexAdvisor {
 
   def analyze(spark: SparkSession, queries: Seq[DataFrame]): IndexAdvice = {
     val rule = new PointLookupRewrite(spark)
+    val rangeRule = new RangePruneRewrite(spark)
     val skipped = Seq.newBuilder[String]
-    val shapes = queries.zipWithIndex.flatMap { case (q, i) =>
+    val plans = queries.zipWithIndex.flatMap { case (q, i) =>
       // A poison frame (analysis exception on .optimizedPlan) lands in
       // skipped; it must never abort the whole analysis.
-      try rule.probeShapes(q.queryExecution.optimizedPlan)
+      try Seq(q.queryExecution.optimizedPlan)
       catch {
         case scala.util.control.NonFatal(e) =>
           skipped += s"query #$i: ${e.getClass.getSimpleName}"; Nil
       }
     }
+    val shapes = plans.flatMap(rule.probeShapes)
+    // Genuine ranges only (an open side or lo < hi): an equality probe
+    // belongs to the point family above — recommending column stats for
+    // it would shadow the exact index with a weaker one.
+    val rangeShapes = plans.flatMap(rangeRule.rangeShapes)
+      .flatMap(m => m.ranges.collect {
+        case (c, lo, hi) if lo < hi => (m.spec.path, "column_stats", c)
+      })
     val fs = new Path("/").getFileSystem(spark.sessionState.newHadoopConf())
     def exists(dir: String): Boolean =
       try fs.exists(new Path(dir)) catch { case _: Exception => false }
-    // Every probe needs the record-level index (the candidate chain's
-    // exact member); a non-key probe additionally needs the secondary
-    // sidecar on its column. Recommend only what's absent.
+    // Column stats need a COLUMN-level coverage check: the sidecar dir
+    // existing with other columns' stats can't serve this range.
+    def statsCover(path: String, c: String): Boolean =
+      exists(s"$path/_graft_colstats") &&
+        (try spark.read.parquet(s"$path/_graft_colstats")
+          .columns.exists(_.equalsIgnoreCase(s"min_$c"))
+        catch { case _: Exception => false })
+    // Every point probe needs the record-level index (the candidate
+    // chain's exact member); a non-key probe additionally needs the
+    // secondary sidecar on its column; a range probe needs column
+    // stats. Recommend only what's absent.
     val wants = shapes.flatMap { m =>
       val rli = (m.spec.path, "record_key", m.spec.keyCols.head)
       if (m.viaKey) Seq(rli)
       else Seq(rli, (m.spec.path, "secondary", m.probeAttr.name))
-    }
+    } ++ rangeShapes
     val recs = wants.groupBy(identity).toSeq
       .map { case ((path, kind, col), hs) => IndexRec(path, kind, col, hs.length) }
       .filterNot { r =>
-        val dir = kind2dir(r)
-        exists(dir)
+        if (r.kind == "column_stats") statsCover(r.tablePath, r.column)
+        else exists(kind2dir(r))
       }
       .sortBy(r => (-r.hits, r.tablePath, r.kind, r.column))
     IndexAdvice(recs, skipped.result())
@@ -73,8 +91,10 @@ object IndexAdvisor {
     * Returns a description line per build (for logs/tests).
     */
   def createRecommended(
-      spark: SparkSession, advice: IndexAdvice): Seq[String] =
-    advice.recommendations.flatMap { r =>
+      spark: SparkSession, advice: IndexAdvice): Seq[String] = {
+    val (statRecs, rest) =
+      advice.recommendations.partition(_.kind == "column_stats")
+    val built = rest.flatMap { r =>
       val qualified = graft.table.MaterializedView.qualify(spark, r.tablePath)
       Option(KeyedTable.specRegistry.get(qualified)).map { spec =>
         val t = KeyedTable(spec)
@@ -85,4 +105,25 @@ object IndexAdvisor {
         s"${r.kind}(${r.column}) on ${r.tablePath} [${r.hits} probes]"
       }
     }
+    // Column stats build ONE sidecar per table: union the recommended
+    // columns with any already-recorded ones (recordColumnStats
+    // overwrites the whole sidecar, and dropping a covered column would
+    // un-serve someone else's range).
+    val stats = statRecs.groupBy(_.tablePath).toSeq.sortBy(_._1).flatMap {
+      case (path, rs) =>
+        val qualified = graft.table.MaterializedView.qualify(spark, path)
+        Option(KeyedTable.specRegistry.get(qualified)).map { spec =>
+          val t = KeyedTable(spec)
+          val existing = t.colStatsFrame(spark)
+            .map(_.columns.toSeq.collect {
+              case c if c.startsWith("min_") => c.stripPrefix("min_")
+            }).getOrElse(Nil)
+          val cols = (existing ++ rs.map(_.column)).distinct
+          t.recordColumnStats(spark, cols)
+          s"column_stats(${rs.map(_.column).sorted.mkString(",")}) on " +
+            s"$path [${rs.map(_.hits).sum} probes]"
+        }
+    }
+    built ++ stats
+  }
 }

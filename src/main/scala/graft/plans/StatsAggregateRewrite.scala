@@ -1,0 +1,168 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, lit, max, min, sum}
+import org.apache.spark.sql.types._
+
+import graft.table.KeyedTable
+
+/** Answers whole-table `min`/`max`/`count` aggregates from the
+  * column-stats sidecar alone — aggregate pushdown to table metadata,
+  * the move Iceberg/Hudi make when `SELECT min(ts), max(ts), count(*)`
+  * lands on a 100 TB table: the answer is a fold over per-file stats
+  * (one metadata-sized read), not a full scan. The matched `Aggregate`
+  * is replaced by a single-row [[LocalRelation]] carrying the
+  * aggregate's own output attributes, so nothing above changes.
+  *
+  * Matches a global (no grouping) `Aggregate` whose stripped child is a
+  * bare single parquet relation rooted at a REGISTERED keyed-table path
+  * ([[KeyedTable.specRegistry]]) — no filters, windows, or joins — and
+  * whose every aggregate is one of `min(col)` / `max(col)` (integral
+  * columns, matching what [[KeyedTable.recordColumnStats]] records),
+  * `count(*)`/`count(1)` (served from the sidecar's per-file `cnt`), or
+  * `count(col)` (served from `nn_<col>`); no DISTINCT, no FILTER
+  * clauses. Any other aggregate declines the whole node — partial
+  * serving would still scan.
+  *
+  * Soundness: non-resolving (plain copy-on-write) tables only — on a
+  * `retainHistory` table stored rows are versions, so file stats
+  * over-count superseded versions. Freshness is the sidecar's exists ⇒
+  * current invariant (every data write deletes it before the write
+  * lands): a present sidecar covers exactly the current data files. The
+  * per-file fold is exact, not approximate — `min` over file minima
+  * equals `min` over rows (`min`/`max` ignore nulls on both levels, an
+  * all-null file contributes a null minimum which the fold ignores),
+  * and counts add. Stats store minima/maxima cast to long, lossless for
+  * the integral columns admitted here; values are cast back to the
+  * column's own type on serve.
+  *
+  * Plan-time cost is one metadata-sized sidecar read, gated behind the
+  * registry hit and the all-servable aggregate list; idempotent because
+  * the produced LocalRelation contains no relation to re-match.
+  */
+class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (KeyedTable.specRegistry.isEmpty) return plan
+    plan.transformUp {
+      case a: Aggregate =>
+        try serve(a).getOrElse(a)
+        catch { case scala.util.control.NonFatal(_) => a }
+    }
+  }
+
+  private def integral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** What one output aggregate needs from the sidecar. */
+  private sealed trait Need
+  private case class MinOf(column: String, t: DataType) extends Need
+  private case class MaxOf(column: String, t: DataType) extends Need
+  private case object CountAll extends Need
+  private case class CountCol(column: String) extends Need
+
+  private def serve(a: Aggregate): Option[LogicalPlan] = {
+    if (a.groupingExpressions.nonEmpty) return None
+    if (a.aggregateExpressions.isEmpty) return None
+    val conds = mutable.Buffer.empty[(Expression, Int)]
+    val windows = mutable.Buffer.empty[Window]
+    val renames = mutable.Map.empty[ExprId, Expression]
+    val rels = mutable.Buffer.empty[LogicalRelation]
+    val pairs = mutable.Buffer.empty[(Attribute, Attribute)]
+    if (!MvPlanShape.strip(a.child, conds, windows, renames, rels, pairs))
+      return None
+    if (conds.nonEmpty || windows.nonEmpty || pairs.nonEmpty ||
+      rels.length != 1) return None
+    val lr = rels.head
+    val fsRel = lr.relation match {
+      case h: HadoopFsRelation => h
+      case _ => return None
+    }
+    val root = fsRel.location.rootPaths match {
+      case Seq(one) => one.toString
+      case _ => return None
+    }
+    val spec = Option(KeyedTable.specRegistry.get(root)).getOrElse(return None)
+    if (spec.retainHistory) return None
+    val subst = MvPlanShape.substFn(renames)
+    val relIds = lr.output.map(_.exprId).toSet
+
+    def relAttrOf(e: Expression): Option[Attribute] = subst(e) match {
+      case at: Attribute if relIds.contains(at.exprId) &&
+        !at.name.startsWith("_graft_") => Some(at)
+      case _ => None
+    }
+
+    val needs: Seq[Need] = a.aggregateExpressions.map {
+      case Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Min(e) =>
+            relAttrOf(e).filter(at => integral(at.dataType))
+              .map(at => MinOf(at.name, at.dataType)).getOrElse(return None)
+          case Max(e) =>
+            relAttrOf(e).filter(at => integral(at.dataType))
+              .map(at => MaxOf(at.name, at.dataType)).getOrElse(return None)
+          case Count(Seq(Literal(v, _))) if v != null => CountAll
+          case Count(Seq(e)) =>
+            relAttrOf(e).map(at => CountCol(at.name)).getOrElse(return None)
+          case _ => return None
+        }
+      case _ => return None
+    }
+
+    val table = KeyedTable(spec)
+    table.colStatsFrame(spark).flatMap { st =>
+      // Sidecar columns are named with the column string passed to
+      // recordColumnStats; resolve case-insensitively like the analyzer.
+      def statCol(prefix: String, c: String): Option[String] =
+        st.columns.find(_.equalsIgnoreCase(s"${prefix}_$c"))
+      val folds: Seq[Option[org.apache.spark.sql.Column]] = needs.map {
+        case MinOf(c, _)  => statCol("min", c).map(s => min(col(s)))
+        case MaxOf(c, _)  => statCol("max", c).map(s => max(col(s)))
+        case CountAll     =>
+          if (st.columns.contains("cnt")) Some(sum(col("cnt"))) else None
+        case CountCol(c)  => statCol("nn", c).map(s => sum(col(s)))
+      }
+      if (folds.exists(_.isEmpty)) None // an uncovered column: full scan
+      else {
+        val exprs = folds.flatten.zipWithIndex.map { case (c, i) => c.as(s"v$i") }
+        val row = st.agg(exprs.head, exprs.tail: _*).collect()(0)
+        val values: Seq[Any] = needs.zipWithIndex.map { case (n, i) =>
+          val v = if (row.isNullAt(i)) null else row.getLong(i)
+          n match {
+            case MinOf(_, t) => castBack(v, t)
+            case MaxOf(_, t) => castBack(v, t)
+            // count over zero files is 0, never null
+            case CountAll | CountCol(_) => if (v == null) 0L else v
+          }
+        }
+        logInfo(s"stats-aggregate rewrite: $root answered from the " +
+          s"column-stats sidecar (${needs.length} aggregates, no scan)")
+        Some(LocalRelation(a.output, Seq(InternalRow.fromSeq(values)), false))
+      }
+    }
+  }
+
+  /** Stats store longs; hand back the column's own integral type. */
+  private def castBack(v: Any, t: DataType): Any = v match {
+    case null => null
+    case l: Long => t match {
+      case ByteType    => l.toByte
+      case ShortType   => l.toShort
+      case IntegerType => l.toInt
+      case LongType    => l
+      case _           => l
+    }
+  }
+}

@@ -1221,25 +1221,75 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   }
 
   /** Build/refresh the file-skipping index for integral `cols`: per data
-    * file, min–max of each column, computed in ONE scan (groupBy on
-    * `input_file_name`) and stored as a parquet sidecar whose row count is
-    * the file count — metadata-sized, never row-sized. Pairs with
-    * [[cluster]]: after a sort-order rewrite the per-file ranges are tight
-    * and disjoint, so a range predicate selects few files; without
-    * clustering the index still answers, it just prunes less.
+    * file, min–max of each column PLUS the file's row count (`cnt`) and
+    * each column's non-null count (`nn_<col>`), computed in ONE scan
+    * (groupBy on `input_file_name`) and stored as a parquet sidecar whose
+    * row count is the file count — metadata-sized, never row-sized. The
+    * min–max pairs serve range pruning ([[readPruned]] and the
+    * declarative [[graft.plans.RangePruneRewrite]]); the counts let
+    * whole-table `min/max/count` aggregates be answered from the sidecar
+    * alone ([[graft.plans.StatsAggregateRewrite]]) — on a 100 TB table
+    * that is the difference between a metadata read and a full scan.
+    * Pairs with [[cluster]]: after a sort-order rewrite the per-file
+    * ranges are tight and disjoint, so a range predicate selects few
+    * files; without clustering the index still answers, it just prunes
+    * less.
     */
   def recordColumnStats(spark: SparkSession, cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "column stats need at least one column")
     if (!exists(spark)) return
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).cast("long").as(s"min_$c"),
-      max(col(c)).cast("long").as(s"max_$c")))
+      max(col(c)).cast("long").as(s"max_$c"),
+      count(col(c)).as(s"nn_$c"))) :+ count(lit(1)).as("cnt")
     readRaw(spark)
       .withColumn("file", input_file_name())
       .groupBy(col("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(colStatsDir)
+  }
+
+  /** The column-stats sidecar frame, or `None` when absent/unreadable —
+    * the planner rules' entry point. Existence is the freshness proof:
+    * every data write deletes the sidecar BEFORE the write lands (see
+    * [[recordColumnStats]]/`writeOut`), so a present sidecar covers
+    * every data file (exists ⇒ current, the same invariant the bloom
+    * sidecar keeps).
+    */
+  private[graft] def colStatsFrame(spark: SparkSession): Option[DataFrame] = {
+    if (!fs(spark).exists(new Path(colStatsDir))) return None
+    try Some(spark.read.parquet(colStatsDir))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The stats index's candidate files for a conjunction of ranges, as
+    * absolute [[Path]]s plus the total indexed file count, or `None`
+    * when the sidecar is absent or doesn't cover every range column —
+    * the serving half of the declarative range prune
+    * ([[graft.plans.RangePruneRewrite]]). Sound on non-resolving tables
+    * only (same argument as [[readPruned]]): dropped files hold no row
+    * inside EVERY range (stats admit false positives, never false
+    * negatives), and on a copy-on-write table rows are independent, so
+    * removing them cannot change any other row's visibility.
+    */
+  private[graft] def rangeCandidateFiles(
+      spark: SparkSession,
+      ranges: Seq[(String, Long, Long)]): Option[(Seq[Path], Int)] = {
+    require(!spec.retainHistory,
+      "range candidates require a copy-on-write table (see readPruned)")
+    colStatsFrame(spark).flatMap { st =>
+      val cols = st.columns.toSet
+      // Selecting on the COVERED subset of the conjunction stays sound
+      // (dropped files satisfy no covered range, hence not the whole
+      // conjunction); uncovered columns just don't contribute skipping.
+      val covered = ranges.filter { case (c, _, _) => cols.contains(s"min_$c") }
+      if (covered.isEmpty) None
+      else try {
+        val (sel, total) = statsSelectedFiles(spark, covered)
+        Some((sel.map(abs => new Path(new java.net.URI(abs))), total))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
   }
 
   /** The index's file selection for `column ∈ [lo, hi]`: (selected files,
@@ -1862,6 +1912,51 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * extension). Requires `retainHistory` (the before state needs
     * superseded versions).
     */
+  /** LIVE change feed — the table as a Structured-Streaming SOURCE
+    * (Hudi's incremental streaming read / Delta's `readStream` on a
+    * table): a stream of the table's version rows, each tagged with its
+    * `commit_time`, delivered as writes land. On a `retainHistory`
+    * table every write APPENDS version files — new files ⇔ new
+    * versions — so Spark's file-stream source over the data directory
+    * IS the feed: exactly-once per file under a checkpoint, restart
+    * resumes from the last seen file, and a tailer started later
+    * replays history then follows. Consumers compose the usual
+    * machinery downstream (watermarks, `foreachBatch` upserts into a
+    * replica, stream-maintained MVs).
+    *
+    * Contracts and bounds:
+    *   - `retainHistory` only: on a COW table the upsert REWRITES
+    *     partitions, so the file source would re-deliver every
+    *     untouched row of a rewritten partition — a version feed needs
+    *     appends. [[readChangeFeed]] is the batch twin (and carries the
+    *     insert/update op classification, which needs a full-history
+    *     window the stream deliberately doesn't pay for).
+    *   - Layout services (`cluster`/`compact`/`fold`) rewrite files and
+    *     would re-deliver their rows with ORIGINAL commit times; run
+    *     them under a paused tailer, or dedupe downstream on
+    *     (key, commit_time, precombine) — re-delivered versions are
+    *     bit-identical by the rewrite contract, so the dedupe is exact.
+    *   - The file source lists the directory per trigger — O(files),
+    *     Spark's own file-stream bound; at production file counts set
+    *     `maxFileAge`/`cleanSource` or tail fewer partitions. Deletes
+    *     are physical erasure and absent, as in every version feed here.
+    */
+  def streamFeed(spark: SparkSession): DataFrame = {
+    require(
+      spec.retainHistory,
+      "the streaming feed requires retainHistory=true: version appends " +
+        "are what make new files ⇔ new versions; COW rewrites re-deliver")
+    notEvolvedGuard(spark, "the streaming feed")
+    val schema = sidecarSchema(spark).getOrElse(throw new IllegalStateException(
+      "streamFeed needs the recorded schema sidecar — commit once first"))
+    val raw = spark.readStream
+      .schema(schema)
+      .option("basePath", spec.path)
+      .parquet(spec.path)
+    SchemaEvolution.dropSystemColumns(
+      raw.withColumn("commit_time", col(KeyedTable.CommitTimeCol)))
+  }
+
   def readStateDelta(
       spark: SparkSession,
       sinceCommit: String,

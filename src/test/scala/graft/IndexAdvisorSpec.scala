@@ -60,15 +60,42 @@ class IndexAdvisorSpec extends SparkTestBase {
     assert(IndexAdvisor.analyze(spark, workload).recommendations.isEmpty)
   }
 
-  test("covered tables and non-point workloads recommend nothing") {
+  test("covered tables and non-range aggregates recommend nothing") {
     val t = mkTable()
     t.recordKeyIndex(spark)
     val qKey = t.read(spark).filter(col("event_id") === 3L)
     val agg = t.read(spark).groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val range = t.read(spark).filter(col("event_id") > 100L)
-    val advice = IndexAdvisor.analyze(spark, Seq(qKey, agg, range))
+    val advice = IndexAdvisor.analyze(spark, Seq(qKey, agg))
     assert(advice.recommendations.isEmpty,
       s"nothing to build: ${advice.recommendations}")
+  }
+
+  test("a range workload recommends column stats; building them serves it") {
+    val t = mkTable()
+    // Tight per-file ranges so the served scan genuinely prunes.
+    t.cluster(spark, Seq("event_id"), targetFileBytes = 8L << 10)
+    def qRange = t.read(spark)
+      .filter(col("event_id").between(100L, 299L))
+    val expected = qRange.collect().toSet
+    val advice = IndexAdvisor.analyze(spark, Seq(qRange))
+    assert(advice.recommendations.map(r => (r.kind, r.column)) ==
+      Seq(("column_stats", "event_id")),
+      s"expected the one stats build, got ${advice.recommendations}")
+    val built = IndexAdvisor.createRecommended(spark, advice)
+    assert(built.length == 1, s"the stats build must run: $built")
+    assert(scannedDataFiles(qRange).isDefined, "range must now prune")
+    assert(qRange.collect().toSet == expected)
+    // Served workload: re-analysis recommends nothing (the swapped scan
+    // no longer roots at the registered path), and a second range
+    // column UNIONS into the sidecar instead of replacing it.
+    assert(IndexAdvisor.analyze(spark, Seq(qRange)).recommendations.isEmpty)
+    def qUid = t.read(spark).filter(col("user_id") >= 3L)
+    val advice2 = IndexAdvisor.analyze(spark, Seq(qUid))
+    assert(advice2.recommendations.map(r => (r.kind, r.column)) ==
+      Seq(("column_stats", "user_id")))
+    IndexAdvisor.createRecommended(spark, advice2)
+    assert(scannedDataFiles(qRange).isDefined,
+      "the first column's stats must survive the second build")
   }
 }

@@ -1,0 +1,192 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.table.{KeyedTable, KeyedTableSpec}
+
+/** [[graft.plans.RangePruneRewrite]] / [[graft.plans.StatsAggregateRewrite]]:
+  * a literal range filter over a clustered copy-on-write table's
+  * declarative read must scan only the column-stats candidate files;
+  * whole-table min/max/count must be answered from the sidecar with NO
+  * file scan; both must decline on MoR tables, absent/stale stats, and
+  * uncovered columns — and stay exact on every path.
+  */
+class RangeStatsRewriteSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def eventsUs =
+    Tables.events(spark, sf0001).withColumn("ts_us", expr("ts div 1000"))
+
+  private def cowSpec(path: String) = KeyedTableSpec(
+    path = path, keyCols = Seq("event_id"), precombineCol = "ts_us",
+    partitionCols = Seq("event_type"))
+
+  private def outputSet(df: DataFrame): Set[(Long, String, Long, Long, Double)] =
+    df.select("user_id", "event_type", "ts_us", "event_id", "value")
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+
+  private def dataFileCount(path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(fs.makeQualified(p), true)
+    var n = 0
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = s.getPath.toUri.getPath
+      if (s.getPath.getName.endsWith(".parquet") &&
+        !rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+        n += 1
+    }
+    n
+  }
+
+  /** The rewrite fired iff every scanned root is a data FILE. */
+  private def scannedDataFiles(df: DataFrame): Option[Seq[String]] = {
+    val paths = graft.plans.PlanWalk.scannedFiles(df)
+    if (paths.nonEmpty && paths.forall(_.endsWith(".parquet"))) Some(paths)
+    else None
+  }
+
+  private def mkClustered(path: String): KeyedTable = {
+    val t = KeyedTable(cowSpec(path))
+    t.upsert(spark, eventsUs, commitTime = "c0")
+    t.cluster(spark, Seq("event_id"), targetFileBytes = 4L << 10)
+    t
+  }
+
+  test("range filter over a clustered COW read scans only stats candidates, exact") {
+    val path = Files.createTempDirectory("graft_rng_cow_").toString + "/t"
+    val table = mkClustered(path)
+    def q = table.read(spark).filter(col("event_id").between(100L, 299L))
+    val expected = outputSet(q) // no stats yet: the rule declines
+    assert(scannedDataFiles(q).isEmpty, "absent stats must not rewrite")
+    table.recordColumnStats(spark, Seq("event_id"))
+    val files = scannedDataFiles(q)
+    assert(files.isDefined, "the range must be served from candidate files")
+    assert(files.get.length < dataFileCount(path),
+      s"candidates must prune: ${files.get.length} of ${dataFileCount(path)}")
+    assert(outputSet(q) == expected)
+    // Strict/open bounds and a residual non-range conjunct ride along.
+    def q2 = table.read(spark)
+      .filter(col("event_id") >= 100L && col("event_id") < 300L &&
+        col("value") > 0.0)
+    assert(scannedDataFiles(q2).isDefined)
+    assert(outputSet(q2) == expected.filter(_._5 > 0.0))
+    // An equality probe on a stats column serves as a degenerate range
+    // (no record-level index anywhere on this table).
+    def q3 = table.read(spark).filter(col("event_id") === 177L)
+    assert(scannedDataFiles(q3).isDefined)
+    assert(outputSet(q3) == expected.filter(_._4 == 177L))
+  }
+
+  test("a write retires the stats; the range read falls back and stays exact") {
+    val path = Files.createTempDirectory("graft_rng_stale_").toString + "/t"
+    val table = mkClustered(path)
+    def q = table.read(spark).filter(col("event_id").between(100L, 299L))
+    val expected = outputSet(q)
+    table.recordColumnStats(spark, Seq("event_id"))
+    assert(scannedDataFiles(q).isDefined)
+    // Same-content re-upsert: data unchanged, sidecar must die (exists
+    // ⇒ current) and the read must fall back to the full scan.
+    table.upsert(spark, eventsUs.filter(col("event_id") < 5), commitTime = "c1")
+    assert(scannedDataFiles(q).isEmpty,
+      "a data write must retire the stats sidecar")
+    assert(outputSet(q) == expected)
+  }
+
+  test("z-order 2-D probe prunes conjunctively; MoR and uncovered columns decline") {
+    val path = Files.createTempDirectory("graft_rng_zo_").toString + "/t"
+    val table = KeyedTable(cowSpec(path))
+    table.upsert(spark, eventsUs, commitTime = "c0")
+    // Small target → ~20 Morton slices, so each file is a genuinely
+    // small rectangle in (user_id, event_id) space and both probe
+    // dimensions can skip.
+    table.clusterZOrder(spark, Seq("user_id", "event_id"),
+      targetFileBytes = 2L << 10)
+    def q = table.read(spark)
+      .filter(col("user_id").between(3L, 7L) &&
+        col("event_id").between(100L, 400L))
+    val allRows = outputSet(table.read(spark)) // pre-stats: no rule anywhere
+    val expected = outputSet(q)
+    table.recordColumnStats(spark, Seq("user_id", "event_id"))
+    val both = scannedDataFiles(q)
+    assert(both.isDefined, "2-D probe must serve")
+    assert(both.get.length < dataFileCount(path))
+    assert(outputSet(q) == expected)
+    // One-column probe over the same Morton layout still prunes.
+    def q1 = table.read(spark).filter(col("user_id").between(3L, 7L))
+    assert(scannedDataFiles(q1).isDefined)
+    // A range on a column WITHOUT recorded stats cannot serve alone...
+    def qv = table.read(spark).filter(col("ts_us") >= 0L)
+    assert(scannedDataFiles(qv).isEmpty, "uncovered column must not rewrite")
+    // ...but conjoined with a covered one, the covered subset serves.
+    def qm = table.read(spark)
+      .filter(col("user_id").between(3L, 7L) && col("ts_us") >= 0L)
+    assert(scannedDataFiles(qm).isDefined)
+    assert(outputSet(qm) ==
+      allRows.filter(t => t._1 >= 3L && t._1 <= 7L && t._3 >= 0L))
+
+    // MoR: pruning a resolving table's files is unsound by construction.
+    val mpath = Files.createTempDirectory("graft_rng_mor_").toString + "/t"
+    val mor = KeyedTable(KeyedTableSpec(
+      path = mpath, keyCols = Seq("user_id"), precombineCol = "ts_us",
+      tiebreakCols = Seq("event_id"), partitionCols = Seq("event_type"),
+      retainHistory = true))
+    mor.upsert(spark, eventsUs, commitTime = "c0")
+    mor.recordColumnStats(spark, Seq("event_id"))
+    def mq = mor.read(spark).filter(col("event_id").between(500L, 999L))
+    assert(scannedDataFiles(mq).isEmpty, "MoR must decline the range prune")
+  }
+
+  test("whole-table min/max/count answered from the sidecar with no scan") {
+    val path = Files.createTempDirectory("graft_sagg_").toString + "/t"
+    val table = KeyedTable(cowSpec(path))
+    // A nullable column exercises count(col) vs count(*).
+    val ev = eventsUs.withColumn("maybe",
+      when(col("event_id") % 3 === 0, col("event_id")))
+    table.upsert(spark, ev, commitTime = "c0")
+    def q = table.read(spark).agg(
+      min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+      min(col("user_id")).as("min_uid"), count(lit(1)).as("n_rows"),
+      count(col("maybe")).as("n_maybe"))
+    val expected = q.collect()(0) // no stats yet: computed by scanning
+    assert(graft.plans.PlanWalk.scannedFiles(q).nonEmpty)
+    table.recordColumnStats(spark, Seq("event_id", "user_id", "maybe"))
+    assert(graft.plans.PlanWalk.scannedFiles(q).isEmpty,
+      "served aggregate must scan NO files (LocalRelation plan)")
+    assert(q.collect()(0) == expected)
+    // A filter below the aggregate declines (stats answer the whole
+    // table, not a slice).
+    def qf = table.read(spark).filter(col("value") > 0.0)
+      .agg(min(col("event_id")).as("m"))
+    assert(graft.plans.PlanWalk.scannedFiles(qf).nonEmpty)
+    // An unservable aggregate in the list declines the whole node.
+    def qs = table.read(spark)
+      .agg(min(col("event_id")).as("m"), sum(col("value")).as("s"))
+    assert(graft.plans.PlanWalk.scannedFiles(qs).nonEmpty)
+    // A write retires the sidecar: back to scanning, same answer.
+    table.upsert(spark, ev.filter(col("event_id") < 5), commitTime = "c1")
+    assert(graft.plans.PlanWalk.scannedFiles(q).nonEmpty)
+    assert(q.collect()(0) == expected)
+  }
+
+  test("stats aggregate declines on MoR (file stats over-count versions)") {
+    val path = Files.createTempDirectory("graft_sagg_mor_").toString + "/t"
+    val mor = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("user_id"), precombineCol = "ts_us",
+      tiebreakCols = Seq("event_id"), partitionCols = Seq("event_type"),
+      retainHistory = true))
+    val ev = eventsUs
+    mor.upsert(spark, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    mor.upsert(spark, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    mor.recordColumnStats(spark, Seq("event_id"))
+    def q = mor.read(spark).agg(count(lit(1)).as("n"))
+    assert(graft.plans.PlanWalk.scannedFiles(q).nonEmpty,
+      "MoR must decline the stats aggregate")
+    assert(q.as[Long].collect()(0) == mor.read(spark).count())
+  }
+}
