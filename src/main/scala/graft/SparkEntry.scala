@@ -177,7 +177,8 @@ object SparkEntry {
     "q150_index_advisor" -> (UpsertOps.indexAdvisedLookup(_, _)),
     "q151_range_prune" -> (UpsertOps.rangePrunedQuery(_, _)),
     "q152_stats_agg" -> (UpsertOps.statsAggQuery(_, _)),
-    "q153_stream_table_feed" -> (UpsertOps.streamTableFeed(_, _))
+    "q153_stream_table_feed" -> (UpsertOps.streamTableFeed(_, _)),
+    "q154_stats_group_agg" -> (UpsertOps.statsGroupAggQuery(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -906,6 +907,13 @@ object SparkEntry {
          |       CASE WHEN event_id % 2 = 0 THEN 'c0' ELSE 'c1' END AS commit_time,
          |       COUNT(*) AS n_events, ${dsum("value")} AS sum_value
          |FROM events GROUP BY event_type, commit_time""".stripMargin,
+    // partition-grouped metadata aggregates: the per-partition rollup
+    // folded from the sidecar's per-file partition tuples, zero data
+    // files opened
+    "q154_stats_group_agg" ->
+      """SELECT event_type, min(event_id) AS min_id, max(event_id) AS max_id,
+        |       max(user_id) AS max_uid, count(*) AS n_rows
+        |FROM events GROUP BY event_type""".stripMargin,
     // point-lookup pushdown: the optimizer swaps the scan onto the
     // record-level index's candidate files; the declarative filter is
     // the whole semantics (COW event_id keys — disjoint commits, no

@@ -1213,6 +1213,28 @@ object UpsertOps {
       count(lit(1)).as("n_rows"))
   }
 
+  /** Partition-grouped metadata aggregates (q154;
+    * [[graft.plans.StatsAggregateRewrite]] grouped arm): `GROUP BY` a
+    * partition column with min/max/count measures folds from the
+    * column-stats sidecar's per-file partition tuples — each file lives
+    * in exactly one partition directory, so the sidecar groups
+    * partition the file set and the fold is exact. The BI dashboard's
+    * per-partition rollup answered from metadata: zero data files
+    * opened on a 100 TB table.
+    */
+  def statsGroupAggQuery(s: SparkSession, dir: String): DataFrame = {
+    val path =
+      Files.createTempDirectory("graft_sgagq_").toString + "/events_keyed"
+    val table = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("event_id"), precombineCol = "ts_us",
+      partitionCols = Seq("event_type")))
+    table.upsert(s, eventsUs(s, dir), commitTime = "c0")
+    table.recordColumnStats(s, Seq("event_id", "user_id"))
+    table.read(s).groupBy(col("event_type")).agg(
+      min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+      max(col("user_id")).as("max_uid"), count(lit(1)).as("n_rows"))
+  }
+
   /** The table as a live stream source (q153;
     * [[graft.table.KeyedTable.streamFeed]]): a Structured-Streaming
     * tailer over a history table's version files — Hudi's incremental

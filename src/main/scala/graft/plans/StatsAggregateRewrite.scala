@@ -3,34 +3,40 @@ package graft.plans
 import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, lit, max, min, sum}
+import org.apache.spark.sql.functions.{col, max, min, sum}
 import org.apache.spark.sql.types._
 
 import graft.table.KeyedTable
 
-/** Answers whole-table `min`/`max`/`count` aggregates from the
-  * column-stats sidecar alone — aggregate pushdown to table metadata,
-  * the move Iceberg/Hudi make when `SELECT min(ts), max(ts), count(*)`
-  * lands on a 100 TB table: the answer is a fold over per-file stats
-  * (one metadata-sized read), not a full scan. The matched `Aggregate`
-  * is replaced by a single-row [[LocalRelation]] carrying the
-  * aggregate's own output attributes, so nothing above changes.
+/** Answers `min`/`max`/`count` aggregates from the column-stats sidecar
+  * alone — aggregate pushdown to table metadata, the move Iceberg/Hudi
+  * make when `SELECT min(ts), max(ts), count(*)` lands on a 100 TB
+  * table: the answer is a fold over per-file stats (one metadata-sized
+  * read), not a full scan. The matched `Aggregate` is replaced by a
+  * [[LocalRelation]] carrying the aggregate's own output attributes, so
+  * nothing above changes. Grouping is admitted when every grouping
+  * expression is a PARTITION column: each data file lives in exactly
+  * one partition directory, so the sidecar's recorded per-file
+  * partition tuple (`p_<col>`) folds per group exactly — the BI
+  * dashboard's per-partition rollup served from metadata.
   *
-  * Matches a global (no grouping) `Aggregate` whose stripped child is a
-  * bare single parquet relation rooted at a REGISTERED keyed-table path
+  * Matches an `Aggregate` whose stripped child is a bare single parquet
+  * relation rooted at a REGISTERED keyed-table path
   * ([[KeyedTable.specRegistry]]) — no filters, windows, or joins — and
   * whose every aggregate is one of `min(col)` / `max(col)` (integral
   * columns, matching what [[KeyedTable.recordColumnStats]] records),
-  * `count(*)`/`count(1)` (served from the sidecar's per-file `cnt`), or
-  * `count(col)` (served from `nn_<col>`); no DISTINCT, no FILTER
-  * clauses. Any other aggregate declines the whole node — partial
-  * serving would still scan.
+  * `count(*)`/`count(1)` (served from per-file `cnt`), or `count(col)`
+  * (served from `nn_<col>`); no DISTINCT, no FILTER clauses. Any other
+  * aggregate declines the whole node — partial serving would still
+  * scan. Group counts beyond [[StatsAggregateRewrite.MaxGroups]]
+  * decline (a LocalRelation is driver-resident; a group explosion
+  * belongs in a real scan).
   *
   * Soundness: non-resolving (plain copy-on-write) tables only — on a
   * `retainHistory` table stored rows are versions, so file stats
@@ -40,15 +46,16 @@ import graft.table.KeyedTable
   * per-file fold is exact, not approximate — `min` over file minima
   * equals `min` over rows (`min`/`max` ignore nulls on both levels, an
   * all-null file contributes a null minimum which the fold ignores),
-  * and counts add. Stats store minima/maxima cast to long, lossless for
-  * the integral columns admitted here; values are cast back to the
-  * column's own type on serve.
+  * counts add, and partition-grouped folds partition the file set. The
+  * long-cast storage is lossless for the integral columns admitted
+  * here; values are cast back to the column's own type on serve.
   *
   * Plan-time cost is one metadata-sized sidecar read, gated behind the
   * registry hit and the all-servable aggregate list; idempotent because
   * the produced LocalRelation contains no relation to re-match.
   */
 class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+  import StatsAggregateRewrite.MaxGroups
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (KeyedTable.specRegistry.isEmpty) return plan
@@ -64,15 +71,17 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** What one output aggregate needs from the sidecar. */
+  private def lower(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+
+  /** What one output expression needs from the sidecar fold. */
   private sealed trait Need
+  private case class GroupOf(column: String, t: DataType, gi: Int) extends Need
   private case class MinOf(column: String, t: DataType) extends Need
   private case class MaxOf(column: String, t: DataType) extends Need
   private case object CountAll extends Need
   private case class CountCol(column: String) extends Need
 
   private def serve(a: Aggregate): Option[LogicalPlan] = {
-    if (a.groupingExpressions.nonEmpty) return None
     if (a.aggregateExpressions.isEmpty) return None
     val conds = mutable.Buffer.empty[(Expression, Int)]
     val windows = mutable.Buffer.empty[Window]
@@ -103,7 +112,22 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+    // Grouping: every expression must be a partition-column attribute.
+    val partCols = spec.partitionCols.map(lower).toSet
+    val groupAttrs: Seq[Attribute] = a.groupingExpressions.map { e =>
+      relAttrOf(e).filter(at => partCols.contains(lower(at.name)))
+        .getOrElse(return None)
+    }
+    val groupIdx: Map[ExprId, Int] =
+      groupAttrs.zipWithIndex.map { case (at, i) => at.exprId -> i }.toMap
+
+    def groupNeedOf(e: Expression): Option[GroupOf] = subst(e) match {
+      case at: Attribute => groupIdx.get(at.exprId)
+        .map(i => GroupOf(at.name, at.dataType, i))
+      case _ => None
+    }
     val needs: Seq[Need] = a.aggregateExpressions.map {
+      case at: Attribute => groupNeedOf(at).getOrElse(return None)
       case Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
@@ -118,38 +142,65 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             relAttrOf(e).map(at => CountCol(at.name)).getOrElse(return None)
           case _ => return None
         }
+      case Alias(e, _) => groupNeedOf(e).getOrElse(return None)
       case _ => return None
     }
 
     val table = KeyedTable(spec)
     table.colStatsFrame(spark).flatMap { st =>
       // Sidecar columns are named with the column string passed to
-      // recordColumnStats; resolve case-insensitively like the analyzer.
+      // recordColumnStats / the spec's partition cols; resolve
+      // case-insensitively like the analyzer.
       def statCol(prefix: String, c: String): Option[String] =
         st.columns.find(_.equalsIgnoreCase(s"${prefix}_$c"))
-      val folds: Seq[Option[org.apache.spark.sql.Column]] = needs.map {
-        case MinOf(c, _)  => statCol("min", c).map(s => min(col(s)))
-        case MaxOf(c, _)  => statCol("max", c).map(s => max(col(s)))
-        case CountAll     =>
+      val groupStatCols = groupAttrs.map(at => statCol("p", at.name))
+      val folds: Seq[Option[org.apache.spark.sql.Column]] = needs.collect {
+        case MinOf(c, _) => statCol("min", c).map(s => min(col(s)))
+        case MaxOf(c, _) => statCol("max", c).map(s => max(col(s)))
+        case CountAll =>
           if (st.columns.contains("cnt")) Some(sum(col("cnt"))) else None
-        case CountCol(c)  => statCol("nn", c).map(s => sum(col(s)))
+        case CountCol(c) => statCol("nn", c).map(s => sum(col(s)))
       }
-      if (folds.exists(_.isEmpty)) None // an uncovered column: full scan
+      if (folds.exists(_.isEmpty) || groupStatCols.exists(_.isEmpty)) None
       else {
         val exprs = folds.flatten.zipWithIndex.map { case (c, i) => c.as(s"v$i") }
-        val row = st.agg(exprs.head, exprs.tail: _*).collect()(0)
-        val values: Seq[Any] = needs.zipWithIndex.map { case (n, i) =>
-          val v = if (row.isNullAt(i)) null else row.getLong(i)
-          n match {
-            case MinOf(_, t) => castBack(v, t)
-            case MaxOf(_, t) => castBack(v, t)
-            // count over zero files is 0, never null
-            case CountAll | CountCol(_) => if (v == null) 0L else v
+        val folded =
+          if (groupStatCols.isEmpty) st.agg(exprs.head, exprs.tail: _*)
+          else st.groupBy(groupStatCols.flatten.map(col): _*)
+            .agg(exprs.head, exprs.tail: _*)
+        val rows = folded.limit(MaxGroups + 1).collect()
+        if (rows.length > MaxGroups) return None
+        val nGroups = groupStatCols.length
+        val toCatalyst = groupAttrs.map(at =>
+          CatalystTypeConverters.createToCatalystConverter(at.dataType))
+        // Agg needs read the fold row at nGroups + their own position
+        // among agg needs (needs order = output order; group needs read
+        // their grouping slot).
+        val aggPos: Map[Int, Int] = {
+          var j = 0
+          needs.zipWithIndex.flatMap {
+            case (_: GroupOf, _) => None
+            case (_, i) => val p = j; j += 1; Some(i -> p)
+          }.toMap
+        }
+        val data = rows.toIndexedSeq.map { row =>
+          val values: Seq[Any] = needs.zipWithIndex.map {
+            case (GroupOf(_, _, gi), _) => toCatalyst(gi)(row.get(gi))
+            case (n, i) =>
+              val at = nGroups + aggPos(i)
+              val v: Any = if (row.isNullAt(at)) null else row.getLong(at)
+              n match {
+                case MinOf(_, t) => castBack(v, t)
+                case MaxOf(_, t) => castBack(v, t)
+                // count over zero files is 0, never null
+                case _ => if (v == null) 0L else v
+              }
           }
+          InternalRow.fromSeq(values)
         }
         logInfo(s"stats-aggregate rewrite: $root answered from the " +
-          s"column-stats sidecar (${needs.length} aggregates, no scan)")
-        Some(LocalRelation(a.output, Seq(InternalRow.fromSeq(values)), false))
+          s"column-stats sidecar (${rows.length} group rows, no scan)")
+        Some(LocalRelation(a.output, data, false))
       }
     }
   }
@@ -165,4 +216,11 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _           => l
     }
   }
+}
+
+object StatsAggregateRewrite {
+  /** Grouped serves are driver-resident LocalRelations — beyond this
+    * many groups the answer belongs in a real scan, not the plan.
+    */
+  val MaxGroups = 4096
 }

@@ -1238,11 +1238,18 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   def recordColumnStats(spark: SparkSession, cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "column stats need at least one column")
     if (!exists(spark)) return
+    val raw = readRaw(spark)
+    // Each data file lives in exactly one partition directory, so its
+    // partition tuple is a per-file CONSTANT — recorded as `p_<col>`,
+    // it lets grouped aggregates over partition columns fold from the
+    // sidecar too (each sidecar group is a whole set of files).
+    val partAggs = spec.partitionCols.filter(raw.columns.contains)
+      .map(pc => first(col(pc)).as(s"p_$pc"))
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).cast("long").as(s"min_$c"),
       max(col(c)).cast("long").as(s"max_$c"),
-      count(col(c)).as(s"nn_$c"))) :+ count(lit(1)).as("cnt")
-    readRaw(spark)
+      count(col(c)).as(s"nn_$c"))) ++ partAggs :+ count(lit(1)).as("cnt")
+    raw
       .withColumn("file", input_file_name())
       .groupBy(col("file"))
       .agg(aggs.head, aggs.tail: _*)

@@ -174,6 +174,36 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     assert(q.collect()(0) == expected)
   }
 
+  test("partition-grouped min/max/count served from the sidecar, no scan") {
+    val path = Files.createTempDirectory("graft_sagg_grp_").toString + "/t"
+    val table = KeyedTable(cowSpec(path))
+    val ev = eventsUs.withColumn("maybe",
+      when(col("event_id") % 3 === 0, col("event_id")))
+    table.upsert(spark, ev, commitTime = "c0")
+    def q = table.read(spark).groupBy(col("event_type")).agg(
+      min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+      count(lit(1)).as("n_rows"), count(col("maybe")).as("n_maybe"))
+    val expected = q.collect().toSet // no stats yet: computed by scanning
+    assert(graft.plans.PlanWalk.scannedFiles(q).nonEmpty)
+    table.recordColumnStats(spark, Seq("event_id", "maybe"))
+    assert(graft.plans.PlanWalk.scannedFiles(q).isEmpty,
+      "grouped serve must scan NO files (LocalRelation plan)")
+    assert(q.collect().toSet == expected)
+    // A rename below the aggregate resolves back to the partition col.
+    def qa = table.read(spark)
+      .select(col("event_type").as("et"), col("event_id"))
+      .groupBy(col("et")).agg(max(col("event_id")).as("mx"))
+    assert(graft.plans.PlanWalk.scannedFiles(qa).isEmpty)
+    assert(qa.collect().toSet ==
+      expected.map(r => org.apache.spark.sql.Row(r.getString(0), r.getLong(2))))
+    // Grouping by a NON-partition column declines (files straddle it).
+    def qu = table.read(spark).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    assert(graft.plans.PlanWalk.scannedFiles(qu).nonEmpty)
+    assert(qu.collect().toSet ==
+      ev.groupBy(col("user_id")).agg(count(lit(1)).as("n")).collect().toSet)
+  }
+
   test("stats aggregate declines on MoR (file stats over-count versions)") {
     val path = Files.createTempDirectory("graft_sagg_mor_").toString + "/t"
     val mor = KeyedTable(KeyedTableSpec(
