@@ -178,7 +178,8 @@ object SparkEntry {
     "q151_range_prune" -> (UpsertOps.rangePrunedQuery(_, _)),
     "q152_stats_agg" -> (UpsertOps.statsAggQuery(_, _)),
     "q153_stream_table_feed" -> (UpsertOps.streamTableFeed(_, _)),
-    "q154_stats_group_agg" -> (UpsertOps.statsGroupAggQuery(_, _))
+    "q154_stats_group_agg" -> (UpsertOps.statsGroupAggQuery(_, _)),
+    "q155_indexed_delete" -> (UpsertOps.indexedDelete(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -914,6 +915,12 @@ object SparkEntry {
       """SELECT event_type, min(event_id) AS min_id, max(event_id) AS max_id,
         |       max(user_id) AS max_uid, count(*) AS n_rows
         |FROM events GROUP BY event_type""".stripMargin,
+    // file-granular indexed delete: the doomed keys' candidate files are
+    // rewritten, everything else is untouched — the result is the plain
+    // anti-join
+    "q155_indexed_delete" ->
+      """SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
+        |FROM events WHERE event_id % 37 <> 0""".stripMargin,
     // point-lookup pushdown: the optimizer swaps the scan onto the
     // record-level index's candidate files; the declarative filter is
     // the whole semantics (COW event_id keys — disjoint commits, no

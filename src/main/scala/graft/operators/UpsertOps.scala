@@ -1213,6 +1213,29 @@ object UpsertOps {
       count(lit(1)).as("n_rows"))
   }
 
+  /** File-granular indexed delete (q155;
+    * [[graft.table.KeyedTable.deleteIndexed]]): a point delete routed
+    * through the record-level index rewrites ONLY the files holding a
+    * doomed key — the GDPR-erasure shape where deleting k users from a
+    * 100 TB table touches O(k) files instead of every partition holding
+    * one. ≡ the plain anti-join — the oracle; the index only changes
+    * which files are rewritten.
+    */
+  def indexedDelete(s: SparkSession, dir: String): DataFrame = {
+    val path =
+      Files.createTempDirectory("graft_idelq_").toString + "/events_keyed"
+    val table = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("event_id"), precombineCol = "ts_us",
+      partitionCols = Seq("event_type")))
+    val ev = eventsUs(s, dir)
+    table.upsert(s, ev, commitTime = "c0")
+    table.recordKeyIndex(s)
+    table.deleteIndexed(
+      s, ev.filter(col("event_id") % 37 === 0).select("event_id"),
+      commitTime = "c1")
+    outputCols(table.read(s))
+  }
+
   /** Partition-grouped metadata aggregates (q154;
     * [[graft.plans.StatsAggregateRewrite]] grouped arm): `GROUP BY` a
     * partition column with min/max/count measures folds from the

@@ -2500,6 +2500,68 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     }
   }
 
+  /** File-granular DELETE through the index family: rewrite ONLY the
+    * files that can hold a doomed key — `lookupCandidateFiles` on the
+    * key set, anti-join the candidates' rows, append the survivors,
+    * drop the originals. At 100 TB a k-key delete touches O(k)
+    * candidate files instead of every partition holding a doomed key
+    * (the [[delete]] path's granularity); rows keep their original
+    * commit times — a delete erases, it doesn't re-version.
+    *
+    * Candidate soundness: the candidate set must hold EVERY stored row
+    * of a doomed key, or surviving versions would leak. On a plain COW
+    * table both the record-level index (one row per stored version) and
+    * the bloom sidecar (all-version may-contain) qualify; on a
+    * `retainHistory` table the RLI holds only winner versions, so ONLY
+    * the bloom qualifies. No qualifying index → falls back to
+    * [[delete]], same result at partition granularity. Commit record is
+    * (appended, replaced) straight from the writer — no table listing —
+    * and the crash window between the survivor append and the original
+    * drop has the same single-writer contract as the file-granular
+    * bloom upsert it mirrors.
+    */
+  def deleteIndexed(
+      spark: SparkSession, keys: DataFrame,
+      commitTime: String = defaultCommitTime()): Unit = {
+    notEvolvedGuard(spark, "indexed delete") // candidates are root-layout
+    if (!exists(spark)) return
+    requireFreshCommitId(spark, commitTime)
+    val provided = SchemaEvolution.dropSystemColumns(keys)
+    require(
+      spec.keyCols.forall(provided.columns.contains),
+      s"delete keys frame must carry the key columns ${spec.keyCols.mkString(", ")}")
+    val delKeys = provided.select(spec.keyCols.map(col): _*).distinct()
+    val candsOpt =
+      if (spec.retainHistory) bloomRelCandidateFiles(spark, delKeys)
+      else lookupCandidateFiles(spark, delKeys)
+    candsOpt match {
+      case None => delete(spark, keys) // no qualifying index
+      case Some(rel) if rel.isEmpty => () // no file holds a doomed key
+      case Some(rel) =>
+        val f = fs(spark)
+        val survivors = readFilesRaw(spark, rel)
+          .join(broadcast(delKeys), spec.keyCols, "left_anti")
+        // File set changes: the value-stats and bloom sidecars go
+        // stale-absent (see writeOut); the RLI tolerates this commit's
+        // record through the commit→files delta.
+        f.delete(new Path(colStatsDir), true)
+        f.delete(new Path(bloomDir), true)
+        val candDirs = rel.map { r =>
+          val i = r.lastIndexOf('/'); if (i < 0) "" else r.substring(0, i)
+        }.toSet
+        val before = relDataFilesUnder(spark, candDirs)
+        val order = (spec.partitionCols :+ RecordKeyCol).map(col)
+        val w = survivors
+          .repartitionByRange(math.max(1, rel.size), order: _*)
+          .write.mode(SaveMode.Append)
+        (if (spec.partitionCols.nonEmpty) w.partitionBy(spec.partitionCols: _*)
+         else w).parquet(spec.path)
+        rel.foreach(r => f.delete(new Path(s"${spec.path}/$r"), false))
+        val newFiles = (relDataFilesUnder(spark, candDirs) -- before).toSeq
+        recordCommitRecord(spark, commitTime, "delete", newFiles, rel)
+    }
+  }
+
   /** Upsert `batch` (MERGE semantics): per record key, present → merge
     * (the row with the greater precombine value wins — existing or
     * incoming — matching Hudi's precombine-aware merge payload; on an
