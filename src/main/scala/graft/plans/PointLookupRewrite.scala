@@ -75,12 +75,16 @@ class PointLookupRewrite(spark: SparkSession)
   /** The shape half of the match, index-IO-free — shared with
     * [[IndexAdvisor]], so the advisor recommends exactly the probes this
     * rule can later serve (one matcher, like MvPlanShape for the MV
-    * pair).
+    * pair). `probes` holds one (attribute, values) per KEY column in
+    * spec order for a key probe (composite keys probe as the cartesian
+    * tuple set); a single entry for a secondary-column probe.
     */
   private[plans] final case class ProbeMatch(
       f: Filter, lr: LogicalRelation, fsRel: HadoopFsRelation, root: String,
-      spec: graft.table.KeyedTableSpec, probeAttr: Attribute,
-      values: Seq[Any], viaKey: Boolean)
+      spec: graft.table.KeyedTableSpec,
+      probes: Seq[(Attribute, Seq[Any])], viaKey: Boolean) {
+    def probeAttr: Attribute = probes.head._1
+  }
 
   /** Every point-probe shape in `plan` this rule would serve if the
     * needed indexes existed (no index IO, no filesystem work beyond the
@@ -114,15 +118,12 @@ class PointLookupRewrite(spark: SparkSession)
       case _ => return None
     }
     val spec = Option(KeyedTable.specRegistry.get(root)).getOrElse(return None)
-    val keyCol = spec.keyCols match {
-      case Seq(one) => one.toLowerCase(java.util.Locale.ROOT)
-      case _ => return None // composite keys need per-tuple conjunctions
-    }
+    val keyColsL = spec.keyCols.map(_.toLowerCase(java.util.Locale.ROOT))
     val subst = MvPlanShape.substFn(renames)
     val relIds = lr.output.map(_.exprId).toSet
 
     // Split every filter into conjuncts, keeping its window depth, and
-    // classify: the key probe (literal =/IN/InSet on the key column of
+    // classify: the key probe (literal =/IN/InSet on the key columns of
     // THIS relation), the resolve's rn = 1, everything else.
     val split = conds.toSeq.flatMap { case (c, d) =>
       MvPlanShape.splitConjunction(c).map((_, d))
@@ -148,8 +149,7 @@ class PointLookupRewrite(spark: SparkSession)
         relAttrOf(a).map((_, hset.toSeq))
       case _ => None
     }
-    def isKeyProbe(p: ((Attribute, Seq[Any]), Int)): Boolean =
-      p._1._1.name.toLowerCase(java.util.Locale.ROOT) == keyCol
+    def nameOf(a: Attribute) = a.name.toLowerCase(java.util.Locale.ROOT)
 
     val probes = split.flatMap { case (c, d) => probeOf(c).map((_, d)) }
       .filter { case ((a, vs), _) =>
@@ -157,14 +157,41 @@ class PointLookupRewrite(spark: SparkSession)
           !a.name.startsWith("_graft_")
       }
     if (probes.isEmpty) return None
-    // A key probe wins (no secondary hop); otherwise the first non-key
-    // probe tries the secondary index.
-    val chosen = probes.find(isKeyProbe).getOrElse(probes.head)
-    val ((probeAttr, values), probeDepth) = chosen
-    val viaKey = isKeyProbe(chosen)
 
-    // Shape admissibility (soundness argument in the class doc).
-    val nonProbe = split.filterNot { case (c, _) => probeOf(c).isDefined }
+    // Key probe: EVERY key column carries a literal point conjunct — a
+    // composite key probes as the cartesian tuple set (capped like any
+    // probe; repeated conjuncts on one column intersect). Otherwise the
+    // first non-key probe tries the secondary index.
+    val keyProbeByCol: Map[String, Seq[((Attribute, Seq[Any]), Int)]] =
+      probes.filter(p => keyColsL.contains(nameOf(p._1._1)))
+        .groupBy(p => nameOf(p._1._1))
+    val viaKey = keyColsL.forall(keyProbeByCol.contains)
+
+    val (chosenProbes, chosenConds): (Seq[(Attribute, Seq[Any])], Seq[((Attribute, Seq[Any]), Int)]) =
+      if (viaKey) {
+        val perCol = keyColsL.map { kc =>
+          val entries = keyProbeByCol(kc)
+          val attr = entries.head._1._1
+          val vals = entries.map(_._1._2.toSet).reduce(_ intersect _).toSeq
+          (attr, vals)
+        }
+        if (perCol.exists(_._2.isEmpty)) return None // unsatisfiable: scan
+        val tuples = perCol.map(_._2.length.toLong).product
+        if (tuples > MaxProbeValues) return None
+        (perCol, keyColsL.flatMap(keyProbeByCol))
+      } else {
+        val first = probes.head
+        (Seq(first._1), Seq(first))
+      }
+
+    // Shape admissibility (soundness argument in the class doc). `rest`
+    // is every conjunct that is NOT a chosen probe conjunct: other point
+    // probes included — a literal equality BELOW the resolve window
+    // filters versions before the per-key resolve and must not commute.
+    val chosenSet = chosenConds.toSet
+    val nonProbe = split.filterNot { case (c, d) =>
+      probeOf(c).exists(p => chosenSet.contains(((p, d))))
+    }
     val resolving = spec.retainHistory
     if (resolving) {
       windows.toSeq match {
@@ -177,39 +204,53 @@ class PointLookupRewrite(spark: SparkSession)
           // A key conjunct commutes with the per-key resolve at any
           // depth; a secondary-column conjunct only filters the RESOLVED
           // state — it must sit above the window.
-          if (!viaKey && probeDepth != 0) return None
+          if (!viaKey && chosenConds.exists(_._2 != 0)) return None
         case _ => return None
       }
     } else if (windows.nonEmpty) return None
     // (An evolved table's scan roots at generation dirs, never at the
     // registered path, so the non-resolving arm can't misfire there.)
-    Some(ProbeMatch(f, lr, fsRel, root, spec, probeAttr, values, viaKey))
+    Some(ProbeMatch(f, lr, fsRel, root, spec, chosenProbes, viaKey))
   }
 
   /** The serving half: index IO + the scan swap. */
   private def serveProbe(m: ProbeMatch): Option[LogicalPlan] = {
-    val ProbeMatch(f, lr, fsRel, root, spec, probeAttr, values, viaKey) = m
-    val keyCol = spec.keyCols.head.toLowerCase(java.util.Locale.ROOT)
+    val ProbeMatch(f, lr, fsRel, root, spec, probes, viaKey) = m
     val resolving = spec.retainHistory
-    val toScala = CatalystTypeConverters.createToScalaConverter(probeAttr.dataType)
     val table = KeyedTable(spec)
 
-    // The probe-KEY frame: direct for a key probe; value→keys through
-    // the secondary-index sidecar for a non-key probe. Each is one small
-    // plan-time job, like a DPP subquery.
+    // The probe-KEY frame: direct for a key probe (the cartesian tuple
+    // set over the per-column value sets for a composite key);
+    // value→keys through the secondary-index sidecar for a non-key
+    // probe. Each is one small plan-time job, like a DPP subquery.
     val keysAndGuard: Option[(org.apache.spark.sql.DataFrame, Option[Expression])] =
       if (viaKey) {
-        val probeSchema =
-          StructType(Seq(StructField(spec.keyCols.head, probeAttr.dataType)))
+        val converters = probes.map(p =>
+          CatalystTypeConverters.createToScalaConverter(p._1.dataType))
+        val probeSchema = StructType(spec.keyCols.zip(probes).map {
+          case (kc, (attr, _)) => StructField(kc, attr.dataType)
+        })
+        val tuples = probes.map(_._2).foldLeft(Seq(Seq.empty[Any])) {
+          (acc, vals) => acc.flatMap(t => vals.map(v => t :+ v))
+        }
         val probeRows: java.util.List[Row] = {
-          val l = new java.util.ArrayList[Row](values.length)
-          values.foreach(v => l.add(Row(toScala(v))))
+          val l = new java.util.ArrayList[Row](tuples.length)
+          tuples.foreach { t =>
+            l.add(Row(t.zipWithIndex.map { case (v, i) => converters(i)(v) }: _*))
+          }
           l
         }
         Some((spark.createDataFrame(probeRows, probeSchema), None))
       } else {
+        val (probeAttr, values) = probes.head
+        val toScala =
+          CatalystTypeConverters.createToScalaConverter(probeAttr.dataType)
         table.siProbeKeys(spark, probeAttr.name, values.map(toScala)).flatMap { keys =>
           if (!resolving) Some((keys, None))
+          // Composite-key MoR secondary probes would need an exact
+          // per-tuple guard (a per-column IN admits non-probe tuples
+          // whose superseded versions could leak); decline until then.
+          else if (spec.keyCols.length != 1) None
           else {
             // MoR: candidates hold only probe keys' winning versions —
             // a NON-probe key sharing a candidate file could resolve to
@@ -217,6 +258,7 @@ class PointLookupRewrite(spark: SparkSession)
             // to the probe keys (sound: every true result row's key is
             // in the probe by the sidecar's coverage guarantee). Needs
             // the key literals, so the key set must be point-sized too.
+            val keyCol = spec.keyCols.head.toLowerCase(java.util.Locale.ROOT)
             val keyAttr = lr.output
               .find(_.name.toLowerCase(java.util.Locale.ROOT) == keyCol)
               .getOrElse(return None)
@@ -245,7 +287,7 @@ class PointLookupRewrite(spark: SparkSession)
           logInfo(s"point-lookup rewrite: $root scan pruned to " +
             s"${rel0.length} of $total files via the " +
             (if (viaKey) "record-level index"
-             else s"secondary index on ${probeAttr.name}"))
+             else s"secondary index on ${probes.head._1.name}"))
           // Same relation, same output attributes — only the file set
           // changes (plus the key guard directly above the scan where
           // the secondary path needs it), so nothing above needs exprId

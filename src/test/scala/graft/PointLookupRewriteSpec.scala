@@ -196,4 +196,42 @@ class PointLookupRewriteSpec extends SparkTestBase {
     assert(outputSet(big) ==
       outputSet(table.read(spark)).filter(r => manyIds.contains(r._1)))
   }
+
+  test("composite key: the tuple-product probe serves; a partial key probe declines") {
+    val path = Files.createTempDirectory("graft_plr_comp_").toString + "/t"
+    // Composite (user_id, event_id) key on a resolving table; versions
+    // land via a same-content second commit.
+    val table = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("user_id", "event_id"),
+      precombineCol = "ts_us", partitionCols = Seq("event_type"),
+      retainHistory = true))
+    val ev = eventsUs
+    table.upsert(spark, ev, commitTime = "c0")
+    table.upsert(spark, ev.filter(col("event_id") < 50), commitTime = "c1")
+    table.recordKeyIndex(spark)
+    val pairs = ev.orderBy("event_id").limit(3)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSeq
+    val uids = pairs.map(_._1).distinct
+    val eids = pairs.map(_._2)
+    // user_id IN (...) AND event_id IN (...): the cartesian tuple set
+    // covers every probed pair; the residual filter trims the rest.
+    def q = table.read(spark)
+      .filter(col("user_id").isin(uids: _*) && col("event_id").isin(eids: _*))
+    val files = scannedDataFiles(q)
+    assert(files.isDefined, "composite tuple probe must serve")
+    assert(files.get.length < dataFileCount(path),
+      s"composite candidates must prune: ${files.get.length} of ${dataFileCount(path)}")
+    val expected = outputSet(
+      table.read(spark)
+        .filter(col("user_id").isin(uids: _*) && col("event_id").isin(eids: _*))
+        .filter(lit(true))) // same frame; the rewrite only changes files
+    assert(outputSet(q) == expected)
+    assert(outputSet(q) == outputSet(table.lookupKeys(spark,
+      pairs.toDF("user_id", "event_id"))
+      .filter(col("user_id").isin(uids: _*) && col("event_id").isin(eids: _*))))
+    // A probe on HALF the key does not identify tuples: it must decline
+    // (no secondary sidecar on user_id here to rescue it).
+    def qHalf = table.read(spark).filter(col("user_id") === uids.head)
+    assert(scannedDataFiles(qHalf).isEmpty, "partial key probe must decline")
+  }
 }
