@@ -179,7 +179,8 @@ object SparkEntry {
     "q152_stats_agg" -> (UpsertOps.statsAggQuery(_, _)),
     "q153_stream_table_feed" -> (UpsertOps.streamTableFeed(_, _)),
     "q154_stats_group_agg" -> (UpsertOps.statsGroupAggQuery(_, _)),
-    "q155_indexed_delete" -> (UpsertOps.indexedDelete(_, _))
+    "q155_indexed_delete" -> (UpsertOps.indexedDelete(_, _)),
+    "q156_layout_advisor" -> (UpsertOps.layoutAdvisedRange(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -921,6 +922,11 @@ object SparkEntry {
     "q155_indexed_delete" ->
       """SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
         |FROM events WHERE event_id % 37 <> 0""".stripMargin,
+    // the layout-advisor loop: stats that can't skip → measured cluster
+    // recommendation → sort rewrite → the same declarative range prunes
+    "q156_layout_advisor" ->
+      """SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
+        |FROM events WHERE event_id BETWEEN 500 AND 899""".stripMargin,
     // point-lookup pushdown: the optimizer swaps the scan onto the
     // record-level index's candidate files; the declarative filter is
     // the whole semantics (COW event_id keys — disjoint commits, no

@@ -1236,6 +1236,34 @@ object UpsertOps {
     outputCols(table.read(s))
   }
 
+  /** Layout advisor loop closed end-to-end (q156;
+    * [[graft.plans.IndexAdvisor]] cluster recommendation): a range
+    * workload over a table whose column stats EXIST but cannot skip
+    * (unclustered files all span the probed domain) gets a `cluster`
+    * recommendation — measured against the workload's own ranges, not
+    * guessed — and `createRecommended` runs the sort rewrite and
+    * rebuilds the stats, after which the same declarative query
+    * file-prunes. The full DBA loop: observe → index → measure → lay
+    * out. ≡ a plain range filter — the oracle; the advisor only changes
+    * the layout and which files open.
+    */
+  def layoutAdvisedRange(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.IndexAdvisor
+    val path =
+      Files.createTempDirectory("graft_layq_").toString + "/events_keyed"
+    val table = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("event_id"), precombineCol = "ts_us",
+      partitionCols = Seq("event_type")))
+    table.upsert(s, eventsUs(s, dir), commitTime = "c0")
+    table.recordColumnStats(s, Seq("event_id"))
+    def q = table.read(s).filter(col("event_id").between(500L, 899L))
+    val advice = IndexAdvisor.analyze(s, Seq(q))
+    s.conf.set("spark.graft.cluster.target.bytes", (256L << 10).toString)
+    try IndexAdvisor.createRecommended(s, advice)
+    finally s.conf.unset("spark.graft.cluster.target.bytes")
+    outputCols(q)
+  }
+
   /** Partition-grouped metadata aggregates (q154;
     * [[graft.plans.StatsAggregateRewrite]] grouped arm): `GROUP BY` a
     * partition column with min/max/count measures folds from the

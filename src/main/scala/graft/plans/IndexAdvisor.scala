@@ -49,10 +49,36 @@ object IndexAdvisor {
     // Genuine ranges only (an open side or lo < hi): an equality probe
     // belongs to the point family above — recommending column stats for
     // it would shadow the exact index with a weaker one.
-    val rangeShapes = plans.flatMap(rangeRule.rangeShapes)
-      .flatMap(m => m.ranges.collect {
-        case (c, lo, hi) if lo < hi => (m.spec.path, "column_stats", c)
-      })
+    val rangeMatches = plans.flatMap(rangeRule.rangeShapes)
+      .map(m => (m, m.ranges.filter { case (_, lo, hi) => lo < hi }))
+      .filter(_._2.nonEmpty)
+    val rangeShapes = rangeMatches.flatMap { case (m, rs) =>
+      rs.map { case (c, _, _) => (m.spec.path, "column_stats", c) }
+    }
+    // LAYOUT advice: stats that exist but barely skip mean the files
+    // overlap the probed column — the index can't help until a sort
+    // rewrite makes per-file ranges tight. Measured against the
+    // workload's OWN ranges (the advisor context affords the sidecar
+    // read); a table without stats first gets the column_stats rec
+    // above, and the next analyze round measures.
+    val clusterRecs = rangeMatches.flatMap { case (m, rs) =>
+      try {
+        val t = KeyedTable(m.spec)
+        val statCols = t.colStatsFrame(spark).map(_.columns.toSeq).getOrElse(Nil)
+        // Only stats-COVERED columns can be measured (uncovered ones got
+        // the column_stats rec above; the next analyze round measures).
+        val covered = rs.filter { case (c, _, _) =>
+          statCols.exists(_.equalsIgnoreCase(s"min_$c"))
+        }
+        if (covered.isEmpty) Nil
+        else t.rangeCandidateFiles(spark, covered) match {
+          case Some((sel, total)) if total > 1 &&
+              sel.length.toDouble / total > 0.8 =>
+            covered.map { case (c, _, _) => (m.spec.path, "cluster", c) }
+          case _ => Nil
+        }
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    }
     val fs = new Path("/").getFileSystem(spark.sessionState.newHadoopConf())
     def exists(dir: String): Boolean =
       try fs.exists(new Path(dir)) catch { case _: Exception => false }
@@ -71,12 +97,15 @@ object IndexAdvisor {
       val rli = (m.spec.path, "record_key", m.spec.keyCols.head)
       if (m.viaKey) Seq(rli)
       else Seq(rli, (m.spec.path, "secondary", m.probeAttr.name))
-    } ++ rangeShapes
+    } ++ rangeShapes ++ clusterRecs
     val recs = wants.groupBy(identity).toSeq
       .map { case ((path, kind, col), hs) => IndexRec(path, kind, col, hs.length) }
       .filterNot { r =>
-        if (r.kind == "column_stats") statsCover(r.tablePath, r.column)
-        else exists(kind2dir(r))
+        r.kind match {
+          case "column_stats" => statsCover(r.tablePath, r.column)
+          case "cluster"      => false // measured against the live layout
+          case _              => exists(kind2dir(r))
+        }
       }
       .sortBy(r => (-r.hits, r.tablePath, r.kind, r.column))
     IndexAdvice(recs, skipped.result())
@@ -92,8 +121,9 @@ object IndexAdvisor {
     */
   def createRecommended(
       spark: SparkSession, advice: IndexAdvice): Seq[String] = {
-    val (statRecs, rest) =
-      advice.recommendations.partition(_.kind == "column_stats")
+    val (layoutRecs, rest0) =
+      advice.recommendations.partition(_.kind == "cluster")
+    val (statRecs, rest) = rest0.partition(_.kind == "column_stats")
     val built = rest.flatMap { r =>
       val qualified = graft.table.MaterializedView.qualify(spark, r.tablePath)
       Option(KeyedTable.specRegistry.get(qualified)).map { spec =>
@@ -105,25 +135,39 @@ object IndexAdvisor {
         s"${r.kind}(${r.column}) on ${r.tablePath} [${r.hits} probes]"
       }
     }
-    // Column stats build ONE sidecar per table: union the recommended
-    // columns with any already-recorded ones (recordColumnStats
-    // overwrites the whole sidecar, and dropping a covered column would
-    // un-serve someone else's range).
-    val stats = statRecs.groupBy(_.tablePath).toSeq.sortBy(_._1).flatMap {
-      case (path, rs) =>
-        val qualified = graft.table.MaterializedView.qualify(spark, path)
-        Option(KeyedTable.specRegistry.get(qualified)).map { spec =>
-          val t = KeyedTable(spec)
-          val existing = t.colStatsFrame(spark)
-            .map(_.columns.toSeq.collect {
-              case c if c.startsWith("min_") => c.stripPrefix("min_")
-            }).getOrElse(Nil)
-          val cols = (existing ++ rs.map(_.column)).distinct
-          t.recordColumnStats(spark, cols)
-          s"column_stats(${rs.map(_.column).sorted.mkString(",")}) on " +
-            s"$path [${rs.map(_.hits).sum} probes]"
+    // Per table: LAYOUT first (the sort rewrite drops the sidecar), then
+    // ONE stats sidecar rebuild over existing ∪ recommended columns
+    // (recordColumnStats overwrites the whole sidecar, and dropping a
+    // covered column would un-serve someone else's range).
+    val byTable = (layoutRecs ++ statRecs).groupBy(_.tablePath)
+    val rebuilt = byTable.toSeq.sortBy(_._1).flatMap { case (path, rs) =>
+      val qualified = graft.table.MaterializedView.qualify(spark, path)
+      Option(KeyedTable.specRegistry.get(qualified)).toSeq.flatMap { spec =>
+        val t = KeyedTable(spec)
+        val existing = t.colStatsFrame(spark)
+          .map(_.columns.toSeq.collect {
+            case c if c.startsWith("min_") => c.stripPrefix("min_")
+          }).getOrElse(Nil)
+        val (cl, st) = rs.partition(_.kind == "cluster")
+        val clusterLine = if (cl.isEmpty) None else {
+          val sortCols = cl.sortBy(r => (-r.hits, r.column)).map(_.column)
+          val target = spark.conf
+            .getOption("spark.graft.cluster.target.bytes")
+            .map(_.toLong).getOrElse(128L << 20)
+          t.cluster(spark, sortCols, target)
+          Some(s"cluster(${sortCols.mkString(",")}) on $path " +
+            s"[${cl.map(_.hits).sum} probes]")
         }
+        val cols = (existing ++ st.map(_.column)).distinct
+        val statsLine = if (cols.isEmpty) None else {
+          t.recordColumnStats(spark, cols)
+          if (st.isEmpty) None // a pure re-record after the layout move
+          else Some(s"column_stats(${st.map(_.column).sorted.mkString(",")}) " +
+            s"on $path [${st.map(_.hits).sum} probes]")
+        }
+        clusterLine.toSeq ++ statsLine.toSeq
+      }
     }
-    built ++ stats
+    built ++ rebuilt
   }
 }

@@ -71,6 +71,28 @@ class IndexAdvisorSpec extends SparkTestBase {
       s"nothing to build: ${advice.recommendations}")
   }
 
+  test("overlapping layout: the advisor recommends cluster, then the probe prunes") {
+    val t = mkTable() // unclustered: every file spans the full id range
+    t.recordColumnStats(spark, Seq("event_id"))
+    def q = t.read(spark).filter(col("event_id").between(100L, 299L))
+    val expected = q.collect().toSet
+    val advice = IndexAdvisor.analyze(spark, Seq(q))
+    assert(advice.recommendations.map(r => (r.kind, r.column)) ==
+      Seq(("cluster", "event_id")),
+      s"stats exist but can't skip — expected the layout rec, got " +
+        s"${advice.recommendations}")
+    spark.conf.set("spark.graft.cluster.target.bytes", (8L << 10).toString)
+    try {
+      val built = IndexAdvisor.createRecommended(spark, advice)
+      assert(built.exists(_.startsWith("cluster(event_id)")), s"$built")
+    } finally spark.conf.unset("spark.graft.cluster.target.bytes")
+    assert(scannedDataFiles(q).isDefined,
+      "the sort rewrite must make the range prune")
+    assert(q.collect().toSet == expected)
+    // Settled: stats covered, layout tight — nothing left to advise.
+    assert(IndexAdvisor.analyze(spark, Seq(q)).recommendations.isEmpty)
+  }
+
   test("a range workload recommends column stats; building them serves it") {
     val t = mkTable()
     // Tight per-file ranges so the served scan genuinely prunes.
