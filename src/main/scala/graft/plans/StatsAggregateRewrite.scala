@@ -26,9 +26,13 @@ import graft.table.KeyedTable
   * partition tuple (`p_<col>`) folds per group exactly — the BI
   * dashboard's per-partition rollup served from metadata.
   *
-  * Matches an `Aggregate` whose stripped child is a bare single parquet
+  * Matches an `Aggregate` whose stripped child is a single parquet
   * relation rooted at a REGISTERED keyed-table path
-  * ([[KeyedTable.specRegistry]]) — no filters, windows, or joins — and
+  * ([[KeyedTable.specRegistry]]) — no windows or joins, and filters
+  * only when every conjunct is a literal point predicate (or inferred
+  * isnotnull) on a PARTITION column: partition conjuncts select whole
+  * files exactly, so the fold over the selected sidecar rows IS the
+  * aggregate over the filtered table, nothing residual — and
   * whose every aggregate is one of `min(col)` / `max(col)` (integral
   * columns, matching what [[KeyedTable.recordColumnStats]] records),
   * `count(*)`/`count(1)` (served from per-file `cnt`), or `count(col)`
@@ -90,8 +94,7 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val pairs = mutable.Buffer.empty[(Attribute, Attribute)]
     if (!MvPlanShape.strip(a.child, conds, windows, renames, rels, pairs))
       return None
-    if (conds.nonEmpty || windows.nonEmpty || pairs.nonEmpty ||
-      rels.length != 1) return None
+    if (windows.nonEmpty || pairs.nonEmpty || rels.length != 1) return None
     val lr = rels.head
     val fsRel = lr.relation match {
       case h: HadoopFsRelation => h
@@ -118,6 +121,42 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       relAttrOf(e).filter(at => partCols.contains(lower(at.name)))
         .getOrElse(return None)
     }
+
+    // Filters: every conjunct must be a literal point predicate (or the
+    // optimizer's inferred isnotnull) on a PARTITION column — partition
+    // conjuncts select whole files exactly (the sidecar's per-file
+    // partition tuple is a constant), so the fold over the selected
+    // sidecar rows IS the aggregate over the filtered table; nothing
+    // residual remains. Any other predicate declines.
+    sealed trait PartFilter
+    case class PartIn(column: String, t: DataType, values: Seq[Any])
+      extends PartFilter
+    case class PartNotNull(column: String) extends PartFilter
+    def partFilterOf(e: Expression): Option[PartFilter] = {
+      def attrOf(x: Expression): Option[Attribute] =
+        relAttrOf(x).filter(at => partCols.contains(lower(at.name)))
+      e match {
+        case EqualTo(x, l: Literal) if l.value != null =>
+          attrOf(x).map(at => PartIn(at.name, at.dataType, Seq(l.value)))
+        case EqualTo(l: Literal, x) if l.value != null =>
+          attrOf(x).map(at => PartIn(at.name, at.dataType, Seq(l.value)))
+        case In(x, vs) if vs.forall {
+          case Literal(v, _) => v != null
+          case _ => false
+        } => attrOf(x).map(at =>
+          PartIn(at.name, at.dataType, vs.map(_.asInstanceOf[Literal].value)))
+        case InSet(x, hset) if !hset.contains(null) =>
+          attrOf(x).map(at => PartIn(at.name, at.dataType, hset.toSeq))
+        case IsNotNull(x) => attrOf(x).map(at => PartNotNull(at.name))
+        case _ => None
+      }
+    }
+    val splitConds = conds.toSeq.flatMap { case (c, _) =>
+      MvPlanShape.splitConjunction(c)
+    }
+    if (splitConds.exists(!_.deterministic)) return None
+    val partFilters: Seq[PartFilter] =
+      splitConds.map(c => partFilterOf(c).getOrElse(return None))
     val groupIdx: Map[ExprId, Int] =
       groupAttrs.zipWithIndex.map { case (at, i) => at.exprId -> i }.toMap
 
@@ -154,6 +193,18 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       def statCol(prefix: String, c: String): Option[String] =
         st.columns.find(_.equalsIgnoreCase(s"${prefix}_$c"))
       val groupStatCols = groupAttrs.map(at => statCol("p", at.name))
+      // Partition filters select sidecar rows (whole files) exactly.
+      val filterStatCols = partFilters.map {
+        case PartIn(c, _, _)  => statCol("p", c)
+        case PartNotNull(c) => statCol("p", c)
+      }
+      if (filterStatCols.exists(_.isEmpty)) return None
+      val stSel = partFilters.zip(filterStatCols.map(_.get)).foldLeft(st) {
+        case (df, (PartIn(_, t, vs), pc)) =>
+          val toScala = CatalystTypeConverters.createToScalaConverter(t)
+          df.filter(col(pc).isin(vs.map(toScala): _*))
+        case (df, (PartNotNull(_), pc)) => df.filter(col(pc).isNotNull)
+      }
       val folds: Seq[Option[org.apache.spark.sql.Column]] = needs.collect {
         case MinOf(c, _) => statCol("min", c).map(s => min(col(s)))
         case MaxOf(c, _) => statCol("max", c).map(s => max(col(s)))
@@ -165,8 +216,8 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       else {
         val exprs = folds.flatten.zipWithIndex.map { case (c, i) => c.as(s"v$i") }
         val folded =
-          if (groupStatCols.isEmpty) st.agg(exprs.head, exprs.tail: _*)
-          else st.groupBy(groupStatCols.flatten.map(col): _*)
+          if (groupStatCols.isEmpty) stSel.agg(exprs.head, exprs.tail: _*)
+          else stSel.groupBy(groupStatCols.flatten.map(col): _*)
             .agg(exprs.head, exprs.tail: _*)
         val rows = folded.limit(MaxGroups + 1).collect()
         if (rows.length > MaxGroups) return None

@@ -202,6 +202,50 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     assert(graft.plans.PlanWalk.scannedFiles(qu).nonEmpty)
     assert(qu.collect().toSet ==
       ev.groupBy(col("user_id")).agg(count(lit(1)).as("n")).collect().toSet)
+    // A point filter on a PARTITION column is absorbed exactly (it
+    // selects whole files), still zero scan.
+    def qf = table.read(spark)
+      .filter(col("event_type").isin("click", "view"))
+      .agg(min(col("event_id")).as("m"), count(lit(1)).as("n"))
+    assert(graft.plans.PlanWalk.scannedFiles(qf).isEmpty,
+      "partition-filtered aggregate must fold from sidecar groups")
+    assert(qf.collect().toSet ==
+      ev.filter(col("event_type").isin("click", "view"))
+        .agg(min(col("event_id")).as("m"), count(lit(1)).as("n"))
+        .collect().toSet)
+    // A filter on a NON-partition column still declines.
+    def qnf = table.read(spark).filter(col("value") > 0.0)
+      .agg(count(lit(1)).as("n"))
+    assert(graft.plans.PlanWalk.scannedFiles(qnf).nonEmpty)
+  }
+
+  test("spark.sql text over a view of the table serves through every rule") {
+    val path = Files.createTempDirectory("graft_sql_idx_").toString + "/t"
+    val table = KeyedTable(cowSpec(path))
+    table.upsert(spark, eventsUs, commitTime = "c0")
+    table.cluster(spark, Seq("event_id"), targetFileBytes = 4L << 10)
+    table.recordKeyIndex(spark)
+    table.recordColumnStats(spark, Seq("event_id"))
+    table.read(spark).createOrReplaceTempView("graft_sql_idx_t")
+    // Point probe through the record-level index.
+    val point = spark.sql(
+      "SELECT user_id, event_id FROM graft_sql_idx_t WHERE event_id IN (3, 7)")
+    assert(scannedDataFiles(point).isDefined, "SQL point probe must serve")
+    assert(point.collect().map(r => r.getLong(1)).toSet == Set(3L, 7L))
+    // Range through the column stats.
+    val range = spark.sql(
+      "SELECT count(*) AS n FROM (SELECT * FROM graft_sql_idx_t " +
+        "WHERE event_id BETWEEN 100 AND 299) x WHERE value >= 0")
+    assert(range.collect()(0).getLong(0) ==
+      eventsUs.filter(col("event_id").between(100, 299) && col("value") >= 0)
+        .count())
+    // Whole-table aggregate from metadata: no data file scanned.
+    val agg = spark.sql(
+      "SELECT min(event_id) AS mn, max(event_id) AS mx, count(*) AS n " +
+        "FROM graft_sql_idx_t")
+    assert(graft.plans.PlanWalk.scannedFiles(agg).isEmpty,
+      "SQL whole-table aggregate must fold from the sidecar")
+    assert(agg.collect()(0).getLong(2) == eventsUs.count())
   }
 
   test("stats aggregate declines on MoR (file stats over-count versions)") {
