@@ -899,7 +899,7 @@ object SparkEntry {
     "q152_stats_agg" ->
       """SELECT min(event_id) AS min_id, max(event_id) AS max_id,
         |       min(user_id) AS min_uid, max(user_id) AS max_uid,
-        |       count(*) AS n_rows
+        |       CAST(sum(user_id) AS BIGINT) AS sum_uid, count(*) AS n_rows
         |FROM events""".stripMargin,
     // the table as a live stream source: every version rides the feed
     // tagged with its commit; the slice predicate that produced the two

@@ -1210,7 +1210,7 @@ object UpsertOps {
     table.read(s).agg(
       min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
       min(col("user_id")).as("min_uid"), max(col("user_id")).as("max_uid"),
-      count(lit(1)).as("n_rows"))
+      sum(col("user_id")).as("sum_uid"), count(lit(1)).as("n_rows"))
   }
 
   /** File-granular indexed delete (q155;

@@ -35,6 +35,7 @@ object IndexAdvisor {
   def analyze(spark: SparkSession, queries: Seq[DataFrame]): IndexAdvice = {
     val rule = new PointLookupRewrite(spark)
     val rangeRule = new RangePruneRewrite(spark)
+    val aggRule = new StatsAggregateRewrite(spark)
     val skipped = Seq.newBuilder[String]
     val plans = queries.zipWithIndex.flatMap { case (q, i) =>
       // A poison frame (analysis exception on .optimizedPlan) lands in
@@ -86,18 +87,27 @@ object IndexAdvisor {
     // existing with other columns' stats can't serve this range.
     def statsCover(path: String, c: String): Boolean =
       exists(s"$path/_graft_colstats") &&
-        (try spark.read.parquet(s"$path/_graft_colstats")
-          .columns.exists(_.equalsIgnoreCase(s"min_$c"))
-        catch { case _: Exception => false })
+        (c.isEmpty || // the count(*)-only marker: any sidecar carries cnt
+          (try spark.read.parquet(s"$path/_graft_colstats")
+            .columns.exists(_.equalsIgnoreCase(s"min_$c"))
+          catch { case _: Exception => false }))
     // Every point probe needs the record-level index (the candidate
     // chain's exact member); a non-key probe additionally needs the
     // secondary sidecar on its column; a range probe needs column
     // stats. Recommend only what's absent.
+    // Servable whole-table/grouped aggregates want stats on their data
+    // columns; a count(*)-only shape wants any build (the empty-column
+    // marker — every build records `cnt`).
+    val aggWants = plans.flatMap(aggRule.aggShapes).flatMap {
+      case (spec, cols) =>
+        if (cols.isEmpty) Seq((spec.path, "column_stats", ""))
+        else cols.map(c => (spec.path, "column_stats", c))
+    }
     val wants = shapes.flatMap { m =>
       val rli = (m.spec.path, "record_key", m.spec.keyCols.head)
       if (m.viaKey) Seq(rli)
       else Seq(rli, (m.spec.path, "secondary", m.probeAttr.name))
-    } ++ rangeShapes ++ clusterRecs
+    } ++ rangeShapes ++ clusterRecs ++ aggWants
     val recs = wants.groupBy(identity).toSeq
       .map { case ((path, kind, col), hs) => IndexRec(path, kind, col, hs.length) }
       .filterNot { r =>
@@ -148,7 +158,15 @@ object IndexAdvisor {
           .map(_.columns.toSeq.collect {
             case c if c.startsWith("min_") => c.stripPrefix("min_")
           }).getOrElse(Nil)
-        val (cl, st) = rs.partition(_.kind == "cluster")
+        val (cl, st0) = rs.partition(_.kind == "cluster")
+        // The count(*)-only marker contributes no column of its own; if
+        // nothing else names one, record the key column (any build
+        // carries the per-file cnt the shape needs).
+        val st = st0.filter(_.column.nonEmpty) match {
+          case Nil if st0.nonEmpty =>
+            st0.take(1).map(_.copy(column = spec.keyCols.head))
+          case named => named
+        }
         val clusterLine = if (cl.isEmpty) None else {
           val sortCols = cl.sortBy(r => (-r.hits, r.column)).map(_.column)
           val target = spark.conf

@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -82,10 +82,47 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private case class GroupOf(column: String, t: DataType, gi: Int) extends Need
   private case class MinOf(column: String, t: DataType) extends Need
   private case class MaxOf(column: String, t: DataType) extends Need
+  private case class SumOf(column: String) extends Need
   private case object CountAll extends Need
   private case class CountCol(column: String) extends Need
 
-  private def serve(a: Aggregate): Option[LogicalPlan] = {
+  private sealed trait PartFilter
+  private case class PartIn(column: String, t: DataType, values: Seq[Any])
+    extends PartFilter
+  private case class PartNotNull(column: String) extends PartFilter
+
+  /** The shape half of the match, sidecar-IO-free. */
+  private final case class AggMatch(
+      a: Aggregate, spec: graft.table.KeyedTableSpec, needs: Seq[Need],
+      groupAttrs: Seq[Attribute], partFilters: Seq[PartFilter])
+
+  /** Every servable-aggregate shape in `plan`, as (table spec, the data
+    * columns needing recorded stats) — shared with [[IndexAdvisor]], so
+    * the advisor recommends exactly the stats builds this rule can
+    * later serve (the one-matcher discipline). A count(*)-only shape
+    * reports no columns; any build records the `cnt` it needs. Served
+    * plans drop out naturally: the produced LocalRelation holds no
+    * relation to re-match.
+    */
+  private[plans] def aggShapes(
+      plan: LogicalPlan): Seq[(graft.table.KeyedTableSpec, Seq[String])] =
+    if (KeyedTable.specRegistry.isEmpty) Nil
+    else plan.collect { case ag: Aggregate =>
+      (try matchAgg(ag) catch { case scala.util.control.NonFatal(_) => None })
+        .map { m =>
+          (m.spec, m.needs.collect {
+            case MinOf(c, _) => c
+            case MaxOf(c, _) => c
+            case SumOf(c)    => c
+            case CountCol(c) => c
+          }.distinct)
+        }
+    }.flatten
+
+  private def serve(a: Aggregate): Option[LogicalPlan] =
+    matchAgg(a).flatMap(serveAgg)
+
+  private def matchAgg(a: Aggregate): Option[AggMatch] = {
     if (a.aggregateExpressions.isEmpty) return None
     val conds = mutable.Buffer.empty[(Expression, Int)]
     val windows = mutable.Buffer.empty[Window]
@@ -128,10 +165,6 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // partition tuple is a constant), so the fold over the selected
     // sidecar rows IS the aggregate over the filtered table; nothing
     // residual remains. Any other predicate declines.
-    sealed trait PartFilter
-    case class PartIn(column: String, t: DataType, values: Seq[Any])
-      extends PartFilter
-    case class PartNotNull(column: String) extends PartFilter
     def partFilterOf(e: Expression): Option[PartFilter] = {
       def attrOf(x: Expression): Option[Attribute] =
         relAttrOf(x).filter(at => partCols.contains(lower(at.name)))
@@ -176,6 +209,13 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           case Max(e) =>
             relAttrOf(e).filter(at => integral(at.dataType))
               .map(at => MaxOf(at.name, at.dataType)).getOrElse(return None)
+          // Sum(integral) folds bit-exactly: long addition is
+          // associative mod 2^64, the same arithmetic Spark's own
+          // partial+final Sum performs, and the output is LongType for
+          // every integral input.
+          case s: Sum =>
+            relAttrOf(s.child).filter(at => integral(at.dataType))
+              .map(at => SumOf(at.name)).getOrElse(return None)
           case Count(Seq(Literal(v, _))) if v != null => CountAll
           case Count(Seq(e)) =>
             relAttrOf(e).map(at => CountCol(at.name)).getOrElse(return None)
@@ -184,7 +224,12 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case Alias(e, _) => groupNeedOf(e).getOrElse(return None)
       case _ => return None
     }
+    Some(AggMatch(a, spec, needs, groupAttrs, partFilters))
+  }
 
+  /** The serving half: one sidecar read + the LocalRelation fold. */
+  private def serveAgg(m: AggMatch): Option[LogicalPlan] = {
+    val AggMatch(a, spec, needs, groupAttrs, partFilters) = m
     val table = KeyedTable(spec)
     table.colStatsFrame(spark).flatMap { st =>
       // Sidecar columns are named with the column string passed to
@@ -208,6 +253,7 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val folds: Seq[Option[org.apache.spark.sql.Column]] = needs.collect {
         case MinOf(c, _) => statCol("min", c).map(s => min(col(s)))
         case MaxOf(c, _) => statCol("max", c).map(s => max(col(s)))
+        case SumOf(c)    => statCol("sum", c).map(s => sum(col(s)))
         case CountAll =>
           if (st.columns.contains("cnt")) Some(sum(col("cnt"))) else None
         case CountCol(c) => statCol("nn", c).map(s => sum(col(s)))
@@ -243,13 +289,14 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               n match {
                 case MinOf(_, t) => castBack(v, t)
                 case MaxOf(_, t) => castBack(v, t)
+                case SumOf(_)    => v // sum over no rows is null, like Spark
                 // count over zero files is 0, never null
                 case _ => if (v == null) 0L else v
               }
           }
           InternalRow.fromSeq(values)
         }
-        logInfo(s"stats-aggregate rewrite: $root answered from the " +
+        logInfo(s"stats-aggregate rewrite: ${spec.path} answered from the " +
           s"column-stats sidecar (${rows.length} group rows, no scan)")
         Some(LocalRelation(a.output, data, false))
       }

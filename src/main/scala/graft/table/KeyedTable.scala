@@ -1245,9 +1245,13 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     // sidecar too (each sidecar group is a whole set of files).
     val partAggs = spec.partitionCols.filter(raw.columns.contains)
       .map(pc => first(col(pc)).as(s"p_$pc"))
+    // Per-file SUM stored as a plain long: long addition is associative
+    // modulo 2^64, so folding per-file sums is bit-identical to Spark's
+    // own partial+final Sum over the rows — even under overflow.
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).cast("long").as(s"min_$c"),
       max(col(c)).cast("long").as(s"max_$c"),
+      sum(col(c)).cast("long").as(s"sum_$c"),
       count(col(c)).as(s"nn_$c"))) ++ partAggs :+ count(lit(1)).as("cnt")
     raw
       .withColumn("file", input_file_name())

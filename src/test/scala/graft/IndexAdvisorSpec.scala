@@ -60,15 +60,38 @@ class IndexAdvisorSpec extends SparkTestBase {
     assert(IndexAdvisor.analyze(spark, workload).recommendations.isEmpty)
   }
 
-  test("covered tables and non-range aggregates recommend nothing") {
+  test("covered tables and out-of-scope aggregates recommend nothing") {
     val t = mkTable()
     t.recordKeyIndex(spark)
     val qKey = t.read(spark).filter(col("event_id") === 3L)
-    val agg = t.read(spark).groupBy(col("event_type"))
+    // Grouping by a NON-partition column is outside the stats-aggregate
+    // rule's scope — no build can serve it, so nothing is recommended.
+    val agg = t.read(spark).groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"))
     val advice = IndexAdvisor.analyze(spark, Seq(qKey, agg))
     assert(advice.recommendations.isEmpty,
       s"nothing to build: ${advice.recommendations}")
+  }
+
+  test("aggregate workloads recommend the stats build that then serves them") {
+    val t = mkTable()
+    def qAgg = t.read(spark).agg(
+      min(col("event_id")).as("mn"), sum(col("user_id")).as("s"),
+      count(lit(1)).as("n"))
+    def qGrp = t.read(spark).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val expected = (qAgg.collect().toSet, qGrp.collect().toSet)
+    val advice = IndexAdvisor.analyze(spark, Seq(qAgg, qGrp))
+    val kinds = advice.recommendations.map(r => (r.kind, r.column)).toSet
+    assert(kinds == Set(("column_stats", "event_id"),
+      ("column_stats", "user_id"), ("column_stats", "")),
+      s"expected the aggregate stats recs, got $kinds")
+    IndexAdvisor.createRecommended(spark, advice)
+    assert(graft.plans.PlanWalk.scannedFiles(qAgg).isEmpty,
+      "served aggregate must scan no files after the build")
+    assert(graft.plans.PlanWalk.scannedFiles(qGrp).isEmpty)
+    assert((qAgg.collect().toSet, qGrp.collect().toSet) == expected)
+    assert(IndexAdvisor.analyze(spark, Seq(qAgg, qGrp)).recommendations.isEmpty)
   }
 
   test("overlapping layout: the advisor recommends cluster, then the probe prunes") {

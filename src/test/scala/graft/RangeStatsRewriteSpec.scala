@@ -152,7 +152,8 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     def q = table.read(spark).agg(
       min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
       min(col("user_id")).as("min_uid"), count(lit(1)).as("n_rows"),
-      count(col("maybe")).as("n_maybe"))
+      count(col("maybe")).as("n_maybe"), sum(col("event_id")).as("s_id"),
+      sum(col("maybe")).as("s_maybe"))
     val expected = q.collect()(0) // no stats yet: computed by scanning
     assert(graft.plans.PlanWalk.scannedFiles(q).nonEmpty)
     table.recordColumnStats(spark, Seq("event_id", "user_id", "maybe"))
