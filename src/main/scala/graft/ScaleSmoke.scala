@@ -54,7 +54,21 @@ object ScaleSmoke {
     // the corpus — smoke-only variant, no SparkEntry/oracle entry),
     // star-join MV build + re-served join aggregate
     "q130_phash_diverse",
-    "q136_mv_join")
+    "q136_mv_join",
+    // round-12: the index family end-to-end (each builds its table +
+    // sidecars at the tier then serves — the ratio proves the BUILD is
+    // linear; the serve side is O(probe + delta) by construction and
+    // dominated here by the build)
+    "q145_rli_lookup",
+    "q146_secondary_lookup",
+    "q147_plan_lookup",
+    "q149_stream_lookup_join",
+    "q151_range_prune",
+    "q152_stats_agg",
+    "q153_stream_table_feed",
+    "q154_stats_group_agg",
+    "q155_indexed_delete",
+    "q156_layout_advisor")
 
   /** Smoke-only variants that deliberately have no SparkEntry/oracle
     * entry (their oracles would have to model a corpus the driver does

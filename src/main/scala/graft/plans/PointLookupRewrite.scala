@@ -247,10 +247,6 @@ class PointLookupRewrite(spark: SparkSession)
           CatalystTypeConverters.createToScalaConverter(probeAttr.dataType)
         table.siProbeKeys(spark, probeAttr.name, values.map(toScala)).flatMap { keys =>
           if (!resolving) Some((keys, None))
-          // Composite-key MoR secondary probes would need an exact
-          // per-tuple guard (a per-column IN admits non-probe tuples
-          // whose superseded versions could leak); decline until then.
-          else if (spec.keyCols.length != 1) None
           else {
             // MoR: candidates hold only probe keys' winning versions —
             // a NON-probe key sharing a candidate file could resolve to
@@ -258,16 +254,31 @@ class PointLookupRewrite(spark: SparkSession)
             // to the probe keys (sound: every true result row's key is
             // in the probe by the sidecar's coverage guarantee). Needs
             // the key literals, so the key set must be point-sized too.
-            val keyCol = spec.keyCols.head.toLowerCase(java.util.Locale.ROOT)
-            val keyAttr = lr.output
-              .find(_.name.toLowerCase(java.util.Locale.ROOT) == keyCol)
-              .getOrElse(return None)
-            val collected = keys.limit(MaxProbeValues + 1).collect()
-            if (collected.length > MaxProbeValues) None
-            else {
+            // Single key guards with IN; a composite key needs the
+            // EXACT tuple set (a per-column IN would admit non-probe
+            // tuples whose superseded versions could leak), so it
+            // guards with OR-of-AND over the collected tuples.
+            val keyAttrs = spec.keyCols.map { kc =>
+              val kcL = kc.toLowerCase(java.util.Locale.ROOT)
+              lr.output
+                .find(_.name.toLowerCase(java.util.Locale.ROOT) == kcL)
+                .getOrElse(return None)
+            }
+            val collected = keys
+              .select(spec.keyCols.map(org.apache.spark.sql.functions.col): _*)
+              .limit(MaxProbeValues + 1).collect()
+            if (collected.length > MaxProbeValues || collected.isEmpty) None
+            else if (keyAttrs.length == 1) {
               val lits = collected.toSeq
-                .map(r => Literal.create(r.get(0), keyAttr.dataType))
-              Some((keys, Some(In(keyAttr, lits))))
+                .map(r => Literal.create(r.get(0), keyAttrs.head.dataType))
+              Some((keys, Some(In(keyAttrs.head, lits))))
+            } else {
+              val guard = collected.toSeq.map { r =>
+                keyAttrs.zipWithIndex.map { case (at, i) =>
+                  EqualTo(at, Literal.create(r.get(i), at.dataType)): Expression
+                }.reduce(And(_, _))
+              }.reduce(Or(_, _))
+              Some((keys, Some(guard)))
             }
           }
         }

@@ -234,4 +234,35 @@ class PointLookupRewriteSpec extends SparkTestBase {
     def qHalf = table.read(spark).filter(col("user_id") === uids.head)
     assert(scannedDataFiles(qHalf).isEmpty, "partial key probe must decline")
   }
+
+  test("composite-key MoR secondary probe: exact tuple guard, no leak") {
+    val path = Files.createTempDirectory("graft_plr_cse_").toString + "/t"
+    val table = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("user_id", "event_id"),
+      precombineCol = "ts_us", partitionCols = Seq("event_type"),
+      retainHistory = true))
+    // `tag` is a unique NON-key column to probe through the secondary.
+    val ev = eventsUs.withColumn("tag", col("event_id") * 1000L + 7L)
+    table.upsert(spark, ev, commitTime = "c0")
+    table.recordKeyIndex(spark)
+    table.secondaryIndex(spark, "tag")
+    // Migrate one composite key's winner to a fresh tag.
+    val base = table.read(spark)
+      .orderBy(col("user_id"), col("event_type")).limit(1).cache()
+    val oldTag = base.select("tag").as[Long].collect()(0)
+    table.upsert(spark,
+      base.withColumn("ts_us", col("ts_us") + 1000L)
+        .withColumn("tag", lit(999999999L)),
+      commitTime = "c1")
+    // The stale sidecar maps the OLD tag to the composite key; the
+    // exact tuple guard (OR-of-AND) bounds the swapped scan so the
+    // superseded version cannot leak through a shared candidate file.
+    val qOld = table.read(spark).filter(col("tag") === oldTag)
+    assert(scannedDataFiles(qOld).isDefined,
+      "the composite secondary probe must serve (pruned)")
+    assert(qOld.count() == 0L, "a migrated value must not resurrect")
+    val qNew = table.read(spark).filter(col("tag") === 999999999L)
+    assert(scannedDataFiles(qNew).isDefined)
+    assert(qNew.count() == 1L, "the delta-only value must be found")
+  }
 }
