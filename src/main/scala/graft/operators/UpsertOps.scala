@@ -1258,7 +1258,9 @@ object UpsertOps {
     table.recordColumnStats(s, Seq("event_id"))
     def q = table.read(s).filter(col("event_id").between(500L, 899L))
     val advice = IndexAdvisor.analyze(s, Seq(q))
-    s.conf.set("spark.graft.cluster.target.bytes", (256L << 10).toString)
+    // 1 MiB target: tight enough that the rewritten layout prunes at
+    // every fixture SF, coarse enough not to spray tiny files at sf0.1.
+    s.conf.set("spark.graft.cluster.target.bytes", (1L << 20).toString)
     try IndexAdvisor.createRecommended(s, advice)
     finally s.conf.unset("spark.graft.cluster.target.bytes")
     outputCols(q)

@@ -1237,6 +1237,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     */
   def recordColumnStats(spark: SparkSession, cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "column stats need at least one column")
+    notEvolvedGuard(spark, "column stats") // see colStatsFrame
     if (!exists(spark)) return
     val raw = readRaw(spark)
     // Each data file lives in exactly one partition directory, so its
@@ -1266,10 +1267,16 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * every data write deletes the sidecar BEFORE the write lands (see
     * [[recordColumnStats]]/`writeOut`), so a present sidecar covers
     * every data file (exists ⇒ current, the same invariant the bloom
-    * sidecar keeps).
+    * sidecar keeps). Evolved layouts decline like the bloom: a sidecar
+    * spanning generation dirs could hand a root-`basePath` scan files
+    * whose hive layout it cannot parse (and a raw root scan would gain
+    * rows it never listed) — [[recordColumnStats]] refuses to build one,
+    * and this guard keeps a pre-evolution sidecar from serving past the
+    * layout change even before the first generation write retires it.
     */
   private[graft] def colStatsFrame(spark: SparkSession): Option[DataFrame] = {
-    if (!fs(spark).exists(new Path(colStatsDir))) return None
+    if (!fs(spark).exists(new Path(colStatsDir)) || isEvolved(spark))
+      return None
     try Some(spark.read.parquet(colStatsDir))
     catch { case scala.util.control.NonFatal(_) => None }
   }

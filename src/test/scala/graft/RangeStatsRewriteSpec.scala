@@ -220,6 +220,30 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     assert(graft.plans.PlanWalk.scannedFiles(qnf).nonEmpty)
   }
 
+  test("partition evolution retires the stats from serving; rebuild refuses") {
+    val path = Files.createTempDirectory("graft_rng_evo_").toString + "/t"
+    val table = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("event_id"), precombineCol = "ts_us",
+      partitionCols = Seq("event_type"), globalKeys = true))
+    val ev = eventsUs
+    table.upsert(spark, ev, commitTime = "c0")
+    table.cluster(spark, Seq("event_id"), targetFileBytes = 4L << 10)
+    table.recordColumnStats(spark, Seq("event_id"))
+    table.read(spark) // warm the registry (raw scans never do)
+    def raw = spark.read.parquet(path)
+      .filter(col("event_id").between(100L, 299L))
+    assert(scannedDataFiles(raw).isDefined, "pre-evolution: raw scan serves")
+    table.evolvePartitioning(spark, Seq("user_id"))
+    // A sidecar recorded pre-evolution must stop serving the moment the
+    // layout changes: a raw root scan would otherwise be handed
+    // generation files it never listed once gen writes land.
+    assert(scannedDataFiles(raw).isEmpty,
+      "post-evolution the pre-layout sidecar must not serve")
+    assert(intercept[IllegalArgumentException](
+      table.recordColumnStats(spark, Seq("event_id"))
+    ).getMessage.contains("column stats"))
+  }
+
   test("spark.sql text over a view of the table serves through every rule") {
     val path = Files.createTempDirectory("graft_sql_idx_").toString + "/t"
     val table = KeyedTable(cowSpec(path))
