@@ -180,7 +180,8 @@ object SparkEntry {
     "q153_stream_table_feed" -> (UpsertOps.streamTableFeed(_, _)),
     "q154_stats_group_agg" -> (UpsertOps.statsGroupAggQuery(_, _)),
     "q155_indexed_delete" -> (UpsertOps.indexedDelete(_, _)),
-    "q156_layout_advisor" -> (UpsertOps.layoutAdvisedRange(_, _))
+    "q156_layout_advisor" -> (UpsertOps.layoutAdvisedRange(_, _)),
+    "q157_drop_partition" -> (UpsertOps.dropPartitionQuery(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -927,6 +928,11 @@ object SparkEntry {
     "q156_layout_advisor" ->
       """SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
         |FROM events WHERE event_id BETWEEN 500 AND 899""".stripMargin,
+    // metadata-only partition drop: a whole hive partition retires via
+    // directory deletes + a commit record, zero bytes rewritten
+    "q157_drop_partition" ->
+      """SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
+        |FROM events WHERE event_type <> 'click'""".stripMargin,
     // point-lookup pushdown: the optimizer swaps the scan onto the
     // record-level index's candidate files; the declarative filter is
     // the whole semantics (COW event_id keys — disjoint commits, no

@@ -1236,6 +1236,25 @@ object UpsertOps {
     outputCols(table.read(s))
   }
 
+  /** Metadata-only partition drop (q157;
+    * [[graft.table.KeyedTable.dropPartitions]]): retiring a whole hive
+    * partition deletes its directories and records the commit — zero
+    * bytes read or rewritten, the retention shape for a 100 TB table
+    * (a day's partition goes in O(its files) metadata operations). ≡
+    * the plain partition anti-filter — the oracle.
+    */
+  def dropPartitionQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path =
+      Files.createTempDirectory("graft_dropp_").toString + "/events_keyed"
+    val table = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("event_id"), precombineCol = "ts_us",
+      partitionCols = Seq("event_type")))
+    table.upsert(s, eventsUs(s, dir), commitTime = "c0")
+    table.dropPartitions(s, Seq("click").toDF("event_type"), commitTime = "c1")
+    outputCols(table.read(s))
+  }
+
   /** Layout advisor loop closed end-to-end (q156;
     * [[graft.plans.IndexAdvisor]] cluster recommendation): a range
     * workload over a table whose column stats EXIST but cannot skip

@@ -2511,6 +2511,43 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     }
   }
 
+  /** Metadata-only PARTITION drop — Hudi's `delete_partition` operation:
+    * remove whole hive partitions by deleting their directories and
+    * recording the commit, with NO data read or rewrite anywhere. At
+    * 100 TB this is how a day's partition retires: O(partition files)
+    * filesystem metadata operations, zero bytes moved — the retention
+    * shape [[delete]] (row anti-join) and [[deleteIndexed]] (file
+    * rewrite) are deliberately not. `parts` carries the partition
+    * columns (extra columns ignored); on a `retainHistory` table EVERY
+    * stored version under the partition goes — a partition drop erases
+    * history by definition, like the row-delete paths. The scoped
+    * commit record (removed = the partitions' files) keeps incremental
+    * readers and the record-level index's freshness delta sound; the
+    * value-stats and bloom sidecars go stale-absent as on every file-set
+    * change. Unknown partition values are no-ops (nothing to remove).
+    */
+  def dropPartitions(
+      spark: SparkSession, parts: DataFrame,
+      commitTime: String = defaultCommitTime()): Unit = {
+    notEvolvedGuard(spark, "partition drop") // dirs are root-layout
+    require(spec.partitionCols.nonEmpty,
+      "partition drop needs a partitioned table")
+    val provided = SchemaEvolution.dropSystemColumns(parts)
+    require(
+      spec.partitionCols.forall(provided.columns.contains),
+      s"partition-drop frame must carry ${spec.partitionCols.mkString(", ")}")
+    if (!exists(spark)) return
+    requireFreshCommitId(spark, commitTime)
+    val f = fs(spark)
+    val dirs = collectPartitionTuples(provided).map(partitionDirOf).toSet
+    val pre = relDataFilesUnder(spark, dirs)
+    if (pre.isEmpty) return // nothing stored under these partitions
+    f.delete(new Path(colStatsDir), true) // see writeOut
+    f.delete(new Path(bloomDir), true)    // see writeOut
+    dirs.foreach(d => f.delete(new Path(s"${spec.path}/$d"), true))
+    recordCommitScoped(spark, commitTime, "delete", pre, dirs)
+  }
+
   /** File-granular DELETE through the index family: rewrite ONLY the
     * files that can hold a doomed key — `lookupCandidateFiles` on the
     * key set, anti-join the candidates' rows, append the survivors,

@@ -126,4 +126,34 @@ class IndexedDeleteSpec extends SparkTestBase {
     table.deleteIndexed(spark, doomedDf)
     assert(outputSet(table.read(spark)) == expected)
   }
+
+  test("partition drop: directory deletes only, untouched files by name, index survives") {
+    val path = Files.createTempDirectory("graft_dropp_s_").toString + "/t"
+    val table = KeyedTable(cowSpec(path))
+    table.upsert(spark, eventsUs, commitTime = "c0")
+    table.recordKeyIndex(spark)
+    val before = dataFiles(path)
+    val expected = outputSet(table.read(spark)).filterNot(_._2 == "click")
+    table.dropPartitions(spark, Seq("click").toDF("event_type"),
+      commitTime = "c1")
+    assert(outputSet(table.read(spark)) == expected)
+    val after = dataFiles(path)
+    // Every surviving file is byte-untouched (same name); only the
+    // dropped partition's files left.
+    assert(after.subsetOf(before))
+    assert((before -- after).forall(_.contains("event_type=click")))
+    assert(!new java.io.File(s"$path/event_type=click").exists)
+    // The record-level index keeps serving: the scoped commit record's
+    // removed side subtracts the dropped files from the candidates.
+    val survivor = expected.head._4
+    val probe = Seq(survivor).toDF("event_id")
+    val cands = table.rliCandidateFiles(spark, probe)
+    assert(cands.isDefined && cands.get.size < after.size,
+      s"post-drop lookup must still prune: $cands of ${after.size}")
+    assert(outputSet(table.lookupKeys(spark, probe)) ==
+      expected.filter(_._4 == survivor))
+    // Unknown partition values are a no-op.
+    table.dropPartitions(spark, Seq("nope").toDF("event_type"))
+    assert(outputSet(table.read(spark)) == expected)
+  }
 }
