@@ -509,8 +509,10 @@ object UpsertOps {
     val table = KeyedTable(morSpec(path))
     val ev = eventsUs(s, dir)
     table.upsert(s, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
-    table.recordKeyIndex(s)
-    table.secondaryIndex(s, "event_id")
+    // Combined build: RLI + secondary from ONE resolved scan (the two
+    // sidecars describe the same row set; building them serially would
+    // scan + resolve the table twice).
+    table.recordIndexes(s, Seq("event_id"))
     table.upsert(s, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
     val vals: Seq[Any] = ev.filter(col("event_id") % 997 === 0)
       .select("event_id").distinct()

@@ -1144,6 +1144,58 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       entries.withColumn("built_at", lit(builtAt)), col("sval"))
   }
 
+  /** Build the record-level index AND the secondary indexes on
+    * `siColumns` from ONE resolved table scan. [[recordKeyIndex]] and
+    * [[secondaryIndex]] each pay a full scan + latest-per-key resolve;
+    * when a table wants both (the normal shape — a secondary lookup
+    * routes value→keys→files THROUGH the RLI), the resolve is identical,
+    * so this builds every sidecar from a single persisted resolve: at
+    * 100 TB that halves (or better, with several secondary columns) the
+    * dominant index-build cost. Each sidecar's entries and `built_at`
+    * are exactly what the serial builds would write.
+    */
+  def recordIndexes(spark: SparkSession, siColumns: Seq[String]): Unit = {
+    if (!exists(spark)) return
+    siColumns.foreach(requireSiColumn)
+    val tableCols = readRaw(spark).columns.toSet
+    siColumns.foreach(c => require(tableCols.contains(c),
+      s"secondary-index column '$c' is not in the table schema"))
+    val builtAt = KeyedTable.timelineMarkers(spark, spec.path)
+      .lastOption.map(KeyedTable.markerCommit).getOrElse("")
+    val resolved = lookupResolve(
+      spark, readRaw(spark).withColumn("_graft_rel", relFileExpr(spark)))
+    // One narrow frame carrying every sidecar's columns (values aliased
+    // positionally — a user column may be named `sval`/`k_0`), persisted
+    // so the scan + window resolve runs once; each publish below is a
+    // metadata-sized select over it.
+    val svAlias = siColumns.zipWithIndex.map { case (c, i) =>
+      c -> s"_graft_sv_$i"
+    }.toMap
+    val keyAliases = spec.keyCols.zipWithIndex.map { case (c, i) =>
+      col(c).as(s"_graft_k_$i")
+    }
+    val combined = resolved.select(
+      rliEntryCols ++
+        siColumns.map(c => col(c).as(svAlias(c))) ++ keyAliases: _*)
+      .persist()
+    try {
+      val rliNames = Seq("key", "pp", "file", "pre", "ct") ++
+        spec.tiebreakCols.indices.map(i => s"tb_$i")
+      publishRli(spark, combined
+        .select(rliNames.map(col): _*)
+        .withColumn("built_at", lit(builtAt)))
+      siColumns.foreach { c =>
+        val entries = combined.select(
+          rliNames.map(col) ++
+            (col(svAlias(c)).as("sval") +:
+              spec.keyCols.indices.map(i =>
+                col(s"_graft_k_$i").as(s"k_$i"))): _*)
+        publishSidecar(spark, siDirName(c),
+          entries.withColumn("built_at", lit(builtAt)), col("sval"))
+      }
+    } finally combined.unpersist()
+  }
+
   /** Incremental maintenance at O(delta) — the RLI skeleton over this
     * sidecar's entries: refresh ≡ rebuild (winner-settled on resolving
     * tables), boundary advances, unprovable deltas rebuild.

@@ -80,6 +80,36 @@ class SecondaryIndexSpec extends SparkTestBase {
       s"secondary lookup must open a strict subset: ${cands.get.size} of $total")
   }
 
+  test("combined recordIndexes == serial builds: same entries, same lookups") {
+    val pa = Files.createTempDirectory("graft_si_comb_").toString + "/t"
+    val table = KeyedTable(morSpec(pa))
+    val ev = eventsUs
+    table.upsert(spark, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    table.upsert(spark, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    // Serial builds over the SAME data files, snapshotted; then the
+    // combined one-scan build must reproduce them entry for entry.
+    table.recordKeyIndex(spark)
+    table.secondaryIndex(spark, "event_id")
+    def snapshot(sidecar: String): (Seq[String], Set[String]) = {
+      val df = spark.read.parquet(s"$pa/$sidecar")
+      val cols = df.columns.sorted.toSeq
+      (cols, df.select(cols.map(col): _*).collect().map(_.toString).toSet)
+    }
+    val serial = Seq("_graft_rli", "_graft_si_event_id").map(snapshot)
+    table.recordIndexes(spark, Seq("event_id")) // ONE resolved scan
+    Seq("_graft_rli", "_graft_si_event_id").zip(serial).foreach {
+      case (sidecar, (cols, rows)) =>
+        val (cols2, rows2) = snapshot(sidecar)
+        assert(cols2 == cols, sidecar)
+        assert(rows2 == rows, s"$sidecar entries must match the serial build")
+    }
+    val vals = probeVals
+    assert(outputSet(table.lookupByColumn(spark, "event_id", vals))
+      == oracle(table, vals))
+    val cands = composedCandidates(table, vals)
+    assert(cands.isDefined && cands.get.size < dataFileCount(pa))
+  }
+
   test("stale index over MoR appends: delta values found, exact and pruned") {
     val path = Files.createTempDirectory("graft_si_mor_").toString + "/t"
     val table = KeyedTable(morSpec(path))
