@@ -181,7 +181,11 @@ object SparkEntry {
     "q154_stats_group_agg" -> (UpsertOps.statsGroupAggQuery(_, _)),
     "q155_indexed_delete" -> (UpsertOps.indexedDelete(_, _)),
     "q156_layout_advisor" -> (UpsertOps.layoutAdvisedRange(_, _)),
-    "q157_drop_partition" -> (UpsertOps.dropPartitionQuery(_, _))
+    "q157_drop_partition" -> (UpsertOps.dropPartitionQuery(_, _)),
+    "q158_ts_range_prune" -> (UpsertOps.tsRangePrunedQuery(_, _)),
+    "q159_mor_range_prune" -> (UpsertOps.morRangePruned(_, _)),
+    "q160_stream_si_join" -> (UpsertOps.streamSecondaryLookupJoin(_, _)),
+    "q161_string_range_prune" -> (UpsertOps.stringRangePrunedQuery(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -933,6 +937,51 @@ object SparkEntry {
     "q157_drop_partition" ->
       """SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
         |FROM events WHERE event_type <> 'click'""".stripMargin,
+    // typed (timestamp) range pruning: the declarative filter is the
+    // whole semantics, the stats sidecar only changes which files open
+    "q158_ts_range_prune" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       epoch_us(o_orderdate) AS od_us
+        |FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                      AND TIMESTAMP '1996-12-31 23:59:59'""".stripMargin,
+    // merge-on-read range pruning: reconstruct the two commits (c1
+    // shifts every 11th user's timestamps past the whole original
+    // domain), resolve latest per key scope, then the range filter —
+    // the trap being that a c0 version inside the range whose c1 winner
+    // left it must NOT appear
+    "q159_mor_range_prune" ->
+      """WITH mm AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+        |            FROM events),
+        |u AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT user_id, event_type,
+        |         epoch_us(ts) + (SELECT mx - mn + 1000000 FROM mm) AS ts_us,
+        |         event_id, value
+        |  FROM events WHERE user_id % 11 = 0),
+        |w AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                               ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM u)
+        |SELECT user_id, event_type, ts_us, event_id, value
+        |FROM w, mm WHERE rn = 1
+        |  AND ts_us BETWEEN mn + (mx - mn) // 4 AND mn + (mx - mn) // 2""".stripMargin,
+    // streamed secondary-index enrichment == the batch join: per-nation
+    // event rollup joined to the per-nation customer rollup
+    "q160_stream_si_join" ->
+      s"""WITH b AS (SELECT user_id % 25 AS nat, count(*) AS n_events
+         |           FROM events GROUP BY 1),
+         |d AS (SELECT CAST(c_nationkey AS BIGINT) AS nat, count(*) AS n_cust,
+         |             ${dsum("c_acctbal")} AS sum_acctbal
+         |      FROM customer GROUP BY 1)
+         |SELECT b.nat, b.n_events, d.n_cust, d.sum_acctbal
+         |FROM b JOIN d USING (nat)""".stripMargin,
+    // string (lexicographic) range pruning over the lang-clustered docs
+    "q161_string_range_prune" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang >= 'en' AND lang < 'fr'""".stripMargin,
     // point-lookup pushdown: the optimizer swaps the scan onto the
     // record-level index's candidate files; the declarative filter is
     // the whole semantics (COW event_id keys — disjoint commits, no

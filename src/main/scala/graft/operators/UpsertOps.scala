@@ -1191,6 +1191,167 @@ object UpsertOps {
     outputCols(table.read(s).filter(col("event_id").between(100L, 499L)))
   }
 
+  /** Declarative TIMESTAMP range pruning (q158): the same rule-served
+    * shape as q151, but the clustered/stats column is a real timestamp —
+    * `WHERE o_orderdate BETWEEN …` over a declarative read, the single
+    * most common real filter on a time-series table (and the shape the
+    * reference's own `date` column would need,
+    * glue-streaming-job-script/glue_job_script.py:55). Bounds are kept
+    * in the column's own type end-to-end: the sidecar stores native
+    * timestamp min/max, the rule extracts typed literals with
+    * inclusivity flags, and the file selection compares in Spark with
+    * the exact ordering the residual filter uses. ≡ a plain range
+    * filter — the oracle; the index only changes which files open.
+    */
+  def tsRangePrunedQuery(s: SparkSession, dir: String): DataFrame = {
+    val path =
+      Files.createTempDirectory("graft_tsrngq_").toString + "/orders_keyed"
+    val table = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("o_orderkey"), precombineCol = "o_orderdate",
+      partitionCols = Seq("o_orderstatus")))
+    val orders = Tables.orders(s, dir)
+    table.upsert(s, orders, commitTime = "c0")
+    table.cluster(s, Seq("o_orderdate"), targetFileBytes = 64L << 10)
+    table.recordColumnStats(s, Seq("o_orderdate"))
+    val dt = orders.schema("o_orderdate").dataType
+    val lo = lit("1996-01-01 00:00:00").cast(dt)
+    val hi = lit("1996-12-31 23:59:59").cast(dt)
+    table.read(s)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") <= hi)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        expr("unix_micros(cast(o_orderdate as timestamp_ltz))").as("od_us"))
+  }
+
+  /** Declarative STRING range pruning (q161): lexicographic range over a
+    * lang-clustered documents table — string min/max bounds follow the
+    * Iceberg truncation convention in the sidecar (sound prefix lower /
+    * incremented-prefix upper bounds) and the rule compares them with
+    * Spark's own UTF8 byte ordering, the exact ordering the residual
+    * filter uses. The reference's `date` strings (yyyy-mm-dd,
+    * glue_job_script.py:55) prune through this path: string order =
+    * date order for that format. ≡ a plain range filter — the oracle.
+    */
+  def stringRangePrunedQuery(s: SparkSession, dir: String): DataFrame = {
+    val path =
+      Files.createTempDirectory("graft_strrngq_").toString + "/docs_keyed"
+    val table = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("doc_id"), precombineCol = "n_chars"))
+    table.upsert(
+      s,
+      Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
+      commitTime = "c0")
+    table.cluster(s, Seq("lang"), targetFileBytes = 16L << 10)
+    table.recordColumnStats(s, Seq("lang"))
+    table.read(s)
+      .filter(col("lang") >= lit("en") && col("lang") < lit("fr"))
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  /** Merge-on-read range pruning (q159;
+    * [[graft.table.KeyedTable.readPrunedResolving]]): the range read
+    * [[graft.table.KeyedTable.readPruned]] refuses on history tables,
+    * made sound — stats over ALL version files select the candidate
+    * range files, their in-range rows' DISTINCT KEYS are the only keys
+    * whose winner can be in range, and those keys' latest state comes
+    * through the stale-settled RLI lookup with the range re-applied as
+    * residual. The trap this prices: c1 moves some keys' timestamps OUT
+    * of the probed range — a naive prune would resurrect their
+    * superseded in-range c0 versions; the composition discards them.
+    * ≡ resolve-latest ∘ range filter — the oracle.
+    */
+  def morRangePruned(s: SparkSession, dir: String): DataFrame = {
+    val path =
+      Files.createTempDirectory("graft_morrng_").toString + "/events_keyed"
+    val table = KeyedTable(morSpec(path))
+    val ev = eventsUs(s, dir)
+    val Array(r) = ev.agg(min("ts_us").as("mn"), max("ts_us").as("mx")).collect()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val span = mx - mn
+    table.upsert(s, ev, commitTime = "c0")
+    table.recordKeyIndex(s) // stale after c1 — the lookup settles
+    // "Corrections": every 11th user's events re-land with timestamps
+    // shifted past the whole original domain — their winners leave any
+    // in-domain range.
+    table.upsert(
+      s,
+      ev.filter(col("user_id") % 11 === 0)
+        .withColumn("ts_us", col("ts_us") + lit(span + 1000000L)),
+      commitTime = "c1")
+    table.recordColumnStats(s, Seq("ts_us")) // over ALL version files
+    outputCols(table.readPrunedResolving(
+      s,
+      Seq(graft.table.ColumnRange.inclusive(
+        "ts_us", mn + span / 4, mn + span / 2))))
+  }
+
+  /** Streaming enrichment through the SECONDARY index (q160): the
+    * value-side twin of q149 — each micro-batch derives its dimension
+    * probe VALUES (nation ids), routes value→keys through the
+    * `_graft_si_c_nationkey` sidecar and keys→files through the RLI
+    * ([[graft.table.KeyedTable.lookupByColumn]]), and joins the
+    * broadcast dimension slice. Per-batch dimension cost is
+    * O(probe values + delta files), never a dim scan — enriching a
+    * stream against a mutable 100 TB dimension by a NON-key attribute.
+    * The index is stale from the first batch (c1 re-lands a slice after
+    * the build) but the resolved state is unchanged; ≡ the batch join —
+    * the oracle.
+    */
+  def streamSecondaryLookupJoin(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_stream_silkj_").toString
+    val src = stageOnce(dir, "shuffled")(stageShuffledJson(s, dir))
+    val stagedSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts_us BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE")
+    val dimTable = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/customer_keyed",
+      keyCols = Seq("c_custkey"),
+      precombineCol = "c_acctbal",
+      partitionCols = Seq("c_mktsegment"),
+      retainHistory = true))
+    val cust = Tables.customer(s, dir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal", "c_nationkey")
+    dimTable.upsert(s, cust, commitTime = "c0")
+    dimTable.recordIndexes(s, Seq("c_nationkey")) // RLI + secondary, one scan
+    dimTable.upsert(s, cust.filter(col("c_custkey") % 3 === 0), commitTime = "c1")
+    val out = s"$tmp/out"
+    val q = JsonStreamSource.stream(s, src, schema = Some(stagedSchema))
+      .writeStream
+      .queryName("graft-stream-secondary-join")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val sp = batch.sparkSession
+          // Partial aggregate FIRST: the dimension joins the batch's
+          // per-nation rollup (≤25 rows), not its raw rows.
+          val b = batch.groupBy((col("user_id") % 25).as("nat"))
+            .agg(count(lit(1)).as("n")).persist()
+          try {
+            val vals: Seq[Any] =
+              b.select("nat").collect().map(_.getLong(0)).toSeq
+            val dimRows = dimTable.lookupByColumn(sp, "c_nationkey", vals)
+              .groupBy(col("c_nationkey").cast("long").as("nat"))
+              .agg(
+                count(lit(1)).as("n_cust"),
+                sum(col("c_acctbal").cast("decimal(18,4)"))
+                  .cast("double").as("sum_acctbal"))
+            b.join(broadcast(dimRows), Seq("nat"))
+              .write.mode("append").parquet(out)
+          } finally { b.unpersist(); () }
+        }
+      }
+      .option("checkpointLocation", s"$tmp/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .groupBy(col("nat"))
+      .agg(
+        sum(col("n")).as("n_events"),
+        max(col("n_cust")).as("n_cust"),
+        max(col("sum_acctbal")).as("sum_acctbal"))
+  }
+
   /** Metadata-only aggregates (q152;
     * [[graft.plans.StatsAggregateRewrite]]): whole-table min/max/count
     * over a keyed copy-on-write table answered from the column-stats

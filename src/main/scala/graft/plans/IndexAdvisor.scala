@@ -51,10 +51,10 @@ object IndexAdvisor {
     // belongs to the point family above — recommending column stats for
     // it would shadow the exact index with a weaker one.
     val rangeMatches = plans.flatMap(rangeRule.rangeShapes)
-      .map(m => (m, m.ranges.filter { case (_, lo, hi) => lo < hi }))
+      .map(m => (m, m.ranges.filterNot(_.isPoint)))
       .filter(_._2.nonEmpty)
     val rangeShapes = rangeMatches.flatMap { case (m, rs) =>
-      rs.map { case (c, _, _) => (m.spec.path, "column_stats", c) }
+      rs.map(r => (m.spec.path, "column_stats", r.column))
     }
     // LAYOUT advice: stats that exist but barely skip mean the files
     // overlap the probed column — the index can't help until a sort
@@ -68,14 +68,13 @@ object IndexAdvisor {
         val statCols = t.colStatsFrame(spark).map(_.columns.toSeq).getOrElse(Nil)
         // Only stats-COVERED columns can be measured (uncovered ones got
         // the column_stats rec above; the next analyze round measures).
-        val covered = rs.filter { case (c, _, _) =>
-          statCols.exists(_.equalsIgnoreCase(s"min_$c"))
-        }
+        val covered = rs.filter(r =>
+          statCols.exists(_.equalsIgnoreCase(s"min_${r.column}")))
         if (covered.isEmpty) Nil
-        else t.rangeCandidateFiles(spark, covered) match {
+        else t.rangeCandidateFilesTyped(spark, covered) match {
           case Some((sel, total)) if total > 1 &&
               sel.length.toDouble / total > 0.8 =>
-            covered.map { case (c, _, _) => (m.spec.path, "cluster", c) }
+            covered.map(r => (m.spec.path, "cluster", r.column))
           case _ => Nil
         }
       } catch { case scala.util.control.NonFatal(_) => Nil }

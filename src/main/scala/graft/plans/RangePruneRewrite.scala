@@ -29,7 +29,11 @@ import graft.table.KeyedTable
   * rooted at a REGISTERED keyed-table path ([[KeyedTable.specRegistry]],
   * warmed by `read` — zero filesystem work on unrelated plans) with at
   * least one literal range conjunct (`>=`, `>`, `<=`, `<`, `=`, either
-  * orientation) on an INTEGRAL column. Conjuncts on the same column
+  * orientation) on an ORDERED column — integers, floats, dates,
+  * timestamps, decimals, strings ([[KeyedTable.statsOrderedType]], the
+  * same set Iceberg/Hudi record column bounds for; a `WHERE ts BETWEEN`
+  * over a clustered time-series table is the canonical customer of this
+  * rule). Conjuncts on the same column
   * intersect; conjuncts over several columns prune conjunctively — over
   * a Z-ordered layout ([[KeyedTable.clusterZOrder]]) each file is a
   * rectangle in the clustered key space, so a 2-D probe multiplies the
@@ -72,7 +76,7 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private[plans] final case class RangeMatch(
       f: Filter, lr: LogicalRelation, fsRel: HadoopFsRelation, root: String,
-      spec: graft.table.KeyedTableSpec, ranges: Seq[(String, Long, Long)])
+      spec: graft.table.KeyedTableSpec, ranges: Seq[graft.table.ColumnRange])
 
   /** Every range shape in `plan` this rule would serve if column stats
     * existed (no sidecar IO, no filesystem work beyond the registry).
@@ -87,19 +91,6 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def tryRewrite(f: Filter): Option[LogicalPlan] =
     matchRange(f).flatMap(serveRange)
-
-  private def integral(t: DataType): Boolean = t match {
-    case ByteType | ShortType | IntegerType | LongType => true
-    case _ => false
-  }
-
-  private def litLong(l: Literal): Option[Long] = l.value match {
-    case b: java.lang.Byte    => Some(b.longValue)
-    case s: java.lang.Short   => Some(s.longValue)
-    case i: java.lang.Integer => Some(i.longValue)
-    case j: java.lang.Long    => Some(j.longValue)
-    case _ => None
-  }
 
   private def matchRange(f: Filter): Option[RangeMatch] = {
     val conds = mutable.Buffer.empty[(Expression, Int)]
@@ -130,48 +121,82 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
     def relAttrOf(e: Expression): Option[Attribute] = subst(e) match {
       case a: Attribute if relIds.contains(a.exprId) &&
-        integral(a.dataType) && !a.name.startsWith("_graft_") => Some(a)
+        graft.table.KeyedTable.statsOrderedType(a.dataType) &&
+        !a.name.startsWith("_graft_") => Some(a)
       case _ => None
     }
-    // One inclusive (lo?, hi?) contribution per range conjunct; a strict
-    // bound at the type edge (v+1 / v-1 would overflow) is simply
-    // skipped — serving without it stays sound, the residual keeps it.
-    def boundOf(e: Expression): Option[(Attribute, Option[Long], Option[Long])] = {
-      def at(x: Expression) = relAttrOf(x)
-      def lo(x: Expression, v: Long) = at(x).map((_, Some(v), None: Option[Long]))
-      def hi(x: Expression, v: Long) = at(x).map((_, None: Option[Long], Some(v)))
+    // One (lo?, hi?) contribution per range conjunct, the literal kept in
+    // the COLUMN'S OWN type (analysis guarantees a cast-free comparison
+    // has equal types on both sides; a Cast around the attribute fails
+    // relAttrOf and declines). Strictness rides as a flag — uniform
+    // across integers, dates, timestamps, decimals and strings, no ±1.
+    // A null literal never matches (comparisons to null are never true).
+    final case class Bound(
+        a: Attribute, lo: Option[(Literal, Boolean)],
+        hi: Option[(Literal, Boolean)])
+    def boundOf(e: Expression): Option[Bound] = {
+      def ok(a: Expression, l: Literal): Option[(Attribute, Literal)] =
+        relAttrOf(a).filter(at => l.value != null && l.dataType == at.dataType)
+          .map((_, l))
       e match {
-        case GreaterThanOrEqual(a, l: Literal) => litLong(l).flatMap(lo(a, _))
-        case GreaterThanOrEqual(l: Literal, a) => litLong(l).flatMap(hi(a, _))
-        case LessThanOrEqual(a, l: Literal)    => litLong(l).flatMap(hi(a, _))
-        case LessThanOrEqual(l: Literal, a)    => litLong(l).flatMap(lo(a, _))
+        case GreaterThanOrEqual(a, l: Literal) =>
+          ok(a, l).map { case (at, v) => Bound(at, Some((v, true)), None) }
+        case GreaterThanOrEqual(l: Literal, a) =>
+          ok(a, l).map { case (at, v) => Bound(at, None, Some((v, true))) }
+        case LessThanOrEqual(a, l: Literal) =>
+          ok(a, l).map { case (at, v) => Bound(at, None, Some((v, true))) }
+        case LessThanOrEqual(l: Literal, a) =>
+          ok(a, l).map { case (at, v) => Bound(at, Some((v, true)), None) }
         case GreaterThan(a, l: Literal) =>
-          litLong(l).filter(_ != Long.MaxValue).flatMap(v => lo(a, v + 1))
+          ok(a, l).map { case (at, v) => Bound(at, Some((v, false)), None) }
         case GreaterThan(l: Literal, a) =>
-          litLong(l).filter(_ != Long.MinValue).flatMap(v => hi(a, v - 1))
+          ok(a, l).map { case (at, v) => Bound(at, None, Some((v, false))) }
         case LessThan(a, l: Literal) =>
-          litLong(l).filter(_ != Long.MinValue).flatMap(v => hi(a, v - 1))
+          ok(a, l).map { case (at, v) => Bound(at, None, Some((v, false))) }
         case LessThan(l: Literal, a) =>
-          litLong(l).filter(_ != Long.MaxValue).flatMap(v => lo(a, v + 1))
+          ok(a, l).map { case (at, v) => Bound(at, Some((v, false)), None) }
         case EqualTo(a, l: Literal) =>
-          litLong(l).flatMap(v => at(a).map((_, Some(v), Some(v))))
+          ok(a, l).map { case (at, v) =>
+            Bound(at, Some((v, true)), Some((v, true))) }
         case EqualTo(l: Literal, a) =>
-          litLong(l).flatMap(v => at(a).map((_, Some(v), Some(v))))
+          ok(a, l).map { case (at, v) =>
+            Bound(at, Some((v, true)), Some((v, true))) }
         case _ => None
       }
     }
 
-    val acc = mutable.LinkedHashMap.empty[String, (Option[Long], Option[Long])]
-    split.flatMap(boundOf).foreach { case (a, lo, hi) =>
-      val name = a.name
-      val (l0, h0) = acc.getOrElse(name, (None, None))
-      acc(name) = (
-        (l0 ++ lo).reduceOption(_ max _),
-        (h0 ++ hi).reduceOption(_ min _))
+    // Conjuncts on the same column intersect: highest lo / lowest hi
+    // wins, exclusive beating inclusive at a tie. Comparison uses the
+    // type's own interpreted ordering over the CATALYST literal values.
+    val acc = mutable.LinkedHashMap.empty[
+      String, (Attribute, Option[(Literal, Boolean)], Option[(Literal, Boolean)])]
+    split.flatMap(boundOf).foreach { case Bound(a, lo, hi) =>
+      val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(a.dataType)
+      def tighterLo(x: (Literal, Boolean), y: (Literal, Boolean)) = {
+        val c = ord.compare(x._1.value, y._1.value)
+        if (c > 0) x else if (c < 0) y
+        else if (!x._2) x else y // equal values: exclusive is tighter
+      }
+      def tighterHi(x: (Literal, Boolean), y: (Literal, Boolean)) = {
+        val c = ord.compare(x._1.value, y._1.value)
+        if (c < 0) x else if (c > 0) y
+        else if (!x._2) x else y
+      }
+      val (_, l0, h0) = acc.getOrElse(a.name, (a, None, None))
+      acc(a.name) = (a,
+        (l0.toSeq ++ lo.toSeq).reduceOption(tighterLo),
+        (h0.toSeq ++ hi.toSeq).reduceOption(tighterHi))
     }
     if (acc.isEmpty) return None
-    val ranges = acc.toSeq.map { case (c, (lo, hi)) =>
-      (c, lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))
+    // Scala-side literal values for `lit()` in the sidecar comparison.
+    val ranges = acc.toSeq.map { case (c, (a, lo, hi)) =>
+      val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(a.dataType)
+      graft.table.ColumnRange(
+        c,
+        lo.map(b => toScala(b._1.value)), lo.forall(_._2),
+        hi.map(b => toScala(b._1.value)), hi.forall(_._2))
     }
     Some(RangeMatch(f, lr, fsRel, root, spec, ranges))
   }
@@ -179,7 +204,7 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   /** The serving half: one sidecar read + the scan swap. */
   private def serveRange(m: RangeMatch): Option[LogicalPlan] = {
     val table = KeyedTable(m.spec)
-    table.rangeCandidateFiles(spark, m.ranges).flatMap { case (files, _) =>
+    table.rangeCandidateFilesTyped(spark, m.ranges).flatMap { case (files, _) =>
       val total = m.fsRel.location.inputFiles.length
       if (files.length >= total) None
       else {
@@ -188,7 +213,7 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           spark, files, Map("basePath" -> m.root), partSchema)
         logInfo(s"range-prune rewrite: ${m.root} scan pruned to " +
           s"${files.length} of $total files via column stats on " +
-          m.ranges.map(_._1).mkString(", "))
+          m.ranges.map(_.column).mkString(", "))
         // Same relation, same output attributes — only the file set
         // changes, so nothing above needs exprId surgery.
         Some(m.f.transformUp {

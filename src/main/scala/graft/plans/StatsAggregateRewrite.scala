@@ -33,10 +33,15 @@ import graft.table.KeyedTable
   * isnotnull) on a PARTITION column: partition conjuncts select whole
   * files exactly, so the fold over the selected sidecar rows IS the
   * aggregate over the filtered table, nothing residual — and
-  * whose every aggregate is one of `min(col)` / `max(col)` (integral
-  * columns, matching what [[KeyedTable.recordColumnStats]] records),
-  * `count(*)`/`count(1)` (served from per-file `cnt`), or `count(col)`
-  * (served from `nn_<col>`); no DISTINCT, no FILTER clauses. Any other
+  * whose every aggregate is one of `min(col)` / `max(col)` (any ORDERED
+  * stats type — integers, floats, dates, timestamps, decimals, strings;
+  * [[KeyedTable.statsOrderedType]], matching what
+  * [[KeyedTable.recordColumnStats]] records; string bounds must
+  * additionally be stored untruncated — see the serve-time guard),
+  * `sum(col)` (INTEGRAL columns only — the one type whose per-file sums
+  * fold bit-exactly), `count(*)`/`count(1)` (served from per-file
+  * `cnt`), or `count(col)` (served from `nn_<col>`); no DISTINCT, no
+  * FILTER clauses. Any other
   * aggregate declines the whole node — partial serving would still
   * scan. Group counts beyond [[StatsAggregateRewrite.MaxGroups]]
   * decline (a LocalRelation is driver-resident; a group explosion
@@ -50,9 +55,10 @@ import graft.table.KeyedTable
   * per-file fold is exact, not approximate — `min` over file minima
   * equals `min` over rows (`min`/`max` ignore nulls on both levels, an
   * all-null file contributes a null minimum which the fold ignores),
-  * counts add, and partition-grouped folds partition the file set. The
-  * long-cast storage is lossless for the integral columns admitted
-  * here; values are cast back to the column's own type on serve.
+  * counts add, and partition-grouped folds partition the file set.
+  * Bounds are stored in each column's own type; pre-typed sidecars
+  * stored integral bounds as longs, which narrow back losslessly on
+  * serve.
   *
   * Plan-time cost is one metadata-sized sidecar read, gated behind the
   * registry hit and the all-servable aggregate list; idempotent because
@@ -203,16 +209,25 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
+          // Min/Max fold exactly for every ORDERED stats type: min over
+          // per-file minima equals min over rows (same interpreted
+          // ordering at both levels, nulls ignored at both levels).
+          // Strings additionally require the stored bounds untruncated —
+          // checked at serve time via the sidecar's `trunc_<col>` flags.
           case Min(e) =>
-            relAttrOf(e).filter(at => integral(at.dataType))
+            relAttrOf(e)
+              .filter(at => KeyedTable.statsOrderedType(at.dataType))
               .map(at => MinOf(at.name, at.dataType)).getOrElse(return None)
           case Max(e) =>
-            relAttrOf(e).filter(at => integral(at.dataType))
+            relAttrOf(e)
+              .filter(at => KeyedTable.statsOrderedType(at.dataType))
               .map(at => MaxOf(at.name, at.dataType)).getOrElse(return None)
-          // Sum(integral) folds bit-exactly: long addition is
+          // Sum(integral) ONLY folds bit-exactly: long addition is
           // associative mod 2^64, the same arithmetic Spark's own
           // partial+final Sum performs, and the output is LongType for
-          // every integral input.
+          // every integral input. FP sums are order-sensitive and
+          // decimal sums change precision per fold level — a sum over
+          // any non-integral column declines the whole node to a scan.
           case s: Sum =>
             relAttrOf(s.child).filter(at => integral(at.dataType))
               .map(at => SumOf(at.name)).getOrElse(return None)
@@ -258,15 +273,38 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           if (st.columns.contains("cnt")) Some(sum(col("cnt"))) else None
         case CountCol(c) => statCol("nn", c).map(s => sum(col(s)))
       }
-      if (folds.exists(_.isEmpty) || groupStatCols.exists(_.isEmpty)) None
+      // String min/max serve only from EXACT stored bounds: any selected
+      // file whose bounds were truncated (`trunc_<col>` — the Iceberg
+      // prefix convention) makes the stored value a bound, not the
+      // answer, so the whole node declines to a scan. One guard fold per
+      // string column, appended after the value folds; a sidecar missing
+      // the flag column predates the convention and declines too.
+      val guardCols: Seq[Option[String]] = needs.collect {
+        case MinOf(c, StringType) => statCol("trunc", c)
+        case MaxOf(c, StringType) => statCol("trunc", c)
+      }.distinct
+      if (folds.exists(_.isEmpty) || groupStatCols.exists(_.isEmpty) ||
+          guardCols.exists(_.isEmpty)) None
       else {
-        val exprs = folds.flatten.zipWithIndex.map { case (c, i) => c.as(s"v$i") }
+        val valueExprs = folds.flatten.zipWithIndex
+          .map { case (c, i) => c.as(s"v$i") }
+        val guardExprs = guardCols.flatten.zipWithIndex
+          .map { case (g, i) => max(col(g)).as(s"g$i") }
+        val exprs = valueExprs ++ guardExprs
         val folded =
           if (groupStatCols.isEmpty) stSel.agg(exprs.head, exprs.tail: _*)
           else stSel.groupBy(groupStatCols.flatten.map(col): _*)
             .agg(exprs.head, exprs.tail: _*)
         val rows = folded.limit(MaxGroups + 1).collect()
         if (rows.length > MaxGroups) return None
+        val nGuards = guardExprs.length
+        val truncated = rows.exists { row =>
+          (0 until nGuards).exists { gi =>
+            val at = row.length - nGuards + gi
+            !row.isNullAt(at) && row.getBoolean(at)
+          }
+        }
+        if (truncated) return None
         val nGroups = groupStatCols.length
         val toCatalyst = groupAttrs.map(at =>
           CatalystTypeConverters.createToCatalystConverter(at.dataType))
@@ -285,10 +323,10 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             case (GroupOf(_, _, gi), _) => toCatalyst(gi)(row.get(gi))
             case (n, i) =>
               val at = nGroups + aggPos(i)
-              val v: Any = if (row.isNullAt(at)) null else row.getLong(at)
+              val v: Any = if (row.isNullAt(at)) null else row.get(at)
               n match {
-                case MinOf(_, t) => castBack(v, t)
-                case MaxOf(_, t) => castBack(v, t)
+                case MinOf(_, t) => toCatalystStat(v, t)
+                case MaxOf(_, t) => toCatalystStat(v, t)
                 case SumOf(_)    => v // sum over no rows is null, like Spark
                 // count over zero files is 0, never null
                 case _ => if (v == null) 0L else v
@@ -303,16 +341,21 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Stats store longs; hand back the column's own integral type. */
-  private def castBack(v: Any, t: DataType): Any = v match {
+  /** Scala-side fold value → Catalyst value in the column's own type.
+    * New sidecars store min/max NATIVELY (the fold value converts
+    * directly); pre-typed sidecars stored integral bounds as longs, so a
+    * boxed Long narrows back to the column's integral type.
+    */
+  private def toCatalystStat(v: Any, t: DataType): Any = v match {
     case null => null
-    case l: Long => t match {
-      case ByteType    => l.toByte
-      case ShortType   => l.toShort
-      case IntegerType => l.toInt
-      case LongType    => l
-      case _           => l
+    case l: java.lang.Long => t match {
+      case ByteType    => l.byteValue
+      case ShortType   => l.shortValue
+      case IntegerType => l.intValue
+      case LongType    => l.longValue
+      case _ => CatalystTypeConverters.createToCatalystConverter(t)(l)
     }
+    case other => CatalystTypeConverters.createToCatalystConverter(t)(other)
   }
 }
 

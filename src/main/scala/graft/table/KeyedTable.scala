@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, TimestampNTZType, TimestampType}
 
 import graft.schema.SchemaEvolution
 
@@ -43,6 +44,34 @@ final case class KeyedTableSpec(
     partitionCols: Seq[String] = Nil,
     globalKeys: Boolean = false,
     retainHistory: Boolean = false)
+
+/** One column's conjunctive range for column-stats file skipping: bounds
+  * are SCALA-side values in the column's own external type (`Long`,
+  * `String`, `java.sql.Timestamp`, `java.time.LocalDateTime`,
+  * `java.sql.Date`, `java.math.BigDecimal`, …) usable in `lit()`, with
+  * per-side inclusivity — strict bounds are carried as flags instead of
+  * the ±1 integer trick, so every ORDERED type serves uniformly (the
+  * Iceberg/Hudi column-stats model: min/max order is defined for dates,
+  * timestamps, decimals and strings, not just integers). An absent side
+  * is unbounded.
+  */
+final case class ColumnRange(
+    column: String,
+    lo: Option[Any], loInclusive: Boolean,
+    hi: Option[Any], hiInclusive: Boolean) {
+  /** An equality probe in range clothing (lo = hi, both inclusive) —
+    * the advisor routes these to the point-lookup family.
+    */
+  def isPoint: Boolean =
+    loInclusive && hiInclusive && lo.isDefined && lo == hi
+}
+
+object ColumnRange {
+  /** The legacy integral form: `column ∈ [lo, hi]`, both inclusive. */
+  def inclusive(column: String, lo: Long, hi: Long): ColumnRange =
+    ColumnRange(column, Some(lo), loInclusive = true,
+      Some(hi), hiInclusive = true)
+}
 
 /** Keyed upsert table over hive-partitioned Parquet.
   *
@@ -1292,24 +1321,63 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     notEvolvedGuard(spark, "column stats") // see colStatsFrame
     if (!exists(spark)) return
     val raw = readRaw(spark)
+    val schema = raw.schema
+    def dtOf(c: String): Option[DataType] =
+      schema.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+    cols.foreach(c => require(
+      dtOf(c).exists(KeyedTable.statsOrderedType),
+      s"column stats need an ordered type; '$c' is " +
+        dtOf(c).map(_.simpleString).getOrElse("absent")))
     // Each data file lives in exactly one partition directory, so its
     // partition tuple is a per-file CONSTANT — recorded as `p_<col>`,
     // it lets grouped aggregates over partition columns fold from the
     // sidecar too (each sidecar group is a whole set of files).
     val partAggs = spec.partitionCols.filter(raw.columns.contains)
       .map(pc => first(col(pc)).as(s"p_$pc"))
-    // Per-file SUM stored as a plain long: long addition is associative
-    // modulo 2^64, so folding per-file sums is bit-identical to Spark's
-    // own partial+final Sum over the rows — even under overflow.
+    def isIntegral(c: String) = dtOf(c).exists {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    // Min/max in the column's OWN type (the Iceberg/Hudi column-stats
+    // model — pruning comparisons then use the exact ordering the data
+    // filter uses, for dates/timestamps/decimals/strings alike). SUM is
+    // recorded for INTEGRAL columns only, as a plain long: long addition
+    // is associative modulo 2^64, so folding per-file sums is
+    // bit-identical to Spark's own partial+final Sum over the rows —
+    // even under overflow. (FP sums are order-sensitive, decimal sums
+    // change precision at each fold level — neither folds exactly, so
+    // neither is recorded and the aggregate rule declines to a scan.)
     val aggs = cols.flatMap(c => Seq(
-      min(col(c)).cast("long").as(s"min_$c"),
-      max(col(c)).cast("long").as(s"max_$c"),
-      sum(col(c)).cast("long").as(s"sum_$c"),
-      count(col(c)).as(s"nn_$c"))) ++ partAggs :+ count(lit(1)).as("cnt")
-    raw
+      min(col(c)).as(s"min_$c"),
+      max(col(c)).as(s"max_$c")) ++
+      (if (isIntegral(c)) Seq(sum(col(c)).cast("long").as(s"sum_$c")) else Nil) :+
+      count(col(c)).as(s"nn_$c")) ++ partAggs :+ count(lit(1)).as("cnt")
+    val perFile = raw
       .withColumn("file", input_file_name())
       .groupBy(col("file"))
       .agg(aggs.head, aggs.tail: _*)
+    // String bounds follow the Iceberg truncation convention so a
+    // pathological long-string column cannot bloat the metadata sidecar:
+    // the stored lower bound is a code-point prefix of the true min
+    // (prefix ≤ min ≤ every value — sound), the stored upper bound is
+    // the prefix with its last incrementable code point incremented
+    // (≥ every value — sound; UTF-8 is prefix-free and order-preserving,
+    // so the byte comparison Spark's filters use agrees). `trunc_<c>`
+    // records whether either stored bound may differ from the exact one:
+    // pruning doesn't care (bounds stay sound), but the stats-aggregate
+    // rule must DECLINE min/max serving on a truncated file — a
+    // truncated bound is not the value the aggregate would return.
+    val stringCols = cols.filter(c => dtOf(c).contains(StringType))
+    val statRows = stringCols.foldLeft(perFile) { (df, c) =>
+      df.withColumn(s"trunc_$c",
+          coalesce(length(col(s"min_$c")) > KeyedTable.StatsStringPrefix,
+            lit(false)) ||
+          coalesce(length(col(s"max_$c")) > KeyedTable.StatsStringPrefix,
+            lit(false)))
+        .withColumn(s"min_$c", KeyedTable.truncLowerUdf(col(s"min_$c")))
+        .withColumn(s"max_$c", KeyedTable.truncUpperUdf(col(s"max_$c")))
+    }
+    statRows
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(colStatsDir)
   }
@@ -1345,7 +1413,18 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     */
   private[graft] def rangeCandidateFiles(
       spark: SparkSession,
-      ranges: Seq[(String, Long, Long)]): Option[(Seq[Path], Int)] = {
+      ranges: Seq[(String, Long, Long)]): Option[(Seq[Path], Int)] =
+    rangeCandidateFilesTyped(
+      spark, ranges.map { case (c, lo, hi) => ColumnRange.inclusive(c, lo, hi) })
+
+  /** Typed form of [[rangeCandidateFiles]]: bounds in the columns' own
+    * types with per-side inclusivity — the shape
+    * [[graft.plans.RangePruneRewrite]] extracts from declarative plans
+    * over dates, timestamps, decimals and strings as well as integers.
+    */
+  private[graft] def rangeCandidateFilesTyped(
+      spark: SparkSession,
+      ranges: Seq[ColumnRange]): Option[(Seq[Path], Int)] = {
     require(!spec.retainHistory,
       "range candidates require a copy-on-write table (see readPruned)")
     colStatsFrame(spark).flatMap { st =>
@@ -1353,10 +1432,10 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       // Selecting on the COVERED subset of the conjunction stays sound
       // (dropped files satisfy no covered range, hence not the whole
       // conjunction); uncovered columns just don't contribute skipping.
-      val covered = ranges.filter { case (c, _, _) => cols.contains(s"min_$c") }
+      val covered = ranges.filter(r => cols.contains(s"min_${r.column}"))
       if (covered.isEmpty) None
       else try {
-        val (sel, total) = statsSelectedFiles(spark, covered)
+        val (sel, total) = statsSelectedFilesTyped(spark, covered)
         Some((sel.map(abs => new Path(new java.net.URI(abs))), total))
       } catch { case scala.util.control.NonFatal(_) => None }
     }
@@ -1376,12 +1455,32 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * multiplies the skip rates).
     */
   private[graft] def statsSelectedFiles(
-      spark: SparkSession, ranges: Seq[(String, Long, Long)]): (Seq[String], Int) = {
+      spark: SparkSession, ranges: Seq[(String, Long, Long)]): (Seq[String], Int) =
+    statsSelectedFilesTyped(
+      spark, ranges.map { case (c, lo, hi) => ColumnRange.inclusive(c, lo, hi) })
+
+  /** Typed multi-predicate file selection. A file survives a range iff
+    * its recorded [min, max] intersects it: `max ≥(>) lo` and
+    * `min ≤(<) hi`, with strict comparisons for exclusive bounds —
+    * uniform across every ordered type, no integer ±1. The comparisons
+    * run in Spark over the sidecar, so they use exactly the ordering the
+    * residual data filter uses (UTF8String byte order for strings,
+    * micros for timestamps, …). An all-null file has null min/max and is
+    * correctly dropped: a range conjunct is null-rejecting.
+    */
+  private[graft] def statsSelectedFilesTyped(
+      spark: SparkSession, ranges: Seq[ColumnRange]): (Seq[String], Int) = {
     val st = spark.read.parquet(colStatsDir)
     val all = st.count().toInt
-    val pred = ranges
-      .map { case (c, lo, hi) => col(s"max_$c") >= lo && col(s"min_$c") <= hi }
-      .reduce(_ && _)
+    val pred = ranges.map { r =>
+      val loP = r.lo.map(v =>
+        if (r.loInclusive) col(s"max_${r.column}") >= lit(v)
+        else col(s"max_${r.column}") > lit(v))
+      val hiP = r.hi.map(v =>
+        if (r.hiInclusive) col(s"min_${r.column}") <= lit(v)
+        else col(s"min_${r.column}") < lit(v))
+      (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+    }.reduce(_ && _)
     val sel = st.filter(pred).select("file").collect().map(_.getString(0)).toSeq
     (sel, all)
   }
@@ -1439,6 +1538,61 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       .map { case (c, lo, hi) => col(c).between(lo, hi) }
       .reduce(_ && _)
     SchemaEvolution.dropSystemColumns(raw).filter(residual)
+  }
+
+  /** Range read on a RESOLVING (merge-on-read / evolved) table — the
+    * composition [[readPruned]] refuses by construction, made sound: a
+    * naive prune would resurrect versions superseded by rows OUTSIDE the
+    * range, so this path (a) records stats over ALL version files (the
+    * sidecar covers every stored version — the bloom chain's
+    * "candidates hold every version" argument), (b) selects the files
+    * whose [min, max] intersects the range, (c) takes the DISTINCT KEYS
+    * of the in-range rows in those files — the only keys whose winner
+    * can possibly be in range (a winner is itself a version, so an
+    * in-range winner sits in a candidate file) — and (d) fetches those
+    * keys' LATEST state through [[lookupKeys]] (RLI-pruned when the
+    * index exists, full resolve otherwise), re-applying the range as the
+    * residual: a key whose winner moved out of range is discarded, never
+    * resurrected. Cost: O(candidate files) + O(probe keys + delta) —
+    * range-SELECTIVE reads only; a range matching half a 100 TB table
+    * belongs in a full resolve. Falls back to resolve ∘ filter when
+    * stats are absent or don't cover every range column.
+    */
+  def readPrunedResolving(
+      spark: SparkSession, ranges: Seq[ColumnRange]): DataFrame = {
+    require(ranges.nonEmpty, "readPrunedResolving needs at least one range")
+    require(
+      spec.retainHistory,
+      "readPrunedResolving is the merge-on-read path; a copy-on-write " +
+        "table prunes directly via readPruned")
+    val residual = ranges.map { r =>
+      val loP = r.lo.map(v =>
+        if (r.loInclusive) col(r.column) >= lit(v) else col(r.column) > lit(v))
+      val hiP = r.hi.map(v =>
+        if (r.hiInclusive) col(r.column) <= lit(v) else col(r.column) < lit(v))
+      (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+    }.reduce(_ && _)
+    def fallback = read(spark).filter(residual)
+    val covered = colStatsFrame(spark).exists { st =>
+      val cols = st.columns.toSet
+      ranges.forall(r => cols.contains(s"min_${r.column}"))
+    }
+    if (!covered) return fallback
+    val (sel, _) =
+      try statsSelectedFilesTyped(spark, ranges)
+      catch { case scala.util.control.NonFatal(_) => return fallback }
+    // No version intersects the range ⇒ no winner can (a winner is a
+    // version) ⇒ empty, with the read's own schema.
+    if (sel.isEmpty) return read(spark).filter(lit(false))
+    val f = fs(spark)
+    val rootPrefix = f.makeQualified(new Path(spec.path)).toUri.getPath + "/"
+    val rel = sel.map(abs =>
+      new Path(new java.net.URI(abs)).toUri.getPath.stripPrefix(rootPrefix))
+    val keys = readFilesRaw(spark, rel)
+      .filter(residual)
+      .select(spec.keyCols.map(col): _*)
+      .distinct()
+    lookupKeys(spark, keys).filter(residual)
   }
 
   /** Restore the table to its state as of `commit` (Hudi
@@ -2812,6 +2966,71 @@ object KeyedTable {
   private val OverwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
 
   def apply(spec: KeyedTableSpec): KeyedTable = new KeyedTable(spec)
+
+  /** Types whose min/max ordering is well-defined and parquet-storable —
+    * the column-stats family's admission set (the same set Iceberg/Hudi
+    * record column bounds for). Shared by [[KeyedTable.recordColumnStats]]
+    * and the planner rules so the advisor can never recommend a stats
+    * build the rules later decline.
+    */
+  private[graft] def statsOrderedType(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case FloatType | DoubleType => true
+    case DateType | TimestampType | TimestampNTZType => true
+    case StringType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** String bounds stored in the stats sidecar are truncated to this many
+    * code points (the Iceberg convention): per-file metadata must stay
+    * metadata-sized even when someone records stats on a document-body
+    * column.
+    */
+  private[graft] val StatsStringPrefix = 64
+
+  /** Sound LOWER bound for every string in a file given its true min: the
+    * first [[StatsStringPrefix]] code points (a prefix precedes the full
+    * string in UTF-8 byte order, the order Spark compares strings in).
+    */
+  private[table] def truncLower(s: String): String =
+    if (s == null) null
+    else if (s.codePointCount(0, s.length) <= StatsStringPrefix) s
+    else s.substring(0, s.offsetByCodePoints(0, StatsStringPrefix))
+
+  /** Sound UPPER bound given the true max: the prefix with its last
+    * incrementable code point incremented and the tail dropped — every
+    * string starting with the original prefix precedes it (UTF-8 is
+    * prefix-free and order-preserving, so byte order = code-point
+    * order). Increments skip the surrogate gap (D800–DFFF holds no code
+    * points); a prefix of all-U+10FFFF cannot be incremented, so the
+    * FULL max is stored (exact, just long — correctness over the size
+    * optimization in that pathological corner).
+    */
+  private[table] def truncUpper(s: String): String = {
+    if (s == null) return null
+    if (s.codePointCount(0, s.length) <= StatsStringPrefix) return s
+    val cps = s.codePoints().limit(StatsStringPrefix.toLong).toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      val cp = cps(i)
+      if (cp < 0x10FFFF) {
+        val next = if (cp == 0xD7FF) 0xE000 else cp + 1
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < i) { sb.appendCodePoint(cps(j)); j += 1 }
+        sb.appendCodePoint(next)
+        return sb.toString
+      }
+      i -= 1
+    }
+    s
+  }
+
+  private[table] val truncLowerUdf =
+    udf((s: String) => truncLower(s))
+  private[table] val truncUpperUdf =
+    udf((s: String) => truncUpper(s))
 
   private val commitTimeLock = new Object
   private var lastIssuedCommitTime = ""

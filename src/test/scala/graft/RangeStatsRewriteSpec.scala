@@ -142,6 +142,119 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     assert(scannedDataFiles(mq).isEmpty, "MoR must decline the range prune")
   }
 
+  test("typed bounds: timestamp and string ranges prune and serve, exact") {
+    val path = Files.createTempDirectory("graft_rng_typed_").toString + "/t"
+    // events with a REAL timestamp column and a bucketed string column.
+    val ev = eventsUs
+      .withColumn("ts_evt", expr("timestamp_micros(ts_us)"))
+      .withColumn("bucket", concat(lit("b"), format_string("%03d", col("event_id") % 50)))
+    val table = KeyedTable(cowSpec(path))
+    table.upsert(spark, ev, commitTime = "c0")
+    table.cluster(spark, Seq("ts_evt"), targetFileBytes = 4L << 10)
+    table.recordColumnStats(spark, Seq("ts_evt", "bucket"))
+    // Sidecar bounds are stored NATIVELY typed.
+    val st = spark.read.parquet(s"$path/_graft_colstats")
+    assert(st.schema("min_ts_evt").dataType.typeName.startsWith("timestamp"))
+    assert(st.schema("min_bucket").dataType.typeName == "string")
+    val Array(r) = ev.agg(min("ts_evt").as("mn"), max("ts_evt").as("mx")).collect()
+    val (mn, mx) = (r.getTimestamp(0), r.getTimestamp(1))
+    val mid = new java.sql.Timestamp((mn.getTime + mx.getTime) / 2)
+    def qTs = table.read(spark)
+      .filter(col("ts_evt") >= lit(mn) && col("ts_evt") < lit(mid))
+    val expTs = qTs.collect().map(_.getAs[Long]("event_id")).toSet
+    val tsFiles = scannedDataFiles(qTs)
+    assert(tsFiles.isDefined, "timestamp range must serve from stats")
+    assert(tsFiles.get.length < dataFileCount(path))
+    assert(qTs.collect().map(_.getAs[Long]("event_id")).toSet == expTs)
+    // String range on an UN-clustered column: still served (bounds
+    // cover), prunes little or none, stays exact.
+    def qStr = table.read(spark)
+      .filter(col("bucket") >= lit("b010") && col("bucket") < lit("b020"))
+    val expStr = qStr.collect().map(_.getAs[Long]("event_id")).toSet
+    assert(scannedDataFiles(qStr).isDefined, "string range must serve")
+    assert(qStr.collect().map(_.getAs[Long]("event_id")).toSet == expStr)
+    // Re-cluster on the string column: now the prune bites.
+    table.cluster(spark, Seq("bucket"), targetFileBytes = 4L << 10)
+    table.recordColumnStats(spark, Seq("bucket"))
+    val strFiles = scannedDataFiles(qStr)
+    assert(strFiles.isDefined && strFiles.get.length < dataFileCount(path),
+      "lang-clustered string range must prune")
+    assert(qStr.collect().map(_.getAs[Long]("event_id")).toSet == expStr)
+    // Typed min/max aggregates serve from the sidecar with no scan.
+    def qAgg = table.read(spark).agg(
+      min(col("bucket")).as("mn_b"), max(col("bucket")).as("mx_b"))
+    assert(graft.plans.PlanWalk.scannedFiles(qAgg).isEmpty,
+      "string min/max must fold from the sidecar")
+    assert(qAgg.collect()(0) == org.apache.spark.sql.Row("b000", "b049"))
+  }
+
+  test("string truncation: bounds stay sound for pruning, decline min/max serving") {
+    val path = Files.createTempDirectory("graft_rng_trunc_").toString + "/t"
+    // Strings longer than the 64-code-point prefix: 'k<pad>...<id>' so
+    // the discriminating suffix is BEYOND the stored prefix — pruning
+    // must keep every file (sound), never drop one on the truncated
+    // bound, and the aggregate rule must refuse to answer min/max.
+    val ev = eventsUs.withColumn("big",
+      concat(lit("k" * 70), format_string("%05d", col("event_id") % 100)))
+    val table = KeyedTable(cowSpec(path))
+    table.upsert(spark, ev, commitTime = "c0")
+    table.recordColumnStats(spark, Seq("big", "event_id"))
+    val st = spark.read.parquet(s"$path/_graft_colstats")
+    assert(st.columns.contains("trunc_big"))
+    assert(st.filter(col("trunc_big")).count() > 0, "flags must record truncation")
+    // All values share the 64-prefix, so stored [lo, hi] brackets them
+    // all: a range on the full strings selects every file — and the
+    // residual filter keeps the result exact.
+    def q = table.read(spark).filter(
+      col("big") >= lit("k" * 70 + "00010") && col("big") < lit("k" * 70 + "00020"))
+    val expected = q.collect().map(_.getAs[Long]("event_id")).toSet
+    assert(expected.nonEmpty)
+    assert(q.collect().map(_.getAs[Long]("event_id")).toSet == expected)
+    // min/max on the truncated column DECLINES to a scan (the stored
+    // bound is a bound, not the answer) — and the scanned answer is
+    // still right.
+    def qAgg = table.read(spark).agg(min(col("big")).as("mn"))
+    assert(graft.plans.PlanWalk.scannedFiles(qAgg).nonEmpty,
+      "truncated bounds must not serve min/max")
+    assert(qAgg.collect()(0).getString(0) == "k" * 70 + "00000")
+    // An untouched integral column on the same sidecar still serves.
+    def qId = table.read(spark).agg(min(col("event_id")).as("mn"))
+    assert(graft.plans.PlanWalk.scannedFiles(qId).isEmpty)
+  }
+
+  test("MoR resolving range read: superseded version outside range never resurrects") {
+    val path = Files.createTempDirectory("graft_rng_mor_").toString + "/t"
+    val table = KeyedTable(cowSpec(path).copy(retainHistory = true))
+    val ev = eventsUs
+    val Array(r) = ev.agg(min("ts_us").as("mn"), max("ts_us").as("mx")).collect()
+    val (mn, mx) = (r.getLong(0), r.getLong(1)); val span = mx - mn
+    table.upsert(spark, ev, commitTime = "c0")
+    table.recordKeyIndex(spark) // goes stale at c1: the lookup settles
+    // Every 11th user's events re-land shifted past the whole domain —
+    // their winners leave any in-domain range.
+    table.upsert(spark,
+      ev.filter(col("user_id") % 11 === 0)
+        .withColumn("ts_us", col("ts_us") + lit(span + 1000000L)),
+      commitTime = "c1")
+    table.recordColumnStats(spark, Seq("ts_us")) // over ALL version files
+    val range = Seq(graft.table.ColumnRange.inclusive(
+      "ts_us", mn + span / 4, mn + span / 2))
+    val got = outputSet(table.readPrunedResolving(spark, range))
+    val oracle = outputSet(table.read(spark)
+      .filter(col("ts_us").between(mn + span / 4, mn + span / 2)))
+    assert(got == oracle, "pruned resolve must equal resolve ∘ filter")
+    // The trap bites: shifted users have in-range c0 versions...
+    val trapped = ev.filter(col("user_id") % 11 === 0 &&
+      col("ts_us").between(mn + span / 4, mn + span / 2))
+    assert(trapped.count() > 0, "fixture must exercise the trap")
+    // ...but no shifted user may appear in the result.
+    assert(!got.exists(_._1 % 11 == 0),
+      "superseded in-range versions must not resurrect")
+    // The stats selection itself prunes (all-version files, narrow range).
+    val (sel, total) = table.statsSelectedFilesTyped(spark, range)
+    assert(sel.length < total, s"must prune: ${sel.length} of $total")
+  }
+
   test("whole-table min/max/count answered from the sidecar with no scan") {
     val path = Files.createTempDirectory("graft_sagg_").toString + "/t"
     val table = KeyedTable(cowSpec(path))
