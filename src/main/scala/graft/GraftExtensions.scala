@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // from the column-stats sidecar, no scan
     // ([[graft.plans.StatsAggregateRewrite]]).
     e.injectOptimizerRule(s => new graft.plans.StatsAggregateRewrite(s))
+    // ORDER BY col LIMIT k over a keyed table's read → scan only the
+    // files that can hold a top-k row, via the column-stats sidecar
+    // ([[graft.plans.TopKPruneRewrite]]).
+    e.injectOptimizerRule(s => new graft.plans.TopKPruneRewrite(s))
     // Resolution hook: when a query references a table the session
     // catalog doesn't know, consult the persistent registry
     // ([[graft.table.GraftCatalog]]) before resolution fails — discovery

@@ -185,7 +185,9 @@ object SparkEntry {
     "q158_ts_range_prune" -> (UpsertOps.tsRangePrunedQuery(_, _)),
     "q159_mor_range_prune" -> (UpsertOps.morRangePruned(_, _)),
     "q160_stream_si_join" -> (UpsertOps.streamSecondaryLookupJoin(_, _)),
-    "q161_string_range_prune" -> (UpsertOps.stringRangePrunedQuery(_, _))
+    "q161_string_range_prune" -> (UpsertOps.stringRangePrunedQuery(_, _)),
+    "q162_topk_prune" -> (UpsertOps.topKPrunedQuery(_, _)),
+    "q163_null_prune" -> (UpsertOps.nullPrunedQuery(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -982,6 +984,19 @@ object SparkEntry {
     "q161_string_range_prune" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang >= 'en' AND lang < 'fr'""".stripMargin,
+    // top-k pruning: ORDER BY ts DESC LIMIT k served through the stats
+    // sidecar; the unique-key tiebreak makes the top-k set deterministic
+    // and the residual Sort+Limit make the values the plain query's
+    "q162_topk_prune" ->
+      """SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
+        |FROM events
+        |ORDER BY ts_us DESC, event_id DESC LIMIT 500""".stripMargin,
+    // null-predicate pruning: the IS NULL filter is the whole
+    // semantics (every 7th key's value nulled before the write); the
+    // per-file null counts only change which files open
+    "q163_null_prune" ->
+      """SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        |FROM events WHERE event_id % 7 = 0""".stripMargin,
     // point-lookup pushdown: the optimizer swaps the scan onto the
     // record-level index's candidate files; the declarative filter is
     // the whole semantics (COW event_id keys — disjoint commits, no

@@ -1249,6 +1249,61 @@ object UpsertOps {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** Declarative TOP-K pruning (q162; [[graft.plans.TopKPruneRewrite]]):
+    * `ORDER BY ts DESC LIMIT k` over a time-clustered copy-on-write
+    * table's plain read — the "latest N" query every time-series table
+    * serves — is swapped onto only the files that can hold a top-k row
+    * (stats walk: accumulate per-file non-null counts down the recorded
+    * mins until ≥ k, keep files whose max reaches that boundary). At
+    * 100 TB this is the difference between a full scan feeding a
+    * cluster-wide TakeOrdered and opening O(k / rows-per-file) files.
+    * The full Sort + Limit stay as the residual, so the result — with
+    * the unique-key tiebreak making the top-k set deterministic — is
+    * EXACTLY the plain query's; the oracle is the plain ORDER BY/LIMIT.
+    */
+  def topKPrunedQuery(s: SparkSession, dir: String): DataFrame = {
+    val path =
+      Files.createTempDirectory("graft_topkq_").toString + "/events_keyed"
+    val table = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("event_id"), precombineCol = "ts_us",
+      partitionCols = Seq("event_type")))
+    table.upsert(s, eventsUs(s, dir), commitTime = "c0")
+    table.cluster(s, Seq("ts_us"), targetFileBytes = 256L << 10)
+    table.recordColumnStats(s, Seq("ts_us"))
+    outputCols(table.read(s))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .limit(500)
+  }
+
+  /** Null-predicate pruning (q163; [[graft.plans.RangePruneRewrite]]'s
+    * null-count path): `WHERE col IS NULL` over a copy-on-write table
+    * clustered on the nullable column is served from the per-file null
+    * counts the stats sidecar already records (`cnt` vs `nn_<col>`) —
+    * files with no null in the column never open. The mirror predicate
+    * (`IS NOT NULL`, dropping all-null files) and Catalyst's inferred
+    * not-null guards ride the same path. The missing-value audit
+    * (`SELECT * WHERE quality_score IS NULL`) over a 100 TB curation
+    * table becomes an open of just the null-carrying files. ≡ the plain
+    * null filter over the same derivation — the oracle.
+    */
+  def nullPrunedQuery(s: SparkSession, dir: String): DataFrame = {
+    val path =
+      Files.createTempDirectory("graft_nullq_").toString + "/events_keyed"
+    val table = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("event_id"), precombineCol = "ts_us",
+      partitionCols = Seq("event_type")))
+    // Every 7th key's value is missing — the curation-table shape where
+    // a scorer failed on a slice of documents.
+    val ev = eventsUs(s, dir).withColumn("value",
+      when(col("event_id") % 7 === 0, lit(null).cast("double"))
+        .otherwise(col("value")))
+    table.upsert(s, ev, commitTime = "c0")
+    table.cluster(s, Seq("value"), targetFileBytes = 256L << 10)
+    table.recordColumnStats(s, Seq("value"))
+    table.read(s).filter(col("value").isNull)
+      .select("user_id", "event_type", "ts_us", "event_id")
+  }
+
   /** Merge-on-read range pruning (q159;
     * [[graft.table.KeyedTable.readPrunedResolving]]): the range read
     * [[graft.table.KeyedTable.readPruned]] refuses on history tables,

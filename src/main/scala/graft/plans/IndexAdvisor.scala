@@ -46,12 +46,23 @@ object IndexAdvisor {
           skipped += s"query #$i: ${e.getClass.getSimpleName}"; Nil
       }
     }
+    // Probes on PARTITION columns recommend nothing: Spark's own
+    // partition pruning already serves any predicate on a hive
+    // partition column from directory metadata — an index build there
+    // is a pure waste (at 100 TB, a full-table build for a query that
+    // was already metadata-only).
+    def isPartitionCol(spec: graft.table.KeyedTableSpec, c: String): Boolean =
+      spec.partitionCols.exists(_.equalsIgnoreCase(c))
     val shapes = plans.flatMap(rule.probeShapes)
+      .filterNot(m => !m.viaKey && isPartitionCol(m.spec, m.probeAttr.name))
     // Genuine ranges only (an open side or lo < hi): an equality probe
     // belongs to the point family above — recommending column stats for
-    // it would shadow the exact index with a weaker one.
+    // it would shadow the exact index with a weaker one. Partition
+    // columns drop for the same reason as point probes: directory
+    // pruning already serves them.
     val rangeMatches = plans.flatMap(rangeRule.rangeShapes)
-      .map(m => (m, m.ranges.filterNot(_.isPoint)))
+      .map(m => (m, m.ranges.filterNot(r =>
+        r.isPoint || isPartitionCol(m.spec, r.column))))
       .filter(_._2.nonEmpty)
     val rangeShapes = rangeMatches.flatMap { case (m, rs) =>
       rs.map(r => (m.spec.path, "column_stats", r.column))

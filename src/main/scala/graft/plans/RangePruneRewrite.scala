@@ -76,7 +76,8 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private[plans] final case class RangeMatch(
       f: Filter, lr: LogicalRelation, fsRel: HadoopFsRelation, root: String,
-      spec: graft.table.KeyedTableSpec, ranges: Seq[graft.table.ColumnRange])
+      spec: graft.table.KeyedTableSpec, ranges: Seq[graft.table.ColumnRange],
+      nullPreds: Seq[(String, Boolean)])
 
   /** Every range shape in `plan` this rule would serve if column stats
     * existed (no sidecar IO, no filesystem work beyond the registry).
@@ -188,7 +189,18 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         (l0.toSeq ++ lo.toSeq).reduceOption(tighterLo),
         (h0.toSeq ++ hi.toSeq).reduceOption(tighterHi))
     }
-    if (acc.isEmpty) return None
+    // Null-predicate conjuncts prune through the per-file null counts
+    // (cnt vs nn_<col>): `IS NULL` drops files with no null in the
+    // column, `IS NOT NULL` drops all-null files — both are per-row
+    // facts on a copy-on-write table, so the subset-of-conjunction
+    // argument covers them too. Catalyst's inferred `isnotnull` guards
+    // around every range ride along for free.
+    val nullPreds = split.flatMap {
+      case IsNull(e) => relAttrOf(e).map(a => (a.name, true))
+      case IsNotNull(e) => relAttrOf(e).map(a => (a.name, false))
+      case _ => None
+    }.distinct
+    if (acc.isEmpty && nullPreds.isEmpty) return None
     // Scala-side literal values for `lit()` in the sidecar comparison.
     val ranges = acc.toSeq.map { case (c, (a, lo, hi)) =>
       val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
@@ -198,13 +210,14 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         lo.map(b => toScala(b._1.value)), lo.forall(_._2),
         hi.map(b => toScala(b._1.value)), hi.forall(_._2))
     }
-    Some(RangeMatch(f, lr, fsRel, root, spec, ranges))
+    Some(RangeMatch(f, lr, fsRel, root, spec, ranges, nullPreds))
   }
 
   /** The serving half: one sidecar read + the scan swap. */
   private def serveRange(m: RangeMatch): Option[LogicalPlan] = {
     val table = KeyedTable(m.spec)
-    table.rangeCandidateFilesTyped(spark, m.ranges).flatMap { case (files, _) =>
+    table.rangeCandidateFilesTyped(spark, m.ranges, m.nullPreds)
+      .flatMap { case (files, _) =>
       val total = m.fsRel.location.inputFiles.length
       if (files.length >= total) None
       else {

@@ -87,7 +87,7 @@ object GraftCatalog {
     */
   def record(spark: SparkSession, tablePath: String, partitionCols: Seq[String]): Unit =
     registryPath(spark).foreach { reg =>
-      FsLock.withLock(fs(spark, reg), registryLock(reg),
+      Locks.withLock(spark, registryLock(reg).toString,
         timeoutMs = 30000L, pollMs = 10L,
         breakHint = "GraftCatalog.breakRegistryLock(spark)") {
         val f = fs(spark, reg)
@@ -133,7 +133,7 @@ object GraftCatalog {
     */
   def breakRegistryLock(spark: SparkSession): Unit =
     registryPath(spark).foreach(reg =>
-      FsLock.breakLock(fs(spark, reg), registryLock(reg)))
+      Locks.break(spark, registryLock(reg).toString))
 
   /** Replay the registry into this session's catalog unless its current
     * generation (mtime) was already replayed. Called from the analyzer

@@ -1424,7 +1424,8 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     */
   private[graft] def rangeCandidateFilesTyped(
       spark: SparkSession,
-      ranges: Seq[ColumnRange]): Option[(Seq[Path], Int)] = {
+      ranges: Seq[ColumnRange],
+      nullPreds: Seq[(String, Boolean)] = Nil): Option[(Seq[Path], Int)] = {
     require(!spec.retainHistory,
       "range candidates require a copy-on-write table (see readPruned)")
     colStatsFrame(spark).flatMap { st =>
@@ -1433,10 +1434,82 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       // (dropped files satisfy no covered range, hence not the whole
       // conjunction); uncovered columns just don't contribute skipping.
       val covered = ranges.filter(r => cols.contains(s"min_${r.column}"))
-      if (covered.isEmpty) None
+      val coveredNulls = nullPreds.filter(p => cols.contains(s"nn_${p._1}"))
+      if (covered.isEmpty && coveredNulls.isEmpty) None
       else try {
-        val (sel, total) = statsSelectedFilesTyped(spark, covered)
+        val (sel, total) =
+          statsSelectedFilesTyped(spark, covered, coveredNulls)
         Some((sel.map(abs => new Path(new java.net.URI(abs))), total))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** The stats index's candidate files for a TOP-K by `column` — the
+    * files that can hold any of the k first rows of `ORDER BY column
+    * [ASC|DESC] LIMIT k` — or `None` when the sidecar is absent, the
+    * column uncovered, or fewer than k non-null values are indexed (the
+    * caller keeps the full scan). The bound is the classic stats top-k
+    * argument (desc case; asc mirrors): walk files by recorded `min`
+    * descending, accumulate non-null counts until ≥ k — those files hold
+    * ≥ k rows, each ≥ the LAST accumulated file's min `L`, so the true
+    * kth-largest value is ≥ `L` and only files whose `max ≥ L` can
+    * contribute (non-strict: boundary ties stay). Nulls: when they sort
+    * toward the HEAD (asc nulls-first, Spark's ascending default), every
+    * null-carrying file is additionally kept — null rows are invisible
+    * to min/max; when they sort to the tail (desc default) the Σnn ≥ k
+    * gate proves no null reaches the top k. String bounds may be
+    * truncated (Iceberg convention): the stored min under-approximates
+    * and the stored max over-approximates, which only ever widens the
+    * kept set — sound. All selection comparisons run IN Spark over the
+    * metadata-sized sidecar, so they use exactly the ordering the
+    * residual Sort uses; the one collected row is the boundary value.
+    *
+    * On a clustered table this turns `ORDER BY ts DESC LIMIT 100` — the
+    * "latest N" query every 100 TB time-series table serves — into an
+    * open of O(k / rows-per-file) files instead of a full scan feeding
+    * a cluster-wide TakeOrdered.
+    */
+  private[graft] def topKCandidateFiles(
+      spark: SparkSession,
+      column: String,
+      k: Long,
+      desc: Boolean,
+      nullsFirst: Boolean): Option[(Seq[Path], Int)] = {
+    require(!spec.retainHistory,
+      "top-k candidates require a copy-on-write table (see readPruned)")
+    if (k <= 0) return None
+    colStatsFrame(spark).flatMap { st =>
+      if (!st.columns.contains(s"min_$column")) None
+      else try {
+        val total = st.count().toInt
+        val mn = col(s"min_$column")
+        val mx = col(s"max_$column")
+        val nn = col(s"nn_$column")
+        // Accumulate non-null counts along the sort direction; the first
+        // file crossing k fixes the boundary bound (its own walked-from
+        // bound). All-null files (null min/max) sort out via nn = 0.
+        val walkKey = if (desc) mn else mx
+        val w = Window.orderBy(if (desc) walkKey.desc_nulls_last
+          else walkKey.asc_nulls_last)
+        val crossing = st
+          .withColumn("_graft_cum", sum(nn).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("_graft_cum") >= k && nn > 0)
+          .orderBy(if (desc) walkKey.desc else walkKey.asc)
+          .limit(1)
+          .select(walkKey)
+          .collect()
+        if (crossing.isEmpty) None // fewer than k non-null values indexed
+        else {
+          val bound = crossing(0).get(0)
+          val valuePred =
+            if (desc) mx >= lit(bound) else mn <= lit(bound)
+          val pred =
+            if (nullsFirst) valuePred || (col("cnt") > nn) else valuePred
+          val sel = st.filter(pred)
+            .select("file").collect().map(_.getString(0)).toSeq
+          Some((sel.map(abs => new Path(new java.net.URI(abs))), total))
+        }
       } catch { case scala.util.control.NonFatal(_) => None }
     }
   }
@@ -1469,10 +1542,12 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * correctly dropped: a range conjunct is null-rejecting.
     */
   private[graft] def statsSelectedFilesTyped(
-      spark: SparkSession, ranges: Seq[ColumnRange]): (Seq[String], Int) = {
+      spark: SparkSession,
+      ranges: Seq[ColumnRange],
+      nullPreds: Seq[(String, Boolean)] = Nil): (Seq[String], Int) = {
     val st = spark.read.parquet(colStatsDir)
     val all = st.count().toInt
-    val pred = ranges.map { r =>
+    val rangePreds = ranges.map { r =>
       val loP = r.lo.map(v =>
         if (r.loInclusive) col(s"max_${r.column}") >= lit(v)
         else col(s"max_${r.column}") > lit(v))
@@ -1480,7 +1555,15 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         if (r.hiInclusive) col(s"min_${r.column}") <= lit(v)
         else col(s"min_${r.column}") < lit(v))
       (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _).getOrElse(lit(true))
-    }.reduce(_ && _)
+    }
+    // Null predicates select on the per-file null count (cnt − nn):
+    // `IS NULL` needs at least one null in the file, `IS NOT NULL` at
+    // least one non-null value — per-row facts, so conjunction-subset
+    // soundness carries over unchanged.
+    val nullSel = nullPreds.map { case (c, isNull) =>
+      if (isNull) col("cnt") > col(s"nn_$c") else col(s"nn_$c") > lit(0L)
+    }
+    val pred = (rangePreds ++ nullSel).reduce(_ && _)
     val sel = st.filter(pred).select("file").collect().map(_.getString(0)).toSeq
     (sel, all)
   }
@@ -2040,14 +2123,14 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       spark: SparkSession,
       timeoutMs: Long = 60000L,
       pollMs: Long = 25L)(body: => T): T =
-    FsLock.withLock(fs(spark), lockPath, timeoutMs, pollMs,
+    Locks.withLock(spark, lockPath.toString, timeoutMs, pollMs,
       "breakTableLock()")(body)
 
   /** Forcibly remove a leaked lock (crashed holder). Operator judgment
     * call by design — the provider cannot distinguish stuck from slow.
     */
   def breakTableLock(spark: SparkSession): Unit =
-    fs(spark).delete(lockPath, false)
+    Locks.break(spark, lockPath.toString)
 
   private def lockPath: Path = {
     val base = new Path(spec.path)

@@ -143,4 +143,26 @@ class IndexAdvisorSpec extends SparkTestBase {
     assert(scannedDataFiles(qRange).isDefined,
       "the first column's stats must survive the second build")
   }
+
+  test("partition-column probes recommend nothing: directory pruning serves them") {
+    val t = mkTable() // hive-partitioned by event_type
+    val et = eventsUs.select("event_type").distinct()
+      .orderBy("event_type").as[String].first()
+    // Point, IN, and range probes on the PARTITION column: Spark prunes
+    // these from directory metadata already — an RLI/secondary/stats
+    // build would be a full-table build for a query that was never
+    // scanning more than its directories (pure waste at 100 TB).
+    val qEq = t.read(spark).filter(col("event_type") === et)
+    val qIn = t.read(spark).filter(col("event_type").isin(et))
+    val qRange = t.read(spark)
+      .filter(col("event_type") >= et && col("event_type") < (et + "zzz"))
+    val advice = IndexAdvisor.analyze(spark, Seq(qEq, qIn, qRange))
+    assert(advice.recommendations.isEmpty,
+      s"partition-column workload must advise nothing: ${advice.recommendations}")
+    // A mixed workload still advises the DATA-column half.
+    val qKey = t.read(spark).filter(col("event_id") === 3L)
+    val mixed = IndexAdvisor.analyze(spark, Seq(qEq, qKey))
+    assert(mixed.recommendations.map(r => (r.kind, r.column)) ==
+      Seq(("record_key", "event_id")), s"${mixed.recommendations}")
+  }
 }

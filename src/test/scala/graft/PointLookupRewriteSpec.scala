@@ -265,4 +265,47 @@ class PointLookupRewriteSpec extends SparkTestBase {
     assert(scannedDataFiles(qNew).isDefined)
     assert(qNew.count() == 1L, "the delta-only value must be found")
   }
+
+  test("narrowing and renaming projections between filter and scan still serve") {
+    val path = Files.createTempDirectory("graft_plr_proj_").toString + "/t"
+    // Unique keys, one per partition's files — the q147 shape, where a
+    // single-key probe genuinely prunes.
+    val table = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("event_id"), precombineCol = "ts_us",
+      partitionCols = Seq("event_type")))
+    table.upsert(spark, eventsUs, commitTime = "c0")
+    table.recordKeyIndex(spark)
+    val id = 3L
+    // The BI-tool shape: SELECT a, b FROM t WHERE k = … — a narrowing
+    // projection wrapped around the probe.
+    val narrowed = table.read(spark)
+      .select("event_id", "value")
+      .filter(col("event_id") === id)
+    assert(scannedDataFiles(narrowed).isDefined,
+      "a narrowing projection must not block the point serve")
+    // A RENAMING projection below the filter: the probe is on the alias.
+    val renamed = table.read(spark)
+      .select(col("event_id").as("eid"), col("value"), col("event_type"))
+      .filter(col("eid") === id)
+    assert(scannedDataFiles(renamed).isDefined,
+      "a renamed key probe must still serve")
+    val expect = table.read(spark).filter(col("event_id") === id)
+      .select(col("event_id").as("eid"), col("value"), col("event_type"))
+      .collect().toSet
+    assert(renamed.collect().toSet == expect)
+    // Same two shapes on the MoR resolve read.
+    val morPath = Files.createTempDirectory("graft_plr_projm_").toString + "/t"
+    val mor = KeyedTable(morSpec(morPath))
+    mor.upsert(spark, eventsUs.filter(col("event_id") % 2 === 0), "c0")
+    mor.upsert(spark, eventsUs.filter(col("event_id") % 2 === 1), "c1")
+    mor.recordKeyIndex(spark)
+    val morNarrowed = mor.read(spark)
+      .select(col("user_id").as("uid"), col("ts_us"))
+      .filter(col("uid") === id)
+    assert(scannedDataFiles(morNarrowed).isDefined,
+      "the MoR resolve read must serve under a renaming projection")
+    assert(morNarrowed.collect().toSet ==
+      mor.read(spark).filter(col("user_id") === id)
+        .select(col("user_id").as("uid"), col("ts_us")).collect().toSet)
+  }
 }

@@ -401,4 +401,126 @@ class RangeStatsRewriteSpec extends SparkTestBase {
       "MoR must decline the stats aggregate")
     assert(q.as[Long].collect()(0) == mor.read(spark).count())
   }
+
+  test("IS NULL / IS NOT NULL prune through the per-file null counts") {
+    val path = Files.createTempDirectory("graft_nullprune_").toString + "/t"
+    val t = KeyedTable(cowSpec(path))
+    val ev = eventsUs.withColumn("value",
+      when(col("event_id") % 7 === 0, lit(null).cast("double"))
+        .otherwise(col("value")))
+    t.upsert(spark, ev, commitTime = "c0")
+    t.cluster(spark, Seq("value"), targetFileBytes = 4L << 10)
+    t.recordColumnStats(spark, Seq("value"))
+    val total = dataFileCount(path)
+    // IS NULL: only null-carrying files open.
+    val qNull = t.read(spark).filter(col("value").isNull)
+      .select("event_id")
+    val nullFiles = scannedDataFiles(qNull)
+    assert(nullFiles.isDefined, "IS NULL must serve from null counts")
+    assert(nullFiles.get.length < total,
+      s"must prune: ${nullFiles.get.length} of $total")
+    assert(qNull.as[Long].collect().toSet ==
+      ev.filter(col("value").isNull).select("event_id").as[Long].collect().toSet)
+    // IS NOT NULL composes with a range on the same column.
+    val qBoth = t.read(spark)
+      .filter(col("value").isNotNull && col("value") >= 0.5)
+      .select("event_id", "value")
+    assert(scannedDataFiles(qBoth).isDefined)
+    assert(qBoth.collect().toSet ==
+      ev.filter(col("value").isNotNull && col("value") >= 0.5)
+        .select("event_id", "value").collect().toSet)
+    // An uncovered column's null predicate declines (stays a full scan).
+    val qUncov = t.read(spark).filter(col("user_id").isNull)
+    assert(scannedDataFiles(qUncov).isEmpty,
+      "null predicate on an uncovered column must decline")
+  }
+
+  test("ORDER BY … LIMIT k scans only the stats top-k candidates, exact") {
+    val path = Files.createTempDirectory("graft_topk_").toString + "/t"
+    val t = KeyedTable(cowSpec(path))
+    t.upsert(spark, eventsUs, commitTime = "c0")
+    t.cluster(spark, Seq("event_id"), targetFileBytes = 4L << 10)
+    t.recordColumnStats(spark, Seq("event_id"))
+    // Latest-N by the clustered column, unique-key head = deterministic.
+    def qDesc = outputSet(
+      t.read(spark).orderBy(col("event_id").desc).limit(25))
+    val expectDesc = eventsUs.orderBy(col("event_id").desc).limit(25)
+    val served = t.read(spark).orderBy(col("event_id").desc).limit(25)
+    val files = scannedDataFiles(served)
+    assert(files.isDefined, "the sorted limit must be served from stats")
+    assert(files.get.length < dataFileCount(path),
+      s"top-k candidates must prune: ${files.get.length} of ${dataFileCount(path)}")
+    assert(qDesc == outputSet(expectDesc))
+    // Ascending head + trailing tiebreak + narrowing projection all ride.
+    val asc = t.read(spark)
+      .select("event_id", "user_id")
+      .orderBy(col("event_id").asc, col("user_id").desc)
+      .limit(10)
+    assert(scannedDataFiles(asc).isDefined, "asc head must serve")
+    assert(asc.collect().toSeq ==
+      eventsUs.select("event_id", "user_id")
+        .orderBy(col("event_id").asc, col("user_id").desc)
+        .limit(10).collect().toSeq)
+    // Declines: k beyond the indexed row count (no prefix can bound the
+    // boundary), and a filter below the sort (the count accumulation
+    // can't see which rows satisfy it).
+    val n = eventsUs.count().toInt
+    val over = t.read(spark).orderBy(col("event_id").desc).limit(n + 10)
+    assert(scannedDataFiles(over).isEmpty, "k > rows must decline")
+    val filtered = t.read(spark).filter(col("value") >= 0.0)
+      .orderBy(col("event_id").desc).limit(5)
+    assert(scannedDataFiles(filtered).isEmpty,
+      "a filter below the sort must decline")
+    assert(filtered.count() == 5)
+  }
+
+  test("top-k with nulls sorting first keeps every null-carrying file") {
+    val path = Files.createTempDirectory("graft_topk_null_").toString + "/t"
+    val t = KeyedTable(cowSpec(path))
+    // Every 7th key's nv is NULL; clustering by nv co-locates the nulls
+    // at the sort head (Spark sorts asc nulls-first), so a naive
+    // bounds-only selection would drop exactly the files the query's
+    // head rows live in.
+    val ev = eventsUs.withColumn("nv",
+      when(col("event_id") % 7 === 0, lit(null)).otherwise(col("ts_us")))
+    t.upsert(spark, ev, commitTime = "c0")
+    t.cluster(spark, Seq("nv"), targetFileBytes = 4L << 10)
+    t.recordColumnStats(spark, Seq("nv"))
+    val nNulls = ev.filter(col("nv").isNull).count()
+    assert(nNulls > 10, "fixture must produce enough nulls")
+    def q = t.read(spark)
+      .orderBy(col("nv").asc, col("event_id").asc) // asc = nulls FIRST
+      .limit(10)
+      .select("event_id", "nv")
+    val files = scannedDataFiles(q)
+    assert(files.isDefined, "nulls-first top-k must still serve")
+    assert(files.get.length < dataFileCount(path),
+      s"must prune: ${files.get.length} of ${dataFileCount(path)}")
+    val got = q.collect().toSeq
+    assert(got.forall(_.isNullAt(1)), "the head of nulls-first is null rows")
+    assert(got.map(_.getLong(0)) ==
+      ev.filter(col("nv").isNull).orderBy(col("event_id").asc)
+        .limit(10).select("event_id").as[Long].collect().toSeq)
+  }
+
+  test("range serves under narrowing and renaming projections") {
+    val path = Files.createTempDirectory("graft_rng_proj_").toString + "/t"
+    val t = mkClustered(path)
+    t.recordColumnStats(spark, Seq("event_id"))
+    // SELECT a, b FROM t WHERE k BETWEEN … — projection above the range.
+    val narrowed = t.read(spark)
+      .select("event_id", "value")
+      .filter(col("event_id").between(100L, 299L))
+    assert(scannedDataFiles(narrowed).isDefined,
+      "a narrowing projection must not block the range serve")
+    // Renamed range column below the filter.
+    val renamed = t.read(spark)
+      .select(col("event_id").as("eid"), col("value"))
+      .filter(col("eid") >= 100L && col("eid") < 300L)
+    assert(scannedDataFiles(renamed).isDefined,
+      "a renamed range probe must still serve")
+    assert(renamed.collect().toSet ==
+      eventsUs.filter(col("event_id").between(100L, 299L))
+        .select(col("event_id").as("eid"), col("value")).collect().toSet)
+  }
 }
