@@ -28,6 +28,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ([[graft.plans.MvAggregateRewrite]]); no-op while no MV is
     // registered.
     e.injectOptimizerRule(s => new graft.plans.MvAggregateRewrite(s))
+    // Star-join fact-side file pruning through the index family
+    // ([[graft.plans.JoinPruneRewrite]]); injected BEFORE the point rule
+    // so the dim side's probe is still recognizable when the join is
+    // examined (the point rule's serve swaps the dim scan off the
+    // registered path).
+    e.injectOptimizerRule(s => new graft.plans.JoinPruneRewrite(s))
     // Point-lookup filter over a keyed table's read → candidate-file
     // scan through the record-level index
     // ([[graft.plans.PointLookupRewrite]]); no-op while no keyed table

@@ -187,7 +187,8 @@ object SparkEntry {
     "q160_stream_si_join" -> (UpsertOps.streamSecondaryLookupJoin(_, _)),
     "q161_string_range_prune" -> (UpsertOps.stringRangePrunedQuery(_, _)),
     "q162_topk_prune" -> (UpsertOps.topKPrunedQuery(_, _)),
-    "q163_null_prune" -> (UpsertOps.nullPrunedQuery(_, _))
+    "q163_null_prune" -> (UpsertOps.nullPrunedQuery(_, _)),
+    "q164_join_prune" -> (UpsertOps.joinPrunedStar(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -969,7 +970,7 @@ object SparkEntry {
         |  FROM u)
         |SELECT user_id, event_type, ts_us, event_id, value
         |FROM w, mm WHERE rn = 1
-        |  AND ts_us BETWEEN mn + (mx - mn) // 4 AND mn + (mx - mn) // 2""".stripMargin,
+        |  AND ts_us BETWEEN mn + (mx - mn) // 2 AND mx""".stripMargin,
     // streamed secondary-index enrichment == the batch join: per-nation
     // event rollup joined to the per-nation customer rollup
     "q160_stream_si_join" ->
@@ -997,6 +998,16 @@ object SparkEntry {
     "q163_null_prune" ->
       """SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
         |FROM events WHERE event_id % 7 = 0""".stripMargin,
+    // star-join fact pruning: the rule only changes which fact files
+    // open, so the oracle is the plain join (the fact table holds every
+    // order exactly once — disjoint even/odd commits on a unique key;
+    // the dim re-upsert is value-identical)
+    "q164_join_prune" ->
+      """SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+        |       epoch_us(o.o_orderdate) AS od_us
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_custkey % 131 = 1""".stripMargin,
     // point-lookup pushdown: the optimizer swaps the scan onto the
     // record-level index's candidate files; the declarative filter is
     // the whole semantics (COW event_id keys — disjoint commits, no

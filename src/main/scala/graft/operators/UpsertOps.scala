@@ -1335,10 +1335,62 @@ object UpsertOps {
         .withColumn("ts_us", col("ts_us") + lit(span + 1000000L)),
       commitTime = "c1")
     table.recordColumnStats(s, Seq("ts_us")) // over ALL version files
+    // Probe the UPPER half of the original domain: winners are per-user
+    // LATEST events, so that's where they live (the lower half holds
+    // only superseded versions — a range there matches no winner at all
+    // at small scale). The shifted users' winners sit past mx, so the
+    // trap still prices: their superseded in-range versions must be
+    // discarded by the key-level composition, never resurrected.
     outputCols(table.readPrunedResolving(
       s,
       Seq(graft.table.ColumnRange.inclusive(
-        "ts_us", mn + span / 4, mn + span / 2))))
+        "ts_us", mn + span / 2, mx))))
+  }
+
+  /** Star-join fact-side file pruning (q164;
+    * [[graft.plans.JoinPruneRewrite]]): the BI dashboard's selective
+    * star query — `orders JOIN customer ON o_custkey = c_custkey WHERE
+    * c_name IN (…)` — declaratively, no lookup API. The optimizer rule
+    * derives the matching customer KEYS from the dim table's
+    * `_graft_si_c_name` sidecar (value→keys, never a dim scan), routes
+    * them through the FACT's `_graft_si_o_custkey` + record-level index
+    * (value→keys→files), and swaps the fact scan onto the candidate
+    * files — the logical-plan analogue of a runtime filter, opening
+    * O(dim probe + delta) fact files where a 100 TB fact table would
+    * otherwise feed a full scan into the join. Both indexes are STALE
+    * (a commit lands after each build) so the probe exercises the
+    * delta-settling path end-to-end. ≡ the plain join — the oracle;
+    * the rule only changes which fact files open.
+    */
+  def joinPrunedStar(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_joinpq_").toString
+    val fact = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/orders_keyed", keyCols = Seq("o_orderkey"),
+      precombineCol = "o_orderdate", partitionCols = Seq("o_orderstatus")))
+    val ord = Tables.orders(s, dir)
+    fact.upsert(s, ord.filter(col("o_orderkey") % 2 === 0), commitTime = "c0")
+    // Cluster on the join column: without customer locality every fact
+    // file holds every customer and candidates cannot prune.
+    fact.cluster(s, Seq("o_custkey"), targetFileBytes = 64L << 10)
+    fact.recordIndexes(s, Seq("o_custkey")) // RLI + secondary, one scan
+    fact.insert(s, ord.filter(col("o_orderkey") % 2 === 1), commitTime = "c1")
+    val dim = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/customer_keyed", keyCols = Seq("c_custkey"),
+      precombineCol = "c_acctbal", partitionCols = Seq("c_mktsegment")))
+    val cust = Tables.customer(s, dir)
+    dim.upsert(s, cust, commitTime = "c0")
+    dim.recordIndexes(s, Seq("c_name"))
+    dim.upsert(s, cust.filter(col("c_custkey") % 7 === 0), commitTime = "c1")
+    // Point-probe contract: ≤128 names at every fixture scale
+    // (15000 / 131 ≈ 115 at sf0.1).
+    val names = cust.filter(col("c_custkey") % 131 === 1)
+      .select("c_name").distinct().collect().map(_.getString(0)).toSeq
+    val f = fact.read(s)
+    val d = dim.read(s).filter(col("c_name").isin(names: _*))
+    f.join(d, f("o_custkey") === d("c_custkey"))
+      .select(
+        col("c_name"), col("o_orderkey"), col("o_totalprice"),
+        expr("unix_micros(cast(o_orderdate as timestamp_ltz))").as("od_us"))
   }
 
   /** Streaming enrichment through the SECONDARY index (q160): the

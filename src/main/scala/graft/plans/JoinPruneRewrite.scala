@@ -1,0 +1,280 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import graft.table.KeyedTable
+
+/** Prunes the FACT side of a star join through the index family — the
+  * logical-plan analogue of a runtime filter / dynamic "file" pruning:
+  * in `fact JOIN dim ON fact.fk = dim.k WHERE dim.attr IN (…)` the dim
+  * probe bounds which join keys can match, so the fact scan only needs
+  * the files that can hold those keys. At 100 TB this is the BI
+  * dashboard's selective star query ("orders of these three customers")
+  * opening O(dim-probe + delta) fact files instead of scanning the fact
+  * table into a shuffled or broadcast join.
+  *
+  * Matches an `Inner` (either orientation) or `LeftSemi` (fact left)
+  * join with at least one literal-free equi conjunct whose two
+  * attributes land on the two sides, where:
+  *
+  *   - the DIM side carries a point probe [[PointLookupRewrite]] could
+  *     serve (the shared `probeShapes` matcher — one matcher, like the
+  *     MV pair), strips to that single registered relation, and every
+  *     joined dim attribute is one of the dim table's KEY columns; the
+  *     matching dim join keys are then derivable WITHOUT executing the
+  *     dim subplan: the probe tuples themselves for a key probe (the
+  *     requested keys are a superset of the matching ones), or
+  *     value→keys through the secondary-index sidecar for a non-key
+  *     probe ([[KeyedTable.siProbeKeys]] — existence-gated via
+  *     [[KeyedTable.hasPointIndexes]], so an absent index degrades to
+  *     "don't prune", never to a plan-time dim scan);
+  *   - the FACT side strips to a single registered NON-RESOLVING
+  *     (plain copy-on-write) relation with no window below the join
+  *     (file pruning under a window would change its frames; on
+  *     merge-on-read the resolve could resurrect superseded versions —
+  *     both decline). Residual fact filters are sound: a dropped file
+  *     only loses rows whose join key cannot match any dim row.
+  *
+  * The fact candidate set comes from the same lookup-candidate chain
+  * the point rule serves: joined columns covering the fact KEY go
+  * keys→files directly ([[KeyedTable.lookupCandidateFiles]] — RLI
+  * first, bloom second); a single joined NON-key column goes
+  * value→keys→files through its secondary sidecar. On plain COW the
+  * chain covers EVERY stored row of the probed values, and the join
+  * equality discards everything else a candidate file carries, so no
+  * guard predicate is needed. Dim-side staleness is already settled
+  * inside the sidecar probes; a superset of dim keys only costs
+  * pruning, never rows.
+  *
+  * Plan-time cost is one small index probe per side (like a DPP
+  * subquery), gated behind the registry, the probe shape, the
+  * [[JoinPruneRewrite.MaxJoinProbe]] cap on derived join keys, and
+  * sidecar existence; idempotent because the swapped fact relation no
+  * longer roots at the registered path. Injected BEFORE
+  * [[PointLookupRewrite]] so the dim probe is still recognizable (once
+  * the point rule serves the dim filter, its scan no longer roots at
+  * the registered path and this rule simply declines — correctness
+  * never depends on the ordering).
+  */
+class JoinPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+  import JoinPruneRewrite.MaxJoinProbe
+
+  private val pointRule = new PointLookupRewrite(spark)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (KeyedTable.specRegistry.isEmpty) return plan
+    plan.transformUp {
+      case j: Join =>
+        try tryRewrite(j).getOrElse(j)
+        catch { case scala.util.control.NonFatal(_) => j }
+    }
+  }
+
+  private def tryRewrite(j: Join): Option[LogicalPlan] = {
+    val cond = j.condition.getOrElse(return None)
+    // (factPlan, dimPlan) orientations this join type admits: pruning
+    // removes fact rows that cannot satisfy the equi conjunct, which is
+    // sound for the streamed/output side of Inner (both ways) and the
+    // OUTPUT side of LeftSemi (the semi side only tests existence).
+    val orientations: Seq[(LogicalPlan, LogicalPlan)] = j.joinType match {
+      case Inner    => Seq((j.left, j.right), (j.right, j.left))
+      case LeftSemi => Seq((j.left, j.right))
+      case _        => return None
+    }
+    val equiPairs: Seq[(Attribute, Attribute)] =
+      MvPlanShape.splitConjunction(cond).collect {
+        case EqualTo(a: Attribute, b: Attribute) => (a, b)
+      }
+    if (equiPairs.isEmpty) return None
+    orientations.view.flatMap { case (factPlan, dimPlan) =>
+      tryOrientation(j, factPlan, dimPlan, equiPairs)
+    }.headOption
+  }
+
+  /** One stripped side: its single registered relation plus the rename
+    * substitution mapping side-output attributes down to it.
+    */
+  private final case class Side(
+      lr: LogicalRelation, fsRel: HadoopFsRelation, root: String,
+      spec: graft.table.KeyedTableSpec, subst: Expression => Expression,
+      hasWindow: Boolean)
+
+  private def stripSide(p: LogicalPlan): Option[Side] = {
+    val conds = mutable.Buffer.empty[(Expression, Int)]
+    val windows = mutable.Buffer.empty[Window]
+    val renames = mutable.Map.empty[ExprId, Expression]
+    val rels = mutable.Buffer.empty[LogicalRelation]
+    val pairs = mutable.Buffer.empty[(Attribute, Attribute)]
+    if (!MvPlanShape.strip(p, conds, windows, renames, rels, pairs))
+      return None
+    if (pairs.nonEmpty || rels.length != 1) return None
+    val lr = rels.head
+    val fsRel = lr.relation match {
+      case h: HadoopFsRelation => h
+      case _ => return None
+    }
+    val root = fsRel.location.rootPaths match {
+      case Seq(one) => one.toString
+      case _ => return None
+    }
+    val spec = Option(KeyedTable.specRegistry.get(root)).getOrElse(return None)
+    Some(Side(lr, fsRel, root, spec,
+      MvPlanShape.substFn(renames), windows.nonEmpty))
+  }
+
+  private def lower(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+
+  private def tryOrientation(
+      j: Join, factPlan: LogicalPlan, dimPlan: LogicalPlan,
+      equiPairs: Seq[(Attribute, Attribute)]): Option[LogicalPlan] = {
+    // FACT: plain COW, no window below the join, single registered rel.
+    val fact = stripSide(factPlan).getOrElse(return None)
+    if (fact.spec.retainHistory || fact.hasWindow) return None
+    val factIds = fact.lr.output.map(_.exprId).toSet
+
+    // DIM: a probe shape the point rule could serve, on the same single
+    // relation this side strips to.
+    val dim = stripSide(dimPlan).getOrElse(return None)
+    // A self-join sharing the one relation OBJECT would swap both sides
+    // at once (transformUp rewrites by identity) — pruning the dim side
+    // to the fact candidates is unsound, so decline. (Analyzed
+    // DataFrame self-joins deduplicate into distinct instances, so this
+    // only guards hand-built plans.)
+    if (dim.lr eq fact.lr) return None
+    val probe = pointRule.probeShapes(dimPlan)
+      .find(_.lr eq dim.lr).getOrElse(return None)
+    val dimIds = dim.lr.output.map(_.exprId).toSet
+    val dimKeyColsL = dim.spec.keyCols.map(lower)
+
+    def relAttr(side: Side, ids: Set[ExprId], e: Expression): Option[Attribute] =
+      side.subst(e) match {
+        case a: Attribute if ids.contains(a.exprId) &&
+          !a.name.startsWith("_graft_") => Some(a)
+        case _ => None
+      }
+
+    // Usable pairs: fact attr on the fact relation, dim attr a KEY
+    // column of the dim relation, equal types (the equality compared
+    // them, but a Cast around either side fails relAttr and is skipped).
+    val factOut = factPlan.outputSet
+    val dimOut = dimPlan.outputSet
+    val joined: Seq[(Attribute, String)] = equiPairs.flatMap { case (x, y) =>
+      val oriented =
+        if (factOut.contains(x) && dimOut.contains(y)) Some((x, y))
+        else if (factOut.contains(y) && dimOut.contains(x)) Some((y, x))
+        else None
+      oriented.flatMap { case (fa0, da0) =>
+        for {
+          fa <- relAttr(fact, factIds, fa0)
+          da <- relAttr(dim, dimIds, da0)
+          if dimKeyColsL.contains(lower(da.name)) &&
+            da.dataType == fa.dataType
+        } yield (fa, lower(da.name))
+      }
+    }.distinct
+    if (joined.isEmpty) return None
+
+    // The dim join-key frame, WITHOUT executing the dim subplan: probe
+    // tuples for a key probe; value→keys through the secondary sidecar
+    // for a non-key probe. Both are supersets of the dim rows that
+    // survive the dim side's full filter — supersets only cost pruning.
+    val dimTable = KeyedTable(dim.spec)
+    val keysFrame: org.apache.spark.sql.DataFrame =
+      if (probe.viaKey) {
+        val converters = probe.probes.map(p =>
+          CatalystTypeConverters.createToScalaConverter(p._1.dataType))
+        val schema = StructType(dim.spec.keyCols.zip(probe.probes).map {
+          case (kc, (attr, _)) => StructField(kc, attr.dataType)
+        })
+        val tuples = probe.probes.map(_._2).foldLeft(Seq(Seq.empty[Any])) {
+          (acc, vals) => acc.flatMap(t => vals.map(v => t :+ v))
+        }
+        val rows = new java.util.ArrayList[Row](tuples.length)
+        tuples.foreach { t =>
+          rows.add(Row(t.zipWithIndex.map { case (v, i) => converters(i)(v) }: _*))
+        }
+        spark.createDataFrame(rows, schema)
+      } else {
+        val (pAttr, values) = probe.probes.head
+        if (!dimTable.hasPointIndexes(spark, Some(pAttr.name))) return None
+        val toScala = CatalystTypeConverters.createToScalaConverter(pAttr.dataType)
+        dimTable.siProbeKeys(spark, pAttr.name, values.map(toScala))
+          .getOrElse(return None)
+      }
+    val dimCols = joined.map(_._2)
+    val selected = keysFrame.columns
+      .filter(c => dimCols.contains(lower(c))).toSeq
+    if (selected.map(lower).sorted != dimCols.sorted) return None
+    val ordered = dimCols.map(dc => selected.find(c => lower(c) == dc).get)
+    val collected = keysFrame
+      .select(ordered.map(org.apache.spark.sql.functions.col): _*)
+      .distinct().limit(MaxJoinProbe + 1).collect()
+      .filterNot(r => (0 until r.length).exists(r.isNullAt))
+    if (collected.length > MaxJoinProbe) return None
+
+    // Fact candidates through the same chain the point rule serves.
+    val factTable = KeyedTable(fact.spec)
+    val factKeyColsL = fact.spec.keyCols.map(lower)
+    val factColOf: Map[String, Attribute] =
+      joined.map { case (fa, dc) => dc -> fa }.toMap
+    val files: Seq[String] =
+      if (joined.map(p => lower(p._1.name)).toSet == factKeyColsL.toSet) {
+        // Joined columns cover the fact KEY: keys→files directly.
+        val keyToDim: Map[String, Int] = joined.zipWithIndex.map {
+          case ((fa, _), i) => lower(fa.name) -> i
+        }.toMap
+        val schema = StructType(fact.spec.keyCols.map { kc =>
+          StructField(kc, factColOf(joined(keyToDim(lower(kc)))._2).dataType)
+        })
+        val rows = new java.util.ArrayList[Row](collected.length)
+        collected.foreach { r =>
+          rows.add(Row(fact.spec.keyCols.map(kc => r.get(keyToDim(lower(kc)))): _*))
+        }
+        val probeDf = spark.createDataFrame(rows, schema)
+        factTable.lookupCandidateFiles(spark, probeDf).getOrElse(return None)
+      } else if (joined.length == 1) {
+        // One joined NON-key fact column: value→keys→files through its
+        // secondary sidecar.
+        val fc = joined.head._1.name
+        if (!factTable.hasPointIndexes(spark, Some(fc))) return None
+        val values = collected.map(_.get(0)).toSeq
+        factTable.siProbeKeys(spark, fc, values)
+          .flatMap(keys => factTable.lookupCandidateFiles(spark, keys))
+          .getOrElse(return None)
+      } else return None
+
+    val total = fact.fsRel.location.inputFiles.length
+    if (files.length >= total) return None
+    val paths = files.map(r => new Path(new Path(fact.spec.path), r))
+    val partSchema = Option(fact.fsRel.partitionSchema).filter(_.nonEmpty)
+    val pruned = new InMemoryFileIndex(
+      spark, paths, Map("basePath" -> fact.root), partSchema)
+    logInfo(s"join-prune rewrite: ${fact.root} fact scan pruned to " +
+      s"${files.length} of $total files via ${collected.length} dim join " +
+      s"keys from ${dim.root}")
+    // Same relation, same output attributes — only the file set changes,
+    // so the join condition and everything above keep their exprIds.
+    Some(j.transformUp {
+      case l: LogicalRelation if l eq fact.lr =>
+        l.copy(relation = fact.fsRel.copy(location = pruned)(spark))
+    })
+  }
+}
+
+object JoinPruneRewrite {
+  /** Beyond this many derived dim join keys the fact probe is not
+    * point-shaped and the index lookup is not worth plan-time work —
+    * the same contract as [[PointLookupRewrite]]'s probe cap.
+    */
+  val MaxJoinProbe = 128
+}

@@ -1086,6 +1086,26 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     rliCandidateFiles(spark, probe)
       .orElse(bloomRelCandidateFiles(spark, probe))
 
+  /** Whether a point probe through this table's index family is
+    * file-bounded — i.e. whether the lookup-candidate chain has a member
+    * to consult at all (`None` column: key probe, needs the RLI or the
+    * bloom sidecar; `Some(c)`: non-key probe, needs `_graft_si_<c>` for
+    * value→keys). Existence only, no sidecar reads: callers that would
+    * otherwise trigger a plan-time lookup (e.g.
+    * [[graft.plans.JoinPruneRewrite]]) gate on this so an absent index
+    * degrades to "don't prune", never to a plan-time full scan.
+    */
+  private[graft] def hasPointIndexes(
+      spark: SparkSession, column: Option[String]): Boolean = {
+    val f = fs(spark)
+    column match {
+      case None =>
+        f.exists(new Path(rliDir)) || f.exists(new Path(bloomDir))
+      case Some(c) =>
+        f.exists(new Path(new Path(spec.path), siDirName(c)))
+    }
+  }
+
   /** Point lookup through the index family: the latest state of every
     * row whose key appears in `keys` (a small frame holding the key
     * columns), reading only the candidate files — the record-level

@@ -1,0 +1,190 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.{Window => W}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.table.{KeyedTable, KeyedTableSpec}
+
+/** [[graft.plans.JoinPruneRewrite]]: a star join whose dim side carries a
+  * point probe must scan only the FACT files the index family selects
+  * for the matching dim join keys — identical results to the unpruned
+  * join, on stale indexes — and decline on merge-on-read facts,
+  * windowed fact sides, oversized probes, and absent sidecars.
+  */
+class JoinPruneRewriteSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def eventsUs =
+    Tables.events(spark, sf0001).withColumn("ts_us", expr("ts div 1000"))
+
+  /** COW fact keyed by the unique event id, CLUSTERED on user_id (the
+    * join column — without locality every file holds every user and
+    * there is nothing to prune), secondary index on user_id, STALE: the
+    * odd half of the events lands after the index build.
+    */
+  private def buildFact(path: String): KeyedTable = {
+    val fact = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("event_id"), precombineCol = "ts_us",
+      partitionCols = Seq("event_type")))
+    val ev = eventsUs
+    fact.upsert(spark, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    fact.cluster(spark, Seq("user_id"), targetFileBytes = 16L << 10)
+    fact.recordIndexes(spark, Seq("user_id"))
+    fact.insert(spark, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    fact
+  }
+
+  /** Dim: one row per user with a low-cardinality tier attribute. */
+  private def buildDim(path: String, siCols: Seq[String]): KeyedTable = {
+    val dim = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("user_id"), precombineCol = "tier"))
+    // Fine tiers: the sf0.001 fixture has ~15 distinct users, so a
+    // coarse tier would select a fifth of the fact table and leave
+    // nothing to prune — %16 keeps the probe point-shaped.
+    val users = eventsUs.select("user_id").distinct()
+      .withColumn("tier", (col("user_id") % 16).cast("long"))
+    dim.upsert(spark, users, commitTime = "c0")
+    if (siCols.nonEmpty) dim.recordIndexes(spark, siCols)
+    dim
+  }
+
+  /** The fact-side scan roots: file-granular iff the rewrite fired (the
+    * pruned index lists .parquet files; an unpruned relation roots at
+    * the table directory).
+    */
+  private def factScan(df: DataFrame, factPath: String): Seq[String] =
+    graft.plans.PlanWalk.scannedFiles(df).filter(_.contains(
+      new java.io.File(factPath).getName))
+
+  private def prunedTo(df: DataFrame, factPath: String): Option[Int] = {
+    val roots = factScan(df, factPath)
+    if (roots.nonEmpty && roots.forall(_.endsWith(".parquet")))
+      Some(roots.length)
+    else None
+  }
+
+  private def outputSet(df: DataFrame): Set[(Long, Long, Long)] =
+    df.select("event_id", "user_id", "tier")
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("inner join with a dim KEY probe prunes the fact scan, exact") {
+    val tmp = Files.createTempDirectory("graft_jpr_a_").toString
+    val fact = buildFact(s"$tmp/fact")
+    val dim = buildDim(s"$tmp/dim", Nil)
+    val ids = eventsUs.select("user_id").distinct()
+      .filter(col("user_id") % 13 === 3).as[Long].collect().toSeq.sorted.take(12)
+    def q = {
+      val f = fact.read(spark)
+      val d = dim.read(spark).filter(col("user_id").isin(ids: _*))
+      f.join(d, f("user_id") === d("user_id"))
+        .select(f("event_id"), d("user_id"), d("tier"))
+    }
+    val served = q
+    val pruned = prunedTo(served, s"$tmp/fact")
+    assert(pruned.isDefined, "the fact scan must be served from candidate files")
+    val total = fact.read(spark).inputFiles.length
+    assert(pruned.get < total, s"must prune: ${pruned.get} of $total")
+    // Ground truth from the lookup API (same index family, API-side).
+    val expected = outputSet {
+      val d = dim.read(spark).filter(col("user_id").isin(ids: _*))
+      val f = fact.lookupByColumn(spark, "user_id", ids)
+      f.join(d, f("user_id") === d("user_id"))
+        .select(f("event_id"), d("user_id"), d("tier"))
+    }
+    assert(outputSet(served) == expected)
+  }
+
+  test("dim SECONDARY probe derives keys through its sidecar and serves") {
+    val tmp = Files.createTempDirectory("graft_jpr_b_").toString
+    val fact = buildFact(s"$tmp/fact")
+    val dim = buildDim(s"$tmp/dim", Seq("tier"))
+    def q = {
+      val f = fact.read(spark)
+      val d = dim.read(spark).filter(col("tier") === 2L)
+      f.join(d, f("user_id") === d("user_id"))
+        .select(f("event_id"), d("user_id"), d("tier"))
+    }
+    val served = q
+    assert(prunedTo(served, s"$tmp/fact").isDefined,
+      "a non-key dim probe with a secondary sidecar must serve")
+    val matching = eventsUs.select("user_id").distinct()
+      .filter(col("user_id") % 16 === 2).as[Long].collect().toSeq
+    val expected = outputSet {
+      val d = dim.read(spark).filter(col("tier") === 2L)
+      val f = fact.read(spark).filter(col("user_id").isin(matching: _*))
+      f.join(d, f("user_id") === d("user_id"))
+        .select(f("event_id"), d("user_id"), d("tier"))
+    }
+    assert(outputSet(served) == expected)
+    // Without the dim sidecar the same shape declines (never a plan-time
+    // dim scan).
+    val dimBare = buildDim(s"$tmp/dim2", Nil)
+    val f2 = fact.read(spark)
+    val d2 = dimBare.read(spark).filter(col("tier") === 2L)
+    val bare = f2.join(d2, f2("user_id") === d2("user_id"))
+      .select(f2("event_id"), d2("user_id"), d2("tier"))
+    assert(prunedTo(bare, s"$tmp/fact").isEmpty,
+      "absent dim sidecar must decline")
+  }
+
+  test("left-semi joins prune the output side") {
+    val tmp = Files.createTempDirectory("graft_jpr_semi_").toString
+    val fact = buildFact(s"$tmp/fact")
+    val dim = buildDim(s"$tmp/dim", Nil)
+    val ids = eventsUs.select("user_id").distinct()
+      .filter(col("user_id") % 17 === 1).as[Long].collect().toSeq.take(8)
+    val f = fact.read(spark)
+    val d = dim.read(spark).filter(col("user_id").isin(ids: _*))
+    val served = f.join(d, f("user_id") === d("user_id"), "left_semi")
+    assert(prunedTo(served, s"$tmp/fact").isDefined, "semi join must serve")
+    val expected = fact.read(spark).filter(col("user_id").isin(ids: _*))
+      .select("event_id").as[Long].collect().toSet
+    assert(served.select("event_id").as[Long].collect().toSet == expected)
+  }
+
+  test("declines: MoR fact, windowed fact, oversized probe") {
+    val tmp = Files.createTempDirectory("graft_jpr_dec_").toString
+    val dim = buildDim(s"$tmp/dim", Nil)
+    val ids = eventsUs.select("user_id").distinct()
+      .filter(col("user_id") % 13 === 3).as[Long].collect().toSeq.take(6)
+    def dimSel = dim.read(spark).filter(col("user_id").isin(ids: _*))
+
+    // MoR fact: pruning under the resolve could resurrect superseded
+    // versions — decline even with every sidecar present.
+    val mor = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/mor", keyCols = Seq("event_id"), precombineCol = "ts_us",
+      partitionCols = Seq("event_type"), retainHistory = true))
+    mor.upsert(spark, eventsUs, commitTime = "c0")
+    mor.recordIndexes(spark, Seq("user_id"))
+    val fm = mor.read(spark)
+    val dm = dimSel
+    val morJoin = fm.join(dm, fm("user_id") === dm("user_id"))
+      .select(fm("event_id"), dm("user_id"))
+    assert(prunedTo(morJoin, s"$tmp/mor").isEmpty, "MoR fact must decline")
+
+    // Windowed fact side: file pruning would change the frames. The
+    // rank must reach the OUTPUT — an unused window is pruned away by
+    // the optimizer before this rule runs, making the prune sound.
+    val fact = buildFact(s"$tmp/fact")
+    val fw = fact.read(spark).withColumn(
+      "rk", row_number().over(W.partitionBy("event_type").orderBy("ts_us")))
+    val dw = dimSel
+    val winJoin = fw.join(dw, fw("user_id") === dw("user_id"))
+      .select(fw("event_id"), fw("rk"), dw("user_id"))
+    assert(prunedTo(winJoin, s"$tmp/fact").isEmpty,
+      "a window below the join must decline")
+
+    // Oversized probe: more derived dim keys than the point contract.
+    val big = (0L until 200L).toSeq
+    val fb = fact.read(spark)
+    val db = dim.read(spark).filter(col("user_id").isin(big: _*))
+    val bigJoin = fb.join(db, fb("user_id") === db("user_id"))
+      .select(fb("event_id"), db("user_id"))
+    assert(prunedTo(bigJoin, s"$tmp/fact").isEmpty,
+      "an oversized probe must decline")
+  }
+}
