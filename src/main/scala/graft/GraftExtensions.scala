@@ -39,14 +39,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ([[graft.plans.PointLookupRewrite]]); no-op while no keyed table
     // has been read in the session.
     e.injectOptimizerRule(s => new graft.plans.PointLookupRewrite(s))
+    // Aggregates over a keyed table's read → answered from the
+    // column-stats sidecar (whole-table / partition-filtered: no scan;
+    // range-filtered: full files fold, boundary files scan)
+    // ([[graft.plans.StatsAggregateRewrite]]). Injected BEFORE the range
+    // rule: both match a range filter over a registered scan, and once
+    // the range rule swaps the scan onto its candidate files the
+    // aggregate rule can no longer recognize the table — the hybrid
+    // serve strictly dominates there (it opens only the BOUNDARY subset
+    // of the range candidates). When the hybrid declines, the range
+    // rule still serves the same filter in the same pass.
+    e.injectOptimizerRule(s => new graft.plans.StatsAggregateRewrite(s))
     // Range filter over a keyed table's read → file-skipping scan
     // through the column-stats sidecar ([[graft.plans.RangePruneRewrite]]);
     // same registry gate as the point rule.
     e.injectOptimizerRule(s => new graft.plans.RangePruneRewrite(s))
-    // Whole-table min/max/count over a keyed table's read → answered
-    // from the column-stats sidecar, no scan
-    // ([[graft.plans.StatsAggregateRewrite]]).
-    e.injectOptimizerRule(s => new graft.plans.StatsAggregateRewrite(s))
     // ORDER BY col LIMIT k over a keyed table's read → scan only the
     // files that can hold a top-k row, via the column-stats sidecar
     // ([[graft.plans.TopKPruneRewrite]]).

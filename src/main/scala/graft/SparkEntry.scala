@@ -188,7 +188,8 @@ object SparkEntry {
     "q161_string_range_prune" -> (UpsertOps.stringRangePrunedQuery(_, _)),
     "q162_topk_prune" -> (UpsertOps.topKPrunedQuery(_, _)),
     "q163_null_prune" -> (UpsertOps.nullPrunedQuery(_, _)),
-    "q164_join_prune" -> (UpsertOps.joinPrunedStar(_, _))
+    "q164_join_prune" -> (UpsertOps.joinPrunedStar(_, _)),
+    "q165_range_agg_hybrid" -> (UpsertOps.rangeAggHybrid(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -954,16 +955,17 @@ object SparkEntry {
     // the trap being that a c0 version inside the range whose c1 winner
     // left it must NOT appear
     "q159_mor_range_prune" ->
-      """WITH mm AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
-        |            FROM events),
+      """WITH ev AS (SELECT * FROM events WHERE event_id % 2 = 0),
+        |mm AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+        |       FROM ev),
         |u AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
-        |  FROM events
+        |  FROM ev
         |  UNION ALL
         |  SELECT user_id, event_type,
         |         epoch_us(ts) + (SELECT mx - mn + 1000000 FROM mm) AS ts_us,
         |         event_id, value
-        |  FROM events WHERE user_id % 11 = 0),
+        |  FROM ev WHERE user_id % 11 = 0),
         |w AS (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
         |                               ORDER BY ts_us DESC, event_id DESC) AS rn
@@ -1008,6 +1010,19 @@ object SparkEntry {
         |FROM orders o
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE c.c_custkey % 131 = 1""".stripMargin,
+    // hybrid range aggregate: full files fold from the sidecar,
+    // boundary files scan — the rewrite only changes which files open,
+    // so the oracle is the plain filtered aggregate (CAST keeps
+    // DuckDB's HUGEINT sum out of the schema compare)
+    "q165_range_agg_hybrid" ->
+      """WITH mm AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+        |            FROM events)
+        |SELECT count(*) AS n_rows, count(value) AS n_vals,
+        |       CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |       min(value) AS v_min, max(value) AS v_max
+        |FROM events, mm
+        |WHERE epoch_us(ts) BETWEEN mn + (mx - mn) // 8
+        |                       AND mx - (mx - mn) // 8""".stripMargin,
     // point-lookup pushdown: the optimizer swaps the scan onto the
     // record-level index's candidate files; the declarative filter is
     // the whole semantics (COW event_id keys — disjoint commits, no

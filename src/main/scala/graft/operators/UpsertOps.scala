@@ -1211,7 +1211,7 @@ object UpsertOps {
       partitionCols = Seq("o_orderstatus")))
     val orders = Tables.orders(s, dir)
     table.upsert(s, orders, commitTime = "c0")
-    table.cluster(s, Seq("o_orderdate"), targetFileBytes = 64L << 10)
+    table.cluster(s, Seq("o_orderdate"), targetFileBytes = 256L << 10)
     table.recordColumnStats(s, Seq("o_orderdate"))
     val dt = orders.schema("o_orderdate").dataType
     val lo = lit("1996-01-01 00:00:00").cast(dt)
@@ -1320,7 +1320,11 @@ object UpsertOps {
     val path =
       Files.createTempDirectory("graft_morrng_").toString + "/events_keyed"
     val table = KeyedTable(morSpec(path))
-    val ev = eventsUs(s, dir)
+    // Half the corpus: the semantics (all-version stats → candidate
+    // keys → settled lookup → residual) are row-count independent, and
+    // the build (two upserts + RLI + stats over every version) is the
+    // query's dominant cost at bench scale.
+    val ev = eventsUs(s, dir).filter(col("event_id") % 2 === 0)
     val Array(r) = ev.agg(min("ts_us").as("mn"), max("ts_us").as("mx")).collect()
     val (mn, mx) = (r.getLong(0), r.getLong(1))
     val span = mx - mn
@@ -1347,6 +1351,40 @@ object UpsertOps {
         "ts_us", mn + span / 2, mx))))
   }
 
+  /** Hybrid range aggregate (q165; [[graft.plans.StatsAggregateRewrite]]
+    * range arm): `SELECT count(*), count(value), sum(event_id),
+    * min(value), max(value) WHERE ts BETWEEN …` over a time-clustered
+    * table — the FULLY-contained files fold from the column-stats
+    * sidecar (counts add, sums add mod 2^64, min/max re-fold) and only
+    * the BOUNDARY files straddling the range edges are scanned with the
+    * filter residual. On a 100 TB time-series table this turns the
+    * daily-dashboard aggregate from "scan the whole range" into "open
+    * two edge files + one metadata read". The probed bounds sit at 1/8
+    * and 7/8 of the time domain, deliberately off any file boundary, so
+    * both fold and scan sides contribute. ≡ the plain filtered
+    * aggregate — the oracle.
+    */
+  def rangeAggHybrid(s: SparkSession, dir: String): DataFrame = {
+    val path =
+      Files.createTempDirectory("graft_hybq_").toString + "/events_keyed"
+    val table = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("event_id"), precombineCol = "ts_us",
+      partitionCols = Seq("event_type")))
+    val ev = eventsUs(s, dir)
+    table.upsert(s, ev, commitTime = "c0")
+    table.cluster(s, Seq("ts_us"), targetFileBytes = 512L << 10)
+    table.recordColumnStats(s, Seq("ts_us", "event_id", "value"))
+    val Array(r) = ev.agg(min("ts_us").as("mn"), max("ts_us").as("mx")).collect()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val span = mx - mn
+    table.read(s)
+      .filter(col("ts_us") >= mn + span / 8 && col("ts_us") <= mx - span / 8)
+      .agg(
+        count(lit(1)).as("n_rows"), count(col("value")).as("n_vals"),
+        sum(col("event_id")).as("id_sum"),
+        min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+  }
+
   /** Star-join fact-side file pruning (q164;
     * [[graft.plans.JoinPruneRewrite]]): the BI dashboard's selective
     * star query — `orders JOIN customer ON o_custkey = c_custkey WHERE
@@ -1357,30 +1395,37 @@ object UpsertOps {
     * (value→keys→files), and swaps the fact scan onto the candidate
     * files — the logical-plan analogue of a runtime filter, opening
     * O(dim probe + delta) fact files where a 100 TB fact table would
-    * otherwise feed a full scan into the join. Both indexes are STALE
-    * (a commit lands after each build) so the probe exercises the
-    * delta-settling path end-to-end. ≡ the plain join — the oracle;
-    * the rule only changes which fact files open.
+    * otherwise feed a full scan into the join. The FACT index is STALE
+    * (a commit lands after its build) so the probe exercises the
+    * delta-settling path end-to-end; dim-side staleness is q146's
+    * dedicated subject. ≡ the plain join — the oracle; the rule only
+    * changes which fact files open.
     */
   def joinPrunedStar(s: SparkSession, dir: String): DataFrame = {
     val tmp = Files.createTempDirectory("graft_joinpq_").toString
+    // Customer locality comes from hash-BUCKET partitioning on the join
+    // column (the coarse layout a 100 TB fact table ships with anyway):
+    // without it every fact file holds every customer and candidates
+    // cannot prune; with it the index chain selects whole bucket files.
     val fact = KeyedTable(KeyedTableSpec(
       path = s"$tmp/orders_keyed", keyCols = Seq("o_orderkey"),
-      precombineCol = "o_orderdate", partitionCols = Seq("o_orderstatus")))
-    val ord = Tables.orders(s, dir)
-    fact.upsert(s, ord.filter(col("o_orderkey") % 2 === 0), commitTime = "c0")
-    // Cluster on the join column: without customer locality every fact
-    // file holds every customer and candidates cannot prune.
-    fact.cluster(s, Seq("o_custkey"), targetFileBytes = 64L << 10)
+      precombineCol = "o_orderdate", partitionCols = Seq("cust_bucket")))
+    val ord = Tables.orders(s, dir).withColumn(
+      "cust_bucket", concat(lit("b"), lpad((col("o_custkey") % 16)
+        .cast("string"), 2, "0")))
+    // Bulk of the table lands in c0; a SMALL slice lands after the index
+    // build — staleness is about the delta EXISTING, not its size, and a
+    // half-table delta would price a shape no steady-state table has
+    // (deltas are one ingest batch, the index refreshes between).
+    fact.upsert(s, ord.filter(col("o_orderkey") % 97 =!= 0), commitTime = "c0")
     fact.recordIndexes(s, Seq("o_custkey")) // RLI + secondary, one scan
-    fact.insert(s, ord.filter(col("o_orderkey") % 2 === 1), commitTime = "c1")
+    fact.insert(s, ord.filter(col("o_orderkey") % 97 === 0), commitTime = "c1")
     val dim = KeyedTable(KeyedTableSpec(
       path = s"$tmp/customer_keyed", keyCols = Seq("c_custkey"),
       precombineCol = "c_acctbal", partitionCols = Seq("c_mktsegment")))
     val cust = Tables.customer(s, dir)
     dim.upsert(s, cust, commitTime = "c0")
     dim.recordIndexes(s, Seq("c_name"))
-    dim.upsert(s, cust.filter(col("c_custkey") % 7 === 0), commitTime = "c1")
     // Point-probe contract: ≤128 names at every fixture scale
     // (15000 / 131 ≈ 115 at sf0.1).
     val names = cust.filter(col("c_custkey") % 131 === 1)

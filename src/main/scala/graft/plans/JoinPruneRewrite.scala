@@ -71,6 +71,12 @@ class JoinPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private val pointRule = new PointLookupRewrite(spark)
 
+  // Semantic decline memo: a join whose probes found nothing to prune
+  // pays its plan-time index IO once, not once per optimizer iteration
+  // (sibling rules rebuild node instances between iterations, so the
+  // key is the derived probe, not the node).
+  private val memo = new DeclineMemo[Any]
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (KeyedTable.specRegistry.isEmpty) return plan
     plan.transformUp {
@@ -184,6 +190,20 @@ class JoinPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }.distinct
     if (joined.isEmpty) return None
 
+    val key = (fact.root, dim.root,
+      joined.map { case (fa, dc) => (fa.name, dc) },
+      probe.viaKey, probe.probes.map(p => (p._1.name, p._2.toVector)))
+    memo.gated(key)(serveOrientation(j, fact, dim, probe, joined))
+  }
+
+  /** The IO half: derive the dim join keys, route them through the fact
+    * index chain, swap the fact scan. Every decline lands in the memo
+    * via the caller's gate.
+    */
+  private def serveOrientation(
+      j: Join, fact: Side, dim: Side,
+      probe: PointLookupRewrite#ProbeMatch,
+      joined: Seq[(Attribute, String)]): Option[LogicalPlan] = {
     // The dim join-key frame, WITHOUT executing the dim subplan: probe
     // tuples for a key probe; value→keys through the secondary sidecar
     // for a non-key probe. Both are supersets of the dim rows that
@@ -216,9 +236,10 @@ class JoinPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       .filter(c => dimCols.contains(lower(c))).toSeq
     if (selected.map(lower).sorted != dimCols.sorted) return None
     val ordered = dimCols.map(dc => selected.find(c => lower(c) == dc).get)
-    val collected = keysFrame
-      .select(ordered.map(org.apache.spark.sql.functions.col): _*)
-      .distinct().limit(MaxJoinProbe + 1).collect()
+    val collected = KeyedTable.withMetaConf(spark)(
+      keysFrame
+        .select(ordered.map(org.apache.spark.sql.functions.col): _*)
+        .distinct().limit(MaxJoinProbe + 1).collect())
       .filterNot(r => (0 until r.length).exists(r.isNullAt))
     if (collected.length > MaxJoinProbe) return None
 

@@ -63,6 +63,8 @@ class PointLookupRewrite(spark: SparkSession)
     */
   private val MaxProbeValues = 128
 
+  private val memo = new DeclineMemo[Any]
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (KeyedTable.specRegistry.isEmpty) return plan
     plan.transformUp {
@@ -71,6 +73,13 @@ class PointLookupRewrite(spark: SparkSession)
         catch { case scala.util.control.NonFatal(_) => f }
     }
   }
+
+  private def tryRewrite(f: Filter): Option[LogicalPlan] =
+    matchProbe(f).flatMap { m =>
+      val key = (m.root, m.viaKey,
+        m.probes.map(p => (p._1.name, p._2.toVector)))
+      memo.gated(key)(serveProbe(m))
+    }
 
   /** The shape half of the match, index-IO-free — shared with
     * [[IndexAdvisor]], so the advisor recommends exactly the probes this
@@ -96,9 +105,6 @@ class PointLookupRewrite(spark: SparkSession)
     else plan.collect { case f: Filter =>
       try matchProbe(f) catch { case scala.util.control.NonFatal(_) => None }
     }.flatten
-
-  private def tryRewrite(f: Filter): Option[LogicalPlan] =
-    matchProbe(f).flatMap(serveProbe)
 
   private def matchProbe(f: Filter): Option[ProbeMatch] = {
     val conds = mutable.Buffer.empty[(Expression, Int)]
@@ -264,9 +270,9 @@ class PointLookupRewrite(spark: SparkSession)
                 .find(_.name.toLowerCase(java.util.Locale.ROOT) == kcL)
                 .getOrElse(return None)
             }
-            val collected = keys
+            val collected = KeyedTable.withMetaConf(spark)(keys
               .select(spec.keyCols.map(org.apache.spark.sql.functions.col): _*)
-              .limit(MaxProbeValues + 1).collect()
+              .limit(MaxProbeValues + 1).collect())
             if (collected.length > MaxProbeValues || collected.isEmpty) None
             else if (keyAttrs.length == 1) {
               val lits = collected.toSeq

@@ -1,0 +1,121 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.expressions._
+
+import graft.table.ColumnRange
+
+/** Shared extraction of literal RANGE conjuncts from a split filter —
+  * the one matcher behind every consumer of the column-stats sidecar's
+  * [min, max] pairs ([[RangePruneRewrite]] swaps scans,
+  * [[StatsAggregateRewrite]] folds full files), so "what counts as a
+  * servable range" cannot drift between them.
+  *
+  * Each conjunct is classified exactly once: a literal bound
+  * (`>=`/`>`/`<=`/`<`/`=`, either orientation, literal in the COLUMN'S
+  * OWN type — analysis guarantees a cast-free comparison has equal
+  * types; a Cast around the attribute fails `relAttrOf` and lands in
+  * `other`), a null predicate (`IS NULL` / `IS NOT NULL`), or `other`
+  * (not consumed — the caller decides whether leftovers are residual or
+  * disqualifying). Bounds on the same column intersect: highest lo /
+  * lowest hi wins, exclusive beating inclusive at a tie, compared with
+  * the type's own interpreted ordering — the same ordering the residual
+  * filter evaluates with.
+  */
+private[plans] object RangeConjuncts {
+
+  final case class Extracted(
+      /** One intersected range per column, in first-seen order. */
+      ranges: Seq[ColumnRange],
+      /** The range columns' relation attributes, by column name. */
+      rangeAttrs: Map[String, Attribute],
+      /** (column, isNull) per null-predicate conjunct, deduplicated. */
+      nullPreds: Seq[(String, Boolean)],
+      /** Conjuncts consumed by neither classification. */
+      other: Seq[Expression])
+
+  def extract(
+      split: Seq[Expression],
+      relAttrOf: Expression => Option[Attribute]): Extracted = {
+    final case class Bound(
+        a: Attribute, lo: Option[(Literal, Boolean)],
+        hi: Option[(Literal, Boolean)])
+    def ok(a: Expression, l: Literal): Option[(Attribute, Literal)] =
+      relAttrOf(a).filter(at => l.value != null && l.dataType == at.dataType)
+        .map((_, l))
+    def boundOf(e: Expression): Option[Bound] = e match {
+      case GreaterThanOrEqual(a, l: Literal) =>
+        ok(a, l).map { case (at, v) => Bound(at, Some((v, true)), None) }
+      case GreaterThanOrEqual(l: Literal, a) =>
+        ok(a, l).map { case (at, v) => Bound(at, None, Some((v, true))) }
+      case LessThanOrEqual(a, l: Literal) =>
+        ok(a, l).map { case (at, v) => Bound(at, None, Some((v, true))) }
+      case LessThanOrEqual(l: Literal, a) =>
+        ok(a, l).map { case (at, v) => Bound(at, Some((v, true)), None) }
+      case GreaterThan(a, l: Literal) =>
+        ok(a, l).map { case (at, v) => Bound(at, Some((v, false)), None) }
+      case GreaterThan(l: Literal, a) =>
+        ok(a, l).map { case (at, v) => Bound(at, None, Some((v, false))) }
+      case LessThan(a, l: Literal) =>
+        ok(a, l).map { case (at, v) => Bound(at, None, Some((v, false))) }
+      case LessThan(l: Literal, a) =>
+        ok(a, l).map { case (at, v) => Bound(at, Some((v, false)), None) }
+      case EqualTo(a, l: Literal) =>
+        ok(a, l).map { case (at, v) => Bound(at, Some((v, true)), Some((v, true))) }
+      case EqualTo(l: Literal, a) =>
+        ok(a, l).map { case (at, v) => Bound(at, Some((v, true)), Some((v, true))) }
+      case _ => None
+    }
+
+    val acc = mutable.LinkedHashMap.empty[
+      String, (Attribute, Option[(Literal, Boolean)], Option[(Literal, Boolean)])]
+    val nullPreds = mutable.Buffer.empty[(String, Boolean)]
+    val other = mutable.Buffer.empty[Expression]
+    split.foreach { c =>
+      boundOf(c) match {
+        case Some(Bound(a, lo, hi)) =>
+          val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+            .getInterpretedOrdering(a.dataType)
+          def tighterLo(x: (Literal, Boolean), y: (Literal, Boolean)) = {
+            val cmp = ord.compare(x._1.value, y._1.value)
+            if (cmp > 0) x else if (cmp < 0) y
+            else if (!x._2) x else y // equal values: exclusive is tighter
+          }
+          def tighterHi(x: (Literal, Boolean), y: (Literal, Boolean)) = {
+            val cmp = ord.compare(x._1.value, y._1.value)
+            if (cmp < 0) x else if (cmp > 0) y
+            else if (!x._2) x else y
+          }
+          val (_, l0, h0) = acc.getOrElse(a.name, (a, None, None))
+          acc(a.name) = (a,
+            (l0.toSeq ++ lo.toSeq).reduceOption(tighterLo),
+            (h0.toSeq ++ hi.toSeq).reduceOption(tighterHi))
+        case None => c match {
+          case IsNull(e) => relAttrOf(e) match {
+            case Some(a) => nullPreds += ((a.name, true))
+            case None => other += c
+          }
+          case IsNotNull(e) => relAttrOf(e) match {
+            case Some(a) => nullPreds += ((a.name, false))
+            case None => other += c
+          }
+          case _ => other += c
+        }
+      }
+    }
+    val ranges = acc.toSeq.map { case (c, (a, lo, hi)) =>
+      val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(a.dataType)
+      ColumnRange(
+        c,
+        lo.map(b => toScala(b._1.value)), lo.forall(_._2),
+        hi.map(b => toScala(b._1.value)), hi.forall(_._2))
+    }
+    Extracted(
+      ranges,
+      acc.toSeq.map { case (c, (a, _, _)) => c -> a }.toMap,
+      nullPreds.distinct.toSeq,
+      other.toSeq)
+  }
+}

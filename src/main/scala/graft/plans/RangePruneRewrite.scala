@@ -60,6 +60,8 @@ import graft.table.KeyedTable
   */
 class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
+  private val memo = new DeclineMemo[Any]
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (KeyedTable.specRegistry.isEmpty) return plan
     plan.transformUp {
@@ -91,7 +93,10 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }.flatten
 
   private def tryRewrite(f: Filter): Option[LogicalPlan] =
-    matchRange(f).flatMap(serveRange)
+    matchRange(f).flatMap { m =>
+      val key = (m.root, m.ranges.toVector, m.nullPreds.toVector)
+      memo.gated(key)(serveRange(m))
+    }
 
   private def matchRange(f: Filter): Option[RangeMatch] = {
     val conds = mutable.Buffer.empty[(Expression, Int)]
@@ -126,91 +131,20 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         !a.name.startsWith("_graft_") => Some(a)
       case _ => None
     }
-    // One (lo?, hi?) contribution per range conjunct, the literal kept in
-    // the COLUMN'S OWN type (analysis guarantees a cast-free comparison
-    // has equal types on both sides; a Cast around the attribute fails
-    // relAttrOf and declines). Strictness rides as a flag — uniform
-    // across integers, dates, timestamps, decimals and strings, no ±1.
-    // A null literal never matches (comparisons to null are never true).
-    final case class Bound(
-        a: Attribute, lo: Option[(Literal, Boolean)],
-        hi: Option[(Literal, Boolean)])
-    def boundOf(e: Expression): Option[Bound] = {
-      def ok(a: Expression, l: Literal): Option[(Attribute, Literal)] =
-        relAttrOf(a).filter(at => l.value != null && l.dataType == at.dataType)
-          .map((_, l))
-      e match {
-        case GreaterThanOrEqual(a, l: Literal) =>
-          ok(a, l).map { case (at, v) => Bound(at, Some((v, true)), None) }
-        case GreaterThanOrEqual(l: Literal, a) =>
-          ok(a, l).map { case (at, v) => Bound(at, None, Some((v, true))) }
-        case LessThanOrEqual(a, l: Literal) =>
-          ok(a, l).map { case (at, v) => Bound(at, None, Some((v, true))) }
-        case LessThanOrEqual(l: Literal, a) =>
-          ok(a, l).map { case (at, v) => Bound(at, Some((v, true)), None) }
-        case GreaterThan(a, l: Literal) =>
-          ok(a, l).map { case (at, v) => Bound(at, Some((v, false)), None) }
-        case GreaterThan(l: Literal, a) =>
-          ok(a, l).map { case (at, v) => Bound(at, None, Some((v, false))) }
-        case LessThan(a, l: Literal) =>
-          ok(a, l).map { case (at, v) => Bound(at, None, Some((v, false))) }
-        case LessThan(l: Literal, a) =>
-          ok(a, l).map { case (at, v) => Bound(at, Some((v, false)), None) }
-        case EqualTo(a, l: Literal) =>
-          ok(a, l).map { case (at, v) =>
-            Bound(at, Some((v, true)), Some((v, true))) }
-        case EqualTo(l: Literal, a) =>
-          ok(a, l).map { case (at, v) =>
-            Bound(at, Some((v, true)), Some((v, true))) }
-        case _ => None
-      }
-    }
-
-    // Conjuncts on the same column intersect: highest lo / lowest hi
-    // wins, exclusive beating inclusive at a tie. Comparison uses the
-    // type's own interpreted ordering over the CATALYST literal values.
-    val acc = mutable.LinkedHashMap.empty[
-      String, (Attribute, Option[(Literal, Boolean)], Option[(Literal, Boolean)])]
-    split.flatMap(boundOf).foreach { case Bound(a, lo, hi) =>
-      val ord = org.apache.spark.sql.catalyst.util.TypeUtils
-        .getInterpretedOrdering(a.dataType)
-      def tighterLo(x: (Literal, Boolean), y: (Literal, Boolean)) = {
-        val c = ord.compare(x._1.value, y._1.value)
-        if (c > 0) x else if (c < 0) y
-        else if (!x._2) x else y // equal values: exclusive is tighter
-      }
-      def tighterHi(x: (Literal, Boolean), y: (Literal, Boolean)) = {
-        val c = ord.compare(x._1.value, y._1.value)
-        if (c < 0) x else if (c > 0) y
-        else if (!x._2) x else y
-      }
-      val (_, l0, h0) = acc.getOrElse(a.name, (a, None, None))
-      acc(a.name) = (a,
-        (l0.toSeq ++ lo.toSeq).reduceOption(tighterLo),
-        (h0.toSeq ++ hi.toSeq).reduceOption(tighterHi))
-    }
-    // Null-predicate conjuncts prune through the per-file null counts
-    // (cnt vs nn_<col>): `IS NULL` drops files with no null in the
-    // column, `IS NOT NULL` drops all-null files — both are per-row
-    // facts on a copy-on-write table, so the subset-of-conjunction
-    // argument covers them too. Catalyst's inferred `isnotnull` guards
-    // around every range ride along for free.
-    val nullPreds = split.flatMap {
-      case IsNull(e) => relAttrOf(e).map(a => (a.name, true))
-      case IsNotNull(e) => relAttrOf(e).map(a => (a.name, false))
-      case _ => None
-    }.distinct
-    if (acc.isEmpty && nullPreds.isEmpty) return None
-    // Scala-side literal values for `lit()` in the sidecar comparison.
-    val ranges = acc.toSeq.map { case (c, (a, lo, hi)) =>
-      val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
-        .createToScalaConverter(a.dataType)
-      graft.table.ColumnRange(
-        c,
-        lo.map(b => toScala(b._1.value)), lo.forall(_._2),
-        hi.map(b => toScala(b._1.value)), hi.forall(_._2))
-    }
-    Some(RangeMatch(f, lr, fsRel, root, spec, ranges, nullPreds))
+    // Literal bounds and null predicates through the SHARED extraction
+    // ([[RangeConjuncts]] — one matcher for every column-stats
+    // consumer): bounds in the column's own type with per-side
+    // strictness flags, same-column conjuncts intersected with the
+    // type's own interpreted ordering. Null predicates prune through
+    // the per-file null counts (cnt vs nn_<col>): `IS NULL` drops files
+    // with no null in the column, `IS NOT NULL` drops all-null files —
+    // per-row facts on a copy-on-write table, so the
+    // subset-of-conjunction argument covers them too; Catalyst's
+    // inferred `isnotnull` guards around every range ride for free.
+    // Unconsumed conjuncts simply stay residual (subset serving).
+    val ex = RangeConjuncts.extract(split, relAttrOf)
+    if (ex.ranges.isEmpty && ex.nullPreds.isEmpty) return None
+    Some(RangeMatch(f, lr, fsRel, root, spec, ex.ranges, ex.nullPreds))
   }
 
   /** The serving half: one sidecar read + the scan swap. */

@@ -6,10 +6,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Union, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, max, min, sum}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
 import org.apache.spark.sql.types._
 
 import graft.table.KeyedTable
@@ -29,11 +29,16 @@ import graft.table.KeyedTable
   * Matches an `Aggregate` whose stripped child is a single parquet
   * relation rooted at a REGISTERED keyed-table path
   * ([[KeyedTable.specRegistry]]) — no windows or joins, and filters
-  * only when every conjunct is a literal point predicate (or inferred
-  * isnotnull) on a PARTITION column: partition conjuncts select whole
-  * files exactly, so the fold over the selected sidecar rows IS the
-  * aggregate over the filtered table, nothing residual — and
-  * whose every aggregate is one of `min(col)` / `max(col)` (any ORDERED
+  * only when every conjunct classifies as (a) a literal point predicate
+  * (or inferred isnotnull) on a PARTITION column — partition conjuncts
+  * select whole files exactly, so the fold over the selected sidecar
+  * rows IS the aggregate over the filtered table, nothing residual — or
+  * (b) a literal RANGE / IS NOT NULL conjunct on an ordered stats
+  * column (the shared [[RangeConjuncts]] extraction), which selects the
+  * HYBRID serve ([[serveHybrid]]): fully-contained files fold from the
+  * sidecar, boundary files scan with the filter residual (groupless
+  * only). Any unclassified conjunct declines the node. Every aggregate
+  * must be one of `min(col)` / `max(col)` (any ORDERED
   * stats type — integers, floats, dates, timestamps, decimals, strings;
   * [[KeyedTable.statsOrderedType]], matching what
   * [[KeyedTable.recordColumnStats]] records; string bounds must
@@ -67,12 +72,18 @@ import graft.table.KeyedTable
 class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   import StatsAggregateRewrite.MaxGroups
 
+  private val memo = new DeclineMemo[Any]
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (KeyedTable.specRegistry.isEmpty) return plan
     plan.transformUp {
       case a: Aggregate =>
         try serve(a).getOrElse(a)
-        catch { case scala.util.control.NonFatal(_) => a }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            logInfo(s"stats-aggregate rewrite declined on error: $e")
+            a
+        }
     }
   }
 
@@ -97,10 +108,15 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     extends PartFilter
   private case class PartNotNull(column: String) extends PartFilter
 
-  /** The shape half of the match, sidecar-IO-free. */
+  /** The shape half of the match, sidecar-IO-free. `ranges`/`notNull`
+    * nonempty selects the HYBRID serve: full files fold from the
+    * sidecar, boundary files scan.
+    */
   private final case class AggMatch(
       a: Aggregate, spec: graft.table.KeyedTableSpec, needs: Seq[Need],
-      groupAttrs: Seq[Attribute], partFilters: Seq[PartFilter])
+      groupAttrs: Seq[Attribute], partFilters: Seq[PartFilter],
+      ranges: Seq[graft.table.ColumnRange], notNull: Seq[String],
+      lr: LogicalRelation, fsRel: HadoopFsRelation, root: String)
 
   /** Every servable-aggregate shape in `plan`, as (table spec, the data
     * columns needing recorded stats) — shared with [[IndexAdvisor]], so
@@ -116,17 +132,25 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     else plan.collect { case ag: Aggregate =>
       (try matchAgg(ag) catch { case scala.util.control.NonFatal(_) => None })
         .map { m =>
-          (m.spec, m.needs.collect {
+          (m.spec, (m.needs.collect {
             case MinOf(c, _) => c
             case MaxOf(c, _) => c
             case SumOf(c)    => c
             case CountCol(c) => c
-          }.distinct)
+          } ++ m.ranges.map(_.column) ++ m.notNull).distinct)
         }
     }.flatten
 
   private def serve(a: Aggregate): Option[LogicalPlan] =
-    matchAgg(a).flatMap(serveAgg)
+    matchAgg(a).flatMap { m =>
+      // Needs carry data types and column names; PartFilters carry
+      // literal values — together with the path they pin the semantic
+      // probe, so node churn across fixpoint iterations still hits.
+      val key = (m.spec.path, m.needs.toVector,
+        m.groupAttrs.map(_.name).toVector,
+        m.partFilters.toVector, m.ranges.toVector, m.notNull.toVector)
+      memo.gated(key)(serveAgg(m))
+    }
 
   private def matchAgg(a: Aggregate): Option[AggMatch] = {
     if (a.aggregateExpressions.isEmpty) return None
@@ -194,8 +218,28 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       MvPlanShape.splitConjunction(c)
     }
     if (splitConds.exists(!_.deterministic)) return None
-    val partFilters: Seq[PartFilter] =
-      splitConds.map(c => partFilterOf(c).getOrElse(return None))
+    // Partition point conjuncts select whole files (the original
+    // metadata-only path). Everything else goes through the SHARED
+    // range extraction ([[RangeConjuncts]]): literal ranges and
+    // IS NOT NULL on ordered stats columns select the HYBRID serve —
+    // FULLY-contained files fold from the sidecar, boundary files scan
+    // with the filter residual. Any conjunct neither classifies
+    // (`other`) declines: a leftover predicate would falsify the
+    // full-file fold. IS NULL declines too (a fold over all-null files
+    // would need the complement matrix; the audit shape belongs in
+    // [[RangePruneRewrite]]'s pruned scan).
+    val (partConds, restConds) =
+      splitConds.partition(c => partFilterOf(c).isDefined)
+    val partFilters: Seq[PartFilter] = partConds.flatMap(partFilterOf)
+    def relAttrOrdered(e: Expression): Option[Attribute] =
+      relAttrOf(e).filter(at => KeyedTable.statsOrderedType(at.dataType))
+    val ex = RangeConjuncts.extract(restConds, relAttrOrdered)
+    if (ex.other.nonEmpty || ex.nullPreds.exists(_._2)) return None
+    val notNull = ex.nullPreds.map(_._1)
+    // The hybrid serve is groupless: a grouped fold over partial files
+    // would need per-group boundary scans — decline to a real scan.
+    if ((ex.ranges.nonEmpty || notNull.nonEmpty) && groupAttrs.nonEmpty)
+      return None
     val groupIdx: Map[ExprId, Int] =
       groupAttrs.zipWithIndex.map { case (at, i) => at.exprId -> i }.toMap
 
@@ -222,12 +266,13 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             relAttrOf(e)
               .filter(at => KeyedTable.statsOrderedType(at.dataType))
               .map(at => MaxOf(at.name, at.dataType)).getOrElse(return None)
-          // Sum(integral) ONLY folds bit-exactly: long addition is
-          // associative mod 2^64, the same arithmetic Spark's own
-          // partial+final Sum performs, and the output is LongType for
-          // every integral input. FP sums are order-sensitive and
-          // decimal sums change precision per fold level — a sum over
-          // any non-integral column declines the whole node to a scan.
+          // Sum(integral) ONLY folds exactly: the sidecar stores exact
+          // DECIMAL(38,0) per-file partials (associative, no overflow),
+          // narrowed back to Sum's LongType at serve time — totals
+          // outside long range decline to the scan, where Spark's own
+          // ANSI Sum raises. FP sums are order-sensitive and
+          // native-decimal sums change precision per fold level — a sum
+          // over any non-integral column declines the whole node.
           case s: Sum =>
             relAttrOf(s.child).filter(at => integral(at.dataType))
               .map(at => SumOf(at.name)).getOrElse(return None)
@@ -239,12 +284,21 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case Alias(e, _) => groupNeedOf(e).getOrElse(return None)
       case _ => return None
     }
-    Some(AggMatch(a, spec, needs, groupAttrs, partFilters))
+    Some(AggMatch(
+      a, spec, needs, groupAttrs, partFilters, ex.ranges, notNull,
+      lr, fsRel, root))
   }
 
-  /** The serving half: one sidecar read + the LocalRelation fold. */
-  private def serveAgg(m: AggMatch): Option[LogicalPlan] = {
-    val AggMatch(a, spec, needs, groupAttrs, partFilters) = m
+  private def serveAgg(m: AggMatch): Option[LogicalPlan] =
+    if (m.ranges.isEmpty && m.notNull.isEmpty) serveWhole(m)
+    else serveHybrid(m)
+
+  /** The metadata-ONLY serve: one sidecar read + the LocalRelation fold
+    * (whole table, or partition-filtered — every selected file
+    * contributes all its rows).
+    */
+  private def serveWhole(m: AggMatch): Option[LogicalPlan] = {
+    val AggMatch(a, spec, needs, groupAttrs, partFilters, _, _, _, _, _) = m
     val table = KeyedTable(spec)
     table.colStatsFrame(spark).flatMap { st =>
       // Sidecar columns are named with the column string passed to
@@ -268,7 +322,12 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val folds: Seq[Option[org.apache.spark.sql.Column]] = needs.collect {
         case MinOf(c, _) => statCol("min", c).map(s => min(col(s)))
         case MaxOf(c, _) => statCol("max", c).map(s => max(col(s)))
-        case SumOf(c)    => statCol("sum", c).map(s => sum(col(s)))
+        // Decimal fold: exact for both sidecar generations (new decimal
+        // partials directly; old long partials widen losslessly), and
+        // never overflows where an ANSI long Sum would throw — the
+        // narrowing back to long declines instead (sumToLong).
+        case SumOf(c) =>
+          statCol("sum", c).map(s => sum(col(s).cast(DecimalType(38, 0))))
         case CountAll =>
           if (st.columns.contains("cnt")) Some(sum(col("cnt"))) else None
         case CountCol(c) => statCol("nn", c).map(s => sum(col(s)))
@@ -295,7 +354,8 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           if (groupStatCols.isEmpty) stSel.agg(exprs.head, exprs.tail: _*)
           else stSel.groupBy(groupStatCols.flatten.map(col): _*)
             .agg(exprs.head, exprs.tail: _*)
-        val rows = folded.limit(MaxGroups + 1).collect()
+        val rows = KeyedTable.withMetaConf(spark)(
+          folded.limit(MaxGroups + 1).collect())
         if (rows.length > MaxGroups) return None
         val nGuards = guardExprs.length
         val truncated = rows.exists { row =>
@@ -327,7 +387,10 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               n match {
                 case MinOf(_, t) => toCatalystStat(v, t)
                 case MaxOf(_, t) => toCatalystStat(v, t)
-                case SumOf(_)    => v // sum over no rows is null, like Spark
+                // sum over no rows is null, like Spark; a total outside
+                // long range declines the serve (the scan reproduces
+                // Spark's own ANSI overflow behavior)
+                case SumOf(_)    => sumToLong(v).getOrElse(return None)
                 // count over zero files is 0, never null
                 case _ => if (v == null) 0L else v
               }
@@ -339,6 +402,198 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         Some(LocalRelation(a.output, data, false))
       }
     }
+  }
+
+  /** The HYBRID serve: a range-filtered aggregate answered by folding
+    * the FULLY-contained files from the sidecar and scanning only the
+    * BOUNDARY files — on a time-clustered 100 TB table,
+    * `SELECT count(*), sum(x) WHERE ts BETWEEN …` opens the two files
+    * straddling the range edges instead of every file in the range. A
+    * file is FULL when every row satisfies every conjunct (bounds
+    * inside the range and zero nulls in every constrained column — the
+    * per-file `nn`/`cnt` counts decide); truncated string bounds stay
+    * sound for the classification (stored lower ≤ real min, stored
+    * upper ≥ real max, so stored-in implies real-in) though min/max
+    * VALUES over truncated full files still decline. The produced plan
+    * is `Aggregate(combine, Union(LocalRelation(full-file fold),
+    * Aggregate(original functions, Filter(original predicate,
+    * boundary-file scan))))` — counts/sums re-add, min/max re-fold, and
+    * the final aliases keep the original exprIds so nothing above
+    * changes. min/max/count are decomposable exactly; sum folds
+    * bit-exactly because the sidecar stores wrapped-long partial sums
+    * (the same mod-2^64 arithmetic Spark's partial+final Sum performs).
+    * Zero full files declines (that shape is [[RangePruneRewrite]]'s);
+    * the boundary Aggregate over ZERO files still yields its neutral
+    * single row, so an exactly-aligned range serves with no data IO
+    * beyond an empty scan.
+    */
+  private def serveHybrid(m: AggMatch): Option[LogicalPlan] = {
+    val AggMatch(a, spec, needs, _, partFilters, ranges, notNull,
+      lr, fsRel, root) = m
+    val table = KeyedTable(spec)
+    table.colStatsFrame(spark).flatMap { st =>
+      def statCol(prefix: String, c: String): Option[String] =
+        st.columns.find(_.equalsIgnoreCase(s"${prefix}_$c"))
+      if (!st.columns.contains("cnt")) return None
+      val classCols = (ranges.map(_.column) ++ notNull).distinct
+      val nnOf = classCols.map(c => c -> statCol("nn", c)).toMap
+      if (nnOf.values.exists(_.isEmpty)) return None
+      val mmOf = ranges.map(r => r.column ->
+        ((statCol("min", r.column), statCol("max", r.column)))).toMap
+      if (mmOf.values.exists(p => p._1.isEmpty || p._2.isEmpty)) return None
+
+      // Partition conjuncts select whole sidecar rows first, exactly as
+      // the metadata-only serve does.
+      val filterStatCols = partFilters.map {
+        case PartIn(c, _, _) => statCol("p", c)
+        case PartNotNull(c)  => statCol("p", c)
+      }
+      if (filterStatCols.exists(_.isEmpty)) return None
+      val stSel = partFilters.zip(filterStatCols.map(_.get)).foldLeft(st) {
+        case (df, (PartIn(_, t, vs), pc)) =>
+          val toScala = CatalystTypeConverters.createToScalaConverter(t)
+          df.filter(col(pc).isin(vs.map(toScala): _*))
+        case (df, (PartNotNull(_), pc)) => df.filter(col(pc).isNotNull)
+      }
+
+      // Candidate: the file can hold a satisfying row (the range-prune
+      // intersection + at least one non-null in each IS NOT NULL
+      // column). Full: every row satisfies every conjunct. An all-null
+      // stats row nulls both predicates — filtered out on both sides,
+      // rightly: no row of such a file satisfies a range conjunct.
+      val candidate = (ranges.map { r =>
+        val (mnC, mxC) = (mmOf(r.column)._1.get, mmOf(r.column)._2.get)
+        val loP = r.lo.map(v =>
+          if (r.loInclusive) col(mxC) >= lit(v) else col(mxC) > lit(v))
+        val hiP = r.hi.map(v =>
+          if (r.hiInclusive) col(mnC) <= lit(v) else col(mnC) < lit(v))
+        (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+      } ++ notNull.map(c => col(nnOf(c).get) > lit(0L)))
+        .reduceOption(_ && _).getOrElse(lit(false))
+      val full = (ranges.map { r =>
+        val (mnC, mxC) = (mmOf(r.column)._1.get, mmOf(r.column)._2.get)
+        val loP = r.lo.map(v =>
+          if (r.loInclusive) col(mnC) >= lit(v) else col(mnC) > lit(v))
+        val hiP = r.hi.map(v =>
+          if (r.hiInclusive) col(mxC) <= lit(v) else col(mxC) < lit(v))
+        (Seq(col(nnOf(r.column).get) === col("cnt")) ++ loP.toSeq ++ hiP.toSeq)
+          .reduce(_ && _)
+      } ++ notNull.map(c => col(nnOf(c).get) === col("cnt")))
+        .reduce(_ && _)
+
+      // Value folds over the FULL subset — same folds as the
+      // metadata-only serve — plus the string-truncation guards and the
+      // full-file count.
+      val folds: Seq[Option[org.apache.spark.sql.Column]] = needs.collect {
+        case MinOf(c, _) => statCol("min", c).map(s => min(col(s)))
+        case MaxOf(c, _) => statCol("max", c).map(s => max(col(s)))
+        case SumOf(c) =>
+          statCol("sum", c).map(s => sum(col(s).cast(DecimalType(38, 0))))
+        case CountAll    => Some(sum(col("cnt")))
+        case CountCol(c) => statCol("nn", c).map(s => sum(col(s)))
+      }
+      val guardCols: Seq[Option[String]] = needs.collect {
+        case MinOf(c, StringType) => statCol("trunc", c)
+        case MaxOf(c, StringType) => statCol("trunc", c)
+      }.distinct
+      if (folds.exists(_.isEmpty) || guardCols.exists(_.isEmpty)) return None
+      val valueExprs = folds.flatten.zipWithIndex
+        .map { case (c, i) => c.as(s"v$i") }
+      val guardExprs = guardCols.flatten.zipWithIndex
+        .map { case (g, i) => max(col(g)).as(s"g$i") }
+      val exprs = (valueExprs ++ guardExprs) :+ count(lit(1)).as("nfull")
+      val Array(row) = KeyedTable.withMetaConf(spark)(
+        stSel.filter(full).agg(exprs.head, exprs.tail: _*).collect())
+      if (row.getLong(row.length - 1) == 0L) return None // RangePrune's shape
+      val nGuards = guardExprs.length
+      val truncated = (0 until nGuards).exists { gi =>
+        val at = valueExprs.length + gi
+        !row.isNullAt(at) && row.getBoolean(at)
+      }
+      if (truncated) return None
+
+      val partialFiles = KeyedTable.withMetaConf(spark)(
+        stSel.filter(candidate && !full)
+          .select("file").collect().map(_.getString(0)).toSeq)
+
+      // Both Union sides share this row shape, in needs order.
+      val uAttrs: Seq[AttributeReference] = needs.zipWithIndex.map {
+        case (MinOf(_, t), i) => AttributeReference(s"u$i", t)()
+        case (MaxOf(_, t), i) => AttributeReference(s"u$i", t)()
+        case (SumOf(_), i)    => AttributeReference(s"u$i", LongType)()
+        case (_, i) => AttributeReference(s"u$i", LongType, nullable = false)()
+      }
+      val foldVals: Seq[Any] = needs.zipWithIndex.map { case (n, i) =>
+        val v: Any = if (row.isNullAt(i)) null else row.get(i)
+        n match {
+          case MinOf(_, t) => toCatalystStat(v, t)
+          case MaxOf(_, t) => toCatalystStat(v, t)
+          // sum over no full rows is null, like Spark; out-of-long-range
+          // totals decline (ANSI overflow belongs to the real scan)
+          case SumOf(_)    => sumToLong(v).getOrElse(return None)
+          case _ => if (v == null) 0L else v
+        }
+      }
+      val local = LocalRelation(uAttrs, Seq(InternalRow.fromSeq(foldVals)), false)
+
+      // Boundary side: the original child subtree (filters, projects,
+      // renames intact) with the scan swapped onto the partial files,
+      // aggregated with the ORIGINAL functions.
+      val paths = partialFiles.map(abs =>
+        new org.apache.hadoop.fs.Path(new java.net.URI(abs)))
+      val partSchema = Option(fsRel.partitionSchema).filter(_.nonEmpty)
+      val prunedIdx = new InMemoryFileIndex(
+        spark, paths, Map("basePath" -> root), partSchema)
+      val newChild = a.child.transformUp {
+        case l: LogicalRelation if l eq lr =>
+          l.copy(relation = fsRel.copy(location = prunedIdx)(spark))
+      }
+      val partialAliases: Seq[NamedExpression] =
+        a.aggregateExpressions.zipWithIndex.map {
+          case (Alias(ae: AggregateExpression, _), i) => Alias(ae, s"u$i")()
+          case _ => return None // groupless match admits only agg aliases
+        }
+      val partial = Aggregate(Nil, partialAliases, newChild)
+
+      // Final combine: counts and sums re-add, min/max re-fold; aliases
+      // keep the original names AND exprIds so nothing above changes.
+      // Coalesce pins the count combine non-null (both inputs always
+      // exist — a groupless Aggregate yields its neutral row even over
+      // an empty boundary scan — but the static type must stay
+      // non-nullable like Count's).
+      val finalExprs: Seq[NamedExpression] = needs.zipWithIndex.map {
+        case (n, i) =>
+          val u = uAttrs(i)
+          val orig = a.aggregateExpressions(i).asInstanceOf[NamedExpression]
+          val combined: Expression = n match {
+            case MinOf(_, _) => Min(u).toAggregateExpression()
+            case MaxOf(_, _) => Max(u).toAggregateExpression()
+            case SumOf(_)    => Sum(u).toAggregateExpression()
+            case _ => Coalesce(Seq(
+              Sum(u).toAggregateExpression(), Literal(0L)))
+          }
+          Alias(combined, orig.name)(exprId = orig.exprId)
+      }
+      logInfo(s"stats-aggregate hybrid: ${spec.path} folded " +
+        s"${row.getLong(row.length - 1)} full files from the sidecar, " +
+        s"scanning ${partialFiles.length} boundary files")
+      Some(Aggregate(Nil, finalExprs, Union(Seq(local, partial))))
+    }
+  }
+
+  /** Decimal sum fold → long, or `None` when the exact total does not
+    * fit — the serve declines there so ANSI overflow semantics stay
+    * with Spark's own Sum over the real scan. Old sidecars folded from
+    * long partials arrive as decimals too (the fold casts), so one
+    * narrowing covers both generations.
+    */
+  private def sumToLong(v: Any): Option[Any] = v match {
+    case null => Some(null)
+    case d: java.math.BigDecimal =>
+      val bi = d.toBigInteger
+      if (bi.bitLength() <= 63) Some(bi.longValueExact()) else None
+    case l: java.lang.Long => Some(l.longValue())
+    case other => Some(other)
   }
 
   /** Scala-side fold value → Catalyst value in the column's own type.

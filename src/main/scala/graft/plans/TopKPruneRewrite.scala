@@ -43,6 +43,8 @@ import graft.table.KeyedTable
   */
 class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
+  private val memo = new DeclineMemo[Any]
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (KeyedTable.specRegistry.isEmpty) return plan
     plan.transformUp {
@@ -100,22 +102,24 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val nullsFirst = head.nullOrdering == NullsFirst
 
     val table = KeyedTable(spec)
-    table.topKCandidateFiles(spark, attr.name, k.toLong, desc, nullsFirst)
-      .flatMap { case (files, _) =>
-        val total = fsRel.location.inputFiles.length
-        if (files.length >= total) None
-        else {
-          val partSchema = Option(fsRel.partitionSchema).filter(_.nonEmpty)
-          val pruned = new InMemoryFileIndex(
-            spark, files, Map("basePath" -> root), partSchema)
-          logInfo(s"top-k rewrite: $root scan pruned to ${files.length} " +
-            s"of $total files for ORDER BY ${attr.name} " +
-            (if (desc) "DESC" else "ASC") + s" LIMIT $k")
-          Some(lim.transformUp {
-            case l: LogicalRelation if l eq lr =>
-              l.copy(relation = fsRel.copy(location = pruned)(spark))
-          })
+    memo.gated((root, attr.name, k, desc, nullsFirst)) {
+      table.topKCandidateFiles(spark, attr.name, k.toLong, desc, nullsFirst)
+        .flatMap { case (files, _) =>
+          val total = fsRel.location.inputFiles.length
+          if (files.length >= total) None
+          else {
+            val partSchema = Option(fsRel.partitionSchema).filter(_.nonEmpty)
+            val pruned = new InMemoryFileIndex(
+              spark, files, Map("basePath" -> root), partSchema)
+            logInfo(s"top-k rewrite: $root scan pruned to ${files.length} " +
+              s"of $total files for ORDER BY ${attr.name} " +
+              (if (desc) "DESC" else "ASC") + s" LIMIT $k")
+            Some(lim.transformUp {
+              case l: LogicalRelation if l eq lr =>
+                l.copy(relation = fsRel.copy(location = pruned)(spark))
+            })
+          }
         }
-      }
+    }
   }
 }

@@ -617,6 +617,10 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * occur (every stored key set every one of its positions).
     */
   private[graft] def bloomCandidateFiles(
+      spark: SparkSession, batch: DataFrame): (Seq[String], Int) =
+    KeyedTable.withMetaConf(spark)(bloomCandidateFilesImpl(spark, batch))
+
+  private def bloomCandidateFilesImpl(
       spark: SparkSession, batch: DataFrame): (Seq[String], Int) = {
     val idx = spark.read.parquet(bloomDir)
     val head = idx.select(col("m"), col("k")).limit(1).collect()
@@ -926,6 +930,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     f.delete(dst, true)
     if (!f.rename(tmp, dst))
       throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    KeyedTable.mutationTick.incrementAndGet()
   }
 
   private def publishRli(spark: SparkSession, entries: DataFrame): Unit =
@@ -1021,6 +1026,10 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * contract; this is never the path for a large key set.
     */
   private[graft] def rliCandidateFiles(
+      spark: SparkSession, probe: DataFrame): Option[Seq[String]] =
+    KeyedTable.withMetaConf(spark)(rliCandidateFilesImpl(spark, probe))
+
+  private def rliCandidateFilesImpl(
       spark: SparkSession, probe: DataFrame): Option[Seq[String]] = {
     val f = fs(spark)
     if (!f.exists(new Path(rliDir))) return None
@@ -1361,16 +1370,22 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     // Min/max in the column's OWN type (the Iceberg/Hudi column-stats
     // model — pruning comparisons then use the exact ordering the data
     // filter uses, for dates/timestamps/decimals/strings alike). SUM is
-    // recorded for INTEGRAL columns only, as a plain long: long addition
-    // is associative modulo 2^64, so folding per-file sums is
-    // bit-identical to Spark's own partial+final Sum over the rows —
-    // even under overflow. (FP sums are order-sensitive, decimal sums
-    // change precision at each fold level — neither folds exactly, so
-    // neither is recorded and the aggregate rule declines to a scan.)
+    // recorded for INTEGRAL columns only, as an EXACT DECIMAL(38,0): a
+    // per-file LONG sum can overflow (a 10k-row file of epoch-micros
+    // longs already exceeds 2^63), and under ANSI mode Spark's Sum
+    // THROWS on overflow rather than wrapping — the decimal partial is
+    // exact up to 10^38 (unreachable: < 2^30 rows/file × 2^63), folds
+    // associatively, and the serving rule narrows the folded total back
+    // to long only when it fits, declining to a real scan otherwise so
+    // ANSI overflow semantics stay with Spark's own Sum. (FP sums are
+    // order-sensitive, native-decimal sums change precision at each
+    // fold level — neither folds exactly, so neither is recorded and
+    // the aggregate rule declines to a scan.)
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).as(s"min_$c"),
       max(col(c)).as(s"max_$c")) ++
-      (if (isIntegral(c)) Seq(sum(col(c)).cast("long").as(s"sum_$c")) else Nil) :+
+      (if (isIntegral(c))
+        Seq(sum(col(c).cast(DecimalType(38, 0))).as(s"sum_$c")) else Nil) :+
       count(col(c)).as(s"nn_$c")) ++ partAggs :+ count(lit(1)).as("cnt")
     val perFile = raw
       .withColumn("file", input_file_name())
@@ -1400,6 +1415,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     statRows
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(colStatsDir)
+    KeyedTable.mutationTick.incrementAndGet()
   }
 
   /** The column-stats sidecar frame, or `None` when absent/unreadable —
@@ -1494,6 +1510,16 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       column: String,
       k: Long,
       desc: Boolean,
+      nullsFirst: Boolean): Option[(Seq[Path], Int)] =
+    KeyedTable.withMetaConf(spark) {
+      topKCandidateFilesImpl(spark, column, k, desc, nullsFirst)
+    }
+
+  private def topKCandidateFilesImpl(
+      spark: SparkSession,
+      column: String,
+      k: Long,
+      desc: Boolean,
       nullsFirst: Boolean): Option[(Seq[Path], Int)] = {
     require(!spec.retainHistory,
       "top-k candidates require a copy-on-write table (see readPruned)")
@@ -1562,6 +1588,14 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * correctly dropped: a range conjunct is null-rejecting.
     */
   private[graft] def statsSelectedFilesTyped(
+      spark: SparkSession,
+      ranges: Seq[ColumnRange],
+      nullPreds: Seq[(String, Boolean)] = Nil): (Seq[String], Int) =
+    KeyedTable.withMetaConf(spark) {
+      statsSelectedFilesTypedImpl(spark, ranges, nullPreds)
+    }
+
+  private def statsSelectedFilesTypedImpl(
       spark: SparkSession,
       ranges: Seq[ColumnRange],
       nullPreds: Seq[(String, Boolean)] = Nil): (Seq[String], Int) = {
@@ -3042,6 +3076,43 @@ object KeyedTable {
     scala.collection.concurrent.TrieMap
       .empty[(Int, String), Seq[(Int, Seq[String])]]
 
+  /** Bumped by every in-process table mutation (timeline record, sidecar
+    * publish, stats publish) — the cheap freshness token the optimizer
+    * rules' decline memos key on ([[graft.plans.DeclineMemo]]): a cached
+    * "this plan node cannot be served" stays valid only while NO table
+    * in the process changed. Coarse on purpose — a false invalidation
+    * re-pays one plan-time probe; a per-table token would buy little
+    * (plans rarely straddle unrelated mutations). Serving soundness
+    * never depends on this: positive serves re-prove freshness through
+    * the commit→files delta every time.
+    */
+  private[graft] val mutationTick = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Runs a METADATA-sized query (sidecar probes, candidate-file
+    * selection, stats folds) under a conf scope that matches its shape:
+    * AQE off (its stage re-planning adds 2–4 scheduler round-trips per
+    * collect and has nothing to coalesce at KB scale) and 8 shuffle
+    * partitions (probe-sized joins/distincts don't amortize 32 empty
+    * tasks). Plan-time index probes run 2–4× fewer Spark jobs under
+    * this scope — on the bench that is the difference between a cheap
+    * DPP-style subquery and a visible plan-time stall. The previous
+    * values restore in `finally`; the set/restore is session-global, so
+    * a CONCURRENT query planned in another thread inside the window
+    * would plan with these values — perf-only, never correctness, the
+    * same class of risk Spark's own `withSQLConf` test helper accepts.
+    */
+  private[graft] def withMetaConf[A](spark: SparkSession)(f: => A): A = {
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val sp = conf.get("spark.sql.shuffle.partitions", "200")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", "8")
+    try f finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.shuffle.partitions", sp)
+    }
+  }
+
   val CommitTimeCol = "_graft_commit_time"
   val RecordKeyCol = "_graft_record_key"
   val PartitionPathCol = "_graft_partition_path"
@@ -3213,6 +3284,7 @@ object KeyedTable {
       files: Option[(Seq[String], Seq[String])] = None): Unit = {
     require(!action.contains('.') && action.nonEmpty,
       s"timeline action must be a bare word, got '$action'")
+    mutationTick.incrementAndGet() // invalidate rule decline memos
     val dir = timelineDir(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)

@@ -523,4 +523,106 @@ class RangeStatsRewriteSpec extends SparkTestBase {
       eventsUs.filter(col("event_id").between(100L, 299L))
         .select(col("event_id").as("eid"), col("value")).collect().toSet)
   }
+
+  // ---- hybrid range aggregates (full files fold, boundaries scan) ----
+
+  private def hybridServed(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isDefined
+
+  private def scannedData(df: DataFrame): Seq[String] =
+    graft.plans.PlanWalk.scannedFiles(df)
+      .filter(p => p.endsWith(".parquet") && !p.contains("_graft"))
+
+  private def mkTimeClustered(path: String): (KeyedTable, Long, Long) = {
+    val t = KeyedTable(cowSpec(path))
+    t.upsert(spark, eventsUs, commitTime = "c0")
+    t.cluster(spark, Seq("ts_us"), targetFileBytes = 4L << 10)
+    t.recordColumnStats(spark, Seq("ts_us", "event_id", "value"))
+    val Array(r) = eventsUs.agg(min("ts_us"), max("ts_us")).collect()
+    (t, r.getLong(0), r.getLong(1))
+  }
+
+  test("hybrid range aggregate folds full files, scans only boundaries") {
+    val path = Files.createTempDirectory("graft_hyb_").toString + "/t"
+    val (t, mn, mx) = mkTimeClustered(path)
+    val span = mx - mn
+    val (lo, hi) = (mn + span / 8, mx - span / 8)
+    def plain(df: DataFrame) = df
+      .filter(col("ts_us") >= lo && col("ts_us") <= hi)
+      .agg(count(lit(1)).as("n"), count(col("value")).as("nv"),
+        sum(col("event_id")).as("s"),
+        min(col("ts_us")).as("tmn"), max(col("ts_us")).as("tmx"))
+    val served = plain(t.read(spark))
+    assert(hybridServed(served), "the hybrid union must serve")
+    val scanned = scannedData(served)
+    val (cands, _) = t.statsSelectedFilesTyped(spark,
+      Seq(graft.table.ColumnRange.inclusive("ts_us", lo, hi)))
+    assert(scanned.nonEmpty && scanned.length < cands.length,
+      s"boundary files (${scanned.length}) must be fewer than the range " +
+        s"candidates (${cands.length})")
+    assert(served.collect()(0) == plain(eventsUs).collect()(0))
+  }
+
+  test("an exactly-aligned range folds everything: zero data files open") {
+    val path = Files.createTempDirectory("graft_hyb_all_").toString + "/t"
+    val (t, mn, mx) = mkTimeClustered(path)
+    def plain(df: DataFrame) = df
+      .filter(col("ts_us") >= mn && col("ts_us") <= mx)
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
+    val served = plain(t.read(spark))
+    assert(hybridServed(served), "whole-domain range must serve")
+    assert(scannedData(served).isEmpty,
+      "every file is full: the boundary scan must be empty")
+    assert(served.collect()(0) == plain(eventsUs).collect()(0))
+  }
+
+  test("hybrid count(col) folds per-file null counts exactly") {
+    val path = Files.createTempDirectory("graft_hyb_null_").toString + "/t"
+    val t = KeyedTable(cowSpec(path))
+    val nulled = eventsUs.withColumn("value",
+      when(col("event_id") % 7 === 0, lit(null).cast("double"))
+        .otherwise(col("value")))
+    t.upsert(spark, nulled, commitTime = "c0")
+    t.cluster(spark, Seq("ts_us"), targetFileBytes = 4L << 10)
+    t.recordColumnStats(spark, Seq("ts_us", "value"))
+    val Array(r) = nulled.agg(min("ts_us"), max("ts_us")).collect()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val (lo, hi) = (mn + (mx - mn) / 8, mx - (mx - mn) / 8)
+    def plain(df: DataFrame) = df
+      .filter(col("ts_us") >= lo && col("ts_us") <= hi)
+      .agg(count(col("value")).as("nv"), count(lit(1)).as("n"))
+    val served = plain(t.read(spark))
+    assert(hybridServed(served), "count(col) must serve through the hybrid")
+    assert(served.collect()(0) == plain(nulled).collect()(0))
+  }
+
+  test("hybrid declines: FP sum, leftover conjunct, zero full files") {
+    val path = Files.createTempDirectory("graft_hyb_dec_").toString + "/t"
+    val (t, mn, mx) = mkTimeClustered(path)
+    val span = mx - mn
+    val (lo, hi) = (mn + span / 8, mx - span / 8)
+    // Sum over a DOUBLE declines the whole node (order-sensitive folds).
+    val fp = t.read(spark)
+      .filter(col("ts_us") >= lo && col("ts_us") <= hi)
+      .agg(sum(col("value")).as("sv"))
+    assert(!hybridServed(fp), "FP sum must decline")
+    // A conjunct the extraction cannot consume declines (its rows would
+    // falsify the full-file fold).
+    val leftover = t.read(spark)
+      .filter(col("ts_us") >= lo && col("ts_us") <= hi &&
+        col("event_id") % 2 === 0)
+      .agg(count(lit(1)).as("n"))
+    assert(!hybridServed(leftover), "a leftover conjunct must decline")
+    // A sliver range contained in one file has no full files — that
+    // shape belongs to the pruned SCAN, not the fold.
+    val sliver = t.read(spark)
+      .filter(col("ts_us") >= mn && col("ts_us") <= mn + 1L)
+      .agg(count(lit(1)).as("n"))
+    assert(!hybridServed(sliver), "zero full files must decline")
+    // Every declined shape still answers exactly.
+    assert(sliver.collect()(0).getLong(0) ==
+      eventsUs.filter(col("ts_us") >= mn && col("ts_us") <= mn + 1L).count())
+  }
 }
