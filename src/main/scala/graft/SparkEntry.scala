@@ -189,7 +189,8 @@ object SparkEntry {
     "q162_topk_prune" -> (UpsertOps.topKPrunedQuery(_, _)),
     "q163_null_prune" -> (UpsertOps.nullPrunedQuery(_, _)),
     "q164_join_prune" -> (UpsertOps.joinPrunedStar(_, _)),
-    "q165_range_agg_hybrid" -> (UpsertOps.rangeAggHybrid(_, _))
+    "q165_range_agg_hybrid" -> (UpsertOps.rangeAggHybrid(_, _)),
+    "q166_compact_advisor" -> (UpsertOps.compactionAdvised(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1010,6 +1011,11 @@ object SparkEntry {
         |FROM orders o
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE c.c_custkey % 131 = 1""".stripMargin,
+    // compaction advisor: the layout service only changes file sizing,
+    // so the oracle is the plain projection
+    "q166_compact_advisor" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |FROM customer""".stripMargin,
     // hybrid range aggregate: full files fold from the sidecar,
     // boundary files scan — the rewrite only changes which files open,
     // so the oracle is the plain filtered aggregate (CAST keeps

@@ -1351,6 +1351,45 @@ object UpsertOps {
         "ts_us", mn + span / 2, mx))))
   }
 
+  /** Small-file compaction advisor (q166; [[graft.plans.IndexAdvisor]]
+    * file-sizing arm — the fourth leg of the DBA loop: observe → index →
+    * layout → SIZE): drip commits leave the customer table as a pile
+    * of tiny files per partition — the classic silent killer at
+    * 100 TB file counts, where every query pays per-file open/schedule
+    * cost. The advisor measures the live listing for the workload's
+    * scanned tables, recommends compaction (mean size under
+    * `spark.graft.compact.small.bytes`, count over `…min.files`),
+    * `createRecommended` rewrites the layout, and a re-analysis settles
+    * (nothing left to advise). ≡ a plain projection of customer — the
+    * oracle; compaction only changes the file layout.
+    */
+  def compactionAdvised(s: SparkSession, dir: String): DataFrame = {
+    val path =
+      Files.createTempDirectory("graft_cmpadv_").toString + "/customer_keyed"
+    val table = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("c_custkey"), precombineCol = "c_acctbal",
+      partitionCols = Seq("c_mktsegment")))
+    val cust = Tables.customer(s, dir)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    // Three drip commits x five hive partitions = fifteen small files —
+    // past the default min-files gate without paying eight write rounds
+    // at bench scale.
+    (0 until 3).foreach { i =>
+      table.insert(s, cust.filter(col("c_custkey") % 3 === i), s"c$i")
+    }
+    // Opt-in threshold: "small" is deployment-specific, so the advisor
+    // only measures when told what small means here.
+    s.conf.set("spark.graft.compact.small.bytes", (32L << 20).toString)
+    try {
+      val advice = graft.plans.IndexAdvisor.analyze(s, Seq(table.read(s)))
+      require(
+        advice.recommendations.exists(_.kind == "compact"),
+        "the drip-committed table must draw a compaction recommendation")
+      graft.plans.IndexAdvisor.createRecommended(s, advice)
+    } finally s.conf.unset("spark.graft.compact.small.bytes")
+    table.read(s).select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+  }
+
   /** Hybrid range aggregate (q165; [[graft.plans.StatsAggregateRewrite]]
     * range arm): `SELECT count(*), count(value), sum(event_id),
     * min(value), max(value) WHERE ts BETWEEN …` over a time-clustered

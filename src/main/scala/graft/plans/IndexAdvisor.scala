@@ -113,17 +113,63 @@ object IndexAdvisor {
         if (cols.isEmpty) Seq((spec.path, "column_stats", ""))
         else cols.map(c => (spec.path, "column_stats", c))
     }
+    // FILE-SIZING advice (the fourth leg of the DBA loop: observe →
+    // index → layout → size): a workload scanning a table whose data
+    // files are numerous AND small pays per-file open/schedule cost on
+    // every query — at 100 TB file counts, small files are the classic
+    // silent killer. Measured against the LIVE listing (advisor
+    // context). OPT-IN: fires only when
+    // `spark.graft.compact.small.bytes` (mean-size threshold) is set —
+    // "small" is deployment-specific (object-store request cost,
+    // executor count), and any default would flag every development
+    // table; `spark.graft.compact.min.files` (default 8) gates the
+    // count. A cluster rec on the same table subsumes it: the sort
+    // rewrite re-sizes files too.
+    val scannedTables: Seq[String] = plans.flatMap(_.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths match {
+              case Seq(one)
+                if KeyedTable.specRegistry.get(one.toString) != null =>
+                Seq(one.toString)
+              case _ => Nil
+            }
+          case _ => Nil
+        }
+    }.flatten)
+    val clusterTables = clusterRecs.map(_._1).toSet
+    val minFiles = spark.conf
+      .getOption("spark.graft.compact.min.files").map(_.toInt).getOrElse(8)
+    val smallBytes = spark.conf
+      .getOption("spark.graft.compact.small.bytes").map(_.toLong)
+    val compactRecs = smallBytes.toSeq.flatMap { threshold =>
+      scannedTables.groupBy(identity).toSeq
+        .filterNot { case (path, _) => clusterTables.contains(path) }
+        .flatMap { case (path, occ) =>
+          Option(KeyedTable.specRegistry.get(path)).toSeq.flatMap { spec =>
+            try {
+              val sizes = KeyedTable(spec).dataFileSizes(spark)
+              if (sizes.length >= minFiles &&
+                  sizes.sum / sizes.length < threshold)
+                Seq(IndexRec(path, "compact", "", occ.length))
+              else Nil
+            } catch { case scala.util.control.NonFatal(_) => Nil }
+          }
+        }
+    }
     val wants = shapes.flatMap { m =>
       val rli = (m.spec.path, "record_key", m.spec.keyCols.head)
       if (m.viaKey) Seq(rli)
       else Seq(rli, (m.spec.path, "secondary", m.probeAttr.name))
     } ++ rangeShapes ++ clusterRecs ++ aggWants
-    val recs = wants.groupBy(identity).toSeq
+    val recs = (wants.groupBy(identity).toSeq
       .map { case ((path, kind, col), hs) => IndexRec(path, kind, col, hs.length) }
+      ++ compactRecs)
       .filterNot { r =>
         r.kind match {
           case "column_stats" => statsCover(r.tablePath, r.column)
-          case "cluster"      => false // measured against the live layout
+          case "cluster" | "compact" => false // measured against the live layout
           case _              => exists(kind2dir(r))
         }
       }
@@ -141,8 +187,8 @@ object IndexAdvisor {
     */
   def createRecommended(
       spark: SparkSession, advice: IndexAdvice): Seq[String] = {
-    val (layoutRecs, rest0) =
-      advice.recommendations.partition(_.kind == "cluster")
+    val (layoutRecs, rest0) = advice.recommendations
+      .partition(r => r.kind == "cluster" || r.kind == "compact")
     val (statRecs, rest) = rest0.partition(_.kind == "column_stats")
     val built = rest.flatMap { r =>
       val qualified = graft.table.MaterializedView.qualify(spark, r.tablePath)
@@ -168,7 +214,8 @@ object IndexAdvisor {
           .map(_.columns.toSeq.collect {
             case c if c.startsWith("min_") => c.stripPrefix("min_")
           }).getOrElse(Nil)
-        val (cl, st0) = rs.partition(_.kind == "cluster")
+        val (cl, cpSt) = rs.partition(_.kind == "cluster")
+        val (cp, st0) = cpSt.partition(_.kind == "compact")
         // The count(*)-only marker contributes no column of its own; if
         // nothing else names one, record the key column (any build
         // carries the per-file cnt the shape needs).
@@ -176,6 +223,13 @@ object IndexAdvisor {
           case Nil if st0.nonEmpty =>
             st0.take(1).map(_.copy(column = spec.keyCols.head))
           case named => named
+        }
+        // Compaction first (analyze never emits it beside a cluster rec,
+        // which subsumes it) — a layout rewrite either way, so the stats
+        // sidecar rebuild below re-covers existing columns.
+        val compactLine = if (cp.isEmpty) None else {
+          t.compact(spark)
+          Some(s"compact on $path [${cp.map(_.hits).sum} scans]")
         }
         val clusterLine = if (cl.isEmpty) None else {
           val sortCols = cl.sortBy(r => (-r.hits, r.column)).map(_.column)
@@ -193,7 +247,7 @@ object IndexAdvisor {
           else Some(s"column_stats(${st.map(_.column).sorted.mkString(",")}) " +
             s"on $path [${st.map(_.hits).sum} probes]")
         }
-        clusterLine.toSeq ++ statsLine.toSeq
+        compactLine.toSeq ++ clusterLine.toSeq ++ statsLine.toSeq
       }
     }
     built ++ rebuilt

@@ -643,6 +643,13 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   private def dataFiles(spark: SparkSession): Set[String] =
     listDataFiles(spark).map(_._1).toSet
 
+  /** Current data-file SIZES in bytes — advisor context only (one full
+    * listing; hot write paths must not call this, see the
+    * [[KeyedTable.fullListings]] pin).
+    */
+  private[graft] def dataFileSizes(spark: SparkSession): Seq[Long] =
+    listDataFiles(spark).map(_._2)
+
   /** Current data files, TABLE-RELATIVE — the rendering commit markers
     * record (portable across schemes and across a table move).
     */

@@ -165,4 +165,55 @@ class IndexAdvisorSpec extends SparkTestBase {
     assert(mixed.recommendations.map(r => (r.kind, r.column)) ==
       Seq(("record_key", "event_id")), s"${mixed.recommendations}")
   }
+
+  test("fragmented table draws an OPT-IN compaction rec that settles") {
+    val path = Files.createTempDirectory("graft_idxadv_cmp_").toString + "/t"
+    val t = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("event_id"), precombineCol = "ts_us",
+      partitionCols = Seq("event_type")))
+    val ev = eventsUs
+    // Ten drip commits: many tiny files per partition.
+    (0 until 10).foreach { i =>
+      t.insert(spark, ev.filter(col("event_id") % 10 === i), s"c$i")
+    }
+    def fileCount = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(fs.makeQualified(p), true)
+      var n = 0
+      while (it.hasNext) {
+        val s = it.next()
+        val rel = s.getPath.toUri.getPath
+        if (s.getPath.getName.endsWith(".parquet") &&
+          !rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+          n += 1
+      }
+      n
+    }
+    val before = fileCount
+    val expected = t.read(spark).select("event_id", "ts_us")
+      .as[(Long, Long)].collect().toSet
+    // Threshold unset: file sizing is deployment-specific, so the
+    // advisor must not guess — no compact rec.
+    val silent = IndexAdvisor.analyze(spark, Seq(t.read(spark)))
+    assert(!silent.recommendations.exists(_.kind == "compact"),
+      s"unset threshold must not advise compaction: ${silent.recommendations}")
+    spark.conf.set("spark.graft.compact.small.bytes", (32L << 20).toString)
+    try {
+      val advice = IndexAdvisor.analyze(spark, Seq(t.read(spark)))
+      val cps = advice.recommendations.filter(_.kind == "compact")
+      assert(cps.length == 1 && cps.head.tablePath.endsWith(path),
+        s"expected one compaction rec, got ${advice.recommendations}")
+      val lines = IndexAdvisor.createRecommended(spark, advice)
+      assert(lines.exists(_.startsWith("compact on")), lines.toString)
+      assert(fileCount < before,
+        s"compaction must consolidate: $before -> $fileCount")
+      assert(t.read(spark).select("event_id", "ts_us")
+        .as[(Long, Long)].collect().toSet == expected)
+      // Settled: the consolidated layout draws nothing on re-analysis.
+      val again = IndexAdvisor.analyze(spark, Seq(t.read(spark)))
+      assert(!again.recommendations.exists(_.kind == "compact"),
+        s"applied rec must settle: ${again.recommendations}")
+    } finally spark.conf.unset("spark.graft.compact.small.bytes")
+  }
 }
