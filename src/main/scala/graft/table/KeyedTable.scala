@@ -616,11 +616,10 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * False positives cost a redundant file read; false negatives cannot
     * occur (every stored key set every one of its positions).
     */
+  // NOT meta-conf-scoped: the upsert path probes with the DATA-SIZED
+  // batch, which wants the session's full shuffle parallelism — only
+  // the lookup-sized wrapper below narrows the conf.
   private[graft] def bloomCandidateFiles(
-      spark: SparkSession, batch: DataFrame): (Seq[String], Int) =
-    KeyedTable.withMetaConf(spark)(bloomCandidateFilesImpl(spark, batch))
-
-  private def bloomCandidateFilesImpl(
       spark: SparkSession, batch: DataFrame): (Seq[String], Int) = {
     val idx = spark.read.parquet(bloomDir)
     val head = idx.select(col("m"), col("k")).limit(1).collect()
@@ -1082,7 +1081,8 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     val f = fs(spark)
     if (!f.exists(new Path(bloomDir)) || isEvolved(spark)) return None
     try {
-      val (cands, total) = bloomCandidateFiles(spark, probe)
+      val (cands, total) =
+        KeyedTable.withMetaConf(spark)(bloomCandidateFiles(spark, probe))
       if (total == 0) return None
       val rootPrefix =
         f.makeQualified(new Path(spec.path)).toUri.getPath + "/"
