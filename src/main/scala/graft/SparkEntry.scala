@@ -190,7 +190,8 @@ object SparkEntry {
     "q163_null_prune" -> (UpsertOps.nullPrunedQuery(_, _)),
     "q164_join_prune" -> (UpsertOps.joinPrunedStar(_, _)),
     "q165_range_agg_hybrid" -> (UpsertOps.rangeAggHybrid(_, _)),
-    "q166_compact_advisor" -> (UpsertOps.compactionAdvised(_, _))
+    "q166_compact_advisor" -> (UpsertOps.compactionAdvised(_, _)),
+    "q167_inlist_prune" -> (UpsertOps.inListPrunedQuery(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1011,6 +1012,11 @@ object SparkEntry {
         |FROM orders o
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE c.c_custkey % 131 = 1""".stripMargin,
+    // IN-list stats pruning: the rule only changes which files open,
+    // so the oracle is the plain IN filter
+    "q167_inlist_prune" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents WHERE lang IN ('de', 'zh')""".stripMargin,
     // compaction advisor: the layout service only changes file sizing,
     // so the oracle is the plain projection
     "q166_compact_advisor" ->

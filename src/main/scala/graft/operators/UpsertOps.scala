@@ -1249,6 +1249,37 @@ object UpsertOps {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** Declarative IN-LIST pruning (q167; [[graft.plans.RangePruneRewrite]]
+    * inLists arm): `lang IN ('de','zh')` over a lang-clustered documents
+    * table — the multi-point disjunction served from the SAME min/max
+    * stats as ranges (a file can hold v only when min ≤ v ≤ max, OR-ed
+    * per value), with no index sidecar at all. This is the
+    * low-cardinality categorical filter every curation pipeline runs
+    * ("keep these languages") — [[graft.plans.PointLookupRewrite]]
+    * serves it exactly when a secondary index exists; the stats arm is
+    * the zero-extra-infrastructure fallback that still skips the other
+    * languages' files. ≡ a plain IN filter — the oracle; pruning only
+    * changes which files open.
+    */
+  def inListPrunedQuery(s: SparkSession, dir: String): DataFrame = {
+    val path =
+      Files.createTempDirectory("graft_inlq_").toString + "/docs_keyed"
+    val table = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("doc_id"), precombineCol = "n_chars"))
+    table.upsert(
+      s,
+      Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
+      commitTime = "c0")
+    // 4 KB targets: without the heavy content column the whole corpus
+    // fits one 16 KB file at the small fixture tiers, leaving nothing
+    // to skip.
+    table.cluster(s, Seq("lang"), targetFileBytes = 4L << 10)
+    table.recordColumnStats(s, Seq("lang"))
+    table.read(s)
+      .filter(col("lang").isin("de", "zh"))
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   /** Declarative TOP-K pruning (q162; [[graft.plans.TopKPruneRewrite]]):
     * `ORDER BY ts DESC LIMIT k` over a time-clustered copy-on-write
     * table's plain read — the "latest N" query every time-series table

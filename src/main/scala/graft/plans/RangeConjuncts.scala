@@ -32,7 +32,13 @@ private[plans] object RangeConjuncts {
       rangeAttrs: Map[String, Attribute],
       /** (column, isNull) per null-predicate conjunct, deduplicated. */
       nullPreds: Seq[(String, Boolean)],
-      /** Conjuncts consumed by neither classification. */
+      /** One (column, SCALA-side values) per IN/InSet conjunct on an
+        * admitted column — a disjunction of point ranges, servable from
+        * min/max stats as OR-of-containment. Values capped at
+        * [[MaxInValues]]; larger lists land in `other`.
+        */
+      inLists: Seq[(String, Seq[Any])],
+      /** Conjuncts consumed by no classification. */
       other: Seq[Expression])
 
   def extract(
@@ -68,9 +74,32 @@ private[plans] object RangeConjuncts {
       case _ => None
     }
 
+    // IN/InSet with all-literal, non-null, column-typed values — the
+    // multi-point disjunction. Catalyst converts long IN lists to InSet
+    // (values already Catalyst-typed); both convert to SCALA values
+    // here so serving code can `lit()` them directly.
+    def inListOf(e: Expression): Option[(Attribute, Seq[Any])] = e match {
+      case In(x, vs) if vs.nonEmpty && vs.length <= MaxInValues &&
+        vs.forall { case Literal(v, _) => v != null; case _ => false } =>
+        relAttrOf(x).map { a =>
+          val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToScalaConverter(a.dataType)
+          (a, vs.map(l => toScala(l.asInstanceOf[Literal].value)))
+        }
+      case InSet(x, hset) if hset.nonEmpty && hset.size <= MaxInValues &&
+        !hset.contains(null) =>
+        relAttrOf(x).map { a =>
+          val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToScalaConverter(a.dataType)
+          (a, hset.toSeq.map(toScala))
+        }
+      case _ => None
+    }
+
     val acc = mutable.LinkedHashMap.empty[
       String, (Attribute, Option[(Literal, Boolean)], Option[(Literal, Boolean)])]
     val nullPreds = mutable.Buffer.empty[(String, Boolean)]
+    val inLists = mutable.Buffer.empty[(String, Seq[Any])]
     val other = mutable.Buffer.empty[Expression]
     split.foreach { c =>
       boundOf(c) match {
@@ -100,7 +129,10 @@ private[plans] object RangeConjuncts {
             case Some(a) => nullPreds += ((a.name, false))
             case None => other += c
           }
-          case _ => other += c
+          case _ => inListOf(c) match {
+            case Some((a, vs)) => inLists += ((a.name, vs))
+            case None => other += c
+          }
         }
       }
     }
@@ -116,6 +148,13 @@ private[plans] object RangeConjuncts {
       ranges,
       acc.toSeq.map { case (c, (a, _, _)) => c -> a }.toMap,
       nullPreds.distinct.toSeq,
+      inLists.toSeq,
       other.toSeq)
   }
+
+  /** Beyond this many IN values the disjunction is not point-shaped and
+    * the per-value stats containment test stops paying — the same
+    * contract as [[PointLookupRewrite]]'s probe cap.
+    */
+  val MaxInValues = 128
 }

@@ -79,7 +79,7 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private[plans] final case class RangeMatch(
       f: Filter, lr: LogicalRelation, fsRel: HadoopFsRelation, root: String,
       spec: graft.table.KeyedTableSpec, ranges: Seq[graft.table.ColumnRange],
-      nullPreds: Seq[(String, Boolean)])
+      nullPreds: Seq[(String, Boolean)], inLists: Seq[(String, Seq[Any])])
 
   /** Every range shape in `plan` this rule would serve if column stats
     * existed (no sidecar IO, no filesystem work beyond the registry).
@@ -94,7 +94,8 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def tryRewrite(f: Filter): Option[LogicalPlan] =
     matchRange(f).flatMap { m =>
-      val key = (m.root, m.ranges.toVector, m.nullPreds.toVector)
+      val key = (m.root, m.ranges.toVector, m.nullPreds.toVector,
+        m.inLists.map { case (c, vs) => (c, vs.toVector) }.toVector)
       memo.gated(key)(serveRange(m))
     }
 
@@ -142,15 +143,22 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // subset-of-conjunction argument covers them too; Catalyst's
     // inferred `isnotnull` guards around every range ride for free.
     // Unconsumed conjuncts simply stay residual (subset serving).
+    // IN/InSet conjuncts serve as multi-point containment over the same
+    // stats (OR of per-value [min <= v <= max]) -- the declarative
+    // low-cardinality filter (`lang IN ('en','de')`) when no index
+    // sidecar exists; PointLookupRewrite runs first and takes the probe
+    // whenever the exact index family can serve it.
     val ex = RangeConjuncts.extract(split, relAttrOf)
-    if (ex.ranges.isEmpty && ex.nullPreds.isEmpty) return None
-    Some(RangeMatch(f, lr, fsRel, root, spec, ex.ranges, ex.nullPreds))
+    if (ex.ranges.isEmpty && ex.nullPreds.isEmpty && ex.inLists.isEmpty)
+      return None
+    Some(RangeMatch(
+      f, lr, fsRel, root, spec, ex.ranges, ex.nullPreds, ex.inLists))
   }
 
   /** The serving half: one sidecar read + the scan swap. */
   private def serveRange(m: RangeMatch): Option[LogicalPlan] = {
     val table = KeyedTable(m.spec)
-    table.rangeCandidateFilesTyped(spark, m.ranges, m.nullPreds)
+    table.rangeCandidateFilesTyped(spark, m.ranges, m.nullPreds, m.inLists)
       .flatMap { case (files, _) =>
       val total = m.fsRel.location.inputFiles.length
       if (files.length >= total) None
@@ -160,7 +168,7 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           spark, files, Map("basePath" -> m.root), partSchema)
         logInfo(s"range-prune rewrite: ${m.root} scan pruned to " +
           s"${files.length} of $total files via column stats on " +
-          m.ranges.map(_.column).mkString(", "))
+          (m.ranges.map(_.column) ++ m.inLists.map(_._1)).mkString(", "))
         // Same relation, same output attributes — only the file set
         // changes, so nothing above needs exprId surgery.
         Some(m.f.transformUp {

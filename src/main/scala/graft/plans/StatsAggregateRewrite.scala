@@ -234,7 +234,8 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     def relAttrOrdered(e: Expression): Option[Attribute] =
       relAttrOf(e).filter(at => KeyedTable.statsOrderedType(at.dataType))
     val ex = RangeConjuncts.extract(restConds, relAttrOrdered)
-    if (ex.other.nonEmpty || ex.nullPreds.exists(_._2)) return None
+    if (ex.other.nonEmpty || ex.inLists.nonEmpty ||
+        ex.nullPreds.exists(_._2)) return None
     val notNull = ex.nullPreds.map(_._1)
     // The hybrid serve is groupless: a grouped fold over partial files
     // would need per-group boundary scans — decline to a real scan.

@@ -1468,7 +1468,8 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   private[graft] def rangeCandidateFilesTyped(
       spark: SparkSession,
       ranges: Seq[ColumnRange],
-      nullPreds: Seq[(String, Boolean)] = Nil): Option[(Seq[Path], Int)] = {
+      nullPreds: Seq[(String, Boolean)] = Nil,
+      inLists: Seq[(String, Seq[Any])] = Nil): Option[(Seq[Path], Int)] = {
     require(!spec.retainHistory,
       "range candidates require a copy-on-write table (see readPruned)")
     colStatsFrame(spark).flatMap { st =>
@@ -1478,10 +1479,11 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       // conjunction); uncovered columns just don't contribute skipping.
       val covered = ranges.filter(r => cols.contains(s"min_${r.column}"))
       val coveredNulls = nullPreds.filter(p => cols.contains(s"nn_${p._1}"))
-      if (covered.isEmpty && coveredNulls.isEmpty) None
+      val coveredIns = inLists.filter(p => cols.contains(s"min_${p._1}"))
+      if (covered.isEmpty && coveredNulls.isEmpty && coveredIns.isEmpty) None
       else try {
         val (sel, total) =
-          statsSelectedFilesTyped(spark, covered, coveredNulls)
+          statsSelectedFilesTyped(spark, covered, coveredNulls, coveredIns)
         Some((sel.map(abs => new Path(new java.net.URI(abs))), total))
       } catch { case scala.util.control.NonFatal(_) => None }
     }
@@ -1597,15 +1599,17 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   private[graft] def statsSelectedFilesTyped(
       spark: SparkSession,
       ranges: Seq[ColumnRange],
-      nullPreds: Seq[(String, Boolean)] = Nil): (Seq[String], Int) =
+      nullPreds: Seq[(String, Boolean)] = Nil,
+      inLists: Seq[(String, Seq[Any])] = Nil): (Seq[String], Int) =
     KeyedTable.withMetaConf(spark) {
-      statsSelectedFilesTypedImpl(spark, ranges, nullPreds)
+      statsSelectedFilesTypedImpl(spark, ranges, nullPreds, inLists)
     }
 
   private def statsSelectedFilesTypedImpl(
       spark: SparkSession,
       ranges: Seq[ColumnRange],
-      nullPreds: Seq[(String, Boolean)] = Nil): (Seq[String], Int) = {
+      nullPreds: Seq[(String, Boolean)],
+      inLists: Seq[(String, Seq[Any])]): (Seq[String], Int) = {
     val st = spark.read.parquet(colStatsDir)
     val all = st.count().toInt
     val rangePreds = ranges.map { r =>
@@ -1624,7 +1628,16 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     val nullSel = nullPreds.map { case (c, isNull) =>
       if (isNull) col("cnt") > col(s"nn_$c") else col(s"nn_$c") > lit(0L)
     }
-    val pred = (rangePreds ++ nullSel).reduce(_ && _)
+    // IN lists select files by per-value containment, OR-ed: a file can
+    // hold v only when min <= v <= max — the multi-point disjunction
+    // (`lang IN ('en','de')` over a lang-clustered table opens just
+    // those values' files). Per-row fact, so conjunction-subset
+    // soundness carries over unchanged.
+    val inSel = inLists.map { case (c, vs) =>
+      vs.map(v => col(s"min_$c") <= lit(v) && col(s"max_$c") >= lit(v))
+        .reduce(_ || _)
+    }
+    val pred = (rangePreds ++ nullSel ++ inSel).reduce(_ && _)
     val sel = st.filter(pred).select("file").collect().map(_.getString(0)).toSeq
     (sel, all)
   }

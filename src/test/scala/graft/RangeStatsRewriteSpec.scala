@@ -524,6 +524,40 @@ class RangeStatsRewriteSpec extends SparkTestBase {
         .select(col("event_id").as("eid"), col("value")).collect().toSet)
   }
 
+  test("IN-list filter prunes by per-value containment over the stats") {
+    val path = Files.createTempDirectory("graft_inl_").toString + "/t"
+    val t = mkClustered(path) // clustered on event_id, 4 KB files
+    t.recordColumnStats(spark, Seq("event_id"))
+    val ids = eventsUs.select("event_id").distinct()
+      .orderBy("event_id").as[Long].collect()
+    // Two values from the domain's opposite ends: only their files open.
+    val probe = Seq(ids.head, ids.last)
+    def q = t.read(spark).filter(col("event_id").isin(probe: _*))
+    val served = q
+    val files = scannedDataFiles(served)
+    assert(files.isDefined, "the IN list must be served from stats")
+    assert(files.get.length < dataFileCount(path),
+      s"containment must prune: ${files.get.length} of ${dataFileCount(path)}")
+    assert(outputSet(served) ==
+      outputSet(eventsUs.filter(col("event_id").isin(probe: _*))))
+    // Composed with a range on the same stats: both conjuncts select.
+    val both = t.read(spark).filter(
+      col("event_id").isin(probe: _*) && col("event_id") <= ids.head)
+    assert(scannedDataFiles(both).isDefined, "IN ∧ range must serve")
+    assert(outputSet(both) ==
+      outputSet(eventsUs.filter(col("event_id") === ids.head)))
+    // An InSet-sized list (> 10 values, optimizer-converted) serves too.
+    val wide = ids.take(12).toSeq
+    val inset = t.read(spark).filter(col("event_id").isin(wide: _*))
+    assert(scannedDataFiles(inset).isDefined, "InSet must serve")
+    assert(outputSet(inset) ==
+      outputSet(eventsUs.filter(col("event_id").isin(wide: _*))))
+    // Oversized lists decline (not point-shaped).
+    val big = (0L until 200L).toSeq
+    val over = t.read(spark).filter(col("event_id").isin(big: _*))
+    assert(scannedDataFiles(over).isEmpty, "an oversized IN must decline")
+  }
+
   // ---- hybrid range aggregates (full files fold, boundaries scan) ----
 
   private def hybridServed(df: DataFrame): Boolean =
