@@ -191,7 +191,8 @@ object SparkEntry {
     "q164_join_prune" -> (UpsertOps.joinPrunedStar(_, _)),
     "q165_range_agg_hybrid" -> (UpsertOps.rangeAggHybrid(_, _)),
     "q166_compact_advisor" -> (UpsertOps.compactionAdvised(_, _)),
-    "q167_inlist_prune" -> (UpsertOps.inListPrunedQuery(_, _))
+    "q167_inlist_prune" -> (UpsertOps.inListPrunedQuery(_, _)),
+    "q168_range_agg_grouped" -> (UpsertOps.rangeAggGrouped(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1012,6 +1013,19 @@ object SparkEntry {
         |FROM orders o
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE c.c_custkey % 131 = 1""".stripMargin,
+    // grouped hybrid range aggregate: per-partition fold of full files
+    // plus boundary-file grouped scan — the rewrite only changes which
+    // files open, so the oracle is the plain grouped filtered aggregate
+    "q168_range_agg_grouped" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id, value
+        |            FROM events WHERE event_id % 2 = 0),
+        |mm AS (SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM ev)
+        |SELECT event_type, count(*) AS n_rows,
+        |       CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |       min(value) AS v_min, max(value) AS v_max
+        |FROM ev, mm
+        |WHERE ts_us BETWEEN mn + (mx - mn) // 8 AND mx - (mx - mn) // 8
+        |GROUP BY event_type""".stripMargin,
     // IN-list stats pruning: the rule only changes which files open,
     // so the oracle is the plain IN filter
     "q167_inlist_prune" ->

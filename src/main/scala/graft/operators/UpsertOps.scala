@@ -1442,7 +1442,11 @@ object UpsertOps {
       partitionCols = Seq("event_type")))
     val ev = eventsUs(s, dir)
     table.upsert(s, ev, commitTime = "c0")
-    table.cluster(s, Seq("ts_us"), targetFileBytes = 512L << 10)
+    // 16 KB: ≥3 files per partition at BOTH checked tiers (sf0.01 is
+    // only 10k events and ~1000 rows compress to ~32 KB), so interior
+    // FULL files exist and the fold actually fires rather than
+    // declining to the pruned scan.
+    table.cluster(s, Seq("ts_us"), targetFileBytes = 16L << 10)
     table.recordColumnStats(s, Seq("ts_us", "event_id", "value"))
     val Array(r) = ev.agg(min("ts_us").as("mn"), max("ts_us").as("mx")).collect()
     val (mn, mx) = (r.getLong(0), r.getLong(1))
@@ -1452,6 +1456,41 @@ object UpsertOps {
       .agg(
         count(lit(1)).as("n_rows"), count(col("value")).as("n_vals"),
         sum(col("event_id")).as("id_sum"),
+        min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+  }
+
+  /** GROUPED hybrid range aggregate (q168; the partition-grouped arm of
+    * q165's rewrite): `GROUP BY <partition col>` with a `ts BETWEEN`
+    * filter — the dashboard's per-day/per-category rollup over a time
+    * window. Full files fold PER PARTITION GROUP from the sidecar (each
+    * file lives in exactly one partition dir, so per-file partition
+    * tuples group the full set exactly), boundary files aggregate with
+    * the original grouping, and the final combine re-folds per group —
+    * at 100 TB the windowed category rollup opens only the window's
+    * edge files. Half corpus: the semantics are row-count independent
+    * and the build dominates at bench scale. ≡ the plain grouped
+    * filtered aggregate — the oracle.
+    */
+  def rangeAggGrouped(s: SparkSession, dir: String): DataFrame = {
+    val path =
+      Files.createTempDirectory("graft_hybgq_").toString + "/events_keyed"
+    val table = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("event_id"), precombineCol = "ts_us",
+      partitionCols = Seq("event_type")))
+    val ev = eventsUs(s, dir).filter(col("event_id") % 2 === 0)
+    table.upsert(s, ev, commitTime = "c0")
+    // 16 KB: ≥3 files per partition at both checked tiers (see q165)
+    // so the per-group fold has full files to fold.
+    table.cluster(s, Seq("ts_us"), targetFileBytes = 16L << 10)
+    table.recordColumnStats(s, Seq("ts_us", "event_id", "value"))
+    val Array(r) = ev.agg(min("ts_us").as("mn"), max("ts_us").as("mx")).collect()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val span = mx - mn
+    table.read(s)
+      .filter(col("ts_us") >= mn + span / 8 && col("ts_us") <= mx - span / 8)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_rows"), sum(col("event_id")).as("id_sum"),
         min(col("value")).as("v_min"), max(col("value")).as("v_max"))
   }
 

@@ -237,10 +237,10 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (ex.other.nonEmpty || ex.inLists.nonEmpty ||
         ex.nullPreds.exists(_._2)) return None
     val notNull = ex.nullPreds.map(_._1)
-    // The hybrid serve is groupless: a grouped fold over partial files
-    // would need per-group boundary scans — decline to a real scan.
-    if ((ex.ranges.nonEmpty || notNull.nonEmpty) && groupAttrs.nonEmpty)
-      return None
+    // Grouped hybrid rides the same machinery: grouping is already
+    // constrained to PARTITION columns above, the full-file fold groups
+    // by the sidecar's per-file partition tuple, and the boundary
+    // Aggregate keeps the original grouping — no extra admission check.
     val groupIdx: Map[ExprId, Int] =
       groupAttrs.zipWithIndex.map { case (at, i) => at.exprId -> i }.toMap
 
@@ -429,7 +429,7 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * beyond an empty scan.
     */
   private def serveHybrid(m: AggMatch): Option[LogicalPlan] = {
-    val AggMatch(a, spec, needs, _, partFilters, ranges, notNull,
+    val AggMatch(a, spec, needs, groupAttrs, partFilters, ranges, notNull,
       lr, fsRel, root) = m
     val table = KeyedTable(spec)
     table.colStatsFrame(spark).flatMap { st =>
@@ -498,18 +498,34 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case MaxOf(c, StringType) => statCol("trunc", c)
       }.distinct
       if (folds.exists(_.isEmpty) || guardCols.exists(_.isEmpty)) return None
+      // Grouped serve: the fold groups by the sidecar's per-file
+      // partition tuple (each file lives in exactly one partition dir,
+      // so full-file groups partition the full set exactly).
+      val groupStatCols = groupAttrs.map(at => statCol("p", at.name))
+      if (groupStatCols.exists(_.isEmpty)) return None
       val valueExprs = folds.flatten.zipWithIndex
         .map { case (c, i) => c.as(s"v$i") }
       val guardExprs = guardCols.flatten.zipWithIndex
         .map { case (g, i) => max(col(g)).as(s"g$i") }
       val exprs = (valueExprs ++ guardExprs) :+ count(lit(1)).as("nfull")
-      val Array(row) = KeyedTable.withMetaConf(spark)(
-        stSel.filter(full).agg(exprs.head, exprs.tail: _*).collect())
-      if (row.getLong(row.length - 1) == 0L) return None // RangePrune's shape
+      val fullSel = stSel.filter(full)
+      val folded =
+        if (groupStatCols.isEmpty) fullSel.agg(exprs.head, exprs.tail: _*)
+        else fullSel.groupBy(groupStatCols.flatten.map(col): _*)
+          .agg(exprs.head, exprs.tail: _*)
+      val rows = KeyedTable.withMetaConf(spark)(
+        folded.limit(MaxGroups + 1).collect())
+      if (rows.length > MaxGroups) return None
+      val nGroups = groupStatCols.length
+      // Zero full files anywhere: nothing folds — RangePrune's shape.
+      // (A groupless fold always yields one row; its nfull decides.)
+      if (rows.map(r => r.getLong(r.length - 1)).sum == 0L) return None
       val nGuards = guardExprs.length
-      val truncated = (0 until nGuards).exists { gi =>
-        val at = valueExprs.length + gi
-        !row.isNullAt(at) && row.getBoolean(at)
+      val truncated = rows.exists { row =>
+        (0 until nGuards).exists { gi =>
+          val at = row.length - 1 - nGuards + gi
+          !row.isNullAt(at) && row.getBoolean(at)
+        }
       }
       if (truncated) return None
 
@@ -517,25 +533,45 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         stSel.filter(candidate && !full)
           .select("file").collect().map(_.getString(0)).toSeq)
 
-      // Both Union sides share this row shape, in needs order.
+      // Both Union sides share this row shape, in needs order (group
+      // outputs included, in their original positions).
       val uAttrs: Seq[AttributeReference] = needs.zipWithIndex.map {
+        case (GroupOf(_, t, _), i) => AttributeReference(s"u$i", t)()
         case (MinOf(_, t), i) => AttributeReference(s"u$i", t)()
         case (MaxOf(_, t), i) => AttributeReference(s"u$i", t)()
         case (SumOf(_), i)    => AttributeReference(s"u$i", LongType)()
         case (_, i) => AttributeReference(s"u$i", LongType, nullable = false)()
       }
-      val foldVals: Seq[Any] = needs.zipWithIndex.map { case (n, i) =>
-        val v: Any = if (row.isNullAt(i)) null else row.get(i)
-        n match {
-          case MinOf(_, t) => toCatalystStat(v, t)
-          case MaxOf(_, t) => toCatalystStat(v, t)
-          // sum over no full rows is null, like Spark; out-of-long-range
-          // totals decline (ANSI overflow belongs to the real scan)
-          case SumOf(_)    => sumToLong(v).getOrElse(return None)
-          case _ => if (v == null) 0L else v
-        }
+      // Agg needs read the fold row at nGroups + their own position
+      // among agg needs; group needs read their grouping slot.
+      val aggPos: Map[Int, Int] = {
+        var j = 0
+        needs.zipWithIndex.flatMap {
+          case (_: GroupOf, _) => None
+          case (_, i) => val p = j; j += 1; Some(i -> p)
+        }.toMap
       }
-      val local = LocalRelation(uAttrs, Seq(InternalRow.fromSeq(foldVals)), false)
+      val toCatalystGroup = groupAttrs.map(at =>
+        CatalystTypeConverters.createToCatalystConverter(at.dataType))
+      val localRows = rows.toIndexedSeq.map { row =>
+        val vals: Seq[Any] = needs.zipWithIndex.map {
+          case (GroupOf(_, _, gi), _) => toCatalystGroup(gi)(row.get(gi))
+          case (n, i) =>
+            val at = nGroups + aggPos(i)
+            val v: Any = if (row.isNullAt(at)) null else row.get(at)
+            n match {
+              case MinOf(_, t) => toCatalystStat(v, t)
+              case MaxOf(_, t) => toCatalystStat(v, t)
+              // sum over no full rows is null, like Spark; an
+              // out-of-long-range total declines (ANSI overflow belongs
+              // to the real scan)
+              case SumOf(_)    => sumToLong(v).getOrElse(return None)
+              case _ => if (v == null) 0L else v
+            }
+        }
+        InternalRow.fromSeq(vals)
+      }
+      val local = LocalRelation(uAttrs, localRows, false)
 
       // Boundary side: the original child subtree (filters, projects,
       // renames intact) with the scan swapped onto the partial files,
@@ -551,22 +587,26 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       val partialAliases: Seq[NamedExpression] =
         a.aggregateExpressions.zipWithIndex.map {
-          case (Alias(ae: AggregateExpression, _), i) => Alias(ae, s"u$i")()
-          case _ => return None // groupless match admits only agg aliases
+          case (Alias(e, _), i) => Alias(e, s"u$i")()
+          case (e, i)           => Alias(e, s"u$i")() // bare group attr
         }
-      val partial = Aggregate(Nil, partialAliases, newChild)
+      val partial = Aggregate(a.groupingExpressions, partialAliases, newChild)
 
-      // Final combine: counts and sums re-add, min/max re-fold; aliases
-      // keep the original names AND exprIds so nothing above changes.
-      // Coalesce pins the count combine non-null (both inputs always
-      // exist — a groupless Aggregate yields its neutral row even over
-      // an empty boundary scan — but the static type must stay
-      // non-nullable like Count's).
+      // Final combine: group values flow through the grouping, counts
+      // and sums re-add, min/max re-fold; aliases keep the original
+      // names AND exprIds so nothing above changes. Coalesce pins the
+      // count combine non-null (every group has at least one input row
+      // by construction, but the static type must stay non-nullable
+      // like Count's).
+      val finalGroups: Seq[Expression] = needs.zipWithIndex.collect {
+        case (_: GroupOf, i) => uAttrs(i)
+      }
       val finalExprs: Seq[NamedExpression] = needs.zipWithIndex.map {
         case (n, i) =>
           val u = uAttrs(i)
           val orig = a.aggregateExpressions(i).asInstanceOf[NamedExpression]
           val combined: Expression = n match {
+            case _: GroupOf  => u
             case MinOf(_, _) => Min(u).toAggregateExpression()
             case MaxOf(_, _) => Max(u).toAggregateExpression()
             case SumOf(_)    => Sum(u).toAggregateExpression()
@@ -576,9 +616,10 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           Alias(combined, orig.name)(exprId = orig.exprId)
       }
       logInfo(s"stats-aggregate hybrid: ${spec.path} folded " +
-        s"${row.getLong(row.length - 1)} full files from the sidecar, " +
-        s"scanning ${partialFiles.length} boundary files")
-      Some(Aggregate(Nil, finalExprs, Union(Seq(local, partial))))
+        s"${rows.map(r => r.getLong(r.length - 1)).sum} full files from " +
+        s"the sidecar (${rows.length} group rows), scanning " +
+        s"${partialFiles.length} boundary files")
+      Some(Aggregate(finalGroups, finalExprs, Union(Seq(local, partial))))
     }
   }
 

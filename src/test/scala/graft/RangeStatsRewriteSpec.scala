@@ -632,6 +632,34 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     assert(served.collect()(0) == plain(nulled).collect()(0))
   }
 
+  test("GROUPED hybrid: per-partition range aggregate folds and combines") {
+    val path = Files.createTempDirectory("graft_hyb_grp_").toString + "/t"
+    val (t, mn, mx) = mkTimeClustered(path)
+    val span = mx - mn
+    val (lo, hi) = (mn + span / 8, mx - span / 8)
+    def plain(df: DataFrame) = df
+      .filter(col("ts_us") >= lo && col("ts_us") <= hi)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"),
+        min(col("ts_us")).as("tmn"), max(col("ts_us")).as("tmx"))
+      .orderBy("event_type")
+    val served = plain(t.read(spark))
+    assert(hybridServed(served), "the grouped hybrid union must serve")
+    val scanned = scannedData(served)
+    val (cands, _) = t.statsSelectedFilesTyped(spark,
+      Seq(graft.table.ColumnRange.inclusive("ts_us", lo, hi)))
+    assert(scanned.nonEmpty && scanned.length < cands.length,
+      s"boundary files (${scanned.length}) must stay under the " +
+        s"candidates (${cands.length})")
+    assert(served.collect().toSeq == plain(eventsUs).collect().toSeq)
+    // Non-partition grouping declines (a per-file fold cannot partition
+    // an arbitrary grouping) but stays exact through the plain scan.
+    val byUser = t.read(spark)
+      .filter(col("ts_us") >= lo && col("ts_us") <= hi)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(!hybridServed(byUser), "non-partition grouping must decline")
+  }
+
   test("hybrid declines: FP sum, leftover conjunct, zero full files") {
     val path = Files.createTempDirectory("graft_hyb_dec_").toString + "/t"
     val (t, mn, mx) = mkTimeClustered(path)
