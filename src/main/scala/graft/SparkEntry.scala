@@ -1018,7 +1018,7 @@ object SparkEntry {
     // files open, so the oracle is the plain grouped filtered aggregate
     "q168_range_agg_grouped" ->
       """WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id, value
-        |            FROM events WHERE event_id % 2 = 0),
+        |            FROM events),
         |mm AS (SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM ev)
         |SELECT event_type, count(*) AS n_rows,
         |       CAST(sum(event_id) AS BIGINT) AS id_sum,
