@@ -50,14 +50,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // of the range candidates). When the hybrid declines, the range
     // rule still serves the same filter in the same pass.
     e.injectOptimizerRule(s => new graft.plans.StatsAggregateRewrite(s))
+    // ORDER BY col LIMIT k over a keyed table's read → scan only the
+    // files that can hold a top-k row, via the column-stats sidecar
+    // ([[graft.plans.TopKPruneRewrite]]). Injected BEFORE the range
+    // rule for the same reason the aggregate rule is: a FILTERED top-k
+    // matches both (the filter alone is the range rule's shape), and
+    // the top-k walk strictly dominates there — it opens O(k) of the
+    // range's candidate files instead of all of them. When the walk
+    // declines, the range rule still serves the filter in the same
+    // pass.
+    e.injectOptimizerRule(s => new graft.plans.TopKPruneRewrite(s))
     // Range filter over a keyed table's read → file-skipping scan
     // through the column-stats sidecar ([[graft.plans.RangePruneRewrite]]);
     // same registry gate as the point rule.
     e.injectOptimizerRule(s => new graft.plans.RangePruneRewrite(s))
-    // ORDER BY col LIMIT k over a keyed table's read → scan only the
-    // files that can hold a top-k row, via the column-stats sidecar
-    // ([[graft.plans.TopKPruneRewrite]]).
-    e.injectOptimizerRule(s => new graft.plans.TopKPruneRewrite(s))
     // Resolution hook: when a query references a table the session
     // catalog doesn't know, consult the persistent registry
     // ([[graft.table.GraftCatalog]]) before resolution fails — discovery

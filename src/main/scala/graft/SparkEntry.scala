@@ -192,7 +192,8 @@ object SparkEntry {
     "q165_range_agg_hybrid" -> (UpsertOps.rangeAggHybrid(_, _)),
     "q166_compact_advisor" -> (UpsertOps.compactionAdvised(_, _)),
     "q167_inlist_prune" -> (UpsertOps.inListPrunedQuery(_, _)),
-    "q168_range_agg_grouped" -> (UpsertOps.rangeAggGrouped(_, _))
+    "q168_range_agg_grouped" -> (UpsertOps.rangeAggGrouped(_, _)),
+    "q169_topk_filtered" -> (UpsertOps.topKFilteredQuery(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1026,6 +1027,17 @@ object SparkEntry {
         |FROM ev, mm
         |WHERE ts_us BETWEEN mn + (mx - mn) // 8 AND mx - (mx - mn) // 8
         |GROUP BY event_type""".stripMargin,
+    // filtered top-k: partition + range conjuncts compose into the
+    // stats walk; the residual Filter + Sort + Limit keep the values
+    // exactly the plain query's (unique event_id tiebreak pins the set)
+    "q169_topk_filtered" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |                   event_id, value FROM events),
+        |mm AS (SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM ev)
+        |SELECT user_id, event_type, ts_us, event_id, value
+        |FROM ev, mm
+        |WHERE event_type = 'click' AND ts_us <= mn + 3 * (mx - mn) // 4
+        |ORDER BY ts_us DESC, event_id DESC LIMIT 300""".stripMargin,
     // IN-list stats pruning: the rule only changes which files open,
     // so the oracle is the plain IN filter
     "q167_inlist_prune" ->

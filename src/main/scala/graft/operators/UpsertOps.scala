@@ -1320,27 +1320,53 @@ object UpsertOps {
     * EXACTLY the plain query's; the oracle is the plain ORDER BY/LIMIT.
     */
   def topKPrunedQuery(s: SparkSession, dir: String): DataFrame = {
-    val table = topKFixture(s, dir)
+    val (table, _, _) = topKFixture(s, dir)
     outputCols(table.read(s))
       .orderBy(col("ts_us").desc, col("event_id").desc)
       .limit(500)
   }
 
+  /** FILTERED top-k (q169; [[graft.plans.TopKPruneRewrite]]'s composed
+    * arm): `WHERE event_type = … AND ts_us <= … ORDER BY ts_us DESC
+    * LIMIT k` — "latest N of a kind before a cutoff", the most common
+    * real shape of the latest-N query. The partition conjunct selects
+    * whole sidecar rows exactly; the range conjunct splits files into
+    * FULL (count-accumulated to fix the boundary bound) and CANDIDATE
+    * (kept when their max reaches it); the residual Filter + Sort +
+    * Limit keep the values exactly the plain query's — the oracle. At
+    * 100 TB this opens O(k / rows-per-file) files of ONE partition's
+    * window instead of feeding a full scan into the TakeOrdered.
+    */
+  def topKFilteredQuery(s: SparkSession, dir: String): DataFrame = {
+    val (table, mn, mx) = topKFixture(s, dir)
+    val span = mx - mn
+    outputCols(table.read(s))
+      .filter(col("event_type") === "click" &&
+        col("ts_us") <= lit(mn + 3 * span / 4))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .limit(300)
+  }
+
   /** Shared by q162 (plain top-k) and q169 (filtered top-k): a
     * time-clustered events table with ts_us stats — immutable once
-    * built, so both serve-rule queries stage it once.
+    * built, so both serve-rule queries stage it once. Returns
+    * (table, domain min, max).
     */
-  private def topKFixture(s: SparkSession, dir: String): KeyedTable =
+  private def topKFixture(
+      s: SparkSession, dir: String): (KeyedTable, Long, Long) =
     fixtureOnce(dir, "topK") {
       val path =
         Files.createTempDirectory("graft_topkq_").toString + "/events_keyed"
       val t = KeyedTable(KeyedTableSpec(
         path = path, keyCols = Seq("event_id"), precombineCol = "ts_us",
         partitionCols = Seq("event_type")))
-      t.upsert(s, eventsUs(s, dir), commitTime = "c0")
+      val ev = eventsUs(s, dir)
+      t.upsert(s, ev, commitTime = "c0")
       t.cluster(s, Seq("ts_us"), targetFileBytes = 256L << 10)
       t.recordColumnStats(s, Seq("ts_us"))
-      t
+      val Array(r) =
+        ev.agg(min("ts_us").as("mn"), max("ts_us").as("mx")).collect()
+      (t, r.getLong(0), r.getLong(1))
     }
 
   /** Null-predicate pruning (q163; [[graft.plans.RangePruneRewrite]]'s

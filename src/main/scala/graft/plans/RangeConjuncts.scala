@@ -81,7 +81,11 @@ private[plans] object RangeConjuncts {
     def inListOf(e: Expression): Option[(Attribute, Seq[Any])] = e match {
       case In(x, vs) if vs.nonEmpty && vs.length <= MaxInValues &&
         vs.forall { case Literal(v, _) => v != null; case _ => false } =>
-        relAttrOf(x).map { a =>
+        // Mirror ok()'s literal-type check: a type-mismatched literal
+        // (possible in hand-built plans) must not reach the
+        // attribute-typed converter below.
+        relAttrOf(x).filter(a =>
+          vs.forall(_.asInstanceOf[Literal].dataType == a.dataType)).map { a =>
           val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
             .createToScalaConverter(a.dataType)
           (a, vs.map(l => toScala(l.asInstanceOf[Literal].value)))
@@ -157,4 +161,62 @@ private[plans] object RangeConjuncts {
     * contract as [[PointLookupRewrite]]'s probe cap.
     */
   val MaxInValues = 128
+}
+
+/** Shared extraction of literal PARTITION-column conjuncts — point
+  * equality, IN/InSet, and the optimizer's inferred `IS NOT NULL` —
+  * the one matcher behind every consumer that selects whole sidecar
+  * rows by partition tuple ([[StatsAggregateRewrite]] folds them,
+  * [[TopKPruneRewrite]] walks them). Partition conjuncts are EXACT file
+  * selectors: a file's partition tuple is a constant, so a selected
+  * file's every row satisfies the conjunct and a dropped file's none
+  * does — which is what lets both the fold and the top-k count
+  * accumulation stay exact under the filter.
+  */
+private[plans] object PartitionConjuncts {
+
+  sealed trait PartFilter
+  final case class PartIn(
+      column: String,
+      t: org.apache.spark.sql.types.DataType,
+      values: Seq[Any]) extends PartFilter
+  final case class PartNotNull(column: String) extends PartFilter
+
+  /** Classifies one conjunct; `attrOf` must resolve only attributes of
+    * the table's PARTITION columns (the caller composes the partition
+    * check into its relAttrOf).
+    */
+  def of(e: Expression, attrOf: Expression => Option[Attribute])
+      : Option[PartFilter] = e match {
+    case EqualTo(x, l: Literal) if l.value != null =>
+      attrOf(x).map(at => PartIn(at.name, at.dataType, Seq(l.value)))
+    case EqualTo(l: Literal, x) if l.value != null =>
+      attrOf(x).map(at => PartIn(at.name, at.dataType, Seq(l.value)))
+    case In(x, vs) if vs.forall {
+      case Literal(v, _) => v != null
+      case _ => false
+    } => attrOf(x).map(at =>
+      PartIn(at.name, at.dataType, vs.map(_.asInstanceOf[Literal].value)))
+    case InSet(x, hset) if !hset.contains(null) =>
+      attrOf(x).map(at => PartIn(at.name, at.dataType, hset.toSeq))
+    case IsNotNull(x) => attrOf(x).map(at => PartNotNull(at.name))
+    case _ => None
+  }
+
+  /** The sidecar row selection for a classified conjunct set: filters
+    * the stats frame by its `p_<col>` partition-tuple columns (resolved
+    * by the caller, case-insensitively).
+    */
+  def select(
+      st: org.apache.spark.sql.DataFrame,
+      filters: Seq[(PartFilter, String)]): org.apache.spark.sql.DataFrame =
+    filters.foldLeft(st) {
+      case (df, (PartIn(_, t, vs), pc)) =>
+        val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(t)
+        df.filter(org.apache.spark.sql.functions.col(pc)
+          .isin(vs.map(toScala): _*))
+      case (df, (PartNotNull(_), pc)) =>
+        df.filter(org.apache.spark.sql.functions.col(pc).isNotNull)
+    }
 }

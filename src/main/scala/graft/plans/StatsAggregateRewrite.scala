@@ -103,10 +103,7 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private case object CountAll extends Need
   private case class CountCol(column: String) extends Need
 
-  private sealed trait PartFilter
-  private case class PartIn(column: String, t: DataType, values: Seq[Any])
-    extends PartFilter
-  private case class PartNotNull(column: String) extends PartFilter
+  import PartitionConjuncts.{PartFilter, PartIn, PartNotNull}
 
   /** The shape half of the match, sidecar-IO-free. `ranges`/`notNull`
     * nonempty selects the HYBRID serve: full files fold from the
@@ -195,25 +192,9 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // partition tuple is a constant), so the fold over the selected
     // sidecar rows IS the aggregate over the filtered table; nothing
     // residual remains. Any other predicate declines.
-    def partFilterOf(e: Expression): Option[PartFilter] = {
-      def attrOf(x: Expression): Option[Attribute] =
-        relAttrOf(x).filter(at => partCols.contains(lower(at.name)))
-      e match {
-        case EqualTo(x, l: Literal) if l.value != null =>
-          attrOf(x).map(at => PartIn(at.name, at.dataType, Seq(l.value)))
-        case EqualTo(l: Literal, x) if l.value != null =>
-          attrOf(x).map(at => PartIn(at.name, at.dataType, Seq(l.value)))
-        case In(x, vs) if vs.forall {
-          case Literal(v, _) => v != null
-          case _ => false
-        } => attrOf(x).map(at =>
-          PartIn(at.name, at.dataType, vs.map(_.asInstanceOf[Literal].value)))
-        case InSet(x, hset) if !hset.contains(null) =>
-          attrOf(x).map(at => PartIn(at.name, at.dataType, hset.toSeq))
-        case IsNotNull(x) => attrOf(x).map(at => PartNotNull(at.name))
-        case _ => None
-      }
-    }
+    def partFilterOf(e: Expression): Option[PartFilter] =
+      PartitionConjuncts.of(
+        e, x => relAttrOf(x).filter(at => partCols.contains(lower(at.name))))
     val splitConds = conds.toSeq.flatMap { case (c, _) =>
       MvPlanShape.splitConjunction(c)
     }
@@ -314,12 +295,8 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case PartNotNull(c) => statCol("p", c)
       }
       if (filterStatCols.exists(_.isEmpty)) return None
-      val stSel = partFilters.zip(filterStatCols.map(_.get)).foldLeft(st) {
-        case (df, (PartIn(_, t, vs), pc)) =>
-          val toScala = CatalystTypeConverters.createToScalaConverter(t)
-          df.filter(col(pc).isin(vs.map(toScala): _*))
-        case (df, (PartNotNull(_), pc)) => df.filter(col(pc).isNotNull)
-      }
+      val stSel = PartitionConjuncts.select(
+        st, partFilters.zip(filterStatCols.map(_.get)))
       val folds: Seq[Option[org.apache.spark.sql.Column]] = needs.collect {
         case MinOf(c, _) => statCol("min", c).map(s => min(col(s)))
         case MaxOf(c, _) => statCol("max", c).map(s => max(col(s)))
@@ -420,9 +397,12 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * Aggregate(original functions, Filter(original predicate,
     * boundary-file scan))))` — counts/sums re-add, min/max re-fold, and
     * the final aliases keep the original exprIds so nothing above
-    * changes. min/max/count are decomposable exactly; sum folds
-    * bit-exactly because the sidecar stores wrapped-long partial sums
-    * (the same mod-2^64 arithmetic Spark's partial+final Sum performs).
+    * changes. min/max/count are decomposable exactly; sum folds exactly
+    * because the sidecar stores exact DECIMAL(38,0) per-file partials,
+    * and the fold's final value joins the boundary side's long sum via
+    * the same narrow-or-decline contract as the metadata-only serve (a
+    * total outside long range declines to the scan, where Spark's own
+    * ANSI Sum raises).
     * Zero full files declines (that shape is [[RangePruneRewrite]]'s);
     * the boundary Aggregate over ZERO files still yields its neutral
     * single row, so an exactly-aligned range serves with no data IO
@@ -450,12 +430,8 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case PartNotNull(c)  => statCol("p", c)
       }
       if (filterStatCols.exists(_.isEmpty)) return None
-      val stSel = partFilters.zip(filterStatCols.map(_.get)).foldLeft(st) {
-        case (df, (PartIn(_, t, vs), pc)) =>
-          val toScala = CatalystTypeConverters.createToScalaConverter(t)
-          df.filter(col(pc).isin(vs.map(toScala): _*))
-        case (df, (PartNotNull(_), pc)) => df.filter(col(pc).isNotNull)
-      }
+      val stSel = PartitionConjuncts.select(
+        st, partFilters.zip(filterStatCols.map(_.get)))
 
       // Candidate: the file can hold a satisfying row (the range-prune
       // intersection + at least one non-null in each IS NOT NULL

@@ -1,5 +1,7 @@
 package graft.plans
 
+import java.util.Locale
+
 import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
@@ -33,13 +35,33 @@ import graft.table.KeyedTable
   * only the scan's file set changes, the full Sort + Limit stay as the
   * residual, so boundary ties resolve exactly as they would unpruned.
   *
+  * FILTERS below the sort compose when every conjunct classifies
+  * against the sidecar — "latest N of a kind", the most common real
+  * shape of this query:
+  *  - PARTITION point/IN conjuncts ([[PartitionConjuncts]]) select
+  *    whole sidecar rows first, exactly (a file's partition tuple is a
+  *    constant), and the walk runs over the selected subset unchanged.
+  *  - Literal RANGE / IS NOT NULL conjuncts on stats-covered columns
+  *    ([[RangeConjuncts]]) split files into FULL (every row satisfies —
+  *    bounds inside the range, zero nulls in each constrained column)
+  *    and CANDIDATE (may hold a satisfying row). The count accumulation
+  *    walks FULL files only — their rows all survive the filter, so
+  *    "Σnn ≥ k rows ≥ L" still proves the filtered kth value is ≥ L —
+  *    while the kept set is every CANDIDATE file whose max reaches L
+  *    (boundary files' partially-matching rows are the residual
+  *    filter's job). Truncated string bounds only widen the kept set
+  *    and only shrink the walked FULL set — sound both ways.
+  *
   * Declines: `retainHistory` tables (a pruned resolve could resurrect
-  * superseded versions), filters/windows/joins below the sort (a
-  * filter breaks the row-count accumulation that justifies the bound —
-  * a prefix file's rows might not satisfy it), non-global sorts, k ≤ 0,
-  * and sidecars indexing fewer than k non-null values. Same
-  * registry-gated plan-time cost and natural idempotency as the range
-  * rule (a swapped scan no longer roots at the registered path).
+  * superseded versions), any conjunct that classifies neither way
+  * (IS NULL, IN on data columns, non-literal predicates, uncovered
+  * columns — a leftover predicate would break the accumulation bound),
+  * windows/joins below the sort, non-global sorts, k ≤ 0, and walks
+  * whose guaranteed-matching non-null counts never reach k (a selective
+  * filter with no full files cannot bound the kth value — that shape is
+  * [[RangePruneRewrite]]'s). Same registry-gated plan-time cost and
+  * natural idempotency as the range rule (a swapped scan no longer
+  * roots at the registered path).
   */
 class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -76,8 +98,7 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val pairs = mutable.Buffer.empty[(Attribute, Attribute)]
     if (!MvPlanShape.strip(sort.child, conds, windows, renames, rels, pairs))
       return None
-    if (conds.nonEmpty || windows.nonEmpty || pairs.nonEmpty ||
-      rels.length != 1) return None
+    if (windows.nonEmpty || pairs.nonEmpty || rels.length != 1) return None
     val lr = rels.head
     val fsRel = lr.relation match {
       case h: HadoopFsRelation => h
@@ -90,9 +111,40 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val spec = Option(KeyedTable.specRegistry.get(root)).getOrElse(return None)
     if (spec.retainHistory) return None
 
+    val subst = MvPlanShape.substFn(renames)
     val relIds = lr.output.map(_.exprId).toSet
+    def relAttrOf(e: Expression): Option[Attribute] = subst(e) match {
+      case a: Attribute if relIds.contains(a.exprId) &&
+        !a.name.startsWith("_graft_") => Some(a)
+      case _ => None
+    }
+
+    // Classify every filter conjunct below the sort: partition
+    // point/IN conjuncts select whole sidecar rows, range / IS NOT NULL
+    // conjuncts on stats-covered ordered columns drive the FULL /
+    // CANDIDATE split. Anything else declines — a leftover predicate
+    // would break the count-accumulation bound.
+    val partCols = spec.partitionCols.map(_.toLowerCase(Locale.ROOT)).toSet
+    val splitConds = conds.toSeq.flatMap { case (c, _) =>
+      MvPlanShape.splitConjunction(c)
+    }
+    if (splitConds.exists(!_.deterministic)) return None
+    def partFilterOf(e: Expression) = PartitionConjuncts.of(
+      e,
+      x => relAttrOf(x)
+        .filter(at => partCols.contains(at.name.toLowerCase(Locale.ROOT))))
+    val (partConds, restConds) =
+      splitConds.partition(c => partFilterOf(c).isDefined)
+    val partFilters = partConds.flatMap(partFilterOf)
+    val ex = RangeConjuncts.extract(
+      restConds,
+      e => relAttrOf(e).filter(at => KeyedTable.statsOrderedType(at.dataType)))
+    if (ex.other.nonEmpty || ex.inLists.nonEmpty ||
+      ex.nullPreds.exists(_._2)) return None
+    val notNull = ex.nullPreds.map(_._1)
+
     val head = sort.order.head
-    val attr = MvPlanShape.substFn(renames)(head.child) match {
+    val attr = subst(head.child) match {
       case a: Attribute if relIds.contains(a.exprId) &&
         KeyedTable.statsOrderedType(a.dataType) &&
         !a.name.startsWith("_graft_") => a
@@ -102,24 +154,126 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val nullsFirst = head.nullOrdering == NullsFirst
 
     val table = KeyedTable(spec)
-    memo.gated((root, attr.name, k, desc, nullsFirst)) {
-      table.topKCandidateFiles(spark, attr.name, k.toLong, desc, nullsFirst)
-        .flatMap { case (files, _) =>
-          val total = fsRel.location.inputFiles.length
-          if (files.length >= total) None
-          else {
-            val partSchema = Option(fsRel.partitionSchema).filter(_.nonEmpty)
-            val pruned = new InMemoryFileIndex(
-              spark, files, Map("basePath" -> root), partSchema)
-            logInfo(s"top-k rewrite: $root scan pruned to ${files.length} " +
-              s"of $total files for ORDER BY ${attr.name} " +
-              (if (desc) "DESC" else "ASC") + s" LIMIT $k")
-            Some(lim.transformUp {
-              case l: LogicalRelation if l eq lr =>
-                l.copy(relation = fsRel.copy(location = pruned)(spark))
-            })
-          }
+    memo.gated((root, attr.name, k, desc, nullsFirst,
+      partFilters.toVector, ex.ranges.toVector, notNull.toVector)) {
+      val cand =
+        if (partFilters.isEmpty && ex.ranges.isEmpty && notNull.isEmpty)
+          table.topKCandidateFiles(spark, attr.name, k.toLong, desc, nullsFirst)
+        else filteredCandidates(
+          table, attr.name, k.toLong, desc, nullsFirst,
+          partFilters, ex.ranges, notNull)
+      cand.flatMap { case (files, _) =>
+        val total = fsRel.location.inputFiles.length
+        if (files.length >= total) None
+        else {
+          val partSchema = Option(fsRel.partitionSchema).filter(_.nonEmpty)
+          val pruned = new InMemoryFileIndex(
+            spark, files, Map("basePath" -> root), partSchema)
+          logInfo(s"top-k rewrite: $root scan pruned to ${files.length} " +
+            s"of $total files for ORDER BY ${attr.name} " +
+            (if (desc) "DESC" else "ASC") + s" LIMIT $k" +
+            (if (splitConds.nonEmpty) s" under ${splitConds.length} filter conjunct(s)"
+             else ""))
+          Some(lim.transformUp {
+            case l: LogicalRelation if l eq lr =>
+              l.copy(relation = fsRel.copy(location = pruned)(spark))
+          })
         }
+      }
     }
   }
+
+  /** The FILTERED top-k walk (see the class doc's soundness argument):
+    * partition conjuncts select sidecar rows exactly; range/not-null
+    * conjuncts split the selection into FULL files (count-accumulated
+    * to fix the boundary bound) and CANDIDATE files (kept when their
+    * max reaches it). Mirrors [[KeyedTable.topKCandidateFiles]]'s
+    * unfiltered walk and [[StatsAggregateRewrite]]'s hybrid
+    * classification — all comparisons run IN Spark over the
+    * metadata-sized sidecar, in the exact ordering the residual
+    * Filter + Sort evaluate with.
+    */
+  private def filteredCandidates(
+      table: KeyedTable,
+      column: String,
+      k: Long,
+      desc: Boolean,
+      nullsFirst: Boolean,
+      partFilters: Seq[PartitionConjuncts.PartFilter],
+      ranges: Seq[graft.table.ColumnRange],
+      notNull: Seq[String]): Option[(Seq[org.apache.hadoop.fs.Path], Int)] =
+    table.colStatsFrame(spark).flatMap { st =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      import org.apache.spark.sql.functions.{col, lit, sum}
+      def statCol(prefix: String, c: String): Option[String] =
+        st.columns.find(_.equalsIgnoreCase(s"${prefix}_$c"))
+      if (!st.columns.contains("cnt")) return None
+      val (mnS, mxS, nnS) =
+        (statCol("min", column), statCol("max", column), statCol("nn", column))
+      if (mnS.isEmpty || mxS.isEmpty || nnS.isEmpty) return None
+      val filterStatCols = partFilters.map {
+        case PartitionConjuncts.PartIn(c, _, _) => statCol("p", c)
+        case PartitionConjuncts.PartNotNull(c)  => statCol("p", c)
+      }
+      if (filterStatCols.exists(_.isEmpty)) return None
+      val classCols = (ranges.map(_.column) ++ notNull).distinct
+      val nnOf = classCols.map(c => c -> statCol("nn", c)).toMap
+      if (nnOf.values.exists(_.isEmpty)) return None
+      val mmOf = ranges.map(r => r.column ->
+        ((statCol("min", r.column), statCol("max", r.column)))).toMap
+      if (mmOf.values.exists(p => p._1.isEmpty || p._2.isEmpty)) return None
+
+      val stSel = PartitionConjuncts.select(
+        st, partFilters.zip(filterStatCols.map(_.get)))
+      // Same candidate/full split as the hybrid aggregate serve.
+      val candidate = (ranges.map { r =>
+        val (mnC, mxC) = (mmOf(r.column)._1.get, mmOf(r.column)._2.get)
+        val loP = r.lo.map(v =>
+          if (r.loInclusive) col(mxC) >= lit(v) else col(mxC) > lit(v))
+        val hiP = r.hi.map(v =>
+          if (r.hiInclusive) col(mnC) <= lit(v) else col(mnC) < lit(v))
+        (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+      } ++ notNull.map(c => col(nnOf(c).get) > lit(0L)))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val full = (ranges.map { r =>
+        val (mnC, mxC) = (mmOf(r.column)._1.get, mmOf(r.column)._2.get)
+        val loP = r.lo.map(v =>
+          if (r.loInclusive) col(mnC) >= lit(v) else col(mnC) > lit(v))
+        val hiP = r.hi.map(v =>
+          if (r.hiInclusive) col(mxC) <= lit(v) else col(mxC) < lit(v))
+        (Seq(col(nnOf(r.column).get) === col("cnt")) ++ loP.toSeq ++ hiP.toSeq)
+          .reduce(_ && _)
+      } ++ notNull.map(c => col(nnOf(c).get) === col("cnt")))
+        .reduceOption(_ && _).getOrElse(lit(true))
+
+      val (mn, mx, nn) = (col(mnS.get), col(mxS.get), col(nnS.get))
+      KeyedTable.withMetaConf(spark) {
+        try {
+          val total = st.count().toInt
+          val walkKey = if (desc) mn else mx
+          val w = W.orderBy(if (desc) walkKey.desc_nulls_last
+            else walkKey.asc_nulls_last)
+          val crossing = stSel.filter(full)
+            .withColumn("_graft_cum", sum(nn).over(
+              w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+            .filter(col("_graft_cum") >= k && nn > 0)
+            .orderBy(if (desc) walkKey.desc else walkKey.asc)
+            .limit(1)
+            .select(walkKey)
+            .collect()
+          if (crossing.isEmpty) None // < k guaranteed-matching rows
+          else {
+            val bound = crossing(0).get(0)
+            val valuePred =
+              if (desc) mx >= lit(bound) else mn <= lit(bound)
+            val pred =
+              if (nullsFirst) valuePred || (col("cnt") > nn) else valuePred
+            val sel = stSel.filter(candidate && pred)
+              .select("file").collect().map(_.getString(0)).toSeq
+            Some((sel.map(abs =>
+              new org.apache.hadoop.fs.Path(new java.net.URI(abs))), total))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
 }

@@ -462,16 +462,71 @@ class RangeStatsRewriteSpec extends SparkTestBase {
         .orderBy(col("event_id").asc, col("user_id").desc)
         .limit(10).collect().toSeq)
     // Declines: k beyond the indexed row count (no prefix can bound the
-    // boundary), and a filter below the sort (the count accumulation
-    // can't see which rows satisfy it).
+    // boundary), and a filter on a column with NO recorded stats (the
+    // walk cannot classify its files as fully-matching).
     val n = eventsUs.count().toInt
     val over = t.read(spark).orderBy(col("event_id").desc).limit(n + 10)
     assert(scannedDataFiles(over).isEmpty, "k > rows must decline")
     val filtered = t.read(spark).filter(col("value") >= 0.0)
       .orderBy(col("event_id").desc).limit(5)
     assert(scannedDataFiles(filtered).isEmpty,
-      "a filter below the sort must decline")
+      "a filter on an uncovered column below the sort must decline")
     assert(filtered.count() == 5)
+  }
+
+  test("filtered top-k: partition and range conjuncts compose into the walk") {
+    val path = Files.createTempDirectory("graft_topk_filt_").toString + "/t"
+    val t = KeyedTable(cowSpec(path))
+    t.upsert(spark, eventsUs, commitTime = "c0")
+    t.cluster(spark, Seq("ts_us"), targetFileBytes = 4L << 10)
+    t.recordColumnStats(spark, Seq("ts_us"))
+    val total = dataFileCount(path)
+    val Array(r) = eventsUs
+      .agg(min("ts_us").as("mn"), max("ts_us").as("mx")).collect()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val cut = mn + 3 * (mx - mn) / 4
+
+    // Partition point conjunct: the walk runs over one partition's
+    // sidecar rows; values are exactly the plain filtered query's.
+    def qPart = t.read(spark).filter(col("event_type") === "click")
+      .orderBy(col("ts_us").desc, col("event_id").desc).limit(10)
+    val fPart = scannedDataFiles(qPart)
+    assert(fPart.isDefined, "a partition point filter must compose")
+    assert(fPart.get.length < total,
+      s"must prune: ${fPart.get.length} of $total")
+    assert(outputSet(qPart) == outputSet(
+      eventsUs.filter(col("event_type") === "click")
+        .orderBy(col("ts_us").desc, col("event_id").desc).limit(10)))
+
+    // Range conjunct on the sort column: FULL files below the cutoff
+    // accumulate the bound; boundary rows stay exact via the residual.
+    def qRange = t.read(spark).filter(col("ts_us") <= cut)
+      .orderBy(col("ts_us").desc, col("event_id").desc).limit(10)
+    val fRange = scannedDataFiles(qRange)
+    assert(fRange.isDefined, "a stats-range filter must compose")
+    assert(fRange.get.length < total,
+      s"must prune: ${fRange.get.length} of $total")
+    assert(outputSet(qRange) == outputSet(
+      eventsUs.filter(col("ts_us") <= cut)
+        .orderBy(col("ts_us").desc, col("event_id").desc).limit(10)))
+
+    // Both together — "latest N of a kind before a cutoff".
+    def qBoth = t.read(spark)
+      .filter(col("event_type") === "click" && col("ts_us") <= cut)
+      .orderBy(col("ts_us").desc, col("event_id").desc).limit(10)
+    assert(scannedDataFiles(qBoth).isDefined,
+      "partition + range conjuncts must compose together")
+    assert(outputSet(qBoth) == outputSet(
+      eventsUs.filter(col("event_type") === "click" && col("ts_us") <= cut)
+        .orderBy(col("ts_us").desc, col("event_id").desc).limit(10)))
+
+    // A filter so selective no FULL file exists declines (the walk
+    // cannot accumulate k guaranteed-matching rows) — but stays exact.
+    val Array(one) = eventsUs.filter(col("event_type") === "click")
+      .orderBy(col("ts_us").asc).limit(1).select("ts_us").collect()
+    val tiny = t.read(spark).filter(col("ts_us") === one.getLong(0))
+      .orderBy(col("ts_us").desc, col("event_id").desc).limit(10)
+    assert(tiny.count() >= 1)
   }
 
   test("top-k with nulls sorting first keeps every null-carrying file") {
