@@ -193,7 +193,8 @@ object SparkEntry {
     "q166_compact_advisor" -> (UpsertOps.compactionAdvised(_, _)),
     "q167_inlist_prune" -> (UpsertOps.inListPrunedQuery(_, _)),
     "q168_range_agg_grouped" -> (UpsertOps.rangeAggGrouped(_, _)),
-    "q169_topk_filtered" -> (UpsertOps.topKFilteredQuery(_, _))
+    "q169_topk_filtered" -> (UpsertOps.topKFilteredQuery(_, _)),
+    "q170_mor_range_declarative" -> (UpsertOps.morRangeDeclarative(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -977,6 +978,29 @@ object SparkEntry {
         |SELECT user_id, event_type, ts_us, event_id, value
         |FROM w, mm WHERE rn = 1
         |  AND ts_us BETWEEN mn + (mx - mn) // 2 AND mx""".stripMargin,
+    // declarative MoR range: same reconstruction as q159 (the shifted
+    // users' winners sit past mx, so the BETWEEN …mx window excludes
+    // them and their superseded in-range versions must not resurrect),
+    // probing the narrow top-of-domain slice the key-capped serve fits
+    "q170_mor_range_declarative" ->
+      """WITH ev AS (SELECT * FROM events WHERE event_id % 2 = 0),
+        |mm AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+        |       FROM ev),
+        |u AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
+        |  FROM ev
+        |  UNION ALL
+        |  SELECT user_id, event_type,
+        |         epoch_us(ts) + (SELECT mx - mn + 1000000 FROM mm) AS ts_us,
+        |         event_id, value
+        |  FROM ev WHERE user_id % 11 = 0),
+        |w AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                               ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM u)
+        |SELECT user_id, event_type, ts_us, event_id, value
+        |FROM w, mm WHERE rn = 1
+        |  AND ts_us BETWEEN mx - (mx - mn) // 1024 AND mx""".stripMargin,
     // streamed secondary-index enrichment == the batch join: per-nation
     // event rollup joined to the per-nation customer rollup
     "q160_stream_si_join" ->

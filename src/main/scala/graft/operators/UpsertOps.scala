@@ -1428,6 +1428,28 @@ object UpsertOps {
         "ts_us", mn + span / 2, mx))))
   }
 
+  /** Declarative MoR range serving (q170;
+    * [[graft.plans.RangePruneRewrite]]'s resolving arm): the SAME
+    * key-level composition q159 reaches through the
+    * `readPrunedResolving` API, served on a plain `read().filter(ts
+    * BETWEEN …)` — the shape a BI tool emits. The rule recognizes the
+    * resolve window, selects candidate files from the all-version
+    * stats, derives the in-range rows' distinct keys (≤128 — the range
+    * is a narrow top-of-domain slice, the "recent corrections" audit),
+    * routes them through the record-level index and guards the swapped
+    * scan to exactly those keys; the resolve and the range residual
+    * stay above, so the q159 trap (superseded in-range versions of
+    * shifted users) still prices and never resurrects. The upper bound
+    * at mx keeps the shifted winners out of range, so both engines see
+    * only original-domain winners. ≡ resolve ∘ filter — the oracle.
+    */
+  def morRangeDeclarative(s: SparkSession, dir: String): DataFrame = {
+    val (table, mn, mx) = morRangeFixture(s, dir)
+    val span = mx - mn
+    outputCols(table.read(s)
+      .filter(col("ts_us") >= mx - span / 1024 && col("ts_us") <= mx))
+  }
+
   /** Shared by q159 (API-level MoR range) and q170 (declarative MoR
     * range): the two-commit history table with the out-of-range
     * correction trap, RLI, and all-version ts_us stats — immutable once

@@ -65,7 +65,13 @@ object IndexAdvisor {
         r.isPoint || isPartitionCol(m.spec, r.column))))
       .filter(_._2.nonEmpty)
     val rangeShapes = rangeMatches.flatMap { case (m, rs) =>
-      rs.map(r => (m.spec.path, "column_stats", r.column))
+      rs.map(r => (m.spec.path, "column_stats", r.column)) ++
+        // The MoR resolve arm additionally routes its in-range keys
+        // through the record-level index (keys → winner+delta files);
+        // recommend it alongside the stats so the serve has its chain.
+        (if (m.morKeyAttrs.isDefined)
+          Seq((m.spec.path, "record_key", m.spec.keyCols.head))
+         else Nil)
     }
     // LAYOUT advice: stats that exist but barely skip mean the files
     // overlap the probed column — the index can't help until a sort
@@ -139,10 +145,15 @@ object IndexAdvisor {
         }
     }.flatten)
     val clusterTables = clusterRecs.map(_._1).toSet
+    // Malformed threshold confs skip the compaction arm instead of
+    // aborting the whole analysis — consistent with the advisor's
+    // NonFatal-tolerant posture everywhere else.
     val minFiles = spark.conf
-      .getOption("spark.graft.compact.min.files").map(_.toInt).getOrElse(8)
+      .getOption("spark.graft.compact.min.files")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(8)
     val smallBytes = spark.conf
-      .getOption("spark.graft.compact.small.bytes").map(_.toLong)
+      .getOption("spark.graft.compact.small.bytes")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
     val compactRecs = smallBytes.toSeq.flatMap { threshold =>
       scannedTables.groupBy(identity).toSeq
         .filterNot { case (path, _) => clusterTables.contains(path) }

@@ -43,22 +43,48 @@ import graft.table.KeyedTable
   * whole filter.
   *
   * Soundness bounds (the same ones [[KeyedTable.readPruned]] enforces):
-  * non-resolving (plain copy-on-write) tables only — on a
-  * `retainHistory` table, resolving latest-per-key over a pruned file
-  * subset could resurrect versions superseded by rows outside the
-  * range — and no window functions below the filter (removing files
+  * on a plain copy-on-write table any matching shape serves — rows are
+  * independent, so dropping files that hold no in-range row changes
+  * nothing else. No window functions below the filter (removing files
   * under an arbitrary window would change its frames). An evolved
   * table's scan roots at generation dirs, never at the registered path,
   * so it cannot match. Freshness needs no timeline proof: the sidecar
   * follows exists ⇒ current (every data write deletes it before the
   * write lands), so a present sidecar covers every data file.
   *
-  * Plan-time cost is one metadata-sized sidecar read, gated behind the
-  * registry hit and a literal range conjunct; re-application is
-  * naturally idempotent because the swapped relation no longer roots at
-  * the registered path.
+  * MERGE-ON-READ (`retainHistory`) tables serve through the key-level
+  * composition [[KeyedTable.readPrunedResolving]] proves — a naive
+  * prune would resurrect versions superseded by rows OUTSIDE the range,
+  * so the declarative arm requires the plan between filter and scan to
+  * be exactly the resolve (the shared [[MvPlanShape.resolveRnOf]]
+  * shape, same admissibility as [[PointLookupRewrite]]'s MoR arm) and
+  * serves in three steps: (a) the all-version stats select the
+  * candidate range files; (b) the DISTINCT KEYS of their in-range rows
+  * — the only keys whose winner can be in range, a winner being itself
+  * a version — are collected at plan time (≤ [[MaxResolveKeys]], else
+  * decline: a range matching half the table belongs in a full
+  * resolve); (c) the scan swaps onto those keys' record-level-index
+  * candidate files (winner + delta — resolving over them yields
+  * exactly each key's latest state) with a literal key guard above the
+  * scan, exactly the point rule's: without it a non-probe key sharing
+  * a candidate file could resolve to a superseded version. The
+  * original resolve and range residual stay above, so a key whose
+  * winner moved out of range is discarded, never resurrected.
+  *
+  * Plan-time cost is one metadata-sized sidecar read (plus, on the MoR
+  * arm, one candidate-file key scan — the DPP-subquery-shaped cost the
+  * point rule also pays), gated behind the registry hit and a literal
+  * range conjunct; re-application is naturally idempotent because the
+  * swapped relation no longer roots at the registered path.
   */
 class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  /** MoR-arm contract: beyond this many in-range keys the probe is not
+    * point-sized — the literal key guard would bloat the plan and the
+    * per-key index probe stops paying; the query belongs in a full
+    * resolve. Same cap as [[PointLookupRewrite]]'s probe.
+    */
+  private val MaxResolveKeys = 128
 
   private val memo = new DeclineMemo[Any]
 
@@ -79,7 +105,11 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private[plans] final case class RangeMatch(
       f: Filter, lr: LogicalRelation, fsRel: HadoopFsRelation, root: String,
       spec: graft.table.KeyedTableSpec, ranges: Seq[graft.table.ColumnRange],
-      nullPreds: Seq[(String, Boolean)], inLists: Seq[(String, Seq[Any])])
+      nullPreds: Seq[(String, Boolean)], inLists: Seq[(String, Seq[Any])],
+      /** The relation's key attributes when the MoR resolve arm matched
+        * (the key guard needs them); `None` selects the COW arm.
+        */
+      morKeyAttrs: Option[Seq[Attribute]] = None)
 
   /** Every range shape in `plan` this rule would serve if column stats
     * existed (no sidecar IO, no filesystem work beyond the registry).
@@ -95,7 +125,8 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def tryRewrite(f: Filter): Option[LogicalPlan] =
     matchRange(f).flatMap { m =>
       val key = (m.root, m.ranges.toVector, m.nullPreds.toVector,
-        m.inLists.map { case (c, vs) => (c, vs.toVector) }.toVector)
+        m.inLists.map { case (c, vs) => (c, vs.toVector) }.toVector,
+        m.morKeyAttrs.isDefined)
       memo.gated(key)(serveRange(m))
     }
 
@@ -106,7 +137,7 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val rels = mutable.Buffer.empty[LogicalRelation]
     val pairs = mutable.Buffer.empty[(Attribute, Attribute)]
     if (!MvPlanShape.strip(f, conds, windows, renames, rels, pairs)) return None
-    if (pairs.nonEmpty || rels.length != 1 || windows.nonEmpty) return None
+    if (pairs.nonEmpty || rels.length != 1) return None
     val lr = rels.head
     val fsRel = lr.relation match {
       case h: HadoopFsRelation => h
@@ -117,20 +148,56 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     val spec = Option(KeyedTable.specRegistry.get(root)).getOrElse(return None)
-    if (spec.retainHistory) return None
     val subst = MvPlanShape.substFn(renames)
     val relIds = lr.output.map(_.exprId).toSet
 
-    val split = conds.toSeq.flatMap { case (c, _) =>
-      MvPlanShape.splitConjunction(c)
+    val splitD = conds.toSeq.flatMap { case (c, d) =>
+      MvPlanShape.splitConjunction(c).map((_, d))
     }
-    if (split.exists(!_.deterministic)) return None
+    if (splitD.exists(!_._1.deterministic)) return None
 
     def relAttrOf(e: Expression): Option[Attribute] = subst(e) match {
       case a: Attribute if relIds.contains(a.exprId) &&
         graft.table.KeyedTable.statsOrderedType(a.dataType) &&
         !a.name.startsWith("_graft_") => Some(a)
       case _ => None
+    }
+
+    // Resolve-shape admissibility (MoR arm): the one window must be
+    // the table's own latest-per-key resolve, its rn = 1 conjunct the
+    // only thing it filters, and every other conjunct must sit ABOVE
+    // it (depth 0) — below the resolve a predicate would filter
+    // VERSIONS before the per-key winner is chosen. Same bounds as
+    // [[PointLookupRewrite]]'s resolving arm.
+    val morKeyAttrs: Option[Seq[Attribute]] =
+      if (!spec.retainHistory) {
+        if (windows.nonEmpty) return None
+        None
+      } else windows.toSeq match {
+        case Seq(w: Window) =>
+          val rn = MvPlanShape.resolveRnOf(w, spec).getOrElse(return None)
+          val rnConds = splitD.filter(p => MvPlanShape.isRnEqOne(p._1, rn))
+          if (rnConds.map(_._2) != Seq(0)) return None
+          if (splitD.exists(p => p._2 != 0 &&
+            !MvPlanShape.isRnEqOne(p._1, rn))) return None
+          val keyAttrs = spec.keyCols.map { kc =>
+            val kcL = kc.toLowerCase(java.util.Locale.ROOT)
+            lr.output
+              .find(_.name.toLowerCase(java.util.Locale.ROOT) == kcL)
+              .getOrElse(return None)
+          }
+          Some(keyAttrs)
+        case _ => return None
+      }
+    val split = morKeyAttrs match {
+      case None => splitD.map(_._1)
+      case Some(_) =>
+        // The rn conjunct is the resolve's own, never a range.
+        val rn = windows.headOption.flatMap(w =>
+          MvPlanShape.resolveRnOf(w, spec))
+        splitD.collect {
+          case (c, 0) if !rn.exists(r => MvPlanShape.isRnEqOne(c, r)) => c
+        }
     }
     // Literal bounds and null predicates through the SHARED extraction
     // ([[RangeConjuncts]] — one matcher for every column-stats
@@ -149,14 +216,27 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // sidecar exists; PointLookupRewrite runs first and takes the probe
     // whenever the exact index family can serve it.
     val ex = RangeConjuncts.extract(split, relAttrOf)
-    if (ex.ranges.isEmpty && ex.nullPreds.isEmpty && ex.inLists.isEmpty)
-      return None
-    Some(RangeMatch(
-      f, lr, fsRel, root, spec, ex.ranges, ex.nullPreds, ex.inLists))
+    if (morKeyAttrs.isDefined) {
+      // MoR serves RANGES only; null/IN conjuncts stay residual above
+      // the resolve (sound — nothing below the window changes), they
+      // just don't contribute file selection.
+      if (ex.ranges.isEmpty) return None
+      Some(RangeMatch(f, lr, fsRel, root, spec, ex.ranges, Nil, Nil,
+        morKeyAttrs))
+    } else {
+      if (ex.ranges.isEmpty && ex.nullPreds.isEmpty && ex.inLists.isEmpty)
+        return None
+      Some(RangeMatch(
+        f, lr, fsRel, root, spec, ex.ranges, ex.nullPreds, ex.inLists))
+    }
   }
 
   /** The serving half: one sidecar read + the scan swap. */
-  private def serveRange(m: RangeMatch): Option[LogicalPlan] = {
+  private def serveRange(m: RangeMatch): Option[LogicalPlan] =
+    if (m.morKeyAttrs.isDefined) serveMorRange(m)
+    else serveCowRange(m)
+
+  private def serveCowRange(m: RangeMatch): Option[LogicalPlan] = {
     val table = KeyedTable(m.spec)
     table.rangeCandidateFilesTyped(spark, m.ranges, m.nullPreds, m.inLists)
       .flatMap { case (files, _) =>
@@ -176,6 +256,90 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             l.copy(relation = m.fsRel.copy(location = pruned)(spark))
         })
       }
+    }
+  }
+
+  /** The MoR serving half — the declarative twin of
+    * [[KeyedTable.readPrunedResolving]] (soundness in the class doc):
+    * all-version stats → in-range candidate files → their in-range
+    * rows' DISTINCT KEYS (capped) → those keys' RLI candidate files +
+    * literal key guard; resolve and range residual stay above.
+    */
+  private def serveMorRange(m: RangeMatch): Option[LogicalPlan] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val table = KeyedTable(m.spec)
+    val keyAttrs = m.morKeyAttrs.get
+    val st = table.colStatsFrame(spark).getOrElse(return None)
+    val cols = st.columns.toSet
+    if (!m.ranges.forall(r => cols.contains(s"min_${r.column}"))) return None
+    val (sel, _) =
+      try table.statsSelectedFilesTyped(spark, m.ranges)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val total = m.fsRel.location.inputFiles.length
+
+    def swap(files: Seq[Path], guard: Option[Expression],
+        how: String): Option[LogicalPlan] = {
+      if (files.length >= total) return None
+      val partSchema = Option(m.fsRel.partitionSchema).filter(_.nonEmpty)
+      val pruned = new InMemoryFileIndex(
+        spark, files, Map("basePath" -> m.root), partSchema)
+      logInfo(s"range-prune rewrite (resolving): ${m.root} scan pruned " +
+        s"to ${files.length} of $total files — $how")
+      Some(m.f.transformUp {
+        case l: LogicalRelation if l eq m.lr =>
+          val swapped =
+            l.copy(relation = m.fsRel.copy(location = pruned)(spark))
+          guard.fold(swapped: LogicalPlan)(Filter(_, swapped))
+      })
+    }
+
+    // No version intersects the range ⇒ no winner can (a winner is a
+    // version): the resolve over an empty scan is correctly empty.
+    if (sel.isEmpty) return swap(Nil, None, "no version in range")
+
+    // In-range rows' distinct keys — the only keys whose winner can be
+    // in range. One bounded plan-time job, like a DPP subquery.
+    val residual = m.ranges.map { r =>
+      val loP = r.lo.map(v =>
+        if (r.loInclusive) col(r.column) >= lit(v) else col(r.column) > lit(v))
+      val hiP = r.hi.map(v =>
+        if (r.hiInclusive) col(r.column) <= lit(v) else col(r.column) < lit(v))
+      (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+    }.reduce(_ && _)
+    val rootPath = new Path(m.spec.path)
+    val fsys = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootPrefix = fsys.makeQualified(rootPath).toUri.getPath + "/"
+    val rel = sel.map(abs =>
+      new Path(new java.net.URI(abs)).toUri.getPath.stripPrefix(rootPrefix))
+    val keysDf = table.readFilesRaw(spark, rel)
+      .filter(residual)
+      .select(m.spec.keyCols.map(col): _*)
+      .distinct()
+    val collected = KeyedTable.withMetaConf(spark)(
+      keysDf.limit(MaxResolveKeys + 1).collect())
+    if (collected.length > MaxResolveKeys) return None
+    if (collected.isEmpty) return swap(Nil, None, "no in-range version row")
+
+    // keys → candidate files (winner + delta; freshness proven through
+    // the commit→files delta or the chain declines) + the literal key
+    // guard the point rule's MoR arm uses: without it a non-probe key
+    // sharing a candidate file could resolve to a superseded version.
+    val probe = spark.createDataFrame(
+      java.util.Arrays.asList(collected: _*), keysDf.schema)
+    table.lookupCandidateFiles(spark, probe).flatMap { rel0 =>
+      val files = rel0.map(r => new Path(rootPath, r))
+      val guard: Expression =
+        if (keyAttrs.length == 1) {
+          val lits = collected.toSeq.map(r =>
+            Literal.create(r.get(0), keyAttrs.head.dataType))
+          In(keyAttrs.head, lits)
+        } else collected.toSeq.map { r =>
+          keyAttrs.zipWithIndex.map { case (at, i) =>
+            EqualTo(at, Literal.create(r.get(i), at.dataType)): Expression
+          }.reduce(And(_, _))
+        }.reduce(Or(_, _))
+      swap(files, Some(guard),
+        s"${collected.length} in-range keys via the record-level index")
     }
   }
 }

@@ -240,8 +240,24 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     val range = Seq(graft.table.ColumnRange.inclusive(
       "ts_us", mn + span / 4, mn + span / 2))
     val got = outputSet(table.readPrunedResolving(spark, range))
-    val oracle = outputSet(table.read(spark)
-      .filter(col("ts_us").between(mn + span / 4, mn + span / 2)))
+    // Rule-INDEPENDENT oracle: rebuild resolve ∘ filter from the raw
+    // input frames (no registered relation — no rewrite can touch it).
+    // The fixture keys on event_id, so the resolve scope is
+    // (event_id, event_type): every 11th user's events re-land shifted
+    // under their own ids, pushing exactly those ids' winners out of
+    // the original domain.
+    val u = ev.select("user_id", "event_type", "ts_us", "event_id", "value")
+      .unionByName(ev.filter(col("user_id") % 11 === 0)
+        .withColumn("ts_us", col("ts_us") + lit(span + 1000000L))
+        .select("user_id", "event_type", "ts_us", "event_id", "value"))
+    def resolveFilter(lo: Long, hi: Long) = outputSet(u
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_id", "event_type")
+          .orderBy(col("ts_us").desc)))
+      .filter(col("rn") === 1 && col("ts_us").between(lo, hi))
+      .drop("rn"))
+    val oracle = resolveFilter(mn + span / 4, mn + span / 2)
     assert(got == oracle, "pruned resolve must equal resolve ∘ filter")
     // The trap bites: shifted users have in-range c0 versions...
     val trapped = ev.filter(col("user_id") % 11 === 0 &&
@@ -253,6 +269,53 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     // The stats selection itself prunes (all-version files, narrow range).
     val (sel, total) = table.statsSelectedFilesTyped(spark, range)
     assert(sel.length < total, s"must prune: ${sel.length} of $total")
+
+    // DECLARATIVE arm ([[graft.plans.RangePruneRewrite]]'s resolving
+    // serve): the plain read().filter(BETWEEN) swaps its scan onto the
+    // in-range keys' RLI candidate files, key-guarded — exact, trapped
+    // versions never resurrect, and the scan is file-pruned. The probe
+    // window is NARROW (≈ span/16 ⇒ ~60 of the 1000 event_id keys):
+    // this fixture keys on event_id, so the ≤128-key point-probe cap
+    // requires a selective range.
+    val (nLo, nHi) = (mn + span / 4, mn + span / 4 + span / 16)
+    val nOracle = resolveFilter(nLo, nHi)
+    assert(nOracle.nonEmpty, "the narrow window must hold winners")
+    assert(ev.filter(col("user_id") % 11 === 0 &&
+      col("ts_us").between(nLo, nHi)).count() > 0,
+      "the narrow window must exercise the trap too")
+    def dq = table.read(spark).filter(col("ts_us").between(nLo, nHi))
+    val dFiles = scannedDataFiles(dq)
+    assert(dFiles.isDefined, "the declarative MoR range must serve")
+    assert(dFiles.get.length < dataFileCount(path),
+      s"must prune: ${dFiles.get.length} of ${dataFileCount(path)}")
+    val dGot = outputSet(dq)
+    assert(dGot == nOracle, "declarative MoR range must equal resolve ∘ filter")
+    assert(!dGot.exists(_._1 % 11 == 0),
+      "declarative serve must not resurrect superseded versions")
+
+    // A range matching ~250 keys blows the point-probe cap: the serve
+    // declines (a wide resolve belongs in a full scan) but stays exact.
+    def wide = table.read(spark)
+      .filter(col("ts_us").between(mn + span / 4, mn + span / 2))
+    assert(scannedDataFiles(wide).isEmpty,
+      "an over-cap key set must decline the declarative MoR range")
+    assert(outputSet(wide) == oracle, "the declined wide read is still exact")
+
+    // Without the record-level index the key chain has no member: the
+    // declarative read declines (stays a full directory scan) but is
+    // still exact.
+    val path2 = Files.createTempDirectory("graft_rng_mor2_").toString + "/t"
+    val t2 = KeyedTable(cowSpec(path2).copy(retainHistory = true))
+    t2.upsert(spark, ev, commitTime = "c0")
+    t2.upsert(spark,
+      ev.filter(col("user_id") % 11 === 0)
+        .withColumn("ts_us", col("ts_us") + lit(span + 1000000L)),
+      commitTime = "c1")
+    t2.recordColumnStats(spark, Seq("ts_us"))
+    def dq2 = t2.read(spark).filter(col("ts_us").between(nLo, nHi))
+    assert(scannedDataFiles(dq2).isEmpty,
+      "no RLI: the declarative MoR range must decline")
+    assert(outputSet(dq2) == nOracle, "the declined read is still exact")
   }
 
   test("whole-table min/max/count answered from the sidecar with no scan") {
