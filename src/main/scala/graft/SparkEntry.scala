@@ -194,7 +194,8 @@ object SparkEntry {
     "q167_inlist_prune" -> (UpsertOps.inListPrunedQuery(_, _)),
     "q168_range_agg_grouped" -> (UpsertOps.rangeAggGrouped(_, _)),
     "q169_topk_filtered" -> (UpsertOps.topKFilteredQuery(_, _)),
-    "q170_mor_range_declarative" -> (UpsertOps.morRangeDeclarative(_, _))
+    "q170_mor_range_declarative" -> (UpsertOps.morRangeDeclarative(_, _)),
+    "q171_inlist_agg_hybrid" -> (UpsertOps.inListAggHybrid(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1067,6 +1068,15 @@ object SparkEntry {
     "q167_inlist_prune" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents WHERE lang IN ('de', 'zh')""".stripMargin,
+    // IN-list hybrid aggregate: single-valued files fold from the
+    // sidecar, boundary files scan — the rewrite only changes which
+    // files open, so the oracle is the plain filtered aggregate (CAST
+    // keeps DuckDB's HUGEINT sum out of the schema compare)
+    "q171_inlist_agg_hybrid" ->
+      """SELECT count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents WHERE lang IN ('de', 'zh', 'en')""".stripMargin,
     // compaction advisor: the layout service only changes file sizing,
     // so the oracle is the plain projection
     "q166_compact_advisor" ->

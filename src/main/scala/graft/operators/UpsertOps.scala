@@ -1286,7 +1286,41 @@ object UpsertOps {
     * changes which files open.
     */
   def inListPrunedQuery(s: SparkSession, dir: String): DataFrame = {
-    val table = fixtureOnce(dir, "inListDocs") {
+    val table = inListDocsFixture(s, dir)
+    table.read(s)
+      .filter(col("lang").isin("de", "zh"))
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  /** IN-list HYBRID aggregate (q171; [[graft.plans.StatsAggregateRewrite]]
+    * IN-classification arm): `count/sum/min/max … WHERE lang IN (…)`
+    * over the lang-clustered documents table — the curation dashboard's
+    * per-language corpus accounting. Clustered runs make most files
+    * SINGLE-VALUED in lang: those with their value in the list fold
+    * from the sidecar (min = max ∈ values ∧ nn = cnt proves every row
+    * satisfies), and only the run-boundary files (straddling two
+    * languages) scan with the residual. At 100 TB the categorical
+    * rollup opens O(#languages) boundary files instead of every
+    * selected language's run. ≡ the plain filtered aggregate — the
+    * oracle.
+    */
+  def inListAggHybrid(s: SparkSession, dir: String): DataFrame = {
+    val table = inListDocsFixture(s, dir)
+    table.read(s)
+      .filter(col("lang").isin("de", "zh", "en"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+  }
+
+  /** Shared by q167 (IN-list file pruning) and q171 (IN-list hybrid
+    * aggregate): the lang-clustered docs table with lang + n_chars
+    * stats — immutable once built.
+    */
+  private def inListDocsFixture(s: SparkSession, dir: String): KeyedTable =
+    fixtureOnce(dir, "inListDocs") {
       val path =
         Files.createTempDirectory("graft_inlq_").toString + "/docs_keyed"
       val t = KeyedTable(KeyedTableSpec(
@@ -1295,17 +1329,14 @@ object UpsertOps {
         s,
         Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
         commitTime = "c0")
-      // 4 KB targets: without the heavy content column the whole corpus
+      // 2 KB targets: without the heavy content column the whole corpus
       // fits one 16 KB file at the small fixture tiers, leaving nothing
-      // to skip.
-      t.cluster(s, Seq("lang"), targetFileBytes = 4L << 10)
-      t.recordColumnStats(s, Seq("lang"))
+      // to skip — and the IN-hybrid fold needs interior SINGLE-VALUED
+      // files inside each language run at the 500-doc tiers.
+      t.cluster(s, Seq("lang"), targetFileBytes = 2L << 10)
+      t.recordColumnStats(s, Seq("lang", "n_chars"))
       t
     }
-    table.read(s)
-      .filter(col("lang").isin("de", "zh"))
-      .select("doc_id", "lang", "source", "n_chars")
-  }
 
   /** Declarative TOP-K pruning (q162; [[graft.plans.TopKPruneRewrite]]):
     * `ORDER BY ts DESC LIMIT k` over a time-clustered copy-on-write

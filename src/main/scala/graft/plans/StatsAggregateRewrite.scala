@@ -33,11 +33,17 @@ import graft.table.KeyedTable
   * (or inferred isnotnull) on a PARTITION column — partition conjuncts
   * select whole files exactly, so the fold over the selected sidecar
   * rows IS the aggregate over the filtered table, nothing residual — or
-  * (b) a literal RANGE / IS NOT NULL conjunct on an ordered stats
-  * column (the shared [[RangeConjuncts]] extraction), which selects the
-  * HYBRID serve ([[serveHybrid]]): fully-contained files fold from the
-  * sidecar, boundary files scan with the filter residual (groupless
-  * only). Any unclassified conjunct declines the node. Every aggregate
+  * (b) a literal RANGE / IS NOT NULL / IN-list conjunct on an ordered
+  * stats column (the shared [[RangeConjuncts]] extraction), which
+  * selects the HYBRID serve ([[serveHybrid]]): fully-contained files
+  * fold from the sidecar, boundary files scan with the filter residual.
+  * An IN conjunct classifies a file FULL when the file is
+  * single-valued in the column and that value is in the list
+  * (min = max ∈ values ∧ nn = cnt) — on a column the table is
+  * clustered by, the low-cardinality categorical filter every curation
+  * pipeline runs (`lang IN ('en','de')`) folds everything but the runs'
+  * boundary files; multi-valued files conservatively scan. Any
+  * unclassified conjunct declines the node. Every aggregate
   * must be one of `min(col)` / `max(col)` (any ORDERED
   * stats type — integers, floats, dates, timestamps, decimals, strings;
   * [[KeyedTable.statsOrderedType]], matching what
@@ -113,6 +119,7 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       a: Aggregate, spec: graft.table.KeyedTableSpec, needs: Seq[Need],
       groupAttrs: Seq[Attribute], partFilters: Seq[PartFilter],
       ranges: Seq[graft.table.ColumnRange], notNull: Seq[String],
+      inLists: Seq[(String, Seq[Any])],
       lr: LogicalRelation, fsRel: HadoopFsRelation, root: String)
 
   /** Every servable-aggregate shape in `plan`, as (table spec, the data
@@ -134,7 +141,8 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             case MaxOf(c, _) => c
             case SumOf(c)    => c
             case CountCol(c) => c
-          } ++ m.ranges.map(_.column) ++ m.notNull).distinct)
+          } ++ m.ranges.map(_.column) ++ m.notNull ++
+            m.inLists.map(_._1)).distinct)
         }
     }.flatten
 
@@ -145,7 +153,8 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // probe, so node churn across fixpoint iterations still hits.
       val key = (m.spec.path, m.needs.toVector,
         m.groupAttrs.map(_.name).toVector,
-        m.partFilters.toVector, m.ranges.toVector, m.notNull.toVector)
+        m.partFilters.toVector, m.ranges.toVector, m.notNull.toVector,
+        m.inLists.map { case (c, vs) => (c, vs.toVector) }.toVector)
       memo.gated(key)(serveAgg(m))
     }
 
@@ -215,8 +224,7 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     def relAttrOrdered(e: Expression): Option[Attribute] =
       relAttrOf(e).filter(at => KeyedTable.statsOrderedType(at.dataType))
     val ex = RangeConjuncts.extract(restConds, relAttrOrdered)
-    if (ex.other.nonEmpty || ex.inLists.nonEmpty ||
-        ex.nullPreds.exists(_._2)) return None
+    if (ex.other.nonEmpty || ex.nullPreds.exists(_._2)) return None
     val notNull = ex.nullPreds.map(_._1)
     // Grouped hybrid rides the same machinery: grouping is already
     // constrained to PARTITION columns above, the full-file fold groups
@@ -268,11 +276,12 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     Some(AggMatch(
       a, spec, needs, groupAttrs, partFilters, ex.ranges, notNull,
-      lr, fsRel, root))
+      ex.inLists, lr, fsRel, root))
   }
 
   private def serveAgg(m: AggMatch): Option[LogicalPlan] =
-    if (m.ranges.isEmpty && m.notNull.isEmpty) serveWhole(m)
+    if (m.ranges.isEmpty && m.notNull.isEmpty && m.inLists.isEmpty)
+      serveWhole(m)
     else serveHybrid(m)
 
   /** The metadata-ONLY serve: one sidecar read + the LocalRelation fold
@@ -280,7 +289,8 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * contributes all its rows).
     */
   private def serveWhole(m: AggMatch): Option[LogicalPlan] = {
-    val AggMatch(a, spec, needs, groupAttrs, partFilters, _, _, _, _, _) = m
+    val AggMatch(a, spec, needs, groupAttrs, partFilters,
+      _, _, _, _, _, _) = m
     val table = KeyedTable(spec)
     table.colStatsFrame(spark).flatMap { st =>
       // Sidecar columns are named with the column string passed to
@@ -410,17 +420,18 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def serveHybrid(m: AggMatch): Option[LogicalPlan] = {
     val AggMatch(a, spec, needs, groupAttrs, partFilters, ranges, notNull,
-      lr, fsRel, root) = m
+      inLists, lr, fsRel, root) = m
     val table = KeyedTable(spec)
     table.colStatsFrame(spark).flatMap { st =>
       def statCol(prefix: String, c: String): Option[String] =
         st.columns.find(_.equalsIgnoreCase(s"${prefix}_$c"))
       if (!st.columns.contains("cnt")) return None
-      val classCols = (ranges.map(_.column) ++ notNull).distinct
+      val classCols =
+        (ranges.map(_.column) ++ notNull ++ inLists.map(_._1)).distinct
       val nnOf = classCols.map(c => c -> statCol("nn", c)).toMap
       if (nnOf.values.exists(_.isEmpty)) return None
-      val mmOf = ranges.map(r => r.column ->
-        ((statCol("min", r.column), statCol("max", r.column)))).toMap
+      val mmOf = (ranges.map(_.column) ++ inLists.map(_._1)).distinct.map(c =>
+        c -> ((statCol("min", c), statCol("max", c)))).toMap
       if (mmOf.values.exists(p => p._1.isEmpty || p._2.isEmpty)) return None
 
       // Partition conjuncts select whole sidecar rows first, exactly as
@@ -438,6 +449,15 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // column). Full: every row satisfies every conjunct. An all-null
       // stats row nulls both predicates — filtered out on both sides,
       // rightly: no row of such a file satisfies a range conjunct.
+      // IN-list classification: a file can hold v only when its stored
+      // [min, max] contains v (candidate: OR per value); it is FULL when
+      // SINGLE-VALUED in the column with that value in the list
+      // (min = max ∈ values ∧ nn = cnt) — sound even under string
+      // truncation (stored lower ≤ real min ≤ real max ≤ stored upper,
+      // so stored min = max forces every row to that exact value).
+      // Multi-valued files whose whole [min, max] is inside the list's
+      // value set also fully satisfy, but proving it needs per-value
+      // knowledge stats don't carry — they stay boundary (scan).
       val candidate = (ranges.map { r =>
         val (mnC, mxC) = (mmOf(r.column)._1.get, mmOf(r.column)._2.get)
         val loP = r.lo.map(v =>
@@ -445,7 +465,12 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val hiP = r.hi.map(v =>
           if (r.hiInclusive) col(mnC) <= lit(v) else col(mnC) < lit(v))
         (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _).getOrElse(lit(true))
-      } ++ notNull.map(c => col(nnOf(c).get) > lit(0L)))
+      } ++ notNull.map(c => col(nnOf(c).get) > lit(0L))
+        ++ inLists.map { case (c, vs) =>
+          val (mnC, mxC) = (mmOf(c)._1.get, mmOf(c)._2.get)
+          vs.map(v => col(mnC) <= lit(v) && col(mxC) >= lit(v))
+            .reduce(_ || _)
+        })
         .reduceOption(_ && _).getOrElse(lit(false))
       val full = (ranges.map { r =>
         val (mnC, mxC) = (mmOf(r.column)._1.get, mmOf(r.column)._2.get)
@@ -455,7 +480,12 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           if (r.hiInclusive) col(mxC) <= lit(v) else col(mxC) < lit(v))
         (Seq(col(nnOf(r.column).get) === col("cnt")) ++ loP.toSeq ++ hiP.toSeq)
           .reduce(_ && _)
-      } ++ notNull.map(c => col(nnOf(c).get) === col("cnt")))
+      } ++ notNull.map(c => col(nnOf(c).get) === col("cnt"))
+        ++ inLists.map { case (c, vs) =>
+          val (mnC, mxC) = (mmOf(c)._1.get, mmOf(c)._2.get)
+          col(nnOf(c).get) === col("cnt") && col(mnC) === col(mxC) &&
+            vs.map(v => col(mnC) === lit(v)).reduce(_ || _)
+        })
         .reduce(_ && _)
 
       // Value folds over the FULL subset — same folds as the

@@ -778,6 +778,48 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     assert(!hybridServed(byUser), "non-partition grouping must decline")
   }
 
+  test("IN-list hybrid: single-valued files fold, boundary files scan") {
+    val path = Files.createTempDirectory("graft_hyb_in_").toString + "/t"
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "source", "n_chars")
+    val t = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("doc_id"), precombineCol = "n_chars"))
+    t.upsert(spark, docs, commitTime = "c0")
+    // 1 KB files over 5 language runs of 70-190 rows: interior files
+    // are single-valued in lang, run boundaries straddle two values.
+    t.cluster(spark, Seq("lang"), targetFileBytes = 1L << 10)
+    t.recordColumnStats(spark, Seq("lang", "n_chars"))
+    def plain(df: DataFrame) = df
+      .filter(col("lang").isin("de", "zh"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"),
+        min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+    val served = plain(t.read(spark))
+    assert(hybridServed(served), "the IN hybrid union must serve")
+    // Boundary scan strictly smaller than the IN-prune candidate set —
+    // possibly EMPTY when the run boundaries align with file boundaries
+    // (every candidate single-valued: the fold answers everything).
+    val scanned = scannedData(served)
+    val (cands, _) = t.statsSelectedFilesTyped(
+      spark, Nil, Nil, Seq(("lang", Seq("de", "zh"))))
+    assert(scanned.length < cands.length,
+      s"boundary files (${scanned.length}) must be fewer than the IN " +
+        s"candidates (${cands.length})")
+    assert(served.collect()(0) == plain(docs).collect()(0))
+    // A probe spanning every language exercises both sides at once:
+    // interior single-valued files fold, any straddling file scans.
+    def all5(df: DataFrame) = df
+      .filter(col("lang").isin("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+    val servedAll = all5(t.read(spark))
+    assert(hybridServed(servedAll), "the all-language IN must serve")
+    assert(servedAll.collect()(0) == all5(docs).collect()(0))
+    // A list whose values appear in NO file folds to the empty side and
+    // scans nothing satisfying — exact either way.
+    val none = t.read(spark).filter(col("lang").isin("xx"))
+      .agg(count(lit(1)).as("n"))
+    assert(none.collect()(0).getLong(0) == 0L)
+  }
+
   test("hybrid declines: FP sum, leftover conjunct, zero full files") {
     val path = Files.createTempDirectory("graft_hyb_dec_").toString + "/t"
     val (t, mn, mx) = mkTimeClustered(path)
