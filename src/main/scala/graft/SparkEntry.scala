@@ -195,7 +195,8 @@ object SparkEntry {
     "q168_range_agg_grouped" -> (UpsertOps.rangeAggGrouped(_, _)),
     "q169_topk_filtered" -> (UpsertOps.topKFilteredQuery(_, _)),
     "q170_mor_range_declarative" -> (UpsertOps.morRangeDeclarative(_, _)),
-    "q171_inlist_agg_hybrid" -> (UpsertOps.inListAggHybrid(_, _))
+    "q171_inlist_agg_hybrid" -> (UpsertOps.inListAggHybrid(_, _)),
+    "q172_join_prune_range" -> (UpsertOps.joinPrunedStarRange(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1068,6 +1069,15 @@ object SparkEntry {
     "q167_inlist_prune" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents WHERE lang IN ('de', 'zh')""".stripMargin,
+    // range-probed star join: the rule only changes which fact files
+    // open, so the oracle is the plain join over the window (the fact
+    // holds every order exactly once — disjoint %97 commits on a
+    // unique key)
+    "q172_join_prune_range" ->
+      """SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_acctbal BETWEEN 9950 AND 10000""".stripMargin,
     // IN-list hybrid aggregate: single-valued files fold from the
     // sidecar, boundary files scan — the rewrite only changes which
     // files open, so the oracle is the plain filtered aggregate (CAST

@@ -1688,9 +1688,40 @@ object UpsertOps {
         path = s"$tmp/customer_keyed", keyCols = Seq("c_custkey"),
         precombineCol = "c_acctbal", partitionCols = Seq("c_mktsegment")))
       dim.upsert(s, Tables.customer(s, dir), commitTime = "c0")
+      // Balance-clustered layout BEFORE the sidecar builds (a later data
+      // write would retire them): q172's range probe derives its keys
+      // from the stats-pruned candidate files, so the measure the dim is
+      // probed by must be the cluster key.
+      dim.cluster(s, Seq("c_acctbal"), targetFileBytes = 16L << 10)
       dim.recordIndexes(s, Seq("c_name"))
+      dim.recordColumnStats(s, Seq("c_acctbal"))
       (fact, dim)
     }
+
+  /** Star join with a RANGE-probed dimension (q172;
+    * [[graft.plans.JoinPruneRewrite]]'s range arm): `orders JOIN
+    * customer ON o_custkey = c_custkey WHERE c_acctbal BETWEEN …` — the
+    * dim window probe no sidecar alone can answer. The rule derives the
+    * matching customer keys from a BOUNDED plan-time dim scan (stats
+    * select the balance-clustered candidate files; they read
+    * column-pruned with the range residual; distinct keys cap at 128 —
+    * the band covers 6 / 82 customers at sf0.01 / sf0.1), routes them
+    * through the fact's secondary + record-level indexes, and swaps the
+    * fact scan onto the candidate files — a 100 TB fact opens O(dim
+    * window + delta) files for the "orders of this month's signups"
+    * dashboard shape. ≡ the plain join — the oracle; the rule only
+    * changes which fact files open.
+    */
+  def joinPrunedStarRange(s: SparkSession, dir: String): DataFrame = {
+    val (fact, dim) = starFixture(s, dir)
+    val f = fact.read(s)
+    val d = dim.read(s)
+      .filter(col("c_acctbal") >= lit(9950.0) && col("c_acctbal") <= lit(10000.0))
+    f.join(d, f("o_custkey") === d("c_custkey"))
+      .select(
+        col("c_custkey"), col("c_acctbal"), col("o_orderkey"),
+        col("o_totalprice"))
+  }
 
   /** Streaming enrichment through the SECONDARY index (q160): the
     * value-side twin of q149 — each micro-batch derives its dimension

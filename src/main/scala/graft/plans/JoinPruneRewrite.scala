@@ -38,6 +38,21 @@ import graft.table.KeyedTable
   *     probe ([[KeyedTable.siProbeKeys]] — existence-gated via
   *     [[KeyedTable.hasPointIndexes]], so an absent index degrades to
   *     "don't prune", never to a plan-time dim scan);
+  *   - OR the DIM side carries a RANGE probe [[RangePruneRewrite]]
+  *     could serve (the shared `rangeShapes` matcher) on a plain-COW
+  *     dim — the equally common star shape, a dim date/measure window
+  *     (`dim.event_date BETWEEN …`). Range probes cannot come from a
+  *     sidecar alone, so the join keys derive from a BOUNDED plan-time
+  *     dim scan: the column-stats sidecar selects the candidate dim
+  *     files (required to actually prune — an unclustered dim would
+  *     make the derivation a full plan-time dim scan, so it declines),
+  *     those files read column-pruned to the joined columns with the
+  *     range residual applied, and the distinct values cap at
+  *     [[JoinPruneRewrite.MaxJoinProbe]] like every probe. The scanned
+  *     values are a superset of the dim rows surviving the dim side's
+  *     full filter (only classified conjuncts apply), and on this arm
+  *     the joined dim attributes need not be key columns — the scan
+  *     reads real rows;
   *   - the FACT side strips to a single registered NON-RESOLVING
   *     (plain copy-on-write) relation with no window below the join
   *     (file pruning under a window would change its frames; on
@@ -70,6 +85,7 @@ class JoinPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   import JoinPruneRewrite.MaxJoinProbe
 
   private val pointRule = new PointLookupRewrite(spark)
+  private val rangeRule = new RangePruneRewrite(spark)
 
   // Semantic decline memo: a join whose probes found nothing to prune
   // pays its plan-time index IO once, not once per optimizer iteration
@@ -148,8 +164,9 @@ class JoinPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (fact.spec.retainHistory || fact.hasWindow) return None
     val factIds = fact.lr.output.map(_.exprId).toSet
 
-    // DIM: a probe shape the point rule could serve, on the same single
-    // relation this side strips to.
+    // DIM: a probe shape the point rule could serve — or, failing that,
+    // a range shape the range rule could — on the same single relation
+    // this side strips to.
     val dim = stripSide(dimPlan).getOrElse(return None)
     // A self-join sharing the one relation OBJECT would swap both sides
     // at once (transformUp rewrites by identity) — pruning the dim side
@@ -157,8 +174,6 @@ class JoinPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // DataFrame self-joins deduplicate into distinct instances, so this
     // only guards hand-built plans.)
     if (dim.lr eq fact.lr) return None
-    val probe = pointRule.probeShapes(dimPlan)
-      .find(_.lr eq dim.lr).getOrElse(return None)
     val dimIds = dim.lr.output.map(_.exprId).toSet
     val dimKeyColsL = dim.spec.keyCols.map(lower)
 
@@ -169,31 +184,56 @@ class JoinPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }
 
-    // Usable pairs: fact attr on the fact relation, dim attr a KEY
-    // column of the dim relation, equal types (the equality compared
-    // them, but a Cast around either side fails relAttr and is skipped).
+    // Usable pairs: fact attr on the fact relation, dim attr on the dim
+    // relation, equal types (the equality compared them, but a Cast
+    // around either side fails relAttr and is skipped).
     val factOut = factPlan.outputSet
     val dimOut = dimPlan.outputSet
-    val joined: Seq[(Attribute, String)] = equiPairs.flatMap { case (x, y) =>
-      val oriented =
-        if (factOut.contains(x) && dimOut.contains(y)) Some((x, y))
-        else if (factOut.contains(y) && dimOut.contains(x)) Some((y, x))
-        else None
-      oriented.flatMap { case (fa0, da0) =>
-        for {
-          fa <- relAttr(fact, factIds, fa0)
-          da <- relAttr(dim, dimIds, da0)
-          if dimKeyColsL.contains(lower(da.name)) &&
-            da.dataType == fa.dataType
-        } yield (fa, lower(da.name))
-      }
-    }.distinct
-    if (joined.isEmpty) return None
+    val joinedAll: Seq[(Attribute, Attribute)] =
+      equiPairs.flatMap { case (x, y) =>
+        val oriented =
+          if (factOut.contains(x) && dimOut.contains(y)) Some((x, y))
+          else if (factOut.contains(y) && dimOut.contains(x)) Some((y, x))
+          else None
+        oriented.flatMap { case (fa0, da0) =>
+          for {
+            fa <- relAttr(fact, factIds, fa0)
+            da <- relAttr(dim, dimIds, da0)
+            if da.dataType == fa.dataType
+          } yield (fa, da)
+        }
+      }.distinct
 
-    val key = (fact.root, dim.root,
-      joined.map { case (fa, dc) => (fa.name, dc) },
-      probe.viaKey, probe.probes.map(p => (p._1.name, p._2.toVector)))
-    memo.gated(key)(serveOrientation(j, fact, dim, probe, joined))
+    pointRule.probeShapes(dimPlan).find(_.lr eq dim.lr) match {
+      case Some(probe) =>
+        // Point arm: keys derive from metadata alone, so every joined
+        // dim attribute must be a KEY column.
+        val joined = joinedAll.collect {
+          case (fa, da) if dimKeyColsL.contains(lower(da.name)) =>
+            (fa, lower(da.name))
+        }
+        if (joined.isEmpty) return None
+        val key = (fact.root, dim.root,
+          joined.map { case (fa, dc) => (fa.name, dc) },
+          probe.viaKey, probe.probes.map(p => (p._1.name, p._2.toVector)))
+        memo.gated(key)(serveOrientation(j, fact, dim, probe, joined))
+      case None =>
+        // Range arm: keys derive from a bounded stats-pruned dim scan,
+        // so any dim attribute joins — but the dim must be plain COW
+        // (raw candidate-file rows of a resolving dim are versions; a
+        // superset is still sound, but the resolve shape never reaches
+        // here unstripped anyway).
+        if (dim.spec.retainHistory || dim.hasWindow) return None
+        val rm = rangeRule.rangeShapes(dimPlan)
+          .find(_.lr eq dim.lr).getOrElse(return None)
+        val joined = joinedAll.map { case (fa, da) => (fa, da.name) }
+        if (joined.isEmpty) return None
+        val key = (fact.root, dim.root,
+          joined.map { case (fa, dc) => (fa.name, lower(dc)) },
+          rm.ranges.toVector, rm.nullPreds.toVector,
+          rm.inLists.map { case (c, vs) => (c, vs.toVector) }.toVector)
+        memo.gated(key)(serveRangeOrientation(j, fact, dim, rm, joined))
+    }
   }
 
   /** The IO half: derive the dim join keys, route them through the fact
@@ -242,14 +282,74 @@ class JoinPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         .distinct().limit(MaxJoinProbe + 1).collect())
       .filterNot(r => (0 until r.length).exists(r.isNullAt))
     if (collected.length > MaxJoinProbe) return None
+    swapFactScan(j, fact, dim.root, joined, collected)
+  }
 
+  /** The RANGE-arm IO half: stats-pruned candidate dim files →
+    * column-pruned residual-filtered scan → distinct joined values
+    * (capped) → the shared fact chain. The plan-time dim read is the
+    * DPP-subquery-shaped cost; the stats prune is the gate that keeps
+    * it bounded.
+    */
+  private def serveRangeOrientation(
+      j: Join, fact: Side, dim: Side,
+      rm: RangePruneRewrite#RangeMatch,
+      joined: Seq[(Attribute, String)]): Option[LogicalPlan] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dimTable = KeyedTable(dim.spec)
+    val (sel, total) = dimTable
+      .rangeCandidateFilesTyped(spark, rm.ranges, rm.nullPreds, rm.inLists)
+      .getOrElse(return None)
+    // The stats must actually bound the derivation: deriving keys from
+    // an unclustered dim would be a plan-time full dim scan.
+    if (sel.length >= total) return None
+    // No dim file intersects the probe: the join output is empty — the
+    // fact scan swaps to zero files.
+    if (sel.isEmpty) return swapFactScan(j, fact, dim.root, joined,
+      Array.empty[Row])
+
+    val residual = (rm.ranges.map { r =>
+      val loP = r.lo.map(v =>
+        if (r.loInclusive) col(r.column) >= lit(v) else col(r.column) > lit(v))
+      val hiP = r.hi.map(v =>
+        if (r.hiInclusive) col(r.column) <= lit(v) else col(r.column) < lit(v))
+      (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+    } ++ rm.nullPreds.map { case (c, isNull) =>
+      if (isNull) col(c).isNull else col(c).isNotNull
+    } ++ rm.inLists.map { case (c, vs) => col(c).isin(vs: _*) })
+      .reduce(_ && _)
+    val rootPath = new Path(dim.spec.path)
+    val fsys = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootPrefix = fsys.makeQualified(rootPath).toUri.getPath + "/"
+    val rel = sel.map(p => p.toUri.getPath.stripPrefix(rootPrefix))
+    val collected = KeyedTable.withMetaConf(spark)(
+      dimTable.readFilesRaw(spark, rel)
+        .filter(residual)
+        .select(joined.map(p => col(p._2)): _*)
+        .distinct().limit(MaxJoinProbe + 1).collect())
+      .filterNot(r => (0 until r.length).exists(r.isNullAt))
+    if (collected.length > MaxJoinProbe) return None
+    swapFactScan(j, fact, dim.root, joined, collected)
+  }
+
+  /** The shared fact half: route the derived dim values through the
+    * fact's index chain and swap the fact scan onto the candidates.
+    * `collected` rows carry the joined dim values in `joined` order.
+    */
+  private def swapFactScan(
+      j: Join, fact: Side, dimRoot: String,
+      joined: Seq[(Attribute, String)],
+      collected: Array[Row]): Option[LogicalPlan] = {
     // Fact candidates through the same chain the point rule serves.
     val factTable = KeyedTable(fact.spec)
     val factKeyColsL = fact.spec.keyCols.map(lower)
     val factColOf: Map[String, Attribute] =
       joined.map { case (fa, dc) => dc -> fa }.toMap
     val files: Seq[String] =
-      if (joined.map(p => lower(p._1.name)).toSet == factKeyColsL.toSet) {
+      if (collected.isEmpty) {
+        // No dim value can match: the join is empty — zero fact files.
+        Nil
+      } else if (joined.map(p => lower(p._1.name)).toSet == factKeyColsL.toSet) {
         // Joined columns cover the fact KEY: keys→files directly.
         val keyToDim: Map[String, Int] = joined.zipWithIndex.map {
           case ((fa, _), i) => lower(fa.name) -> i
@@ -282,7 +382,7 @@ class JoinPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       spark, paths, Map("basePath" -> fact.root), partSchema)
     logInfo(s"join-prune rewrite: ${fact.root} fact scan pruned to " +
       s"${files.length} of $total files via ${collected.length} dim join " +
-      s"keys from ${dim.root}")
+      s"keys from $dimRoot")
     // Same relation, same output attributes — only the file set changes,
     // so the join condition and everything above keep their exprIds.
     Some(j.transformUp {

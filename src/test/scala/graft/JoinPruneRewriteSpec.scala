@@ -131,6 +131,68 @@ class JoinPruneRewriteSpec extends SparkTestBase {
       "absent dim sidecar must decline")
   }
 
+  test("dim RANGE probe derives keys from a stats-pruned dim scan and serves") {
+    val tmp = Files.createTempDirectory("graft_jpr_rng_").toString
+    // FRESH-indexed fact (no post-build delta): at the 15-user fixture
+    // scale a stale delta puts every probe user in every delta file and
+    // leaves nothing to prune -- delta settling is the point-arm tests'
+    // subject, the range arm's subject is the dim-side derivation.
+    val fact = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/fact", keyCols = Seq("event_id"), precombineCol = "ts_us",
+      partitionCols = Seq("event_type")))
+    fact.upsert(spark, eventsUs, commitTime = "c0")
+    fact.cluster(spark, Seq("user_id"), targetFileBytes = 16L << 10)
+    fact.recordIndexes(spark, Seq("user_id"))
+    // A 1000-row dim keyed by event_id carrying user_id as a NON-key
+    // attribute — the range arm scans real rows, so the joined column
+    // need not be a dim key. Clustered by the probed measure so the
+    // stats bound the plan-time derivation scan.
+    def mkDim(path: String, cluster: Boolean, stats: Boolean): KeyedTable = {
+      val d = KeyedTable(KeyedTableSpec(
+        path = path, keyCols = Seq("event_id"), precombineCol = "ts_us"))
+      d.upsert(spark, eventsUs.select("event_id", "user_id", "ts_us"),
+        commitTime = "c0")
+      if (cluster) d.cluster(spark, Seq("event_id"), targetFileBytes = 4L << 10)
+      if (stats) d.recordColumnStats(spark, Seq("event_id"))
+      d
+    }
+    val dim = mkDim(s"$tmp/dim", cluster = true, stats = true)
+    def q(d0: KeyedTable) = {
+      val f = fact.read(spark)
+      val d = d0.read(spark).filter(col("event_id").between(100L, 101L))
+      f.join(d, f("user_id") === d("user_id"))
+        .select(f("event_id").as("fe"), d("user_id"), d("event_id").as("de"))
+    }
+    val served = q(dim)
+    assert(prunedTo(served, s"$tmp/fact").isDefined,
+      "a stats-covered dim range probe must prune the fact scan")
+    val dslice = eventsUs.filter(col("event_id").between(100L, 101L))
+      .select(col("user_id"), col("event_id").as("de"))
+    val expected = eventsUs.select(col("event_id").as("fe"), col("user_id"))
+      .join(dslice, "user_id")
+      .select("fe", "user_id", "de")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served.select("fe", "user_id", "de")
+      .as[(Long, Long, Long)].collect().toSet == expected)
+
+    // No dim stats: the derivation would be a plan-time full dim scan —
+    // decline.
+    val bare = mkDim(s"$tmp/dim_bare", cluster = true, stats = false)
+    assert(prunedTo(q(bare), s"$tmp/fact").isEmpty,
+      "absent dim stats must decline the range arm")
+    // Unclustered dim: stats exist but every file spans the probed
+    // domain (candidates == total) — the cost gate declines.
+    val flat = mkDim(s"$tmp/dim_flat", cluster = false, stats = true)
+    assert(prunedTo(q(flat), s"$tmp/fact").isEmpty,
+      "an unpruning stats selection must decline the range arm")
+    // An empty probe window empties the join: zero fact files open.
+    val f3 = fact.read(spark)
+    val d3 = dim.read(spark).filter(col("event_id").between(-100L, -50L))
+    val empty = f3.join(d3, f3("user_id") === d3("user_id"))
+      .select(f3("event_id").as("fe"))
+    assert(empty.count() == 0L)
+  }
+
   test("left-semi joins prune the output side") {
     val tmp = Files.createTempDirectory("graft_jpr_semi_").toString
     val fact = buildFact(s"$tmp/fact")
