@@ -196,7 +196,8 @@ object SparkEntry {
     "q169_topk_filtered" -> (UpsertOps.topKFilteredQuery(_, _)),
     "q170_mor_range_declarative" -> (UpsertOps.morRangeDeclarative(_, _)),
     "q171_inlist_agg_hybrid" -> (UpsertOps.inListAggHybrid(_, _)),
-    "q172_join_prune_range" -> (UpsertOps.joinPrunedStarRange(_, _))
+    "q172_join_prune_range" -> (UpsertOps.joinPrunedStarRange(_, _)),
+    "q173_decimal_sum_stats" -> (UpsertOps.decimalSumStats(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1069,6 +1070,19 @@ object SparkEntry {
     "q167_inlist_prune" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents WHERE lang IN ('de', 'zh')""".stripMargin,
+    // decimal sum from the sidecar's exact DECIMAL(38,2) partials,
+    // narrowed to Spark's Sum result type DECIMAL(22,2); l_quantity is
+    // integer-valued so the double→decimal cast is exact on both
+    // engines
+    "q173_decimal_sum_stats" ->
+      """SELECT CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS sum_qty,
+        |       CAST(min(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS min_qty,
+        |       CAST(max(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS max_qty,
+        |       count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
     // range-probed star join: the rule only changes which fact files
     // open, so the oracle is the plain join over the window (the fact
     // holds every order exactly once — disjoint %97 commits on a

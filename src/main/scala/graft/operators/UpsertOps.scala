@@ -1796,6 +1796,57 @@ object UpsertOps {
         max(col("sum_acctbal")).as("sum_acctbal"))
   }
 
+  /** DECIMAL sum served from the stats sidecar (q173;
+    * [[graft.plans.StatsAggregateRewrite]] decimal arm): `sum(qty_dec)`
+    * over a keyed lineitem table whose quantity is DECIMAL(12,2) — the
+    * money/quantity type every warehouse sums — answered from the
+    * sidecar's exact DECIMAL(38,2) per-file partials, narrowed to
+    * Spark's own Sum result type (DECIMAL(22,2)) with
+    * overflow-declines. min/max/count ride the same fold; zero data
+    * files open. l_quantity is integer-valued, so the double→decimal
+    * cast is exact on both engines and the oracle compares
+    * bit-for-bit.
+    */
+  def decimalSumStats(s: SparkSession, dir: String): DataFrame = {
+    val table = fixtureOnce(dir, "decimalSum") {
+      val path =
+        Files.createTempDirectory("graft_decsum_").toString + "/lineitem_keyed"
+      val t = KeyedTable(KeyedTableSpec(
+        path = path, keyCols = Seq("l_orderkey", "l_linenumber"),
+        precombineCol = "l_extendedprice",
+        partitionCols = Seq("l_returnflag")))
+      // INSERT, not upsert: the synthetic lineitem reuses
+      // (orderkey, linenumber) pairs, and the aggregate must cover
+      // every stored row — the COW insert path legitimately appends
+      // duplicate keys and read() returns them all.
+      t.insert(
+        s,
+        Tables.lineitem(s, dir)
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+            col("l_returnflag"),
+            col("l_quantity").cast("decimal(12,2)").as("qty_dec")),
+        commitTime = "c0")
+      t.recordColumnStats(s, Seq("qty_dec"))
+      t
+    }
+    // The Aggregate node stays PURE decimal (a Cast inside an aggregate
+    // expression would decline the rewrite); the projection above casts
+    // for the oracle compare — DuckDB's pandas bridge renders every
+    // DECIMAL as float64, and decimal→double is exact at these
+    // magnitudes.
+    table.read(s).agg(
+      sum(col("qty_dec")).as("sum_dec"),
+      min(col("qty_dec")).as("min_dec"),
+      max(col("qty_dec")).as("max_dec"),
+      count(lit(1)).as("n_rows"))
+      .select(
+        col("sum_dec").cast("double").as("sum_qty"),
+        col("min_dec").cast("double").as("min_qty"),
+        col("max_dec").cast("double").as("max_qty"),
+        col("n_rows"))
+  }
+
   /** Metadata-only aggregates (q152;
     * [[graft.plans.StatsAggregateRewrite]]): whole-table min/max/count
     * over a keyed copy-on-write table answered from the column-stats

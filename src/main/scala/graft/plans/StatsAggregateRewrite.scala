@@ -105,7 +105,7 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private case class GroupOf(column: String, t: DataType, gi: Int) extends Need
   private case class MinOf(column: String, t: DataType) extends Need
   private case class MaxOf(column: String, t: DataType) extends Need
-  private case class SumOf(column: String) extends Need
+  private case class SumOf(column: String, t: DataType) extends Need
   private case object CountAll extends Need
   private case class CountCol(column: String) extends Need
 
@@ -139,7 +139,7 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           (m.spec, (m.needs.collect {
             case MinOf(c, _) => c
             case MaxOf(c, _) => c
-            case SumOf(c)    => c
+            case SumOf(c, _) => c
             case CountCol(c) => c
           } ++ m.ranges.map(_.column) ++ m.notNull ++
             m.inLists.map(_._1)).distinct)
@@ -264,8 +264,9 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           // native-decimal sums change precision per fold level — a sum
           // over any non-integral column declines the whole node.
           case s: Sum =>
-            relAttrOf(s.child).filter(at => integral(at.dataType))
-              .map(at => SumOf(at.name)).getOrElse(return None)
+            relAttrOf(s.child).filter(at => integral(at.dataType) ||
+                at.dataType.isInstanceOf[DecimalType])
+              .map(at => SumOf(at.name, at.dataType)).getOrElse(return None)
           case Count(Seq(Literal(v, _))) if v != null => CountAll
           case Count(Seq(e)) =>
             relAttrOf(e).map(at => CountCol(at.name)).getOrElse(return None)
@@ -312,10 +313,11 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case MaxOf(c, _) => statCol("max", c).map(s => max(col(s)))
         // Decimal fold: exact for both sidecar generations (new decimal
         // partials directly; old long partials widen losslessly), and
-        // never overflows where an ANSI long Sum would throw — the
-        // narrowing back to long declines instead (sumToLong).
-        case SumOf(c) =>
-          statCol("sum", c).map(s => sum(col(s).cast(DecimalType(38, 0))))
+        // never overflows where an ANSI Sum would throw — the narrowing
+        // back to the aggregate's own result type declines instead
+        // (sumToLong / sumToDecimal).
+        case SumOf(c, t) =>
+          statCol("sum", c).map(s => sum(col(s).cast(partialDecimal(t))))
         case CountAll =>
           if (st.columns.contains("cnt")) Some(sum(col("cnt"))) else None
         case CountCol(c) => statCol("nn", c).map(s => sum(col(s)))
@@ -376,9 +378,11 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                 case MinOf(_, t) => toCatalystStat(v, t)
                 case MaxOf(_, t) => toCatalystStat(v, t)
                 // sum over no rows is null, like Spark; a total outside
-                // long range declines the serve (the scan reproduces
-                // Spark's own ANSI overflow behavior)
-                case SumOf(_)    => sumToLong(v).getOrElse(return None)
+                // the result type declines the serve (the scan
+                // reproduces Spark's own overflow behavior)
+                case SumOf(_, dt: DecimalType) =>
+                  sumToDecimal(v, dt).getOrElse(return None)
+                case SumOf(_, _) => sumToLong(v).getOrElse(return None)
                 // count over zero files is 0, never null
                 case _ => if (v == null) 0L else v
               }
@@ -494,8 +498,8 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val folds: Seq[Option[org.apache.spark.sql.Column]] = needs.collect {
         case MinOf(c, _) => statCol("min", c).map(s => min(col(s)))
         case MaxOf(c, _) => statCol("max", c).map(s => max(col(s)))
-        case SumOf(c) =>
-          statCol("sum", c).map(s => sum(col(s).cast(DecimalType(38, 0))))
+        case SumOf(c, t) =>
+          statCol("sum", c).map(s => sum(col(s).cast(partialDecimal(t))))
         case CountAll    => Some(sum(col("cnt")))
         case CountCol(c) => statCol("nn", c).map(s => sum(col(s)))
       }
@@ -545,7 +549,9 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case (GroupOf(_, t, _), i) => AttributeReference(s"u$i", t)()
         case (MinOf(_, t), i) => AttributeReference(s"u$i", t)()
         case (MaxOf(_, t), i) => AttributeReference(s"u$i", t)()
-        case (SumOf(_), i)    => AttributeReference(s"u$i", LongType)()
+        case (SumOf(_, dt: DecimalType), i) =>
+          AttributeReference(s"u$i", sumResultType(dt))()
+        case (SumOf(_, _), i) => AttributeReference(s"u$i", LongType)()
         case (_, i) => AttributeReference(s"u$i", LongType, nullable = false)()
       }
       // Agg needs read the fold row at nGroups + their own position
@@ -568,10 +574,12 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             n match {
               case MinOf(_, t) => toCatalystStat(v, t)
               case MaxOf(_, t) => toCatalystStat(v, t)
-              // sum over no full rows is null, like Spark; an
-              // out-of-long-range total declines (ANSI overflow belongs
-              // to the real scan)
-              case SumOf(_)    => sumToLong(v).getOrElse(return None)
+              // sum over no full rows is null, like Spark; a total
+              // outside the result type declines (overflow belongs to
+              // the real scan)
+              case SumOf(_, dt: DecimalType) =>
+                sumToDecimal(v, dt).getOrElse(return None)
+              case SumOf(_, _) => sumToLong(v).getOrElse(return None)
               case _ => if (v == null) 0L else v
             }
         }
@@ -615,7 +623,9 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             case _: GroupOf  => u
             case MinOf(_, _) => Min(u).toAggregateExpression()
             case MaxOf(_, _) => Max(u).toAggregateExpression()
-            case SumOf(_)    => Sum(u).toAggregateExpression()
+            case SumOf(_, dt: DecimalType) =>
+              Cast(Sum(u).toAggregateExpression(), sumResultType(dt))
+            case SumOf(_, _) => Sum(u).toAggregateExpression()
             case _ => Coalesce(Seq(
               Sum(u).toAggregateExpression(), Literal(0L)))
           }
@@ -643,6 +653,38 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case l: java.lang.Long => Some(l.longValue())
     case other => Some(other)
   }
+
+  /** The widened exact partial type [[KeyedTable.recordColumnStats]]
+    * stores for a summable column: scale 0 for integrals, the column's
+    * own scale for decimals.
+    */
+  private def partialDecimal(t: DataType): DecimalType = t match {
+    case d: DecimalType => DecimalType(38, d.scale)
+    case _ => DecimalType(38, 0)
+  }
+
+  /** Spark's Sum result type over a decimal column (Sum.resultType:
+    * precision + 10, bounded at the decimal maximum).
+    */
+  private def sumResultType(t: DecimalType): DecimalType =
+    DecimalType(
+      math.min(t.precision + 10, DecimalType.MAX_PRECISION),
+      math.min(t.scale, DecimalType.MAX_SCALE))
+
+  /** Decimal sum fold → the aggregate's own decimal result type, or
+    * `None` when the exact total does not fit — the serve declines
+    * there so overflow semantics (ANSI throw / legacy null) stay with
+    * Spark's own Sum over the real scan.
+    */
+  private def sumToDecimal(v: Any, colType: DecimalType): Option[Any] =
+    v match {
+      case null => Some(null)
+      case d: java.math.BigDecimal =>
+        val rt = sumResultType(colType)
+        val dec = org.apache.spark.sql.types.Decimal(d)
+        if (dec.changePrecision(rt.precision, rt.scale)) Some(dec) else None
+      case _ => None
+    }
 
   /** Scala-side fold value → Catalyst value in the column's own type.
     * New sidecars store min/max NATIVELY (the fold value converts

@@ -1370,29 +1370,36 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     // sidecar too (each sidecar group is a whole set of files).
     val partAggs = spec.partitionCols.filter(raw.columns.contains)
       .map(pc => first(col(pc)).as(s"p_$pc"))
-    def isIntegral(c: String) = dtOf(c).exists {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false
+    // Exact-sum partial type: integral columns widen to DECIMAL(38,0),
+    // decimal columns to DECIMAL(38, their own scale) — both fold
+    // associatively with no overflow below 10^38 (unreachable per-file:
+    // < 2^30 rows × a 38-digit bound). FP columns get none (an FP sum
+    // is order-sensitive; the aggregate rule declines to a scan).
+    def sumPartialType(c: String): Option[DecimalType] = dtOf(c).flatMap {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(DecimalType(38, 0))
+      case d: DecimalType => Some(DecimalType(38, d.scale))
+      case _ => None
     }
     // Min/max in the column's OWN type (the Iceberg/Hudi column-stats
     // model — pruning comparisons then use the exact ordering the data
     // filter uses, for dates/timestamps/decimals/strings alike). SUM is
-    // recorded for INTEGRAL columns only, as an EXACT DECIMAL(38,0): a
-    // per-file LONG sum can overflow (a 10k-row file of epoch-micros
-    // longs already exceeds 2^63), and under ANSI mode Spark's Sum
-    // THROWS on overflow rather than wrapping — the decimal partial is
-    // exact up to 10^38 (unreachable: < 2^30 rows/file × 2^63), folds
-    // associatively, and the serving rule narrows the folded total back
-    // to long only when it fits, declining to a real scan otherwise so
-    // ANSI overflow semantics stay with Spark's own Sum. (FP sums are
-    // order-sensitive, native-decimal sums change precision at each
-    // fold level — neither folds exactly, so neither is recorded and
-    // the aggregate rule declines to a scan.)
+    // recorded for EXACTLY-SUMMABLE columns only (integral + decimal),
+    // as an EXACT widened decimal (see sumPartialType): a per-file LONG
+    // sum can overflow (a 10k-row file of epoch-micros longs already
+    // exceeds 2^63), and under ANSI mode Spark's Sum THROWS on overflow
+    // rather than wrapping — the decimal partial is exact up to 10^38
+    // (unreachable per file), folds associatively, and the serving rule
+    // narrows the folded total back to the aggregate's own result type
+    // only when it fits, declining to a real scan otherwise so ANSI
+    // overflow semantics stay with Spark's own Sum. (FP sums are
+    // order-sensitive — never recorded; the aggregate rule declines to
+    // a scan.)
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).as(s"min_$c"),
       max(col(c)).as(s"max_$c")) ++
-      (if (isIntegral(c))
-        Seq(sum(col(c).cast(DecimalType(38, 0))).as(s"sum_$c")) else Nil) :+
+      sumPartialType(c).map(t =>
+        sum(col(c).cast(t)).as(s"sum_$c")).toSeq :+
       count(col(c)).as(s"nn_$c")) ++ partAggs :+ count(lit(1)).as("cnt")
     val perFile = raw
       .withColumn("file", input_file_name())

@@ -778,6 +778,43 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     assert(!hybridServed(byUser), "non-partition grouping must decline")
   }
 
+  test("decimal sum serves from exact widened partials, whole and hybrid") {
+    val path = Files.createTempDirectory("graft_decsum_").toString + "/t"
+    val t = KeyedTable(cowSpec(path))
+    // value quantized to cents: the double→decimal cast is exact.
+    val ev = eventsUs.withColumn("dec_val",
+      (floor(col("value") * 100) / 100).cast("decimal(12,2)"))
+    t.upsert(spark, ev, commitTime = "c0")
+    t.cluster(spark, Seq("ts_us"), targetFileBytes = 4L << 10)
+    t.recordColumnStats(spark, Seq("ts_us", "dec_val"))
+    // WHOLE serve: no data files open, value bit-exact, result type =
+    // Spark's own Sum type (DECIMAL(22,2)).
+    def whole = t.read(spark).agg(
+      sum(col("dec_val")).as("s"), min(col("dec_val")).as("mn"),
+      count(lit(1)).as("n"))
+    assert(graft.plans.PlanWalk.scannedFiles(whole).isEmpty,
+      "the decimal sum must be answered from the sidecar")
+    assert(whole.schema("s").dataType.simpleString == "decimal(22,2)")
+    assert(whole.collect()(0) == ev.agg(
+      sum(col("dec_val")).as("s"), min(col("dec_val")).as("mn"),
+      count(lit(1)).as("n")).collect()(0))
+    // HYBRID serve: full files fold in decimal, boundary files scan,
+    // the combine re-casts to the original result type.
+    val Array(r) = ev.agg(min("ts_us").as("mn"), max("ts_us").as("mx")).collect()
+    val (mn, mx) = (r.getLong(0), r.getLong(1)); val span = mx - mn
+    def hyb(df: DataFrame) = df
+      .filter(col("ts_us") >= mn + span / 8 && col("ts_us") <= mx - span / 8)
+      .agg(sum(col("dec_val")).as("s"), count(lit(1)).as("n"))
+    val served = hyb(t.read(spark))
+    assert(hybridServed(served), "the decimal hybrid must serve")
+    assert(served.schema("s").dataType.simpleString == "decimal(22,2)")
+    assert(served.collect()(0) == hyb(ev).collect()(0))
+    // FP sums still decline (order-sensitive folds).
+    val fp = t.read(spark).agg(sum(col("value")).as("sv"))
+    assert(graft.plans.PlanWalk.scannedFiles(fp).nonEmpty,
+      "an FP sum must still decline to the scan")
+  }
+
   test("IN-list hybrid: single-valued files fold, boundary files scan") {
     val path = Files.createTempDirectory("graft_hyb_in_").toString + "/t"
     val docs = Tables.documents(spark, sf0001)
