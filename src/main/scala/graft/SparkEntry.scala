@@ -1088,10 +1088,11 @@ object SparkEntry {
     // holds every order exactly once — disjoint %97 commits on a
     // unique key)
     "q172_join_prune_range" ->
-      """SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+      """WITH mm AS (SELECT max(c_acctbal) AS mx FROM customer)
+        |SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
         |FROM orders o
-        |JOIN customer c ON o.o_custkey = c.c_custkey
-        |WHERE c.c_acctbal BETWEEN 9950 AND 10000""".stripMargin,
+        |JOIN customer c ON o.o_custkey = c.c_custkey, mm
+        |WHERE c.c_acctbal BETWEEN mm.mx - 50.0 AND mm.mx""".stripMargin,
     // IN-list hybrid aggregate: single-valued files fold from the
     // sidecar, boundary files scan — the rewrite only changes which
     // files open, so the oracle is the plain filtered aggregate (CAST
