@@ -3127,6 +3127,14 @@ object KeyedTable {
     * a CONCURRENT query planned in another thread inside the window
     * would plan with these values — perf-only, never correctness, the
     * same class of risk Spark's own `withSQLConf` test helper accepts.
+    * MEASURED ALTERNATIVE (round 14): scoping the overrides in a
+    * thread-local cloned conf (`SQLConf.withExistingConf`) leaks the
+    * AQE override — `InsertAdaptiveSparkPlan` consults the SESSION's
+    * conf, not `SQLConf.get` — costing 2 extra scheduler jobs per probe
+    * (8 vs 6 on a warm point serve). With tens of probe-serving queries
+    * ×3 bench passes that is seconds of regression against a
+    * multi-threaded-planning nicety this single-session engine never
+    * exercises, so the set/restore stays.
     */
   private[graft] def withMetaConf[A](spark: SparkSession)(f: => A): A = {
     val conf = spark.conf
