@@ -197,7 +197,8 @@ object SparkEntry {
     "q170_mor_range_declarative" -> (UpsertOps.morRangeDeclarative(_, _)),
     "q171_inlist_agg_hybrid" -> (UpsertOps.inListAggHybrid(_, _)),
     "q172_join_prune_range" -> (UpsertOps.joinPrunedStarRange(_, _)),
-    "q173_decimal_sum_stats" -> (UpsertOps.decimalSumStats(_, _))
+    "q173_decimal_sum_stats" -> (UpsertOps.decimalSumStats(_, _)),
+    "q174_topk_inlist" -> (UpsertOps.topKInListQuery(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1070,6 +1071,13 @@ object SparkEntry {
     "q167_inlist_prune" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents WHERE lang IN ('de', 'zh')""".stripMargin,
+    // IN-composed top-k: the walk's full files are the clustered
+    // language runs; the residual Sort + Limit keep the values exact
+    // (unique doc_id tiebreak pins the set)
+    "q174_topk_inlist" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang IN ('de', 'zh')
+        |ORDER BY n_chars DESC, doc_id DESC LIMIT 100""".stripMargin,
     // decimal sum from the sidecar's exact DECIMAL(38,2) partials,
     // narrowed to Spark's Sum result type DECIMAL(22,2); l_quantity is
     // integer-valued so the double→decimal cast is exact on both

@@ -1338,9 +1338,27 @@ object UpsertOps {
         max(col("n_chars")).as("max_chars"))
   }
 
-  /** Shared by q167 (IN-list file pruning) and q171 (IN-list hybrid
-    * aggregate): the lang-clustered docs table with lang + n_chars
-    * stats — immutable once built.
+  /** IN-composed top-k (q174; [[graft.plans.TopKPruneRewrite]] with an
+    * IN conjunct): "longest N docs in these languages" — the IN's FULL
+    * files are the clustered language runs' single-valued files (the
+    * q171 classification), which accumulate the walk's count bound;
+    * files of non-listed languages drop from the candidates even though
+    * the SORT column (n_chars) is unclustered. The residual
+    * Filter + Sort + Limit keep the values exactly the plain query's —
+    * the oracle; unique doc_id tiebreak pins the set.
+    */
+  def topKInListQuery(s: SparkSession, dir: String): DataFrame = {
+    val table = inListDocsFixture(s, dir)
+    table.read(s)
+      .filter(col("lang").isin("de", "zh"))
+      .orderBy(col("n_chars").desc, col("doc_id").desc)
+      .limit(100)
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  /** Shared by q167 (IN-list file pruning), q171 (IN-list hybrid
+    * aggregate) and q174 (IN-composed top-k): the lang-clustered docs
+    * table with lang + n_chars stats — immutable once built.
     */
   private def inListDocsFixture(s: SparkSession, dir: String): KeyedTable =
     fixtureOnce(dir, "inListDocs") {

@@ -73,6 +73,17 @@ object IndexAdvisor {
           Seq((m.spec.path, "record_key", m.spec.keyCols.head))
          else Nil)
     }
+    // Sorted limits ("latest N [of a kind]"): the top-k walk consults
+    // stats on the SORT column and on every classifiable filter column
+    // (shared TopKMatch matcher — advice ≡ serveability). Partition
+    // columns drop as everywhere: their conjuncts select sidecar rows
+    // without needing min/max, and directory pruning already serves
+    // them on the scan.
+    val topKRule = new TopKPruneRewrite(spark)
+    val topKWants = plans.flatMap(topKRule.topKShapes).flatMap { m =>
+      m.statCols.filterNot(isPartitionCol(m.spec, _))
+        .map(c => (m.spec.path, "column_stats", c))
+    }
     // LAYOUT advice: stats that exist but barely skip mean the files
     // overlap the probed column — the index can't help until a sort
     // rewrite makes per-file ranges tight. Measured against the
@@ -173,7 +184,7 @@ object IndexAdvisor {
       val rli = (m.spec.path, "record_key", m.spec.keyCols.head)
       if (m.viaKey) Seq(rli)
       else Seq(rli, (m.spec.path, "secondary", m.probeAttr.name))
-    } ++ rangeShapes ++ clusterRecs ++ aggWants
+    } ++ rangeShapes ++ topKWants ++ clusterRecs ++ aggWants
     val recs = (wants.groupBy(identity).toSeq
       .map { case ((path, kind, col), hs) => IndexRec(path, kind, col, hs.length) }
       ++ compactRecs)

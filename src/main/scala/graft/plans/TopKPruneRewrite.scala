@@ -41,10 +41,11 @@ import graft.table.KeyedTable
   *  - PARTITION point/IN conjuncts ([[PartitionConjuncts]]) select
   *    whole sidecar rows first, exactly (a file's partition tuple is a
   *    constant), and the walk runs over the selected subset unchanged.
-  *  - Literal RANGE / IS NOT NULL conjuncts on stats-covered columns
-  *    ([[RangeConjuncts]]) split files into FULL (every row satisfies —
-  *    bounds inside the range, zero nulls in each constrained column)
-  *    and CANDIDATE (may hold a satisfying row). The count accumulation
+  *  - Literal RANGE / IS NOT NULL / IN conjuncts on stats-covered
+  *    columns ([[RangeConjuncts]]) split files into FULL (every row
+  *    satisfies — bounds inside the range, zero nulls in each
+  *    constrained column; for IN, single-valued with the value in the
+  *    list) and CANDIDATE (may hold a satisfying row). The count accumulation
   *    walks FULL files only — their rows all survive the filter, so
   *    "Σnn ≥ k rows ≥ L" still proves the filtered kth value is ≥ L —
   *    while the kept set is every CANDIDATE file whose max reaches L
@@ -54,7 +55,7 @@ import graft.table.KeyedTable
   *
   * Declines: `retainHistory` tables (a pruned resolve could resurrect
   * superseded versions), any conjunct that classifies neither way
-  * (IS NULL, IN on data columns, non-literal predicates, uncovered
+  * (IS NULL, non-literal predicates, uncovered
   * columns — a leftover predicate would break the accumulation bound),
   * windows/joins below the sort, non-global sorts, k ≤ 0, and walks
   * whose guaranteed-matching non-null counts never reach k (a selective
@@ -82,7 +83,45 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def tryRewrite(lim: GlobalLimit): Option[LogicalPlan] = {
+  /** The shape half of the match, sidecar-IO-free — shared with
+    * [[IndexAdvisor]], so the advisor recommends exactly the stats
+    * builds this rule can later serve (the one-matcher discipline the
+    * point/range/aggregate families follow).
+    */
+  private[plans] final case class TopKMatch(
+      lim: GlobalLimit, lr: LogicalRelation, fsRel: HadoopFsRelation,
+      root: String, spec: graft.table.KeyedTableSpec,
+      sortCol: String, k: Int, desc: Boolean, nullsFirst: Boolean,
+      partFilters: Seq[PartitionConjuncts.PartFilter],
+      ranges: Seq[graft.table.ColumnRange],
+      notNull: Seq[String], inLists: Seq[(String, Seq[Any])]) {
+    /** Every column whose stats the serve consults. */
+    def statCols: Seq[String] =
+      (sortCol +: (ranges.map(_.column) ++ notNull ++ inLists.map(_._1)))
+        .distinct
+  }
+
+  /** Every top-k shape in `plan` this rule would serve if column stats
+    * existed (no sidecar IO, no filesystem work beyond the registry).
+    * On an already-served plan the sort child no longer roots at the
+    * registered path, so served shapes naturally drop out.
+    */
+  private[plans] def topKShapes(plan: LogicalPlan): Seq[TopKMatch] =
+    if (KeyedTable.specRegistry.isEmpty) Nil
+    else plan.collect { case lim: GlobalLimit =>
+      try matchTopK(lim) catch { case scala.util.control.NonFatal(_) => None }
+    }.flatten
+
+  private def tryRewrite(lim: GlobalLimit): Option[LogicalPlan] =
+    matchTopK(lim).flatMap { m =>
+      memo.gated((m.root, m.sortCol, m.k, m.desc, m.nullsFirst,
+        m.partFilters.toVector, m.ranges.toVector, m.notNull.toVector,
+        m.inLists.map { case (c, vs) => (c, vs.toVector) }.toVector)) {
+        serveTopK(m)
+      }
+    }
+
+  private def matchTopK(lim: GlobalLimit): Option[TopKMatch] = {
     val (k, sort) = lim match {
       case Limit(IntegerLiteral(n), s: Sort) => (n, s)
       case Limit(IntegerLiteral(n), Project(pl, s: Sort)) if projOk(pl) =>
@@ -120,10 +159,10 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
     // Classify every filter conjunct below the sort: partition
-    // point/IN conjuncts select whole sidecar rows, range / IS NOT NULL
-    // conjuncts on stats-covered ordered columns drive the FULL /
-    // CANDIDATE split. Anything else declines — a leftover predicate
-    // would break the count-accumulation bound.
+    // point/IN conjuncts select whole sidecar rows, range / IS NOT
+    // NULL / IN conjuncts on stats-covered ordered columns drive the
+    // FULL / CANDIDATE split. Anything else declines — a leftover
+    // predicate would break the count-accumulation bound.
     val partCols = spec.partitionCols.map(_.toLowerCase(Locale.ROOT)).toSet
     val splitConds = conds.toSeq.flatMap { case (c, _) =>
       MvPlanShape.splitConjunction(c)
@@ -139,8 +178,7 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val ex = RangeConjuncts.extract(
       restConds,
       e => relAttrOf(e).filter(at => KeyedTable.statsOrderedType(at.dataType)))
-    if (ex.other.nonEmpty || ex.inLists.nonEmpty ||
-      ex.nullPreds.exists(_._2)) return None
+    if (ex.other.nonEmpty || ex.nullPreds.exists(_._2)) return None
     val notNull = ex.nullPreds.map(_._1)
 
     val head = sort.order.head
@@ -150,35 +188,39 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         !a.name.startsWith("_graft_") => a
       case _ => return None
     }
-    val desc = head.direction == Descending
-    val nullsFirst = head.nullOrdering == NullsFirst
+    Some(TopKMatch(
+      lim, lr, fsRel, root, spec, attr.name, k,
+      head.direction == Descending, head.nullOrdering == NullsFirst,
+      partFilters, ex.ranges, notNull, ex.inLists))
+  }
 
-    val table = KeyedTable(spec)
-    memo.gated((root, attr.name, k, desc, nullsFirst,
-      partFilters.toVector, ex.ranges.toVector, notNull.toVector)) {
-      val cand =
-        if (partFilters.isEmpty && ex.ranges.isEmpty && notNull.isEmpty)
-          table.topKCandidateFiles(spark, attr.name, k.toLong, desc, nullsFirst)
-        else filteredCandidates(
-          table, attr.name, k.toLong, desc, nullsFirst,
-          partFilters, ex.ranges, notNull)
-      cand.flatMap { case (files, _) =>
-        val total = fsRel.location.inputFiles.length
-        if (files.length >= total) None
-        else {
-          val partSchema = Option(fsRel.partitionSchema).filter(_.nonEmpty)
-          val pruned = new InMemoryFileIndex(
-            spark, files, Map("basePath" -> root), partSchema)
-          logInfo(s"top-k rewrite: $root scan pruned to ${files.length} " +
-            s"of $total files for ORDER BY ${attr.name} " +
-            (if (desc) "DESC" else "ASC") + s" LIMIT $k" +
-            (if (splitConds.nonEmpty) s" under ${splitConds.length} filter conjunct(s)"
-             else ""))
-          Some(lim.transformUp {
-            case l: LogicalRelation if l eq lr =>
-              l.copy(relation = fsRel.copy(location = pruned)(spark))
-          })
-        }
+  /** The IO half: walk the sidecar, swap the scan. */
+  private def serveTopK(m: TopKMatch): Option[LogicalPlan] = {
+    val table = KeyedTable(m.spec)
+    val nConds = m.partFilters.length + m.ranges.length + m.notNull.length +
+      m.inLists.length
+    val cand =
+      if (nConds == 0)
+        table.topKCandidateFiles(
+          spark, m.sortCol, m.k.toLong, m.desc, m.nullsFirst)
+      else filteredCandidates(
+        table, m.sortCol, m.k.toLong, m.desc, m.nullsFirst,
+        m.partFilters, m.ranges, m.notNull, m.inLists)
+    cand.flatMap { case (files, _) =>
+      val total = m.fsRel.location.inputFiles.length
+      if (files.length >= total) None
+      else {
+        val partSchema = Option(m.fsRel.partitionSchema).filter(_.nonEmpty)
+        val pruned = new InMemoryFileIndex(
+          spark, files, Map("basePath" -> m.root), partSchema)
+        logInfo(s"top-k rewrite: ${m.root} scan pruned to ${files.length} " +
+          s"of $total files for ORDER BY ${m.sortCol} " +
+          (if (m.desc) "DESC" else "ASC") + s" LIMIT ${m.k}" +
+          (if (nConds > 0) s" under $nConds filter conjunct(s)" else ""))
+        Some(m.lim.transformUp {
+          case l: LogicalRelation if l eq m.lr =>
+            l.copy(relation = m.fsRel.copy(location = pruned)(spark))
+        })
       }
     }
   }
@@ -201,7 +243,9 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       nullsFirst: Boolean,
       partFilters: Seq[PartitionConjuncts.PartFilter],
       ranges: Seq[graft.table.ColumnRange],
-      notNull: Seq[String]): Option[(Seq[org.apache.hadoop.fs.Path], Int)] =
+      notNull: Seq[String],
+      inLists: Seq[(String, Seq[Any])])
+      : Option[(Seq[org.apache.hadoop.fs.Path], Int)] =
     table.colStatsFrame(spark).flatMap { st =>
       import org.apache.spark.sql.expressions.{Window => W}
       import org.apache.spark.sql.functions.{col, lit, sum}
@@ -216,16 +260,19 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case PartitionConjuncts.PartNotNull(c)  => statCol("p", c)
       }
       if (filterStatCols.exists(_.isEmpty)) return None
-      val classCols = (ranges.map(_.column) ++ notNull).distinct
+      val classCols =
+        (ranges.map(_.column) ++ notNull ++ inLists.map(_._1)).distinct
       val nnOf = classCols.map(c => c -> statCol("nn", c)).toMap
       if (nnOf.values.exists(_.isEmpty)) return None
-      val mmOf = ranges.map(r => r.column ->
-        ((statCol("min", r.column), statCol("max", r.column)))).toMap
+      val mmOf = (ranges.map(_.column) ++ inLists.map(_._1)).distinct.map(c =>
+        c -> ((statCol("min", c), statCol("max", c)))).toMap
       if (mmOf.values.exists(p => p._1.isEmpty || p._2.isEmpty)) return None
 
       val stSel = PartitionConjuncts.select(
         st, partFilters.zip(filterStatCols.map(_.get)))
-      // Same candidate/full split as the hybrid aggregate serve.
+      // Same candidate/full split as the hybrid aggregate serve —
+      // including its IN classification (single-valued file with the
+      // value in the list is FULL; containment only is CANDIDATE).
       val candidate = (ranges.map { r =>
         val (mnC, mxC) = (mmOf(r.column)._1.get, mmOf(r.column)._2.get)
         val loP = r.lo.map(v =>
@@ -233,7 +280,12 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val hiP = r.hi.map(v =>
           if (r.hiInclusive) col(mnC) <= lit(v) else col(mnC) < lit(v))
         (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _).getOrElse(lit(true))
-      } ++ notNull.map(c => col(nnOf(c).get) > lit(0L)))
+      } ++ notNull.map(c => col(nnOf(c).get) > lit(0L))
+        ++ inLists.map { case (c, vs) =>
+          val (mnC, mxC) = (mmOf(c)._1.get, mmOf(c)._2.get)
+          vs.map(v => col(mnC) <= lit(v) && col(mxC) >= lit(v))
+            .reduce(_ || _)
+        })
         .reduceOption(_ && _).getOrElse(lit(true))
       val full = (ranges.map { r =>
         val (mnC, mxC) = (mmOf(r.column)._1.get, mmOf(r.column)._2.get)
@@ -243,7 +295,12 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           if (r.hiInclusive) col(mxC) <= lit(v) else col(mxC) < lit(v))
         (Seq(col(nnOf(r.column).get) === col("cnt")) ++ loP.toSeq ++ hiP.toSeq)
           .reduce(_ && _)
-      } ++ notNull.map(c => col(nnOf(c).get) === col("cnt")))
+      } ++ notNull.map(c => col(nnOf(c).get) === col("cnt"))
+        ++ inLists.map { case (c, vs) =>
+          val (mnC, mxC) = (mmOf(c)._1.get, mmOf(c)._2.get)
+          col(nnOf(c).get) === col("cnt") && col(mnC) === col(mxC) &&
+            vs.map(v => col(mnC) === lit(v)).reduce(_ || _)
+        })
         .reduceOption(_ && _).getOrElse(lit(true))
 
       val (mn, mx, nn) = (col(mnS.get), col(mxS.get), col(nnS.get))

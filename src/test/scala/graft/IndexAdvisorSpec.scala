@@ -144,6 +144,30 @@ class IndexAdvisorSpec extends SparkTestBase {
       "the first column's stats must survive the second build")
   }
 
+  test("a top-k workload recommends the walk's stats; building them serves it") {
+    val t = mkTable()
+    t.cluster(spark, Seq("ts_us"), targetFileBytes = 8L << 10)
+    // "Latest N before a cutoff" — the walk wants stats on the SORT
+    // column AND the classifiable filter column (here the same ts_us);
+    // the partition conjunct wants nothing (sidecar rows select by the
+    // recorded partition tuple, no min/max needed).
+    val Array(r) = eventsUs.agg(max("ts_us")).collect()
+    val cut = r.getLong(0) - 1000L
+    def qTopK = t.read(spark)
+      .filter(col("event_type") === "click" && col("ts_us") <= cut)
+      .orderBy(col("ts_us").desc, col("event_id").desc).limit(10)
+    val expected = qTopK.collect().toSeq
+    val advice = IndexAdvisor.analyze(spark, Seq(qTopK))
+    assert(advice.recommendations.map(r => (r.kind, r.column)) ==
+      Seq(("column_stats", "ts_us")),
+      s"expected the walk's stats build, got ${advice.recommendations}")
+    IndexAdvisor.createRecommended(spark, advice)
+    assert(scannedDataFiles(qTopK).isDefined, "the top-k must now serve")
+    assert(qTopK.collect().toSeq == expected)
+    // Served workload: re-analysis settles.
+    assert(IndexAdvisor.analyze(spark, Seq(qTopK)).recommendations.isEmpty)
+  }
+
   test("partition-column probes recommend nothing: directory pruning serves them") {
     val t = mkTable() // hive-partitioned by event_type
     val et = eventsUs.select("event_type").distinct()

@@ -592,6 +592,32 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     assert(tiny.count() >= 1)
   }
 
+  test("filtered top-k: an IN conjunct on a clustered data column composes") {
+    // "Longest N docs in these languages" — the IN's FULL files are the
+    // single-valued language runs; non-listed languages' files drop
+    // from the candidates even though the sort column is unclustered.
+    val path = Files.createTempDirectory("graft_topk_in_").toString + "/t"
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "source", "n_chars")
+    val t = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("doc_id"), precombineCol = "n_chars"))
+    t.upsert(spark, docs, commitTime = "c0")
+    t.cluster(spark, Seq("lang"), targetFileBytes = 1L << 10)
+    t.recordColumnStats(spark, Seq("lang", "n_chars"))
+    val total = dataFileCount(path)
+    def q = t.read(spark).filter(col("lang").isin("de", "zh"))
+      .orderBy(col("n_chars").desc, col("doc_id").desc).limit(10)
+      .select("doc_id", "lang", "n_chars")
+    val files = scannedDataFiles(q)
+    assert(files.isDefined, "an IN conjunct on a stats column must compose")
+    assert(files.get.length < total,
+      s"must prune: ${files.get.length} of $total")
+    assert(q.collect().toSeq ==
+      docs.filter(col("lang").isin("de", "zh"))
+        .orderBy(col("n_chars").desc, col("doc_id").desc).limit(10)
+        .select("doc_id", "lang", "n_chars").collect().toSeq)
+  }
+
   test("top-k with nulls sorting first keeps every null-carrying file") {
     val path = Files.createTempDirectory("graft_topk_null_").toString + "/t"
     val t = KeyedTable(cowSpec(path))
