@@ -198,7 +198,8 @@ object SparkEntry {
     "q171_inlist_agg_hybrid" -> (UpsertOps.inListAggHybrid(_, _)),
     "q172_join_prune_range" -> (UpsertOps.joinPrunedStarRange(_, _)),
     "q173_decimal_sum_stats" -> (UpsertOps.decimalSumStats(_, _)),
-    "q174_topk_inlist" -> (UpsertOps.topKInListQuery(_, _))
+    "q174_topk_inlist" -> (UpsertOps.topKInListQuery(_, _)),
+    "q175_topk_page" -> (UpsertOps.topKPageQuery(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1071,6 +1072,12 @@ object SparkEntry {
     "q167_inlist_prune" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents WHERE lang IN ('de', 'zh')""".stripMargin,
+    // paginated top-k: the walk runs at the combined bound k+m; the
+    // residual Sort + limits + Offset slice the page exactly
+    "q175_topk_page" ->
+      """SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
+        |FROM events
+        |ORDER BY ts_us DESC, event_id DESC LIMIT 200 OFFSET 200""".stripMargin,
     // IN-composed top-k: the walk's full files are the clustered
     // language runs; the residual Sort + Limit keep the values exact
     // (unique doc_id tiebreak pins the set)

@@ -1398,6 +1398,24 @@ object UpsertOps {
       .limit(500)
   }
 
+  /** PAGINATED top-k (q175; [[graft.plans.TopKPruneRewrite]]'s offset
+    * arm): page 2 of the "latest" listing — `ORDER BY ts DESC LIMIT k
+    * OFFSET m` canonicalizes to GlobalLimit(k, Offset(m,
+    * LocalLimit(k+m, Sort))) and the stats walk runs at the COMBINED
+    * bound k+m, so the dashboard's second page opens the same
+    * O((k+m)/rows-per-file) files the first does instead of a full
+    * scan. The residual Sort + limits + Offset slice the page exactly;
+    * the unique-key tiebreak pins the set. ≡ the plain
+    * LIMIT/OFFSET — the oracle.
+    */
+  def topKPageQuery(s: SparkSession, dir: String): DataFrame = {
+    val (table, _, _) = topKFixture(s, dir)
+    outputCols(table.read(s))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .offset(200)
+      .limit(200)
+  }
+
   /** FILTERED top-k (q169; [[graft.plans.TopKPruneRewrite]]'s composed
     * arm): `WHERE event_type = … AND ts_us <= … ORDER BY ts_us DESC
     * LIMIT k` — "latest N of a kind before a cutoff", the most common

@@ -122,10 +122,23 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   private def matchTopK(lim: GlobalLimit): Option[TopKMatch] = {
+    // Paginated form: LIMIT k OFFSET m canonicalizes to
+    // GlobalLimit(k, Offset(m, LocalLimit(k+m, Sort))) — the walk runs
+    // at the COMBINED bound k+m (files that can hold any of the first
+    // k+m rows), and the residual Sort + limits + Offset slice the page
+    // exactly. Plain form: the shared Limit extractor.
     val (k, sort) = lim match {
       case Limit(IntegerLiteral(n), s: Sort) => (n, s)
       case Limit(IntegerLiteral(n), Project(pl, s: Sort)) if projOk(pl) =>
         (n, s)
+      case GlobalLimit(IntegerLiteral(n),
+          Offset(IntegerLiteral(m), LocalLimit(IntegerLiteral(nm), rest)))
+          if n > 0 && m >= 0 && nm == n + m =>
+        rest match {
+          case s: Sort => (nm, s)
+          case Project(pl, s: Sort) if projOk(pl) => (nm, s)
+          case _ => return None
+        }
       case _ => return None
     }
     if (k <= 0 || !sort.global || sort.order.isEmpty) return None

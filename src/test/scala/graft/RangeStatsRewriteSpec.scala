@@ -618,6 +618,37 @@ class RangeStatsRewriteSpec extends SparkTestBase {
         .select("doc_id", "lang", "n_chars").collect().toSeq)
   }
 
+  test("paginated top-k (LIMIT k OFFSET m) rides the walk at k + m") {
+    // The optimizer canonicalizes limit-over-offset to
+    // Offset(m, GlobalLimit(k + m, Sort)), so page N of the "latest"
+    // listing matches the existing shape with the combined bound — the
+    // walk proves the (k+m)th value and the residual Offset drops the
+    // first page exactly.
+    val path = Files.createTempDirectory("graft_topk_off_").toString + "/t"
+    val t = KeyedTable(cowSpec(path))
+    t.upsert(spark, eventsUs, commitTime = "c0")
+    t.cluster(spark, Seq("ts_us"), targetFileBytes = 4L << 10)
+    t.recordColumnStats(spark, Seq("ts_us"))
+    val total = dataFileCount(path)
+    def page2 = t.read(spark)
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .offset(10).limit(10)
+    val files = scannedDataFiles(page2)
+    assert(files.isDefined, "the paginated top-k must serve")
+    assert(files.get.length < total,
+      s"must prune: ${files.get.length} of $total")
+    assert(outputSet(page2) == outputSet(
+      eventsUs.orderBy(col("ts_us").desc, col("event_id").desc)
+        .offset(10).limit(10)))
+    // The page boundary is exact: page2 ∩ page1 = ∅ and their union is
+    // the unpaginated top 20.
+    val page1 = t.read(spark)
+      .orderBy(col("ts_us").desc, col("event_id").desc).limit(10)
+    val top20 = t.read(spark)
+      .orderBy(col("ts_us").desc, col("event_id").desc).limit(20)
+    assert(outputSet(page1) ++ outputSet(page2) == outputSet(top20))
+  }
+
   test("top-k with nulls sorting first keeps every null-carrying file") {
     val path = Files.createTempDirectory("graft_topk_null_").toString + "/t"
     val t = KeyedTable(cowSpec(path))
