@@ -199,7 +199,8 @@ object SparkEntry {
     "q172_join_prune_range" -> (UpsertOps.joinPrunedStarRange(_, _)),
     "q173_decimal_sum_stats" -> (UpsertOps.decimalSumStats(_, _)),
     "q174_topk_inlist" -> (UpsertOps.topKInListQuery(_, _)),
-    "q175_topk_page" -> (UpsertOps.topKPageQuery(_, _))
+    "q175_topk_page" -> (UpsertOps.topKPageQuery(_, _)),
+    "q176_mor_range_partitioned" -> (UpsertOps.morRangePartitioned(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1006,6 +1007,31 @@ object SparkEntry {
         |SELECT user_id, event_type, ts_us, event_id, value
         |FROM w, mm WHERE rn = 1
         |  AND ts_us BETWEEN mx - (mx - mn) // 1024 AND mx""".stripMargin,
+    // partition-composed MoR range: same reconstruction as q170, the
+    // partition conjunct narrows candidates and keys; the window
+    // anchors at the max original click ts of a NON-shifted user so the
+    // result is non-empty at every tier
+    "q176_mor_range_partitioned" ->
+      """WITH ev AS (SELECT * FROM events WHERE event_id % 2 = 0),
+        |mm AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+        |       FROM ev),
+        |lo AS (SELECT max(epoch_us(ts)) AS v FROM ev
+        |       WHERE user_id % 11 <> 0 AND event_type = 'click'),
+        |u AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
+        |  FROM ev
+        |  UNION ALL
+        |  SELECT user_id, event_type,
+        |         epoch_us(ts) + (SELECT mx - mn + 1000000 FROM mm) AS ts_us,
+        |         event_id, value
+        |  FROM ev WHERE user_id % 11 = 0),
+        |w AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                               ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM u)
+        |SELECT user_id, event_type, ts_us, event_id, value
+        |FROM w, mm, lo WHERE rn = 1 AND event_type = 'click'
+        |  AND ts_us BETWEEN lo.v AND mm.mx""".stripMargin,
     // streamed secondary-index enrichment == the batch join: per-nation
     // event rollup joined to the per-nation customer rollup
     "q160_stream_si_join" ->

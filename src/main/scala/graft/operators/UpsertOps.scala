@@ -1540,10 +1540,35 @@ object UpsertOps {
       .filter(col("ts_us") >= mx - span / 1024 && col("ts_us") <= mx))
   }
 
-  /** Shared by q159 (API-level MoR range) and q170 (declarative MoR
-    * range): the two-commit history table with the out-of-range
-    * correction trap, RLI, and all-version ts_us stats — immutable once
-    * built. Returns (table, original-domain min, max).
+  /** PARTITION-composed declarative MoR range (q176;
+    * [[graft.plans.RangePruneRewrite]]'s resolving arm with partition
+    * conjuncts): "latest corrections in THIS partition within the
+    * window" — the partition point conjunct selects whole sidecar rows
+    * by the recorded per-file partition tuple, narrowing both the
+    * candidate files and the derived key set before the RLI routing;
+    * resolve + partition + range residuals stay above. The window
+    * anchors at the max original click timestamp of a NON-shifted user
+    * (that row is its (user, partition) group's winner, so the result
+    * is non-empty at every tier) and both engines derive the same
+    * bound. ≡ resolve ∘ (partition ∧ range) filter — the oracle.
+    */
+  def morRangePartitioned(s: SparkSession, dir: String): DataFrame = {
+    val (table, _, mx) = morRangeFixture(s, dir)
+    val ev = eventsUs(s, dir).filter(col("event_id") % 2 === 0)
+    val Array(r) = ev
+      .filter(col("user_id") % 11 =!= 0 && col("event_type") === "click")
+      .agg(max("ts_us").as("lo")).collect()
+    val lo = r.getLong(0)
+    outputCols(table.read(s)
+      .filter(col("event_type") === "click" &&
+        col("ts_us") >= lo && col("ts_us") <= mx))
+  }
+
+  /** Shared by q159 (API-level MoR range), q170 (declarative MoR
+    * range) and q176 (partition-composed): the two-commit history table
+    * with the out-of-range correction trap, RLI, and all-version ts_us
+    * stats — immutable once built. Returns (table, original-domain
+    * min, max).
     */
   private def morRangeFixture(
       s: SparkSession, dir: String): (KeyedTable, Long, Long) =

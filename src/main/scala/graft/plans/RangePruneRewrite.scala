@@ -109,7 +109,15 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       /** The relation's key attributes when the MoR resolve arm matched
         * (the key guard needs them); `None` selects the COW arm.
         */
-      morKeyAttrs: Option[Seq[Attribute]] = None)
+      morKeyAttrs: Option[Seq[Attribute]] = None,
+      /** MoR-arm partition conjuncts: they select whole sidecar rows by
+        * the recorded per-file partition tuple (`p_<col>`), narrowing
+        * both the candidate files and the derived key set — "latest
+        * corrections in THIS partition within the window". COW plans
+        * don't need them (Spark's own directory pruning serves a
+        * partition conjunct on the swapped index too).
+        */
+      partFilters: Seq[PartitionConjuncts.PartFilter] = Nil)
 
   /** Every range shape in `plan` this rule would serve if column stats
     * existed (no sidecar IO, no filesystem work beyond the registry).
@@ -126,7 +134,7 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     matchRange(f).flatMap { m =>
       val key = (m.root, m.ranges.toVector, m.nullPreds.toVector,
         m.inLists.map { case (c, vs) => (c, vs.toVector) }.toVector,
-        m.morKeyAttrs.isDefined)
+        m.morKeyAttrs.isDefined, m.partFilters.toVector)
       memo.gated(key)(serveRange(m))
     }
 
@@ -189,15 +197,30 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           Some(keyAttrs)
         case _ => return None
       }
-    val split = morKeyAttrs match {
-      case None => splitD.map(_._1)
+    val partColsL =
+      spec.partitionCols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    def partFilterOf(e: Expression) = PartitionConjuncts.of(
+      e,
+      x => (subst(x) match {
+        case a: Attribute if relIds.contains(a.exprId) &&
+          !a.name.startsWith("_graft_") => Some(a)
+        case _ => None
+      }).filter(at =>
+        partColsL.contains(at.name.toLowerCase(java.util.Locale.ROOT))))
+    val (split, partFilters) = morKeyAttrs match {
+      case None => (splitD.map(_._1), Seq.empty[PartitionConjuncts.PartFilter])
       case Some(_) =>
-        // The rn conjunct is the resolve's own, never a range.
+        // The rn conjunct is the resolve's own, never a range; partition
+        // point/IN conjuncts select sidecar rows exactly (a file's
+        // partition tuple is constant) and narrow both candidates and
+        // the derived key set.
         val rn = windows.headOption.flatMap(w =>
           MvPlanShape.resolveRnOf(w, spec))
-        splitD.collect {
+        val nonRn = splitD.collect {
           case (c, 0) if !rn.exists(r => MvPlanShape.isRnEqOne(c, r)) => c
         }
+        val (partConds, rest) = nonRn.partition(c => partFilterOf(c).isDefined)
+        (rest, partConds.flatMap(partFilterOf))
     }
     // Literal bounds and null predicates through the SHARED extraction
     // ([[RangeConjuncts]] — one matcher for every column-stats
@@ -222,7 +245,7 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // just don't contribute file selection.
       if (ex.ranges.isEmpty) return None
       Some(RangeMatch(f, lr, fsRel, root, spec, ex.ranges, Nil, Nil,
-        morKeyAttrs))
+        morKeyAttrs, partFilters))
     } else {
       if (ex.ranges.isEmpty && ex.nullPreds.isEmpty && ex.inLists.isEmpty)
         return None
@@ -270,10 +293,42 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val table = KeyedTable(m.spec)
     val keyAttrs = m.morKeyAttrs.get
     val st = table.colStatsFrame(spark).getOrElse(return None)
-    val cols = st.columns.toSet
-    if (!m.ranges.forall(r => cols.contains(s"min_${r.column}"))) return None
-    val (sel, _) =
-      try table.statsSelectedFilesTyped(spark, m.ranges)
+    def statCol(prefix: String, c: String): Option[String] =
+      st.columns.find(_.equalsIgnoreCase(s"${prefix}_$c"))
+    if (!m.ranges.forall(r => statCol("min", r.column).isDefined &&
+      statCol("max", r.column).isDefined)) return None
+    val filterStatCols = m.partFilters.map {
+      case PartitionConjuncts.PartIn(c, _, _) => statCol("p", c)
+      case PartitionConjuncts.PartNotNull(c)  => statCol("p", c)
+    }
+    if (filterStatCols.exists(_.isEmpty)) return None
+    val stSel = PartitionConjuncts.select(
+      st, m.partFilters.zip(filterStatCols.map(_.get)))
+    // Intersection predicate over the recorded bounds — the same
+    // selection statsSelectedFilesTyped computes, over the
+    // partition-narrowed sidecar rows.
+    val candPred = m.ranges.map { r =>
+      val (mnC, mxC) =
+        (statCol("min", r.column).get, statCol("max", r.column).get)
+      val loP = r.lo.map(v =>
+        if (r.loInclusive) org.apache.spark.sql.functions.col(mxC) >=
+          org.apache.spark.sql.functions.lit(v)
+        else org.apache.spark.sql.functions.col(mxC) >
+          org.apache.spark.sql.functions.lit(v))
+      val hiP = r.hi.map(v =>
+        if (r.hiInclusive) org.apache.spark.sql.functions.col(mnC) <=
+          org.apache.spark.sql.functions.lit(v)
+        else org.apache.spark.sql.functions.col(mnC) <
+          org.apache.spark.sql.functions.lit(v))
+      (loP.toSeq ++ hiP.toSeq)
+        .reduceOption(_ && _)
+        .getOrElse(org.apache.spark.sql.functions.lit(true))
+    }.reduce(_ && _)
+    val sel =
+      try KeyedTable.withMetaConf(spark)(
+        stSel.filter(candPred).select("file")
+          .collect().map(_.getString(0)).toSeq
+          .map(abs => new Path(new java.net.URI(abs))))
       catch { case scala.util.control.NonFatal(_) => return None }
     val total = m.fsRel.location.inputFiles.length
 
@@ -309,8 +364,7 @@ class RangePruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val rootPath = new Path(m.spec.path)
     val fsys = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootPrefix = fsys.makeQualified(rootPath).toUri.getPath + "/"
-    val rel = sel.map(abs =>
-      new Path(new java.net.URI(abs)).toUri.getPath.stripPrefix(rootPrefix))
+    val rel = sel.map(p => p.toUri.getPath.stripPrefix(rootPrefix))
     val keysDf = table.readFilesRaw(spark, rel)
       .filter(residual)
       .select(m.spec.keyCols.map(col): _*)

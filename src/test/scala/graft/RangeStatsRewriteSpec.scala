@@ -301,6 +301,19 @@ class RangeStatsRewriteSpec extends SparkTestBase {
       "an over-cap key set must decline the declarative MoR range")
     assert(outputSet(wide) == oracle, "the declined wide read is still exact")
 
+    // A PARTITION conjunct composes: it selects sidecar rows by the
+    // recorded partition tuple, narrowing candidates and keys — and the
+    // result is exactly resolve ∘ (partition ∧ range).
+    def dqp = table.read(spark)
+      .filter(col("event_type") === "click" &&
+        col("ts_us").between(nLo, nHi))
+    val pFiles = scannedDataFiles(dqp)
+    assert(pFiles.isDefined, "partition + range must compose on MoR")
+    assert(pFiles.get.length < dataFileCount(path),
+      s"must prune: ${pFiles.get.length} of ${dataFileCount(path)}")
+    assert(outputSet(dqp) == nOracle.filter(_._2 == "click"),
+      "partition-composed MoR range must equal resolve ∘ filter")
+
     // Without the record-level index the key chain has no member: the
     // declarative read declines (stays a full directory scan) but is
     // still exact.
@@ -447,6 +460,17 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     assert(graft.plans.PlanWalk.scannedFiles(agg).isEmpty,
       "SQL whole-table aggregate must fold from the sidecar")
     assert(agg.collect()(0).getLong(2) == eventsUs.count())
+    // Filtered + paginated top-k through the stats walk: the exact SQL
+    // a BI tool's "latest, page 2" emits.
+    val topk = spark.sql(
+      "SELECT event_id FROM graft_sql_idx_t WHERE event_id <= 800 " +
+        "ORDER BY event_id DESC LIMIT 10 OFFSET 10")
+    assert(scannedDataFiles(topk).isDefined,
+      "SQL filtered+paginated top-k must serve")
+    assert(topk.collect().map(_.getLong(0)).toSeq ==
+      eventsUs.filter(col("event_id") <= 800)
+        .orderBy(col("event_id").desc).limit(20)
+        .select("event_id").as[Long].collect().toSeq.drop(10))
   }
 
   test("stats aggregate declines on MoR (file stats over-count versions)") {
