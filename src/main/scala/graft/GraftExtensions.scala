@@ -60,6 +60,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // declines, the range rule still serves the filter in the same
     // pass.
     e.injectOptimizerRule(s => new graft.plans.TopKPruneRewrite(s))
+    // rank()/row_number() ≤ N per table-partition group over a keyed
+    // read → scan only each group's top-N candidate files
+    // ([[graft.plans.GroupTopKRewrite]] — the per-group twin of the
+    // sorted-limit rule, same position: before the range rule so the
+    // O(N·groups) walk wins any shape both could touch).
+    e.injectOptimizerRule(s => new graft.plans.GroupTopKRewrite(s))
     // Range filter over a keyed table's read → file-skipping scan
     // through the column-stats sidecar ([[graft.plans.RangePruneRewrite]]);
     // same registry gate as the point rule.

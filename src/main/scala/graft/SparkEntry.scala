@@ -200,7 +200,8 @@ object SparkEntry {
     "q173_decimal_sum_stats" -> (UpsertOps.decimalSumStats(_, _)),
     "q174_topk_inlist" -> (UpsertOps.topKInListQuery(_, _)),
     "q175_topk_page" -> (UpsertOps.topKPageQuery(_, _)),
-    "q176_mor_range_partitioned" -> (UpsertOps.morRangePartitioned(_, _))
+    "q176_mor_range_partitioned" -> (UpsertOps.morRangePartitioned(_, _)),
+    "q177_group_topk" -> (UpsertOps.groupTopKQuery(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1098,6 +1099,19 @@ object SparkEntry {
     "q167_inlist_prune" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents WHERE lang IN ('de', 'zh')""".stripMargin,
+    // grouped top-k: per-group walks only change which files open; the
+    // residual Window + rank filter keep the values exact (unique
+    // event_id tiebreak pins every rank)
+    "q177_group_topk" ->
+      """WITH w AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY epoch_us(ts) DESC,
+        |                                     event_id DESC) AS rk
+        |  FROM events)
+        |SELECT user_id, event_type, ts_us, event_id, value,
+        |       CAST(rk AS INT) AS rk
+        |FROM w WHERE rk <= 100""".stripMargin,
     // paginated top-k: the walk runs at the combined bound k+m; the
     // residual Sort + limits + Offset slice the page exactly
     "q175_topk_page" ->

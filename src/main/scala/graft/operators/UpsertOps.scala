@@ -1437,6 +1437,28 @@ object UpsertOps {
       .limit(300)
   }
 
+  /** GROUPED top-k (q177; [[graft.plans.GroupTopKRewrite]]): the
+    * leaderboard — `row_number() OVER (PARTITION BY event_type ORDER BY
+    * ts DESC) ≤ N` — served from the sidecar with PER-GROUP walks: each
+    * hive partition's files walk by recorded min until the group's N
+    * accumulates, and only files whose max reaches that group's bound
+    * open. At 100 TB "latest N per category" opens
+    * O(N · groups / rows-per-file) files instead of feeding the whole
+    * table through a Window. The residual Window + rank filter keep the
+    * values exactly the plain query's (unique event_id tiebreak) — the
+    * oracle.
+    */
+  def groupTopKQuery(s: SparkSession, dir: String): DataFrame = {
+    val (table, _, _) = topKFixture(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    table.read(s)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 100)
+      .select("user_id", "event_type", "ts_us", "event_id", "value", "rk")
+  }
+
   /** Shared by q162 (plain top-k) and q169 (filtered top-k): a
     * time-clustered events table with ts_us stats — immutable once
     * built, so both serve-rule queries stage it once. Returns

@@ -673,6 +673,57 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     assert(outputSet(page1) ++ outputSet(page2) == outputSet(top20))
   }
 
+  test("grouped top-k: rank ≤ N per partition group prunes per group, exact") {
+    val path = Files.createTempDirectory("graft_gtopk_").toString + "/t"
+    val t = KeyedTable(cowSpec(path))
+    t.upsert(spark, eventsUs, commitTime = "c0")
+    t.cluster(spark, Seq("ts_us"), targetFileBytes = 4L << 10)
+    t.recordColumnStats(spark, Seq("ts_us"))
+    val total = dataFileCount(path)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    def ranked(df: DataFrame) = df
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("event_type", "ts_us", "event_id", "rk")
+    def q = ranked(t.read(spark))
+    val files = scannedDataFiles(q)
+    assert(files.isDefined, "the grouped top-k must serve")
+    assert(files.get.length < total,
+      s"must prune: ${files.get.length} of $total")
+    assert(q.collect().toSet == ranked(eventsUs).collect().toSet)
+    // rank() rides the same bound.
+    def rnk(df: DataFrame) = df
+      .withColumn("rk", rank().over(w)).filter(col("rk") <= 5)
+      .select("event_type", "ts_us", "event_id", "rk")
+    assert(scannedDataFiles(rnk(t.read(spark))).isDefined,
+      "rank() must serve")
+    assert(rnk(t.read(spark)).collect().toSet ==
+      rnk(eventsUs).collect().toSet)
+    // A partition conjunct composes — one group's candidates only.
+    def one(df: DataFrame) = ranked(df.filter(col("event_type") === "click"))
+    val oneFiles = scannedDataFiles(one(t.read(spark)))
+    assert(oneFiles.isDefined, "a partition conjunct must compose")
+    assert(oneFiles.get.length < files.get.length,
+      "one group's candidates must be fewer than all groups'")
+    assert(one(t.read(spark)).collect().toSet ==
+      one(eventsUs).collect().toSet)
+    // A data-column conjunct BELOW the window declines (it filters rows
+    // before ranking — the count bound breaks) but stays exact.
+    def below(df: DataFrame) = ranked(df.filter(col("value") > 10.0))
+    assert(scannedDataFiles(below(t.read(spark))).isEmpty,
+      "a below-window data conjunct must decline")
+    assert(below(t.read(spark)).collect().toSet ==
+      below(eventsUs).collect().toSet)
+    // dense_rank gives no row bound — declines, stays exact.
+    def dr(df: DataFrame) = df
+      .withColumn("rk", dense_rank().over(w)).filter(col("rk") <= 5)
+      .select("event_type", "ts_us", "event_id", "rk")
+    assert(scannedDataFiles(dr(t.read(spark))).isEmpty,
+      "dense_rank must decline")
+    assert(dr(t.read(spark)).collect().toSet == dr(eventsUs).collect().toSet)
+  }
+
   test("top-k with nulls sorting first keeps every null-carrying file") {
     val path = Files.createTempDirectory("graft_topk_null_").toString + "/t"
     val t = KeyedTable(cowSpec(path))
