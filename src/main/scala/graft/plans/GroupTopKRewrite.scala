@@ -67,11 +67,21 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  private final case class GroupTopKMatch(
+  private[plans] final case class GroupTopKMatch(
       f: Filter, lr: LogicalRelation, fsRel: HadoopFsRelation, root: String,
       spec: graft.table.KeyedTableSpec, groupCols: Seq[String],
       sortCol: String, n: Int, desc: Boolean, nullsFirst: Boolean,
       partFilters: Seq[PartitionConjuncts.PartFilter])
+
+  /** Every grouped-top-k shape in `plan` this rule would serve if
+    * column stats existed (no sidecar IO) — shared with
+    * [[IndexAdvisor]], the one-matcher discipline.
+    */
+  private[plans] def groupTopKShapes(plan: LogicalPlan): Seq[GroupTopKMatch] =
+    if (KeyedTable.specRegistry.isEmpty) Nil
+    else plan.collect { case f: Filter =>
+      try matchShape(f) catch { case scala.util.control.NonFatal(_) => None }
+    }.flatten
 
   private def tryRewrite(f: Filter): Option[LogicalPlan] =
     matchShape(f).flatMap { m =>

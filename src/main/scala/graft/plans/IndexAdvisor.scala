@@ -84,6 +84,13 @@ object IndexAdvisor {
       m.statCols.filterNot(isPartitionCol(m.spec, _))
         .map(c => (m.spec.path, "column_stats", c))
     }
+    // Grouped top-k (rank ≤ N per partition group): the per-group walk
+    // consults stats on the window's sort column only (the group keys
+    // are partition columns by admission — the sidecar's p_ tuples
+    // carry them for free).
+    val groupTopKRule = new GroupTopKRewrite(spark)
+    val groupTopKWants = plans.flatMap(groupTopKRule.groupTopKShapes)
+      .map(m => (m.spec.path, "column_stats", m.sortCol))
     // LAYOUT advice: stats that exist but barely skip mean the files
     // overlap the probed column — the index can't help until a sort
     // rewrite makes per-file ranges tight. Measured against the
@@ -184,7 +191,7 @@ object IndexAdvisor {
       val rli = (m.spec.path, "record_key", m.spec.keyCols.head)
       if (m.viaKey) Seq(rli)
       else Seq(rli, (m.spec.path, "secondary", m.probeAttr.name))
-    } ++ rangeShapes ++ topKWants ++ clusterRecs ++ aggWants
+    } ++ rangeShapes ++ topKWants ++ groupTopKWants ++ clusterRecs ++ aggWants
     val recs = (wants.groupBy(identity).toSeq
       .map { case ((path, kind, col), hs) => IndexRec(path, kind, col, hs.length) }
       ++ compactRecs)

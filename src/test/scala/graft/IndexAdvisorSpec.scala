@@ -168,6 +168,26 @@ class IndexAdvisorSpec extends SparkTestBase {
     assert(IndexAdvisor.analyze(spark, Seq(qTopK)).recommendations.isEmpty)
   }
 
+  test("a grouped top-k workload recommends the sort column's stats") {
+    val t = mkTable()
+    t.cluster(spark, Seq("ts_us"), targetFileBytes = 8L << 10)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    def q = t.read(spark)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("event_type", "ts_us", "event_id", "rk")
+    val expected = q.collect().toSet
+    val advice = IndexAdvisor.analyze(spark, Seq(q))
+    assert(advice.recommendations.map(r => (r.kind, r.column)) ==
+      Seq(("column_stats", "ts_us")),
+      s"expected the per-group walk's stats build, got ${advice.recommendations}")
+    IndexAdvisor.createRecommended(spark, advice)
+    assert(scannedDataFiles(q).isDefined, "the grouped top-k must now serve")
+    assert(q.collect().toSet == expected)
+    assert(IndexAdvisor.analyze(spark, Seq(q)).recommendations.isEmpty)
+  }
+
   test("partition-column probes recommend nothing: directory pruning serves them") {
     val t = mkTable() // hive-partitioned by event_type
     val et = eventsUs.select("event_type").distinct()
