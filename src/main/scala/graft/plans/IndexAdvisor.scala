@@ -255,10 +255,27 @@ object IndexAdvisor {
         }
         // Compaction first (analyze never emits it beside a cluster rec,
         // which subsumes it) — a layout rewrite either way, so the stats
-        // sidecar rebuild below re-covers existing columns.
+        // sidecar rebuild below re-covers existing columns. Partitioned
+        // tables compact PARTITION-SELECTIVELY: drip ingestion
+        // fragments where the commits land, and a whole-table rewrite
+        // to fix a few directories is exactly the 100 TB scale failure
+        // the advisor exists to prevent. The same thresholds the
+        // analysis measured with decide which partitions qualify.
         val compactLine = if (cp.isEmpty) None else {
-          t.compact(spark)
-          Some(s"compact on $path [${cp.map(_.hits).sum} scans]")
+          val line =
+            if (spec.partitionCols.isEmpty) { t.compact(spark); "compact" }
+            else {
+              val minFiles = spark.conf
+                .getOption("spark.graft.compact.min.files")
+                .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(8)
+              val smallBytes = spark.conf
+                .getOption("spark.graft.compact.small.bytes")
+                .flatMap(v => scala.util.Try(v.toLong).toOption)
+                .getOrElse(Long.MaxValue)
+              val dirs = t.compactSmallPartitions(spark, minFiles, smallBytes)
+              s"compact ${dirs.length} partition(s)"
+            }
+          Some(s"$line on $path [${cp.map(_.hits).sum} scans]")
         }
         val clusterLine = if (cl.isEmpty) None else {
           val sortCols = cl.sortBy(r => (-r.hits, r.column)).map(_.column)

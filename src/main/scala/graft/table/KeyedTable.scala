@@ -1844,6 +1844,96 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     recordCommit(spark, defaultCommitTime(), "compact", pre)
   }
 
+  /** PARTITION-selective compaction — merge small files in ONLY the
+    * named hive partitions, leaving every other partition's files
+    * byte-identical: at 100 TB fragmentation concentrates where the
+    * drip commits land (today's partitions), and [[compact]]'s
+    * whole-table rewrite is exactly the scale failure a 100 TB table
+    * cannot afford to fix a few directories. `parts` carries the
+    * partition columns, like [[dropPartitions]] (extra columns
+    * ignored; unknown values are no-ops). Rows are rewritten AS-IS —
+    * original commit times and, on a `retainHistory` table, every
+    * stored version survive — via the same append-then-drop discipline
+    * as [[deleteIndexed]] (single-writer crash contract). The scoped
+    * commit record (writer-supplied added/removed, never a table
+    * listing) keeps incremental readers and the record-level index's
+    * freshness delta sound; value-stats and bloom sidecars go
+    * stale-absent as on every file-set change. Cost:
+    * O(named partitions' bytes), zero reads elsewhere.
+    */
+  def compactPartitions(
+      spark: SparkSession, parts: DataFrame,
+      commitTime: String = defaultCommitTime()): Unit = {
+    notEvolvedGuard(spark, "partition compaction") // dirs are root-layout
+    require(spec.partitionCols.nonEmpty,
+      "partition compaction needs a partitioned table")
+    val provided = SchemaEvolution.dropSystemColumns(parts)
+    require(
+      spec.partitionCols.forall(provided.columns.contains),
+      s"partition-compaction frame must carry ${spec.partitionCols.mkString(", ")}")
+    if (!exists(spark)) return
+    val dirs = collectPartitionTuples(provided).map(partitionDirOf).toSet
+    compactPartitionDirs(spark, dirs, commitTime)
+  }
+
+  private[graft] def compactPartitionDirs(
+      spark: SparkSession, dirs: Set[String], commitTime: String): Unit = {
+    requireFreshCommitId(spark, commitTime)
+    val f = fs(spark)
+    val pre = relDataFilesUnder(spark, dirs)
+    // Already ≤ one file per named partition: nothing to merge, no
+    // commit to record.
+    if (pre.size <= dirs.count(d => f.exists(new Path(s"${spec.path}/$d"))))
+      return
+    val rows = readFilesRaw(spark, pre.toSeq)
+    // File set changes: the value-stats and bloom sidecars go
+    // stale-absent (see writeOut); the RLI settles this commit through
+    // the commit→files delta.
+    f.delete(new Path(colStatsDir), true)
+    f.delete(new Path(bloomDir), true)
+    val w = rows.repartition(spec.partitionCols.map(col): _*)
+      .write.mode(SaveMode.Append)
+    w.partitionBy(spec.partitionCols: _*).parquet(spec.path)
+    pre.foreach(r => f.delete(new Path(s"${spec.path}/$r"), false))
+    val newFiles = (relDataFilesUnder(spark, dirs) -- pre).toSeq
+    recordCommitRecord(spark, commitTime, "compact", newFiles, pre.toSeq)
+  }
+
+  /** Measure-and-merge: compact exactly the hive partitions whose
+    * files are NUMEROUS (≥ `minFiles`) and SMALL on average
+    * (< `smallBytes`) — the shape drip ingestion leaves behind — and
+    * return the compacted partition dirs. One full listing (advisor /
+    * maintenance context, like [[dataFileSizes]]), then
+    * O(fragmented partitions' bytes) of rewrite and zero reads
+    * elsewhere; an unfragmented table is a no-op with no commit.
+    */
+  def compactSmallPartitions(
+      spark: SparkSession, minFiles: Int, smallBytes: Long,
+      commitTime: String = defaultCommitTime()): Seq[String] = {
+    notEvolvedGuard(spark, "partition compaction")
+    require(spec.partitionCols.nonEmpty,
+      "partition compaction needs a partitioned table; use compact()")
+    if (!exists(spark)) return Nil
+    val rootPrefix =
+      fs(spark).makeQualified(new Path(spec.path)).toUri.getPath + "/"
+    val byDir = listDataFiles(spark)
+      .map { case (abs, len) =>
+        val rel = new Path(abs).toUri.getPath.stripPrefix(rootPrefix)
+        val i = rel.lastIndexOf('/')
+        (if (i < 0) "" else rel.substring(0, i), len)
+      }
+      .groupBy(_._1)
+    val frag = byDir.collect {
+      case (dir, fs0) if dir.nonEmpty && fs0.length >= minFiles &&
+        fs0.map(_._2).sum / fs0.length < smallBytes => dir
+    }.toSet
+    if (frag.isEmpty) Nil
+    else {
+      compactPartitionDirs(spark, frag, commitTime)
+      frag.toSeq.sorted
+    }
+  }
+
   /** Rollback of failed table-service actions — Hudi's rollback/cleaner
     * for crashed compactions and clusterings. Every rewrite goes through
     * a SIBLING scratch dir (`<table>_graft_<service>_tmp`,

@@ -249,7 +249,10 @@ class IndexAdvisorSpec extends SparkTestBase {
       assert(cps.length == 1 && cps.head.tablePath.endsWith(path),
         s"expected one compaction rec, got ${advice.recommendations}")
       val lines = IndexAdvisor.createRecommended(spark, advice)
-      assert(lines.exists(_.startsWith("compact on")), lines.toString)
+      // Partitioned tables compact PARTITION-SELECTIVELY (all five
+      // partitions are fragmented in this fixture).
+      assert(lines.exists(_.startsWith("compact 5 partition(s) on")),
+        lines.toString)
       assert(fileCount < before,
         s"compaction must consolidate: $before -> $fileCount")
       assert(t.read(spark).select("event_id", "ts_us")

@@ -368,6 +368,50 @@ class KeyedTableSuite extends SparkTestBase {
     assert(t.commits(spark) == Seq("c1", "c2", "c3", "c4"))
   }
 
+  test("partition-selective compaction merges only the named partitions") {
+    val t = freshTable()
+    // Drip four commits into 2024 (fragmented) and one into 2023
+    // (clean): only 2024 qualifies for the merge.
+    (1 to 4).foreach(i =>
+      t.insert(spark, batch(Row(s"k$i", s"2024-03-0$i", 2024, s"v$i")),
+        commitTime = f"c$i"))
+    t.insert(spark, batch(Row("old", "2023-01-01", 2023, "keep")),
+      commitTime = "c5")
+    def files(year: Int): Seq[java.io.File] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten
+          .flatMap(x => if (x.isDirectory) walk(x) else Seq(x))
+      walk(new java.io.File(s"${t.spec.path}/year=$year"))
+        .filter(_.getName.endsWith(".parquet"))
+    }
+    val before = t.readRaw(spark).orderBy("name").collect().toSeq
+    val clean2023 = files(2023).map(_.getName).toSet
+    assert(files(2024).size >= 4)
+
+    import spark.implicits._
+    t.compactPartitions(spark, Seq(2024).toDF("year"), commitTime = "c6")
+    assert(files(2024).size < 4, "the named partition must merge")
+    assert(files(2023).map(_.getName).toSet == clean2023,
+      "other partitions' files must stay byte-identical (same names)")
+    assert(t.readRaw(spark).orderBy("name").collect().toSeq == before,
+      "rows, schema, and commit times survive intact")
+    // The scoped commit keeps incremental readers exact: nothing
+    // CHANGED state at c6 (a compaction re-homes bytes, it does not
+    // re-version rows).
+    assert(t.readIncremental(spark, "c5").collect().isEmpty)
+
+    // The measured variant finds nothing further to merge (no new
+    // commit), and re-fragmenting draws it again.
+    assert(t.compactSmallPartitions(spark, 2, 32L << 20).isEmpty)
+    (7 to 9).foreach(i =>
+      t.insert(spark, batch(Row(s"n$i", s"2024-04-0$i", 2024, s"w$i")),
+        commitTime = f"c$i"))
+    val merged = t.compactSmallPartitions(spark, 2, 32L << 20)
+    assert(merged == Seq("year=2024"),
+      s"the re-fragmented partition must merge, got $merged")
+    assert(t.read(spark).count() == 8)
+  }
+
   test("unpartitioned table upserts work") {
     val t = freshTable(partitioned = false)
     t.upsert(spark, batch(Row("a", "2024-03-07", 2024, "v1")))
