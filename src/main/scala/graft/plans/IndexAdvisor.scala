@@ -282,8 +282,17 @@ object IndexAdvisor {
           val target = spark.conf
             .getOption("spark.graft.cluster.target.bytes")
             .map(_.toLong).getOrElse(128L << 20)
-          t.cluster(spark, sortCols, target)
-          Some(s"cluster(${sortCols.mkString(",")}) on $path " +
+          // A genuinely multi-dimensional range workload gets a Z-ORDER
+          // layout: a lexicographic (a, b) sort leaves every file
+          // spanning all of b, so only a-probes would skip — Morton
+          // interleaving makes each file a rectangle and BOTH probes
+          // prune (the same argument the repo's own q92/q120 measure).
+          val kind = if (sortCols.length >= 2) {
+            t.clusterZOrder(spark, sortCols, target); "zorder"
+          } else {
+            t.cluster(spark, sortCols, target); "cluster"
+          }
+          Some(s"$kind(${sortCols.mkString(",")}) on $path " +
             s"[${cl.map(_.hits).sum} probes]")
         }
         val cols = (existing ++ st.map(_.column)).distinct

@@ -116,6 +116,31 @@ class IndexAdvisorSpec extends SparkTestBase {
     assert(IndexAdvisor.analyze(spark, Seq(q)).recommendations.isEmpty)
   }
 
+  test("a 2-D range workload draws a Z-ORDER layout; both probes then prune") {
+    val t = mkTable() // unclustered: every file spans both domains
+    t.recordColumnStats(spark, Seq("event_id", "user_id"))
+    def qId = t.read(spark).filter(col("event_id").between(100L, 299L))
+    def qUid = t.read(spark).filter(col("user_id").between(3L, 7L))
+    val (expId, expUid) = (qId.collect().toSet, qUid.collect().toSet)
+    val advice = IndexAdvisor.analyze(spark, Seq(qId, qUid))
+    assert(advice.recommendations.map(r => (r.kind, r.column)).toSet ==
+      Set(("cluster", "event_id"), ("cluster", "user_id")),
+      s"both overlapping columns must draw layout recs, got " +
+        s"${advice.recommendations}")
+    spark.conf.set("spark.graft.cluster.target.bytes", (2L << 10).toString)
+    try {
+      val built = IndexAdvisor.createRecommended(spark, advice)
+      // Lexicographic (a, b) would leave every file spanning all of b —
+      // only a Morton layout serves BOTH range probes.
+      assert(built.exists(_.startsWith("zorder(")), s"$built")
+    } finally spark.conf.unset("spark.graft.cluster.target.bytes")
+    assert(scannedDataFiles(qId).isDefined, "the id probe must prune")
+    assert(scannedDataFiles(qUid).isDefined, "the uid probe must prune")
+    assert(qId.collect().toSet == expId)
+    assert(qUid.collect().toSet == expUid)
+    assert(IndexAdvisor.analyze(spark, Seq(qId, qUid)).recommendations.isEmpty)
+  }
+
   test("a range workload recommends column stats; building them serves it") {
     val t = mkTable()
     // Tight per-file ranges so the served scan genuinely prunes.
