@@ -201,7 +201,8 @@ object SparkEntry {
     "q174_topk_inlist" -> (UpsertOps.topKInListQuery(_, _)),
     "q175_topk_page" -> (UpsertOps.topKPageQuery(_, _)),
     "q176_mor_range_partitioned" -> (UpsertOps.morRangePartitioned(_, _)),
-    "q177_group_topk" -> (UpsertOps.groupTopKQuery(_, _))
+    "q177_group_topk" -> (UpsertOps.groupTopKQuery(_, _)),
+    "q178_vacuum_partition" -> (UpsertOps.vacuumPartitionQuery(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -520,6 +521,10 @@ object SparkEntry {
     "q24_upsert_merge" -> latestPerUserType,
     // file-level bloom-index COW path: same merge contract as q24
     "q105_upsert_bloom" -> latestPerUserType,
+    // partition-selective vacuum: reclaiming superseded versions in one
+    // partition changes nothing observable, so the oracle is the plain
+    // latest-per-key state
+    "q178_vacuum_partition" -> latestPerUserType,
     // pinned snapshot: the post-manifest decoy commit must be invisible,
     // so the read equals the plain two-commit latest state
     "q110_manifest_snapshot" -> latestPerUserType,

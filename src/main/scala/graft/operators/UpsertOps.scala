@@ -1999,6 +1999,27 @@ object UpsertOps {
     outputCols(table.read(s))
   }
 
+  /** Partition-selective VACUUM (q178;
+    * [[graft.table.KeyedTable.vacuumPartitions]]): reclaim superseded
+    * versions in ONE hive partition of a two-commit history table —
+    * the retention service a 100 TB MoR table runs where the
+    * correction traffic lands, leaving every other partition's files
+    * (and travelable history) byte-identical. Sound because the
+    * resolve scope is (key, partition): versions never span
+    * partitions, so the partial resolve picks exactly the winners the
+    * full one would. ≡ latest-per-(user, type) over the whole table —
+    * the oracle; the vacuum changes nothing observable. Write-path
+    * subject: the service runs (and is priced) per invocation over a
+    * template copy, like q155/q157.
+    */
+  def vacuumPartitionQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = freshTwoCommitTable(s, dir, history = true)
+    table.vacuumPartitions(s, Seq("click").toDF("event_type"),
+      commitTime = "c2")
+    outputCols(table.read(s))
+  }
+
   /** Metadata-only partition drop (q157;
     * [[graft.table.KeyedTable.dropPartitions]]): retiring a whole hive
     * partition deletes its directories and records the commit — zero

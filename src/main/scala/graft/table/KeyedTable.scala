@@ -1805,6 +1805,54 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     recordCommit(spark, defaultCommitTime(), "vacuum", pre)
   }
 
+  /** PARTITION-selective vacuum — reclaim superseded versions in ONLY
+    * the named hive partitions, leaving every other partition's files
+    * (and their travelable history) byte-identical: at 100 TB version
+    * debt concentrates where the correction traffic lands, and
+    * [[vacuum]]'s whole-table rewrite is the same scale failure
+    * [[compactPartitions]] exists to avoid. Sound because the resolve
+    * scope is (key, partition columns) on a non-global table — a key's
+    * versions never span partitions, so resolving the named
+    * partitions' rows alone picks exactly the winners the full resolve
+    * would (`globalKeys` tables refuse: their versions DO span
+    * partitions, and a partial resolve could keep a superseded row).
+    * Winner rows rewrite AS-IS (commit times survive, so
+    * [[readIncremental]] stays correct); time travel before the vacuum
+    * point is gone IN THESE PARTITIONS by definition. Same
+    * append-then-drop discipline and writer-supplied scoped commit
+    * record as [[compactPartitionDirs]].
+    */
+  def vacuumPartitions(
+      spark: SparkSession, parts: DataFrame,
+      commitTime: String = defaultCommitTime()): Unit = {
+    notEvolvedGuard(spark, "partition vacuum")
+    require(spec.retainHistory, "vacuum applies to retainHistory tables")
+    require(spec.partitionCols.nonEmpty,
+      "partition vacuum needs a partitioned table; use vacuum()")
+    require(!spec.globalKeys,
+      "partition vacuum is unsound under globalKeys: a key's versions " +
+        "span partitions, so a partial resolve could keep a superseded row")
+    val provided = SchemaEvolution.dropSystemColumns(parts)
+    require(
+      spec.partitionCols.forall(provided.columns.contains),
+      s"partition-vacuum frame must carry ${spec.partitionCols.mkString(", ")}")
+    if (!exists(spark)) return
+    requireFreshCommitId(spark, commitTime)
+    val f = fs(spark)
+    val dirs = collectPartitionTuples(provided).map(partitionDirOf).toSet
+    val pre = relDataFilesUnder(spark, dirs)
+    if (pre.isEmpty) return
+    val winners = resolveLatest(readFilesRaw(spark, pre.toSeq))
+    f.delete(new Path(colStatsDir), true)
+    f.delete(new Path(bloomDir), true)
+    val w = winners.repartition(spec.partitionCols.map(col): _*)
+      .write.mode(SaveMode.Append)
+    w.partitionBy(spec.partitionCols: _*).parquet(spec.path)
+    pre.foreach(r => f.delete(new Path(s"${spec.path}/$r"), false))
+    val newFiles = (relDataFilesUnder(spark, dirs) -- pre).toSeq
+    recordCommitRecord(spark, commitTime, "vacuum", newFiles, pre.toSeq)
+  }
+
   def currentUserSchema(spark: SparkSession): Option[org.apache.spark.sql.types.StructType] =
     if (exists(spark)) Some(read(spark).schema) else None
 

@@ -554,6 +554,48 @@ class KeyedTableSuite extends SparkTestBase {
     assert(t.commits(spark) == Seq("c1"), "survivor keeps its own commit time")
   }
 
+  test("partition-selective vacuum reclaims only the named partitions' versions") {
+    val t = historyTable()
+    // History in BOTH partitions: a updated in 2024, b updated in 2023.
+    t.upsert(spark, batch(
+      Row("a", "2024-03-07", 2024, "v1"),
+      Row("b", "2023-03-07", 2023, "w1")), commitTime = "c0")
+    t.upsert(spark, batch(
+      Row("a", "2024-03-08", 2024, "v2"),
+      Row("b", "2023-03-08", 2023, "w2")), commitTime = "c1")
+    def files(year: Int): Set[String] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten
+          .flatMap(x => if (x.isDirectory) walk(x) else Seq(x))
+      walk(new java.io.File(s"${t.spec.path}/year=$year"))
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    val before = t.read(spark).collect().toSet
+    val clean2023 = files(2023)
+    val asOfC0In2023 = t.readAsOf(spark, "c0")
+      .filter(col("year") === 2023).collect().toSeq
+
+    import spark.implicits._
+    t.vacuumPartitions(spark, Seq(2024).toDF("year"), commitTime = "c2")
+    // The named partition holds only winners; the other keeps its
+    // history byte-identical and stays travelable.
+    assert(t.readRaw(spark).filter(col("year") === 2024).count() == 1,
+      "superseded 2024 version reclaimed")
+    assert(t.readRaw(spark).filter(col("year") === 2023).count() == 2,
+      "the other partition's history survives")
+    assert(files(2023) == clean2023,
+      "the other partition's files stay byte-identical (same names)")
+    assert(t.read(spark).collect().toSet == before)
+    assert(t.readAsOf(spark, "c0").filter(col("year") === 2023)
+      .collect().toSeq == asOfC0In2023,
+      "time travel still works where history survived")
+    // globalKeys tables refuse: a key's versions span partitions.
+    val g = freshTable(global = true).spec.copy(retainHistory = true)
+    intercept[IllegalArgumentException] {
+      KeyedTable(g).vacuumPartitions(spark, Seq(2024).toDF("year"))
+    }
+  }
+
   test("change feed: op markers distinguish first-ever versions from updates; COW refuses") {
     val t = historyTable()
     t.upsert(spark, batch(Row("a", "2024-03-07", 2024, "v1")), commitTime = "c0")
