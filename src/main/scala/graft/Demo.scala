@@ -193,6 +193,45 @@ object Demo {
     println(s"hybrid serve (rollup + delta file only): " +
       graft.plans.PlanWalk.scannedFiles(hybrid).mkString("; "))
 
+    println("=== index-family pushdown, round 14: declarative serves ===")
+    // One clustered + fully-indexed table; every query below is a PLAIN
+    // DataFrame/SQL plan — the optimizer rules swap the scans.
+    val idx = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/events_idx", keyCols = Seq("event_id"),
+      precombineCol = "ts_us", partitionCols = Seq("event_type")))
+    idx.upsert(spark, ev, commitTime = "c0")
+    idx.cluster(spark, Seq("ts_us"), targetFileBytes = 8L << 10)
+    idx.recordColumnStats(spark, Seq("ts_us", "event_id"))
+    def scansOf(df: org.apache.spark.sql.DataFrame): String = {
+      val fs0 = graft.plans.PlanWalk.scannedFiles(df)
+      if (fs0.forall(_.endsWith(".parquet"))) s"${fs0.length} candidate files"
+      else "full scan"
+    }
+    val latest = idx.read(spark)
+      .orderBy(col("ts_us").desc, col("event_id").desc).limit(5)
+    println(s"latest-5 (top-k walk):        ${scansOf(latest)}")
+    val page2 = idx.read(spark)
+      .orderBy(col("ts_us").desc, col("event_id").desc).offset(5).limit(5)
+    println(s"latest page 2 (offset walk):  ${scansOf(page2)}")
+    val perType = idx.read(spark)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+          .orderBy(col("ts_us").desc, col("event_id").desc)))
+      .filter(col("rk") <= 3)
+    println(s"top-3 per type (group walk):  ${scansOf(perType)}")
+    val agg = idx.read(spark).agg(
+      min("ts_us").as("mn"), max("ts_us").as("mx"), count(lit(1)).as("n"))
+    println(s"min/max/count (sidecar fold): ${scansOf(agg)}")
+    agg.show(truncate = false)
+
+    println("=== partition-selective table services ===")
+    val svcBefore = idx.read(spark).count()
+    import spark.implicits._
+    idx.compactPartitions(spark, Seq("click").toDF("event_type"),
+      commitTime = "svc0")
+    println(s"compacted partition click; rows unchanged: " +
+      s"${idx.read(spark).count() == svcBefore}")
+
     println("=== tokenizer prep: top BPE merge candidates ===")
     graft.operators.TextAnalysis.bpePairs(spark, sfDir).show(5, truncate = false)
 
