@@ -471,6 +471,19 @@ class RangeStatsRewriteSpec extends SparkTestBase {
       eventsUs.filter(col("event_id") <= 800)
         .orderBy(col("event_id").desc).limit(20)
         .select("event_id").as[Long].collect().toSeq.drop(10))
+    // Grouped top-k through SQL text — the leaderboard a BI tool emits.
+    val gtopk = spark.sql(
+      "SELECT * FROM (SELECT event_type, event_id, ROW_NUMBER() OVER " +
+        "(PARTITION BY event_type ORDER BY event_id DESC) AS rk " +
+        "FROM graft_sql_idx_t) WHERE rk <= 3")
+    assert(scannedDataFiles(gtopk).isDefined,
+      "SQL grouped top-k must serve")
+    assert(gtopk.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      eventsUs.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+          .orderBy(col("event_id").desc)))
+        .filter(col("rk") <= 3).select("event_type", "event_id")
+        .as[(String, Long)].collect().toSet)
   }
 
   test("stats aggregate declines on MoR (file stats over-count versions)") {
