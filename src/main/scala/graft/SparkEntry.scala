@@ -202,7 +202,8 @@ object SparkEntry {
     "q175_topk_page" -> (UpsertOps.topKPageQuery(_, _)),
     "q176_mor_range_partitioned" -> (UpsertOps.morRangePartitioned(_, _)),
     "q177_group_topk" -> (UpsertOps.groupTopKQuery(_, _)),
-    "q178_vacuum_partition" -> (UpsertOps.vacuumPartitionQuery(_, _))
+    "q178_vacuum_partition" -> (UpsertOps.vacuumPartitionQuery(_, _)),
+    "q179_stats_incremental" -> (UpsertOps.incrementalStatsQuery(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -525,6 +526,19 @@ object SparkEntry {
     // partition changes nothing observable, so the oracle is the plain
     // latest-per-key state
     "q178_vacuum_partition" -> latestPerUserType,
+    // incrementally-maintained column stats: three insert commits each
+    // refresh the sidecar by carrying the cache and scanning only their
+    // own files; the maintained index only changes which files open, so
+    // the oracle is the plain mid-domain range filter over all rows
+    "q179_stats_incremental" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+        |                   event_type, value
+        |            FROM events),
+        |mm AS (SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM ev)
+        |SELECT event_id, user_id, event_type, ts_us, value
+        |FROM ev, mm
+        |WHERE ts_us BETWEEN mn + (mx - mn) // 3
+        |                AND mn + 2 * ((mx - mn) // 3)""".stripMargin,
     // pinned snapshot: the post-manifest decoy commit must be invisible,
     // so the read equals the plain two-commit latest state
     "q110_manifest_snapshot" -> latestPerUserType,

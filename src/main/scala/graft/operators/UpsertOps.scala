@@ -1296,6 +1296,42 @@ object UpsertOps {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** INCREMENTALLY-maintained column stats (q179;
+    * [[graft.table.KeyedTable.recordColumnStats]]'s carry path): the
+    * drip-ingest maintenance loop — three insert commits, each followed
+    * by a stats refresh. The first refresh builds by scan; every later
+    * one carries the retired cache's per-file rows (files are immutable,
+    * so their stats are too) and scans ONLY the commit's own files — at
+    * 100 TB the difference between a per-commit full-table scan and one
+    * proportional to the commit. The maintained sidecar then serves a
+    * declarative mid-domain range read
+    * ([[graft.plans.RangePruneRewrite]]); rows lost or duplicated by a
+    * wrong carry would show immediately. ≡ the plain range filter over
+    * all three commits' rows — the oracle.
+    */
+  def incrementalStatsQuery(s: SparkSession, dir: String): DataFrame = {
+    val (table, lo, hi) = fixtureOnce(dir, "incStats") {
+      val path =
+        Files.createTempDirectory("graft_incst_").toString + "/events_keyed"
+      val t = KeyedTable(KeyedTableSpec(
+        path = path, keyCols = Seq("event_id"), precombineCol = "ts_us",
+        partitionCols = Seq("event_type")))
+      val ev = eventsUs(s, dir)
+        .select("event_id", "ts_us", "user_id", "event_type", "value")
+      (0 until 3).foreach { i =>
+        t.insert(s, ev.filter(col("event_id") % 3 === i), commitTime = s"c$i")
+        t.recordColumnStats(s, Seq("ts_us")) // i > 0: carries, scans c_i only
+      }
+      val Array(b) = ev.agg(min("ts_us"), max("ts_us")).collect()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val span = mx - mn
+      (t, mn + span / 3, mn + 2 * (span / 3))
+    }
+    table.read(s)
+      .filter(col("ts_us") >= lit(lo) && col("ts_us") <= lit(hi))
+      .select("event_id", "user_id", "event_type", "ts_us", "value")
+  }
+
   /** Declarative IN-LIST pruning (q167; [[graft.plans.RangePruneRewrite]]
     * inLists arm): `lang IN ('de','zh')` over a lang-clustered documents
     * table — the multi-point disjunction served from the SAME min/max

@@ -1,10 +1,10 @@
 package graft.table
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, TimestampNTZType, TimestampType}
 
 import graft.schema.SchemaEvolution
 
@@ -557,6 +557,35 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   // underscore keeps data scans from listing it as table data.
   private def colStatsDir = s"${spec.path}/_graft_colstats"
 
+  // Retired column-stats cache: the previous sidecar, moved aside (not
+  // deleted) by the file-set-changing write paths so the NEXT
+  // [[recordColumnStats]] can carry the surviving files' rows and scan
+  // only the files it has never seen. Never read by any serving path —
+  // the exists ⇒ current invariant stays on `colStatsDir` alone.
+  private def staleStatsDir = s"${spec.path}/_graft_colstats_stale"
+
+  /** Retire the column-stats sidecar ahead of a file-set change: move it
+    * to [[staleStatsDir]] (replacing any older cache — the newest covers
+    * the most current files) so the next [[recordColumnStats]] rebuilds
+    * INCREMENTALLY. The serving invariant is untouched: `colStatsDir` is
+    * gone before the data write lands, exactly as the old delete, so a
+    * crash mid-write leaves stale-absent (readers full-scan, correct).
+    * The cache is sound to carry from because a per-file stats row is
+    * immutable — data files are never modified in place, and every write
+    * stamps fresh part-file names, the same file-identity-by-relative-
+    * path assumption the commit records' pre/post listing diffs already
+    * rely on; a carried row is kept only while its file is still listed.
+    * Falls back to a plain delete when the rename fails (cross-FS, race)
+    * — losing the cache only costs the next build a full scan.
+    */
+  private def retireColumnStats(f: FileSystem): Unit = {
+    val cur = new Path(colStatsDir)
+    if (f.exists(cur)) {
+      f.delete(new Path(staleStatsDir), true)
+      if (!f.rename(cur, new Path(staleStatsDir))) f.delete(cur, true)
+    }
+  }
+
   // ---- bloom record-key index (Hudi BLOOM index) -----------------------
   // One row per data file: the SET BIT POSITIONS of a bloom filter over the
   // file's record keys, stored as a sorted int array — a bloom filter
@@ -792,7 +821,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
           .filter(!col("file").isInCollection(cands))
           .write.mode(SaveMode.Overwrite).parquet(tmpIdx.toString)
         f.delete(new Path(bloomDir), true)
-        f.delete(new Path(colStatsDir), true) // appended files: see writeOut
+        retireColumnStats(f) // appended files: see writeOut
 
         // The file-granular path KNOWS its file delta: the append can
         // only create files under the batch's partition dirs plus the
@@ -1351,6 +1380,15 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * ranges are tight and disjoint, so a range predicate selects few
     * files; without clustering the index still answers, it just prunes
     * less.
+    *
+    * Maintenance is INCREMENTAL: file-set-changing writes retire the
+    * sidecar to a cache instead of deleting it ([[retireColumnStats]]),
+    * and this build carries the cache rows whose files are still listed,
+    * scanning ONLY never-seen files — per-commit stats refresh cost is
+    * O(the commit's own files), not O(table), the 100 TB drip-ingest
+    * requirement. Any carry mismatch (different columns, changed types,
+    * unreadable cache) falls back to the full scan; the serving
+    * invariant (exists ⇒ current) is unchanged either way.
     */
   def recordColumnStats(spark: SparkSession, cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "column stats need at least one column")
@@ -1395,40 +1433,99 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     // overflow semantics stay with Spark's own Sum. (FP sums are
     // order-sensitive — never recorded; the aggregate rule declines to
     // a scan.)
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c)).as(s"min_$c"),
-      max(col(c)).as(s"max_$c")) ++
-      sumPartialType(c).map(t =>
-        sum(col(c).cast(t)).as(s"sum_$c")).toSeq :+
-      count(col(c)).as(s"nn_$c")) ++ partAggs :+ count(lit(1)).as("cnt")
-    val perFile = raw
-      .withColumn("file", input_file_name())
-      .groupBy(col("file"))
-      .agg(aggs.head, aggs.tail: _*)
-    // String bounds follow the Iceberg truncation convention so a
-    // pathological long-string column cannot bloat the metadata sidecar:
-    // the stored lower bound is a code-point prefix of the true min
-    // (prefix ≤ min ≤ every value — sound), the stored upper bound is
-    // the prefix with its last incrementable code point incremented
-    // (≥ every value — sound; UTF-8 is prefix-free and order-preserving,
-    // so the byte comparison Spark's filters use agrees). `trunc_<c>`
-    // records whether either stored bound may differ from the exact one:
-    // pruning doesn't care (bounds stay sound), but the stats-aggregate
-    // rule must DECLINE min/max serving on a truncated file — a
-    // truncated bound is not the value the aggregate would return.
     val stringCols = cols.filter(c => dtOf(c).contains(StringType))
-    val statRows = stringCols.foldLeft(perFile) { (df, c) =>
-      df.withColumn(s"trunc_$c",
-          coalesce(length(col(s"min_$c")) > KeyedTable.StatsStringPrefix,
-            lit(false)) ||
-          coalesce(length(col(s"max_$c")) > KeyedTable.StatsStringPrefix,
-            lit(false)))
-        .withColumn(s"min_$c", KeyedTable.truncLowerUdf(col(s"min_$c")))
-        .withColumn(s"max_$c", KeyedTable.truncUpperUdf(col(s"max_$c")))
+    val partCols = spec.partitionCols.filter(raw.columns.contains)
+
+    // The per-file stats pipeline over any raw input frame — the whole
+    // table on a full build, ONLY the never-seen files on an
+    // incremental one.
+    def statsRowsOf(in: DataFrame): DataFrame = {
+      val aggs = cols.flatMap(c => Seq(
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c")) ++
+        sumPartialType(c).map(t =>
+          sum(col(c).cast(t)).as(s"sum_$c")).toSeq :+
+        count(col(c)).as(s"nn_$c")) ++ partAggs :+ count(lit(1)).as("cnt")
+      val perFile = in
+        .withColumn("file", input_file_name())
+        .groupBy(col("file"))
+        .agg(aggs.head, aggs.tail: _*)
+      // String bounds follow the Iceberg truncation convention so a
+      // pathological long-string column cannot bloat the metadata sidecar:
+      // the stored lower bound is a code-point prefix of the true min
+      // (prefix ≤ min ≤ every value — sound), the stored upper bound is
+      // the prefix with its last incrementable code point incremented
+      // (≥ every value — sound; UTF-8 is prefix-free and order-preserving,
+      // so the byte comparison Spark's filters use agrees). `trunc_<c>`
+      // records whether either stored bound may differ from the exact one:
+      // pruning doesn't care (bounds stay sound), but the stats-aggregate
+      // rule must DECLINE min/max serving on a truncated file — a
+      // truncated bound is not the value the aggregate would return.
+      stringCols.foldLeft(perFile) { (df, c) =>
+        df.withColumn(s"trunc_$c",
+            coalesce(length(col(s"min_$c")) > KeyedTable.StatsStringPrefix,
+              lit(false)) ||
+            coalesce(length(col(s"max_$c")) > KeyedTable.StatsStringPrefix,
+              lit(false)))
+          .withColumn(s"min_$c", KeyedTable.truncLowerUdf(col(s"min_$c")))
+          .withColumn(s"max_$c", KeyedTable.truncUpperUdf(col(s"max_$c")))
+      }
     }
-    statRows
+
+    // INCREMENTAL maintenance (Hudi metadata-table col_stats shape): a
+    // per-file stats row is immutable (files are never modified in
+    // place; every write stamps fresh part-file names — the same
+    // identity-by-relative-path the commit records' listing diffs rely
+    // on), so rows of the retired cache ([[retireColumnStats]]) whose
+    // file is STILL LISTED carry over verbatim and only never-seen
+    // files scan. At 100 TB drip ingestion this turns the per-commit
+    // stats refresh from a full-table scan into a scan of the commit's
+    // own files. The cache must match the schema THIS build would
+    // produce (same columns, same types — a different cols request or
+    // a widened column falls back to the full scan); any carry failure
+    // degrades to the full build, never to a wrong sidecar.
+    val f = fs(spark)
+    retireColumnStats(f) // an intact current sidecar is the best cache
+    def carriedPlusNew(): Option[DataFrame] = {
+      if (!f.exists(new Path(staleStatsDir))) return None
+      try {
+        val stale = spark.read.parquet(staleStatsDir)
+        val expected: Map[String, DataType] =
+          (Seq[(String, DataType)]("file" -> StringType, "cnt" -> LongType) ++
+            cols.flatMap(c => Seq(
+              s"min_$c" -> dtOf(c).get, s"max_$c" -> dtOf(c).get,
+              s"nn_$c" -> LongType) ++
+              sumPartialType(c).map(t => s"sum_$c" -> (t: DataType))) ++
+            stringCols.map(c => s"trunc_$c" -> BooleanType) ++
+            partCols.map(pc => s"p_$pc" -> dtOf(pc).get))
+            .map { case (n, t) => n.toLowerCase(java.util.Locale.ROOT) -> t }
+            .toMap
+        val actual = stale.schema
+          .map(fd => fd.name.toLowerCase(java.util.Locale.ROOT) -> fd.dataType)
+          .toMap
+        if (actual != expected) return None
+        val rootPrefix =
+          f.makeQualified(new Path(spec.path)).toUri.getPath + "/"
+        def relOf(abs: String): String =
+          new Path(abs).toUri.getPath.stripPrefix(rootPrefix)
+        val currentRel = relDataFiles(spark)
+        val staleFiles = KeyedTable.withMetaConf(spark)(
+          stale.select("file").collect().map(_.getString(0)).toSeq)
+        // Set-closure filter, never an IN list: both sides are
+        // file-count-sized, which at 100 TB is 10^5–10^6 entries.
+        val keepAbs = staleFiles.filter(a => currentRel.contains(relOf(a))).toSet
+        val keepU = udf((s: String) => keepAbs.contains(s))
+        val carried = stale.filter(keepU(col("file")))
+        val newRel = (currentRel -- staleFiles.map(relOf)).toSeq.sorted
+        Some(
+          if (newRel.isEmpty) carried
+          else carried.unionByName(statsRowsOf(readFilesRaw(spark, newRel))))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    carriedPlusNew().getOrElse(statsRowsOf(raw))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(colStatsDir)
+    f.delete(new Path(staleStatsDir), true)
     KeyedTable.mutationTick.incrementAndGet()
   }
 
@@ -1843,7 +1940,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     val pre = relDataFilesUnder(spark, dirs)
     if (pre.isEmpty) return
     val winners = resolveLatest(readFilesRaw(spark, pre.toSeq))
-    f.delete(new Path(colStatsDir), true)
+    retireColumnStats(f)
     f.delete(new Path(bloomDir), true)
     val w = winners.repartition(spec.partitionCols.map(col): _*)
       .write.mode(SaveMode.Append)
@@ -1937,7 +2034,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     // File set changes: the value-stats and bloom sidecars go
     // stale-absent (see writeOut); the RLI settles this commit through
     // the commit→files delta.
-    f.delete(new Path(colStatsDir), true)
+    retireColumnStats(f)
     f.delete(new Path(bloomDir), true)
     val w = rows.repartition(spec.partitionCols.map(col): _*)
       .write.mode(SaveMode.Append)
@@ -2273,7 +2370,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     val (gen, cols) = gens.last
     // file-set change: same stale-absent rule as writeOut
     val f = fs(spark)
-    f.delete(new Path(colStatsDir), true)
+    retireColumnStats(f)
     f.delete(new Path(bloomDir), true)
     val stamped = withMetaLayout(deduped, commitTime, cols)
     val w = stamped.write.mode(SaveMode.Append)
@@ -2701,13 +2798,15 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   private def writeOut(df: DataFrame, mode: SaveMode): Unit = {
     // Every data write invalidates the column-stats index: appended files
     // would be invisible to the prune (silent false negatives) and
-    // overwritten files would 404 it. Deleted BEFORE the data lands — a
-    // crash between the two steps then leaves stale-absent (readers full
-    // scan, correct) rather than stale-present (readers silently skip the
-    // new files — the one wrong state). Readers fall back to a full scan
-    // until recordColumnStats runs again. (Full rewrites via rewriteViaTmp
-    // drop the sidecar with the directory.)
-    fs(df.sparkSession).delete(new Path(colStatsDir), true)
+    // overwritten files would 404 it. RETIRED (moved aside, see
+    // retireColumnStats) BEFORE the data lands — a crash between the two
+    // steps then leaves stale-absent (readers full scan, correct) rather
+    // than stale-present (readers silently skip the new files — the one
+    // wrong state). Readers fall back to a full scan until
+    // recordColumnStats runs again; the retired cache makes that run
+    // scan only the files this write creates. (Full rewrites via
+    // rewriteViaTmp drop sidecar and cache with the directory.)
+    retireColumnStats(fs(df.sparkSession))
     // The bloom record-key index has the same stale-absent rule: files
     // appended or rewritten outside the bloom path would be invisible to
     // the probe (silent missed merges — the one wrong state) or dangle
@@ -3012,7 +3111,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         survivors.write.mode(SaveMode.Overwrite)
           .partitionBy(spec.partitionCols: _*).parquet(spec.path)
         deletePartitionDirs(spark, stale)
-        fs(spark).delete(new Path(colStatsDir), true) // see writeOut
+        retireColumnStats(fs(spark)) // see writeOut
         fs(spark).delete(new Path(bloomDir), true)    // see writeOut
       } finally affected.unpersist()
       recordCommitScoped(spark, defaultCommitTime(), "delete", preScoped, dirs)
@@ -3050,7 +3149,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     val dirs = collectPartitionTuples(provided).map(partitionDirOf).toSet
     val pre = relDataFilesUnder(spark, dirs)
     if (pre.isEmpty) return // nothing stored under these partitions
-    f.delete(new Path(colStatsDir), true) // see writeOut
+    retireColumnStats(f) // see writeOut
     f.delete(new Path(bloomDir), true)    // see writeOut
     dirs.foreach(d => f.delete(new Path(s"${spec.path}/$d"), true))
     recordCommitScoped(spark, commitTime, "delete", pre, dirs)
@@ -3100,7 +3199,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         // File set changes: the value-stats and bloom sidecars go
         // stale-absent (see writeOut); the RLI tolerates this commit's
         // record through the commit→files delta.
-        f.delete(new Path(colStatsDir), true)
+        retireColumnStats(f)
         f.delete(new Path(bloomDir), true)
         val candDirs = rel.map { r =>
           val i = r.lastIndexOf('/'); if (i < 0) "" else r.substring(0, i)

@@ -116,6 +116,96 @@ class ClusteringSpec extends SparkTestBase {
       "stale stats must not hide freshly written rows")
   }
 
+  test("incremental stats refresh ≡ full rebuild across append and merge commits") {
+    val path = Files.createTempDirectory("graft_incstats_").toString + "/t"
+    val t = KeyedTable(KeyedTableSpec(
+      path, keyCols = Seq("user_id"), precombineCol = "ts_us",
+      tiebreakCols = Seq("event_id"), partitionCols = Seq("event_type")))
+    val ev = events()
+    t.upsert(spark, ev.filter(col("event_id") % 3 === 0), commitTime = "c0")
+    t.recordColumnStats(spark, Seq("ts_us"))
+    // an append AND a merge (the merge replaces touched-partition files,
+    // whose cached rows must drop out of the carry)
+    t.insert(spark,
+      ev.filter(col("event_id") % 3 === 1)
+        .withColumn("event_id", col("event_id") + 2000000L),
+      commitTime = "c1")
+    t.upsert(spark, ev.filter(col("event_id") % 3 === 2), commitTime = "c2")
+    t.recordColumnStats(spark, Seq("ts_us")) // incremental: carries the cache
+    def sidecarRows() = spark.read.parquet(s"$path/_graft_colstats")
+      .collect().map(_.toString).sorted.toSeq
+    val incremental = sidecarRows()
+    // force the full path: no sidecar, no cache left to carry from
+    val f = new org.apache.hadoop.fs.Path(s"$path/_graft_colstats")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(s"$path/_graft_colstats"), true)
+    t.recordColumnStats(spark, Seq("ts_us"))
+    assert(incremental == sidecarRows(),
+      "incremental refresh must produce exactly the full rebuild's sidecar")
+    // and the incrementally-maintained index still prunes exactly
+    val Array(b) = t.read(spark).agg(min("ts_us"), max("ts_us")).collect()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val lo = mn + (mx - mn) / 3
+    val hi = mn + 2 * ((mx - mn) / 3)
+    val pruned = t.readPruned(spark, "ts_us", lo, hi)
+      .select("user_id", "event_id", "ts_us").collect().toSet
+    val full = t.read(spark).filter(col("ts_us").between(lo, hi))
+      .select("user_id", "event_id", "ts_us").collect().toSet
+    assert(pruned == full)
+  }
+
+  test("incremental stats carry, not rescan: poisoned cache rows survive verbatim") {
+    val path = Files.createTempDirectory("graft_incstats_poison_").toString + "/t"
+    val t = KeyedTable(KeyedTableSpec(
+      path, keyCols = Seq("user_id"), precombineCol = "ts_us",
+      tiebreakCols = Seq("event_id"), partitionCols = Seq("event_type")))
+    val ev = events()
+    t.upsert(spark, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    t.recordColumnStats(spark, Seq("ts_us"))
+    // a pure append retires the sidecar to the stale cache (old files all
+    // survive, so every cached row is carriable)
+    t.insert(spark,
+      ev.filter(col("event_id") % 2 === 1)
+        .withColumn("event_id", col("event_id") + 2000000L),
+      commitTime = "c1")
+    val stalePath = s"$path/_graft_colstats_stale"
+    assert(new java.io.File(stalePath).exists(),
+      "a write must retire the sidecar to the cache, not delete it")
+    // poison every cached min: if the refresh rescans old files the real
+    // value comes back; if it carries, the sentinel survives — the proof
+    // that refresh cost is O(new files)
+    val st = spark.read.parquet(stalePath)
+    val schema = st.schema
+    val cached = st.collect().toSeq
+    val mi = schema.fieldIndex("min_ts_us")
+    val sentinel = -424242L
+    val poisoned = cached.map(r =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(mi, sentinel)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(poisoned, 1), schema)
+      .coalesce(1).write.mode("overwrite").parquet(stalePath)
+    t.recordColumnStats(spark, Seq("ts_us"))
+    val side = spark.read.parquet(s"$path/_graft_colstats")
+    val carried = side.filter(col("min_ts_us") === sentinel).count()
+    val fresh = side.filter(col("min_ts_us") =!= sentinel).count()
+    assert(carried == cached.size,
+      s"expected all ${cached.size} cached rows carried, got $carried")
+    assert(fresh > 0, "the appended files must get freshly scanned stats")
+    assert(!new java.io.File(stalePath).exists(),
+      "a successful build consumes the cache")
+    // a DIFFERENT cols request cannot use the cache: full rebuild, no
+    // sentinel anywhere (value joins ts_us in the sidecar)
+    t.insert(spark,
+      ev.filter(col("event_id") % 2 === 1)
+        .withColumn("event_id", col("event_id") + 4000000L),
+      commitTime = "c2")
+    t.recordColumnStats(spark, Seq("ts_us", "value"))
+    val rebuilt = spark.read.parquet(s"$path/_graft_colstats")
+    assert(rebuilt.filter(col("min_ts_us") === sentinel).count() == 0,
+      "a cols change must fall back to the full scan")
+    assert(rebuilt.columns.contains("min_value"))
+  }
+
   test("readPruned without an index falls back to a full scan; history tables refuse") {
     val t = freshTable()
     t.upsert(spark, events(), commitTime = "c0")
