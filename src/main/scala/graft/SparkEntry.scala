@@ -203,7 +203,12 @@ object SparkEntry {
     "q176_mor_range_partitioned" -> (UpsertOps.morRangePartitioned(_, _)),
     "q177_group_topk" -> (UpsertOps.groupTopKQuery(_, _)),
     "q178_vacuum_partition" -> (UpsertOps.vacuumPartitionQuery(_, _)),
-    "q179_stats_incremental" -> (UpsertOps.incrementalStatsQuery(_, _))
+    "q179_stats_incremental" -> (UpsertOps.incrementalStatsQuery(_, _)),
+    "q180_group_clustered_agg" -> (UpsertOps.groupByClusteredAgg(_, _)),
+    "q181_distinct_partitions" -> (UpsertOps.distinctPartitionsQuery(_, _)),
+    "q182_distinct_clustered" -> (UpsertOps.distinctClusteredQuery(_, _)),
+    "q183_avg_stats" -> (UpsertOps.avgStatsQuery(_, _)),
+    "q184_mor_live_count" -> (UpsertOps.morLiveCount(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1176,6 +1181,40 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents WHERE lang IN ('de', 'zh', 'en')""".stripMargin,
+    // data-column grouped hybrid: single-valued files fold into their
+    // group from the sidecar, boundary files scan and the combine
+    // re-folds — only which files open changes, so the oracle is the
+    // plain grouped aggregate
+    "q180_group_clustered_agg" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+    // DISTINCT over a partition column: answered from the sidecar's
+    // per-file partition tuples, zero data files opened
+    "q181_distinct_partitions" ->
+      "SELECT DISTINCT event_type FROM events",
+    // DISTINCT over a clustered data column: the hybrid no-aggregate
+    // arm — single-valued files contribute their value, boundaries scan
+    "q182_distinct_clustered" ->
+      "SELECT DISTINCT lang FROM documents",
+    // avg from the stats sidecar: exact sum + count folds, the division
+    // evaluated through Spark's own Average expression; integral avgs
+    // are exact on both engines (same-sign totals < 2^53 make every
+    // double accumulation exact), so the doubles hash-match
+    "q183_avg_stats" ->
+      """SELECT event_type, avg(event_id) AS avg_id,
+        |       avg(user_id) AS avg_uid, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    // MoR live count from the record-level index: the stale-index +
+    // delta reconciliation only changes how the count is computed —
+    // the answer is the latest-per-(key, partition) cardinality, and
+    // the c1 corrections re-land existing (user, type) scopes, so the
+    // live set is exactly the c0 half's distinct scopes
+    "q184_mor_live_count" ->
+      """SELECT count(*) AS n_live FROM (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |  WHERE event_id % 2 = 0)""".stripMargin,
     // compaction advisor: the layout service only changes file sizing,
     // so the oracle is the plain projection
     "q166_compact_advisor" ->

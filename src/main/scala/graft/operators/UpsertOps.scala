@@ -1374,6 +1374,76 @@ object UpsertOps {
         max(col("n_chars")).as("max_chars"))
   }
 
+  /** Data-column GROUPED hybrid aggregate (q180;
+    * [[graft.plans.StatsAggregateRewrite]]'s data-group arm): the
+    * per-language corpus rollup — `GROUP BY lang` over the
+    * lang-clustered documents table, where lang is a DATA column (no
+    * hive partitioning at all). Files SINGLE-VALUED in lang
+    * (min = max ∧ nn = cnt — the interior of every clustered run) fold
+    * into their group straight from the sidecar; only the run-boundary
+    * files scan, and the combine re-folds per group. At 100 TB the
+    * every-language accounting rollup opens O(#languages) boundary
+    * files instead of the whole corpus — without paying the partition
+    * tax for a low-cardinality column. ≡ the plain grouped aggregate —
+    * the oracle.
+    */
+  def groupByClusteredAgg(s: SparkSession, dir: String): DataFrame = {
+    val table = inListDocsFixture(s, dir)
+    table.read(s)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+  }
+
+  /** avg served from the stats sidecar (q183;
+    * [[graft.plans.StatsAggregateRewrite]]'s AvgOf arm): the per-type
+    * traffic profile — `GROUP BY event_type, avg(event_id),
+    * avg(user_id), count(*)` answered entirely from the sidecar's exact
+    * sum + count folds, the final division evaluated through Spark's
+    * own Average expression so result type and rounding match the scan
+    * bit-for-bit; per-group exactness guards (same-sign, < 2^53) are
+    * proven from the folded min/max before serving. At 100 TB the
+    * dashboard means-query is a metadata read. ≡ the plain grouped
+    * avg — the oracle.
+    */
+  def avgStatsQuery(s: SparkSession, dir: String): DataFrame = {
+    val table = statsAggFixture(s, dir)
+    table.read(s)
+      .groupBy(col("event_type"))
+      .agg(
+        avg(col("event_id")).as("avg_id"),
+        avg(col("user_id")).as("avg_uid"),
+        count(lit(1)).as("n"))
+  }
+
+  /** DISTINCT over a partition column (q181;
+    * [[graft.plans.StatsAggregateRewrite]]'s no-aggregate arm):
+    * `SELECT DISTINCT event_type` over a hive-partitioned keyed table
+    * is answered from the sidecar's per-file partition tuples with ZERO
+    * data files opened — the relational SHOW PARTITIONS, which at
+    * 100 TB is the difference between a metadata read and scanning
+    * every partition to list its own name. ≡ the plain distinct — the
+    * oracle.
+    */
+  def distinctPartitionsQuery(s: SparkSession, dir: String): DataFrame = {
+    val table = statsAggFixture(s, dir)
+    table.read(s).select("event_type").distinct()
+  }
+
+  /** DISTINCT over a clustered DATA column (q182; the hybrid
+    * no-aggregate arm): `SELECT DISTINCT lang` over the lang-clustered
+    * documents table — single-valued files contribute their one value
+    * from the sidecar, boundary files scan, the combine de-duplicates.
+    * ≡ the plain distinct — the oracle.
+    */
+  def distinctClusteredQuery(s: SparkSession, dir: String): DataFrame = {
+    val table = inListDocsFixture(s, dir)
+    table.read(s).select("lang").distinct()
+  }
+
   /** IN-composed top-k (q174; [[graft.plans.TopKPruneRewrite]] with an
     * IN conjunct): "longest N docs in these languages" — the IN's FULL
     * files are the clustered language runs' single-valued files (the
@@ -1622,9 +1692,26 @@ object UpsertOps {
         col("ts_us") >= lo && col("ts_us") <= mx))
   }
 
+  /** Live count of a merge-on-read table served from the record-level
+    * index (q184; [[graft.plans.StatsAggregateRewrite]]'s MoR count
+    * arm): `SELECT count(*)` over the RESOLVED read — the first sanity
+    * query every table gets — answered from the RLI's one-entry-per-
+    * live-scope contract instead of a full scan + per-key resolve
+    * window. The fixture's index is STALE (built at c0; c1's
+    * corrections landed after), so the serve must reconcile through the
+    * commit→files delta: moved versions must not double-count. At
+    * 100 TB this reads the key/file index, never the data. ≡ the
+    * latest-per-(key, partition) count — the oracle.
+    */
+  def morLiveCount(s: SparkSession, dir: String): DataFrame = {
+    val (table, _, _) = morRangeFixture(s, dir)
+    table.read(s).agg(count(lit(1)).as("n_live"))
+  }
+
   /** Shared by q159 (API-level MoR range), q170 (declarative MoR
-    * range) and q176 (partition-composed): the two-commit history table
-    * with the out-of-range correction trap, RLI, and all-version ts_us
+    * range), q176 (partition-composed) and q184 (live count): the
+    * two-commit history table with the out-of-range correction trap,
+    * RLI (stale — built between the commits), and all-version ts_us
     * stats — immutable once built. Returns (table, original-domain
     * min, max).
     */

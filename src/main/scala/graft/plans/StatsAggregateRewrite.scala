@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Union, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
@@ -49,14 +49,25 @@ import graft.table.KeyedTable
   * [[KeyedTable.statsOrderedType]], matching what
   * [[KeyedTable.recordColumnStats]] records; string bounds must
   * additionally be stored untruncated — see the serve-time guard),
-  * `sum(col)` (INTEGRAL columns only — the one type whose per-file sums
-  * fold bit-exactly), `count(*)`/`count(1)` (served from per-file
-  * `cnt`), or `count(col)` (served from `nn_<col>`); no DISTINCT, no
-  * FILTER clauses. Any other
+  * `sum(col)` (integral or decimal — the exactly-summable types, folded
+  * from the exact widened partials), `count(*)`/`count(1)` (served from
+  * per-file `cnt`), `count(col)` (served from `nn_<col>`), or
+  * `avg(col)` (integral/decimal; sum + count folds with the final
+  * division evaluated through the plan's own Average expression —
+  * metadata-only serve, value-dependent exactness guards, see
+  * [[avgValue]]); no DISTINCT, no FILTER clauses. Any other
   * aggregate declines the whole node — partial serving would still
   * scan. Group counts beyond [[StatsAggregateRewrite.MaxGroups]]
   * decline (a LocalRelation is driver-resident; a group explosion
   * belongs in a real scan).
+  *
+  * Grouping admits PARTITION columns (whole files per group, any type)
+  * and ordered-stats DATA columns (per-file single-valued test — forces
+  * the hybrid serve: interior files of a clustered run fold, boundary
+  * files scan; `GROUP BY lang` over a lang-clustered corpus). A
+  * no-aggregate node — `SELECT DISTINCT day` — serves too: over
+  * partition columns it is a pure metadata read of the sidecar's
+  * partition tuples, over clustered data columns the hybrid distinct.
   *
   * Soundness: non-resolving (plain copy-on-write) tables only — on a
   * `retainHistory` table stored rows are versions, so file stats
@@ -106,6 +117,7 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private case class MinOf(column: String, t: DataType) extends Need
   private case class MaxOf(column: String, t: DataType) extends Need
   private case class SumOf(column: String, t: DataType) extends Need
+  private case class AvgOf(column: String, t: DataType) extends Need
   private case object CountAll extends Need
   private case class CountCol(column: String) extends Need
 
@@ -117,10 +129,18 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private final case class AggMatch(
       a: Aggregate, spec: graft.table.KeyedTableSpec, needs: Seq[Need],
-      groupAttrs: Seq[Attribute], partFilters: Seq[PartFilter],
+      groupAttrs: Seq[Attribute], groupIsPart: Seq[Boolean],
+      partFilters: Seq[PartFilter],
       ranges: Seq[graft.table.ColumnRange], notNull: Seq[String],
       inLists: Seq[(String, Seq[Any])],
-      lr: LogicalRelation, fsRel: HadoopFsRelation, root: String)
+      lr: LogicalRelation, fsRel: HadoopFsRelation, root: String) {
+    /** Grouping columns that are DATA columns (classified per file by
+      * the single-valued test), not partition columns (whole files by
+      * layout). Their presence forces the hybrid serve.
+      */
+    def dataGroupCols: Seq[String] =
+      groupAttrs.zip(groupIsPart).collect { case (at, false) => at.name }
+  }
 
   /** Every servable-aggregate shape in `plan`, as (table spec, the data
     * columns needing recorded stats) — shared with [[IndexAdvisor]], so
@@ -135,6 +155,16 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (KeyedTable.specRegistry.isEmpty) Nil
     else plan.collect { case ag: Aggregate =>
       (try matchAgg(ag) catch { case scala.util.control.NonFatal(_) => None })
+        // Data-column-grouped and avg shapes are deliberately NOT
+        // advisor wants: a stats build serves a data grouping only when
+        // files are single-valued in the group column (a LAYOUT
+        // property clustering decides) and serves an avg only when the
+        // totals pass the value-dependent exactness guards — in either
+        // case the static shape cannot promise the build will serve, so
+        // a recommendation could never settle (the build lands, the
+        // serve still declines).
+        .filter(m => m.dataGroupCols.isEmpty &&
+          !m.needs.exists(_.isInstanceOf[AvgOf]))
         .map { m =>
           (m.spec, (m.needs.collect {
             case MinOf(c, _) => c
@@ -156,7 +186,76 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         m.partFilters.toVector, m.ranges.toVector, m.notNull.toVector,
         m.inLists.map { case (c, vs) => (c, vs.toVector) }.toVector)
       memo.gated(key)(serveAgg(m))
+    }.orElse(serveMorCount(a))
+
+  /** `count(*)` over a history table's RESOLVED read, served from the
+    * record-level index: the index stores one entry per live resolve
+    * scope, so the live count is the (delta-reconciled) index count —
+    * [[KeyedTable.resolvedCount]] — and the matched Aggregate becomes a
+    * LocalRelation. On a 100 TB merge-on-read table "how many live
+    * rows" otherwise costs a full scan PLUS the per-key resolve window;
+    * through the index it reads key/file entries only. The match
+    * requires the exact shared resolve shape ([[MvPlanShape.resolveRnOf]]
+    * + the rn = 1 conjunct ABOVE the window, nothing else below or
+    * beside it) on a registered `retainHistory` table, and every output
+    * to be an undistinct, unfiltered `count(*)`/`count(1)`.
+    */
+  private def serveMorCount(a: Aggregate): Option[LogicalPlan] = {
+    if (a.groupingExpressions.nonEmpty || a.aggregateExpressions.isEmpty)
+      return None
+    val allCountStar = a.aggregateExpressions.forall {
+      case Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(Literal(v, _))) if v != null => true
+          case _ => false
+        }
+      case _ => false
     }
+    if (!allCountStar) return None
+    val conds = mutable.Buffer.empty[(Expression, Int)]
+    val windows = mutable.Buffer.empty[Window]
+    val renames = mutable.Map.empty[ExprId, Expression]
+    val rels = mutable.Buffer.empty[LogicalRelation]
+    val pairs = mutable.Buffer.empty[(Attribute, Attribute)]
+    if (!MvPlanShape.strip(a.child, conds, windows, renames, rels, pairs))
+      return None
+    if (pairs.nonEmpty || rels.length != 1) return None
+    val fsRel = rels.head.relation match {
+      case h: HadoopFsRelation => h
+      case _ => return None
+    }
+    val root = fsRel.location.rootPaths match {
+      case Seq(one) => one.toString
+      case _ => return None
+    }
+    val spec = Option(KeyedTable.specRegistry.get(root)).getOrElse(return None)
+    if (!spec.retainHistory) return None
+    val rn = windows.toSeq match {
+      case Seq(w) => MvPlanShape.resolveRnOf(w, spec).getOrElse(return None)
+      case _ => return None
+    }
+    val split = conds.toSeq.flatMap { case (c, d) =>
+      MvPlanShape.splitConjunction(c).map(e => (e, d))
+    }
+    val (rnConds, rest) =
+      split.partition(p => MvPlanShape.isRnEqOne(p._1, rn))
+    // The rn = 1 conjunct must sit ABOVE the window (depth 0) and be
+    // the ONLY predicate anywhere: any other conjunct filters the
+    // resolved state (or worse, versions below the resolve) and the
+    // index count would over-count.
+    if (rnConds.map(_._2) != Seq(0) || rest.nonEmpty) return None
+    memo.gated(("morCount", spec.path)) {
+      KeyedTable(spec).resolvedCount(spark).map { n =>
+        logInfo(s"stats-aggregate rewrite: ${spec.path} resolved count " +
+          s"served from the record-level index ($n live rows, no scan)")
+        LocalRelation(
+          a.output,
+          IndexedSeq(InternalRow.fromSeq(a.aggregateExpressions.map(_ => n))),
+          false)
+      }
+    }
+  }
 
   private def matchAgg(a: Aggregate): Option[AggMatch] = {
     if (a.aggregateExpressions.isEmpty) return None
@@ -188,12 +287,22 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
-    // Grouping: every expression must be a partition-column attribute.
+    // Grouping: every expression must be an attribute that is either a
+    // PARTITION column (whole files carry one tuple — the sidecar's
+    // per-file constant groups exactly, any type) or an ordered-stats
+    // DATA column (a file single-valued in it — min = max ∧ nn = cnt —
+    // belongs wholly to that group; multi-valued and null-carrying
+    // files scan as boundaries, which forces the hybrid serve). The
+    // clustered-rollup shape: `GROUP BY lang` over a lang-clustered
+    // corpus folds every interior run file from metadata.
     val partCols = spec.partitionCols.map(lower).toSet
     val groupAttrs: Seq[Attribute] = a.groupingExpressions.map { e =>
-      relAttrOf(e).filter(at => partCols.contains(lower(at.name)))
+      relAttrOf(e).filter(at => partCols.contains(lower(at.name)) ||
+          KeyedTable.statsOrderedType(at.dataType))
         .getOrElse(return None)
     }
+    val groupIsPart: Seq[Boolean] =
+      groupAttrs.map(at => partCols.contains(lower(at.name)))
 
     // Filters: every conjunct must be a literal point predicate (or the
     // optimizer's inferred isnotnull) on a PARTITION column — partition
@@ -226,9 +335,9 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val ex = RangeConjuncts.extract(restConds, relAttrOrdered)
     if (ex.other.nonEmpty || ex.nullPreds.exists(_._2)) return None
     val notNull = ex.nullPreds.map(_._1)
-    // Grouped hybrid rides the same machinery: grouping is already
-    // constrained to PARTITION columns above, the full-file fold groups
-    // by the sidecar's per-file partition tuple, and the boundary
+    // Grouped hybrid rides the same machinery: partition groups fold by
+    // the sidecar's per-file partition tuple, data-column groups by the
+    // file's single value (FULL ⇒ min = max), and the boundary
     // Aggregate keeps the original grouping — no extra admission check.
     val groupIdx: Map[ExprId, Int] =
       groupAttrs.zipWithIndex.map { case (at, i) => at.exprId -> i }.toMap
@@ -267,6 +376,21 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             relAttrOf(s.child).filter(at => integral(at.dataType) ||
                 at.dataType.isInstanceOf[DecimalType])
               .map(at => SumOf(at.name, at.dataType)).getOrElse(return None)
+          // Average serves from the SAME exact partials as Sum plus the
+          // per-file counts, with the final division evaluated through
+          // Spark's own Average.evaluateExpression (bound to the folded
+          // totals) so result type and rounding match the scan
+          // bit-for-bit. Exactness guards live at serve time: decimal
+          // totals must fit Average's own sum-buffer type, integral
+          // totals must be same-sign and < 2^53 so Spark's
+          // order-sensitive DOUBLE accumulation was provably exact
+          // (every partial is a subset sum bounded by the total).
+          // METADATA-ONLY serve only: through the hybrid union an avg
+          // would need sum+count partials per side — declined there.
+          case av: Average =>
+            relAttrOf(av.child).filter(at => integral(at.dataType) ||
+                at.dataType.isInstanceOf[DecimalType])
+              .map(at => AvgOf(at.name, at.dataType)).getOrElse(return None)
           case Count(Seq(Literal(v, _))) if v != null => CountAll
           case Count(Seq(e)) =>
             relAttrOf(e).map(at => CountCol(at.name)).getOrElse(return None)
@@ -276,12 +400,13 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     Some(AggMatch(
-      a, spec, needs, groupAttrs, partFilters, ex.ranges, notNull,
-      ex.inLists, lr, fsRel, root))
+      a, spec, needs, groupAttrs, groupIsPart, partFilters, ex.ranges,
+      notNull, ex.inLists, lr, fsRel, root))
   }
 
   private def serveAgg(m: AggMatch): Option[LogicalPlan] =
-    if (m.ranges.isEmpty && m.notNull.isEmpty && m.inLists.isEmpty)
+    if (m.ranges.isEmpty && m.notNull.isEmpty && m.inLists.isEmpty &&
+        m.dataGroupCols.isEmpty)
       serveWhole(m)
     else serveHybrid(m)
 
@@ -290,8 +415,9 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * contributes all its rows).
     */
   private def serveWhole(m: AggMatch): Option[LogicalPlan] = {
-    val AggMatch(a, spec, needs, groupAttrs, partFilters,
+    val AggMatch(a, spec, needs, groupAttrs, _, partFilters,
       _, _, _, _, _, _) = m
+    if (m.dataGroupCols.nonEmpty) return None // hybrid's shape (routing)
     val table = KeyedTable(spec)
     table.colStatsFrame(spark).flatMap { st =>
       // Sidecar columns are named with the column string passed to
@@ -308,19 +434,29 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       if (filterStatCols.exists(_.isEmpty)) return None
       val stSel = PartitionConjuncts.select(
         st, partFilters.zip(filterStatCols.map(_.get)))
-      val folds: Seq[Option[org.apache.spark.sql.Column]] = needs.collect {
-        case MinOf(c, _) => statCol("min", c).map(s => min(col(s)))
-        case MaxOf(c, _) => statCol("max", c).map(s => max(col(s)))
+      // Per-need fold columns; arity varies (avg folds FOUR: the exact
+      // sum, the non-null count, and the min/max its integral-exactness
+      // guard reads), so each need owns a SLICE of the fold row.
+      val folds: Seq[Option[Seq[org.apache.spark.sql.Column]]] = needs.map {
+        case _: GroupOf  => Some(Seq.empty)
+        case MinOf(c, _) => statCol("min", c).map(s => Seq(min(col(s))))
+        case MaxOf(c, _) => statCol("max", c).map(s => Seq(max(col(s))))
         // Decimal fold: exact for both sidecar generations (new decimal
         // partials directly; old long partials widen losslessly), and
         // never overflows where an ANSI Sum would throw — the narrowing
         // back to the aggregate's own result type declines instead
         // (sumToLong / sumToDecimal).
         case SumOf(c, t) =>
-          statCol("sum", c).map(s => sum(col(s).cast(partialDecimal(t))))
+          statCol("sum", c).map(s => Seq(sum(col(s).cast(partialDecimal(t)))))
+        case AvgOf(c, t) =>
+          for {
+            s <- statCol("sum", c); n <- statCol("nn", c)
+            mn <- statCol("min", c); mx <- statCol("max", c)
+          } yield Seq(sum(col(s).cast(partialDecimal(t))), sum(col(n)),
+            min(col(mn)), max(col(mx)))
         case CountAll =>
-          if (st.columns.contains("cnt")) Some(sum(col("cnt"))) else None
-        case CountCol(c) => statCol("nn", c).map(s => sum(col(s)))
+          if (st.columns.contains("cnt")) Some(Seq(sum(col("cnt")))) else None
+        case CountCol(c) => statCol("nn", c).map(s => Seq(sum(col(s))))
       }
       // String min/max serve only from EXACT stored bounds: any selected
       // file whose bounds were truncated (`trunc_<col>` — the Iceberg
@@ -335,13 +471,27 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       if (folds.exists(_.isEmpty) || groupStatCols.exists(_.isEmpty) ||
           guardCols.exists(_.isEmpty)) None
       else {
-        val valueExprs = folds.flatten.zipWithIndex
+        val slices = folds.map(_.get)
+        // Need i's fold slice starts at nGroups + offsets(i).
+        val offsets = slices.scanLeft(0)(_ + _.length)
+        val valueExprs = slices.flatten.zipWithIndex
           .map { case (c, i) => c.as(s"v$i") }
         val guardExprs = guardCols.flatten.zipWithIndex
           .map { case (g, i) => max(col(g)).as(s"g$i") }
         val exprs = valueExprs ++ guardExprs
         val folded =
-          if (groupStatCols.isEmpty) stSel.agg(exprs.head, exprs.tail: _*)
+          if (exprs.isEmpty) {
+            // Pure DISTINCT over partition columns (no aggregate
+            // functions at all): the sidecar's per-file partition
+            // tuples ARE the answer — `SELECT DISTINCT day FROM t` is
+            // a metadata read, the relational SHOW PARTITIONS. The
+            // cnt > 0 guard keeps a zero-row straggler file from
+            // minting a partition value no row carries.
+            if (!st.columns.contains("cnt")) return None
+            stSel.filter(col("cnt") > 0)
+              .select(groupStatCols.flatten.map(col): _*).distinct()
+          }
+          else if (groupStatCols.isEmpty) stSel.agg(exprs.head, exprs.tail: _*)
           else stSel.groupBy(groupStatCols.flatten.map(col): _*)
             .agg(exprs.head, exprs.tail: _*)
         val rows = KeyedTable.withMetaConf(spark)(
@@ -358,33 +508,36 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val nGroups = groupStatCols.length
         val toCatalyst = groupAttrs.map(at =>
           CatalystTypeConverters.createToCatalystConverter(at.dataType))
-        // Agg needs read the fold row at nGroups + their own position
-        // among agg needs (needs order = output order; group needs read
-        // their grouping slot).
-        val aggPos: Map[Int, Int] = {
-          var j = 0
-          needs.zipWithIndex.flatMap {
-            case (_: GroupOf, _) => None
-            case (_, i) => val p = j; j += 1; Some(i -> p)
-          }.toMap
+        // The plan's own Average instance for need i — its
+        // evaluateExpression carries the exact result type, rounding
+        // and eval-mode semantics the unserved scan would use.
+        def avgAt(i: Int): Average = a.aggregateExpressions(i) match {
+          case Alias(ae: AggregateExpression, _) =>
+            ae.aggregateFunction.asInstanceOf[Average]
+          case other => throw new IllegalStateException(
+            s"AvgOf need without an Average expression: $other")
         }
         val data = rows.toIndexedSeq.map { row =>
           val values: Seq[Any] = needs.zipWithIndex.map {
             case (GroupOf(_, _, gi), _) => toCatalyst(gi)(row.get(gi))
             case (n, i) =>
-              val at = nGroups + aggPos(i)
-              val v: Any = if (row.isNullAt(at)) null else row.get(at)
+              def at(o: Int): Int = nGroups + offsets(i) + o
+              def v(o: Int): Any =
+                if (row.isNullAt(at(o))) null else row.get(at(o))
               n match {
-                case MinOf(_, t) => toCatalystStat(v, t)
-                case MaxOf(_, t) => toCatalystStat(v, t)
+                case MinOf(_, t) => toCatalystStat(v(0), t)
+                case MaxOf(_, t) => toCatalystStat(v(0), t)
                 // sum over no rows is null, like Spark; a total outside
                 // the result type declines the serve (the scan
                 // reproduces Spark's own overflow behavior)
                 case SumOf(_, dt: DecimalType) =>
-                  sumToDecimal(v, dt).getOrElse(return None)
-                case SumOf(_, _) => sumToLong(v).getOrElse(return None)
+                  sumToDecimal(v(0), dt).getOrElse(return None)
+                case SumOf(_, _) => sumToLong(v(0)).getOrElse(return None)
+                case AvgOf(_, t) =>
+                  avgValue(avgAt(i), t, v(0), v(1), v(2), v(3))
+                    .getOrElse(return None)
                 // count over zero files is 0, never null
-                case _ => if (v == null) 0L else v
+                case _ => if (v(0) == null) 0L else v(0)
               }
           }
           InternalRow.fromSeq(values)
@@ -423,19 +576,25 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * beyond an empty scan.
     */
   private def serveHybrid(m: AggMatch): Option[LogicalPlan] = {
-    val AggMatch(a, spec, needs, groupAttrs, partFilters, ranges, notNull,
-      inLists, lr, fsRel, root) = m
+    val AggMatch(a, spec, needs, groupAttrs, groupIsPart, partFilters,
+      ranges, notNull, inLists, lr, fsRel, root) = m
+    val dataGroups = m.dataGroupCols
+    // avg cannot ride the union combine (it would need sum + count
+    // partials per side, not a final value) — metadata-only serve only.
+    if (needs.exists(_.isInstanceOf[AvgOf])) return None
     val table = KeyedTable(spec)
     table.colStatsFrame(spark).flatMap { st =>
       def statCol(prefix: String, c: String): Option[String] =
         st.columns.find(_.equalsIgnoreCase(s"${prefix}_$c"))
       if (!st.columns.contains("cnt")) return None
       val classCols =
-        (ranges.map(_.column) ++ notNull ++ inLists.map(_._1)).distinct
+        (ranges.map(_.column) ++ notNull ++ inLists.map(_._1) ++
+          dataGroups).distinct
       val nnOf = classCols.map(c => c -> statCol("nn", c)).toMap
       if (nnOf.values.exists(_.isEmpty)) return None
-      val mmOf = (ranges.map(_.column) ++ inLists.map(_._1)).distinct.map(c =>
-        c -> ((statCol("min", c), statCol("max", c)))).toMap
+      val mmOf = (ranges.map(_.column) ++ inLists.map(_._1) ++ dataGroups)
+        .distinct.map(c =>
+          c -> ((statCol("min", c), statCol("max", c)))).toMap
       if (mmOf.values.exists(p => p._1.isEmpty || p._2.isEmpty)) return None
 
       // Partition conjuncts select whole sidecar rows first, exactly as
@@ -475,7 +634,11 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           vs.map(v => col(mnC) <= lit(v) && col(mxC) >= lit(v))
             .reduce(_ || _)
         })
-        .reduceOption(_ && _).getOrElse(lit(false))
+        // DATA-column grouping restricts nothing here: every file can
+        // hold rows of some group, so with no other conjunct every
+        // non-full file is a boundary (routing guarantees at least one
+        // classifying dimension exists whenever hybrid runs).
+        .reduceOption(_ && _).getOrElse(lit(true))
       val full = (ranges.map { r =>
         val (mnC, mxC) = (mmOf(r.column)._1.get, mmOf(r.column)._2.get)
         val loP = r.lo.map(v =>
@@ -489,6 +652,20 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           val (mnC, mxC) = (mmOf(c)._1.get, mmOf(c)._2.get)
           col(nnOf(c).get) === col("cnt") && col(mnC) === col(mxC) &&
             vs.map(v => col(mnC) === lit(v)).reduce(_ || _)
+        }
+        // A file folds into a DATA group only when SINGLE-VALUED in the
+        // column (min = max ∧ nn = cnt — every row carries exactly that
+        // value; sound under string truncation, because stored-lower ≤
+        // real-min ≤ real-max ≤ stored-upper forces the exact value
+        // when the stored bounds coincide). Multi-valued files span
+        // groups and null-carrying files hold rows of the NULL group —
+        // both fail the conjunct (nn = cnt is false once any null
+        // exists) and scan as boundaries, where the residual Aggregate
+        // groups them exactly. A zero-row file nulls min = max, which
+        // excludes it from BOTH sides — rightly, it holds no rows.
+        ++ dataGroups.map { c =>
+          val (mnC, mxC) = (mmOf(c)._1.get, mmOf(c)._2.get)
+          col(nnOf(c).get) === col("cnt") && col(mnC) === col(mxC)
         })
         .reduce(_ && _)
 
@@ -508,10 +685,14 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case MaxOf(c, StringType) => statCol("trunc", c)
       }.distinct
       if (folds.exists(_.isEmpty) || guardCols.exists(_.isEmpty)) return None
-      // Grouped serve: the fold groups by the sidecar's per-file
-      // partition tuple (each file lives in exactly one partition dir,
-      // so full-file groups partition the full set exactly).
-      val groupStatCols = groupAttrs.map(at => statCol("p", at.name))
+      // Grouped serve: partition groups fold by the sidecar's per-file
+      // partition tuple (each file lives in exactly one partition dir);
+      // data groups fold by the file's single value — its recorded min
+      // (= max on every FULL file by the classification above).
+      val groupStatCols = groupAttrs.zip(groupIsPart).map {
+        case (at, true)  => statCol("p", at.name)
+        case (at, false) => statCol("min", at.name)
+      }
       if (groupStatCols.exists(_.isEmpty)) return None
       val valueExprs = folds.flatten.zipWithIndex
         .map { case (c, i) => c.as(s"v$i") }
@@ -637,6 +818,70 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         s"${partialFiles.length} boundary files")
       Some(Aggregate(finalGroups, finalExprs, Union(Seq(local, partial))))
     }
+  }
+
+  /** Final `avg` value for one fold row, or `None` to decline. The
+    * division is NOT re-implemented: the plan's own
+    * [[Average.evaluateExpression]] is bound to the folded totals (its
+    * `sum`/`count` buffer attributes replaced by literals) and
+    * interpreted-evaluated, so result type, decimal rounding and
+    * eval-mode semantics are Spark's own, bit-for-bit.
+    *
+    * Exactness guards: a DECIMAL total must fit Average's sum-buffer
+    * type (precision+10 — where Spark's own buffer would have
+    * overflowed, the serve declines and the scan reproduces that
+    * behavior); an INTEGRAL total feeds a DOUBLE buffer Spark fills in
+    * partition order, so the serve must prove that order-sensitive
+    * accumulation was exact — all values same sign (per the folded
+    * column min/max: every intermediate partial is then a subset sum
+    * bounded by the total) and |total| < 2^53 (every bounded integer
+    * is exactly representable, so each addition is exact). Mixed-sign
+    * or larger totals decline to the scan.
+    */
+  private def avgValue(
+      av: Average, t: DataType, sumV: Any, nnV: Any,
+      mnV: Any, mxV: Any): Option[Any] = {
+    val nn: Long = nnV match {
+      case null => 0L
+      case l: java.lang.Long => l.longValue()
+      case other => return None // unexpected fold type
+    }
+    def longOf(x: Any): Option[Long] = x match {
+      case b: java.lang.Byte    => Some(b.longValue())
+      case s: java.lang.Short   => Some(s.longValue())
+      case i: java.lang.Integer => Some(i.longValue())
+      case l: java.lang.Long    => Some(l.longValue())
+      case _ => None
+    }
+    val sumLit: Literal = t match {
+      case _: DecimalType =>
+        val sd = av.sumDataType.asInstanceOf[DecimalType]
+        sumV match {
+          case null => Literal.create(null, sd)
+          case bd: java.math.BigDecimal =>
+            val dec = Decimal(bd)
+            if (!dec.changePrecision(sd.precision, sd.scale)) return None
+            Literal(dec, sd)
+          case _ => return None
+        }
+      case _ =>
+        if (nn == 0L) Literal(0.0d) // divide-by-zero nulls, like Spark
+        else sumV match {
+          case bd: java.math.BigDecimal =>
+            val bi = bd.toBigInteger
+            val sameSign = longOf(mnV).exists(_ >= 0L) ||
+              longOf(mxV).exists(_ <= 0L)
+            if (!sameSign || bi.abs.bitLength > 53) return None
+            Literal(bi.doubleValue())
+          case _ => return None
+        }
+    }
+    val cntLit = Literal(nn)
+    val bound = av.evaluateExpression.transform {
+      case ar: AttributeReference if ar.exprId == av.sum.exprId   => sumLit
+      case ar: AttributeReference if ar.exprId == av.count.exprId => cntLit
+    }
+    Some(bound.eval(InternalRow.empty))
   }
 
   /** Decimal sum fold → long, or `None` when the exact total does not

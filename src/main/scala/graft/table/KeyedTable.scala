@@ -1095,6 +1095,49 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** The resolved (latest-per-key) row count served from the
+    * record-level index, or `None` when the index is absent or its
+    * staleness is unprovable — the serving half of
+    * [[graft.plans.StatsAggregateRewrite]]'s MoR count arm. On a
+    * resolving table the index stores exactly ONE entry per live
+    * resolve scope ([[rliEntryCols]]), so its row count IS the resolved
+    * count at `built_at`; commits after the build reconcile through the
+    * commit→files delta exactly as [[rliCandidateFiles]] does — entries
+    * in removed files drop, the added files' versions join, and the
+    * union settles to one winner per scope. Cost is O(index + delta
+    * files), never O(table data): counting a 100 TB history table's
+    * live keys reads the key/file index, not the data (and with an
+    * empty delta it is a bare index count, no shuffle at all) — which
+    * is why this deliberately does NOT run under [[withMetaConf]]'s
+    * 8-partition squeeze: the index is key-count-sized, not
+    * metadata-sized.
+    */
+  private[graft] def resolvedCount(spark: SparkSession): Option[Long] = {
+    val f = fs(spark)
+    if (!f.exists(new Path(rliDir)) || !spec.retainHistory) return None
+    try {
+      val idx = spark.read.parquet(rliDir)
+      if (!rliRequiredCols.subsetOf(idx.columns.toSet)) return None
+      val head = idx.select(col("built_at")).limit(1).collect()
+      if (head.isEmpty) return None // empty index: nothing provable
+      KeyedTable.fileDeltaSince(spark, spec.path, head(0).getString(0)).map {
+        case (added, removed) =>
+          if (added.isEmpty && removed.isEmpty) idx.count()
+          else {
+            val idxSel =
+              if (removed.isEmpty) idx.drop("built_at")
+              else idx.drop("built_at").filter(!col("file").isin(removed: _*))
+            val deltaSel =
+              if (added.isEmpty) idxSel.limit(0)
+              else readFilesRaw(spark, added)
+                .withColumn("_graft_rel", relFileExpr(spark))
+                .select(rliEntryCols: _*)
+            rliResolveEntries(spark, idxSel.unionByName(deltaSel)).count()
+          }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** The bloom index's candidate files for `probe` keys, TABLE-RELATIVE,
     * or `None` when the sidecar is absent/unreadable — the PROBABILISTIC
     * member of the lookup-candidate family. No freshness proof is

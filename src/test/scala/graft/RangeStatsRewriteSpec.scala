@@ -502,6 +502,42 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     assert(q.as[Long].collect()(0) == mor.read(spark).count())
   }
 
+  test("resolved count(*) on MoR serves from the record-level index") {
+    val path = Files.createTempDirectory("graft_morcnt_").toString + "/t"
+    val mor = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("user_id"), precombineCol = "ts_us",
+      tiebreakCols = Seq("event_id"), partitionCols = Seq("event_type"),
+      retainHistory = true))
+    val ev = eventsUs
+    mor.upsert(spark, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    mor.upsert(spark, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    def q = mor.read(spark).agg(count(lit(1)).as("n"))
+    def live(df: DataFrame): Long = // rule-independent oracle: the
+      // resolve scope is (key, partition) on a non-global table
+      df.select("user_id", "event_type").distinct().count()
+    assert(graft.plans.PlanWalk.scannedFiles(q).nonEmpty,
+      "no index: the resolved count must scan")
+    mor.recordKeyIndex(spark)
+    assert(graft.plans.PlanWalk.scannedFiles(q).isEmpty,
+      "indexed resolved count must serve as a LocalRelation")
+    assert(q.as[Long].collect()(0) == live(ev))
+    // a post-build commit reconciles through the commit→files delta:
+    // moved versions must not double-count, new keys must count
+    val moved = ev.filter(col("user_id") % 11 === 0)
+      .withColumn("ts_us", col("ts_us") + 1000000L)
+    val fresh = ev.filter(col("user_id") % 5 === 0)
+      .withColumn("user_id", col("user_id") + 100000L)
+    mor.upsert(spark, moved.unionByName(fresh), commitTime = "c2")
+    assert(graft.plans.PlanWalk.scannedFiles(q).isEmpty,
+      "the delta-reconciled count must still serve")
+    assert(q.as[Long].collect()(0) == live(ev.unionByName(fresh)))
+    // any extra predicate declines (it filters the resolved state)
+    def qf = mor.read(spark).filter(col("value") > 0.0)
+      .agg(count(lit(1)).as("n"))
+    assert(graft.plans.PlanWalk.scannedFiles(qf).nonEmpty,
+      "a filtered resolved count must decline to the scan")
+  }
+
   test("IS NULL / IS NOT NULL prune through the per-file null counts") {
     val path = Files.createTempDirectory("graft_nullprune_").toString + "/t"
     val t = KeyedTable(cowSpec(path))
@@ -921,6 +957,125 @@ class RangeStatsRewriteSpec extends SparkTestBase {
       .filter(col("ts_us") >= lo && col("ts_us") <= hi)
       .groupBy("user_id").agg(count(lit(1)).as("n"))
     assert(!hybridServed(byUser), "non-partition grouping must decline")
+  }
+
+  test("avg serves from the sidecar via Spark's own Average expression") {
+    val path = Files.createTempDirectory("graft_avg_").toString + "/t"
+    val table = KeyedTable(cowSpec(path))
+    val ev = eventsUs
+      .withColumn("dec_val", (col("event_id") % 500).cast("decimal(10,2)"))
+      .withColumn("signed", col("event_id") - 300L) // mixed sign
+      .withColumn("nul", lit(null).cast("long"))
+    table.upsert(spark, ev, commitTime = "c0")
+    def q = table.read(spark).agg(
+      avg(col("event_id")).as("a_id"), avg(col("dec_val")).as("a_dec"),
+      avg(col("nul")).as("a_nul"), count(lit(1)).as("n"))
+    val expected = q.collect()(0) // no stats yet: real scan
+    assert(graft.plans.PlanWalk.scannedFiles(q).nonEmpty)
+    table.recordColumnStats(
+      spark, Seq("event_id", "dec_val", "signed", "nul", "ts_us"))
+    assert(graft.plans.PlanWalk.scannedFiles(q).isEmpty,
+      "served avg must scan NO files (LocalRelation plan)")
+    assert(q.collect()(0) == expected)
+    // grouped by the partition column: per-group guards, still no scan
+    def qg = table.read(spark).groupBy(col("event_type"))
+      .agg(avg(col("event_id")).as("a"), avg(col("dec_val")).as("ad"))
+    assert(graft.plans.PlanWalk.scannedFiles(qg).isEmpty)
+    assert(qg.collect().toSet ==
+      ev.groupBy(col("event_type"))
+        .agg(avg(col("event_id")).as("a"), avg(col("dec_val")).as("ad"))
+        .collect().toSet)
+    // MIXED-SIGN integral declines (double accumulation order could
+    // round differently) but stays exact through the scan
+    def qs = table.read(spark).agg(avg(col("signed")).as("a"))
+    assert(graft.plans.PlanWalk.scannedFiles(qs).nonEmpty,
+      "mixed-sign integral avg must decline to the scan")
+    assert(qs.collect()(0) == ev.agg(avg(col("signed")).as("a")).collect()(0))
+    // a total at epoch-micros scale blows 2^53: declines, stays exact
+    def qt = table.read(spark).agg(avg(col("ts_us")).as("a"))
+    assert(graft.plans.PlanWalk.scannedFiles(qt).nonEmpty,
+      "a > 2^53 total must decline to the scan")
+    // FP column: declined at admission (value is DOUBLE)
+    def qf = table.read(spark).agg(avg(col("value")).as("a"))
+    assert(graft.plans.PlanWalk.scannedFiles(qf).nonEmpty)
+  }
+
+  test("GROUP BY a clustered DATA column folds interior files, scans boundaries") {
+    val path = Files.createTempDirectory("graft_hyb_dgrp_").toString + "/t"
+    // Unpartitioned on purpose: the point of the data-group arm is
+    // serving a low-cardinality rollup WITHOUT paying the partition
+    // tax — and long bucket runs must span several files so interior
+    // files are single-valued.
+    val t = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("event_id"), precombineCol = "ts_us"))
+    // bucket: a low-cardinality DATA column (not a hive partition), with
+    // a NULL slice — null-carrying files fail nn = cnt and must scan so
+    // the NULL group comes out exactly.
+    val ev = eventsUs.withColumn("bucket",
+      when(col("user_id") % 13 === 0, lit(null).cast("long"))
+        .otherwise(col("user_id") % 4))
+    t.upsert(spark, ev, commitTime = "c0")
+    t.cluster(spark, Seq("bucket"), targetFileBytes = 4L << 10)
+    t.recordColumnStats(spark, Seq("bucket", "event_id"))
+    def plain(df: DataFrame) = df.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"),
+        min(col("event_id")).as("mn"), max(col("event_id")).as("mx"))
+    val served = plain(t.read(spark))
+    assert(hybridServed(served), "the data-group hybrid must serve")
+    val scanned = scannedData(served)
+    assert(scanned.nonEmpty && scanned.length < dataFileCount(path),
+      s"boundary files (${scanned.length}) must stay under the table's " +
+        s"${dataFileCount(path)} files")
+    assert(served.collect().toSet == plain(ev).collect().toSet)
+    // a range conjunct composes with the data-column grouping — on the
+    // clustered column it also PRUNES: out-of-range runs' files drop
+    // from the boundary scan entirely (an off-cluster range conjunct
+    // instead leaves no full file and rightly declines to the scan)
+    def both(df: DataFrame) = df.filter(col("bucket") <= 1L)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val sv = both(t.read(spark))
+    assert(hybridServed(sv), "range + data-group must compose")
+    assert(sv.collect().toSet == both(ev).collect().toSet)
+    assert(scannedData(sv).length < scanned.length,
+      "the range must also prune boundary files vs the unfiltered group")
+    // grouping by an UNCOVERED data column declines but stays exact
+    def byUser(df: DataFrame) = df.groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+    assert(!hybridServed(byUser(t.read(spark))),
+      "an uncovered group column must decline")
+    assert(byUser(t.read(spark)).collect().toSet ==
+      byUser(ev).collect().toSet)
+  }
+
+  test("DISTINCT serves: partition columns pure-metadata, clustered data hybrid") {
+    val path = Files.createTempDirectory("graft_dist_").toString + "/t"
+    val t = KeyedTable(cowSpec(path))
+    val ev = eventsUs.withColumn("bucket",
+      when(col("user_id") % 13 === 0, lit(null).cast("long"))
+        .otherwise(col("user_id") % 4))
+    t.upsert(spark, ev, commitTime = "c0")
+    def qp = t.read(spark).select("event_type").distinct()
+    val expectedP = qp.collect().toSet // no stats yet: real scan
+    assert(graft.plans.PlanWalk.scannedFiles(qp).nonEmpty)
+    t.cluster(spark, Seq("bucket"), targetFileBytes = 4L << 10)
+    t.recordColumnStats(spark, Seq("bucket"))
+    // partition-column DISTINCT: the relational SHOW PARTITIONS — the
+    // sidecar's per-file partition tuples, zero data files opened
+    assert(graft.plans.PlanWalk.scannedFiles(qp).isEmpty,
+      "partition DISTINCT must be a pure metadata read")
+    assert(qp.collect().toSet == expectedP)
+    // clustered-data-column DISTINCT: single-valued files contribute
+    // their one value, boundary (null-carrying) files scan — the NULL
+    // group survives exactly
+    def qb = t.read(spark).select("bucket").distinct()
+    assert(hybridServed(qb), "data-column DISTINCT must serve hybrid")
+    assert(qb.collect().toSet == ev.select("bucket").distinct().collect().toSet)
+    // DISTINCT over an uncovered column declines, stays exact
+    def qu = t.read(spark).select("user_id").distinct()
+    assert(!hybridServed(qu) &&
+      graft.plans.PlanWalk.scannedFiles(qu).nonEmpty)
+    assert(qu.collect().toSet ==
+      ev.select("user_id").distinct().collect().toSet)
   }
 
   test("decimal sum serves from exact widened partials, whole and hybrid") {
