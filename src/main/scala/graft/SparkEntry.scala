@@ -208,7 +208,8 @@ object SparkEntry {
     "q181_distinct_partitions" -> (UpsertOps.distinctPartitionsQuery(_, _)),
     "q182_distinct_clustered" -> (UpsertOps.distinctClusteredQuery(_, _)),
     "q183_avg_stats" -> (UpsertOps.avgStatsQuery(_, _)),
-    "q184_mor_live_count" -> (UpsertOps.morLiveCount(_, _))
+    "q184_mor_live_count" -> (UpsertOps.morLiveCount(_, _)),
+    "q185_rollup_advisor" -> (UpsertOps.rollupAdvised(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1215,6 +1216,12 @@ object SparkEntry {
       """SELECT count(*) AS n_live FROM (
         |  SELECT DISTINCT user_id, event_type FROM events
         |  WHERE event_id % 2 = 0)""".stripMargin,
+    // grouped-rollup advisor: stats + measured cluster only change
+    // which files open — the oracle is the plain grouped aggregate
+    "q185_rollup_advisor" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang""".stripMargin,
     // compaction advisor: the layout service only changes file sizing,
     // so the oracle is the plain projection
     "q166_compact_advisor" ->

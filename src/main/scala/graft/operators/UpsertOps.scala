@@ -1320,7 +1320,11 @@ object UpsertOps {
         .select("event_id", "ts_us", "user_id", "event_type", "value")
       (0 until 3).foreach { i =>
         t.insert(s, ev.filter(col("event_id") % 3 === i), commitTime = s"c$i")
-        t.recordColumnStats(s, Seq("ts_us")) // i > 0: carries, scans c_i only
+        // The first build names the columns; every later commit's
+        // maintenance is the no-argument refresh (the cache names them),
+        // carrying the surviving files and scanning ONLY c_i's own.
+        if (i == 0) t.recordColumnStats(s, Seq("ts_us"))
+        else require(t.refreshColumnStats(s), "refresh must find the cache")
       }
       val Array(b) = ev.agg(min("ts_us"), max("ts_us")).collect()
       val (mn, mx) = (b.getLong(0), b.getLong(1))
@@ -1781,6 +1785,43 @@ object UpsertOps {
       graft.plans.IndexAdvisor.createRecommended(s, advice)
     } finally s.conf.unset("spark.graft.compact.small.bytes")
     table.read(s).select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+  }
+
+  /** Grouped-rollup advisor loop (q185; [[graft.plans.IndexAdvisor]]'s
+    * rollup arm): the DBA loop for the categorical rollup — a
+    * `GROUP BY lang` workload over an UNCLUSTERED documents table draws
+    * a stats recommendation (round 1: the arm cannot measure layout
+    * without the sidecar), then the MEASURED cluster recommendation
+    * (round 2: cardinality fits the serve's group cap, each language's
+    * run spans files at the configured target, and the sidecar shows an
+    * overlapping layout), and after `createRecommended` the same rollup
+    * hybrid-serves from the sidecar. Gates are measured, not assumed —
+    * at tiers where a language's run would not fill a file the arm
+    * recommends nothing and the plain scan answers, identically. ≡ the
+    * plain grouped aggregate — the oracle; the advisor only changes
+    * which files open.
+    */
+  def rollupAdvised(s: SparkSession, dir: String): DataFrame = {
+    val path =
+      Files.createTempDirectory("graft_rolladv_").toString + "/docs_keyed"
+    val t = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("doc_id"), precombineCol = "n_chars"))
+    t.upsert(
+      s,
+      Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
+      commitTime = "c0")
+    def q = t.read(s).groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    s.conf.set("spark.graft.cluster.target.bytes", (2L << 10).toString)
+    try {
+      // Round 1 builds the stats; round 2 measures the layout and
+      // clusters (a no-op recommendation set at tiers under the gate).
+      graft.plans.IndexAdvisor.createRecommended(
+        s, graft.plans.IndexAdvisor.analyze(s, Seq(q)))
+      graft.plans.IndexAdvisor.createRecommended(
+        s, graft.plans.IndexAdvisor.analyze(s, Seq(q)))
+    } finally s.conf.unset("spark.graft.cluster.target.bytes")
+    q
   }
 
   /** Hybrid range aggregate (q165; [[graft.plans.StatsAggregateRewrite]]

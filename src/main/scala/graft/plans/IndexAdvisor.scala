@@ -137,6 +137,69 @@ object IndexAdvisor {
         if (cols.isEmpty) Seq((spec.path, "column_stats", ""))
         else cols.map(c => (spec.path, "column_stats", c))
     }
+    // GROUPED-ROLLUP layout advice: `GROUP BY c` over a DATA column
+    // hybrid-serves only when files are single-valued in c — a LAYOUT
+    // property, so the advisor must measure before it recommends (the
+    // shared matcher alone can't promise the build will serve, which
+    // is why aggShapes excludes these). Two measured gates: the
+    // cardinality must fit the serve's group cap, and each value's run
+    // must span files (bytes-per-value ≥ 2× the cluster file target) —
+    // otherwise clustering cannot mint single-valued interiors and the
+    // rec would never settle. With stats present, the sidecar measures
+    // the CURRENT layout (fraction of single-valued files): an
+    // overlapping layout draws the cluster rec, a run-shaped one only
+    // the stats coverage below. The cardinality probe is one
+    // column-pruned KMV scan per shape — advisor context, the same
+    // affordance [[MvAdvisor]]'s cost gate uses.
+    val rollupTarget = spark.conf
+      .getOption("spark.graft.cluster.target.bytes")
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(128L << 20)
+    val rollupRecs = plans.flatMap(aggRule.dataGroupShapes).flatMap {
+      case (spec, gcol, needCols) =>
+        try {
+          val t = KeyedTable(spec)
+          val meas = t.read(spark).agg(
+            graft.functions.KmvDistinct.kmvDistinct(
+              org.apache.spark.sql.functions.xxhash64(
+                org.apache.spark.sql.functions.col(gcol)), 1024).as("card"))
+            .collect()(0)
+          val card = if (meas.isNullAt(0)) 0L else meas.getLong(0)
+          val bytes = t.dataFileSizes(spark).sum
+          if (card <= 0 || card > StatsAggregateRewrite.MaxGroups ||
+              bytes / card < 2 * rollupTarget) Nil
+          else {
+            val statsWants = (gcol +: needCols).distinct
+              .map(c => (spec.path, "column_stats", c))
+            val clusterRec = t.colStatsFrame(spark) match {
+              case None => Nil // stats first; the next round measures
+              case Some(side) =>
+                import org.apache.spark.sql.functions.{col => cc, count => ccount, lit => clit, sum => csum, when => cwhen}
+                val mnC = side.columns.find(_.equalsIgnoreCase(s"min_$gcol"))
+                val mxC = side.columns.find(_.equalsIgnoreCase(s"max_$gcol"))
+                val nnC = side.columns.find(_.equalsIgnoreCase(s"nn_$gcol"))
+                if (mnC.isEmpty || mxC.isEmpty || nnC.isEmpty ||
+                    !side.columns.contains("cnt")) Nil
+                else {
+                  val r = side.filter(cc("cnt") > 0).agg(
+                    ccount(clit(1)).as("total"),
+                    csum(cwhen(cc(mnC.get) === cc(mxC.get) &&
+                      cc(nnC.get) === cc("cnt"), 1L).otherwise(0L)).as("sv"))
+                    .collect()(0)
+                  // No minimum file count: even a single multi-valued
+                  // file profits — the bytes-per-value gate above
+                  // already proves the cluster rewrite will split it
+                  // into ≥ 2 files per value, so the rec settles.
+                  val total = r.getLong(0)
+                  val sv = if (r.isNullAt(1)) 0L else r.getLong(1)
+                  if (total > 0 && sv.toDouble / total < 0.5)
+                    Seq((spec.path, "cluster", gcol))
+                  else Nil
+                }
+            }
+            statsWants ++ clusterRec
+          }
+        } catch { case scala.util.control.NonFatal(_) => Nil }
+    }
     // FILE-SIZING advice (the fourth leg of the DBA loop: observe →
     // index → layout → size): a workload scanning a table whose data
     // files are numerous AND small pays per-file open/schedule cost on
@@ -191,7 +254,8 @@ object IndexAdvisor {
       val rli = (m.spec.path, "record_key", m.spec.keyCols.head)
       if (m.viaKey) Seq(rli)
       else Seq(rli, (m.spec.path, "secondary", m.probeAttr.name))
-    } ++ rangeShapes ++ topKWants ++ groupTopKWants ++ clusterRecs ++ aggWants
+    } ++ rangeShapes ++ topKWants ++ groupTopKWants ++ clusterRecs ++
+      aggWants ++ rollupRecs
     val recs = (wants.groupBy(identity).toSeq
       .map { case ((path, kind, col), hs) => IndexRec(path, kind, col, hs.length) }
       ++ compactRecs)

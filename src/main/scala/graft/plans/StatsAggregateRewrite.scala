@@ -176,6 +176,34 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
     }.flatten
 
+  /** Data-column-grouped aggregate shapes for the advisor's
+    * rollup-layout arm: (table spec, the single data group column, the
+    * stats columns the aggregates/classifiers additionally need).
+    * Deliberately disjoint from [[aggShapes]]: serving a data grouping
+    * needs the LAYOUT to make files single-valued, so the advisor
+    * measures cardinality and run length before recommending
+    * cluster + stats. Multi-column data groupings (a Z-order decision
+    * this arm doesn't model) and avg-carrying shapes (the hybrid
+    * declines avg) are skipped.
+    */
+  private[plans] def dataGroupShapes(
+      plan: LogicalPlan): Seq[(graft.table.KeyedTableSpec, String, Seq[String])] =
+    if (KeyedTable.specRegistry.isEmpty) Nil
+    else plan.collect { case ag: Aggregate =>
+      (try matchAgg(ag) catch { case scala.util.control.NonFatal(_) => None })
+        .filter(m => m.dataGroupCols.length == 1 &&
+          !m.needs.exists(_.isInstanceOf[AvgOf]))
+        .map { m =>
+          (m.spec, m.dataGroupCols.head, (m.needs.collect {
+            case MinOf(c, _) => c
+            case MaxOf(c, _) => c
+            case SumOf(c, _) => c
+            case CountCol(c) => c
+          } ++ m.ranges.map(_.column) ++ m.notNull ++
+            m.inLists.map(_._1)).distinct)
+        }
+    }.flatten
+
   private def serve(a: Aggregate): Option[LogicalPlan] =
     matchAgg(a).flatMap { m =>
       // Needs carry data types and column names; PartFilters carry

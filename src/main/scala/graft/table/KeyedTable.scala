@@ -1572,6 +1572,34 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     KeyedTable.mutationTick.incrementAndGet()
   }
 
+  /** Bring the column-stats sidecar current over the SAME columns it
+    * already covers — the per-commit maintenance call a write path or
+    * micro-batch loop composes after its commit (e.g.
+    * `(t, sp, b) => { t.upsert(sp, b); t.refreshColumnStats(sp) }` as
+    * [[graft.streaming.MicroBatchPipeline]]'s `write`). The column set
+    * comes from the retired cache (or an intact sidecar), so callers
+    * never re-name columns; [[recordColumnStats]]'s incremental carry
+    * makes the refresh cost O(the commit's own files). Returns false
+    * when there is nothing to refresh from — an initial
+    * [[recordColumnStats]] names the columns — or the table refuses
+    * stats (evolved layout).
+    */
+  def refreshColumnStats(spark: SparkSession): Boolean = {
+    val f = fs(spark)
+    if (!exists(spark) || isEvolved(spark)) return false
+    val src =
+      if (f.exists(new Path(colStatsDir))) colStatsDir
+      else if (f.exists(new Path(staleStatsDir))) staleStatsDir
+      else return false
+    val cols =
+      try spark.read.parquet(src).columns.toSeq
+        .collect { case c if c.startsWith("min_") => c.stripPrefix("min_") }
+      catch { case scala.util.control.NonFatal(_) => return false }
+    if (cols.isEmpty) return false
+    recordColumnStats(spark, cols)
+    true
+  }
+
   /** The column-stats sidecar frame, or `None` when absent/unreadable —
     * the planner rules' entry point. Existence is the freshness proof:
     * every data write deletes the sidecar BEFORE the write lands (see

@@ -206,6 +206,32 @@ class ClusteringSpec extends SparkTestBase {
     assert(rebuilt.columns.contains("min_value"))
   }
 
+  test("refreshColumnStats re-covers the cache's own columns; nothing to refresh → false") {
+    val path = Files.createTempDirectory("graft_refresh_").toString + "/t"
+    val t = KeyedTable(KeyedTableSpec(
+      path, keyCols = Seq("user_id"), precombineCol = "ts_us",
+      tiebreakCols = Seq("event_id"), partitionCols = Seq("event_type")))
+    val ev = events()
+    t.upsert(spark, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    assert(!t.refreshColumnStats(spark),
+      "no sidecar and no cache: nothing to refresh from")
+    t.recordColumnStats(spark, Seq("ts_us", "value"))
+    t.insert(spark,
+      ev.filter(col("event_id") % 2 === 1)
+        .withColumn("event_id", col("event_id") + 2000000L),
+      commitTime = "c1")
+    assert(t.refreshColumnStats(spark), "the retired cache names the columns")
+    val side = spark.read.parquet(s"$path/_graft_colstats")
+    assert(side.columns.contains("min_ts_us") &&
+      side.columns.contains("min_value"))
+    // the refreshed index covers every current file: pruning stays exact
+    val all = t.read(spark).count()
+    assert(t.readPruned(spark, "ts_us", Long.MinValue, Long.MaxValue)
+      .count() == all)
+    // an intact sidecar refreshes too (pure carry, still true)
+    assert(t.refreshColumnStats(spark))
+  }
+
   test("readPruned without an index falls back to a full scan; history tables refuse") {
     val t = freshTable()
     t.upsert(spark, events(), commitTime = "c0")

@@ -288,4 +288,44 @@ class IndexAdvisorSpec extends SparkTestBase {
         s"applied rec must settle: ${again.recommendations}")
     } finally spark.conf.unset("spark.graft.compact.small.bytes")
   }
+
+  test("grouped rollups: stats first, gated cluster, then the serve settles") {
+    val path = Files.createTempDirectory("graft_idxadv_grp_").toString + "/t"
+    val t = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("event_id"), precombineCol = "ts_us"))
+    val ev = eventsUs.withColumn("bucket", col("user_id") % 4)
+    t.upsert(spark, ev, commitTime = "c0")
+    def q = t.read(spark).groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
+    val expected = q.collect().toSet
+    spark.conf.set("spark.graft.cluster.target.bytes", (2L << 10).toString)
+    try {
+      // Round 1: no stats yet — the rollup arm wants stats on the group
+      // column and the summed column before it can measure the layout.
+      val a1 = IndexAdvisor.analyze(spark, Seq(q))
+      val k1 = a1.recommendations.map(r => (r.kind, r.column)).toSet
+      assert(k1 == Set(("column_stats", "bucket"),
+        ("column_stats", "event_id")), s"round 1: $k1")
+      IndexAdvisor.createRecommended(spark, a1)
+      // Round 2: stats exist and measure an overlapping layout (files
+      // straddle bucket values) — the gated cluster rec fires.
+      val a2 = IndexAdvisor.analyze(spark, Seq(q))
+      assert(a2.recommendations.map(r => (r.kind, r.column)) ==
+        Seq(("cluster", "bucket")), s"round 2: ${a2.recommendations}")
+      IndexAdvisor.createRecommended(spark, a2)
+      // The rollup now hybrid-serves, exactly, and the advice settles.
+      assert(q.collect().toSet == expected)
+      assert(q.queryExecution.optimizedPlan.collectFirst {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+      }.isDefined, "the clustered rollup must hybrid-serve")
+      val a3 = IndexAdvisor.analyze(spark, Seq(q))
+      assert(a3.recommendations.isEmpty, s"round 3: ${a3.recommendations}")
+      // A HIGH-cardinality group column is gated out (clustering can't
+      // make single-valued files when each value's run is under a file).
+      def qHigh = t.read(spark).groupBy("event_id")
+        .agg(count(lit(1)).as("n"))
+      assert(IndexAdvisor.analyze(spark, Seq(qHigh)).recommendations.isEmpty,
+        "a per-value run below the file target must recommend nothing")
+    } finally spark.conf.unset("spark.graft.cluster.target.bytes")
+  }
 }
