@@ -209,7 +209,9 @@ object SparkEntry {
     "q182_distinct_clustered" -> (UpsertOps.distinctClusteredQuery(_, _)),
     "q183_avg_stats" -> (UpsertOps.avgStatsQuery(_, _)),
     "q184_mor_live_count" -> (UpsertOps.morLiveCount(_, _)),
-    "q185_rollup_advisor" -> (UpsertOps.rollupAdvised(_, _))
+    "q185_rollup_advisor" -> (UpsertOps.rollupAdvised(_, _)),
+    "q186_distinct_count" -> (UpsertOps.distinctCountQuery(_, _)),
+    "q187_vacuum_advisor" -> (UpsertOps.vacuumAdvised(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1222,6 +1224,32 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang""".stripMargin,
+    // partition-cardinality from the sidecar: only which files open
+    // changes, so the oracle is the plain distinct count
+    "q186_distinct_count" ->
+      """SELECT count(DISTINCT event_type) AS n_types, count(*) AS n_rows
+        |FROM events""".stripMargin,
+    // retention advisor: reconstruct the two commits (c1 shifts the
+    // click partition's rows past the whole domain), resolve latest per
+    // (key, partition) — vacuum reclaims bytes, never rows
+    "q187_vacuum_advisor" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |                   event_id, value
+        |            FROM events WHERE event_id % 2 = 0),
+        |mm AS (SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM ev),
+        |u AS (
+        |  SELECT * FROM ev
+        |  UNION ALL
+        |  SELECT user_id, event_type,
+        |         ts_us + (SELECT mx - mn + 1000000 FROM mm) AS ts_us,
+        |         event_id, value
+        |  FROM ev WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                               ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM u)
+        |SELECT user_id, event_type, ts_us, event_id, value
+        |FROM w WHERE rn = 1""".stripMargin,
     // compaction advisor: the layout service only changes file sizing,
     // so the oracle is the plain projection
     "q166_compact_advisor" ->

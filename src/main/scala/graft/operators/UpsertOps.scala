@@ -1423,6 +1423,21 @@ object UpsertOps {
         count(lit(1)).as("n"))
   }
 
+  /** count(DISTINCT partition_col) from the sidecar (q186;
+    * [[graft.plans.StatsAggregateRewrite]]'s DistinctPartOf arm): the
+    * partition-cardinality sanity query — each file carries exactly one
+    * partition tuple, so the distinct count over the sidecar's per-file
+    * p_ values (zero-row files excluded) IS the row-level distinct
+    * count, with zero data files opened. ≡ the plain distinct count —
+    * the oracle.
+    */
+  def distinctCountQuery(s: SparkSession, dir: String): DataFrame = {
+    val table = statsAggFixture(s, dir)
+    table.read(s).agg(
+      countDistinct(col("event_type")).as("n_types"),
+      count(lit(1)).as("n_rows"))
+  }
+
   /** DISTINCT over a partition column (q181;
     * [[graft.plans.StatsAggregateRewrite]]'s no-aggregate arm):
     * `SELECT DISTINCT event_type` over a hive-partitioned keyed table
@@ -1785,6 +1800,46 @@ object UpsertOps {
       graft.plans.IndexAdvisor.createRecommended(s, advice)
     } finally s.conf.unset("spark.graft.compact.small.bytes")
     table.read(s).select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+  }
+
+  /** Retention advisor loop (q187; [[graft.plans.IndexAdvisor]]'s
+    * vacuum arm — the FIFTH leg of the DBA loop: observe → index →
+    * layout → size → RETAIN): corrections re-land one partition of a
+    * history table, so that partition's stored versions are half
+    * superseded while the others stay clean; the advisor measures the
+    * per-partition superseded fraction (stats totals vs RLI live
+    * scopes, fresh-index-gated) under the OPT-IN policy threshold and
+    * `createRecommended` vacuums exactly the qualifying partition —
+    * then re-records the stats over the new layout (the incremental
+    * carry keeps that at O(rewritten files)). At 100 TB this is the
+    * retention service running only where correction traffic lands. ≡
+    * the plain latest-per-(key, partition) state — the oracle; vacuum
+    * reclaims bytes, never rows.
+    */
+  def vacuumAdvised(s: SparkSession, dir: String): DataFrame = {
+    val path =
+      Files.createTempDirectory("graft_vacadv_").toString + "/events_keyed"
+    val t = KeyedTable(morSpec(path))
+    val ev = eventsUs(s, dir).filter(col("event_id") % 2 === 0)
+    val Array(r) =
+      ev.agg(min("ts_us").as("mn"), max("ts_us").as("mx")).collect()
+    val shift = r.getLong(1) - r.getLong(0) + 1000000L
+    t.upsert(s, ev, commitTime = "c0")
+    t.upsert(
+      s,
+      ev.filter(col("event_type") === "click")
+        .withColumn("ts_us", col("ts_us") + lit(shift)),
+      commitTime = "c1")
+    t.recordColumnStats(s, Seq("ts_us"))
+    t.recordKeyIndex(s) // fresh: built after c1, so the measurement admits
+    s.conf.set("spark.graft.vacuum.superseded.ratio", "0.4")
+    try {
+      val advice = graft.plans.IndexAdvisor.analyze(s, Seq(t.read(s)))
+      require(advice.recommendations.exists(_.kind == "vacuum"),
+        "the corrected partition must draw a vacuum recommendation")
+      graft.plans.IndexAdvisor.createRecommended(s, advice)
+    } finally s.conf.unset("spark.graft.vacuum.superseded.ratio")
+    outputCols(t.read(s))
   }
 
   /** Grouped-rollup advisor loop (q185; [[graft.plans.IndexAdvisor]]'s

@@ -250,6 +250,33 @@ object IndexAdvisor {
           }
         }
     }
+    // RETENTION advice (the FIFTH leg of the DBA loop: observe → index →
+    // layout → size → retain): a workload scanning a HISTORY table whose
+    // stored versions are mostly superseded pays the resolve over dead
+    // rows on every read — at 100 TB correction traffic, the partitions
+    // where corrections land bloat silently. Measured per partition from
+    // the stats sidecar (all-version totals) against the record-level
+    // index (live scopes, admitted only while its commit delta is
+    // empty). OPT-IN like compaction: vacuum ERASES travelable history,
+    // so the threshold conf (`spark.graft.vacuum.superseded.ratio`) IS
+    // the user's retention policy — no default would be safe to assume.
+    val vacuumRecs = spark.conf
+      .getOption("spark.graft.vacuum.superseded.ratio")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption).toSeq
+      .flatMap { thr =>
+        scannedTables.groupBy(identity).toSeq.flatMap { case (path, occ) =>
+          Option(KeyedTable.specRegistry.get(path)).toSeq.flatMap { spec =>
+            if (!spec.retainHistory) Nil
+            else try {
+              KeyedTable(spec).supersededPartitions(spark, thr) match {
+                case Some(df) if !df.isEmpty =>
+                  Seq(IndexRec(path, "vacuum", "", occ.length))
+                case _ => Nil
+              }
+            } catch { case scala.util.control.NonFatal(_) => Nil }
+          }
+        }
+      }
     val wants = shapes.flatMap { m =>
       val rli = (m.spec.path, "record_key", m.spec.keyCols.head)
       if (m.viaKey) Seq(rli)
@@ -258,11 +285,12 @@ object IndexAdvisor {
       aggWants ++ rollupRecs
     val recs = (wants.groupBy(identity).toSeq
       .map { case ((path, kind, col), hs) => IndexRec(path, kind, col, hs.length) }
-      ++ compactRecs)
+      ++ compactRecs ++ vacuumRecs)
       .filterNot { r =>
         r.kind match {
           case "column_stats" => statsCover(r.tablePath, r.column)
-          case "cluster" | "compact" => false // measured against the live layout
+          // measured against the live layout / version population
+          case "cluster" | "compact" | "vacuum" => false
           case _              => exists(kind2dir(r))
         }
       }
@@ -281,7 +309,8 @@ object IndexAdvisor {
   def createRecommended(
       spark: SparkSession, advice: IndexAdvice): Seq[String] = {
     val (layoutRecs, rest0) = advice.recommendations
-      .partition(r => r.kind == "cluster" || r.kind == "compact")
+      .partition(r =>
+        r.kind == "cluster" || r.kind == "compact" || r.kind == "vacuum")
     val (statRecs, rest) = rest0.partition(_.kind == "column_stats")
     val built = rest.flatMap { r =>
       val qualified = graft.table.MaterializedView.qualify(spark, r.tablePath)
@@ -307,7 +336,8 @@ object IndexAdvisor {
           .map(_.columns.toSeq.collect {
             case c if c.startsWith("min_") => c.stripPrefix("min_")
           }).getOrElse(Nil)
-        val (cl, cpSt) = rs.partition(_.kind == "cluster")
+        val (vc, clCpSt) = rs.partition(_.kind == "vacuum")
+        val (cl, cpSt) = clCpSt.partition(_.kind == "cluster")
         val (cp, st0) = cpSt.partition(_.kind == "compact")
         // The count(*)-only marker contributes no column of its own; if
         // nothing else names one, record the key column (any build
@@ -325,6 +355,26 @@ object IndexAdvisor {
         // to fix a few directories is exactly the 100 TB scale failure
         // the advisor exists to prevent. The same thresholds the
         // analysis measured with decide which partitions qualify.
+        // Retention first: vacuum re-measures with the SAME policy
+        // threshold the analysis used and reclaims only the qualifying
+        // partitions — the version rewrite retires the stats sidecar,
+        // so the stats re-record below re-covers existing columns.
+        val vacuumLine = if (vc.isEmpty) None else {
+          val thr = spark.conf
+            .getOption("spark.graft.vacuum.superseded.ratio")
+            .flatMap(v => scala.util.Try(v.toDouble).toOption)
+          thr.flatMap { ratio =>
+            KeyedTable(spec).supersededPartitions(spark, ratio).flatMap { df =>
+              val n = df.count()
+              if (n == 0) None
+              else {
+                t.vacuumPartitions(spark, df)
+                Some(s"vacuum $n partition(s) on $path " +
+                  s"[${vc.map(_.hits).sum} scans]")
+              }
+            }
+          }
+        }
         val compactLine = if (cp.isEmpty) None else {
           val line =
             if (spec.partitionCols.isEmpty) { t.compact(spark); "compact" }
@@ -366,7 +416,8 @@ object IndexAdvisor {
           else Some(s"column_stats(${st.map(_.column).sorted.mkString(",")}) " +
             s"on $path [${st.map(_.hits).sum} probes]")
         }
-        compactLine.toSeq ++ clusterLine.toSeq ++ statsLine.toSeq
+        vacuumLine.toSeq ++ compactLine.toSeq ++ clusterLine.toSeq ++
+          statsLine.toSeq
       }
     }
     built ++ rebuilt

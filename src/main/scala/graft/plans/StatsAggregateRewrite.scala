@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Union, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
-import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min, sum, when}
 import org.apache.spark.sql.types._
 
 import graft.table.KeyedTable
@@ -55,7 +55,10 @@ import graft.table.KeyedTable
   * `avg(col)` (integral/decimal; sum + count folds with the final
   * division evaluated through the plan's own Average expression —
   * metadata-only serve, value-dependent exactness guards, see
-  * [[avgValue]]); no DISTINCT, no FILTER clauses. Any other
+  * [[avgValue]]). DISTINCT admits exactly `count(DISTINCT part_col)`
+  * (each file carries one partition tuple, so the sidecar's distinct
+  * p_ values ARE the answer — metadata-only); every other DISTINCT and
+  * all FILTER clauses decline. Any other
   * aggregate declines the whole node — partial serving would still
   * scan. Group counts beyond [[StatsAggregateRewrite.MaxGroups]]
   * decline (a LocalRelation is driver-resident; a group explosion
@@ -120,6 +123,7 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private case class AvgOf(column: String, t: DataType) extends Need
   private case object CountAll extends Need
   private case class CountCol(column: String) extends Need
+  private case class DistinctPartOf(column: String) extends Need
 
   import PartitionConjuncts.{PartFilter, PartIn, PartNotNull}
 
@@ -377,6 +381,19 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val needs: Seq[Need] = a.aggregateExpressions.map {
       case at: Attribute => groupNeedOf(at).getOrElse(return None)
+      // count(DISTINCT p) over a PARTITION column: each file carries one
+      // whole partition tuple, so the distinct count over the sidecar's
+      // per-file p_ values (zero-row files excluded) IS the distinct
+      // count over rows — count(distinct day), the partition-cardinality
+      // sanity query, as a metadata read. Any other DISTINCT declines.
+      case Alias(ae: AggregateExpression, _)
+          if ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(e)) =>
+            relAttrOf(e).filter(at => partCols.contains(lower(at.name)))
+              .map(at => DistinctPartOf(at.name)).getOrElse(return None)
+          case _ => return None
+        }
       case Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
@@ -485,6 +502,13 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case CountAll =>
           if (st.columns.contains("cnt")) Some(Seq(sum(col("cnt")))) else None
         case CountCol(c) => statCol("nn", c).map(s => Seq(sum(col(s))))
+        // cnt > 0 inside the fold (not a frame filter): a zero-row
+        // straggler file must not mint a partition value; nulls drop on
+        // both levels (countDistinct and the row-level count(distinct)).
+        case DistinctPartOf(c) =>
+          if (!st.columns.contains("cnt")) None
+          else statCol("p", c).map(s =>
+            Seq(countDistinct(when(col("cnt") > 0, col(s)))))
       }
       // String min/max serve only from EXACT stored bounds: any selected
       // file whose bounds were truncated (`trunc_<col>` — the Iceberg
@@ -608,8 +632,11 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       ranges, notNull, inLists, lr, fsRel, root) = m
     val dataGroups = m.dataGroupCols
     // avg cannot ride the union combine (it would need sum + count
-    // partials per side, not a final value) — metadata-only serve only.
-    if (needs.exists(_.isInstanceOf[AvgOf])) return None
+    // partials per side, not a final value), and a distinct count would
+    // need VALUES as partials — both are metadata-only serves.
+    if (needs.exists(n =>
+        n.isInstanceOf[AvgOf] || n.isInstanceOf[DistinctPartOf]))
+      return None
     val table = KeyedTable(spec)
     table.colStatsFrame(spark).flatMap { st =>
       def statCol(prefix: String, c: String): Option[String] =

@@ -1138,6 +1138,69 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** History partitions whose stored-version population is mostly
+    * superseded — the measurement behind the advisor's RETENTION arm.
+    * Total stored rows per partition come from the column-stats
+    * sidecar (all-version per-file counts grouped by the recorded
+    * partition tuple); live rows per partition from the record-level
+    * index (one entry per live resolve scope, grouped by partition
+    * path), admitted only while the index's commit delta is EMPTY (a
+    * stale index would over- or under-state liveness). Returns `None`
+    * when unmeasurable (unpartitioned, global keys, non-history, no
+    * stats, no/stale/unreadable RLI); otherwise a frame of the
+    * partition VALUES whose superseded fraction is ≥ `minRatio`, ready
+    * for [[vacuumPartitions]]. Cost: one metadata-sized sidecar fold +
+    * one index-sized groupBy — never table data.
+    */
+  private[graft] def supersededPartitions(
+      spark: SparkSession, minRatio: Double): Option[DataFrame] = {
+    if (!spec.retainHistory || spec.globalKeys || spec.partitionCols.isEmpty)
+      return None
+    val f = fs(spark)
+    if (!f.exists(new Path(rliDir))) return None
+    try {
+      colStatsFrame(spark).flatMap { st =>
+        val pCols = spec.partitionCols.map(c =>
+          st.columns.find(_.equalsIgnoreCase(s"p_$c")))
+        if (pCols.exists(_.isEmpty) || !st.columns.contains("cnt"))
+          return None
+        val idx = spark.read.parquet(rliDir)
+        if (!rliRequiredCols.subsetOf(idx.columns.toSet)) return None
+        val head = idx.select(col("built_at")).limit(1).collect()
+        if (head.isEmpty) return None
+        val fresh = KeyedTable
+          .fileDeltaSince(spark, spec.path, head(0).getString(0))
+          .exists { case (a, r) => a.isEmpty && r.isEmpty }
+        if (!fresh) return None
+        val cap = spark.conf
+          .get("spark.graft.partition.collect.max", "100000").toInt
+        val totals = KeyedTable.withMetaConf(spark)(
+          st.groupBy(pCols.flatten.map(col): _*)
+            .agg(sum(col("cnt")).as("_total"))
+            .limit(cap + 1).collect())
+        if (totals.length > cap) return None // see collectPartitionTuples
+        val live: Map[String, Long] = idx.groupBy(col("pp")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val nP = spec.partitionCols.length
+        val doomed = totals.filter { row =>
+          val total = if (row.isNullAt(nP)) 0L else row.getLong(nP)
+          val lv = live.getOrElse(partitionDirOf(row), 0L)
+          total > 0 && (total - lv).toDouble / total >= minRatio
+        }
+        val schema = org.apache.spark.sql.types.StructType(
+          spec.partitionCols.zip(pCols.flatten).map { case (c, pc) =>
+            org.apache.spark.sql.types.StructField(
+              c, st.schema(st.schema.fieldIndex(pc)).dataType)
+          })
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row](
+          doomed.length)
+        doomed.foreach(r =>
+          rows.add(org.apache.spark.sql.Row((0 until nP).map(r.get): _*)))
+        Some(spark.createDataFrame(rows, schema))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** The bloom index's candidate files for `probe` keys, TABLE-RELATIVE,
     * or `None` when the sidecar is absent/unreadable — the PROBABILISTIC
     * member of the lookup-candidate family. No freshness proof is

@@ -289,6 +289,59 @@ class IndexAdvisorSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.compact.small.bytes")
   }
 
+  test("retention: superseded history partitions draw a measured vacuum") {
+    val path = Files.createTempDirectory("graft_idxadv_vac_").toString + "/t"
+    val t = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("user_id"), precombineCol = "ts_us",
+      tiebreakCols = Seq("event_id"), partitionCols = Seq("event_type"),
+      retainHistory = true))
+    val ev = eventsUs
+    t.upsert(spark, ev, commitTime = "c0")
+    // corrections re-land ONE partition's rows: only it bloats
+    t.upsert(spark,
+      ev.filter(col("event_type") === "click")
+        .withColumn("ts_us", col("ts_us") + 1000000L),
+      commitTime = "c1")
+    t.recordColumnStats(spark, Seq("ts_us"))
+    t.recordKeyIndex(spark) // fresh: built after c1
+    val expected = t.read(spark)
+      .select("user_id", "event_type", "ts_us").collect().toSet
+    def fileSet(dir: String): Set[String] = {
+      val d = new java.io.File(s"$path/$dir")
+      if (!d.exists()) Set.empty
+      else d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val cleanBefore = fileSet("event_type=view")
+    spark.conf.set("spark.graft.vacuum.superseded.ratio", "0.4")
+    try {
+      // no policy, no measurement, no advice — check the gate first
+      spark.conf.unset("spark.graft.vacuum.superseded.ratio")
+      assert(!IndexAdvisor.analyze(spark, Seq(t.read(spark)))
+        .recommendations.exists(_.kind == "vacuum"),
+        "retention advice must be opt-in")
+      spark.conf.set("spark.graft.vacuum.superseded.ratio", "0.4")
+      val advice = IndexAdvisor.analyze(spark, Seq(t.read(spark)))
+      assert(advice.recommendations.exists(_.kind == "vacuum"),
+        s"the corrected partition must draw a vacuum: ${advice.recommendations}")
+      val lines = IndexAdvisor.createRecommended(spark, advice)
+      assert(lines.exists(_.startsWith("vacuum 1 partition")), s"$lines")
+      // only the corrected partition was rewritten; reads stay exact
+      assert(fileSet("event_type=view") == cleanBefore,
+        "untouched partitions must stay byte-identical")
+      assert(t.read(spark)
+        .select("user_id", "event_type", "ts_us").collect().toSet == expected)
+      // settled: the vacuum commit staled the RLI, so the measurement
+      // declines; after an index refresh the ratio is ~0 — still nothing
+      assert(!IndexAdvisor.analyze(spark, Seq(t.read(spark)))
+        .recommendations.exists(_.kind == "vacuum"))
+      t.refreshRecordKeyIndex(spark)
+      t.recordColumnStats(spark, Seq("ts_us"))
+      assert(!IndexAdvisor.analyze(spark, Seq(t.read(spark)))
+        .recommendations.exists(_.kind == "vacuum"),
+        "a reclaimed table must settle")
+    } finally spark.conf.unset("spark.graft.vacuum.superseded.ratio")
+  }
+
   test("grouped rollups: stats first, gated cluster, then the serve settles") {
     val path = Files.createTempDirectory("graft_idxadv_grp_").toString + "/t"
     val t = KeyedTable(KeyedTableSpec(

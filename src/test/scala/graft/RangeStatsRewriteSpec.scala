@@ -502,6 +502,33 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     assert(q.as[Long].collect()(0) == mor.read(spark).count())
   }
 
+  test("count(DISTINCT partition_col) folds the sidecar's tuples, no scan") {
+    val path = Files.createTempDirectory("graft_cdp_").toString + "/t"
+    val t = KeyedTable(cowSpec(path))
+    t.upsert(spark, eventsUs, commitTime = "c0")
+    def q = t.read(spark).agg(
+      countDistinct(col("event_type")).as("n_types"),
+      count(lit(1)).as("n_rows"))
+    val expected = q.collect()(0) // no stats yet: real scan
+    assert(graft.plans.PlanWalk.scannedFiles(q).nonEmpty)
+    t.recordColumnStats(spark, Seq("event_id"))
+    assert(graft.plans.PlanWalk.scannedFiles(q).isEmpty,
+      "partition distinct count must fold from the sidecar")
+    assert(q.collect()(0) == expected)
+    // composed with a partition filter: stSel narrows the tuples first
+    def qf = t.read(spark)
+      .filter(col("event_type").isin("click", "view"))
+      .agg(countDistinct(col("event_type")).as("n"))
+    assert(graft.plans.PlanWalk.scannedFiles(qf).isEmpty)
+    assert(qf.collect()(0).getLong(0) == 2L)
+    // a NON-partition distinct count declines but stays exact
+    def qu = t.read(spark).agg(countDistinct(col("user_id")).as("n"))
+    assert(graft.plans.PlanWalk.scannedFiles(qu).nonEmpty,
+      "non-partition distinct must decline to the scan")
+    assert(qu.collect()(0) ==
+      eventsUs.agg(countDistinct(col("user_id")).as("n")).collect()(0))
+  }
+
   test("resolved count(*) on MoR serves from the record-level index") {
     val path = Files.createTempDirectory("graft_morcnt_").toString + "/t"
     val mor = KeyedTable(KeyedTableSpec(
