@@ -211,7 +211,8 @@ object SparkEntry {
     "q184_mor_live_count" -> (UpsertOps.morLiveCount(_, _)),
     "q185_rollup_advisor" -> (UpsertOps.rollupAdvised(_, _)),
     "q186_distinct_count" -> (UpsertOps.distinctCountQuery(_, _)),
-    "q187_vacuum_advisor" -> (UpsertOps.vacuumAdvised(_, _))
+    "q187_vacuum_advisor" -> (UpsertOps.vacuumAdvised(_, _)),
+    "q188_mor_group_count" -> (UpsertOps.morGroupLiveCount(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1218,6 +1219,14 @@ object SparkEntry {
       """SELECT count(*) AS n_live FROM (
         |  SELECT DISTINCT user_id, event_type FROM events
         |  WHERE event_id % 2 = 0)""".stripMargin,
+    // grouped MoR live count from the index's typed partition values:
+    // corrections re-land existing scopes, so per-partition liveness is
+    // the c0 half's distinct scopes per type
+    "q188_mor_group_count" ->
+      """SELECT event_type, count(*) AS n_live FROM (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |  WHERE event_id % 2 = 0)
+        |GROUP BY event_type""".stripMargin,
     // grouped-rollup advisor: stats + measured cluster only change
     // which files open — the oracle is the plain grouped aggregate
     "q185_rollup_advisor" ->

@@ -1727,6 +1727,20 @@ object UpsertOps {
     table.read(s).agg(count(lit(1)).as("n_live"))
   }
 
+  /** GROUPED live count of a merge-on-read table (q188; the grouped arm
+    * of [[graft.plans.StatsAggregateRewrite]]'s MoR count serve): "live
+    * rows per partition" — answered from the record-level index's TYPED
+    * partition values (`pv_` entry columns; the rendered path string is
+    * never parsed), the stale index reconciling through the same
+    * commit→files delta as q184. At 100 TB the per-day liveness
+    * dashboard reads the key/file index, never data. ≡ the grouped
+    * latest-per-(key, partition) count — the oracle.
+    */
+  def morGroupLiveCount(s: SparkSession, dir: String): DataFrame = {
+    val (table, _, _) = morRangeFixture(s, dir)
+    table.read(s).groupBy(col("event_type")).agg(count(lit(1)).as("n_live"))
+  }
+
   /** Shared by q159 (API-level MoR range), q170 (declarative MoR
     * range), q176 (partition-composed) and q184 (live count): the
     * two-commit history table with the out-of-range correction trap,

@@ -220,31 +220,24 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       memo.gated(key)(serveAgg(m))
     }.orElse(serveMorCount(a))
 
-  /** `count(*)` over a history table's RESOLVED read, served from the
-    * record-level index: the index stores one entry per live resolve
-    * scope, so the live count is the (delta-reconciled) index count —
-    * [[KeyedTable.resolvedCount]] — and the matched Aggregate becomes a
-    * LocalRelation. On a 100 TB merge-on-read table "how many live
-    * rows" otherwise costs a full scan PLUS the per-key resolve window;
+  /** `count(*)` over a history table's RESOLVED read — bare or
+    * `GROUP BY` partition columns — served from the record-level index:
+    * the index stores one entry per live resolve scope, so the live
+    * count is the (delta-reconciled) index count
+    * ([[KeyedTable.resolvedCount]]) and the per-partition counts come
+    * from the index's TYPED `pv_` partition values
+    * ([[KeyedTable.resolvedGroupCounts]]; pre-pv indexes decline). On a
+    * 100 TB merge-on-read table "how many live rows [per day]"
+    * otherwise costs a full scan PLUS the per-key resolve window;
     * through the index it reads key/file entries only. The match
     * requires the exact shared resolve shape ([[MvPlanShape.resolveRnOf]]
     * + the rn = 1 conjunct ABOVE the window, nothing else below or
-    * beside it) on a registered `retainHistory` table, and every output
-    * to be an undistinct, unfiltered `count(*)`/`count(1)`.
+    * beside it) on a registered `retainHistory` table, grouping only by
+    * partition-column attributes, and every non-group output to be an
+    * undistinct, unfiltered `count(*)`/`count(1)`.
     */
   private def serveMorCount(a: Aggregate): Option[LogicalPlan] = {
-    if (a.groupingExpressions.nonEmpty || a.aggregateExpressions.isEmpty)
-      return None
-    val allCountStar = a.aggregateExpressions.forall {
-      case Alias(ae: AggregateExpression, _)
-          if !ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          case Count(Seq(Literal(v, _))) if v != null => true
-          case _ => false
-        }
-      case _ => false
-    }
-    if (!allCountStar) return None
+    if (a.aggregateExpressions.isEmpty) return None
     val conds = mutable.Buffer.empty[(Expression, Int)]
     val windows = mutable.Buffer.empty[Window]
     val renames = mutable.Map.empty[ExprId, Expression]
@@ -253,7 +246,8 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!MvPlanShape.strip(a.child, conds, windows, renames, rels, pairs))
       return None
     if (pairs.nonEmpty || rels.length != 1) return None
-    val fsRel = rels.head.relation match {
+    val lr = rels.head
+    val fsRel = lr.relation match {
       case h: HadoopFsRelation => h
       case _ => return None
     }
@@ -263,6 +257,38 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val spec = Option(KeyedTable.specRegistry.get(root)).getOrElse(return None)
     if (!spec.retainHistory) return None
+    val subst = MvPlanShape.substFn(renames)
+    val relIds = lr.output.map(_.exprId).toSet
+    def relAttrOf(e: Expression): Option[Attribute] = subst(e) match {
+      case at: Attribute if relIds.contains(at.exprId) &&
+        !at.name.startsWith("_graft_") => Some(at)
+      case _ => None
+    }
+    val partColsL = spec.partitionCols.map(lower).toSet
+    val groupAttrs: Seq[Attribute] = a.groupingExpressions.map { e =>
+      relAttrOf(e).filter(at => partColsL.contains(lower(at.name)))
+        .getOrElse(return None)
+    }
+    val groupIdx: Map[ExprId, Int] =
+      groupAttrs.zipWithIndex.map { case (at, i) => at.exprId -> i }.toMap
+    // Each output: Left(slot among groupAttrs) or Right(count(*)).
+    val outputs: Seq[Either[Int, Unit]] = a.aggregateExpressions.map {
+      case at: Attribute =>
+        scala.Left(relAttrOf(at).flatMap(x => groupIdx.get(x.exprId))
+          .getOrElse(return None))
+      case Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(Literal(v, _))) if v != null => scala.Right(())
+          case _ => return None
+        }
+      case Alias(e, _) =>
+        scala.Left(relAttrOf(e).flatMap(x => groupIdx.get(x.exprId))
+          .getOrElse(return None))
+      case _ => return None
+    }
+    if (!outputs.exists(_.isRight)) return None // a pure DISTINCT is
+    // the stats rule's shape; this arm only serves counts
     val rn = windows.toSeq match {
       case Seq(w) => MvPlanShape.resolveRnOf(w, spec).getOrElse(return None)
       case _ => return None
@@ -277,14 +303,45 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // resolved state (or worse, versions below the resolve) and the
     // index count would over-count.
     if (rnConds.map(_._2) != Seq(0) || rest.nonEmpty) return None
-    memo.gated(("morCount", spec.path)) {
-      KeyedTable(spec).resolvedCount(spark).map { n =>
-        logInfo(s"stats-aggregate rewrite: ${spec.path} resolved count " +
-          s"served from the record-level index ($n live rows, no scan)")
-        LocalRelation(
-          a.output,
-          IndexedSeq(InternalRow.fromSeq(a.aggregateExpressions.map(_ => n))),
-          false)
+    val table = KeyedTable(spec)
+    if (groupAttrs.isEmpty) {
+      memo.gated(("morCount", spec.path)) {
+        table.resolvedCount(spark).map { n =>
+          logInfo(s"stats-aggregate rewrite: ${spec.path} resolved count " +
+            s"served from the record-level index ($n live rows, no scan)")
+          LocalRelation(
+            a.output,
+            IndexedSeq(InternalRow.fromSeq(outputs.map(_ => n))),
+            false)
+        }
+      }
+    } else {
+      val key = ("morGroupCount", spec.path, groupAttrs.map(_.name).toVector)
+      memo.gated(key) {
+        table.resolvedGroupCounts(spark).flatMap { tuples =>
+          // Combine the full partition tuples down to the requested
+          // grouping projection (a subset groups coarser; counts add).
+          val pcIdx: Seq[Int] = groupAttrs.map(at =>
+            spec.partitionCols.indexWhere(_.equalsIgnoreCase(at.name)))
+          val byKey: Map[Seq[Any], Long] = tuples
+            .groupBy { case (vals, _) => pcIdx.map(vals): Seq[Any] }
+            .map { case (k, vs) => k -> vs.map(_._2).sum }
+          if (byKey.size > MaxGroups) None
+          else {
+            val conv = groupAttrs.map(at =>
+              CatalystTypeConverters.createToCatalystConverter(at.dataType))
+            val data = byKey.toIndexedSeq.map { case (k, n) =>
+              InternalRow.fromSeq(outputs.map {
+                case scala.Left(gi) => conv(gi)(k(gi))
+                case scala.Right(_) => n
+              })
+            }
+            logInfo(s"stats-aggregate rewrite: ${spec.path} grouped " +
+              s"resolved count served from the record-level index " +
+              s"(${data.length} groups, no scan)")
+            Some(LocalRelation(a.output, data, false))
+          }
+        }
       }
     }
   }

@@ -912,11 +912,22 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       col("_graft_rel").as("file"),
       col(spec.precombineCol).as("pre"),
       col(KeyedTable.CommitTimeCol).as("ct")) ++
-      spec.tiebreakCols.zipWithIndex.map { case (c, i) => col(c).as(s"tb_$i") }
+      spec.tiebreakCols.zipWithIndex.map { case (c, i) => col(c).as(s"tb_$i") } ++
+      // TYPED partition values (`pv_<col>`) alongside the rendered path:
+      // the rendered `pp` string is not invertible (no hive escaping, a
+      // value containing '/' or '=' corrupts a parse), so consumers that
+      // need partition VALUES — the grouped resolved count, the
+      // retention measurement — read these instead. NOT in
+      // [[rliRequiredCols]]: a pre-pv index keeps serving point lookups;
+      // pv consumers decline on it until the next build/refresh
+      // (refresh rebuilds on entry-schema drift).
+      spec.partitionCols.map(c => col(c).as(s"pv_$c"))
 
   private def rliRequiredCols: Set[String] =
     Set("key", "pp", "file", "pre", "ct", "built_at") ++
       spec.tiebreakCols.indices.map(i => s"tb_$i")
+
+  private def rliPvCols: Seq[String] = spec.partitionCols.map(c => s"pv_$c")
 
   /** Does this table's read resolve latest-per-key? (Mirrors
     * [[lookupResolve]] — the index must return the same rows a full
@@ -1027,6 +1038,16 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     val builtAt = if (head.isEmpty) "" else head(0).getString(0)
     val newBoundary = KeyedTable.timelineMarkers(spark, spec.path)
       .lastOption.map(KeyedTable.markerCommit).getOrElse("")
+    // Entry-schema drift (an index written before a column joined the
+    // entry layout, e.g. the typed pv_ partition values) rebuilds: the
+    // carried rows could not union with the delta's, and a mixed-schema
+    // index would silently withhold the new columns from consumers.
+    val expectedEntryCols = readRaw(spark).limit(0)
+      .withColumn("_graft_rel", lit(""))
+      .select(entryCols: _*).columns.toSet
+    if (idx.columns.toSet - "built_at" != expectedEntryCols) {
+      rebuild; return
+    }
     KeyedTable.fileDeltaSince(spark, spec.path, builtAt) match {
       case None => rebuild
       case Some((added, removed)) =>
@@ -1138,6 +1159,48 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Resolved (latest-per-key) row counts per FULL partition tuple,
+    * served from the record-level index — the grouped twin of
+    * [[resolvedCount]]. Requires the index to carry the TYPED partition
+    * values (`pv_<col>`, recorded since the entry layout gained them —
+    * older indexes decline until their next build/refresh); the
+    * rendered `pp` string is deliberately never parsed. Same delta
+    * reconciliation and cost shape as [[resolvedCount]]; the returned
+    * tuples are external Scala values in `spec.partitionCols` order.
+    */
+  private[graft] def resolvedGroupCounts(
+      spark: SparkSession): Option[Seq[(Seq[Any], Long)]] = {
+    val f = fs(spark)
+    if (!f.exists(new Path(rliDir)) || !spec.retainHistory ||
+        spec.partitionCols.isEmpty) return None
+    try {
+      val idx = spark.read.parquet(rliDir)
+      if (!rliRequiredCols.subsetOf(idx.columns.toSet) ||
+          !rliPvCols.forall(idx.columns.contains)) return None
+      val head = idx.select(col("built_at")).limit(1).collect()
+      if (head.isEmpty) return None
+      KeyedTable.fileDeltaSince(spark, spec.path, head(0).getString(0)).map {
+        case (added, removed) =>
+          val idxSel =
+            if (removed.isEmpty) idx.drop("built_at")
+            else idx.drop("built_at").filter(!col("file").isin(removed: _*))
+          val settled =
+            if (added.isEmpty && removed.isEmpty) idxSel
+            else {
+              val deltaSel =
+                if (added.isEmpty) idxSel.limit(0)
+                else readFilesRaw(spark, added)
+                  .withColumn("_graft_rel", relFileExpr(spark))
+                  .select(rliEntryCols: _*)
+              rliResolveEntries(spark, idxSel.unionByName(deltaSel))
+            }
+          settled.groupBy(rliPvCols.map(col): _*).count().collect()
+            .map(r => (rliPvCols.indices.map(r.get), r.getLong(r.length - 1)))
+            .toSeq
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** History partitions whose stored-version population is mostly
     * superseded — the measurement behind the advisor's RETENTION arm.
     * Total stored rows per partition come from the column-stats
@@ -1179,12 +1242,28 @@ final class KeyedTable(val spec: KeyedTableSpec) {
             .agg(sum(col("cnt")).as("_total"))
             .limit(cap + 1).collect())
         if (totals.length > cap) return None // see collectPartitionTuples
-        val live: Map[String, Long] = idx.groupBy(col("pp")).count()
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // Prefer the TYPED pv_ tuples (exact match against the stats
+        // p_ values); pre-pv indexes fall back to the rendered-path
+        // match, which agrees for ordinary values (the rendering is
+        // not escape-safe, so exotic values could only over-vacuum —
+        // never under-reclaim or lose rows).
         val nP = spec.partitionCols.length
+        val liveTyped: Option[Map[Seq[Any], Long]] =
+          if (rliPvCols.forall(idx.columns.contains))
+            Some(idx.groupBy(rliPvCols.map(col): _*).count().collect()
+              .map(r => (rliPvCols.indices.map(r.get): Seq[Any]) ->
+                r.getLong(r.length - 1)).toMap)
+          else None
+        val livePp: Map[String, Long] =
+          if (liveTyped.isDefined) Map.empty
+          else idx.groupBy(col("pp")).count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         val doomed = totals.filter { row =>
           val total = if (row.isNullAt(nP)) 0L else row.getLong(nP)
-          val lv = live.getOrElse(partitionDirOf(row), 0L)
+          val lv = liveTyped match {
+            case Some(m) => m.getOrElse((0 until nP).map(row.get), 0L)
+            case None    => livePp.getOrElse(partitionDirOf(row), 0L)
+          }
           total > 0 && (total - lv).toDouble / total >= minRatio
         }
         val schema = org.apache.spark.sql.types.StructType(
@@ -1382,11 +1461,11 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       val rliNames = Seq("key", "pp", "file", "pre", "ct") ++
         spec.tiebreakCols.indices.map(i => s"tb_$i")
       publishRli(spark, combined
-        .select(rliNames.map(col): _*)
+        .select((rliNames ++ rliPvCols).map(col): _*)
         .withColumn("built_at", lit(builtAt)))
       siColumns.foreach { c =>
         val entries = combined.select(
-          rliNames.map(col) ++
+          (rliNames ++ rliPvCols).map(col) ++
             (col(svAlias(c)).as("sval") +:
               spec.keyCols.indices.map(i =>
                 col(s"_graft_k_$i").as(s"k_$i"))): _*)

@@ -565,6 +565,43 @@ class RangeStatsRewriteSpec extends SparkTestBase {
       "a filtered resolved count must decline to the scan")
   }
 
+  test("grouped resolved count on MoR serves from the index's typed partition values") {
+    val path = Files.createTempDirectory("graft_morgcnt_").toString + "/t"
+    val mor = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("user_id"), precombineCol = "ts_us",
+      tiebreakCols = Seq("event_id"), partitionCols = Seq("event_type"),
+      retainHistory = true))
+    val ev = eventsUs
+    mor.upsert(spark, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    mor.upsert(spark, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    def q = mor.read(spark).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    def live(df: DataFrame) = df.select("user_id", "event_type").distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    assert(graft.plans.PlanWalk.scannedFiles(q).nonEmpty,
+      "no index: the grouped resolved count must scan")
+    mor.recordKeyIndex(spark)
+    assert(graft.plans.PlanWalk.scannedFiles(q).isEmpty,
+      "indexed grouped count must serve as a LocalRelation")
+    assert(q.collect().toSet == live(ev).collect().toSet)
+    // a post-build commit reconciles through the delta: fresh keys land
+    // in ONE partition, moved versions must not double-count anywhere
+    val fresh = ev.filter(col("user_id") % 5 === 0)
+      .withColumn("user_id", col("user_id") + 100000L)
+      .withColumn("event_type", lit("click"))
+    val moved = ev.filter(col("user_id") % 11 === 0)
+      .withColumn("ts_us", col("ts_us") + 1000000L)
+    mor.upsert(spark, moved.unionByName(fresh), commitTime = "c2")
+    assert(graft.plans.PlanWalk.scannedFiles(q).isEmpty)
+    assert(q.collect().toSet ==
+      live(ev.unionByName(fresh)).collect().toSet)
+    // grouping by a NON-partition column declines, stays exact
+    def qu = mor.read(spark).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    assert(graft.plans.PlanWalk.scannedFiles(qu).nonEmpty,
+      "non-partition grouping must decline to the scan")
+  }
+
   test("IS NULL / IS NOT NULL prune through the per-file null counts") {
     val path = Files.createTempDirectory("graft_nullprune_").toString + "/t"
     val t = KeyedTable(cowSpec(path))
