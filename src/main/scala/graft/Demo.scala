@@ -232,6 +232,28 @@ object Demo {
     println(s"compacted partition click; rows unchanged: " +
       s"${idx.read(spark).count() == svcBefore}")
 
+    println("=== maintenance loop: incremental stats + served liveness ===")
+    // A drip commit retires the stats sidecar to a cache; the refresh
+    // carries the surviving files' rows and scans ONLY the new files.
+    idx.insert(spark,
+      ev.filter(col("event_id") % 97 === 0)
+        .withColumn("event_id", col("event_id") + 9000000L),
+      commitTime = "svc1")
+    println(s"refreshColumnStats after the drip: ${idx.refreshColumnStats(spark)}")
+    val profile = idx.read(spark).groupBy("event_type").agg(
+      avg(col("event_id")).as("avg_id"), count(lit(1)).as("n"))
+    println(s"per-type avg/count (sidecar fold): ${scansOf(profile)}")
+    val nTypes = idx.read(spark)
+      .agg(countDistinct(col("event_type")).as("n_types"))
+    println(s"partition cardinality (metadata):  ${scansOf(nTypes)}")
+    // History liveness from the record-level index: count(*) and the
+    // per-partition counts over the RESOLVED read never touch data.
+    hist.recordKeyIndex(spark)
+    val liveBy = hist.read(spark)
+      .groupBy("event_type").agg(count(lit(1)).as("n_live"))
+    println(s"history live rows per type (RLI):  ${scansOf(liveBy)}")
+    liveBy.orderBy("event_type").show(truncate = false)
+
     println("=== tokenizer prep: top BPE merge candidates ===")
     graft.operators.TextAnalysis.bpePairs(spark, sfDir).show(5, truncate = false)
 
