@@ -206,6 +206,45 @@ class ClusteringSpec extends SparkTestBase {
     assert(rebuilt.columns.contains("min_value"))
   }
 
+  test("incremental refresh ≡ full rebuild across every retire site") {
+    val path = Files.createTempDirectory("graft_incstats_ops_").toString + "/t"
+    val t = KeyedTable(KeyedTableSpec(
+      path, keyCols = Seq("user_id"), precombineCol = "ts_us",
+      tiebreakCols = Seq("event_id"), partitionCols = Seq("event_type")))
+    val ev = events()
+    import spark.implicits._
+    def assertRefreshExact(label: String): Unit = {
+      assert(t.refreshColumnStats(spark), s"$label: refresh must run")
+      def rows() = spark.read.parquet(s"$path/_graft_colstats")
+        .collect().map(_.toString).sorted.toSeq
+      val incremental = rows()
+      val f = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/_graft_colstats"), true)
+      t.recordColumnStats(spark, Seq("ts_us", "value"))
+      assert(incremental == rows(),
+        s"$label: incremental sidecar must equal the full rebuild's")
+    }
+    t.upsert(spark, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    t.recordColumnStats(spark, Seq("ts_us", "value"))
+    t.insert(spark,
+      ev.filter(col("event_id") % 2 === 1)
+        .withColumn("event_id", col("event_id") + 1000000L), "c1")
+    assertRefreshExact("insert append")
+    t.upsert(spark, ev.filter(col("event_id") % 5 === 0)
+      .withColumn("ts_us", col("ts_us") + 7L), commitTime = "c2")
+    assertRefreshExact("merge upsert (partition rewrite)")
+    t.delete(spark, ev.filter(col("user_id") % 9 === 0)
+      .select("user_id", "event_type"))
+    assertRefreshExact("partition-scoped delete")
+    t.dropPartitions(spark, Seq("error").toDF("event_type"),
+      commitTime = "c3")
+    assertRefreshExact("partition drop")
+    t.compactPartitions(spark, Seq("click").toDF("event_type"),
+      commitTime = "c4")
+    assertRefreshExact("partition-selective compaction")
+  }
+
   test("refreshColumnStats re-covers the cache's own columns; nothing to refresh → false") {
     val path = Files.createTempDirectory("graft_refresh_").toString + "/t"
     val t = KeyedTable(KeyedTableSpec(

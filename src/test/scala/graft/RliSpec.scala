@@ -146,6 +146,39 @@ class RliSpec extends SparkTestBase {
     assert(cands.size < dataFileCount(a))
   }
 
+  test("refresh rebuilds a pre-pv index instead of failing the carry") {
+    val path = Files.createTempDirectory("graft_rli_prepv_").toString + "/t"
+    val t = KeyedTable(morSpec(path))
+    val ev = eventsUs
+    t.upsert(spark, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    t.recordKeyIndex(spark)
+    // Strip the typed pv_ columns — the entry layout of an index built
+    // before they existed.
+    val rli = s"$path/_graft_rli"
+    val old = spark.read.parquet(rli)
+    val stripped = old.drop(old.columns.filter(_.startsWith("pv_")).toSeq: _*)
+    val rows = stripped.collect().toSeq
+    val fs = new org.apache.hadoop.fs.Path(rli)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), stripped.schema)
+      .write.mode("overwrite").parquet(s"$path/._graft_rli_old")
+    fs.delete(new org.apache.hadoop.fs.Path(rli), true)
+    fs.rename(
+      new org.apache.hadoop.fs.Path(s"$path/._graft_rli_old"),
+      new org.apache.hadoop.fs.Path(rli))
+    // A later commit gives the refresh a delta whose entries carry pv —
+    // the drift must trigger a rebuild, never a failed union.
+    t.upsert(spark, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
+    t.refreshRecordKeyIndex(spark)
+    val refreshed = spark.read.parquet(rli)
+    assert(refreshed.columns.exists(_.startsWith("pv_")),
+      "the rebuilt index must carry the typed partition values")
+    val probe = probeFrame
+    assert(outputSet(t.lookupKeys(spark, probe)) == oracle(t, probe),
+      "post-rebuild lookups must stay exact")
+  }
+
   test("layout commits: stale lookup survives compaction, candidates stay live and pruned") {
     val path = Files.createTempDirectory("graft_rli_cmp_").toString + "/t"
     val table = KeyedTable(morSpec(path))
