@@ -212,7 +212,8 @@ object SparkEntry {
     "q185_rollup_advisor" -> (UpsertOps.rollupAdvised(_, _)),
     "q186_distinct_count" -> (UpsertOps.distinctCountQuery(_, _)),
     "q187_vacuum_advisor" -> (UpsertOps.vacuumAdvised(_, _)),
-    "q188_mor_group_count" -> (UpsertOps.morGroupLiveCount(_, _))
+    "q188_mor_group_count" -> (UpsertOps.morGroupLiveCount(_, _)),
+    "q189_avg_hybrid" -> (UpsertOps.rangeAvgHybrid(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1226,6 +1227,18 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_live FROM (
         |  SELECT DISTINCT user_id, event_type FROM events
         |  WHERE event_id % 2 = 0)
+        |GROUP BY event_type""".stripMargin,
+    // hybrid grouped avg: exact sum + count partials on both union
+    // sides, the division through Spark's own Average expression —
+    // integral avgs are exact on both engines under the same-sign +
+    // < 2^53 guard, so the doubles hash-match
+    "q189_avg_hybrid" ->
+      """WITH mm AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+        |            FROM events)
+        |SELECT event_type, avg(event_id) AS avg_id, count(*) AS n
+        |FROM events, mm
+        |WHERE epoch_us(ts) BETWEEN mn + (mx - mn) // 8
+        |                       AND mx - (mx - mn) // 8
         |GROUP BY event_type""".stripMargin,
     // grouped-rollup advisor: stats + measured cluster only change
     // which files open — the oracle is the plain grouped aggregate

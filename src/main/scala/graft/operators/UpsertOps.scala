@@ -1923,6 +1923,26 @@ object UpsertOps {
     * single fixture instead of two near-identical builds. Returns
     * (table, domain min, max).
     */
+  /** HYBRID grouped avg (q189; [[graft.plans.StatsAggregateRewrite]]'s
+    * AvgOf-through-the-union arm): the windowed per-type mean —
+    * `avg(event_id), count(*) GROUP BY event_type WHERE ts BETWEEN …` —
+    * where full files fold their EXACT sum + count partials from the
+    * sidecar, boundary files scan with sum + count partials of their
+    * own, and the combine re-binds Spark's Average expression over the
+    * re-added totals (result type and rounding are Spark's own). The
+    * integral exactness guard is proven from the whole table's stats
+    * (same-sign, total < 2^53), covering whatever subset the window
+    * selects. ≡ the plain windowed grouped avg — the oracle.
+    */
+  def rangeAvgHybrid(s: SparkSession, dir: String): DataFrame = {
+    val (table, mn, mx) = hybridAggFixture(s, dir)
+    val span = mx - mn
+    table.read(s)
+      .filter(col("ts_us") >= mn + span / 8 && col("ts_us") <= mx - span / 8)
+      .groupBy(col("event_type"))
+      .agg(avg(col("event_id")).as("avg_id"), count(lit(1)).as("n"))
+  }
+
   private def hybridAggFixture(
       s: SparkSession, dir: String): (KeyedTable, Long, Long) =
     fixtureOnce(dir, "hybridAgg") {

@@ -53,9 +53,10 @@ import graft.table.KeyedTable
   * from the exact widened partials), `count(*)`/`count(1)` (served from
   * per-file `cnt`), `count(col)` (served from `nn_<col>`), or
   * `avg(col)` (integral/decimal; sum + count folds with the final
-  * division evaluated through the plan's own Average expression —
-  * metadata-only serve, value-dependent exactness guards, see
-  * [[avgValue]]). DISTINCT admits exactly `count(DISTINCT part_col)`
+  * division evaluated through the plan's own Average expression — on
+  * the hybrid it rides the union as a sum + count slice per side;
+  * value-dependent exactness guards, see [[avgValue]]/[[avgBind]]).
+  * DISTINCT admits exactly `count(DISTINCT part_col)`
   * (each file carries one partition tuple, so the sidecar's distinct
   * p_ values ARE the answer — metadata-only); every other DISTINCT and
   * all FILTER clauses decline. Any other
@@ -113,6 +114,14 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def lower(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+
+  private def longOf(x: Any): Option[Long] = x match {
+    case b: java.lang.Byte    => Some(b.longValue())
+    case s: java.lang.Short   => Some(s.longValue())
+    case i: java.lang.Integer => Some(i.longValue())
+    case l: java.lang.Long    => Some(l.longValue())
+    case _ => None
+  }
 
   /** What one output expression needs from the sidecar fold. */
   private sealed trait Need
@@ -486,9 +495,11 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           // totals must fit Average's own sum-buffer type, integral
           // totals must be same-sign and < 2^53 so Spark's
           // order-sensitive DOUBLE accumulation was provably exact
-          // (every partial is a subset sum bounded by the total).
-          // METADATA-ONLY serve only: through the hybrid union an avg
-          // would need sum+count partials per side — declined there.
+          // (every partial is a subset sum bounded by the total — for
+          // the hybrid the guard is proven from the WHOLE table's
+          // stats, covering whatever subset the boundary scan sums).
+          // Through the hybrid union avg owns a sum + count slice per
+          // side and the combine re-binds Average's evaluate expression.
           case av: Average =>
             relAttrOf(av.child).filter(at => integral(at.dataType) ||
                 at.dataType.isInstanceOf[DecimalType])
@@ -688,12 +699,10 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val AggMatch(a, spec, needs, groupAttrs, groupIsPart, partFilters,
       ranges, notNull, inLists, lr, fsRel, root) = m
     val dataGroups = m.dataGroupCols
-    // avg cannot ride the union combine (it would need sum + count
-    // partials per side, not a final value), and a distinct count would
-    // need VALUES as partials — both are metadata-only serves.
-    if (needs.exists(n =>
-        n.isInstanceOf[AvgOf] || n.isInstanceOf[DistinctPartOf]))
-      return None
+    // A distinct count would need VALUES as partials through the union
+    // — metadata-only serve. (avg DOES ride the hybrid: it owns a
+    // sum + count slice on both union sides, see below.)
+    if (needs.exists(_.isInstanceOf[DistinctPartOf])) return None
     val table = KeyedTable(spec)
     table.colStatsFrame(spark).flatMap { st =>
       def statCol(prefix: String, c: String): Option[String] =
@@ -783,20 +792,62 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
       // Value folds over the FULL subset — same folds as the
       // metadata-only serve — plus the string-truncation guards and the
-      // full-file count.
-      val folds: Seq[Option[org.apache.spark.sql.Column]] = needs.collect {
-        case MinOf(c, _) => statCol("min", c).map(s => min(col(s)))
-        case MaxOf(c, _) => statCol("max", c).map(s => max(col(s)))
+      // full-file count. Arity varies per need: avg rides the union as
+      // SUM + COUNT partials (a final value cannot combine), so it owns
+      // a two-column slice on the fold, the union row and the partial.
+      val folds: Seq[Option[Seq[org.apache.spark.sql.Column]]] = needs.map {
+        case _: GroupOf  => Some(Seq.empty)
+        case MinOf(c, _) => statCol("min", c).map(s => Seq(min(col(s))))
+        case MaxOf(c, _) => statCol("max", c).map(s => Seq(max(col(s))))
         case SumOf(c, t) =>
-          statCol("sum", c).map(s => sum(col(s).cast(partialDecimal(t))))
-        case CountAll    => Some(sum(col("cnt")))
-        case CountCol(c) => statCol("nn", c).map(s => sum(col(s)))
+          statCol("sum", c).map(s => Seq(sum(col(s).cast(partialDecimal(t)))))
+        case AvgOf(c, t) =>
+          for { s <- statCol("sum", c); n <- statCol("nn", c) }
+            yield Seq(sum(col(s).cast(partialDecimal(t))), sum(col(n)))
+        case CountAll    => Some(Seq(sum(col("cnt"))))
+        case CountCol(c) => statCol("nn", c).map(s => Seq(sum(col(s))))
+        case _: DistinctPartOf => None // unreachable: declined above
       }
       val guardCols: Seq[Option[String]] = needs.collect {
         case MinOf(c, StringType) => statCol("trunc", c)
         case MaxOf(c, StringType) => statCol("trunc", c)
       }.distinct
       if (folds.exists(_.isEmpty) || guardCols.exists(_.isEmpty)) return None
+      val slices = folds.map(_.get)
+      // Need i's fold slice starts at nGroups + offsets(i).
+      val offsets = slices.scanLeft(0)(_ + _.length)
+      // INTEGRAL avg exactness must hold for whatever subset the
+      // boundary scan sums in DOUBLE — provable only from the WHOLE
+      // table's stats: all values same sign and the all-rows exact
+      // total < 2^53 bound every subset's partial sums (each is a
+      // subset sum ≤ the total, exactly representable). An all-null
+      // column is trivially exact. Decimal avg needs no guard here —
+      // partials are exact and the combine narrows through Average's
+      // own sum-buffer type. Declines fall to the plain scan.
+      val avgIntCols = needs.collect {
+        case AvgOf(c, t) if !t.isInstanceOf[DecimalType] => c
+      }.distinct
+      if (avgIntCols.nonEmpty) {
+        if (avgIntCols.exists(c => statCol("min", c).isEmpty ||
+            statCol("max", c).isEmpty || statCol("sum", c).isEmpty))
+          return None
+        val gAggs = avgIntCols.flatMap(c => Seq(
+          min(col(statCol("min", c).get)),
+          max(col(statCol("max", c).get)),
+          sum(col(statCol("sum", c).get).cast(DecimalType(38, 0)))))
+        val g = KeyedTable.withMetaConf(spark)(
+          st.agg(gAggs.head, gAggs.tail: _*).collect())(0)
+        avgIntCols.indices.foreach { k =>
+          val mnV = if (g.isNullAt(3 * k)) null else g.get(3 * k)
+          val mxV = if (g.isNullAt(3 * k + 1)) null else g.get(3 * k + 1)
+          val sv = if (g.isNullAt(3 * k + 2)) null else g.get(3 * k + 2)
+          val sameSign = longOf(mnV).exists(_ >= 0L) ||
+            longOf(mxV).exists(_ <= 0L)
+          val fits = sv == null || sv.asInstanceOf[java.math.BigDecimal]
+            .toBigInteger.abs.bitLength <= 53
+          if (!(mnV == null || (sameSign && fits))) return None
+        }
+      }
       // Grouped serve: partition groups fold by the sidecar's per-file
       // partition tuple (each file lives in exactly one partition dir);
       // data groups fold by the file's single value — its recorded min
@@ -806,7 +857,7 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case (at, false) => statCol("min", at.name)
       }
       if (groupStatCols.exists(_.isEmpty)) return None
-      val valueExprs = folds.flatten.zipWithIndex
+      val valueExprs = slices.flatten.zipWithIndex
         .map { case (c, i) => c.as(s"v$i") }
       val guardExprs = guardCols.flatten.zipWithIndex
         .map { case (g, i) => max(col(g)).as(s"g$i") }
@@ -837,48 +888,62 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           .select("file").collect().map(_.getString(0)).toSeq)
 
       // Both Union sides share this row shape, in needs order (group
-      // outputs included, in their original positions).
-      val uAttrs: Seq[AttributeReference] = needs.zipWithIndex.map {
-        case (GroupOf(_, t, _), i) => AttributeReference(s"u$i", t)()
-        case (MinOf(_, t), i) => AttributeReference(s"u$i", t)()
-        case (MaxOf(_, t), i) => AttributeReference(s"u$i", t)()
+      // outputs included, in their original positions); avg needs own a
+      // TWO-column slice (exact decimal sum + non-null count).
+      val uSlices: Seq[Seq[AttributeReference]] = needs.zipWithIndex.map {
+        case (GroupOf(_, t, _), i) => Seq(AttributeReference(s"u$i", t)())
+        case (MinOf(_, t), i) => Seq(AttributeReference(s"u$i", t)())
+        case (MaxOf(_, t), i) => Seq(AttributeReference(s"u$i", t)())
         case (SumOf(_, dt: DecimalType), i) =>
-          AttributeReference(s"u$i", sumResultType(dt))()
-        case (SumOf(_, _), i) => AttributeReference(s"u$i", LongType)()
-        case (_, i) => AttributeReference(s"u$i", LongType, nullable = false)()
-      }
-      // Agg needs read the fold row at nGroups + their own position
-      // among agg needs; group needs read their grouping slot.
-      val aggPos: Map[Int, Int] = {
-        var j = 0
-        needs.zipWithIndex.flatMap {
-          case (_: GroupOf, _) => None
-          case (_, i) => val p = j; j += 1; Some(i -> p)
-        }.toMap
+          Seq(AttributeReference(s"u$i", sumResultType(dt))())
+        case (SumOf(_, _), i) => Seq(AttributeReference(s"u$i", LongType)())
+        case (AvgOf(_, t), i) => Seq(
+          AttributeReference(s"u${i}s", partialDecimal(t))(),
+          AttributeReference(s"u${i}c", LongType, nullable = false)())
+        case (_, i) =>
+          Seq(AttributeReference(s"u$i", LongType, nullable = false)())
       }
       val toCatalystGroup = groupAttrs.map(at =>
         CatalystTypeConverters.createToCatalystConverter(at.dataType))
       val localRows = rows.toIndexedSeq.map { row =>
-        val vals: Seq[Any] = needs.zipWithIndex.map {
-          case (GroupOf(_, _, gi), _) => toCatalystGroup(gi)(row.get(gi))
+        val vals: Seq[Any] = needs.zipWithIndex.flatMap {
+          case (GroupOf(_, _, gi), _) => Seq(toCatalystGroup(gi)(row.get(gi)))
           case (n, i) =>
-            val at = nGroups + aggPos(i)
-            val v: Any = if (row.isNullAt(at)) null else row.get(at)
+            def v(o: Int): Any = {
+              val p = nGroups + offsets(i) + o
+              if (row.isNullAt(p)) null else row.get(p)
+            }
             n match {
-              case MinOf(_, t) => toCatalystStat(v, t)
-              case MaxOf(_, t) => toCatalystStat(v, t)
+              case MinOf(_, t) => Seq(toCatalystStat(v(0), t))
+              case MaxOf(_, t) => Seq(toCatalystStat(v(0), t))
               // sum over no full rows is null, like Spark; a total
               // outside the result type declines (overflow belongs to
               // the real scan)
               case SumOf(_, dt: DecimalType) =>
-                sumToDecimal(v, dt).getOrElse(return None)
-              case SumOf(_, _) => sumToLong(v).getOrElse(return None)
-              case _ => if (v == null) 0L else v
+                Seq(sumToDecimal(v(0), dt).getOrElse(return None))
+              case SumOf(_, _) => Seq(sumToLong(v(0)).getOrElse(return None))
+              // avg partials: the exact decimal sum (null when every
+              // full file is all-null) and the non-null count
+              case AvgOf(_, t) =>
+                val dec = v(0) match {
+                  case null => null
+                  case bd: java.math.BigDecimal =>
+                    CatalystTypeConverters
+                      .createToCatalystConverter(partialDecimal(t))(bd)
+                  case _ => return None
+                }
+                val cnt = v(1) match {
+                  case null => 0L
+                  case l: java.lang.Long => l.longValue()
+                  case _ => return None
+                }
+                Seq(dec, cnt)
+              case _ => Seq(if (v(0) == null) 0L else v(0))
             }
         }
         InternalRow.fromSeq(vals)
       }
-      val local = LocalRelation(uAttrs, localRows, false)
+      val local = LocalRelation(uSlices.flatten, localRows, false)
 
       // Boundary side: the original child subtree (filters, projects,
       // renames intact) with the scan swapped onto the partial files,
@@ -892,25 +957,48 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case l: LogicalRelation if l eq lr =>
           l.copy(relation = fsRel.copy(location = prunedIdx)(spark))
       }
+      // The Average instance of output i (admission guarantees shape).
+      def avgOfOutput(i: Int): Average = a.aggregateExpressions(i) match {
+        case Alias(ae: AggregateExpression, _) =>
+          ae.aggregateFunction.asInstanceOf[Average]
+        case other => throw new IllegalStateException(
+          s"AvgOf need without an Average expression: $other")
+      }
       val partialAliases: Seq[NamedExpression] =
-        a.aggregateExpressions.zipWithIndex.map {
-          case (Alias(e, _), i) => Alias(e, s"u$i")()
-          case (e, i)           => Alias(e, s"u$i")() // bare group attr
+        a.aggregateExpressions.zipWithIndex.flatMap { case (e, i) =>
+          needs(i) match {
+            // avg's boundary partials: the exact widened-decimal sum
+            // (same arithmetic as the sidecar partials) and the
+            // non-null count over the ORIGINAL child expression.
+            case AvgOf(_, t) =>
+              val child = avgOfOutput(i).child
+              Seq(
+                Alias(Sum(Cast(child, partialDecimal(t)))
+                  .toAggregateExpression(), s"u${i}s")(),
+                Alias(Count(child).toAggregateExpression(), s"u${i}c")())
+            case _ => e match {
+              case Alias(x, _) => Seq(Alias(x, s"u$i")())
+              case x           => Seq(Alias(x, s"u$i")()) // bare group attr
+            }
+          }
         }
       val partial = Aggregate(a.groupingExpressions, partialAliases, newChild)
 
       // Final combine: group values flow through the grouping, counts
-      // and sums re-add, min/max re-fold; aliases keep the original
-      // names AND exprIds so nothing above changes. Coalesce pins the
-      // count combine non-null (every group has at least one input row
-      // by construction, but the static type must stay non-nullable
-      // like Count's).
+      // and sums re-add, min/max re-fold, avg re-binds Average's own
+      // evaluate expression over the re-added sum + count (its sum
+      // lands back in Average's sum-buffer type, so result type and
+      // rounding are Spark's own); aliases keep the original names AND
+      // exprIds so nothing above changes. Coalesce pins the count
+      // combine non-null (every group has at least one input row by
+      // construction, but the static type must stay non-nullable like
+      // Count's).
       val finalGroups: Seq[Expression] = needs.zipWithIndex.collect {
-        case (_: GroupOf, i) => uAttrs(i)
+        case (_: GroupOf, i) => uSlices(i).head
       }
       val finalExprs: Seq[NamedExpression] = needs.zipWithIndex.map {
         case (n, i) =>
-          val u = uAttrs(i)
+          def u = uSlices(i).head
           val orig = a.aggregateExpressions(i).asInstanceOf[NamedExpression]
           val combined: Expression = n match {
             case _: GroupOf  => u
@@ -919,6 +1007,15 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             case SumOf(_, dt: DecimalType) =>
               Cast(Sum(u).toAggregateExpression(), sumResultType(dt))
             case SumOf(_, _) => Sum(u).toAggregateExpression()
+            case _: AvgOf =>
+              val av = avgOfOutput(i)
+              avgBind(
+                av,
+                Cast(Sum(uSlices(i)(0)).toAggregateExpression(),
+                  av.sumDataType),
+                Coalesce(Seq(
+                  Sum(uSlices(i)(1)).toAggregateExpression(), Literal(0L))))
+                .getOrElse(return None)
             case _ => Coalesce(Seq(
               Sum(u).toAggregateExpression(), Literal(0L)))
           }
@@ -958,13 +1055,6 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case l: java.lang.Long => l.longValue()
       case other => return None // unexpected fold type
     }
-    def longOf(x: Any): Option[Long] = x match {
-      case b: java.lang.Byte    => Some(b.longValue())
-      case s: java.lang.Short   => Some(s.longValue())
-      case i: java.lang.Integer => Some(i.longValue())
-      case l: java.lang.Long    => Some(l.longValue())
-      case _ => None
-    }
     val sumLit: Literal = t match {
       case _: DecimalType =>
         val sd = av.sumDataType.asInstanceOf[DecimalType]
@@ -988,13 +1078,19 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           case _ => return None
         }
     }
-    val cntLit = Literal(nn)
-    val bound = av.evaluateExpression.transform {
-      case ar: AttributeReference if ar.exprId == av.sum.exprId   => sumLit
-      case ar: AttributeReference if ar.exprId == av.count.exprId => cntLit
-    }
-    Some(bound.eval(InternalRow.empty))
+    avgBind(av, sumLit, Literal(nn)).map(_.eval(InternalRow.empty))
   }
+
+  /** [[Average.evaluateExpression]] with its sum/count buffer attributes
+    * replaced — by literals for the metadata-only serve, by aggregate
+    * expressions over the union columns for the hybrid combine.
+    */
+  private def avgBind(
+      av: Average, sumE: Expression, cntE: Expression): Option[Expression] =
+    Some(av.evaluateExpression.transform {
+      case ar: AttributeReference if ar.exprId == av.sum.exprId   => sumE
+      case ar: AttributeReference if ar.exprId == av.count.exprId => cntE
+    })
 
   /** Decimal sum fold → long, or `None` when the exact total does not
     * fit — the serve declines there so ANSI overflow semantics stay

@@ -1064,6 +1064,53 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     assert(graft.plans.PlanWalk.scannedFiles(qf).nonEmpty)
   }
 
+  test("avg rides the hybrid: full files fold sum+count, boundaries scan") {
+    val path = Files.createTempDirectory("graft_avg_hyb_").toString + "/t"
+    val t = KeyedTable(cowSpec(path))
+    val ev = eventsUs
+      .withColumn("dec_val", (col("event_id") % 500).cast("decimal(10,2)"))
+    t.upsert(spark, ev, commitTime = "c0")
+    t.cluster(spark, Seq("ts_us"), targetFileBytes = 4L << 10)
+    t.recordColumnStats(spark, Seq("ts_us", "event_id", "dec_val"))
+    val Array(r) = ev.agg(min("ts_us"), max("ts_us")).collect()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val (lo, hi) = (mn + (mx - mn) / 8, mx - (mx - mn) / 8)
+    def plain(df: DataFrame) = df
+      .filter(col("ts_us") >= lo && col("ts_us") <= hi)
+      .agg(avg(col("event_id")).as("a_id"), avg(col("dec_val")).as("a_dec"),
+        count(lit(1)).as("n"))
+    val served = plain(t.read(spark))
+    assert(hybridServed(served), "range-filtered avg must serve hybrid")
+    val scanned = scannedData(served)
+    val (cands, _) = t.statsSelectedFilesTyped(spark,
+      Seq(graft.table.ColumnRange.inclusive("ts_us", lo, hi)))
+    assert(scanned.nonEmpty && scanned.length < cands.length,
+      s"boundary files (${scanned.length}) must stay under the " +
+        s"candidates (${cands.length})")
+    assert(served.collect()(0) == plain(ev).collect()(0))
+    // grouped by the partition column composes
+    def grouped(df: DataFrame) = df
+      .filter(col("ts_us") >= lo && col("ts_us") <= hi)
+      .groupBy(col("event_type"))
+      .agg(avg(col("event_id")).as("a"), count(lit(1)).as("n"))
+    val sg = grouped(t.read(spark))
+    assert(hybridServed(sg), "grouped range avg must serve hybrid")
+    assert(sg.collect().toSet == grouped(ev).collect().toSet)
+    // a > 2^53 integral total declines the node (whole-table guard):
+    // at that magnitude Spark's own double accumulation is ORDER-
+    // dependent (two plain scans of the same rows can differ in the
+    // last ULP — the very reason the serve declines), so the check is
+    // decline + closeness, not bit equality.
+    def qt = t.read(spark)
+      .filter(col("ts_us") >= lo && col("ts_us") <= hi)
+      .agg(avg(col("ts_us")).as("a"))
+    assert(!hybridServed(qt), "epoch-scale totals must decline to the scan")
+    val a1 = qt.collect()(0).getDouble(0)
+    val a2 = ev.filter(col("ts_us") >= lo && col("ts_us") <= hi)
+      .agg(avg(col("ts_us")).as("a")).collect()(0).getDouble(0)
+    assert(math.abs(a1 - a2) / math.abs(a2) < 1e-12)
+  }
+
   test("GROUP BY a clustered DATA column folds interior files, scans boundaries") {
     val path = Files.createTempDirectory("graft_hyb_dgrp_").toString + "/t"
     // Unpartitioned on purpose: the point of the data-group arm is
