@@ -213,7 +213,8 @@ object SparkEntry {
     "q186_distinct_count" -> (UpsertOps.distinctCountQuery(_, _)),
     "q187_vacuum_advisor" -> (UpsertOps.vacuumAdvised(_, _)),
     "q188_mor_group_count" -> (UpsertOps.morGroupLiveCount(_, _)),
-    "q189_avg_hybrid" -> (UpsertOps.rangeAvgHybrid(_, _))
+    "q189_avg_hybrid" -> (UpsertOps.rangeAvgHybrid(_, _)),
+    "q190_distinct_count_clustered" -> (UpsertOps.distinctCountClustered(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1240,6 +1241,11 @@ object SparkEntry {
         |WHERE epoch_us(ts) BETWEEN mn + (mx - mn) // 8
         |                       AND mx - (mx - mn) // 8
         |GROUP BY event_type""".stripMargin,
+    // count(DISTINCT clustered col) as a values union: single-valued
+    // files fold their stored value, boundary files scan — only which
+    // files open changes, so the oracle is the plain distinct count
+    "q190_distinct_count_clustered" ->
+      "SELECT count(DISTINCT lang) AS n_langs FROM documents",
     // grouped-rollup advisor: stats + measured cluster only change
     // which files open — the oracle is the plain grouped aggregate
     "q185_rollup_advisor" ->

@@ -1463,6 +1463,19 @@ object UpsertOps {
     table.read(s).select("lang").distinct()
   }
 
+  /** count(DISTINCT clustered data column) (q190;
+    * [[graft.plans.StatsAggregateRewrite]]'s values-union arm): "how
+    * many languages" over the lang-clustered corpus — single-valued
+    * files contribute their one stored value straight from the sidecar,
+    * only run-boundary files scan, and a count-distinct over the union
+    * de-duplicates across both sides. ≡ the plain distinct count — the
+    * oracle.
+    */
+  def distinctCountClustered(s: SparkSession, dir: String): DataFrame = {
+    val table = inListDocsFixture(s, dir)
+    table.read(s).agg(countDistinct(col("lang")).as("n_langs"))
+  }
+
   /** IN-composed top-k (q174; [[graft.plans.TopKPruneRewrite]] with an
     * IN conjunct): "longest N docs in these languages" — the IN's FULL
     * files are the clustered language runs' single-valued files (the

@@ -5,8 +5,8 @@ import scala.collection.mutable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Union, Window}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project, Union, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
 import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min, sum, when}
@@ -227,7 +227,119 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         m.partFilters.toVector, m.ranges.toVector, m.notNull.toVector,
         m.inLists.map { case (c, vs) => (c, vs.toVector) }.toVector)
       memo.gated(key)(serveAgg(m))
-    }.orElse(serveMorCount(a))
+    }.orElse(serveMorCount(a)).orElse(serveDistinctValues(a))
+
+  /** `count(DISTINCT c)` over a CLUSTERED data column, served as a
+    * VALUES union: files single-valued in `c` (min = max ∧ nn = cnt —
+    * sound under string truncation by the bound sandwich) contribute
+    * their one stored value straight from the sidecar, every other
+    * file scans projected to `c`, and a count-distinct over the union
+    * de-duplicates across both sides. On a lang-clustered corpus
+    * "how many languages" opens only the run-boundary files. The
+    * shape: a bare single-output `count(DISTINCT attr)` (no grouping,
+    * no filters) over a registered non-resolving table; nulls drop on
+    * both sides (count-distinct ignores them). Zero single-valued
+    * files decline — nothing would fold. Partition columns never reach
+    * here (the metadata-only [[DistinctPartOf]] arm matches first).
+    */
+  private def serveDistinctValues(a: Aggregate): Option[LogicalPlan] = {
+    if (a.groupingExpressions.nonEmpty || a.aggregateExpressions.length != 1)
+      return None
+    val (child0, orig) = a.aggregateExpressions.head match {
+      case al @ Alias(ae: AggregateExpression, _)
+          if ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(x)) => (x, al)
+          case _ => return None
+        }
+      case _ => return None
+    }
+    val conds = mutable.Buffer.empty[(Expression, Int)]
+    val windows = mutable.Buffer.empty[Window]
+    val renames = mutable.Map.empty[ExprId, Expression]
+    val rels = mutable.Buffer.empty[LogicalRelation]
+    val pairs = mutable.Buffer.empty[(Attribute, Attribute)]
+    if (!MvPlanShape.strip(a.child, conds, windows, renames, rels, pairs))
+      return None
+    if (conds.nonEmpty || windows.nonEmpty || pairs.nonEmpty ||
+        rels.length != 1) return None
+    val lr = rels.head
+    val fsRel = lr.relation match {
+      case h: HadoopFsRelation => h
+      case _ => return None
+    }
+    val root = fsRel.location.rootPaths match {
+      case Seq(one) => one.toString
+      case _ => return None
+    }
+    val spec = Option(KeyedTable.specRegistry.get(root)).getOrElse(return None)
+    if (spec.retainHistory) return None
+    // The counted expression must be an attribute of the child's OWN
+    // output (the boundary Project re-aliases exactly it) that resolves
+    // to an ordered-stats DATA column of the relation.
+    val childAttr = child0 match {
+      case at: Attribute => at
+      case _ => return None
+    }
+    val relIds = lr.output.map(_.exprId).toSet
+    val relAttr = MvPlanShape.substFn(renames)(childAttr) match {
+      case at: Attribute if relIds.contains(at.exprId) &&
+        !at.name.startsWith("_graft_") &&
+        KeyedTable.statsOrderedType(at.dataType) => at
+      case _ => return None
+    }
+    if (spec.partitionCols.exists(_.equalsIgnoreCase(relAttr.name)))
+      return None // the metadata-only arm's shape
+    memo.gated(("distinctValues", spec.path, relAttr.name)) {
+      val table = KeyedTable(spec)
+      table.colStatsFrame(spark).flatMap { st =>
+        def statCol(prefix: String): Option[String] =
+          st.columns.find(_.equalsIgnoreCase(s"${prefix}_${relAttr.name}"))
+        val (mnC, mxC, nnC) =
+          (statCol("min"), statCol("max"), statCol("nn")) match {
+            case (Some(a1), Some(b), Some(c)) => (a1, b, c)
+            case _ => return None
+          }
+        if (!st.columns.contains("cnt")) return None
+        val full = col(nnC) === col("cnt") && col(mnC) === col(mxC) &&
+          col("cnt") > 0
+        val fullValues = KeyedTable.withMetaConf(spark)(
+          st.filter(full).select(col(mnC)).distinct()
+            .limit(MaxGroups + 1).collect())
+        if (fullValues.isEmpty || fullValues.length > MaxGroups) return None
+        val boundaryFiles = KeyedTable.withMetaConf(spark)(
+          st.filter(!full || full.isNull).select("file")
+            .collect().map(_.getString(0)).toSeq)
+        val conv =
+          CatalystTypeConverters.createToCatalystConverter(relAttr.dataType)
+        val uVal = AttributeReference("u", relAttr.dataType)()
+        val local = LocalRelation(
+          Seq(uVal),
+          fullValues.toIndexedSeq.map(r =>
+            InternalRow(conv(if (r.isNullAt(0)) null else r.get(0)))),
+          false)
+        val paths = boundaryFiles.map(abs =>
+          new org.apache.hadoop.fs.Path(new java.net.URI(abs)))
+        val partSchema = Option(fsRel.partitionSchema).filter(_.nonEmpty)
+        val prunedIdx = new InMemoryFileIndex(
+          spark, paths, Map("basePath" -> root), partSchema)
+        val newChild = a.child.transformUp {
+          case l: LogicalRelation if l eq lr =>
+            l.copy(relation = fsRel.copy(location = prunedIdx)(spark))
+        }
+        val proj = Project(Seq(Alias(childAttr, "u")()), newChild)
+        val cd = AggregateExpression(
+          Count(Seq(uVal)), Complete, isDistinct = true)
+        logInfo(s"stats-aggregate rewrite: ${spec.path} count(distinct " +
+          s"${relAttr.name}) over ${fullValues.length} folded values + " +
+          s"${boundaryFiles.length} boundary files")
+        Some(Aggregate(
+          Nil,
+          Seq(Alias(cd, orig.name)(exprId = orig.exprId)),
+          Union(Seq(local, proj))))
+      }
+    }
+  }
 
   /** `count(*)` over a history table's RESOLVED read — bare or
     * `GROUP BY` partition columns — served from the record-level index:

@@ -529,6 +529,34 @@ class RangeStatsRewriteSpec extends SparkTestBase {
       eventsUs.agg(countDistinct(col("user_id")).as("n")).collect()(0))
   }
 
+  test("count(DISTINCT clustered_col) serves as a values union") {
+    val path = Files.createTempDirectory("graft_cdc_").toString + "/t"
+    val t = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("event_id"), precombineCol = "ts_us"))
+    val ev = eventsUs.withColumn("bucket",
+      when(col("user_id") % 13 === 0, lit(null).cast("long"))
+        .otherwise(col("user_id") % 4))
+    t.upsert(spark, ev, commitTime = "c0")
+    t.cluster(spark, Seq("bucket"), targetFileBytes = 4L << 10)
+    def q = t.read(spark).agg(countDistinct(col("bucket")).as("n"))
+    val expected = q.collect()(0) // no stats yet: real scan
+    assert(graft.plans.PlanWalk.scannedFiles(q).nonEmpty)
+    t.recordColumnStats(spark, Seq("bucket", "event_id"))
+    assert(hybridServed(q), "the values union must serve")
+    val scanned = scannedData(q)
+    assert(scanned.nonEmpty && scanned.length < dataFileCount(path),
+      s"boundary files (${scanned.length}) must stay under " +
+        s"${dataFileCount(path)}")
+    assert(q.collect()(0) == expected) // nulls ignored on both paths
+    // an UNCLUSTERED covered column has no single-valued files: decline
+    def qe = t.read(spark).agg(countDistinct(col("event_id")).as("n"))
+    assert(!hybridServed(qe) &&
+      graft.plans.PlanWalk.scannedFiles(qe).nonEmpty,
+      "zero foldable values must decline to the scan")
+    assert(qe.collect()(0) ==
+      ev.agg(countDistinct(col("event_id")).as("n")).collect()(0))
+  }
+
   test("resolved count(*) on MoR serves from the record-level index") {
     val path = Files.createTempDirectory("graft_morcnt_").toString + "/t"
     val mor = KeyedTable(KeyedTableSpec(
