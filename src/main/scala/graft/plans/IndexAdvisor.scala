@@ -32,6 +32,37 @@ object IndexAdvisor {
   final case class IndexAdvice(
       recommendations: Seq[IndexRec], skipped: Seq[String])
 
+  // (table path, column) -> (mutation tick at probe time, cardinality).
+  // The global tick is conservative (any table's mutation invalidates
+  // every memo) but free to check; the probe it guards is a full
+  // column scan.
+  private val cardMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long)]
+
+  /** The grouped-rollup arm's KMV cardinality probe, memoized by
+    * [[KeyedTable.mutationTick]]: one column-pruned scan per (table,
+    * column) per table-state generation, O(1) on re-analysis of an
+    * unchanged workload.
+    */
+  private def memoizedCardinality(
+      spark: org.apache.spark.sql.SparkSession,
+      t: KeyedTable, gcol: String): Long = {
+    val tick = KeyedTable.mutationTick.get()
+    val key = (t.spec.path, gcol.toLowerCase(java.util.Locale.ROOT))
+    Option(cardMemo.get(key)) match {
+      case Some((at, card)) if at == tick => card
+      case _ =>
+        val meas = t.read(spark).agg(
+          graft.functions.KmvDistinct.kmvDistinct(
+            org.apache.spark.sql.functions.xxhash64(
+              org.apache.spark.sql.functions.col(gcol)), 1024).as("card"))
+          .collect()(0)
+        val card = if (meas.isNullAt(0)) 0L else meas.getLong(0)
+        cardMemo.put(key, (tick, card))
+        card
+    }
+  }
+
   def analyze(spark: SparkSession, queries: Seq[DataFrame]): IndexAdvice = {
     val rule = new PointLookupRewrite(spark)
     val rangeRule = new RangePruneRewrite(spark)
@@ -158,13 +189,16 @@ object IndexAdvisor {
       case (spec, gcol, needCols) =>
         try {
           val t = KeyedTable(spec)
-          val meas = t.read(spark).agg(
-            graft.functions.KmvDistinct.kmvDistinct(
-              org.apache.spark.sql.functions.xxhash64(
-                org.apache.spark.sql.functions.col(gcol)), 1024).as("card"))
-            .collect()(0)
-          val card = if (meas.isNullAt(0)) 0L else meas.getLong(0)
+          // Gate order: the metadata-sized listing FIRST — a table too
+          // small to pass the bytes-per-value bound at ANY cardinality
+          // (card ≥ 1 ⇒ bytes/card ≤ bytes) never pays the data-scan
+          // probe. The KMV probe itself is memoized per (table, column)
+          // by the global mutation tick: re-analyzing an unchanged
+          // workload costs O(listing), not O(table data) per call.
           val bytes = t.dataFileSizes(spark).sum
+          if (bytes < 2 * rollupTarget) Nil
+          else {
+          val card = IndexAdvisor.memoizedCardinality(spark, t, gcol)
           if (card <= 0 || card > StatsAggregateRewrite.MaxGroups ||
               bytes / card < 2 * rollupTarget) Nil
           else {
@@ -197,6 +231,7 @@ object IndexAdvisor {
                 }
             }
             statsWants ++ clusterRec
+          }
           }
         } catch { case scala.util.control.NonFatal(_) => Nil }
     }

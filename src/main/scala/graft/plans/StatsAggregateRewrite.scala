@@ -724,8 +724,17 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               .select(groupStatCols.flatten.map(col): _*).distinct()
           }
           else if (groupStatCols.isEmpty) stSel.agg(exprs.head, exprs.tail: _*)
-          else stSel.groupBy(groupStatCols.flatten.map(col): _*)
-            .agg(exprs.head, exprs.tail: _*)
+          else {
+            // Same zero-row straggler guard as the DISTINCT arms: a
+            // cnt = 0 sidecar row (none is written today, but the guard
+            // is the contract) must not mint a phantom group. The
+            // groupless fold above stays unfiltered — an aggregate over
+            // an empty selection still answers (count 0, min null).
+            if (!st.columns.contains("cnt")) return None
+            stSel.filter(col("cnt") > 0)
+              .groupBy(groupStatCols.flatten.map(col): _*)
+              .agg(exprs.head, exprs.tail: _*)
+          }
         val rows = KeyedTable.withMetaConf(spark)(
           folded.limit(MaxGroups + 1).collect())
         if (rows.length > MaxGroups) return None
@@ -974,7 +983,11 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val guardExprs = guardCols.flatten.zipWithIndex
         .map { case (g, i) => max(col(g)).as(s"g$i") }
       val exprs = (valueExprs ++ guardExprs) :+ count(lit(1)).as("nfull")
-      val fullSel = stSel.filter(full)
+      // cnt > 0 beside the classification: a zero-row sidecar row passes
+      // the notNull-only `full` conjunct (0 = 0) and would mint a
+      // phantom group in the grouped fold — same straggler guard as the
+      // DISTINCT arms.
+      val fullSel = stSel.filter(full && col("cnt") > 0)
       val folded =
         if (groupStatCols.isEmpty) fullSel.agg(exprs.head, exprs.tail: _*)
         else fullSel.groupBy(groupStatCols.flatten.map(col): _*)

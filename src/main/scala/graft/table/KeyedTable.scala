@@ -1100,7 +1100,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
           val idxSel0 = idx.drop("built_at").join(broadcast(probePk), Seq("key"))
           val idxSel =
             if (removed.isEmpty) idxSel0
-            else idxSel0.filter(!col("file").isin(removed: _*))
+            else idxSel0.filter(KeyedTable.notInSetUdf(removed)(col("file")))
           val deltaSel =
             if (added.isEmpty) idxSel.limit(0)
             else readFilesRaw(spark, added)
@@ -1147,7 +1147,8 @@ final class KeyedTable(val spec: KeyedTableSpec) {
           else {
             val idxSel =
               if (removed.isEmpty) idx.drop("built_at")
-              else idx.drop("built_at").filter(!col("file").isin(removed: _*))
+              else idx.drop("built_at")
+                .filter(KeyedTable.notInSetUdf(removed)(col("file")))
             val deltaSel =
               if (added.isEmpty) idxSel.limit(0)
               else readFilesRaw(spark, added)
@@ -1183,7 +1184,8 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         case (added, removed) =>
           val idxSel =
             if (removed.isEmpty) idx.drop("built_at")
-            else idx.drop("built_at").filter(!col("file").isin(removed: _*))
+            else idx.drop("built_at")
+              .filter(KeyedTable.notInSetUdf(removed)(col("file")))
           val settled =
             if (added.isEmpty && removed.isEmpty) idxSel
             else {
@@ -1242,28 +1244,24 @@ final class KeyedTable(val spec: KeyedTableSpec) {
             .agg(sum(col("cnt")).as("_total"))
             .limit(cap + 1).collect())
         if (totals.length > cap) return None // see collectPartitionTuples
-        // Prefer the TYPED pv_ tuples (exact match against the stats
-        // p_ values); pre-pv indexes fall back to the rendered-path
-        // match, which agrees for ordinary values (the rendering is
-        // not escape-safe, so exotic values could only over-vacuum —
-        // never under-reclaim or lose rows).
+        // ONLY the TYPED pv_ tuples measure live counts (exact match
+        // against the stats p_ values). A pre-pv index has just the
+        // rendered `pp` path string, which is NOT escape-safe: a
+        // partition value containing '/' or '=' would mis-bucket live
+        // counts, inflate a partition's superseded ratio past the
+        // threshold, and let the advisor's vacuum erase history
+        // versions beyond the user's opt-in — so the measurement
+        // DECLINES until the index is rebuilt with pv_ columns, the
+        // same refuse-don't-guess stance as every other serve gate.
         val nP = spec.partitionCols.length
-        val liveTyped: Option[Map[Seq[Any], Long]] =
-          if (rliPvCols.forall(idx.columns.contains))
-            Some(idx.groupBy(rliPvCols.map(col): _*).count().collect()
-              .map(r => (rliPvCols.indices.map(r.get): Seq[Any]) ->
-                r.getLong(r.length - 1)).toMap)
-          else None
-        val livePp: Map[String, Long] =
-          if (liveTyped.isDefined) Map.empty
-          else idx.groupBy(col("pp")).count()
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (!rliPvCols.forall(idx.columns.contains)) return None
+        val liveTyped: Map[Seq[Any], Long] =
+          idx.groupBy(rliPvCols.map(col): _*).count().collect()
+            .map(r => (rliPvCols.indices.map(r.get): Seq[Any]) ->
+              r.getLong(r.length - 1)).toMap
         val doomed = totals.filter { row =>
           val total = if (row.isNullAt(nP)) 0L else row.getLong(nP)
-          val lv = liveTyped match {
-            case Some(m) => m.getOrElse((0 until nP).map(row.get), 0L)
-            case None    => livePp.getOrElse(partitionDirOf(row), 0L)
-          }
+          val lv = liveTyped.getOrElse((0 until nP).map(row.get), 0L)
           total > 0 && (total - lv).toDouble / total >= minRatio
         }
         val schema = org.apache.spark.sql.types.StructType(
@@ -1671,12 +1669,25 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     // degrades to the full build, never to a wrong sidecar.
     val f = fs(spark)
     retireColumnStats(f) // an intact current sidecar is the best cache
+    // ONE recursive listing (stats-build context, O(files) metadata):
+    // the names resolve the carry's keep set, and the LENGTHS are stored
+    // beside every stats row (`flen`) so the next carry can cross-check
+    // file identity — a relative path reused with different content
+    // (no current write path does, but nothing else enforces it) shows a
+    // changed length and RESCANS instead of serving stale bounds.
+    val rootPrefix =
+      f.makeQualified(new Path(spec.path)).toUri.getPath + "/"
+    def relOf(abs: String): String =
+      new Path(abs).toUri.getPath.stripPrefix(rootPrefix)
+    val lenByRel: Map[String, Long] =
+      listDataFiles(spark).map { case (p, l) => relOf(p) -> l }.toMap
     def carriedPlusNew(): Option[DataFrame] = {
       if (!f.exists(new Path(staleStatsDir))) return None
       try {
         val stale = spark.read.parquet(staleStatsDir)
         val expected: Map[String, DataType] =
-          (Seq[(String, DataType)]("file" -> StringType, "cnt" -> LongType) ++
+          (Seq[(String, DataType)]("file" -> StringType, "cnt" -> LongType,
+            "flen" -> LongType) ++
             cols.flatMap(c => Seq(
               s"min_$c" -> dtOf(c).get, s"max_$c" -> dtOf(c).get,
               s"nn_$c" -> LongType) ++
@@ -1689,25 +1700,35 @@ final class KeyedTable(val spec: KeyedTableSpec) {
           .map(fd => fd.name.toLowerCase(java.util.Locale.ROOT) -> fd.dataType)
           .toMap
         if (actual != expected) return None
-        val rootPrefix =
-          f.makeQualified(new Path(spec.path)).toUri.getPath + "/"
-        def relOf(abs: String): String =
-          new Path(abs).toUri.getPath.stripPrefix(rootPrefix)
-        val currentRel = relDataFiles(spark)
         val staleFiles = KeyedTable.withMetaConf(spark)(
-          stale.select("file").collect().map(_.getString(0)).toSeq)
-        // Set-closure filter, never an IN list: both sides are
+          stale.select("file", "flen").collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toSeq)
+        // A cached row carries only while its file is still listed AT
+        // THE RECORDED LENGTH; a mismatched length rescans (below, via
+        // newRel). Set-closure filter, never an IN list: both sides are
         // file-count-sized, which at 100 TB is 10^5–10^6 entries.
-        val keepAbs = staleFiles.filter(a => currentRel.contains(relOf(a))).toSet
+        val keepAbs = staleFiles.collect {
+          case (a, len) if lenByRel.get(relOf(a)).contains(len) => a
+        }.toSet
+        // Empty overlap: a rebuilt file set (clustering/compaction/full
+        // rewrite — q120's fresh-per-invocation shape) shares nothing
+        // with the cache, so the carry plan (cache read + UDF filter +
+        // union) can only cost; fall straight to the one full build.
+        if (keepAbs.isEmpty) return None
         val keepU = udf((s: String) => keepAbs.contains(s))
         val carried = stale.filter(keepU(col("file")))
-        val newRel = (currentRel -- staleFiles.map(relOf)).toSeq.sorted
+        val newRel = (lenByRel.keySet -- keepAbs.map(relOf)).toSeq.sorted
         Some(
           if (newRel.isEmpty) carried
-          else carried.unionByName(statsRowsOf(readFilesRaw(spark, newRel))))
+          else carried.unionByName(
+            statsRowsOf(readFilesRaw(spark, newRel))
+              .withColumn("flen", KeyedTable.relLenUdf(lenByRel, rootPrefix)(
+                col("file")))))
       } catch { case scala.util.control.NonFatal(_) => None }
     }
-    carriedPlusNew().getOrElse(statsRowsOf(raw))
+    carriedPlusNew().getOrElse(
+        statsRowsOf(raw).withColumn("flen",
+          KeyedTable.relLenUdf(lenByRel, rootPrefix)(col("file"))))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(colStatsDir)
     f.delete(new Path(staleStatsDir), true)
@@ -3690,6 +3711,28 @@ object KeyedTable {
     udf((s: String) => truncLower(s))
   private[table] val truncUpperUdf =
     udf((s: String) => truncUpper(s))
+
+  /** Current listed length of a stats row's file (−1 when unlisted —
+    * unreachable for rows just scanned), keyed by table-relative path.
+    * A companion-object factory so the closure captures only the two
+    * serializable locals, never the table instance.
+    */
+  private[table] def relLenUdf(
+      lenByRel: Map[String, Long], rootPrefix: String) =
+    udf((abs: String) => lenByRel.getOrElse(
+      new Path(abs).toUri.getPath.stripPrefix(rootPrefix), -1L))
+
+  /** NOT-IN over a file-count-sized exclusion set as a set-closure UDF:
+    * `isin(removed: _*)` builds a literal expression tree that at
+    * 100 TB scale is 10^5–10^6 entries — past codegen method limits and
+    * quadratic in the planner — while the broadcast hash set is O(1)
+    * per row (the incremental stats carry's keep filter avoids IN lists
+    * the same way).
+    */
+  private[table] def notInSetUdf(removed: Seq[String]) = {
+    val s = removed.toSet
+    udf((f: String) => !s.contains(f))
+  }
 
   private val commitTimeLock = new Object
   private var lastIssuedCommitTime = ""

@@ -206,6 +206,53 @@ class ClusteringSpec extends SparkTestBase {
     assert(rebuilt.columns.contains("min_value"))
   }
 
+  test("a cached row whose recorded file length mismatches the listing rescans") {
+    // The carry trusts file identity by relative path; `flen` is the
+    // cross-check. Tamper ONE cached row's recorded length (simulating
+    // a future write path reusing a part-file name with different
+    // content): that file must be RESCANNED (its poisoned min does not
+    // survive) while the untampered rows still carry verbatim.
+    val path = Files.createTempDirectory("graft_incstats_flen_").toString + "/t"
+    val t = KeyedTable(KeyedTableSpec(
+      path, keyCols = Seq("user_id"), precombineCol = "ts_us",
+      tiebreakCols = Seq("event_id"), partitionCols = Seq("event_type")))
+    val ev = events()
+    t.upsert(spark, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
+    t.recordColumnStats(spark, Seq("ts_us"))
+    t.insert(spark,
+      ev.filter(col("event_id") % 2 === 1)
+        .withColumn("event_id", col("event_id") + 2000000L),
+      commitTime = "c1")
+    val stalePath = s"$path/_graft_colstats_stale"
+    val st = spark.read.parquet(stalePath)
+    val schema = st.schema
+    val cached = st.collect().toSeq
+    assert(cached.size >= 2, "need ≥2 cached rows to split carry/rescan")
+    val mi = schema.fieldIndex("min_ts_us")
+    val li = schema.fieldIndex("flen")
+    val sentinel = -515151L
+    // Poison every min; BREAK the length on exactly one row.
+    val poisoned = cached.zipWithIndex.map { case (r, i) =>
+      val vals = r.toSeq.updated(mi, sentinel)
+      org.apache.spark.sql.Row.fromSeq(
+        if (i == 0) vals.updated(li, r.getLong(li) + 1L) else vals)
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(poisoned, 1), schema)
+      .coalesce(1).write.mode("overwrite").parquet(stalePath)
+    t.recordColumnStats(spark, Seq("ts_us"))
+    val side = spark.read.parquet(s"$path/_graft_colstats")
+    val carried = side.filter(col("min_ts_us") === sentinel).count()
+    assert(carried == cached.size - 1,
+      s"expected ${cached.size - 1} rows carried, got $carried")
+    // The length-mismatched file was rescanned: present, real stats.
+    val tampered = cached.head.getString(schema.fieldIndex("file"))
+    val re = side.filter(col("file") === tampered)
+    assert(re.count() == 1, "the mismatched file must still be covered")
+    assert(re.filter(col("min_ts_us") === sentinel).count() == 0,
+      "the mismatched file's stats must come from a rescan")
+  }
+
   test("incremental refresh ≡ full rebuild across every retire site") {
     val path = Files.createTempDirectory("graft_incstats_ops_").toString + "/t"
     val t = KeyedTable(KeyedTableSpec(

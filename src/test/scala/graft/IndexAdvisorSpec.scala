@@ -342,6 +342,46 @@ class IndexAdvisorSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.vacuum.superseded.ratio")
   }
 
+  test("retention: a pre-pv index declines the measurement, never path-matches") {
+    // The rendered `pp` path string is not escape-safe; measuring live
+    // counts against it could over-vacuum a partition whose value
+    // contains '/' or '='. A pre-pv index must therefore draw NO
+    // vacuum advice at all — refuse, don't guess.
+    val path = Files.createTempDirectory("graft_idxadv_prepv_").toString + "/t"
+    val t = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("user_id"), precombineCol = "ts_us",
+      tiebreakCols = Seq("event_id"), partitionCols = Seq("event_type"),
+      retainHistory = true))
+    val ev = eventsUs
+    t.upsert(spark, ev, commitTime = "c0")
+    t.upsert(spark,
+      ev.filter(col("event_type") === "click")
+        .withColumn("ts_us", col("ts_us") + 1000000L),
+      commitTime = "c1")
+    t.recordColumnStats(spark, Seq("ts_us"))
+    t.recordKeyIndex(spark)
+    spark.conf.set("spark.graft.vacuum.superseded.ratio", "0.4")
+    try {
+      assert(IndexAdvisor.analyze(spark, Seq(t.read(spark)))
+        .recommendations.exists(_.kind == "vacuum"),
+        "sanity: the typed index measures and recommends")
+      // Strip the typed pv_ columns (simulating an index recorded
+      // before the entry layout carried them).
+      val rli = s"$path/_graft_rli"
+      val idx = spark.read.parquet(rli)
+      val kept = idx.columns.filterNot(_.startsWith("pv_"))
+      val rows = idx.select(kept.map(col): _*).collect().toSeq
+      val schema = org.apache.spark.sql.types.StructType(
+        kept.map(c => idx.schema(idx.schema.fieldIndex(c))))
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(rli)
+      assert(!IndexAdvisor.analyze(spark, Seq(t.read(spark)))
+        .recommendations.exists(_.kind == "vacuum"),
+        "a pre-pv index must decline the vacuum measurement")
+    } finally spark.conf.unset("spark.graft.vacuum.superseded.ratio")
+  }
+
   test("grouped rollups: stats first, gated cluster, then the serve settles") {
     val path = Files.createTempDirectory("graft_idxadv_grp_").toString + "/t"
     val t = KeyedTable(KeyedTableSpec(

@@ -409,6 +409,60 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     assert(graft.plans.PlanWalk.scannedFiles(qnf).nonEmpty)
   }
 
+  test("a zero-row sidecar straggler row never mints a phantom group") {
+    // No build writes cnt = 0 rows today, but the serve's contract must
+    // not depend on that: inject one (a phantom partition value no data
+    // row carries) and assert both grouped serve paths exclude it.
+    val path = Files.createTempDirectory("graft_sagg_ghost_").toString + "/t"
+    val table = KeyedTable(cowSpec(path))
+    val ev = eventsUs.withColumn("maybe",
+      when(col("event_id") % 3 === 0, col("event_id")))
+    table.upsert(spark, ev, commitTime = "c0")
+    table.recordColumnStats(spark, Seq("event_id", "maybe"))
+    val dir = s"$path/_graft_colstats"
+    val side = spark.read.parquet(dir)
+    val schema = side.schema
+    val ghost = org.apache.spark.sql.Row.fromSeq(schema.map { f =>
+      f.name match {
+        case "file"                      => "ghost"
+        case "cnt"                       => 0L
+        case "flen"                      => -1L
+        case n if n.startsWith("nn_")    => 0L
+        case n if n.startsWith("p_")     => "phantom"
+        case n if n.startsWith("trunc_") => false
+        case _                           => null
+      }
+    })
+    val rows = side.collect().toSeq :+ ghost
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    // Whole grouped serve: still zero-scan, and no "phantom" group.
+    def q = table.read(spark).groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), min(col("event_id")).as("mn"))
+    assert(graft.plans.PlanWalk.scannedFiles(q).isEmpty,
+      "grouped serve must still fold from the sidecar")
+    assert(q.collect().toSet ==
+      ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"), min(col("event_id")).as("mn"))
+        .collect().toSet)
+    // Hybrid with an IS NOT NULL conjunct: the ghost row satisfies
+    // nn = cnt (0 = 0) — without the cnt > 0 guard it would be the one
+    // "full" file and serve a phantom group. Either path (serve or
+    // decline-to-scan) must produce exactly the real answer.
+    def qh = table.read(spark).filter(col("maybe").isNotNull)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    assert(qh.collect().toSet ==
+      ev.filter(col("maybe").isNotNull)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .collect().toSet)
+    // Pure DISTINCT over the partition column: ghost stays invisible.
+    def qd = table.read(spark).select(col("event_type")).distinct()
+    assert(qd.collect().map(_.getString(0)).toSet ==
+      ev.select(col("event_type")).distinct()
+        .collect().map(_.getString(0)).toSet)
+  }
+
   test("partition evolution retires the stats from serving; rebuild refuses") {
     val path = Files.createTempDirectory("graft_rng_evo_").toString + "/t"
     val table = KeyedTable(KeyedTableSpec(
