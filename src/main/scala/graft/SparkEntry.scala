@@ -214,7 +214,8 @@ object SparkEntry {
     "q187_vacuum_advisor" -> (UpsertOps.vacuumAdvised(_, _)),
     "q188_mor_group_count" -> (UpsertOps.morGroupLiveCount(_, _)),
     "q189_avg_hybrid" -> (UpsertOps.rangeAvgHybrid(_, _)),
-    "q190_distinct_count_clustered" -> (UpsertOps.distinctCountClustered(_, _))
+    "q190_distinct_count_clustered" -> (UpsertOps.distinctCountClustered(_, _)),
+    "q191_mor_resolved_stats" -> (UpsertOps.morResolvedStats(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1246,6 +1247,33 @@ object SparkEntry {
     // files open changes, so the oracle is the plain distinct count
     "q190_distinct_count_clustered" ->
       "SELECT count(DISTINCT lang) AS n_langs FROM documents",
+    // MoR resolved aggregates by winner-file classification: pure files
+    // fold sidecar stats, mixed files scan winner rows — the answer is
+    // the aggregate over the latest-per-(user, type) winners.
+    // Reconstruct the fixture's two commits (c1 re-lands every 11th
+    // user's rows shifted past the whole original domain) and resolve
+    // by (ts desc, event_id desc); integral sums/avgs stay exact on
+    // both engines (< 2^53, same sign)
+    "q191_mor_resolved_stats" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        |  FROM events WHERE event_id % 2 = 0),
+        |sp AS (SELECT max(ts_us) - min(ts_us) + 1000000 AS shift FROM base),
+        |allv AS (
+        |  SELECT user_id, event_type, ts_us, event_id FROM base
+        |  UNION ALL
+        |  SELECT user_id, event_type, ts_us + sp.shift, event_id
+        |  FROM base, sp WHERE user_id % 11 = 0),
+        |win AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM allv)
+        |SELECT min(ts_us) AS mn_ts, max(ts_us) AS mx_ts,
+        |       CAST(sum(event_id) AS BIGINT) AS s_id,
+        |       avg(event_id) AS a_id,
+        |       count(ts_us) AS n_ts, count(*) AS n_live
+        |FROM win WHERE rn = 1""".stripMargin,
     // grouped-rollup advisor: stats + measured cluster only change
     // which files open — the oracle is the plain grouped aggregate
     "q185_rollup_advisor" ->

@@ -1786,9 +1786,32 @@ object UpsertOps {
         ev.filter(col("user_id") % 11 === 0)
           .withColumn("ts_us", col("ts_us") + lit(span + 1000000L)),
         commitTime = "c1")
-      table.recordColumnStats(s, Seq("ts_us")) // over ALL version files
+      // Over ALL version files; event_id joins ts_us so q191's resolved
+      // sum/avg serve has coverage (additive — the range serves ignore it)
+      table.recordColumnStats(s, Seq("ts_us", "event_id"))
       (table, mn, mx)
     }
+
+  /** Resolved VALUE aggregates on the merge-on-read fixture (q191;
+    * [[graft.plans.StatsAggregateRewrite]]'s winner-file arm):
+    * min/max/sum/avg/count over the resolved read — the daily MoR
+    * dashboard aggregate — served by classifying files through the
+    * record-level index: files holding only live winners fold their
+    * sidecar stats (sound: their stats aggregate exactly their
+    * winners), files mixing winners with superseded versions scan with
+    * the winner semi-join, dead files are skipped. Naive stats folding
+    * would surface the corrected users' SUPERSEDED in-domain minima;
+    * the classification cannot. At 100 TB the stable archive folds
+    * from metadata and only the churned files read. ≡ resolve-latest ∘
+    * aggregate — the oracle.
+    */
+  def morResolvedStats(s: SparkSession, dir: String): DataFrame = {
+    val (table, _, _) = morRangeFixture(s, dir)
+    table.read(s).agg(
+      min(col("ts_us")).as("mn_ts"), max(col("ts_us")).as("mx_ts"),
+      sum(col("event_id")).as("s_id"), avg(col("event_id")).as("a_id"),
+      count(col("ts_us")).as("n_ts"), count(lit(1)).as("n_live"))
+  }
 
   /** Small-file compaction advisor (q166; [[graft.plans.IndexAdvisor]]
     * file-sizing arm — the fourth leg of the DBA loop: observe → index →

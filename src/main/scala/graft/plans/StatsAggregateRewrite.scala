@@ -227,7 +227,8 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         m.partFilters.toVector, m.ranges.toVector, m.notNull.toVector,
         m.inLists.map { case (c, vs) => (c, vs.toVector) }.toVector)
       memo.gated(key)(serveAgg(m))
-    }.orElse(serveMorCount(a)).orElse(serveDistinctValues(a))
+    }.orElse(serveMorCount(a)).orElse(serveMorStats(a))
+      .orElse(serveDistinctValues(a))
 
   /** `count(DISTINCT c)` over a CLUSTERED data column, served as a
     * VALUES union: files single-valued in `c` (min = max ∧ nn = cnt —
@@ -464,6 +465,306 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         }
       }
+    }
+  }
+
+  /** min/max/sum/count/avg over a history table's RESOLVED read, served
+    * by WINNER-FILE classification — [[serveMorCount]]'s soundness
+    * argument extended to value aggregates. Naively folding file stats
+    * is unsound on merge-on-read (stats cover every stored VERSION; a
+    * superseded extremum would surface), but the record-level index
+    * knows exactly which rows are live: joining its delta-reconciled
+    * winner entries against the stats sidecar classifies each file as
+    * PURE (every stored row is a live winner — its stats row aggregates
+    * exactly its winners, fold it), BOUNDARY (some rows live, some
+    * superseded — scan it, keeping only rows whose full resolve
+    * identity matches a winner entry), or DEAD (no winners — skip
+    * entirely). On the 100 TB daily-dashboard shape (yesterday's
+    * partitions churn, the archive is stable) the archive's files are
+    * pure and fold from metadata; only the churned files scan. Match:
+    * the exact shared resolve shape (rn = 1 the sole conjunct), bare
+    * aggregates (no grouping), every output a servable
+    * min/max/sum/count/avg over a stats-covered column — same
+    * per-aggregate admission and exactness guards as the COW serves
+    * (string truncation, decimal narrowing, integral-avg order proof;
+    * the whole-VERSION stats bound every winner subset, so the guards
+    * transfer).
+    */
+  private def serveMorStats(a: Aggregate): Option[LogicalPlan] = {
+    if (a.groupingExpressions.nonEmpty || a.aggregateExpressions.isEmpty)
+      return None
+    val conds = mutable.Buffer.empty[(Expression, Int)]
+    val windows = mutable.Buffer.empty[Window]
+    val renames = mutable.Map.empty[ExprId, Expression]
+    val rels = mutable.Buffer.empty[LogicalRelation]
+    val pairs = mutable.Buffer.empty[(Attribute, Attribute)]
+    if (!MvPlanShape.strip(a.child, conds, windows, renames, rels, pairs))
+      return None
+    if (pairs.nonEmpty || rels.length != 1) return None
+    val lr = rels.head
+    val fsRel = lr.relation match {
+      case h: HadoopFsRelation => h
+      case _ => return None
+    }
+    val root = fsRel.location.rootPaths match {
+      case Seq(one) => one.toString
+      case _ => return None
+    }
+    val spec = Option(KeyedTable.specRegistry.get(root)).getOrElse(return None)
+    if (!spec.retainHistory) return None
+    val subst = MvPlanShape.substFn(renames)
+    val relIds = lr.output.map(_.exprId).toSet
+    def relAttrOf(e: Expression): Option[Attribute] = subst(e) match {
+      case at: Attribute if relIds.contains(at.exprId) &&
+        !at.name.startsWith("_graft_") => Some(at)
+      case _ => None
+    }
+    val rn = windows.toSeq match {
+      case Seq(w) => MvPlanShape.resolveRnOf(w, spec).getOrElse(return None)
+      case _ => return None
+    }
+    val split = conds.toSeq.flatMap { case (c, d) =>
+      MvPlanShape.splitConjunction(c).map(e => (e, d))
+    }
+    val (rnConds, rest) =
+      split.partition(p => MvPlanShape.isRnEqOne(p._1, rn))
+    // rn = 1 above the window, and NOTHING else: any other conjunct
+    // filters the resolved state (or versions below the resolve) and
+    // the per-file winner counts would misclassify.
+    if (rnConds.map(_._2) != Seq(0) || rest.nonEmpty) return None
+    val needs: Seq[Need] = a.aggregateExpressions.map {
+      case Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Min(e) =>
+            relAttrOf(e)
+              .filter(at => KeyedTable.statsOrderedType(at.dataType))
+              .map(at => MinOf(at.name, at.dataType)).getOrElse(return None)
+          case Max(e) =>
+            relAttrOf(e)
+              .filter(at => KeyedTable.statsOrderedType(at.dataType))
+              .map(at => MaxOf(at.name, at.dataType)).getOrElse(return None)
+          case s: Sum =>
+            relAttrOf(s.child).filter(at => integral(at.dataType) ||
+                at.dataType.isInstanceOf[DecimalType])
+              .map(at => SumOf(at.name, at.dataType)).getOrElse(return None)
+          case av: Average =>
+            relAttrOf(av.child).filter(at => integral(at.dataType) ||
+                at.dataType.isInstanceOf[DecimalType])
+              .map(at => AvgOf(at.name, at.dataType)).getOrElse(return None)
+          case Count(Seq(Literal(v, _))) if v != null => CountAll
+          case Count(Seq(e)) =>
+            relAttrOf(e).map(at => CountCol(at.name)).getOrElse(return None)
+          case _ => return None
+        }
+      case _ => return None
+    }
+    // A pure-count shape is serveMorCount's (index-only, no sidecar
+    // needed); this arm exists for the value aggregates.
+    if (needs.forall(_ == CountAll)) return None
+    val table = KeyedTable(spec)
+    memo.gated(("morStats", spec.path, needs.toVector)) {
+      serveMorStatsImpl(a, table, needs)
+    }
+  }
+
+  private def serveMorStatsImpl(
+      a: Aggregate, table: KeyedTable,
+      needs: Seq[Need]): Option[LogicalPlan] = {
+    table.colStatsFrame(spark).flatMap { st =>
+      def statCol(prefix: String, c: String): Option[String] =
+        st.columns.find(_.equalsIgnoreCase(s"${prefix}_$c"))
+      if (!st.columns.contains("cnt")) return None
+      val settled = table.settledWinnerEntries(spark).getOrElse(return None)
+      // Per-file winner counts joined to the sidecar (both metadata-
+      // sized: file count and live-key count, never table data).
+      val wc = settled.groupBy(col("file"))
+        .agg(count(lit(1)).as("wcnt"))
+      val stRel = st.withColumn(
+        "_rfile", table.relOfFileCol(spark, col("file")))
+      // Soundness cross-check: every winner entry's file must be
+      // covered by the sidecar (exists ⇒ current guarantees it; a
+      // violation means a racing write — decline, don't drop winners).
+      if (KeyedTable.withMetaConf(spark)(
+          wc.join(stRel, wc("file") === stRel("_rfile"), "left_anti")
+            .limit(1).collect()).nonEmpty) return None
+      val joined = stRel.join(wc, stRel("_rfile") === wc("file"), "left_outer")
+      val pure = col("wcnt").isNotNull && col("wcnt") === col("cnt") &&
+        col("cnt") > 0
+      val boundaryPred = col("wcnt").isNotNull && col("wcnt") < col("cnt")
+      // Pure-file folds — the hybrid's fold set, no grouping.
+      val folds: Seq[Option[Seq[org.apache.spark.sql.Column]]] = needs.map {
+        case MinOf(c, _) => statCol("min", c).map(s => Seq(min(col(s))))
+        case MaxOf(c, _) => statCol("max", c).map(s => Seq(max(col(s))))
+        case SumOf(c, t) =>
+          statCol("sum", c).map(s => Seq(sum(col(s).cast(partialDecimal(t)))))
+        case AvgOf(c, t) =>
+          for { s <- statCol("sum", c); n <- statCol("nn", c) }
+            yield Seq(sum(col(s).cast(partialDecimal(t))), sum(col(n)))
+        case CountAll    => Some(Seq(sum(col("cnt"))))
+        case CountCol(c) => statCol("nn", c).map(s => Seq(sum(col(s))))
+        case _ => None
+      }
+      val guardCols: Seq[Option[String]] = needs.collect {
+        case MinOf(c, StringType) => statCol("trunc", c)
+        case MaxOf(c, StringType) => statCol("trunc", c)
+      }.distinct
+      if (folds.exists(_.isEmpty) || guardCols.exists(_.isEmpty)) return None
+      // Integral-avg exactness: proven from the WHOLE-VERSION stats —
+      // the winner rows are a subset of all versions, so same-sign and
+      // the |total| < 2^53 bound cover every partial sum the boundary
+      // scan or combine performs.
+      val avgIntCols = needs.collect {
+        case AvgOf(c, t) if !t.isInstanceOf[DecimalType] => c
+      }.distinct
+      if (avgIntCols.nonEmpty) {
+        if (avgIntCols.exists(c => statCol("min", c).isEmpty ||
+            statCol("max", c).isEmpty || statCol("sum", c).isEmpty))
+          return None
+        val gAggs = avgIntCols.flatMap(c => Seq(
+          min(col(statCol("min", c).get)),
+          max(col(statCol("max", c).get)),
+          sum(col(statCol("sum", c).get).cast(DecimalType(38, 0)))))
+        val g = KeyedTable.withMetaConf(spark)(
+          st.agg(gAggs.head, gAggs.tail: _*).collect())(0)
+        avgIntCols.indices.foreach { k =>
+          val mnV = if (g.isNullAt(3 * k)) null else g.get(3 * k)
+          val mxV = if (g.isNullAt(3 * k + 1)) null else g.get(3 * k + 1)
+          val sv = if (g.isNullAt(3 * k + 2)) null else g.get(3 * k + 2)
+          val sameSign = longOf(mnV).exists(_ >= 0L) ||
+            longOf(mxV).exists(_ <= 0L)
+          val fits = sv == null || sv.asInstanceOf[java.math.BigDecimal]
+            .toBigInteger.abs.bitLength <= 53
+          if (!(mnV == null || (sameSign && fits))) return None
+        }
+      }
+      val slices = folds.map(_.get)
+      val offsets = slices.scanLeft(0)(_ + _.length)
+      val valueExprs = slices.flatten.zipWithIndex
+        .map { case (c, i) => c.as(s"v$i") }
+      val guardExprs = guardCols.flatten.zipWithIndex
+        .map { case (g, i) => max(col(g)).as(s"g$i") }
+      val exprs = (valueExprs ++ guardExprs) :+ count(lit(1)).as("nfull")
+      val row = KeyedTable.withMetaConf(spark)(
+        joined.filter(pure).agg(exprs.head, exprs.tail: _*).collect())(0)
+      // Zero pure files: nothing folds — the plain resolve scan is the
+      // better plan.
+      if (row.getLong(row.length - 1) == 0L) return None
+      val nGuards = guardExprs.length
+      val truncated = (0 until nGuards).exists { gi =>
+        val at = row.length - 1 - nGuards + gi
+        !row.isNullAt(at) && row.getBoolean(at)
+      }
+      if (truncated) return None
+      val boundaryRel = KeyedTable.withMetaConf(spark)(
+        joined.filter(boundaryPred).select(col("_rfile"))
+          .collect().map(_.getString(0)).toSeq)
+
+      // Union row shape, needs order — the hybrid's uSlices, groupless.
+      val uSlices: Seq[Seq[AttributeReference]] = needs.zipWithIndex.map {
+        case (MinOf(_, t), i) => Seq(AttributeReference(s"u$i", t)())
+        case (MaxOf(_, t), i) => Seq(AttributeReference(s"u$i", t)())
+        case (SumOf(_, dt: DecimalType), i) =>
+          Seq(AttributeReference(s"u$i", sumResultType(dt))())
+        case (SumOf(_, _), i) => Seq(AttributeReference(s"u$i", LongType)())
+        case (AvgOf(_, t), i) => Seq(
+          AttributeReference(s"u${i}s", partialDecimal(t))(),
+          AttributeReference(s"u${i}c", LongType, nullable = false)())
+        case (_, i) =>
+          Seq(AttributeReference(s"u$i", LongType, nullable = false)())
+      }
+      val localVals: Seq[Any] = needs.zipWithIndex.flatMap { case (n, i) =>
+        def v(o: Int): Any = {
+          val p = offsets(i) + o
+          if (row.isNullAt(p)) null else row.get(p)
+        }
+        n match {
+          case MinOf(_, t) => Seq(toCatalystStat(v(0), t))
+          case MaxOf(_, t) => Seq(toCatalystStat(v(0), t))
+          case SumOf(_, dt: DecimalType) =>
+            Seq(sumToDecimal(v(0), dt).getOrElse(return None))
+          case SumOf(_, _) => Seq(sumToLong(v(0)).getOrElse(return None))
+          case AvgOf(_, t) =>
+            val dec = v(0) match {
+              case null => null
+              case bd: java.math.BigDecimal =>
+                CatalystTypeConverters
+                  .createToCatalystConverter(partialDecimal(t))(bd)
+              case _ => return None
+            }
+            val cnt = v(1) match {
+              case null => 0L
+              case l: java.lang.Long => l.longValue()
+              case _ => return None
+            }
+            Seq(dec, cnt)
+          case _ => Seq(if (v(0) == null) 0L else v(0))
+        }
+      }
+      val local = LocalRelation(
+        uSlices.flatten, IndexedSeq(InternalRow.fromSeq(localVals)), false)
+
+      // Boundary side: winner rows of the mixed files (semi-join on the
+      // full resolve identity), partially aggregated — or an EMPTY
+      // relation of the same shape when no file is mixed.
+      val partialPlan: LogicalPlan =
+        if (boundaryRel.isEmpty)
+          LocalRelation(
+            uSlices.flatten.map(at =>
+              AttributeReference(at.name, at.dataType, at.nullable)()),
+            IndexedSeq.empty, false)
+        else {
+          val bdf = table.winnerRowsOf(spark, boundaryRel, settled)
+          val aggCols: Seq[org.apache.spark.sql.Column] =
+            needs.zipWithIndex.flatMap {
+              case (MinOf(c, _), i) => Seq(min(col(c)).as(s"u$i"))
+              case (MaxOf(c, _), i) => Seq(max(col(c)).as(s"u$i"))
+              case (SumOf(c, _), i) => Seq(sum(col(c)).as(s"u$i"))
+              case (AvgOf(c, t), i) => Seq(
+                sum(col(c).cast(partialDecimal(t))).as(s"u${i}s"),
+                count(col(c)).as(s"u${i}c"))
+              case (CountAll, i)    => Seq(count(lit(1)).as(s"u$i"))
+              case (CountCol(c), i) => Seq(count(col(c)).as(s"u$i"))
+              case _ => return None
+            }
+          bdf.agg(aggCols.head, aggCols.tail: _*).queryExecution.analyzed
+        }
+
+      def avgOfOutput(i: Int): Average = a.aggregateExpressions(i) match {
+        case Alias(ae: AggregateExpression, _) =>
+          ae.aggregateFunction.asInstanceOf[Average]
+        case other => throw new IllegalStateException(
+          s"AvgOf need without an Average expression: $other")
+      }
+      val finalExprs: Seq[NamedExpression] = needs.zipWithIndex.map {
+        case (n, i) =>
+          def u = uSlices(i).head
+          val orig = a.aggregateExpressions(i).asInstanceOf[NamedExpression]
+          val combined: Expression = n match {
+            case MinOf(_, _) => Min(u).toAggregateExpression()
+            case MaxOf(_, _) => Max(u).toAggregateExpression()
+            case SumOf(_, dt: DecimalType) =>
+              Cast(Sum(u).toAggregateExpression(), sumResultType(dt))
+            case SumOf(_, _) => Sum(u).toAggregateExpression()
+            case _: AvgOf =>
+              val av = avgOfOutput(i)
+              avgBind(
+                av,
+                Cast(Sum(uSlices(i)(0)).toAggregateExpression(),
+                  av.sumDataType),
+                Coalesce(Seq(
+                  Sum(uSlices(i)(1)).toAggregateExpression(), Literal(0L))))
+                .getOrElse(return None)
+            case _ => Coalesce(Seq(
+              Sum(u).toAggregateExpression(), Literal(0L)))
+          }
+          Alias(combined, orig.name)(exprId = orig.exprId)
+      }
+      logInfo(s"stats-aggregate rewrite: ${table.spec.path} resolved " +
+        s"aggregate served by winner-file classification " +
+        s"(${row.getLong(row.length - 1)} pure files folded, " +
+        s"${boundaryRel.length} mixed files scanned)")
+      Some(Aggregate(Nil, finalExprs, Union(Seq(local, partialPlan))))
     }
   }
 

@@ -1203,6 +1203,85 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Every live resolve scope's WINNING entry (key, scope, table-
+    * relative file, full resolve ordering), delta-reconciled to the
+    * current timeline — the classification input for serving resolved
+    * aggregates beyond count(*): joined against the column-stats
+    * sidecar it tells which files hold ONLY winners (their stats fold)
+    * and which must scan. `None` when the index is absent, not a
+    * resolving table, or staleness is unprovable — same contract and
+    * cost shape as [[resolvedCount]] (O(index + delta files), never
+    * table data).
+    */
+  private[graft] def settledWinnerEntries(
+      spark: SparkSession): Option[DataFrame] = {
+    val f = fs(spark)
+    if (!f.exists(new Path(rliDir)) || !spec.retainHistory) return None
+    try {
+      val idx = spark.read.parquet(rliDir)
+      if (!rliRequiredCols.subsetOf(idx.columns.toSet)) return None
+      val head = idx.select(col("built_at")).limit(1).collect()
+      if (head.isEmpty) return None
+      KeyedTable.fileDeltaSince(spark, spec.path, head(0).getString(0)).map {
+        case (added, removed) =>
+          val idxSel =
+            if (removed.isEmpty) idx.drop("built_at")
+            else idx.drop("built_at")
+              .filter(KeyedTable.notInSetUdf(removed)(col("file")))
+          if (added.isEmpty && removed.isEmpty) idxSel
+          else {
+            val deltaSel =
+              if (added.isEmpty) idxSel.limit(0)
+              else readFilesRaw(spark, added)
+                .withColumn("_graft_rel", relFileExpr(spark))
+                .select(rliEntryCols: _*)
+            rliResolveEntries(spark, idxSel.unionByName(deltaSel))
+          }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Table-relative rendering of an ABSOLUTE-path column (the stats
+    * sidecar's `file`), matching [[relFileExpr]]'s normalization so
+    * sidecar rows and index entries compare as equals.
+    */
+  private[graft] def relOfFileCol(spark: SparkSession, c: Column): Column = {
+    val root = fs(spark).makeQualified(new Path(spec.path)).toUri.getPath
+    substring_index(c, s"$root/", -1)
+  }
+
+  /** The rows of `boundaryRel` files that ARE live winners: a left-semi
+    * join against the settled entries on the FULL resolve identity
+    * (key, scope, file, precombine, commit id, tiebreaks — the entry
+    * stores the ordering precisely so this match needs no other file),
+    * then the standard resolve window to settle exact-duplicate
+    * identities (two stored rows identical in key AND ordering: the
+    * data resolve keeps one, so must the serve). A row whose winner
+    * lives in another file fails the join — a locally-latest superseded
+    * version can never resurrect. Cost: O(boundary files' rows +
+    * their entries).
+    */
+  private[graft] def winnerRowsOf(
+      spark: SparkSession, boundaryRel: Seq[String],
+      settled: DataFrame): DataFrame = {
+    val data = readFilesRaw(spark, boundaryRel)
+      .withColumn("_graft_rel", relFileExpr(spark))
+    val eCols = Seq("key", "pp", "file", "pre", "ct") ++
+      spec.tiebreakCols.indices.map(i => s"tb_$i")
+    val e = settled.select(eCols.map(col): _*)
+    val idPairs: Seq[(Column, Column)] = Seq(
+      data(KeyedTable.RecordKeyCol) -> e("key"),
+      data(KeyedTable.PartitionPathCol) -> e("pp"),
+      data("_graft_rel") -> e("file"),
+      data(spec.precombineCol) -> e("pre"),
+      data(KeyedTable.CommitTimeCol) -> e("ct")) ++
+      spec.tiebreakCols.zipWithIndex.map { case (c, i) =>
+        data(c) -> e(s"tb_$i")
+      }
+    val cond = idPairs.map { case (l, r) => l <=> r }.reduce(_ && _)
+    resolveLatest(data.join(e, cond, "left_semi")).drop("_graft_rel")
+  }
+
   /** History partitions whose stored-version population is mostly
     * superseded — the measurement behind the advisor's RETENTION arm.
     * Total stored rows per partition come from the column-stats

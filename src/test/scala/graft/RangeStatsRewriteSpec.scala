@@ -684,6 +684,79 @@ class RangeStatsRewriteSpec extends SparkTestBase {
       "non-partition grouping must decline to the scan")
   }
 
+  test("MoR resolved aggregates: winner-file classification, superseded extremum never surfaces") {
+    // The global max of `value` lives in a SUPERSEDED version (user 999
+    // v1); its correction (v2) carries a small value. Naive all-version
+    // stats folding would answer 999999 — the winner-file serve must
+    // answer the resolved max.
+    def freshMor(path: String) = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("user_id"), precombineCol = "ts",
+      tiebreakCols = Seq("event_id"), partitionCols = Seq("day"),
+      retainHistory = true))
+    def rows(tuples: (Long, String, Long, Long, Long)*) =
+      spark.createDataFrame(tuples.toSeq)
+        .toDF("user_id", "day", "ts", "event_id", "value")
+
+    // Layout A: the trapped key in its OWN partition — after the
+    // correction its c0 file is DEAD (skip) and every other file is
+    // PURE (fold): the whole aggregate answers with ZERO data files.
+    val pathA = Files.createTempDirectory("graft_morstats_a_").toString + "/t"
+    val ta = freshMor(pathA)
+    val bulk = (1L to 50L).map(i => (i, "d1", 100L, i, i))
+    ta.upsert(spark, rows(bulk: _*), commitTime = "c0a")
+    ta.upsert(spark, rows((999L, "d2", 100L, 900L, 999999L)), commitTime = "c0b")
+    ta.recordKeyIndex(spark) // goes stale at c1: the serve reconciles
+    ta.upsert(spark, rows((999L, "d2", 200L, 901L, 5L)), commitTime = "c1")
+    ta.recordColumnStats(spark, Seq("value"))
+    def qa = ta.read(spark).agg(
+      min(col("value")).as("mn"), max(col("value")).as("mx"),
+      sum(col("value")).as("s"), avg(col("value")).as("av"),
+      count(col("value")).as("nn"), count(lit(1)).as("n"))
+    val expectA = org.apache.spark.sql.Row(
+      1L, 50L, (1L to 50L).sum + 5L,
+      ((1L to 50L).sum + 5L).toDouble / 51L, 51L, 51L)
+    assert(qa.collect()(0) == expectA,
+      "resolved aggregate must never surface the superseded extremum")
+    assert(graft.plans.PlanWalk.scannedFiles(qa).isEmpty,
+      "pure files fold, the dead file skips: zero data files open")
+
+    // Layout B: the trapped key lives WITH the bulk — its c0 file is
+    // MIXED (scan through the winner semi-join), the c1 file is pure.
+    val pathB = Files.createTempDirectory("graft_morstats_b_").toString + "/t"
+    val tb = freshMor(pathB)
+    tb.upsert(spark,
+      rows(bulk :+ ((999L, "d1", 100L, 900L, 999999L)): _*),
+      commitTime = "c0")
+    tb.upsert(spark, rows((999L, "d1", 200L, 901L, 5L)), commitTime = "c1")
+    // Fresh index (layout A covered the stale-index reconciliation):
+    // the boundary side then embeds only the index read plus the mixed
+    // file's scan — the pure correction file folds from the sidecar.
+    tb.recordKeyIndex(spark)
+    tb.recordColumnStats(spark, Seq("value"))
+    def qb = tb.read(spark).agg(
+      min(col("value")).as("mn"), max(col("value")).as("mx"),
+      count(lit(1)).as("n"))
+    assert(qb.collect()(0) == org.apache.spark.sql.Row(1L, 50L, 51L))
+    val scanned = graft.plans.PlanWalk.scannedFiles(qb)
+      .filterNot(_.contains("/_graft_")) // index/sidecar reads aren't data
+    assert(scanned.nonEmpty, "the mixed file must scan")
+    assert(scanned.length < dataFileCount(pathB),
+      "the pure correction file must fold, not scan")
+
+    // Declines stay exact: a residual filter under the resolve, a
+    // missing sidecar, and a missing index all fall to the plain scan.
+    def qf = tb.read(spark).filter(col("value") > 1L)
+      .agg(max(col("value")).as("mx"))
+    assert(qf.collect()(0).getLong(0) == 50L)
+    val pathC = Files.createTempDirectory("graft_morstats_c_").toString + "/t"
+    val tc = freshMor(pathC)
+    tc.upsert(spark, rows(bulk: _*), commitTime = "c0")
+    tc.recordKeyIndex(spark) // index, no stats
+    def qc = tc.read(spark).agg(max(col("value")).as("mx"))
+    assert(graft.plans.PlanWalk.scannedFiles(qc).nonEmpty)
+    assert(qc.collect()(0).getLong(0) == 50L)
+  }
+
   test("IS NULL / IS NOT NULL prune through the per-file null counts") {
     val path = Files.createTempDirectory("graft_nullprune_").toString + "/t"
     val t = KeyedTable(cowSpec(path))
