@@ -215,7 +215,8 @@ object SparkEntry {
     "q188_mor_group_count" -> (UpsertOps.morGroupLiveCount(_, _)),
     "q189_avg_hybrid" -> (UpsertOps.rangeAvgHybrid(_, _)),
     "q190_distinct_count_clustered" -> (UpsertOps.distinctCountClustered(_, _)),
-    "q191_mor_resolved_stats" -> (UpsertOps.morResolvedStats(_, _))
+    "q191_mor_resolved_stats" -> (UpsertOps.morResolvedStats(_, _)),
+    "q192_group_topk_clustered" -> (UpsertOps.groupTopKClustered(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1274,6 +1275,19 @@ object SparkEntry {
         |       avg(event_id) AS a_id,
         |       count(ts_us) AS n_ts, count(*) AS n_live
         |FROM win WHERE rn = 1""".stripMargin,
+    // grouped top-k over a clustered DATA column: only which files open
+    // changes (single-valued files walk their language's run, boundary
+    // files always kept) — the oracle is the plain window; the unique
+    // doc_id tiebreak pins every rank
+    "q192_group_topk_clustered" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |                            ORDER BY n_chars DESC,
+        |                                     doc_id DESC) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, CAST(rk AS INT) AS rk
+        |FROM w WHERE rk <= 20""".stripMargin,
     // grouped-rollup advisor: stats + measured cluster only change
     // which files open — the oracle is the plain grouped aggregate
     "q185_rollup_advisor" ->

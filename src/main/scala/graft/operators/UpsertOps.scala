@@ -1792,6 +1792,51 @@ object UpsertOps {
       (table, mn, mx)
     }
 
+  /** Grouped top-k over a CLUSTERED DATA column (q192;
+    * [[graft.plans.GroupTopKRewrite]]'s data-group arm): the
+    * per-language "longest N documents" leaderboard —
+    * `row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC,
+    * doc_id DESC) ≤ N` where lang is a DATA column on the
+    * lang-clustered docs table (no hive partitioning). Files
+    * single-valued in lang walk their language's run; run-boundary
+    * files are always kept. At 100 TB the every-language leaderboard
+    * opens O(N·languages / rows-per-file) interior files plus the run
+    * boundaries instead of the whole corpus — without paying the
+    * partition tax for a low-cardinality column. ≡ the plain window —
+    * the oracle (unique doc_id tiebreak makes the set deterministic).
+    */
+  def groupTopKClustered(s: SparkSession, dir: String): DataFrame = {
+    val table = groupTopKDocsFixture(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id").desc)
+    table.read(s)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .select("doc_id", "lang", "n_chars", "rk")
+  }
+
+  /** q192's fixture: docs clustered by (lang, n_chars) — contiguous
+    * language runs with n_chars-tight files inside each, the
+    * leaderboard layout (clustering by lang alone caps the file count
+    * at the language cardinality: the range partitioner cannot split
+    * equal keys). Immutable once built.
+    */
+  private def groupTopKDocsFixture(s: SparkSession, dir: String): KeyedTable =
+    fixtureOnce(dir, "groupTopKDocs") {
+      val path =
+        Files.createTempDirectory("graft_gtkd_").toString + "/docs_keyed"
+      val t = KeyedTable(KeyedTableSpec(
+        path = path, keyCols = Seq("doc_id"), precombineCol = "n_chars"))
+      t.upsert(
+        s,
+        Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
+        commitTime = "c0")
+      t.cluster(s, Seq("lang", "n_chars"), targetFileBytes = 2L << 10)
+      t.recordColumnStats(s, Seq("lang", "n_chars"))
+      t
+    }
+
   /** Resolved VALUE aggregates on the merge-on-read fixture (q191;
     * [[graft.plans.StatsAggregateRewrite]]'s winner-file arm):
     * min/max/sum/avg/count over the resolved read — the daily MoR

@@ -20,14 +20,21 @@ import graft.table.KeyedTable
   * the per-group twin, which Spark executes as a Window (+ the
   * optimizer's WindowGroupLimit pushdown) over the FULL scan.
   *
-  * Soundness rests on the window's partition keys being TABLE PARTITION
-  * columns: every data file then belongs to exactly one group (its hive
-  * directory), so the sidecar's per-file partition tuple groups the
-  * file set exactly and the standard stats top-k argument applies PER
-  * GROUP — walk a group's files by recorded min descending (asc
-  * mirrors), accumulate non-null counts until ≥ N: those rows all rank
-  * ahead of anything below the last walked file's min `L_g`, so a file
-  * with max < L_g cannot hold a rank-≤-N row of that group. Dropped
+  * Soundness rests on each walked file belonging to exactly ONE group:
+  * trivially true for TABLE PARTITION group keys (the hive directory),
+  * and per-file provable for CLUSTERED DATA group keys via the
+  * single-valued test (min = max ∧ nn = cnt — q180's classification; a
+  * leaderboard `PARTITION BY lang` over the lang-clustered corpus then
+  * walks each language's run). Files spanning groups — or holding the
+  * NULL group — are always kept and excluded from the walk, which only
+  * UNDER-counts the cumulative sums: bounds weaken, keeping more
+  * files, never fewer. The sidecar's per-file group key (partition
+  * tuple / stored single value) groups the walked set exactly and the
+  * standard stats top-k argument applies PER GROUP — walk a group's
+  * files by recorded min descending (asc mirrors), accumulate non-null
+  * counts until ≥ N: those rows all rank ahead of anything below the
+  * last walked file's min `L_g`, so a file with max < L_g cannot hold
+  * a rank-≤-N row of that group. Dropped
   * rows sort STRICTLY below every kept tie, so the residual Window over
   * the kept rows assigns ranks 1..N exactly as the full scan would
   * (ties at the bound are kept by the non-strict comparison; a total
@@ -70,8 +77,16 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private[plans] final case class GroupTopKMatch(
       f: Filter, lr: LogicalRelation, fsRel: HadoopFsRelation, root: String,
       spec: graft.table.KeyedTableSpec, groupCols: Seq[String],
+      groupIsPart: Seq[Boolean],
       sortCol: String, n: Int, desc: Boolean, nullsFirst: Boolean,
-      partFilters: Seq[PartitionConjuncts.PartFilter])
+      partFilters: Seq[PartitionConjuncts.PartFilter]) {
+    /** Grouping columns that are DATA columns — classified per file by
+      * the single-valued test, the layout property clustering decides
+      * (so the advisor must not blanket-recommend these shapes).
+      */
+    def dataGroupCols: Seq[String] =
+      groupCols.zip(groupIsPart).collect { case (c, false) => c }
+  }
 
   /** Every grouped-top-k shape in `plan` this rule would serve if
     * column stats existed (no sidecar IO) — shared with
@@ -91,22 +106,27 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
 
-  /** The window's single rank expression over table-partition keys
-    * ordered first by `col`, or None.
+  /** The window's single rank expression over table-partition keys or
+    * stats-ordered DATA columns, ordered first by `col`, or None.
     */
   private def rankOf(
       w: Window, spec: graft.table.KeyedTableSpec,
       relAttrOf: Expression => Option[Attribute])
-      : Option[(Attribute, Seq[String], Attribute, Boolean, Boolean)] =
+      : Option[(Attribute, Seq[(String, Boolean)], Attribute, Boolean, Boolean)] =
     w.windowExpressions match {
       case Seq(a @ Alias(
           WindowExpression(fn, WindowSpecDefinition(ps, os, _)), _))
           if fn.isInstanceOf[RowNumber] || fn.isInstanceOf[Rank] =>
         val partColsL =
           spec.partitionCols.map(_.toLowerCase(Locale.ROOT)).toSet
-        val groups = ps.map(e => relAttrOf(e) match {
+        val groups: Seq[(String, Boolean)] = ps.map(e => relAttrOf(e) match {
           case Some(at) if partColsL.contains(
-            at.name.toLowerCase(Locale.ROOT)) => at.name
+            at.name.toLowerCase(Locale.ROOT)) => (at.name, true)
+          // A DATA group column rides the single-valued classification
+          // at serve time (q180's layout test); it needs recorded
+          // min/max/nn, hence a stats-ordered type.
+          case Some(at) if KeyedTable.statsOrderedType(at.dataType) =>
+            (at.name, false)
           case _ => return None
         })
         os.headOption.flatMap {
@@ -152,8 +172,9 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         !a.name.startsWith("_graft_") => Some(a)
       case _ => None
     }
-    val (rk, groupCols, sortAttr, desc, nullsFirst) =
+    val (rk, groupPairs, sortAttr, desc, nullsFirst) =
       rankOf(w, spec, relAttrOf).getOrElse(return None)
+    val (groupCols, groupIsPart) = groupPairs.unzip
 
     // The rank bound: rk ≤ N / rk < N+1 / rk = N, above the window.
     def boundOf(e: Expression): Option[Int] = e match {
@@ -189,7 +210,8 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       d != 0 && partFilterOf(c).isEmpty && boundOf(c).isEmpty
     }) return None
     Some(GroupTopKMatch(f, lr, fsRel, root, spec,
-      groupCols, sortAttr.name, n, desc, nullsFirst, partFilters))
+      groupCols, groupIsPart, sortAttr.name, n, desc, nullsFirst,
+      partFilters))
   }
 
   /** The IO half: one metadata-sized sidecar job computes every group's
@@ -206,8 +228,33 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val (mnS, mxS, nnS) = (statCol("min", m.sortCol),
         statCol("max", m.sortCol), statCol("nn", m.sortCol))
       if (mnS.isEmpty || mxS.isEmpty || nnS.isEmpty) return None
-      val groupStatCols = m.groupCols.map(c => statCol("p", c))
+      // A file's group key: its partition tuple for hive columns, its
+      // ONE stored value (min = max) for clustered data columns.
+      val groupStatCols = m.groupCols.zip(m.groupIsPart).map {
+        case (c, true)  => statCol("p", c)
+        case (c, false) => statCol("min", c)
+      }
       if (groupStatCols.exists(_.isEmpty)) return None
+      // CLASSIFIABLE: single-valued (and null-free) in every data group
+      // column — such a file belongs to exactly one group, so the
+      // per-group count walk may use its rows (min = max under string
+      // truncation still forces the exact value: stored lower ≤ real ≤
+      // stored upper, and truncation makes lower < upper strictly).
+      // Every OTHER file spans groups (or holds the NULL group): it is
+      // ALWAYS KEPT, and its rows are excluded from the walk — the
+      // cumulative counts only UNDER-count, so bounds weaken and keep
+      // more files, never fewer. Pure partition groupings classify
+      // every file (the original rule, unchanged).
+      val dataClassPreds = m.groupCols.zip(m.groupIsPart).collect {
+        case (c, false) =>
+          (statCol("min", c), statCol("max", c), statCol("nn", c)) match {
+            case (Some(gmn), Some(gmx), Some(gnn)) =>
+              col(gnn) === col("cnt") && col(gmn) === col(gmx) &&
+                col("cnt") > 0
+            case _ => return None
+          }
+      }
+      val classifiable = dataClassPreds.reduceOption(_ && _).getOrElse(lit(true))
       val filterStatCols = m.partFilters.map {
         case PartitionConjuncts.PartIn(c, _, _) => statCol("p", c)
         case PartitionConjuncts.PartNotNull(c)  => statCol("p", c)
@@ -224,11 +271,12 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       KeyedTable.withMetaConf(spark) {
         try {
           val total = st.count().toInt
+          val stClass = stSel.filter(classifiable)
           // Per-group bound: the FIRST file crossing N in the walk
           // order carries the group's bound value — in desc order that
           // is the LARGEST walk key among crossing files (asc: the
-          // smallest).
-          val crossed = stSel
+          // smallest). Only classifiable files walk.
+          val crossed = stClass
             .withColumn("_graft_cum", sum(nn).over(
               w.rowsBetween(W.unboundedPreceding, W.currentRow)))
             .filter(col("_graft_cum") >= m.n && nn > 0)
@@ -239,16 +287,22 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             .groupBy(gCols: _*).agg(boundAgg.as("_graft_bound"))
           // Keep: files whose range can reach the group bound, every
           // file of an UNBOUNDED group (< N non-null rows — no bound
-          // provable), and null-carrying files when nulls rank first.
-          val joined = stSel.join(bounds,
-            m.groupCols.map(c => statCol("p", c).get), "left")
+          // provable), null-carrying files when nulls rank first, and
+          // every UNCLASSIFIABLE file (spans groups / holds the NULL
+          // group).
+          val joined = stClass.join(bounds,
+            groupStatCols.map(_.get), "left")
           val reach =
             if (m.desc) mx >= col("_graft_bound")
             else mn <= col("_graft_bound")
           val keepPred = col("_graft_bound").isNull || reach ||
             (if (m.nullsFirst) col("cnt") > nn else lit(false))
-          val files = joined.filter(keepPred)
-            .select("file").collect().map(_.getString(0)).toSeq
+          val unclassified =
+            if (dataClassPreds.isEmpty) Array.empty[String]
+            else stSel.filter(!classifiable || classifiable.isNull)
+              .select("file").collect().map(_.getString(0))
+          val files = (joined.filter(keepPred).select("file")
+            .collect().map(_.getString(0)) ++ unclassified).toSeq
           if (files.length >= total) None
           else {
             val paths = files.map(abs =>

@@ -120,7 +120,11 @@ object IndexAdvisor {
     // are partition columns by admission — the sidecar's p_ tuples
     // carry them for free).
     val groupTopKRule = new GroupTopKRewrite(spark)
+    // Data-column-grouped top-k shapes are excluded for the same reason
+    // as the rollup arm: they serve only under a clustered layout a
+    // static shape can't promise, so a blanket stats rec never settles.
     val groupTopKWants = plans.flatMap(groupTopKRule.groupTopKShapes)
+      .filter(_.dataGroupCols.isEmpty)
       .map(m => (m.spec.path, "column_stats", m.sortCol))
     // LAYOUT advice: stats that exist but barely skip mean the files
     // overlap the probed column — the index can't help until a sort

@@ -992,6 +992,60 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     assert(dr(t.read(spark)).collect().toSet == dr(eventsUs).collect().toSet)
   }
 
+  test("grouped top-k over a CLUSTERED DATA column prunes per run; unclustered declines") {
+    // `PARTITION BY lang` where lang is a DATA column: files
+    // single-valued in lang (the clustered run interiors) walk their
+    // language's count bound; run-boundary and NULL-group files are
+    // always kept. Every 17th doc gets a NULL lang — the null group's
+    // files are unclassifiable, so its ranks survive exactly.
+    // Synthetic corpus: big enough that each language's clustered run
+    // spans many files (the fixture tables are too small to leave
+    // interior files outside every group's top 3).
+    val docs = spark.range(0, 20000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 17 =!= 0,
+        concat(lit("lang"), (col("id") % 5).cast("string"))).as("lang"),
+      (col("id") * 31 % 9973).as("n_chars"),
+      // Incompressible payload so the 16 KB file target yields many
+      // real files (delta-encoded ints alone compress to nothing).
+      md5(col("id").cast("string")).as("payload"))
+    val path = Files.createTempDirectory("graft_gtopk_data_").toString + "/t"
+    val t = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("doc_id"), precombineCol = "n_chars"))
+    t.upsert(spark, docs, commitTime = "c0")
+    // (lang, n_chars): contiguous language runs, n_chars-tight files
+    // within each — the leaderboard layout (by lang alone the range
+    // partitioner caps files at the key cardinality)
+    t.cluster(spark, Seq("lang", "n_chars"), targetFileBytes = 16L << 10)
+    t.recordColumnStats(spark, Seq("lang", "n_chars"))
+    val total = dataFileCount(path)
+    assert(total > 10, s"fixture must span many files, got $total")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id").desc)
+    def ranked(df: DataFrame) = df
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("doc_id", "lang", "n_chars", "rk")
+    def q = ranked(t.read(spark))
+    val files = scannedDataFiles(q)
+    assert(files.isDefined, "the data-group top-k must serve")
+    assert(files.get.length < total,
+      s"must prune: ${files.get.length} of $total")
+    assert(q.collect().toSet == ranked(docs).collect().toSet)
+    // An UNCLUSTERED layout leaves every file multi-valued in lang:
+    // nothing classifies, every file is kept — decline, still exact.
+    val path2 = Files.createTempDirectory("graft_gtopk_flat_").toString + "/t"
+    val t2 = KeyedTable(KeyedTableSpec(
+      path = path2, keyCols = Seq("doc_id"), precombineCol = "n_chars"))
+    t2.upsert(spark, docs.filter(col("doc_id") % 2 === 0), commitTime = "c0")
+    t2.insert(spark, docs.filter(col("doc_id") % 2 === 1), commitTime = "c1")
+    t2.recordColumnStats(spark, Seq("lang", "n_chars"))
+    def q2 = ranked(t2.read(spark))
+    assert(scannedDataFiles(q2).isEmpty,
+      "an unclustered layout must decline (every file kept)")
+    assert(q2.collect().toSet == ranked(docs).collect().toSet)
+  }
+
   test("top-k with nulls sorting first keeps every null-carrying file") {
     val path = Files.createTempDirectory("graft_topk_null_").toString + "/t"
     val t = KeyedTable(cowSpec(path))
