@@ -1552,6 +1552,52 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     } finally combined.unpersist()
   }
 
+  /** Column names of the EXISTING secondary sidecars, discovered from
+    * their directory names — one listStatus of the table root, never
+    * data.
+    */
+  private def secondarySidecarColumns(spark: SparkSession): Seq[String] = {
+    val f = fs(spark)
+    val p = new Path(spec.path)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_graft_si_"))
+      .map(_.stripPrefix("_graft_si_")).sorted
+  }
+
+  /** Bring EVERY index sidecar current from its own recorded state —
+    * the record-level index (if present) and each secondary sidecar
+    * discovered from its directory — each at the incremental skeleton's
+    * O(delta) cost. Returns false when no sidecar exists to refresh
+    * (an initial [[recordKeyIndex]]/[[recordIndexes]] names the
+    * surface, exactly as [[refreshColumnStats]]'s contract).
+    */
+  def refreshIndexes(spark: SparkSession): Boolean = {
+    val f = fs(spark)
+    if (!exists(spark)) return false
+    var any = false
+    if (f.exists(new Path(rliDir))) { refreshRecordKeyIndex(spark); any = true }
+    secondarySidecarColumns(spark).foreach { c =>
+      refreshSecondaryIndex(spark, c); any = true
+    }
+    any
+  }
+
+  /** The per-commit maintenance composition for a micro-batch loop:
+    * column stats AND every index sidecar brought current from their
+    * own recorded state — `(t, sp, b) => { t.upsert(sp, b);
+    * t.maintainDerivedState(sp) }` keeps a streaming ingest's point
+    * lookups, range prunes, and stats serves warm BETWEEN batches at
+    * O(the commit's own files) refresh cost, the Hudi
+    * metadata-table-maintenance analogue. Returns whether anything
+    * refreshed (false until the initial builds name the surface).
+    */
+  def maintainDerivedState(spark: SparkSession): Boolean = {
+    val stats = refreshColumnStats(spark)
+    val idx = refreshIndexes(spark)
+    stats || idx
+  }
+
   /** Incremental maintenance at O(delta) — the RLI skeleton over this
     * sidecar's entries: refresh ≡ rebuild (winner-settled on resolving
     * tables), boundary advances, unprovable deltas rebuild.
@@ -2266,17 +2312,36 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   def currentUserSchema(spark: SparkSession): Option[org.apache.spark.sql.types.StructType] =
     if (exists(spark)) Some(read(spark).schema) else None
 
-  /** The commit timeline: distinct commit times present in the table,
-    * ascending (the engine's analogue of Hudi's `.hoodie` timeline; commit
-    * ids are `yyyyMMddHHmmssSSS`, so lexicographic order is chronological).
-    * Driver-side size is the number of commits, never rows.
+  /** The commit timeline: the table's DATA commits, ascending — served
+    * from the timeline MARKER directory (one listStatus, O(#commits) —
+    * the engine's analogue of Hudi's `.hoodie` timeline) whenever the
+    * markers can answer exactly, with the commit-time column scan as
+    * the fallback. The marker path serves when every recorded action
+    * is data-adding (upsert/insert/bulkinsert) or a commit-preserving
+    * layout rewrite (compact/cluster/zorder/evolve/fold); any
+    * history-destroying action (restore/vacuum/delete/partition drop)
+    * erases commit times from data in ways the markers cannot resolve,
+    * so those tables — and pre-timeline tables — reconstruct from the
+    * data, where presence is the only derivable truth. One documented
+    * nuance of the marker path (Hudi's own semantics): a data commit
+    * whose rows were ALL later superseded by upserts stays on the
+    * timeline — it is part of history — while the scan fallback can
+    * only report commits still carrying rows.
     */
-  def commits(spark: SparkSession): Seq[String] =
-    readRaw(spark).select(col(KeyedTable.CommitTimeCol)).distinct()
+  def commits(spark: SparkSession): Seq[String] = {
+    val entries = KeyedTable.timelineEntries(spark, spec.path)
+    val safe = KeyedTable.DataActions ++ KeyedTable.LayoutActions
+    if (entries.nonEmpty && entries.forall { case (_, a) => safe.contains(a) })
+      entries.collect {
+        case (ct, a) if KeyedTable.DataActions.contains(a) => ct
+      }.distinct.sorted
+    else if (!exists(spark)) Nil
+    else readRaw(spark).select(col(KeyedTable.CommitTimeCol)).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
+  }
 
   def latestCommit(spark: SparkSession): Option[String] =
-    if (exists(spark)) commits(spark).lastOption else None
+    commits(spark).lastOption
 
   /** Small-file maintenance — the size-driven half of Hudi's table-service
     * family (see [[cluster]] for the sort-order half): every append-path

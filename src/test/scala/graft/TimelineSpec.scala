@@ -73,6 +73,47 @@ class TimelineSpec extends SparkTestBase {
       KeyedTable.timelineEntries(spark, path).last._2))
   }
 
+  test("commits() serves from markers: no data read, equals the column scan; destructive actions fall back") {
+    val path = freshPath()
+    val t = KeyedTable(KeyedTableSpec(
+      path, keyCols = Seq("id"), precombineCol = "v",
+      partitionCols = Seq("day")))
+    // MIXED id formats: lexicographic sort must agree on both paths.
+    t.upsert(spark, rows(1 -> 10, 2 -> 20), commitTime = "c1")
+    t.insert(spark, rows(3 -> 30), commitTime = "20990101000000000")
+    t.compact(spark) // layout action: commit-preserving, marker-served
+    val scanned = t.readRaw(spark)
+      .select(org.apache.spark.sql.functions
+        .col(KeyedTable.CommitTimeCol)).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(t.commits(spark) == scanned,
+      "marker-served commits must equal the column scan")
+    assert(t.latestCommit(spark).contains(scanned.last))
+    // DELETE the table data entirely (markers live in the sibling
+    // dir): the marker path must still answer — the deterministic
+    // proof it reads zero data files.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    assert(t.commits(spark) == scanned,
+      "the marker path must answer with the data gone")
+    // A history-destroying action (delete) falls back to the scan.
+    val path2 = freshPath()
+    val t2 = KeyedTable(KeyedTableSpec(
+      path2, keyCols = Seq("id"), precombineCol = "v",
+      partitionCols = Seq("day")))
+    t2.upsert(spark, rows(1 -> 10, 2 -> 20), commitTime = "c1")
+    t2.upsert(spark, rows(2 -> 21, 3 -> 30), commitTime = "c2")
+    t2.delete(spark,
+      spark.createDataFrame(Seq(Tuple1(1))).toDF("id"))
+    val scanned2 = t2.readRaw(spark)
+      .select(org.apache.spark.sql.functions
+        .col(KeyedTable.CommitTimeCol)).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(t2.commits(spark) == scanned2,
+      "a deleted-from table must reconstruct commits from data")
+  }
+
   test("commit markers carry a file record; addedFilesSince replays it") {
     val path = freshPath()
     val t = KeyedTable(KeyedTableSpec(
