@@ -216,7 +216,9 @@ object SparkEntry {
     "q189_avg_hybrid" -> (UpsertOps.rangeAvgHybrid(_, _)),
     "q190_distinct_count_clustered" -> (UpsertOps.distinctCountClustered(_, _)),
     "q191_mor_resolved_stats" -> (UpsertOps.morResolvedStats(_, _)),
-    "q192_group_topk_clustered" -> (UpsertOps.groupTopKClustered(_, _))
+    "q192_group_topk_clustered" -> (UpsertOps.groupTopKClustered(_, _)),
+    "q193_stream_maintained" -> (UpsertOps.streamMaintainedReads(_, _)),
+    "q194_distinct_filtered" -> (UpsertOps.distinctCountFiltered(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1288,6 +1290,33 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, n_chars, CAST(rk AS INT) AS rk
         |FROM w WHERE rk <= 20""".stripMargin,
+    // streamed ingest with per-batch stats+index maintenance: the
+    // maintained sidecars only change which files open — the answer is
+    // the latest-per-(user, type) state under the lookup-OR-range
+    // filter (the union arms are disjoint by construction)
+    "q193_stream_maintained" ->
+      """WITH latest AS (
+        |  SELECT user_id, event_type, ts_us, event_id, value FROM (
+        |    SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+        |           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                              ORDER BY epoch_us(ts) DESC,
+        |                                       event_id DESC) AS rn
+        |    FROM events) t WHERE rn = 1),
+        |b AS (SELECT min(user_id) AS k,
+        |             max(epoch_us(ts)) - (max(epoch_us(ts)) - min(epoch_us(ts))) // 4 AS lo
+        |      FROM events)
+        |SELECT user_id, event_type, ts_us, event_id, value
+        |FROM latest, b WHERE user_id = b.k OR ts_us >= b.lo""".stripMargin,
+    // filtered distinct count over a clustered data column: only which
+    // files open changes (in-range single-valued files fold their one
+    // value, boundary files scan with the residual) — the oracle is
+    // the plain filtered distinct count
+    "q194_distinct_filtered" ->
+      """WITH b AS (SELECT min(n_chars) + (max(n_chars) - min(n_chars)) // 4 AS lo,
+        |                  max(n_chars) - (max(n_chars) - min(n_chars)) // 4 AS hi
+        |           FROM documents)
+        |SELECT count(DISTINCT lang) AS n_langs
+        |FROM documents, b WHERE n_chars >= b.lo AND n_chars <= b.hi""".stripMargin,
     // grouped-rollup advisor: stats + measured cluster only change
     // which files open — the oracle is the plain grouped aggregate
     "q185_rollup_advisor" ->

@@ -943,6 +943,47 @@ object UpsertOps {
     streamVia(s, dir, "graft_stream_bloom_",
       (t, sp, b) => t.upsertBloomIndexed(sp, b))
 
+  /** Streamed ingest with PER-BATCH derived-state maintenance (q193;
+    * [[KeyedTable.maintainDerivedState]]): every micro-batch upserts
+    * and then brings the column-stats sidecar and the record-level
+    * index current from their own recorded state (first batch
+    * bootstraps them) — so BETWEEN batches the table continuously
+    * serves indexed point lookups and stats range reads, the Hudi
+    * metadata-table maintenance loop. Refresh cost per batch is O(the
+    * commit's own files): the stats carry rescans nothing cached, the
+    * index skeleton reads only the delta. The result reads THROUGH the
+    * maintained sidecars after the drain — an indexed point lookup on
+    * the smallest user UNION a stats-pruned recent-quarter range
+    * (disjoint by construction, so the union ≡ the OR filter). ≡ the
+    * same filters over the latest-per-(user, type) state — the oracle.
+    */
+  def streamMaintainedReads(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_stream_maint_").toString
+    val src = stageOnce(dir, "shuffled")(stageShuffledJson(s, dir))
+    val table = KeyedTable(spec(s"$tmp/events_keyed"))
+    val inferred = inferredSchema.getOrElseUpdate(
+      src, JsonStreamSource.inferSchema(s, src))
+    val stream = JsonStreamSource.stream(s, src, schema = Some(inferred))
+    val q = MicroBatchPipeline.start(
+      stream, table, s"$tmp/checkpoint", trigger = Trigger.AvailableNow(),
+      write = (t, sp, b) => {
+        t.upsert(sp, b)
+        if (!t.refreshColumnStats(sp)) t.recordColumnStats(sp, Seq("ts_us"))
+        if (!t.refreshIndexes(sp)) t.recordKeyIndex(sp)
+      })
+    q.awaitTermination()
+    val ev = eventsUs(s, dir)
+    val Array(r) = ev.agg(
+      min("user_id").as("k"), min("ts_us").as("mn"), max("ts_us").as("mx"))
+      .collect()
+    val (k, mn, mx) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val lo = mx - (mx - mn) / 4
+    val lookup = table.read(s).filter(col("user_id") === k)
+    val range = table.read(s)
+      .filter(col("ts_us") >= lo).filter(col("user_id") =!= k)
+    outputCols(lookup.unionByName(range))
+  }
+
   private val inferredSchema = scala.collection.concurrent.TrieMap
     .empty[String, org.apache.spark.sql.types.StructType]
 
@@ -1814,6 +1855,29 @@ object UpsertOps {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 20)
       .select("doc_id", "lang", "n_chars", "rk")
+  }
+
+  /** Filtered distinct count over a clustered data column (q194;
+    * [[graft.plans.StatsAggregateRewrite]]'s values-union arm with the
+    * hybrid classification): "how many languages have a mid-length
+    * document" — `count(DISTINCT lang) WHERE n_chars BETWEEN lo AND
+    * hi` over the (lang, n_chars)-clustered corpus. Files FULLY inside
+    * the range and single-valued in lang contribute their one stored
+    * value; candidate boundary files scan with the residual filter;
+    * out-of-range files never open, and the count-distinct over the
+    * union dedups the two sides. ≡ the plain filtered distinct count —
+    * the oracle.
+    */
+  def distinctCountFiltered(s: SparkSession, dir: String): DataFrame = {
+    val table = groupTopKDocsFixture(s, dir)
+    val docs = Tables.documents(s, dir)
+    val Array(r) = docs
+      .agg(min("n_chars").as("mn"), max("n_chars").as("mx")).collect()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val (lo, hi) = (mn + (mx - mn) / 4, mx - (mx - mn) / 4)
+    table.read(s)
+      .filter(col("n_chars") >= lo && col("n_chars") <= hi)
+      .agg(count_distinct(col("lang")).as("n_langs"))
   }
 
   /** q192's fixture: docs clustered by (lang, n_chars) — contiguous

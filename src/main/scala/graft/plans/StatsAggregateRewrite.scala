@@ -237,11 +237,17 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * file scans projected to `c`, and a count-distinct over the union
     * de-duplicates across both sides. On a lang-clustered corpus
     * "how many languages" opens only the run-boundary files. The
-    * shape: a bare single-output `count(DISTINCT attr)` (no grouping,
-    * no filters) over a registered non-resolving table; nulls drop on
-    * both sides (count-distinct ignores them). Zero single-valued
-    * files decline — nothing would fold. Partition columns never reach
-    * here (the metadata-only [[DistinctPartOf]] arm matches first).
+    * shape: a bare single-output `count(DISTINCT attr)` (no grouping)
+    * over a registered non-resolving table; nulls drop on both sides
+    * (count-distinct ignores them). FILTERS compose through the
+    * hybrid's classification: partition point conjuncts select whole
+    * sidecar rows, and literal ranges / IS NOT NULL / IN-lists split
+    * files into FULL (every row satisfies — its single value folds
+    * only then), candidate (scans with the original filter residual
+    * intact), and excluded ("how many languages shipped documents this
+    * week" stays a boundary-sized read). Zero folded values decline —
+    * nothing would fold. Partition columns never reach here (the
+    * metadata-only [[DistinctPartOf]] arm matches first).
     */
   private def serveDistinctValues(a: Aggregate): Option[LogicalPlan] = {
     if (a.groupingExpressions.nonEmpty || a.aggregateExpressions.length != 1)
@@ -262,8 +268,7 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val pairs = mutable.Buffer.empty[(Attribute, Attribute)]
     if (!MvPlanShape.strip(a.child, conds, windows, renames, rels, pairs))
       return None
-    if (conds.nonEmpty || windows.nonEmpty || pairs.nonEmpty ||
-        rels.length != 1) return None
+    if (windows.nonEmpty || pairs.nonEmpty || rels.length != 1) return None
     val lr = rels.head
     val fsRel = lr.relation match {
       case h: HadoopFsRelation => h
@@ -282,8 +287,9 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case at: Attribute => at
       case _ => return None
     }
+    val subst = MvPlanShape.substFn(renames)
     val relIds = lr.output.map(_.exprId).toSet
-    val relAttr = MvPlanShape.substFn(renames)(childAttr) match {
+    val relAttr = subst(childAttr) match {
       case at: Attribute if relIds.contains(at.exprId) &&
         !at.name.startsWith("_graft_") &&
         KeyedTable.statsOrderedType(at.dataType) => at
@@ -291,25 +297,108 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (spec.partitionCols.exists(_.equalsIgnoreCase(relAttr.name)))
       return None // the metadata-only arm's shape
-    memo.gated(("distinctValues", spec.path, relAttr.name)) {
+    // Conjuncts below the count: partition point filters select whole
+    // sidecar rows; literal ranges / IS NOT NULL / IN-lists classify
+    // per file through the hybrid's candidate/full predicates — a file
+    // FULL under every conjunct AND single-valued in the counted
+    // column contributes its one value; any other candidate file
+    // scans WITH the original filter residual intact; non-candidates
+    // drop. Anything else declines.
+    def relAttrOfE(e: Expression): Option[Attribute] = subst(e) match {
+      case at: Attribute if relIds.contains(at.exprId) &&
+        !at.name.startsWith("_graft_") => Some(at)
+      case _ => None
+    }
+    val partColsL = spec.partitionCols.map(lower).toSet
+    def partFilterOf(e: Expression): Option[PartFilter] =
+      PartitionConjuncts.of(
+        e, x => relAttrOfE(x).filter(at => partColsL.contains(lower(at.name))))
+    val splitConds = conds.toSeq.flatMap { case (c, _) =>
+      MvPlanShape.splitConjunction(c)
+    }
+    if (splitConds.exists(!_.deterministic)) return None
+    val (partConds, restConds) =
+      splitConds.partition(c => partFilterOf(c).isDefined)
+    val partFilters: Seq[PartFilter] = partConds.flatMap(partFilterOf)
+    def relAttrOrdered(e: Expression): Option[Attribute] =
+      relAttrOfE(e).filter(at => KeyedTable.statsOrderedType(at.dataType))
+    val ex = RangeConjuncts.extract(restConds, relAttrOrdered)
+    if (ex.other.nonEmpty || ex.nullPreds.exists(_._2)) return None
+    val notNull = ex.nullPreds.map(_._1)
+    val memoKey = ("distinctValues", spec.path, relAttr.name,
+      partFilters.toVector, ex.ranges.toVector, notNull.toVector,
+      ex.inLists.map { case (c, vs) => (c, vs.toVector) }.toVector)
+    memo.gated(memoKey) {
       val table = KeyedTable(spec)
       table.colStatsFrame(spark).flatMap { st =>
         def statCol(prefix: String): Option[String] =
           st.columns.find(_.equalsIgnoreCase(s"${prefix}_${relAttr.name}"))
+        def statColOf(prefix: String, c: String): Option[String] =
+          st.columns.find(_.equalsIgnoreCase(s"${prefix}_$c"))
         val (mnC, mxC, nnC) =
           (statCol("min"), statCol("max"), statCol("nn")) match {
             case (Some(a1), Some(b), Some(c)) => (a1, b, c)
             case _ => return None
           }
         if (!st.columns.contains("cnt")) return None
-        val full = col(nnC) === col("cnt") && col(mnC) === col(mxC) &&
+        val classCols = (ex.ranges.map(_.column) ++ notNull ++
+          ex.inLists.map(_._1)).distinct
+        val nnOf = classCols.map(c => c -> statColOf("nn", c)).toMap
+        if (nnOf.values.exists(_.isEmpty)) return None
+        val mmOf = (ex.ranges.map(_.column) ++ ex.inLists.map(_._1))
+          .distinct.map(c =>
+            c -> ((statColOf("min", c), statColOf("max", c)))).toMap
+        if (mmOf.values.exists(p => p._1.isEmpty || p._2.isEmpty))
+          return None
+        val filterStatCols = partFilters.map {
+          case PartIn(c, _, _) => statColOf("p", c)
+          case PartNotNull(c)  => statColOf("p", c)
+        }
+        if (filterStatCols.exists(_.isEmpty)) return None
+        val stSel = PartitionConjuncts.select(
+          st, partFilters.zip(filterStatCols.map(_.get)))
+        // The hybrid's classification, verbatim (see serveHybrid's
+        // soundness notes, including truncation): candidate = may hold
+        // a satisfying row; fullRange = every row satisfies every
+        // conjunct.
+        val candidate = (ex.ranges.map { r =>
+          val (mnR, mxR) = (mmOf(r.column)._1.get, mmOf(r.column)._2.get)
+          val loP = r.lo.map(v =>
+            if (r.loInclusive) col(mxR) >= lit(v) else col(mxR) > lit(v))
+          val hiP = r.hi.map(v =>
+            if (r.hiInclusive) col(mnR) <= lit(v) else col(mnR) < lit(v))
+          (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+        } ++ notNull.map(c => col(nnOf(c).get) > lit(0L))
+          ++ ex.inLists.map { case (c, vs) =>
+            val (mnR, mxR) = (mmOf(c)._1.get, mmOf(c)._2.get)
+            vs.map(v => col(mnR) <= lit(v) && col(mxR) >= lit(v))
+              .reduce(_ || _)
+          })
+          .reduceOption(_ && _).getOrElse(lit(true))
+        val fullRange = (ex.ranges.map { r =>
+          val (mnR, mxR) = (mmOf(r.column)._1.get, mmOf(r.column)._2.get)
+          val loP = r.lo.map(v =>
+            if (r.loInclusive) col(mnR) >= lit(v) else col(mnR) > lit(v))
+          val hiP = r.hi.map(v =>
+            if (r.hiInclusive) col(mxR) <= lit(v) else col(mxR) < lit(v))
+          (Seq(col(nnOf(r.column).get) === col("cnt")) ++ loP.toSeq ++
+            hiP.toSeq).reduce(_ && _)
+        } ++ notNull.map(c => col(nnOf(c).get) === col("cnt"))
+          ++ ex.inLists.map { case (c, vs) =>
+            val (mnR, mxR) = (mmOf(c)._1.get, mmOf(c)._2.get)
+            col(nnOf(c).get) === col("cnt") && col(mnR) === col(mxR) &&
+              vs.map(v => col(mnR) === lit(v)).reduce(_ || _)
+          })
+          .reduceOption(_ && _).getOrElse(lit(true))
+        val singleValued = col(nnC) === col("cnt") && col(mnC) === col(mxC) &&
           col("cnt") > 0
+        val fold = fullRange && singleValued
         val fullValues = KeyedTable.withMetaConf(spark)(
-          st.filter(full).select(col(mnC)).distinct()
+          stSel.filter(fold).select(col(mnC)).distinct()
             .limit(MaxGroups + 1).collect())
         if (fullValues.isEmpty || fullValues.length > MaxGroups) return None
         val boundaryFiles = KeyedTable.withMetaConf(spark)(
-          st.filter(!full || full.isNull).select("file")
+          stSel.filter(candidate && (!fold || fold.isNull)).select("file")
             .collect().map(_.getString(0)).toSeq)
         val conv =
           CatalystTypeConverters.createToCatalystConverter(relAttr.dataType)

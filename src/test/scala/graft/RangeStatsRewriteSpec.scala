@@ -611,6 +611,51 @@ class RangeStatsRewriteSpec extends SparkTestBase {
       ev.agg(countDistinct(col("event_id")).as("n")).collect()(0))
   }
 
+  test("filtered count(DISTINCT clustered_col): ranges compose via full/candidate classification") {
+    // count(DISTINCT lang) WHERE n_chars BETWEEN … over the
+    // (lang, n_chars)-clustered corpus: in-range single-valued files
+    // fold their one value, boundary files scan WITH the residual
+    // filter, out-of-range files never open — and the count-distinct
+    // over the union dedups values appearing on both sides.
+    val docs = spark.range(0, 20000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 17 =!= 0,
+        concat(lit("lang"), (col("id") % 5).cast("string"))).as("lang"),
+      (col("id") * 31 % 9973).as("n_chars"),
+      md5(col("id").cast("string")).as("payload"))
+    val path = Files.createTempDirectory("graft_dcf_").toString + "/t"
+    val t = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("doc_id"), precombineCol = "n_chars"))
+    t.upsert(spark, docs, commitTime = "c0")
+    t.cluster(spark, Seq("lang", "n_chars"), targetFileBytes = 16L << 10)
+    t.recordColumnStats(spark, Seq("lang", "n_chars"))
+    val total = dataFileCount(path)
+    def q(lo: Long, hi: Long) = t.read(spark)
+      .filter(col("n_chars") >= lo && col("n_chars") <= hi)
+      .agg(countDistinct(col("lang")).as("n"))
+    def plain(lo: Long, hi: Long) = docs
+      .filter(col("n_chars") >= lo && col("n_chars") <= hi)
+      .agg(countDistinct(col("lang")).as("n")).collect()(0).getLong(0)
+    val files = scannedDataFiles(q(2000, 8000))
+    assert(files.isDefined, "the filtered distinct count must serve")
+    assert(files.get.length < total,
+      s"must prune: ${files.get.length} of $total")
+    assert(q(2000, 8000).collect()(0).getLong(0) == plain(2000, 8000))
+    // A narrow range: fewer candidates than the wide one, still exact.
+    val narrow = scannedDataFiles(q(4000, 4200))
+    assert(narrow.isDefined && narrow.get.length < files.get.length)
+    assert(q(4000, 4200).collect()(0).getLong(0) == plain(4000, 4200))
+    // A range selecting nothing: zero folded values → decline to the
+    // plain (empty) scan — exact either way.
+    assert(q(100000, 200000).collect()(0).getLong(0) == 0L)
+    // The unfiltered shape still serves (the original arm).
+    def q0 = t.read(spark).agg(countDistinct(col("lang")).as("n"))
+    assert(graft.plans.PlanWalk.scannedFiles(q0)
+      .forall(_.endsWith(".parquet")))
+    assert(q0.collect()(0).getLong(0) ==
+      docs.agg(countDistinct(col("lang")).as("n")).collect()(0).getLong(0))
+  }
+
   test("resolved count(*) on MoR serves from the record-level index") {
     val path = Files.createTempDirectory("graft_morcnt_").toString + "/t"
     val mor = KeyedTable(KeyedTableSpec(
