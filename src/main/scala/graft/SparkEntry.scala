@@ -218,7 +218,8 @@ object SparkEntry {
     "q191_mor_resolved_stats" -> (UpsertOps.morResolvedStats(_, _)),
     "q192_group_topk_clustered" -> (UpsertOps.groupTopKClustered(_, _)),
     "q193_stream_maintained" -> (UpsertOps.streamMaintainedReads(_, _)),
-    "q194_distinct_filtered" -> (UpsertOps.distinctCountFiltered(_, _))
+    "q194_distinct_filtered" -> (UpsertOps.distinctCountFiltered(_, _)),
+    "q195_mor_group_stats" -> (UpsertOps.morGroupResolvedStats(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1317,6 +1318,27 @@ object SparkEntry {
         |           FROM documents)
         |SELECT count(DISTINCT lang) AS n_langs
         |FROM documents, b WHERE n_chars >= b.lo AND n_chars <= b.hi""".stripMargin,
+    // grouped MoR resolved aggregates by winner-file classification:
+    // the same reconstruction as q191, grouped per partition
+    "q195_mor_group_stats" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        |  FROM events WHERE event_id % 2 = 0),
+        |sp AS (SELECT max(ts_us) - min(ts_us) + 1000000 AS shift FROM base),
+        |allv AS (
+        |  SELECT user_id, event_type, ts_us, event_id FROM base
+        |  UNION ALL
+        |  SELECT user_id, event_type, ts_us + sp.shift, event_id
+        |  FROM base, sp WHERE user_id % 11 = 0),
+        |win AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM allv)
+        |SELECT event_type, min(ts_us) AS mn_ts, max(ts_us) AS mx_ts,
+        |       CAST(sum(event_id) AS BIGINT) AS s_id,
+        |       avg(event_id) AS a_id, count(*) AS n_live
+        |FROM win WHERE rn = 1 GROUP BY event_type""".stripMargin,
     // grouped-rollup advisor: stats + measured cluster only change
     // which files open — the oracle is the plain grouped aggregate
     "q185_rollup_advisor" ->

@@ -1922,6 +1922,23 @@ object UpsertOps {
       count(col("ts_us")).as("n_ts"), count(lit(1)).as("n_live"))
   }
 
+  /** GROUPED resolved value aggregates on the merge-on-read fixture
+    * (q195; the grouped arm of the winner-file classification): the
+    * per-partition MoR dashboard — min/max/sum/avg/count per
+    * event_type over the resolved read. Pure files fold into their
+    * hive partition's group straight from the sidecar's per-file
+    * partition tuple; mixed files scan winner rows that carry their
+    * partition values into the grouped residual; the combine re-folds
+    * per group. ≡ resolve-latest ∘ grouped aggregate — the oracle.
+    */
+  def morGroupResolvedStats(s: SparkSession, dir: String): DataFrame = {
+    val (table, _, _) = morRangeFixture(s, dir)
+    table.read(s).groupBy(col("event_type")).agg(
+      min(col("ts_us")).as("mn_ts"), max(col("ts_us")).as("mx_ts"),
+      sum(col("event_id")).as("s_id"), avg(col("event_id")).as("a_id"),
+      count(lit(1)).as("n_live"))
+  }
+
   /** Small-file compaction advisor (q166; [[graft.plans.IndexAdvisor]]
     * file-sizing arm — the fourth leg of the DBA loop: observe → index →
     * layout → SIZE): drip commits leave the customer table as a pile

@@ -572,16 +572,17 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * partitions churn, the archive is stable) the archive's files are
     * pure and fold from metadata; only the churned files scan. Match:
     * the exact shared resolve shape (rn = 1 the sole conjunct), bare
-    * aggregates (no grouping), every output a servable
-    * min/max/sum/count/avg over a stats-covered column — same
-    * per-aggregate admission and exactness guards as the COW serves
-    * (string truncation, decimal narrowing, integral-avg order proof;
-    * the whole-VERSION stats bound every winner subset, so the guards
-    * transfer).
+    * or grouped by PARTITION columns (a pure file lives in exactly one
+    * hive directory, so its stats row folds into exactly one group;
+    * boundary winner rows carry their partition values into the
+    * grouped residual), every output a servable min/max/sum/count/avg
+    * over a stats-covered column — same per-aggregate admission and
+    * exactness guards as the COW serves (string truncation, decimal
+    * narrowing, integral-avg order proof; the whole-VERSION stats
+    * bound every winner subset, so the guards transfer).
     */
   private def serveMorStats(a: Aggregate): Option[LogicalPlan] = {
-    if (a.groupingExpressions.nonEmpty || a.aggregateExpressions.isEmpty)
-      return None
+    if (a.aggregateExpressions.isEmpty) return None
     val conds = mutable.Buffer.empty[(Expression, Int)]
     val windows = mutable.Buffer.empty[Window]
     val renames = mutable.Map.empty[ExprId, Expression]
@@ -621,7 +622,23 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // filters the resolved state (or versions below the resolve) and
     // the per-file winner counts would misclassify.
     if (rnConds.map(_._2) != Seq(0) || rest.nonEmpty) return None
+    // Grouping: PARTITION columns only (a pure file lives in one hive
+    // directory; data-column grouping would need the single-valued
+    // classification AND winner purity at once — decline).
+    val partColsL = spec.partitionCols.map(lower).toSet
+    val groupAttrs: Seq[Attribute] = a.groupingExpressions.map { e =>
+      relAttrOf(e).filter(at => partColsL.contains(lower(at.name)))
+        .getOrElse(return None)
+    }
+    val groupIdx: Map[ExprId, Int] =
+      groupAttrs.zipWithIndex.map { case (at, i) => at.exprId -> i }.toMap
+    def groupNeedOf(e: Expression): Option[GroupOf] = subst(e) match {
+      case at: Attribute => groupIdx.get(at.exprId)
+        .map(i => GroupOf(at.name, at.dataType, i))
+      case _ => None
+    }
     val needs: Seq[Need] = a.aggregateExpressions.map {
+      case at: Attribute => groupNeedOf(at).getOrElse(return None)
       case Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
@@ -646,20 +663,24 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             relAttrOf(e).map(at => CountCol(at.name)).getOrElse(return None)
           case _ => return None
         }
+      case Alias(e, _) => groupNeedOf(e).getOrElse(return None)
       case _ => return None
     }
     // A pure-count shape is serveMorCount's (index-only, no sidecar
     // needed); this arm exists for the value aggregates.
-    if (needs.forall(_ == CountAll)) return None
+    if (needs.forall(n => n == CountAll || n.isInstanceOf[GroupOf]))
+      return None
     val table = KeyedTable(spec)
-    memo.gated(("morStats", spec.path, needs.toVector)) {
-      serveMorStatsImpl(a, table, needs)
+    val key = ("morStats", spec.path, needs.toVector,
+      groupAttrs.map(_.name).toVector)
+    memo.gated(key) {
+      serveMorStatsImpl(a, table, needs, groupAttrs)
     }
   }
 
   private def serveMorStatsImpl(
       a: Aggregate, table: KeyedTable,
-      needs: Seq[Need]): Option[LogicalPlan] = {
+      needs: Seq[Need], groupAttrs: Seq[Attribute]): Option[LogicalPlan] = {
     table.colStatsFrame(spark).flatMap { st =>
       def statCol(prefix: String, c: String): Option[String] =
         st.columns.find(_.equalsIgnoreCase(s"${prefix}_$c"))
@@ -681,8 +702,12 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val pure = col("wcnt").isNotNull && col("wcnt") === col("cnt") &&
         col("cnt") > 0
       val boundaryPred = col("wcnt").isNotNull && col("wcnt") < col("cnt")
-      // Pure-file folds — the hybrid's fold set, no grouping.
+      // Pure-file folds — the hybrid's fold set; pure files fold into
+      // their hive partition's group (the sidecar's per-file p_ tuple).
+      val groupStatCols = groupAttrs.map(at => statCol("p", at.name))
+      if (groupStatCols.exists(_.isEmpty)) return None
       val folds: Seq[Option[Seq[org.apache.spark.sql.Column]]] = needs.map {
+        case _: GroupOf  => Some(Seq.empty)
         case MinOf(c, _) => statCol("min", c).map(s => Seq(min(col(s))))
         case MaxOf(c, _) => statCol("max", c).map(s => Seq(max(col(s))))
         case SumOf(c, t) =>
@@ -729,28 +754,39 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       val slices = folds.map(_.get)
       val offsets = slices.scanLeft(0)(_ + _.length)
+      val nGroups = groupAttrs.length
       val valueExprs = slices.flatten.zipWithIndex
         .map { case (c, i) => c.as(s"v$i") }
       val guardExprs = guardCols.flatten.zipWithIndex
         .map { case (g, i) => max(col(g)).as(s"g$i") }
       val exprs = (valueExprs ++ guardExprs) :+ count(lit(1)).as("nfull")
-      val row = KeyedTable.withMetaConf(spark)(
-        joined.filter(pure).agg(exprs.head, exprs.tail: _*).collect())(0)
-      // Zero pure files: nothing folds — the plain resolve scan is the
-      // better plan.
-      if (row.getLong(row.length - 1) == 0L) return None
+      val pureSel = joined.filter(pure)
+      val folded =
+        if (nGroups == 0) pureSel.agg(exprs.head, exprs.tail: _*)
+        else pureSel.groupBy(groupStatCols.flatten.map(col): _*)
+          .agg(exprs.head, exprs.tail: _*)
+      val rows = KeyedTable.withMetaConf(spark)(
+        folded.limit(MaxGroups + 1).collect())
+      if (rows.length > MaxGroups) return None
+      // Zero pure files anywhere: nothing folds — the plain resolve
+      // scan is the better plan. (A groupless fold always yields one
+      // row; its nfull decides.)
+      if (rows.map(r => r.getLong(r.length - 1)).sum == 0L) return None
       val nGuards = guardExprs.length
-      val truncated = (0 until nGuards).exists { gi =>
-        val at = row.length - 1 - nGuards + gi
-        !row.isNullAt(at) && row.getBoolean(at)
+      val truncated = rows.exists { row =>
+        (0 until nGuards).exists { gi =>
+          val at = row.length - 1 - nGuards + gi
+          !row.isNullAt(at) && row.getBoolean(at)
+        }
       }
       if (truncated) return None
       val boundaryRel = KeyedTable.withMetaConf(spark)(
         joined.filter(boundaryPred).select(col("_rfile"))
           .collect().map(_.getString(0)).toSeq)
 
-      // Union row shape, needs order — the hybrid's uSlices, groupless.
+      // Union row shape, needs order — the hybrid's uSlices.
       val uSlices: Seq[Seq[AttributeReference]] = needs.zipWithIndex.map {
+        case (GroupOf(_, t, _), i) => Seq(AttributeReference(s"u$i", t)())
         case (MinOf(_, t), i) => Seq(AttributeReference(s"u$i", t)())
         case (MaxOf(_, t), i) => Seq(AttributeReference(s"u$i", t)())
         case (SumOf(_, dt: DecimalType), i) =>
@@ -762,39 +798,46 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case (_, i) =>
           Seq(AttributeReference(s"u$i", LongType, nullable = false)())
       }
-      val localVals: Seq[Any] = needs.zipWithIndex.flatMap { case (n, i) =>
-        def v(o: Int): Any = {
-          val p = offsets(i) + o
-          if (row.isNullAt(p)) null else row.get(p)
-        }
-        n match {
-          case MinOf(_, t) => Seq(toCatalystStat(v(0), t))
-          case MaxOf(_, t) => Seq(toCatalystStat(v(0), t))
-          case SumOf(_, dt: DecimalType) =>
-            Seq(sumToDecimal(v(0), dt).getOrElse(return None))
-          case SumOf(_, _) => Seq(sumToLong(v(0)).getOrElse(return None))
-          case AvgOf(_, t) =>
-            val dec = v(0) match {
-              case null => null
-              case bd: java.math.BigDecimal =>
-                CatalystTypeConverters
-                  .createToCatalystConverter(partialDecimal(t))(bd)
-              case _ => return None
+      val toCatalystGroup = groupAttrs.map(at =>
+        CatalystTypeConverters.createToCatalystConverter(at.dataType))
+      val localRows = rows.toIndexedSeq.map { row =>
+        val vals: Seq[Any] = needs.zipWithIndex.flatMap {
+          case (GroupOf(_, _, gi), _) => Seq(toCatalystGroup(gi)(row.get(gi)))
+          case (n, i) =>
+            def v(o: Int): Any = {
+              val p = nGroups + offsets(i) + o
+              if (row.isNullAt(p)) null else row.get(p)
             }
-            val cnt = v(1) match {
-              case null => 0L
-              case l: java.lang.Long => l.longValue()
-              case _ => return None
+            n match {
+              case MinOf(_, t) => Seq(toCatalystStat(v(0), t))
+              case MaxOf(_, t) => Seq(toCatalystStat(v(0), t))
+              case SumOf(_, dt: DecimalType) =>
+                Seq(sumToDecimal(v(0), dt).getOrElse(return None))
+              case SumOf(_, _) => Seq(sumToLong(v(0)).getOrElse(return None))
+              case AvgOf(_, t) =>
+                val dec = v(0) match {
+                  case null => null
+                  case bd: java.math.BigDecimal =>
+                    CatalystTypeConverters
+                      .createToCatalystConverter(partialDecimal(t))(bd)
+                  case _ => return None
+                }
+                val cnt = v(1) match {
+                  case null => 0L
+                  case l: java.lang.Long => l.longValue()
+                  case _ => return None
+                }
+                Seq(dec, cnt)
+              case _ => Seq(if (v(0) == null) 0L else v(0))
             }
-            Seq(dec, cnt)
-          case _ => Seq(if (v(0) == null) 0L else v(0))
         }
+        InternalRow.fromSeq(vals)
       }
-      val local = LocalRelation(
-        uSlices.flatten, IndexedSeq(InternalRow.fromSeq(localVals)), false)
+      val local = LocalRelation(uSlices.flatten, localRows, false)
 
       // Boundary side: winner rows of the mixed files (semi-join on the
-      // full resolve identity), partially aggregated — or an EMPTY
+      // full resolve identity), partially aggregated under the original
+      // grouping (partition values ride the rows) — or an EMPTY
       // relation of the same shape when no file is mixed.
       val partialPlan: LogicalPlan =
         if (boundaryRel.isEmpty)
@@ -806,6 +849,7 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           val bdf = table.winnerRowsOf(spark, boundaryRel, settled)
           val aggCols: Seq[org.apache.spark.sql.Column] =
             needs.zipWithIndex.flatMap {
+              case (_: GroupOf, _)  => Seq.empty
               case (MinOf(c, _), i) => Seq(min(col(c)).as(s"u$i"))
               case (MaxOf(c, _), i) => Seq(max(col(c)).as(s"u$i"))
               case (SumOf(c, _), i) => Seq(sum(col(c)).as(s"u$i"))
@@ -816,7 +860,19 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               case (CountCol(c), i) => Seq(count(col(c)).as(s"u$i"))
               case _ => return None
             }
-          bdf.agg(aggCols.head, aggCols.tail: _*).queryExecution.analyzed
+          val grouped =
+            if (nGroups == 0) bdf.agg(aggCols.head, aggCols.tail: _*)
+            else bdf.groupBy(groupAttrs.map(at => col(at.name)): _*)
+              .agg(aggCols.head, aggCols.tail: _*)
+          // Re-project to the union's positional order (group outputs
+          // sit at their needs positions, aliased u$i like the rest).
+          val sel: Seq[org.apache.spark.sql.Column] =
+            needs.zipWithIndex.flatMap {
+              case (GroupOf(c, _, _), i) => Seq(col(c).as(s"u$i"))
+              case (AvgOf(_, _), i) => Seq(col(s"u${i}s"), col(s"u${i}c"))
+              case (_, i) => Seq(col(s"u$i"))
+            }
+          grouped.select(sel: _*).queryExecution.analyzed
         }
 
       def avgOfOutput(i: Int): Average = a.aggregateExpressions(i) match {
@@ -825,11 +881,15 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case other => throw new IllegalStateException(
           s"AvgOf need without an Average expression: $other")
       }
+      val finalGroups: Seq[Expression] = needs.zipWithIndex.collect {
+        case (_: GroupOf, i) => uSlices(i).head
+      }
       val finalExprs: Seq[NamedExpression] = needs.zipWithIndex.map {
         case (n, i) =>
           def u = uSlices(i).head
           val orig = a.aggregateExpressions(i).asInstanceOf[NamedExpression]
           val combined: Expression = n match {
+            case _: GroupOf  => u
             case MinOf(_, _) => Min(u).toAggregateExpression()
             case MaxOf(_, _) => Max(u).toAggregateExpression()
             case SumOf(_, dt: DecimalType) =>
@@ -851,9 +911,10 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       logInfo(s"stats-aggregate rewrite: ${table.spec.path} resolved " +
         s"aggregate served by winner-file classification " +
-        s"(${row.getLong(row.length - 1)} pure files folded, " +
+        s"(${rows.map(r => r.getLong(r.length - 1)).sum} pure files " +
+        s"folded over ${rows.length} group rows, " +
         s"${boundaryRel.length} mixed files scanned)")
-      Some(Aggregate(Nil, finalExprs, Union(Seq(local, partialPlan))))
+      Some(Aggregate(finalGroups, finalExprs, Union(Seq(local, partialPlan))))
     }
   }
 

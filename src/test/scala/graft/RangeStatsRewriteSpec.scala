@@ -764,6 +764,17 @@ class RangeStatsRewriteSpec extends SparkTestBase {
       "resolved aggregate must never surface the superseded extremum")
     assert(graft.plans.PlanWalk.scannedFiles(qa).isEmpty,
       "pure files fold, the dead file skips: zero data files open")
+    // GROUPED by the partition column: pure files fold into their hive
+    // partition's group — still zero data files, and the dead d2 file
+    // must not leak the superseded 999999 into d2's group.
+    def qg = ta.read(spark).groupBy(col("day")).agg(
+      min(col("value")).as("mn"), max(col("value")).as("mx"),
+      sum(col("value")).as("s"), count(lit(1)).as("n"))
+    assert(graft.plans.PlanWalk.scannedFiles(qg).isEmpty,
+      "grouped resolved aggregate must fold with zero data files")
+    assert(qg.collect().toSet == Set(
+      org.apache.spark.sql.Row("d1", 1L, 50L, (1L to 50L).sum, 50L),
+      org.apache.spark.sql.Row("d2", 5L, 5L, 5L, 1L)))
 
     // Layout B: the trapped key lives WITH the bulk — its c0 file is
     // MIXED (scan through the winner semi-join), the c1 file is pure.
