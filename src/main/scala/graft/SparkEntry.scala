@@ -219,7 +219,9 @@ object SparkEntry {
     "q192_group_topk_clustered" -> (UpsertOps.groupTopKClustered(_, _)),
     "q193_stream_maintained" -> (UpsertOps.streamMaintainedReads(_, _)),
     "q194_distinct_filtered" -> (UpsertOps.distinctCountFiltered(_, _)),
-    "q195_mor_group_stats" -> (UpsertOps.morGroupResolvedStats(_, _))
+    "q195_mor_group_stats" -> (UpsertOps.morGroupResolvedStats(_, _)),
+    "q196_mor_filtered_stats" -> (UpsertOps.morFilteredResolvedStats(_, _)),
+    "q197_cluster_split" -> ((s, d) => Curation.clusterAwareSplit(s, d))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1254,20 +1256,21 @@ object SparkEntry {
     // MoR resolved aggregates by winner-file classification: pure files
     // fold sidecar stats, mixed files scan winner rows — the answer is
     // the aggregate over the latest-per-(user, type) winners.
-    // Reconstruct the fixture's two commits (c1 re-lands every 11th
-    // user's rows shifted past the whole original domain) and resolve
+    // Reconstruct the fixture's two commits (c1 re-lands the lowest
+    // sixteenth of the user range with bumped timestamps) and resolve
     // by (ts desc, event_id desc); integral sums/avgs stay exact on
     // both engines (< 2^53, same sign)
     "q191_mor_resolved_stats" ->
       """WITH base AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
         |  FROM events WHERE event_id % 2 = 0),
-        |sp AS (SELECT max(ts_us) - min(ts_us) + 1000000 AS shift FROM base),
+        |b AS (SELECT min(user_id) + (max(user_id) - min(user_id)) // 16 AS cut
+        |      FROM base),
         |allv AS (
         |  SELECT user_id, event_type, ts_us, event_id FROM base
         |  UNION ALL
-        |  SELECT user_id, event_type, ts_us + sp.shift, event_id
-        |  FROM base, sp WHERE user_id % 11 = 0),
+        |  SELECT user_id, event_type, ts_us + 1000000, event_id
+        |  FROM base, b WHERE user_id <= b.cut),
         |win AS (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY user_id, event_type
@@ -1324,12 +1327,13 @@ object SparkEntry {
       """WITH base AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
         |  FROM events WHERE event_id % 2 = 0),
-        |sp AS (SELECT max(ts_us) - min(ts_us) + 1000000 AS shift FROM base),
+        |b AS (SELECT min(user_id) + (max(user_id) - min(user_id)) // 16 AS cut
+        |      FROM base),
         |allv AS (
         |  SELECT user_id, event_type, ts_us, event_id FROM base
         |  UNION ALL
-        |  SELECT user_id, event_type, ts_us + sp.shift, event_id
-        |  FROM base, sp WHERE user_id % 11 = 0),
+        |  SELECT user_id, event_type, ts_us + 1000000, event_id
+        |  FROM base, b WHERE user_id <= b.cut),
         |win AS (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY user_id, event_type
@@ -1339,6 +1343,53 @@ object SparkEntry {
         |       CAST(sum(event_id) AS BIGINT) AS s_id,
         |       avg(event_id) AS a_id, count(*) AS n_live
         |FROM win WHERE rn = 1 GROUP BY event_type""".stripMargin,
+    // partition-filtered MoR resolved aggregates: the IN conjunct
+    // selects whole partitions' files and winners — same
+    // reconstruction as q191 with the filter on the resolved state
+    "q196_mor_filtered_stats" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        |  FROM events WHERE event_id % 2 = 0),
+        |b AS (SELECT min(user_id) + (max(user_id) - min(user_id)) // 16 AS cut
+        |      FROM base),
+        |allv AS (
+        |  SELECT user_id, event_type, ts_us, event_id FROM base
+        |  UNION ALL
+        |  SELECT user_id, event_type, ts_us + 1000000, event_id
+        |  FROM base, b WHERE user_id <= b.cut),
+        |win AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM allv)
+        |SELECT min(ts_us) AS mn_ts, max(ts_us) AS mx_ts,
+        |       CAST(sum(event_id) AS BIGINT) AS s_id,
+        |       avg(event_id) AS a_id, count(*) AS n_live
+        |FROM win WHERE rn = 1 AND event_type IN ('click', 'view')""".stripMargin,
+    // cluster-aware split: q51's connected-component labels with the
+    // 80/10/10 split keyed on the representative — leakage-free by
+    // construction
+    "q197_cluster_split" ->
+      s"""WITH RECURSIVE
+         |sh AS ($shingleTable),
+         |p AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS j
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) q
+         |  WHERE j >= 0.5),
+         |e AS (SELECT a_id AS src, b_id AS dst FROM p
+         |      UNION ALL SELECT b_id, a_id FROM p),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+         |SELECT id AS doc_id, MIN(r) AS cluster_rep,
+         |       CASE WHEN MIN(r) % 10 < 8 THEN 'train'
+         |            WHEN MIN(r) % 10 = 8 THEN 'validation'
+         |            ELSE 'test' END AS split
+         |FROM reach GROUP BY id""".stripMargin,
     // grouped-rollup advisor: stats + measured cluster only change
     // which files open — the oracle is the plain grouped aggregate
     "q185_rollup_advisor" ->

@@ -26,6 +26,23 @@ object Curation {
     Tables.documents(s, dir)
       .select(col("doc_id"), splitExpr(col("doc_id")).as("split"))
 
+  /** CLUSTER-AWARE split (q197): the 80/10/10 split keyed by each
+    * document's near-dup cluster REPRESENTATIVE
+    * ([[Dedup.nearDupClusters]]' connected-component label) instead of
+    * its own id — a whole near-duplicate component lands in ONE split,
+    * so the leakage [[crossSplitContamination]] hunts (train and eval
+    * sharing near-duplicates) is impossible BY CONSTRUCTION rather
+    * than removed after the fact. Singleton documents keep their own
+    * id as representative, so the split stays ~80/10/10 and exactly
+    * [[datasetSplit]] wherever no duplication exists. Same distributed
+    * shape as the cluster labeling (keyed shuffles only); the split
+    * itself stays a pure projection.
+    */
+  def clusterAwareSplit(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_rep"),
+        splitExpr(col("cluster_rep")).as("split"))
+
   /** Cross-split contamination: near-duplicate pairs (true shingle-jaccard
     * ≥ threshold, candidates from the MinHash banding of
     * [[Dedup.minhashLsh]]) where one side landed in train and the other in

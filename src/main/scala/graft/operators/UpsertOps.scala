@@ -1827,10 +1827,45 @@ object UpsertOps {
         ev.filter(col("user_id") % 11 === 0)
           .withColumn("ts_us", col("ts_us") + lit(span + 1000000L)),
         commitTime = "c1")
-      // Over ALL version files; event_id joins ts_us so q191's resolved
-      // sum/avg serve has coverage (additive — the range serves ignore it)
-      table.recordColumnStats(s, Seq("ts_us", "event_id"))
+      table.recordColumnStats(s, Seq("ts_us")) // over ALL version files
       (table, mn, mx)
+    }
+
+  /** Shared by q191/q195/q196 (winner-file resolved aggregates): the
+    * merge-on-read table with the CONCENTRATED-churn shape — one
+    * latest-state version per scope at c0, clustered by user id, then
+    * corrections re-land ONLY the lowest sixteenth of the user range
+    * (like a backfill touching one cohort). Most files are then PURE
+    * (fold from the sidecar), the fully-corrected low-range c0 files
+    * are DEAD (skip), and only the straddling files scan — the shape
+    * the winner-file serve exists for. The index is MAINTAINED per
+    * commit (built at c0, refreshed after c1 — q193's production
+    * loop), so every serve takes the empty-delta fast path; the
+    * stale-index delta reconciliation stays pinned by
+    * RangeStatsRewriteSpec's layout-A trap. Immutable once built;
+    * returns (table, correction cutoff).
+    */
+  private def morStatsFixture(
+      s: SparkSession, dir: String): (KeyedTable, Long) =
+    fixtureOnce(dir, "morStats") {
+      val path =
+        Files.createTempDirectory("graft_morstats_").toString + "/events_keyed"
+      val table = KeyedTable(morSpec(path))
+      val ev = eventsUs(s, dir).filter(col("event_id") % 2 === 0)
+      val Array(r) = ev.agg(
+        min("user_id").as("mn"), max("user_id").as("mx")).collect()
+      val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 16
+      table.upsert(s, ev, commitTime = "c0")
+      table.cluster(s, Seq("user_id"), targetFileBytes = 16L << 10)
+      table.recordKeyIndex(s)
+      table.upsert(
+        s,
+        ev.filter(col("user_id") <= cut)
+          .withColumn("ts_us", col("ts_us") + 1000000L),
+        commitTime = "c1")
+      table.refreshRecordKeyIndex(s) // the per-commit maintenance loop
+      table.recordColumnStats(s, Seq("ts_us", "event_id"))
+      (table, cut)
     }
 
   /** Grouped top-k over a CLUSTERED DATA column (q192;
@@ -1915,7 +1950,7 @@ object UpsertOps {
     * aggregate — the oracle.
     */
   def morResolvedStats(s: SparkSession, dir: String): DataFrame = {
-    val (table, _, _) = morRangeFixture(s, dir)
+    val (table, _) = morStatsFixture(s, dir)
     table.read(s).agg(
       min(col("ts_us")).as("mn_ts"), max(col("ts_us")).as("mx_ts"),
       sum(col("event_id")).as("s_id"), avg(col("event_id")).as("a_id"),
@@ -1932,11 +1967,31 @@ object UpsertOps {
     * per group. ≡ resolve-latest ∘ grouped aggregate — the oracle.
     */
   def morGroupResolvedStats(s: SparkSession, dir: String): DataFrame = {
-    val (table, _, _) = morRangeFixture(s, dir)
+    val (table, _) = morStatsFixture(s, dir)
     table.read(s).groupBy(col("event_type")).agg(
       min(col("ts_us")).as("mn_ts"), max(col("ts_us")).as("mx_ts"),
       sum(col("event_id")).as("s_id"), avg(col("event_id")).as("a_id"),
       count(lit(1)).as("n_live"))
+  }
+
+  /** PARTITION-filtered resolved aggregates on the merge-on-read
+    * fixture (q196): `WHERE event_type IN (…)` composed into the
+    * winner-file serve — the filter selects whole files and whole
+    * winners (a winner row of partition p lives in a file of p), so
+    * both the fold and the scan sides restrict to the matching
+    * partitions and everything else stays q191. The single-partition
+    * dashboard slice at 100 TB folds that partition's stable files and
+    * reads only its churn. ≡ resolve-latest ∘ partition filter ∘
+    * aggregate — the oracle.
+    */
+  def morFilteredResolvedStats(s: SparkSession, dir: String): DataFrame = {
+    val (table, _) = morStatsFixture(s, dir)
+    table.read(s)
+      .filter(col("event_type").isin("click", "view"))
+      .agg(
+        min(col("ts_us")).as("mn_ts"), max(col("ts_us")).as("mx_ts"),
+        sum(col("event_id")).as("s_id"), avg(col("event_id")).as("a_id"),
+        count(lit(1)).as("n_live"))
   }
 
   /** Small-file compaction advisor (q166; [[graft.plans.IndexAdvisor]]

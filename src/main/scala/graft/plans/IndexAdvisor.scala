@@ -316,12 +316,23 @@ object IndexAdvisor {
           }
         }
       }
+    // MoR resolved-aggregate shapes (the winner-file serve) want BOTH
+    // sidecars: the record-level index for the live-winner
+    // classification and column stats on the aggregated columns for
+    // the pure-file folds. Whether pure files then exist is
+    // layout/value-dependent, but the rec settles either way — the
+    // next analyze sees both sidecars present and recommends nothing.
+    val morStatsWants = plans.flatMap(aggRule.morStatsShapes).flatMap {
+      case (spec, cols) =>
+        (spec.path, "record_key", spec.keyCols.head) +:
+          cols.map(c => (spec.path, "column_stats", c))
+    }
     val wants = shapes.flatMap { m =>
       val rli = (m.spec.path, "record_key", m.spec.keyCols.head)
       if (m.viaKey) Seq(rli)
       else Seq(rli, (m.spec.path, "secondary", m.probeAttr.name))
     } ++ rangeShapes ++ topKWants ++ groupTopKWants ++ clusterRecs ++
-      aggWants ++ rollupRecs
+      aggWants ++ rollupRecs ++ morStatsWants
     val recs = (wants.groupBy(identity).toSeq
       .map { case ((path, kind, col), hs) => IndexRec(path, kind, col, hs.length) }
       ++ compactRecs ++ vacuumRecs)

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project, Union, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
-import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min, sum, when}
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min, sum, udf, when}
 import org.apache.spark.sql.types._
 
 import graft.table.KeyedTable
@@ -571,9 +571,11 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * entirely). On the 100 TB daily-dashboard shape (yesterday's
     * partitions churn, the archive is stable) the archive's files are
     * pure and fold from metadata; only the churned files scan. Match:
-    * the exact shared resolve shape (rn = 1 the sole conjunct), bare
-    * or grouped by PARTITION columns (a pure file lives in exactly one
-    * hive directory, so its stats row folds into exactly one group;
+    * the exact shared resolve shape (rn = 1 plus, optionally,
+    * partition POINT conjuncts above the window — whole-file,
+    * whole-winner selections), bare or grouped by PARTITION columns (a
+    * pure file lives in exactly one hive directory, so its stats row
+    * folds into exactly one group;
     * boundary winner rows carry their partition values into the
     * grouped residual), every output a servable min/max/sum/count/avg
     * over a stats-covered column — same per-aggregate admission and
@@ -581,7 +583,44 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * narrowing, integral-avg order proof; the whole-VERSION stats
     * bound every winner subset, so the guards transfer).
     */
-  private def serveMorStats(a: Aggregate): Option[LogicalPlan] = {
+  private final case class MorStatsMatch(
+      spec: graft.table.KeyedTableSpec, needs: Seq[Need],
+      groupAttrs: Seq[Attribute], partFilters: Seq[PartFilter])
+
+  /** Every winner-file-servable resolved-aggregate shape in `plan`, as
+    * (table spec, the data columns needing recorded stats) — the
+    * advisor's one-matcher hook for the MoR arm. Shapes carrying an
+    * avg are excluded for the same could-never-settle reason as
+    * [[aggShapes]] (value-dependent exactness guards).
+    */
+  private[plans] def morStatsShapes(
+      plan: LogicalPlan): Seq[(graft.table.KeyedTableSpec, Seq[String])] =
+    if (KeyedTable.specRegistry.isEmpty) Nil
+    else plan.collect { case ag: Aggregate =>
+      (try matchMorStats(ag)
+       catch { case scala.util.control.NonFatal(_) => None })
+        .filter(m => !m.needs.exists(_.isInstanceOf[AvgOf]))
+        .map { m =>
+          (m.spec, m.needs.collect {
+            case MinOf(c, _) => c
+            case MaxOf(c, _) => c
+            case SumOf(c, _) => c
+            case CountCol(c) => c
+          }.distinct)
+        }
+    }.flatten
+
+  private def serveMorStats(a: Aggregate): Option[LogicalPlan] =
+    matchMorStats(a).flatMap { m =>
+      val table = KeyedTable(m.spec)
+      val key = ("morStats", m.spec.path, m.needs.toVector,
+        m.groupAttrs.map(_.name).toVector, m.partFilters.toVector)
+      memo.gated(key) {
+        serveMorStatsImpl(a, table, m.needs, m.groupAttrs, m.partFilters)
+      }
+    }
+
+  private def matchMorStats(a: Aggregate): Option[MorStatsMatch] = {
     if (a.aggregateExpressions.isEmpty) return None
     val conds = mutable.Buffer.empty[(Expression, Int)]
     val windows = mutable.Buffer.empty[Window]
@@ -618,14 +657,25 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val (rnConds, rest) =
       split.partition(p => MvPlanShape.isRnEqOne(p._1, rn))
-    // rn = 1 above the window, and NOTHING else: any other conjunct
-    // filters the resolved state (or versions below the resolve) and
-    // the per-file winner counts would misclassify.
-    if (rnConds.map(_._2) != Seq(0) || rest.nonEmpty) return None
+    if (rnConds.map(_._2) != Seq(0)) return None
+    val partColsL = spec.partitionCols.map(lower).toSet
+    // Beside rn = 1, only partition POINT conjuncts ABOVE the window
+    // compose: filtering the resolved state by a partition column
+    // selects whole files and whole winners (a winner row of partition
+    // p lives in a file of p — true even under globalKeys, where the
+    // winner determination is global and unaffected by the later
+    // selection). Any other conjunct — or anything BELOW the window —
+    // filters rows the per-file winner counts assumed present, so it
+    // declines.
+    def partFilterOf(e: Expression): Option[PartFilter] =
+      PartitionConjuncts.of(
+        e, x => relAttrOf(x).filter(at => partColsL.contains(lower(at.name))))
+    if (rest.exists { case (c, d) => d != 0 || partFilterOf(c).isEmpty })
+      return None
+    val partFilters: Seq[PartFilter] = rest.flatMap(p => partFilterOf(p._1))
     // Grouping: PARTITION columns only (a pure file lives in one hive
     // directory; data-column grouping would need the single-valued
     // classification AND winner purity at once — decline).
-    val partColsL = spec.partitionCols.map(lower).toSet
     val groupAttrs: Seq[Attribute] = a.groupingExpressions.map { e =>
       relAttrOf(e).filter(at => partColsL.contains(lower(at.name)))
         .getOrElse(return None)
@@ -670,35 +720,62 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // needed); this arm exists for the value aggregates.
     if (needs.forall(n => n == CountAll || n.isInstanceOf[GroupOf]))
       return None
-    val table = KeyedTable(spec)
-    val key = ("morStats", spec.path, needs.toVector,
-      groupAttrs.map(_.name).toVector)
-    memo.gated(key) {
-      serveMorStatsImpl(a, table, needs, groupAttrs)
-    }
+    Some(MorStatsMatch(spec, needs, groupAttrs, partFilters))
   }
 
+  // (table path) -> (mutation tick, winner count per table-relative
+  // file, stored row count per table-relative file). Both maps are
+  // file-count-sized. Any mutation anywhere bumps the global tick and
+  // invalidates — conservative but free to check, and it keeps the
+  // per-invocation serve to ONE sidecar-sized fold job instead of
+  // re-aggregating the index each time.
+  private val morWcCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, Map[String, Long], Map[String, Long])]
+
   private def serveMorStatsImpl(
-      a: Aggregate, table: KeyedTable,
-      needs: Seq[Need], groupAttrs: Seq[Attribute]): Option[LogicalPlan] = {
+      a: Aggregate, table: KeyedTable, needs: Seq[Need],
+      groupAttrs: Seq[Attribute],
+      partFilters: Seq[PartFilter]): Option[LogicalPlan] = {
     table.colStatsFrame(spark).flatMap { st =>
       def statCol(prefix: String, c: String): Option[String] =
         st.columns.find(_.equalsIgnoreCase(s"${prefix}_$c"))
       if (!st.columns.contains("cnt")) return None
       val settled = table.settledWinnerEntries(spark).getOrElse(return None)
-      // Per-file winner counts joined to the sidecar (both metadata-
-      // sized: file count and live-key count, never table data).
-      val wc = settled.groupBy(col("file"))
-        .agg(count(lit(1)).as("wcnt"))
       val stRel = st.withColumn(
         "_rfile", table.relOfFileCol(spark, col("file")))
+      // Per-file winner counts (metadata-sized: one row per file) and
+      // the sidecar's file set — computed once per table state and
+      // memoized by the mutation tick.
+      val tick = KeyedTable.mutationTick.get()
+      val (wcByFile, cntByFile) = morWcCache.get(table.spec.path) match {
+        case Some((t, w, c)) if t == tick => (w, c)
+        case _ =>
+          val w = settled.groupBy(col("file"))
+            .agg(count(lit(1)).as("wcnt")).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val c = KeyedTable.withMetaConf(spark)(
+            stRel.select(col("_rfile"), col("cnt")).collect()
+              .map(r => r.getString(0) -> r.getLong(1)).toMap)
+          morWcCache.put(table.spec.path, (tick, w, c))
+          (w, c)
+      }
       // Soundness cross-check: every winner entry's file must be
       // covered by the sidecar (exists ⇒ current guarantees it; a
       // violation means a racing write — decline, don't drop winners).
-      if (KeyedTable.withMetaConf(spark)(
-          wc.join(stRel, wc("file") === stRel("_rfile"), "left_anti")
-            .limit(1).collect()).nonEmpty) return None
-      val joined = stRel.join(wc, stRel("_rfile") === wc("file"), "left_outer")
+      if (!wcByFile.keySet.subsetOf(cntByFile.keySet)) return None
+      // Partition point conjuncts select whole sidecar rows BEFORE the
+      // classification — both the fold and the scan sides then see
+      // only the matching partitions' files (the winner counts stay
+      // global: purity of a file is partition-independent).
+      val filterStatCols = partFilters.map {
+        case PartIn(c, _, _) => statCol("p", c)
+        case PartNotNull(c)  => statCol("p", c)
+      }
+      if (filterStatCols.exists(_.isEmpty)) return None
+      val wcU = udf((f: String) => wcByFile.get(f))
+      val joined = PartitionConjuncts.select(
+          stRel, partFilters.zip(filterStatCols.map(_.get)))
+        .withColumn("wcnt", wcU(col("_rfile")))
       val pure = col("wcnt").isNotNull && col("wcnt") === col("cnt") &&
         col("cnt") > 0
       val boundaryPred = col("wcnt").isNotNull && col("wcnt") < col("cnt")
@@ -780,9 +857,17 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       }
       if (truncated) return None
-      val boundaryRel = KeyedTable.withMetaConf(spark)(
-        joined.filter(boundaryPred).select(col("_rfile"))
-          .collect().map(_.getString(0)).toSeq)
+      // Boundary files from the cached maps when no partition filter
+      // narrows the file set (no job); the sidecar-filtered select
+      // otherwise (partition correctness must ride the p_ selection).
+      val boundaryRel: Seq[String] =
+        if (partFilters.isEmpty)
+          cntByFile.collect {
+            case (f, c) if wcByFile.get(f).exists(w => w > 0 && w < c) => f
+          }.toSeq.sorted
+        else KeyedTable.withMetaConf(spark)(
+          joined.filter(boundaryPred).select(col("_rfile"))
+            .collect().map(_.getString(0)).toSeq)
 
       // Union row shape, needs order — the hybrid's uSlices.
       val uSlices: Seq[Seq[AttributeReference]] = needs.zipWithIndex.map {

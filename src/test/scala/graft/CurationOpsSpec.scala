@@ -8,6 +8,35 @@ import graft.operators.{Curation, TextAnalysis}
   */
 class CurationOpsSpec extends SparkTestBase {
 
+  test("cluster-aware split: near-dup pairs never cross splits; singletons keep the plain split") {
+    import org.apache.spark.sql.functions._
+    val split = graft.operators.Curation.clusterAwareSplit(spark, sf0001)
+      .cache()
+    try {
+      // Every near-dup pair lands in ONE split — leakage impossible by
+      // construction (the property q53 hunts violations of).
+      val pairs = graft.operators.Dedup.minhashLsh(spark, sf0001)
+      val a = split.select(col("doc_id").as("a_id"), col("split").as("a_s"))
+      val b = split.select(col("doc_id").as("b_id"), col("split").as("b_s"))
+      val crossing = pairs.join(a, "a_id").join(b, "b_id")
+        .filter(col("a_s") =!= col("b_s")).count()
+      assert(crossing == 0L, "a near-dup pair crossed splits")
+      // Documents in no pair keep their own id as representative, so
+      // their split equals the plain id-keyed split.
+      val paired = pairs.select(col("a_id").as("doc_id"))
+        .unionByName(pairs.select(col("b_id").as("doc_id"))).distinct()
+      val singletonMismatch = split.join(paired, Seq("doc_id"), "left_anti")
+        .filter(col("split") =!=
+          graft.operators.Curation.splitExpr(col("doc_id"))).count()
+      assert(singletonMismatch == 0L,
+        "singletons must split exactly like the plain split")
+      // Representatives are cluster-consistent: one split per rep.
+      assert(split.groupBy("cluster_rep")
+        .agg(countDistinct(col("split")).as("n"))
+        .filter(col("n") > 1).count() == 0L)
+    } finally split.unpersist()
+  }
+
   test("chunking invariants: full coverage, exact stride, short final chunk") {
     val rows = TextAnalysis.chunks(spark, sf0001, chunkTokens = 32, stride = 24)
       .collect()

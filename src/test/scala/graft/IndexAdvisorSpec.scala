@@ -382,6 +382,38 @@ class IndexAdvisorSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.vacuum.superseded.ratio")
   }
 
+  test("MoR resolved-aggregate shapes draw record_key + column_stats, then settle") {
+    val path = Files.createTempDirectory("graft_idxadv_mor_").toString + "/t"
+    val t = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("user_id"), precombineCol = "ts_us",
+      tiebreakCols = Seq("event_id"), partitionCols = Seq("event_type"),
+      retainHistory = true))
+    t.upsert(spark, eventsUs, commitTime = "c0")
+    def q = t.read(spark).agg(
+      org.apache.spark.sql.functions.min(col("ts_us")).as("mn"),
+      org.apache.spark.sql.functions.max(col("ts_us")).as("mx"))
+    val advice = IndexAdvisor.analyze(spark, Seq(q))
+    assert(advice.recommendations.exists(r =>
+      r.kind == "record_key" && r.tablePath == path),
+      s"the winner-file serve needs the index: ${advice.recommendations}")
+    assert(advice.recommendations.exists(r =>
+      r.kind == "column_stats" && r.column.equalsIgnoreCase("ts_us") &&
+        r.tablePath == path),
+      s"the pure-file fold needs stats: ${advice.recommendations}")
+    IndexAdvisor.createRecommended(spark, advice)
+    // Both sidecars present: the shape draws nothing more (settled),
+    // and the served answer equals the scan's.
+    val after = IndexAdvisor.analyze(spark, Seq(q))
+    assert(!after.recommendations.exists(_.tablePath == path),
+      s"built sidecars must settle the advice: ${after.recommendations}")
+    val expected = eventsUs
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(org.apache.spark.sql.functions.max(col("ts_us")).as("ts"))
+      .agg(org.apache.spark.sql.functions.min(col("ts")),
+        org.apache.spark.sql.functions.max(col("ts"))).collect()(0)
+    assert(q.collect()(0) == expected)
+  }
+
   test("grouped rollups: stats first, gated cluster, then the serve settles") {
     val path = Files.createTempDirectory("graft_idxadv_grp_").toString + "/t"
     val t = KeyedTable(KeyedTableSpec(

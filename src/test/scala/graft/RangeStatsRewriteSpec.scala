@@ -775,6 +775,19 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     assert(qg.collect().toSet == Set(
       org.apache.spark.sql.Row("d1", 1L, 50L, (1L to 50L).sum, 50L),
       org.apache.spark.sql.Row("d2", 5L, 5L, 5L, 1L)))
+    // A partition POINT conjunct composes: d2's slice folds from its
+    // one pure correction file — still zero data files, and the dead
+    // c0 file's 999999 stays invisible.
+    def qp = ta.read(spark).filter(col("day") === "d2").agg(
+      min(col("value")).as("mn"), max(col("value")).as("mx"),
+      count(lit(1)).as("n"))
+    assert(graft.plans.PlanWalk.scannedFiles(qp).isEmpty,
+      "partition-filtered resolved aggregate must fold, zero data files")
+    assert(qp.collect()(0) == org.apache.spark.sql.Row(5L, 5L, 1L))
+    // A non-partition conjunct still declines — exact through the scan.
+    def qnp = ta.read(spark).filter(col("value") > 1L)
+      .agg(max(col("value")).as("mx"))
+    assert(qnp.collect()(0).getLong(0) == 50L)
 
     // Layout B: the trapped key lives WITH the bulk — its c0 file is
     // MIXED (scan through the winner semi-join), the c1 file is pure.
