@@ -221,7 +221,8 @@ object SparkEntry {
     "q194_distinct_filtered" -> (UpsertOps.distinctCountFiltered(_, _)),
     "q195_mor_group_stats" -> (UpsertOps.morGroupResolvedStats(_, _)),
     "q196_mor_filtered_stats" -> (UpsertOps.morFilteredResolvedStats(_, _)),
-    "q197_cluster_split" -> ((s, d) => Curation.clusterAwareSplit(s, d))
+    "q197_cluster_split" -> ((s, d) => Curation.clusterAwareSplit(s, d)),
+    "q198_mor_range_stats" -> (UpsertOps.morRangeResolvedStats(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -1366,6 +1367,31 @@ object SparkEntry {
         |       CAST(sum(event_id) AS BIGINT) AS s_id,
         |       avg(event_id) AS a_id, count(*) AS n_live
         |FROM win WHERE rn = 1 AND event_type IN ('click', 'view')""".stripMargin,
+    // range-filtered MoR resolved aggregates: the cohort bound on the
+    // clustered key composes with the winner-file classification —
+    // same reconstruction as q191, the range applied to the resolved
+    // state
+    "q198_mor_range_stats" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        |  FROM events WHERE event_id % 2 = 0),
+        |b AS (SELECT min(user_id) + (max(user_id) - min(user_id)) // 16 AS cut,
+        |             min(user_id) + (max(user_id) - min(user_id)) // 32 AS lo
+        |      FROM base),
+        |allv AS (
+        |  SELECT user_id, event_type, ts_us, event_id FROM base
+        |  UNION ALL
+        |  SELECT user_id, event_type, ts_us + 1000000, event_id
+        |  FROM base, b WHERE user_id <= b.cut),
+        |win AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM allv)
+        |SELECT min(ts_us) AS mn_ts, max(ts_us) AS mx_ts,
+        |       CAST(sum(event_id) AS BIGINT) AS s_id,
+        |       count(*) AS n_live
+        |FROM win, b WHERE rn = 1 AND user_id >= b.lo""".stripMargin,
     // cluster-aware split: q51's connected-component labels with the
     // 80/10/10 split keyed on the representative — leakage-free by
     // construction

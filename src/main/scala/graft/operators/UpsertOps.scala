@@ -1864,7 +1864,7 @@ object UpsertOps {
           .withColumn("ts_us", col("ts_us") + 1000000L),
         commitTime = "c1")
       table.refreshRecordKeyIndex(s) // the per-commit maintenance loop
-      table.recordColumnStats(s, Seq("ts_us", "event_id"))
+      table.recordColumnStats(s, Seq("ts_us", "event_id", "user_id"))
       (table, cut)
     }
 
@@ -1992,6 +1992,30 @@ object UpsertOps {
         min(col("ts_us")).as("mn_ts"), max(col("ts_us")).as("mx_ts"),
         sum(col("event_id")).as("s_id"), avg(col("event_id")).as("a_id"),
         count(lit(1)).as("n_live"))
+  }
+
+  /** RANGE-filtered resolved aggregates on the merge-on-read fixture
+    * (q198): `WHERE user_id >= lo` over the resolved read, a cohort
+    * slice on the CLUSTERED key — the winner-file classification
+    * composes with the hybrid's range containment: in-range pure files
+    * fully inside the cohort fold; files straddling the bound (and the
+    * correction files, whose user range the cohort only partially
+    * covers) scan winner rows with the residual re-applied;
+    * out-of-cohort files never open. The bound sits INSIDE the
+    * corrected cohort so superseded versions straddle it — a resurrect
+    * bug would double-count. ≡ resolve-latest ∘ range filter ∘
+    * aggregate — the oracle.
+    */
+  def morRangeResolvedStats(s: SparkSession, dir: String): DataFrame = {
+    val (table, _) = morStatsFixture(s, dir)
+    val ev = eventsUs(s, dir).filter(col("event_id") % 2 === 0)
+    val Array(r) = ev.agg(
+      min("user_id").as("mn"), max("user_id").as("mx")).collect()
+    val lo = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 32
+    table.read(s).filter(col("user_id") >= lo)
+      .agg(
+        min(col("ts_us")).as("mn_ts"), max(col("ts_us")).as("mx_ts"),
+        sum(col("event_id")).as("s_id"), count(lit(1)).as("n_live"))
   }
 
   /** Small-file compaction advisor (q166; [[graft.plans.IndexAdvisor]]

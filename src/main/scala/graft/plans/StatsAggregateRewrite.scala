@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project, Union, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
-import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min, sum, udf, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, countDistinct, lit, max, min, sum, udf, when}
 import org.apache.spark.sql.types._
 
 import graft.table.KeyedTable
@@ -585,7 +585,9 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private final case class MorStatsMatch(
       spec: graft.table.KeyedTableSpec, needs: Seq[Need],
-      groupAttrs: Seq[Attribute], partFilters: Seq[PartFilter])
+      groupAttrs: Seq[Attribute], partFilters: Seq[PartFilter],
+      ranges: Seq[graft.table.ColumnRange], notNull: Seq[String],
+      inLists: Seq[(String, Seq[Any])])
 
   /** Every winner-file-servable resolved-aggregate shape in `plan`, as
     * (table spec, the data columns needing recorded stats) — the
@@ -601,12 +603,13 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
        catch { case scala.util.control.NonFatal(_) => None })
         .filter(m => !m.needs.exists(_.isInstanceOf[AvgOf]))
         .map { m =>
-          (m.spec, m.needs.collect {
+          (m.spec, (m.needs.collect {
             case MinOf(c, _) => c
             case MaxOf(c, _) => c
             case SumOf(c, _) => c
             case CountCol(c) => c
-          }.distinct)
+          } ++ m.ranges.map(_.column) ++ m.notNull ++
+            m.inLists.map(_._1)).distinct)
         }
     }.flatten
 
@@ -614,9 +617,11 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     matchMorStats(a).flatMap { m =>
       val table = KeyedTable(m.spec)
       val key = ("morStats", m.spec.path, m.needs.toVector,
-        m.groupAttrs.map(_.name).toVector, m.partFilters.toVector)
+        m.groupAttrs.map(_.name).toVector, m.partFilters.toVector,
+        m.ranges.toVector, m.notNull.toVector,
+        m.inLists.map { case (c, vs) => (c, vs.toVector) }.toVector)
       memo.gated(key) {
-        serveMorStatsImpl(a, table, m.needs, m.groupAttrs, m.partFilters)
+        serveMorStatsImpl(a, table, m)
       }
     }
 
@@ -659,20 +664,31 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       split.partition(p => MvPlanShape.isRnEqOne(p._1, rn))
     if (rnConds.map(_._2) != Seq(0)) return None
     val partColsL = spec.partitionCols.map(lower).toSet
-    // Beside rn = 1, only partition POINT conjuncts ABOVE the window
-    // compose: filtering the resolved state by a partition column
-    // selects whole files and whole winners (a winner row of partition
-    // p lives in a file of p — true even under globalKeys, where the
-    // winner determination is global and unaffected by the later
-    // selection). Any other conjunct — or anything BELOW the window —
-    // filters rows the per-file winner counts assumed present, so it
-    // declines.
+    // Beside rn = 1, conjuncts ABOVE the window (on the RESOLVED state)
+    // compose two ways. Partition POINT conjuncts select whole files
+    // and whole winners (a winner row of partition p lives in a file
+    // of p — true even under globalKeys, where the winner
+    // determination is global and unaffected by the later selection).
+    // Literal RANGES / IS NOT NULL / IN-lists on stats-covered columns
+    // classify per file at serve time: a PURE file's stats describe
+    // exactly its winners (fold when fully contained), a MIXED file's
+    // all-version stats are outer bounds of its winners (sound as a
+    // may-contain test), and the scan side re-applies the conjuncts as
+    // the residual. Anything else — or anything BELOW the window —
+    // filters rows the winner counts assumed present, so it declines.
     def partFilterOf(e: Expression): Option[PartFilter] =
       PartitionConjuncts.of(
         e, x => relAttrOf(x).filter(at => partColsL.contains(lower(at.name))))
-    if (rest.exists { case (c, d) => d != 0 || partFilterOf(c).isEmpty })
-      return None
-    val partFilters: Seq[PartFilter] = rest.flatMap(p => partFilterOf(p._1))
+    if (rest.exists(_._2 != 0)) return None
+    val (partConds, rangeConds) =
+      rest.map(_._1).partition(c => partFilterOf(c).isDefined)
+    if (rangeConds.exists(!_.deterministic)) return None
+    val partFilters: Seq[PartFilter] = partConds.flatMap(partFilterOf)
+    def relAttrOrdered(e: Expression): Option[Attribute] =
+      relAttrOf(e).filter(at => KeyedTable.statsOrderedType(at.dataType))
+    val ex = RangeConjuncts.extract(rangeConds, relAttrOrdered)
+    if (ex.other.nonEmpty || ex.nullPreds.exists(_._2)) return None
+    val notNull = ex.nullPreds.map(_._1)
     // Grouping: PARTITION columns only (a pure file lives in one hive
     // directory; data-column grouping would need the single-valued
     // classification AND winner purity at once — decline).
@@ -720,7 +736,8 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // needed); this arm exists for the value aggregates.
     if (needs.forall(n => n == CountAll || n.isInstanceOf[GroupOf]))
       return None
-    Some(MorStatsMatch(spec, needs, groupAttrs, partFilters))
+    Some(MorStatsMatch(
+      spec, needs, groupAttrs, partFilters, ex.ranges, notNull, ex.inLists))
   }
 
   // (table path) -> (mutation tick, winner count per table-relative
@@ -733,9 +750,10 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     .empty[String, (Long, Map[String, Long], Map[String, Long])]
 
   private def serveMorStatsImpl(
-      a: Aggregate, table: KeyedTable, needs: Seq[Need],
-      groupAttrs: Seq[Attribute],
-      partFilters: Seq[PartFilter]): Option[LogicalPlan] = {
+      a: Aggregate, table: KeyedTable,
+      m: MorStatsMatch): Option[LogicalPlan] = {
+    val MorStatsMatch(
+      _, needs, groupAttrs, partFilters, ranges, notNull, inLists) = m
     table.colStatsFrame(spark).flatMap { st =>
       def statCol(prefix: String, c: String): Option[String] =
         st.columns.find(_.equalsIgnoreCase(s"${prefix}_$c"))
@@ -772,13 +790,62 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case PartNotNull(c)  => statCol("p", c)
       }
       if (filterStatCols.exists(_.isEmpty)) return None
+      // Range/IS NOT NULL/IN classification columns must be covered.
+      val classCols = (ranges.map(_.column) ++ notNull ++
+        inLists.map(_._1)).distinct
+      val nnOf = classCols.map(c => c -> statCol("nn", c)).toMap
+      if (nnOf.values.exists(_.isEmpty)) return None
+      val mmOf = (ranges.map(_.column) ++ inLists.map(_._1))
+        .distinct.map(c =>
+          c -> ((statCol("min", c), statCol("max", c)))).toMap
+      if (mmOf.values.exists(p => p._1.isEmpty || p._2.isEmpty)) return None
       val wcU = udf((f: String) => wcByFile.get(f))
       val joined = PartitionConjuncts.select(
           stRel, partFilters.zip(filterStatCols.map(_.get)))
         .withColumn("wcnt", wcU(col("_rfile")))
-      val pure = col("wcnt").isNotNull && col("wcnt") === col("cnt") &&
+      // Winner purity × range containment (the hybrid's predicates; on
+      // a PURE file the stats describe exactly its winners, on a MIXED
+      // file they are outer bounds — sound as a may-contain test).
+      val candidate = (ranges.map { r =>
+        val (mnR, mxR) = (mmOf(r.column)._1.get, mmOf(r.column)._2.get)
+        val loP = r.lo.map(v =>
+          if (r.loInclusive) col(mxR) >= lit(v) else col(mxR) > lit(v))
+        val hiP = r.hi.map(v =>
+          if (r.hiInclusive) col(mnR) <= lit(v) else col(mnR) < lit(v))
+        (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+      } ++ notNull.map(c => col(nnOf(c).get) > lit(0L))
+        ++ inLists.map { case (c, vs) =>
+          val (mnR, mxR) = (mmOf(c)._1.get, mmOf(c)._2.get)
+          vs.map(v => col(mnR) <= lit(v) && col(mxR) >= lit(v))
+            .reduce(_ || _)
+        })
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val fullRange = (ranges.map { r =>
+        val (mnR, mxR) = (mmOf(r.column)._1.get, mmOf(r.column)._2.get)
+        val loP = r.lo.map(v =>
+          if (r.loInclusive) col(mnR) >= lit(v) else col(mnR) > lit(v))
+        val hiP = r.hi.map(v =>
+          if (r.hiInclusive) col(mxR) <= lit(v) else col(mxR) < lit(v))
+        (Seq(col(nnOf(r.column).get) === col("cnt")) ++ loP.toSeq ++
+          hiP.toSeq).reduce(_ && _)
+      } ++ notNull.map(c => col(nnOf(c).get) === col("cnt"))
+        ++ inLists.map { case (c, vs) =>
+          val (mnR, mxR) = (mmOf(c)._1.get, mmOf(c)._2.get)
+          col(nnOf(c).get) === col("cnt") && col(mnR) === col(mxR) &&
+            vs.map(v => col(mnR) === lit(v)).reduce(_ || _)
+        })
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val allWinners = col("wcnt").isNotNull && col("wcnt") === col("cnt") &&
         col("cnt") > 0
-      val boundaryPred = col("wcnt").isNotNull && col("wcnt") < col("cnt")
+      // FOLD: every stored row is a live winner AND every row satisfies
+      // every conjunct. SCAN: the file holds ≥1 winner and may hold a
+      // satisfying row, and it is not folded (mixed, or pure-partial
+      // under the range) — the winner semi-join plus the re-applied
+      // conjuncts make its contribution exact.
+      val pure = allWinners && coalesce(fullRange, lit(false))
+      val boundaryPred = col("wcnt").isNotNull && col("wcnt") > 0 &&
+        coalesce(candidate, lit(false)) &&
+        !(allWinners && coalesce(fullRange, lit(false)))
       // Pure-file folds — the hybrid's fold set; pure files fold into
       // their hive partition's group (the sidecar's per-file p_ tuple).
       val groupStatCols = groupAttrs.map(at => statCol("p", at.name))
@@ -857,11 +924,12 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       }
       if (truncated) return None
-      // Boundary files from the cached maps when no partition filter
-      // narrows the file set (no job); the sidecar-filtered select
-      // otherwise (partition correctness must ride the p_ selection).
+      // Boundary files from the cached maps when no conjunct narrows
+      // the file set (no job); the sidecar-classified select otherwise
+      // (partition/range correctness must ride the p_/bounds columns).
       val boundaryRel: Seq[String] =
-        if (partFilters.isEmpty)
+        if (partFilters.isEmpty && ranges.isEmpty && notNull.isEmpty &&
+            inLists.isEmpty)
           cntByFile.collect {
             case (f, c) if wcByFile.get(f).exists(w => w > 0 && w < c) => f
           }.toSeq.sorted
@@ -931,7 +999,23 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               AttributeReference(at.name, at.dataType, at.nullable)()),
             IndexedSeq.empty, false)
         else {
-          val bdf = table.winnerRowsOf(spark, boundaryRel, settled)
+          // The winner rows of the scan side, with the range/IS NOT
+          // NULL/IN conjuncts RE-APPLIED as the residual (the original
+          // child is replaced wholesale, so the filter must ride here).
+          val residual: Seq[org.apache.spark.sql.Column] =
+            ranges.map { r =>
+              val loP = r.lo.map(v =>
+                if (r.loInclusive) col(r.column) >= lit(v)
+                else col(r.column) > lit(v))
+              val hiP = r.hi.map(v =>
+                if (r.hiInclusive) col(r.column) <= lit(v)
+                else col(r.column) < lit(v))
+              (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _)
+                .getOrElse(lit(true))
+            } ++ notNull.map(c => col(c).isNotNull) ++
+              inLists.map { case (c, vs) => col(c).isin(vs: _*) }
+          val bdf0 = table.winnerRowsOf(spark, boundaryRel, settled)
+          val bdf = residual.foldLeft(bdf0)(_.filter(_))
           val aggCols: Seq[org.apache.spark.sql.Column] =
             needs.zipWithIndex.flatMap {
               case (_: GroupOf, _)  => Seq.empty

@@ -784,10 +784,36 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     assert(graft.plans.PlanWalk.scannedFiles(qp).isEmpty,
       "partition-filtered resolved aggregate must fold, zero data files")
     assert(qp.collect()(0) == org.apache.spark.sql.Row(5L, 5L, 1L))
-    // A non-partition conjunct still declines — exact through the scan.
-    def qnp = ta.read(spark).filter(col("value") > 1L)
-      .agg(max(col("value")).as("mx"))
-    assert(qnp.collect()(0).getLong(0) == 50L)
+    // A RANGE conjunct composes via the hybrid classification:
+    // [2, 60] fully covers d2's pure correction file (value 5 — FOLD),
+    // partially covers d1's pure file (min 1 < 2 — SCAN with the
+    // residual re-applied), and excludes the dead file's superseded
+    // 999999 entirely: only d1's file opens.
+    def qr = ta.read(spark)
+      .filter(col("value") >= 2L && col("value") <= 60L)
+      .agg(min(col("value")).as("mn"), max(col("value")).as("mx"),
+        count(lit(1)).as("n"))
+    assert(qr.collect()(0) == org.apache.spark.sql.Row(2L, 50L, 50L))
+    // Data reads: d1's partially-covered file (the boundary scan) plus
+    // the stale index's delta-entry read of the c1 file — never the
+    // DEAD file holding the superseded 999999.
+    val rScanned = graft.plans.PlanWalk.scannedFiles(qr)
+      .filterNot(_.contains("/_graft_"))
+    assert(rScanned.length <= 2,
+      s"only boundary + delta-entry reads may open, got $rScanned")
+    val deadName = new org.apache.hadoop.fs.Path(
+      spark.read.parquet(s"$pathA/_graft_colstats")
+        .filter(col("min_value") === 999999L)
+        .select("file").collect()(0).getString(0)).getName
+    assert(!rScanned.exists(_.endsWith(deadName)),
+      "the dead file must never open")
+    // A range fully covering a pure file folds it — d1 entirely inside,
+    // d2's correction inside, dead file skipped: zero data files.
+    def qf2 = ta.read(spark).filter(col("value") >= 1L)
+      .agg(max(col("value")).as("mx"), count(lit(1)).as("n"))
+    assert(graft.plans.PlanWalk.scannedFiles(qf2).isEmpty,
+      "a fully-covering range must fold every pure file")
+    assert(qf2.collect()(0) == org.apache.spark.sql.Row(50L, 51L))
 
     // Layout B: the trapped key lives WITH the bulk — its c0 file is
     // MIXED (scan through the winner semi-join), the c1 file is pure.
@@ -812,11 +838,11 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     assert(scanned.length < dataFileCount(pathB),
       "the pure correction file must fold, not scan")
 
-    // Declines stay exact: a residual filter under the resolve, a
-    // missing sidecar, and a missing index all fall to the plain scan.
+    // A range conjunct composes (or declines) — exact either way.
     def qf = tb.read(spark).filter(col("value") > 1L)
       .agg(max(col("value")).as("mx"))
     assert(qf.collect()(0).getLong(0) == 50L)
+    // Missing sidecar / missing index fall to the plain scan, exact.
     val pathC = Files.createTempDirectory("graft_morstats_c_").toString + "/t"
     val tc = freshMor(pathC)
     tc.upsert(spark, rows(bulk: _*), commitTime = "c0")
