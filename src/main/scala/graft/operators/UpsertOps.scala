@@ -2731,12 +2731,21 @@ object UpsertOps {
     * replica ≡ source latest-per-key state.
     */
   def cdcReplica(s: SparkSession, dir: String): DataFrame = {
+    // The SOURCE is immutable scaffolding (three history commits,
+    // producing the feed q91/q107 already price) — staged once; the
+    // measured subject is the REPLICA's two feed applications, which
+    // build fresh every invocation.
+    val srcTable = fixtureOnce(dir, "cdcSource") {
+      val path =
+        Files.createTempDirectory("graft_cdc_src_").toString + "/src"
+      val t = KeyedTable(morSpec(path))
+      val ev = eventsUs(s, dir)
+      t.upsert(s, ev.filter(col("event_id") % 3 === 0), commitTime = "c0")
+      t.upsert(s, ev.filter(col("event_id") % 3 === 1), commitTime = "c1")
+      t.upsert(s, ev.filter(col("event_id") % 3 === 2), commitTime = "c2")
+      t
+    }
     val tmp = Files.createTempDirectory("graft_cdc_replica_").toString
-    val srcTable = KeyedTable(morSpec(s"$tmp/src"))
-    val ev = eventsUs(s, dir)
-    srcTable.upsert(s, ev.filter(col("event_id") % 3 === 0), commitTime = "c0")
-    srcTable.upsert(s, ev.filter(col("event_id") % 3 === 1), commitTime = "c1")
-    srcTable.upsert(s, ev.filter(col("event_id") % 3 === 2), commitTime = "c2")
     val replica = KeyedTable(spec(s"$tmp/replica"))
     def applyFeed(feed: DataFrame): Unit =
       replica.upsert(
