@@ -1127,6 +1127,31 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     assert(files.get.length < total,
       s"must prune: ${files.get.length} of $total")
     assert(q.collect().toSet == ranked(docs).collect().toSet)
+    // MIXED grouping — a hive partition key alongside the clustered
+    // data column — rides the same walk: the per-file group key is the
+    // (partition tuple, stored single value) pair. Build a partitioned
+    // twin of the corpus and rank within (src, lang).
+    val path3 = Files.createTempDirectory("graft_gtopk_mix_").toString + "/t"
+    val t3 = KeyedTable(KeyedTableSpec(
+      path = path3, keyCols = Seq("doc_id"), precombineCol = "n_chars",
+      partitionCols = Seq("src")))
+    val docs3 = docs.withColumn("src",
+      when(col("doc_id") % 2 === 0, "web").otherwise("book"))
+    t3.upsert(spark, docs3, commitTime = "c0")
+    t3.cluster(spark, Seq("lang", "n_chars"), targetFileBytes = 16L << 10)
+    t3.recordColumnStats(spark, Seq("lang", "n_chars"))
+    val w3 = org.apache.spark.sql.expressions.Window
+      .partitionBy("src", "lang")
+      .orderBy(col("n_chars").desc, col("doc_id").desc)
+    def ranked3(df: DataFrame) = df
+      .withColumn("rk", row_number().over(w3)).filter(col("rk") <= 3)
+      .select("doc_id", "src", "lang", "n_chars", "rk")
+    def q3 = ranked3(t3.read(spark))
+    val files3 = scannedDataFiles(q3)
+    assert(files3.isDefined, "the mixed partition+data grouping must serve")
+    assert(files3.get.length < dataFileCount(path3),
+      s"must prune: ${files3.get.length} of ${dataFileCount(path3)}")
+    assert(q3.collect().toSet == ranked3(docs3).collect().toSet)
     // An UNCLUSTERED layout leaves every file multi-valued in lang:
     // nothing classifies, every file is kept — decline, still exact.
     val path2 = Files.createTempDirectory("graft_gtopk_flat_").toString + "/t"
