@@ -736,6 +736,13 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // needed); this arm exists for the value aggregates.
     if (needs.forall(n => n == CountAll || n.isInstanceOf[GroupOf]))
       return None
+    // Every grouping column must also be PROJECTED: the final combine
+    // groups only by the GroupOf slices present in `needs`, so an
+    // unprojected grouping column (SELECT min(x) ... GROUP BY p with p
+    // absent from the SELECT list) would collapse its groups into one
+    // row. Decline to the scan.
+    val projectedGis = needs.collect { case GroupOf(_, _, gi) => gi }.toSet
+    if (!groupAttrs.indices.forall(projectedGis.contains)) return None
     Some(MorStatsMatch(
       spec, needs, groupAttrs, partFilters, ex.ranges, notNull, ex.inLists))
   }
@@ -1244,6 +1251,11 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case Alias(e, _) => groupNeedOf(e).getOrElse(return None)
       case _ => return None
     }
+    // Same projection guard as the MoR arm: the whole/hybrid combines
+    // group by the PROJECTED GroupOf slices, so a grouping column absent
+    // from the SELECT list would collapse its groups. Decline.
+    val projectedGis = needs.collect { case GroupOf(_, _, gi) => gi }.toSet
+    if (!groupAttrs.indices.forall(projectedGis.contains)) return None
     Some(AggMatch(
       a, spec, needs, groupAttrs, groupIsPart, partFilters, ex.ranges,
       notNull, ex.inLists, lr, fsRel, root))

@@ -2340,8 +2340,13 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       .collect().map(_.getString(0)).toSeq.sorted
   }
 
+  /** Latest data commit — gated on the table actually EXISTING so a
+    * table whose data directory was removed out-of-band (while the
+    * sibling timeline directory survived) still reads as having no
+    * commits, matching the pre-timeline behavior consumers assume.
+    */
   def latestCommit(spark: SparkSession): Option[String] =
-    commits(spark).lastOption
+    if (!exists(spark)) None else commits(spark).lastOption
 
   /** Small-file maintenance — the size-driven half of Hudi's table-service
     * family (see [[cluster]] for the sort-order half): every append-path
@@ -3871,11 +3876,13 @@ object KeyedTable {
     * 100 TB scale is 10^5–10^6 entries — past codegen method limits and
     * quadratic in the planner — while the broadcast hash set is O(1)
     * per row (the incremental stats carry's keep filter avoids IN lists
-    * the same way).
+    * the same way). Index `file` entries are non-null by construction,
+    * but the guard keeps NOT-IN's null semantics anyway (a null file
+    * drops, as `isin` would drop it) and documents the invariant.
     */
   private[table] def notInSetUdf(removed: Seq[String]) = {
     val s = removed.toSet
-    udf((f: String) => !s.contains(f))
+    udf((f: String) => f != null && !s.contains(f))
   }
 
   private val commitTimeLock = new Object

@@ -409,6 +409,58 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     assert(graft.plans.PlanWalk.scannedFiles(qnf).nonEmpty)
   }
 
+  test("an unprojected grouping column declines every stats serve (no group collapse)") {
+    // SELECT min(x) FROM t GROUP BY p — p grouped but NOT projected.
+    // The serve combines group by the PROJECTED GroupOf slices only, so
+    // admitting this shape would collapse all groups into one row. The
+    // matcher must decline; the scan answers one row per group.
+    val path = Files.createTempDirectory("graft_sagg_unproj_").toString + "/t"
+    val table = KeyedTable(cowSpec(path))
+    val ev = eventsUs
+    table.upsert(spark, ev, commitTime = "c0")
+    table.recordColumnStats(spark, Seq("event_id"))
+    table.read(spark).createOrReplaceTempView("sagg_unproj_cow")
+    val expect = ev.groupBy(col("event_type"))
+      .agg(min(col("event_id"))).collect().map(_.getLong(1)).sorted.toSeq
+    def q = spark.sql(
+      "SELECT min(event_id) AS mn FROM sagg_unproj_cow GROUP BY event_type")
+    assert(graft.plans.PlanWalk.scannedFiles(q).nonEmpty,
+      "unprojected grouping column must decline the whole-table serve")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == expect)
+    // Hybrid arm (a range conjunct present): same decline.
+    def qh = spark.sql("SELECT min(event_id) AS mn FROM sagg_unproj_cow " +
+      "WHERE event_id >= 0 GROUP BY event_type")
+    assert(graft.plans.PlanWalk.scannedFiles(qh).nonEmpty,
+      "unprojected grouping column must decline the hybrid serve")
+    assert(qh.collect().map(_.getLong(0)).sorted.toSeq == expect)
+    // Projected control: the serve still fires.
+    def qp = spark.sql("SELECT event_type, min(event_id) AS mn " +
+      "FROM sagg_unproj_cow GROUP BY event_type")
+    assert(graft.plans.PlanWalk.scannedFiles(qp).isEmpty,
+      "the projected twin must keep serving")
+    // MoR winner-file arm: same shape over a resolved history read.
+    val pathM = Files.createTempDirectory("graft_sagg_unprojm_").toString + "/t"
+    val mor = KeyedTable(KeyedTableSpec(
+      path = pathM, keyCols = Seq("event_id"), precombineCol = "ts_us",
+      partitionCols = Seq("event_type"), retainHistory = true))
+    mor.upsert(spark, ev, commitTime = "c0")
+    mor.recordKeyIndex(spark)
+    mor.recordColumnStats(spark, Seq("event_id"))
+    mor.read(spark).createOrReplaceTempView("sagg_unproj_mor")
+    def qm = spark.sql(
+      "SELECT min(event_id) AS mn FROM sagg_unproj_mor GROUP BY event_type")
+    assert(graft.plans.PlanWalk.scannedFiles(qm).nonEmpty,
+      "unprojected grouping column must decline the MoR winner-file serve")
+    assert(qm.collect().map(_.getLong(0)).sorted.toSeq == expect)
+    def qmp = spark.sql("SELECT event_type, min(event_id) AS mn " +
+      "FROM sagg_unproj_mor GROUP BY event_type")
+    assert(graft.plans.PlanWalk.scannedFiles(qmp).isEmpty,
+      "the projected MoR twin must keep serving")
+    assert(qmp.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      ev.groupBy(col("event_type")).agg(min(col("event_id")))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
+
   test("a zero-row sidecar straggler row never mints a phantom group") {
     // No build writes cnt = 0 rows today, but the serve's contract must
     // not depend on that: inject one (a phantom partition value no data

@@ -97,6 +97,10 @@ class TimelineSpec extends SparkTestBase {
     fs.delete(p, true)
     assert(t.commits(spark) == scanned,
       "the marker path must answer with the data gone")
+    // latestCommit gates on existence: an out-of-band table removal
+    // (timeline dir surviving) reads as "no commits" to consumers.
+    assert(t.latestCommit(spark).isEmpty,
+      "latestCommit must report None for an externally-deleted table")
     // A history-destroying action (delete) falls back to the scan.
     val path2 = freshPath()
     val t2 = KeyedTable(KeyedTableSpec(
