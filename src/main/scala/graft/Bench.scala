@@ -18,7 +18,14 @@ object Bench {
     // samples by minutes; a throttle poisons at most one sample of each
     // query, which the cross-pass median discards.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val names = SparkEntry.queries.keys.toSeq
+    // Optional subset for local iteration (comma-separated query names);
+    // the driver never sets it, so driver runs always cover the suite.
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(only => all.filter(only.split(',').toSet))
+        .getOrElse(all)
+    }
     // The streaming-state family pays a first-run state-store/provider
     // class-init cost that is a JVM artifact, not plan cost (q117 read
     // 7.8 s in r10 from exactly this: a cold 9.4 s sample plus one VM

@@ -615,12 +615,22 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     transform(sequence(lit(0), lit(k - 1)),
       i => pmod(xxhash64(i, key), lit(m.toLong)).cast("int"))
 
-  private def bloomRowsFor(df: DataFrame, m: Int, k: Int): DataFrame =
+  // `file` is stored TABLE-RELATIVE like every other sidecar (stats,
+  // RLI, commit records): the index must survive a table move /
+  // restore-from-snapshot byte-copy, where a stored absolute path would
+  // resolve to the source tree. Relativization happens AFTER the
+  // groupBy, on the file-count-sized result, not per data row.
+  private def bloomRowsFor(df: DataFrame, m: Int, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    val rootPrefix =
+      fs(spark).makeQualified(new Path(spec.path)).toUri.getPath + "/"
     df.withColumn("file", input_file_name())
       .select(col("file"), explode(bloomPositions(col(RecordKeyCol), m, k)).as("pos"))
       .groupBy(col("file"))
       .agg(array_sort(collect_set(col("pos"))).as("bits"))
+      .withColumn("file", KeyedTable.relPathUdf(rootPrefix)(col("file")))
       .withColumn("m", lit(m)).withColumn("k", lit(k))
+  }
 
   /** Build/refresh the record-key bloom index: per data file, the bloom of
     * its `_graft_record_key`s, in ONE scan (groupBy `input_file_name`,
@@ -634,7 +644,8 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(bloomDir)
   }
 
-  /** The index's candidate files for `batch`'s record keys: (files whose
+  /** The index's candidate files for `batch`'s record keys,
+    * TABLE-RELATIVE: (files whose
     * bloom may contain ≥1 batch key, total indexed files). The probe is
     * an exploded-positions equality join against the BROADCAST index —
     * each (key, position) probe row hash-matches at most one (file,
@@ -787,7 +798,8 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         if (!f.exists(new Path(bloomDir))) recordBloomIndex(spark)
         val aligned = SchemaEvolution.align(incoming, current)
         val alignedC = aligned.withColumn(CommitTimeCol, lit(commitTime))
-        val (cands, _) = bloomCandidateFiles(spark, aligned)
+        val (candRel, _) = bloomCandidateFiles(spark, aligned)
+        val cands = candRel.map(r => s"${spec.path}/$r")
         val rd = spark.read.option("basePath", spec.path)
         val candRows =
           if (cands.isEmpty) readRaw(spark).filter(lit(false))
@@ -818,7 +830,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         val tmpIdx = new Path(spec.path, "._graft_bloom_tmp")
         f.delete(tmpIdx, true)
         spark.read.parquet(bloomDir)
-          .filter(!col("file").isInCollection(cands))
+          .filter(!col("file").isInCollection(candRel))
           .write.mode(SaveMode.Overwrite).parquet(tmpIdx.toString)
         f.delete(new Path(bloomDir), true)
         retireColumnStats(f) // appended files: see writeOut
@@ -831,11 +843,6 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         // directly. No full-table listing anywhere on this path — at
         // production file counts that is what keeps the per-commit cost
         // proportional to the batch, not the table.
-        val rootPrefix =
-          f.makeQualified(new Path(spec.path)).toUri.getPath + "/"
-        def relOf(abs: String): String =
-          new Path(new java.net.URI(abs)).toUri.getPath.stripPrefix(rootPrefix)
-        val candRel = cands.map(relOf)
         val candDirs = candRel.map { r =>
           val i = r.lastIndexOf('/'); if (i < 0) "" else r.substring(0, i)
         }.toSet
@@ -851,7 +858,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
         (if (spec.partitionCols.nonEmpty) w.partitionBy(spec.partitionCols: _*) else w)
           .parquet(spec.path)
         recordSchema(spark, merged.schema)
-        cands.foreach(c => f.delete(new Path(new java.net.URI(c)), false))
+        candRel.foreach(r => f.delete(new Path(s"${spec.path}/$r"), false))
 
         val newFiles = (relDataFilesUnder(spark, scopeDirs) -- before).toSeq
         val newRows =
@@ -1375,10 +1382,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       val (cands, total) =
         KeyedTable.withMetaConf(spark)(bloomCandidateFiles(spark, probe))
       if (total == 0) return None
-      val rootPrefix =
-        f.makeQualified(new Path(spec.path)).toUri.getPath + "/"
-      Some(cands.map(abs =>
-        new Path(new java.net.URI(abs)).toUri.getPath.stripPrefix(rootPrefix)))
+      Some(cands) // stored table-relative
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -3870,6 +3874,13 @@ object KeyedTable {
       lenByRel: Map[String, Long], rootPrefix: String) =
     udf((abs: String) => lenByRel.getOrElse(
       new Path(abs).toUri.getPath.stripPrefix(rootPrefix), -1L))
+
+  /** `input_file_name()`-style URI string → table-relative path. Applied
+    * to file-count-sized frames only (post-groupBy sidecar rows).
+    */
+  private[table] def relPathUdf(rootPrefix: String) =
+    udf((abs: String) =>
+      new Path(new java.net.URI(abs)).toUri.getPath.stripPrefix(rootPrefix))
 
   /** NOT-IN over a file-count-sized exclusion set as a set-closure UDF:
     * `isin(removed: _*)` builds a literal expression tree that at

@@ -1079,6 +1079,34 @@ object MaterializedView {
     finally out.close()
   }
 
+  /** Re-home a template MV definition onto a byte-identical CLONE of
+    * the directory tree holding its base table and rollup — the
+    * restore-from-snapshot shape (and the staged-clone bench
+    * discipline): every stored path under `fromRoot` rewrites to
+    * `toRoot`, the clone's sidecar is overwritten with the re-homed
+    * paths, and the result registers for serving/refresh. Measures,
+    * commit markers, and file signatures travel as bytes — only the
+    * paths change, so a keyed clone refreshes incrementally exactly
+    * where the original would.
+    */
+  def rebase(
+      spark: SparkSession, d: MvDef,
+      fromRoot: String, toRoot: String): MvDef = {
+    def re(p: String): String =
+      if (p.startsWith(fromRoot)) toRoot + p.stripPrefix(fromRoot) else p
+    val d1 = d.copy(
+      basePath = re(d.basePath),
+      mvPath = re(d.mvPath),
+      qualifiedBase = qualify(spark, re(d.basePath)),
+      keyedSpec = d.keyedSpec.map(ks => ks.copy(path = re(ks.path))),
+      links = d.links.map(l => l.copy(
+        dimPath = re(l.dimPath),
+        qualifiedDim = qualify(spark, re(l.dimPath)))))
+    writeSidecar(spark, d1)
+    register(d1)
+    d1
+  }
+
   /** Register the rollup at `mvPath` from its sidecar (fresh-session
     * discovery). The recorded base mtime rides along, so a base modified
     * since the build still declines rewrites.
@@ -1274,26 +1302,35 @@ object MaterializedView {
     * state of a two-commit MoR events table, maintained incrementally.
     */
   def mvKeyedRefresh(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = freshBenchWork("keyed").toString
-    val table = KeyedTable(KeyedTableSpec(
-      path = s"$tmp/events_keyed",
-      keyCols = Seq("user_id"),
-      precombineCol = "ts_us",
-      tiebreakCols = Seq("event_id"),
-      partitionCols = Seq("event_type"),
-      retainHistory = true))
+    // The base-as-of-c0 + built rollup stage as a cloned template
+    // (re-homed via [[rebase]]); the measured subject is the c1 upsert
+    // and the incremental signed-delta refresh it triggers.
     val ev = graft.sources.Tables.eventsUs(spark, dir)
-    table.upsert(spark, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
-    val mvPath = s"$tmp/mv"
-    createKeyed(spark, "events_by_type", table, mvPath,
-      groupCols = Seq("event_type"),
-      sums = Seq("sum_value" -> expr("CAST(value AS DECIMAL(18,4))")),
-      countCol = Some("n_rows"))
+    val (tplRoot, tplDef, root) =
+      graft.operators.UpsertOps.stagedRoot(dir, "mvKeyedC0") { r =>
+        val t = KeyedTable(KeyedTableSpec(
+          path = s"$r/events_keyed",
+          keyCols = Seq("user_id"),
+          precombineCol = "ts_us",
+          tiebreakCols = Seq("event_id"),
+          partitionCols = Seq("event_type"),
+          retainHistory = true))
+        t.upsert(spark, ev.filter(col("event_id") % 2 === 0),
+          commitTime = "c0")
+        val d = createKeyed(spark, "events_by_type", t, s"$r/mv",
+          groupCols = Seq("event_type"),
+          sums = Seq("sum_value" -> expr("CAST(value AS DECIMAL(18,4))")),
+          countCol = Some("n_rows"))
+        drop(t.spec.path) // the template is never served; clones register
+        d
+      }
+    val d = rebase(spark, tplDef, tplRoot, root)
+    val table = KeyedTable(d.keyedSpec.get)
     try {
       table.upsert(spark, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
-      val (_, incremental) = refresh(spark, mvPath)
+      val (_, incremental) = refresh(spark, d.mvPath)
       require(incremental, "a MoR upsert delta must refresh incrementally")
-      spark.read.parquet(mvPath)
+      spark.read.parquet(d.mvPath)
         .select(col("event_type"), col("n_rows"),
           col("sum_value").cast("double").as("sum_value"))
     } finally drop(table.spec.path)
@@ -1346,28 +1383,36 @@ object MaterializedView {
     * incremental refresh.
     */
   def mvKeyedMinMax(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = freshBenchWork("minmax").toString
-    val table = KeyedTable(KeyedTableSpec(
-      path = s"$tmp/events_keyed",
-      keyCols = Seq("user_id"),
-      precombineCol = "ts_us",
-      tiebreakCols = Seq("event_id"),
-      partitionCols = Seq("event_type"),
-      retainHistory = true))
+    // Same staged-clone shape as [[mvKeyedRefresh]]: the measured
+    // subject is the update-delta upsert + group-scoped refresh.
     val ev = graft.sources.Tables.eventsUs(spark, dir)
-    table.upsert(spark, ev.filter(col("event_id") % 2 === 0), commitTime = "c0")
-    val mvPath = s"$tmp/mv"
-    createKeyed(spark, "events_minmax", table, mvPath,
-      groupCols = Seq("event_type"),
-      mins = Seq("min_value" -> expr("CAST(value AS DECIMAL(18,4))")),
-      maxs = Seq("max_value" -> expr("CAST(value AS DECIMAL(18,4))")),
-      countCol = Some("n_rows"))
+    val (tplRoot, tplDef, root) =
+      graft.operators.UpsertOps.stagedRoot(dir, "mvMinMaxC0") { r =>
+        val t = KeyedTable(KeyedTableSpec(
+          path = s"$r/events_keyed",
+          keyCols = Seq("user_id"),
+          precombineCol = "ts_us",
+          tiebreakCols = Seq("event_id"),
+          partitionCols = Seq("event_type"),
+          retainHistory = true))
+        t.upsert(spark, ev.filter(col("event_id") % 2 === 0),
+          commitTime = "c0")
+        val d = createKeyed(spark, "events_minmax", t, s"$r/mv",
+          groupCols = Seq("event_type"),
+          mins = Seq("min_value" -> expr("CAST(value AS DECIMAL(18,4))")),
+          maxs = Seq("max_value" -> expr("CAST(value AS DECIMAL(18,4))")),
+          countCol = Some("n_rows"))
+        drop(t.spec.path)
+        d
+      }
+    val d = rebase(spark, tplDef, tplRoot, root)
+    val table = KeyedTable(d.keyedSpec.get)
     try {
       table.upsert(spark, ev.filter(col("event_id") % 2 === 1), commitTime = "c1")
-      val (_, incremental) = refresh(spark, mvPath)
+      val (_, incremental) = refresh(spark, d.mvPath)
       require(incremental,
         "a MoR update delta against min/max must refresh group-scoped")
-      spark.read.parquet(mvPath)
+      spark.read.parquet(d.mvPath)
         .select(col("event_type"), col("n_rows"),
           col("min_value").cast("double").as("min_value"),
           col("max_value").cast("double").as("max_value"))

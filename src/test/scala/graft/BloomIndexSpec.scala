@@ -146,10 +146,21 @@ class BloomIndexSpec extends SparkTestBase {
       spark, ev.repartitionByRange(6, col("event_id")), commitTime = "c0")
     table.recordBloomIndex(spark)
 
+    // Candidates come back TABLE-RELATIVE (the sidecar's stored form);
+    // relativize the observed assignment the same way.
+    val rootPrefix = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toUri.getPath + "/"
+    }
     val keyToFile = table.readRaw(spark)
       .withColumn("file", input_file_name())
       .select(col("event_id"), col("file"))
       .distinct().as[(Long, String)].collect()
+      .map { case (eid, abs) =>
+        (eid, new org.apache.hadoop.fs.Path(new java.net.URI(abs))
+          .toUri.getPath.stripPrefix(rootPrefix))
+      }
     // Single-key probes (the worst case for a bloom) over a spread sample,
     // one probe job per key: the key's actual file must be a candidate.
     val byKey = keyToFile.groupBy(_._1)
