@@ -630,26 +630,33 @@ object Dedup {
     * the per-round convergence counter. The oracle is a DuckDB recursive
     * CTE computing the same min-reachable-id labels.
     */
-  // Collected component labels per (fixture dir, threshold): the label
-  // set is doc-count-sized (tiny even at sf1) and deterministic over
-  // the immutable fixtures, and BOTH q51 and q197 (the cluster-aware
-  // split) need exactly it — without the memo each consumer re-pays
-  // the full iterative propagation (~1.6 s at sf0.1).
-  private val clusterMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Double), Array[org.apache.spark.sql.Row]]
+  // PERSISTED component-label sidecar per (fixture dir, threshold): the
+  // propagation runs once and its labels land as a parquet table keyed
+  // by doc_id; every consumer (q51's cluster listing, q197's
+  // cluster-aware split) reads/joins that table-side sidecar. The memo
+  // holds only the PATH — never rows — so nothing doc-count-sized ever
+  // lives on the driver: at 100 TB the label set is a table, not a data
+  // structure. This is also the incremental upgrade path for a daily
+  // delta (the q121 shape): new docs LSH-probe the standing corpus,
+  // take min(cluster_rep) over their matched neighbors (or keep their
+  // own id), and APPEND to the sidecar — a full re-propagation is
+  // needed only when a new doc bridges two existing components, which
+  // the probe detects by matching neighbors with two distinct labels.
+  private val clusterLabelsPath = scala.collection.concurrent.TrieMap
+    .empty[(String, Double), String]
 
   def nearDupClusters(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    clusterMemo.get((dir, threshold)) match {
-      case Some(rows) =>
-        return s.createDataFrame(
-          s.sparkContext.parallelize(rows.toSeq, 1),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField(
-              "doc_id", org.apache.spark.sql.types.LongType, false),
-            org.apache.spark.sql.types.StructField(
-              "cluster_rep", org.apache.spark.sql.types.LongType, false))))
-      case None => ()
-    }
+    val path = clusterLabelsPath.getOrElseUpdate((dir, threshold),
+      propagateClusterLabels(s, dir, threshold))
+    s.read.parquet(path)
+  }
+
+  /** Run the min-label propagation and persist the labels; returns the
+    * sidecar path. One call per (dir, threshold) — [[nearDupClusters]]
+    * memoizes the path.
+    */
+  private def propagateClusterLabels(
+      s: SparkSession, dir: String, threshold: Double): String = {
     val pairs = cacheOnce(minhashLsh(s, dir, threshold = threshold)
       .select(col("a_id"), col("b_id")))
     val edges = pairs
@@ -685,11 +692,13 @@ object Dedup {
       labels = nextCached.drop("_upd")
     }
     pairs.unpersist()
-    val collected = labels
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ndlabels_").toString + "/labels"
+    labels
       .select(col("doc_id").cast("long"), col("cluster_rep").cast("long"))
-      .collect()
-    clusterMemo.put((dir, threshold), collected)
-    nearDupClusters(s, dir, threshold) // serve from the memo frame
+      .write.parquet(out)
+    cached.unpersist()
+    out
   }
 
   /** Substring-span contamination: document pairs sharing at least one

@@ -8,6 +8,38 @@ import graft.operators.{Curation, TextAnalysis}
   */
 class CurationOpsSpec extends SparkTestBase {
 
+  test("cluster labels are a table-side sidecar: consumers scan parquet, nothing driver-resident") {
+    import org.apache.spark.sql.functions._
+    // Both consumers must read the PERSISTED labels sidecar — a real
+    // parquet scan with distributed partitioning, never a re-parallelized
+    // driver collection (the 100 TB label set is a table, not a driver
+    // data structure).
+    def scanned(df: org.apache.spark.sql.DataFrame) =
+      graft.plans.PlanWalk.scannedFiles(df)
+    val labels = graft.operators.Dedup.nearDupClusters(spark, sf0001)
+    val lblFiles = scanned(labels)
+    assert(lblFiles.nonEmpty && lblFiles.forall(_.contains("graft_ndlabels")),
+      s"nearDupClusters must scan the labels sidecar, scanned $lblFiles")
+    assert(labels.rdd.getNumPartitions > 1,
+      "the sidecar read must be distributed, not a 1-partition replay")
+    val splitFiles = scanned(
+      graft.operators.Curation.clusterAwareSplit(spark, sf0001))
+    assert(splitFiles == lblFiles,
+      "the cluster-aware split must scan the same labels sidecar")
+    // Path (not rows) is memoized: repeated calls serve the same files.
+    assert(scanned(graft.operators.Dedup.nearDupClusters(spark, sf0001))
+      == lblFiles)
+    // The labels themselves: every doc labeled exactly once, reps are
+    // fixed points (a representative's own label is itself).
+    val n = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(labels.count() == n)
+    assert(labels.select("doc_id").distinct().count() == n)
+    val reps = labels.select(col("cluster_rep").as("doc_id")).distinct()
+    val fixed = labels.join(reps, "doc_id")
+      .filter(col("doc_id") =!= col("cluster_rep")).count()
+    assert(fixed == 0L, "every representative must be its own fixed point")
+  }
+
   test("cluster-aware split: near-dup pairs never cross splits; singletons keep the plain split") {
     import org.apache.spark.sql.functions._
     val split = graft.operators.Curation.clusterAwareSplit(spark, sf0001)
