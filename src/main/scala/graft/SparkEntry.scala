@@ -222,7 +222,10 @@ object SparkEntry {
     "q195_mor_group_stats" -> (UpsertOps.morGroupResolvedStats(_, _)),
     "q196_mor_filtered_stats" -> (UpsertOps.morFilteredResolvedStats(_, _)),
     "q197_cluster_split" -> ((s, d) => Curation.clusterAwareSplit(s, d)),
-    "q198_mor_range_stats" -> (UpsertOps.morRangeResolvedStats(_, _))
+    "q198_mor_range_stats" -> (UpsertOps.morRangeResolvedStats(_, _)),
+    "q199_mor_group_data" -> (UpsertOps.morGroupDataStats(_, _)),
+    "q200_mor_distinct" -> (UpsertOps.morDistinctLangs(_, _)),
+    "q201_mor_topk" -> (UpsertOps.morTopKResolved(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -2248,6 +2251,44 @@ object SparkEntry {
         |SELECT c1.user_id, c1.event_type, c1.ts_us, c1.event_id, c1.value,
         |       CASE WHEN c0.user_id IS NOT NULL THEN 'update' ELSE 'insert' END AS op
         |FROM c1 LEFT JOIN c0
-        |  ON c1.user_id = c0.user_id AND c1.event_type = c0.event_type""".stripMargin
+        |  ON c1.user_id = c0.user_id AND c1.event_type = c0.event_type""".stripMargin,
+    // Grouped resolved aggregate over a clustered DATA column: the
+    // final state = docs with the %31 correction applied plus the two
+    // trap docs' CORRECTED rows (rev 1 wins per doc_id; the superseded
+    // zy=9999999 and the zx language must leave no trace).
+    "q199_mor_group_data" ->
+      """WITH fin AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN doc_id % 31 = 0 THEN n_chars + 1000
+        |              ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  UNION ALL SELECT 900000001, 'zy', 7
+        |  UNION ALL SELECT 900000002, 'de', 3)
+        |SELECT lang, min(n_chars) AS mn_nc, max(n_chars) AS mx_nc,
+        |       CAST(sum(n_chars) AS BIGINT) AS s_nc,
+        |       count(*) AS n_docs
+        |FROM fin GROUP BY lang""".stripMargin,
+    // Resolved distinct languages: the base distinct set plus the live
+    // trap lang 'zy'; the superseded-only 'zx' must not count and the
+    // corrected 'de' folds into the base set.
+    "q200_mor_distinct" ->
+      """SELECT CAST(count(DISTINCT lang) + 1 AS BIGINT) AS n_langs
+        |FROM documents""".stripMargin,
+    // Resolved top-k: the 5 globally-largest values were corrected to
+    // -1 (derivable in SQL: the same ORDER BY ... LIMIT 5 the fixture
+    // ran), so the top-20 comes from the remaining live maxima.
+    "q201_mor_topk" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, value FROM events
+        |  WHERE event_id % 2 = 0),
+        |t5 AS (SELECT event_id FROM ev
+        |       ORDER BY value DESC, event_id DESC LIMIT 5),
+        |fin AS (
+        |  SELECT event_id, user_id,
+        |         CASE WHEN event_id IN (SELECT event_id FROM t5)
+        |              THEN -1.0 ELSE value END AS value
+        |  FROM ev)
+        |SELECT event_id, user_id, value FROM fin
+        |ORDER BY value DESC, event_id DESC LIMIT 20""".stripMargin
   )
 }

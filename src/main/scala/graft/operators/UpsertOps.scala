@@ -1935,6 +1935,124 @@ object UpsertOps {
       (table, cut)
     }
 
+  /** Lang-clustered MoR documents fixture for the resolved
+    * grouped/distinct serves (q199/q200): the corpus as a history table
+    * clustered by (lang, n_chars), with correction traffic re-landing
+    * a slice of every language PLUS two trap docs — one whose
+    * superseded version carried an extreme n_chars in its own lang
+    * ('zy': the group's max must come from the correction, never the
+    * dead version), one whose superseded version carried a UNIQUE lang
+    * ('zx' → corrected to 'de': the distinct count must drop 'zx').
+    * Index refreshed per commit, stats recorded over the final layout —
+    * the maintained-table state a 100 TB serving layer keeps.
+    */
+  private def morDocsFixture(s: SparkSession, dir: String): KeyedTable =
+    fixtureOnce(dir, "morDocs") {
+      val path =
+        Files.createTempDirectory("graft_mordocs_").toString + "/docs_keyed"
+      val table = KeyedTable(KeyedTableSpec(
+        path = path, keyCols = Seq("doc_id"), precombineCol = "rev",
+        retainHistory = true))
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("rev", lit(0L))
+      val traps0 = s.createDataFrame(Seq(
+        (900000001L, "zy", 9999999L, 0L),
+        (900000002L, "zx", 11L, 0L)))
+        .toDF("doc_id", "lang", "n_chars", "rev")
+      table.upsert(s, base.unionByName(traps0), commitTime = "c0")
+      table.cluster(s, Seq("lang", "n_chars"), targetFileBytes = 8L << 10)
+      table.recordKeyIndex(s)
+      val corrections = base.filter(col("doc_id") % 31 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .withColumn("rev", lit(1L))
+      val traps1 = s.createDataFrame(Seq(
+        (900000001L, "zy", 7L, 1L),
+        (900000002L, "de", 3L, 1L)))
+        .toDF("doc_id", "lang", "n_chars", "rev")
+      table.upsert(s, corrections.unionByName(traps1), commitTime = "c1")
+      table.refreshRecordKeyIndex(s)
+      table.recordColumnStats(s, Seq("lang", "n_chars"))
+      table
+    }
+
+  /** Grouped resolved aggregate over a clustered DATA column (q199;
+    * [[graft.plans.StatsAggregateRewrite]]'s MoR winner-file arm ×
+    * single-valued classification): the per-language corpus dashboard
+    * over a RESOLVED history read — files that are both PURE (every
+    * stored row a live winner) and SINGLE-VALUED in lang fold into
+    * their language's group straight from the sidecar; run-boundary,
+    * group-spanning, and correction-churned files scan winner rows
+    * only; dead files (the trap's superseded 9999999) never open. ≡
+    * resolve-latest ∘ grouped aggregate — the oracle.
+    */
+  def morGroupDataStats(s: SparkSession, dir: String): DataFrame = {
+    val table = morDocsFixture(s, dir)
+    table.read(s).groupBy(col("lang")).agg(
+      min(col("n_chars")).as("mn_nc"), max(col("n_chars")).as("mx_nc"),
+      sum(col("n_chars")).as("s_nc"), count(lit(1)).as("n_docs"))
+  }
+
+  /** Resolved count(DISTINCT data column) (q200; the winner-file
+    * classification composed with the values-union serve): "how many
+    * languages are LIVE in the corpus" — pure single-valued files
+    * contribute their stored lang, churned files scan winner rows, and
+    * the dead version holding the only 'zx' row never opens, so the
+    * superseded language correctly vanishes from the count. ≡
+    * resolve-latest ∘ count(DISTINCT lang) — the oracle.
+    */
+  def morDistinctLangs(s: SparkSession, dir: String): DataFrame = {
+    val table = morDocsFixture(s, dir)
+    table.read(s).agg(countDistinct(col("lang")).as("n_langs"))
+  }
+
+  /** Value-clustered MoR events fixture for the resolved top-k serve
+    * (q201): the 5 globally-largest values are CORRECTED down to -1 —
+    * the superseded-extremum trap aimed straight at the sort column —
+    * so a naive stats walk over all versions would return dead rows.
+    */
+  private def morTopKFixture(s: SparkSession, dir: String): KeyedTable =
+    fixtureOnce(dir, "morTopK") {
+      val path =
+        Files.createTempDirectory("graft_mortopk_").toString + "/events_keyed"
+      val table = KeyedTable(KeyedTableSpec(
+        path = path, keyCols = Seq("event_id"), precombineCol = "ts_us",
+        retainHistory = true))
+      val ev = eventsUs(s, dir).filter(col("event_id") % 2 === 0)
+        .select("user_id", "event_type", "ts_us", "event_id", "value")
+      table.upsert(s, ev, commitTime = "c0")
+      table.cluster(s, Seq("value"), targetFileBytes = 16L << 10)
+      table.recordKeyIndex(s)
+      val top5 = ev.orderBy(col("value").desc, col("event_id").desc)
+        .limit(5).select("event_id").collect().map(_.getLong(0)).toSeq
+      table.upsert(
+        s,
+        ev.filter(col("event_id").isin(top5: _*))
+          .withColumn("value", lit(-1.0))
+          .withColumn("ts_us", col("ts_us") + 1000000L),
+        commitTime = "c1")
+      table.refreshRecordKeyIndex(s)
+      table.recordColumnStats(s, Seq("value"))
+      table
+    }
+
+  /** Resolved top-k (q201; [[graft.plans.TopKPruneRewrite]]'s MoR arm —
+    * the stats walk composed with the winner-file classification):
+    * `ORDER BY value DESC LIMIT 20` over a RESOLVED history read of
+    * the value-clustered fixture — pure files drive the count walk,
+    * mixed files stay candidates under their outer bounds, and the
+    * dead versions holding the 5 superseded maxima never open. ≡
+    * resolve-latest ∘ sort ∘ limit — the oracle (event_id tiebreak
+    * makes the set deterministic).
+    */
+  def morTopKResolved(s: SparkSession, dir: String): DataFrame = {
+    val table = morTopKFixture(s, dir)
+    table.read(s)
+      .orderBy(col("value").desc, col("event_id").desc)
+      .limit(20)
+      .select("event_id", "user_id", "value")
+  }
+
   /** Grouped top-k over a CLUSTERED DATA column (q192;
     * [[graft.plans.GroupTopKRewrite]]'s data-group arm): the
     * per-language "longest N documents" leaderboard —

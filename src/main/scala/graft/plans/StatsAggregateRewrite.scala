@@ -228,7 +228,7 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         m.inLists.map { case (c, vs) => (c, vs.toVector) }.toVector)
       memo.gated(key)(serveAgg(m))
     }.orElse(serveMorCount(a)).orElse(serveMorStats(a))
-      .orElse(serveDistinctValues(a))
+      .orElse(serveDistinctValues(a)).orElse(serveMorDistinct(a))
 
   /** `count(DISTINCT c)` over a CLUSTERED data column, served as a
     * VALUES union: files single-valued in `c` (min = max ∧ nn = cnt —
@@ -575,8 +575,10 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * partition POINT conjuncts above the window — whole-file,
     * whole-winner selections), bare or grouped by PARTITION columns (a
     * pure file lives in exactly one hive directory, so its stats row
-    * folds into exactly one group;
-    * boundary winner rows carry their partition values into the
+    * folds into exactly one group) or by clustered DATA columns (a file
+    * folds only when pure AND single-valued in the group column —
+    * min = max ∧ nn = cnt — at once; group-spanning files scan;
+    * boundary winner rows carry their group values into the
     * grouped residual), every output a servable min/max/sum/count/avg
     * over a stats-covered column — same per-aggregate admission and
     * exactness guards as the COW serves (string truncation, decimal
@@ -585,9 +587,18 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private final case class MorStatsMatch(
       spec: graft.table.KeyedTableSpec, needs: Seq[Need],
-      groupAttrs: Seq[Attribute], partFilters: Seq[PartFilter],
+      groupAttrs: Seq[Attribute], groupIsPart: Seq[Boolean],
+      partFilters: Seq[PartFilter],
       ranges: Seq[graft.table.ColumnRange], notNull: Seq[String],
-      inLists: Seq[(String, Seq[Any])])
+      inLists: Seq[(String, Seq[Any])]) {
+    /** Grouping columns that are DATA columns (not hive partitions):
+      * a file folds into such a group only when PURE and SINGLE-VALUED
+      * in the column at once — the q192 composition over a resolved
+      * read.
+      */
+    def dataGroupCols: Seq[String] =
+      groupAttrs.zip(groupIsPart).collect { case (at, false) => at.name }
+  }
 
   /** Every winner-file-servable resolved-aggregate shape in `plan`, as
     * (table spec, the data columns needing recorded stats) — the
@@ -601,7 +612,11 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     else plan.collect { case ag: Aggregate =>
       (try matchMorStats(ag)
        catch { case scala.util.control.NonFatal(_) => None })
-        .filter(m => !m.needs.exists(_.isInstanceOf[AvgOf]))
+        .filter(m => !m.needs.exists(_.isInstanceOf[AvgOf]) &&
+          // Data-column groups are layout-dependent serves (the fold
+          // set depends on clustering) — the advisor deliberately
+          // excludes them, like the q192 grouped top-k shape.
+          m.groupIsPart.forall(identity))
         .map { m =>
           (m.spec, (m.needs.collect {
             case MinOf(c, _) => c
@@ -689,13 +704,19 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val ex = RangeConjuncts.extract(rangeConds, relAttrOrdered)
     if (ex.other.nonEmpty || ex.nullPreds.exists(_._2)) return None
     val notNull = ex.nullPreds.map(_._1)
-    // Grouping: PARTITION columns only (a pure file lives in one hive
-    // directory; data-column grouping would need the single-valued
-    // classification AND winner purity at once — decline).
+    // Grouping: PARTITION columns (a pure file lives in one hive
+    // directory — its stats row folds into exactly one group) or
+    // ordered-stats DATA columns (the q192 composition: a file folds
+    // only when PURE and SINGLE-VALUED in the group column at once;
+    // everything else with winners scans, carrying its group values
+    // into the residual).
     val groupAttrs: Seq[Attribute] = a.groupingExpressions.map { e =>
-      relAttrOf(e).filter(at => partColsL.contains(lower(at.name)))
+      relAttrOf(e).filter(at => partColsL.contains(lower(at.name)) ||
+          KeyedTable.statsOrderedType(at.dataType))
         .getOrElse(return None)
     }
+    val groupIsPart: Seq[Boolean] =
+      groupAttrs.map(at => partColsL.contains(lower(at.name)))
     val groupIdx: Map[ExprId, Int] =
       groupAttrs.zipWithIndex.map { case (at, i) => at.exprId -> i }.toMap
     def groupNeedOf(e: Expression): Option[GroupOf] = subst(e) match {
@@ -744,23 +765,18 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val projectedGis = needs.collect { case GroupOf(_, _, gi) => gi }.toSet
     if (!groupAttrs.indices.forall(projectedGis.contains)) return None
     Some(MorStatsMatch(
-      spec, needs, groupAttrs, partFilters, ex.ranges, notNull, ex.inLists))
+      spec, needs, groupAttrs, groupIsPart, partFilters, ex.ranges,
+      notNull, ex.inLists))
   }
 
-  // (table path) -> (mutation tick, winner count per table-relative
-  // file, stored row count per table-relative file). Both maps are
-  // file-count-sized. Any mutation anywhere bumps the global tick and
-  // invalidates — conservative but free to check, and it keeps the
-  // per-invocation serve to ONE sidecar-sized fold job instead of
-  // re-aggregating the index each time.
-  private val morWcCache = scala.collection.concurrent.TrieMap
-    .empty[String, (Long, Map[String, Long], Map[String, Long])]
 
   private def serveMorStatsImpl(
       a: Aggregate, table: KeyedTable,
       m: MorStatsMatch): Option[LogicalPlan] = {
     val MorStatsMatch(
-      _, needs, groupAttrs, partFilters, ranges, notNull, inLists) = m
+      _, needs, groupAttrs, groupIsPart, partFilters, ranges, notNull,
+      inLists) = m
+    val dataGroups = m.dataGroupCols
     table.colStatsFrame(spark).flatMap { st =>
       def statCol(prefix: String, c: String): Option[String] =
         st.columns.find(_.equalsIgnoreCase(s"${prefix}_$c"))
@@ -768,26 +784,8 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val settled = table.settledWinnerEntries(spark).getOrElse(return None)
       val stRel = st.withColumn(
         "_rfile", table.relOfFileCol(spark, col("file")))
-      // Per-file winner counts (metadata-sized: one row per file) and
-      // the sidecar's file set — computed once per table state and
-      // memoized by the mutation tick.
-      val tick = KeyedTable.mutationTick.get()
-      val (wcByFile, cntByFile) = morWcCache.get(table.spec.path) match {
-        case Some((t, w, c)) if t == tick => (w, c)
-        case _ =>
-          val w = settled.groupBy(col("file"))
-            .agg(count(lit(1)).as("wcnt")).collect()
-            .map(r => r.getString(0) -> r.getLong(1)).toMap
-          val c = KeyedTable.withMetaConf(spark)(
-            stRel.select(col("_rfile"), col("cnt")).collect()
-              .map(r => r.getString(0) -> r.getLong(1)).toMap)
-          morWcCache.put(table.spec.path, (tick, w, c))
-          (w, c)
-      }
-      // Soundness cross-check: every winner entry's file must be
-      // covered by the sidecar (exists ⇒ current guarantees it; a
-      // violation means a racing write — decline, don't drop winners).
-      if (!wcByFile.keySet.subsetOf(cntByFile.keySet)) return None
+      val (wcByFile, cntByFile) =
+        MorWinnerMaps.of(spark, table, settled, stRel).getOrElse(return None)
       // Partition point conjuncts select whole sidecar rows BEFORE the
       // classification — both the fold and the scan sides then see
       // only the matching partitions' files (the winner counts stay
@@ -797,12 +795,14 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case PartNotNull(c)  => statCol("p", c)
       }
       if (filterStatCols.exists(_.isEmpty)) return None
-      // Range/IS NOT NULL/IN classification columns must be covered.
+      // Range/IS NOT NULL/IN classification columns must be covered —
+      // and DATA group columns, whose single-valued test reads the same
+      // nn/min/max stats.
       val classCols = (ranges.map(_.column) ++ notNull ++
-        inLists.map(_._1)).distinct
+        inLists.map(_._1) ++ dataGroups).distinct
       val nnOf = classCols.map(c => c -> statCol("nn", c)).toMap
       if (nnOf.values.exists(_.isEmpty)) return None
-      val mmOf = (ranges.map(_.column) ++ inLists.map(_._1))
+      val mmOf = (ranges.map(_.column) ++ inLists.map(_._1) ++ dataGroups)
         .distinct.map(c =>
           c -> ((statCol("min", c), statCol("max", c)))).toMap
       if (mmOf.values.exists(p => p._1.isEmpty || p._2.isEmpty)) return None
@@ -844,18 +844,35 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         .reduceOption(_ && _).getOrElse(lit(true))
       val allWinners = col("wcnt").isNotNull && col("wcnt") === col("cnt") &&
         col("cnt") > 0
+      // A file folds into a DATA group only when SINGLE-VALUED in the
+      // column (min = max ∧ nn = cnt — sound under string truncation:
+      // stored-lower ≤ real-min ≤ real-max ≤ stored-upper forces the
+      // exact value when the stored bounds coincide). Group-spanning or
+      // null-carrying files fail the conjunct and scan as boundaries
+      // (winner rows carry their group values into the residual).
+      val dataSingle = dataGroups.map { c =>
+        val (mnC, mxC) = (mmOf(c)._1.get, mmOf(c)._2.get)
+        col(nnOf(c).get) === col("cnt") && col(mnC) === col(mxC)
+      }.reduceOption(_ && _).getOrElse(lit(true))
       // FOLD: every stored row is a live winner AND every row satisfies
-      // every conjunct. SCAN: the file holds ≥1 winner and may hold a
-      // satisfying row, and it is not folded (mixed, or pure-partial
-      // under the range) — the winner semi-join plus the re-applied
-      // conjuncts make its contribution exact.
-      val pure = allWinners && coalesce(fullRange, lit(false))
+      // every conjunct AND (for data groups) the file is single-valued.
+      // SCAN: the file holds ≥1 winner and may hold a satisfying row,
+      // and it is not folded (mixed, pure-partial under the range, or
+      // group-spanning) — the winner semi-join plus the re-applied
+      // conjuncts make its contribution exact. Data groups restrict
+      // nothing on the candidate side: every file can hold rows of some
+      // group.
+      val pure = allWinners &&
+        coalesce(fullRange && dataSingle, lit(false))
       val boundaryPred = col("wcnt").isNotNull && col("wcnt") > 0 &&
-        coalesce(candidate, lit(false)) &&
-        !(allWinners && coalesce(fullRange, lit(false)))
+        coalesce(candidate, lit(false)) && !pure
       // Pure-file folds — the hybrid's fold set; pure files fold into
-      // their hive partition's group (the sidecar's per-file p_ tuple).
-      val groupStatCols = groupAttrs.map(at => statCol("p", at.name))
+      // their hive partition's group (the sidecar's per-file p_ tuple)
+      // or, for a data group, their single recorded value (min = max).
+      val groupStatCols = groupAttrs.zip(groupIsPart).map {
+        case (at, true)  => statCol("p", at.name)
+        case (at, false) => statCol("min", at.name)
+      }
       if (groupStatCols.exists(_.isEmpty)) return None
       val folds: Seq[Option[Seq[org.apache.spark.sql.Column]]] = needs.map {
         case _: GroupOf  => Some(Seq.empty)
@@ -933,10 +950,11 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       if (truncated) return None
       // Boundary files from the cached maps when no conjunct narrows
       // the file set (no job); the sidecar-classified select otherwise
-      // (partition/range correctness must ride the p_/bounds columns).
+      // (partition/range correctness must ride the p_/bounds columns,
+      // and a data group's single-valued test rides the sidecar too).
       val boundaryRel: Seq[String] =
         if (partFilters.isEmpty && ranges.isEmpty && notNull.isEmpty &&
-            inLists.isEmpty)
+            inLists.isEmpty && dataGroups.isEmpty)
           cntByFile.collect {
             case (f, c) if wcByFile.get(f).exists(w => w > 0 && w < c) => f
           }.toSeq.sorted
@@ -1091,6 +1109,135 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         s"folded over ${rows.length} group rows, " +
         s"${boundaryRel.length} mixed files scanned)")
       Some(Aggregate(finalGroups, finalExprs, Union(Seq(local, partialPlan))))
+    }
+  }
+
+  /** `count(DISTINCT col)` over a history table's RESOLVED read — the
+    * winner-file classification composed with the values-union serve:
+    * a PURE file (every stored row a live winner) that is also
+    * SINGLE-VALUED in the column contributes its one stored value
+    * straight from the sidecar (min = max pins the exact value even
+    * under string truncation, by the bound sandwich; nn = cnt excludes
+    * nulls), every other file holding ≥ 1 winner scans its winner rows
+    * (the full resolve-identity semi-join) projected to the column, and
+    * DEAD files — exactly where a superseded distinct value hides —
+    * never open. A count-distinct over the union de-duplicates the two
+    * sides. Match: a bare single-output `count(DISTINCT attr)` over the
+    * exact shared resolve shape (rn = 1 the only conjunct anywhere) on
+    * a registered `retainHistory` table, attr an ordered-stats DATA
+    * column (partition columns are [[serveMorCount]]'s index-side
+    * family). Zero folded values decline — nothing would fold and the
+    * plain resolve is the better plan.
+    */
+  private def serveMorDistinct(a: Aggregate): Option[LogicalPlan] = {
+    if (a.groupingExpressions.nonEmpty || a.aggregateExpressions.length != 1)
+      return None
+    val (child0, orig) = a.aggregateExpressions.head match {
+      case al @ Alias(ae: AggregateExpression, _)
+          if ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(x)) => (x, al)
+          case _ => return None
+        }
+      case _ => return None
+    }
+    val conds = mutable.Buffer.empty[(Expression, Int)]
+    val windows = mutable.Buffer.empty[Window]
+    val renames = mutable.Map.empty[ExprId, Expression]
+    val rels = mutable.Buffer.empty[LogicalRelation]
+    val pairs = mutable.Buffer.empty[(Attribute, Attribute)]
+    if (!MvPlanShape.strip(a.child, conds, windows, renames, rels, pairs))
+      return None
+    if (pairs.nonEmpty || rels.length != 1) return None
+    val lr = rels.head
+    val fsRel = lr.relation match {
+      case h: HadoopFsRelation => h
+      case _ => return None
+    }
+    val root = fsRel.location.rootPaths match {
+      case Seq(one) => one.toString
+      case _ => return None
+    }
+    val spec = Option(KeyedTable.specRegistry.get(root)).getOrElse(return None)
+    if (!spec.retainHistory) return None
+    val subst = MvPlanShape.substFn(renames)
+    val relIds = lr.output.map(_.exprId).toSet
+    val rn = windows.toSeq match {
+      case Seq(w) => MvPlanShape.resolveRnOf(w, spec).getOrElse(return None)
+      case _ => return None
+    }
+    val split = conds.toSeq.flatMap { case (c, d) =>
+      MvPlanShape.splitConjunction(c).map(e => (e, d))
+    }
+    val (rnConds, rest) =
+      split.partition(p => MvPlanShape.isRnEqOne(p._1, rn))
+    if (rnConds.map(_._2) != Seq(0) || rest.nonEmpty) return None
+    val relAttr = subst(child0) match {
+      case at: Attribute if relIds.contains(at.exprId) &&
+        !at.name.startsWith("_graft_") &&
+        KeyedTable.statsOrderedType(at.dataType) &&
+        !spec.partitionCols.exists(_.equalsIgnoreCase(at.name)) => at
+      case _ => return None
+    }
+    val table = KeyedTable(spec)
+    memo.gated(("morDistinct", spec.path, relAttr.name)) {
+      table.colStatsFrame(spark).flatMap { st =>
+        def statCol(prefix: String): Option[String] =
+          st.columns.find(_.equalsIgnoreCase(s"${prefix}_${relAttr.name}"))
+        if (!st.columns.contains("cnt")) return None
+        val (mnC, mxC, nnC) =
+          (statCol("min"), statCol("max"), statCol("nn")) match {
+            case (Some(a1), Some(b), Some(c)) => (a1, b, c)
+            case _ => return None
+          }
+        val settled = table.settledWinnerEntries(spark).getOrElse(return None)
+        val stRel = st.withColumn(
+          "_rfile", table.relOfFileCol(spark, col("file")))
+        val (wcByFile, _) =
+          MorWinnerMaps.of(spark, table, settled, stRel)
+            .getOrElse(return None)
+        val wcU = udf((f: String) => wcByFile.get(f))
+        val joined = stRel.withColumn("wcnt", wcU(col("_rfile")))
+        val allWinners = col("wcnt").isNotNull &&
+          col("wcnt") === col("cnt") && col("cnt") > 0
+        val singleValued = col(nnC) === col("cnt") && col(mnC) === col(mxC)
+        val fold = allWinners && coalesce(singleValued, lit(false))
+        val fullValues = KeyedTable.withMetaConf(spark)(
+          joined.filter(fold).select(col(mnC)).distinct()
+            .limit(MaxGroups + 1).collect())
+        if (fullValues.isEmpty || fullValues.length > MaxGroups) return None
+        val scanRel = KeyedTable.withMetaConf(spark)(
+          joined.filter(col("wcnt").isNotNull && col("wcnt") > 0 && !fold)
+            .select(col("_rfile")).collect().map(_.getString(0)).toSeq)
+        val conv =
+          CatalystTypeConverters.createToCatalystConverter(relAttr.dataType)
+        val uVal = AttributeReference("u", relAttr.dataType)()
+        val local = LocalRelation(
+          Seq(uVal),
+          fullValues.toIndexedSeq.map(r =>
+            InternalRow(conv(if (r.isNullAt(0)) null else r.get(0)))),
+          false)
+        val scanPlan: LogicalPlan =
+          if (scanRel.isEmpty)
+            LocalRelation(
+              Seq(AttributeReference("u", relAttr.dataType)()),
+              IndexedSeq.empty, false)
+          else {
+            val bplan = table.winnerRowsOf(spark, scanRel, settled)
+              .select(col(relAttr.name)).queryExecution.analyzed
+            Project(Seq(Alias(bplan.output.head, "u")()), bplan)
+          }
+        val cd = AggregateExpression(
+          Count(Seq(uVal)), Complete, isDistinct = true)
+        logInfo(s"stats-aggregate rewrite: ${spec.path} resolved " +
+          s"count(distinct ${relAttr.name}) served by winner-file " +
+          s"classification (${fullValues.length} folded values, " +
+          s"${scanRel.length} files scanned)")
+        Some(Aggregate(
+          Nil,
+          Seq(Alias(cd, orig.name)(exprId = orig.exprId)),
+          Union(Seq(local, scanPlan))))
+      }
     }
   }
 
@@ -1919,4 +2066,47 @@ object StatsAggregateRewrite {
     * many groups the answer belongs in a real scan, not the plan.
     */
   val MaxGroups = 4096
+}
+
+/** Per-file winner/stored-count maps for a history table's resolved
+  * serves — shared by every rule composing the winner-file
+  * classification ([[StatsAggregateRewrite]]'s value/distinct arms,
+  * [[TopKPruneRewrite]]'s resolved walk). (table path) → (mutation
+  * tick, winner count per table-relative file, stored row count per
+  * table-relative file). Both maps are file-count-sized — the same
+  * class as a Hudi timeline. Any mutation anywhere bumps the global
+  * tick and invalidates — conservative but free to check, and it keeps
+  * the per-invocation serve to ONE index-sized fold job instead of
+  * re-aggregating the index per query.
+  */
+private[plans] object MorWinnerMaps {
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, Map[String, Long], Map[String, Long])]
+
+  /** The maps, memoized per mutation tick, with the soundness
+    * cross-check applied: every winner entry's file must be covered by
+    * the stats sidecar (exists ⇒ current guarantees it; a violation
+    * means a racing write — `None`: decline, don't drop winners).
+    */
+  def of(
+      spark: SparkSession, table: KeyedTable,
+      settled: org.apache.spark.sql.DataFrame,
+      stRel: org.apache.spark.sql.DataFrame)
+      : Option[(Map[String, Long], Map[String, Long])] = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val tick = KeyedTable.mutationTick.get()
+    val (w, c) = cache.get(table.spec.path) match {
+      case Some((t, w0, c0)) if t == tick => (w0, c0)
+      case _ =>
+        val w0 = settled.groupBy(col("file"))
+          .agg(count(lit(1)).as("wcnt")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val c0 = KeyedTable.withMetaConf(spark)(
+          stRel.select(col("_rfile"), col("cnt")).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap)
+        cache.put(table.spec.path, (tick, w0, c0))
+        (w0, c0)
+    }
+    if (!w.keySet.subsetOf(c.keySet)) None else Some((w, c))
+  }
 }

@@ -72,7 +72,7 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (KeyedTable.specRegistry.isEmpty) return plan
     plan.transformUp {
       case lim: GlobalLimit =>
-        try tryRewrite(lim).getOrElse(lim)
+        try tryRewrite(lim).orElse(tryMorRewrite(lim)).getOrElse(lim)
         catch { case scala.util.control.NonFatal(_) => lim }
     }
   }
@@ -121,27 +121,34 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
 
-  private def matchTopK(lim: GlobalLimit): Option[TopKMatch] = {
-    // Paginated form: LIMIT k OFFSET m canonicalizes to
-    // GlobalLimit(k, Offset(m, LocalLimit(k+m, Sort))) — the walk runs
-    // at the COMBINED bound k+m (files that can hold any of the first
-    // k+m rows), and the residual Sort + limits + Offset slice the page
-    // exactly. Plain form: the shared Limit extractor.
-    val (k, sort) = lim match {
-      case Limit(IntegerLiteral(n), s: Sort) => (n, s)
+  /** Paginated form: LIMIT k OFFSET m canonicalizes to
+    * GlobalLimit(k, Offset(m, LocalLimit(k+m, Sort))) — the walk runs
+    * at the COMBINED bound k+m (files that can hold any of the first
+    * k+m rows), and the residual Sort + limits + Offset slice the page
+    * exactly. Plain form: the shared Limit extractor.
+    */
+  private def limitSort(lim: GlobalLimit): Option[(Int, Sort)] = {
+    val ks = lim match {
+      case Limit(IntegerLiteral(n), s: Sort) => Some((n, s))
       case Limit(IntegerLiteral(n), Project(pl, s: Sort)) if projOk(pl) =>
-        (n, s)
+        Some((n, s))
       case GlobalLimit(IntegerLiteral(n),
           Offset(IntegerLiteral(m), LocalLimit(IntegerLiteral(nm), rest)))
           if n > 0 && m >= 0 && nm == n + m =>
         rest match {
-          case s: Sort => (nm, s)
-          case Project(pl, s: Sort) if projOk(pl) => (nm, s)
-          case _ => return None
+          case s: Sort => Some((nm, s))
+          case Project(pl, s: Sort) if projOk(pl) => Some((nm, s))
+          case _ => None
         }
-      case _ => return None
+      case _ => None
     }
-    if (k <= 0 || !sort.global || sort.order.isEmpty) return None
+    ks.filter { case (k, sort) =>
+      k > 0 && sort.global && sort.order.nonEmpty
+    }
+  }
+
+  private def matchTopK(lim: GlobalLimit): Option[TopKMatch] = {
+    val (k, sort) = limitSort(lim).getOrElse(return None)
 
     val conds = mutable.Buffer.empty[(Expression, Int)]
     val windows = mutable.Buffer.empty[Window]
@@ -343,6 +350,147 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             Some((sel.map(abs =>
               new org.apache.hadoop.fs.Path(new java.net.URI(abs))), total))
           }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+
+  /** `ORDER BY col LIMIT k` over a history table's RESOLVED read — the
+    * stats top-k walk composed with the winner-file classification
+    * ([[StatsAggregateRewrite]]'s MoR arm): PURE files (every stored
+    * row a live winner) drive the count accumulation exactly as COW
+    * files do — a pure file's `nn` counts its non-null WINNER values,
+    * so walking pure files by min (DESC; max ASC) until Σnn ≥ k proves
+    * the kth resolved value reaches the walk bound L. The kept set is
+    * every file holding ≥ 1 winner whose bounds reach L: a MIXED
+    * file's all-version bounds are OUTER bounds of its winners
+    * (winners ⊆ stored rows), so "max < L" (DESC) soundly excludes it,
+    * and DEAD files — exactly where the superseded extremum hides —
+    * never open. The plan then replaces the resolve window wholesale
+    * with the winner rows of the kept files (the full resolve-identity
+    * semi-join), re-aliased to the sort child's own attribute ids so
+    * the residual Sort + Limit stay untouched and boundary ties
+    * resolve exactly as the full resolve would. Match: the exact
+    * shared resolve shape (rn = 1 the only conjunct anywhere) on a
+    * registered `retainHistory` table, leading sort key an
+    * ordered-stats DATA column; other filters decline (composing them
+    * with winner purity is future surface). NULLS: with nulls last the
+    * walk's ≥ k non-null winners outrank every null; nulls-first keeps
+    * any file that may hold a null winner (cnt > nn).
+    */
+  private def tryMorRewrite(lim: GlobalLimit): Option[LogicalPlan] = {
+    val (k, sort) = limitSort(lim).getOrElse(return None)
+    val conds = mutable.Buffer.empty[(Expression, Int)]
+    val windows = mutable.Buffer.empty[Window]
+    val renames = mutable.Map.empty[ExprId, Expression]
+    val rels = mutable.Buffer.empty[LogicalRelation]
+    val pairs = mutable.Buffer.empty[(Attribute, Attribute)]
+    if (!MvPlanShape.strip(sort.child, conds, windows, renames, rels, pairs))
+      return None
+    if (pairs.nonEmpty || rels.length != 1) return None
+    val lr = rels.head
+    val fsRel = lr.relation match {
+      case h: HadoopFsRelation => h
+      case _ => return None
+    }
+    val root = fsRel.location.rootPaths match {
+      case Seq(one) => one.toString
+      case _ => return None
+    }
+    val spec = Option(KeyedTable.specRegistry.get(root)).getOrElse(return None)
+    if (!spec.retainHistory) return None
+    val subst = MvPlanShape.substFn(renames)
+    val relIds = lr.output.map(_.exprId).toSet
+    val rn = windows.toSeq match {
+      case Seq(w) => MvPlanShape.resolveRnOf(w, spec).getOrElse(return None)
+      case _ => return None
+    }
+    val split = conds.toSeq.flatMap { case (c, d) =>
+      MvPlanShape.splitConjunction(c).map(e => (e, d))
+    }
+    val (rnConds, rest) =
+      split.partition(p => MvPlanShape.isRnEqOne(p._1, rn))
+    if (rnConds.map(_._2) != Seq(0) || rest.nonEmpty) return None
+    val head = sort.order.head
+    val attr = subst(head.child) match {
+      case a: Attribute if relIds.contains(a.exprId) &&
+        KeyedTable.statsOrderedType(a.dataType) &&
+        !a.name.startsWith("_graft_") &&
+        !spec.partitionCols.exists(_.equalsIgnoreCase(a.name)) => a
+      case _ => return None
+    }
+    val desc = head.direction == Descending
+    val nullsFirst = head.nullOrdering == NullsFirst
+    memo.gated(("mor", root, attr.name, k, desc, nullsFirst)) {
+      serveMorTopK(lim, sort, KeyedTable(spec), attr.name, k, desc,
+        nullsFirst)
+    }
+  }
+
+  private def serveMorTopK(
+      lim: GlobalLimit, sort: Sort, table: KeyedTable,
+      column: String, k: Int, desc: Boolean,
+      nullsFirst: Boolean): Option[LogicalPlan] =
+    table.colStatsFrame(spark).flatMap { st =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      import org.apache.spark.sql.functions.{coalesce, col, lit, sum, udf}
+      def statCol(prefix: String): Option[String] =
+        st.columns.find(_.equalsIgnoreCase(s"${prefix}_$column"))
+      if (!st.columns.contains("cnt")) return None
+      val (mnS, mxS, nnS) = (statCol("min"), statCol("max"), statCol("nn"))
+      if (mnS.isEmpty || mxS.isEmpty || nnS.isEmpty) return None
+      val settled = table.settledWinnerEntries(spark).getOrElse(return None)
+      val stRel = st.withColumn(
+        "_rfile", table.relOfFileCol(spark, col("file")))
+      val (wcByFile, cntByFile) =
+        MorWinnerMaps.of(spark, table, settled, stRel)
+          .getOrElse(return None)
+      val wcU = udf((f: String) => wcByFile.get(f))
+      val joined = stRel.withColumn("wcnt", wcU(col("_rfile")))
+      val (mn, mx, nn) = (col(mnS.get), col(mxS.get), col(nnS.get))
+      val pure = col("wcnt").isNotNull && col("wcnt") === col("cnt") &&
+        col("cnt") > 0
+      KeyedTable.withMetaConf(spark) {
+        try {
+          val walkKey = if (desc) mn else mx
+          val w = W.orderBy(if (desc) walkKey.desc_nulls_last
+            else walkKey.asc_nulls_last)
+          val crossing = joined.filter(pure && nn > 0)
+            .withColumn("_graft_cum", sum(nn).over(
+              w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+            .filter(col("_graft_cum") >= k && nn > 0)
+            .orderBy(if (desc) walkKey.desc else walkKey.asc)
+            .limit(1)
+            .select(walkKey)
+            .collect()
+          if (crossing.isEmpty) return None // < k provable winner rows
+          val bound = crossing(0).get(0)
+          val valuePred =
+            if (desc) mx >= lit(bound) else mn <= lit(bound)
+          val pred =
+            if (nullsFirst) valuePred || (col("cnt") > nn) else valuePred
+          val kept = joined
+            .filter(col("wcnt").isNotNull && col("wcnt") > 0 &&
+              coalesce(pred, lit(false)))
+            .select(col("_rfile")).collect().map(_.getString(0)).toSeq
+          if (kept.length >= cntByFile.size) return None // nothing pruned
+          val bplan = table.winnerRowsOf(spark, kept, settled)
+            .queryExecution.analyzed
+          val byName = bplan.output
+            .map(at => at.name.toLowerCase(Locale.ROOT) -> at).toMap
+          val aliases: Seq[NamedExpression] = sort.child.output.map { at =>
+            val src = byName.getOrElse(
+              at.name.toLowerCase(Locale.ROOT), return None)
+            if (src.dataType != at.dataType) return None
+            Alias(src, at.name)(exprId = at.exprId)
+          }
+          val newChild = Project(aliases, bplan)
+          logInfo(s"top-k rewrite: ${table.spec.path} RESOLVED scan " +
+            s"replaced by winner rows of ${kept.length} of " +
+            s"${cntByFile.size} files for ORDER BY $column " +
+            (if (desc) "DESC" else "ASC") + s" LIMIT $k")
+          Some(lim.transformUp {
+            case s: Sort if s eq sort => s.copy(child = newChild)
+          })
         } catch { case scala.util.control.NonFatal(_) => None }
       }
     }

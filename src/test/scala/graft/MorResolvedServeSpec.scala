@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.table.{KeyedTable, KeyedTableSpec}
+
+/** The resolved-read serving compositions beyond plain aggregates —
+  * grouped-by-clustered-DATA-column ([[graft.plans.StatsAggregateRewrite]]'s
+  * MoR arm × single-valued classification), count(DISTINCT data col)
+  * (winner-file classification × values-union), and ORDER BY ... LIMIT k
+  * ([[graft.plans.TopKPruneRewrite]]'s MoR walk). Every test carries the
+  * superseded-extremum trap: the interesting value lives in a DEAD file
+  * (all rows superseded) that the serve must never open, and the winner
+  * that replaced it MIGRATED files (c0b → c1), so any classification
+  * shortcut that trusts per-file stats over all versions fails loudly.
+  */
+class MorResolvedServeSpec extends SparkTestBase {
+
+  private def rows(tuples: (Long, String, Long, Long)*): DataFrame =
+    spark.createDataFrame(tuples.toSeq).toDF("id", "grp", "v", "rev")
+
+  /** MoR table clustered by (grp, v): bulk 'a' 1..20 / 'b' 21..40 with
+    * v = id, then a TRAP row in its own post-cluster file (c0b), then
+    * the correction (c1) — c0b's file is DEAD, the winner migrated to
+    * c1's file. Index refreshed, stats recorded.
+    */
+  private def fixture(
+      trap0: (Long, String, Long, Long),
+      trap1: (Long, String, Long, Long)): (KeyedTable, String) = {
+    val path = Files.createTempDirectory("graft_morserve_").toString + "/t"
+    val t = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("id"), precombineCol = "rev",
+      retainHistory = true))
+    val bulk = (1L to 40L).map(i =>
+      (i, if (i <= 20) "a" else "b", i, 0L))
+    t.upsert(spark, rows(bulk: _*), commitTime = "c0")
+    t.cluster(spark, Seq("grp", "v"), targetFileBytes = 1L << 10)
+    t.upsert(spark, rows(trap0), commitTime = "c0b")
+    t.recordKeyIndex(spark)
+    t.upsert(spark, rows(trap1), commitTime = "c1")
+    t.refreshRecordKeyIndex(spark)
+    t.recordColumnStats(spark, Seq("grp", "v"))
+    // the dead file: the one whose stats still carry the trap value
+    val dead = new org.apache.hadoop.fs.Path(
+      spark.read.parquet(s"$path/_graft_colstats")
+        .filter(col("max_v") === trap0._3)
+        .select("file").collect()(0).getString(0)).getName
+    (t, dead)
+  }
+
+  private def dataScans(df: DataFrame): Seq[String] =
+    graft.plans.PlanWalk.scannedFiles(df).filterNot(_.contains("/_graft_"))
+
+  test("grouped resolved aggregate over a clustered DATA column: fold × purity, dead file never opens") {
+    val (t, dead) = fixture(
+      trap0 = (999L, "a", 999999L, 0L),
+      trap1 = (999L, "a", 5L, 1L))
+    def q = t.read(spark).groupBy(col("grp")).agg(
+      min(col("v")).as("mn"), max(col("v")).as("mx"),
+      sum(col("v")).as("s"), count(lit(1)).as("n"))
+    val expect = Set(
+      org.apache.spark.sql.Row("a", 1L, 20L, (1L to 20L).sum + 5L, 21L),
+      org.apache.spark.sql.Row("b", 21L, 40L, (21L to 40L).sum, 20L))
+    assert(q.collect().toSet == expect,
+      "the superseded 999999 must never surface as group a's max")
+    val scanned = dataScans(q)
+    assert(!scanned.exists(_.endsWith(dead)), "the dead file must not open")
+    val total = spark.read.parquet(s"${t.spec.path}/_graft_colstats").count()
+    assert(scanned.size < total,
+      s"pure single-valued files must fold, got $scanned of $total")
+    // Control: grouping by an UNPROJECTED data column still declines.
+    t.read(spark).createOrReplaceTempView("morserve_grp")
+    val qUnproj = spark.sql(
+      "SELECT min(v) AS mn FROM morserve_grp GROUP BY grp")
+    assert(qUnproj.collect().map(_.getLong(0)).toSet == Set(1L, 21L))
+  }
+
+  test("resolved count(DISTINCT data col): superseded-only value vanishes, live trap value counts") {
+    // trap doc's c0 grp 'z' is UNIQUE and fully superseded by the c1
+    // correction to 'a' — the distinct count must not include 'z'.
+    val (t, dead) = fixture(
+      trap0 = (999L, "z", 50L, 0L),
+      trap1 = (999L, "a", 5L, 1L))
+    def q = t.read(spark).agg(countDistinct(col("grp")).as("n"))
+    assert(q.collect()(0).getLong(0) == 2L,
+      "the superseded-only 'z' must vanish from the distinct count")
+    // the dead file here is the one carrying grp bounds 'z' (v = 50
+    // also only lives there, so the max_v probe still finds it)
+    assert(!dataScans(q).exists(_.endsWith(dead)),
+      "the dead file must not open")
+    // The serve equals the explicit resolve computed by hand.
+    val resolved = t.read(spark).select("grp").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(resolved == Set("a", "b"))
+  }
+
+  test("resolved ORDER BY ... LIMIT k: walk prunes, dead extremum never surfaces") {
+    // trap: the c0 global max of v (999999) is corrected down to 0 —
+    // ORDER BY v DESC must answer from live rows only.
+    val (t, dead) = fixture(
+      trap0 = (999L, "b", 999999L, 0L),
+      trap1 = (999L, "b", 0L, 1L))
+    def q = t.read(spark)
+      .orderBy(col("v").desc, col("id").desc)
+      .limit(3)
+      .select("id", "grp", "v")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((40L, 40L), (39L, 39L), (38L, 38L)),
+      "the superseded 999999 must never surface in the top-k")
+    val scanned = dataScans(q)
+    assert(!scanned.exists(_.endsWith(dead)), "the dead file must not open")
+    val total = spark.read.parquet(s"${t.spec.path}/_graft_colstats").count()
+    assert(scanned.size < total,
+      s"the walk must prune low-value files, got $scanned of $total")
+    // ascending + tiebreak: the corrected row itself (v = 0) leads.
+    def qa = t.read(spark)
+      .orderBy(col("v").asc, col("id").asc)
+      .limit(2)
+      .select("id", "v")
+    assert(qa.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((999L, 0L), (1L, 1L)))
+  }
+}
