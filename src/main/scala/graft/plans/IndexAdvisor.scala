@@ -44,6 +44,27 @@ object IndexAdvisor {
     * column) per table-state generation, O(1) on re-analysis of an
     * unchanged workload.
     */
+  // (table path) -> (mutation tick, per-file sizes). One recursive
+  // listing per table per table-state generation, shared across the
+  // advisor's arms (rollup bytes gate, compaction sizing) and across
+  // consecutive analyze() calls on an unchanged table — the same
+  // listing-discipline as the KMV memo below, one class cheaper.
+  private val sizesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[Long])]
+
+  private def memoizedFileSizes(
+      spark: org.apache.spark.sql.SparkSession,
+      t: KeyedTable): Seq[Long] = {
+    val tick = KeyedTable.mutationTick.get()
+    Option(sizesMemo.get(t.spec.path)) match {
+      case Some((at, sizes)) if at == tick => sizes
+      case _ =>
+        val sizes = t.dataFileSizes(spark)
+        sizesMemo.put(t.spec.path, (tick, sizes))
+        sizes
+    }
+  }
+
   private def memoizedCardinality(
       spark: org.apache.spark.sql.SparkSession,
       t: KeyedTable, gcol: String): Long = {
@@ -199,7 +220,7 @@ object IndexAdvisor {
           // probe. The KMV probe itself is memoized per (table, column)
           // by the global mutation tick: re-analyzing an unchanged
           // workload costs O(listing), not O(table data) per call.
-          val bytes = t.dataFileSizes(spark).sum
+          val bytes = IndexAdvisor.memoizedFileSizes(spark, t).sum
           if (bytes < 2 * rollupTarget) Nil
           else {
           val card = IndexAdvisor.memoizedCardinality(spark, t, gcol)
@@ -280,7 +301,8 @@ object IndexAdvisor {
         .flatMap { case (path, occ) =>
           Option(KeyedTable.specRegistry.get(path)).toSeq.flatMap { spec =>
             try {
-              val sizes = KeyedTable(spec).dataFileSizes(spark)
+              val sizes =
+                IndexAdvisor.memoizedFileSizes(spark, KeyedTable(spec))
               if (sizes.length >= minFiles &&
                   sizes.sum / sizes.length < threshold)
                 Seq(IndexRec(path, "compact", "", occ.length))

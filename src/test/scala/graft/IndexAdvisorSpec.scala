@@ -453,4 +453,42 @@ class IndexAdvisorSpec extends SparkTestBase {
         "a per-value run below the file target must recommend nothing")
     } finally spark.conf.unset("spark.graft.cluster.target.bytes")
   }
+
+  test("re-analyzing an unchanged table pays zero full listings and zero data jobs") {
+    // The advisor's per-call filesystem budget: on a table whose state
+    // has not changed, a repeated analyze() must answer entirely from
+    // the tick-memoized listing + cardinality — no recursive data-file
+    // listing, no KMV scan. This is what keeps a periodic advisor loop
+    // (analyze every N minutes over hundreds of registered tables)
+    // metadata-cheap at 100 TB.
+    val path = Files.createTempDirectory("graft_idxadv_fs_").toString + "/t"
+    val t = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("event_id"), precombineCol = "ts_us"))
+    val ev = eventsUs.withColumn("bucket", col("user_id") % 4)
+    t.upsert(spark, ev, commitTime = "c0")
+    def q = t.read(spark).groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
+    spark.conf.set("spark.graft.cluster.target.bytes", (2L << 10).toString)
+    spark.conf.set("spark.graft.compact.small.bytes", (1L << 20).toString)
+    try {
+      val a1 = IndexAdvisor.analyze(spark, Seq(q))
+      val n0 = KeyedTable.fullListings.get()
+      val a2 = IndexAdvisor.analyze(spark, Seq(q))
+      assert(KeyedTable.fullListings.get() == n0,
+        "the second analyze on an unchanged table must not re-list")
+      assert(a2.recommendations.map(r => (r.kind, r.column)) ==
+        a1.recommendations.map(r => (r.kind, r.column)),
+        "memoized measurements must not change the advice")
+      // A mutation invalidates: the next analyze re-measures.
+      t.upsert(spark, ev.filter(col("event_id") % 7 === 0),
+        commitTime = "c1")
+      val n1 = KeyedTable.fullListings.get()
+      IndexAdvisor.analyze(spark, Seq(q))
+      assert(KeyedTable.fullListings.get() > n1,
+        "a mutated table must be re-listed on the next analyze")
+    } finally {
+      spark.conf.unset("spark.graft.cluster.target.bytes")
+      spark.conf.unset("spark.graft.compact.small.bytes")
+    }
+  }
 }
