@@ -225,7 +225,9 @@ object SparkEntry {
     "q198_mor_range_stats" -> (UpsertOps.morRangeResolvedStats(_, _)),
     "q199_mor_group_data" -> (UpsertOps.morGroupDataStats(_, _)),
     "q200_mor_distinct" -> (UpsertOps.morDistinctLangs(_, _)),
-    "q201_mor_topk" -> (UpsertOps.morTopKResolved(_, _))
+    "q201_mor_topk" -> (UpsertOps.morTopKResolved(_, _)),
+    "q202_incremental_labels" ->
+      ((s, d) => Dedup.incrementalClusterLabels(s, d))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -247,6 +249,29 @@ object SparkEntry {
   // Distinct word 3-gram shingles per document (mirrors
   // TextFunctions.shingles + array_distinct: k consecutive tokens joined
   // by one space; docs shorter than 3 tokens yield the whole text).
+  // connected components of the near-dup graph via a recursive CTE:
+  // every doc's label = min doc_id reachable over pair edges (shared by
+  // q51's full propagation and q202's incremental maintenance — the
+  // incremental path must reproduce the full labels exactly)
+  private lazy val clusterLabelsSql =
+    s"""WITH RECURSIVE
+       |sh AS ($shingleTable),
+       |p AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS j
+       |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) q
+       |  WHERE j >= 0.5),
+       |e AS (SELECT a_id AS src, b_id AS dst FROM p
+       |      UNION ALL SELECT b_id, a_id FROM p),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+       |SELECT id AS doc_id, MIN(r) AS cluster_rep
+       |FROM reach GROUP BY id""".stripMargin
+
   private val shingleTable =
     """SELECT doc_id,
       |  CASE WHEN len(toks) >= 3
@@ -1560,26 +1585,11 @@ object SparkEntry {
          |UNION ALL
          |SELECT b_id, a_id, a_split, jaccard
          |FROM sp WHERE b_split = 'train' AND a_split <> 'train'""".stripMargin,
-    "q51_dedup_clusters" ->
-      // connected components of the near-dup graph via a recursive CTE:
-      // every doc's label = min doc_id reachable over pair edges
-      s"""WITH RECURSIVE
-         |sh AS ($shingleTable),
-         |p AS (
-         |  SELECT a_id, b_id FROM (
-         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS j
-         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) q
-         |  WHERE j >= 0.5),
-         |e AS (SELECT a_id AS src, b_id AS dst FROM p
-         |      UNION ALL SELECT b_id, a_id FROM p),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
-         |SELECT id AS doc_id, MIN(r) AS cluster_rep
-         |FROM reach GROUP BY id""".stripMargin,
+    "q51_dedup_clusters" -> clusterLabelsSql,
+    // the incremental maintenance (standing labels + delta probe +
+    // collapsed-graph merge) must answer IDENTICALLY to the full
+    // propagation — same recursive CTE as q51
+    "q202_incremental_labels" -> clusterLabelsSql,
     "q39_ann_brute" -> annTop10Sql,
     "q40_ann_lsh" -> annTop10Sql,
     "q44_ann_ivf" -> annTop10Sql,

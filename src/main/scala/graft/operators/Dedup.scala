@@ -651,20 +651,35 @@ object Dedup {
     s.read.parquet(path)
   }
 
-  /** Run the min-label propagation and persist the labels; returns the
-    * sidecar path. One call per (dir, threshold) — [[nearDupClusters]]
-    * memoizes the path.
+  /** Run the min-label propagation over the full corpus and persist the
+    * labels; returns the sidecar path. One call per (dir, threshold) —
+    * [[nearDupClusters]] memoizes the path.
     */
   private def propagateClusterLabels(
-      s: SparkSession, dir: String, threshold: Double): String = {
-    val pairs = cacheOnce(minhashLsh(s, dir, threshold = threshold)
-      .select(col("a_id"), col("b_id")))
+      s: SparkSession, dir: String, threshold: Double): String =
+    propagateMinLabels(
+      s,
+      Tables.documents(s, dir).select(col("doc_id")),
+      minhashLsh(s, dir, threshold = threshold).select("a_id", "b_id"),
+      "ndlabels")
+
+  /** Iterative min-label propagation over (nodes, undirected pair
+    * edges), persisted as a (doc_id, cluster_rep) parquet table; returns
+    * the path. Per round every node takes the smallest label among
+    * itself and its neighbors — a groupBy + join per round, converging
+    * in O(component diameter) rounds. All shuffles key on node ids;
+    * nothing driver-side but the per-round convergence counter.
+    */
+  private def propagateMinLabels(
+      s: SparkSession, nodes: DataFrame, pairFrame: DataFrame,
+      tag: String): String = {
+    val pairs = cacheOnce(pairFrame.select(col("a_id"), col("b_id")))
     val edges = pairs
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst")
 
-    var cached = cacheOnce(Tables.documents(s, dir)
-      .select(col("doc_id"), col("doc_id").as("cluster_rep")))
+    var cached = cacheOnce(
+      nodes.select(col("doc_id"), col("doc_id").as("cluster_rep")))
     var labels = cached
     var changed = 1L
     while (changed > 0) {
@@ -693,12 +708,92 @@ object Dedup {
     }
     pairs.unpersist()
     val out = java.nio.file.Files
-      .createTempDirectory("graft_ndlabels_").toString + "/labels"
+      .createTempDirectory(s"graft_${tag}_").toString + "/labels"
     labels
       .select(col("doc_id").cast("long"), col("cluster_rep").cast("long"))
       .write.parquet(out)
     cached.unpersist()
     out
+  }
+
+  // Standing-corpus labels (even doc ids — the q121 standing/delta
+  // convention): the pre-state the incremental maintenance joins,
+  // persisted like the full sidecar.
+  private val standingLabelsPath = scala.collection.concurrent.TrieMap
+    .empty[(String, Double), String]
+
+  /** INCREMENTAL near-dup cluster maintenance — the daily-delta shape
+    * at 100 TB: an arriving batch (odd doc ids, the [[incrementalMinhash]]
+    * convention) joins the STANDING labels instead of re-clustering the
+    * corpus. The delta LSH-probes the standing band index for its
+    * near-dup pairs (new×new + new×corpus, never corpus×corpus), each
+    * standing component COLLAPSES to its representative node
+    * (within-component connectivity is already known, and the rep IS
+    * the component minimum), and min-label propagation runs over the
+    * SMALL merge graph — delta docs plus touched reps only. Bridges
+    * (one new doc matching two components) and undercuts (a new id
+    * below a component's minimum) are handled by the same propagation,
+    * no special cases. Final labels: delta docs carry their computed
+    * label; standing docs re-label only where their rep's label moved.
+    * Cost O(delta + touched components), never O(corpus) — and the
+    * result is IDENTICAL to re-running the full propagation over the
+    * union (the oracle: the same recursive CTE as q51).
+    */
+  def incrementalClusterLabels(
+      s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val standingPath = standingLabelsPath.getOrElseUpdate((dir, threshold),
+      propagateMinLabels(
+        s,
+        Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id")),
+        minhashLsh(s, dir, threshold = threshold)
+          .filter(col("a_id") % 2 === 0 && col("b_id") % 2 === 0)
+          .select("a_id", "b_id"),
+        "ndstanding"))
+    val standing = s.read.parquet(standingPath)
+    val deltaPairs = incrementalMinhash(s, dir, threshold = threshold)
+      .select("a_id", "b_id")
+    val deltaDocs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 2 === 1).select(col("doc_id"))
+    mergeDeltaLabels(s, standing, deltaDocs, deltaPairs)
+  }
+
+  /** The merge step of [[incrementalClusterLabels]], factored so its
+    * graph cases (bridge, undercut, isolated delta doc, untouched
+    * component) are testable with synthetic inputs. `standing` =
+    * (doc_id, cluster_rep) with rep = component minimum; `deltaDocs` =
+    * the arriving ids; `deltaPairs` = near-dup pairs with ≥ 1 delta
+    * side. Collapses standing endpoints to reps, propagates min labels
+    * over the collapsed graph, and stitches: delta docs from the
+    * propagation, standing docs through their (possibly relabeled) rep.
+    */
+  private[graft] def mergeDeltaLabels(
+      s: SparkSession, standing: DataFrame, deltaDocs: DataFrame,
+      deltaPairs: DataFrame): DataFrame = {
+    val repOf = standing
+      .select(col("doc_id").as("sid"), col("cluster_rep").as("srep"))
+    def mapEnd(df: DataFrame, c: String): DataFrame =
+      df.join(repOf, df(c) === repOf("sid"), "left")
+        .withColumn(c, coalesce(col("srep"), col(c)))
+        .drop("sid", "srep")
+    val edges = mapEnd(mapEnd(
+        deltaPairs.select(col("a_id"), col("b_id")), "a_id"), "b_id")
+      .filter(col("a_id") =!= col("b_id"))
+    val touched = edges
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct()
+    val nodes = deltaDocs.select(col("doc_id")).union(touched).distinct()
+    val merged = s.read.parquet(
+      propagateMinLabels(s, nodes, edges, "ndmerge"))
+    val deltaLabels = merged.join(deltaDocs, Seq("doc_id"), "left_semi")
+    val repRelabel = merged
+      .select(col("doc_id").as("srep2"), col("cluster_rep").as("newrep"))
+    val standingLabels = standing
+      .join(repRelabel, standing("cluster_rep") === col("srep2"), "left")
+      .select(
+        standing("doc_id"),
+        coalesce(col("newrep"), standing("cluster_rep")).as("cluster_rep"))
+    standingLabels.unionByName(deltaLabels)
   }
 
   /** Substring-span contamination: document pairs sharing at least one

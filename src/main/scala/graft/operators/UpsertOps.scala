@@ -2757,13 +2757,16 @@ object UpsertOps {
     */
   def layoutAdvisedRange(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.IndexAdvisor
-    val path =
-      Files.createTempDirectory("graft_layq_").toString + "/events_keyed"
-    val table = KeyedTable(KeyedTableSpec(
-      path = path, keyCols = Seq("event_id"), precombineCol = "ts_us",
-      partitionCols = Seq("event_type")))
-    table.upsert(s, eventsUs(s, dir), commitTime = "c0")
-    table.recordColumnStats(s, Seq("event_id"))
+    // The unclustered base + its stats stage as a cloned template; the
+    // measured subject is the advise → cluster+rebuild → serve loop.
+    val table = stagedTable(dir, "layadvC0") { root =>
+      val t = KeyedTable(KeyedTableSpec(
+        path = s"$root/events_keyed", keyCols = Seq("event_id"),
+        precombineCol = "ts_us", partitionCols = Seq("event_type")))
+      t.upsert(s, eventsUs(s, dir), commitTime = "c0")
+      t.recordColumnStats(s, Seq("event_id"))
+      t
+    }
     def q = table.read(s).filter(col("event_id").between(500L, 899L))
     val advice = IndexAdvisor.analyze(s, Seq(q))
     // 1 MiB target: tight enough that the rewritten layout prunes at

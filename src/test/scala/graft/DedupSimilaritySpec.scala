@@ -118,6 +118,40 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(incr.forall { case (a, b) => a < b })
   }
 
+  test("incremental cluster maintenance == full propagation (bridges and all)") {
+    val full = Dedup.nearDupClusters(spark, sf0001)
+      .as[(Long, Long)].collect().toSet
+    val incr = Dedup.incrementalClusterLabels(spark, sf0001)
+      .as[(Long, Long)].collect().toSet
+    assert(incr == full,
+      "the collapsed-graph merge must reproduce the full labels exactly")
+    assert(full.nonEmpty)
+  }
+
+  test("collapsed-graph merge: bridge, undercut, isolated, untouched") {
+    def labels(tuples: (Long, Long)*) =
+      spark.createDataFrame(tuples.toSeq).toDF("doc_id", "cluster_rep")
+    def ids(v: Long*) = spark.createDataFrame(v.map(Tuple1(_)))
+      .toDF("doc_id")
+    def pairs(tuples: (Long, Long)*) =
+      spark.createDataFrame(tuples.toSeq).toDF("a_id", "b_id")
+    // standing comps: {1,2} rep 1, {4,8} rep 4, {5,6} rep 5, {10,11}
+    // rep 10. delta: 9 BRIDGES {1,2} and {5,6} (via non-rep members);
+    // 3 UNDERCUTS {4,8}'s minimum; 7 is isolated; {10,11} untouched.
+    val standing = labels(1L -> 1L, 2L -> 1L, 4L -> 4L, 8L -> 4L,
+      5L -> 5L, 6L -> 5L, 10L -> 10L, 11L -> 10L)
+    val out = Dedup.mergeDeltaLabels(
+        spark, standing, ids(3L, 7L, 9L),
+        pairs(2L -> 9L, 6L -> 9L, 3L -> 8L))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(
+      1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 9L -> 1L, // bridged to 1
+      3L -> 3L, 4L -> 3L, 8L -> 3L,                     // undercut by 3
+      7L -> 7L,                                         // isolated
+      10L -> 10L, 11L -> 10L),                          // untouched
+      s"got $out")
+  }
+
   test("PassJoin mixed short-long pair where the short doc has the higher id") {
     // A doc shorter than k = τ+1 chars emits no index-side segments, so a
     // short-long pair exists only as probe(short)×index(long); with the
