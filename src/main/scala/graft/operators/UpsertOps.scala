@@ -2915,18 +2915,26 @@ object UpsertOps {
       .withWatermark("ts_evt", delay)
       .dropDuplicatesWithinWatermark("event_id")
       .select("event_id", "ts_us", "user_id", "event_type", "value")
-    val q = deduped.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(out)
-      }
-      .option("checkpointLocation", s"$tmp/checkpoint")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val stateRows = q.recentProgress.toSeq
-      .flatMap(p => p.stateOperators.map(_.numRowsTotal))
-    (s.read.parquet(out), stateRows)
+    // Size the seen-key state partitioning to the key cardinality, not
+    // the session's scan-side width: every state partition opens (and
+    // commits) its own RocksDB store per micro-batch — the q93 sizing
+    // rule applied to the dedup state.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = deduped.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", s"$tmp/checkpoint")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val stateRows = q.recentProgress.toSeq
+        .flatMap(p => p.stateOperators.map(_.numRowsTotal))
+      (s.read.parquet(out), stateRows)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** CDC replica maintenance (q125): a downstream replica kept current by
