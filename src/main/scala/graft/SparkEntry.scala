@@ -227,7 +227,8 @@ object SparkEntry {
     "q200_mor_distinct" -> (UpsertOps.morDistinctLangs(_, _)),
     "q201_mor_topk" -> (UpsertOps.morTopKResolved(_, _)),
     "q202_incremental_labels" ->
-      ((s, d) => Dedup.incrementalClusterLabels(s, d))
+      ((s, d) => Dedup.incrementalClusterLabels(s, d)),
+    "q203_mor_topk_part" -> (UpsertOps.morTopKPartitioned(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -2299,6 +2300,30 @@ object SparkEntry {
         |              THEN -1.0 ELSE value END AS value
         |  FROM ev)
         |SELECT event_id, user_id, value FROM fin
-        |ORDER BY value DESC, event_id DESC LIMIT 20""".stripMargin
+        |ORDER BY value DESC, event_id DESC LIMIT 20""".stripMargin,
+    // partition-filtered resolved top-k over the corrected history
+    // fixture: same reconstruction as q195 with the partition filter,
+    // sort, and limit applied on the resolved state (user_id is unique
+    // within a partition, so the limit is deterministic)
+    "q203_mor_topk_part" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |         value
+        |  FROM events WHERE event_id % 2 = 0),
+        |b AS (SELECT min(user_id) + (max(user_id) - min(user_id)) // 16 AS cut
+        |      FROM base),
+        |allv AS (
+        |  SELECT user_id, event_type, ts_us, event_id, value FROM base
+        |  UNION ALL
+        |  SELECT user_id, event_type, ts_us + 1000000, event_id, value
+        |  FROM base, b WHERE user_id <= b.cut),
+        |win AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM allv)
+        |SELECT user_id, event_type, ts_us, event_id, value
+        |FROM win WHERE rn = 1 AND event_type = 'click'
+        |ORDER BY user_id ASC LIMIT 20""".stripMargin
   )
 }

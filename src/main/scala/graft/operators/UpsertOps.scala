@@ -2061,6 +2061,27 @@ object UpsertOps {
       .select("event_id", "user_id", "value")
   }
 
+  /** Partition-filtered resolved top-k (q203;
+    * [[graft.plans.TopKPruneRewrite]]'s MoR arm × partition
+    * conjuncts): "first N users of a kind, current state" — `WHERE
+    * event_type = 'click' ORDER BY user_id LIMIT 20` over the
+    * user-clustered history fixture whose LOW user range is exactly
+    * where correction traffic landed: the partition filter selects
+    * whole files and whole winners before the walk, the churned
+    * low-user files are MIXED (kept, winner-scanned), the clean ones
+    * PURE (they drive the count bound), and every other partition's
+    * files never open. ≡ resolve-latest ∘ filter ∘ sort ∘ limit — the
+    * oracle.
+    */
+  def morTopKPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val (table, _) = morStatsFixture(s, dir)
+    table.read(s)
+      .filter(col("event_type") === "click")
+      .orderBy(col("user_id").asc)
+      .limit(20)
+      .select("user_id", "event_type", "ts_us", "event_id", "value")
+  }
+
   /** Grouped top-k over a CLUSTERED DATA column (q192;
     * [[graft.plans.GroupTopKRewrite]]'s data-group arm): the
     * per-language "longest N documents" leaderboard —

@@ -39,11 +39,6 @@ object IndexAdvisor {
   private val cardMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long)]
 
-  /** The grouped-rollup arm's KMV cardinality probe, memoized by
-    * [[KeyedTable.mutationTick]]: one column-pruned scan per (table,
-    * column) per table-state generation, O(1) on re-analysis of an
-    * unchanged workload.
-    */
   // (table path) -> (mutation tick, per-file sizes). One recursive
   // listing per table per table-state generation, shared across the
   // advisor's arms (rollup bytes gate, compaction sizing) and across
@@ -65,6 +60,11 @@ object IndexAdvisor {
     }
   }
 
+  /** The grouped-rollup arm's KMV cardinality probe, memoized by
+    * [[KeyedTable.mutationTick]]: one column-pruned scan per (table,
+    * column) per table-state generation, O(1) on re-analysis of an
+    * unchanged workload.
+    */
   private def memoizedCardinality(
       spark: org.apache.spark.sql.SparkSession,
       t: KeyedTable, gcol: String): Long = {
@@ -135,6 +135,15 @@ object IndexAdvisor {
     val topKWants = plans.flatMap(topKRule.topKShapes).flatMap { m =>
       m.statCols.filterNot(isPartitionCol(m.spec, _))
         .map(c => (m.spec.path, "column_stats", c))
+    }
+    // RESOLVED top-k over a history table (the MoR walk): the serve
+    // needs the record-level index (winner classification) AND stats on
+    // the sort column — recommend the chain together so one advisor
+    // round makes the shape serveable (same shared-matcher discipline).
+    val morTopKWants = plans.flatMap(topKRule.morTopKShapes).flatMap { m =>
+      Seq(
+        (m.spec.path, "record_key", m.spec.keyCols.head),
+        (m.spec.path, "column_stats", m.sortCol))
     }
     // Grouped top-k (rank ≤ N per partition group): the per-group walk
     // consults stats on the window's sort column only (the group keys
@@ -353,8 +362,8 @@ object IndexAdvisor {
       val rli = (m.spec.path, "record_key", m.spec.keyCols.head)
       if (m.viaKey) Seq(rli)
       else Seq(rli, (m.spec.path, "secondary", m.probeAttr.name))
-    } ++ rangeShapes ++ topKWants ++ groupTopKWants ++ clusterRecs ++
-      aggWants ++ rollupRecs ++ morStatsWants
+    } ++ rangeShapes ++ topKWants ++ morTopKWants ++ groupTopKWants ++
+      clusterRecs ++ aggWants ++ rollupRecs ++ morStatsWants
     val recs = (wants.groupBy(identity).toSeq
       .map { case ((path, kind, col), hs) => IndexRec(path, kind, col, hs.length) }
       ++ compactRecs ++ vacuumRecs)

@@ -377,7 +377,23 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * walk's ≥ k non-null winners outrank every null; nulls-first keeps
     * any file that may hold a null winner (cnt > nn).
     */
-  private def tryMorRewrite(lim: GlobalLimit): Option[LogicalPlan] = {
+  /** The shape half of the MoR arm: the resolve window, the rn = 1
+    * conjunct, the ordered-stats leading sort key, and OPTIONALLY
+    * partition POINT conjuncts ABOVE the window — a partition filter on
+    * the resolved state selects whole files and whole winners (a winner
+    * row of partition p is stored in a file of p, true even under
+    * globalKeys — the winner determination is global but the winning
+    * VERSION lives where it was written), so the walk and the kept set
+    * simply run over the selected sidecar rows, and the residual
+    * re-applies on the winner rows defensively. Any other conjunct
+    * declines. Shared with the advisor via [[morTopKShapes]].
+    */
+  private[plans] final case class MorTopKMatch(
+      lim: GlobalLimit, sort: Sort, spec: graft.table.KeyedTableSpec,
+      sortCol: String, k: Int, desc: Boolean, nullsFirst: Boolean,
+      partFilters: Seq[PartitionConjuncts.PartFilter])
+
+  private def matchMorTopK(lim: GlobalLimit): Option[MorTopKMatch] = {
     val (k, sort) = limitSort(lim).getOrElse(return None)
     val conds = mutable.Buffer.empty[(Expression, Int)]
     val windows = mutable.Buffer.empty[Window]
@@ -400,6 +416,11 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!spec.retainHistory) return None
     val subst = MvPlanShape.substFn(renames)
     val relIds = lr.output.map(_.exprId).toSet
+    def relAttrOf(e: Expression): Option[Attribute] = subst(e) match {
+      case a: Attribute if relIds.contains(a.exprId) &&
+        !a.name.startsWith("_graft_") => Some(a)
+      case _ => None
+    }
     val rn = windows.toSeq match {
       case Seq(w) => MvPlanShape.resolveRnOf(w, spec).getOrElse(return None)
       case _ => return None
@@ -409,7 +430,16 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val (rnConds, rest) =
       split.partition(p => MvPlanShape.isRnEqOne(p._1, rn))
-    if (rnConds.map(_._2) != Seq(0) || rest.nonEmpty) return None
+    if (rnConds.map(_._2) != Seq(0)) return None
+    // Beside rn = 1: partition point conjuncts ABOVE the window only.
+    if (rest.exists(_._2 != 0)) return None
+    val partColsL =
+      spec.partitionCols.map(_.toLowerCase(Locale.ROOT)).toSet
+    def partFilterOf(e: Expression) = PartitionConjuncts.of(
+      e, x => relAttrOf(x)
+        .filter(at => partColsL.contains(at.name.toLowerCase(Locale.ROOT))))
+    val partFilters = rest.map(_._1).map(e =>
+      partFilterOf(e).getOrElse(return None))
     val head = sort.order.head
     val attr = subst(head.child) match {
       case a: Attribute if relIds.contains(a.exprId) &&
@@ -418,18 +448,38 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         !spec.partitionCols.exists(_.equalsIgnoreCase(a.name)) => a
       case _ => return None
     }
-    val desc = head.direction == Descending
-    val nullsFirst = head.nullOrdering == NullsFirst
-    memo.gated(("mor", root, attr.name, k, desc, nullsFirst)) {
-      serveMorTopK(lim, sort, KeyedTable(spec), attr.name, k, desc,
-        nullsFirst)
-    }
+    Some(MorTopKMatch(
+      lim, sort, spec, attr.name, k,
+      head.direction == Descending, head.nullOrdering == NullsFirst,
+      partFilters))
   }
+
+  /** Every resolved top-k shape in `plan` the MoR arm would serve if
+    * the record-level index and sort-column stats existed — the
+    * advisor's hook (advice ≡ serveability, the one-matcher
+    * discipline).
+    */
+  private[plans] def morTopKShapes(plan: LogicalPlan): Seq[MorTopKMatch] =
+    if (KeyedTable.specRegistry.isEmpty) Nil
+    else plan.collect { case lim: GlobalLimit =>
+      try matchMorTopK(lim)
+      catch { case scala.util.control.NonFatal(_) => None }
+    }.flatten
+
+  private def tryMorRewrite(lim: GlobalLimit): Option[LogicalPlan] =
+    matchMorTopK(lim).flatMap { m =>
+      memo.gated(("mor", m.spec.path, m.sortCol, m.k, m.desc,
+        m.nullsFirst, m.partFilters.toVector)) {
+        serveMorTopK(m.lim, m.sort, KeyedTable(m.spec), m.sortCol, m.k,
+          m.desc, m.nullsFirst, m.partFilters)
+      }
+    }
 
   private def serveMorTopK(
       lim: GlobalLimit, sort: Sort, table: KeyedTable,
       column: String, k: Int, desc: Boolean,
-      nullsFirst: Boolean): Option[LogicalPlan] =
+      nullsFirst: Boolean,
+      partFilters: Seq[PartitionConjuncts.PartFilter]): Option[LogicalPlan] =
     table.colStatsFrame(spark).flatMap { st =>
       import org.apache.spark.sql.expressions.{Window => W}
       import org.apache.spark.sql.functions.{coalesce, col, lit, sum, udf}
@@ -438,6 +488,16 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       if (!st.columns.contains("cnt")) return None
       val (mnS, mxS, nnS) = (statCol("min"), statCol("max"), statCol("nn"))
       if (mnS.isEmpty || mxS.isEmpty || nnS.isEmpty) return None
+      // Partition point conjuncts select whole sidecar rows (and whole
+      // winners) BEFORE the walk — both the accumulation and the kept
+      // set then see only the matching partitions' files.
+      val filterStatCols = partFilters.map {
+        case PartitionConjuncts.PartIn(c, _, _) =>
+          st.columns.find(_.equalsIgnoreCase(s"p_$c"))
+        case PartitionConjuncts.PartNotNull(c) =>
+          st.columns.find(_.equalsIgnoreCase(s"p_$c"))
+      }
+      if (filterStatCols.exists(_.isEmpty)) return None
       val settled = table.settledWinnerEntries(spark).getOrElse(return None)
       val stRel = st.withColumn(
         "_rfile", table.relOfFileCol(spark, col("file")))
@@ -445,7 +505,9 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         MorWinnerMaps.of(spark, table, settled, stRel)
           .getOrElse(return None)
       val wcU = udf((f: String) => wcByFile.get(f))
-      val joined = stRel.withColumn("wcnt", wcU(col("_rfile")))
+      val joined = PartitionConjuncts.select(
+          stRel, partFilters.zip(filterStatCols.map(_.get)))
+        .withColumn("wcnt", wcU(col("_rfile")))
       val (mn, mx, nn) = (col(mnS.get), col(mxS.get), col(nnS.get))
       val pure = col("wcnt").isNotNull && col("wcnt") === col("cnt") &&
         col("cnt") > 0
@@ -473,8 +535,20 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               coalesce(pred, lit(false)))
             .select(col("_rfile")).collect().map(_.getString(0)).toSeq
           if (kept.length >= cntByFile.size) return None // nothing pruned
-          val bplan = table.winnerRowsOf(spark, kept, settled)
-            .queryExecution.analyzed
+          // Defensive residual: partition filters selected whole files,
+          // so every winner row of a kept file already satisfies them —
+          // re-applying costs a codegen'd compare and protects the
+          // invariant if a kept file ever straddled partitions.
+          val residual: Seq[org.apache.spark.sql.Column] = partFilters.map {
+            case PartitionConjuncts.PartIn(c, t, vs) =>
+              val toScala = org.apache.spark.sql.catalyst
+                .CatalystTypeConverters.createToScalaConverter(t)
+              col(c).isin(vs.map(toScala): _*)
+            case PartitionConjuncts.PartNotNull(c) => col(c).isNotNull
+          }
+          val winners = residual.foldLeft(
+            table.winnerRowsOf(spark, kept, settled))(_.filter(_))
+          val bplan = winners.queryExecution.analyzed
           val byName = bplan.output
             .map(at => at.name.toLowerCase(Locale.ROOT) -> at).toMap
           val aliases: Seq[NamedExpression] = sort.child.output.map { at =>

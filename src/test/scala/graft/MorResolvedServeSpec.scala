@@ -123,4 +123,73 @@ class MorResolvedServeSpec extends SparkTestBase {
     assert(qa.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((999L, 0L), (1L, 1L)))
   }
+
+  test("partition-filtered resolved top-k: other partitions never open, dead extremum stays dead") {
+    val path = Files.createTempDirectory("graft_morservep_").toString + "/t"
+    val t = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("id"), precombineCol = "rev",
+      partitionCols = Seq("day"), retainHistory = true))
+    def prows(tuples: (Long, String, Long, Long)*) =
+      spark.createDataFrame(tuples.toSeq).toDF("id", "day", "v", "rev")
+    val bulk = (1L to 40L).map(i =>
+      (i, if (i <= 20) "d1" else "d2", i, 0L))
+    t.upsert(spark, prows(bulk: _*), commitTime = "c0")
+    t.cluster(spark, Seq("v"), targetFileBytes = 1L << 10)
+    // trap INSIDE the filtered partition: its dead file must not open
+    t.upsert(spark, prows((999L, "d1", 999999L, 0L)), commitTime = "c0b")
+    t.recordKeyIndex(spark)
+    t.upsert(spark, prows((999L, "d1", 0L, 1L)), commitTime = "c1")
+    t.refreshRecordKeyIndex(spark)
+    t.recordColumnStats(spark, Seq("v"))
+    def q = t.read(spark).filter(col("day") === "d1")
+      .orderBy(col("v").desc, col("id").desc)
+      .limit(3)
+      .select("id", "day", "v")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((20L, 20L), (19L, 19L), (18L, 18L)),
+      "d1's top-3 must come from live rows only")
+    val scanned = dataScans(q)
+    assert(!scanned.exists(_.contains("day=d2")),
+      s"the filtered-out partition must never open, got $scanned")
+    val dead = new org.apache.hadoop.fs.Path(
+      spark.read.parquet(s"$path/_graft_colstats")
+        .filter(col("max_v") === 999999L)
+        .select("file").collect()(0).getString(0)).getName
+    assert(!scanned.exists(_.endsWith(dead)), "the dead file must not open")
+    // Control: a non-partition extra conjunct declines to the full
+    // resolve, exactly.
+    def qr = t.read(spark).filter(col("v") > 5L)
+      .orderBy(col("v").desc, col("id").desc).limit(3).select("id", "v")
+    assert(qr.collect().map(_.getLong(0)).toSeq == Seq(40L, 39L, 38L))
+  }
+
+  test("the advisor recommends the MoR top-k chain; building it serves the walk") {
+    val path = Files.createTempDirectory("graft_morservadv_").toString + "/t"
+    val t = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("id"), precombineCol = "rev",
+      retainHistory = true))
+    val bulk = (1L to 40L).map(i => (i, "a", i, 0L))
+    t.upsert(spark, spark.createDataFrame(bulk)
+      .toDF("id", "grp", "v", "rev"), commitTime = "c0")
+    t.cluster(spark, Seq("v"), targetFileBytes = 1L << 10)
+    def q = t.read(spark).orderBy(col("v").desc, col("id").desc)
+      .limit(3).select("id", "v")
+    // No index, no stats: the advisor recommends BOTH halves of the
+    // chain in one round (advice ≡ serveability).
+    val a1 = graft.plans.IndexAdvisor.analyze(spark, Seq(q))
+    val k1 = a1.recommendations.map(r => (r.kind, r.column)).toSet
+    assert(k1.contains(("record_key", "id")) &&
+      k1.contains(("column_stats", "v")), s"round 1: $k1")
+    graft.plans.IndexAdvisor.createRecommended(spark, a1)
+    // The walk now prunes; answers stay exact; the advice settles.
+    val scanned = dataScans(q)
+    assert(scanned.nonEmpty && scanned.size <
+      spark.read.parquet(s"$path/_graft_colstats").count(),
+      s"the built chain must let the walk prune, got $scanned")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(40L, 39L, 38L))
+    val a2 = graft.plans.IndexAdvisor.analyze(spark, Seq(q))
+    assert(!a2.recommendations.exists(r =>
+      r.kind == "record_key" || (r.kind == "column_stats" && r.column == "v")),
+      s"served chain must settle: ${a2.recommendations}")
+  }
 }
