@@ -228,7 +228,9 @@ object SparkEntry {
     "q201_mor_topk" -> (UpsertOps.morTopKResolved(_, _)),
     "q202_incremental_labels" ->
       ((s, d) => Dedup.incrementalClusterLabels(s, d)),
-    "q203_mor_topk_part" -> (UpsertOps.morTopKPartitioned(_, _))
+    "q203_mor_topk_part" -> (UpsertOps.morTopKPartitioned(_, _)),
+    "q204_mor_distinct_filtered" ->
+      (UpsertOps.morDistinctLangsFiltered(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -2324,6 +2326,20 @@ object SparkEntry {
         |  FROM allv)
         |SELECT user_id, event_type, ts_us, event_id, value
         |FROM win WHERE rn = 1 AND event_type = 'click'
-        |ORDER BY user_id ASC LIMIT 20""".stripMargin
+        |ORDER BY user_id ASC LIMIT 20""".stripMargin,
+    // filtered resolved distinct: the q199 reconstruction with the
+    // range applied on the final state — both trap docs' live rows
+    // (n_chars 7 and 3) fall OUTSIDE the bounds, so the filter drops
+    // the live 'zy' too
+    "q204_mor_distinct_filtered" ->
+      """WITH fin AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN doc_id % 31 = 0 THEN n_chars + 1000
+        |              ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  UNION ALL SELECT 900000001, 'zy', 7
+        |  UNION ALL SELECT 900000002, 'de', 3)
+        |SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM fin WHERE n_chars BETWEEN 200 AND 1000000""".stripMargin
   )
 }

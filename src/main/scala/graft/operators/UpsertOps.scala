@@ -2014,6 +2014,23 @@ object UpsertOps {
     table.read(s).agg(countDistinct(col("lang")).as("n_langs"))
   }
 
+  /** FILTERED resolved count(DISTINCT) (q204; the q194 classification ×
+    * winner purity): "how many languages have a LIVE mid-length doc" —
+    * `count(DISTINCT lang) WHERE n_chars BETWEEN lo AND hi` over the
+    * resolved history read. A file folds its stored lang only when
+    * pure, single-valued, AND fully inside the range; candidate files
+    * with winners scan winner rows with the residual; out-of-range and
+    * dead files never open — the bounds exclude both trap docs' live
+    * rows, so the filter must also drop the LIVE 'zy'. ≡ resolve ∘
+    * filter ∘ count(DISTINCT) — the oracle.
+    */
+  def morDistinctLangsFiltered(s: SparkSession, dir: String): DataFrame = {
+    val table = morDocsFixture(s, dir)
+    table.read(s)
+      .filter(col("n_chars").between(200L, 1000000L))
+      .agg(countDistinct(col("lang")).as("n_langs"))
+  }
+
   /** Value-clustered MoR events fixture for the resolved top-k serve
     * (q201): the 5 globally-largest values are CORRECTED down to -1 —
     * the superseded-extremum trap aimed straight at the sort column —

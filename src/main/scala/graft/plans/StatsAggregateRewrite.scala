@@ -1122,11 +1122,18 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * (the full resolve-identity semi-join) projected to the column, and
     * DEAD files — exactly where a superseded distinct value hides —
     * never open. A count-distinct over the union de-duplicates the two
-    * sides. Match: a bare single-output `count(DISTINCT attr)` over the
-    * exact shared resolve shape (rn = 1 the only conjunct anywhere) on
-    * a registered `retainHistory` table, attr an ordered-stats DATA
+    * sides. Match: a single-output `count(DISTINCT attr)` over the
+    * exact shared resolve shape (rn = 1 above the window) on a
+    * registered `retainHistory` table, attr an ordered-stats DATA
     * column (partition columns are [[serveMorCount]]'s index-side
-    * family). Zero folded values decline — nothing would fold and the
+    * family). FILTERS compose like the COW values union (q194) ×
+    * winner purity: partition point conjuncts select whole files and
+    * whole winners before the classification; literal ranges /
+    * IS NOT NULL / IN-lists on stats-covered columns classify per file
+    * — a file folds its value only when PURE, single-valued, and FULL
+    * under every conjunct; candidate files with winners scan winner
+    * rows with the residual re-applied; excluded and DEAD files never
+    * open. Zero folded values decline — nothing would fold and the
     * plain resolve is the better plan.
     */
   private def serveMorDistinct(a: Aggregate): Option[LogicalPlan] = {
@@ -1171,7 +1178,8 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val (rnConds, rest) =
       split.partition(p => MvPlanShape.isRnEqOne(p._1, rn))
-    if (rnConds.map(_._2) != Seq(0) || rest.nonEmpty) return None
+    if (rnConds.map(_._2) != Seq(0)) return None
+    if (rest.exists(_._2 != 0)) return None // conjuncts above the window only
     val relAttr = subst(child0) match {
       case at: Attribute if relIds.contains(at.exprId) &&
         !at.name.startsWith("_graft_") &&
@@ -1179,8 +1187,30 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         !spec.partitionCols.exists(_.equalsIgnoreCase(at.name)) => at
       case _ => return None
     }
+    // Conjunct classification — the q194 split, verbatim.
+    def relAttrOfE(e: Expression): Option[Attribute] = subst(e) match {
+      case at: Attribute if relIds.contains(at.exprId) &&
+        !at.name.startsWith("_graft_") => Some(at)
+      case _ => None
+    }
+    val partColsL = spec.partitionCols.map(lower).toSet
+    def partFilterOf(e: Expression): Option[PartFilter] =
+      PartitionConjuncts.of(
+        e, x => relAttrOfE(x).filter(at => partColsL.contains(lower(at.name))))
+    val restConds = rest.map(_._1)
+    if (restConds.exists(!_.deterministic)) return None
+    val (partConds, rangeConds) =
+      restConds.partition(c => partFilterOf(c).isDefined)
+    val partFilters: Seq[PartFilter] = partConds.flatMap(partFilterOf)
+    def relAttrOrdered(e: Expression): Option[Attribute] =
+      relAttrOfE(e).filter(at => KeyedTable.statsOrderedType(at.dataType))
+    val ex = RangeConjuncts.extract(rangeConds, relAttrOrdered)
+    if (ex.other.nonEmpty || ex.nullPreds.exists(_._2)) return None
+    val notNull = ex.nullPreds.map(_._1)
     val table = KeyedTable(spec)
-    memo.gated(("morDistinct", spec.path, relAttr.name)) {
+    memo.gated(("morDistinct", spec.path, relAttr.name,
+      partFilters.toVector, ex.ranges.toVector, notNull.toVector,
+      ex.inLists.map { case (c, vs) => (c, vs.toVector) }.toVector)) {
       table.colStatsFrame(spark).flatMap { st =>
         def statCol(prefix: String): Option[String] =
           st.columns.find(_.equalsIgnoreCase(s"${prefix}_${relAttr.name}"))
@@ -1190,6 +1220,22 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             case (Some(a1), Some(b), Some(c)) => (a1, b, c)
             case _ => return None
           }
+        def statColOf(prefix: String, c: String): Option[String] =
+          st.columns.find(_.equalsIgnoreCase(s"${prefix}_$c"))
+        val classCols = (ex.ranges.map(_.column) ++ notNull ++
+          ex.inLists.map(_._1)).distinct
+        val nnOf = classCols.map(c => c -> statColOf("nn", c)).toMap
+        if (nnOf.values.exists(_.isEmpty)) return None
+        val mmOf = (ex.ranges.map(_.column) ++ ex.inLists.map(_._1))
+          .distinct.map(c =>
+            c -> ((statColOf("min", c), statColOf("max", c)))).toMap
+        if (mmOf.values.exists(p => p._1.isEmpty || p._2.isEmpty))
+          return None
+        val filterStatCols = partFilters.map {
+          case PartIn(c, _, _) => statColOf("p", c)
+          case PartNotNull(c)  => statColOf("p", c)
+        }
+        if (filterStatCols.exists(_.isEmpty)) return None
         val settled = table.settledWinnerEntries(spark).getOrElse(return None)
         val stRel = st.withColumn(
           "_rfile", table.relOfFileCol(spark, col("file")))
@@ -1197,17 +1243,52 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           MorWinnerMaps.of(spark, table, settled, stRel)
             .getOrElse(return None)
         val wcU = udf((f: String) => wcByFile.get(f))
-        val joined = stRel.withColumn("wcnt", wcU(col("_rfile")))
+        val joined = PartitionConjuncts.select(
+            stRel, partFilters.zip(filterStatCols.map(_.get)))
+          .withColumn("wcnt", wcU(col("_rfile")))
+        // The hybrid's candidate/full classification (see serveHybrid's
+        // soundness notes) composed with winner purity.
+        val candidate = (ex.ranges.map { r =>
+          val (mnR, mxR) = (mmOf(r.column)._1.get, mmOf(r.column)._2.get)
+          val loP = r.lo.map(v =>
+            if (r.loInclusive) col(mxR) >= lit(v) else col(mxR) > lit(v))
+          val hiP = r.hi.map(v =>
+            if (r.hiInclusive) col(mnR) <= lit(v) else col(mnR) < lit(v))
+          (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+        } ++ notNull.map(c => col(nnOf(c).get) > lit(0L))
+          ++ ex.inLists.map { case (c, vs) =>
+            val (mnR, mxR) = (mmOf(c)._1.get, mmOf(c)._2.get)
+            vs.map(v => col(mnR) <= lit(v) && col(mxR) >= lit(v))
+              .reduce(_ || _)
+          })
+          .reduceOption(_ && _).getOrElse(lit(true))
+        val fullRange = (ex.ranges.map { r =>
+          val (mnR, mxR) = (mmOf(r.column)._1.get, mmOf(r.column)._2.get)
+          val loP = r.lo.map(v =>
+            if (r.loInclusive) col(mnR) >= lit(v) else col(mnR) > lit(v))
+          val hiP = r.hi.map(v =>
+            if (r.hiInclusive) col(mxR) <= lit(v) else col(mxR) < lit(v))
+          (Seq(col(nnOf(r.column).get) === col("cnt")) ++ loP.toSeq ++
+            hiP.toSeq).reduce(_ && _)
+        } ++ notNull.map(c => col(nnOf(c).get) === col("cnt"))
+          ++ ex.inLists.map { case (c, vs) =>
+            val (mnR, mxR) = (mmOf(c)._1.get, mmOf(c)._2.get)
+            col(nnOf(c).get) === col("cnt") && col(mnR) === col(mxR) &&
+              vs.map(v => col(mnR) === lit(v)).reduce(_ || _)
+          })
+          .reduceOption(_ && _).getOrElse(lit(true))
         val allWinners = col("wcnt").isNotNull &&
           col("wcnt") === col("cnt") && col("cnt") > 0
         val singleValued = col(nnC) === col("cnt") && col(mnC) === col(mxC)
-        val fold = allWinners && coalesce(singleValued, lit(false))
+        val fold = allWinners &&
+          coalesce(singleValued && fullRange, lit(false))
         val fullValues = KeyedTable.withMetaConf(spark)(
           joined.filter(fold).select(col(mnC)).distinct()
             .limit(MaxGroups + 1).collect())
         if (fullValues.isEmpty || fullValues.length > MaxGroups) return None
         val scanRel = KeyedTable.withMetaConf(spark)(
-          joined.filter(col("wcnt").isNotNull && col("wcnt") > 0 && !fold)
+          joined.filter(col("wcnt").isNotNull && col("wcnt") > 0 &&
+              coalesce(candidate, lit(false)) && !fold)
             .select(col("_rfile")).collect().map(_.getString(0)).toSeq)
         val conv =
           CatalystTypeConverters.createToCatalystConverter(relAttr.dataType)
@@ -1223,8 +1304,24 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               Seq(AttributeReference("u", relAttr.dataType)()),
               IndexedSeq.empty, false)
           else {
-            val bplan = table.winnerRowsOf(spark, scanRel, settled)
-              .select(col(relAttr.name)).queryExecution.analyzed
+            // Residual: the range/IS NOT NULL/IN conjuncts re-applied on
+            // the winner rows (the original child is replaced wholesale).
+            val residual: Seq[org.apache.spark.sql.Column] =
+              ex.ranges.map { r =>
+                val loP = r.lo.map(v =>
+                  if (r.loInclusive) col(r.column) >= lit(v)
+                  else col(r.column) > lit(v))
+                val hiP = r.hi.map(v =>
+                  if (r.hiInclusive) col(r.column) <= lit(v)
+                  else col(r.column) < lit(v))
+                (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _)
+                  .getOrElse(lit(true))
+              } ++ notNull.map(c => col(c).isNotNull) ++
+                ex.inLists.map { case (c, vs) => col(c).isin(vs: _*) }
+            val bdf = residual
+              .foldLeft(table.winnerRowsOf(spark, scanRel, settled))(
+                _.filter(_))
+            val bplan = bdf.select(col(relAttr.name)).queryExecution.analyzed
             Project(Seq(Alias(bplan.output.head, "u")()), bplan)
           }
         val cd = AggregateExpression(

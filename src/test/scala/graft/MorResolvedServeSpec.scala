@@ -95,6 +95,20 @@ class MorResolvedServeSpec extends SparkTestBase {
     val resolved = t.read(spark).select("grp").distinct()
       .collect().map(_.getString(0)).toSet
     assert(resolved == Set("a", "b"))
+    // FILTERED distinct (the q194 classification × winner purity): the
+    // range [35, 60] contains the DEAD trap value v = 50 — the dead
+    // file must neither open nor resurrect 'z'; only 'b' has live rows
+    // in range.
+    def qf = t.read(spark).filter(col("v") >= 35L && col("v") <= 60L)
+      .agg(countDistinct(col("grp")).as("n"))
+    assert(qf.collect()(0).getLong(0) == 1L,
+      "the in-range superseded value must not resurrect its language")
+    assert(!dataScans(qf).exists(_.endsWith(dead)),
+      "the dead file must not open under the range either")
+    // A range covering both groups stays exact.
+    def qw = t.read(spark).filter(col("v") >= 1L && col("v") <= 30L)
+      .agg(countDistinct(col("grp")).as("n"))
+    assert(qw.collect()(0).getLong(0) == 2L)
   }
 
   test("resolved ORDER BY ... LIMIT k: walk prunes, dead extremum never surfaces") {
