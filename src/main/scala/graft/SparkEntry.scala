@@ -230,7 +230,8 @@ object SparkEntry {
       ((s, d) => Dedup.incrementalClusterLabels(s, d)),
     "q203_mor_topk_part" -> (UpsertOps.morTopKPartitioned(_, _)),
     "q204_mor_distinct_filtered" ->
-      (UpsertOps.morDistinctLangsFiltered(_, _))
+      (UpsertOps.morDistinctLangsFiltered(_, _)),
+    "q205_mor_distinct_set" -> (UpsertOps.morDistinctLangSet(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -2340,6 +2341,12 @@ object SparkEntry {
         |  UNION ALL SELECT 900000001, 'zy', 7
         |  UNION ALL SELECT 900000002, 'de', 3)
         |SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
-        |FROM fin WHERE n_chars BETWEEN 200 AND 1000000""".stripMargin
+        |FROM fin WHERE n_chars BETWEEN 200 AND 1000000""".stripMargin,
+    // resolved DISTINCT value set: base langs plus the live trap 'zy';
+    // the superseded-only 'zx' must be absent
+    "q205_mor_distinct_set" ->
+      """SELECT DISTINCT lang FROM (
+        |  SELECT lang FROM documents
+        |  UNION ALL SELECT 'zy') t""".stripMargin
   )
 }

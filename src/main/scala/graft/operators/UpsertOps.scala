@@ -2014,6 +2014,18 @@ object UpsertOps {
     table.read(s).agg(countDistinct(col("lang")).as("n_langs"))
   }
 
+  /** Resolved `SELECT DISTINCT` (q205; the values union serving the
+    * value SET): "which languages are live" over the resolved corpus —
+    * pure single-valued files contribute their stored lang, churned
+    * files scan winner rows, the dead file holding the only 'zx' never
+    * opens so the superseded language is absent while the live trap
+    * 'zy' appears. ≡ resolve ∘ DISTINCT — the oracle.
+    */
+  def morDistinctLangSet(s: SparkSession, dir: String): DataFrame = {
+    val table = morDocsFixture(s, dir)
+    table.read(s).select(col("lang")).distinct()
+  }
+
   /** FILTERED resolved count(DISTINCT) (q204; the q194 classification ×
     * winner purity): "how many languages have a LIVE mid-length doc" —
     * `count(DISTINCT lang) WHERE n_chars BETWEEN lo AND hi` over the

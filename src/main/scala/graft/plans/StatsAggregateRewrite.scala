@@ -1122,7 +1122,11 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * (the full resolve-identity semi-join) projected to the column, and
     * DEAD files — exactly where a superseded distinct value hides —
     * never open. A count-distinct over the union de-duplicates the two
-    * sides. Match: a single-output `count(DISTINCT attr)` over the
+    * sides. Match: a single-output `count(DISTINCT attr)` — or the
+    * no-aggregate `SELECT DISTINCT attr` canonical form, which serves
+    * the VALUE SET through the same union (nulls ride the scan side:
+    * an all-null pure file fails nn = cnt and scans, so the NULL group
+    * appears exactly when a live null exists) — over the
     * exact shared resolve shape (rn = 1 above the window) on a
     * registered `retainHistory` table, attr an ordered-stats DATA
     * column (partition columns are [[serveMorCount]]'s index-side
@@ -1137,17 +1141,27 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * plain resolve is the better plan.
     */
   private def serveMorDistinct(a: Aggregate): Option[LogicalPlan] = {
-    if (a.groupingExpressions.nonEmpty || a.aggregateExpressions.length != 1)
-      return None
-    val (child0, orig) = a.aggregateExpressions.head match {
-      case al @ Alias(ae: AggregateExpression, _)
-          if ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          case Count(Seq(x)) => (x, al)
+    if (a.aggregateExpressions.length != 1) return None
+    // Two admitted heads: `count(DISTINCT x)` (bare, no grouping) and
+    // the no-aggregate `SELECT DISTINCT x` canonical form
+    // (Aggregate(x, x, child)) — the same values union serves both; the
+    // final node differs only in whether it counts or groups.
+    val (child0, orig, isCount) =
+      if (a.groupingExpressions.isEmpty)
+        a.aggregateExpressions.head match {
+          case al @ Alias(ae: AggregateExpression, _)
+              if ae.isDistinct && ae.filter.isEmpty =>
+            ae.aggregateFunction match {
+              case Count(Seq(x)) => (x, al, true)
+              case _ => return None
+            }
           case _ => return None
         }
-      case _ => return None
-    }
+      else (a.groupingExpressions, a.aggregateExpressions.head) match {
+        case (Seq(g), at: Attribute) if g == at =>
+          (at: Expression, at: NamedExpression, false)
+        case _ => return None
+      }
     val conds = mutable.Buffer.empty[(Expression, Int)]
     val windows = mutable.Buffer.empty[Window]
     val renames = mutable.Map.empty[ExprId, Expression]
@@ -1324,15 +1338,21 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             val bplan = bdf.select(col(relAttr.name)).queryExecution.analyzed
             Project(Seq(Alias(bplan.output.head, "u")()), bplan)
           }
-        val cd = AggregateExpression(
-          Count(Seq(uVal)), Complete, isDistinct = true)
         logInfo(s"stats-aggregate rewrite: ${spec.path} resolved " +
-          s"count(distinct ${relAttr.name}) served by winner-file " +
+          (if (isCount) "count(distinct " else "DISTINCT ") +
+          s"${relAttr.name}) served by winner-file " +
           s"classification (${fullValues.length} folded values, " +
           s"${scanRel.length} files scanned)")
-        Some(Aggregate(
-          Nil,
-          Seq(Alias(cd, orig.name)(exprId = orig.exprId)),
+        if (isCount) {
+          val cd = AggregateExpression(
+            Count(Seq(uVal)), Complete, isDistinct = true)
+          Some(Aggregate(
+            Nil,
+            Seq(Alias(cd, orig.name)(exprId = orig.exprId)),
+            Union(Seq(local, scanPlan))))
+        } else Some(Aggregate(
+          Seq(uVal),
+          Seq(Alias(uVal, orig.name)(exprId = orig.exprId)),
           Union(Seq(local, scanPlan))))
       }
     }

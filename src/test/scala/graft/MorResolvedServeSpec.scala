@@ -109,6 +109,13 @@ class MorResolvedServeSpec extends SparkTestBase {
     def qw = t.read(spark).filter(col("v") >= 1L && col("v") <= 30L)
       .agg(countDistinct(col("grp")).as("n"))
     assert(qw.collect()(0).getLong(0) == 2L)
+    // The no-aggregate SELECT DISTINCT serves the value SET through the
+    // same union: 'z' absent, both live groups present, dead file shut.
+    def qs = t.read(spark).select("grp").distinct()
+    assert(qs.collect().map(_.getString(0)).toSet == Set("a", "b"),
+      "the superseded-only 'z' must be absent from the value set")
+    assert(!dataScans(qs).exists(_.endsWith(dead)),
+      "the dead file must not open for the value-set serve")
   }
 
   test("resolved ORDER BY ... LIMIT k: walk prunes, dead extremum never surfaces") {
