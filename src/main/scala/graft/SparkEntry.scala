@@ -231,7 +231,8 @@ object SparkEntry {
     "q203_mor_topk_part" -> (UpsertOps.morTopKPartitioned(_, _)),
     "q204_mor_distinct_filtered" ->
       (UpsertOps.morDistinctLangsFiltered(_, _)),
-    "q205_mor_distinct_set" -> (UpsertOps.morDistinctLangSet(_, _))
+    "q205_mor_distinct_set" -> (UpsertOps.morDistinctLangSet(_, _)),
+    "q206_mor_topk_lang" -> (UpsertOps.morTopKLangFiltered(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -2347,6 +2348,20 @@ object SparkEntry {
     "q205_mor_distinct_set" ->
       """SELECT DISTINCT lang FROM (
         |  SELECT lang FROM documents
-        |  UNION ALL SELECT 'zy') t""".stripMargin
+        |  UNION ALL SELECT 'zy') t""".stripMargin,
+    // IN-filtered resolved top-k: q199's reconstruction with the lang
+    // filter, sort, and limit on the final state (doc_id tiebreak makes
+    // the set deterministic)
+    "q206_mor_topk_lang" ->
+      """WITH fin AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN doc_id % 31 = 0 THEN n_chars + 1000
+        |              ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  UNION ALL SELECT 900000001, 'zy', 7
+        |  UNION ALL SELECT 900000002, 'de', 3)
+        |SELECT doc_id, lang, n_chars FROM fin
+        |WHERE lang IN ('en', 'de')
+        |ORDER BY n_chars DESC, doc_id DESC LIMIT 15""".stripMargin
   )
 }

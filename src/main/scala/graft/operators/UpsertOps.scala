@@ -2043,6 +2043,25 @@ object UpsertOps {
       .agg(countDistinct(col("lang")).as("n_langs"))
   }
 
+  /** IN-filtered resolved top-k (q206; the MoR walk × the IN/range
+    * classification): "longest LIVE docs in these languages" — `WHERE
+    * lang IN ('en','de') ORDER BY n_chars DESC LIMIT 15` over the
+    * resolved lang-clustered corpus. Files single-valued in lang with
+    * the value in the list are FULL (their winner counts drive the walk
+    * when pure); the correction commit's mixed-lang files stay
+    * candidates and winner-scan with the residual; other languages'
+    * files — and the dead trap version — never open. ≡ resolve ∘
+    * filter ∘ sort ∘ limit — the oracle (doc_id tiebreak).
+    */
+  def morTopKLangFiltered(s: SparkSession, dir: String): DataFrame = {
+    val table = morDocsFixture(s, dir)
+    table.read(s)
+      .filter(col("lang").isin("en", "de"))
+      .orderBy(col("n_chars").desc, col("doc_id").desc)
+      .limit(15)
+      .select("doc_id", "lang", "n_chars")
+  }
+
   /** Value-clustered MoR events fixture for the resolved top-k serve
     * (q201): the 5 globally-largest values are CORRECTED down to -1 —
     * the superseded-extremum trap aimed straight at the sort column —

@@ -391,7 +391,14 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private[plans] final case class MorTopKMatch(
       lim: GlobalLimit, sort: Sort, spec: graft.table.KeyedTableSpec,
       sortCol: String, k: Int, desc: Boolean, nullsFirst: Boolean,
-      partFilters: Seq[PartitionConjuncts.PartFilter])
+      partFilters: Seq[PartitionConjuncts.PartFilter],
+      ranges: Seq[graft.table.ColumnRange],
+      notNull: Seq[String], inLists: Seq[(String, Seq[Any])]) {
+    /** Every column whose stats the MoR walk consults. */
+    def statCols: Seq[String] =
+      (sortCol +: (ranges.map(_.column) ++ notNull ++ inLists.map(_._1)))
+        .distinct
+  }
 
   private def matchMorTopK(lim: GlobalLimit): Option[MorTopKMatch] = {
     val (k, sort) = limitSort(lim).getOrElse(return None)
@@ -438,8 +445,19 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     def partFilterOf(e: Expression) = PartitionConjuncts.of(
       e, x => relAttrOf(x)
         .filter(at => partColsL.contains(at.name.toLowerCase(Locale.ROOT))))
-    val partFilters = rest.map(_._1).map(e =>
-      partFilterOf(e).getOrElse(return None))
+    val restConds = rest.map(_._1)
+    if (restConds.exists(!_.deterministic)) return None
+    val (partConds, rangeConds) =
+      restConds.partition(c => partFilterOf(c).isDefined)
+    val partFilters = partConds.flatMap(partFilterOf)
+    // Literal ranges / IS NOT NULL / IN-lists on stats-covered columns
+    // ride the COW walk's full/candidate classification composed with
+    // winner purity (see serveMorTopK); anything else declines.
+    val ex = RangeConjuncts.extract(
+      rangeConds,
+      e => relAttrOf(e).filter(at => KeyedTable.statsOrderedType(at.dataType)))
+    if (ex.other.nonEmpty || ex.nullPreds.exists(_._2)) return None
+    val notNull = ex.nullPreds.map(_._1)
     val head = sort.order.head
     val attr = subst(head.child) match {
       case a: Attribute if relIds.contains(a.exprId) &&
@@ -451,7 +469,7 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     Some(MorTopKMatch(
       lim, sort, spec, attr.name, k,
       head.direction == Descending, head.nullOrdering == NullsFirst,
-      partFilters))
+      partFilters, ex.ranges, notNull, ex.inLists))
   }
 
   /** Every resolved top-k shape in `plan` the MoR arm would serve if
@@ -469,35 +487,43 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def tryMorRewrite(lim: GlobalLimit): Option[LogicalPlan] =
     matchMorTopK(lim).flatMap { m =>
       memo.gated(("mor", m.spec.path, m.sortCol, m.k, m.desc,
-        m.nullsFirst, m.partFilters.toVector)) {
-        serveMorTopK(m.lim, m.sort, KeyedTable(m.spec), m.sortCol, m.k,
-          m.desc, m.nullsFirst, m.partFilters)
+        m.nullsFirst, m.partFilters.toVector, m.ranges.toVector,
+        m.notNull.toVector,
+        m.inLists.map { case (c, vs) => (c, vs.toVector) }.toVector)) {
+        serveMorTopK(m, KeyedTable(m.spec))
       }
     }
 
   private def serveMorTopK(
-      lim: GlobalLimit, sort: Sort, table: KeyedTable,
-      column: String, k: Int, desc: Boolean,
-      nullsFirst: Boolean,
-      partFilters: Seq[PartitionConjuncts.PartFilter]): Option[LogicalPlan] =
+      m: MorTopKMatch, table: KeyedTable): Option[LogicalPlan] = {
+    val MorTopKMatch(lim, sort, _, column, k, desc, nullsFirst,
+      partFilters, ranges, notNull, inLists) = m
     table.colStatsFrame(spark).flatMap { st =>
       import org.apache.spark.sql.expressions.{Window => W}
       import org.apache.spark.sql.functions.{coalesce, col, lit, sum, udf}
-      def statCol(prefix: String): Option[String] =
-        st.columns.find(_.equalsIgnoreCase(s"${prefix}_$column"))
+      def statCol(prefix: String, c: String): Option[String] =
+        st.columns.find(_.equalsIgnoreCase(s"${prefix}_$c"))
       if (!st.columns.contains("cnt")) return None
-      val (mnS, mxS, nnS) = (statCol("min"), statCol("max"), statCol("nn"))
+      val (mnS, mxS, nnS) =
+        (statCol("min", column), statCol("max", column),
+          statCol("nn", column))
       if (mnS.isEmpty || mxS.isEmpty || nnS.isEmpty) return None
       // Partition point conjuncts select whole sidecar rows (and whole
       // winners) BEFORE the walk — both the accumulation and the kept
       // set then see only the matching partitions' files.
       val filterStatCols = partFilters.map {
-        case PartitionConjuncts.PartIn(c, _, _) =>
-          st.columns.find(_.equalsIgnoreCase(s"p_$c"))
-        case PartitionConjuncts.PartNotNull(c) =>
-          st.columns.find(_.equalsIgnoreCase(s"p_$c"))
+        case PartitionConjuncts.PartIn(c, _, _)  => statCol("p", c)
+        case PartitionConjuncts.PartNotNull(c)   => statCol("p", c)
       }
       if (filterStatCols.exists(_.isEmpty)) return None
+      // Range/IS NOT NULL/IN classification columns must be covered.
+      val classCols =
+        (ranges.map(_.column) ++ notNull ++ inLists.map(_._1)).distinct
+      val nnOf = classCols.map(c => c -> statCol("nn", c)).toMap
+      if (nnOf.values.exists(_.isEmpty)) return None
+      val mmOf = (ranges.map(_.column) ++ inLists.map(_._1)).distinct
+        .map(c => c -> ((statCol("min", c), statCol("max", c)))).toMap
+      if (mmOf.values.exists(p => p._1.isEmpty || p._2.isEmpty)) return None
       val settled = table.settledWinnerEntries(spark).getOrElse(return None)
       val stRel = st.withColumn(
         "_rfile", table.relOfFileCol(spark, col("file")))
@@ -511,12 +537,48 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val (mn, mx, nn) = (col(mnS.get), col(mxS.get), col(nnS.get))
       val pure = col("wcnt").isNotNull && col("wcnt") === col("cnt") &&
         col("cnt") > 0
+      // The COW walk's full/candidate classification composed with
+      // winner purity: a PURE file FULL under every conjunct has all
+      // its (winner) rows matching, so its nn drives the accumulation;
+      // any file with winners that MAY hold a matching row is kept when
+      // its bounds reach the walk bound (all-version bounds are outer
+      // bounds of winners).
+      val candidate = (ranges.map { r =>
+        val (mnC, mxC) = (mmOf(r.column)._1.get, mmOf(r.column)._2.get)
+        val loP = r.lo.map(v =>
+          if (r.loInclusive) col(mxC) >= lit(v) else col(mxC) > lit(v))
+        val hiP = r.hi.map(v =>
+          if (r.hiInclusive) col(mnC) <= lit(v) else col(mnC) < lit(v))
+        (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+      } ++ notNull.map(c => col(nnOf(c).get) > lit(0L))
+        ++ inLists.map { case (c, vs) =>
+          val (mnC, mxC) = (mmOf(c)._1.get, mmOf(c)._2.get)
+          vs.map(v => col(mnC) <= lit(v) && col(mxC) >= lit(v))
+            .reduce(_ || _)
+        })
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val full = (ranges.map { r =>
+        val (mnC, mxC) = (mmOf(r.column)._1.get, mmOf(r.column)._2.get)
+        val loP = r.lo.map(v =>
+          if (r.loInclusive) col(mnC) >= lit(v) else col(mnC) > lit(v))
+        val hiP = r.hi.map(v =>
+          if (r.hiInclusive) col(mxC) <= lit(v) else col(mxC) < lit(v))
+        (Seq(col(nnOf(r.column).get) === col("cnt")) ++ loP.toSeq ++
+          hiP.toSeq).reduce(_ && _)
+      } ++ notNull.map(c => col(nnOf(c).get) === col("cnt"))
+        ++ inLists.map { case (c, vs) =>
+          val (mnC, mxC) = (mmOf(c)._1.get, mmOf(c)._2.get)
+          col(nnOf(c).get) === col("cnt") && col(mnC) === col(mxC) &&
+            vs.map(v => col(mnC) === lit(v)).reduce(_ || _)
+        })
+        .reduceOption(_ && _).getOrElse(lit(true))
       KeyedTable.withMetaConf(spark) {
         try {
           val walkKey = if (desc) mn else mx
           val w = W.orderBy(if (desc) walkKey.desc_nulls_last
             else walkKey.asc_nulls_last)
-          val crossing = joined.filter(pure && nn > 0)
+          val crossing = joined
+            .filter(pure && coalesce(full, lit(false)) && nn > 0)
             .withColumn("_graft_cum", sum(nn).over(
               w.rowsBetween(W.unboundedPreceding, W.currentRow)))
             .filter(col("_graft_cum") >= k && nn > 0)
@@ -532,20 +594,30 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             if (nullsFirst) valuePred || (col("cnt") > nn) else valuePred
           val kept = joined
             .filter(col("wcnt").isNotNull && col("wcnt") > 0 &&
+              coalesce(candidate, lit(false)) &&
               coalesce(pred, lit(false)))
             .select(col("_rfile")).collect().map(_.getString(0)).toSeq
           if (kept.length >= cntByFile.size) return None // nothing pruned
-          // Defensive residual: partition filters selected whole files,
-          // so every winner row of a kept file already satisfies them —
-          // re-applying costs a codegen'd compare and protects the
-          // invariant if a kept file ever straddled partitions.
+          // Residual: every conjunct re-applied on the winner rows (the
+          // original child is replaced wholesale; for partition filters
+          // this is defensive — they selected whole files).
           val residual: Seq[org.apache.spark.sql.Column] = partFilters.map {
             case PartitionConjuncts.PartIn(c, t, vs) =>
               val toScala = org.apache.spark.sql.catalyst
                 .CatalystTypeConverters.createToScalaConverter(t)
               col(c).isin(vs.map(toScala): _*)
             case PartitionConjuncts.PartNotNull(c) => col(c).isNotNull
-          }
+          } ++ ranges.map { r =>
+            val loP = r.lo.map(v =>
+              if (r.loInclusive) col(r.column) >= lit(v)
+              else col(r.column) > lit(v))
+            val hiP = r.hi.map(v =>
+              if (r.hiInclusive) col(r.column) <= lit(v)
+              else col(r.column) < lit(v))
+            (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _)
+              .getOrElse(lit(true))
+          } ++ notNull.map(c => col(c).isNotNull) ++
+            inLists.map { case (c, vs) => col(c).isin(vs: _*) }
           val winners = residual.foldLeft(
             table.winnerRowsOf(spark, kept, settled))(_.filter(_))
           val bplan = winners.queryExecution.analyzed
@@ -568,4 +640,5 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         } catch { case scala.util.control.NonFatal(_) => None }
       }
     }
+  }
 }

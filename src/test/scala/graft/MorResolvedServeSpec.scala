@@ -143,6 +143,17 @@ class MorResolvedServeSpec extends SparkTestBase {
       .select("id", "v")
     assert(qa.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((999L, 0L), (1L, 1L)))
+    // IN-filtered walk over the clustered data column: only 'a's files
+    // accumulate/keep; 'b' (and the dead trap file) never open.
+    def qi = t.read(spark).filter(col("grp").isin("a"))
+      .orderBy(col("v").desc, col("id").desc).limit(3).select("id", "v")
+    assert(qi.collect().map(_.getLong(0)).toSeq == Seq(20L, 19L, 18L))
+    assert(!dataScans(qi).exists(_.endsWith(dead)))
+    // range-filtered walk: the bound caps the kept set from above too.
+    def qv = t.read(spark).filter(col("v") <= 30L)
+      .orderBy(col("v").desc, col("id").desc).limit(3).select("id", "v")
+    assert(qv.collect().map(_.getLong(0)).toSeq == Seq(30L, 29L, 28L))
+    assert(!dataScans(qv).exists(_.endsWith(dead)))
   }
 
   test("partition-filtered resolved top-k: other partitions never open, dead extremum stays dead") {
