@@ -152,6 +152,43 @@ class DedupSimilaritySpec extends SparkTestBase {
       s"got $out")
   }
 
+  test("delta write-back: two consecutive deltas == full propagation, re-apply is a no-op") {
+    def labels(tuples: (Long, Long)*) =
+      spark.createDataFrame(tuples.toSeq).toDF("doc_id", "cluster_rep")
+    def ids(v: Long*) = spark.createDataFrame(v.map(Tuple1(_)))
+      .toDF("doc_id")
+    def pairs(tuples: (Long, Long)*) =
+      spark.createDataFrame(tuples.toSeq).toDF("a_id", "b_id")
+    val standingDir = java.nio.file.Files
+      .createTempDirectory("graft_spec_standing_").toString + "/labels"
+    labels(1L -> 1L, 2L -> 1L, 4L -> 4L, 8L -> 4L, 10L -> 10L, 11L -> 10L)
+      .write.parquet(standingDir)
+    // Delta 1: 9 joins comp {1,2} via non-rep 2; 3 undercuts comp {4,8}.
+    val p1 = Dedup.applyDeltaLabels(
+      spark, standingDir, ids(3L, 9L), pairs(9L -> 2L, 3L -> 8L))
+    assert(p1 != standingDir, "a merging delta must publish a new version")
+    assert(spark.read.parquet(p1).as[(Long, Long)].collect().toMap == Map(
+      1L -> 1L, 2L -> 1L, 9L -> 1L,
+      3L -> 3L, 4L -> 3L, 8L -> 3L,
+      10L -> 10L, 11L -> 10L))
+    // Delta 2 probes CURRENT labels: 5 attaches to comp 1 via DELTA-1 doc
+    // 9 (only discoverable because delta 1 was written back); 12 joins
+    // comp {10,11}.
+    val p2 = Dedup.applyDeltaLabels(
+      spark, p1, ids(5L, 12L), pairs(5L -> 9L, 12L -> 10L))
+    val after2 = spark.read.parquet(p2).as[(Long, Long)].collect().toMap
+    val expect = Map(
+      1L -> 1L, 2L -> 1L, 9L -> 1L, 5L -> 1L,
+      3L -> 3L, 4L -> 3L, 8L -> 3L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L)
+    assert(after2 == expect,
+      "two consecutive deltas must equal one full propagation over the union")
+    // Re-applying the SAME delta is a no-op: same path, nothing rewritten.
+    val p3 = Dedup.applyDeltaLabels(
+      spark, p2, ids(5L, 12L), pairs(5L -> 9L, 12L -> 10L))
+    assert(p3 == p2, "idempotent re-apply must return the unchanged sidecar")
+  }
+
   test("PassJoin mixed short-long pair where the short doc has the higher id") {
     // A doc shorter than k = τ+1 chars emits no index-side segments, so a
     // short-long pair exists only as probe(short)×index(long); with the
