@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project, Union, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
-import org.apache.spark.sql.functions.{coalesce, col, count, countDistinct, lit, max, min, sum, udf, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, countDistinct, lit, max, min, sum, when}
 import org.apache.spark.sql.types._
 
 import graft.table.KeyedTable
@@ -784,7 +784,7 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val settled = table.settledWinnerEntries(spark).getOrElse(return None)
       val stRel = st.withColumn(
         "_rfile", table.relOfFileCol(spark, col("file")))
-      val (wcByFile, cntByFile) =
+      val MorWinnerMaps.WinnerMaps(wcByFile, cntByFile, wcU) =
         MorWinnerMaps.of(spark, table, settled, stRel).getOrElse(return None)
       // Partition point conjuncts select whole sidecar rows BEFORE the
       // classification — both the fold and the scan sides then see
@@ -806,7 +806,6 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         .distinct.map(c =>
           c -> ((statCol("min", c), statCol("max", c)))).toMap
       if (mmOf.values.exists(p => p._1.isEmpty || p._2.isEmpty)) return None
-      val wcU = udf((f: String) => wcByFile.get(f))
       val joined = PartitionConjuncts.select(
           stRel, partFilters.zip(filterStatCols.map(_.get)))
         .withColumn("wcnt", wcU(col("_rfile")))
@@ -1253,10 +1252,8 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val settled = table.settledWinnerEntries(spark).getOrElse(return None)
         val stRel = st.withColumn(
           "_rfile", table.relOfFileCol(spark, col("file")))
-        val (wcByFile, _) =
-          MorWinnerMaps.of(spark, table, settled, stRel)
-            .getOrElse(return None)
-        val wcU = udf((f: String) => wcByFile.get(f))
+        val wcU = MorWinnerMaps.of(spark, table, settled, stRel)
+          .getOrElse(return None).wcU
         val joined = PartitionConjuncts.select(
             stRel, partFilters.zip(filterStatCols.map(_.get)))
           .withColumn("wcnt", wcU(col("_rfile")))
@@ -2197,23 +2194,36 @@ object StatsAggregateRewrite {
   * re-aggregating the index per query.
   */
 private[plans] object MorWinnerMaps {
-  private val cache = scala.collection.concurrent.TrieMap
-    .empty[String, (Long, Map[String, Long], Map[String, Long])]
 
-  /** The maps, memoized per mutation tick, with the soundness
-    * cross-check applied: every winner entry's file must be covered by
-    * the stats sidecar (exists ⇒ current guarantees it; a violation
-    * means a racing write — `None`: decline, don't drop winners).
+  /** The per-tick winner artifacts: the driver-side maps (plan-time
+    * walks, prune accounting) plus the winner-count lookup UDF, which
+    * closes over a BROADCAST handle rather than the map itself — the
+    * per-task closure stays O(1) at 10⁶-file scale, the map ships once
+    * per executor via torrent instead of once per task.
+    */
+  private[plans] final case class WinnerMaps(
+      wcByFile: Map[String, Long], cntByFile: Map[String, Long],
+      wcU: org.apache.spark.sql.expressions.UserDefinedFunction)
+
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, WinnerMaps)]
+
+  /** The maps + lookup UDF, memoized per mutation tick, with the
+    * soundness cross-check applied: every winner entry's file must be
+    * covered by the stats sidecar (exists ⇒ current guarantees it; a
+    * violation means a racing write — `None`: decline, don't drop
+    * winners). A superseded tick's broadcast is released by the
+    * ContextCleaner once its cache entry is replaced (the handle is the
+    * only reference).
     */
   def of(
       spark: SparkSession, table: KeyedTable,
       settled: org.apache.spark.sql.DataFrame,
-      stRel: org.apache.spark.sql.DataFrame)
-      : Option[(Map[String, Long], Map[String, Long])] = {
-    import org.apache.spark.sql.functions.{col, count, lit}
+      stRel: org.apache.spark.sql.DataFrame): Option[WinnerMaps] = {
+    import org.apache.spark.sql.functions.{col, count, lit, udf}
     val tick = KeyedTable.mutationTick.get()
-    val (w, c) = cache.get(table.spec.path) match {
-      case Some((t, w0, c0)) if t == tick => (w0, c0)
+    val m = cache.get(table.spec.path) match {
+      case Some((t, m0)) if t == tick => m0
       case _ =>
         val w0 = settled.groupBy(col("file"))
           .agg(count(lit(1)).as("wcnt")).collect()
@@ -2221,9 +2231,11 @@ private[plans] object MorWinnerMaps {
         val c0 = KeyedTable.withMetaConf(spark)(
           stRel.select(col("_rfile"), col("cnt")).collect()
             .map(r => r.getString(0) -> r.getLong(1)).toMap)
-        cache.put(table.spec.path, (tick, w0, c0))
-        (w0, c0)
+        val bc = spark.sparkContext.broadcast(w0)
+        val m0 = WinnerMaps(w0, c0, udf((f: String) => bc.value.get(f)))
+        cache.put(table.spec.path, (tick, m0))
+        m0
     }
-    if (!w.keySet.subsetOf(c.keySet)) None else Some((w, c))
+    if (!m.wcByFile.keySet.subsetOf(m.cntByFile.keySet)) None else Some(m)
   }
 }

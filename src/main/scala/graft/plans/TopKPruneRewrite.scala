@@ -500,7 +500,7 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       partFilters, ranges, notNull, inLists) = m
     table.colStatsFrame(spark).flatMap { st =>
       import org.apache.spark.sql.expressions.{Window => W}
-      import org.apache.spark.sql.functions.{coalesce, col, lit, sum, udf}
+      import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
       def statCol(prefix: String, c: String): Option[String] =
         st.columns.find(_.equalsIgnoreCase(s"${prefix}_$c"))
       if (!st.columns.contains("cnt")) return None
@@ -527,10 +527,9 @@ class TopKPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val settled = table.settledWinnerEntries(spark).getOrElse(return None)
       val stRel = st.withColumn(
         "_rfile", table.relOfFileCol(spark, col("file")))
-      val (wcByFile, cntByFile) =
+      val MorWinnerMaps.WinnerMaps(_, cntByFile, wcU) =
         MorWinnerMaps.of(spark, table, settled, stRel)
           .getOrElse(return None)
-      val wcU = udf((f: String) => wcByFile.get(f))
       val joined = PartitionConjuncts.select(
           stRel, partFilters.zip(filterStatCols.map(_.get)))
         .withColumn("wcnt", wcU(col("_rfile")))
