@@ -232,7 +232,9 @@ object SparkEntry {
     "q204_mor_distinct_filtered" ->
       (UpsertOps.morDistinctLangsFiltered(_, _)),
     "q205_mor_distinct_set" -> (UpsertOps.morDistinctLangSet(_, _)),
-    "q206_mor_topk_lang" -> (UpsertOps.morTopKLangFiltered(_, _))
+    "q206_mor_topk_lang" -> (UpsertOps.morTopKLangFiltered(_, _)),
+    "q207_mor_group_topk" -> (UpsertOps.morGroupTopK(_, _)),
+    "q208_mor_star_join" -> (UpsertOps.morStarCurrent(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -2283,12 +2285,18 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS s_nc,
         |       count(*) AS n_docs
         |FROM fin GROUP BY lang""".stripMargin,
-    // Resolved distinct languages: the base distinct set plus the live
-    // trap lang 'zy'; the superseded-only 'zx' must not count and the
-    // corrected 'de' folds into the base set.
+    // Resolved distinct languages over the reconstructed final state
+    // (the same fin CTE as q199, langs only): the live trap rows
+    // contribute 'zy' and 'de', the superseded-only 'zx' never appears —
+    // the oracle DERIVES the trap arithmetic instead of assuming which
+    // languages the corpus generator shipped.
     "q200_mor_distinct" ->
-      """SELECT CAST(count(DISTINCT lang) + 1 AS BIGINT) AS n_langs
-        |FROM documents""".stripMargin,
+      """WITH fin AS (
+        |  SELECT lang FROM documents
+        |  UNION ALL SELECT 'zy'
+        |  UNION ALL SELECT 'de')
+        |SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM fin""".stripMargin,
     // Resolved top-k: the 5 globally-largest values were corrected to
     // -1 (derivable in SQL: the same ORDER BY ... LIMIT 5 the fixture
     // ran), so the top-20 comes from the remaining live maxima.
@@ -2362,6 +2370,39 @@ object SparkEntry {
         |  UNION ALL SELECT 900000002, 'de', 3)
         |SELECT doc_id, lang, n_chars FROM fin
         |WHERE lang IN ('en', 'de')
-        |ORDER BY n_chars DESC, doc_id DESC LIMIT 15""".stripMargin
+        |ORDER BY n_chars DESC, doc_id DESC LIMIT 15""".stripMargin,
+    // grouped resolved top-k: the per-language leaderboard over the
+    // reconstructed final state — the 'zy' row must rank with its LIVE
+    // n_chars (7, not the superseded 9999999) and 'zx' must be absent
+    "q207_mor_group_topk" ->
+      """WITH fin AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN doc_id % 31 = 0 THEN n_chars + 1000
+        |              ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  UNION ALL SELECT 900000001, 'zy', 7
+        |  UNION ALL SELECT 900000002, 'de', 3),
+        |win AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY n_chars DESC, doc_id DESC) AS rk
+        |  FROM fin)
+        |SELECT doc_id, lang, n_chars, CAST(rk AS INT) AS rk
+        |FROM win WHERE rk <= 5""".stripMargin,
+    // star join over the resolved history fact: the watched keys joined
+    // against the reconstructed final state (the %37 corrections plus
+    // the explicitly-corrected min watched key, all priced -1)
+    "q208_mor_star_join" ->
+      """WITH w AS (
+        |  SELECT o_orderkey AS wk FROM orders WHERE o_orderkey % 1201 = 1),
+        |m AS (SELECT min(wk) AS mk FROM w),
+        |fin AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 37 = 0
+        |                OR o_orderkey = (SELECT mk FROM m)
+        |              THEN -1.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders)
+        |SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
+        |FROM fin f JOIN w ON f.o_orderkey = w.wk""".stripMargin
   )
 }

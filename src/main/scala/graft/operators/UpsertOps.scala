@@ -2062,6 +2062,30 @@ object UpsertOps {
       .select("doc_id", "lang", "n_chars")
   }
 
+  /** GROUPED resolved top-k (q207; [[graft.plans.GroupTopKRewrite]]'s
+    * MoR arm — the per-group stats walk composed with the winner-file
+    * classification): the per-language "longest N LIVE documents"
+    * leaderboard — `row_number() OVER (PARTITION BY lang ORDER BY
+    * n_chars DESC, doc_id DESC) ≤ N` over the RESOLVED history read of
+    * the lang-clustered corpus. Files pure AND single-valued in lang
+    * drive their language's count bound; correction-churned and
+    * run-boundary files are kept and winner-scanned; dead files never
+    * open — the 'zy' trap's superseded 9999999 must NOT appear on the
+    * 'zy' leaderboard (its live value is 7), and the 'zx' group must be
+    * absent entirely (corrected to 'de'). ≡ resolve-latest ∘ window
+    * filter — the oracle (unique doc_id tiebreak).
+    */
+  def morGroupTopK(s: SparkSession, dir: String): DataFrame = {
+    val table = morDocsFixture(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id").desc)
+    table.read(s)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("doc_id", "lang", "n_chars", "rk")
+  }
+
   /** Value-clustered MoR events fixture for the resolved top-k serve
     * (q201): the 5 globally-largest values are CORRECTED down to -1 —
     * the superseded-extremum trap aimed straight at the sort column —
@@ -2603,6 +2627,77 @@ object UpsertOps {
       .select(
         col("c_custkey"), col("c_acctbal"), col("o_orderkey"),
         col("o_totalprice"))
+  }
+
+  /** q208's fixture: orders as a keyed HISTORY fact (retainHistory,
+    * rev-precombined), o_orderkey-clustered so the key chain can prune,
+    * with a correction commit that drops watched-and-corrected prices
+    * to -1 — the dead original price is the leak a naive pruned resolve
+    * would resurrect. The min WATCHED key is corrected explicitly so the
+    * trap exists at every fixture scale (the %37 ∩ %1201 overlap is
+    * empty at sf0.01). The record-level index is built over the final
+    * state; the watchlist dim is a tiny keyed table whose key IS the
+    * fact's join column, probed through its `w_tag` secondary sidecar.
+    * Immutable once built (the star serve is a read-only join).
+    */
+  private def morStarFixture(
+      s: SparkSession, dir: String): (KeyedTable, KeyedTable) =
+    fixtureOnce(dir, "morStar") {
+      val tmp = Files.createTempDirectory("graft_morstar_").toString
+      val fact = KeyedTable(KeyedTableSpec(
+        path = s"$tmp/orders_hist", keyCols = Seq("o_orderkey"),
+        precombineCol = "rev", retainHistory = true))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("rev", lit(0L))
+      fact.upsert(s, ord, commitTime = "c0")
+      fact.cluster(s, Seq("o_orderkey"), targetFileBytes = 16L << 10)
+      val Array(mw) = ord.filter(col("o_orderkey") % 1201 === 1)
+        .agg(min("o_orderkey").as("mk")).collect()
+      val minWatched = mw.getLong(0)
+      fact.upsert(
+        s,
+        ord.filter(
+            col("o_orderkey") % 37 === 0 ||
+            col("o_orderkey") === minWatched)
+          .withColumn("o_totalprice", lit(-1.0))
+          .withColumn("rev", lit(1L)),
+        commitTime = "c1")
+      fact.recordKeyIndex(s)
+      val watch = KeyedTable(KeyedTableSpec(
+        path = s"$tmp/watchlist", keyCols = Seq("w_orderkey"),
+        precombineCol = "w_rev"))
+      watch.upsert(
+        s,
+        ord.filter(col("o_orderkey") % 1201 === 1)
+          .select(col("o_orderkey").as("w_orderkey"))
+          .withColumn("w_tag", lit("watch"))
+          .withColumn("w_rev", lit(0L)),
+        commitTime = "c0")
+      watch.recordIndexes(s, Seq("w_tag"))
+      (fact, watch)
+    }
+
+  /** Star join over a HISTORY fact's resolved read (q208;
+    * [[graft.plans.JoinPruneRewrite]]'s MoR-fact arm): "current state of
+    * the watched orders" — `resolved(orders_hist) JOIN watchlist ON
+    * o_orderkey = w_orderkey WHERE w_tag = 'watch'`. The rule derives
+    * the watched keys from the dim's `w_tag` sidecar (value→keys, never
+    * a dim scan), routes them through the fact's record-level index
+    * (keys→winner files), swaps the scan UNDER the resolve window, and
+    * installs the key guard that keeps non-watched keys from resolving
+    * locally — a 100 TB mutable fact opens O(watchlist + delta) files
+    * instead of feeding the full resolve into the join, and the
+    * watched-and-corrected orders must surface their LIVE -1 price,
+    * never the dead original. ≡ the plain join over the resolved fact —
+    * the oracle.
+    */
+  def morStarCurrent(s: SparkSession, dir: String): DataFrame = {
+    val (fact, watch) = morStarFixture(s, dir)
+    val f = fact.read(s)
+    val d = watch.read(s).filter(col("w_tag") === "watch")
+    f.join(d, f("o_orderkey") === d("w_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
   }
 
   /** Streaming enrichment through the SECONDARY index (q160): the

@@ -6,7 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
 
@@ -69,7 +69,7 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (KeyedTable.specRegistry.isEmpty) return plan
     plan.transformUp {
       case f: Filter =>
-        try tryRewrite(f).getOrElse(f)
+        try tryRewrite(f).orElse(tryMorRewrite(f)).getOrElse(f)
         catch { case scala.util.control.NonFatal(_) => f }
     }
   }
@@ -320,6 +320,283 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                 l.copy(relation = m.fsRel.copy(location = pruned)(spark))
             })
           }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
+  /** GROUPED top-k over a history table's RESOLVED read — the per-group
+    * stats walk composed with the winner-file classification
+    * ([[TopKPruneRewrite]]'s MoR arm, per group): the per-category
+    * leaderboard over a MUTABLE table ("longest N live docs per
+    * language"), which otherwise falls to the full resolve scan.
+    *
+    * Soundness is the COW rule's per-group argument with "row" replaced
+    * by "winner row" throughout:
+    *  - a file single-valued in every data group column (and any file
+    *    for partition group columns) belongs to exactly ONE group, and
+    *    so do its WINNERS (winner values ⊆ stored values; a winner row
+    *    of partition p is stored in a file of p);
+    *  - a PURE file (every stored row a live winner) that is also
+    *    group-classifiable contributes exactly its `nn` winner rows to
+    *    its group — walking a group's pure files by min descending
+    *    until Σnn ≥ N proves that group's Nth resolved value reaches
+    *    the walk bound L_g;
+    *  - the kept set is every file holding ≥ 1 winner that could hold
+    *    a rank-≤-N row: classifiable files whose all-version bounds
+    *    (OUTER bounds of their winners) reach their group's L_g, every
+    *    file of an unbounded group, null-carrying files when nulls
+    *    rank first (zero stored nulls ⇒ zero null winners), and every
+    *    group-spanning file — while DEAD files (zero winners), exactly
+    *    where a superseded group extremum hides, never open.
+    * The plan replaces the rank window's child wholesale with the
+    * winner rows of the kept files (the full resolve-identity
+    * semi-join, [[KeyedTable.winnerRowsOf]]), re-aliased to the child's
+    * own attribute ids, so the residual rank Window + Filter assign
+    * ranks 1..N exactly as the full resolve would.
+    *
+    * Match: Filter(rank-bound) over ONE rank window over the exact
+    * shared resolve shape (rn = 1 the only conjunct below the rank
+    * window) on a registered `retainHistory` table. Partition point/IN
+    * conjuncts compose above the resolve (they drop whole groups and
+    * whole winners); anything else — in particular any conjunct BELOW
+    * the resolve window, which would change the winners — declines.
+    */
+  private[plans] final case class MorGroupTopKMatch(
+      f: Filter, rankW: Window, spec: graft.table.KeyedTableSpec,
+      groupCols: Seq[String], groupIsPart: Seq[Boolean],
+      sortCol: String, n: Int, desc: Boolean, nullsFirst: Boolean,
+      partFilters: Seq[PartitionConjuncts.PartFilter]) {
+    def dataGroupCols: Seq[String] =
+      groupCols.zip(groupIsPart).collect { case (c, false) => c }
+  }
+
+  /** Every resolved grouped-top-k shape in `plan` the MoR arm would
+    * serve if the record-level index and sort-column stats existed —
+    * the advisor's hook (advice ≡ serveability, the shared-matcher
+    * discipline).
+    */
+  private[plans] def morGroupTopKShapes(
+      plan: LogicalPlan): Seq[MorGroupTopKMatch] =
+    if (KeyedTable.specRegistry.isEmpty) Nil
+    else plan.collect { case f: Filter =>
+      try matchMorShape(f)
+      catch { case scala.util.control.NonFatal(_) => None }
+    }.flatten
+
+  private def tryMorRewrite(f: Filter): Option[LogicalPlan] =
+    matchMorShape(f).flatMap { m =>
+      memo.gated(("mor", m.spec.path, m.groupCols, m.sortCol, m.n, m.desc,
+        m.nullsFirst, m.partFilters.toVector)) {
+        serveMor(m)
+      }
+    }
+
+  private def matchMorShape(f: Filter): Option[MorGroupTopKMatch] = {
+    val conds = mutable.Buffer.empty[(Expression, Int)]
+    val windows = mutable.Buffer.empty[Window]
+    val renames = mutable.Map.empty[ExprId, Expression]
+    val rels = mutable.Buffer.empty[LogicalRelation]
+    val pairs = mutable.Buffer.empty[(Attribute, Attribute)]
+    if (!MvPlanShape.strip(f, conds, windows, renames, rels, pairs))
+      return None
+    if (pairs.nonEmpty || rels.length != 1) return None
+    val lr = rels.head
+    val fsRel = lr.relation match {
+      case h: HadoopFsRelation => h
+      case _ => return None
+    }
+    val root = fsRel.location.rootPaths match {
+      case Seq(one) => one.toString
+      case _ => return None
+    }
+    val spec = Option(KeyedTable.specRegistry.get(root)).getOrElse(return None)
+    if (!spec.retainHistory) return None
+    val subst = MvPlanShape.substFn(renames)
+    val relIds = lr.output.map(_.exprId).toSet
+    def relAttrOf(e: Expression): Option[Attribute] = subst(e) match {
+      case a: Attribute if relIds.contains(a.exprId) &&
+        !a.name.startsWith("_graft_") => Some(a)
+      case _ => None
+    }
+    // Exactly two windows, top-down: the rank window ABOVE the table's
+    // resolve window (and not itself a resolve — a second resolve shape
+    // is not a leaderboard).
+    val (rankW, resolveW) = windows.toSeq match {
+      case Seq(w0, w1) => (w0, w1)
+      case _ => return None
+    }
+    val rn = MvPlanShape.resolveRnOf(resolveW, spec).getOrElse(return None)
+    if (MvPlanShape.resolveRnOf(rankW, spec).isDefined) return None
+    val (rk, groupPairs, sortAttr, desc, nullsFirst) =
+      rankOf(rankW, spec, relAttrOf).getOrElse(return None)
+    if (spec.partitionCols.exists(_.equalsIgnoreCase(sortAttr.name)))
+      return None
+    val (groupCols, groupIsPart) = groupPairs.unzip
+
+    def boundOf(e: Expression): Option[Int] = e match {
+      case LessThanOrEqual(a: Attribute, IntegerLiteral(n))
+        if a.exprId == rk.exprId => Some(n)
+      case LessThan(a: Attribute, IntegerLiteral(n))
+        if a.exprId == rk.exprId => Some(n - 1)
+      case EqualTo(a: Attribute, IntegerLiteral(n))
+        if a.exprId == rk.exprId => Some(n)
+      case GreaterThanOrEqual(IntegerLiteral(n), a: Attribute)
+        if a.exprId == rk.exprId => Some(n)
+      case _ => None
+    }
+    val splitD = conds.toSeq.flatMap { case (c, d) =>
+      MvPlanShape.splitConjunction(c).map((_, d))
+    }
+    if (splitD.exists(!_._1.deterministic)) return None
+    val partColsL = spec.partitionCols.map(_.toLowerCase(Locale.ROOT)).toSet
+    def partFilterOf(e: Expression) = PartitionConjuncts.of(
+      e,
+      x => relAttrOf(x)
+        .filter(at => partColsL.contains(at.name.toLowerCase(Locale.ROOT))))
+    // rn = 1 sits exactly below the rank window (depth 1) and nowhere
+    // else; rank bounds at depth 0; partition conjuncts above the
+    // resolve (depth ≤ 1). Any other conjunct — including anything
+    // BELOW the resolve window — declines.
+    val (rnConds, rest) =
+      splitD.partition(p => MvPlanShape.isRnEqOne(p._1, rn))
+    if (rnConds.map(_._2) != Seq(1)) return None
+    val bounds = rest.collect { case (c, 0) if boundOf(c).isDefined =>
+      boundOf(c).get
+    }
+    if (bounds.isEmpty) return None
+    val n = bounds.min
+    if (n <= 0) return None
+    val partFilters = rest.flatMap(p => partFilterOf(p._1))
+    if (rest.exists { case (c, d) =>
+      (d > 1 || partFilterOf(c).isEmpty) && (d != 0 || boundOf(c).isEmpty)
+    }) return None
+    Some(MorGroupTopKMatch(f, rankW, spec, groupCols, groupIsPart,
+      sortAttr.name, n, desc, nullsFirst, partFilters))
+  }
+
+  /** The IO half of the MoR arm: one metadata-sized walk computes every
+    * group's winner-count bound and the kept file set; the plan swaps
+    * the rank window's child for the kept files' winner rows.
+    */
+  private def serveMor(m: MorGroupTopKMatch): Option[LogicalPlan] = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max => fmax, sum}
+    val table = KeyedTable(m.spec)
+    table.colStatsFrame(spark).flatMap { st =>
+      def statCol(prefix: String, c: String): Option[String] =
+        st.columns.find(_.equalsIgnoreCase(s"${prefix}_$c"))
+      if (!st.columns.contains("cnt")) return None
+      val (mnS, mxS, nnS) = (statCol("min", m.sortCol),
+        statCol("max", m.sortCol), statCol("nn", m.sortCol))
+      if (mnS.isEmpty || mxS.isEmpty || nnS.isEmpty) return None
+      val groupStatCols = m.groupCols.zip(m.groupIsPart).map {
+        case (c, true)  => statCol("p", c)
+        case (c, false) => statCol("min", c)
+      }
+      if (groupStatCols.exists(_.isEmpty)) return None
+      val dataClassPreds = m.groupCols.zip(m.groupIsPart).collect {
+        case (c, false) =>
+          (statCol("min", c), statCol("max", c), statCol("nn", c)) match {
+            case (Some(gmn), Some(gmx), Some(gnn)) =>
+              col(gnn) === col("cnt") && col(gmn) === col(gmx) &&
+                col("cnt") > 0
+            case _ => return None
+          }
+      }
+      val classifiable =
+        dataClassPreds.reduceOption(_ && _).getOrElse(lit(true))
+      val filterStatCols = m.partFilters.map {
+        case PartitionConjuncts.PartIn(c, _, _) => statCol("p", c)
+        case PartitionConjuncts.PartNotNull(c)  => statCol("p", c)
+      }
+      if (filterStatCols.exists(_.isEmpty)) return None
+      val settled = table.settledWinnerEntries(spark).getOrElse(return None)
+      val stRel = st.withColumn(
+        "_rfile", table.relOfFileCol(spark, col("file")))
+      val MorWinnerMaps.WinnerMaps(_, cntByFile, wcU) =
+        MorWinnerMaps.of(spark, table, settled, stRel)
+          .getOrElse(return None)
+      val joined = PartitionConjuncts.select(
+          stRel, m.partFilters.zip(filterStatCols.map(_.get)))
+        .withColumn("wcnt", wcU(col("_rfile")))
+      val live = col("wcnt").isNotNull && col("wcnt") > 0
+      val pure = col("wcnt").isNotNull && col("wcnt") === col("cnt") &&
+        col("cnt") > 0
+      val (mn, mx, nn) = (col(mnS.get), col(mxS.get), col(nnS.get))
+      val gCols = groupStatCols.map(c => col(c.get))
+      val walkKey = if (m.desc) mn else mx
+      val w = W.partitionBy(gCols: _*).orderBy(
+        if (m.desc) walkKey.desc_nulls_last else walkKey.asc_nulls_last)
+      KeyedTable.withMetaConf(spark) {
+        try {
+          // Per-group bound over files that are BOTH pure and
+          // group-classifiable — only their nn provably counts winner
+          // rows of one group. Everything else under-counts: bounds
+          // weaken, keeping more files, never fewer.
+          val stClass = joined
+            .filter(coalesce(classifiable, lit(false)) && pure)
+          val crossed = stClass
+            .withColumn("_graft_cum", sum(nn).over(
+              w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+            .filter(col("_graft_cum") >= m.n && nn > 0)
+          val boundAgg =
+            if (m.desc) fmax(walkKey)
+            else org.apache.spark.sql.functions.min(walkKey)
+          val bounds = crossed
+            .groupBy(gCols: _*).agg(boundAgg.as("_graft_bound"))
+          // Keep (all from files holding ≥ 1 winner): classifiable
+          // files that reach their group's bound / have no bound / may
+          // hold a head-ranking null winner; group-spanning files
+          // unconditionally. Dead files never open.
+          val classed = joined
+            .filter(coalesce(classifiable, lit(false)) && live)
+            .join(bounds, groupStatCols.map(_.get), "left")
+          val reach =
+            if (m.desc) mx >= col("_graft_bound")
+            else mn <= col("_graft_bound")
+          val keepPred = col("_graft_bound").isNull || reach ||
+            (if (m.nullsFirst) col("cnt") > nn else lit(false))
+          val unclassified =
+            if (dataClassPreds.isEmpty) Array.empty[String]
+            else joined
+              .filter(live && (!classifiable || classifiable.isNull))
+              .select(col("_rfile")).collect().map(_.getString(0))
+          val kept = (classed.filter(keepPred).select(col("_rfile"))
+            .collect().map(_.getString(0)) ++ unclassified).toSeq.distinct
+          if (kept.length >= cntByFile.size) return None // nothing pruned
+          // Residual: partition conjuncts re-applied on the winner rows
+          // (defensive — they selected whole files and whole winners).
+          val residual: Seq[org.apache.spark.sql.Column] =
+            m.partFilters.map {
+              case PartitionConjuncts.PartIn(c, t, vs) =>
+                val toScala = org.apache.spark.sql.catalyst
+                  .CatalystTypeConverters.createToScalaConverter(t)
+                col(c).isin(vs.map(toScala): _*)
+              case PartitionConjuncts.PartNotNull(c) => col(c).isNotNull
+            }
+          val winners = residual.foldLeft(
+            table.winnerRowsOf(spark, kept, settled))(_.filter(_))
+          val bplan = winners.queryExecution.analyzed
+          val byName = bplan.output
+            .map(at => at.name.toLowerCase(Locale.ROOT) -> at).toMap
+          val aliases: Seq[NamedExpression] =
+            m.rankW.child.output.map { at =>
+              val src = byName.getOrElse(
+                at.name.toLowerCase(Locale.ROOT), return None)
+              if (src.dataType != at.dataType) return None
+              Alias(src, at.name)(exprId = at.exprId)
+            }
+          val newChild = Project(aliases, bplan)
+          logInfo(s"group-top-k rewrite: ${m.spec.path} RESOLVED scan " +
+            s"replaced by winner rows of ${kept.length} of " +
+            s"${cntByFile.size} files for rank ≤ ${m.n} per " +
+            s"(${m.groupCols.mkString(", ")}) by ${m.sortCol} " +
+            (if (m.desc) "DESC" else "ASC"))
+          Some(m.f.transformUp {
+            case wNode: Window if wNode eq m.rankW =>
+              wNode.copy(child = newChild)
+          })
         } catch { case scala.util.control.NonFatal(_) => None }
       }
     }

@@ -156,6 +156,16 @@ object IndexAdvisor {
     val groupTopKWants = plans.flatMap(groupTopKRule.groupTopKShapes)
       .filter(_.dataGroupCols.isEmpty)
       .map(m => (m.spec.path, "column_stats", m.sortCol))
+    // RESOLVED grouped top-k (the MoR arm): the per-group walk needs
+    // the record-level index (winner classification) plus stats on the
+    // window's sort column — the same chain as the global MoR walk.
+    // Data-column group keys are excluded like the COW arm's: they
+    // serve only under a clustered layout a static shape can't promise.
+    val morGroupTopKWants = plans.flatMap(groupTopKRule.morGroupTopKShapes)
+      .filter(_.dataGroupCols.isEmpty)
+      .flatMap(m => Seq(
+        (m.spec.path, "record_key", m.spec.keyCols.head),
+        (m.spec.path, "column_stats", m.sortCol)))
     // LAYOUT advice: stats that exist but barely skip mean the files
     // overlap the probed column — the index can't help until a sort
     // rewrite makes per-file ranges tight. Measured against the
@@ -363,7 +373,8 @@ object IndexAdvisor {
       if (m.viaKey) Seq(rli)
       else Seq(rli, (m.spec.path, "secondary", m.probeAttr.name))
     } ++ rangeShapes ++ topKWants ++ morTopKWants ++ groupTopKWants ++
-      clusterRecs ++ aggWants ++ rollupRecs ++ morStatsWants
+      morGroupTopKWants ++ clusterRecs ++ aggWants ++ rollupRecs ++
+      morStatsWants
     val recs = (wants.groupBy(identity).toSeq
       .map { case ((path, kind, col), hs) => IndexRec(path, kind, col, hs.length) }
       ++ compactRecs ++ vacuumRecs)

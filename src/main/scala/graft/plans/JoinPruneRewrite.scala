@@ -7,7 +7,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
 import org.apache.spark.sql.types.{StructField, StructType}
@@ -53,12 +53,15 @@ import graft.table.KeyedTable
   *     full filter (only classified conjuncts apply), and on this arm
   *     the joined dim attributes need not be key columns — the scan
   *     reads real rows;
-  *   - the FACT side strips to a single registered NON-RESOLVING
-  *     (plain copy-on-write) relation with no window below the join
-  *     (file pruning under a window would change its frames; on
-  *     merge-on-read the resolve could resurrect superseded versions —
-  *     both decline). Residual fact filters are sound: a dropped file
-  *     only loses rows whose join key cannot match any dim row.
+  *   - the FACT side strips to a single registered relation: plain
+  *     copy-on-write with no window below the join (file pruning under
+  *     a foreign window would change its frames — declines), or a
+  *     HISTORY table read through its exact resolve shape, which serves
+  *     with a key guard above the swapped scan (see `swapFactScan` —
+  *     without it a non-derived key sharing a candidate file could
+  *     resolve to a superseded version and leak a dead row). Residual
+  *     fact filters are sound: a dropped file only loses rows whose
+  *     join key cannot match any dim row.
   *
   * The fact candidate set comes from the same lookup-candidate chain
   * the point rule serves: joined columns covering the fact KEY go
@@ -156,12 +159,46 @@ class JoinPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def lower(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
 
+  /** A history-table fact side is admissible when the plan between the
+    * join and the scan is EXACTLY the table's resolve (the shared
+    * [[MvPlanShape.resolveRnOf]] shape, `rn = 1` the only below-window
+    * conjunct) — the same admission as [[PointLookupRewrite]]'s MoR arm.
+    * Conjuncts above the resolve window stay residual over the resolved
+    * rows and are sound; anything below would filter versions before
+    * the per-key resolve and declines.
+    */
+  private def morFactOk(p: LogicalPlan, spec: graft.table.KeyedTableSpec): Boolean = {
+    val conds = mutable.Buffer.empty[(Expression, Int)]
+    val windows = mutable.Buffer.empty[Window]
+    val renames = mutable.Map.empty[ExprId, Expression]
+    val rels = mutable.Buffer.empty[LogicalRelation]
+    val pairs = mutable.Buffer.empty[(Attribute, Attribute)]
+    if (!MvPlanShape.strip(p, conds, windows, renames, rels, pairs))
+      return false
+    windows.toSeq match {
+      case Seq(w) =>
+        val rn = MvPlanShape.resolveRnOf(w, spec).getOrElse(return false)
+        val split = conds.toSeq.flatMap { case (c, d) =>
+          MvPlanShape.splitConjunction(c).map((_, d))
+        }
+        if (split.exists(!_._1.deterministic)) return false
+        val (rnConds, rest) =
+          split.partition(q => MvPlanShape.isRnEqOne(q._1, rn))
+        rnConds.map(_._2) == Seq(0) && rest.forall(_._2 == 0)
+      case _ => false
+    }
+  }
+
   private def tryOrientation(
       j: Join, factPlan: LogicalPlan, dimPlan: LogicalPlan,
       equiPairs: Seq[(Attribute, Attribute)]): Option[LogicalPlan] = {
-    // FACT: plain COW, no window below the join, single registered rel.
+    // FACT: a single registered rel — plain COW with no window below the
+    // join, OR a history table read through its exact resolve shape
+    // (served with a key guard, see swapFactScan).
     val fact = stripSide(factPlan).getOrElse(return None)
-    if (fact.spec.retainHistory || fact.hasWindow) return None
+    if (fact.spec.retainHistory) {
+      if (!morFactOk(factPlan, fact.spec)) return None
+    } else if (fact.hasWindow) return None
     val factIds = fact.lr.output.map(_.exprId).toSet
 
     // DIM: a probe shape the point rule could serve — or, failing that,
@@ -335,6 +372,18 @@ class JoinPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   /** The shared fact half: route the derived dim values through the
     * fact's index chain and swap the fact scan onto the candidates.
     * `collected` rows carry the joined dim values in `joined` order.
+    *
+    * On a HISTORY fact the swap additionally installs a KEY GUARD
+    * directly above the scan, bounding the resolve to the derived fact
+    * keys (the [[PointLookupRewrite]] MoR argument): candidates hold
+    * each derived key's winning version, but a NON-derived key sharing
+    * a candidate file could resolve to a superseded version whose join
+    * column matches and leak a dead row. The guard commutes with the
+    * per-key resolve (whole key partitions drop), the derived keys are
+    * a superset of every key whose WINNER can join (the sidecars cover
+    * all versions and staleness settles inside the probes), and
+    * guarded non-matching winners are discarded by the join equality —
+    * so the guarded pruned resolve is exact.
     */
   private def swapFactScan(
       j: Join, fact: Side, dimRoot: String,
@@ -342,13 +391,37 @@ class JoinPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       collected: Array[Row]): Option[LogicalPlan] = {
     // Fact candidates through the same chain the point rule serves.
     val factTable = KeyedTable(fact.spec)
+    val resolving = fact.spec.retainHistory
     val factKeyColsL = fact.spec.keyCols.map(lower)
     val factColOf: Map[String, Attribute] =
       joined.map { case (fa, dc) => dc -> fa }.toMap
-    val files: Seq[String] =
+    // The fact scan's own key attributes (guard construction).
+    def keyAttrs: Seq[Attribute] = fact.spec.keyCols.map { kc =>
+      val kcL = lower(kc)
+      fact.lr.output.find(a => lower(a.name) == kcL)
+        .getOrElse(return Seq.empty)
+    }
+    def guardOf(keyRows: Seq[Row]): Option[Expression] = {
+      val attrs = keyAttrs
+      if (attrs.length != fact.spec.keyCols.length) return None
+      if (attrs.length == 1)
+        Some(In(attrs.head,
+          keyRows.map(r => Literal.create(r.get(0), attrs.head.dataType))))
+      else
+        // Composite keys guard with the EXACT tuple set — a per-column
+        // IN would admit non-derived tuples whose superseded versions
+        // could leak.
+        Some(keyRows.map { r =>
+          attrs.zipWithIndex.map { case (at, i) =>
+            EqualTo(at, Literal.create(r.get(i), at.dataType)): Expression
+          }.reduce(And(_, _))
+        }.reduce(Or(_, _)))
+    }
+    val (files, guard): (Seq[String], Option[Expression]) =
       if (collected.isEmpty) {
-        // No dim value can match: the join is empty — zero fact files.
-        Nil
+        // No dim value can match: the join is empty — zero fact files
+        // (nothing scans, so no guard is needed).
+        (Nil, None)
       } else if (joined.map(p => lower(p._1.name)).toSet == factKeyColsL.toSet) {
         // Joined columns cover the fact KEY: keys→files directly.
         val keyToDim: Map[String, Int] = joined.zipWithIndex.map {
@@ -357,21 +430,34 @@ class JoinPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val schema = StructType(fact.spec.keyCols.map { kc =>
           StructField(kc, factColOf(joined(keyToDim(lower(kc)))._2).dataType)
         })
-        val rows = new java.util.ArrayList[Row](collected.length)
-        collected.foreach { r =>
-          rows.add(Row(fact.spec.keyCols.map(kc => r.get(keyToDim(lower(kc)))): _*))
+        val keyRows = collected.toSeq.map { r =>
+          Row(fact.spec.keyCols.map(kc => r.get(keyToDim(lower(kc)))): _*)
         }
+        val rows = new java.util.ArrayList[Row](keyRows.length)
+        keyRows.foreach(rows.add)
         val probeDf = spark.createDataFrame(rows, schema)
-        factTable.lookupCandidateFiles(spark, probeDf).getOrElse(return None)
+        val g = if (resolving) Some(guardOf(keyRows).getOrElse(return None))
+          else None
+        (factTable.lookupCandidateFiles(spark, probeDf).getOrElse(return None), g)
       } else if (joined.length == 1) {
         // One joined NON-key fact column: value→keys→files through its
-        // secondary sidecar.
+        // secondary sidecar. A resolving fact bounds the guard to the
+        // derived keys, so the key set must be point-sized too.
         val fc = joined.head._1.name
         if (!factTable.hasPointIndexes(spark, Some(fc))) return None
         val values = collected.map(_.get(0)).toSeq
-        factTable.siProbeKeys(spark, fc, values)
-          .flatMap(keys => factTable.lookupCandidateFiles(spark, keys))
+        val keys = factTable.siProbeKeys(spark, fc, values)
           .getOrElse(return None)
+        val g = if (resolving) {
+          val keyRows = KeyedTable.withMetaConf(spark)(keys
+            .select(fact.spec.keyCols
+              .map(org.apache.spark.sql.functions.col): _*)
+            .limit(MaxJoinProbe + 1).collect()).toSeq
+          if (keyRows.length > MaxJoinProbe) return None
+          if (keyRows.isEmpty) None
+          else Some(guardOf(keyRows).getOrElse(return None))
+        } else None
+        (factTable.lookupCandidateFiles(spark, keys).getOrElse(return None), g)
       } else return None
 
     val total = fact.fsRel.location.inputFiles.length
@@ -382,12 +468,16 @@ class JoinPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       spark, paths, Map("basePath" -> fact.root), partSchema)
     logInfo(s"join-prune rewrite: ${fact.root} fact scan pruned to " +
       s"${files.length} of $total files via ${collected.length} dim join " +
-      s"keys from $dimRoot")
-    // Same relation, same output attributes — only the file set changes,
+      s"keys from $dimRoot" +
+      (if (resolving) " (resolved, key-guarded)" else ""))
+    // Same relation, same output attributes — only the file set changes
+    // (plus the key guard directly above the scan on a resolving fact),
     // so the join condition and everything above keep their exprIds.
     Some(j.transformUp {
       case l: LogicalRelation if l eq fact.lr =>
-        l.copy(relation = fact.fsRel.copy(location = pruned)(spark))
+        val swapped =
+          l.copy(relation = fact.fsRel.copy(location = pruned)(spark))
+        guard.fold(swapped: LogicalPlan)(Filter(_, swapped))
     })
   }
 }

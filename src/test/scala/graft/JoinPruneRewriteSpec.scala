@@ -208,25 +208,86 @@ class JoinPruneRewriteSpec extends SparkTestBase {
     assert(served.select("event_id").as[Long].collect().toSet == expected)
   }
 
-  test("declines: MoR fact, windowed fact, oversized probe") {
+  test("MoR fact through the resolve serves key-guarded; superseded versions never leak") {
+    val tmp = Files.createTempDirectory("graft_jpr_mor_").toString
+    def frows(tuples: (Long, Long, Long, Long)*) =
+      spark.createDataFrame(tuples.toSeq).toDF("id", "fk", "v", "rev")
+    val fact = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/fact", keyCols = Seq("id"), precombineCol = "rev",
+      retainHistory = true))
+    // bulk: fk = id % 4 + 1; the TRAP key 998's c0 version carries fk=1
+    // (it lands in the fk=1 cluster run beside live fk=1 winners), the
+    // c1 winner migrates it to fk=2 — a pruned resolve WITHOUT the key
+    // guard would resolve 998 locally in the kept fk=1 file and leak
+    // the dead (998, fk=1) row into the probe's join.
+    val bulk = (1L to 40L).map(i => (i, i % 4 + 1, i, 0L))
+    fact.upsert(spark, frows(bulk :+ ((998L, 1L, 111L, 0L)): _*),
+      commitTime = "c0")
+    fact.cluster(spark, Seq("fk"), targetFileBytes = 1L << 10)
+    fact.upsert(spark, frows((998L, 2L, 222L, 1L)), commitTime = "c1")
+    fact.recordIndexes(spark, Seq("fk"))
+    val dim = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/dimk", keyCols = Seq("k"), precombineCol = "krev"))
+    dim.upsert(spark, spark.createDataFrame(
+        (1L to 4L).map(k => (k, s"t$k", 0L)))
+      .toDF("k", "tag", "krev"), commitTime = "c0")
+
+    // Non-key joined fact column (fk): value→keys→files through the
+    // fact's secondary sidecar, guard on the derived keys.
+    def q = {
+      val f = fact.read(spark)
+      val d = dim.read(spark).filter(col("k") === 1L)
+      f.join(d, f("fk") === d("k")).select(f("id"), f("fk"), f("v"))
+    }
+    assert(prunedTo(q, s"$tmp/fact").isDefined,
+      "the resolved fact must serve through the key chain")
+    val got = q.as[(Long, Long, Long)].collect().toSet
+    val expect = (1L to 40L).filter(_ % 4 + 1 == 1L).map(i => (i, 1L, i)).toSet
+    assert(got == expect,
+      s"the dead (998, fk=1) version must never leak, got $got")
+
+    // Key-covering join (fact.id = dim2.d_id): keys→files directly,
+    // tuple guard; the trap key IS probed — its WINNER must surface.
+    val dim2 = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/dim2", keyCols = Seq("d_id"), precombineCol = "drev"))
+    dim2.upsert(spark, spark.createDataFrame(
+        Seq((4L, "x", 0L), (8L, "x", 0L), (998L, "x", 0L)))
+      .toDF("d_id", "dtag", "drev"), commitTime = "c0")
+    dim2.recordIndexes(spark, Seq("dtag"))
+    def q2 = {
+      val f = fact.read(spark)
+      val d = dim2.read(spark).filter(col("dtag") === "x")
+      f.join(d, f("id") === d("d_id")).select(f("id"), f("fk"), f("v"))
+    }
+    assert(prunedTo(q2, s"$tmp/fact").isDefined,
+      "the key-covering resolved join must serve")
+    assert(q2.as[(Long, Long, Long)].collect().toSet ==
+      Set((4L, 1L, 4L), (8L, 1L, 8L), (998L, 2L, 222L)),
+      "the probed trap key must resolve to its live winner")
+  }
+
+  test("declines: raw MoR scan, windowed fact, oversized probe") {
     val tmp = Files.createTempDirectory("graft_jpr_dec_").toString
     val dim = buildDim(s"$tmp/dim", Nil)
     val ids = eventsUs.select("user_id").distinct()
       .filter(col("user_id") % 13 === 3).as[Long].collect().toSeq.take(6)
     def dimSel = dim.read(spark).filter(col("user_id").isin(ids: _*))
 
-    // MoR fact: pruning under the resolve could resurrect superseded
-    // versions — decline even with every sidecar present.
+    // RAW history scan (no resolve shape between join and scan): the
+    // guard has nothing to commute with — decline even with every
+    // sidecar present.
     val mor = KeyedTable(KeyedTableSpec(
       path = s"$tmp/mor", keyCols = Seq("event_id"), precombineCol = "ts_us",
       partitionCols = Seq("event_type"), retainHistory = true))
     mor.upsert(spark, eventsUs, commitTime = "c0")
     mor.recordIndexes(spark, Seq("user_id"))
-    val fm = mor.read(spark)
+    mor.read(spark) // warm the registry like any reader session
+    val fm = spark.read.parquet(mor.spec.path)
     val dm = dimSel
     val morJoin = fm.join(dm, fm("user_id") === dm("user_id"))
       .select(fm("event_id"), dm("user_id"))
-    assert(prunedTo(morJoin, s"$tmp/mor").isEmpty, "MoR fact must decline")
+    assert(prunedTo(morJoin, s"$tmp/mor").isEmpty,
+      "a raw all-versions scan must decline")
 
     // Windowed fact side: file pruning would change the frames. The
     // rank must reach the OUTPUT — an unused window is pruned away by

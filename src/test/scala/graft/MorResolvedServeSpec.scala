@@ -195,6 +195,96 @@ class MorResolvedServeSpec extends SparkTestBase {
     assert(qr.collect().map(_.getLong(0)).toSeq == Seq(40L, 39L, 38L))
   }
 
+  test("grouped resolved top-k: per-group walk prunes, dead group extremum never surfaces") {
+    // trap: group a's c0 max (999999) is corrected down to 5 — the 'a'
+    // leaderboard must come from live rows only; the winner MIGRATED
+    // from the dead c0b file to c1's.
+    val (t, dead) = fixture(
+      trap0 = (999L, "a", 999999L, 0L),
+      trap1 = (999L, "a", 5L, 1L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("v").desc, col("id").desc)
+    def q = t.read(spark)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("id", "grp", "v", "rk")
+    val expect = Set(
+      ("a", 20L, 1), ("a", 19L, 2), ("a", 18L, 3),
+      ("b", 40L, 1), ("b", 39L, 2), ("b", 38L, 3))
+    assert(q.collect().map(r =>
+      (r.getString(1), r.getLong(2), r.getInt(3))).toSet == expect,
+      "the superseded 999999 must never lead group a's leaderboard")
+    val scanned = dataScans(q)
+    assert(!scanned.exists(_.endsWith(dead)), "the dead file must not open")
+    val total = spark.read.parquet(s"${t.spec.path}/_graft_colstats").count()
+    assert(scanned.size < total,
+      s"per-group walks must prune low-value files, got $scanned of $total")
+    // ascending: the migrated winner itself (v = 5) ranks in group a.
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("v").asc, col("id").asc)
+    def qa = t.read(spark)
+      .withColumn("rk", row_number().over(wa))
+      .filter(col("rk") <= 2)
+      .select("id", "grp", "v")
+    assert(qa.collect().map(r => (r.getString(1), r.getLong(2))).toSet ==
+      Set(("a", 1L), ("a", 2L), ("b", 21L), ("b", 22L)),
+      "ascending walks mirror (v=5 ranks 3rd in a, so outside rk<=2)")
+    // Control: a non-partition conjunct BELOW the rank window declines
+    // to the full resolve, exactly.
+    def qf = t.read(spark).filter(col("v") > 5L)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select("grp", "v")
+    assert(qf.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 20L), ("a", 19L), ("b", 40L), ("b", 39L)))
+  }
+
+  test("the advisor recommends the grouped MoR top-k chain for partition groups; building it serves") {
+    val path = Files.createTempDirectory("graft_morservgtk_").toString + "/t"
+    val t = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("id"), precombineCol = "rev",
+      partitionCols = Seq("day"), retainHistory = true))
+    def prows(tuples: (Long, String, Long, Long)*) =
+      spark.createDataFrame(tuples.toSeq).toDF("id", "day", "v", "rev")
+    val bulk = (1L to 40L).map(i =>
+      (i, if (i <= 20) "d1" else "d2", i, 0L))
+    t.upsert(spark, prows(bulk: _*), commitTime = "c0")
+    t.cluster(spark, Seq("v"), targetFileBytes = 1L << 10)
+    // dead-extremum trap inside d1
+    t.upsert(spark, prows((999L, "d1", 999999L, 0L)), commitTime = "c0b")
+    t.upsert(spark, prows((999L, "d1", 0L, 1L)), commitTime = "c1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("day").orderBy(col("v").desc, col("id").desc)
+    def q = t.read(spark)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select("id", "day", "v")
+    // No index, no stats: the advisor recommends BOTH halves of the
+    // chain in one round (advice ≡ serveability).
+    val a1 = graft.plans.IndexAdvisor.analyze(spark, Seq(q))
+    val k1 = a1.recommendations.map(r => (r.kind, r.column)).toSet
+    assert(k1.contains(("record_key", "id")) &&
+      k1.contains(("column_stats", "v")), s"round 1: $k1")
+    graft.plans.IndexAdvisor.createRecommended(spark, a1)
+    val scanned = dataScans(q)
+    assert(scanned.nonEmpty && scanned.size <
+      spark.read.parquet(s"$path/_graft_colstats").count(),
+      s"the built chain must let the per-group walk prune, got $scanned")
+    assert(q.collect().map(r => (r.getString(1), r.getLong(2))).toSet ==
+      Set(("d1", 20L), ("d1", 19L), ("d2", 40L), ("d2", 39L)),
+      "each day's top-2 must come from live rows only")
+    val dead = new org.apache.hadoop.fs.Path(
+      spark.read.parquet(s"$path/_graft_colstats")
+        .filter(col("max_v") === 999999L)
+        .select("file").collect()(0).getString(0)).getName
+    assert(!dataScans(q).exists(_.endsWith(dead)),
+      "the dead file must not open")
+    val a2 = graft.plans.IndexAdvisor.analyze(spark, Seq(q))
+    assert(!a2.recommendations.exists(r =>
+      r.kind == "record_key" || (r.kind == "column_stats" && r.column == "v")),
+      s"served chain must settle: ${a2.recommendations}")
+  }
+
   test("the advisor recommends the MoR top-k chain; building it serves the walk") {
     val path = Files.createTempDirectory("graft_morservadv_").toString + "/t"
     val t = KeyedTable(KeyedTableSpec(
