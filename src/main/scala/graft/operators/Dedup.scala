@@ -342,8 +342,8 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val path = deltaPairsCache.getOrElseUpdate(
       (dir, shingleK, numHashes, bands, threshold), {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_lsh_delta_").toString + "/pairs"
+        val p = graft.TempDirs.register(java.nio.file.Files
+          .createTempDirectory("graft_lsh_delta_").toString) + "/pairs"
         incrementalMinhashProbe(s, dir, shingleK, numHashes, bands, threshold)
           .write.parquet(p)
         p
@@ -378,8 +378,8 @@ object Dedup {
         .withColumnRenamed("col", "band_hash")
     }
     val indexPath = bandIndexCache.getOrElseUpdate((dir, shingleK, numHashes, bands), {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_lsh_index_").toString + "/bands"
+      val p = graft.TempDirs.register(java.nio.file.Files
+        .createTempDirectory("graft_lsh_index_").toString) + "/bands"
       bandedOf(signed(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)))
         .write.parquet(p)
       p
@@ -743,8 +743,11 @@ object Dedup {
       labels = nextCached.drop("_upd")
     }
     pairs.unpersist()
-    val out = java.nio.file.Files
-      .createTempDirectory(s"graft_${tag}_").toString + "/labels"
+    // The label sidecar (and any versioned siblings a later
+    // write-back publishes beside it) lives under one registered
+    // session-temp root — removed at JVM exit ([[graft.TempDirs]]).
+    val out = graft.TempDirs.register(java.nio.file.Files
+      .createTempDirectory(s"graft_${tag}_").toString) + "/labels"
     labels
       .select(col("doc_id").cast("long"), col("cluster_rep").cast("long"))
       .write.parquet(out)

@@ -39,6 +39,13 @@ object UpsertOps {
       src
     })
 
+  /** Dev-probe hook ([[graft.StreamFloorProbe]]): q93's staged
+    * time-ordered source, so the floor attribution measures the SAME
+    * bytes the bench query replays.
+    */
+  private[graft] def q93StagedSource(s: SparkSession, dir: String): String =
+    stageOnce(dir, "ordered")(stageTimeOrderedJson(s, dir, _, slices = 4))
+
   /** Two-commit template tables, memoized per (fixture dir, table mode):
     * the table-SERVICE queries (compact/cluster/z-order/stats/restore/
     * delete/feed) all start from the identical two-commit build before
@@ -98,15 +105,25 @@ object UpsertOps {
   private[graft] def stagedRoot[T <: AnyRef](dir: String, kind: String)(
       build: String => T): (String, T, String) = {
     val (root, payload) = stagedTemplates.getOrElseUpdate((dir, kind), {
-      val r = Files.createTempDirectory(s"graft_tpl_${kind}_").toString
+      val r = graft.TempDirs.register(
+        Files.createTempDirectory(s"graft_tpl_${kind}_").toString)
       (r, build(r))
     })
-    val dst = Files.createTempDirectory(s"graft_cln_${kind}_").toString
+    val dst = graft.TempDirs.register(
+      Files.createTempDirectory(s"graft_cln_${kind}_").toString)
     copyTree(root, dst)
     // Disk hygiene across bench reps: the PREVIOUS clone for this
     // (dir, kind) has been consumed by the time the next invocation
     // starts (the driver collects each result before re-invoking), so
-    // retire it rather than accumulating one tree per rep.
+    // retire it rather than accumulating one tree per rep. CONSUMPTION
+    // CONTRACT: a caller must fully materialize the returned clone's
+    // results before the same (dir, kind) is invoked again — a caller
+    // caching an unmaterialized DataFrame across invocations would scan
+    // a retired directory and fail with FileNotFound. Retiring at the
+    // NEXT invocation (not a shutdown hook) is deliberate: hook-only
+    // retirement grows temp disk linearly in bench reps × staged kinds;
+    // the template root and the FINAL clone are hook-cleaned via
+    // [[graft.TempDirs]].
     lastClone.put((dir, kind), dst).foreach { prev =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(prev))
     }
@@ -484,6 +501,12 @@ object UpsertOps {
     // micro-batch (left/right × keyToNumValues/keyWithIndexToValue); size
     // the state partitioning to the join's key cardinality (~users), not
     // the session's scan-side width — same sizing rule as the rollup.
+    // SCOPE: the override is session-global for the stream's lifetime
+    // (state partitioning is captured from the session conf at first
+    // checkpoint, so it cannot ride a plan hint) — the set/finally
+    // assumes no concurrent planning on this session, which holds for
+    // the driver contract (queries run serially) and is deliberate for
+    // the foreachBatch write inside the stream.
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     // Per-batch-id subdirectories make the sink idempotent under
@@ -816,6 +839,8 @@ object UpsertOps {
       .select(
         expr("unix_micros(w.start) div 3600000000").as("hour_bucket"),
         col("event_type"), col("n_events"), col("sum_value_dec"))
+    // Session-global for the stream's lifetime; serial-execution
+    // assumption as at clickAttribution's site.
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
     val q =
@@ -3082,7 +3107,8 @@ object UpsertOps {
     // Size the seen-key state partitioning to the key cardinality, not
     // the session's scan-side width: every state partition opens (and
     // commits) its own RocksDB store per micro-batch — the q93 sizing
-    // rule applied to the dedup state.
+    // rule applied to the dedup state. Session-global for the stream's
+    // lifetime; serial-execution assumption as at clickAttribution.
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {

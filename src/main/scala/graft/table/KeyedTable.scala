@@ -659,9 +659,36 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   // NOT meta-conf-scoped: the upsert path probes with the DATA-SIZED
   // batch, which wants the session's full shuffle parallelism — only
   // the lookup-sized wrapper below narrows the conf.
+  /** The bloom index frame, FORMAT-CHECKED: a sidecar persisted by a
+    * pre-relative-path build stored ABSOLUTE file URIs, which the
+    * table-relative consumers would mis-resolve (prefixing spec.path
+    * onto an absolute entry) and the maintenance carry-over filter
+    * would never match (leaving stale rows behind). Detected by
+    * inspecting one entry — a table-relative path never starts with
+    * '/' and never carries a scheme — and a legacy index is REBUILT in
+    * place: one table scan, the same cost its first build paid,
+    * amortized once per migrated table.
+    */
+  private def bloomIndexFrame(spark: SparkSession): DataFrame = {
+    val idx = spark.read.parquet(bloomDir)
+    val head = idx.select(col("file")).limit(1).collect()
+    if (head.nonEmpty) {
+      val f0 = head(0).getString(0)
+      // Legacy = rooted ('/...') or scheme-qualified ('file:/...',
+      // 'hdfs://...', 's3a://...'); a table-relative entry's first
+      // segment is a partition dir or part-file name, never a scheme.
+      if (f0.startsWith("/") ||
+        f0.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:/.*")) {
+        recordBloomIndex(spark)
+        return spark.read.parquet(bloomDir)
+      }
+    }
+    idx
+  }
+
   private[graft] def bloomCandidateFiles(
       spark: SparkSession, batch: DataFrame): (Seq[String], Int) = {
-    val idx = spark.read.parquet(bloomDir)
+    val idx = bloomIndexFrame(spark)
     val head = idx.select(col("m"), col("k")).limit(1).collect()
     if (head.isEmpty) return (Nil, 0)
     val (m, k) = (head(0).getInt(0), head(0).getInt(1))

@@ -138,6 +138,41 @@ class BloomIndexSpec extends SparkTestBase {
     assert(outputSet(table.read(spark)) == want)
   }
 
+  test("a legacy absolute-path bloom sidecar is detected and rebuilt relative") {
+    val ev = eventsUs
+    val path = Files.createTempDirectory("graft_bloom_fmt_").toString + "/t"
+    val table = KeyedTable(flatSpec(path))
+    table.bulkInsert(
+      spark, ev.repartitionByRange(8, col("event_id")), commitTime = "c0")
+    table.recordBloomIndex(spark)
+    // Regress the sidecar to the pre-change format: absolute URIs in
+    // `file` (what a sidecar persisted by an old build carries).
+    val legacy = spark.read.parquet(s"$path/_graft_bloom")
+      .withColumn("file", concat(lit(s"file:$path/"), col("file")))
+      .collect()
+    val schema = spark.read.parquet(s"$path/_graft_bloom").schema
+    spark.createDataFrame(
+        java.util.Arrays.asList(legacy: _*), schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_bloom")
+    assert(spark.read.parquet(s"$path/_graft_bloom")
+      .select("file").as[String].collect().forall(_.startsWith("file:/")),
+      "precondition: the sidecar is in the legacy absolute format")
+    // The next indexed upsert must detect the format, rebuild, and stay
+    // exact — and the rebuilt sidecar must be table-relative again.
+    val upd = ev.filter(col("event_id") % 5 === 0)
+      .withColumn("ts_us", col("ts_us") + 1000000L)
+    table.upsertBloomIndexed(spark, upd, commitTime = "c1")
+    val expect = eventsUs.withColumn("ts_us",
+        when(col("event_id") % 5 === 0, col("ts_us") + 1000000L)
+          .otherwise(col("ts_us")))
+    assert(outputSet(table.read(spark)) == outputSet(expect))
+    val rebuilt = spark.read.parquet(s"$path/_graft_bloom")
+      .select("file").as[String].collect()
+    assert(rebuilt.nonEmpty && rebuilt.forall(f =>
+      !f.startsWith("/") && !f.contains("://")),
+      s"rebuilt sidecar must be table-relative, got ${rebuilt.take(3).toSeq}")
+  }
+
   test("index probe has no false negatives: every stored key's file is a candidate") {
     val ev = eventsUs
     val path = Files.createTempDirectory("graft_bloom_fn_").toString + "/t"
