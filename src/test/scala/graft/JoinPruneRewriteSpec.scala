@@ -266,6 +266,40 @@ class JoinPruneRewriteSpec extends SparkTestBase {
       "the probed trap key must resolve to its live winner")
   }
 
+  test("MoR fact × RANGE-probed dim: the guard composes with the bounded dim scan") {
+    val tmp = Files.createTempDirectory("graft_jpr_morrange_").toString
+    def frows(tuples: (Long, Long, Long, Long)*) =
+      spark.createDataFrame(tuples.toSeq).toDF("id", "fk", "v", "rev")
+    val fact = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/fact", keyCols = Seq("id"), precombineCol = "rev",
+      retainHistory = true))
+    val bulk = (1L to 40L).map(i => (i, i % 4 + 1, i, 0L))
+    fact.upsert(spark, frows(bulk :+ ((998L, 1L, 111L, 0L)): _*),
+      commitTime = "c0")
+    fact.cluster(spark, Seq("fk"), targetFileBytes = 1L << 10)
+    fact.upsert(spark, frows((998L, 2L, 222L, 1L)), commitTime = "c1")
+    fact.recordIndexes(spark, Seq("fk"))
+    // Measure-clustered dim: the range probe's keys derive from a
+    // stats-pruned dim scan; k=1 is the only dim key in the band.
+    val dim = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/dimr", keyCols = Seq("k"), precombineCol = "krev"))
+    dim.upsert(spark, spark.createDataFrame(
+        (1L to 4L).map(k => (k, k * 100L, 0L)))
+      .toDF("k", "bal", "krev"), commitTime = "c0")
+    dim.cluster(spark, Seq("bal"), targetFileBytes = 256L)
+    dim.recordColumnStats(spark, Seq("bal"))
+    def q = {
+      val f = fact.read(spark)
+      val d = dim.read(spark).filter(col("bal") >= 50L && col("bal") <= 150L)
+      f.join(d, f("fk") === d("k")).select(f("id"), f("fk"), f("v"))
+    }
+    assert(prunedTo(q, s"$tmp/fact").isDefined,
+      "the resolved fact must serve off the range-derived dim keys")
+    val expect = (1L to 40L).filter(_ % 4 + 1 == 1L).map(i => (i, 1L, i)).toSet
+    assert(q.as[(Long, Long, Long)].collect().toSet == expect,
+      "the dead (998, fk=1) version must never leak through the range arm")
+  }
+
   test("declines: raw MoR scan, windowed fact, oversized probe") {
     val tmp = Files.createTempDirectory("graft_jpr_dec_").toString
     val dim = buildDim(s"$tmp/dim", Nil)

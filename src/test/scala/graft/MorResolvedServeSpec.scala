@@ -283,6 +283,20 @@ class MorResolvedServeSpec extends SparkTestBase {
     assert(!a2.recommendations.exists(r =>
       r.kind == "record_key" || (r.kind == "column_stats" && r.column == "v")),
       s"served chain must settle: ${a2.recommendations}")
+    // A partition POINT conjunct composes: whole groups (and whole
+    // winners) drop before the per-group walk; d2's files never open
+    // and d1's leaderboard is unchanged.
+    def qf = t.read(spark).filter(col("day") === "d1")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select("id", "day", "v")
+    assert(qf.collect().map(r => (r.getString(1), r.getLong(2))).toSet ==
+      Set(("d1", 20L), ("d1", 19L)))
+    val fScanned = dataScans(qf)
+    assert(fScanned.nonEmpty && !fScanned.exists(_.contains("day=d2")),
+      s"the filtered-out partition must never open, got $fScanned")
+    assert(!fScanned.exists(_.endsWith(dead)),
+      "the dead file must stay shut under the partition filter")
   }
 
   test("the advisor recommends the MoR top-k chain; building it serves the walk") {
