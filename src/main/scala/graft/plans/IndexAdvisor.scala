@@ -156,6 +156,23 @@ object IndexAdvisor {
     val groupTopKWants = plans.flatMap(groupTopKRule.groupTopKShapes)
       .filter(_.dataGroupCols.isEmpty)
       .map(m => (m.spec.path, "column_stats", m.sortCol))
+    // STAR-JOIN fact chains: the join-prune rule's shape matcher
+    // reports the fact table and its joined columns; recommend the
+    // fact-side chain — the record-level index always (keys→files),
+    // plus the secondary sidecar when the join rides one non-key fact
+    // column (value→keys first). Fact PARTITION join columns recommend
+    // nothing: Spark's own dynamic partition pruning already serves a
+    // partitioned fact join from directory metadata. The dim side's
+    // probe needs are collected by the point/range matchers over the
+    // same plan — one analyze round recommends the whole star chain.
+    val joinRule = new JoinPruneRewrite(spark)
+    val joinWants = plans.flatMap(joinRule.joinShapes).flatMap { s =>
+      val rli = (s.factSpec.path, "record_key", s.factSpec.keyCols.head)
+      if (s.coversFactKey) Seq(rli)
+      else s.factJoinCols.headOption.toSeq
+        .filterNot(c => isPartitionCol(s.factSpec, c))
+        .flatMap(c => Seq(rli, (s.factSpec.path, "secondary", c)))
+    }
     // RESOLVED grouped top-k (the MoR arm): the per-group walk needs
     // the record-level index (winner classification) plus stats on the
     // window's sort column — the same chain as the global MoR walk.
@@ -373,8 +390,8 @@ object IndexAdvisor {
       if (m.viaKey) Seq(rli)
       else Seq(rli, (m.spec.path, "secondary", m.probeAttr.name))
     } ++ rangeShapes ++ topKWants ++ morTopKWants ++ groupTopKWants ++
-      morGroupTopKWants ++ clusterRecs ++ aggWants ++ rollupRecs ++
-      morStatsWants
+      morGroupTopKWants ++ joinWants ++ clusterRecs ++ aggWants ++
+      rollupRecs ++ morStatsWants
     val recs = (wants.groupBy(identity).toSeq
       .map { case ((path, kind, col), hs) => IndexRec(path, kind, col, hs.length) }
       ++ compactRecs ++ vacuumRecs)

@@ -159,6 +159,110 @@ class JoinPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def lower(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
 
+  /** Usable equi pairs for one orientation: fact attr on the fact
+    * relation, dim attr on the dim relation, equal types (the equality
+    * compared them, but a Cast around either side fails the relation
+    * resolution and is skipped). Shared by the serve and the advisor's
+    * shape matcher.
+    */
+  private def joinedPairs(
+      fact: Side, dim: Side, factPlan: LogicalPlan, dimPlan: LogicalPlan,
+      equiPairs: Seq[(Attribute, Attribute)]): Seq[(Attribute, Attribute)] = {
+    val factIds = fact.lr.output.map(_.exprId).toSet
+    val dimIds = dim.lr.output.map(_.exprId).toSet
+    def relAttr(side: Side, ids: Set[ExprId], e: Expression): Option[Attribute] =
+      side.subst(e) match {
+        case a: Attribute if ids.contains(a.exprId) &&
+          !a.name.startsWith("_graft_") => Some(a)
+        case _ => None
+      }
+    val factOut = factPlan.outputSet
+    val dimOut = dimPlan.outputSet
+    equiPairs.flatMap { case (x, y) =>
+      val oriented =
+        if (factOut.contains(x) && dimOut.contains(y)) Some((x, y))
+        else if (factOut.contains(y) && dimOut.contains(x)) Some((y, x))
+        else None
+      oriented.flatMap { case (fa0, da0) =>
+        for {
+          fa <- relAttr(fact, factIds, fa0)
+          da <- relAttr(dim, dimIds, da0)
+          if da.dataType == fa.dataType
+        } yield (fa, da)
+      }
+    }.distinct
+  }
+
+  /** The fact side of a star-join shape this rule would serve if the
+    * fact chain existed — the ADVISOR's hook (advice ≡ serveability,
+    * the shared-matcher discipline the point/range/top-k families
+    * follow). `coversFactKey` tells the advisor whether the join rides
+    * keys→files directly (record-level index alone) or needs the
+    * secondary sidecar on the one joined non-key column first. The dim
+    * side's own probe needs are already collected by the point/range
+    * shape matchers running over the same plan.
+    */
+  private[plans] final case class JoinShape(
+      factSpec: graft.table.KeyedTableSpec,
+      factJoinCols: Seq[String], coversFactKey: Boolean)
+
+  private[plans] def joinShapes(plan: LogicalPlan): Seq[JoinShape] =
+    if (KeyedTable.specRegistry.isEmpty) Nil
+    else plan.collect { case jn: Join =>
+      try shapeOf(jn)
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    }.flatten
+
+  /** Shape-only (no index IO, no filesystem work beyond the registry)
+    * mirror of [[tryOrientation]]'s admission. On an already-served
+    * plan the fact relation no longer roots at the registered path, so
+    * served joins naturally settle out of the advice.
+    */
+  private def shapeOf(j: Join): Seq[JoinShape] = {
+    val cond = j.condition.getOrElse(return Nil)
+    val orientations: Seq[(LogicalPlan, LogicalPlan)] = j.joinType match {
+      case Inner    => Seq((j.left, j.right), (j.right, j.left))
+      case LeftSemi => Seq((j.left, j.right))
+      case _        => return Nil
+    }
+    val equiPairs: Seq[(Attribute, Attribute)] =
+      MvPlanShape.splitConjunction(cond).collect {
+        case EqualTo(a: Attribute, b: Attribute) => (a, b)
+      }
+    if (equiPairs.isEmpty) return Nil
+    orientations.flatMap { case (factPlan, dimPlan) =>
+      (for {
+        fact <- stripSide(factPlan)
+        if (if (fact.spec.retainHistory) morFactOk(factPlan, fact.spec)
+            else !fact.hasWindow)
+        dim <- stripSide(dimPlan)
+        if !(dim.lr eq fact.lr)
+      } yield {
+        val joinedAll = joinedPairs(fact, dim, factPlan, dimPlan, equiPairs)
+        val dimKeyColsL = dim.spec.keyCols.map(lower)
+        val isPoint = pointRule.probeShapes(dimPlan).exists(_.lr eq dim.lr)
+        val isRange = !isPoint && !dim.spec.retainHistory &&
+          !dim.hasWindow &&
+          rangeRule.rangeShapes(dimPlan).exists(_.lr eq dim.lr)
+        val joined: Seq[Attribute] =
+          if (isPoint)
+            joinedAll.collect {
+              case (fa, da) if dimKeyColsL.contains(lower(da.name)) => fa
+            }
+          else if (isRange) joinedAll.map(_._1)
+          else Nil
+        if (joined.isEmpty) Nil
+        else {
+          val covers = joined.map(a => lower(a.name)).toSet ==
+            fact.spec.keyCols.map(lower).toSet
+          if (covers || joined.length == 1)
+            Seq(JoinShape(fact.spec, joined.map(_.name), covers))
+          else Nil
+        }
+      }).getOrElse(Nil)
+    }
+  }
+
   /** A history-table fact side is admissible when the plan between the
     * join and the scan is EXACTLY the table's resolve (the shared
     * [[MvPlanShape.resolveRnOf]] shape, `rn = 1` the only below-window
@@ -199,7 +303,6 @@ class JoinPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (fact.spec.retainHistory) {
       if (!morFactOk(factPlan, fact.spec)) return None
     } else if (fact.hasWindow) return None
-    val factIds = fact.lr.output.map(_.exprId).toSet
 
     // DIM: a probe shape the point rule could serve — or, failing that,
     // a range shape the range rule could — on the same single relation
@@ -211,35 +314,9 @@ class JoinPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // DataFrame self-joins deduplicate into distinct instances, so this
     // only guards hand-built plans.)
     if (dim.lr eq fact.lr) return None
-    val dimIds = dim.lr.output.map(_.exprId).toSet
     val dimKeyColsL = dim.spec.keyCols.map(lower)
 
-    def relAttr(side: Side, ids: Set[ExprId], e: Expression): Option[Attribute] =
-      side.subst(e) match {
-        case a: Attribute if ids.contains(a.exprId) &&
-          !a.name.startsWith("_graft_") => Some(a)
-        case _ => None
-      }
-
-    // Usable pairs: fact attr on the fact relation, dim attr on the dim
-    // relation, equal types (the equality compared them, but a Cast
-    // around either side fails relAttr and is skipped).
-    val factOut = factPlan.outputSet
-    val dimOut = dimPlan.outputSet
-    val joinedAll: Seq[(Attribute, Attribute)] =
-      equiPairs.flatMap { case (x, y) =>
-        val oriented =
-          if (factOut.contains(x) && dimOut.contains(y)) Some((x, y))
-          else if (factOut.contains(y) && dimOut.contains(x)) Some((y, x))
-          else None
-        oriented.flatMap { case (fa0, da0) =>
-          for {
-            fa <- relAttr(fact, factIds, fa0)
-            da <- relAttr(dim, dimIds, da0)
-            if da.dataType == fa.dataType
-          } yield (fa, da)
-        }
-      }.distinct
+    val joinedAll = joinedPairs(fact, dim, factPlan, dimPlan, equiPairs)
 
     pointRule.probeShapes(dimPlan).find(_.lr eq dim.lr) match {
       case Some(probe) =>

@@ -213,6 +213,54 @@ class IndexAdvisorSpec extends SparkTestBase {
     assert(IndexAdvisor.analyze(spark, Seq(q)).recommendations.isEmpty)
   }
 
+  test("a star-join workload recommends the fact chain; building it serves the join") {
+    val tmp = Files.createTempDirectory("graft_idxadv_join_").toString
+    // Fact clustered by the join column so the built chain can actually
+    // prune; NO indexes yet.
+    val fact = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/fact", keyCols = Seq("event_id"),
+      precombineCol = "ts_us"))
+    fact.upsert(spark, eventsUs, commitTime = "c0")
+    // 1 KB targets: the unpartitioned sf0001 fixture must split into
+    // enough user-run files that the probed users' candidates can prune.
+    fact.cluster(spark, Seq("user_id"), targetFileBytes = 1L << 10)
+    val dim = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/dim", keyCols = Seq("user_id"), precombineCol = "tier"))
+    dim.upsert(spark,
+      eventsUs.select("user_id").distinct()
+        .withColumn("tier", (col("user_id") % 16).cast("long")),
+      commitTime = "c0")
+    val ids = eventsUs.select("user_id").distinct()
+      .filter(col("user_id") % 13 === 3).as[Long].collect().toSeq.take(6)
+    def q = {
+      val f = fact.read(spark)
+      val d = dim.read(spark).filter(col("user_id").isin(ids: _*))
+      f.join(d, f("user_id") === d("user_id"))
+        .select(f("event_id"), d("user_id"))
+    }
+    val expect = q.as[(Long, Long)].collect().toSet
+    // One analyze round recommends the whole fact chain: the RLI plus
+    // the secondary sidecar on the joined non-key column.
+    val a1 = IndexAdvisor.analyze(spark, Seq(q))
+    val k1 = a1.recommendations
+      .filter(_.tablePath == s"$tmp/fact")
+      .map(r => (r.kind, r.column)).toSet
+    assert(k1 == Set(("record_key", "event_id"), ("secondary", "user_id")),
+      s"fact chain: $k1")
+    IndexAdvisor.createRecommended(spark, a1)
+    // The join now prunes the fact scan (file-granular fact roots; the
+    // dim side legitimately stays a directory scan); results unchanged;
+    // the shape settles out of the advice.
+    val factRoots = graft.plans.PlanWalk.scannedFiles(q)
+      .filter(_.contains(s"$tmp/fact"))
+    assert(factRoots.nonEmpty && factRoots.forall(_.endsWith(".parquet")),
+      s"the built chain must serve the join, got $factRoots")
+    assert(q.as[(Long, Long)].collect().toSet == expect)
+    val a2 = IndexAdvisor.analyze(spark, Seq(q))
+    assert(!a2.recommendations.exists(_.tablePath == s"$tmp/fact"),
+      s"served join must settle: ${a2.recommendations}")
+  }
+
   test("partition-column probes recommend nothing: directory pruning serves them") {
     val t = mkTable() // hive-partitioned by event_type
     val et = eventsUs.select("event_type").distinct()
