@@ -234,7 +234,10 @@ object SparkEntry {
     "q205_mor_distinct_set" -> (UpsertOps.morDistinctLangSet(_, _)),
     "q206_mor_topk_lang" -> (UpsertOps.morTopKLangFiltered(_, _)),
     "q207_mor_group_topk" -> (UpsertOps.morGroupTopK(_, _)),
-    "q208_mor_star_join" -> (UpsertOps.morStarCurrent(_, _))
+    "q208_mor_star_join" -> (UpsertOps.morStarCurrent(_, _)),
+    "q209_group_topk_filtered" -> (UpsertOps.groupTopKFiltered(_, _)),
+    "q210_mor_group_topk_filtered" ->
+      (UpsertOps.morGroupTopKFiltered(_, _))
   )
 
   // Exact-decimal SQL fragments shared by several oracles (mirrors
@@ -2403,6 +2406,38 @@ object SparkEntry {
         |              THEN -1.0 ELSE o_totalprice END AS o_totalprice
         |  FROM orders)
         |SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
-        |FROM fin f JOIN w ON f.o_orderkey = w.wk""".stripMargin
+        |FROM fin f JOIN w ON f.o_orderkey = w.wk""".stripMargin,
+    // filtered leaderboard: rank per language AMONG docs in the
+    // mid-length band (the eligibility filter applies before ranking)
+    "q209_group_topk_filtered" ->
+      """WITH b AS (SELECT min(n_chars) + (max(n_chars) - min(n_chars)) // 4 AS lo,
+        |                  max(n_chars) - (max(n_chars) - min(n_chars)) // 4 AS hi
+        |           FROM documents),
+        |win AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY n_chars DESC, doc_id DESC) AS rk
+        |  FROM documents, b WHERE n_chars >= b.lo AND n_chars <= b.hi)
+        |SELECT doc_id, lang, n_chars, CAST(rk AS INT) AS rk
+        |FROM win WHERE rk <= 10""".stripMargin,
+    // filtered grouped resolved top-k: the filter applies to the
+    // reconstructed final state before ranking — the live 'zy' row
+    // (7 chars) is ineligible so its group vanishes, while the dead
+    // 9999999 version is in range and must still never surface
+    "q210_mor_group_topk_filtered" ->
+      """WITH fin AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN doc_id % 31 = 0 THEN n_chars + 1000
+        |              ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  UNION ALL SELECT 900000001, 'zy', 7
+        |  UNION ALL SELECT 900000002, 'de', 3),
+        |win AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY n_chars DESC, doc_id DESC) AS rk
+        |  FROM fin WHERE n_chars >= 200)
+        |SELECT doc_id, lang, n_chars, CAST(rk AS INT) AS rk
+        |FROM win WHERE rk <= 5""".stripMargin
   )
 }

@@ -2111,6 +2111,28 @@ object UpsertOps {
       .select("doc_id", "lang", "n_chars", "rk")
   }
 
+  /** FILTERED grouped resolved top-k (q210; the MoR arm × the
+    * eligibility filter): the per-language "longest N LIVE documents of
+    * at least 200 chars" — the filter applies to RESOLVED rows before
+    * ranking, so the 'zy' trap's LIVE 7-char row is ineligible (the
+    * group vanishes) while its DEAD 9999999-char version is IN range
+    * and must still never surface: winner classification and range
+    * classification compose, and only pure∧full∧single-valued files
+    * drive each language's bound. ≡ resolve ∘ filter ∘ window filter —
+    * the oracle.
+    */
+  def morGroupTopKFiltered(s: SparkSession, dir: String): DataFrame = {
+    val table = morDocsFixture(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id").desc)
+    table.read(s)
+      .filter(col("n_chars") >= 200L)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("doc_id", "lang", "n_chars", "rk")
+  }
+
   /** Value-clustered MoR events fixture for the resolved top-k serve
     * (q201): the 5 globally-largest values are CORRECTED down to -1 —
     * the superseded-extremum trap aimed straight at the sort column —
@@ -2200,6 +2222,35 @@ object UpsertOps {
     table.read(s)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 20)
+      .select("doc_id", "lang", "n_chars", "rk")
+  }
+
+  /** FILTERED grouped top-k (q209; [[graft.plans.GroupTopKRewrite]]'s
+    * eligibility-filter composition): the per-language "longest N
+    * mid-length documents" leaderboard — `row_number() OVER (PARTITION
+    * BY lang ORDER BY n_chars DESC, doc_id DESC) ≤ 10` among docs with
+    * `n_chars BETWEEN lo AND hi`, the filter applied BEFORE ranking
+    * (the eligibility filter every real leaderboard carries: "top N in
+    * stock", "top N above the quality gate"). Files FULL under the
+    * range drive their language's count bound; boundary files stay
+    * candidates; files entirely OUTSIDE the range never open even
+    * when their values would top the unfiltered board. ≡ the plain
+    * window over the filtered corpus — the oracle.
+    */
+  def groupTopKFiltered(s: SparkSession, dir: String): DataFrame = {
+    val table = groupTopKDocsFixture(s, dir)
+    val docs = Tables.documents(s, dir)
+    val Array(r) = docs
+      .agg(min("n_chars").as("mn"), max("n_chars").as("mx")).collect()
+    val (mnv, mxv) = (r.getLong(0), r.getLong(1))
+    val (lo, hi) = (mnv + (mxv - mnv) / 4, mxv - (mxv - mnv) / 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id").desc)
+    table.read(s)
+      .filter(col("n_chars") >= lo && col("n_chars") <= hi)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
       .select("doc_id", "lang", "n_chars", "rk")
   }
 

@@ -79,13 +79,19 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       spec: graft.table.KeyedTableSpec, groupCols: Seq[String],
       groupIsPart: Seq[Boolean],
       sortCol: String, n: Int, desc: Boolean, nullsFirst: Boolean,
-      partFilters: Seq[PartitionConjuncts.PartFilter]) {
+      partFilters: Seq[PartitionConjuncts.PartFilter],
+      ranges: Seq[graft.table.ColumnRange],
+      notNull: Seq[String], inLists: Seq[(String, Seq[Any])]) {
     /** Grouping columns that are DATA columns — classified per file by
       * the single-valued test, the layout property clustering decides
       * (so the advisor must not blanket-recommend these shapes).
       */
     def dataGroupCols: Seq[String] =
       groupCols.zip(groupIsPart).collect { case (c, false) => c }
+    /** Every column whose stats the serve consults. */
+    def statCols: Seq[String] =
+      (sortCol +: (ranges.map(_.column) ++ notNull ++ inLists.map(_._1)))
+        .distinct
   }
 
   /** Every grouped-top-k shape in `plan` this rule would serve if
@@ -101,7 +107,8 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def tryRewrite(f: Filter): Option[LogicalPlan] =
     matchShape(f).flatMap { m =>
       memo.gated((m.root, m.groupCols, m.sortCol, m.n, m.desc, m.nullsFirst,
-        m.partFilters.toVector)) {
+        m.partFilters.toVector, m.ranges.toVector, m.notNull.toVector,
+        m.inLists.map { case (c, vs) => (c, vs.toVector) }.toVector)) {
         serve(m)
       }
     }
@@ -203,15 +210,28 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (bounds.isEmpty) return None
     val n = bounds.min
     if (n <= 0) return None
-    // Partition conjuncts compose at any depth (whole groups drop);
-    // anything else BELOW the window breaks the count bound.
+    // Partition conjuncts compose at any depth (whole groups drop).
+    // Below-window NON-partition conjuncts — the "eligibility filter"
+    // of a filtered leaderboard, applied BEFORE ranking — compose when
+    // every one classifies as a literal range / IS NOT NULL / IN on a
+    // stats-covered column: only files FULL under every conjunct count
+    // toward a group's bound, and files that cannot hold a matching row
+    // drop entirely (their rows never rank). Anything else below the
+    // window declines; non-rank conjuncts ABOVE the window only filter
+    // ranked output and stay residual (they must NOT feed the
+    // classification — dropping files by an above-window predicate
+    // would change surviving rows' ranks).
     val partFilters = splitD.flatMap(p => partFilterOf(p._1))
-    if (splitD.exists { case (c, d) =>
-      d != 0 && partFilterOf(c).isEmpty && boundOf(c).isEmpty
-    }) return None
+    val belowConds = splitD.collect {
+      case (c, d) if d != 0 && partFilterOf(c).isEmpty => c
+    }
+    val ex = RangeConjuncts.extract(
+      belowConds,
+      e => relAttrOf(e).filter(at => KeyedTable.statsOrderedType(at.dataType)))
+    if (ex.other.nonEmpty || ex.nullPreds.exists(_._2)) return None
     Some(GroupTopKMatch(f, lr, fsRel, root, spec,
       groupCols, groupIsPart, sortAttr.name, n, desc, nullsFirst,
-      partFilters))
+      partFilters, ex.ranges, ex.nullPreds.map(_._1), ex.inLists))
   }
 
   /** The IO half: one metadata-sized sidecar job computes every group's
@@ -219,7 +239,7 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def serve(m: GroupTopKMatch): Option[LogicalPlan] = {
     import org.apache.spark.sql.expressions.{Window => W}
-    import org.apache.spark.sql.functions.{col, lit, max => fmax, sum}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max => fmax, sum}
     val table = KeyedTable(m.spec)
     table.colStatsFrame(spark).flatMap { st =>
       def statCol(prefix: String, c: String): Option[String] =
@@ -260,6 +280,48 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case PartitionConjuncts.PartNotNull(c)  => statCol("p", c)
       }
       if (filterStatCols.exists(_.isEmpty)) return None
+      // Eligibility-filter classification columns must be covered.
+      val classFCols =
+        (m.ranges.map(_.column) ++ m.notNull ++ m.inLists.map(_._1)).distinct
+      val nnOfF = classFCols.map(c => c -> statCol("nn", c)).toMap
+      if (nnOfF.values.exists(_.isEmpty)) return None
+      val mmOfF = (m.ranges.map(_.column) ++ m.inLists.map(_._1)).distinct
+        .map(c => c -> ((statCol("min", c), statCol("max", c)))).toMap
+      if (mmOfF.values.exists(p => p._1.isEmpty || p._2.isEmpty)) return None
+      // The global walk's FULL/CANDIDATE split, applied per file: FULL
+      // files have every row eligible (their nn counts toward the
+      // group's bound); CANDIDATE files may hold an eligible row and
+      // stay prunable by the bound; everything else cannot hold a
+      // row that survives the below-window filter and drops entirely.
+      val candidate = (m.ranges.map { r =>
+        val (mnC, mxC) = (mmOfF(r.column)._1.get, mmOfF(r.column)._2.get)
+        val loP = r.lo.map(v =>
+          if (r.loInclusive) col(mxC) >= lit(v) else col(mxC) > lit(v))
+        val hiP = r.hi.map(v =>
+          if (r.hiInclusive) col(mnC) <= lit(v) else col(mnC) < lit(v))
+        (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+      } ++ m.notNull.map(c => col(nnOfF(c).get) > lit(0L))
+        ++ m.inLists.map { case (c, vs) =>
+          val (mnC, mxC) = (mmOfF(c)._1.get, mmOfF(c)._2.get)
+          vs.map(v => col(mnC) <= lit(v) && col(mxC) >= lit(v))
+            .reduce(_ || _)
+        })
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val full = (m.ranges.map { r =>
+        val (mnC, mxC) = (mmOfF(r.column)._1.get, mmOfF(r.column)._2.get)
+        val loP = r.lo.map(v =>
+          if (r.loInclusive) col(mnC) >= lit(v) else col(mnC) > lit(v))
+        val hiP = r.hi.map(v =>
+          if (r.hiInclusive) col(mxC) <= lit(v) else col(mxC) < lit(v))
+        (Seq(col(nnOfF(r.column).get) === col("cnt")) ++ loP.toSeq ++
+          hiP.toSeq).reduce(_ && _)
+      } ++ m.notNull.map(c => col(nnOfF(c).get) === col("cnt"))
+        ++ m.inLists.map { case (c, vs) =>
+          val (mnC, mxC) = (mmOfF(c)._1.get, mmOfF(c)._2.get)
+          col(nnOfF(c).get) === col("cnt") && col(mnC) === col(mxC) &&
+            vs.map(v => col(mnC) === lit(v)).reduce(_ || _)
+        })
+        .reduceOption(_ && _).getOrElse(lit(true))
 
       val stSel = PartitionConjuncts.select(
         st, m.partFilters.zip(filterStatCols.map(_.get)))
@@ -271,11 +333,13 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       KeyedTable.withMetaConf(spark) {
         try {
           val total = st.count().toInt
-          val stClass = stSel.filter(classifiable)
           // Per-group bound: the FIRST file crossing N in the walk
           // order carries the group's bound value — in desc order that
           // is the LARGEST walk key among crossing files (asc: the
-          // smallest). Only classifiable files walk.
+          // smallest). Only group-classifiable files FULL under every
+          // eligibility conjunct walk (their rows all rank).
+          val stClass = stSel
+            .filter(classifiable && coalesce(full, lit(false)))
           val crossed = stClass
             .withColumn("_graft_cum", sum(nn).over(
               w.rowsBetween(W.unboundedPreceding, W.currentRow)))
@@ -285,13 +349,15 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             else org.apache.spark.sql.functions.min(walkKey)
           val bounds = crossed
             .groupBy(gCols: _*).agg(boundAgg.as("_graft_bound"))
-          // Keep: files whose range can reach the group bound, every
-          // file of an UNBOUNDED group (< N non-null rows — no bound
-          // provable), null-carrying files when nulls rank first, and
-          // every UNCLASSIFIABLE file (spans groups / holds the NULL
-          // group).
-          val joined = stClass.join(bounds,
-            groupStatCols.map(_.get), "left")
+          // Keep (CANDIDATE files only — a file that cannot hold an
+          // eligible row never ranks): files whose range can reach the
+          // group bound, every file of an UNBOUNDED group (< N provable
+          // eligible rows), null-carrying files when nulls rank first,
+          // and every UNCLASSIFIABLE file (spans groups / holds the
+          // NULL group).
+          val joined = stSel
+            .filter(classifiable && coalesce(candidate, lit(false)))
+            .join(bounds, groupStatCols.map(_.get), "left")
           val reach =
             if (m.desc) mx >= col("_graft_bound")
             else mn <= col("_graft_bound")
@@ -299,7 +365,8 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             (if (m.nullsFirst) col("cnt") > nn else lit(false))
           val unclassified =
             if (dataClassPreds.isEmpty) Array.empty[String]
-            else stSel.filter(!classifiable || classifiable.isNull)
+            else stSel.filter((!classifiable || classifiable.isNull) &&
+                coalesce(candidate, lit(false)))
               .select("file").collect().map(_.getString(0))
           val files = (joined.filter(keepPred).select("file")
             .collect().map(_.getString(0)) ++ unclassified).toSeq
@@ -366,9 +433,15 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       f: Filter, rankW: Window, spec: graft.table.KeyedTableSpec,
       groupCols: Seq[String], groupIsPart: Seq[Boolean],
       sortCol: String, n: Int, desc: Boolean, nullsFirst: Boolean,
-      partFilters: Seq[PartitionConjuncts.PartFilter]) {
+      partFilters: Seq[PartitionConjuncts.PartFilter],
+      ranges: Seq[graft.table.ColumnRange],
+      notNull: Seq[String], inLists: Seq[(String, Seq[Any])]) {
     def dataGroupCols: Seq[String] =
       groupCols.zip(groupIsPart).collect { case (c, false) => c }
+    /** Every column whose stats the serve consults. */
+    def statCols: Seq[String] =
+      (sortCol +: (ranges.map(_.column) ++ notNull ++ inLists.map(_._1)))
+        .distinct
   }
 
   /** Every resolved grouped-top-k shape in `plan` the MoR arm would
@@ -387,7 +460,9 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def tryMorRewrite(f: Filter): Option[LogicalPlan] =
     matchMorShape(f).flatMap { m =>
       memo.gated(("mor", m.spec.path, m.groupCols, m.sortCol, m.n, m.desc,
-        m.nullsFirst, m.partFilters.toVector)) {
+        m.nullsFirst, m.partFilters.toVector, m.ranges.toVector,
+        m.notNull.toVector,
+        m.inLists.map { case (c, vs) => (c, vs.toVector) }.toVector)) {
         serveMor(m)
       }
     }
@@ -456,8 +531,12 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         .filter(at => partColsL.contains(at.name.toLowerCase(Locale.ROOT))))
     // rn = 1 sits exactly below the rank window (depth 1) and nowhere
     // else; rank bounds at depth 0; partition conjuncts above the
-    // resolve (depth ≤ 1). Any other conjunct — including anything
-    // BELOW the resolve window — declines.
+    // resolve (depth ≤ 1); the eligibility filter — literal ranges /
+    // IS NOT NULL / IN on stats-covered columns BETWEEN the rank window
+    // and the resolve (depth 1: applied to resolved rows before
+    // ranking) — classifies like the COW arm. Any other conjunct —
+    // including anything BELOW the resolve window, which would change
+    // the winners — declines.
     val (rnConds, rest) =
       splitD.partition(p => MvPlanShape.isRnEqOne(p._1, rn))
     if (rnConds.map(_._2) != Seq(1)) return None
@@ -468,11 +547,19 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val n = bounds.min
     if (n <= 0) return None
     val partFilters = rest.flatMap(p => partFilterOf(p._1))
+    val rangeConds = rest.collect {
+      case (c, 1) if partFilterOf(c).isEmpty => c
+    }
+    val ex = RangeConjuncts.extract(
+      rangeConds,
+      e => relAttrOf(e).filter(at => KeyedTable.statsOrderedType(at.dataType)))
+    if (ex.other.nonEmpty || ex.nullPreds.exists(_._2)) return None
     if (rest.exists { case (c, d) =>
-      (d > 1 || partFilterOf(c).isEmpty) && (d != 0 || boundOf(c).isEmpty)
+      d > 1 || (d == 0 && partFilterOf(c).isEmpty && boundOf(c).isEmpty)
     }) return None
     Some(MorGroupTopKMatch(f, rankW, spec, groupCols, groupIsPart,
-      sortAttr.name, n, desc, nullsFirst, partFilters))
+      sortAttr.name, n, desc, nullsFirst, partFilters,
+      ex.ranges, ex.nullPreds.map(_._1), ex.inLists))
   }
 
   /** The IO half of the MoR arm: one metadata-sized walk computes every
@@ -511,6 +598,47 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case PartitionConjuncts.PartNotNull(c)  => statCol("p", c)
       }
       if (filterStatCols.exists(_.isEmpty)) return None
+      // Eligibility-filter classification columns must be covered; the
+      // FULL/CANDIDATE split mirrors the COW arm's (on a MoR file the
+      // stats are outer bounds of its winners — FULL still proves every
+      // stored row, hence every winner, eligible; CANDIDATE is a sound
+      // may-contain test).
+      val classFCols =
+        (m.ranges.map(_.column) ++ m.notNull ++ m.inLists.map(_._1)).distinct
+      val nnOfF = classFCols.map(c => c -> statCol("nn", c)).toMap
+      if (nnOfF.values.exists(_.isEmpty)) return None
+      val mmOfF = (m.ranges.map(_.column) ++ m.inLists.map(_._1)).distinct
+        .map(c => c -> ((statCol("min", c), statCol("max", c)))).toMap
+      if (mmOfF.values.exists(p => p._1.isEmpty || p._2.isEmpty)) return None
+      val candidate = (m.ranges.map { r =>
+        val (mnC, mxC) = (mmOfF(r.column)._1.get, mmOfF(r.column)._2.get)
+        val loP = r.lo.map(v =>
+          if (r.loInclusive) col(mxC) >= lit(v) else col(mxC) > lit(v))
+        val hiP = r.hi.map(v =>
+          if (r.hiInclusive) col(mnC) <= lit(v) else col(mnC) < lit(v))
+        (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+      } ++ m.notNull.map(c => col(nnOfF(c).get) > lit(0L))
+        ++ m.inLists.map { case (c, vs) =>
+          val (mnC, mxC) = (mmOfF(c)._1.get, mmOfF(c)._2.get)
+          vs.map(v => col(mnC) <= lit(v) && col(mxC) >= lit(v))
+            .reduce(_ || _)
+        })
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val full = (m.ranges.map { r =>
+        val (mnC, mxC) = (mmOfF(r.column)._1.get, mmOfF(r.column)._2.get)
+        val loP = r.lo.map(v =>
+          if (r.loInclusive) col(mnC) >= lit(v) else col(mnC) > lit(v))
+        val hiP = r.hi.map(v =>
+          if (r.hiInclusive) col(mxC) <= lit(v) else col(mxC) < lit(v))
+        (Seq(col(nnOfF(r.column).get) === col("cnt")) ++ loP.toSeq ++
+          hiP.toSeq).reduce(_ && _)
+      } ++ m.notNull.map(c => col(nnOfF(c).get) === col("cnt"))
+        ++ m.inLists.map { case (c, vs) =>
+          val (mnC, mxC) = (mmOfF(c)._1.get, mmOfF(c)._2.get)
+          col(nnOfF(c).get) === col("cnt") && col(mnC) === col(mxC) &&
+            vs.map(v => col(mnC) === lit(v)).reduce(_ || _)
+        })
+        .reduceOption(_ && _).getOrElse(lit(true))
       val settled = table.settledWinnerEntries(spark).getOrElse(return None)
       val stRel = st.withColumn(
         "_rfile", table.relOfFileCol(spark, col("file")))
@@ -535,7 +663,8 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           // rows of one group. Everything else under-counts: bounds
           // weaken, keeping more files, never fewer.
           val stClass = joined
-            .filter(coalesce(classifiable, lit(false)) && pure)
+            .filter(coalesce(classifiable, lit(false)) && pure &&
+              coalesce(full, lit(false)))
           val crossed = stClass
             .withColumn("_graft_cum", sum(nn).over(
               w.rowsBetween(W.unboundedPreceding, W.currentRow)))
@@ -550,7 +679,8 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           // hold a head-ranking null winner; group-spanning files
           // unconditionally. Dead files never open.
           val classed = joined
-            .filter(coalesce(classifiable, lit(false)) && live)
+            .filter(coalesce(classifiable, lit(false)) && live &&
+              coalesce(candidate, lit(false)))
             .join(bounds, groupStatCols.map(_.get), "left")
           val reach =
             if (m.desc) mx >= col("_graft_bound")
@@ -560,13 +690,17 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           val unclassified =
             if (dataClassPreds.isEmpty) Array.empty[String]
             else joined
-              .filter(live && (!classifiable || classifiable.isNull))
+              .filter(live && (!classifiable || classifiable.isNull) &&
+                coalesce(candidate, lit(false)))
               .select(col("_rfile")).collect().map(_.getString(0))
           val kept = (classed.filter(keepPred).select(col("_rfile"))
             .collect().map(_.getString(0)) ++ unclassified).toSeq.distinct
           if (kept.length >= cntByFile.size) return None // nothing pruned
-          // Residual: partition conjuncts re-applied on the winner rows
-          // (defensive — they selected whole files and whole winners).
+          // Residual: every conjunct re-applied on the winner rows —
+          // the below-rank eligibility Filter lives in the REPLACED
+          // subtree, so ranges/not-null/IN must re-apply here or
+          // ineligible winner rows would rank (partition conjuncts are
+          // defensive — they selected whole files and whole winners).
           val residual: Seq[org.apache.spark.sql.Column] =
             m.partFilters.map {
               case PartitionConjuncts.PartIn(c, t, vs) =>
@@ -574,7 +708,17 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                   .CatalystTypeConverters.createToScalaConverter(t)
                 col(c).isin(vs.map(toScala): _*)
               case PartitionConjuncts.PartNotNull(c) => col(c).isNotNull
-            }
+            } ++ m.ranges.map { r =>
+              val loP = r.lo.map(v =>
+                if (r.loInclusive) col(r.column) >= lit(v)
+                else col(r.column) > lit(v))
+              val hiP = r.hi.map(v =>
+                if (r.hiInclusive) col(r.column) <= lit(v)
+                else col(r.column) < lit(v))
+              (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _)
+                .getOrElse(lit(true))
+            } ++ m.notNull.map(c => col(c).isNotNull) ++
+              m.inLists.map { case (c, vs) => col(c).isin(vs: _*) }
           val winners = residual.foldLeft(
             table.winnerRowsOf(spark, kept, settled))(_.filter(_))
           val bplan = winners.queryExecution.analyzed

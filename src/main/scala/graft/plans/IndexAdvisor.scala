@@ -155,7 +155,8 @@ object IndexAdvisor {
     // static shape can't promise, so a blanket stats rec never settles.
     val groupTopKWants = plans.flatMap(groupTopKRule.groupTopKShapes)
       .filter(_.dataGroupCols.isEmpty)
-      .map(m => (m.spec.path, "column_stats", m.sortCol))
+      .flatMap(m => m.statCols.filterNot(isPartitionCol(m.spec, _))
+        .map(c => (m.spec.path, "column_stats", c)))
     // STAR-JOIN fact chains: the join-prune rule's shape matcher
     // reports the fact table and its joined columns; recommend the
     // fact-side chain — the record-level index always (keys→files),
@@ -180,9 +181,10 @@ object IndexAdvisor {
     // serve only under a clustered layout a static shape can't promise.
     val morGroupTopKWants = plans.flatMap(groupTopKRule.morGroupTopKShapes)
       .filter(_.dataGroupCols.isEmpty)
-      .flatMap(m => Seq(
-        (m.spec.path, "record_key", m.spec.keyCols.head),
-        (m.spec.path, "column_stats", m.sortCol)))
+      .flatMap(m =>
+        (m.spec.path, "record_key", m.spec.keyCols.head) +:
+          m.statCols.filterNot(isPartitionCol(m.spec, _))
+            .map(c => (m.spec.path, "column_stats", c)))
     // LAYOUT advice: stats that exist but barely skip mean the files
     // overlap the probed column — the index can't help until a sort
     // rewrite makes per-file ranges tight. Measured against the

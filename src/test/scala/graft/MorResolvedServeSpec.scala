@@ -229,14 +229,34 @@ class MorResolvedServeSpec extends SparkTestBase {
     assert(qa.collect().map(r => (r.getString(1), r.getLong(2))).toSet ==
       Set(("a", 1L), ("a", 2L), ("b", 21L), ("b", 22L)),
       "ascending walks mirror (v=5 ranks 3rd in a, so outside rk<=2)")
-    // Control: a non-partition conjunct BELOW the rank window declines
-    // to the full resolve, exactly.
+    // The ELIGIBILITY RANGE composes (v > 5 classifies against the
+    // stats): the dead 999999 is IN range and must still never
+    // surface; group a's live trap row (v = 5) is ineligible.
     def qf = t.read(spark).filter(col("v") > 5L)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 2)
       .select("grp", "v")
     assert(qf.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
-      Set(("a", 20L), ("a", 19L), ("b", 40L), ("b", 39L)))
+      Set(("a", 20L), ("a", 19L), ("b", 40L), ("b", 39L)),
+      "in-range dead extremum must stay dead; ineligible live row must not rank")
+    assert(!dataScans(qf).exists(_.endsWith(dead)),
+      "the dead file must stay shut under the eligibility range")
+    // An ineligible-range query whose band contains ONLY the dead
+    // value: every group's board is empty.
+    def qe = t.read(spark).filter(col("v") >= 100000L)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select("grp", "v")
+    assert(qe.collect().isEmpty,
+      "a band holding only the superseded version must return nothing")
+    // Control: a non-range conjunct BELOW the rank window declines to
+    // the full resolve, exactly.
+    def qd = t.read(spark).filter(col("v") % 2 === 0)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select("grp", "v")
+    assert(qd.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 20L), ("a", 18L), ("b", 40L), ("b", 38L)))
   }
 
   test("the advisor recommends the grouped MoR top-k chain for partition groups; building it serves") {

@@ -1218,6 +1218,62 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     assert(q2.collect().toSet == ranked(docs).collect().toSet)
   }
 
+  test("FILTERED grouped top-k: the eligibility range composes into the per-group walk") {
+    val docs = spark.range(0, 20000).select(
+      col("id").as("doc_id"),
+      concat(lit("lang"), (col("id") % 5).cast("string")).as("lang"),
+      (col("id") * 31 % 9973).as("n_chars"),
+      md5(col("id").cast("string")).as("payload"))
+    val path = Files.createTempDirectory("graft_gtopk_flt_").toString + "/t"
+    val t = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("doc_id"), precombineCol = "n_chars"))
+    t.upsert(spark, docs, commitTime = "c0")
+    t.cluster(spark, Seq("lang", "n_chars"), targetFileBytes = 16L << 10)
+    t.recordColumnStats(spark, Seq("lang", "n_chars"))
+    val total = dataFileCount(path)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id").desc)
+    // The band excludes the global head: the per-group bounds come from
+    // mid-range files, and files ABOVE the band — whose values would top
+    // the unfiltered board — must not open.
+    def ranked(df: DataFrame) = df
+      .filter(col("n_chars") >= 2000L && col("n_chars") <= 8000L)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("doc_id", "lang", "n_chars", "rk")
+    def q = ranked(t.read(spark))
+    val files = scannedDataFiles(q)
+    assert(files.isDefined, "the filtered grouped top-k must serve")
+    assert(files.get.length < total,
+      s"must prune: ${files.get.length} of $total")
+    val expect = ranked(docs).collect().toSet
+    assert(q.collect().toSet == expect)
+    assert(expect.nonEmpty &&
+      expect.forall(r => r.getLong(2) <= 8000L && r.getLong(2) >= 2000L))
+    // A residual conjunct ABOVE the rank filter only filters ranked
+    // output — the serve still fires and stays exact.
+    def qa = ranked(t.read(spark)).filter(col("n_chars") % 2 === 0)
+    assert(scannedDataFiles(qa).isDefined,
+      "an above-window residual must not block the serve")
+    assert(qa.collect().toSet == expect.filter(_.getLong(2) % 2 == 0))
+    // A fully unclassifiable BELOW-window filter declines every stats
+    // rule (no range component for the range rule to prune by either) —
+    // exact via the full scan. (A MIXED below-window filter — ranges
+    // plus an unclassifiable conjunct — correctly falls back to the
+    // plain RANGE prune: in-band file selection is sound under a window
+    // because it never drops a filter-surviving row.)
+    def qd = t.read(spark)
+      .filter(length(col("payload")) > 2)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("doc_id", "lang", "n_chars", "rk")
+    assert(scannedDataFiles(qd).isEmpty,
+      "a non-range below-window conjunct must decline the grouped walk")
+    def rankedAll(df: DataFrame) = df
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("doc_id", "lang", "n_chars", "rk")
+    assert(qd.collect().toSet == rankedAll(docs).collect().toSet)
+  }
+
   test("top-k with nulls sorting first keeps every null-carrying file") {
     val path = Files.createTempDirectory("graft_topk_null_").toString + "/t"
     val t = KeyedTable(cowSpec(path))
