@@ -2375,16 +2375,16 @@ object SparkEntry {
         |WHERE lang IN ('en', 'de')
         |ORDER BY n_chars DESC, doc_id DESC LIMIT 15""".stripMargin,
     // grouped resolved top-k: the per-language leaderboard over the
-    // reconstructed final state — the 'zy' row must rank with its LIVE
-    // n_chars (7, not the superseded 9999999) and 'zx' must be absent
+    // cohort-churned final state (the 'en' re-crawl adds 1000 to every
+    // 5th en doc) — the 'zy' row must rank with its LIVE n_chars
+    // (7, not the superseded 9999999)
     "q207_mor_group_topk" ->
       """WITH fin AS (
         |  SELECT doc_id, lang,
-        |         CASE WHEN doc_id % 31 = 0 THEN n_chars + 1000
-        |              ELSE n_chars END AS n_chars
+        |         CASE WHEN lang = 'en' AND doc_id % 5 = 0
+        |              THEN n_chars + 1000 ELSE n_chars END AS n_chars
         |  FROM documents
-        |  UNION ALL SELECT 900000001, 'zy', 7
-        |  UNION ALL SELECT 900000002, 'de', 3),
+        |  UNION ALL SELECT 900000001, 'zy', 7),
         |win AS (
         |  SELECT doc_id, lang, n_chars,
         |         row_number() OVER (PARTITION BY lang

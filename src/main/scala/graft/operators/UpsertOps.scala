@@ -1993,8 +1993,13 @@ object UpsertOps {
         (900000001L, "zy", 9999999L, 0L),
         (900000002L, "zx", 11L, 0L)))
         .toDF("doc_id", "lang", "n_chars", "rev")
+      // 2 KB targets: each language run must SPAN several files or the
+      // per-file classifications have nothing to prune — at 8 KB the
+      // sf0.1 corpus collapsed to 8 files with 6 spanning languages and
+      // the grouped/filtered serves (correctly) declined as "nothing
+      // pruned" (the leaderboard layout lesson from groupTopKDocsFixture).
       table.upsert(s, base.unionByName(traps0), commitTime = "c0")
-      table.cluster(s, Seq("lang", "n_chars"), targetFileBytes = 8L << 10)
+      table.cluster(s, Seq("lang", "n_chars"), targetFileBytes = 2L << 10)
       table.recordKeyIndex(s)
       val corrections = base.filter(col("doc_id") % 31 === 0)
         .withColumn("n_chars", col("n_chars") + 1000L)
@@ -2092,16 +2097,16 @@ object UpsertOps {
     * classification): the per-language "longest N LIVE documents"
     * leaderboard — `row_number() OVER (PARTITION BY lang ORDER BY
     * n_chars DESC, doc_id DESC) ≤ N` over the RESOLVED history read of
-    * the lang-clustered corpus. Files pure AND single-valued in lang
-    * drive their language's count bound; correction-churned and
-    * run-boundary files are kept and winner-scanned; dead files never
-    * open — the 'zy' trap's superseded 9999999 must NOT appear on the
-    * 'zy' leaderboard (its live value is 7), and the 'zx' group must be
-    * absent entirely (corrected to 'de'). ≡ resolve-latest ∘ window
-    * filter — the oracle (unique doc_id tiebreak).
+    * [[morGroupDocsFixture]] (cohort-targeted 'en' correction churn).
+    * Untouched languages' pure single-valued files drive their groups'
+    * count bounds; the churned 'en' cohort's files are kept and
+    * winner-scanned; dead files never open — the 'zy' trap's superseded
+    * 9999999 must NOT lead the 'zy' leaderboard (its live value is 7).
+    * ≡ resolve-latest ∘ window filter — the oracle (unique doc_id
+    * tiebreak).
     */
   def morGroupTopK(s: SparkSession, dir: String): DataFrame = {
-    val table = morDocsFixture(s, dir)
+    val table = morGroupDocsFixture(s, dir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang")
       .orderBy(col("n_chars").desc, col("doc_id").desc)
@@ -2110,6 +2115,44 @@ object UpsertOps {
       .filter(col("rk") <= 5)
       .select("doc_id", "lang", "n_chars", "rk")
   }
+
+  /** q207's fixture: the lang-clustered history corpus whose correction
+    * traffic is COHORT-TARGETED — an 'en' re-crawl re-lands every 5th
+    * English doc — plus the dead-group-extremum trap ('zy' 9999999
+    * corrected to 7). Uniformly-sprinkled corrections (the shared
+    * [[morDocsFixture]]'s %31 rule) leave essentially no pure file at
+    * realistic file sizes (P ≈ (30/31)^rows-per-file), so the per-group
+    * winner-count bounds are honestly unprovable there and the serve
+    * correctly declines; cohort-targeted churn is the shape mutable
+    * corpora actually have — untouched languages' files stay pure and
+    * drive their groups' bounds, the churned cohort's files winner-scan.
+    */
+  private def morGroupDocsFixture(s: SparkSession, dir: String): KeyedTable =
+    fixtureOnce(dir, "morGroupDocs") {
+      val path =
+        Files.createTempDirectory("graft_morgdocs_").toString + "/docs_keyed"
+      val table = KeyedTable(KeyedTableSpec(
+        path = path, keyCols = Seq("doc_id"), precombineCol = "rev",
+        retainHistory = true))
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("rev", lit(0L))
+      val trap0 = s.createDataFrame(Seq((900000001L, "zy", 9999999L, 0L)))
+        .toDF("doc_id", "lang", "n_chars", "rev")
+      table.upsert(s, base.unionByName(trap0), commitTime = "c0")
+      table.cluster(s, Seq("lang", "n_chars"), targetFileBytes = 2L << 10)
+      table.recordKeyIndex(s)
+      val corrections = base
+        .filter(col("lang") === "en" && col("doc_id") % 5 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .withColumn("rev", lit(1L))
+      val trap1 = s.createDataFrame(Seq((900000001L, "zy", 7L, 1L)))
+        .toDF("doc_id", "lang", "n_chars", "rev")
+      table.upsert(s, corrections.unionByName(trap1), commitTime = "c1")
+      table.refreshRecordKeyIndex(s)
+      table.recordColumnStats(s, Seq("lang", "n_chars"))
+      table
+    }
 
   /** FILTERED grouped resolved top-k (q210; the MoR arm × the
     * eligibility filter): the per-language "longest N LIVE documents of

@@ -237,7 +237,7 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   /** The IO half: one metadata-sized sidecar job computes every group's
     * bound and the kept file set at once.
     */
-  private def serve(m: GroupTopKMatch): Option[LogicalPlan] = {
+  private[plans] def serve(m: GroupTopKMatch): Option[LogicalPlan] = {
     import org.apache.spark.sql.expressions.{Window => W}
     import org.apache.spark.sql.functions.{coalesce, col, lit, max => fmax, sum}
     val table = KeyedTable(m.spec)
@@ -566,7 +566,7 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * group's winner-count bound and the kept file set; the plan swaps
     * the rank window's child for the kept files' winner rows.
     */
-  private def serveMor(m: MorGroupTopKMatch): Option[LogicalPlan] = {
+  private[plans] def serveMor(m: MorGroupTopKMatch): Option[LogicalPlan] = {
     import org.apache.spark.sql.expressions.{Window => W}
     import org.apache.spark.sql.functions.{coalesce, col, lit, max => fmax, sum}
     val table = KeyedTable(m.spec)
