@@ -554,9 +554,11 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       rangeConds,
       e => relAttrOf(e).filter(at => KeyedTable.statsOrderedType(at.dataType)))
     if (ex.other.nonEmpty || ex.nullPreds.exists(_._2)) return None
-    if (rest.exists { case (c, d) =>
-      d > 1 || (d == 0 && partFilterOf(c).isEmpty && boundOf(c).isEmpty)
-    }) return None
+    // Depth-0 non-bound conjuncts (e.g. the `rk > m` of a paginated
+    // leaderboard) only filter RANKED output: everything above the rank
+    // window survives the surgery verbatim, so they stay residual —
+    // same contract as the COW arm. They never feed the classification.
+    if (rest.exists { case (_, d) => d > 1 }) return None
     Some(MorGroupTopKMatch(f, rankW, spec, groupCols, groupIsPart,
       sortAttr.name, n, desc, nullsFirst, partFilters,
       ex.ranges, ex.nullPreds.map(_._1), ex.inLists))

@@ -249,6 +249,16 @@ class MorResolvedServeSpec extends SparkTestBase {
       .select("grp", "v")
     assert(qe.collect().isEmpty,
       "a band holding only the superseded version must return nothing")
+    // Page 2 (rk > 1 AND rk <= 2): the above-window page slice stays
+    // residual, the walk runs at the outer bound — second-ranked rows
+    // only, dead file still shut.
+    def qp = t.read(spark)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1 && col("rk") <= 2)
+      .select("grp", "v")
+    assert(qp.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 19L), ("b", 39L)))
+    assert(!dataScans(qp).exists(_.endsWith(dead)))
     // Control: a non-range conjunct BELOW the rank window declines to
     // the full resolve, exactly.
     def qd = t.read(spark).filter(col("v") % 2 === 0)
