@@ -98,6 +98,16 @@ object IndexAdvisor {
           skipped += s"query #$i: ${e.getClass.getSimpleName}"; Nil
       }
     }
+    // The star-join matcher reads ANALYZED plans: in the OPTIMIZED plan
+    // a dim whose own probe already index-serves has its scan swapped,
+    // which hides the join shape and would silently starve the FACT of
+    // its chain recs (dim indexed, fact not). Pre-optimizer plans keep
+    // both sides recognizable; settling still holds because recs for
+    // already-built sidecars are filtered by existence below.
+    val analyzedPlans = queries.flatMap { q =>
+      try Seq(q.queryExecution.analyzed)
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    }
     // Probes on PARTITION columns recommend nothing: Spark's own
     // partition pruning already serves any predicate on a hive
     // partition column from directory metadata — an index build there
@@ -167,7 +177,7 @@ object IndexAdvisor {
     // probe needs are collected by the point/range matchers over the
     // same plan — one analyze round recommends the whole star chain.
     val joinRule = new JoinPruneRewrite(spark)
-    val joinWants = plans.flatMap(joinRule.joinShapes).flatMap { s =>
+    val joinWants = analyzedPlans.flatMap(joinRule.joinShapes).flatMap { s =>
       val rli = (s.factSpec.path, "record_key", s.factSpec.keyCols.head)
       if (s.coversFactKey) Seq(rli)
       else s.factJoinCols.headOption.toSeq

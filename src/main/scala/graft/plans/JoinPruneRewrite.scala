@@ -214,9 +214,11 @@ class JoinPruneRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }.flatten
 
   /** Shape-only (no index IO, no filesystem work beyond the registry)
-    * mirror of [[tryOrientation]]'s admission. On an already-served
-    * plan the fact relation no longer roots at the registered path, so
-    * served joins naturally settle out of the advice.
+    * mirror of [[tryOrientation]]'s admission. The advisor feeds
+    * ANALYZED plans here (an optimized plan hides the join once either
+    * side's probe index-serves); settling comes from the advisor's
+    * existing-sidecar filter, and on an optimized already-served plan
+    * the swapped fact relation additionally drops the shape.
     */
   private def shapeOf(j: Join): Seq[JoinShape] = {
     val cond = j.condition.getOrElse(return Nil)

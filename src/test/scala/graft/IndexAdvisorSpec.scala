@@ -259,6 +259,44 @@ class IndexAdvisorSpec extends SparkTestBase {
     val a2 = IndexAdvisor.analyze(spark, Seq(q))
     assert(!a2.recommendations.exists(_.tablePath == s"$tmp/fact"),
       s"served join must settle: ${a2.recommendations}")
+    // Dim ALREADY indexed: its key probe index-serves and the join
+    // shape vanishes from the optimized plan — the fact chain must
+    // still be recommended (the matcher reads the analyzed plan).
+    val fact2 = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/fact2", keyCols = Seq("event_id"),
+      precombineCol = "ts_us"))
+    fact2.upsert(spark, eventsUs, commitTime = "c0")
+    fact2.cluster(spark, Seq("user_id"), targetFileBytes = 1L << 10)
+    val dim2 = KeyedTable(KeyedTableSpec(
+      path = s"$tmp/dim2", keyCols = Seq("user_id"), precombineCol = "tier"))
+    // Multi-file key-range layout so the dim's own point probe has
+    // files to prune (a single-file dim declines as "nothing pruned"
+    // and would leave the join visible in the optimized plan).
+    dim2.bulkInsert(spark,
+      eventsUs.select("user_id").distinct()
+        .withColumn("tier", (col("user_id") % 16).cast("long"))
+        .repartitionByRange(4, col("user_id")),
+      commitTime = "c0")
+    dim2.recordKeyIndex(spark)
+    val ids2 = ids.take(2)
+    def q2 = {
+      val f = fact2.read(spark)
+      val d = dim2.read(spark).filter(col("user_id").isin(ids2: _*))
+      f.join(d, f("user_id") === d("user_id"))
+        .select(f("event_id"), d("user_id"))
+    }
+    // Precondition: the dim probe really is served away in the
+    // optimized plan (file-granular dim scan).
+    val dimRoots = graft.plans.PlanWalk.scannedFiles(q2)
+      .filter(_.contains(s"$tmp/dim2"))
+    assert(dimRoots.nonEmpty && dimRoots.forall(_.endsWith(".parquet")),
+      s"precondition: dim probe should index-serve, got $dimRoots")
+    val a3 = IndexAdvisor.analyze(spark, Seq(q2))
+    val k3 = a3.recommendations
+      .filter(_.tablePath == s"$tmp/fact2")
+      .map(r => (r.kind, r.column)).toSet
+    assert(k3 == Set(("record_key", "event_id"), ("secondary", "user_id")),
+      s"fact chain must be recommended despite the served dim: $k3")
   }
 
   test("partition-column probes recommend nothing: directory pruning serves them") {
