@@ -2279,8 +2279,8 @@ object SparkEntry {
     "q199_mor_group_data" ->
       """WITH fin AS (
         |  SELECT doc_id, lang,
-        |         CASE WHEN doc_id % 31 = 0 THEN n_chars + 1000
-        |              ELSE n_chars END AS n_chars
+        |         CASE WHEN lang = 'en' AND doc_id % 5 = 0
+        |              THEN n_chars + 1000 ELSE n_chars END AS n_chars
         |  FROM documents
         |  UNION ALL SELECT 900000001, 'zy', 7
         |  UNION ALL SELECT 900000002, 'de', 3)
@@ -2347,8 +2347,8 @@ object SparkEntry {
     "q204_mor_distinct_filtered" ->
       """WITH fin AS (
         |  SELECT doc_id, lang,
-        |         CASE WHEN doc_id % 31 = 0 THEN n_chars + 1000
-        |              ELSE n_chars END AS n_chars
+        |         CASE WHEN lang = 'en' AND doc_id % 5 = 0
+        |              THEN n_chars + 1000 ELSE n_chars END AS n_chars
         |  FROM documents
         |  UNION ALL SELECT 900000001, 'zy', 7
         |  UNION ALL SELECT 900000002, 'de', 3)
@@ -2366,8 +2366,8 @@ object SparkEntry {
     "q206_mor_topk_lang" ->
       """WITH fin AS (
         |  SELECT doc_id, lang,
-        |         CASE WHEN doc_id % 31 = 0 THEN n_chars + 1000
-        |              ELSE n_chars END AS n_chars
+        |         CASE WHEN lang = 'en' AND doc_id % 5 = 0
+        |              THEN n_chars + 1000 ELSE n_chars END AS n_chars
         |  FROM documents
         |  UNION ALL SELECT 900000001, 'zy', 7
         |  UNION ALL SELECT 900000002, 'de', 3)
@@ -2384,7 +2384,8 @@ object SparkEntry {
         |         CASE WHEN lang = 'en' AND doc_id % 5 = 0
         |              THEN n_chars + 1000 ELSE n_chars END AS n_chars
         |  FROM documents
-        |  UNION ALL SELECT 900000001, 'zy', 7),
+        |  UNION ALL SELECT 900000001, 'zy', 7
+        |  UNION ALL SELECT 900000002, 'de', 3),
         |win AS (
         |  SELECT doc_id, lang, n_chars,
         |         row_number() OVER (PARTITION BY lang
@@ -2427,8 +2428,8 @@ object SparkEntry {
     "q210_mor_group_topk_filtered" ->
       """WITH fin AS (
         |  SELECT doc_id, lang,
-        |         CASE WHEN doc_id % 31 = 0 THEN n_chars + 1000
-        |              ELSE n_chars END AS n_chars
+        |         CASE WHEN lang = 'en' AND doc_id % 5 = 0
+        |              THEN n_chars + 1000 ELSE n_chars END AS n_chars
         |  FROM documents
         |  UNION ALL SELECT 900000001, 'zy', 7
         |  UNION ALL SELECT 900000002, 'de', 3),

@@ -1969,15 +1969,26 @@ object UpsertOps {
     }
 
   /** Lang-clustered MoR documents fixture for the resolved
-    * grouped/distinct serves (q199/q200): the corpus as a history table
-    * clustered by (lang, n_chars), with correction traffic re-landing
-    * a slice of every language PLUS two trap docs — one whose
-    * superseded version carried an extreme n_chars in its own lang
-    * ('zy': the group's max must come from the correction, never the
-    * dead version), one whose superseded version carried a UNIQUE lang
-    * ('zx' → corrected to 'de': the distinct count must drop 'zx').
-    * Index refreshed per commit, stats recorded over the final layout —
-    * the maintained-table state a 100 TB serving layer keeps.
+    * grouped/distinct serves (q199/q200/q204–q207/q210): the corpus as
+    * a history table clustered by (lang, n_chars), with COHORT-TARGETED
+    * correction traffic — an 'en' re-crawl re-lands every 5th English
+    * doc — PLUS two trap docs: one whose superseded version carried an
+    * extreme n_chars in its own lang ('zy': the group's max must come
+    * from the correction, never the dead version), one whose superseded
+    * version carried a UNIQUE lang ('zx' → corrected to 'de': the
+    * distinct count must drop 'zx'). Index refreshed per commit, stats
+    * recorded over the final layout — the maintained-table state a
+    * 100 TB serving layer keeps.
+    *
+    * LAYOUT MATTERS (the round-17 engagement audit): 2 KB cluster
+    * targets so each language run SPANS several files (coarser targets
+    * collapse the corpus into group-spanning files), and the churn must
+    * be cohort-targeted — uniformly-sprinkled corrections leave
+    * P ≈ (1−p)^rows-per-file ≈ 0 PURE files, making every winner-purity
+    * classification honestly unprovable, so the serves (correctly)
+    * declined to full resolves at bench scale. Cohort churn is also the
+    * realistic shape: corrections arrive as re-crawls/backfills of a
+    * slice, not as a uniform sprinkle.
     */
   private def morDocsFixture(s: SparkSession, dir: String): KeyedTable =
     fixtureOnce(dir, "morDocs") {
@@ -1993,15 +2004,11 @@ object UpsertOps {
         (900000001L, "zy", 9999999L, 0L),
         (900000002L, "zx", 11L, 0L)))
         .toDF("doc_id", "lang", "n_chars", "rev")
-      // 2 KB targets: each language run must SPAN several files or the
-      // per-file classifications have nothing to prune — at 8 KB the
-      // sf0.1 corpus collapsed to 8 files with 6 spanning languages and
-      // the grouped/filtered serves (correctly) declined as "nothing
-      // pruned" (the leaderboard layout lesson from groupTopKDocsFixture).
       table.upsert(s, base.unionByName(traps0), commitTime = "c0")
       table.cluster(s, Seq("lang", "n_chars"), targetFileBytes = 2L << 10)
       table.recordKeyIndex(s)
-      val corrections = base.filter(col("doc_id") % 31 === 0)
+      val corrections = base
+        .filter(col("lang") === "en" && col("doc_id") % 5 === 0)
         .withColumn("n_chars", col("n_chars") + 1000L)
         .withColumn("rev", lit(1L))
       val traps1 = s.createDataFrame(Seq(
@@ -2097,7 +2104,7 @@ object UpsertOps {
     * classification): the per-language "longest N LIVE documents"
     * leaderboard — `row_number() OVER (PARTITION BY lang ORDER BY
     * n_chars DESC, doc_id DESC) ≤ N` over the RESOLVED history read of
-    * [[morGroupDocsFixture]] (cohort-targeted 'en' correction churn).
+    * [[morDocsFixture]] (cohort-targeted 'en' correction churn).
     * Untouched languages' pure single-valued files drive their groups'
     * count bounds; the churned 'en' cohort's files are kept and
     * winner-scanned; dead files never open — the 'zy' trap's superseded
@@ -2106,7 +2113,7 @@ object UpsertOps {
     * tiebreak).
     */
   def morGroupTopK(s: SparkSession, dir: String): DataFrame = {
-    val table = morGroupDocsFixture(s, dir)
+    val table = morDocsFixture(s, dir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang")
       .orderBy(col("n_chars").desc, col("doc_id").desc)
@@ -2115,44 +2122,6 @@ object UpsertOps {
       .filter(col("rk") <= 5)
       .select("doc_id", "lang", "n_chars", "rk")
   }
-
-  /** q207's fixture: the lang-clustered history corpus whose correction
-    * traffic is COHORT-TARGETED — an 'en' re-crawl re-lands every 5th
-    * English doc — plus the dead-group-extremum trap ('zy' 9999999
-    * corrected to 7). Uniformly-sprinkled corrections (the shared
-    * [[morDocsFixture]]'s %31 rule) leave essentially no pure file at
-    * realistic file sizes (P ≈ (30/31)^rows-per-file), so the per-group
-    * winner-count bounds are honestly unprovable there and the serve
-    * correctly declines; cohort-targeted churn is the shape mutable
-    * corpora actually have — untouched languages' files stay pure and
-    * drive their groups' bounds, the churned cohort's files winner-scan.
-    */
-  private def morGroupDocsFixture(s: SparkSession, dir: String): KeyedTable =
-    fixtureOnce(dir, "morGroupDocs") {
-      val path =
-        Files.createTempDirectory("graft_morgdocs_").toString + "/docs_keyed"
-      val table = KeyedTable(KeyedTableSpec(
-        path = path, keyCols = Seq("doc_id"), precombineCol = "rev",
-        retainHistory = true))
-      val base = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-        .withColumn("rev", lit(0L))
-      val trap0 = s.createDataFrame(Seq((900000001L, "zy", 9999999L, 0L)))
-        .toDF("doc_id", "lang", "n_chars", "rev")
-      table.upsert(s, base.unionByName(trap0), commitTime = "c0")
-      table.cluster(s, Seq("lang", "n_chars"), targetFileBytes = 2L << 10)
-      table.recordKeyIndex(s)
-      val corrections = base
-        .filter(col("lang") === "en" && col("doc_id") % 5 === 0)
-        .withColumn("n_chars", col("n_chars") + 1000L)
-        .withColumn("rev", lit(1L))
-      val trap1 = s.createDataFrame(Seq((900000001L, "zy", 7L, 1L)))
-        .toDF("doc_id", "lang", "n_chars", "rev")
-      table.upsert(s, corrections.unionByName(trap1), commitTime = "c1")
-      table.refreshRecordKeyIndex(s)
-      table.recordColumnStats(s, Seq("lang", "n_chars"))
-      table
-    }
 
   /** FILTERED grouped resolved top-k (q210; the MoR arm × the
     * eligibility filter): the per-language "longest N LIVE documents of
