@@ -1069,6 +1069,9 @@ object SparkEntry {
       """WITH ev AS (SELECT * FROM events WHERE event_id % 2 = 0),
         |mm AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
         |       FROM ev),
+        |l100 AS (SELECT min(ts_us) AS lo FROM (
+        |  SELECT epoch_us(ts) AS ts_us FROM ev
+        |  ORDER BY ts_us DESC LIMIT 8)),
         |u AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
         |  FROM ev
@@ -1082,8 +1085,8 @@ object SparkEntry {
         |                               ORDER BY ts_us DESC, event_id DESC) AS rn
         |  FROM u)
         |SELECT user_id, event_type, ts_us, event_id, value
-        |FROM w, mm WHERE rn = 1
-        |  AND ts_us BETWEEN mx - (mx - mn) // 1024 AND mx""".stripMargin,
+        |FROM w, mm, l100 WHERE rn = 1
+        |  AND ts_us BETWEEN l100.lo AND mx""".stripMargin,
     // partition-composed MoR range: same reconstruction as q170, the
     // partition conjunct narrows candidates and keys; the window
     // anchors at the max original click ts of a NON-shifted user so the

@@ -1805,7 +1805,7 @@ object UpsertOps {
     * ≡ resolve-latest ∘ range filter — the oracle.
     */
   def morRangePruned(s: SparkSession, dir: String): DataFrame = {
-    val (table, mn, mx) = morRangeFixture(s, dir)
+    val (table, mn, mx, _) = morRangeFixture(s, dir)
     val span = mx - mn
     // Probe the UPPER half of the original domain: winners are per-user
     // LATEST events, so that's where they live (the lower half holds
@@ -1825,8 +1825,10 @@ object UpsertOps {
     * `readPrunedResolving` API, served on a plain `read().filter(ts
     * BETWEEN …)` — the shape a BI tool emits. The rule recognizes the
     * resolve window, selects candidate files from the all-version
-    * stats, derives the in-range rows' distinct keys (≤128 — the range
-    * is a narrow top-of-domain slice, the "recent corrections" audit),
+    * stats, derives the in-range rows' distinct keys (≤128 — the lower bound
+    * anchors at the 100th-from-top original timestamp, so the window is
+    * point-sized at every corpus scale: the "recent corrections"
+    * audit),
     * routes them through the record-level index and guards the swapped
     * scan to exactly those keys; the resolve and the range residual
     * stay above, so the q159 trap (superseded in-range versions of
@@ -1835,10 +1837,9 @@ object UpsertOps {
     * only original-domain winners. ≡ resolve ∘ filter — the oracle.
     */
   def morRangeDeclarative(s: SparkSession, dir: String): DataFrame = {
-    val (table, mn, mx) = morRangeFixture(s, dir)
-    val span = mx - mn
+    val (table, _, mx, lo100) = morRangeFixture(s, dir)
     outputCols(table.read(s)
-      .filter(col("ts_us") >= mx - span / 1024 && col("ts_us") <= mx))
+      .filter(col("ts_us") >= lo100 && col("ts_us") <= mx))
   }
 
   /** PARTITION-composed declarative MoR range (q176;
@@ -1854,7 +1855,7 @@ object UpsertOps {
     * bound. ≡ resolve ∘ (partition ∧ range) filter — the oracle.
     */
   def morRangePartitioned(s: SparkSession, dir: String): DataFrame = {
-    val (table, _, mx) = morRangeFixture(s, dir)
+    val (table, _, mx, _) = morRangeFixture(s, dir)
     val ev = eventsUs(s, dir).filter(col("event_id") % 2 === 0)
     val Array(r) = ev
       .filter(col("user_id") % 11 =!= 0 && col("event_type") === "click")
@@ -1877,7 +1878,7 @@ object UpsertOps {
     * latest-per-(key, partition) count — the oracle.
     */
   def morLiveCount(s: SparkSession, dir: String): DataFrame = {
-    val (table, _, _) = morRangeFixture(s, dir)
+    val (table, _, _, _) = morRangeFixture(s, dir)
     table.read(s).agg(count(lit(1)).as("n_live"))
   }
 
@@ -1891,7 +1892,7 @@ object UpsertOps {
     * latest-per-(key, partition) count — the oracle.
     */
   def morGroupLiveCount(s: SparkSession, dir: String): DataFrame = {
-    val (table, _, _) = morRangeFixture(s, dir)
+    val (table, _, _, _) = morRangeFixture(s, dir)
     table.read(s).groupBy(col("event_type")).agg(count(lit(1)).as("n_live"))
   }
 
@@ -1903,7 +1904,7 @@ object UpsertOps {
     * min, max).
     */
   private def morRangeFixture(
-      s: SparkSession, dir: String): (KeyedTable, Long, Long) =
+      s: SparkSession, dir: String): (KeyedTable, Long, Long, Long) =
     fixtureOnce(dir, "morRange") {
       val path =
         Files.createTempDirectory("graft_morrng_").toString + "/events_keyed"
@@ -1917,7 +1918,29 @@ object UpsertOps {
         ev.agg(min("ts_us").as("mn"), max("ts_us").as("mx")).collect()
       val (mn, mx) = (r.getLong(0), r.getLong(1))
       val span = mx - mn
+      // q170's lower bound anchors at the 8th-from-top ORIGINAL
+      // timestamp, not a fixed span fraction: a fraction derives
+      // O(corpus density) in-range keys — ~10× past the point-probe cap
+      // at sf0.1, where the declarative serve then (correctly)
+      // declined. A count anchor keeps the derived key set point-sized
+      // at EVERY scale — the query's real meaning ("the most recent
+      // corrections") — and stays non-empty down to sf0.001. 30, not
+      // more: the derivation is KEY-scoped, so each derived user drags
+      // its winners in every partition into the candidate set (~3 files
+      // per user here); a wider window's candidates cover the whole
+      // layout and the serve correctly declines as nothing-pruned.
+      // (Scope-aware derivation — (key, partition) pairs — would lift
+      // this; noted as future surface.)
+      val Array(l) = ev.orderBy(col("ts_us").desc).limit(8)
+        .agg(min("ts_us").as("lo")).collect()
+      val lo100 = l.getLong(0)
       table.upsert(s, ev, commitTime = "c0")
+      // Time-clustered layout — the shape this serve exists for: recent
+      // keys' winners co-locate in the top-time files, so the derived
+      // keys' candidate set stays a handful of files instead of
+      // covering the whole one-file-per-partition batch layout (where
+      // candidates = total and the rule correctly declines).
+      table.cluster(s, Seq("ts_us"), targetFileBytes = 16L << 10)
       table.recordKeyIndex(s) // stale after c1 — the lookup settles
       // "Corrections": every 11th user's events re-land with timestamps
       // shifted past the whole original domain — their winners leave any
@@ -1928,7 +1951,7 @@ object UpsertOps {
           .withColumn("ts_us", col("ts_us") + lit(span + 1000000L)),
         commitTime = "c1")
       table.recordColumnStats(s, Seq("ts_us")) // over ALL version files
-      (table, mn, mx)
+      (table, mn, mx, lo100)
     }
 
   /** Shared by q191/q195/q196 (winner-file resolved aggregates): the

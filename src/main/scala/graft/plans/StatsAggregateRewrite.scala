@@ -146,7 +146,8 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       partFilters: Seq[PartFilter],
       ranges: Seq[graft.table.ColumnRange], notNull: Seq[String],
       inLists: Seq[(String, Seq[Any])],
-      lr: LogicalRelation, fsRel: HadoopFsRelation, root: String) {
+      lr: LogicalRelation, fsRel: HadoopFsRelation, root: String,
+      casts: Map[Int, Cast] = Map.empty) {
     /** Grouping columns that are DATA columns (classified per file by
       * the single-valued test), not partition columns (whole files by
       * layout). Their presence forces the hybrid serve.
@@ -1445,7 +1446,26 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         .map(i => GroupOf(at.name, at.dataType, i))
       case _ => None
     }
-    val needs: Seq[Need] = a.aggregateExpressions.map {
+    // A deterministic CAST wrapped around an aggregate — the shape
+    // CollapseProject produces from `SELECT cast(sum(x) AS double)`,
+    // which every BI tool and oracle-compare projection emits — unwraps
+    // here: the inner need folds as usual and the WHOLE-table serve
+    // re-applies the plan's OWN Cast node to the folded value
+    // driver-side (same instance, same eval mode and zone — identical
+    // semantics to the scan, a plan-time ANSI overflow declines through
+    // the rule's catch exactly where the scan would throw). The hybrid
+    // and MoR arms decline cast shapes (their combines rebuild the
+    // plan's aggregate expressions).
+    val castAt = mutable.Map.empty[Int, Cast]
+    val normExprs: Seq[NamedExpression] =
+      a.aggregateExpressions.zipWithIndex.map {
+        case (al @ Alias(c @ Cast(ae: AggregateExpression, _, _, _), _), i)
+            if !ae.isDistinct && ae.filter.isEmpty =>
+          castAt(i) = c
+          Alias(ae, al.name)(al.exprId)
+        case (e, _) => e
+      }
+    val needs: Seq[Need] = normExprs.map {
       case at: Attribute => groupNeedOf(at).getOrElse(return None)
       // count(DISTINCT p) over a PARTITION column: each file carries one
       // whole partition tuple, so the distinct count over the sidecar's
@@ -1519,13 +1539,14 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!groupAttrs.indices.forall(projectedGis.contains)) return None
     Some(AggMatch(
       a, spec, needs, groupAttrs, groupIsPart, partFilters, ex.ranges,
-      notNull, ex.inLists, lr, fsRel, root))
+      notNull, ex.inLists, lr, fsRel, root, castAt.toMap))
   }
 
   private def serveAgg(m: AggMatch): Option[LogicalPlan] =
     if (m.ranges.isEmpty && m.notNull.isEmpty && m.inLists.isEmpty &&
         m.dataGroupCols.isEmpty)
       serveWhole(m)
+    else if (m.casts.nonEmpty) None // cast support is the whole arm's
     else serveHybrid(m)
 
   /** The metadata-ONLY serve: one sidecar read + the LocalRelation fold
@@ -1534,7 +1555,7 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def serveWhole(m: AggMatch): Option[LogicalPlan] = {
     val AggMatch(a, spec, needs, groupAttrs, _, partFilters,
-      _, _, _, _, _, _) = m
+      _, _, _, _, _, _, _) = m
     if (m.dataGroupCols.nonEmpty) return None // hybrid's shape (routing)
     val table = KeyedTable(spec)
     table.colStatsFrame(spark).flatMap { st =>
@@ -1648,6 +1669,8 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         def avgAt(i: Int): Average = a.aggregateExpressions(i) match {
           case Alias(ae: AggregateExpression, _) =>
             ae.aggregateFunction.asInstanceOf[Average]
+          case Alias(Cast(ae: AggregateExpression, _, _, _), _) =>
+            ae.aggregateFunction.asInstanceOf[Average]
           case other => throw new IllegalStateException(
             s"AvgOf need without an Average expression: $other")
         }
@@ -1658,7 +1681,7 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               def at(o: Int): Int = nGroups + offsets(i) + o
               def v(o: Int): Any =
                 if (row.isNullAt(at(o))) null else row.get(at(o))
-              n match {
+              val inner: Any = n match {
                 case MinOf(_, t) => toCatalystStat(v(0), t)
                 case MaxOf(_, t) => toCatalystStat(v(0), t)
                 // sum over no rows is null, like Spark; a total outside
@@ -1672,6 +1695,16 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                     .getOrElse(return None)
                 // count over zero files is 0, never null
                 case _ => if (v(0) == null) 0L else v(0)
+              }
+              // An unwrapped Cast re-applies on the folded value via
+              // the PLAN'S OWN node (same eval mode / zone) — the
+              // LocalRelation row must carry the aggregate expression's
+              // final (cast) type.
+              m.casts.get(i) match {
+                case Some(c) => c
+                  .withNewChildren(Seq(Literal(inner, c.child.dataType)))
+                  .eval(InternalRow.empty)
+                case None => inner
               }
           }
           InternalRow.fromSeq(values)
@@ -1711,7 +1744,7 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def serveHybrid(m: AggMatch): Option[LogicalPlan] = {
     val AggMatch(a, spec, needs, groupAttrs, groupIsPart, partFilters,
-      ranges, notNull, inLists, lr, fsRel, root) = m
+      ranges, notNull, inLists, lr, fsRel, root, _) = m
     val dataGroups = m.dataGroupCols
     // A distinct count would need VALUES as partials through the union
     // — metadata-only serve. (avg DOES ride the hybrid: it owns a

@@ -364,6 +364,42 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     assert(q.collect()(0) == expected)
   }
 
+  test("CAST-wrapped aggregates serve from the sidecar (the CollapseProject shape)") {
+    val path = Files.createTempDirectory("graft_castagg_").toString + "/t"
+    val table = KeyedTable(cowSpec(path))
+    val ev = eventsUs.withColumn("qty_dec",
+      (col("event_id") % 100).cast("decimal(12,2)"))
+    table.upsert(spark, ev, commitTime = "c0")
+    table.recordColumnStats(spark, Seq("event_id", "qty_dec"))
+    // `SELECT cast(sum(x) AS double) ...`: CollapseProject merges the
+    // cast INTO the Aggregate — the matcher must unwrap it and the
+    // serve must re-apply the plan's own Cast on the folded value.
+    def q = table.read(spark)
+      .agg(
+        sum(col("qty_dec")).as("s"), min(col("qty_dec")).as("mn"),
+        max(col("event_id")).as("mx"), count(lit(1)).as("n"),
+        avg(col("event_id")).as("av"))
+      .select(
+        col("s").cast("double").as("s"), col("mn").cast("double").as("mn"),
+        col("mx").cast("int").as("mx"), col("n"),
+        col("av").cast("string").as("av"))
+    val expected = {
+      // reference computed WITHOUT the registry serve: read raw
+      val raw = spark.read.parquet(path)
+        .agg(
+          sum(col("qty_dec")).as("s"), min(col("qty_dec")).as("mn"),
+          max(col("event_id")).as("mx"), count(lit(1)).as("n"),
+          avg(col("event_id")).as("av"))
+        .select(
+          col("s").cast("double"), col("mn").cast("double"),
+          col("mx").cast("int"), col("n"), col("av").cast("string"))
+      raw.collect()(0)
+    }
+    assert(graft.plans.PlanWalk.scannedFiles(q).isEmpty,
+      "cast-wrapped aggregates must fold to a LocalRelation (no scan)")
+    assert(q.collect()(0) == expected)
+  }
+
   test("partition-grouped min/max/count served from the sidecar, no scan") {
     val path = Files.createTempDirectory("graft_sagg_grp_").toString + "/t"
     val table = KeyedTable(cowSpec(path))
