@@ -1826,7 +1826,7 @@ object UpsertOps {
     * BETWEEN …)` — the shape a BI tool emits. The rule recognizes the
     * resolve window, selects candidate files from the all-version
     * stats, derives the in-range rows' distinct keys (≤128 — the lower bound
-    * anchors at the 100th-from-top original timestamp, so the window is
+    * anchors at the 8th-from-top original timestamp, so the window is
     * point-sized at every corpus scale: the "recent corrections"
     * audit),
     * routes them through the record-level index and guards the swapped
@@ -1837,9 +1837,9 @@ object UpsertOps {
     * only original-domain winners. ≡ resolve ∘ filter — the oracle.
     */
   def morRangeDeclarative(s: SparkSession, dir: String): DataFrame = {
-    val (table, _, mx, lo100) = morRangeFixture(s, dir)
+    val (table, _, mx, loAnchor) = morRangeFixture(s, dir)
     outputCols(table.read(s)
-      .filter(col("ts_us") >= lo100 && col("ts_us") <= mx))
+      .filter(col("ts_us") >= loAnchor && col("ts_us") <= mx))
   }
 
   /** PARTITION-composed declarative MoR range (q176;
@@ -1924,7 +1924,7 @@ object UpsertOps {
       // at sf0.1, where the declarative serve then (correctly)
       // declined. A count anchor keeps the derived key set point-sized
       // at EVERY scale — the query's real meaning ("the most recent
-      // corrections") — and stays non-empty down to sf0.001. 30, not
+      // corrections") — and stays non-empty down to sf0.001. 8, not
       // more: the derivation is KEY-scoped, so each derived user drags
       // its winners in every partition into the candidate set (~3 files
       // per user here); a wider window's candidates cover the whole
@@ -1933,7 +1933,7 @@ object UpsertOps {
       // this; noted as future surface.)
       val Array(l) = ev.orderBy(col("ts_us").desc).limit(8)
         .agg(min("ts_us").as("lo")).collect()
-      val lo100 = l.getLong(0)
+      val loAnchor = l.getLong(0)
       table.upsert(s, ev, commitTime = "c0")
       // Time-clustered layout — the shape this serve exists for: recent
       // keys' winners co-locate in the top-time files, so the derived
@@ -1951,7 +1951,7 @@ object UpsertOps {
           .withColumn("ts_us", col("ts_us") + lit(span + 1000000L)),
         commitTime = "c1")
       table.recordColumnStats(s, Seq("ts_us")) // over ALL version files
-      (table, mn, mx, lo100)
+      (table, mn, mx, loAnchor)
     }
 
   /** Shared by q191/q195/q196 (winner-file resolved aggregates): the

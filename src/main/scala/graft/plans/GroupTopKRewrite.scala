@@ -50,8 +50,12 @@ import graft.table.KeyedTable
   * row_number/rank over (a subset of the table's partition columns)
   * ordered first by a stats-covered column, whose rank conjunct is
   * `rk ≤ N` / `rk < N+1` / `rk = N` at depth 0. Partition point/IN
-  * conjuncts compose (they drop whole groups — surviving groups' ranks
-  * are unchanged whether they sit above or below the window); any OTHER
+  * conjuncts compose below the window (the query's own
+  * filter-before-rank), and above the window only when the partition
+  * column is one of the window's GROUP columns (whole groups drop —
+  * surviving groups' ranks are unchanged); an above-window partition
+  * conjunct on a non-group column is filter-after-rank and stays
+  * residual, never pruning. Any OTHER
   * conjunct BELOW the window declines (it would filter rows before
   * ranking and break the count bound), while non-rank conjuncts above
   * the window stay residual (they only filter ranked output). Same
@@ -64,6 +68,11 @@ import graft.table.KeyedTable
 class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private val memo = new DeclineMemo[Any]
+
+  private def pfColumn(pf: PartitionConjuncts.PartFilter): String = pf match {
+    case PartitionConjuncts.PartIn(c, _, _) => c
+    case PartitionConjuncts.PartNotNull(c)  => c
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (KeyedTable.specRegistry.isEmpty) return plan
@@ -210,7 +219,17 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (bounds.isEmpty) return None
     val n = bounds.min
     if (n <= 0) return None
-    // Partition conjuncts compose at any depth (whole groups drop).
+    // Partition conjuncts compose only where pruning preserves ranks:
+    // BELOW the window they are the query's own filter-before-rank
+    // (dropping a partition's files drops exactly the rows the query
+    // drops before ranking); at depth 0 — ABOVE the window — only when
+    // the partition column is one of the window's GROUP columns, where
+    // whole groups drop and surviving groups' ranks are unchanged. An
+    // above-window partition conjunct on a NON-group column is
+    // filter-AFTER-rank: the window ranks across partitions, so pruning
+    // other partitions' files before ranking would shift surviving
+    // rows' ranks. Such a conjunct stays residual (the original Filter
+    // survives the surgery) and never feeds pruning or classification.
     // Below-window NON-partition conjuncts — the "eligibility filter"
     // of a filtered leaderboard, applied BEFORE ranking — compose when
     // every one classifies as a literal range / IS NOT NULL / IN on a
@@ -221,7 +240,11 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // ranked output and stay residual (they must NOT feed the
     // classification — dropping files by an above-window predicate
     // would change surviving rows' ranks).
-    val partFilters = splitD.flatMap(p => partFilterOf(p._1))
+    val groupColsL = groupCols.map(_.toLowerCase(Locale.ROOT)).toSet
+    val partFilters = splitD.flatMap { case (c, d) =>
+      partFilterOf(c).filter(pf =>
+        d != 0 || groupColsL.contains(pfColumn(pf).toLowerCase(Locale.ROOT)))
+    }
     val belowConds = splitD.collect {
       case (c, d) if d != 0 && partFilterOf(c).isEmpty => c
     }
@@ -546,7 +569,17 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (bounds.isEmpty) return None
     val n = bounds.min
     if (n <= 0) return None
-    val partFilters = rest.flatMap(p => partFilterOf(p._1))
+    // Same rank-preservation rule as the COW arm: a depth-1 partition
+    // conjunct sits between the rank window and the resolve —
+    // filter-before-rank, prunes; a depth-0 (above-rank-window)
+    // partition conjunct prunes only when its column is a GROUP column
+    // (whole groups and their winners drop); on a non-group column it
+    // is filter-after-rank and stays residual, never pruning.
+    val groupColsL = groupCols.map(_.toLowerCase(Locale.ROOT)).toSet
+    val partFilters = rest.flatMap { case (c, d) =>
+      partFilterOf(c).filter(pf =>
+        d != 0 || groupColsL.contains(pfColumn(pf).toLowerCase(Locale.ROOT)))
+    }
     val rangeConds = rest.collect {
       case (c, 1) if partFilterOf(c).isEmpty => c
     }

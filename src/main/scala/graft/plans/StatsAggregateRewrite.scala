@@ -226,7 +226,11 @@ class StatsAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val key = (m.spec.path, m.needs.toVector,
         m.groupAttrs.map(_.name).toVector,
         m.partFilters.toVector, m.ranges.toVector, m.notNull.toVector,
-        m.inLists.map { case (c, vs) => (c, vs.toVector) }.toVector)
+        m.inLists.map { case (c, vs) => (c, vs.toVector) }.toVector,
+        // Cast-wrapped and cast-free twins must gate independently: a
+        // declined cast shape memoized under the bare key would rob
+        // the cast-free twin of its hybrid serve for the session.
+        m.casts.toVector.map { case (i, c) => (i, c.dataType) }.sortBy(_._1))
       memo.gated(key)(serveAgg(m))
     }.orElse(serveMorCount(a)).orElse(serveMorStats(a))
       .orElse(serveDistinctValues(a)).orElse(serveMorDistinct(a))
@@ -2239,15 +2243,20 @@ private[plans] object MorWinnerMaps {
       wcU: org.apache.spark.sql.expressions.UserDefinedFunction)
 
   private val cache = scala.collection.concurrent.TrieMap
-    .empty[String, (Long, WinnerMaps)]
+    .empty[String,
+      (Long, org.apache.spark.broadcast.Broadcast[Map[String, Long]],
+        WinnerMaps)]
 
   /** The maps + lookup UDF, memoized per mutation tick, with the
     * soundness cross-check applied: every winner entry's file must be
     * covered by the stats sidecar (exists ⇒ current guarantees it; a
     * violation means a racing write — `None`: decline, don't drop
-    * winners). A superseded tick's broadcast is released by the
-    * ContextCleaner once its cache entry is replaced (the handle is the
-    * only reference).
+    * winners). Installation is atomic per (path, tick): exactly one
+    * broadcast survives a planning race, and a superseded tick's
+    * broadcast is `destroy()`ed eagerly when its entry is replaced
+    * (non-blocking; a query racing the table mutation that bumped the
+    * tick was already in undefined territory), so stale winner maps
+    * never accumulate for the JVM lifetime.
     */
   def of(
       spark: SparkSession, table: KeyedTable,
@@ -2255,8 +2264,9 @@ private[plans] object MorWinnerMaps {
       stRel: org.apache.spark.sql.DataFrame): Option[WinnerMaps] = {
     import org.apache.spark.sql.functions.{col, count, lit, udf}
     val tick = KeyedTable.mutationTick.get()
-    val m = cache.get(table.spec.path) match {
-      case Some((t, m0)) if t == tick => m0
+    val path = table.spec.path
+    val m = cache.get(path) match {
+      case Some((t, _, m0)) if t == tick => m0
       case _ =>
         val w0 = settled.groupBy(col("file"))
           .agg(count(lit(1)).as("wcnt")).collect()
@@ -2266,8 +2276,16 @@ private[plans] object MorWinnerMaps {
             .map(r => r.getString(0) -> r.getLong(1)).toMap)
         val bc = spark.sparkContext.broadcast(w0)
         val m0 = WinnerMaps(w0, c0, udf((f: String) => bc.value.get(f)))
-        cache.put(table.spec.path, (tick, m0))
-        m0
+        @annotation.tailrec
+        def install(): WinnerMaps = cache.putIfAbsent(path, (tick, bc, m0)) match {
+          case None => m0
+          case Some(old @ (t, oldBc, oldM)) =>
+            if (t == tick) { bc.destroy(); oldM }            // lost the race
+            else if (cache.replace(path, old, (tick, bc, m0))) {
+              oldBc.destroy(); m0                            // superseded tick
+            } else install()
+        }
+        install()
     }
     if (!m.wcByFile.keySet.subsetOf(m.cntByFile.keySet)) None else Some(m)
   }

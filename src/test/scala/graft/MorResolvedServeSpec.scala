@@ -269,6 +269,37 @@ class MorResolvedServeSpec extends SparkTestBase {
       Set(("a", 20L), ("a", 18L), ("b", 40L), ("b", 38L)))
   }
 
+  test("above-rank-window partition conjunct on a NON-group column stays residual (MoR)") {
+    // MoR table hive-partitioned by src, leaderboard PARTITION BY grp
+    // (a clustered data column): a src conjunct ABOVE the rank window
+    // is filter-AFTER-rank — pruning the other src's files before
+    // ranking would recompute ranks within one src. v = id, src = web
+    // iff even: grp a's global top-3 is 20(web) 19(book) 18(web), so
+    // the web filter must keep ranks 1 and 3, never renumber to 1 2 3.
+    val path = Files.createTempDirectory("graft_morserve_aw_").toString + "/t"
+    val t = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("id"), precombineCol = "rev",
+      partitionCols = Seq("src"), retainHistory = true))
+    val bulk = (1L to 40L).map(i => (i, if (i <= 20) "a" else "b", i, 0L,
+      if (i % 2 == 0) "web" else "book"))
+    t.upsert(spark,
+      spark.createDataFrame(bulk).toDF("id", "grp", "v", "rev", "src"),
+      commitTime = "c0")
+    t.cluster(spark, Seq("grp", "v"), targetFileBytes = 1L << 10)
+    t.recordKeyIndex(spark)
+    t.recordColumnStats(spark, Seq("grp", "v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("v").desc, col("id").desc)
+    def q = t.read(spark)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .filter(col("src") === "web")
+      .select("grp", "v", "rk")
+    assert(q.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getInt(2))).toSet ==
+      Set(("a", 20L, 1), ("a", 18L, 3), ("b", 40L, 1), ("b", 38L, 3)),
+      "ranks must be computed across src partitions, then filtered")
+  }
+
   test("the advisor recommends the grouped MoR top-k chain for partition groups; building it serves") {
     val path = Files.createTempDirectory("graft_morservgtk_").toString + "/t"
     val t = KeyedTable(KeyedTableSpec(

@@ -1254,6 +1254,49 @@ class RangeStatsRewriteSpec extends SparkTestBase {
     assert(q2.collect().toSet == ranked(docs).collect().toSet)
   }
 
+  test("above-window partition conjunct on a NON-group column stays residual (filter-after-rank)") {
+    // Table hive-partitioned by src, window PARTITION BY lang only: the
+    // ranks run ACROSS src partitions, so a src conjunct ABOVE the
+    // window selects among globally-ranked rows. Pruning the other
+    // src's files before ranking would recompute ranks within one src —
+    // wrong rows, wrong ranks. The conjunct must stay residual (never
+    // feed PartitionConjuncts.select), while the SAME conjunct BELOW
+    // the window is the query's own filter-before-rank and composes.
+    val docs = spark.range(0, 20000).select(
+      col("id").as("doc_id"),
+      concat(lit("lang"), (col("id") % 5).cast("string")).as("lang"),
+      (col("id") * 31 % 9973).as("n_chars"),
+      md5(col("id").cast("string")).as("payload"),
+      when(col("id") % 2 === 0, "web").otherwise("book").as("src"))
+    val path = Files.createTempDirectory("graft_gtopk_aw_").toString + "/t"
+    val t = KeyedTable(KeyedTableSpec(
+      path = path, keyCols = Seq("doc_id"), precombineCol = "n_chars",
+      partitionCols = Seq("src")))
+    t.upsert(spark, docs, commitTime = "c0")
+    t.cluster(spark, Seq("lang", "n_chars"), targetFileBytes = 16L << 10)
+    t.recordColumnStats(spark, Seq("lang", "n_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id").desc)
+    def above(df: DataFrame) = df
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .filter(col("src") === "web")
+      .select("doc_id", "src", "lang", "n_chars", "rk")
+    def belowW(df: DataFrame) = df.filter(col("src") === "web")
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("doc_id", "src", "lang", "n_chars", "rk")
+    val expected = above(docs).collect().toSet
+    // The trap is live: ranking within web-only rows gives a DIFFERENT
+    // answer than ranking globally then filtering.
+    assert(belowW(docs).collect().toSet != expected,
+      "fixture must distinguish filter-before from filter-after ranking")
+    assert(above(t.read(spark)).collect().toSet == expected,
+      "an above-window partition conjunct on a non-group column must " +
+        "stay residual — pruning by it would shift ranks")
+    // Below the window the conjunct composes and prunes.
+    assert(belowW(t.read(spark)).collect().toSet ==
+      belowW(docs).collect().toSet)
+  }
+
   test("FILTERED grouped top-k: the eligibility range composes into the per-group walk") {
     val docs = spark.range(0, 20000).select(
       col("id").as("doc_id"),
