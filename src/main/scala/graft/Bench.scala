@@ -89,11 +89,17 @@ object Bench {
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
       .toAbsolutePath
-    // The file carries BOTH statistics per query ({"median":…,"min":…});
-    // the stdout line keeps the flat median map the driver parses.
+    // The file carries the per-query statistics ({"median":…,"min":…})
+    // PLUS the raw per-pass samples in chronological order ("passes"):
+    // a drifted host draw is then provable from the artifact itself —
+    // e.g. pass 2 of every query reading 2× pass 3 is weather, one
+    // query's all-passes regression is code — instead of reconstructed
+    // from git. The stdout line keeps the flat median map the driver
+    // parses.
     val qsFull = names.map { name =>
+      val passes = samples(name).reverse.map(r3).mkString("[", ",", "]")
       s"\"" + name + "\":{\"median\":" + r3(results(name)) +
-        ",\"min\":" + r3(mins(name)) + "}"
+        ",\"min\":" + r3(mins(name)) + ",\"passes\":" + passes + "}"
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(fullPath,
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""" + "\n")

@@ -155,8 +155,23 @@ object UpsertOps {
         val p = it.next()
         val q = dst.resolve(src.relativize(p))
         if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(q)
-        else java.nio.file.Files.copy(p, q,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        else {
+          // HARD LINK, not byte copy: every mutation in the engine is
+          // delete-then-create (Spark writes fresh part files; sidecar
+          // publishes write a tmp dir and rename; timeline markers are
+          // new files) — no code path opens an existing table file for
+          // WRITE, so a linked clone can never corrupt its template
+          // (unlinking only drops the clone's name). Byte-identical by
+          // construction, and the clone cost becomes O(file count)
+          // metadata ops instead of O(bytes). Cross-device or
+          // unsupported-FS cases fall back to a real copy.
+          try java.nio.file.Files.createLink(q, p)
+          catch {
+            case _: UnsupportedOperationException | _: java.io.IOException =>
+              java.nio.file.Files.copy(p, q,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
       }
     } finally walk.close()
   }

@@ -669,30 +669,47 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     * place: one table scan, the same cost its first build paid,
     * amortized once per migrated table.
     */
-  private def bloomIndexFrame(spark: SparkSession): DataFrame = {
-    val idx = spark.read.parquet(bloomDir)
-    val head = idx.select(col("file")).limit(1).collect()
-    if (head.nonEmpty) {
-      val f0 = head(0).getString(0)
-      // Legacy = rooted ('/...') or scheme-qualified ('file:/...',
-      // 'hdfs://...', 's3a://...'); a table-relative entry's first
-      // segment is a partition dir or part-file name, never a scheme.
-      if (f0.startsWith("/") ||
-        f0.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:/.*")) {
-        recordBloomIndex(spark)
-        return spark.read.parquet(bloomDir)
-      }
-    }
-    idx
-  }
+  /** One aggregate serves the legacy-format check (first entry's file
+    * rendering), the index's stored (m, k) and the indexed-file count —
+    * previously three separate actions per bloom probe.
+    */
+  /** The sidecar's build boundary via the memoized head probe (one
+    * `limit(1)` job per (session, dir, mutation tick) instead of one
+    * per consumer call); falls back to a direct probe of `idx` when the
+    * memo read fails. `None` = empty sidecar.
+    */
+  private def builtAtOf(
+      spark: SparkSession, sidecarDir: String, idx: DataFrame): Option[String] =
+    KeyedTable.sidecarHead(spark, sidecarDir, Seq("built_at"))
+      .getOrElse(idx.select(col("built_at")).limit(1).collect().headOption)
+      .map(_.getString(0))
+
+  private def bloomHeadAgg(idx: DataFrame): org.apache.spark.sql.Row =
+    idx.agg(
+      first(col("file")).as("f0"), first(col("m")).as("m0"),
+      first(col("k")).as("k0"), count(lit(1)).as("n")).collect()(0)
 
   private[graft] def bloomCandidateFiles(
       spark: SparkSession, batch: DataFrame): (Seq[String], Int) = {
-    val idx = bloomIndexFrame(spark)
-    val head = idx.select(col("m"), col("k")).limit(1).collect()
-    if (head.isEmpty) return (Nil, 0)
-    val (m, k) = (head(0).getInt(0), head(0).getInt(1))
-    val total = idx.count().toInt
+    var idx = spark.read.parquet(bloomDir)
+    var h = bloomHeadAgg(idx)
+    if (h.getLong(3) > 0L) {
+      val f0 = h.getString(0)
+      // Legacy = rooted ('/...') or scheme-qualified ('file:/...',
+      // 'hdfs://...', 's3a://...'); a table-relative entry's first
+      // segment is a partition dir or part-file name, never a scheme.
+      // A legacy index is REBUILT in place: one table scan, the same
+      // cost its first build paid, amortized once per migrated table.
+      if (f0.startsWith("/") ||
+        f0.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:/.*")) {
+        recordBloomIndex(spark)
+        idx = spark.read.parquet(bloomDir)
+        h = bloomHeadAgg(idx)
+      }
+    }
+    if (h.getLong(3) == 0L) return (Nil, 0)
+    val (m, k) = (h.getInt(1), h.getInt(2))
+    val total = h.getLong(3).toInt
     val probes = batch.select(keyExpr.as("_graft_pk")).distinct()
       .select(col("_graft_pk"),
         explode(bloomPositions(col("_graft_pk"), m, k)).as("pos"))
@@ -1068,8 +1085,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     if (!f.exists(dir)) { rebuild; return }
     val idx = spark.read.parquet(dir.toString)
     if (!required.subsetOf(idx.columns.toSet)) { rebuild; return }
-    val head = idx.select(col("built_at")).limit(1).collect()
-    val builtAt = if (head.isEmpty) "" else head(0).getString(0)
+    val builtAt = builtAtOf(spark, dir.toString, idx).getOrElse("")
     val newBoundary = KeyedTable.timelineMarkers(spark, spec.path)
       .lastOption.map(KeyedTable.markerCommit).getOrElse("")
     // Entry-schema drift (an index written before a column joined the
@@ -1126,9 +1142,8 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     try {
       val idx = spark.read.parquet(rliDir)
       if (!rliRequiredCols.subsetOf(idx.columns.toSet)) return None
-      val head = idx.select(col("built_at")).limit(1).collect()
-      if (head.isEmpty) return None
-      KeyedTable.fileDeltaSince(spark, spec.path, head(0).getString(0)).map {
+      val builtAt = builtAtOf(spark, rliDir, idx).getOrElse(return None)
+      KeyedTable.fileDeltaSince(spark, spec.path, builtAt).map {
         case (added, removed) =>
           val probePk = probe.select(keyExpr.as("key")).distinct()
           val idxSel0 = idx.drop("built_at").join(broadcast(probePk), Seq("key"))
@@ -1173,9 +1188,8 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     try {
       val idx = spark.read.parquet(rliDir)
       if (!rliRequiredCols.subsetOf(idx.columns.toSet)) return None
-      val head = idx.select(col("built_at")).limit(1).collect()
-      if (head.isEmpty) return None // empty index: nothing provable
-      KeyedTable.fileDeltaSince(spark, spec.path, head(0).getString(0)).map {
+      val builtAt = builtAtOf(spark, rliDir, idx).getOrElse(return None)
+      KeyedTable.fileDeltaSince(spark, spec.path, builtAt).map {
         case (added, removed) =>
           if (added.isEmpty && removed.isEmpty) idx.count()
           else {
@@ -1212,9 +1226,8 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       val idx = spark.read.parquet(rliDir)
       if (!rliRequiredCols.subsetOf(idx.columns.toSet) ||
           !rliPvCols.forall(idx.columns.contains)) return None
-      val head = idx.select(col("built_at")).limit(1).collect()
-      if (head.isEmpty) return None
-      KeyedTable.fileDeltaSince(spark, spec.path, head(0).getString(0)).map {
+      val builtAt = builtAtOf(spark, rliDir, idx).getOrElse(return None)
+      KeyedTable.fileDeltaSince(spark, spec.path, builtAt).map {
         case (added, removed) =>
           val idxSel =
             if (removed.isEmpty) idx.drop("built_at")
@@ -1254,9 +1267,8 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     try {
       val idx = spark.read.parquet(rliDir)
       if (!rliRequiredCols.subsetOf(idx.columns.toSet)) return None
-      val head = idx.select(col("built_at")).limit(1).collect()
-      if (head.isEmpty) return None
-      KeyedTable.fileDeltaSince(spark, spec.path, head(0).getString(0)).map {
+      val builtAt = builtAtOf(spark, rliDir, idx).getOrElse(return None)
+      KeyedTable.fileDeltaSince(spark, spec.path, builtAt).map {
         case (added, removed) =>
           val idxSel =
             if (removed.isEmpty) idx.drop("built_at")
@@ -1344,10 +1356,9 @@ final class KeyedTable(val spec: KeyedTableSpec) {
           return None
         val idx = spark.read.parquet(rliDir)
         if (!rliRequiredCols.subsetOf(idx.columns.toSet)) return None
-        val head = idx.select(col("built_at")).limit(1).collect()
-        if (head.isEmpty) return None
+        val builtAt = builtAtOf(spark, rliDir, idx).getOrElse(return None)
         val fresh = KeyedTable
-          .fileDeltaSince(spark, spec.path, head(0).getString(0))
+          .fileDeltaSince(spark, spec.path, builtAt)
           .exists { case (a, r) => a.isEmpty && r.isEmpty }
         if (!fresh) return None
         val cap = spark.conf
@@ -1660,9 +1671,8 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     try {
       val idx = spark.read.parquet(dir.toString)
       if (!siRequiredCols.subsetOf(idx.columns.toSet)) return None
-      val head = idx.select(col("built_at")).limit(1).collect()
-      if (head.isEmpty) return None
-      KeyedTable.fileDeltaSince(spark, spec.path, head(0).getString(0)).map {
+      val builtAt = builtAtOf(spark, dir.toString, idx).getOrElse(return None)
+      KeyedTable.fileDeltaSince(spark, spec.path, builtAt).map {
         case (added, removed) =>
           val idxSel0 = idx.filter(col("sval").isin(values: _*))
           val idxSel =
@@ -1934,8 +1944,13 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   private[graft] def colStatsFrame(spark: SparkSession): Option[DataFrame] = {
     if (!fs(spark).exists(new Path(colStatsDir)) || isEvolved(spark))
       return None
-    try Some(spark.read.parquet(colStatsDir))
-    catch { case scala.util.control.NonFatal(_) => None }
+    // Metadata-sized sidecars serve from a driver-local snapshot (one
+    // collect per (session, dir, mutation tick)); oversize or
+    // unreadable ones keep the parquet-backed frame.
+    KeyedTable.localMetaFrame(spark, colStatsDir).map(_._1).orElse {
+      try Some(spark.read.parquet(colStatsDir))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
   }
 
   /** The stats index's candidate files for a conjunction of ranges, as
@@ -2104,8 +2119,12 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       ranges: Seq[ColumnRange],
       nullPreds: Seq[(String, Boolean)],
       inLists: Seq[(String, Seq[Any])]): (Seq[String], Int) = {
-    val st = spark.read.parquet(colStatsDir)
-    val all = st.count().toInt
+    // Localized sidecar: the total count rides the snapshot and the
+    // selection is ONE local action instead of a parquet count + a
+    // parquet filter-collect (two scan jobs per serve).
+    val snap = KeyedTable.localMetaFrame(spark, colStatsDir)
+    val st = snap.map(_._1).getOrElse(spark.read.parquet(colStatsDir))
+    val all = snap.map(_._2).getOrElse(st.count().toInt)
     val rangePreds = ranges.map { r =>
       val loP = r.lo.map(v =>
         if (r.loInclusive) col(s"max_${r.column}") >= lit(v)
@@ -3765,6 +3784,84 @@ object KeyedTable {
     * the commit→files delta every time.
     */
   private[graft] val mutationTick = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Driver-local snapshots of METADATA-sized sidecars (column stats):
+    * the serve rules probe these tiny frames several times per query
+    * (classification, walk, selection), and each probe over a
+    * parquet-backed frame pays file listing + a scan job — 100–300 ms
+    * of fixed cost per action at any data scale. Snapshotting the
+    * sidecar ONCE per (session, dir, [[mutationTick]]) into a
+    * LocalRelation turns every subsequent probe into a local job with
+    * the SAME Spark expression semantics (UTF8String ordering, decimal
+    * comparisons — nothing is re-implemented driver-side). Guarded by:
+    *   - [[mutationTick]]: any table mutation in this JVM invalidates
+    *     every snapshot (the DeclineMemo discipline — conservative,
+    *     single-JVM, same assumption every in-process memo here makes);
+    *   - a SIZE GATE (`spark.graft.meta.localize.bytes`, default 16 MiB
+    *     of on-disk sidecar): a 100 TB table's million-file stats
+    *     sidecar stays parquet-backed and streams through Spark — only
+    *     genuinely metadata-sized sidecars localize.
+    */
+  private val metaSnapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Int, DataFrame)]()
+
+  private[graft] val MetaLocalizeBytesKey = "spark.graft.meta.localize.bytes"
+
+  /** The localized sidecar frame plus its row count, or `None` when the
+    * dir is absent/unreadable/oversize (caller falls back to the
+    * parquet-backed frame). One collect per (session, dir, tick).
+    */
+  private[graft] def localMetaFrame(
+      spark: SparkSession, dir: String): Option[(DataFrame, Int)] = {
+    val tick = mutationTick.get
+    val key = System.identityHashCode(spark).toString + "|" + dir
+    val cached = metaSnapCache.get(key)
+    if (cached != null && cached._1 == tick) return Some((cached._3, cached._2))
+    try {
+      val p = new Path(dir)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(p)) return None
+      val cap = spark.conf.get(MetaLocalizeBytesKey, (16L << 20).toString).toLong
+      val bytes = f.listStatus(p).filter(_.isFile).map(_.getLen).sum
+      if (bytes > cap) return None
+      val src = spark.read.parquet(dir)
+      val rows = withMetaConf(spark)(src.collect())
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), src.schema)
+      if (metaSnapCache.size > 256) metaSnapCache.clear() // dead sessions
+      metaSnapCache.put(key, (tick, rows.length, local))
+      Some((local, rows.length))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Memoized HEAD row of a sidecar's constant columns (`built_at`,
+    * bloom (m, k)): the freshness/config probe every index consumer
+    * runs before its real work is one `limit(1)` job per serve —
+    * memoizing it per (session, dir, cols, tick) removes a fixed
+    * ~100 ms action from every repeated probe without collecting the
+    * (potentially key-count-sized) sidecar itself. `None` = the dir is
+    * missing; `Some(None)` = readable but empty.
+    */
+  private val headSnapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[org.apache.spark.sql.Row])]()
+
+  private[graft] def sidecarHead(
+      spark: SparkSession, dir: String,
+      cols: Seq[String]): Option[Option[org.apache.spark.sql.Row]] = {
+    val tick = mutationTick.get
+    val key = System.identityHashCode(spark).toString + "|" + dir +
+      "|" + cols.mkString(",")
+    val cached = headSnapCache.get(key)
+    if (cached != null && cached._1 == tick) return Some(cached._2)
+    try {
+      val head = withMetaConf(spark)(
+        spark.read.parquet(dir).select(cols.map(col): _*).limit(1).collect())
+      val v = head.headOption
+      if (headSnapCache.size > 512) headSnapCache.clear()
+      headSnapCache.put(key, (tick, v))
+      Some(v)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Runs a METADATA-sized query (sidecar probes, candidate-file
     * selection, stats folds) under a conf scope that matches its shape:
