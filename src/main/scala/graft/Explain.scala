@@ -17,12 +17,28 @@ object Explain {
       else SparkEntry.queries.keys.toSeq.sorted
     val spark = Sessions.builder("local[4]", "4").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_EXPLAIN_DIR=<dir>[:<suffix>] additionally writes each
+    // plan to <dir>/<query><suffix>.txt — the committed plan-evidence
+    // format (plans/rNN/<query>_before.txt / _after.txt).
+    val sink = sys.env.get("SPARK_GRAFT_EXPLAIN_DIR").map { v =>
+      val (d, suf) = v.split(":", 2) match {
+        case Array(d, s) => (d, s); case Array(d) => (d, "")
+      }
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      (d, suf)
+    }
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n===== $name =====")
-        try println(fn(spark, sfDir).queryExecution
-          .explainString(ExplainMode.fromString("formatted")))
-        catch { case e: Throwable => println(s"explain failed: $e") }
+        try {
+          val plan = fn(spark, sfDir).queryExecution
+            .explainString(ExplainMode.fromString("formatted"))
+          println(plan)
+          sink.foreach { case (d, suf) =>
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(d, s"$name$suf.txt"), plan)
+          }
+        } catch { case e: Throwable => println(s"explain failed: $e") }
       }
     }
     spark.stop()

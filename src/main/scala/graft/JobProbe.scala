@@ -23,6 +23,11 @@ object JobProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional session-conf overrides for A/B experiments, e.g.
+    // SPARK_GRAFT_PROBE_CONF="spark.sql.streaming.stateStore.providerClass=...".
+    sys.env.get("SPARK_GRAFT_PROBE_CONF").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
 
     final case class JobRec(
         id: Int, start: Long, var end: Long, site: String, desc: String)

@@ -1348,14 +1348,23 @@ object UpsertOps {
     */
   def indexAdvisedLookup(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.IndexAdvisor
-    val path = Files.createTempDirectory("graft_idxadv_q_").toString + "/events_keyed"
-    val table = KeyedTable(KeyedTableSpec(
-      path = path, keyCols = Seq("event_id"), precombineCol = "ts_us",
-      partitionCols = Seq("event_type")))
-    val ev = eventsUs(s, dir)
-    table.upsert(s, ev, commitTime = "c0")
-    val vals = ev.filter(col("event_id") % 9973 === 0)
-      .select("event_id").collect().map(_.getLong(0)).toSeq
+    // The un-indexed base + the probe values stage as a cloned template
+    // (the q156/layadvC0 discipline — the build is pre-mutation
+    // scaffolding); the measured subject is the advise → index build →
+    // indexed serve loop, which MUTATES the clone's sidecars.
+    val (tplRoot, payload, root) = stagedRoot(dir, "idxadvC0") { r =>
+      val t = KeyedTable(KeyedTableSpec(
+        path = s"$r/events_keyed", keyCols = Seq("event_id"),
+        precombineCol = "ts_us", partitionCols = Seq("event_type")))
+      val ev = eventsUs(s, dir)
+      t.upsert(s, ev, commitTime = "c0")
+      val vals = ev.filter(col("event_id") % 9973 === 0)
+        .select("event_id").collect().map(_.getLong(0)).toSeq
+      (t.spec, vals)
+    }
+    val (tplSpec, vals) = payload
+    val table = KeyedTable(
+      tplSpec.copy(path = root + tplSpec.path.stripPrefix(tplRoot)))
     def q = table.read(s).filter(col("event_id").isin(vals: _*))
     val advice = IndexAdvisor.analyze(s, Seq(q))
     IndexAdvisor.createRecommended(s, advice)

@@ -3275,8 +3275,14 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   private def collectPartitionTuples(df: DataFrame): Array[org.apache.spark.sql.Row] = {
     val cap = df.sparkSession.conf
       .get("spark.graft.partition.collect.max", "100000").toInt
-    val tuples = df.select(spec.partitionCols.map(col): _*)
-      .distinct().limit(cap + 1).collect()
+    // Metadata-sized by contract (the cap below): the distinct's reduce
+    // side holds at most `cap` tuples whatever the batch size, so the
+    // probe conf (AQE off, 8 partitions) fits — one job instead of
+    // AQE's 2-3 stage-materialization jobs per upsert. The map side
+    // (the batch scan) keeps its own partitioning either way.
+    val tuples = KeyedTable.withMetaConf(df.sparkSession)(
+      df.select(spec.partitionCols.map(col): _*)
+        .distinct().limit(cap + 1).collect())
     if (tuples.length > cap)
       throw new IllegalStateException(
         s"table ${spec.path}: batch touches more than $cap distinct " +

