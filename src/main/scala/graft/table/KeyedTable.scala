@@ -938,6 +938,23 @@ final class KeyedTable(val spec: KeyedTableSpec) {
   private val RliDirName = "_graft_rli"
   private def rliDir = s"${spec.path}/$RliDirName"
 
+  /** An index sidecar frame for PROBE paths: the size-gated driver-local
+    * snapshot ([[KeyedTable.localMetaFrame]] — one collect per (session,
+    * dir, mutation tick)) when the sidecar is genuinely metadata-sized,
+    * else the parquet-backed frame. Probe paths re-read their sidecar on
+    * every serve (candidate selection, resolved counts, grouped walks),
+    * and each parquet-backed read pays file listing + a scan job —
+    * ~100–300 ms of fixed cost per action at any data scale; the
+    * snapshot turns those into local jobs with the SAME Spark expression
+    * semantics. A 100 TB table's key-count-sized index exceeds the gate
+    * and streams through Spark exactly as before. Probe-only: the
+    * build/refresh paths keep their parquet-backed reads (they publish a
+    * new sidecar from what they read, and their cost is the subject).
+    */
+  private def probeSidecarFrame(spark: SparkSession, dir: String): DataFrame =
+    KeyedTable.localMetaFrame(spark, dir).map(_._1)
+      .getOrElse(spark.read.parquet(dir))
+
   /** The table-relative rendering of `input_file_name()` — the same
     * normalization the commit markers record, so index entries and
     * marker file records compare as equals.
@@ -1140,7 +1157,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     val f = fs(spark)
     if (!f.exists(new Path(rliDir))) return None
     try {
-      val idx = spark.read.parquet(rliDir)
+      val idx = probeSidecarFrame(spark, rliDir)
       if (!rliRequiredCols.subsetOf(idx.columns.toSet)) return None
       val builtAt = builtAtOf(spark, rliDir, idx).getOrElse(return None)
       KeyedTable.fileDeltaSince(spark, spec.path, builtAt).map {
@@ -1186,7 +1203,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     val f = fs(spark)
     if (!f.exists(new Path(rliDir)) || !spec.retainHistory) return None
     try {
-      val idx = spark.read.parquet(rliDir)
+      val idx = probeSidecarFrame(spark, rliDir)
       if (!rliRequiredCols.subsetOf(idx.columns.toSet)) return None
       val builtAt = builtAtOf(spark, rliDir, idx).getOrElse(return None)
       KeyedTable.fileDeltaSince(spark, spec.path, builtAt).map {
@@ -1223,7 +1240,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     if (!f.exists(new Path(rliDir)) || !spec.retainHistory ||
         spec.partitionCols.isEmpty) return None
     try {
-      val idx = spark.read.parquet(rliDir)
+      val idx = probeSidecarFrame(spark, rliDir)
       if (!rliRequiredCols.subsetOf(idx.columns.toSet) ||
           !rliPvCols.forall(idx.columns.contains)) return None
       val builtAt = builtAtOf(spark, rliDir, idx).getOrElse(return None)
@@ -1265,7 +1282,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     val f = fs(spark)
     if (!f.exists(new Path(rliDir)) || !spec.retainHistory) return None
     try {
-      val idx = spark.read.parquet(rliDir)
+      val idx = probeSidecarFrame(spark, rliDir)
       if (!rliRequiredCols.subsetOf(idx.columns.toSet)) return None
       val builtAt = builtAtOf(spark, rliDir, idx).getOrElse(return None)
       KeyedTable.fileDeltaSince(spark, spec.path, builtAt).map {
@@ -1354,7 +1371,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
           st.columns.find(_.equalsIgnoreCase(s"p_$c")))
         if (pCols.exists(_.isEmpty) || !st.columns.contains("cnt"))
           return None
-        val idx = spark.read.parquet(rliDir)
+        val idx = probeSidecarFrame(spark, rliDir)
         if (!rliRequiredCols.subsetOf(idx.columns.toSet)) return None
         val builtAt = builtAtOf(spark, rliDir, idx).getOrElse(return None)
         val fresh = KeyedTable
@@ -1669,7 +1686,7 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     val dir = new Path(new Path(spec.path), siDirName(column))
     if (!f.exists(dir)) return None
     try {
-      val idx = spark.read.parquet(dir.toString)
+      val idx = probeSidecarFrame(spark, dir.toString)
       if (!siRequiredCols.subsetOf(idx.columns.toSet)) return None
       val builtAt = builtAtOf(spark, dir.toString, idx).getOrElse(return None)
       KeyedTable.fileDeltaSince(spark, spec.path, builtAt).map {
@@ -3260,6 +3277,62 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     writeSyncedNames(df.sparkSession, synced)
   }
 
+  /** Partition-scoped APPEND through a sibling staging directory: the
+    * batch is written once (partitioned, the same write job a direct
+    * append runs) into `<path>_graft_ins_tmp`, each produced part file
+    * is MOVED (rename) into its table partition dir, and the moved
+    * table-relative names are returned — the commit's EXACT file
+    * record. Replaces the direct-append sequence [batch-scan
+    * partition-tuple collect → scoped pre-listing → append → scoped
+    * post-listing]: the staging tree itself names the touched dirs and
+    * the added files, so the streaming-ingest hot path pays zero extra
+    * Spark actions and no directory diffing — O(batch files) driver FS
+    * renames, which also scales strictly better than the scoped diff
+    * (a hot partition's file count no longer enters the commit cost).
+    * The stale-absent sidecar retirement happens after the staging
+    * write but BEFORE any file lands in the table — the same ordering
+    * [[writeOut]] keeps. Crash shape matches the direct append (files
+    * can land without a marker; readers see them as committed rows
+    * exactly as a torn append's); rename collisions are impossible in
+    * practice (part names embed the write job's UUID) and checked
+    * loudly. Local/HDFS-style rename is O(1); an object-store backend
+    * would pay a copy per file — the direct-append path there pays the
+    * same copy inside its commit protocol.
+    */
+  private def appendViaStaging(
+      spark: SparkSession, df: DataFrame): Seq[String] = {
+    val f = fs(spark)
+    val staging = new Path(spec.path + "_graft_ins_tmp")
+    f.delete(staging, true)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (spec.partitionCols.nonEmpty) w.partitionBy(spec.partitionCols: _*) else w)
+      .parquet(staging.toString)
+    // Sidecars retire before any file LANDS in the table (the staging
+    // write is invisible to readers) — writeOut's stale-absent order.
+    retireColumnStats(f)
+    f.delete(new Path(bloomDir), true)
+    val stagingPrefix = f.makeQualified(staging).toUri.getPath + "/"
+    val added = Seq.newBuilder[String]
+    val it = f.listFiles(f.makeQualified(staging), true)
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = s.getPath.toUri.getPath.stripPrefix(stagingPrefix)
+      val segs = rel.split('/')
+      if (s.getPath.getName.endsWith(".parquet") &&
+        !segs.exists(seg => seg.startsWith("_") || seg.startsWith("."))) {
+        val dst = new Path(s"${spec.path}/$rel")
+        f.mkdirs(dst.getParent)
+        require(!f.exists(dst), s"staged append collision: $dst exists")
+        require(f.rename(s.getPath, dst),
+          s"staged append could not move ${s.getPath} to $dst")
+        added += rel
+      }
+    }
+    f.delete(staging, true)
+    recordSchema(spark, df.schema)
+    added.result().sorted
+  }
+
   /** Predicate selecting exactly the partitions present in `batch` —
     * collected driver-side (bounded by touched-partition count, not rows)
     * and pushed into the parquet scan for partition pruning.
@@ -3407,18 +3480,17 @@ final class KeyedTable(val spec: KeyedTableSpec) {
       case Some(current) if !driftNeedsRewrite(current, incoming.schema) =>
         val aligned = SchemaEvolution.align(incoming, current)
         // A pure append only creates files under the batch's partition
-        // dirs — the commit record needs a scoped listing, never a
-        // table listing (this is the streaming-ingest hot path: one
-        // commit per micro-batch).
+        // dirs — the commit record comes from the staging tree itself
+        // ([[appendViaStaging]]): no batch-scan partition-tuple collect,
+        // no scoped listings (this is the streaming-ingest hot path:
+        // one commit per micro-batch).
         if (spec.partitionCols.isEmpty) {
           val pre = preCommitFiles(spark) // unpartitioned: root IS the scope
           writeOut(withMeta(aligned, commitTime), SaveMode.Append)
           recordCommit(spark, commitTime, "insert", pre)
         } else {
-          val dirs = collectPartitionTuples(aligned).map(partitionDirOf).toSet
-          val preScoped = relDataFilesUnder(spark, dirs)
-          writeOut(withMeta(aligned, commitTime), SaveMode.Append)
-          recordCommitScoped(spark, commitTime, "insert", preScoped, dirs)
+          val added = appendViaStaging(spark, withMeta(aligned, commitTime))
+          recordCommitRecord(spark, commitTime, "insert", added, Nil)
         }
       case Some(current) =>
         // Non-widen-readable drift (e.g. a column falling back to the
@@ -3464,11 +3536,10 @@ final class KeyedTable(val spec: KeyedTableSpec) {
     val append = exists(spark)
     if (append && spec.partitionCols.nonEmpty) {
       // Appends create files only under the batch's partition dirs —
-      // scoped commit record, no table listing (see insert).
-      val dirs = collectPartitionTuples(incoming).map(partitionDirOf).toSet
-      val preScoped = relDataFilesUnder(spark, dirs)
-      writeOut(withMeta(incoming, commitTime), SaveMode.Append)
-      recordCommitScoped(spark, commitTime, "bulkinsert", preScoped, dirs)
+      // exact file record from the staging tree, no batch-scan tuple
+      // collect, no listings (see insert / [[appendViaStaging]]).
+      val added = appendViaStaging(spark, withMeta(incoming, commitTime))
+      recordCommitRecord(spark, commitTime, "bulkinsert", added, Nil)
     } else {
       val pre = preCommitFiles(spark)
       writeOut(

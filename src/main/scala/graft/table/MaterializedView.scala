@@ -831,25 +831,32 @@ object MaterializedView {
       // MoR: the state-delta feed is the exact change set.
       val delta = table.readStateDelta(spark, sinceCommit).persist()
       try {
-        val insertsOnly = delta.filter(col("op") === "update_preimage").isEmpty
-        if (insertsOnly) {
+        def insertsOnlyMerge(): (MvDef, Boolean) = {
           publish(spark, d2,
             Some(mergeRollup(spark.read.parquet(d.mvPath),
               buildRollup(delta, d), d)))
           (d2, true)
-        } else if (d.mins.nonEmpty || d.maxs.nonEmpty) {
+        }
+        if (d.mins.nonEmpty || d.maxs.nonEmpty) {
           // An update can retract a group's stored extreme; min/max are
           // not retraction-derivable from the rollup alone. But the
           // damage is confined to the groups the delta TOUCHED, so
-          // recompute only those: collect their dimension tuples
-          // (bounded — over the cap falls back to full rebuild, the
-          // same collect discipline as KeyedTable's partition tuples),
-          // scan the resolved base filtered by a LITERAL predicate over
-          // those tuples (when the MV dims are table partition columns —
-          // the natural rollup shape — the filter pushes through the
-          // resolve window and partition-prunes the scan), and stitch
-          // recomputed groups over untouched rollup rows. Cost
-          // O(view + touched groups' rows), not O(base).
+          // recompute only those: ONE bounded per-group aggregate both
+          // collects the touched dimension tuples AND counts each
+          // group's preimages — deciding inserts-vs-updates without the
+          // separate whole-delta isEmpty probe this path used to pay
+          // (two actions over the same persisted delta → one; the
+          // per-action fixed cost is what dominates a metadata-sized
+          // refresh). Over the cap the probe re-runs standalone (the
+          // tuple set is truncated, so inserts-only is undecidable from
+          // it) — the same collect discipline as KeyedTable's partition
+          // tuples. Updates then scan the resolved base filtered by a
+          // LITERAL predicate over the touched tuples (when the MV dims
+          // are table partition columns — the natural rollup shape —
+          // the filter pushes through the resolve window and
+          // partition-prunes the scan), and stitch recomputed groups
+          // over untouched rollup rows. Cost O(view + touched groups'
+          // rows), not O(base).
           val dims = d.dimCols
           // Base-side rendering of each dim (derived dims recompute from
           // their stored SQL) vs rollup-side rendering (stored columns).
@@ -858,10 +865,19 @@ object MaterializedView {
               d.exprDims.map { case (sql, c) => c -> expr(sql) }
           val dimTypes = delta.select(
             dims.map(c => baseDim(c).as(c)): _*).schema
-          val touched = delta.select(dims.map(c => baseDim(c).as(c)): _*)
-            .distinct().limit(GroupRebuildCap + 1).collect()
-          if (touched.length > GroupRebuildCap) rebuild()
-          else {
+          val touched = delta
+            .groupBy(dims.map(c => baseDim(c).as(c)): _*)
+            .agg(sum(when(col("op") === "update_preimage", 1L)
+              .otherwise(0L)).as("_graft_pre"))
+            .limit(GroupRebuildCap + 1).collect()
+          if (touched.length <= GroupRebuildCap &&
+            touched.forall(r => r.getLong(dims.length) == 0L)) {
+            insertsOnlyMerge()
+          } else if (touched.length > GroupRebuildCap) {
+            if (delta.filter(col("op") === "update_preimage").isEmpty)
+              insertsOnlyMerge()
+            else rebuild()
+          } else {
             def predOver(dimOf: String => Column): Column =
               touched.map { row =>
                 dims.zipWithIndex.map { case (c, i) =>
@@ -879,7 +895,14 @@ object MaterializedView {
               Some(old.filter(!predOver(col)).unionByName(recomputed)))
             (d2, true)
           }
-        } else {
+        } else if (d.countCol.nonEmpty) {
+          // Sums/counts with a registered row count: the signed
+          // aggregate handles inserts and updates alike (an inserts-only
+          // delta carries sign +1 everywhere, where it IS buildRollup
+          // for these measure kinds — sums, non-null counts and the row
+          // count add; mergeRollup then casts to the stored types either
+          // way), so the whole-delta preimage probe is not needed at
+          // all: the refresh's only action is the publish itself.
           val merged = mergeRollup(
             spark.read.parquet(d.mvPath), signedDeltaAgg(delta, d), d)
             // Group death: every row retracted ⇒ the direct aggregate
@@ -887,6 +910,14 @@ object MaterializedView {
             .filter(col(d.countCol.get) > 0)
           publish(spark, d2, Some(merged))
           (d2, true)
+        } else {
+          // No registered row count: group death is undetectable from
+          // the rollup alone, so only an inserts-only delta can merge —
+          // the probe stays (rare shape; create() registers a count for
+          // the natural rollups).
+          if (delta.filter(col("op") === "update_preimage").isEmpty)
+            insertsOnlyMerge()
+          else rebuild()
         }
       } finally { delta.unpersist(); () }
     } else if ((actions -- KeyedTable.LayoutActions)
